@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, same contract:
+
+* brute-force cosine top-k — the correctness baseline. Query vectors are a
+  small broadcast side; the corpus streams map-only through a dot-product
+  projection and a per-query top-k aggregation (no full sort).
+* LSH-bucketed ANN — the scale path. Deterministic integer hyperplanes
+  bucket both sides; candidate generation is an equi-join on the bucket
+  key, so work is proportional to collisions, not corpus size x queries.
+
+Dot products use F.zip_with + F.aggregate (JVM-side, no Python); at very
+large dims a vectorized Pandas UDF over mapInPandas is the drop-in upgrade.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+EMBED_DIM = 64
+N_HYPERPLANES = 8
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query. queries is broadcast; ranking uses
+    min_by-style window limited to k (ties broken by neighbor id)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def hyperplane_weights(dim: int = EMBED_DIM, planes: int = N_HYPERPLANES) -> list[list[int]]:
+    """Deterministic integer pseudo-hyperplanes: w[j][i] in [-3, 3].
+
+    Integer weights make the projection exactly reproducible in an external
+    SQL engine (literals inline into the oracle).
+    """
+    return [
+        [((i * 31 + j * 17 + (i * j) % 5) % 7) - 3 for i in range(dim)]
+        for j in range(planes)
+    ]
+
+
+def lsh_bucket(vec: Column, weights: list[list[int]]) -> Column:
+    """Sign-LSH bucket id: bit j = sign(w_j . v)."""
+    bucket = F.lit(0)
+    for j, w in enumerate(weights):
+        lits = F.array([F.lit(float(x)) for x in w])
+        proj = dot(vec, lits)
+        bucket = bucket + F.when(proj > 0, F.lit(2**j)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    weights: list[list[int]] | None = None,
+) -> DataFrame:
+    """Approximate top-k: candidates share the sign-LSH bucket; exact cosine
+    re-rank within bucket. At scale this replaces the cross join with an
+    equi-join on bucket — collisions, not corpus x queries."""
+    ws = weights or hyperplane_weights()
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        lsh_bucket(F.col(vec_col), ws).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        lsh_bucket(F.col(vec_col), ws).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

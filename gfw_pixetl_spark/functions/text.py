@@ -1,0 +1,128 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path logic is built-in Spark column expressions (JVM-side,
+whole-stage codegen) — no Python UDFs. Tokenization is a simple
+whitespace split plus a BPE-ish regex token counter; language ID is an
+n-gram/stopword heuristic; quality scoring is ratio arithmetic; document
+fingerprinting is a position-weighted rolling hash.
+
+Shared constants live here so SQL oracles can inline the same literals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import FNV_WORD_MOD, md5_int64
+
+# BPE-ish token pattern: letter runs, digit runs, single punctuation.
+# Kept to a dialect-neutral subset (works identically in Java regex and RE2).
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny per-language stopword lexicon for the n-gram language heuristic.
+# Deterministic and engine-portable; real deployments would swap in a
+# fastText-style model behind the same column contract.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "zu"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "la", "los", "y", "de"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),
+}
+
+FINGERPRINT_MOD = 1_000_000_007
+
+
+def words(col: Column | str) -> Column:
+    """Whitespace tokens, empties removed (split on runs of whitespace)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, " "), lambda w: w != "")
+
+
+def token_count_whitespace(col: Column | str) -> Column:
+    return F.size(words(col))
+
+
+def token_count_bpe(col: Column | str) -> Column:
+    """Count of BPE-ish regex tokens (letters / digits / punct)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(TOKEN_REGEX))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword ratios -> a scalar quality score.
+
+    Pure column arithmetic; a full scan computes this for every document in
+    one codegen stage with zero shuffles.
+    """
+    t = F.col(text_col)
+    ws = words(text_col)
+    n_chars = F.length(t)
+    n_words = F.size(ws)
+    alpha_chars = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    stop = F.array([F.lit(s) for s in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(ws, lambda w: F.array_contains(stop, F.lower(w))))
+    avg_word_len = (n_chars - (n_words - 1)) / n_words  # chars net of single spaces
+    alpha_ratio = alpha_chars / n_chars
+    stop_ratio = n_stop / n_words
+    score = F.round(
+        alpha_ratio * 0.5
+        + stop_ratio * 0.3
+        + F.least(avg_word_len / F.lit(10.0), F.lit(1.0)) * 0.2,
+        6,
+    )
+    return df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        alpha_chars.alias("alpha_chars"),
+        n_stop.alias("n_stopwords"),
+        score.alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-voting language ID: per doc, the language whose stopwords
+    occur most often; ties -> lexicographically smallest code; no hits ->
+    'und'. One projection, no shuffle, no UDF.
+    """
+    ws = words(text_col)
+
+    def contains(lex):
+        # single-arg lambda: F.filter passes (element, index) to 2-arg ones
+        return lambda w: F.array_contains(lex, F.lower(w))
+
+    langs = sorted(LANG_STOPWORDS)
+    # materialize score columns first: folding over raw filter expressions
+    # duplicates them exponentially in the fold below
+    score_exprs = []
+    for lang in langs:
+        lex = F.array([F.lit(s) for s in LANG_STOPWORDS[lang]])
+        score_exprs.append(F.size(F.filter(ws, contains(lex))).alias(f"n_{lang}"))
+    scored = df.select("doc_id", *score_exprs)
+
+    # fold argmax: strictly-greater keeps earlier (smaller) lang on ties
+    best_lang, best_n = F.lit(langs[0]), F.col(f"n_{langs[0]}")
+    for lang in langs[1:]:
+        n = F.col(f"n_{lang}")
+        cond = n > best_n
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_n = F.when(cond, n).otherwise(best_n)
+    pred = F.when(best_n > 0, best_lang).otherwise(F.lit("und"))
+    return scored.select(
+        "doc_id", pred.alias("pred_lang"), best_n.alias("vote_count")
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Position-weighted rolling hash over word hashes (document
+    fingerprint). posexplode + sum keeps it a single hash aggregation; the
+    md5-derived word hash makes it reproducible in any engine.
+    """
+    ws = words(text_col)
+    exploded = df.select("doc_id", F.posexplode(ws).alias("pos", "word"))
+    term = (md5_int64(F.col("word")) % FNV_WORD_MOD) * (F.col("pos") + 1)
+    return (
+        exploded.groupBy("doc_id")
+        .agg((F.sum(term) % FINGERPRINT_MOD).alias("fingerprint"))
+    )

@@ -1,0 +1,48 @@
+"""Query harness: every operator of SURVEY.md §2 (plus the training-data
+pipeline extensions) expressed twice — once Spark-first, once as ANSI SQL
+for the DuckDB oracle. The registry drives ``__spark_entry__``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, SparkQuery] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Register a harness query and (optionally) its DuckDB oracle SQL."""
+
+    def deco(fn: SparkQuery) -> SparkQuery:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark only reads as
+        # long (legacy nanosAsLong). Truncate to micros — exactly what
+        # micro-resolution engines (DuckDB, Spark itself) do natively.
+        from pyspark.sql import functions as F
+
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+    return df
+
+
+# importing the modules populates the registry
+from . import core  # noqa: E402,F401
+from . import textops  # noqa: E402,F401
+from . import vectors  # noqa: E402,F401

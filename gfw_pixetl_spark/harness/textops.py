@@ -1,0 +1,319 @@
+"""Training-data pipeline harness queries: dedup + text analysis.
+
+Oracles are generated from the same constants the Spark operators use
+(hash coefficients, stopword lexicons, LSH banding), so both engines run
+the exact same math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import dedup as D
+from ..functions import text as T
+from ..functions.hashing import FNV_WORD_MOD, P31, md5_int64_sql, minhash_coeffs
+from ..functions.multimodal import extract_image_meta
+from . import load, register
+
+# shared SQL fragments -----------------------------------------------------
+SQL_WORDS = "list_filter(string_split(text, ' '), w -> w != '')"
+SQL_WORDSET = f"list_distinct({SQL_WORDS})"
+COEFFS = minhash_coeffs(D.N_MINHASH)
+
+
+def _sql_word_hash(expr: str = "word") -> str:
+    return md5_int64_sql(expr)
+
+
+# --------------------------------------------------------------------------
+# q26 — exact dedup: hash-groupBy on content digest
+# --------------------------------------------------------------------------
+@register(
+    "q26_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS digest,
+           MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# q27 — blocked n-gram Jaccard near-dup pairs
+# --------------------------------------------------------------------------
+@register(
+    "q27_jaccard_pairs",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, {SQL_WORDSET} AS ws FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             round(len(list_intersect(a.ws, b.ws))
+                   / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))),
+                   6) AS jaccard
+      FROM base a JOIN base b
+        ON a.source = b.source AND a.doc_id < b.doc_id
+    )
+    SELECT * FROM pairs WHERE jaccard >= 0.5
+    """,
+)
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, threshold=0.5, block_cols=("source",))
+
+
+# --------------------------------------------------------------------------
+# q28 — MinHash signatures (k=8)
+# --------------------------------------------------------------------------
+_mh_cols = ",\n           ".join(
+    f"MIN(((hw % {P31}) * {a} + {b}) % {P31}) AS mh{i}"
+    for i, (a, b) in enumerate(COEFFS)
+)
+
+
+@register(
+    "q28_minhash_sigs",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest({SQL_WORDSET}) AS word FROM documents
+    ), h AS (
+      SELECT doc_id, {_sql_word_hash()} AS hw FROM w
+    )
+    SELECT doc_id,
+           {_mh_cols}
+    FROM h GROUP BY doc_id
+    """,
+)
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_signatures(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# q29 — MinHash LSH candidate pairs (band -> bucket equi-join)
+# --------------------------------------------------------------------------
+_rows_per_band = D.N_MINHASH // D.N_BANDS
+_band_key_sql = []
+for b in range(D.N_BANDS):
+    parts = ", ".join(
+        f"CAST(mh{b * _rows_per_band + r} AS VARCHAR)" for r in range(_rows_per_band)
+    )
+    _band_key_sql.append(
+        f"SELECT doc_id, {b} AS band_id, "
+        f"CAST(('0x' || substr(md5(concat_ws('_', {parts})), 1, 15)) AS BIGINT) AS key "
+        f"FROM sigs"
+    )
+_bands_union = "\n      UNION ALL\n      ".join(_band_key_sql)
+
+
+@register(
+    "q29_minhash_lsh_pairs",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest({SQL_WORDSET}) AS word FROM documents
+    ), h AS (
+      SELECT doc_id, {_sql_word_hash()} AS hw FROM w
+    ), sigs AS (
+      SELECT doc_id,
+             {_mh_cols}
+      FROM h GROUP BY doc_id
+    ), banded AS (
+      {_bands_union}
+    )
+    SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+    FROM banded a JOIN banded b
+      ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id
+    """,
+)
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = D.minhash_signatures(load(spark, sf_dir, "documents"))
+    return D.lsh_candidate_pairs(sigs)
+
+
+# --------------------------------------------------------------------------
+# q30 — SimHash signatures (16-bit)
+# --------------------------------------------------------------------------
+_sim_sums = ",\n           ".join(
+    f"SUM(CASE WHEN (hw >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+    for i in range(D.SIMHASH_BITS)
+)
+_sim_sig = " + ".join(
+    f"(CASE WHEN s{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(D.SIMHASH_BITS)
+)
+
+
+@register(
+    "q30_simhash",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest({SQL_WORDSET}) AS word FROM documents
+    ), h AS (
+      SELECT doc_id, {_sql_word_hash()} AS hw FROM w
+    ), sums AS (
+      SELECT doc_id,
+           {_sim_sums}
+      FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({_sim_sig} AS BIGINT) AS simhash FROM sums
+    """,
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# q31 — SimHash near-dup pairs (Hamming <= 3, blocked on top byte)
+# --------------------------------------------------------------------------
+@register(
+    "q31_simhash_pairs",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest({SQL_WORDSET}) AS word FROM documents
+    ), h AS (
+      SELECT doc_id, {_sql_word_hash()} AS hw FROM w
+    ), sums AS (
+      SELECT doc_id,
+           {_sim_sums}
+      FROM h GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id, CAST({_sim_sig} AS BIGINT) AS simhash FROM sums
+    )
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sig a JOIN sig b
+      ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = D.simhash(load(spark, sf_dir, "documents"))
+    return D.simhash_near_pairs(sig, max_hamming=3)
+
+
+# --------------------------------------------------------------------------
+# q32 — language ID (stopword-vote heuristic)
+# --------------------------------------------------------------------------
+def _langid_oracle() -> str:
+    selects = []
+    for lang in sorted(T.LANG_STOPWORDS):
+        lex = ", ".join(f"'{s}'" for s in T.LANG_STOPWORDS[lang])
+        selects.append(
+            f"SELECT doc_id, '{lang}' AS lang, "
+            f"len(list_filter({SQL_WORDS}, w -> list_contains([{lex}], lower(w)))) AS n "
+            f"FROM documents"
+        )
+    union = "\n      UNION ALL\n      ".join(selects)
+    return f"""
+    WITH scores AS (
+      {union}
+    ), ranked AS (
+      SELECT doc_id, lang, n,
+             row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, lang ASC) AS rn
+      FROM scores
+    )
+    SELECT doc_id,
+           CASE WHEN n > 0 THEN lang ELSE 'und' END AS pred_lang,
+           n AS vote_count
+    FROM ranked WHERE rn = 1
+    """
+
+
+@register("q32_language_id", oracle=_langid_oracle())
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.language_id(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# q33 — quality scoring (length/punct/stopword ratios)
+# --------------------------------------------------------------------------
+_stop_lits = ", ".join(f"'{s}'" for s in T.LANG_STOPWORDS["en"])
+
+
+@register(
+    "q33_quality_score",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             len({SQL_WORDS}) AS n_words,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+             len(list_filter({SQL_WORDS},
+                             w -> list_contains([{_stop_lits}], lower(w)))) AS n_stopwords,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id, n_words, alpha_chars, n_stopwords,
+           round((alpha_chars / n_chars) * 0.5
+                 + (n_stopwords / n_words) * 0.3
+                 + least((n_chars - (n_words - 1)) / n_words / 10.0, 1.0) * 0.2,
+                 6) AS quality_score
+    FROM feats
+    """,
+)
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.quality_features(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# q34 — token counting (whitespace + BPE-ish regex), per source
+# --------------------------------------------------------------------------
+@register(
+    "q34_token_counts",
+    oracle=f"""
+    SELECT source,
+           SUM(len({SQL_WORDS})) AS ws_tokens,
+           SUM(len(regexp_extract_all(text, '{T.TOKEN_REGEX}'))) AS bpe_tokens,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(T.token_count_whitespace("text")).alias("ws_tokens"),
+        F.sum(T.token_count_bpe("text")).alias("bpe_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q35 — document fingerprint (position-weighted rolling hash)
+# --------------------------------------------------------------------------
+@register(
+    "q35_fingerprint",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             unnest({SQL_WORDS}) AS word,
+             unnest(generate_series(1, len({SQL_WORDS}))) AS pos1
+      FROM documents
+    )
+    SELECT doc_id,
+           SUM(({_sql_word_hash()} % {FNV_WORD_MOD}) * pos1) % {T.FINGERPRINT_MOD}
+             AS fingerprint
+    FROM w GROUP BY doc_id
+    """,
+)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.fingerprint(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# q40 — multimodal metadata extraction (mapInPandas binary plumbing);
+# oracle reproduces the deterministic header parse arithmetically.
+# --------------------------------------------------------------------------
+@register(
+    "q40_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(text), 1, 2)) AS INT) AS width,
+           CAST(('0x' || substr(md5(text), 3, 2)) AS INT) AS height,
+           CAST(('0x' || substr(md5(text), 5, 2)) AS INT) % 4 + 1 AS channels,
+           16 AS n_bytes
+    FROM documents
+    """,
+)
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return extract_image_meta(load(spark, sf_dir, "documents"))

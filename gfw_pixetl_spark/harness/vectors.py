@@ -1,0 +1,145 @@
+"""Similarity-search harness queries over the embeddings table, plus the
+streaming rollup twin."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import similarity as S
+from ..streaming.events import run_hourly_rollup_once
+from . import load, register
+
+_WEIGHTS = S.hyperplane_weights()
+
+
+def _sql_cos(a: str, b: str) -> str:
+    return (
+        f"list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+        f" / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]), CAST({a} AS DOUBLE[])))"
+        f" * sqrt(list_dot_product(CAST({b} AS DOUBLE[]), CAST({b} AS DOUBLE[]))))"
+    )
+
+
+def _sql_bucket(vec: str) -> str:
+    terms = []
+    for j, w in enumerate(_WEIGHTS):
+        lits = ", ".join(f"{float(x)}" for x in w)
+        terms.append(
+            f"(CASE WHEN list_dot_product(CAST({vec} AS DOUBLE[]), [{lits}]) > 0 "
+            f"THEN {2**j} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+# --------------------------------------------------------------------------
+# q36 — brute-force cosine top-k (exact ANN baseline)
+# --------------------------------------------------------------------------
+@register(
+    "q36_embed_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_sql_cos('q.qv', 'c.embedding')} AS cs
+      FROM embeddings c, q
+      WHERE c.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cs DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.brute_force_topk(emb, queries, k=5)
+
+
+# --------------------------------------------------------------------------
+# q37 — LSH-bucketed approximate top-k (the scale path: equi-join on
+# bucket instead of a cross join)
+# --------------------------------------------------------------------------
+@register(
+    "q37_embed_lsh_ann",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, bucket
+          FROM b WHERE vec_id < 10),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_sql_cos('q.qv', 'c.embedding')} AS cs
+      FROM b c JOIN q ON c.bucket = q.bucket
+      WHERE c.vec_id != q.query_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cs DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.lsh_ann_topk(emb, queries, k=5, weights=_WEIGHTS)
+
+
+# --------------------------------------------------------------------------
+# q38 — embedding-cosine near-dup pairs within LSH buckets
+# --------------------------------------------------------------------------
+@register(
+    "q38_embed_neardup",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_id_a, c.vec_id AS vec_id_b
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE {_sql_cos('a.embedding', 'c.embedding')} > 0.9
+    """,
+)
+def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    ws = _WEIGHTS
+    b = emb.select(
+        "vec_id", "embedding", S.lsh_bucket(F.col("embedding"), ws).alias("bucket")
+    )
+    a, c = b.alias("a"), b.alias("c")
+    cos = S.cosine(F.col("a.embedding"), F.col("c.embedding"))
+    return (
+        a.join(c, (F.col("a.bucket") == F.col("c.bucket"))
+               & (F.col("a.vec_id") < F.col("c.vec_id")))
+        .filter(cos > 0.9)
+        .select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("c.vec_id").alias("vec_id_b"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q39 — streaming hourly rollup (Structured Streaming, availableNow):
+# deterministic because the trigger drains all input; oracle is the batch
+# equivalent.
+# --------------------------------------------------------------------------
+@register(
+    "q39_stream_hourly_rollup",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS bucket, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_hourly_rollup_once(spark, f"{sf_dir}/events.parquet")

@@ -1,0 +1,61 @@
+"""Streaming operators over the events stream.
+
+The reference's incremental mechanism is the batch target-exists skip (F5,
+``gfw_pixetl/pipes/pipe.py:90-109``). Structured Streaming generalizes it:
+a file source with ``availableNow`` processes exactly the new manifest
+drops, watermarked event-time windows handle late data, and the same
+aggregations (A2-A5) run incrementally.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def hourly_rollup_stream(
+    spark: SparkSession, events_path: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """readStream -> watermark -> tumbling-window rollup (append-capable)."""
+    schema = spark.read.parquet(events_path).schema
+    # the file-stream source needs a directory; glob-filter to the table
+    base = events_path.rsplit("/", 1)[0]
+    fname = events_path.rsplit("/", 1)[1]
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", fname)
+        .parquet(base)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) parquet read as long (nanosAsLong) -> micros
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("bucket"), "event_type", "n", "sum_value"
+        )
+    )
+
+
+def run_hourly_rollup_once(spark: SparkSession, events_path: str) -> DataFrame:
+    """Drain the stream with availableNow into a memory sink and return the
+    final table — deterministic because availableNow processes all input.
+    """
+    name = f"hourly_rollup_{uuid.uuid4().hex[:8]}"
+    q = (
+        hourly_rollup_stream(spark, events_path)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
