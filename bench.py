@@ -1,0 +1,99 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Per-query timing = plan construction + execution to a driver-side
+materialization (collect; results are small aggregates/pairs).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from gfw_pixetl_spark import harness
+from gfw_pixetl_spark.session import get_spark
+
+# Headline set: one per operator family; heavy dedup/similarity included
+# because they are the scale-critical paths.
+BENCH_QUERIES = [
+    "q01_pricing_summary",
+    "q02_scan_pushdown",
+    "q05_semi_join",
+    "q06_anti_join",
+    "q07_range_join",
+    "q08_ordered_paint_last_order",
+    "q09_rasterize_value",
+    "q10_rasterize_count",
+    "q11_resample_time",
+    "q12_resample_percentiles",
+    "q13_resample_mode",
+    "q14_band_stats",
+    "q15_histogram",
+    "q18_sort_limit",
+    "q19_union_dedup",
+    "q20_case_calc",
+    "q21_window_funcs",
+    "q25_sessionize",
+    "q26_dedup_exact",
+    "q27_jaccard_pairs",
+    "q28_minhash_sigs",
+    "q29_minhash_lsh_pairs",
+    "q30_simhash",
+    "q32_language_id",
+    "q33_quality_score",
+    "q34_token_counts",
+    "q35_fingerprint",
+    "q36_embed_topk",
+    "q37_embed_lsh_ann",
+    "q40_multimodal_meta",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("gfw_pixetl_spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warm-up on the smallest SF so steady-state throughput is
+    # what gets measured, not first-query classloading.
+    warm = harness.QUERIES["q01_pricing_summary"](spark, "/root/testdata/sf0.001")
+    warm.collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = harness.QUERIES[name]
+        t0 = time.perf_counter()
+        try:
+            n = len(fn(spark, sf_dir).collect())
+        except Exception as e:  # noqa: BLE001
+            print(f"bench {name} FAILED: {e}", file=sys.stderr)
+            timings[name] = -1.0
+            continue
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        print(f"bench {name}: {dt:.2f}s rows={n}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,128 @@
+"""Unit tests for training-data pipeline functions (dedup, text,
+similarity, hashing) on small controlled inputs."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from gfw_pixetl_spark.functions import dedup as D
+from gfw_pixetl_spark.functions import similarity as S
+from gfw_pixetl_spark.functions import text as T
+from gfw_pixetl_spark.functions.hashing import P31, md5_int64, minhash_coeffs
+
+
+def docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, "src", t) for i, t in enumerate(texts)],
+        ["doc_id", "source", "text"],
+    )
+
+
+def test_md5_int64_matches_python(spark):
+    df = spark.createDataFrame([("hello",)], ["w"])
+    got = df.select(md5_int64(F.col("w")).alias("h")).collect()[0].h
+    expected = int(hashlib.md5(b"hello").hexdigest()[:15], 16)
+    assert got == expected
+
+
+def test_minhash_coeffs_deterministic():
+    a = minhash_coeffs(8)
+    b = minhash_coeffs(8)
+    assert a == b
+    assert all(0 < x < P31 for pair in a for x in pair)
+
+
+def test_exact_dedup(spark):
+    df = docs_df(spark, ["same text", "same text", "different"])
+    out = D.exact_dedup(df).collect()
+    by_count = sorted((r.dup_count, r.canonical_doc_id) for r in out)
+    assert by_count == [(1, 2), (2, 0)]
+
+
+def test_jaccard_identical_and_disjoint(spark):
+    df = docs_df(spark, ["a b c", "a b c", "x y z"])
+    out = D.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.doc_id_a, r.doc_id_b, r.jaccard) == (0, 1, 1.0)
+
+
+def test_minhash_identical_docs_equal_sigs(spark):
+    df = docs_df(spark, ["the quick brown fox", "the quick brown fox", "lorem ipsum"])
+    rows = {r.doc_id: r for r in D.minhash_signatures(df).collect()}
+    sig0 = [rows[0][f"mh{i}"] for i in range(D.N_MINHASH)]
+    sig1 = [rows[1][f"mh{i}"] for i in range(D.N_MINHASH)]
+    sig2 = [rows[2][f"mh{i}"] for i in range(D.N_MINHASH)]
+    assert sig0 == sig1
+    assert sig0 != sig2
+
+
+def test_lsh_pairs_find_identical(spark):
+    df = docs_df(spark, ["the quick brown fox", "the quick brown fox", "lorem ipsum"])
+    sigs = D.minhash_signatures(df)
+    pairs = {(r.doc_id_a, r.doc_id_b) for r in D.lsh_candidate_pairs(sigs).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_simhash_near_pairs(spark):
+    df = docs_df(spark, ["alpha beta gamma delta", "alpha beta gamma delta"])
+    sig = D.simhash(df)
+    pairs = D.simhash_near_pairs(sig, max_hamming=0).collect()
+    assert len(pairs) == 1 and pairs[0].hamming == 0
+
+
+def test_language_id(spark):
+    df = docs_df(spark, [
+        "the cat and the dog of a house",
+        "der hund und die katze und das",
+        "zzz qqq xxx",
+    ])
+    out = {r.doc_id: r.pred_lang for r in T.language_id(df).collect()}
+    assert out[0] == "en"
+    assert out[1] == "de"
+    assert out[2] == "und"
+
+
+def test_token_counts(spark):
+    df = docs_df(spark, ["hello world 123, ok!"])
+    out = df.select(
+        T.token_count_whitespace("text").alias("ws"),
+        T.token_count_bpe("text").alias("bpe"),
+    ).collect()[0]
+    assert out.ws == 4
+    # hello | world | 123 | , | ok | !
+    assert out.bpe == 6
+
+
+def test_fingerprint_position_sensitive(spark):
+    df = docs_df(spark, ["a b", "b a"])
+    out = {r.doc_id: r.fingerprint for r in T.fingerprint(df).collect()}
+    assert out[0] != out[1]  # same words, different order -> different prints
+
+
+def test_cosine_topk(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),
+            (1, [0.9, 0.1]),
+            (2, [0.0, 1.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    queries = emb.filter(F.col("vec_id") == 0)
+    out = S.brute_force_topk(emb, queries, k=2).collect()
+    ranked = sorted((r.rank, r.neighbor_id) for r in out)
+    assert ranked == [(1, 1), (2, 2)]  # nearest first
+
+
+def test_lsh_bucket_identical_vectors_collide(spark):
+    ws = S.hyperplane_weights()
+    emb = spark.createDataFrame(
+        [(0, [1.0] * len(ws[0])), (1, [1.0] * len(ws[0]))],
+        ["vec_id", "embedding"],
+    )
+    out = emb.select(S.lsh_bucket(F.col("embedding"), ws).alias("b")).collect()
+    assert out[0].b == out[1].b

@@ -9,7 +9,6 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
-import math
 import sys
 import time
 
@@ -18,32 +17,8 @@ sys.path.insert(0, "/root/repo")
 import duckdb
 
 import __spark_entry__ as entry_mod
+from gfw_pixetl_spark.harness.compare import compare_results, register_duckdb_views
 from gfw_pixetl_spark.session import get_spark
-
-TABLES = (
-    "region", "nation", "customer", "supplier", "part", "orders",
-    "lineitem", "events", "documents", "embeddings",
-)
-
-
-def norm_cell(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        # driver hashes exact values; we round to spot real mismatches vs noise
-        return f"{v:.9g}"
-    if hasattr(v, "isoformat"):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
-    if isinstance(v, bytes):
-        return v.hex()
-    return repr(v)
-
-
-def norm_rows(cols, rows):
-    idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(norm_cell(r[i]) for i in idx) for r in rows)
 
 
 def main() -> int:
@@ -51,12 +26,10 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+    register_duckdb_views(con, sf_dir)
 
     spark = get_spark("oracle-check")
+    spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
 
@@ -85,24 +58,12 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
             continue
-        ok = True
-        if sorted(scols) != sorted(ocols):
-            ok = False
-            print(f"FAIL {name}: columns spark={sorted(scols)} oracle={sorted(ocols)}")
-        elif len(srows) != len(orows):
-            ok = False
-            print(f"FAIL {name}: rowcount spark={len(srows)} oracle={len(orows)}")
-        else:
-            s = norm_rows(scols, [tuple(r) for r in srows])
-            o = norm_rows(ocols, orows)
-            if s != o:
-                ok = False
-                diffs = [(a, b) for a, b in zip(s, o) if a != b][:3]
-                print(f"FAIL {name}: value mismatch; first diffs: {diffs}")
-        if ok:
-            print(f"ok   {name}: rows={len(srows)} [{time.time()-t0:.1f}s]")
-        else:
+        problems = compare_results(scols, [tuple(r) for r in srows], ocols, orows)
+        if problems:
             failures.append(name)
+            print(f"FAIL {name}: {problems[0]}")
+        else:
+            print(f"ok   {name}: rows={len(srows)} [{time.time()-t0:.1f}s]")
 
     missing_oracle = [n for n in queries if n not in oracles]
     print(f"\n{len(queries)} queries, {len(failures)} failures, "
