@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     "q36_embed_topk",
     "q37_embed_lsh_ann",
     "q40_multimodal_meta",
+    "q44_file_pruning",
+    "q47_vrt_first_nonnull",
 ]
 
 

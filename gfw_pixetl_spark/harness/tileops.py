@@ -1,0 +1,282 @@
+"""Tile-engine operator harness queries (SURVEY §2 coverage: the spatial
+prune/clip/merge family), expressed over the TPC-H-ish tables by deriving
+deterministic rectangles from row values so a DuckDB oracle can replay the
+exact same math.
+
+Mapping:
+  q41 — F1 (WM variant): WebMercator zoom-grid seeding
+  q42 — G5: window union (min/max over block offsets)
+  q43 — G4/S10: extent union (footprint bounds aggregation)
+  q44 — F6/G1: per-file spatial pruning, intersects-and-not-touches
+  q45 — F7: window-extent clip (interval intersection + empty drop)
+  q46 — C3: cast + nodata fill (sentinel semantics)
+  q47 — S5: VRT mosaic merge = first non-null by file order per cell
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..grids import WebMercatorGrid
+from . import load, register
+
+# --------------------------------------------------------------------------
+# q41 — WebMercator grid seeding (F1), zoom 10 -> 4x4 tiles. Bounds are
+# exact closed-form mercator math; DuckDB replays the same constants.
+# --------------------------------------------------------------------------
+_WM = WebMercatorGrid(10)
+_SIDE = int(_WM.nb_tiles ** 0.5)
+_TW = (_WM.bounds.right - _WM.bounds.left) / _SIDE
+_TH = (_WM.bounds.top - _WM.bounds.bottom) / _SIDE
+
+
+@register(
+    "q41_wm_seed_grid",
+    oracle=f"""
+    SELECT
+      lpad(CAST(i // {_SIDE} AS VARCHAR), 3, '0') || 'R_' ||
+        lpad(CAST(i % {_SIDE} AS VARCHAR), 3, '0') || 'C' AS tile_id,
+      CAST({_WM.bounds.left!r} AS DOUBLE)
+        + (i % {_SIDE}) * CAST({_TW!r} AS DOUBLE) AS tile_left,
+      CAST({_WM.bounds.top!r} AS DOUBLE)
+        - (i // {_SIDE} + 1) * CAST({_TH!r} AS DOUBLE) AS tile_bottom,
+      CAST({_WM.bounds.left!r} AS DOUBLE)
+        + (i % {_SIDE} + 1) * CAST({_TW!r} AS DOUBLE) AS tile_right,
+      CAST({_WM.bounds.top!r} AS DOUBLE)
+        - (i // {_SIDE}) * CAST({_TH!r} AS DOUBLE) AS tile_top
+    FROM range({_SIDE * _SIDE}) t(i)
+    """,
+)
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.raster_pipe import seed_tiles
+
+    return seed_tiles(spark, _WM)
+
+
+# --------------------------------------------------------------------------
+# q42 — window union (G5): merge a rectangle range of block windows into
+# one window per tile = min/max over offsets
+# (gfw_pixetl/tiles/raster_src_tile.py:491-502).
+# --------------------------------------------------------------------------
+@register(
+    "q42_window_union",
+    oracle="""
+    SELECT l_orderkey AS tile_key,
+           MIN(l_linenumber * 256) AS row_off,
+           MIN((l_suppkey % 16) * 256) AS col_off,
+           MAX(l_linenumber * 256 + 256) - MIN(l_linenumber * 256) AS height,
+           MAX((l_suppkey % 16) * 256 + 256) - MIN((l_suppkey % 16) * 256) AS width
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("tile_key"),
+        (F.col("l_linenumber") * 256).alias("r0"),
+        ((F.col("l_suppkey") % 16) * 256).alias("c0"),
+    )
+    return li.groupBy("tile_key").agg(
+        F.min("r0").alias("row_off"),
+        F.min("c0").alias("col_off"),
+        (F.max(F.col("r0") + 256) - F.min("r0")).alias("height"),
+        (F.max(F.col("c0") + 256) - F.min("c0")).alias("width"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q43 — extent union (G4/S10): bounds union across footprints =
+# min/min/max/max aggregation (gfw_pixetl/utils/geometry.py:41-48).
+# --------------------------------------------------------------------------
+@register(
+    "q43_extent_union",
+    oracle="""
+    SELECT s_nationkey AS region_key,
+           MIN(s_suppkey % 36 * 10 - 180) AS ext_left,
+           MIN(s_suppkey % 18 * 10 - 90) AS ext_bottom,
+           MAX(s_suppkey % 36 * 10 - 170) AS ext_right,
+           MAX(s_suppkey % 18 * 10 - 80) AS ext_top,
+           COUNT(*) AS n_tiles
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("region_key"),
+        (F.col("s_suppkey") % 36 * 10 - 180).alias("left"),
+        (F.col("s_suppkey") % 18 * 10 - 90).alias("bottom"),
+        (F.col("s_suppkey") % 36 * 10 - 170).alias("right"),
+        (F.col("s_suppkey") % 18 * 10 - 80).alias("top"),
+    )
+    return s.groupBy("region_key").agg(
+        F.min("left").alias("ext_left"),
+        F.min("bottom").alias("ext_bottom"),
+        F.max("right").alias("ext_right"),
+        F.max("top").alias("ext_top"),
+        F.count("*").alias("n_tiles"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q44 — per-file spatial pruning (F6/G1): broadcast theta-join on strict
+# interior overlap — intersects AND NOT touches
+# (gfw_pixetl/tiles/raster_src_tile.py:49-96, 155-161). Tiles come from
+# the 10-degree seed; "files" are rects derived from part rows.
+# --------------------------------------------------------------------------
+@register(
+    "q44_file_pruning",
+    oracle="""
+    WITH tiles AS (
+      SELECT CAST(-180 + (i % 36) * 10 AS DOUBLE) AS t_left,
+             CAST(-80 + (i // 36) * 10 AS DOUBLE) AS t_bottom,
+             CAST(-180 + (i % 36) * 10 + 10 AS DOUBLE) AS t_right,
+             CAST(-80 + (i // 36) * 10 + 10 AS DOUBLE) AS t_top
+      FROM range(648) t(i)
+    ), files AS (
+      SELECT p_partkey,
+             CAST(p_partkey % 36 * 10 - 185 AS DOUBLE) AS f_left,
+             CAST(p_partkey % 18 * 10 - 85 AS DOUBLE) AS f_bottom,
+             CAST(p_partkey % 36 * 10 - 185 + 15 AS DOUBLE) AS f_right,
+             CAST(p_partkey % 18 * 10 - 85 + 15 AS DOUBLE) AS f_top
+      FROM part
+    )
+    SELECT t_left, t_bottom, COUNT(*) AS n_files
+    FROM tiles JOIN files
+      ON t_left < f_right AND t_right > f_left
+     AND t_bottom < f_top AND t_top > f_bottom
+    GROUP BY 1, 2
+    """,
+)
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tiles = spark.range(648).select(
+        (F.lit(-180) + (F.col("id") % 36) * 10).cast("double").alias("t_left"),
+        (F.lit(-80) + (F.col("id") / 36).cast("long") * 10)
+        .cast("double").alias("t_bottom"),
+        (F.lit(-180) + (F.col("id") % 36) * 10 + 10)
+        .cast("double").alias("t_right"),
+        (F.lit(-80) + (F.col("id") / 36).cast("long") * 10 + 10)
+        .cast("double").alias("t_top"),
+    )
+    files = load(spark, sf_dir, "part").select(
+        (F.col("p_partkey") % 36 * 10 - 185).cast("double").alias("f_left"),
+        (F.col("p_partkey") % 18 * 10 - 85).cast("double").alias("f_bottom"),
+        (F.col("p_partkey") % 36 * 10 - 185 + 15).cast("double").alias("f_right"),
+        (F.col("p_partkey") % 18 * 10 - 85 + 15).cast("double").alias("f_top"),
+    )
+    overlap = (
+        (F.col("t_left") < F.col("f_right"))
+        & (F.col("t_right") > F.col("f_left"))
+        & (F.col("t_bottom") < F.col("f_top"))
+        & (F.col("t_top") > F.col("f_bottom"))
+    )
+    return (
+        files.join(F.broadcast(tiles), overlap)
+        .groupBy("t_left", "t_bottom")
+        .agg(F.count("*").alias("n_files"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q45 — window-extent clip (F7): intersect candidate windows with the
+# dst∩src extent; drop empty intersections
+# (gfw_pixetl/tiles/raster_src_tile.py:118-153).
+# --------------------------------------------------------------------------
+@register(
+    "q45_window_clip",
+    oracle="""
+    WITH wins AS (
+      SELECT o_orderkey,
+             CAST(o_orderkey % 100 AS DOUBLE) AS w_left,
+             CAST(o_orderkey % 80 AS DOUBLE) AS w_bottom,
+             CAST(o_orderkey % 100 + 30 AS DOUBLE) AS w_right,
+             CAST(o_orderkey % 80 + 30 AS DOUBLE) AS w_top
+      FROM orders
+    )
+    SELECT o_orderkey,
+           greatest(w_left, 50.0) AS c_left,
+           greatest(w_bottom, 40.0) AS c_bottom,
+           least(w_right, 90.0) AS c_right,
+           least(w_top, 70.0) AS c_top
+    FROM wins
+    WHERE greatest(w_left, 50.0) < least(w_right, 90.0)
+      AND greatest(w_bottom, 40.0) < least(w_top, 70.0)
+    """,
+)
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") % 100).cast("double").alias("w_left"),
+        (F.col("o_orderkey") % 80).cast("double").alias("w_bottom"),
+        (F.col("o_orderkey") % 100 + 30).cast("double").alias("w_right"),
+        (F.col("o_orderkey") % 80 + 30).cast("double").alias("w_top"),
+    )
+    c_left = F.greatest(F.col("w_left"), F.lit(50.0))
+    c_bottom = F.greatest(F.col("w_bottom"), F.lit(40.0))
+    c_right = F.least(F.col("w_right"), F.lit(90.0))
+    c_top = F.least(F.col("w_top"), F.lit(70.0))
+    return (
+        o.select(
+            "o_orderkey",
+            c_left.alias("c_left"), c_bottom.alias("c_bottom"),
+            c_right.alias("c_right"), c_top.alias("c_top"),
+        )
+        .filter((F.col("c_left") < F.col("c_right"))
+                & (F.col("c_bottom") < F.col("c_top")))
+    )
+
+
+# --------------------------------------------------------------------------
+# q46 — cast + nodata fill (C3): masked -> sentinel, dtype cast
+# (gfw_pixetl/tiles/utils/array_utils.py:12-41) in column form:
+# NULL (mask) -> nodata sentinel, cast to uint8-range int.
+# --------------------------------------------------------------------------
+@register(
+    "q46_cast_nodata",
+    oracle="""
+    SELECT e.event_id,
+           CAST(coalesce(
+             CASE WHEN e.value > 90 THEN NULL
+                  ELSE CAST(trunc(e.value) AS INT) % 256 END,
+             255) AS SMALLINT) AS px
+    FROM events e
+    """,
+)
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    masked = F.when(F.col("value") > 90, F.lit(None)).otherwise(
+        F.col("value").cast("int") % 256
+    )
+    return ev.select(
+        "event_id",
+        F.coalesce(masked, F.lit(255)).cast("smallint").alias("px"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q47 — VRT mosaic merge (S5): first non-null by file order per cell
+# (gfw_pixetl/utils/gdal.py:31-49: gdalbuildvrt resolution order).
+# Files = sources ranked by file_order; cell value = value of the
+# lowest-order file covering it -> min_by over file order.
+# --------------------------------------------------------------------------
+@register(
+    "q47_vrt_first_nonnull",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_partkey, l_extendedprice,
+             row_number() OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_suppkey, l_orderkey, l_linenumber) AS rn,
+             COUNT(*) OVER (PARTITION BY l_partkey) AS n_sources
+      FROM lineitem
+    )
+    SELECT l_partkey AS cell, l_extendedprice AS value, n_sources
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    order = F.struct("l_suppkey", "l_orderkey", "l_linenumber")
+    return li.groupBy(F.col("l_partkey").alias("cell")).agg(
+        F.min_by("l_extendedprice", order).alias("value"),
+        F.count("*").alias("n_sources"),
+    )
