@@ -211,6 +211,58 @@ def plan_windows(
     )
 
 
+def write_tiles(
+    payloads: DataFrame, layer: LayerModel, grid: Grid, work_dir: str
+) -> DataFrame:
+    """S8 sink: one writer per tile assembles windows into the tile array
+    and writes an .npz "COG" (array + profile); shared by the raster and
+    vector pipes. groupBy(tile_id) + applyInPandas = the single-writer-
+    per-tile invariant; windowed assembly keeps peak memory at one tile
+    per task (profile shape mirrors ``gfw_pixetl/tiles/tile.py:54-97``).
+    """
+    rows_, cols_ = grid.rows, grid.cols
+    nodata = layer.no_data if isinstance(layer.no_data, list) else (
+        layer.dtype_obj.no_data
+    )
+    prefix = layer.prefix
+    blockxsize = grid.blockxsize
+    compression = layer.dtype_obj.compression
+    crs = grid.crs
+
+    def writer(pdf: pd.DataFrame) -> pd.DataFrame:
+        tile_id = pdf["tile_id"].iloc[0]
+        bands = int(pdf["bands"].iloc[0])
+        dtype = pdf["dtype"].iloc[0]
+        fill = 0 if nodata is None else (
+            nodata[0] if isinstance(nodata, list) else nodata
+        )
+        tile = np.full((bands, rows_, cols_), fill, dtype=dtype)
+        for r in pdf.itertuples(index=False):
+            arr = np.load(io.BytesIO(r.payload), allow_pickle=False)
+            tile[
+                :, r.row_off:r.row_off + r.height,
+                r.col_off:r.col_off + r.width,
+            ] = arr
+        out_dir = os.path.join(work_dir, prefix, "geotiff")
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, f"{tile_id}.npz")
+        profile = {
+            "dtype": dtype, "count": bands, "nodata": fill,
+            "blockxsize": blockxsize, "blockysize": blockxsize,
+            "compress": compression, "crs": crs, "tiled": True,
+            "width": cols_, "height": rows_,
+        }
+        np.savez_compressed(
+            path, data=tile, profile=json.dumps(profile).encode()
+        )
+        return pd.DataFrame(
+            [(tile_id, "processed", len(pdf), path)],
+            columns=["tile_id", "status", "n_windows", "out_path"],
+        )
+
+    return payloads.groupBy("tile_id").applyInPandas(writer, STATUS_SCHEMA)
+
+
 @dataclass
 class RasterPipe:
     """Execute a raster layer as one Spark dataflow (SURVEY §3.1).
@@ -279,53 +331,7 @@ class RasterPipe:
         return windows.mapInPandas(kernel, WINDOW_PAYLOAD_SCHEMA)
 
     def write_tiles(self, payloads: DataFrame) -> DataFrame:
-        """S8 sink: one writer per tile assembles windows into the tile
-        array and writes an .npz "COG" (array + profile). groupBy(tile_id)
-        + applyInPandas = the single-writer-per-tile invariant; windowed
-        incremental assembly keeps peak memory at one tile per task."""
-        layer = self.layer
-        grid = self.grid_obj
-        work_dir = self.work_dir
-        rows_, cols_ = grid.rows, grid.cols
-        nodata = layer.no_data if isinstance(layer.no_data, list) else (
-            layer.dtype_obj.no_data
-        )
-        prefix = layer.prefix
-        blockxsize = grid.blockxsize
-
-        def writer(pdf: pd.DataFrame) -> pd.DataFrame:
-            tile_id = pdf["tile_id"].iloc[0]
-            bands = int(pdf["bands"].iloc[0])
-            dtype = pdf["dtype"].iloc[0]
-            fill = 0 if nodata is None else (
-                nodata[0] if isinstance(nodata, list) else nodata
-            )
-            tile = np.full((bands, rows_, cols_), fill, dtype=dtype)
-            for r in pdf.itertuples(index=False):
-                arr = np.load(io.BytesIO(r.payload), allow_pickle=False)
-                tile[
-                    :, r.row_off:r.row_off + r.height,
-                    r.col_off:r.col_off + r.width,
-                ] = arr
-            out_dir = os.path.join(work_dir, prefix, "geotiff")
-            os.makedirs(out_dir, exist_ok=True)
-            path = os.path.join(out_dir, f"{tile_id}.npz")
-            profile = {
-                "dtype": dtype, "count": bands, "nodata": fill,
-                "blockxsize": blockxsize, "blockysize": blockxsize,
-                "compress": layer.dtype_obj.compression,
-                "crs": grid.crs, "tiled": True,
-                "width": cols_, "height": rows_,
-            }
-            np.savez_compressed(
-                path, data=tile, profile=json.dumps(profile).encode()
-            )
-            return pd.DataFrame(
-                [(tile_id, "processed", len(pdf), path)],
-                columns=["tile_id", "status", "n_windows", "out_path"],
-            )
-
-        return payloads.groupBy("tile_id").applyInPandas(writer, STATUS_SCHEMA)
+        return write_tiles(payloads, self.layer, self.grid_obj, self.work_dir)
 
     def run(
         self,

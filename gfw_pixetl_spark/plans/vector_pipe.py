@@ -1,0 +1,148 @@
+"""Vector layer pipeline: the Spark-first twin of the reference's
+``VectorPipe`` (``gfw_pixetl/pipes/vector_pipe.py:15-81``, SURVEY §3.2).
+
+The reference fetches clipped features per tile from PostGIS and shells
+out to ``gdal_rasterize``. Here the whole path is one dataflow:
+
+    features DF (value, geom, order key)
+      -> bbox derivation (pure column math over the coordinate arrays)
+      -> broadcast tiles ⋈ features ON bbox-overlap (F4 existence probe
+         and G3 clip combined — only intersecting pairs survive)
+      -> groupBy(tile_id).applyInPandas rasterize kernel (A1/A2):
+         features sorted by the ORDER BY key, burned last-wins
+         (or count mode), pixel-center coverage — semantics of
+         gdal_rasterize without GDAL (functions/rasterize_kernel.py)
+      -> shared write_tiles sink (S8) + status accounting (F10)
+
+Geometry travels as nested coordinate arrays
+(``array<array<array<double>>>`` = rings of [x, y]) — the engine-native
+polygon encoding; WKB decode would bolt on in the loader. The per-tile
+shuffle moves only features that intersect the tile (clipping to the
+tile happens implicitly in the burn: pixels outside are not in the tile
+array), so shuffle volume is bounded by feature-tile pairs, not the
+full feature table per tile.
+
+Ordering note (SURVEY §7.4-3): last-wins is NOT commutative, so the
+kernel sorts the group by (order_key, feature_id) before burning —
+deterministic under any partitioning, exactly the reference's
+``ORDER BY {field} asc|desc`` + sequential paint.
+"""
+
+from __future__ import annotations
+
+import io
+from collections.abc import Iterator  # noqa: F401 (mirrors raster_pipe)
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.rasterize_kernel import rasterize
+from ..grids import Grid
+from ..models import LayerModel
+from .raster_pipe import (
+    WINDOW_PAYLOAD_COLS, WINDOW_PAYLOAD_SCHEMA, seed_tiles, write_tiles,
+)
+
+GEOM_TYPE = "array<array<array<double>>>"
+
+
+def with_bbox(features: DataFrame, geom_col: str = "geom") -> DataFrame:
+    """Derive feature bounds from the coordinate arrays — JVM-side
+    (flatten + transform + array_min/max), no Python."""
+    pts = F.flatten(F.col(geom_col))
+    xs = F.transform(pts, lambda p: p[0])
+    ys = F.transform(pts, lambda p: p[1])
+    return features.withColumns({
+        "f_left": F.array_min(xs), "f_right": F.array_max(xs),
+        "f_bottom": F.array_min(ys), "f_top": F.array_max(ys),
+    })
+
+
+@dataclass
+class VectorPipe:
+    """Execute a vector layer as one Spark dataflow."""
+
+    layer: LayerModel
+    work_dir: str
+    grid: Grid | None = None
+
+    @property
+    def grid_obj(self) -> Grid:
+        return self.grid or self.layer.grid_obj
+
+    def rasterize_tiles(self, pairs: DataFrame) -> DataFrame:
+        """A1/A2 as a per-tile aggregation: burn the tile's features in
+        ORDER BY order (last wins) or count mode. One shuffle on tile_id;
+        group state is the tile's feature list + one tile array."""
+        layer = self.layer
+        grid = self.grid_obj
+        rows_, cols_ = grid.rows, grid.cols
+        xres, yres = grid.xres, grid.yres
+        method = layer.rasterize_method or "value"
+        descending = (layer.order or "asc") == "desc"
+        dtype = layer.dtype_obj
+        nodata = dtype.no_data
+        fill = 0 if nodata is None else nodata
+        np_dtype = dtype.data_type
+
+        def burn(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(
+                ["value", "feature_id"], ascending=[not descending, True]
+            )
+            tile_id = pdf["tile_id"].iloc[0]
+            ox = float(pdf["tile_left"].iloc[0])
+            oy = float(pdf["tile_top"].iloc[0])
+            feats = [
+                (float(v), [np.asarray(ring) for ring in geom])
+                for v, geom in zip(pdf["value"], pdf["geom"])
+            ]
+            arr = rasterize(
+                feats, (ox, oy, xres, yres), (rows_, cols_),
+                method=method, fill=fill, dtype=np_dtype,
+            )
+            if method != "count" and not (arr != fill).any():
+                return pd.DataFrame([], columns=WINDOW_PAYLOAD_COLS)
+            buf = io.BytesIO()
+            np.save(buf, arr.reshape(1, rows_, cols_), allow_pickle=False)
+            return pd.DataFrame(
+                [(tile_id, 0, 0, rows_, cols_, 1, np_dtype,
+                  int((arr != fill).sum()), buf.getvalue())],
+                columns=WINDOW_PAYLOAD_COLS,
+            )
+
+        return pairs.groupBy("tile_id").applyInPandas(
+            burn, WINDOW_PAYLOAD_SCHEMA
+        )
+
+    def run(
+        self,
+        spark: SparkSession,
+        features: DataFrame,
+        subset: list[str] | None = None,
+    ) -> DataFrame:
+        """features: DataFrame[feature_id long, value double, geom GEOM_TYPE].
+
+        Returns the per-tile status DataFrame (F10). Tiles with no
+        intersecting features never shuffle (the F4 existence probe is the
+        join itself).
+        """
+        grid = self.grid_obj
+        tiles = seed_tiles(spark, grid)
+        if subset:
+            tiles = tiles.filter(F.col("tile_id").isin(subset))
+        feats = with_bbox(features)
+        overlap = (
+            (F.col("tile_left") < F.col("f_right"))
+            & (F.col("tile_right") > F.col("f_left"))
+            & (F.col("tile_bottom") < F.col("f_top"))
+            & (F.col("tile_top") > F.col("f_bottom"))
+        )
+        pairs = feats.join(F.broadcast(tiles), overlap).select(
+            "tile_id", "tile_left", "tile_top",
+            "feature_id", "value", "geom",
+        )
+        payloads = self.rasterize_tiles(pairs)
+        return write_tiles(payloads, self.layer, grid, self.work_dir)

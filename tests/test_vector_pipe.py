@@ -1,0 +1,138 @@
+"""Rasterize kernel + vector pipeline tests — the engine twin of the
+reference's vector path tests (gfw_pixetl tests/test_vector_src_tile.py /
+test_vector_pipe.py): pixel-center coverage, ordered last-wins paint,
+count mode, per-tile status accounting."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gfw_pixetl_spark.functions.rasterize_kernel import polygon_mask, rasterize
+from gfw_pixetl_spark.grids import LatLngGrid
+from gfw_pixetl_spark.models import LayerModel
+from gfw_pixetl_spark.plans.vector_pipe import GEOM_TYPE, VectorPipe
+
+# 4x4 px grid over (0..4, 0..4), origin top-left at (0, 4), 1-unit pixels
+T = (0.0, 4.0, 1.0, 1.0)
+
+
+def sq(x0, y0, x1, y1):
+    return [[(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)]]
+
+
+def test_polygon_mask_pixel_centers():
+    # square [0.5, 2.5)x[0.5, 2.5): centers 0.5/1.5 in, 2.5 out (half-open)
+    mask = polygon_mask(sq(0.5, 0.5, 2.5, 2.5), T, (4, 4))
+    expected = np.zeros((4, 4), dtype=bool)
+    expected[2:4, 0:2] = True  # rows with centers y=1.5, 0.5
+    np.testing.assert_array_equal(mask, expected)
+
+
+def test_polygon_mask_full_cover():
+    mask = polygon_mask(sq(0, 0, 4, 4), T, (4, 4))
+    assert mask.all()
+
+
+def test_polygon_mask_hole():
+    outer = sq(0, 0, 4, 4)[0]
+    hole = sq(1, 1, 3, 3)[0]
+    mask = polygon_mask([outer, hole], T, (4, 4))
+    assert mask.sum() == 16 - 4  # 2x2 center hole not burned
+    assert not mask[1:3, 1:3].any()
+
+
+def test_rasterize_last_wins_order():
+    a = (1.0, sq(0, 0, 4, 4))
+    b = (2.0, sq(0, 0, 2, 2))  # burns lower-left quadrant
+    out_asc = rasterize([a, b], T, (4, 4), method="value")
+    assert out_asc[3, 0] == 2.0  # b burned last (higher value wins, asc)
+    assert out_asc[0, 3] == 1.0
+    out_desc = rasterize([b, a], T, (4, 4), method="value")
+    assert out_desc[3, 0] == 1.0  # a burned last
+
+
+def test_rasterize_count_mode():
+    feats = [(1.0, sq(0, 0, 4, 4)), (1.0, sq(0, 0, 2, 2))]
+    out = rasterize(feats, T, (4, 4), method="count", dtype="int32")
+    assert out[3, 0] == 2 and out[0, 3] == 1
+    assert out.sum() == 16 + 4
+
+
+def _vector_layer(**over):
+    base = dict(
+        dataset="veg", version="v1", source_type="vector",
+        pixel_meaning="cls", data_type="uint8", grid="10/40000",
+        no_data=0,
+    )
+    base.update(over)
+    return LayerModel(**base)
+
+
+def _features(spark):
+    # two squares inside tile 10N_000E (0..10E, 0..10N); values 3 and 7;
+    # the value-7 square overlaps the value-3 square's east half
+    rows = [
+        (1, 3.0, [[[0.0, 0.0], [5.0, 0.0], [5.0, 5.0], [0.0, 5.0], [0.0, 0.0]]]),
+        (2, 7.0, [[[2.5, 0.0], [7.5, 0.0], [7.5, 5.0], [2.5, 5.0], [2.5, 0.0]]]),
+    ]
+    return spark.createDataFrame(
+        rows, f"feature_id long, value double, geom {GEOM_TYPE}"
+    )
+
+
+def test_vector_pipe_value(spark, tmp_path):
+    grid = LatLngGrid(10, 160)  # 160x160 px, 1/16-degree pixels
+    pipe = VectorPipe(layer=_vector_layer(order="asc"),
+                      work_dir=str(tmp_path), grid=grid)
+    status = pipe.run(spark, _features(spark), subset=["10N_000E"])
+    rows = status.collect()
+    assert len(rows) == 1 and rows[0].status == "processed"
+    with np.load(rows[0].out_path) as z:
+        data = z["data"][0]
+    assert data.shape == (160, 160)
+    # pixel at lon 1, lat 1 -> col 16, row 144: only feature 3
+    assert data[144, 16] == 3
+    # overlap zone lon 4, lat 1 -> col 64: value-7 painted last (asc order)
+    assert data[144, 64] == 7
+    # value-7-only zone lon 6
+    assert data[144, 96] == 7
+    # outside both -> nodata 0
+    assert data[16, 144] == 0
+
+
+def test_vector_pipe_desc_order(spark, tmp_path):
+    grid = LatLngGrid(10, 160)
+    pipe = VectorPipe(layer=_vector_layer(order="desc"),
+                      work_dir=str(tmp_path), grid=grid)
+    status = pipe.run(spark, _features(spark), subset=["10N_000E"])
+    rows = status.collect()
+    with np.load(rows[0].out_path) as z:
+        data = z["data"][0]
+    # desc: value 3 painted last -> wins the overlap
+    assert data[144, 64] == 3
+    assert data[144, 96] == 7
+
+
+def test_vector_pipe_count(spark, tmp_path):
+    grid = LatLngGrid(10, 160)
+    pipe = VectorPipe(
+        layer=_vector_layer(rasterize_method="count", data_type="uint16"),
+        work_dir=str(tmp_path), grid=grid,
+    )
+    status = pipe.run(spark, _features(spark), subset=["10N_000E"])
+    rows = status.collect()
+    with np.load(rows[0].out_path) as z:
+        data = z["data"][0]
+    assert data[144, 16] == 1   # single cover
+    assert data[144, 64] == 2   # overlap covered twice
+    assert data[16, 144] == 0
+
+
+def test_vector_pipe_prunes_empty_tiles(spark, tmp_path):
+    grid = LatLngGrid(10, 160)
+    pipe = VectorPipe(layer=_vector_layer(), work_dir=str(tmp_path), grid=grid)
+    status = pipe.run(
+        spark, _features(spark), subset=["10N_000E", "80N_170E"]
+    )
+    rows = status.collect()
+    assert {r.tile_id for r in rows} == {"10N_000E"}  # F4: no features, no work
