@@ -3,8 +3,11 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
-Per-query timing = plan construction + execution to a driver-side
-materialization (collect; results are small aggregates/pairs).
+Per-query timing = plan construction + full execution, materialized with
+``count()`` — every operator runs (nothing is short-circuited by a limit)
+but multi-million-row results (e.g. near-dup pair sets) are not
+serialized to the driver, so the number measures engine throughput, not
+driver transfer.
 """
 
 from __future__ import annotations
@@ -74,7 +77,7 @@ def main() -> None:
         fn = harness.QUERIES[name]
         t0 = time.perf_counter()
         try:
-            n = len(fn(spark, sf_dir).collect())
+            n = fn(spark, sf_dir).count()
         except Exception as e:  # noqa: BLE001
             print(f"bench {name} FAILED: {e}", file=sys.stderr)
             timings[name] = -1.0

@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import similarity as S
-from ..streaming.events import run_hourly_rollup_once
+from ..streaming.events import run_hourly_rollup_once, run_sessionize_once
 from . import load, register
 
 _WEIGHTS = S.hyperplane_weights()
@@ -143,3 +143,33 @@ def q38(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_hourly_rollup_once(spark, f"{sf_dir}/events.parquet")
+
+
+# --------------------------------------------------------------------------
+# q49 — stateful streaming sessionization (session_window + watermark),
+# availableNow drain; oracle is the equivalent batch gap-session SQL.
+# --------------------------------------------------------------------------
+@register(
+    "q49_stream_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           epoch(MAX(ts)) - epoch(MIN(ts)) AS duration_sec,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_sessionize_once(spark, f"{sf_dir}/events.parquet")

@@ -59,3 +59,60 @@ def run_hourly_rollup_once(spark: SparkSession, events_path: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def _event_stream(spark: SparkSession, events_path: str) -> DataFrame:
+    schema = spark.read.parquet(events_path).schema
+    base, fname = events_path.rsplit("/", 1)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", fname)
+        .parquet(base)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def sessionize_stream(
+    spark: SparkSession,
+    events_path: str,
+    gap: str = "30 minutes",
+    watermark: str = "4 hours",
+) -> DataFrame:
+    """Stateful streaming sessionization via ``session_window`` — Spark's
+    native gap-session state machine (the streaming twin of the batch
+    window-function sessionizer, harness q25). State per (user, open
+    session) is bounded by the watermark; sessions merge as late events
+    arrive within the gap.
+    """
+    stream = _event_stream(spark, events_path)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window(F.col("ts"), gap).alias("sw"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            (F.col("sw.end").cast("double") - F.col("sw.start").cast("double")
+             - 1800.0).alias("duration_sec"),
+            "n_events",
+        )
+    )
+
+
+def run_sessionize_once(spark: SparkSession, events_path: str) -> DataFrame:
+    """Drain the sessionizer with availableNow; deterministic final state."""
+    name = f"sessionize_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessionize_stream(spark, events_path)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
