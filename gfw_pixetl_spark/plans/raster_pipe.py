@@ -252,6 +252,12 @@ def write_tiles(
             "compress": compression, "crs": crs, "tiled": True,
             "width": cols_, "height": rows_,
         }
+        # C6: symbology / photometric tagging passes through to the
+        # output profile (gfw_pixetl/tiles/tile.py:68-71)
+        if layer.photometric:
+            profile["photometric"] = layer.photometric
+        if layer.symbology:
+            profile["symbology"] = layer.symbology
         np.savez_compressed(
             path, data=tile, profile=json.dumps(profile).encode()
         )

@@ -1,0 +1,76 @@
+"""PostGIS pushdown SQL generation (S6/F4) and status/exit policy (F10)."""
+
+from __future__ import annotations
+
+from gfw_pixetl_spark.grids import BoundingBox
+from gfw_pixetl_spark.plans.report import (
+    KILLED_STATUS, exit_code, should_upload_manifest, status_tallies,
+)
+from gfw_pixetl_spark.sources.vector import (
+    exists_probe_sql, fetch_tile_sql, intersect_filter_sql,
+    intersection_geom_sql,
+)
+
+BB = BoundingBox(10.0, 0.0, 20.0, 10.0)
+
+
+def test_intersect_filter_sql():
+    sql = intersect_filter_sql(BB)
+    assert sql == (
+        "ST_Intersects(geom, ST_MakeEnvelope(10.0, 0.0, 20.0, 10.0, 4326))"
+    )
+
+
+def test_intersection_geom_extracts_polygons():
+    sql = intersection_geom_sql(BB)
+    assert "ST_CollectionExtract" in sql and ", 3)" in sql
+    assert "ST_GeometryCollection" in sql
+
+
+def test_exists_probe_sql():
+    sql = exists_probe_sql("wdpa", "v2024", BB)
+    assert sql.startswith("SELECT 1 FROM wdpa.v2024 WHERE ST_Intersects")
+    assert sql.endswith("LIMIT 1")
+
+
+def test_fetch_tile_sql_default_and_calc():
+    plain = fetch_tile_sql("d", "v1", BB, field="threshold")
+    assert plain.startswith("SELECT threshold AS threshold,")
+    assert "ORDER BY" not in plain
+    calc = fetch_tile_sql(
+        "d", "v1", BB, field="cls",
+        calc="CASE WHEN a > 1 THEN 2 ELSE 1 END", order="desc",
+    )
+    assert calc.startswith("SELECT CASE WHEN a > 1 THEN 2 ELSE 1 END AS cls,")
+    assert calc.endswith("ORDER BY cls desc")
+    assert "ST_Intersects" in calc  # predicate pushed into the subquery
+
+
+def _status_df(spark, rows):
+    return spark.createDataFrame(
+        [(f"t{i}", s, 1, None) for i, s in enumerate(rows)],
+        "tile_id string, status string, n_windows int, out_path string",
+    )
+
+
+def test_exit_code_policy(spark):
+    ok = _status_df(spark, ["processed", "skipped (has no data)"])
+    assert exit_code(ok) == 0
+    assert should_upload_manifest(ok)
+
+    failed = _status_df(spark, ["processed", "failed - boom"])
+    assert exit_code(failed) == 1
+    assert not should_upload_manifest(failed)
+
+    oom = _status_df(spark, ["failed - boom", KILLED_STATUS])
+    assert exit_code(oom) == 137
+
+
+def test_status_tallies(spark):
+    df = _status_df(spark, [
+        "processed", "processed", "skipped (has no data)",
+        "existing", "failed - x",
+    ])
+    assert status_tallies(df) == {
+        "processed": 2, "skipped": 1, "failed": 1, "existing": 1,
+    }
