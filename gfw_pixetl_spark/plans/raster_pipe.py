@@ -231,6 +231,14 @@ def write_tiles(
 
     def writer(pdf: pd.DataFrame) -> pd.DataFrame:
         tile_id = pdf["tile_id"].iloc[0]
+        errors = pdf[pdf["bands"] < 0]
+        if len(errors):
+            # any failed window fails the tile; nothing is written (F10)
+            msg = errors["dtype"].iloc[0]
+            return pd.DataFrame(
+                [(tile_id, f"failed - {msg}", int(len(pdf)), None)],
+                columns=["tile_id", "status", "n_windows", "out_path"],
+            )
         bands = int(pdf["bands"].iloc[0])
         dtype = pdf["dtype"].iloc[0]
         fill = 0 if nodata is None else (
@@ -310,22 +318,34 @@ class RasterPipe:
             for pdf in batches:
                 out = []
                 for r in pdf.itertuples(index=False):
-                    left = r.tile_left + r.col_off * xres
-                    top = r.tile_top - r.row_off * yres
-                    bounds = (
-                        left, top - r.height * yres,
-                        left + r.width * xres, top,
-                    )
-                    arr = reader(
-                        list(r.uris), bounds, (r.height, r.width), band_count
-                    )
-                    if not block_has_data(arr):
-                        continue  # F8: empty-block short-circuit
-                    arr = apply_calc(arr, calc_expr, band_count)
-                    valid = int(
-                        (~np.ma.getmaskarray(arr)).sum()
-                    )
-                    filled = set_datatype(arr, nodata, np_dtype)
+                    try:
+                        left = r.tile_left + r.col_off * xres
+                        top = r.tile_top - r.row_off * yres
+                        bounds = (
+                            left, top - r.height * yres,
+                            left + r.width * xres, top,
+                        )
+                        arr = reader(
+                            list(r.uris), bounds, (r.height, r.width), band_count
+                        )
+                        if not block_has_data(arr):
+                            continue  # F8: empty-block short-circuit
+                        arr = apply_calc(arr, calc_expr, band_count)
+                        valid = int(
+                            (~np.ma.getmaskarray(arr)).sum()
+                        )
+                        filled = set_datatype(arr, nodata, np_dtype)
+                    except Exception as e:  # noqa: BLE001
+                        # per-tile error isolation (F10): a bad window marks
+                        # its tile failed instead of killing the job —
+                        # the reference's error→status routing
+                        # (gfw_pixetl/pipes/pipe.py:150-162)
+                        out.append((
+                            r.tile_id, r.row_off, r.col_off,
+                            r.height, r.width, -1,
+                            f"{type(e).__name__}: {e}"[:200], 0, None,
+                        ))
+                        continue
                     buf = io.BytesIO()
                     np.save(buf, filled, allow_pickle=False)
                     out.append((

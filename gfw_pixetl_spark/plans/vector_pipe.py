@@ -89,20 +89,28 @@ class VectorPipe:
         np_dtype = dtype.data_type
 
         def burn(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values(
-                ["value", "feature_id"], ascending=[not descending, True]
-            )
             tile_id = pdf["tile_id"].iloc[0]
-            ox = float(pdf["tile_left"].iloc[0])
-            oy = float(pdf["tile_top"].iloc[0])
-            feats = [
-                (float(v), [np.asarray(ring) for ring in geom])
-                for v, geom in zip(pdf["value"], pdf["geom"])
-            ]
-            arr = rasterize(
-                feats, (ox, oy, xres, yres), (rows_, cols_),
-                method=method, fill=fill, dtype=np_dtype,
-            )
+            try:
+                pdf = pdf.sort_values(
+                    ["value", "feature_id"], ascending=[not descending, True]
+                )
+                ox = float(pdf["tile_left"].iloc[0])
+                oy = float(pdf["tile_top"].iloc[0])
+                feats = [
+                    (float(v), [np.asarray(ring) for ring in geom])
+                    for v, geom in zip(pdf["value"], pdf["geom"])
+                ]
+                arr = rasterize(
+                    feats, (ox, oy, xres, yres), (rows_, cols_),
+                    method=method, fill=fill, dtype=np_dtype,
+                )
+            except Exception as e:  # noqa: BLE001
+                # per-tile error isolation (F10) — see raster_pipe kernel
+                return pd.DataFrame(
+                    [(tile_id, 0, 0, rows_, cols_, -1,
+                      f"{type(e).__name__}: {e}"[:200], 0, None)],
+                    columns=WINDOW_PAYLOAD_COLS,
+                )
             if method != "count" and not (arr != fill).any():
                 return pd.DataFrame([], columns=WINDOW_PAYLOAD_COLS)
             buf = io.BytesIO()
