@@ -87,3 +87,74 @@ def extract_image_meta(df: DataFrame, text_col: str = "text") -> DataFrame:
             )
 
     return df.select("doc_id", text_col).mapInPandas(kernel, META_SCHEMA)
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, width int, height int, payload binary"
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target: tuple[int, int] = (64, 64),
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize kernel over a binary image column (decode step stubbed).
+
+    The Spark contract is the production one — binary in, binary out,
+    Arrow-batched mapInPandas, constant output metadata enabling schema
+    pruning. The pixel resample itself needs a codec: with PIL absent the
+    kernel emits a deterministic digest of (payload, target) in place of
+    resized bytes, keeping the pipeline testable end-to-end.
+    """
+    tw, th = target
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if HAVE_PIL:  # pragma: no cover - env-dependent
+                raise NotImplementedError("wire PIL resize here when available")
+            out_payloads = [
+                hashlib.md5(bytes(p) + f"{tw}x{th}".encode()).digest()
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].values,
+                "width": tw, "height": th,
+                "payload": out_payloads,
+            })
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, payload binary"
+
+
+def sample_frames(
+    df: DataFrame,
+    every_nth: int = 10,
+    n_frames: int = 3,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Frame-sampling kernel for video payloads: one input row fans out to
+    ``n_frames`` rows (frame_idx = 0, n, 2n, ...). Real decoders plug into
+    the same one-to-many mapInPandas shape; the stub derives each frame's
+    bytes deterministically from (payload, frame_idx)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, outs = [], [], []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                for k in range(n_frames):
+                    ids.append(doc_id)
+                    idxs.append(k * every_nth)
+                    outs.append(
+                        hashlib.md5(bytes(p) + str(k * every_nth).encode())
+                        .digest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "payload": outs}
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, FRAME_SCHEMA)

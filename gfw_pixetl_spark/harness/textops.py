@@ -13,7 +13,9 @@ from pyspark.sql import functions as F
 from ..functions import dedup as D
 from ..functions import text as T
 from ..functions.hashing import FNV_WORD_MOD, P31, md5_int64_sql, minhash_coeffs
-from ..functions.multimodal import extract_image_meta
+from ..functions.multimodal import (
+    extract_image_meta, fake_payload, resize_images, sample_frames,
+)
 from . import load, register
 
 # shared SQL fragments -----------------------------------------------------
@@ -317,3 +319,34 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_meta(load(spark, sf_dir, "documents"))
+
+
+def _doc_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def attach(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].values,
+                "payload": [fake_payload(t) for t in pdf["text"]],
+            })
+
+    return docs.mapInPandas(attach, "doc_id long, payload binary")
+
+
+# --------------------------------------------------------------------------
+# q50/q51 — multimodal binary kernels (resize, frame sampling). The digest
+# chain runs over BLOBs, which DuckDB's md5 cannot replay (VARCHAR-only),
+# so these are rows-only entries: the driver checks rows + schema, and the
+# deterministic-value tests live in tests/test_multimodal.py.
+# --------------------------------------------------------------------------
+@register("q50_multimodal_resize")
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resize_images(_doc_payloads(spark, sf_dir), target=(64, 64))
+
+
+@register("q51_multimodal_frames")
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(_doc_payloads(spark, sf_dir), every_nth=10, n_frames=3)

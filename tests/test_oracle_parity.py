@@ -13,11 +13,13 @@ from tests.conftest import SF_SMOKE
 QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
 
+# genuinely non-SQL-expressible ops (binary digest chains DuckDB cannot
+# replay); the driver records a rows-only check for these
+ROWS_ONLY = {"q50_multimodal_resize", "q51_multimodal_frames"}
+
 
 def test_registry_complete():
-    # every query has an oracle (non-SQL-expressible ops would be exempt,
-    # but we currently express everything in SQL)
-    assert set(ORACLES) == set(QUERIES)
+    assert set(QUERIES) - set(ORACLES) == ROWS_ONLY
     assert len(QUERIES) >= 40
 
 
@@ -32,6 +34,9 @@ def test_entry_smoke(spark):
 def test_parity(name, spark, duck):
     sdf = QUERIES[name](spark, SF_SMOKE)
     scols, srows = sdf.columns, sdf.collect()
+    if name in ROWS_ONLY:
+        assert len(srows) > 0
+        return
     orel = duck.execute(ORACLES[name])
     ocols = [d[0] for d in orel.description]
     orows = orel.fetchall()
