@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "q36_embed_topk",
     "q37_embed_lsh_ann",
     "q40_multimodal_meta",
+    "q52_embed_ivf_ann",
     "q44_file_pruning",
     "q47_vrt_first_nonnull",
 ]

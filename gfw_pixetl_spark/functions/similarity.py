@@ -100,6 +100,87 @@ def lsh_bucket(vec: Column, weights: list[list[int]]) -> Column:
     return bucket.cast("int")
 
 
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    n_probe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign each vector to its ``n_probe``
+    nearest centroids by cosine (rank 1 = home cell; ranks 2..n_probe are
+    the probe cells used on the query side).
+
+    The centroid table is tiny and broadcast, so assignment is map-only;
+    the result is the inverted-list layout (cell -> members) that turns
+    ANN search into an equi-join on cell id.
+    """
+    c = centroids.select(
+        F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cvec")
+    )
+    v = vectors.select(id_col, vec_col)
+    scored = v.crossJoin(F.broadcast(c)).select(
+        id_col, vec_col, "cell_id",
+        cosine(F.col(vec_col), F.col("cvec")).alias("_cs"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("_cs").desc(), F.col("cell_id").asc()
+    )
+    return (
+        scored.withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= n_probe)
+        .drop("_cs")
+    )
+
+
+def ivf_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in their home cell
+    (probe_rank 1); queries probe their ``n_probe`` nearest cells; exact
+    cosine re-ranks within the probed cells.
+
+    At scale this is the classic IVF trade: the corpus-side assignment is
+    one broadcast pass, the inverted lists are just a partitioning of the
+    corpus by cell id, and search touches ``n_probe / n_cells`` of the
+    data instead of all of it — an equi-join on cell, not a cross join.
+    """
+    inv = ivf_assign(corpus, centroids, 1, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        "cell_id",
+    )
+    probes = ivf_assign(queries, centroids, n_probe, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        "cell_id",
+    )
+    scored = (
+        inv.join(F.broadcast(probes), "cell_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("cos_sim"),
+        )
+        # no dedup needed: each neighbor lives in exactly one home cell,
+        # so a (query, neighbor) pair matches at most once
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,

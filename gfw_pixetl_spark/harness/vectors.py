@@ -173,3 +173,54 @@ def q39(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sessionize_once(spark, f"{sf_dir}/events.parquet")
+
+
+# --------------------------------------------------------------------------
+# q52 — IVF ANN: deterministic coarse quantizer (centroids = vec_id < 8),
+# inverted-list assignment, 2-probe search, exact re-rank in probed cells.
+# Fully SQL-expressible because the quantizer is data-deterministic.
+# --------------------------------------------------------------------------
+@register(
+    "q52_embed_ivf_ann",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cell_id, embedding AS cvec
+      FROM embeddings WHERE vec_id < 8
+    ), inv AS (
+      SELECT vec_id, embedding, cell_id FROM (
+        SELECT e.vec_id, e.embedding, c.cell_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_sql_cos('e.embedding', 'c.cvec')} DESC,
+                          c.cell_id ASC) AS rn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, embedding AS qv, cell_id FROM (
+        SELECT e.vec_id, e.embedding, c.cell_id,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_sql_cos('e.embedding', 'c.cvec')} DESC,
+                          c.cell_id ASC) AS rn
+        FROM embeddings e CROSS JOIN cent c
+        WHERE e.vec_id < 10
+      ) WHERE rn <= 2
+    ), scored AS (
+      SELECT p.query_id, i.vec_id AS neighbor_id,
+             {_sql_cos('p.qv', 'i.embedding')} AS cs
+      FROM inv i JOIN probes p ON i.cell_id = p.cell_id
+      WHERE i.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cs DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 8)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.ivf_ann_topk(emb, queries, centroids, k=5, n_probe=2)

@@ -118,6 +118,30 @@ def test_cosine_topk(spark):
     assert ranked == [(1, 1), (2, 2)]  # nearest first
 
 
+def test_ivf_assign_and_topk(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),   # centroid A
+            (1, [0.0, 1.0]),   # centroid B
+            (2, [0.9, 0.1]),   # near A
+            (3, [0.1, 0.9]),   # near B
+            (4, [0.8, 0.2]),   # near A
+        ],
+        ["vec_id", "embedding"],
+    )
+    cents = emb.filter(F.col("vec_id") < 2)
+    assign = {r.vec_id: r.cell_id for r in S.ivf_assign(emb, cents).collect()}
+    assert assign[2] == 0 and assign[4] == 0
+    assert assign[3] == 1
+    out = S.ivf_ann_topk(
+        emb, emb.filter(F.col("vec_id") == 2), cents, k=2, n_probe=1
+    ).collect()
+    ranked = sorted((r.rank, r.neighbor_id) for r in out)
+    # probing only cell A: neighbors are {0, 4} (not 1/3 in cell B);
+    # cos([.9,.1],[1,0])=.994 beats cos([.9,.1],[.8,.2])=.991
+    assert ranked == [(1, 0), (2, 4)]
+
+
 def test_lsh_bucket_identical_vectors_collide(spark):
     ws = S.hyperplane_weights()
     emb = spark.createDataFrame(
