@@ -4,9 +4,10 @@ data-processing capabilities of wri/gfw_pixetl (reference read-only at
 
 The engine has two front doors sharing one operator core (SURVEY.md §7.1):
 
-* the ``layers`` door — a declarative JSON layer spec (:mod:`.models.layer`)
+* the ``layers`` door — a declarative JSON layer spec (:mod:`.models`)
   planned into a DataFrame DAG over grid tiles and windows
-  (:mod:`.plans.pipe`), ending in a tile sink plus manifest aggregation;
+  (:mod:`.plans.raster_pipe` / :mod:`.plans.vector_pipe`), ending in a
+  tile sink plus manifest aggregation;
 * the ``sql/df`` door — the same operator inventory (filters, semi/anti
   joins, broadcast range joins, hash aggregations, ordered-paint window
   functions, sorts, limits, unions, CASE expressions, stats, histograms)

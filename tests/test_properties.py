@@ -1,0 +1,121 @@
+"""Property-based invariants (hypothesis) for the deterministic kernels:
+grid math, bucket math, rasterization vs a naive point-in-polygon
+reference. These guard the bit-stability requirements of SURVEY §7.4
+(alignment, deterministic tie-breaks) across the whole input space, not
+just the reference's fixed vectors."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gfw_pixetl_spark.functions.rasterize_kernel import polygon_mask
+from gfw_pixetl_spark.grids import LatLngGrid, WebMercatorGrid
+from gfw_pixetl_spark.operators.stats import bucket_expr  # noqa: F401 (api)
+
+GRIDS = [LatLngGrid(10, 160), LatLngGrid(8, 160), LatLngGrid(90, 1008)]
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    gi=st.integers(0, len(GRIDS) - 1),
+    # subnormals excluded: x/width underflows to -0.0 for |x| < ~1e-323,
+    # flipping floor() to the adjacent lattice line (the reference's float
+    # math does the same; it is a measure-zero boundary artifact)
+    x=st.floats(-179.999, 179.999, allow_subnormal=False),
+    y=st.floats(-79.999, 79.999, allow_subnormal=False),
+)
+def test_point_falls_inside_its_tile(gi, x, y):
+    g = GRIDS[gi]
+    tid = g.xy_to_tile_id(x, y)
+    bb = g.get_tile_bounds(tid)
+    # the reference's origin snap assigns boundary points to the tile
+    # whose interior is below/right of the lattice line, so membership is
+    # half-open on both axes with a top-left bias
+    assert bb.left <= x <= bb.right
+    assert bb.bottom <= y <= bb.top
+    assert bb.right - bb.left == g.width
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    zoom=st.integers(8, 14),
+    r=st.integers(0, 15),
+    c=st.integers(0, 15),
+)
+def test_wm_tiles_partition_exactly(zoom, r, c):
+    g = WebMercatorGrid(zoom)
+    side = int(g.nb_tiles ** 0.5)
+    r, c = r % side, c % side
+    bb = g.get_tile_bounds(f"{r:03d}R_{c:03d}C")
+    # adjacent tiles share edges bit-for-bit (no float drift)
+    if c + 1 < side:
+        right = g.get_tile_bounds(f"{r:03d}R_{c + 1:03d}C")
+        assert bb.right == right.left
+    if r + 1 < side:
+        below = g.get_tile_bounds(f"{r + 1:03d}R_{c:03d}C")
+        assert bb.bottom == below.top
+
+
+def _naive_mask(rings, transform, shape):
+    """Reference implementation: per-pixel even-odd ray cast."""
+    ox, oy, xres, yres = transform
+    rows, cols = shape
+    out = np.zeros(shape, dtype=bool)
+    segs = []
+    for ring in rings:
+        pts = list(ring)
+        if pts[0] != pts[-1]:
+            pts.append(pts[0])
+        segs += list(zip(pts[:-1], pts[1:]))
+    for r in range(rows):
+        cy = oy - (r + 0.5) * yres
+        for c in range(cols):
+            cx = ox + (c + 0.5) * xres
+            inside = False
+            for (x0, y0), (x1, y1) in segs:
+                if (min(y0, y1) <= cy < max(y0, y1)):
+                    xx = x0 + (cy - y0) / (y1 - y0) * (x1 - x0)
+                    if cx >= xx:
+                        continue
+                    inside = not inside
+            if inside:
+                out[r, c] = True
+    return out
+
+
+coord = st.floats(0.0, 8.0).map(lambda v: round(v, 2))
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    x0=coord, y0=coord, w=st.floats(0.3, 6.0), h=st.floats(0.3, 6.0),
+)
+def test_rasterize_matches_naive_for_rects(x0, y0, w, h):
+    rings = [[(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h),
+              (x0, y0)]]
+    T = (0.0, 8.0, 1.0, 1.0)
+    got = polygon_mask(rings, T, (8, 8))
+    want = _naive_mask(rings, T, (8, 8))
+    np.testing.assert_array_equal(got, want)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(st.floats(0.2, 7.8), st.floats(0.2, 7.8)),
+        min_size=3, max_size=6,
+    )
+)
+def test_rasterize_matches_naive_for_convex_hulls(pts):
+    # build a star-sorted simple polygon around the centroid
+    cx = sum(p[0] for p in pts) / len(pts)
+    cy = sum(p[1] for p in pts) / len(pts)
+    ordered = sorted(pts, key=lambda p: np.arctan2(p[1] - cy, p[0] - cx))
+    ring = [tuple(map(lambda v: round(v, 3), p)) for p in ordered]
+    ring.append(ring[0])
+    T = (0.0, 8.0, 1.0, 1.0)
+    got = polygon_mask([ring], T, (8, 8))
+    want = _naive_mask([ring], T, (8, 8))
+    np.testing.assert_array_equal(got, want)
