@@ -68,18 +68,26 @@ class VectorPipe:
     layer: LayerModel
     work_dir: str
     grid: Grid | None = None
+    blocks_per_window: int = 1
 
     @property
     def grid_obj(self) -> Grid:
         return self.grid or self.layer.grid_obj
 
-    def rasterize_tiles(self, pairs: DataFrame) -> DataFrame:
-        """A1/A2 as a per-tile aggregation: burn the tile's features in
-        ORDER BY order (last wins) or count mode. One shuffle on tile_id;
-        group state is the tile's feature list + one tile array."""
+    def rasterize_windows(self, pairs: DataFrame) -> DataFrame:
+        """A1/A2 as a per-WINDOW aggregation: burn block-aligned windows
+        independently so task memory is bounded by the window, never the
+        tile — a 40000^2-px tile is ~10k window groups, exactly like the
+        raster path (SURVEY §7.4-4).
+
+        ``pairs`` carries one row per (window, intersecting feature); the
+        window's feature subset is complete (the join condition is overlap
+        with the WINDOW bbox), so last-wins ordering within the group is
+        the global paint order restricted to that window — burn results
+        compose exactly. Windows no feature touches never materialize.
+        """
         layer = self.layer
         grid = self.grid_obj
-        rows_, cols_ = grid.rows, grid.cols
         xres, yres = grid.xres, grid.yres
         method = layer.rasterize_method or "value"
         descending = (layer.order or "asc") == "desc"
@@ -90,38 +98,43 @@ class VectorPipe:
 
         def burn(pdf: pd.DataFrame) -> pd.DataFrame:
             tile_id = pdf["tile_id"].iloc[0]
+            row_off = int(pdf["row_off"].iloc[0])
+            col_off = int(pdf["col_off"].iloc[0])
+            h = int(pdf["height"].iloc[0])
+            w = int(pdf["width"].iloc[0])
             try:
                 pdf = pdf.sort_values(
                     ["value", "feature_id"], ascending=[not descending, True]
                 )
-                ox = float(pdf["tile_left"].iloc[0])
-                oy = float(pdf["tile_top"].iloc[0])
+                # window origin in world coordinates
+                ox = float(pdf["tile_left"].iloc[0]) + col_off * xres
+                oy = float(pdf["tile_top"].iloc[0]) - row_off * yres
                 feats = [
                     (float(v), [np.asarray(ring) for ring in geom])
                     for v, geom in zip(pdf["value"], pdf["geom"])
                 ]
                 arr = rasterize(
-                    feats, (ox, oy, xres, yres), (rows_, cols_),
+                    feats, (ox, oy, xres, yres), (h, w),
                     method=method, fill=fill, dtype=np_dtype,
                 )
             except Exception as e:  # noqa: BLE001
                 # per-tile error isolation (F10) — see raster_pipe kernel
                 return pd.DataFrame(
-                    [(tile_id, 0, 0, rows_, cols_, -1,
+                    [(tile_id, row_off, col_off, h, w, -1,
                       f"{type(e).__name__}: {e}"[:200], 0, None)],
                     columns=WINDOW_PAYLOAD_COLS,
                 )
             if method != "count" and not (arr != fill).any():
                 return pd.DataFrame([], columns=WINDOW_PAYLOAD_COLS)
             buf = io.BytesIO()
-            np.save(buf, arr.reshape(1, rows_, cols_), allow_pickle=False)
+            np.save(buf, arr.reshape(1, h, w), allow_pickle=False)
             return pd.DataFrame(
-                [(tile_id, 0, 0, rows_, cols_, 1, np_dtype,
+                [(tile_id, row_off, col_off, h, w, 1, np_dtype,
                   int((arr != fill).sum()), buf.getvalue())],
                 columns=WINDOW_PAYLOAD_COLS,
             )
 
-        return pairs.groupBy("tile_id").applyInPandas(
+        return pairs.groupBy("tile_id", "row_off", "col_off").applyInPandas(
             burn, WINDOW_PAYLOAD_SCHEMA
         )
 
@@ -135,12 +148,14 @@ class VectorPipe:
 
         Returns the per-tile status DataFrame (F10). Tiles with no
         intersecting features never shuffle (the F4 existence probe is the
-        join itself).
+        join itself); within a tile, only windows a feature's bbox
+        touches are burned.
         """
         grid = self.grid_obj
         tiles = seed_tiles(spark, grid)
         if subset:
             tiles = tiles.filter(F.col("tile_id").isin(subset))
+
         feats = with_bbox(features)
         overlap = (
             (F.col("tile_left") < F.col("f_right"))
@@ -148,9 +163,55 @@ class VectorPipe:
             & (F.col("tile_bottom") < F.col("f_top"))
             & (F.col("tile_top") > F.col("f_bottom"))
         )
-        pairs = feats.join(F.broadcast(tiles), overlap).select(
-            "tile_id", "tile_left", "tile_top",
-            "feature_id", "value", "geom",
+        pairs = feats.join(F.broadcast(tiles), overlap)
+
+        # each (feature, tile) pair fans out ONLY to the windows the
+        # feature's bbox touches — the window index range is closed-form
+        # arithmetic on the bbox, so no window table ever materializes
+        # (the scale analog of gdal_rasterize's per-block iteration)
+        win = grid.blockxsize * self.blocks_per_window
+        n = (grid.cols + win - 1) // win
+        wpx = win * grid.xres  # window width in world units
+        wpy = win * grid.yres
+        r_lo = F.greatest(
+            F.lit(0),
+            F.floor((F.col("tile_top") - F.col("f_top")) / wpy).cast("int"),
         )
-        payloads = self.rasterize_tiles(pairs)
+        r_hi = F.least(
+            F.lit(n - 1),
+            F.floor(
+                (F.col("tile_top") - F.col("f_bottom")) / wpy - F.lit(1e-12)
+            ).cast("int"),
+        )
+        c_lo = F.greatest(
+            F.lit(0),
+            F.floor((F.col("f_left") - F.col("tile_left")) / wpx).cast("int"),
+        )
+        c_hi = F.least(
+            F.lit(n - 1),
+            F.floor(
+                (F.col("f_right") - F.col("tile_left")) / wpx - F.lit(1e-12)
+            ).cast("int"),
+        )
+        # degenerate bboxes on a window boundary can push hi below lo by
+        # the epsilon; clamp so sequence() never runs descending (the
+        # zero-area feature burns nothing either way)
+        r_hi = F.greatest(r_hi, r_lo)
+        c_hi = F.greatest(c_hi, c_lo)
+        pairs = (
+            pairs
+            .withColumn("wr", F.explode(F.sequence(r_lo, r_hi)))
+            .withColumn("wc", F.explode(F.sequence(c_lo, c_hi)))
+            .select(
+                "tile_id", "tile_left", "tile_top",
+                (F.col("wr") * win).alias("row_off"),
+                (F.col("wc") * win).alias("col_off"),
+                F.least(F.lit(win), F.lit(grid.rows) - F.col("wr") * win)
+                .alias("height"),
+                F.least(F.lit(win), F.lit(grid.cols) - F.col("wc") * win)
+                .alias("width"),
+                "feature_id", "value", "geom",
+            )
+        )
+        payloads = self.rasterize_windows(pairs)
         return write_tiles(payloads, self.layer, grid, self.work_dir)

@@ -128,6 +128,33 @@ def test_vector_pipe_count(spark, tmp_path):
     assert data[16, 144] == 0
 
 
+def test_vector_pipe_multiwindow_assembly(spark, tmp_path):
+    """544px tile -> 272px blocks -> 2x2 windows: the burn runs per
+    window and the writer reassembles seamlessly (no seams, no double
+    paint at window borders); result must equal the single-window burn."""
+    from gfw_pixetl_spark.functions.rasterize_kernel import rasterize
+
+    grid = LatLngGrid(10, 544)
+    pipe = VectorPipe(layer=_vector_layer(order="asc"),
+                      work_dir=str(tmp_path), grid=grid)
+    status = pipe.run(spark, _features(spark), subset=["10N_000E"])
+    rows = status.collect()
+    assert len(rows) == 1 and rows[0].status == "processed"
+    # features span lon 0..7.5, lat 0..5 -> windows (1,0) and (1,1) only
+    assert rows[0].n_windows == 2
+    with np.load(rows[0].out_path) as z:
+        data = z["data"][0]
+    feats = [
+        (3.0, [[(0.0, 0.0), (5.0, 0.0), (5.0, 5.0), (0.0, 5.0), (0.0, 0.0)]]),
+        (7.0, [[(2.5, 0.0), (7.5, 0.0), (7.5, 5.0), (2.5, 5.0), (2.5, 0.0)]]),
+    ]
+    expected = rasterize(
+        feats, (0.0, 10.0, grid.xres, grid.yres), (544, 544),
+        method="value", fill=0, dtype="uint8",
+    )
+    np.testing.assert_array_equal(data, expected)
+
+
 def test_vector_pipe_prunes_empty_tiles(spark, tmp_path):
     grid = LatLngGrid(10, 160)
     pipe = VectorPipe(layer=_vector_layer(), work_dir=str(tmp_path), grid=grid)
