@@ -29,3 +29,63 @@ def test_sessionize_stream(spark):
     # single-event sessions have zero duration
     singles = [r for r in rows if r.n_events == 1]
     assert all(abs(r.duration_sec) < 1e-6 for r in singles)
+
+
+def test_incremental_tiler_exactly_once(spark, tmp_path):
+    """Two manifest drops, one checkpoint: each drop's tiles burn exactly
+    once; a re-trigger with no new drops is a no-op (streaming F5)."""
+    import json
+
+    from gfw_pixetl_spark.grids import LatLngGrid
+    from gfw_pixetl_spark.plans import raster_pipe as rp
+    from gfw_pixetl_spark.sources.raster import SyntheticReader
+    from gfw_pixetl_spark.streaming.incremental import IncrementalTiler
+    from tests.test_raster_pipe import make_layer
+
+    grid = LatLngGrid(10, 160)
+    pipe = rp.RasterPipe(
+        layer=make_layer(),
+        reader=SyntheticReader(xres=grid.xres, yres=grid.yres),
+        work_dir=str(tmp_path / "tiles"),
+        grid=grid,
+    )
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    tiler = IncrementalTiler(
+        pipe=pipe,
+        manifest_dir=str(drops),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        status_dir=str(tmp_path / "status"),
+        subset=["00N_000E", "10N_000E", "00N_010E"],
+    )
+
+    (drops / "drop1.json").write_text(json.dumps(
+        {"uri": "memory://a", "band": 1,
+         "left": 0.0, "bottom": -10.0, "right": 10.0, "top": 10.0}
+    ) + "\n")
+    tiler.run_available_now(spark)
+    ledger = {
+        (r.tile_id, r.batch_id): r.status
+        for r in tiler.statuses_of(spark).collect()
+    }
+    assert {t for t, _ in ledger} == {"00N_000E", "10N_000E"}
+    assert all(s == "processed" for s in ledger.values())
+    first_batches = {b for _, b in ledger}
+
+    # no new drops -> re-trigger is a no-op
+    tiler.run_available_now(spark)
+    assert len(tiler.statuses_of(spark).collect()) == len(ledger)
+
+    # second drop touches a new tile only; first drop is NOT re-processed
+    (drops / "drop2.json").write_text(json.dumps(
+        {"uri": "memory://b", "band": 1,
+         "left": 10.0, "bottom": -10.0, "right": 20.0, "top": 0.0}
+    ) + "\n")
+    tiler.run_available_now(spark)
+    after = {
+        (r.tile_id, r.batch_id): r.status
+        for r in tiler.statuses_of(spark).collect()
+    }
+    new = {k: v for k, v in after.items() if k not in ledger}
+    assert {t for t, _ in new} == {"00N_010E"}
+    assert all(b not in first_batches for _, b in new)
