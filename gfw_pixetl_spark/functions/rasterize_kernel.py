@@ -106,3 +106,59 @@ def rasterize(
         else:
             out[mask] = value
     return out
+
+
+def rasterize_keyed(
+    features: list[tuple[float, int, list[Ring]]],
+    transform: tuple[float, float, float, float],
+    shape: tuple[int, int],
+    fill: float = 0.0,
+    dtype: str = "float64",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Last-wins burn that ALSO records per pixel the winning feature's
+    sort key ``(value, feature_id)`` — the salted-skew building block.
+
+    ``features`` = pre-sorted ``(value, feature_id, rings)`` in paint
+    order. Because last-wins under a total order is an argmax, partial
+    burns over disjoint feature subsets merge exactly by comparing keys
+    (:func:`merge_keyed`) — the commutative reformulation that lets a
+    pathological window (millions of features) split across tasks.
+    Returns ``(burned, key_value, key_fid)``; ``key_fid == -1`` marks
+    pixels no feature covered.
+    """
+    out = np.full(shape, fill, dtype=dtype)
+    kv = np.zeros(shape, dtype="float64")
+    kf = np.full(shape, -1, dtype="int64")
+    for value, fid, rings in features:
+        mask = polygon_mask(rings, transform, shape)
+        out[mask] = value
+        kv[mask] = value
+        kf[mask] = fid
+    return out, kv, kf
+
+
+def merge_keyed(
+    partials: list[tuple[np.ndarray, np.ndarray, np.ndarray]],
+    shape: tuple[int, int],
+    fill: float = 0.0,
+    dtype: str = "float64",
+    descending: bool = False,
+) -> np.ndarray:
+    """Merge keyed partial burns: per pixel, the partial whose key is
+    maximal in paint order wins (value asc/desc, feature_id asc — the
+    reference's ``ORDER BY {field}`` + sequential paint, commutatively).
+    """
+    out = np.full(shape, fill, dtype=dtype)
+    kv = np.zeros(shape, dtype="float64")
+    kf = np.full(shape, -1, dtype="int64")
+    for v, pkv, pkf in partials:
+        covered = pkf >= 0
+        if descending:
+            better = (pkv < kv) | ((pkv == kv) & (pkf > kf))
+        else:
+            better = (pkv > kv) | ((pkv == kv) & (pkf > kf))
+        take = covered & ((kf < 0) | better)
+        out[take] = v[take]
+        kv[take] = pkv[take]
+        kf[take] = pkf[take]
+    return out

@@ -39,7 +39,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.rasterize_kernel import rasterize
+from ..functions.rasterize_kernel import merge_keyed, rasterize, rasterize_keyed
 from ..grids import Grid
 from ..models import LayerModel
 from .raster_pipe import (
@@ -47,6 +47,15 @@ from .raster_pipe import (
 )
 
 GEOM_TYPE = "array<array<array<double>>>"
+
+PARTIAL_COLS = [
+    "tile_id", "row_off", "col_off", "height", "width", "ok", "err",
+    "payload",
+]
+PARTIAL_SCHEMA = (
+    "tile_id string, row_off int, col_off int, height int, width int, "
+    "ok int, err string, payload binary"
+)
 
 
 def with_bbox(features: DataFrame, geom_col: str = "geom") -> DataFrame:
@@ -69,6 +78,11 @@ class VectorPipe:
     work_dir: str
     grid: Grid | None = None
     blocks_per_window: int = 1
+    # >1 enables the salted two-phase burn for pathological skew (one
+    # window covered by millions of features): phase 1 burns each salt
+    # shard independently, phase 2 merges by paint-order key — bounding
+    # per-task feature count at total/n_salts (ROADMAP #6)
+    n_salts: int = 1
 
     @property
     def grid_obj(self) -> Grid:
@@ -136,6 +150,129 @@ class VectorPipe:
 
         return pairs.groupBy("tile_id", "row_off", "col_off").applyInPandas(
             burn, WINDOW_PAYLOAD_SCHEMA
+        )
+
+    def rasterize_windows_salted(self, pairs: DataFrame) -> DataFrame:
+        """Skew-resistant two-phase burn (ROADMAP #6).
+
+        Last-wins paint under a total order is an argmax per pixel, so it
+        decomposes: phase 1 burns each of ``n_salts`` feature shards of a
+        window independently (recording the winning sort key per pixel,
+        :func:`rasterize_keyed`); phase 2 merges the ≤ ``n_salts`` keyed
+        partials (:func:`merge_keyed`). ``count`` mode is additive and
+        merges by summation. Per-task feature count is bounded by
+        ``total/n_salts`` — a window that one task would chew for hours
+        becomes ``n_salts`` parallel tasks plus an O(n_salts · window_px)
+        merge. Bit-exact vs the sequential burn by construction.
+        """
+        layer = self.layer
+        grid = self.grid_obj
+        xres, yres = grid.xres, grid.yres
+        method = layer.rasterize_method or "value"
+        descending = (layer.order or "asc") == "desc"
+        dtype = layer.dtype_obj
+        nodata = dtype.no_data
+        fill = 0 if nodata is None else nodata
+        np_dtype = dtype.data_type
+
+        def burn_partial(pdf: pd.DataFrame) -> pd.DataFrame:
+            tile_id = pdf["tile_id"].iloc[0]
+            row_off = int(pdf["row_off"].iloc[0])
+            col_off = int(pdf["col_off"].iloc[0])
+            h = int(pdf["height"].iloc[0])
+            w = int(pdf["width"].iloc[0])
+            try:
+                pdf = pdf.sort_values(
+                    ["value", "feature_id"], ascending=[not descending, True]
+                )
+                ox = float(pdf["tile_left"].iloc[0]) + col_off * xres
+                oy = float(pdf["tile_top"].iloc[0]) - row_off * yres
+                buf = io.BytesIO()
+                if method == "count":
+                    feats = [
+                        (float(v), [np.asarray(r) for r in geom])
+                        for v, geom in zip(pdf["value"], pdf["geom"])
+                    ]
+                    arr = rasterize(
+                        feats, (ox, oy, xres, yres), (h, w),
+                        method="count", fill=0, dtype="int64",
+                    )
+                    np.save(buf, arr, allow_pickle=False)
+                else:
+                    feats = [
+                        (float(v), int(fid), [np.asarray(r) for r in geom])
+                        for v, fid, geom in zip(
+                            pdf["value"], pdf["feature_id"], pdf["geom"]
+                        )
+                    ]
+                    val, kv, kf = rasterize_keyed(
+                        feats, (ox, oy, xres, yres), (h, w),
+                        fill=fill, dtype=np_dtype,
+                    )
+                    np.savez(buf, val=val, kv=kv, kf=kf)
+            except Exception as e:  # noqa: BLE001
+                return pd.DataFrame(
+                    [(tile_id, row_off, col_off, h, w, -1,
+                      f"{type(e).__name__}: {e}"[:200], None)],
+                    columns=PARTIAL_COLS,
+                )
+            return pd.DataFrame(
+                [(tile_id, row_off, col_off, h, w, 1, None, buf.getvalue())],
+                columns=PARTIAL_COLS,
+            )
+
+        def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+            tile_id = pdf["tile_id"].iloc[0]
+            row_off = int(pdf["row_off"].iloc[0])
+            col_off = int(pdf["col_off"].iloc[0])
+            h = int(pdf["height"].iloc[0])
+            w = int(pdf["width"].iloc[0])
+            errors = pdf[pdf["ok"] < 0]
+            if len(errors):
+                return pd.DataFrame(
+                    [(tile_id, row_off, col_off, h, w, -1,
+                      errors["err"].iloc[0], 0, None)],
+                    columns=WINDOW_PAYLOAD_COLS,
+                )
+            try:
+                if method == "count":
+                    total = np.zeros((h, w), dtype="int64")
+                    for p in pdf["payload"]:
+                        total += np.load(io.BytesIO(p), allow_pickle=False)
+                    arr = (total + fill).astype(np_dtype)
+                else:
+                    partials = []
+                    for p in pdf["payload"]:
+                        z = np.load(io.BytesIO(p), allow_pickle=False)
+                        partials.append((z["val"], z["kv"], z["kf"]))
+                    arr = merge_keyed(
+                        partials, (h, w), fill=fill, dtype=np_dtype,
+                        descending=descending,
+                    )
+            except Exception as e:  # noqa: BLE001
+                return pd.DataFrame(
+                    [(tile_id, row_off, col_off, h, w, -1,
+                      f"{type(e).__name__}: {e}"[:200], 0, None)],
+                    columns=WINDOW_PAYLOAD_COLS,
+                )
+            if method != "count" and not (arr != fill).any():
+                return pd.DataFrame([], columns=WINDOW_PAYLOAD_COLS)
+            buf = io.BytesIO()
+            np.save(buf, arr.reshape(1, h, w), allow_pickle=False)
+            return pd.DataFrame(
+                [(tile_id, row_off, col_off, h, w, 1, np_dtype,
+                  int((arr != fill).sum()), buf.getvalue())],
+                columns=WINDOW_PAYLOAD_COLS,
+            )
+
+        salted = pairs.withColumn(
+            "salt", F.pmod(F.col("feature_id"), F.lit(self.n_salts))
+        )
+        partials = salted.groupBy(
+            "tile_id", "row_off", "col_off", "salt"
+        ).applyInPandas(burn_partial, PARTIAL_SCHEMA)
+        return partials.groupBy("tile_id", "row_off", "col_off").applyInPandas(
+            merge, WINDOW_PAYLOAD_SCHEMA
         )
 
     def run(
@@ -213,5 +350,8 @@ class VectorPipe:
                 "feature_id", "value", "geom",
             )
         )
-        payloads = self.rasterize_windows(pairs)
+        if self.n_salts > 1:
+            payloads = self.rasterize_windows_salted(pairs)
+        else:
+            payloads = self.rasterize_windows(pairs)
         return write_tiles(payloads, self.layer, grid, self.work_dir)

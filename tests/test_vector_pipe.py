@@ -163,3 +163,66 @@ def test_vector_pipe_prunes_empty_tiles(spark, tmp_path):
     )
     rows = status.collect()
     assert {r.tile_id for r in rows} == {"10N_000E"}  # F4: no features, no work
+
+
+def test_keyed_merge_matches_sequential_burn():
+    """Salted decomposition is exact: merging keyed partial burns over any
+    feature partition equals the sequential last-wins burn."""
+    import itertools
+
+    from gfw_pixetl_spark.functions.rasterize_kernel import (
+        merge_keyed, rasterize_keyed,
+    )
+
+    rng = np.random.default_rng(7)
+    feats = []
+    for fid in range(12):
+        x0, y0 = rng.uniform(0, 3, 2)
+        w, h = rng.uniform(0.5, 2, 2)
+        feats.append((float(rng.integers(1, 5)), fid, sq(x0, y0, x0 + w, y0 + h)))
+    for descending in (False, True):
+        ordered = sorted(
+            feats, key=lambda f: (-f[0] if descending else f[0], f[1])
+        )
+        expected = rasterize(
+            [(v, g) for v, _, g in ordered], T, (4, 4),
+            method="value", fill=0, dtype="uint8",
+        )
+        for n_salts in (2, 3, 5):
+            shards = [
+                [f for f in ordered if f[1] % n_salts == s]
+                for s in range(n_salts)
+            ]
+            partials = [
+                rasterize_keyed(shard, T, (4, 4), fill=0, dtype="uint8")
+                for shard in shards if shard
+            ]
+            for perm in itertools.permutations(partials):
+                merged = merge_keyed(
+                    list(perm), (4, 4), fill=0, dtype="uint8",
+                    descending=descending,
+                )
+                np.testing.assert_array_equal(merged, expected)
+
+
+def test_vector_pipe_salted_matches_sequential(spark, tmp_path):
+    """End-to-end: n_salts=3 produces byte-identical tiles to the
+    sequential burn for value (asc/desc) and count modes."""
+    grid = LatLngGrid(10, 160)
+    for over in (
+        dict(order="asc"),
+        dict(order="desc"),
+        dict(rasterize_method="count", data_type="uint16"),
+    ):
+        seq = VectorPipe(layer=_vector_layer(**over),
+                         work_dir=str(tmp_path / "seq"), grid=grid)
+        sal = VectorPipe(layer=_vector_layer(**over),
+                         work_dir=str(tmp_path / "sal"), grid=grid, n_salts=3)
+        r1 = seq.run(spark, _features(spark), subset=["10N_000E"]).collect()
+        r2 = sal.run(spark, _features(spark), subset=["10N_000E"]).collect()
+        assert [r.status for r in r1] == [r.status for r in r2] == ["processed"]
+        with np.load(r1[0].out_path) as z:
+            a = z["data"]
+        with np.load(r2[0].out_path) as z:
+            b = z["data"]
+        np.testing.assert_array_equal(a, b)
