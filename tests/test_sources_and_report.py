@@ -74,3 +74,47 @@ def test_status_tallies(spark):
     assert status_tallies(df) == {
         "processed": 2, "skipped": 1, "failed": 1, "existing": 1,
     }
+
+
+def test_bucketed_tile_store_join_has_no_exchange(spark, tmp_path):
+    """Co-bucketed tile tables join with zero shuffle: the physical plan
+    reads pre-hashed buckets on both sides (no Exchange, no Sort)."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from gfw_pixetl_spark.sources.tile_store import TileStore
+
+    store = TileStore(spark, database="tilestore_test", n_buckets=8)
+    tiles = spark.range(200).select(
+        F.concat(F.lit("T"), F.col("id")).alias("tile_id"),
+        (F.col("id") * 2).alias("left"),
+    )
+    statuses = spark.range(0, 200, 2).select(
+        F.concat(F.lit("T"), F.col("id")).alias("tile_id"),
+        F.lit("processed").alias("status"),
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        store.write(tiles, "tiles")
+        store.write(statuses, "statuses")
+        # disable broadcast so a non-bucketed plan WOULD shuffle both sides
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = store.join("tiles", "statuses")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 100
+        # control: the same join over non-bucketed inputs shuffles
+        buf2 = io.StringIO()
+        with contextlib.redirect_stdout(buf2):
+            tiles.join(statuses, "tile_id").explain("formatted")
+        assert "Exchange" in buf2.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        store.drop("tiles")
+        store.drop("statuses")
+        spark.sql("DROP DATABASE IF EXISTS tilestore_test")
