@@ -59,6 +59,11 @@ BENCH_QUERIES = [
     "q52_embed_ivf_ann",
     "q44_file_pruning",
     "q47_vrt_first_nonnull",
+    "q53_dedup_components",
+    "q54_domain_cap_sample",
+    "q55_stratified_sample",
+    "q56_tfidf_topterms",
+    "q57_normalized_dedup",
 ]
 
 

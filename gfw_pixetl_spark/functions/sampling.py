@@ -1,0 +1,67 @@
+"""Deterministic sampling operators for training-data curation.
+
+Random sampling is useless in a reproducible pipeline — every operator
+here derives its randomness from md5 of the data itself, so any engine
+(and any re-run over re-partitioned input) selects the identical subset.
+The md5-derived orderings/buckets are uniform enough for curation
+purposes and, unlike ``rand()``, survive retries, speculative execution,
+and engine swaps bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .hashing import md5_int64
+
+
+def domain_capped_sample(
+    df: DataFrame,
+    key: str = "source",
+    k: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cap the corpus at ``k`` documents per domain (the classic
+    anti-domination rule in web-corpus curation): rank docs within each
+    domain by a deterministic hash order and keep rank <= k.
+
+    One shuffle (the window partition). A pathologically hot domain makes
+    one partition large, but the per-row work is a hash compare — rank
+    truncation at cluster scale would add a pre-aggregation
+    (approx top-k per partition, then exact within survivors) if profiling
+    ever shows a straggler.
+    """
+    h = F.md5(F.col(id_col).cast("string"))
+    w = Window.partitionBy(key).orderBy(h, F.col(id_col))
+    return (
+        df.select(id_col, key)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def hash_stratified_sample(
+    df: DataFrame,
+    strata_col: str = "lang",
+    rates: dict[str, int] | None = None,
+    default_rate: int = 20,
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic Bernoulli sampling with per-stratum rates (percent):
+    keep a row iff md5(text) mod 100 < rate(stratum). Map-only — no
+    shuffle at all — and the filter pushes below any downstream agg.
+
+    This is how a 100 TB corpus gets down-weighted per language/source
+    without a global count or sort: the decision is local to the row.
+    """
+    rates = rates or {}
+    bucket = F.pmod(md5_int64(F.col(text_col)), F.lit(100))
+    rate = F.lit(default_rate)
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(strata_col) == stratum, r).otherwise(rate)
+    return (
+        df.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < rate)
+        .select("doc_id", strata_col, "bucket")
+    )

@@ -11,7 +11,7 @@ Shared constants live here so SQL oracles can inline the same literals.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .hashing import FNV_WORD_MOD, md5_int64
@@ -125,4 +125,58 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (
         exploded.groupBy("doc_id")
         .agg((F.sum(term) % FINGERPRINT_MOD).alias("fingerprint"))
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, top_k: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF (tf * ln(N/df)).
+
+    Shape at scale: one explode + two partial-aggregable groupBys; the
+    document-frequency table is vocabulary-sized, so it broadcasts — the
+    per-(doc,term) scoring join never shuffles the big side. The corpus
+    size N is a 1-row broadcast cross join, not a driver-side collect.
+    """
+    w = df.select("doc_id", F.explode(words(text_col)).alias("word"))
+    tf = w.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = w.groupBy("word").agg(F.countDistinct("doc_id").alias("dfreq"))
+    n = df.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("dfreq")), 4),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.col("word")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(win).cast("long"))
+        .filter(F.col("rk") <= top_k)
+        .select("doc_id", "word", "tf", "score", "rk")
+    )
+
+
+def normalized_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup after aggressive normalization (lowercase, strip
+    non-alphanumerics, collapse whitespace) — catches the trivial
+    near-dups (case/punct variants) at exact-dedup cost: one map-side
+    normalization + one digest aggregation, no pairwise anything.
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", ""),
+            " +", " ",
+        )
+    )
+    return (
+        df.select("doc_id", F.md5(norm).alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("dup_count"),
+        )
     )

@@ -46,5 +46,6 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 from . import core  # noqa: E402,F401
 from . import textops  # noqa: E402,F401
 from . import tileops  # noqa: E402,F401
+from . import training  # noqa: E402,F401
 from . import vectorize  # noqa: E402,F401
 from . import vectors  # noqa: E402,F401

@@ -1,0 +1,142 @@
+"""Training-data curation harness queries, wave 2: dedup cluster
+resolution, deterministic sampling, TF-IDF, normalization dedup.
+
+These extend the reference's surface with the operators a 100 TB
+LLM-corpus pipeline needs (the brief's first-class extensions); every
+oracle re-derives the identical md5-based determinism so DuckDB replays
+the exact selection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import dedup as D
+from ..functions import sampling as S
+from ..functions import text as T
+from ..functions.hashing import md5_int64_sql
+from . import ORACLES, load, register
+
+# --------------------------------------------------------------------------
+# q53 — near-dup cluster resolution: connected components over LSH pairs
+# --------------------------------------------------------------------------
+# The oracle replays the full pipeline: q29's LSH candidate pairs as the
+# edge set, then reachability via recursive CTE; component = min reachable
+# doc_id, exactly the fixpoint of min-label propagation.
+_Q29_SQL = ORACLES["q29_minhash_lsh_pairs"]
+
+
+@register(
+    "q53_dedup_components",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      {_Q29_SQL}
+    ), edges AS (
+      SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_id_b AS src, doc_id_a AS dst FROM pairs
+    ), reach(id, lab) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lab FROM edges e JOIN reach r ON e.src = r.id
+    )
+    SELECT id AS doc_id, MIN(lab) AS component FROM reach GROUP BY id
+    """,
+)
+def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # star-contracted bucket edges: same components as the full pair
+    # graph (the oracle's edge set), linearly fewer edges — see
+    # functions/dedup.py::lsh_star_edges
+    sigs = D.minhash_signatures(load(spark, sf_dir, "documents"))
+    return D.connected_components(D.lsh_star_edges(sigs))
+
+
+# --------------------------------------------------------------------------
+# q54 — domain-capped sampling (anti-domination): keep k docs per source
+# --------------------------------------------------------------------------
+@register(
+    "q54_domain_cap_sample",
+    oracle="""
+    SELECT doc_id, source, rk FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 3
+    """,
+)
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.domain_capped_sample(
+        load(spark, sf_dir, "documents"), key="source", k=3
+    )
+
+
+# --------------------------------------------------------------------------
+# q55 — hash-stratified Bernoulli sampling (per-language rates, map-only)
+# --------------------------------------------------------------------------
+@register(
+    "q55_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, bucket FROM (
+      SELECT doc_id, lang, ({md5_int64_sql('text')}) % 100 AS bucket
+      FROM documents
+    ) WHERE bucket < (CASE WHEN lang = 'en' THEN 50 ELSE 20 END)
+    """,
+)
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.hash_stratified_sample(
+        load(spark, sf_dir, "documents"),
+        strata_col="lang", rates={"en": 50}, default_rate=20,
+    )
+
+
+# --------------------------------------------------------------------------
+# q56 — per-document top-3 terms by TF-IDF
+# --------------------------------------------------------------------------
+@register(
+    "q56_tfidf_topterms",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x != '')) AS word
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word
+    ), dfreq AS (
+      SELECT word, COUNT(DISTINCT doc_id) AS dfreq FROM w GROUP BY word
+    ), n AS (
+      SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.word, tf.tf,
+             round(tf.tf * ln(n.n_docs / dfreq.dfreq), 4) AS score
+      FROM tf JOIN dfreq USING (word) CROSS JOIN n
+    )
+    SELECT doc_id, word, tf, score, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY score DESC, word
+      ) AS rk FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.tfidf_top_terms(load(spark, sf_dir, "documents"), top_k=3)
+
+
+# --------------------------------------------------------------------------
+# q57 — normalization dedup (case/punct/whitespace-invariant digests)
+# --------------------------------------------------------------------------
+@register(
+    "q57_normalized_dedup",
+    oracle="""
+    SELECT md5(trim(regexp_replace(
+             regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+             ' +', ' ', 'g'))) AS digest,
+           MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.normalized_dedup(load(spark, sf_dir, "documents"))

@@ -150,3 +150,39 @@ def test_lsh_bucket_identical_vectors_collide(spark):
     )
     out = emb.select(S.lsh_bucket(F.col("embedding"), ws).alias("b")).collect()
     assert out[0].b == out[1].b
+
+
+def test_connected_components_chain_and_islands(spark):
+    from gfw_pixetl_spark.functions.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "doc_id_a long, doc_id_b long",
+    )
+    got = {
+        r.doc_id: r.component
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_lsh_star_edges_same_components_as_pairs(spark):
+    """Star contraction preserves connectivity: components over star
+    edges == components over the full LSH pair graph."""
+    from gfw_pixetl_spark.functions.dedup import (
+        connected_components, lsh_candidate_pairs, lsh_star_edges,
+        minhash_signatures,
+    )
+    from gfw_pixetl_spark.harness import load
+    from tests.conftest import SF_SMOKE
+
+    sigs = minhash_signatures(load(spark, SF_SMOKE, "documents").limit(200))
+    via_pairs = {
+        (r.doc_id, r.component)
+        for r in connected_components(lsh_candidate_pairs(sigs)).collect()
+    }
+    via_star = {
+        (r.doc_id, r.component)
+        for r in connected_components(lsh_star_edges(sigs)).collect()
+    }
+    assert via_star == via_pairs
