@@ -140,3 +140,51 @@ def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.normalized_dedup(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# q58 — streaming exact dedup (stateful dropDuplicates, availableNow drain)
+# --------------------------------------------------------------------------
+@register(
+    "q58_stream_dedup",
+    oracle="SELECT DISTINCT md5(text) AS digest FROM documents",
+)
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import run_stream_dedup_once
+
+    return run_stream_dedup_once(spark, f"{sf_dir}/documents.parquet")
+
+
+# --------------------------------------------------------------------------
+# q59 — as-of join: each view event gets the most recent prior click by
+# the same user. Oracle = DuckDB's native ASOF JOIN; the Spark side is
+# the sort-merge union formulation (operators/asof.py).
+# --------------------------------------------------------------------------
+@register(
+    "q59_asof_join",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+    ), y AS (
+      SELECT user_id, ts, MAX(value) AS y_value
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    )
+    SELECT x.user_id, x.ts, x.value,
+           y.ts AS ts_r, y.y_value AS y_value_r
+    FROM x ASOF LEFT JOIN y
+      ON x.user_id = y.user_id AND x.ts >= y.ts
+    """,
+)
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    x = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    y = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("y_value"))
+    )
+    return asof_join(x, y, keys=["user_id"], ts_col="ts")

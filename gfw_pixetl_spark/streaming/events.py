@@ -116,3 +116,40 @@ def run_sessionize_once(spark: SparkSession, events_path: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_exact_dedup(spark: SparkSession, docs_path: str) -> DataFrame:
+    """Stateful streaming exact-dedup: the digest state store drops
+    repeats across micro-batches — the streaming twin of batch q26.
+    Unbounded state by design (dedup keys live forever); a production
+    deployment would add ``withWatermark`` + a digest TTL column if the
+    stream is truly endless.
+    """
+    schema = spark.read.parquet(docs_path).schema
+    base, fname = docs_path.rsplit("/", 1)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", fname)
+        .parquet(base)
+    )
+    return (
+        stream.select(F.md5(F.col("text")).alias("digest"))
+        .dropDuplicates(["digest"])
+    )
+
+
+def run_stream_dedup_once(spark: SparkSession, docs_path: str) -> DataFrame:
+    """Drain the streaming dedup with availableNow; the surviving digest
+    set is deterministic (first-arrival races only affect WHICH duplicate
+    survives, and we emit only the digest)."""
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_exact_dedup(spark, docs_path)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

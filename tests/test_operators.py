@@ -96,3 +96,31 @@ def test_band_stats(spark):
     assert out["min"] == 1.0 and out["max"] == 3.0
     assert abs(out["mean"] - 2.0) < 1e-9
     assert out["count"] == 2
+
+
+def test_asof_join_semantics(spark):
+    """Hand-built as-of: equal-ts right row matches (>=), no-prior rows
+    get nulls, latest prior wins."""
+    from datetime import datetime
+
+    from gfw_pixetl_spark.operators.asof import asof_join
+
+    t = lambda s: datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(5), "a"), (1, t(10), "b"), (2, t(3), "c"), (3, t(9), "d")],
+        "user_id long, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [(1, t(5), 50.0), (1, t(7), 70.0), (2, t(4), 40.0)],
+        "user_id long, ts timestamp, px double",
+    )
+    got = {
+        (r.user_id, r.ts.second): (r.px_r, r.ts_r.second if r.ts_r else None)
+        for r in asof_join(left, right, keys=["user_id"]).collect()
+    }
+    assert got == {
+        (1, 5): (50.0, 5),   # equal ts matches
+        (1, 10): (70.0, 7),  # latest prior wins
+        (2, 3): (None, None),  # right row is later -> no match
+        (3, 9): (None, None),  # key absent on right
+    }
