@@ -1,0 +1,91 @@
+"""Physical-plan audits: lock in the scale properties the engine is
+designed around, so a refactor that silently drops a pushdown, a
+broadcast, or codegen fails CI — the `.explain("formatted")` discipline
+as regression tests. Spark is pinned in this environment, so asserting
+on plan strings is stable.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from gfw_pixetl_spark import harness
+from tests.conftest import SF_SMOKE
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_scan_pushdown_reaches_parquet(spark):
+    """q02: filters land in PushedFilters; ReadSchema prunes to exactly
+    the referenced columns (projection + predicate pushdown, SURVEY §7)."""
+    plan = plan_of(harness.QUERIES["q02_scan_pushdown"](spark, SF_SMOKE))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or \
+        "PushedFilters: [" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    for col in ("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+                "l_shipdate"):
+        assert col in read
+    # pruned: none of the other 11 lineitem columns are read
+    for col in ("l_comment", "l_extendedprice", "l_partkey"):
+        assert col not in read
+
+
+def test_spatial_prune_is_broadcast(spark):
+    """q05: the source-intersects prune is a broadcast semi-join — the
+    tile set never shuffles (map-only pruning at 268M tiles)."""
+    plan = plan_of(harness.QUERIES["q05_semi_join"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_range_join_is_broadcast_not_cartesian(spark):
+    """q07: the bbox-overlap theta-join plans as BroadcastNestedLoopJoin
+    over the tiny catalog side, never a cartesian shuffle."""
+    plan = plan_of(harness.QUERIES["q07_range_join"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoop" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pricing_summary_stays_in_codegen(spark):
+    """q01: the aggregation pipeline is whole-stage-codegen'd JVM work —
+    no Python in the hot path. Codegen spans only appear in the executed
+    (AQE-final) plan, marked `*(n)` in its string form."""
+    df = harness.QUERIES["q01_pricing_summary"](spark, SF_SMOKE)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "*(" in executed  # whole-stage codegen stages
+    assert "BatchEvalPython" not in executed
+    assert "ArrowEvalPython" not in executed
+    # partial aggregation (map-side combine) before the shuffle
+    plan = plan_of(df)
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+
+
+def test_tfidf_dfreq_is_broadcast(spark):
+    """q56: the vocabulary-sized document-frequency side broadcasts; the
+    per-(doc,term) side never shuffles for the scoring join."""
+    plan = plan_of(harness.QUERIES["q56_tfidf_topterms"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_stratified_sample_is_map_only(spark):
+    """q55: no shuffle at all — the sampling decision is row-local."""
+    plan = plan_of(harness.QUERIES["q55_stratified_sample"](spark, SF_SMOKE))
+    assert "Exchange" not in plan
+
+
+def test_asof_join_single_shuffle(spark):
+    """q59: the as-of join is one hash-partitioning on the key (the
+    window), not a pairwise range join — no NestedLoop/Cartesian."""
+    plan = plan_of(harness.QUERIES["q59_asof_join"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "Window" in plan
