@@ -100,3 +100,83 @@ class IncrementalTiler:
             "tile_id string, status string, n_windows int, "
             "out_path string, batch_id long"
         ).parquet(self.status_dir)
+
+
+class IncrementalVectorTiler:
+    """Streaming twin of the vector pipe: manifest drops announce newly
+    landed feature files; each batch re-burns exactly the tiles those new
+    features touch, reading the FULL feature store for the affected
+    tiles (last-wins paint needs every feature of a tile, so the
+    incremental unit is the tile, not the feature — same invariant as
+    the reference's whole-tile rasterize, SURVEY §3.2).
+    """
+
+    def __init__(
+        self,
+        pipe,  # plans.vector_pipe.VectorPipe
+        features_path: str,
+        manifest_dir: str,
+        checkpoint_dir: str,
+        status_dir: str,
+    ) -> None:
+        self.pipe = pipe
+        self.features_path = features_path
+        self.manifest_dir = manifest_dir
+        self.checkpoint_dir = checkpoint_dir
+        self.status_dir = status_dir
+
+    def _affected_tiles(self, spark: SparkSession, new_feats: DataFrame) -> list[str]:
+        from ..plans.raster_pipe import seed_tiles
+        from ..plans.vector_pipe import with_bbox
+
+        tiles = seed_tiles(spark, self.pipe.grid_obj)
+        fb = with_bbox(new_feats)
+        overlap = (
+            (F.col("tile_left") < F.col("f_right"))
+            & (F.col("tile_right") > F.col("f_left"))
+            & (F.col("tile_bottom") < F.col("f_top"))
+            & (F.col("tile_top") > F.col("f_bottom"))
+        )
+        # tile ids only — bounded by the lattice, not the feature count
+        return [
+            r.tile_id
+            for r in fb.join(F.broadcast(tiles), overlap)
+            .select("tile_id").distinct().collect()
+        ]
+
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        paths = [r.path for r in batch_df.collect()]
+        if not paths:
+            return
+        spark = batch_df.sparkSession
+        new_feats = spark.read.parquet(*paths)
+        affected = self._affected_tiles(spark, new_feats)
+        if not affected:
+            return
+        all_feats = spark.read.parquet(self.features_path)
+        status = self.pipe.run(spark, all_feats, subset=affected)
+        (
+            status.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append").parquet(self.status_dir)
+        )
+
+    def run_available_now(self, spark: SparkSession) -> None:
+        stream = (
+            spark.readStream.schema("path string")
+            .option("pathGlobFilter", "*.json")
+            .json(self.manifest_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(self._process_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+            .queryName(f"incremental_vector_{uuid.uuid4().hex[:8]}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def statuses_of(self, spark: SparkSession) -> DataFrame:
+        return spark.read.schema(
+            "tile_id string, status string, n_windows int, "
+            "out_path string, batch_id long"
+        ).parquet(self.status_dir)

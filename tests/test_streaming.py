@@ -89,3 +89,64 @@ def test_incremental_tiler_exactly_once(spark, tmp_path):
     new = {k: v for k, v in after.items() if k not in ledger}
     assert {t for t, _ in new} == {"00N_010E"}
     assert all(b not in first_batches for _, b in new)
+
+
+def test_incremental_vector_tiler(spark, tmp_path):
+    """Feature drops re-burn only the tiles they touch, reading the full
+    feature store so last-wins paint stays correct across batches."""
+    import json
+
+    import numpy as np
+
+    from gfw_pixetl_spark.grids import LatLngGrid
+    from gfw_pixetl_spark.plans.vector_pipe import GEOM_TYPE, VectorPipe
+    from gfw_pixetl_spark.streaming.incremental import IncrementalVectorTiler
+    from tests.test_vector_pipe import _vector_layer
+
+    grid = LatLngGrid(10, 160)
+    store = tmp_path / "features"
+    drops = tmp_path / "drops"
+    drops.mkdir()
+    schema = f"feature_id long, value double, geom {GEOM_TYPE}"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(
+            str(store)
+        )
+        (drops / f"{name}.json").write_text(
+            json.dumps({"path": str(store)}) + "\n"
+        )
+
+    tiler = IncrementalVectorTiler(
+        pipe=VectorPipe(layer=_vector_layer(order="asc"),
+                        work_dir=str(tmp_path / "tiles"), grid=grid),
+        features_path=str(store),
+        manifest_dir=str(drops),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        status_dir=str(tmp_path / "status"),
+    )
+
+    # batch 1: value-3 square in tile 10N_000E
+    write_batch("drop1", [
+        (1, 3.0, [[[1.0, 1.0], [5.0, 1.0], [5.0, 5.0], [1.0, 5.0], [1.0, 1.0]]]),
+    ])
+    tiler.run_available_now(spark)
+    first = tiler.statuses_of(spark).collect()
+    assert {r.tile_id for r in first} == {"10N_000E"}
+
+    # batch 2: value-7 square overlapping the first, same tile — the
+    # re-burn must see BOTH features (full store) for correct last-wins
+    write_batch("drop2", [
+        (2, 7.0, [[[2.0, 2.0], [6.0, 2.0], [6.0, 6.0], [2.0, 6.0], [2.0, 2.0]]]),
+    ])
+    tiler.run_available_now(spark)
+    second = [
+        r for r in tiler.statuses_of(spark).collect() if r not in first
+    ]
+    assert {r.tile_id for r in second} == {"10N_000E"}
+    [r2] = second
+    with np.load(r2.out_path) as z:
+        data = z["data"][0]
+    # lon 1.5, lat 1.5 -> only feature 3; lon 3, lat 3 -> overlap, 7 wins
+    assert data[int((10 - 1.5) / 0.0625), int(1.5 / 0.0625)] == 3
+    assert data[int((10 - 3.0) / 0.0625), int(3.0 / 0.0625)] == 7
