@@ -124,3 +124,46 @@ def test_asof_join_semantics(spark):
         (2, 3): (None, None),  # right row is later -> no match
         (3, 9): (None, None),  # key absent on right
     }
+
+
+def test_asof_join_matches_bruteforce_random(spark):
+    """Randomized as-of vs an in-Python brute force: for each left row,
+    the matched right row is the max right.ts <= left.ts per key."""
+    from datetime import datetime, timedelta
+
+    import numpy as np
+
+    from gfw_pixetl_spark.operators.asof import asof_join
+
+    rng = np.random.default_rng(11)
+    t0 = datetime(2024, 1, 1)
+    left_rows = [
+        (int(u), t0 + timedelta(seconds=int(s)), float(v))
+        for u, s, v in zip(
+            rng.integers(0, 6, 80), rng.integers(0, 3600, 80),
+            rng.uniform(0, 1, 80),
+        )
+    ]
+    # unique (key, ts) on the right, as the operator requires
+    seen = set()
+    right_rows = []
+    for u, s, v in zip(
+        rng.integers(0, 6, 60), rng.integers(0, 3600, 60),
+        rng.uniform(0, 1, 60),
+    ):
+        if (int(u), int(s)) not in seen:
+            seen.add((int(u), int(s)))
+            right_rows.append((int(u), t0 + timedelta(seconds=int(s)), float(v)))
+    left = spark.createDataFrame(left_rows, "k long, ts timestamp, lv double")
+    right = spark.createDataFrame(right_rows, "k long, ts timestamp, rv double")
+
+    got = {
+        (r.k, r.ts, r.lv): (r.ts_r, r.rv_r)
+        for r in asof_join(left, right, keys=["k"]).collect()
+    }
+    assert len(got) == len(set((r[0], r[1], r[2]) for r in left_rows))
+    for k, ts, lv in left_rows:
+        cands = [(rts, rv) for rk, rts, rv in right_rows
+                 if rk == k and rts <= ts]
+        expected = max(cands, key=lambda x: x[0]) if cands else (None, None)
+        assert got[(k, ts, lv)] == expected

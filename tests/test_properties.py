@@ -119,3 +119,48 @@ def test_rasterize_matches_naive_for_convex_hulls(pts):
     got = polygon_mask([ring], T, (8, 8))
     want = _naive_mask([ring], T, (8, 8))
     np.testing.assert_array_equal(got, want)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    method=st.sampled_from(["bilinear", "cubic", "lanczos"]),
+    const=st.floats(-100, 100, allow_subnormal=False),
+    fx=st.floats(1.0, 6.0, allow_subnormal=False),
+    fy=st.floats(1.0, 5.0, allow_subnormal=False),
+)
+def test_warp_kernels_partition_of_unity(method, const, fx, fy):
+    """A constant field resamples to the same constant under every
+    interpolating kernel at any fractional position (weight
+    renormalization => partition of unity holds even near edges)."""
+    from gfw_pixetl_spark.functions.warp import sample_grid
+
+    src = np.ma.MaskedArray(
+        np.full((7, 8), const, dtype="float64"), mask=np.zeros((7, 8), bool)
+    )
+    out = sample_grid(
+        src, np.array([[fx]]), np.array([[fy]]), method
+    )
+    assert not out.mask[0, 0]
+    np.testing.assert_allclose(out[0, 0], const, atol=1e-9 * max(1, abs(const)))
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    a=st.floats(-5, 5, allow_subnormal=False),
+    b=st.floats(-5, 5, allow_subnormal=False),
+    c=st.floats(-50, 50, allow_subnormal=False),
+    fx=st.floats(2.0, 6.0, allow_subnormal=False),
+    fy=st.floats(2.0, 5.0, allow_subnormal=False),
+    method=st.sampled_from(["bilinear", "cubic"]),
+)
+def test_warp_kernels_linear_precision(a, b, c, fx, fy, method):
+    """Bilinear and Keys cubic reproduce affine fields exactly away from
+    the clamped border."""
+    from gfw_pixetl_spark.functions.warp import sample_grid
+
+    jj, ii = np.meshgrid(np.arange(9.0), np.arange(8.0))
+    src = np.ma.MaskedArray(a * jj + b * ii + c, mask=np.zeros((8, 9), bool))
+    out = sample_grid(src, np.array([[fx]]), np.array([[fy]]), method)
+    np.testing.assert_allclose(
+        out[0, 0], a * fx + b * fy + c, atol=1e-7
+    )

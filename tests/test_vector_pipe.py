@@ -226,3 +226,32 @@ def test_vector_pipe_salted_matches_sequential(spark, tmp_path):
         with np.load(r2[0].out_path) as z:
             b = z["data"]
         np.testing.assert_array_equal(a, b)
+
+
+def test_vector_pipe_salted_stress_many_features(spark, tmp_path):
+    """300 overlapping features in one tile: salted (n_salts=8) output is
+    byte-identical to sequential — the skew path at volume."""
+    rng = np.random.default_rng(13)
+    rows = []
+    for fid in range(300):
+        x0 = float(rng.uniform(0, 8))
+        y0 = float(rng.uniform(0, 8))
+        w = float(rng.uniform(0.5, 2))
+        h = float(rng.uniform(0.5, 2))
+        v = float(rng.integers(1, 50))
+        rows.append((fid, v, [[[x0, y0], [x0 + w, y0], [x0 + w, y0 + h],
+                               [x0, y0 + h], [x0, y0]]]))
+    feats = spark.createDataFrame(
+        rows, f"feature_id long, value double, geom {GEOM_TYPE}"
+    )
+    grid = LatLngGrid(10, 160)
+    outs = []
+    for n_salts, sub in ((1, "seq"), (8, "sal")):
+        pipe = VectorPipe(layer=_vector_layer(order="desc"),
+                          work_dir=str(tmp_path / sub), grid=grid,
+                          n_salts=n_salts)
+        [r] = pipe.run(spark, feats, subset=["10N_000E"]).collect()
+        assert r.status == "processed"
+        with np.load(r.out_path) as z:
+            outs.append(z["data"].copy())
+    np.testing.assert_array_equal(outs[0], outs[1])
