@@ -188,3 +188,39 @@ def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("value").alias("y_value"))
     )
     return asof_join(x, y, keys=["user_id"], ts_col="ts")
+
+
+# --------------------------------------------------------------------------
+# q60 — custom stateful streaming sessionization (applyInPandasWithState):
+# emits every CLOSED session; each user's final session stays in state.
+# Oracle = batch gap-sessions minus each user's last session.
+# --------------------------------------------------------------------------
+@register(
+    "q60_stream_state_sessions",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ), agg AS (
+      SELECT user_id, sid,
+             epoch(MIN(ts)) AS session_start,
+             epoch(MAX(ts)) - epoch(MIN(ts)) AS duration_sec,
+             COUNT(*) AS n_events
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, duration_sec, n_events FROM agg
+    WHERE sid < (SELECT MAX(sid) FROM agg a2 WHERE a2.user_id = agg.user_id)
+    """,
+)
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import run_sessionize_with_state_once
+
+    return run_sessionize_with_state_once(spark, f"{sf_dir}/events.parquet")

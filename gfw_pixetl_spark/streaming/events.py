@@ -153,3 +153,78 @@ def run_stream_dedup_once(spark: SparkSession, docs_path: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def sessionize_with_state(
+    spark: SparkSession, events_path: str, gap_sec: float = 1800.0
+) -> DataFrame:
+    """Custom stateful sessionization via ``applyInPandasWithState`` —
+    the escape hatch for stateful semantics ``session_window`` cannot
+    express (here: emit CLOSED sessions only, keeping the open session
+    in explicit per-user state).
+
+    Determinism contract: draining a static table with ``availableNow``
+    delivers each user's full history to one stateful group call, so the
+    emitted set — every session except each user's final (still-open)
+    one — is deterministic and batch-SQL-checkable (harness q60). On a
+    live stream, emission timing follows arrival order, as with any
+    stateful operator.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = _event_stream(spark, events_path)
+    ev = stream.select(
+        "user_id", F.col("ts").cast("double").alias("ts_sec")
+    )
+
+    out_schema = (
+        "user_id long, session_start double, duration_sec double, "
+        "n_events long"
+    )
+    state_schema = "start double, last double, n long"
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = None, None, 0
+        closed = []
+        for pdf in pdfs:
+            for ts in pdf["ts_sec"].sort_values():
+                ts = float(ts)
+                if start is None:
+                    start, last, n = ts, ts, 1
+                elif ts - last > gap_sec:
+                    closed.append((user_id, start, last - start, n))
+                    start, last, n = ts, ts, 1
+                else:
+                    last = ts
+                    n += 1
+        if start is not None:
+            state.update((start, last, n))
+        yield pd.DataFrame(
+            closed,
+            columns=["user_id", "session_start", "duration_sec", "n_events"],
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def run_sessionize_with_state_once(
+    spark: SparkSession, events_path: str
+) -> DataFrame:
+    name = f"sessionize_state_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessionize_with_state(spark, events_path)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -150,3 +150,24 @@ def test_incremental_vector_tiler(spark, tmp_path):
     # lon 1.5, lat 1.5 -> only feature 3; lon 3, lat 3 -> overlap, 7 wins
     assert data[int((10 - 1.5) / 0.0625), int(1.5 / 0.0625)] == 3
     assert data[int((10 - 3.0) / 0.0625), int(3.0 / 0.0625)] == 7
+
+
+def test_sessionize_with_state_keeps_open_sessions(spark):
+    """The stateful sessionizer emits closed sessions only: every user's
+    chronologically-last session is withheld (still open in state)."""
+    from gfw_pixetl_spark.streaming.events import (
+        run_sessionize_once, run_sessionize_with_state_once,
+    )
+
+    closed = run_sessionize_with_state_once(spark, EVENTS).collect()
+    all_sessions = run_sessionize_once(spark, EVENTS).collect()
+    per_user_all = {}
+    for r in all_sessions:
+        per_user_all.setdefault(r.user_id, []).append(r)
+    # exactly one session (the last) withheld per user
+    assert len(closed) == sum(len(v) - 1 for v in per_user_all.values())
+    last_starts = {
+        u: max(r.session_start for r in v) for u, v in per_user_all.items()
+    }
+    for r in closed:
+        assert r.session_start < last_starts[r.user_id].timestamp()
