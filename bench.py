@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "q55_stratified_sample",
     "q56_tfidf_topterms",
     "q57_normalized_dedup",
+    "q61_centroid_assign",
     "q59_asof_join",
 ]
 

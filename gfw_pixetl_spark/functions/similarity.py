@@ -220,3 +220,60 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def label_centroids(
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-label mean vector, computed WITHOUT a Python UDF: posexplode
+    to (label, pos, component), one partial-aggregable avg, reassemble
+    the array with an ordered collect. Shuffle state is labels × dims —
+    tiny — regardless of corpus size; this is the distributed centroid
+    shape k-means/IVF training uses at scale.
+    """
+    ex = emb.select(
+        F.col(label_col).alias("clabel"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v"),
+    )
+    per = ex.groupBy("clabel", "pos").agg(F.avg("v").alias("cv"))
+    return (
+        per.groupBy("clabel")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))).alias("pc")
+        )
+        .select("clabel", F.col("pc.cv").alias("centroid"))
+    )
+
+
+def centroid_assign(
+    emb: DataFrame,
+    centroids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Nearest-centroid assignment by cosine (semantic cluster routing /
+    mixture balancing). Centroids default to the per-``label`` means —
+    making this a self-classification whose agreement rate measures
+    cluster tightness. The centroid table broadcasts; scoring is a
+    JVM-side zip_with/aggregate over each row — no shuffle of the corpus
+    beyond the final per-vector argmax (a window over ~k rows/vector).
+    """
+    cent = centroids if centroids is not None else label_centroids(
+        emb, label_col, vec_col
+    )
+    scored = emb.select(
+        id_col, label_col, F.col(vec_col).cast("array<double>").alias("_v")
+    ).crossJoin(F.broadcast(cent))
+    cos = cosine(F.col("_v"), F.col("centroid"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("cos"), F.col("clabel"))
+    return (
+        scored.withColumn("cos", cos)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            id_col, label_col,
+            F.col("clabel").alias("assigned"),
+            F.round("cos", 6).alias("sim"),
+        )
+    )

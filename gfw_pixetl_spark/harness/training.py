@@ -224,3 +224,39 @@ def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import run_sessionize_with_state_once
 
     return run_sessionize_with_state_once(spark, f"{sf_dir}/events.parquet")
+
+
+# --------------------------------------------------------------------------
+# q61 — nearest-centroid assignment (cosine) against per-label centroids:
+# the cluster-routing / mixture-balancing op over the embeddings table.
+# --------------------------------------------------------------------------
+@register(
+    "q61_centroid_assign",
+    oracle="""
+    WITH ex AS (
+      SELECT label, vec_id, unnest(embedding) AS v,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ), c AS (
+      SELECT label AS clabel, pos, AVG(v) AS cv FROM ex GROUP BY 1, 2
+    ), cent AS (
+      SELECT clabel, list(cv ORDER BY pos) AS centroid FROM c GROUP BY 1
+    ), scored AS (
+      SELECT e.vec_id, e.label, cent.clabel,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]), centroid)
+             / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(e.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(centroid, centroid))) AS cos
+      FROM embeddings e CROSS JOIN cent
+    )
+    SELECT vec_id, label, clabel AS assigned, round(cos, 6) AS sim FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY cos DESC, clabel
+      ) AS rk FROM scored
+    ) WHERE rk = 1
+    """,
+)
+def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import similarity as SIM
+
+    return SIM.centroid_assign(load(spark, sf_dir, "embeddings"))
