@@ -260,3 +260,63 @@ def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import similarity as SIM
 
     return SIM.centroid_assign(load(spark, sf_dir, "embeddings"))
+
+
+# --------------------------------------------------------------------------
+# q62 — dedup keep-best: resolve near-dup clusters (q53 components) and
+# keep one survivor per cluster — the longest doc, ties to min doc_id —
+# the full curation pipeline composed end-to-end.
+# --------------------------------------------------------------------------
+@register(
+    "q62_dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      {_Q29_SQL}
+    ), edges AS (
+      SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_id_b AS src, doc_id_a AS dst FROM pairs
+    ), reach(id, lab) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lab FROM edges e JOIN reach r ON e.src = r.id
+    ), comp AS (
+      SELECT id AS doc_id, MIN(lab) AS component FROM reach GROUP BY id
+    ), full_comp AS (
+      -- singletons (no near-dup edge) are their own component
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+             d.n_chars
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT component, doc_id AS keep_doc_id, n_chars AS keep_n_chars,
+           n_members FROM (
+      SELECT *, COUNT(*) OVER (PARTITION BY component) AS n_members,
+             ROW_NUMBER() OVER (
+               PARTITION BY component ORDER BY n_chars DESC, doc_id
+             ) AS rk
+      FROM full_comp
+    ) WHERE rk = 1
+    """,
+)
+def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs)
+    comp = D.connected_components(D.lsh_star_edges(sigs))
+    full = docs.select("doc_id", "n_chars").join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("component"),
+        "n_chars",
+    )
+    w = Window.partitionBy("component")
+    wr = w.orderBy(F.desc("n_chars"), F.col("doc_id"))
+    return (
+        full.withColumn("n_members", F.count("*").over(w))
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            "component", F.col("doc_id").alias("keep_doc_id"),
+            F.col("n_chars").alias("keep_n_chars"), "n_members",
+        )
+    )
