@@ -42,6 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--existing", action="append", default=None,
                    help="tile ids already present at destination "
                         "(skipped unless --overwrite)")
+    p.add_argument("--n-salts", type=int, default=1,
+                   help="vector layers: split each window's burn across N "
+                        "salt shards (skew mitigation; output identical)")
     p.add_argument("layer_json")
     return p
 
@@ -73,7 +76,8 @@ def main(argv: list[str] | None = None) -> int:
         if not args.features:
             raise ValueError("vector layers need --features (parquet path)")
         features = spark.read.parquet(args.features)
-        pipe = VectorPipe(layer=layer, work_dir=args.work_dir)
+        pipe = VectorPipe(layer=layer, work_dir=args.work_dir,
+                          n_salts=args.n_salts)
         statuses = pipe.run(spark, features, subset=args.subset)
 
     statuses = statuses.cache()
