@@ -320,3 +320,29 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").alias("keep_n_chars"), "n_members",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q63 — global-statistic quality filter: keep docs longer than the corpus
+# median. The global scalar is a 1-row broadcast (no driver round-trip,
+# no second scan barrier in the plan — Catalyst reuses the subquery).
+# --------------------------------------------------------------------------
+@register(
+    "q63_quality_filter",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM documents
+    WHERE n_chars > (SELECT quantile_cont(n_chars, 0.5) FROM documents)
+    """,
+)
+def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    med = docs.agg(
+        F.percentile(F.col("n_chars"), F.lit(0.5)).alias("med")
+    )
+    return (
+        docs.crossJoin(F.broadcast(med))
+        .filter(F.col("n_chars") > F.col("med"))
+        .select("doc_id", "lang", "n_chars")
+    )
