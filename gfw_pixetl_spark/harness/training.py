@@ -346,3 +346,37 @@ def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_chars") > F.col("med"))
         .select("doc_id", "lang", "n_chars")
     )
+
+
+# --------------------------------------------------------------------------
+# q64 — streaming near-dup filter: MinHash-band state store drops any doc
+# whose band collides with an earlier doc. Survivor set after an
+# availableNow drain == docs that are MIN(doc_id) in ALL their buckets.
+# --------------------------------------------------------------------------
+from .textops import SQL_WORDSET, _bands_union, _mh_cols, _sql_word_hash  # noqa: E402
+
+
+@register(
+    "q64_stream_neardup_filter",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest({SQL_WORDSET}) AS word FROM documents
+    ), h AS (
+      SELECT doc_id, {_sql_word_hash()} AS hw FROM w
+    ), sigs AS (
+      SELECT doc_id,
+             {_mh_cols}
+      FROM h GROUP BY doc_id
+    ), banded AS (
+      {_bands_union}
+    ), mins AS (
+      SELECT band_id, key, MIN(doc_id) AS m FROM banded GROUP BY 1, 2
+    )
+    SELECT b.doc_id FROM banded b JOIN mins USING (band_id, key)
+    GROUP BY b.doc_id HAVING BOOL_AND(b.doc_id = m)
+    """,
+)
+def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.neardup import run_stream_neardup_filter_once
+
+    return run_stream_neardup_filter_once(spark, f"{sf_dir}/documents.parquet")

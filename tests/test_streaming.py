@@ -171,3 +171,29 @@ def test_sessionize_with_state_keeps_open_sessions(spark):
     }
     for r in closed:
         assert r.session_start < last_starts[r.user_id].timestamp()
+
+
+def test_stream_neardup_filter_matches_batch_rule(spark):
+    """Streaming survivors == docs that are the hub (min doc) of every
+    band bucket they occupy — i.e. never the non-hub end of a star edge."""
+    from gfw_pixetl_spark.functions.dedup import (
+        lsh_star_edges, minhash_signatures,
+    )
+    from gfw_pixetl_spark.harness import load
+    from gfw_pixetl_spark.streaming.neardup import (
+        run_stream_neardup_filter_once,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents")
+    survivors = {
+        r.doc_id for r in run_stream_neardup_filter_once(
+            spark, f"{SF_SMOKE}/documents.parquet"
+        ).collect()
+    }
+    sigs = minhash_signatures(docs)
+    demoted = {
+        r.doc_id_a for r in lsh_star_edges(sigs).select("doc_id_a").collect()
+    }
+    with_bands = {r.doc_id for r in sigs.select("doc_id").collect()}
+    assert survivors == with_bands - demoted
+    assert 0 < len(survivors) < docs.count()
