@@ -158,3 +158,33 @@ def sample_frames(
             )
 
     return df.select(id_col, payload_col).mapInPandas(kernel, FRAME_SCHEMA)
+
+
+AHASH_SCHEMA = "doc_id long, ahash long"
+
+
+def image_ahash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Perceptual average-hash over the decoded image: bit i set iff
+    pixel i is brighter than the image mean — the standard aHash dedup
+    fingerprint, downstream of which near-dup matching is JVM-side
+    xor/bit_count (same shape as SimHash, q30/q31).
+
+    With codecs absent the 'decoded image' is the deterministic stub
+    (the 16 payload bytes as a 4x4 grayscale grid), which makes this the
+    one multimodal kernel an external SQL oracle can replay bit-for-bit
+    (harness q65) — the plumbing proof for the whole decode family.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for doc_id, t in zip(pdf["doc_id"], pdf[text_col]):
+                px = fake_payload(t)  # 16 'pixels'
+                mean = sum(px) / 16.0
+                hashes.append(
+                    sum(1 << i for i, b in enumerate(px) if b > mean)
+                )
+                ids.append(doc_id)
+            yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
+
+    return df.select("doc_id", text_col).mapInPandas(kernel, AHASH_SCHEMA)

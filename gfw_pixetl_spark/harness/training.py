@@ -380,3 +380,36 @@ def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.neardup import run_stream_neardup_filter_once
 
     return run_stream_neardup_filter_once(spark, f"{sf_dir}/documents.parquet")
+
+
+# --------------------------------------------------------------------------
+# q65 — multimodal perceptual hash (aHash) over the stub-decoded image:
+# the one decode-family kernel whose deterministic fake (md5 bytes as a
+# 4x4 grid) an external oracle CAN replay — full value parity, unlike
+# the rows-only q50/q51.
+# --------------------------------------------------------------------------
+_AHASH_BYTES = [
+    f"CAST(('0x' || substr(md5(text), {2 * i + 1}, 2)) AS BIGINT)"
+    for i in range(16)
+]
+_AHASH_BITS = " + ".join(
+    f"(CASE WHEN {t} > m THEN {1 << i} ELSE 0 END)"
+    for i, t in enumerate(_AHASH_BYTES)
+)
+
+
+@register(
+    "q65_multimodal_ahash",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, text,
+             ({" + ".join(_AHASH_BYTES)}) / 16.0 AS m
+      FROM documents
+    )
+    SELECT doc_id, CAST({_AHASH_BITS} AS BIGINT) AS ahash FROM b
+    """,
+)
+def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import image_ahash
+
+    return image_ahash(load(spark, sf_dir, "documents"))
