@@ -413,3 +413,40 @@ def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.multimodal import image_ahash
 
     return image_ahash(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# q66 — 3-word-shingle Jaccard near-dup pairs (passage-copy detection;
+# unigram q27 catches topical overlap, shingles catch copied text runs).
+# --------------------------------------------------------------------------
+@register(
+    "q66_shingle_jaccard",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x != '') AS ws
+      FROM documents
+    ), base AS (
+      SELECT doc_id, source,
+             list_distinct(CASE WHEN len(ws) >= 3 THEN
+               list_transform(generate_series(1, len(ws) - 2),
+                              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+             ELSE CAST([] AS VARCHAR[]) END) AS ss
+      FROM w
+    )
+    SELECT doc_id_a, doc_id_b, jaccard FROM (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             round(len(list_intersect(a.ss, b.ss))
+                   / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))),
+                   6) AS jaccard
+      FROM base a JOIN base b
+        ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(a.ss) > 0 AND len(b.ss) > 0
+    ) WHERE jaccard >= 0.5
+    """,
+)
+def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), threshold=0.5,
+        block_cols=("source",), shingle_n=3,
+    )
