@@ -1,0 +1,132 @@
+"""Relational-surface harness queries, wave 2: multi-level aggregation
+(ROLLUP), pivot, event debouncing, and conversion-funnel labeling — the
+standard OLAP/event-pipeline shapes over the events table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import load, register
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+# --------------------------------------------------------------------------
+# q67 — ROLLUP: per-(lang, source) doc stats with subtotal + grand-total
+# levels; one pass, Spark expands grouping sets without rescanning.
+# --------------------------------------------------------------------------
+@register(
+    "q67_rollup",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY ROLLUP(lang, source)
+    """,
+)
+def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.rollup("lang", "source").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q68 — pivot: per-user event-type counts as columns (fixed category list
+# so the plan needs no discovery pass and the schema is deterministic).
+# --------------------------------------------------------------------------
+@register(
+    "q68_pivot",
+    oracle=f"""
+    SELECT user_id,
+           {", ".join(
+               f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END)"
+               f" AS BIGINT) AS {t}" for t in EVENT_TYPES
+           )}
+    FROM events GROUP BY user_id
+    """,
+)
+def q68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    piv = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in EVENT_TYPES],
+    )
+
+
+# --------------------------------------------------------------------------
+# q69 — debounce: drop events arriving < 60 s after the previous event of
+# the same (user, type) — lag-window throttle, one shuffle.
+# --------------------------------------------------------------------------
+@register(
+    "q69_debounce",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts FROM (
+      SELECT event_id, user_id, event_type, ts,
+             epoch(ts) - epoch(lag(ts) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts, event_id)) AS gap
+      FROM events
+    ) WHERE gap IS NULL OR gap >= 60
+    """,
+)
+def q69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts")).over(w).cast("double")
+    return (
+        ev.withColumn("gap", gap)
+        .filter(F.col("gap").isNull() | (F.col("gap") >= 60))
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+# --------------------------------------------------------------------------
+# q70 — conversion funnel: label each view with whether the user purchased
+# within 1 h at-or-after it. Spark side = FORWARD as-of join (the as-of
+# operator on negated time — earliest purchase >= view), so the plan is
+# one key-partitioned sort pass, not a per-pair range join. Oracle = the
+# declarative EXISTS.
+# --------------------------------------------------------------------------
+@register(
+    "q70_funnel",
+    oracle="""
+    SELECT v.event_id, v.user_id, epoch(v.ts) AS view_ts,
+           EXISTS (
+             SELECT 1 FROM events p
+             WHERE p.event_type = 'purchase' AND p.user_id = v.user_id
+               AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+           ) AS converted
+    FROM events v WHERE v.event_type = 'view'
+    """,
+)
+def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id",
+        (-F.col("ts").cast("double")).alias("tneg"),
+        F.col("ts").cast("double").alias("view_ts"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", (-F.col("ts").cast("double")).alias("tneg"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    j = asof_join(views, purchases, keys=["user_id"], ts_col="tneg")
+    converted = (
+        F.col("hit_r").isNotNull()
+        & ((-F.col("tneg_r")) - F.col("view_ts") <= 3600.0)
+    )
+    return j.select(
+        "event_id", "user_id", "view_ts", converted.alias("converted")
+    )
