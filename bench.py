@@ -66,6 +66,15 @@ BENCH_QUERIES = [
     "q57_normalized_dedup",
     "q61_centroid_assign",
     "q59_asof_join",
+    "q63_quality_filter",
+    "q65_multimodal_ahash",
+    "q66_shingle_jaccard",
+    "q67_rollup",
+    "q68_pivot",
+    "q69_debounce",
+    "q70_funnel",
+    "q71_raster_tile_job",
+    "q72_vector_tile_job",
 ]
 
 

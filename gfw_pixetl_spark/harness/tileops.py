@@ -280,3 +280,67 @@ def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("l_extendedprice", order).alias("value"),
         F.count("*").alias("n_sources"),
     )
+
+
+# --------------------------------------------------------------------------
+# q71/q72 — the flagship tile pipelines as harness entries (rows-only: the
+# outputs are written tiles; array values are golden-tested in
+# tests/test_raster_pipe.py / test_vector_pipe.py). Deterministic subset
+# on a 160-px test grid so the driver's repeat runs are stable.
+# --------------------------------------------------------------------------
+@register("q71_raster_tile_job")
+def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..grids import LatLngGrid
+    from ..models import LayerModel
+    from ..plans.raster_pipe import RasterPipe
+    from ..sources.raster import SyntheticReader
+
+    grid = LatLngGrid(10, 160)
+    layer = LayerModel(
+        dataset="harness_raster", version="v1", source_type="raster",
+        pixel_meaning="value", data_type="uint8", grid="10/40000",
+        calc="A*2", no_data=0, source_uri=["memory://synthetic"],
+    )
+    pipe = RasterPipe(
+        layer=layer,
+        reader=SyntheticReader(xres=grid.xres, yres=grid.yres),
+        work_dir=tempfile.mkdtemp(prefix="q71_"),
+        grid=grid,
+    )
+    files = [{"uri": "memory://a", "band": 1,
+              "left": -20.0, "bottom": -20.0, "right": 20.0, "top": 20.0}]
+    return pipe.run(spark, files).select("tile_id", "status", "n_windows")
+
+
+@register("q72_vector_tile_job")
+def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..grids import LatLngGrid
+    from ..models import LayerModel
+    from ..plans.vector_pipe import GEOM_TYPE, VectorPipe
+
+    grid = LatLngGrid(10, 160)
+    layer = LayerModel(
+        dataset="harness_vector", version="v1", source_type="vector",
+        pixel_meaning="cls", data_type="uint8", grid="10/40000", no_data=0,
+        order="asc",
+    )
+    rows = [
+        (1, 3.0, [[[1.0, 1.0], [15.0, 1.0], [15.0, 8.0], [1.0, 8.0],
+                   [1.0, 1.0]]]),
+        (2, 7.0, [[[-5.0, -5.0], [6.0, -5.0], [6.0, 6.0], [-5.0, 6.0],
+                   [-5.0, -5.0]]]),
+        (3, 5.0, [[[12.0, -12.0], [18.0, -12.0], [18.0, -2.0], [12.0, -2.0],
+                   [12.0, -12.0]]]),
+    ]
+    features = spark.createDataFrame(
+        rows, f"feature_id long, value double, geom {GEOM_TYPE}"
+    )
+    pipe = VectorPipe(
+        layer=layer, work_dir=tempfile.mkdtemp(prefix="q72_"), grid=grid,
+        n_salts=2,
+    )
+    return pipe.run(spark, features).select("tile_id", "status", "n_windows")
