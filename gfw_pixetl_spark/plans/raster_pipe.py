@@ -314,10 +314,22 @@ class RasterPipe:
         nodata = layer.no_data if isinstance(layer.no_data, list) else dtype.no_data
         np_dtype = dtype.data_type
 
+        # Arrow caps a single array at 2 GiB; a batch of window rows can
+        # carry maxRecordsPerBatch * window_bytes of binary payload, so
+        # the kernel must re-chunk its OUTPUT by bytes, not rows — at
+        # 10000 rows x 1 MB windows the unchunked yield overflows into a
+        # ChunkedArray and kills the exchange (SURVEY §7.4-4's limit, on
+        # the producer side).
+        max_yield_bytes = 128 * 1024 * 1024
+
         def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
                 out = []
+                out_bytes = 0
                 for r in pdf.itertuples(index=False):
+                    if out and out_bytes >= max_yield_bytes:
+                        yield pd.DataFrame(out, columns=WINDOW_PAYLOAD_COLS)
+                        out, out_bytes = [], 0
                     try:
                         left = r.tile_left + r.col_off * xres
                         top = r.tile_top - r.row_off * yres
@@ -348,9 +360,11 @@ class RasterPipe:
                         continue
                     buf = io.BytesIO()
                     np.save(buf, filled, allow_pickle=False)
+                    payload = buf.getvalue()
+                    out_bytes += len(payload)
                     out.append((
                         r.tile_id, r.row_off, r.col_off, r.height, r.width,
-                        filled.shape[0], np_dtype, valid, buf.getvalue(),
+                        filled.shape[0], np_dtype, valid, payload,
                     ))
                 yield pd.DataFrame(out, columns=WINDOW_PAYLOAD_COLS)
 

@@ -14,8 +14,14 @@ QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
 
 # genuinely non-SQL-expressible ops (binary digest chains DuckDB cannot
-# replay); the driver records a rows-only check for these
-ROWS_ONLY = {"q50_multimodal_resize", "q51_multimodal_frames"}
+# replay; multi-stage tile jobs with npy payloads); the driver records a
+# rows-only check for these
+ROWS_ONLY = {
+    "q50_multimodal_resize",
+    "q51_multimodal_frames",
+    "q71_raster_tile_job",
+    "q72_vector_tile_job",
+}
 
 
 def test_registry_complete():
