@@ -70,7 +70,13 @@ def extract_image_meta(df: DataFrame, text_col: str = "text") -> DataFrame:
     mapInPandas with Arrow batches: payload synthesis + header parse happen
     vectorized per batch; at scale, swap fake_payload for the real binary
     column and _parse_header for the codec sniffer — the plan is unchanged.
+    The parallelism guard keeps the Python workers fed when the source is
+    a handful of small files (a media manifest is bytes-tiny relative to
+    its decode cost).
     """
+    from .partitioning import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

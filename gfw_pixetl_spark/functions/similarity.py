@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .partitioning import ensure_min_partitions
+
 EMBED_DIM = 64
 N_HYPERPLANES = 8
 
@@ -56,8 +58,10 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    c = ensure_min_partitions(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        )
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -118,7 +122,7 @@ def ivf_assign(
     c = centroids.select(
         F.col(id_col).alias("cell_id"), F.col(vec_col).alias("cvec")
     )
-    v = vectors.select(id_col, vec_col)
+    v = ensure_min_partitions(vectors.select(id_col, vec_col))
     scored = v.crossJoin(F.broadcast(c)).select(
         id_col, vec_col, "cell_id",
         cosine(F.col(vec_col), F.col("cvec")).alias("_cs"),
@@ -193,6 +197,7 @@ def lsh_ann_topk(
     re-rank within bucket. At scale this replaces the cross join with an
     equi-join on bucket — collisions, not corpus x queries."""
     ws = weights or hyperplane_weights()
+    corpus = ensure_min_partitions(corpus)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
@@ -262,8 +267,10 @@ def centroid_assign(
     cent = centroids if centroids is not None else label_centroids(
         emb, label_col, vec_col
     )
-    scored = emb.select(
-        id_col, label_col, F.col(vec_col).cast("array<double>").alias("_v")
+    scored = ensure_min_partitions(
+        emb.select(
+            id_col, label_col, F.col(vec_col).cast("array<double>").alias("_v")
+        )
     ).crossJoin(F.broadcast(cent))
     cos = cosine(F.col("_v"), F.col("centroid"))
     w = Window.partitionBy(id_col).orderBy(F.desc("cos"), F.col("clabel"))

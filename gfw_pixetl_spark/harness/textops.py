@@ -322,7 +322,11 @@ def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    from ..functions.partitioning import ensure_min_partitions
+
+    docs = ensure_min_partitions(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    )
 
     def attach(batches):
         import pandas as pd
