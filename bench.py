@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "q70_funnel",
     "q71_raster_tile_job",
     "q72_vector_tile_job",
+    "q74_boilerplate_rate",
+    "q75_contamination",
 ]
 
 

@@ -450,3 +450,85 @@ def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents"), threshold=0.5,
         block_cols=("source",), shingle_n=3,
     )
+
+
+# --------------------------------------------------------------------------
+# q73/q74 — cross-document boilerplate: repeated 3-shingles per source, and
+# the per-doc boilerplate fraction (C4/RefinedWeb-style cleaning signals).
+# --------------------------------------------------------------------------
+_SQL_SHINGLES = """
+    WITH w AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x != '') AS ws
+      FROM documents
+    ), shingled AS (
+      SELECT doc_id, source,
+             list_distinct(CASE WHEN len(ws) >= 3 THEN
+               list_transform(generate_series(1, len(ws) - 2),
+                              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+             ELSE CAST([] AS VARCHAR[]) END) AS ss
+      FROM w
+    ), ex AS (
+      SELECT doc_id, source AS block, unnest(ss) AS shingle FROM shingled
+    )
+"""
+
+
+@register(
+    "q73_boilerplate_shingles",
+    oracle=f"""
+    {_SQL_SHINGLES}
+    SELECT block, shingle, COUNT(*) AS doc_count
+    FROM ex GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
+)
+def q73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.boilerplate_shingles(load(spark, sf_dir, "documents"), min_docs=2)
+
+
+@register(
+    "q74_boilerplate_rate",
+    oracle=f"""
+    {_SQL_SHINGLES}
+    , bp AS (
+      SELECT block, shingle FROM ex GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    )
+    SELECT e.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN bp.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boiler,
+           round(CAST(SUM(CASE WHEN bp.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS boiler_rate
+    FROM ex e
+    LEFT JOIN bp ON e.block = bp.block AND e.shingle = bp.shingle
+    GROUP BY 1
+    """,
+)
+def q74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.boilerplate_rate(load(spark, sf_dir, "documents"), min_docs=2)
+
+
+# --------------------------------------------------------------------------
+# q75 — benchmark decontamination: corpus docs sharing a 3-shingle with the
+# held-out "eval" slice (doc_id % 97 == 0), GPT-3/Llama overlap recipe.
+# --------------------------------------------------------------------------
+@register(
+    "q75_contamination",
+    oracle=f"""
+    {_SQL_SHINGLES}
+    , bench AS (
+      SELECT DISTINCT shingle FROM ex WHERE doc_id % 97 = 0
+    )
+    SELECT doc_id, COUNT(*) AS n_hits
+    FROM ex JOIN bench USING (shingle)
+    WHERE doc_id % 97 <> 0
+    GROUP BY 1
+    """,
+)
+def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return D.contamination_hits(corpus, bench)

@@ -186,3 +186,34 @@ def test_lsh_star_edges_same_components_as_pairs(spark):
         for r in connected_components(lsh_star_edges(sigs)).collect()
     }
     assert via_star == via_pairs
+
+
+def test_boilerplate_shingles_and_rate(spark):
+    # "x y z" appears in docs 0 and 1 (boilerplate at min_docs=2);
+    # doc 2 shares no shingle; doc 3 is too short to shingle.
+    df = docs_df(spark, [
+        "x y z a b c",   # shingles: xyz yza zab abc
+        "x y z q r s",   # shingles: xyz yzq zqr qrs
+        "u v w t",       # shingles: uvw vwt
+        "a b",           # no 3-shingles
+    ])
+    bp = D.boilerplate_shingles(df, min_docs=2).collect()
+    assert [(r.block, r.shingle, r.doc_count) for r in bp] == [
+        ("src", "x y z", 2)
+    ]
+    rates = {
+        r.doc_id: (r.n_shingles, r.n_boiler, r.boiler_rate)
+        for r in D.boilerplate_rate(df, min_docs=2).collect()
+    }
+    assert rates == {0: (4, 1, 0.25), 1: (4, 1, 0.25), 2: (2, 0, 0.0)}
+
+
+def test_contamination_hits(spark):
+    corpus = docs_df(spark, ["a b c d", "p q r s", "a b c x y z"])
+    bench = spark.createDataFrame(
+        [(100, "src", "a b c"), (101, "src", "x y z")],
+        ["doc_id", "source", "text"],
+    )
+    out = {r.doc_id: r.n_hits for r in D.contamination_hits(corpus, bench).collect()}
+    # doc 0 shares "a b c"; doc 2 shares "a b c" and "x y z"; doc 1 clean.
+    assert out == {0: 1, 2: 2}
