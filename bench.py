@@ -77,6 +77,9 @@ BENCH_QUERIES = [
     "q72_vector_tile_job",
     "q74_boilerplate_rate",
     "q75_contamination",
+    "q79_pii_scrub",
+    "q80_repetition",
+    "q82_cohort_retention",
 ]
 
 

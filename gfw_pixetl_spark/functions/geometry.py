@@ -1,0 +1,246 @@
+"""Exact polygon geometry without shapely (G2/G3/G4, ROADMAP gap 3).
+
+The reference leans on external geometry engines for its three set ops:
+feature-to-tile clipping happens in PostGIS (``ST_Intersection``,
+``gfw_pixetl/tiles/vector_src_tile.py:44-63``), footprint union happens
+in shapely (``unary_union``, ``gfw_pixetl/utils/geometry.py:41-48``),
+and areas are implicit. Neither PostGIS nor shapely exists in this
+engine's runtime, but it never needs the general case: every clip
+region the engine produces is an axis-aligned rectangle (tiles,
+windows, bboxes), and every footprint is a rectangle too. For that
+restricted domain all three ops have exact, dependency-free forms:
+
+- **Clip** (G3): Sutherland–Hodgman against the four half-planes of a
+  box. Correct for arbitrary — including non-convex — subject
+  polygons, because the *clip* region is convex; NumPy per ring.
+  Holes clip independently: ``hole ⊆ outer`` implies
+  ``hole ∩ box ⊆ outer ∩ box``, so signed-area semantics survive.
+- **Area** (shoelace): a JVM-side column expression over the
+  engine-native ``array<array<array<double>>>`` ring encoding —
+  whole-stage-codegen'd, no Python in the hot path.
+- **Union area** (G4): rectilinear union via coordinate compression —
+  a declarative DataFrame plan (distinct edges → interval grid →
+  coverage semi-join → sum), no sweep-line state, no geometry lib.
+
+Scale notes: the clip kernel is a narrow per-row map (no shuffle); the
+shoelace area is pure codegen; the union-area plan shuffles only the
+O(n) distinct coordinates (broadcast back), and its cell/rect coverage
+join is an interval join that AQE handles like the tile⋈file range
+join (G1). HOF lambdas below bind arrays as *arguments* (zip_with /
+slice), never capture computed arrays in lambda bodies — interpreted
+HOFs re-evaluate captured expressions per element.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "clip_ring_to_box",
+    "clip_polygon_to_box",
+    "clip_to_box_udf",
+    "ring_signed_area",
+    "polygon_signed_area",
+    "signed_area_col",
+    "area_col",
+    "rect_union_area",
+]
+
+
+# ---------------------------------------------------------------------------
+# NumPy kernels (used inside pandas UDFs / the rasterize path)
+# ---------------------------------------------------------------------------
+
+def _clip_halfplane(pts: np.ndarray, inside: np.ndarray,
+                    axis: int, bound: float) -> np.ndarray:
+    """One Sutherland–Hodgman pass against the line ``coord[axis] ==
+    bound``; ``inside`` flags the vertices to keep."""
+    n = len(pts)
+    if n == 0:
+        return pts
+    out: list[np.ndarray] = []
+    prev = pts[-1]
+    prev_in = inside[-1]
+    for i in range(n):
+        cur = pts[i]
+        cur_in = inside[i]
+        if cur_in:
+            if not prev_in:
+                out.append(_intersect(prev, cur, axis, bound))
+            out.append(cur)
+        elif prev_in:
+            out.append(_intersect(prev, cur, axis, bound))
+        prev, prev_in = cur, cur_in
+    return np.array(out, dtype=np.float64) if out else np.empty((0, 2))
+
+
+def _intersect(p: np.ndarray, q: np.ndarray, axis: int, bound: float) -> np.ndarray:
+    """Point where segment p→q crosses the line ``coord[axis] == bound``."""
+    t = (bound - p[axis]) / (q[axis] - p[axis])
+    return p + t * (q - p)
+
+
+def clip_ring_to_box(ring: np.ndarray, left: float, bottom: float,
+                     right: float, top: float) -> np.ndarray:
+    """Clip one ring (``(n, 2)`` float array, open — no repeated closing
+    point) to an axis-aligned box. Returns the clipped ring, possibly
+    empty. Winding (and hence signed area sign) is preserved."""
+    try:
+        pts = np.asarray(ring, dtype=np.float64)
+    except ValueError:
+        # Arrow hands list<list<double>> in as an object array of
+        # per-point arrays; stack explicitly
+        pts = np.stack([np.asarray(p, dtype=np.float64) for p in ring])
+    if pts.ndim != 2 or len(pts) == 0:
+        return np.empty((0, 2))
+    if len(pts) > 1 and (pts[0] == pts[-1]).all():
+        pts = pts[:-1]  # accept closed rings too
+    for axis, bound, keep_le in (
+        (0, left, False), (0, right, True), (1, bottom, False), (1, top, True),
+    ):
+        if len(pts) == 0:
+            break
+        coord = pts[:, axis]
+        inside = coord <= bound if keep_le else coord >= bound
+        pts = _clip_halfplane(pts, inside, axis, bound)
+    return pts
+
+
+def clip_polygon_to_box(rings, left: float, bottom: float,
+                        right: float, top: float) -> list[np.ndarray]:
+    """Clip every ring of a polygon independently (valid because the box
+    is convex — see module docstring). Empty rings are dropped; an empty
+    list means no intersection."""
+    out = []
+    for ring in rings:
+        clipped = clip_ring_to_box(np.asarray(ring), left, bottom, right, top)
+        if len(clipped) >= 3:
+            out.append(clipped)
+    return out
+
+
+def ring_signed_area(ring: np.ndarray) -> float:
+    """Shoelace signed area of one open ring: positive CCW, negative CW."""
+    pts = np.asarray(ring, dtype=np.float64)
+    if len(pts) < 3:
+        return 0.0
+    x, y = pts[:, 0], pts[:, 1]
+    return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+
+def polygon_signed_area(rings) -> float:
+    """Sum of ring signed areas. With the usual convention (outer CCW,
+    holes CW) this is the polygon's area; ``abs`` gives winding-agnostic
+    area for hole-free polygons."""
+    return float(sum(ring_signed_area(r) for r in rings))
+
+
+def clip_to_box_udf(left: float, bottom: float, right: float, top: float):
+    """Pandas-UDF factory: clip the engine-native geometry column
+    (``array<array<array<double>>>``) to a fixed box — the engine-side
+    analog of the reference's per-tile ``ST_Intersection`` pushdown
+    (``tiles/vector_src_tile.py:44-63``) for features already in
+    Parquet. Narrow Arrow-batched map, no shuffle."""
+
+    @F.pandas_udf("array<array<array<double>>>")
+    def _clip(geoms: pd.Series) -> pd.Series:
+        return geoms.apply(
+            lambda rings: [
+                r.tolist()
+                for r in clip_polygon_to_box(rings, left, bottom, right, top)
+            ]
+        )
+
+    return _clip
+
+
+# ---------------------------------------------------------------------------
+# JVM-side shoelace (column expression — stays in whole-stage codegen)
+# ---------------------------------------------------------------------------
+
+def _ring_signed_area_col(ring: Column) -> Column:
+    # rotate-by-one as a slice/concat *argument* to zip_with (never
+    # capture the rotated array inside the lambda body — interpreted
+    # HOFs would rebuild it per element)
+    rot = F.concat(F.slice(ring, 2, F.size(ring) - 1), F.slice(ring, 1, 1))
+    cross = F.zip_with(ring, rot, lambda p, q: p[0] * q[1] - q[0] * p[1])
+    return F.aggregate(cross, F.lit(0.0), lambda acc, x: acc + x) / 2
+
+
+def signed_area_col(geom: Column) -> Column:
+    """Shoelace signed area of ``array<array<array<double>>>`` geometry
+    (sum over rings). Pure column math — no UDF, no shuffle."""
+    areas = F.transform(geom, _ring_signed_area_col)
+    return F.aggregate(areas, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def area_col(geom: Column) -> Column:
+    """Winding-agnostic absolute area (hole-free polygons, or
+    consistently wound outer-CCW/holes-CW polygons)."""
+    return F.abs(signed_area_col(geom))
+
+
+# ---------------------------------------------------------------------------
+# Rectilinear union area (G4 exact, declarative)
+# ---------------------------------------------------------------------------
+
+def rect_union_area(rects: DataFrame, left: str = "left", bottom: str = "bottom",
+                    right: str = "right", top: str = "top") -> DataFrame:
+    """Exact area of the union of axis-aligned rectangles — the measure
+    the reference gets from ``unary_union`` over tile footprints
+    (``utils/geometry.py:41-48``), computed relationally:
+
+    1. distinct x edges → consecutive-pair intervals (lead window);
+       same for y — the coordinate-compressed grid;
+    2. cell ⋈ rect on containment (a cell is covered iff its
+       midpoint-free interval lies inside some rect — intervals never
+       straddle an edge by construction);
+    3. distinct covered cells → sum of cell areas.
+
+    Returns a 1-row DataFrame ``[union_area double]``. The edge tables
+    are O(#rects) and broadcast; the coverage join is the only shuffle.
+    """
+    r = rects.select(
+        F.col(left).cast("double").alias("l"),
+        F.col(bottom).cast("double").alias("b"),
+        F.col(right).cast("double").alias("r"),
+        F.col(top).cast("double").alias("t"),
+    ).filter((F.col("l") < F.col("r")) & (F.col("b") < F.col("t")))
+
+    from pyspark.sql import Window
+
+    wx = Window.orderBy("x")
+    xs = (
+        r.select(F.col("l").alias("x")).union(r.select(F.col("r")))
+        .distinct()
+        .select("x", F.lead("x").over(wx).alias("x2"))
+        .filter(F.col("x2").isNotNull())
+    )
+    wy = Window.orderBy("y")
+    ys = (
+        r.select(F.col("b").alias("y")).union(r.select(F.col("t")))
+        .distinct()
+        .select("y", F.lead("y").over(wy).alias("y2"))
+        .filter(F.col("y2").isNotNull())
+    )
+    cells = F.broadcast(xs).crossJoin(F.broadcast(ys))
+    # non-equi semi-join: broadcast the rects (O(n), same order as the
+    # edge tables) so the cell side streams through a nested-loop probe
+    # instead of shuffling the O(n^2) cell grid
+    covered = (
+        cells.join(
+            F.broadcast(r),
+            (F.col("x") >= F.col("l")) & (F.col("x2") <= F.col("r"))
+            & (F.col("y") >= F.col("b")) & (F.col("y2") <= F.col("t")),
+            "leftsemi",
+        )
+    )
+    return covered.agg(
+        F.coalesce(
+            F.sum((F.col("x2") - F.col("x")) * (F.col("y2") - F.col("y"))),
+            F.lit(0.0),
+        ).alias("union_area")
+    )

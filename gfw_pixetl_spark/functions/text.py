@@ -180,3 +180,88 @@ def normalized_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.count("*").alias("dup_count"),
         )
     )
+
+
+# TPC-H phone shape (`c_phone`, e.g. "25-989-741-2988") — the stand-in
+# PII pattern; real deployments extend PII_PATTERNS with email/SSN/etc.
+# Kept to a dialect-neutral regex subset (identical in Java regex & RE2).
+PII_PHONE_REGEX = r"[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (PII_PHONE_REGEX, "[PHONE]"),
+    (r"[0-9]{5,}", "[NUM]"),  # long digit runs (account-number-ish)
+)
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    patterns: tuple[tuple[str, str], ...] = PII_PATTERNS,
+) -> DataFrame:
+    """Redact PII-shaped spans and count redactions — the standard
+    pre-training scrub pass. Pure JVM regex column ops (codegen'd full
+    scan, zero shuffles); patterns apply in order, counts are summed
+    BEFORE any replacement so overlapping patterns count on the
+    original text.
+    """
+    t = F.col(text_col)
+    n = F.lit(0)
+    for pat, _ in patterns:
+        n = n + F.regexp_count(t, F.lit(pat))
+    scrubbed = t
+    for pat, repl in patterns:
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return df.withColumns({
+        "n_redactions": n.cast("long"),
+        "scrubbed": scrubbed,
+    })
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition signals (Gopher-style quality rules):
+    duplicate-word fraction and top-word fraction.
+
+    Two-level aggregation — explode to (doc, word) counts, then per-doc
+    stats. Both aggregations are map-side-combinable and shuffle only
+    (doc_id, word) partials, never the text; at 100 TB the wide explode
+    never materializes because partial aggregation collapses it within
+    each scan task.
+    """
+    ex = df.select("doc_id", F.explode(words(text_col)).alias("w"))
+    wc = ex.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    return (
+        wc.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("top_n"),
+        )
+        .select(
+            "doc_id", "n_words", "n_distinct",
+            F.round(F.lit(1.0) - F.col("n_distinct") / F.col("n_words"), 6)
+            .alias("dup_frac"),
+            F.round(F.col("top_n") / F.col("n_words"), 6).alias("top_frac"),
+        )
+    )
+
+
+def domain_mix_weights(
+    df: DataFrame,
+    domain_cols: tuple[str, ...] = ("lang", "source"),
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled corpus mixing weights: w(d) ∝ n(d)^alpha,
+    normalized — the sampling-weight table a data-mixture trainer
+    consumes. One aggregation to domain counts (tiny), then the
+    normalizer broadcasts back as a 1-row crossJoin — no window over a
+    single partition, so the pattern survives any corpus size.
+    """
+    counts = df.groupBy(*domain_cols).agg(F.count("*").alias("n"))
+    counts = counts.withColumn("w", F.pow(F.col("n"), F.lit(alpha)))
+    total = counts.agg(F.sum("w").alias("w_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            *domain_cols, "n",
+            F.round(F.col("w") / F.col("w_total"), 6).alias("weight"),
+        )
+    )

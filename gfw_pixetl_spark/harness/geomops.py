@@ -1,0 +1,162 @@
+"""Exact-geometry harness queries (G2/G3/G4 beyond bboxes).
+
+The general operators (Sutherland–Hodgman clip, shoelace area,
+rectilinear union) are exercised on polygon inputs *derived
+deterministically from the TPC-H tables*, chosen so the DuckDB oracle
+has a closed form: triangles (shoelace has a 3-point closed form),
+rectangles (box∩box area is interval math). The Spark side always runs
+the GENERAL operator — the oracle only gets to be closed-form because
+of the input shape, so value-parity checks the general kernel.
+Non-convex/holed inputs are covered by unit tests
+(``tests/test_geometry.py``) since no SQL closed form exists for them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import geometry as G
+from . import load, register
+
+
+def _triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic triangle per order: integer coords from modular
+    arithmetic on the key (exact in double)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey")
+    k = F.col("o_orderkey")
+    d = lambda e: e.cast("double")  # noqa: E731
+    return o.select(
+        "o_orderkey",
+        F.array(F.array(
+            F.array(d(k % 97), d(k % 89)),
+            F.array(d(k % 97 + 1 + k % 7), d(k % 89 + k % 5)),
+            F.array(d(k % 97 + k % 11), d(k % 89 + 2 + k % 13)),
+        )).alias("geom"),
+    )
+
+
+def _rects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic rectangle per sampled customer (sampled so the
+    oracle's O(n^2) compressed grid stays small at sf0.01)."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    k = F.col("c_custkey")
+    return (
+        c.filter(k % 37 == 0)
+        .select(
+            "c_custkey",
+            (k % 100).cast("double").alias("l"),
+            ((k / F.lit(7)).cast("long") % 100).cast("double").alias("b"),
+            (k % 100 + 1 + k % 13).cast("double").alias("r"),
+            ((k / F.lit(7)).cast("long") % 100 + 1 + k % 17)
+            .cast("double").alias("t"),
+        )
+    )
+
+
+_RECT_SQL = """
+  SELECT c_custkey,
+         CAST(c_custkey % 100 AS DOUBLE) AS l,
+         CAST((c_custkey // 7) % 100 AS DOUBLE) AS b,
+         CAST(c_custkey % 100 + 1 + c_custkey % 13 AS DOUBLE) AS r,
+         CAST((c_custkey // 7) % 100 + 1 + c_custkey % 17 AS DOUBLE) AS t
+  FROM customer WHERE c_custkey % 37 = 0
+"""
+
+
+# --------------------------------------------------------------------------
+# q76 — shoelace polygon area (general JVM-side operator; triangle
+# closed-form oracle)
+# --------------------------------------------------------------------------
+@register(
+    "q76_polygon_area",
+    oracle="""
+    SELECT o_orderkey,
+           abs( (x1*(y2-y3) + x2*(y3-y1) + x3*(y1-y2)) ) / 2.0 AS tri_area
+    FROM (
+      SELECT o_orderkey,
+             CAST(o_orderkey % 97 AS DOUBLE) AS x1,
+             CAST(o_orderkey % 89 AS DOUBLE) AS y1,
+             CAST(o_orderkey % 97 + 1 + o_orderkey % 7 AS DOUBLE) AS x2,
+             CAST(o_orderkey % 89 + o_orderkey % 5 AS DOUBLE) AS y2,
+             CAST(o_orderkey % 97 + o_orderkey % 11 AS DOUBLE) AS x3,
+             CAST(o_orderkey % 89 + 2 + o_orderkey % 13 AS DOUBLE) AS y3
+      FROM orders
+    )
+    """,
+)
+def q76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tris = _triangles(spark, sf_dir)
+    return tris.select(
+        "o_orderkey", G.area_col(F.col("geom")).alias("tri_area")
+    )
+
+
+# --------------------------------------------------------------------------
+# q77 — Sutherland–Hodgman clip to a box (general kernel on rectangle
+# inputs; interval-math oracle). Spark runs polygon clip + shoelace —
+# never the closed form.
+# --------------------------------------------------------------------------
+_BOX = (25.0, 25.0, 75.0, 75.0)
+
+
+@register(
+    "q77_clip_area",
+    oracle=f"""
+    SELECT c_custkey, ix * iy AS clip_area FROM (
+      SELECT c_custkey,
+             greatest(0, least(r, {_BOX[2]}) - greatest(l, {_BOX[0]})) AS ix,
+             greatest(0, least(t, {_BOX[3]}) - greatest(b, {_BOX[1]})) AS iy
+      FROM ({_RECT_SQL})
+    ) WHERE ix * iy > 0
+    """,
+)
+def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rects = _rects(spark, sf_dir)
+    geom = F.array(F.array(
+        F.array("l", "b"), F.array("r", "b"),
+        F.array("r", "t"), F.array("l", "t"),
+    ))
+    clipped = rects.select(
+        "c_custkey", G.clip_to_box_udf(*_BOX)(geom).alias("cgeom")
+    )
+    return (
+        clipped.select(
+            "c_custkey", G.area_col(F.col("cgeom")).alias("clip_area")
+        )
+        .filter(F.col("clip_area") > 0)
+    )
+
+
+# --------------------------------------------------------------------------
+# q78 — rectilinear union area (G4 exact): declarative coordinate
+# compression on both sides — but Spark runs the general operator while
+# the oracle spells the same math inline.
+# --------------------------------------------------------------------------
+@register(
+    "q78_rect_union_area",
+    oracle=f"""
+    WITH rects AS ({_RECT_SQL}),
+    xs AS (
+      SELECT x, lead(x) OVER (ORDER BY x) AS x2 FROM (
+        SELECT DISTINCT x FROM (
+          SELECT l AS x FROM rects UNION SELECT r FROM rects)
+      )
+    ),
+    ys AS (
+      SELECT y, lead(y) OVER (ORDER BY y) AS y2 FROM (
+        SELECT DISTINCT y FROM (
+          SELECT b AS y FROM rects UNION SELECT t FROM rects)
+      )
+    ),
+    covered AS (
+      SELECT DISTINCT x, x2, y, y2
+      FROM xs, ys, rects
+      WHERE x2 IS NOT NULL AND y2 IS NOT NULL
+        AND x >= l AND x2 <= r AND y >= b AND y2 <= t
+    )
+    SELECT COALESCE(SUM((x2 - x) * (y2 - y)), 0.0) AS union_area FROM covered
+    """,
+)
+def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return G.rect_union_area(_rects(spark, sf_dir), "l", "b", "r", "t")

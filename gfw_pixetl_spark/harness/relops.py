@@ -130,3 +130,35 @@ def q70(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         "event_id", "user_id", "view_ts", converted.alias("converted")
     )
+
+
+# --------------------------------------------------------------------------
+# q82 — cohort retention: users bucketed by first-event month, distinct
+# actives per (cohort, month-age). The user-firsts dim is tiny relative
+# to the event stream, so it broadcasts back onto events — no shuffle of
+# the fact side beyond the final (cohort, age) aggregation.
+# --------------------------------------------------------------------------
+@register(
+    "q82_cohort_retention",
+    oracle="""
+    WITH f AS (SELECT user_id, MIN(ts) AS fts FROM events GROUP BY 1)
+    SELECT strftime(f.fts, '%Y-%m') AS cohort,
+           (year(e.ts) * 12 + month(e.ts))
+             - (year(f.fts) * 12 + month(f.fts)) AS age_months,
+           COUNT(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(F.min("ts").alias("fts"))
+    mi = lambda c: F.year(c) * 12 + F.month(c)  # noqa: E731
+    return (
+        ev.join(F.broadcast(firsts), "user_id")
+        .groupBy(
+            F.date_format("fts", "yyyy-MM").alias("cohort"),
+            (mi(F.col("ts")) - mi(F.col("fts"))).alias("age_months"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

@@ -532,3 +532,118 @@ def q75(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     corpus = docs.filter(F.col("doc_id") % 97 != 0)
     return D.contamination_hits(corpus, bench)
+
+
+# --------------------------------------------------------------------------
+# q79 — PII scrub (redaction counts + scrubbed digest). The synthetic
+# tables carry no PII-shaped spans, so the text embeds a TPC-H-style
+# phone and a 5-digit account number derived deterministically from
+# c_custkey (identical integer arithmetic in both engines); c_name's
+# zero-padded digit run adds a third redaction. The *scrub operator*
+# under test is the general one from functions/text.py.
+# --------------------------------------------------------------------------
+_PII_TEXT_SQL = """
+  SELECT c_custkey,
+         c_name || ' call '
+           || printf('%02d-%03d-%03d-%04d',
+                     10 + c_custkey % 90,
+                     100 + (c_custkey // 7) % 900,
+                     100 + (c_custkey // 11) % 900,
+                     1000 + (c_custkey // 13) % 9000)
+           || ' acct '
+           || CAST(10000 + (c_custkey * 982451653) % 90000 AS VARCHAR)
+           AS text
+  FROM customer
+"""
+
+
+@register(
+    "q79_pii_scrub",
+    oracle="""
+    SELECT c_custkey,
+           CAST(len(regexp_extract_all(text, '{ph}'))
+                + len(regexp_extract_all(text, '{num}')) AS BIGINT)
+             AS n_redactions,
+           md5(regexp_replace(
+                 regexp_replace(text, '{ph}', '[PHONE]', 'g'),
+                 '{num}', '[NUM]', 'g')) AS scrub_md5
+    FROM ({src})
+    """.format(
+        ph=r"[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}",
+        num=r"[0-9]{5,}",
+        src=_PII_TEXT_SQL,
+    ),
+)
+def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..functions.text import pii_scrub
+
+    k = F.col("c_custkey")
+    phone = F.format_string(
+        "%02d-%03d-%03d-%04d",
+        (k % 90 + 10).cast("int"),
+        ((k / F.lit(7)).cast("long") % 900 + 100).cast("int"),
+        ((k / F.lit(11)).cast("long") % 900 + 100).cast("int"),
+        ((k / F.lit(13)).cast("long") % 9000 + 1000).cast("int"),
+    )
+    acct = (k * 982451653 % 90000 + 10000).cast("string")
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat(
+            F.col("c_name"), F.lit(" call "), phone, F.lit(" acct "), acct
+        ).alias("text"),
+    )
+    return pii_scrub(cust).select(
+        "c_custkey", "n_redactions", F.md5("scrubbed").alias("scrub_md5")
+    )
+
+
+# --------------------------------------------------------------------------
+# q80 — within-doc repetition signals (Gopher quality rules):
+# duplicate-word fraction + top-word fraction via two-level agg.
+# --------------------------------------------------------------------------
+@register(
+    "q80_repetition",
+    oracle="""
+    WITH ex AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), w -> w != '')) AS w
+      FROM documents
+    ), wc AS (
+      SELECT doc_id, w, COUNT(*) AS c FROM ex GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_words,
+           COUNT(*) AS n_distinct,
+           round(1.0 - COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS dup_frac,
+           round(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_frac
+    FROM wc GROUP BY 1
+    """,
+)
+def q80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import repetition_features
+
+    return repetition_features(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# q81 — temperature-scaled domain mixing weights (w ∝ n^0.5 normalized),
+# the sampling table a data-mixture trainer consumes.
+# --------------------------------------------------------------------------
+@register(
+    "q81_mix_weights",
+    oracle="""
+    WITH c AS (
+      SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2
+    )
+    SELECT lang, source, n,
+           round(pow(n, 0.5) / (SELECT SUM(pow(n, 0.5)) FROM c), 6)
+             AS weight
+    FROM c
+    """,
+)
+def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import domain_mix_weights
+
+    return domain_mix_weights(load(spark, sf_dir, "documents"))

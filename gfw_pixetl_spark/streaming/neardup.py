@@ -71,8 +71,19 @@ def _band_rows(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows, columns=["doc_id", "band_id", "key"])
 
 
-def stream_band_firsts(spark: SparkSession, docs_path: str) -> DataFrame:
-    """Stateful stage: per (band, key) bucket, flag the first-ever doc."""
+def stream_band_firsts(
+    spark: SparkSession, docs_path: str, state_ttl_ms: int | None = None
+) -> DataFrame:
+    """Stateful stage: per (band, key) bucket, flag the first-ever doc.
+
+    ``state_ttl_ms`` bounds state for unbounded streams: a bucket whose
+    last occupant is older than the TTL is evicted (processing-time
+    timeout), after which the next arrival counts as first again. That
+    turns "dup of anything ever seen" into "dup of anything seen in the
+    last T" — the only state contract that holds at infinite stream
+    length, and the standard windowed-dedup semantic. Default (None)
+    keeps state forever, matching the batch oracle exactly.
+    """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     schema = spark.read.parquet(docs_path).schema
@@ -88,6 +99,12 @@ def stream_band_firsts(spark: SparkSession, docs_path: str) -> DataFrame:
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         band_id, bkey = key
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                [], columns=["doc_id", "band_id", "key", "first"]
+            )
+            return
         occupied = state.exists
         out = []
         ids: list[int] = []
@@ -98,28 +115,56 @@ def stream_band_firsts(spark: SparkSession, docs_path: str) -> DataFrame:
             occupied = True
         if ids:
             state.update((min(ids),))
+            if state_ttl_ms is not None:
+                state.setTimeoutDuration(state_ttl_ms)
         yield pd.DataFrame(out, columns=["doc_id", "band_id", "key", "first"])
 
     return bands.groupBy("band_id", "key").applyInPandasWithState(
         fn, FIRST_SCHEMA, "min_doc long", "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout,
     )
 
 
 def run_stream_neardup_filter_once(
-    spark: SparkSession, docs_path: str
+    spark: SparkSession, docs_path: str, state_ttl_ms: int | None = None
 ) -> DataFrame:
-    """Drain with availableNow; survivors = docs first in all bands."""
+    """Drain with availableNow; survivors = docs first in all bands.
+
+    With a TTL, ``availableNow`` + processing-time timeout never
+    self-terminates: after the input drains, Spark keeps scheduling
+    (empty) batches so the registered timers can eventually fire — for
+    an hour-scale TTL that is an unbounded empty-batch spin. So the
+    drain watches progress and stops the query at the first batch with
+    zero input rows: by then every real record has been processed
+    (availableNow admits all available data before any empty timer
+    batch), which is exactly the drain-once contract.
+    """
+    import time
+
     name = f"neardup_{uuid.uuid4().hex[:8]}"
     q = (
-        stream_band_firsts(spark, docs_path)
+        stream_band_firsts(spark, docs_path, state_ttl_ms)
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    if state_ttl_ms is None:
+        q.awaitTermination()
+    else:
+        while q.isActive:
+            p = q.lastProgress
+            # a zero-input batch can only be a timer-spin batch: available
+            # data is admitted before any empty batch, so stopping here
+            # never drops input (and handles the empty-source case too)
+            if p is not None and p["numInputRows"] == 0:
+                q.stop()
+                q.awaitTermination()
+                break
+            time.sleep(0.2)
     return (
         spark.table(name)
         .groupBy("doc_id")

@@ -166,6 +166,25 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches to durable checkpoint() (ROADMAP #5):
+    same fixpoint, and checkpoint files actually land in the dir."""
+    from gfw_pixetl_spark.functions.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_id_a long, doc_id_b long"
+    )
+    ckdir = str(tmp_path / "ck")
+    got = {
+        r.doc_id: r.component
+        for r in connected_components(edges, checkpoint_dir=ckdir).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    import os
+
+    assert any(files for _, _, files in os.walk(ckdir))
+
+
 def test_lsh_star_edges_same_components_as_pairs(spark):
     """Star contraction preserves connectivity: components over star
     edges == components over the full LSH pair graph."""

@@ -197,3 +197,20 @@ def test_stream_neardup_filter_matches_batch_rule(spark):
     with_bands = {r.doc_id for r in sigs.select("doc_id").collect()}
     assert survivors == with_bands - demoted
     assert 0 < len(survivors) < docs.count()
+
+
+def test_stream_neardup_ttl_single_drain_unchanged(spark):
+    """A TTL only evicts state across idle time; within one availableNow
+    drain nothing times out, so the survivor set equals the no-TTL run."""
+    from gfw_pixetl_spark.streaming.neardup import (
+        run_stream_neardup_filter_once,
+    )
+
+    path = f"{SF_SMOKE}/documents.parquet"
+    base = {r.doc_id for r in run_stream_neardup_filter_once(spark, path).collect()}
+    ttl = {
+        r.doc_id for r in run_stream_neardup_filter_once(
+            spark, path, state_ttl_ms=3_600_000
+        ).collect()
+    }
+    assert ttl == base
