@@ -80,6 +80,8 @@ BENCH_QUERIES = [
     "q79_pii_scrub",
     "q80_repetition",
     "q82_cohort_retention",
+    "q83_zonal_stats",
+    "q85_cdc_compaction",
 ]
 
 

@@ -46,6 +46,7 @@ __all__ = [
     "polygon_signed_area",
     "signed_area_col",
     "area_col",
+    "point_in_polygon_col",
     "rect_union_area",
 ]
 
@@ -181,6 +182,41 @@ def area_col(geom: Column) -> Column:
     """Winding-agnostic absolute area (hole-free polygons, or
     consistently wound outer-CCW/holes-CW polygons)."""
     return F.abs(signed_area_col(geom))
+
+
+def point_in_polygon_col(px: Column, py: Column, geom: Column) -> Column:
+    """Even-odd (crossing-number) point-in-polygon test as a pure column
+    expression — works for arbitrary non-convex polygons, and holes fall
+    out naturally (a point inside a hole crosses an even total).
+
+    The per-edge lambda only captures the two scalar point columns (px,
+    py) — cheap per-row references, not recomputed arrays — and the
+    rotated ring binds as a zip_with *argument*, so the interpreted-HOF
+    re-evaluation trap doesn't apply. A horizontal edge fails the
+    straddle test, and SQL's ``false AND null = false`` absorbs the
+    0/0-division NaN its slope term would produce.
+
+    This is the scale path for zonal statistics: broadcast the zone
+    table, PIP-filter the pixel stream map-side (whole-stage codegen),
+    aggregate per zone — the pixel side never shuffles until the final
+    per-zone combine.
+    """
+
+    def ring_crossings(ring: Column) -> Column:
+        rot = F.concat(F.slice(ring, 2, F.size(ring) - 1), F.slice(ring, 1, 1))
+        hits = F.zip_with(
+            ring, rot,
+            lambda p, q: (
+                ((p[1] > py) != (q[1] > py))
+                & (px < (q[0] - p[0]) * (py - p[1]) / (q[1] - p[1]) + p[0])
+            ).cast("int"),
+        )
+        return F.aggregate(hits, F.lit(0), lambda acc, x: acc + x)
+
+    total = F.aggregate(
+        F.transform(geom, ring_crossings), F.lit(0), lambda acc, x: acc + x
+    )
+    return total % 2 == 1
 
 
 # ---------------------------------------------------------------------------

@@ -160,3 +160,68 @@ def q77(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q78(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.rect_union_area(_rects(spark, sf_dir), "l", "b", "r", "t")
+
+
+# --------------------------------------------------------------------------
+# q83 — zonal statistics: aggregate a pixel grid per vector zone, the
+# raster⋈vector op at the heart of the reference's domain, run in
+# reverse (pixels→zones instead of features→pixels). Spark runs the
+# GENERAL crossing-number point-in-polygon (non-convex-safe column
+# math) against a broadcast zone table; the oracle gets a closed form
+# only because the zones are rectangles. Pixel centers sit on
+# half-integers and zone edges on integers, so no boundary ambiguity.
+# --------------------------------------------------------------------------
+@register(
+    "q83_zonal_stats",
+    oracle=f"""
+    WITH px AS (
+      SELECT range // 100 AS i, range % 100 AS j FROM range(10000)
+    ), pix AS (
+      SELECT CAST(j AS DOUBLE) + 0.5 AS x, CAST(i AS DOUBLE) + 0.5 AS y,
+             (i * 31 + j * 17) % 100 AS val
+      FROM px
+    )
+    SELECT c_custkey,
+           COUNT(*) AS n_px,
+           CAST(SUM(val) AS BIGINT) AS sum_val,
+           MIN(val) AS min_val,
+           MAX(val) AS max_val
+    FROM pix JOIN ({_RECT_SQL}) z
+      ON pix.x > z.l AND pix.x < z.r AND pix.y > z.b AND pix.y < z.t
+    GROUP BY 1
+    """,
+)
+def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    px = spark.range(10000).select(
+        (F.col("id") / 100).cast("long").alias("i"),
+        (F.col("id") % 100).alias("j"),
+    ).select(
+        (F.col("j").cast("double") + 0.5).alias("x"),
+        (F.col("i").cast("double") + 0.5).alias("y"),
+        ((F.col("i") * 31 + F.col("j") * 17) % 100).alias("val"),
+    )
+    zones = _rects(spark, sf_dir).select(
+        "c_custkey", "l", "b", "r", "t",
+        F.array(F.array(
+            F.array("l", "b"), F.array("r", "b"),
+            F.array("r", "t"), F.array("l", "t"),
+        )).alias("geom"),
+    )
+    inside = G.point_in_polygon_col(F.col("x"), F.col("y"), F.col("geom"))
+    return (
+        px.crossJoin(F.broadcast(zones))
+        # bbox prefilter keeps the codegen'd PIP off pixels no zone can
+        # claim (at scale this is the partition-pruning analog)
+        .filter(
+            (F.col("x") > F.col("l")) & (F.col("x") < F.col("r"))
+            & (F.col("y") > F.col("b")) & (F.col("y") < F.col("t"))
+        )
+        .filter(inside)
+        .groupBy("c_custkey")
+        .agg(
+            F.count("*").alias("n_px"),
+            F.sum("val").alias("sum_val"),
+            F.min("val").alias("min_val"),
+            F.max("val").alias("max_val"),
+        )
+    )

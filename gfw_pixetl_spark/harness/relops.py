@@ -162,3 +162,68 @@ def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+# --------------------------------------------------------------------------
+# q84 — stream-stream interval join (attribution): views joined to same-
+# user purchases within 24h, both sides streaming with watermark-bounded
+# state. Oracle is the equivalent batch interval join.
+# --------------------------------------------------------------------------
+@register(
+    "q84_stream_stream_join",
+    oracle="""
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+           v.ts AS view_ts, p.ts AS purchase_ts
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 24 HOUR
+    """,
+)
+def q84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import run_view_purchase_join_once
+
+    return run_view_purchase_join_once(spark, f"{sf_dir}/events.parquet")
+
+
+# --------------------------------------------------------------------------
+# q85 — CDC upsert compaction: base snapshot (customer, version 0) +
+# change log (orders as keyed upserts/deletes, version = order key) →
+# latest row per surviving key via map-side-combinable argmax — no
+# window/sort. Filled orders ('F') model deletes; a later order
+# resurrects the key (standard CDC latest-wins).
+# --------------------------------------------------------------------------
+@register(
+    "q85_cdc_compaction",
+    oracle="""
+    WITH ch AS (
+      SELECT c_custkey AS key, c_acctbal AS val,
+             CAST(0 AS BIGINT) AS version, 'U' AS op
+      FROM customer
+      UNION ALL
+      SELECT o_custkey, o_totalprice, o_orderkey,
+             CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END
+      FROM orders
+    )
+    SELECT key, arg_max(val, version) AS val, MAX(version) AS version,
+           COUNT(*) AS n_versions
+    FROM ch GROUP BY key
+    HAVING arg_max(op, version) <> 'D'
+    """,
+)
+def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.cdc import compact_latest
+
+    base = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_acctbal").alias("val"),
+        F.lit(0).cast("long").alias("version"),
+        F.lit("U").alias("op"),
+    )
+    changes = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_totalprice").alias("val"),
+        F.col("o_orderkey").alias("version"),
+        F.when(F.col("o_orderstatus") == "F", "D").otherwise("U").alias("op"),
+    )
+    return compact_latest(base.unionByName(changes))

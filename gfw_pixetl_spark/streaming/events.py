@@ -228,3 +228,64 @@ def run_sessionize_with_state_once(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def view_purchase_stream_join(
+    spark: SparkSession,
+    events_path: str,
+    horizon: str = "24 hours",
+    watermark: str = "2 days",
+) -> DataFrame:
+    """Stream-stream interval join: each view joined to the same user's
+    purchases within ``horizon`` — the attribution join, run with both
+    sides unbounded. Watermarks on both sides + the time-range predicate
+    bound the join state: a buffered view can be dropped once the
+    purchase-side watermark passes view_ts + horizon, so state is
+    O(traffic within the horizon), never O(stream length). Inner join in
+    append mode emits each matched pair exactly once.
+    """
+    s = _event_stream(spark, events_path)
+    views = (
+        s.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        s.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts")
+           <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select("view_id", "purchase_id", "user_id", "view_ts", "purchase_ts")
+
+
+def run_view_purchase_join_once(
+    spark: SparkSession, events_path: str
+) -> DataFrame:
+    """Drain the stream-stream join with availableNow (deterministic:
+    inner interval joins emit every matched pair regardless of batch
+    boundaries)."""
+    name = f"ssjoin_{uuid.uuid4().hex[:8]}"
+    q = (
+        view_purchase_stream_join(spark, events_path)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

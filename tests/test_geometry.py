@@ -112,3 +112,30 @@ def test_rect_union_area_empty(spark):
         [], "left double, bottom double, right double, top double"
     )
     assert rect_union_area(rects).first().union_area == 0.0
+
+
+def test_point_in_polygon_col_nonconvex_and_hole(spark):
+    from gfw_pixetl_spark.functions.geometry import point_in_polygon_col
+    from pyspark.sql import functions as F
+
+    L_GEOM = [[list(map(float, p)) for p in L]]
+    HOLED = [
+        [[0.0, 0.0], [4.0, 0.0], [4.0, 4.0], [0.0, 4.0]],
+        [[1.0, 1.0], [1.0, 2.0], [2.0, 2.0], [2.0, 1.0]],
+    ]
+    rows = [
+        (1.5, 0.5, L_GEOM, True),    # lower arm of the L
+        (1.5, 1.5, L_GEOM, False),   # notch of the L
+        (0.5, 1.5, L_GEOM, True),    # upper arm
+        (3.0, 3.0, HOLED, True),     # inside outer
+        (1.5, 1.5, HOLED, False),    # inside the hole
+        (5.0, 5.0, HOLED, False),    # outside
+    ]
+    df = spark.createDataFrame(
+        rows, "x double, y double, geom array<array<array<double>>>, want boolean"
+    )
+    got = df.select(
+        point_in_polygon_col(F.col("x"), F.col("y"), F.col("geom")).alias("p"),
+        "want",
+    ).collect()
+    assert all(r.p == r.want for r in got)

@@ -167,3 +167,21 @@ def test_asof_join_matches_bruteforce_random(spark):
                  if rk == k and rts <= ts]
         expected = max(cands, key=lambda x: x[0]) if cands else (None, None)
         assert got[(k, ts, lv)] == expected
+
+
+def test_cdc_compact_latest_delete_and_resurrect(spark):
+    """Latest-wins: a delete suppresses the key only while it is the
+    newest version; a later upsert resurrects it."""
+    from gfw_pixetl_spark.operators.cdc import compact_latest
+
+    rows = [
+        (1, 10.0, 0, "U"), (1, 11.0, 5, "U"),            # plain upsert
+        (2, 20.0, 0, "U"), (2, None, 3, "D"),            # deleted
+        (3, 30.0, 0, "U"), (3, None, 2, "D"), (3, 33.0, 7, "U"),  # resurrected
+    ]
+    df = spark.createDataFrame(
+        rows, "key long, val double, version long, op string"
+    )
+    got = {r.key: (r.val, r.version, r.n_versions)
+           for r in compact_latest(df).collect()}
+    assert got == {1: (11.0, 5, 2), 3: (33.0, 7, 3)}

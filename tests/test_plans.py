@@ -89,3 +89,41 @@ def test_asof_join_single_shuffle(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "Window" in plan
+
+
+def test_polygon_area_stays_in_codegen(spark):
+    """q76: shoelace area is pure column math — no Python eval anywhere
+    in the executed plan."""
+    df = harness.QUERIES["q76_polygon_area"](spark, SF_SMOKE)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in executed
+    assert "ArrowEvalPython" not in executed
+
+
+def test_rect_union_broadcasts_not_cartesian(spark):
+    """q78: the cell-coverage interval join broadcasts the rect side —
+    never a shuffled cartesian."""
+    plan = plan_of(harness.QUERIES["q78_rect_union_area"](spark, SF_SMOKE))
+    assert "BroadcastNestedLoop" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_aggs_are_partial(spark):
+    """q80: both aggregation levels do map-side combine (partial), and
+    the word explode feeds straight into JVM aggregation — no Python."""
+    df = harness.QUERIES["q80_repetition"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "partial_count" in plan or plan.count("HashAggregate") >= 4
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in executed
+    assert "ArrowEvalPython" not in executed
+
+
+def test_cohort_retention_broadcasts_user_dim(spark):
+    """q82: the per-user first-event dim joins back to events via
+    broadcast hash join — the fact stream never sort-merge shuffles."""
+    plan = plan_of(harness.QUERIES["q82_cohort_retention"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
