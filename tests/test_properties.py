@@ -164,3 +164,75 @@ def test_warp_kernels_linear_precision(a, b, c, fx, fy, method):
     np.testing.assert_allclose(
         out[0, 0], a * fx + b * fy + c, atol=1e-7
     )
+
+
+# --- geometry kernel invariants (functions/geometry.py) -------------------
+
+from gfw_pixetl_spark.functions.geometry import (  # noqa: E402
+    clip_ring_to_box, ring_signed_area,
+)
+
+
+def _star_ring(jitters, radii) -> np.ndarray:
+    """Star-shaped polygon around the origin — always simple, which is
+    Sutherland–Hodgman's precondition (hypothesis immediately finds the
+    bowtie counterexamples if vertices are drawn freely, and even
+    sorted-angle vertices self-intersect once an angular gap exceeds π —
+    so angles are equally spaced with sub-half-slot jitter, bounding
+    every gap below π for n ≥ 4)."""
+    n = len(jitters)
+    slot = 2 * np.pi / n
+    a = np.arange(n) * slot + np.asarray(jitters, dtype=np.float64) * (
+        0.4 * slot
+    )
+    r = np.asarray(radii[:n], dtype=np.float64)
+    return np.stack([r * np.cos(a), r * np.sin(a)], axis=1)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    jitters=st.lists(
+        st.floats(-1, 1, allow_subnormal=False),
+        min_size=4, max_size=12,
+    ),
+    radii=st.lists(
+        st.floats(0.1, 50, allow_subnormal=False), min_size=12, max_size=12
+    ),
+    box=st.tuples(
+        st.floats(-40, 20, allow_subnormal=False),
+        st.floats(-40, 20, allow_subnormal=False),
+        st.floats(1e-6, 60, allow_subnormal=False),
+        st.floats(1e-6, 60, allow_subnormal=False),
+    ),
+)
+def test_clip_area_bounds_and_idempotence(jitters, radii, box):
+    """|clip(ring)| <= min(|ring|, |box|) up to fp rounding, and clipping
+    twice equals clipping once (the clipped ring lies in the box)."""
+    ring = _star_ring(jitters, radii)
+    left, bottom, w, h = box
+    right, top = left + w, bottom + h
+    a_ring = abs(ring_signed_area(ring))
+    c = clip_ring_to_box(ring, left, bottom, right, top)
+    a_clip = abs(ring_signed_area(c))
+    eps = 1e-7 * max(1.0, a_ring, w * h)
+    assert a_clip <= a_ring + eps
+    assert a_clip <= w * h + eps
+    c2 = clip_ring_to_box(c, left, bottom, right, top) if len(c) else c
+    a_clip2 = abs(ring_signed_area(c2)) if len(c2) else 0.0
+    assert abs(a_clip2 - a_clip) <= eps
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    jitters=st.lists(
+        st.floats(-1, 1, allow_subnormal=False),
+        min_size=4, max_size=10,
+    ),
+    radii=st.lists(
+        st.floats(0.1, 5, allow_subnormal=False), min_size=10, max_size=10
+    ),
+)
+def test_clip_to_containing_box_preserves_area(jitters, radii):
+    ring = _star_ring(jitters, radii)
+    c = clip_ring_to_box(ring, -100, -100, 100, 100)
+    assert abs(ring_signed_area(c) - ring_signed_area(ring)) <= 1e-9

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from gfw_pixetl_spark.grids import BoundingBox
+from tests.conftest import SF_SMOKE
 from gfw_pixetl_spark.plans.report import (
     KILLED_STATUS, exit_code, should_upload_manifest, status_tallies,
 )
@@ -118,3 +119,24 @@ def test_bucketed_tile_store_join_has_no_exchange(spark, tmp_path):
         store.drop("tiles")
         store.drop("statuses")
         spark.sql("DROP DATABASE IF EXISTS tilestore_test")
+
+
+def test_compact_to_files_targets_size_and_roundtrips(spark, tmp_path):
+    """Compaction writes ~target-sized files (here: forced tiny target →
+    multiple files; huge target → one file) and preserves the rows."""
+    from gfw_pixetl_spark.sinks import compact_to_files
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    n = docs.count()
+
+    small = str(tmp_path / "small")
+    n_files = compact_to_files(docs, small, target_mb=1, range_key="doc_id")
+    assert n_files >= 1
+    back = spark.read.parquet(small)
+    assert back.count() == n
+
+    one = str(tmp_path / "one")
+    assert compact_to_files(docs, one, target_mb=4096) == 1
+    import glob
+
+    assert len(glob.glob(f"{one}/part-*.parquet")) == 1
