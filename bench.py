@@ -82,6 +82,10 @@ BENCH_QUERIES = [
     "q82_cohort_retention",
     "q83_zonal_stats",
     "q85_cdc_compaction",
+    "q86_gapfill_locf",
+    "q87_hll_distinct",
+    "q88_weighted_sample",
+    "q89_cube",
 ]
 
 

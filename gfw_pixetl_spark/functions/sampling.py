@@ -41,6 +41,41 @@ def domain_capped_sample(
     )
 
 
+def weighted_reservoir_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    strata_col: str | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    each row draws a deterministic uniform u from md5(id) and is ranked
+    by ln(u)/w — the top-k ranks are a weighted sample where inclusion
+    probability scales with ``weight_col``. ln(u)/w is the monotone
+    log-transform of the classic u^(1/w) key (better FP behavior: no
+    pow of two near-unit arguments).
+
+    Distributed shape: rank via window top-k — with ``strata_col`` the
+    partition is the stratum; without, a single ordered limit-k, which
+    Spark executes as per-partition partial top-k + merge (TakeOrdered),
+    never a full sort of the corpus.
+    """
+    u = (md5_int64(F.col(id_col).cast("string")) + 1) / F.lit(
+        float((1 << 60) + 1)
+    )
+    key = F.log(u) / F.col(weight_col)
+    ranked = df.withColumn("_key", key)
+    if strata_col is None:
+        out = ranked.orderBy(F.col("_key").desc(), id_col).limit(k)
+        return out.select(id_col, weight_col)
+    w = Window.partitionBy(strata_col).orderBy(F.col("_key").desc(), id_col)
+    return (
+        ranked.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(id_col, strata_col, weight_col, "rk")
+    )
+
+
 def hash_stratified_sample(
     df: DataFrame,
     strata_col: str = "lang",

@@ -1,0 +1,134 @@
+"""Distributed cardinality sketches, engine-portable.
+
+``approx_count_distinct`` exists in both Spark and DuckDB but their HLL
+implementations differ (hash function, register layout, bias tables), so
+an oracle can never hash-match it. This module implements HyperLogLog
+(Flajolet et al. 2007) *as a relational plan* over the engine-portable
+md5 hash ([[hashing]]), so Spark and any ANSI-SQL oracle compute the
+bit-identical estimate:
+
+1. ``h`` = 60-bit md5-derived hash of the value;
+2. bucket = top ``p`` bits, ``w`` = remaining ``60 - p`` bits;
+3. rho = leading-zero count of ``w`` + 1 (a compile-time CASE chain —
+   both engines lack a portable ``clz``; 48 comparisons fold into one
+   codegen'd expression);
+4. registers: ``MAX(rho)`` per (group, bucket) — map-side combinable,
+   the shuffle carries at most m=2^p rows per group;
+5. estimate: alpha_m * m^2 / sum(2^-rho_max), with the standard
+   linear-counting small-range correction.
+
+Scale shape: two partial-aggregating shuffles, register state is
+m * 8 bytes per group (32 KiB at p=12) regardless of input size — the
+whole point of the sketch. Per-register 2^-M terms are exact powers of
+two in a double, so the only FP nondeterminism is sum order; the final
+``round()`` to integer absorbs it (noise is ~1e-15 relative, the
+estimate is rounded to 1).
+
+Accuracy: ~1.04/sqrt(m) relative standard error (1.6% at p=12),
+unit-tested against exact counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import md5_int64, md5_int64_sql
+
+HASH_BITS = 60
+
+
+def _alpha(m: int) -> float:
+    # Flajolet et al. 2007, for m >= 128.
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def rho_col(w: Column, w_bits: int) -> Column:
+    """Leading-zero-count(+1) of a ``w_bits``-wide non-negative value."""
+    expr = F.lit(w_bits + 1)  # w == 0: all zeros
+    # Build the CASE from the ELSE up: w >= 2^(w_bits-1) -> 1, etc.
+    for rho in range(w_bits, 0, -1):
+        threshold = 1 << (w_bits - rho)
+        expr = F.when(w >= threshold, F.lit(rho)).otherwise(expr)
+    return expr
+
+
+def rho_sql(w_expr: str, w_bits: int) -> str:
+    whens = "\n".join(
+        f"WHEN ({w_expr}) >= {1 << (w_bits - rho)} THEN {rho}"
+        for rho in range(1, w_bits + 1)
+    )
+    return f"(CASE {whens} ELSE {w_bits + 1} END)"
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 12,
+) -> DataFrame:
+    """Per-group HyperLogLog distinct estimate of ``value_col`` as
+    ``approx_distinct`` (BIGINT). Deterministic across engines,
+    partitionings, and retries.
+    """
+    m = 1 << p
+    w_bits = HASH_BITS - p
+    h = md5_int64(F.col(value_col).cast("string"))
+    # shiftright/% stay in exact int64 — float division would misplace
+    # hashes near bucket boundaries (60-bit ints round in a double).
+    hashed = df.select(
+        *group_cols,
+        F.shiftright(h, w_bits).alias("bucket"),
+        rho_col(h % (1 << w_bits), w_bits).alias("rho"),
+    )
+    regs = hashed.groupBy(*group_cols, "bucket").agg(F.max("rho").alias("mx"))
+    per_group = regs.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("s"),
+        F.count("*").alias("nonzero"),
+    )
+    raw = F.lit(_alpha(m) * m * m) / (F.col("s") + (m - F.col("nonzero")))
+    zeros = F.lit(m) - F.col("nonzero")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    est = F.when((raw <= 2.5 * m) & (zeros > 0), linear).otherwise(raw)
+    return per_group.select(
+        *group_cols, F.round(est).cast("bigint").alias("approx_distinct")
+    )
+
+
+def hll_distinct_sql(
+    table_expr: str,
+    group_cols: list[str],
+    value_expr: str,
+    p: int = 12,
+) -> str:
+    """DuckDB twin of :func:`hll_distinct` (same registers, same math)."""
+    m = 1 << p
+    w_bits = HASH_BITS - p
+    g = ", ".join(group_cols)
+    h = md5_int64_sql(f"CAST({value_expr} AS VARCHAR)")
+    rho = rho_sql(f"h % {1 << w_bits}", w_bits)
+    # Inline alpha*m^2 as one double literal — a bare 0.72... literal is
+    # DECIMAL in DuckDB and overflows when multiplied by m^2.
+    amm = f"CAST({_alpha(m) * m * m!r} AS DOUBLE)"
+    return f"""
+    WITH hashed AS (
+      SELECT {g}, {h} AS h FROM {table_expr}
+    ),
+    regs AS (
+      SELECT {g}, h // {1 << w_bits} AS bucket, MAX({rho}) AS mx
+      FROM hashed GROUP BY {g}, bucket
+    ),
+    per_group AS (
+      SELECT {g}, SUM(pow(2.0, -mx)) AS s, COUNT(*) AS nonzero
+      FROM regs GROUP BY {g}
+    )
+    SELECT {g},
+           CAST(round(
+             CASE WHEN ({amm}) / (s + ({m} - nonzero))
+                       <= 2.5 * {m}
+                   AND ({m} - nonzero) > 0
+                  THEN {float(m)} * ln({float(m)} / ({m} - nonzero))
+                  ELSE ({amm}) / (s + ({m} - nonzero))
+             END) AS BIGINT) AS approx_distinct
+    FROM per_group
+    """

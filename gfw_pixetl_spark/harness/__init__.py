@@ -48,6 +48,7 @@ from . import geomops  # noqa: E402,F401
 from . import textops  # noqa: E402,F401
 from . import relops  # noqa: E402,F401
 from . import tileops  # noqa: E402,F401
+from . import timeops  # noqa: E402,F401
 from . import training  # noqa: E402,F401
 from . import vectorize  # noqa: E402,F401
 from . import vectors  # noqa: E402,F401

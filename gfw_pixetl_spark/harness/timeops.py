@@ -1,0 +1,140 @@
+"""Time-series and sketch harness queries: hypertable-style gap-fill +
+LOCF, engine-portable HyperLogLog distinct, weighted reservoir sampling,
+and CUBE multi-dimensional totals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import md5_int64_sql
+from ..functions.sampling import weighted_reservoir_sample
+from ..functions.sketches import hll_distinct, hll_distinct_sql
+from ..functions.timeseries import gapfill_locf
+from . import load, register
+
+
+# --------------------------------------------------------------------------
+# q86 — time_bucket gap-fill + LOCF: hourly event counts per type,
+# densified onto a per-series spine (distributed sequence+explode), with
+# last-observation-carried-forward. The TimescaleDB
+# time_bucket_gapfill/locf shape re-expressed as join + running window.
+# --------------------------------------------------------------------------
+@register(
+    "q86_gapfill_locf",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    ext AS (
+      SELECT event_type, MIN(bucket) AS mn, MAX(bucket) AS mx
+      FROM b GROUP BY 1
+    ),
+    spine AS (
+      SELECT event_type, unnest(generate_series(mn, mx, 3600)) AS bucket
+      FROM ext
+    ),
+    j AS (
+      SELECT s.event_type, s.bucket, b.n
+      FROM spine s LEFT JOIN b USING (event_type, bucket)
+    )
+    SELECT event_type, bucket, COALESCE(n, 0) AS n_filled,
+           last_value(n IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY bucket
+           ) AS n_locf
+    FROM j
+    """,
+)
+def q86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bucketed = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("bucket"),
+    ).agg(F.count("*").alias("n"))
+    dense = gapfill_locf(
+        bucketed,
+        series_cols=["event_type"],
+        bucket_col="bucket",
+        value_cols=["n"],
+        step=3600,
+    )
+    return dense.select(
+        "event_type",
+        "bucket",
+        F.coalesce("n", F.lit(0)).alias("n_filled"),
+        "n_locf",
+    )
+
+
+# --------------------------------------------------------------------------
+# q87 — HyperLogLog distinct users per event type, computed as a
+# relational plan over the portable md5 hash so the DuckDB oracle
+# reproduces the estimate bit-for-bit (native approx_count_distinct on
+# either engine could not be oracled). Register state is 4096 rows per
+# group no matter the input size.
+# --------------------------------------------------------------------------
+@register(
+    "q87_hll_distinct",
+    oracle=hll_distinct_sql("events", ["event_type"], "user_id", p=12),
+)
+def q87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return hll_distinct(ev, ["event_type"], "user_id", p=12)
+
+
+# --------------------------------------------------------------------------
+# q88 — weighted reservoir sample (Efraimidis–Spirakis A-ES): top-20
+# docs per language, inclusion probability proportional to n_chars,
+# deterministic via md5-derived uniforms. Corpus curation's "sample by
+# quality weight, reproducibly" primitive.
+# --------------------------------------------------------------------------
+@register(
+    "q88_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             ln(({md5_int64_sql('CAST(doc_id AS VARCHAR)')} + 1)
+                / 1152921504606846977.0) / n_chars AS k
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, lang, n_chars,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY k DESC, doc_id
+             ) AS rn
+      FROM keyed
+    )
+    SELECT doc_id, lang, n_chars, CAST(rn AS BIGINT) AS rk
+    FROM r WHERE rn <= 20
+    """,
+)
+def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return weighted_reservoir_sample(
+        docs, k=20, weight_col="n_chars", strata_col="lang"
+    )
+
+
+# --------------------------------------------------------------------------
+# q89 — CUBE: doc stats across every (lang, source) subset combination
+# in one pass (Spark expands grouping sets without rescanning; partial
+# aggregation still applies per grouping set).
+# --------------------------------------------------------------------------
+@register(
+    "q89_cube",
+    oracle="""
+    SELECT lang, source, COUNT(*) AS n,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY CUBE(lang, source)
+    """,
+)
+def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.cube("lang", "source").agg(
+        F.count("*").alias("n"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -1,0 +1,109 @@
+"""Unit tests for gap-fill/LOCF, the portable HLL sketch, and weighted
+reservoir sampling — properties the oracle hash-match can't see
+(accuracy vs exact counts, partition invariance, density of the filled
+series, weight bias)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gfw_pixetl_spark.functions.sampling import weighted_reservoir_sample
+from gfw_pixetl_spark.functions.sketches import hll_distinct
+from gfw_pixetl_spark.functions.timeseries import gapfill_locf
+from gfw_pixetl_spark.harness import load
+from tests.conftest import SF_SMOKE
+
+
+def test_hll_within_rse_of_exact(spark):
+    ev = load(spark, SF_SMOKE, "events")
+    est = {
+        r["event_type"]: r["approx_distinct"]
+        for r in hll_distinct(ev, ["event_type"], "user_id").collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    for k in exact:
+        # 1.04/sqrt(4096) = 1.6% RSE; 5% is > 3 sigma.
+        assert abs(est[k] - exact[k]) <= max(0.05 * exact[k], 2), (
+            k, est[k], exact[k],
+        )
+
+
+def test_hll_partition_invariant(spark):
+    ev = load(spark, SF_SMOKE, "events")
+    a = sorted(
+        hll_distinct(ev, ["event_type"], "user_id").collect()
+    )
+    b = sorted(
+        hll_distinct(ev.repartition(7), ["event_type"], "user_id").collect()
+    )
+    assert a == b
+
+
+def test_gapfill_dense_and_locf(spark):
+    rows = [
+        ("a", 100, 7.0),
+        ("a", 400, 9.0),  # gap at 200, 300
+        ("b", 200, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, bucket long, v double")
+    out = gapfill_locf(df, ["g"], "bucket", ["v"], step=100)
+    got = {(r["g"], r["bucket"]): (r["v"], r["v_locf"]) for r in out.collect()}
+    assert got == {
+        ("a", 100): (7.0, 7.0),
+        ("a", 200): (None, 7.0),
+        ("a", 300): (None, 7.0),
+        ("a", 400): (9.0, 9.0),
+        ("b", 200): (1.0, 1.0),
+    }
+
+
+def test_gapfill_max_buckets_guard(spark):
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 10_000, 1.0)], "g string, bucket long, v double"
+    )
+    with pytest.raises(Exception, match="max_buckets"):
+        gapfill_locf(
+            df, ["g"], "bucket", ["v"], step=1, max_buckets=100
+        ).collect()
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    # 500 light docs (w=1) + 500 heavy (w=50): a 50-doc sample should be
+    # dominated by heavy rows (each heavy ~50x the inclusion odds).
+    rows = [(i, 1 if i < 500 else 50) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, wt long")
+    out = weighted_reservoir_sample(df, k=50, weight_col="wt")
+    picked = [r["wt"] for r in out.collect()]
+    assert len(picked) == 50
+    assert sum(1 for w in picked if w == 50) >= 40
+
+
+def test_weighted_sample_stratified_exact_k(spark):
+    docs = load(spark, SF_SMOKE, "documents")
+    out = weighted_reservoir_sample(
+        docs, k=5, weight_col="n_chars", strata_col="lang"
+    )
+    per = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    sizes = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, n in per.items():
+        assert n == min(5, sizes[lang])
+    # partition-invariant: same doc_ids after a reshuffle
+    again = weighted_reservoir_sample(
+        docs.repartition(13), k=5, weight_col="n_chars", strata_col="lang"
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
