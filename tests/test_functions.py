@@ -166,6 +166,23 @@ def test_connected_components_chain_and_islands(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_long_chain_log_rounds(spark):
+    """Pointer jumping makes convergence O(log diameter): a 200-node
+    path resolves within 12 rounds (plain min-propagation would need
+    ~200 and return a wrong labeling at max_iter=12)."""
+    from gfw_pixetl_spark.functions.dedup import connected_components
+
+    n = 200
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_id_a long, doc_id_b long"
+    )
+    got = {
+        r.doc_id: r.component
+        for r in connected_components(edges, max_iter=12).collect()
+    }
+    assert got == {i: 0 for i in range(n + 1)}
+
+
 def test_connected_components_reliable_checkpoint(spark, tmp_path):
     """checkpoint_dir switches to durable checkpoint() (ROADMAP #5):
     same fixpoint, and checkpoint files actually land in the dir."""
