@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "q87_hll_distinct",
     "q88_weighted_sample",
     "q89_cube",
+    "q90_heavy_hitters_cms",
 ]
 
 

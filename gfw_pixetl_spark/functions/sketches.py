@@ -95,6 +95,141 @@ def hll_distinct(
     )
 
 
+def count_min_sketch(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 5,
+    width: int = 2048,
+    seed: int = 7,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) as a relational
+    plan: one row per (depth, column) with the collision count. The
+    explode-by-depth inflates input rows ×depth *before* aggregation,
+    but partial (map-side) aggregation collapses each task's output to
+    at most depth*width rows, so the shuffle is bounded by
+    numPartitions * depth * width regardless of input size — the sketch
+    property, expressed in Spark's execution model.
+
+    Hashes are the engine-portable md5 + LCG pairs ([[hashing]]), so an
+    ANSI-SQL oracle rebuilds the identical sketch.
+    """
+    from .hashing import P31, md5_int64, minhash_coeffs
+
+    coeffs = minhash_coeffs(depth, seed=seed)
+    h = (md5_int64(F.col(value_col).cast("string")) % P31).alias("h")
+    depths = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("d"),
+                    F.lit(a).alias("a"),
+                    F.lit(b).alias("b"),
+                )
+                for i, (a, b) in enumerate(coeffs)
+            ]
+        )
+    ).alias("dep")
+    return (
+        df.select(h)
+        .select("h", depths)
+        .groupBy(
+            F.col("dep.d").alias("d"),
+            ((F.col("h") * F.col("dep.a") + F.col("dep.b")) % P31 % width)
+            .alias("col"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_probe(
+    sketch: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    depth: int = 5,
+    width: int = 2048,
+    seed: int = 7,
+) -> DataFrame:
+    """Estimate each probe value's frequency from a sketch built by
+    :func:`count_min_sketch` with the same parameters: min over depths
+    of the hashed cell's count. The probe side is small by construction
+    (heavy-hitter candidates), so it broadcasts — the sketch (depth *
+    width rows) never moves through a shuffle keyed on data values.
+    Estimates are exact-or-over, never under (CMS guarantee).
+    """
+    from .hashing import P31, md5_int64, minhash_coeffs
+
+    coeffs = minhash_coeffs(depth, seed=seed)
+    h = md5_int64(F.col(value_col).cast("string")) % P31
+    hashed = probes.withColumn("h", h)
+    cells = hashed.select(
+        *probes.columns,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("d"),
+                        ((F.col("h") * a + b) % P31 % width).alias("col"),
+                    )
+                    for i, (a, b) in enumerate(coeffs)
+                ]
+            )
+        ).alias("cell"),
+    )
+    sk = sketch.select(
+        F.col("d").alias("sk_d"), F.col("col").alias("sk_col"), "cnt"
+    )
+    joined = sk.join(
+        F.broadcast(cells),
+        (F.col("sk_d") == F.col("cell.d"))
+        & (F.col("sk_col") == F.col("cell.col")),
+    )
+    return joined.groupBy(*probes.columns).agg(
+        F.min("cnt").alias("est_n")
+    )
+
+
+def cms_heavy_hitters_sql(
+    table_expr: str,
+    value_expr: str,
+    k: int = 20,
+    depth: int = 5,
+    width: int = 2048,
+    seed: int = 7,
+) -> str:
+    """DuckDB twin of count_min_sketch + top-k exact probe + cms_probe
+    (same hashes, same cells, same min-over-depths estimate)."""
+    from .hashing import P31, md5_int64_sql, minhash_coeffs
+
+    coeffs = minhash_coeffs(depth, seed=seed)
+    dvals = ", ".join(
+        f"({i}, {a}, {b})" for i, (a, b) in enumerate(coeffs)
+    )
+    h = f"({md5_int64_sql(f'CAST({value_expr} AS VARCHAR)')} % {P31})"
+    return f"""
+    WITH dd(d, a, b) AS (VALUES {dvals}),
+    base AS (SELECT {h} AS h FROM {table_expr}),
+    sketch AS (
+      SELECT dd.d AS d, ((h * dd.a + dd.b) % {P31}) % {width} AS col,
+             COUNT(*) AS cnt
+      FROM base CROSS JOIN dd GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT {value_expr} AS v, COUNT(*) AS exact_n
+      FROM {table_expr} GROUP BY 1
+      ORDER BY exact_n DESC, v LIMIT {k}
+    ),
+    probe AS (
+      SELECT e.v, e.exact_n, dd.d,
+             ((({md5_int64_sql('CAST(e.v AS VARCHAR)')} % {P31}) * dd.a
+               + dd.b) % {P31}) % {width} AS col
+      FROM exact e CROSS JOIN dd
+    )
+    SELECT p.v AS {value_expr}, p.exact_n, MIN(s.cnt) AS est_n
+    FROM probe p JOIN sketch s ON p.d = s.d AND p.col = s.col
+    GROUP BY 1, 2
+    """
+
+
 def hll_distinct_sql(
     table_expr: str,
     group_cols: list[str],

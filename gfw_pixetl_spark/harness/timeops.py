@@ -10,7 +10,10 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import md5_int64_sql
 from ..functions.sampling import weighted_reservoir_sample
-from ..functions.sketches import hll_distinct, hll_distinct_sql
+from ..functions.sketches import (
+    cms_heavy_hitters_sql, cms_probe, count_min_sketch,
+    hll_distinct, hll_distinct_sql,
+)
 from ..functions.timeseries import gapfill_locf
 from . import load, register
 
@@ -117,6 +120,29 @@ def q88(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_reservoir_sample(
         docs, k=20, weight_col="n_chars", strata_col="lang"
     )
+
+
+# --------------------------------------------------------------------------
+# q90 — heavy hitters via count-min sketch: top-20 users by exact count,
+# each with the CMS frequency estimate (exact-or-over, never under).
+# Sketch state is depth*width cells no matter the stream size; the probe
+# side broadcasts. Portable hashes make the oracle rebuild the identical
+# sketch cell-for-cell.
+# --------------------------------------------------------------------------
+@register(
+    "q90_heavy_hitters_cms",
+    oracle=cms_heavy_hitters_sql("events", "user_id", k=20),
+)
+def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    sketch = count_min_sketch(ev, "user_id")
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(20)
+    )
+    return cms_probe(sketch, exact, "user_id")
 
 
 # --------------------------------------------------------------------------

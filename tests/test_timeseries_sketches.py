@@ -74,6 +74,36 @@ def test_gapfill_max_buckets_guard(spark):
         ).collect()
 
 
+def test_cms_never_underestimates_and_is_tight_when_wide(spark):
+    from gfw_pixetl_spark.functions.sketches import (
+        cms_probe, count_min_sketch,
+    )
+
+    ev = load(spark, SF_SMOKE, "events")
+    sketch = count_min_sketch(ev, "user_id", depth=5, width=2048)
+    exact = ev.groupBy("user_id").agg(F.count("*").alias("exact_n"))
+    est = cms_probe(sketch, exact, "user_id", depth=5, width=2048)
+    rows = est.collect()
+    assert len(rows) == exact.count()
+    for r in rows:
+        assert r["est_n"] >= r["exact_n"], r  # CMS one-sided error
+    # sf0.001 has few distinct users vs 5x2048 cells: collisions are
+    # rare enough that most estimates are exact.
+    exact_frac = sum(r["est_n"] == r["exact_n"] for r in rows) / len(rows)
+    assert exact_frac >= 0.9
+
+
+def test_cms_partition_invariant(spark):
+    from gfw_pixetl_spark.functions.sketches import count_min_sketch
+
+    ev = load(spark, SF_SMOKE, "events")
+    a = sorted(map(tuple, count_min_sketch(ev, "user_id").collect()))
+    b = sorted(
+        map(tuple, count_min_sketch(ev.repartition(9), "user_id").collect())
+    )
+    assert a == b
+
+
 def test_weighted_sample_prefers_heavy_rows(spark):
     # 500 light docs (w=1) + 500 heavy (w=50): a 50-doc sample should be
     # dominated by heavy rows (each heavy ~50x the inclusion odds).
