@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "q88_weighted_sample",
     "q89_cube",
     "q90_heavy_hitters_cms",
+    "q91_fuzzy_join",
 ]
 
 

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.dedup import fuzzy_pairs_symdelete
 from ..functions.hashing import md5_int64_sql
 from ..functions.sampling import weighted_reservoir_sample
 from ..functions.sketches import (
@@ -143,6 +144,27 @@ def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return cms_probe(sketch, exact, "user_id")
+
+
+# --------------------------------------------------------------------------
+# q91 — fuzzy entity-resolution join: customer-name pairs within edit
+# distance 1, blocked by SymSpell deletion neighborhoods (linear key
+# volume) + levenshtein verify. The oracle is the O(n^2) brute force —
+# tractable at oracle scale, which is exactly why the blocked plan is
+# the operator.
+# --------------------------------------------------------------------------
+@register(
+    "q91_fuzzy_join",
+    oracle="""
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    return fuzzy_pairs_symdelete(cust, "c_custkey", "c_name", max_dist=1)
 
 
 # --------------------------------------------------------------------------

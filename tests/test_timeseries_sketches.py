@@ -104,6 +104,46 @@ def test_cms_partition_invariant(spark):
     assert a == b
 
 
+def test_symdelete_blocking_has_full_recall(spark):
+    """Deletion-neighborhood blocking must find every edit-distance-1
+    pair the brute force finds: substitutions, insertions/deletions,
+    at string boundaries and in repeated-char runs."""
+    from gfw_pixetl_spark.functions.dedup import fuzzy_pairs_symdelete
+
+    names = [
+        "alpha", "alphb", "alpha1", "lpha", "aalpha",  # sub/ins/del
+        "beta", "betta", "bett", "zeta",
+        "aaa", "aab", "ab", "ba",
+    ]
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(names)], "id long, name string"
+    )
+    got = {
+        (r["id_a"], r["id_b"], r["dist"])
+        for r in fuzzy_pairs_symdelete(df, "id", "name").collect()
+    }
+
+    def lev(a, b):
+        import numpy as np
+
+        d = np.arange(len(b) + 1)
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(
+                    d[j] + 1, d[j - 1] + 1, prev + (ca != cb)
+                )
+        return int(d[len(b)])
+
+    want = {
+        (i, j, lev(a, b))
+        for i, a in enumerate(names)
+        for j, b in enumerate(names)
+        if i < j and lev(a, b) <= 1
+    }
+    assert got == want
+
+
 def test_weighted_sample_prefers_heavy_rows(spark):
     # 500 light docs (w=1) + 500 heavy (w=50): a 50-doc sample should be
     # dominated by heavy rows (each heavy ~50x the inclusion odds).
