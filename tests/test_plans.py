@@ -127,3 +127,46 @@ def test_cohort_retention_broadcasts_user_dim(spark):
     plan = plan_of(harness.QUERIES["q82_cohort_retention"](spark, SF_SMOKE))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_hll_registers_aggregate_map_side(spark):
+    """q87: both HLL stages (register max, per-group harmonic sum) do
+    partial aggregation, so the shuffle carries at most m registers per
+    group per task — the sketch bound — and the rho CASE chain stays in
+    JVM codegen."""
+    df = harness.QUERIES["q87_hll_distinct"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "partial_max" in plan
+    assert plan.count("HashAggregate") >= 4  # two levels x partial/final
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in executed
+    assert "ArrowEvalPython" not in executed
+
+
+def test_cms_probe_broadcasts_candidates(spark):
+    """q90: the sketch aggregates with map-side combine (bounded
+    shuffle) and the probe side broadcasts — the sketch never shuffles
+    keyed on probe values."""
+    df = harness.QUERIES["q90_heavy_hitters_cms"](spark, SF_SMOKE)
+    plan = plan_of(df)
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_gapfill_join_broadcasts_bucketed_side(spark):
+    """q86: the dense-spine left join resolves as a broadcast (the
+    aggregated bucket side is small relative to the spine at any SF
+    where buckets << raw rows); LOCF is a single Window pass."""
+    plan = plan_of(harness.QUERIES["q86_gapfill_locf"](spark, SF_SMOKE))
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_join_no_cartesian(spark):
+    """q91: deletion-neighborhood blocking joins on block keys — never
+    a cartesian/nested-loop over the pair space."""
+    plan = plan_of(harness.QUERIES["q91_fuzzy_join"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
