@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "q89_cube",
     "q90_heavy_hitters_cms",
     "q91_fuzzy_join",
+    "q92_sequence_packing",
 ]
 
 

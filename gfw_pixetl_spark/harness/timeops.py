@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.dedup import fuzzy_pairs_symdelete
+from ..functions.packing import pack_sequences
 from ..functions.hashing import md5_int64_sql
 from ..functions.sampling import weighted_reservoir_sample
 from ..functions.sketches import (
@@ -165,6 +166,52 @@ def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q91(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     return fuzzy_pairs_symdelete(cust, "c_custkey", "c_name", max_dist=1)
+
+
+# --------------------------------------------------------------------------
+# q92 — sequence packing (concat-and-chunk): documents concatenated in
+# deterministic order per shard (source) and sliced into 4096-char
+# training sequences, docs straddling boundaries. Pure offset math —
+# running sum + explode over the spanned chunk range — parallel across
+# shards.
+# --------------------------------------------------------------------------
+@register(
+    "q92_sequence_packing",
+    oracle="""
+    WITH spans AS (
+      SELECT source, doc_id,
+             CAST(SUM(n_chars) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS e
+      FROM documents
+    ),
+    nz AS (
+      SELECT s.source, s.doc_id, s.e, s.e - d.n_chars AS st
+      FROM spans s JOIN documents d USING (source, doc_id)
+      WHERE d.n_chars > 0
+    ),
+    ch AS (
+      SELECT source, doc_id, st, e,
+             unnest(generate_series(st // 4096, (e - 1) // 4096))
+               AS chunk_id
+      FROM nz
+    )
+    SELECT source, doc_id, chunk_id,
+           greatest(st, chunk_id * 4096) - chunk_id * 4096
+             AS begin_in_chunk,
+           greatest(st, chunk_id * 4096) - st AS begin_in_doc,
+           least(e, (chunk_id + 1) * 4096) - greatest(st, chunk_id * 4096)
+             AS n_in_chunk
+    FROM ch
+    """,
+)
+def q92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, shard_col="source", id_col="doc_id",
+        len_col="n_chars", capacity=4096,
+    )
 
 
 # --------------------------------------------------------------------------

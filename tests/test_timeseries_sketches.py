@@ -104,6 +104,44 @@ def test_cms_partition_invariant(spark):
     assert a == b
 
 
+def test_pack_sequences_conservation_and_capacity(spark):
+    """Slices reassemble every document exactly (per-doc n_in_chunk sums
+    to its length, begin_in_doc is contiguous) and every chunk except
+    each shard's last is filled to capacity."""
+    from gfw_pixetl_spark.functions.packing import pack_sequences
+
+    docs = load(spark, SF_SMOKE, "documents")
+    cap = 1000
+    out = pack_sequences(
+        docs, "source", "doc_id", "n_chars", capacity=cap
+    ).collect()
+
+    per_doc: dict[int, int] = {}
+    per_chunk: dict[tuple, int] = {}
+    for r in out:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["n_in_chunk"]
+        key = (r["source"], r["chunk_id"])
+        per_chunk[key] = per_chunk.get(key, 0) + r["n_in_chunk"]
+        assert 0 <= r["begin_in_chunk"] < cap
+        assert r["n_in_chunk"] >= 1
+
+    lens = {
+        r["doc_id"]: r["n_chars"]
+        for r in docs.select("doc_id", "n_chars").collect()
+        if r["n_chars"] > 0
+    }
+    assert per_doc == lens
+    last = {
+        src: max(c for s, c in per_chunk if s == src)
+        for src, _ in per_chunk
+    }
+    for (src, c), tot in per_chunk.items():
+        if c < last[src]:
+            assert tot == cap, (src, c, tot)
+        else:
+            assert tot <= cap
+
+
 def test_symdelete_blocking_has_full_recall(spark):
     """Deletion-neighborhood blocking must find every edit-distance-1
     pair the brute force finds: substitutions, insertions/deletions,
