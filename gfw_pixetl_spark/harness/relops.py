@@ -165,6 +165,113 @@ def q82(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q93 — full-outer orphan audit: BUILDING-segment customers vs order
+# aggregates, both directions of missingness surfaced. The aggregate
+# side shrinks to per-key rows before the join, so the full-outer is a
+# key-partitioned merge of two pre-reduced sides.
+# --------------------------------------------------------------------------
+@register(
+    "q93_full_outer",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_acctbal FROM customer
+      WHERE c_mktsegment = 'BUILDING'
+    ),
+    o AS (
+      SELECT o_custkey, COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    )
+    SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+           CASE WHEN c.c_custkey IS NULL THEN 'orders_only'
+                WHEN o.o_custkey IS NULL THEN 'cust_only'
+                ELSE 'both' END AS side,
+           COALESCE(o.n_orders, 0) AS n_orders
+    FROM c FULL JOIN o ON c.c_custkey = o.o_custkey
+    """,
+)
+def q93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_acctbal")
+    )
+    agg = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    j = cust.join(agg, cust.c_custkey == agg.o_custkey, "full_outer")
+    side = (
+        F.when(F.col("c_custkey").isNull(), "orders_only")
+        .when(F.col("o_custkey").isNull(), "cust_only")
+        .otherwise("both")
+    )
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        side.alias("side"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q94 — ranking-window surface: ntile / percent_rank / cume_dist / lead
+# gap per (user, ts) — one sort per user partition covers all four.
+# --------------------------------------------------------------------------
+@register(
+    "q94_window_extras",
+    oracle="""
+    SELECT event_id, user_id,
+           ntile(4) OVER w AS quartile,
+           percent_rank() OVER w AS pr,
+           cume_dist() OVER w AS cd,
+           epoch(lead(ts) OVER w) - epoch(ts) AS gap_to_next
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        (
+            F.lead("ts").over(w).cast("double")
+            - F.col("ts").cast("double")
+        ).alias("gap_to_next"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q95 — GROUPING SETS with grouping_id: per-lang and per-source doc
+# totals plus the grand total in one pass, disambiguated by the
+# grouping bitmask (NULL-as-value vs NULL-as-aggregated).
+# --------------------------------------------------------------------------
+@register(
+    "q95_grouping_sets",
+    oracle="""
+    SELECT lang, source, CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+           COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY GROUPING SETS ((lang), (source), ())
+    """,
+)
+def q95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents_v")
+    return spark.sql(
+        """
+        SELECT lang, source, CAST(grouping_id(lang, source) AS BIGINT)
+                 AS gid,
+               COUNT(*) AS n, SUM(n_chars) AS total_chars
+        FROM documents_v GROUP BY GROUPING SETS ((lang), (source), ())
+        """
+    )
+
+
+# --------------------------------------------------------------------------
 # q84 — stream-stream interval join (attribution): views joined to same-
 # user purchases within 24h, both sides streaming with watermark-bounded
 # state. Oracle is the equivalent batch interval join.
