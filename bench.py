@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "q90_heavy_hitters_cms",
     "q91_fuzzy_join",
     "q92_sequence_packing",
+    "q96_winsorize",
+    "q98_transitions",
 ]
 
 

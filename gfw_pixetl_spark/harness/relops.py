@@ -334,3 +334,35 @@ def q85(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_orderstatus") == "F", "D").otherwise("U").alias("op"),
     )
     return compact_latest(base.unionByName(changes))
+
+
+# --------------------------------------------------------------------------
+# q98 — event-transition matrix: counts of (event_type -> next event_type)
+# per user-ordered stream — first-order Markov structure of sessions.
+# One window sort per user partition, then a partial-aggregating count.
+# --------------------------------------------------------------------------
+@register(
+    "q98_transitions",
+    oracle="""
+    SELECT event_type, next_type, COUNT(*) AS n
+    FROM (
+      SELECT event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS next_type
+      FROM events
+    ) WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "event_type", F.lead("event_type").over(w).alias("next_type")
+        )
+        .filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )

@@ -354,3 +354,69 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("q51_multimodal_frames")
 def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(_doc_payloads(spark, sf_dir), every_nth=10, n_frames=3)
+
+
+# --------------------------------------------------------------------------
+# q96 — winsorization: clip n_chars to the per-lang [p05, p95] band
+# (exact linear-interpolated percentiles). The percentile dim is
+# languages-sized, so it broadcasts back onto the corpus — the doc
+# stream shuffles once for the percentile agg and never for the clip.
+# --------------------------------------------------------------------------
+@register(
+    "q96_winsorize",
+    oracle="""
+    WITH b AS (
+      SELECT lang, quantile_cont(n_chars, 0.05) AS p05,
+             quantile_cont(n_chars, 0.95) AS p95
+      FROM documents GROUP BY 1
+    )
+    SELECT d.doc_id, d.lang,
+           round(least(greatest(d.n_chars, b.p05), b.p95), 2) AS clipped
+    FROM documents d JOIN b USING (lang)
+    """,
+)
+def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bounds = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.05)").alias("p05"),
+        F.expr("percentile(n_chars, 0.95)").alias("p95"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("n_chars").cast("double"), F.col("p05")),
+        F.col("p95"),
+    )
+    return docs.join(F.broadcast(bounds), "lang").select(
+        "doc_id", "lang", F.round(clipped, 2).alias("clipped")
+    )
+
+
+# --------------------------------------------------------------------------
+# q97 — z-score outliers: docs whose length is > 2 sigma from their
+# language's mean. Same broadcast-the-statistics shape as q96; stddev
+# rounded to absorb engine summation-order noise.
+# --------------------------------------------------------------------------
+@register(
+    "q97_zscore_outliers",
+    oracle="""
+    WITH s AS (
+      SELECT lang, avg(n_chars) AS mu, stddev_samp(n_chars) AS sd
+      FROM documents GROUP BY 1
+    )
+    SELECT d.doc_id, d.lang,
+           round((d.n_chars - s.mu) / s.sd, 4) AS z
+    FROM documents d JOIN s USING (lang)
+    WHERE abs((d.n_chars - s.mu) / s.sd) > 2
+    """,
+)
+def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    stats = docs.groupBy("lang").agg(
+        F.avg("n_chars").alias("mu"),
+        F.stddev_samp("n_chars").alias("sd"),
+    )
+    z = (F.col("n_chars") - F.col("mu")) / F.col("sd")
+    return (
+        docs.join(F.broadcast(stats), "lang")
+        .filter(F.abs(z) > 2)
+        .select("doc_id", "lang", F.round(z, 4).alias("z"))
+    )
