@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "q92_sequence_packing",
     "q96_winsorize",
     "q98_transitions",
+    "q99_concurrency",
 ]
 
 

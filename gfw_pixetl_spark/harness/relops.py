@@ -366,3 +366,54 @@ def q98(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "next_type")
         .agg(F.count("*").alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# q99 — sweep-line concurrency: treat each event as a 5-minute activity
+# interval and compute the number of concurrently-active intervals per
+# event type at every boundary instant. The classic interval-analytics
+# sweep: union +1/-1 deltas, order within the series, running sum. One
+# window sort per (small) series partition; deltas pre-aggregate per
+# instant so the running sum sees at most one row per boundary.
+# --------------------------------------------------------------------------
+@register(
+    "q99_concurrency",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type, epoch(ts) AS t, 1 AS delta FROM events
+      UNION ALL
+      SELECT event_type, epoch(ts) + 300, -1 FROM events
+    ),
+    agg AS (
+      SELECT event_type, t, CAST(SUM(delta) AS BIGINT) AS d
+      FROM pts GROUP BY 1, 2
+    )
+    SELECT event_type, t,
+           CAST(SUM(d) OVER (
+             PARTITION BY event_type ORDER BY t
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS active
+    FROM agg
+    """,
+)
+def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    t = F.col("ts").cast("double")
+    pts = ev.select(
+        "event_type", t.alias("t"), F.lit(1).alias("delta")
+    ).unionByName(
+        ev.select(
+            "event_type", (t + 300).alias("t"), F.lit(-1).alias("delta")
+        )
+    )
+    agg = pts.groupBy("event_type", "t").agg(
+        F.sum("delta").alias("d")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return agg.select(
+        "event_type", "t", F.sum("d").over(w).alias("active")
+    )
