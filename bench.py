@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "q96_winsorize",
     "q98_transitions",
     "q99_concurrency",
+    "q100_salted_join",
 ]
 
 

@@ -417,3 +417,33 @@ def q99(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "event_type", "t", F.sum("d").over(w).alias("active")
     )
+
+
+# --------------------------------------------------------------------------
+# q100 — salted skew join: events (5 hot event_type keys — a worst-case
+# Zipf head) joined to a per-type dim through operators/skew.py, which
+# spreads each hot key over 8 reducers and replicates the dim 8x. The
+# oracle is the plain join — salting must be semantically invisible.
+# --------------------------------------------------------------------------
+@register(
+    "q100_salted_join",
+    oracle="""
+    WITH dim AS (
+      SELECT DISTINCT event_type,
+             CAST(length(event_type) AS BIGINT) AS type_len
+      FROM events
+    )
+    SELECT e.event_id, e.event_type, d.type_len
+    FROM events e JOIN dim d USING (event_type)
+    """,
+)
+def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    ev = load(spark, sf_dir, "events")
+    dim = ev.select("event_type").distinct().withColumn(
+        "type_len", F.length("event_type").cast("long")
+    )
+    return salted_join(
+        ev.select("event_id", "event_type"), dim, "event_type", n_salts=8
+    ).select("event_id", "event_type", "type_len")

@@ -164,6 +164,13 @@ def test_gapfill_join_broadcasts_bucketed_side(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_salted_join_shuffles_on_salt(spark):
+    """q100: the physical join keys include the salt column — each hot
+    key's rows really are spread over n_salts reducers."""
+    plan = plan_of(harness.QUERIES["q100_salted_join"](spark, SF_SMOKE))
+    assert "_salt" in plan
+
+
 def test_fuzzy_join_no_cartesian(spark):
     """q91: deletion-neighborhood blocking joins on block keys — never
     a cartesian/nested-loop over the pair space."""

@@ -142,6 +142,30 @@ def test_pack_sequences_conservation_and_capacity(spark):
             assert tot <= cap
 
 
+def test_salted_join_matches_plain_join(spark):
+    from gfw_pixetl_spark.operators.skew import salted_join
+
+    facts = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold") for i in range(1000)],
+        "fid long, k string",
+    )
+    dim = spark.createDataFrame(
+        [("hot", 1), ("cold", 2), ("orphan", 3)], "k string, v long"
+    )
+    got = sorted(
+        (r["fid"], r["v"]) for r in salted_join(facts, dim, "k").collect()
+    )
+    want = sorted(
+        (r["fid"], r["v"]) for r in facts.join(dim, "k").collect()
+    )
+    assert got == want
+    # left join keeps unmatched facts with null dim values
+    missing = facts.withColumn("k", F.concat(F.col("k"), F.lit("x")))
+    left = salted_join(missing, dim, "k", how="left")
+    assert left.count() == 1000
+    assert left.filter(F.col("v").isNull()).count() == 1000
+
+
 def test_symdelete_blocking_has_full_recall(spark):
     """Deletion-neighborhood blocking must find every edit-distance-1
     pair the brute force finds: substitutions, insertions/deletions,
