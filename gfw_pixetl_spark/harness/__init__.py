@@ -35,10 +35,18 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # micro-resolution engines (DuckDB, Spark itself) do natively.
         from pyspark.sql import functions as F
 
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
+        elif ts_type == "timestamp_ntz":
+            # Parquet TIMESTAMP(isAdjustedToUTC=false) arrives as
+            # TIMESTAMP_NTZ, which refuses direct numeric casts. The session
+            # timezone is pinned to UTC, so casting to TIMESTAMP is a no-op
+            # on the instant and restores epoch-arithmetic (cast to double)
+            # everywhere downstream — matching DuckDB's epoch(ts).
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

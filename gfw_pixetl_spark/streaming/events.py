@@ -28,9 +28,7 @@ def hourly_rollup_stream(
         .option("pathGlobFilter", fname)
         .parquet(base)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        # TIMESTAMP(NANOS) parquet read as long (nanosAsLong) -> micros
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _normalize_ts(stream)
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
@@ -61,6 +59,20 @@ def run_hourly_rollup_once(spark: SparkSession, events_path: str) -> DataFrame:
     return spark.table(name)
 
 
+def _normalize_ts(stream: DataFrame) -> DataFrame:
+    """Normalize the event-time column to plain TIMESTAMP regardless of how
+    the producer wrote it: TIMESTAMP(NANOS) arrives as long (nanosAsLong),
+    TIMESTAMP(isAdjustedToUTC=false) as TIMESTAMP_NTZ (which refuses numeric
+    casts). Session timezone is pinned UTC, so NTZ -> TIMESTAMP is exact.
+    """
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
 def _event_stream(spark: SparkSession, events_path: str) -> DataFrame:
     schema = spark.read.parquet(events_path).schema
     base, fname = events_path.rsplit("/", 1)
@@ -69,9 +81,7 @@ def _event_stream(spark: SparkSession, events_path: str) -> DataFrame:
         .option("pathGlobFilter", fname)
         .parquet(base)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return _normalize_ts(stream)
 
 
 def sessionize_stream(
