@@ -93,6 +93,13 @@ BENCH_QUERIES = [
     "q98_transitions",
     "q99_concurrency",
     "q100_salted_join",
+    "q101_shipping_priority",
+    "q102_regional_revenue",
+    "q103_setops_cohorts",
+    "q106_equidepth_hist",
+    "q108_calendar_rollup",
+    "q109_above_avg_orders",
+    "q110_pareto_parts",
 ]
 
 

@@ -1,0 +1,477 @@
+"""Classic OLAP surface, wave 3: multi-join star queries, relational set
+ops, regression aggregates, SCD2 interval builds, equi-depth histograms,
+deterministic median/mode, calendar rollups with distinct aggregates,
+correlated-subquery decorrelation, and Pareto frontiers.
+
+The reference has no relational join/agg surface of its own (SURVEY §2.4:
+all joins are spatial) — this wave is the "complete analytics engine"
+extension the harness tables exist for. Scale notes per query: every join
+here is either broadcast (dims) or AQE-planned shuffle on the natural key;
+no query materializes an unpartitioned global window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import load, register
+from .core import SQL_DAVG, SQL_DSUM, davg, dec2, dsum
+
+
+# --------------------------------------------------------------------------
+# q101 — TPC-H Q3 shape: shipping priority. customer (broadcast semi-
+# reduction) ⨝ orders ⨝ lineitem, decimal-exact revenue, top-10. The two
+# fact joins shuffle on o_orderkey; AQE coalesces post-filter partitions.
+# --------------------------------------------------------------------------
+@register(
+    "q101_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(7,6)) - CAST(l_discount AS DECIMAL(7,6))))
+                AS DOUBLE) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    one_minus_disc = F.lit(1).cast("decimal(7,6)") - F.col("l_discount").cast(
+        "decimal(7,6)"
+    )
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(dec2("l_extendedprice") * one_minus_disc)
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(
+            F.col("revenue").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("l_orderkey").asc(),
+        )
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q102 — TPC-H Q5 shape: regional supplier volume. The full snowflake:
+# region→nation (broadcast) → customer → orders → lineitem → supplier
+# (broadcast), with the c_nationkey = s_nationkey colocation predicate.
+# Only two shuffles survive: orders⨝customer on custkey, ⨝lineitem on
+# orderkey — everything dimensional is broadcast.
+# --------------------------------------------------------------------------
+@register(
+    "q102_regional_revenue",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(7,6)) - CAST(l_discount AS DECIMAL(7,6))))
+                AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name ASC
+    """,
+)
+def q102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    one_minus_disc = F.lit(1).cast("decimal(7,6)") - F.col("l_discount").cast(
+        "decimal(7,6)"
+    )
+    return (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec2("l_extendedprice") * one_minus_disc)
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+# --------------------------------------------------------------------------
+# q103 — relational set ops (U2, absent from the reference): year-over-year
+# customer cohorts via INTERSECT / EXCEPT. Each set op is a shuffle on the
+# key with partial dedup map-side; the three legs reuse the same two scans.
+# --------------------------------------------------------------------------
+@register(
+    "q103_setops_cohorts",
+    oracle="""
+    WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+                   AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'),
+         y96 AS (SELECT DISTINCT o_custkey FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                   AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00')
+    SELECT 'retained' AS cohort, o_custkey FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+    UNION ALL
+    SELECT 'churned'  AS cohort, o_custkey FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+    UNION ALL
+    SELECT 'acquired' AS cohort, o_custkey FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y95)
+    """,
+)
+def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+
+    def buyers(year: int) -> DataFrame:
+        return (
+            orders.filter(
+                (F.col("o_orderdate")
+                 >= F.lit(f"{year}-01-01 00:00:00").cast("timestamp"))
+                & (F.col("o_orderdate")
+                   < F.lit(f"{year + 1}-01-01 00:00:00").cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y95, y96 = buyers(1995), buyers(1996)
+    tag = lambda df, name: df.select(  # noqa: E731
+        F.lit(name).alias("cohort"), "o_custkey"
+    )
+    return (
+        tag(y95.intersect(y96), "retained")
+        .unionByName(tag(y95.exceptAll(y96).distinct(), "churned"))
+        .unionByName(tag(y96.exceptAll(y95).distinct(), "acquired"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q104 — regression/correlation aggregates (beyond-reference statistics):
+# corr, covar_samp, regr_slope/intercept of extendedprice ~ quantity per
+# returnflag. Single partial-aggregable pass (co-moment sketches merge).
+# --------------------------------------------------------------------------
+@register(
+    "q104_regression",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           round(corr(l_extendedprice, l_quantity), 6) AS r,
+           round(covar_samp(l_extendedprice, l_quantity), 2) AS cov,
+           round(regr_slope(l_extendedprice, l_quantity), 5) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q104(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.corr(y, x), 6).alias("r"),
+        F.round(F.covar_samp(y, x), 2).alias("cov"),
+        F.round(F.regr_slope(y, x), 5).alias("slope"),
+        F.round(F.regr_intercept(y, x), 2).alias("intercept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q105 — SCD2 dimension build: collapse each user's event stream into
+# type-2 validity intervals (attribute = event_type). Change detection is
+# lag(), interval close is lead() over change rows only — two narrow
+# windows partitioned by user, no global sort.
+# --------------------------------------------------------------------------
+@register(
+    "q105_scd2_intervals",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_type, ts,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), changes AS (
+      SELECT user_id, event_type, ts AS valid_from FROM flagged WHERE chg = 1
+    )
+    SELECT user_id, event_type, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+           row_number() OVER (PARTITION BY user_id ORDER BY valid_from) AS version
+    FROM changes
+    """,
+)
+def q105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    prev = F.lag("event_type").over(w)
+    changes = (
+        ev.withColumn(
+            "chg", F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
+        )
+        .filter(F.col("chg") == 1)
+        .select("user_id", "event_type", F.col("ts").alias("valid_from"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy("valid_from")
+    return changes.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.row_number().over(w2).alias("version"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q106 — equi-depth histogram WITHOUT a global window: decile bounds from
+# one distributed exact-percentile aggregate, broadcast back, bucket by
+# counting bounds <= value. ntile() would force every row through one
+# task; this stays fully parallel at any scale. (Bound values live in
+# open intervals between 2-decimal money values, so the >= comparisons
+# agree across engines despite last-ulp interpolation differences.)
+# --------------------------------------------------------------------------
+@register(
+    "q106_equidepth_hist",
+    oracle="""
+    WITH b AS (
+      SELECT quantile_cont(l_extendedprice,
+                           [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+      FROM lineitem
+    )
+    SELECT len(list_filter(b.qs, q -> l_extendedprice >= q)) AS bucket,
+           COUNT(*) AS n,
+           MIN(l_extendedprice) AS lo,
+           MAX(l_extendedprice) AS hi
+    FROM lineitem, b
+    GROUP BY bucket
+    """,
+)
+def q106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.quantiles import exact_quantiles
+
+    li = load(spark, sf_dir, "lineitem")
+    # decile bounds via distributed range-partitioned selection (see
+    # functions/quantiles.py) — Spark's exact percentile aggregate is a
+    # single-reducer O(n)-state merge, ~3s at sf0.1; this is parallel.
+    # Bounds come back as 9 driver floats, so bucketing is 9 codegen'd
+    # literal comparisons.
+    bounds = exact_quantiles(
+        li, "l_extendedprice", [i / 10.0 for i in range(1, 10)]
+    )
+    bucket = sum(
+        (
+            F.when(F.col("l_extendedprice") >= F.lit(b), 1).otherwise(0)
+            for b in bounds
+        ),
+        start=F.lit(0),
+    )
+    return (
+        li.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("l_extendedprice").alias("lo"),
+            F.max("l_extendedprice").alias("hi"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q107 — deterministic median + mode per group. Median = exact
+# interpolated percentile (distributed sort-based agg); mode = two-phase
+# count + smallest-value-wins tie-break so both engines agree regardless
+# of hash order. No engine-native mode() is used — its tie-break is
+# unspecified on both sides.
+# --------------------------------------------------------------------------
+@register(
+    "q107_median_mode",
+    oracle="""
+    WITH counts AS (
+      SELECT l_returnflag, l_quantity, COUNT(*) AS c
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    ), best AS (
+      SELECT l_returnflag, l_quantity, c,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY c DESC, l_quantity ASC) AS rn
+      FROM counts
+    )
+    SELECT m.l_returnflag,
+           round(m.med, 6) AS med_qty,
+           b.l_quantity AS mode_qty,
+           b.c AS mode_n
+    FROM (SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med
+          FROM lineitem GROUP BY l_returnflag) m
+    JOIN best b ON m.l_returnflag = b.l_returnflag AND b.rn = 1
+    """,
+)
+def q107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.round(F.percentile(F.col("l_quantity"), F.lit(0.5)), 6).alias("med_qty")
+    )
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("c").desc(), F.col("l_quantity").asc()
+    )
+    mode = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").alias("mode_qty"),
+            F.col("c").alias("mode_n"),
+        )
+    )
+    return med.join(mode, "l_returnflag").select(
+        "l_returnflag", "med_qty", "mode_qty", "mode_n"
+    )
+
+
+# --------------------------------------------------------------------------
+# q108 — calendar rollup with a distinct aggregate: orders per
+# (year, quarter) with exact distinct-customer counts. COUNT(DISTINCT)
+# expands to a two-phase partial-dedup aggregate in Spark — no extra
+# shuffle beyond the group keys.
+# --------------------------------------------------------------------------
+@register(
+    "q108_calendar_rollup",
+    oracle=f"""
+    SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+           CAST(EXTRACT(QUARTER FROM o_orderdate) AS INT) AS qtr,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           {SQL_DSUM('o_totalprice')} AS total,
+           {SQL_DAVG('o_totalprice')} AS avg_price
+    FROM orders
+    GROUP BY yr, qtr
+    """,
+)
+def q108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("yr", F.year("o_orderdate"))
+        .withColumn("qtr", F.quarter("o_orderdate"))
+        .groupBy("yr", "qtr")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            dsum("o_totalprice", "total"),
+            davg("o_totalprice", "avg_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q109 — correlated-subquery decorrelation: orders 1.5x above their own
+# customer's average. The correlated scalar subquery becomes one
+# aggregate + one self-join on o_custkey — both sides of the join arrive
+# pre-partitioned on the same key, so AQE plans a single shuffle.
+# --------------------------------------------------------------------------
+@register(
+    "q109_above_avg_orders",
+    oracle=f"""
+    WITH ca AS (
+      SELECT o_custkey, {SQL_DSUM('o_totalprice')} / COUNT(*) AS cavg
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_orderkey, o.o_custkey, o_totalprice, round(cavg, 6) AS cust_avg
+    FROM orders o JOIN ca ON o.o_custkey = ca.o_custkey
+    WHERE o_totalprice > 1.5 * cavg
+    """,
+)
+def q109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    ca = orders.groupBy("o_custkey").agg(
+        (F.sum(dec2("o_totalprice")).cast("double") / F.count("*")).alias("cavg")
+    )
+    return (
+        orders.join(ca, "o_custkey")
+        .filter(F.col("o_totalprice") > 1.5 * F.col("cavg"))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            # round 6, not 2: the decimal-sum/count double can land exactly
+            # on a cent half-boundary where engine rounding modes diverge
+            F.round("cavg", 6).alias("cust_avg"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q110 — Pareto frontier per brand (skyline): parts not strictly dominated
+# on (cheaper price, larger size). The quadratic NOT EXISTS is rewritten
+# as a per-brand running max over distinct prices — O(n log n), shuffle
+# only on p_brand. Oracle keeps the quadratic form as ground truth.
+# --------------------------------------------------------------------------
+@register(
+    "q110_pareto_parts",
+    oracle="""
+    SELECT p_partkey, p_brand, p_retailprice, p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_brand = p.p_brand
+        AND q.p_retailprice < p.p_retailprice
+        AND q.p_size > p.p_size
+    )
+    """,
+)
+def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    per_price = part.groupBy("p_brand", "p_retailprice").agg(
+        F.max("p_size").alias("best_size")
+    )
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cheaper = per_price.withColumn(
+        "cheaper_best", F.max("best_size").over(w)
+    ).select("p_brand", "p_retailprice", "cheaper_best")
+    return (
+        part.join(cheaper, ["p_brand", "p_retailprice"])
+        .filter(
+            F.col("cheaper_best").isNull()
+            | (F.col("cheaper_best") <= F.col("p_size"))
+        )
+        .select("p_partkey", "p_brand", "p_retailprice", "p_size")
+    )

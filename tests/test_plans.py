@@ -177,3 +177,48 @@ def test_fuzzy_join_no_cartesian(spark):
     plan = plan_of(harness.QUERIES["q91_fuzzy_join"](spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_shipping_priority_broadcasts_customer(spark):
+    """q101: the filtered customer dim is broadcast — the only shuffles
+    are the orders⨝lineitem orderkey join and the final aggregate; the
+    ship/order-date filters reach the parquet scans."""
+    plan = plan_of(harness.QUERIES["q101_shipping_priority"](spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    pushed = plan.split("PushedFilters")
+    assert any("l_shipdate" in p[:300] for p in pushed[1:])
+
+
+def test_regional_revenue_all_dims_broadcast(spark):
+    """q102: region/nation/supplier are all broadcast; the snowflake
+    collapses to two fact shuffles regardless of dimension count."""
+    plan = plan_of(harness.QUERIES["q102_regional_revenue"](spark, SF_SMOKE))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_equidepth_hist_has_no_global_window(spark):
+    """q106: equi-depth bucketing must NOT use ntile's single-partition
+    global window — decile bounds come from the range-partitioned exact
+    selection operator and land as literal comparisons in one scan+agg."""
+    plan = plan_of(harness.QUERIES["q106_equidepth_hist"](spark, SF_SMOKE))
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_above_avg_orders_no_nested_loop(spark):
+    """q109: the decorrelated scalar subquery is a keyed agg + equi-join
+    on o_custkey — never a per-row nested-loop re-aggregation."""
+    plan = plan_of(harness.QUERIES["q109_above_avg_orders"](spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_pareto_runs_one_brand_window(spark):
+    """q110: the skyline is one brand-partitioned window over distinct
+    prices — the quadratic NOT EXISTS never materializes."""
+    plan = plan_of(harness.QUERIES["q110_pareto_parts"](spark, SF_SMOKE))
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan

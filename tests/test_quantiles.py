@@ -1,0 +1,84 @@
+"""Unit tests for the distributed exact-quantile selection operator:
+value parity with DuckDB's quantile_cont (the oracle interpolation) and
+with Spark's own exact percentile aggregate, plus edge cases.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from gfw_pixetl_spark.functions.quantiles import exact_quantiles
+
+PS = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]
+
+
+def _duck_quantiles(values, ps):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in values])
+    return [
+        con.execute(f"SELECT quantile_cont(v, {p}) FROM t").fetchone()[0]
+        for p in ps
+    ]
+
+
+@pytest.mark.parametrize("n", [1, 2, 7, 1000])
+def test_matches_duckdb_quantile_cont(spark, n):
+    rng = random.Random(42 + n)
+    values = [round(rng.uniform(900, 105000), 2) for _ in range(n)]
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    got = exact_quantiles(df, "v", PS, num_partitions=4)
+    want = _duck_quantiles(values, PS)
+    for g, w, p in zip(got, want, PS):
+        assert g == pytest.approx(w, rel=0, abs=1e-9), f"p={p}"
+
+
+def test_matches_spark_percentile(spark):
+    rng = random.Random(7)
+    values = [rng.gauss(0, 100) for _ in range(5000)]
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    got = exact_quantiles(df, "v", PS, num_partitions=8)
+    want = df.agg(F.percentile(F.col("v"), F.lit(PS)).alias("q")).first()["q"]
+    for g, w in zip(got, want):
+        assert g == pytest.approx(w, rel=0, abs=1e-9)
+
+
+def test_ties_and_integer_ranks(spark):
+    # 11 values 0..10: every decile rank is integer -> exact data values
+    df = spark.createDataFrame([(float(i),) for i in range(11)], "v double")
+    got = exact_quantiles(df, "v", [i / 10.0 for i in range(11)], num_partitions=3)
+    assert got == [float(i) for i in range(11)]
+
+
+def test_nulls_ignored_and_empty(spark):
+    df = spark.createDataFrame(
+        [(1.0,), (None,), (3.0,), (None,)], "v double"
+    )
+    assert exact_quantiles(df, "v", [0.5]) == [2.0]
+    empty = df.where(F.col("v").isNull())
+    assert exact_quantiles(empty, "v", [0.5]) == [None]
+    assert exact_quantiles(df, "v", []) == []
+
+
+def test_heavily_duplicated_column(spark):
+    # 50 distinct values x 200 repeats — the l_quantity shape
+    values = [float(i % 50) for i in range(10000)]
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    got = exact_quantiles(df, "v", [0.5], num_partitions=6)
+    want = _duck_quantiles(values, [0.5])
+    assert got[0] == pytest.approx(want[0], rel=0, abs=1e-12)
+
+
+def test_interpolation_formula_exact(spark):
+    # rank p*(n-1) with fractional part: lo + (hi-lo)*frac, bit-for-bit
+    values = [10.0, 20.0, 40.0, 80.0]
+    df = spark.createDataFrame([(v,) for v in values], "v double")
+    (got,) = exact_quantiles(df, "v", [0.5])
+    r = 0.5 * 3
+    lo, hi = values[math.floor(r)], values[math.ceil(r)]
+    assert got == lo + (hi - lo) * (r - math.floor(r)) == 30.0
