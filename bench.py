@@ -100,6 +100,11 @@ BENCH_QUERIES = [
     "q108_calendar_rollup",
     "q109_above_avg_orders",
     "q110_pareto_parts",
+    "q111_rolling_hour",
+    "q112_dq_audit",
+    "q113_activity_islands",
+    "q114_revenue_share",
+    "q116_first_last_event",
 ]
 
 

@@ -54,6 +54,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 from . import core  # noqa: E402,F401
 from . import geomops  # noqa: E402,F401
 from . import textops  # noqa: E402,F401
+from . import audit  # noqa: E402,F401
 from . import olap  # noqa: E402,F401
 from . import relops  # noqa: E402,F401
 from . import tileops  # noqa: E402,F401

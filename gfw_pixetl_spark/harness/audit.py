@@ -1,0 +1,269 @@
+"""Wave 4: time-range window frames, data-quality audits, gaps-and-
+islands, share-of-total, balanced shard assignment, first/last-per-group.
+
+These are the operational-analytics shapes (monitoring, curriculum
+sharding, run detection) that sit alongside the OLAP wave. All windows
+are partitioned (no global ordering); the audit queries are unions of
+independent scalar aggregates Catalyst evaluates in parallel scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import load, register
+from .core import SQL_DSUM, dec2
+
+
+# --------------------------------------------------------------------------
+# q111 — rolling time-range frame: per-user trailing-1-hour event count
+# and exact decimal sum. RANGE BETWEEN on the epoch key — the frame is
+# event-time, not row-count, so bursty users and quiet users both get
+# "the last hour". Decimal accumulation keeps the rolling sum exact
+# under any evaluation order (segment tree vs sliding recompute).
+# --------------------------------------------------------------------------
+@register(
+    "q111_rolling_hour",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS roll_n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS roll_sum
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("double"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("roll_n"),
+        F.sum(dec2("value")).over(w).cast("double").alias("roll_sum"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q112 — data-quality audit: the constraint checks a pipeline runs before
+# publishing a dataset version (the engine-side analog of the reference's
+# up-front pydantic/source validation, models/pydantic.py:35-78 — there
+# schema conformance is asserted per layer; here it is measured per
+# table). Each check is an independent aggregate; orphan detection is a
+# broadcast-able anti-join.
+# --------------------------------------------------------------------------
+@register(
+    "q112_dq_audit",
+    oracle="""
+    SELECT 'orders_rows' AS check_name, COUNT(*) AS n FROM orders
+    UNION ALL
+    SELECT 'orders_null_custkey', COUNT(*) FROM orders WHERE o_custkey IS NULL
+    UNION ALL
+    SELECT 'orders_dup_pk',
+           COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders
+    UNION ALL
+    SELECT 'lineitem_orphans', COUNT(*) FROM lineitem
+    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    UNION ALL
+    SELECT 'lineitem_nonpositive_qty', COUNT(*) FROM lineitem
+    WHERE l_quantity <= 0
+    UNION ALL
+    SELECT 'lineitem_discount_range', COUNT(*) FROM lineitem
+    WHERE l_discount < 0 OR l_discount > 1
+    UNION ALL
+    SELECT 'orders_fk_customer', COUNT(*) FROM orders
+    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    """,
+)
+def q112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    cust = load(spark, sf_dir, "customer")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("n")).select(
+            F.lit(name).alias("check_name"), "n"
+        )
+
+    orphans = li.join(
+        orders.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_anti",
+    )
+    fk_cust = orders.join(
+        F.broadcast(cust.select("c_custkey")),
+        orders.o_custkey == F.col("c_custkey"),
+        "left_anti",
+    )
+    dup_pk = orders.agg(
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("n")
+    ).select(F.lit("orders_dup_pk").alias("check_name"), "n")
+    return (
+        one("orders_rows", orders)
+        .unionByName(one("orders_null_custkey", orders.filter(F.col("o_custkey").isNull())))
+        .unionByName(dup_pk)
+        .unionByName(one("lineitem_orphans", orphans))
+        .unionByName(one("lineitem_nonpositive_qty", li.filter(F.col("l_quantity") <= 0)))
+        .unionByName(
+            one(
+                "lineitem_discount_range",
+                li.filter((F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+            )
+        )
+        .unionByName(one("orders_fk_customer", fk_cust))
+    )
+
+
+# --------------------------------------------------------------------------
+# q113 — gaps and islands: maximal runs of consecutive active days per
+# user via the day_index - row_number() grouping trick — one partitioned
+# window plus one aggregate, the canonical O(n log n) run detection.
+# --------------------------------------------------------------------------
+@register(
+    "q113_activity_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_idx
+      FROM events
+    ), grp AS (
+      SELECT user_id, day_idx,
+             day_idx - row_number() OVER (PARTITION BY user_id
+                                          ORDER BY day_idx) AS g
+      FROM days
+    )
+    SELECT user_id, MIN(day_idx) AS island_start,
+           MAX(day_idx) AS island_end,
+           COUNT(*) AS n_days
+    FROM grp GROUP BY user_id, g
+    """,
+)
+def q113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.floor(F.col("ts").cast("double") / 86400).cast("long").alias("day_idx"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_idx")
+    grp = days.withColumn("g", F.col("day_idx") - F.row_number().over(w))
+    return grp.groupBy("user_id", "g").agg(
+        F.min("day_idx").alias("island_start"),
+        F.max("day_idx").alias("island_end"),
+        F.count("*").alias("n_days"),
+    ).drop("g")
+
+
+# --------------------------------------------------------------------------
+# q114 — share-of-total (ratio_to_report): each nation's share of global
+# revenue. The grand total is an unpartitioned window over the ALREADY
+# AGGREGATED 25-row nation table — the expensive scan aggregates first,
+# so the global window touches dimension-cardinality rows only.
+# --------------------------------------------------------------------------
+@register(
+    "q114_revenue_share",
+    oracle=f"""
+    WITH nat AS (
+      SELECT n_name, {SQL_DSUM('o_totalprice')} AS revenue
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name, revenue,
+           round(revenue / SUM(revenue) OVER (), 6) AS share
+    FROM nat
+    """,
+)
+def q114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    nat = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(dec2("o_totalprice")).cast("double").alias("revenue"))
+    )
+    w = Window.partitionBy()
+    return nat.select(
+        "n_name",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias("share"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q115 — balanced training-shard assignment: size-ordered round-robin
+# binning (longest-processing-time heuristic) of documents into 8 shards.
+# Deterministic: shard = (row_number by size desc, doc_id) % 8. At true
+# scale the streaming path is hash-sharding; this is the curriculum/
+# balanced variant used when shard size variance matters.
+# --------------------------------------------------------------------------
+@register(
+    "q115_shard_assign",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id, n_chars,
+             (row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) - 1) % 8
+               AS shard
+      FROM documents
+    )
+    SELECT shard, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM ranked GROUP BY shard
+    """,
+)
+def q115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = Window.orderBy(F.col("n_chars").desc(), F.col("doc_id").asc())
+    ranked = docs.withColumn(
+        "shard", (F.row_number().over(w) - 1) % 8
+    )
+    return ranked.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q116 — first/last event per user in one pass: min_by/max_by keyed on
+# the (ts, event_id) struct — single hash aggregate, no window, no
+# second scan. The struct key makes the tie-break explicit and
+# partition-order-independent.
+# --------------------------------------------------------------------------
+@register(
+    "q116_first_last_event",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS rn_a,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT a.user_id,
+           a.event_type AS first_type,
+           d.event_type AS last_type,
+           a.ts AS first_ts, d.ts AS last_ts
+    FROM ranked a JOIN ranked d
+      ON a.user_id = d.user_id AND a.rn_a = 1 AND d.rn_d = 1
+    """,
+)
+def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy("user_id").agg(
+        F.min_by("event_type", key).alias("first_type"),
+        F.max_by("event_type", key).alias("last_type"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )

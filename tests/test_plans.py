@@ -222,3 +222,29 @@ def test_pareto_runs_one_brand_window(spark):
     assert "Window" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
+
+
+def test_dq_audit_orphans_are_anti_joins(spark):
+    """q112: referential checks plan as anti-joins (broadcast where the
+    key side is small), never NOT-IN nested loops."""
+    plan = plan_of(harness.QUERIES["q112_dq_audit"](spark, SF_SMOKE))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_revenue_share_windows_aggregated_dims(spark):
+    """q114: the grand-total window runs over the 25-row aggregated
+    nation table, after the fact scan has been reduced — the unpartitioned
+    window never sees fact-table cardinality."""
+    plan = plan_of(harness.QUERIES["q114_revenue_share"](spark, SF_SMOKE))
+    assert "Window" in plan
+    # the window input is the agg output: a Window above HashAggregate
+    assert plan.index("Window") < plan.index("Scan parquet")
+
+
+def test_first_last_event_is_one_aggregate(spark):
+    """q116: first/last per user is a single min_by/max_by hash aggregate
+    — no window, no self-join, one shuffle on user_id."""
+    plan = plan_of(harness.QUERIES["q116_first_last_event"](spark, SF_SMOKE))
+    assert "Window" not in plan
+    assert "Join" not in plan
