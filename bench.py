@@ -105,6 +105,8 @@ BENCH_QUERIES = [
     "q113_activity_islands",
     "q114_revenue_share",
     "q116_first_last_event",
+    "q117_pagerank_nations",
+    "q118_bm25",
 ]
 
 

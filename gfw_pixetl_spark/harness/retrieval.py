@@ -1,0 +1,194 @@
+"""Wave 5: graph + retrieval scoring — iterative PageRank with an exact
+unrolled-iteration SQL oracle, and BM25 keyword ranking over the
+documents corpus.
+
+PageRank is the representative iterative-dataflow operator (the shape of
+label propagation / influence scoring on a join-derived graph); BM25 is
+the retrieval-quality scorer a training-data pipeline uses to mine
+topical subsets. Both stay fully relational: per-iteration joins for the
+rank walk, broadcast corpus statistics for the scorer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import load, register
+
+N_NATIONS = 25
+DAMP = 0.85
+N_ITERS = 5
+
+_EDGE_SQL = """
+  e AS (SELECT s_nationkey AS src, c_nationkey AS dst, COUNT(*) AS w
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2),
+  o AS (SELECT src, SUM(w) AS ow FROM e GROUP BY src),
+  r0 AS (SELECT n_nationkey AS node, 1.0/25 AS r FROM nation)
+"""
+
+
+def _pagerank_oracle() -> str:
+    # unroll the fixed-point: r_{k+1}(v) = (1-d)/N + d * sum_in r_k(u)*w/ow
+    steps = []
+    for k in range(N_ITERS):
+        steps.append(
+            f"""r{k + 1} AS (
+      SELECT v.node,
+             0.15/25 + 0.85 * COALESCE(SUM(u.r * e.w / o.ow), 0) AS r
+      FROM r{k} v
+      LEFT JOIN e ON e.dst = v.node
+      LEFT JOIN r{k} u ON u.node = e.src
+      LEFT JOIN o ON o.src = e.src
+      GROUP BY v.node)"""
+        )
+    return (
+        "WITH "
+        + _EDGE_SQL
+        + ", "
+        + ",\n  ".join(steps)
+        + f"\nSELECT node, round(r, 8) AS rank FROM r{N_ITERS}"
+    )
+
+
+# --------------------------------------------------------------------------
+# q117 — PageRank over the nation trade graph (supplier-nation →
+# customer-nation, edge weight = lineitem count). The walk is K rounds of
+# edge⨝rank join + re-aggregation; edges and out-degrees are computed
+# once and cached. Node count stays dimension-sized while the edge
+# derivation scans the fact table — the realistic shape for entity
+# graphs distilled from event logs.
+# --------------------------------------------------------------------------
+@register("q117_pagerank_nations", oracle=_pagerank_oracle())
+def q117(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .agg(F.count("*").alias("w"))
+        .persist()
+    )
+    out = edges.groupBy("src").agg(F.sum("w").alias("ow"))
+    # contribution weight per edge is iteration-invariant: fold w/ow once.
+    # The graph is node²-bounded (dimension-scale) — one partition, cached;
+    # at entity-graph scale this stays partitioned and ranks co-partition
+    # with it instead of broadcasting.
+    contrib = (
+        edges.join(out, "src")
+        .select("src", "dst", (F.col("w") / F.col("ow")).alias("cw"))
+        .coalesce(1)
+        .persist()
+    )
+    nodes = nation.select(F.col("n_nationkey").alias("node")).coalesce(1)
+    ranks = nodes.withColumn("r", F.lit(1.0 / N_NATIONS))
+    for _ in range(N_ITERS):
+        inflow = (
+            contrib.join(F.broadcast(ranks), contrib.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("r") * F.col("cw")).alias("s"))
+        )
+        ranks = (
+            nodes.join(F.broadcast(inflow), nodes.node == inflow.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit((1 - DAMP) / N_NATIONS)
+                    + F.lit(DAMP) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("r"),
+            )
+            # truncate lineage so plan depth stays O(1) per iteration —
+            # the iterative-algorithm discipline (same as
+            # functions/dedup.py::connected_components)
+            .localCheckpoint(eager=False)
+        )
+    result = ranks.select("node", F.round("r", 8).alias("rank"))
+    return result
+
+
+# --------------------------------------------------------------------------
+# q118 — BM25 keyword ranking (k1=1.2, b=0.75) for a fixed query over the
+# documents corpus. Corpus stats (N, avgdl, per-term df) are tiny
+# broadcast sides; the per-doc tf explode never shuffles wider than
+# (doc, query-term) pairs. The retrieval scorer used for topical mining
+# of training corpora.
+# --------------------------------------------------------------------------
+QUERY_TERMS = ("join", "window", "stream")
+_terms_sql = ", ".join(f"'{t}'" for t in QUERY_TERMS)
+
+
+@register(
+    "q118_bm25",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), w -> w != '') AS ws
+      FROM documents
+    ), dl AS (
+      SELECT doc_id, len(ws) AS dl FROM toks
+    ), stats AS (
+      SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(ws) AS word FROM toks)
+      WHERE word IN ({_terms_sql})
+      GROUP BY doc_id, word
+    ), df AS (
+      SELECT word, COUNT(*) AS df FROM tf GROUP BY word
+    )
+    SELECT tf.doc_id,
+           round(SUM(
+             ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1)
+             * tf.tf * 2.2
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+           ), 6) AS bm25
+    FROM tf
+    JOIN df ON tf.word = df.word
+    JOIN dl ON tf.doc_id = dl.doc_id
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+    """,
+)
+def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda w: w != "").alias("ws"),
+    )
+    dl = toks.select("doc_id", F.size("ws").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.select("doc_id", F.explode("ws").alias("word"))
+        .filter(F.col("word").isin(*QUERY_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    term_score = idf * F.col("tf") * 2.2 / (
+        F.col("tf")
+        + 1.2 * (1 - 0.75 + 0.75 * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(df_), "word")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(term_score), 6).alias("bm25"))
+    )
