@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "q116_first_last_event",
     "q117_pagerank_nations",
     "q118_bm25",
+    "q119_audio_energy",
 ]
 
 

@@ -194,3 +194,37 @@ def image_ahash(df: DataFrame, text_col: str = "text") -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
 
     return df.select("doc_id", text_col).mapInPandas(kernel, AHASH_SCHEMA)
+
+
+ENERGY_SCHEMA = "doc_id long, win_idx int, rms double"
+
+
+def audio_energy(
+    df: DataFrame, text_col: str = "text", window: int = 4
+) -> DataFrame:
+    """Windowed RMS energy over an audio payload: one input row fans out
+    to n_samples/window rows — the silence-trim / voice-activity feature
+    a speech-corpus pipeline computes before segmentation. Real PCM
+    decoders plug into the same one-to-many mapInPandas shape.
+
+    With codecs absent the 'decoded samples' are the deterministic stub
+    (the 16 md5 payload bytes as signed int8 PCM), so like the aHash
+    kernel (q65) an external SQL oracle can replay the values
+    bit-for-bit (harness q119).
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, wins, rms = [], [], []
+            for doc_id, t in zip(pdf["doc_id"], pdf[text_col]):
+                raw = fake_payload(t)
+                samples = [b - 256 if b > 127 else b for b in raw]
+                for w0 in range(0, len(samples) // window):
+                    chunk = samples[w0 * window : (w0 + 1) * window]
+                    e = (sum(s * s for s in chunk) / float(window)) ** 0.5
+                    ids.append(doc_id)
+                    wins.append(w0)
+                    rms.append(round(e, 6))
+            yield pd.DataFrame({"doc_id": ids, "win_idx": wins, "rms": rms})
+
+    return df.select("doc_id", text_col).mapInPandas(kernel, ENERGY_SCHEMA)

@@ -647,3 +647,30 @@ def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import domain_mix_weights
 
     return domain_mix_weights(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# q119 — audio-modality feature extraction: windowed RMS energy over the
+# stubbed PCM payload (functions/multimodal.py::audio_energy). The md5
+# stub makes the fan-out kernel value-checkable in SQL, like q65.
+# --------------------------------------------------------------------------
+_PCM_BYTES = [
+    f"CAST(('0x' || substr(md5(text), {2 * i + 1}, 2)) AS BIGINT)"
+    for i in range(16)
+]
+_PCM_SIGNED = [
+    f"(CASE WHEN {b} > 127 THEN {b} - 256 ELSE {b} END)" for b in _PCM_BYTES
+]
+_ENERGY_SELECTS = " UNION ALL ".join(
+    f"""SELECT doc_id, {w} AS win_idx,
+        round(sqrt(({" + ".join(f"{s}*{s}" for s in _PCM_SIGNED[4 * w : 4 * w + 4])}) / 4.0), 6) AS rms
+        FROM documents"""
+    for w in range(4)
+)
+
+
+@register("q119_audio_energy", oracle=_ENERGY_SELECTS)
+def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import audio_energy
+
+    return audio_energy(load(spark, sf_dir, "documents"))

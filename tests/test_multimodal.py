@@ -51,3 +51,25 @@ def test_sample_frames_fanout(spark):
     # frames are distinct per index
     d1 = [r.payload for r in out if r.doc_id == 1]
     assert len(set(d1)) == 4
+
+
+def test_audio_energy_windows(spark):
+    import hashlib
+    import math
+
+    from gfw_pixetl_spark.functions.multimodal import audio_energy
+
+    out = audio_energy(_docs(spark)).collect()
+    # 16 stub samples / window 4 -> 4 windows per doc
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert all(len(v) == 4 for v in by_doc.values())
+    # replay window 0 of doc 1 by hand
+    row1 = {r.win_idx: r.rms for r in by_doc[1]}
+    text = {r.doc_id: r.text for r in _docs(spark).collect()}[1]
+    raw = hashlib.md5(text.encode()).digest()
+    s = [b - 256 if b > 127 else b for b in raw[:4]]
+    want = round(math.sqrt(sum(x * x for x in s) / 4.0), 6)
+    assert row1[0] == want
+    assert all(r.rms >= 0 for r in out)
