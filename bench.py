@@ -108,6 +108,9 @@ BENCH_QUERIES = [
     "q117_pagerank_nations",
     "q118_bm25",
     "q119_audio_energy",
+    "q120_custdist",
+    "q121_big_orders",
+    "q122_cumulative_distinct",
 ]
 
 

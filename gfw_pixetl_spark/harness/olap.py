@@ -475,3 +475,114 @@ def q110(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "p_brand", "p_retailprice", "p_size")
     )
+
+
+# --------------------------------------------------------------------------
+# q120 — TPC-H Q13 shape: distribution of customers by order count,
+# INCLUDING zero-order customers (the left outer join is the point — an
+# inner join silently drops the zero bucket). Two hash aggregations, the
+# second over customer-cardinality rows.
+# --------------------------------------------------------------------------
+@register(
+    "q120_custdist",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def q120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# --------------------------------------------------------------------------
+# q121 — TPC-H Q18 shape: large-volume orders. The HAVING-subquery
+# (orders whose total quantity exceeds a threshold) becomes one
+# aggregate + semi-join back to the detail; both sides are already
+# partitioned on l_orderkey/o_orderkey so AQE plans a single shuffle
+# per side and reuses the aggregate's exchange.
+# --------------------------------------------------------------------------
+@register(
+    "q121_big_orders",
+    oracle=f"""
+    SELECT o_orderkey, o_orderdate, o_totalprice,
+           {SQL_DSUM('l_quantity')} AS total_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    )
+    GROUP BY o_orderkey, o_orderdate, o_totalprice
+    """,
+)
+def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec2("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity", "total_qty"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q122 — cumulative distinct count over time: distinct event types each
+# user has seen up to each event. Windows can't take COUNT(DISTINCT);
+# the standard rewrite marks each (user, type)'s FIRST occurrence and
+# running-sums the marks — two partitioned windows, no quadratic
+# re-scan.
+# --------------------------------------------------------------------------
+@register(
+    "q122_cumulative_distinct",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+                                          ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT user_id, event_id,
+           SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS distinct_types_so_far
+    FROM marked
+    """,
+)
+def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts"), F.col("event_id")
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = ev.withColumn(
+        "first_seen",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0),
+    )
+    return marked.select(
+        "user_id",
+        "event_id",
+        F.sum("first_seen").over(w_cum).alias("distinct_types_so_far"),
+    )
