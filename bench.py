@@ -111,6 +111,9 @@ BENCH_QUERIES = [
     "q120_custdist",
     "q121_big_orders",
     "q122_cumulative_distinct",
+    "q123_trade_flows",
+    "q124_unpivot_measures",
+    "q125_nullsafe_join",
 ]
 
 

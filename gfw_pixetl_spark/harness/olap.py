@@ -586,3 +586,134 @@ def q122(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.sum("first_seen").over(w_cum).alias("distinct_types_so_far"),
     )
+
+
+# --------------------------------------------------------------------------
+# q123 — TPC-H Q7 shape: the full nation→nation trade-flow matrix by
+# year (no pair filter — the whole matrix is the point). Supplier and
+# customer nations resolve through two broadcast joins against the same
+# 25-row dim; facts shuffle only on their join keys.
+# --------------------------------------------------------------------------
+@register(
+    "q123_trade_flows",
+    oracle="""
+    SELECT ns.n_name AS supp_nation,
+           nc.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS yr,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(7,6)) - CAST(l_discount AS DECIMAL(7,6))))
+                AS DOUBLE) AS volume,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ns ON s_nationkey = ns.n_nationkey
+    JOIN nation nc ON c_nationkey = nc.n_nationkey
+    GROUP BY ns.n_name, nc.n_name, yr
+    """,
+)
+def q123(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    ns = nation.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = nation.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    one_minus_disc = F.lit(1).cast("decimal(7,6)") - F.col("l_discount").cast(
+        "decimal(7,6)"
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .withColumn("yr", F.year("l_shipdate"))
+        .groupBy("supp_nation", "cust_nation", "yr")
+        .agg(
+            F.sum(dec2("l_extendedprice") * one_minus_disc)
+            .cast("double")
+            .alias("volume"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q124 — UNPIVOT (the inverse of q68's pivot): widen-then-melt the three
+# lineitem money measures into (measure, value) rows via stack() — a
+# map-only projection that multiplies rows without any shuffle before
+# the final aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "q124_unpivot_measures",
+    oracle="""
+    WITH melted AS (
+      SELECT l_returnflag, measure, val
+      FROM (SELECT l_returnflag, l_extendedprice, l_discount, l_tax
+            FROM lineitem)
+      UNPIVOT (val FOR measure IN (l_extendedprice, l_discount, l_tax))
+    )
+    SELECT l_returnflag, measure, COUNT(*) AS n,
+           CAST(SUM(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM melted GROUP BY l_returnflag, measure
+    """,
+)
+def q124(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    melted = li.select(
+        "l_returnflag",
+        F.expr(
+            "stack(3, 'l_extendedprice', l_extendedprice,"
+            " 'l_discount', l_discount, 'l_tax', l_tax)"
+        ).alias("measure", "val"),
+    )
+    return melted.groupBy("l_returnflag", "measure").agg(
+        F.count("*").alias("n"),
+        F.sum(dec2("val")).cast("double").alias("total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q125 — null-safe equality join (<=> / IS NOT DISTINCT FROM): match on a
+# nullable derived key where NULL must equal NULL. A plain equi-join
+# silently drops the null bucket; the null-safe operator keeps it while
+# still hash-partitioning (null is just another key value).
+# --------------------------------------------------------------------------
+@register(
+    "q125_nullsafe_join",
+    oracle="""
+    WITH l AS (
+      SELECT o_orderkey, NULLIF(o_orderpriority, '1-URGENT') AS pri
+      FROM orders
+    ), r AS (
+      SELECT NULLIF(o_orderpriority, '1-URGENT') AS pri, COUNT(*) AS n_side
+      FROM orders GROUP BY 1
+    )
+    SELECT l.pri, r.n_side, COUNT(*) AS n
+    FROM l JOIN r ON l.pri IS NOT DISTINCT FROM r.pri
+    GROUP BY l.pri, r.n_side
+    """,
+)
+def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    pri = F.when(
+        F.col("o_orderpriority") == "1-URGENT", F.lit(None).cast("string")
+    ).otherwise(F.col("o_orderpriority"))
+    left = orders.select("o_orderkey", pri.alias("pri"))
+    right = (
+        orders.select(pri.alias("rpri"))
+        .groupBy("rpri")
+        .agg(F.count("*").alias("n_side"))
+    )
+    return (
+        left.join(right, left.pri.eqNullSafe(right.rpri))
+        .groupBy("pri", "n_side")
+        .agg(F.count("*").alias("n"))
+    )
