@@ -82,3 +82,45 @@ def test_interpolation_formula_exact(spark):
     r = 0.5 * 3
     lo, hi = values[math.floor(r)], values[math.ceil(r)]
     assert got == lo + (hi - lo) * (r - math.floor(r)) == 30.0
+
+
+# ---------------------------------------------------------------------------
+# Property-based: exact_quantiles must agree with a NumPy linear-
+# interpolation reference for ANY value multiset, partition count, and
+# probability — including heavy ties, negatives, and single elements.
+# Spark-session-per-example is too slow for hypothesis, so the property
+# drives a batch of drawn cases through one session.
+# ---------------------------------------------------------------------------
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+CASES = st.lists(
+    st.tuples(
+        st.lists(
+            st.one_of(
+                st.integers(-1000, 1000).map(float),
+                st.floats(-1e6, 1e6, allow_nan=False, width=32),
+            ),
+            min_size=1,
+            max_size=60,
+        ),
+        st.integers(1, 7),  # partitions
+        st.floats(0.0, 1.0, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(CASES)
+def test_property_matches_numpy(spark, cases):
+    for values, n_parts, p in cases:
+        df = spark.createDataFrame([(v,) for v in values], "v double")
+        (got,) = exact_quantiles(df, "v", [p], num_partitions=n_parts)
+        want = float(np.percentile(np.array(values, dtype=np.float64),
+                                   p * 100, method="linear"))
+        assert got == pytest.approx(want, rel=0, abs=max(1e-9, abs(want) * 1e-12)), (
+            values, n_parts, p,
+        )
