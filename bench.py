@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "q123_trade_flows",
     "q124_unpivot_measures",
     "q125_nullsafe_join",
+    "q126_stream_upsert",
 ]
 
 

@@ -674,3 +674,54 @@ def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.multimodal import audio_energy
 
     return audio_energy(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# q126 — streaming CDC upsert materialization: the events feed becomes a
+# change stream (key=user_id, version=event_id, op=D on error events),
+# drained through the exactly-once KeyedUpsertSink (foreachBatch merge
+# into a versioned store + atomic pointer swap). The final snapshot is
+# the batch argmax compaction — SQL-checkable despite the streaming
+# execution.
+# --------------------------------------------------------------------------
+@register(
+    "q126_stream_upsert",
+    oracle="""
+    WITH changes AS (
+      SELECT user_id AS key, event_type AS val, event_id AS version,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+      FROM events
+    ), latest AS (
+      SELECT key, arg_max(val, version) AS val,
+             arg_max(op, version) AS op, MAX(version) AS version
+      FROM changes GROUP BY key
+    )
+    SELECT key, val, version FROM latest WHERE op <> 'D'
+    """,
+)
+def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.upsert import KeyedUpsertSink
+
+    work = tempfile.mkdtemp(prefix="q126_")
+    ev_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    base, fname = f"{sf_dir}/events.parquet".rsplit("/", 1)
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("pathGlobFilter", fname)
+        .parquet(base)
+        .select(
+            F.col("user_id").alias("key"),
+            F.col("event_type").alias("val"),
+            F.col("event_id").alias("version"),
+            F.when(F.col("event_type") == "error", "D")
+            .otherwise("U")
+            .alias("op"),
+        )
+    )
+    sink = KeyedUpsertSink(f"{work}/store", f"{work}/ckpt")
+    sink.run_available_now(stream)
+    return sink.snapshot(spark).select("key", "val", "version")
