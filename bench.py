@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     "q124_unpivot_measures",
     "q125_nullsafe_join",
     "q126_stream_upsert",
+    "q127_zoom_pyramid",
+    "q128_tile_diff",
 ]
 
 

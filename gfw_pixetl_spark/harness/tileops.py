@@ -344,3 +344,146 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_salts=2,
     )
     return pipe.run(spark, features).select("tile_id", "status", "n_windows")
+
+
+# --------------------------------------------------------------------------
+# q127 — zoom-pyramid rollup (the COG-overview / gdaladdo operation): each
+# level L-1 pixel = mean of its 2x2 children at level L. Three levels in
+# one pass each — groupBy (x//2, y//2) is a hash aggregate whose shuffle
+# shrinks 4x per level, the natural raster pyramid dataflow. Values are
+# decimal-summed so the division is exact on both engines.
+# --------------------------------------------------------------------------
+@register(
+    "q127_zoom_pyramid",
+    oracle="""
+    WITH l2 AS (
+      SELECT CAST(l_orderkey % 64 AS BIGINT) AS x,
+             CAST(l_partkey % 64 AS BIGINT) AS y,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS v
+      FROM lineitem GROUP BY 1, 2
+    ), l1 AS (
+      SELECT x // 2 AS x, y // 2 AS y,
+             CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS v
+      FROM l2 GROUP BY 1, 2
+    ), l0 AS (
+      SELECT x // 2 AS x, y // 2 AS y,
+             CAST(SUM(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS v
+      FROM l1 GROUP BY 1, 2
+    )
+    SELECT 2 AS zoom, x, y, round(v, 6) AS v FROM l2
+    UNION ALL SELECT 1, x, y, round(v, 6) FROM l1
+    UNION ALL SELECT 0, x, y, round(v, 6) FROM l0
+    """,
+)
+def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    l2 = (
+        li.groupBy(
+            (F.col("l_orderkey") % 64).alias("x"),
+            (F.col("l_partkey") % 64).alias("y"),
+        )
+        .agg(
+            (
+                F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+                / F.count("*")
+            ).alias("v")
+        )
+    )
+
+    def up(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(
+                (F.col("x") / 2).cast("long").alias("x"),
+                (F.col("y") / 2).cast("long").alias("y"),
+            )
+            .agg(
+                (
+                    F.sum(F.col("v").cast("decimal(28,12)")).cast("double")
+                    / F.count("*")
+                ).alias("v")
+            )
+        )
+
+    l1 = up(l2)
+    l0 = up(l1)
+    lvl = lambda df, z: df.select(  # noqa: E731
+        F.lit(z).alias("zoom"), "x", "y", F.round("v", 6).alias("v")
+    )
+    return lvl(l2, 2).unionByName(lvl(l1, 1)).unionByName(lvl(l0, 0))
+
+
+# --------------------------------------------------------------------------
+# q128 — tile version diff (the incremental-update primitive behind F5):
+# full-outer join of two tile-set versions on tile_id, comparing content
+# digests -> added / removed / changed / same. Both sides pre-reduce to
+# one digest row per tile before the join.
+# --------------------------------------------------------------------------
+@register(
+    "q128_tile_diff",
+    oracle="""
+    WITH v1 AS (
+      SELECT l_orderkey % 500 AS tile_key,
+             md5(string_agg(q, ',' ORDER BY l_linenumber, l_partkey, q)) AS digest
+      FROM (SELECT l_orderkey, l_linenumber, l_partkey,
+                   CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) AS q
+            FROM lineitem)
+      WHERE l_orderkey % 7 <> 0
+      GROUP BY 1
+    ), v2 AS (
+      SELECT l_orderkey % 500 AS tile_key,
+             md5(string_agg(q, ',' ORDER BY l_linenumber, l_partkey, q)) AS digest
+      FROM (SELECT l_orderkey, l_linenumber, l_partkey,
+                   CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) AS q
+            FROM lineitem)
+      WHERE l_orderkey % 5 <> 0
+      GROUP BY 1
+    )
+    SELECT COALESCE(v1.tile_key, v2.tile_key) AS tile_key,
+           CASE WHEN v1.tile_key IS NULL THEN 'added'
+                WHEN v2.tile_key IS NULL THEN 'removed'
+                WHEN v1.digest <> v2.digest THEN 'changed'
+                ELSE 'same' END AS change
+    FROM v1 FULL OUTER JOIN v2 ON v1.tile_key = v2.tile_key
+    """,
+)
+def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+
+    def version(pred) -> DataFrame:
+        return (
+            li.filter(pred)
+            .select(
+                (F.col("l_orderkey") % 500).alias("tile_key"),
+                F.col("l_quantity").cast("decimal(18,2)").cast("string").alias("q"),
+                "l_linenumber",
+                "l_partkey",
+            )
+            .groupBy("tile_key")
+            .agg(
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("l_linenumber", "l_partkey", "q")
+                            )
+                        ).getField("q"),
+                    )
+                ).alias("digest")
+            )
+        )
+
+    v1 = version(F.col("l_orderkey") % 7 != 0)
+    v2 = version((F.col("l_orderkey") % 5) != 0)
+    v1 = v1.select(F.col("tile_key").alias("k1"), F.col("digest").alias("d1"))
+    v2 = v2.select(F.col("tile_key").alias("k2"), F.col("digest").alias("d2"))
+    joined = v1.join(v2, F.col("k1") == F.col("k2"), "full_outer")
+    return joined.select(
+        F.coalesce("k1", "k2").alias("tile_key"),
+        F.when(F.col("k1").isNull(), "added")
+        .when(F.col("k2").isNull(), "removed")
+        .when(F.col("d1") != F.col("d2"), "changed")
+        .otherwise("same")
+        .alias("change"),
+    )
