@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     "q126_stream_upsert",
     "q127_zoom_pyramid",
     "q128_tile_diff",
+    "q129_weighted_quantiles",
 ]
 
 

@@ -113,3 +113,85 @@ def exact_quantiles(
         frac = r - lo_i
         out.append(lo_v if frac == 0 else lo_v + (hi_v - lo_v) * frac)
     return out
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    col: str,
+    weight_col: str,
+    ps: Sequence[float],
+    num_partitions: int | None = None,
+) -> list[float | None]:
+    """Weighted quantiles: for each p, the smallest value v whose
+    cumulative weight (per-value-aggregated, in value order) reaches
+    p * total_weight. Null values/weights and non-positive weights are
+    ignored.
+
+    Same distributed-selection shape as :func:`exact_quantiles`: weights
+    aggregate per distinct value (one shuffle), the value axis
+    range-partitions, per-partition weight totals give driver-side
+    offsets, and one Arrow pass finds each target's crossing value.
+
+    Determinism note: with integer-valued weights every cumulative sum
+    is exact in doubles (< 2^53), so results are bit-stable under any
+    partitioning and match an exact-SQL oracle; fractional weights carry
+    the usual last-ulp sensitivity of float summation order.
+    """
+    if not ps:
+        return []
+    vals = df.select(
+        F.col(col).cast("double").alias("v"),
+        F.col(weight_col).cast("double").alias("w"),
+    ).where(F.col("v").isNotNull() & F.col("w").isNotNull() & (F.col("w") > 0))
+    per_v = vals.groupBy("v").agg(F.sum("w").alias("w"))
+    n_parts = num_partitions or max(per_v.rdd.getNumPartitions(), 1)
+    ranked = (
+        per_v.repartitionByRange(n_parts, "v")
+        .sortWithinPartitions("v")
+        .select("v", "w", F.spark_partition_id().alias("pid"))
+        .persist()
+    )
+    try:
+        totals = {
+            r["pid"]: r["tw"]
+            for r in ranked.groupBy("pid").agg(F.sum("w").alias("tw")).collect()
+        }
+        total_w = sum(totals.values())
+        if total_w <= 0:
+            return [None] * len(ps)
+        offsets: dict[int, float] = {}
+        acc = 0.0
+        for pid in sorted(totals):
+            offsets[pid] = acc
+            acc += totals[pid]
+        targets = sorted({max(p * total_w, 0.0) for p in ps})
+
+        def pick(batches: Iterable) -> Iterator:
+            import pandas as pd
+
+            cum = None
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                if cum is None:
+                    cum = offsets[int(pdf["pid"].iloc[0])]
+                out_t, out_v = [], []
+                for v, w in zip(pdf["v"], pdf["w"]):
+                    new_cum = cum + float(w)
+                    for t in targets:
+                        # first value whose inclusive cumweight reaches t
+                        # (t == 0 handled by the global minimum: cum==0)
+                        if (cum < t <= new_cum) or (t == 0.0 and cum == 0.0):
+                            out_t.append(t)
+                            out_v.append(float(v))
+                    cum = new_cum
+                if out_t:
+                    yield pd.DataFrame({"t": out_t, "v": out_v})
+
+        picked: dict[float, float] = {}
+        for r in ranked.mapInPandas(pick, "t double, v double").collect():
+            picked.setdefault(float(r["t"]), float(r["v"]))
+    finally:
+        ranked.unpersist()
+
+    return [picked.get(max(p * total_w, 0.0)) for p in ps]

@@ -717,3 +717,40 @@ def q125(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pri", "n_side")
         .agg(F.count("*").alias("n"))
     )
+
+
+# --------------------------------------------------------------------------
+# q129 — weighted quantiles via distributed selection: deciles of
+# extendedprice weighted by quantity (the sample-weighting shape of
+# corpus curation: "price below which X% of UNITS ship"). Weights are
+# integral, so every cumulative sum is exact and the crossing values
+# match the SQL window formulation bit-for-bit.
+# --------------------------------------------------------------------------
+_WQ_PS = [0.1, 0.25, 0.5, 0.75, 0.9]
+
+
+@register(
+    "q129_weighted_quantiles",
+    oracle=f"""
+    WITH per_v AS (
+      SELECT l_extendedprice AS v, SUM(l_quantity) AS w
+      FROM lineitem GROUP BY 1
+    ), cum AS (
+      SELECT v, SUM(w) OVER (ORDER BY v) AS cw,
+             SUM(w) OVER () AS total
+      FROM per_v
+    )
+    SELECT p, MIN(v) AS value FROM cum
+    JOIN (SELECT CAST(unnest([{", ".join(map(str, _WQ_PS))}]) AS DOUBLE) AS p)
+      ON cw >= p * total
+    GROUP BY p
+    """,
+)
+def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.quantiles import weighted_quantiles
+
+    li = load(spark, sf_dir, "lineitem")
+    vals = weighted_quantiles(li, "l_extendedprice", "l_quantity", _WQ_PS)
+    return spark.createDataFrame(
+        list(zip(_WQ_PS, vals)), "p double, value double"
+    )

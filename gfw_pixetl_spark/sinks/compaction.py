@@ -60,3 +60,30 @@ def compact_to_files(
         .parquet(path)
     )
     return n_files
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...],
+    target_mb: int = 128,
+    mode: str = "overwrite",
+) -> None:
+    """Hive-partitioned parquet layout (``path/col=value/...``) with the
+    same size-targeted file discipline inside each partition.
+
+    Partition columns become directory structure, so a filter on them
+    prunes at PLANNING time (``PartitionFilters`` in the scan — zero
+    object-store reads for pruned partitions), strictly stronger than
+    row-group min/max skipping. Choose low-cardinality columns only: a
+    high-cardinality partition key recreates the small-file problem as
+    a small-DIRECTORY problem.
+    """
+    row_bytes = estimate_row_bytes(df)
+    rows_cap = max(1, int(target_mb * 1024 * 1024 / row_bytes) * 2)
+    (
+        df.write.mode(mode)
+        .option("maxRecordsPerFile", rows_cap)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

@@ -124,3 +124,61 @@ def test_property_matches_numpy(spark, cases):
         assert got == pytest.approx(want, rel=0, abs=max(1e-9, abs(want) * 1e-12)), (
             values, n_parts, p,
         )
+
+
+# ---------------------------------------------------------------------------
+# weighted_quantiles
+# ---------------------------------------------------------------------------
+from gfw_pixetl_spark.functions.quantiles import weighted_quantiles
+
+
+def _np_weighted(values, weights, p):
+    """Reference: smallest v whose inclusive cumweight >= p * W."""
+    import numpy as np
+
+    order = np.argsort(values, kind="stable")
+    v = np.array(values, dtype=float)[order]
+    w = np.array(weights, dtype=float)[order]
+    # aggregate ties
+    uv, inv = np.unique(v, return_inverse=True)
+    uw = np.zeros_like(uv)
+    np.add.at(uw, inv, w)
+    cum = np.cumsum(uw)
+    t = p * cum[-1]
+    if t <= 0:
+        return float(uv[0])
+    return float(uv[np.searchsorted(cum, t, side="left")])
+
+
+def test_weighted_matches_reference(spark):
+    rng = random.Random(11)
+    rows = [
+        (round(rng.uniform(0, 100), 2), float(rng.randint(1, 9)))
+        for _ in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "v double, w double")
+    ps = [0.0, 0.1, 0.5, 0.9, 1.0]
+    got = weighted_quantiles(df, "v", "w", ps, num_partitions=5)
+    for g, p in zip(got, ps):
+        assert g == _np_weighted(*zip(*rows), p), p
+
+
+def test_weighted_equal_weights_is_inclusive_quantile(spark):
+    df = spark.createDataFrame(
+        [(float(i), 1.0) for i in range(1, 11)], "v double, w double"
+    )
+    # t = 0.5*10 = 5 -> fifth value
+    assert weighted_quantiles(df, "v", "w", [0.5]) == [5.0]
+    assert weighted_quantiles(df, "v", "w", [0.0]) == [1.0]
+    assert weighted_quantiles(df, "v", "w", [1.0]) == [10.0]
+
+
+def test_weighted_ignores_bad_rows(spark):
+    df = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 0.0), (None, 3.0), (3.0, None), (9.0, 5.0)],
+        "v double, w double",
+    )
+    # only (1,5) and (9,5) count: median target = 5 -> value 1
+    assert weighted_quantiles(df, "v", "w", [0.5]) == [1.0]
+    empty = df.where("v > 100")
+    assert weighted_quantiles(empty, "v", "w", [0.5]) == [None]

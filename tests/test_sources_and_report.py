@@ -140,3 +140,36 @@ def test_compact_to_files_targets_size_and_roundtrips(spark, tmp_path):
     import glob
 
     assert len(glob.glob(f"{one}/part-*.parquet")) == 1
+
+
+def test_partitioned_write_prunes_at_planning_time(spark, tmp_path):
+    """Partition-column filters must land in PartitionFilters (directory
+    pruning at planning time), not just PushedFilters (row-group
+    skipping at read time)."""
+    import contextlib
+    import io
+
+    from gfw_pixetl_spark.sinks.compaction import write_partitioned
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    path = str(tmp_path / "docs_by_lang")
+    write_partitioned(docs, path, ("lang",))
+
+    langs = {r["lang"] for r in docs.select("lang").distinct().collect()}
+    assert len(langs) > 1
+    one = sorted(langs)[0]
+    # directory-per-partition layout on disk
+    assert (tmp_path / "docs_by_lang" / f"lang={one}").exists()
+
+    q = spark.read.parquet(path).filter(f"lang = '{one}'").select("doc_id")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q.explain("formatted")
+    plan = buf.getvalue()
+    pf = plan.split("PartitionFilters:")[1].splitlines()[0]
+    assert "lang" in pf
+    # and values round-trip
+    got = q.count()
+    want = docs.filter(f"lang = '{one}'").count()
+    assert got == want > 0
