@@ -118,6 +118,11 @@ BENCH_QUERIES = [
     "q127_zoom_pyramid",
     "q128_tile_diff",
     "q129_weighted_quantiles",
+    "q130_priority_check",
+    "q131_forecast_revenue",
+    "q132_promo_share",
+    "q133_brand_bands",
+    "q134_idle_wealthy",
 ]
 
 

@@ -754,3 +754,229 @@ def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         list(zip(_WQ_PS, vals)), "p double, value double"
     )
+
+
+# --------------------------------------------------------------------------
+# q130 — TPC-H Q4 shape: order-priority checking. EXISTS (a lineitem
+# shipped after commit... here: shipped in-quarter) becomes a broadcast-
+# able semi-join; counts group on the 5-value priority dim.
+# --------------------------------------------------------------------------
+@register(
+    "q130_priority_check",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q130(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hit = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+# --------------------------------------------------------------------------
+# q131 — TPC-H Q6 shape: forecasting revenue change. Pure scan + filter
+# + one decimal aggregate — the predicate-pushdown showcase (all three
+# filters reach the parquet reader).
+# --------------------------------------------------------------------------
+@register(
+    "q131_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(7,6))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q131(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                dec2("l_extendedprice") * F.col("l_discount").cast("decimal(7,6)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q132 — TPC-H Q14 shape: promotion effect. Conditional aggregation over
+# a broadcast part join — promo share = 100 * promo revenue / total.
+# --------------------------------------------------------------------------
+@register(
+    "q132_promo_share",
+    oracle="""
+    SELECT round(
+             100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                            * (CAST(1 AS DECIMAL(7,6)) - CAST(l_discount AS DECIMAL(7,6)))
+                       ELSE CAST(0 AS DECIMAL(25,8)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * (CAST(1 AS DECIMAL(7,6)) - CAST(l_discount AS DECIMAL(7,6))))
+                    AS DOUBLE), 6) AS promo_share,
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    """,
+)
+def q132(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = dec2("l_extendedprice") * (
+        F.lit(1).cast("decimal(7,6)") - F.col("l_discount").cast("decimal(7,6)")
+    )
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return joined.agg(
+        F.round(
+            100.0
+            * F.sum(
+                F.when(F.col("p_type").startswith("PROMO"), disc).otherwise(
+                    F.lit(0).cast("decimal(25,8)")
+                )
+            ).cast("double")
+            / F.sum(disc).cast("double"),
+            6,
+        ).alias("promo_share"),
+        F.count("*").alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q133 — TPC-H Q19 shape: discounted revenue over a disjunction of
+# (brand, size, quantity) band predicates — the complex-OR pushdown
+# test: the join stays a single broadcast equi-join on partkey with the
+# OR evaluated post-join in codegen, never a union of three scans.
+# --------------------------------------------------------------------------
+@register(
+    "q133_brand_bands",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(7,6)) - CAST(l_discount AS DECIMAL(7,6))))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q133(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    one_minus_disc = F.lit(1).cast("decimal(7,6)") - F.col("l_discount").cast(
+        "decimal(7,6)"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(dec2("l_extendedprice") * one_minus_disc)
+            .cast("double")
+            .alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q134 — TPC-H Q22 shape: customers with above-average (positive)
+# balance and no RECENT orders (lapsed wealthy accounts): a broadcast
+# scalar threshold + date-filtered anti-join, grouped by nation.
+# --------------------------------------------------------------------------
+@register(
+    "q134_idle_wealthy",
+    oracle="""
+    WITH thr AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             / COUNT(*) AS avg_bal
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer, thr
+    WHERE c_acctbal > thr.avg_bal
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+    GROUP BY c_nationkey
+    """,
+)
+def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate")
+            >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+        )
+        .select("o_custkey")
+    )
+    thr = cust.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(dec2("c_acctbal")).cast("double") / F.count("*")).alias("avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(dec2("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
