@@ -123,6 +123,7 @@ BENCH_QUERIES = [
     "q132_promo_share",
     "q133_brand_bands",
     "q134_idle_wealthy",
+    "q135_grouped_quantiles",
 ]
 
 

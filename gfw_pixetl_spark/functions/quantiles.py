@@ -144,7 +144,10 @@ def weighted_quantiles(
         F.col(weight_col).cast("double").alias("w"),
     ).where(F.col("v").isNotNull() & F.col("w").isNotNull() & (F.col("w") > 0))
     per_v = vals.groupBy("v").agg(F.sum("w").alias("w"))
-    n_parts = num_partitions or max(per_v.rdd.getNumPartitions(), 1)
+    # size by the SCAN's partitioning, not per_v's (a shuffle output is
+    # always spark.sql.shuffle.partitions wide — 32 near-empty selection
+    # tasks at small inputs)
+    n_parts = num_partitions or max(vals.rdd.getNumPartitions(), 1)
     ranked = (
         per_v.repartitionByRange(n_parts, "v")
         .sortWithinPartitions("v")
@@ -195,3 +198,150 @@ def weighted_quantiles(
         ranked.unpersist()
 
     return [picked.get(max(p * total_w, 0.0)) for p in ps]
+
+
+def grouped_exact_quantiles(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    ps: Sequence[float],
+    num_partitions: int | None = None,
+) -> "DataFrame":
+    """Exact interpolated quantiles PER GROUP, one pass, any group
+    cardinality.
+
+    ``groupBy(g).agg(percentile(...))`` funnels each group's full value
+    multiset through one reducer — fatal when a few groups hold most of
+    the data. Here the (group, value) axis is range-partitioned jointly,
+    so a huge group spans many partitions while small groups pack
+    together; per-(partition, group) counts give driver-side offsets
+    (O(groups + partitions) rows — each group touches few partitions by
+    construction), and one Arrow pass emits the values at every group's
+    target ranks. Interpolation matches ``p*(n-1)`` lattice semantics
+    (Spark percentile / DuckDB quantile_cont).
+
+    Returns a DataFrame ``[group, p, value]``.
+    """
+    import math
+
+    spark = df.sparkSession
+    vals = df.select(
+        F.col(group_col).alias("g"), F.col(col).cast("double").alias("v")
+    ).where(F.col("v").isNotNull() & F.col("g").isNotNull())
+    n_parts = num_partitions or max(vals.rdd.getNumPartitions(), 1)
+    ranked = (
+        vals.repartitionByRange(n_parts, "g", "v")
+        .sortWithinPartitions("g", "v")
+        .select("g", "v", F.spark_partition_id().alias("pid"))
+        .persist()
+    )
+    try:
+        # per-(partition, group) counts WITHOUT a reducer shuffle: each
+        # partition emits its own tiny count table (rows are already
+        # grouped-contiguous after the range sort)
+        g_type_c = dict(ranked.dtypes)["g"]
+
+        def count_kernel(batches: Iterable) -> Iterator:
+            import pandas as pd
+
+            acc: dict = {}
+            pid = None
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                pid = int(pdf["pid"].iloc[0])
+                for g, c in pdf.groupby("g", sort=False).size().items():
+                    acc[g] = acc.get(g, 0) + int(c)
+            if pid is not None and acc:
+                yield pd.DataFrame(
+                    {
+                        "pid": [pid] * len(acc),
+                        "g": list(acc.keys()),
+                        "c": list(acc.values()),
+                    }
+                )
+
+        counts = ranked.mapInPandas(
+            count_kernel, f"pid int, g {g_type_c}, c long"
+        ).collect()
+        per_group: dict = {}
+        for r in sorted(counts, key=lambda r: r["pid"]):
+            per_group.setdefault(r["g"], []).append((r["pid"], r["c"]))
+        # offsets[(g, pid)] = rows of g before this partition; n per group
+        offsets: dict = {}
+        n_of: dict = {}
+        for g, parts in per_group.items():
+            acc = 0
+            for pid, c in parts:
+                offsets[(g, pid)] = acc
+                acc += c
+            n_of[g] = acc
+        # target global-in-group indices per group
+        targets: dict = {}
+        ranks: dict = {}
+        for g, n in n_of.items():
+            rs = [p * (n - 1) for p in ps]
+            ranks[g] = rs
+            targets[g] = sorted(
+                {i for r in rs for i in (math.floor(r), math.ceil(r))}
+            )
+
+        import numpy as np
+
+        targets_np = {g: np.array(t, dtype=np.int64) for g, t in targets.items()}
+
+        def pick(batches: Iterable) -> Iterator:
+            import pandas as pd
+
+            base: dict = {}  # per-group running row count within this partition
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                pid = int(pdf["pid"].iloc[0])
+                outs = []
+                for g, sub in pdf.groupby("g", sort=False):
+                    b = base.get(g)
+                    if b is None:
+                        b = offsets[(g, pid)]
+                    idx = np.arange(len(sub), dtype=np.int64) + b
+                    tl = targets_np.get(g)
+                    if tl is not None:
+                        m = np.isin(idx, tl)
+                        if m.any():
+                            outs.append(
+                                pd.DataFrame(
+                                    {
+                                        "g": sub["g"].to_numpy()[m],
+                                        "gidx": idx[m],
+                                        "v": sub["v"].to_numpy()[m],
+                                    }
+                                )
+                            )
+                    base[g] = b + len(sub)
+                if outs:
+                    yield pd.concat(outs)
+        g_type = dict(ranked.dtypes)["g"]
+        picked_rows = ranked.mapInPandas(
+            pick, f"g {g_type}, gidx long, v double"
+        ).collect()
+        picked: dict = {}
+        for r in picked_rows:
+            picked[(r["g"], int(r["gidx"]))] = r["v"]
+    finally:
+        ranked.unpersist()
+
+    out = []
+    for g, rs in ranks.items():
+        for p, r in zip(ps, rs):
+            lo_i, hi_i = math.floor(r), math.ceil(r)
+            lo_v, hi_v = picked[(g, lo_i)], picked[(g, hi_i)]
+            frac = r - lo_i
+            out.append(
+                (g, float(p), lo_v if frac == 0 else lo_v + (hi_v - lo_v) * frac)
+            )
+    # single-slice parallelize: the default splits a 9-row local list
+    # into defaultParallelism (32) Python tasks, each paying worker spin-up
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(out, 1),
+        f"group {g_type}, p double, value double",
+    )

@@ -751,8 +751,10 @@ def q129(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load(spark, sf_dir, "lineitem")
     vals = weighted_quantiles(li, "l_extendedprice", "l_quantity", _WQ_PS)
+    # single-slice parallelize: avoid 32 Python tasks for 5 local rows
     return spark.createDataFrame(
-        list(zip(_WQ_PS, vals)), "p double, value double"
+        spark.sparkContext.parallelize(list(zip(_WQ_PS, vals)), 1),
+        "p double, value double",
     )
 
 
@@ -979,4 +981,33 @@ def q134(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("numcust"),
             F.sum(dec2("c_acctbal")).cast("double").alias("totacctbal"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# q135 — per-group exact quantiles via single-pass grouped distributed
+# selection (functions/quantiles.py::grouped_exact_quantiles): the
+# few-huge-groups shape where groupBy().agg(percentile) funnels each
+# group through one reducer. Joint (group, value) range partitioning
+# lets one group span many partitions.
+# --------------------------------------------------------------------------
+_GQ_PS = [0.25, 0.5, 0.75]
+
+
+@register(
+    "q135_grouped_quantiles",
+    oracle=" UNION ALL ".join(
+        f"""SELECT l_returnflag AS grp, CAST({p} AS DOUBLE) AS p,
+            round(quantile_cont(l_extendedprice, {p}), 6) AS value
+            FROM lineitem GROUP BY l_returnflag"""
+        for p in _GQ_PS
+    ),
+)
+def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.quantiles import grouped_exact_quantiles
+
+    li = load(spark, sf_dir, "lineitem")
+    out = grouped_exact_quantiles(li, "l_returnflag", "l_extendedprice", _GQ_PS)
+    return out.select(
+        F.col("group").alias("grp"), "p", F.round("value", 6).alias("value")
     )

@@ -182,3 +182,50 @@ def test_weighted_ignores_bad_rows(spark):
     assert weighted_quantiles(df, "v", "w", [0.5]) == [1.0]
     empty = df.where("v > 100")
     assert weighted_quantiles(empty, "v", "w", [0.5]) == [None]
+
+
+# ---------------------------------------------------------------------------
+# grouped_exact_quantiles
+# ---------------------------------------------------------------------------
+from gfw_pixetl_spark.functions.quantiles import grouped_exact_quantiles
+
+
+def test_grouped_matches_duckdb_per_group(spark):
+    rng = random.Random(5)
+    rows = [
+        (rng.choice(["a", "b", "c"]), round(rng.uniform(0, 1000), 2))
+        for _ in range(4000)
+    ] + [("tiny", 42.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    ps = [0.1, 0.5, 0.9]
+    got = {
+        (r["group"], r["p"]): r["value"]
+        for r in grouped_exact_quantiles(df, "g", "v", ps, num_partitions=6).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(g VARCHAR, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+    for g in ["a", "b", "c", "tiny"]:
+        for p in ps:
+            want = con.execute(
+                f"SELECT quantile_cont(v, {p}) FROM t WHERE g = '{g}'"
+            ).fetchone()[0]
+            assert got[(g, p)] == pytest.approx(want, rel=0, abs=1e-9), (g, p)
+
+
+def test_grouped_one_huge_group_spans_partitions(spark):
+    # one group with 10k rows over 8 partitions + singleton groups
+    rows = [("big", float(i)) for i in range(10000)] + [
+        (f"s{j}", float(j)) for j in range(20)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = {
+        (r["group"], r["p"]): r["value"]
+        for r in grouped_exact_quantiles(
+            df, "g", "v", [0.0, 0.5, 1.0], num_partitions=8
+        ).collect()
+    }
+    assert out[("big", 0.0)] == 0.0
+    assert out[("big", 0.5)] == 4999.5
+    assert out[("big", 1.0)] == 9999.0
+    assert out[("s7", 0.5)] == 7.0
