@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "q133_brand_bands",
     "q134_idle_wealthy",
     "q135_grouped_quantiles",
+    "q136_prefix_ssjoin",
 ]
 
 

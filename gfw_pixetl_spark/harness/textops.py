@@ -420,3 +420,39 @@ def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(z) > 2)
         .select("doc_id", "lang", F.round(z, 4).alias("z"))
     )
+
+
+# --------------------------------------------------------------------------
+# q136 — blocking-free exact similarity self-join via prefix filtering
+# (SSJoin/PPJoin candidate rule) over 3-word shingles: rare-first global
+# token order makes the prefix explode its own blocker — no application
+# blocking column, no O(n²) pair space, exact results verified on full
+# sets. The oracle is the brute-force quadratic join.
+# --------------------------------------------------------------------------
+_SHINGLES_SQL = """list_distinct(CASE WHEN len({w}) >= 3 THEN
+      list_transform(generate_series(1, len({w}) - 2),
+                     i -> {w}[i] || ' ' || {w}[i+1] || ' ' || {w}[i+2])
+      ELSE [] END)""".format(w="list_filter(string_split(text, ' '), x -> x != '')")
+
+
+@register(
+    "q136_prefix_ssjoin",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS ws FROM documents
+    )
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           round(len(list_intersect(a.ws, b.ws))
+                 / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))),
+                 6) AS jaccard
+    FROM base a JOIN base b ON a.doc_id < b.doc_id
+    WHERE len(a.ws) > 0 AND len(b.ws) > 0
+      AND len(list_intersect(a.ws, b.ws))
+          / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.6
+    """,
+)
+def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return D.prefix_jaccard_pairs(
+        docs, threshold=0.6, tokens=D.shingle_set("text")
+    )

@@ -253,3 +253,25 @@ def test_contamination_hits(spark):
     out = {r.doc_id: r.n_hits for r in D.contamination_hits(corpus, bench).collect()}
     # doc 0 shares "a b c"; doc 2 shares "a b c" and "x y z"; doc 1 clean.
     assert out == {0: 1, 2: 2}
+
+
+def test_prefix_ssjoin_finds_planted_neardups(spark):
+    """Prefix-filtered exact SSJoin: planted copies surface with their
+    exact Jaccard, unrelated docs never pair, and no blocking column is
+    needed."""
+    from gfw_pixetl_spark.functions import dedup as D
+
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    a_near = "the quick brown fox jumps over the lazy dog again and AGAIN2"
+    b = "completely different words about spark query engines at scale"
+    rows = [(1, a), (2, a_near), (3, b), (4, "tiny doc")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in D.prefix_jaccard_pairs(
+            df, threshold=0.5, tokens=D.shingle_set("text")
+        ).collect()
+    }
+    assert set(out) == {(1, 2)}
+    # 10 shingles each, 9 shared -> 9/11
+    assert out[(1, 2)] == round(9 / 11, 6)
