@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "q134_idle_wealthy",
     "q135_grouped_quantiles",
     "q136_prefix_ssjoin",
+    "q137_stream_agg_view",
 ]
 
 

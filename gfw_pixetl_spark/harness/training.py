@@ -725,3 +725,41 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink = KeyedUpsertSink(f"{work}/store", f"{work}/ckpt")
     sink.run_available_now(stream)
     return sink.snapshot(spark).select("key", "val", "version")
+
+
+# --------------------------------------------------------------------------
+# q137 — incremental aggregate materialization (streaming materialized
+# view): per-user event count + decimal value total maintained across
+# micro-batches by AdditiveAggSink (map-side partial agg per batch,
+# commutative merge into the versioned store). Final state == the batch
+# aggregate, which is the oracle.
+# --------------------------------------------------------------------------
+@register(
+    "q137_stream_agg_view",
+    oracle="""
+    SELECT user_id AS key, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total
+    FROM events GROUP BY user_id
+    """,
+)
+def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.upsert import AdditiveAggSink
+
+    work = tempfile.mkdtemp(prefix="q137_")
+    ev_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    base, fname = f"{sf_dir}/events.parquet".rsplit("/", 1)
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("pathGlobFilter", fname)
+        .parquet(base)
+        .select(F.col("user_id").alias("key"), F.col("value"))
+    )
+    sink = AdditiveAggSink(f"{work}/store", f"{work}/ckpt")
+    sink.run_available_now(stream)
+    return sink.snapshot(spark).select(
+        "key", "n", F.col("total").cast("double").alias("total")
+    )

@@ -113,3 +113,55 @@ class KeyedUpsertSink:
             .start()
         )
         q.awaitTermination()
+
+
+class AdditiveAggSink(KeyedUpsertSink):
+    """Incremental aggregate materialization: maintain per-key algebraic
+    aggregate state (count + decimal sum here) under a change stream —
+    the streaming materialized view. Where :class:`KeyedUpsertSink`
+    resolves conflicts by latest-wins, this sink MERGES: each batch
+    pre-aggregates map-side, then folds into the store by summing
+    partials — the same commutative-merge contract Spark's own partial
+    aggregation relies on, applied across batches. Versioned directories
+    and the atomic pointer swap are inherited, so exactly-once holds per
+    batch_id.
+    """
+
+    def __init__(
+        self,
+        store_dir: str,
+        checkpoint_dir: str,
+        key: str = "key",
+        value: str = "value",
+    ) -> None:
+        super().__init__(store_dir, checkpoint_dir, key=key)
+        self.value = value
+
+    def _process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        out_dir = self.store_dir / f"v{batch_id}"
+        if (out_dir / "_SUCCESS").exists():
+            self._swap_pointer(out_dir)
+            return
+        spark = batch_df.sparkSession
+        partial = batch_df.groupBy(self.key).agg(
+            F.count("*").alias("n"),
+            F.sum(F.col(self.value).cast("decimal(28,2)")).alias("total"),
+        )
+        base = self.snapshot(spark)
+        if base is not None:
+            merged = (
+                base.unionByName(partial)
+                .groupBy(self.key)
+                .agg(
+                    F.sum("n").alias("n"),
+                    F.sum("total")
+                    .cast("decimal(28,2)")
+                    .alias("total"),
+                )
+            )
+        else:
+            merged = partial
+        merged.write.mode("overwrite").parquet(str(out_dir))
+        self._swap_pointer(out_dir)

@@ -105,3 +105,44 @@ def test_new_sink_on_existing_store_continues(spark, tmp_path):
     sink2.run_available_now(_stream(spark, feed1))
     keys = {r["key"] for r in sink2.snapshot(spark).collect()}
     assert 1 not in keys
+
+
+def test_additive_agg_sink_multibatch(spark, tmp_path):
+    """Additive state merged over micro-batches equals the one-shot
+    batch aggregate; a second drain with the same checkpoint is a
+    no-op."""
+    from pyspark.sql import functions as F
+
+    from gfw_pixetl_spark.streaming.upsert import AdditiveAggSink
+
+    rows = [(i % 5, float(i)) for i in range(100)]
+    feed = tmp_path / "feed"
+    for b in range(4):
+        chunk = rows[b * 25 : (b + 1) * 25]
+        spark.createDataFrame(chunk, "key long, value double").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(feed / f"drop_{b}"))
+    stream = (
+        spark.readStream.schema("key long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{feed}/drop_*")
+    )
+    sink = AdditiveAggSink(str(tmp_path / "store"), str(tmp_path / "ckpt"))
+    sink.run_available_now(stream)
+    got = {
+        r["key"]: (r["n"], float(r["total"]))
+        for r in sink.snapshot(spark).collect()
+    }
+    want_df = (
+        spark.createDataFrame(rows, "key long, value double")
+        .groupBy("key")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(28,2)")).alias("total"),
+        )
+    )
+    want = {r["key"]: (r["n"], float(r["total"])) for r in want_df.collect()}
+    assert got == want
+    before = sink.current_version_dir()
+    sink.run_available_now(stream)
+    assert sink.current_version_dir() == before
