@@ -126,6 +126,8 @@ BENCH_QUERIES = [
     "q135_grouped_quantiles",
     "q136_prefix_ssjoin",
     "q137_stream_agg_view",
+    "q138_stream_sliding_rollup",
+    "q139_stream_trending",
 ]
 
 

@@ -224,3 +224,61 @@ def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.filter(F.col("vec_id") < 8)
     queries = emb.filter(F.col("vec_id") < 10)
     return S.ivf_ann_topk(emb, queries, centroids, k=5, n_probe=2)
+
+
+# --------------------------------------------------------------------------
+# q138 — sliding-window streaming rollup: 1-hour windows every 15
+# minutes, so each event contributes to exactly 4 overlapping windows —
+# the moving-aggregate shape tumbling windows can't express. The oracle
+# replays the window assignment arithmetically (aligned starts
+# floor15(ts) - k*15min, k = 0..3).
+# --------------------------------------------------------------------------
+@register(
+    "q138_stream_sliding_rollup",
+    oracle="""
+    SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 900) * 900 - k * 900 AS BIGINT))
+                AS TIMESTAMP) AS bucket,
+           event_type, COUNT(*) AS n
+    FROM events, (SELECT unnest([0, 1, 2, 3]) AS k)
+    GROUP BY 1, 2
+    """,
+)
+def q138(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import run_sliding_rollup_once
+
+    return run_sliding_rollup_once(spark, f"{sf_dir}/events.parquet")
+
+
+# --------------------------------------------------------------------------
+# q139 — streaming trending top-k: the drained hourly rollup ranked to
+# the top-3 event types per hour (n desc, type asc tie-break) — the
+# stream-then-rank composition every live dashboard runs. Ranking is a
+# batch window over the dimension-sized sink table, never the stream.
+# --------------------------------------------------------------------------
+@register(
+    "q139_stream_trending",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), ranked AS (
+      SELECT bucket, event_type, n,
+             row_number() OVER (PARTITION BY bucket
+                                ORDER BY n DESC, event_type ASC) AS rnk
+      FROM hourly
+    )
+    SELECT bucket, event_type, n, rnk FROM ranked WHERE rnk <= 3
+    """,
+)
+def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    rollup = run_hourly_rollup_once(spark, f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("bucket").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return (
+        rollup.select("bucket", "event_type", "n")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+    )

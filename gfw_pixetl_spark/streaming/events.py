@@ -299,3 +299,39 @@ def run_view_purchase_join_once(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def sliding_rollup_stream(
+    spark: SparkSession,
+    events_path: str,
+    length: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding (overlapping) event-time windows: every event lands in
+    length/slide windows (4 here) — the moving-average shape tumbling
+    windows can't express. State per (window, type) is watermark-bounded
+    as usual; emitted rows carry the window start as the bucket key."""
+    stream = _event_stream(spark, events_path)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", length, slide).alias("win"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("bucket"), "event_type", "n")
+    )
+
+
+def run_sliding_rollup_once(spark: SparkSession, events_path: str) -> DataFrame:
+    name = f"sliding_{uuid.uuid4().hex[:8]}"
+    q = (
+        sliding_rollup_stream(spark, events_path)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
