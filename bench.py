@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "q137_stream_agg_view",
     "q138_stream_sliding_rollup",
     "q139_stream_trending",
+    "q140_unigram_surprisal",
 ]
 
 

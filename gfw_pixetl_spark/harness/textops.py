@@ -456,3 +456,47 @@ def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.prefix_jaccard_pairs(
         docs, threshold=0.6, tokens=D.shingle_set("text")
     )
+
+
+# --------------------------------------------------------------------------
+# q140 — unigram surprisal scoring (the statistical stand-in for
+# model-perplexity quality filtering): per-doc mean -log2 P(word) under
+# the corpus unigram LM. Token counts aggregate once (vocabulary-sized,
+# broadcast back); each doc's score is one JVM-side join + aggregate —
+# no Python, no per-doc vocabulary scan.
+# --------------------------------------------------------------------------
+@register(
+    "q140_unigram_surprisal",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({SQL_WORDS}) AS w FROM documents
+    ), freq AS (
+      SELECT w, COUNT(*) AS c FROM toks GROUP BY w
+    ), total AS (
+      SELECT SUM(c) AS t FROM freq
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           round(AVG(-log2(freq.c / total.t)), 6) AS surprisal
+    FROM toks JOIN freq USING (w) CROSS JOIN total
+    GROUP BY doc_id
+    """,
+)
+def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(T.words("text")).alias("w")
+    )
+    freq = toks.groupBy("w").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("t"))
+    return (
+        toks.join(F.broadcast(freq), "w")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg(-F.log2(F.col("c") / F.col("t"))), 6).alias(
+                "surprisal"
+            ),
+        )
+    )
