@@ -129,6 +129,9 @@ BENCH_QUERIES = [
     "q138_stream_sliding_rollup",
     "q139_stream_trending",
     "q140_unigram_surprisal",
+    "q142_mad_outliers",
+    "q143_topk_with_ties",
+    "q144_recent_error_rate",
 ]
 
 

