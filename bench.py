@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "q142_mad_outliers",
     "q143_topk_with_ties",
     "q144_recent_error_rate",
+    "q145_band_join",
 ]
 
 

@@ -267,3 +267,48 @@ def q116(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
     )
+
+
+# --------------------------------------------------------------------------
+# q145 — dimension-banding join: map a continuous measure onto a named
+# band table via a broadcast non-equi join (lo <= v < hi) — the severity
+# bucketing / rate-card shape. The band table is tiny and broadcast, so
+# the fact side streams map-only through a nested-loop probe.
+# --------------------------------------------------------------------------
+_BANDS = [
+    ("low", 0.0, 250.0),
+    ("mid", 250.0, 500.0),
+    ("high", 500.0, 750.0),
+    ("extreme", 750.0, 1e18),
+]
+_BANDS_SQL = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in _BANDS)
+
+
+@register(
+    "q145_band_join",
+    oracle=f"""
+    SELECT band, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM events
+    JOIN (VALUES {_BANDS_SQL}) AS b(band, lo, hi)
+      ON value >= lo AND value < hi
+    GROUP BY band
+    """,
+)
+def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        spark.sparkContext.parallelize(_BANDS, 1),
+        "band string, lo double, hi double",
+    )
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dec2("value")).cast("double").alias("total"),
+        )
+    )
