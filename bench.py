@@ -133,6 +133,8 @@ BENCH_QUERIES = [
     "q143_topk_with_ties",
     "q144_recent_error_rate",
     "q145_band_join",
+    "q146_event_trigrams",
+    "q147_basket_lift",
 ]
 
 

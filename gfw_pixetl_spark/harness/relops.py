@@ -447,3 +447,116 @@ def q100(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(
         ev.select("event_id", "event_type"), dim, "event_type", n_salts=8
     ).select("event_id", "event_type", "type_len")
+
+
+# --------------------------------------------------------------------------
+# q146 — behavioral path analysis: top event-type trigrams per user
+# stream (two leads over the per-user order, then a count). The n-gram
+# mining shape over sequences — windows stay user-partitioned; the final
+# top-20 is a TakeOrdered, not a global sort.
+# --------------------------------------------------------------------------
+@register(
+    "q146_event_trigrams",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS a,
+             lead(event_type, 1) OVER w AS b,
+             lead(event_type, 2) OVER w AS c
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT a, b, c, COUNT(*) AS n
+    FROM seq WHERE b IS NOT NULL AND c IS NOT NULL
+    GROUP BY a, b, c
+    ORDER BY n DESC, a, b, c
+    LIMIT 20
+    """,
+)
+def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    seq = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    )
+    return (
+        seq.filter(F.col("b").isNotNull() & F.col("c").isNotNull())
+        .groupBy("a", "b", "c")
+        .agg(F.count("*").alias("n"))
+        .orderBy(
+            F.col("n").desc(), F.col("a"), F.col("b"), F.col("c")
+        )
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# q147 — market-basket lift: part pairs co-bought in one order, scored
+# by lift = P(ab) / (P(a)P(b)). The pair space is per-order (<= 21 pairs
+# from 7 lines), never corpus-quadratic; marginals broadcast back.
+# Restricted to pairs seen >= 3 times so the output is signal, not the
+# tail.
+# --------------------------------------------------------------------------
+@register(
+    "q147_basket_lift",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n_orders AS (
+      SELECT COUNT(DISTINCT l_orderkey) AS n FROM baskets
+    ), pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS nab
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ), marg AS (
+      SELECT l_partkey, COUNT(*) AS np FROM baskets GROUP BY 1
+    )
+    SELECT pa, pb, nab,
+           round(CAST(nab AS DOUBLE) * n_orders.n
+                 / (ma.np * CAST(mb.np AS DOUBLE)), 6) AS lift
+    FROM pairs
+    JOIN marg ma ON pa = ma.l_partkey
+    JOIN marg mb ON pb = mb.l_partkey
+    CROSS JOIN n_orders
+    WHERE nab >= 3
+    """,
+)
+def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = baskets.agg(
+        F.countDistinct("l_orderkey").alias("n")
+    )
+    a = baskets.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa")
+    )
+    b = baskets.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb")
+    )
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count("*").alias("nab"))
+        .filter(F.col("nab") >= 3)
+    )
+    marg = baskets.groupBy("l_partkey").agg(F.count("*").alias("np"))
+    ma = marg.select(F.col("l_partkey").alias("pa"), F.col("np").alias("na"))
+    mb = marg.select(F.col("l_partkey").alias("pb"), F.col("np").alias("nb"))
+    return (
+        pairs.join(F.broadcast(ma), "pa")
+        .join(F.broadcast(mb), "pb")
+        .join(F.broadcast(n_orders))
+        .select(
+            "pa",
+            "pb",
+            "nab",
+            F.round(
+                F.col("nab").cast("double") * F.col("n")
+                / (F.col("na") * F.col("nb").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
