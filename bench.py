@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "q145_band_join",
     "q146_event_trigrams",
     "q147_basket_lift",
+    "q148_mom_growth",
 ]
 
 

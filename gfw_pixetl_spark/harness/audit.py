@@ -312,3 +312,45 @@ def q145(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec2("value")).cast("double").alias("total"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q148 — period-over-period growth: monthly revenue with month-over-month
+# deltas via lag() partitioned BY YEAR over the aggregated month table —
+# the window never sees fact cardinality and needs no global ordering
+# (January's delta is null by construction).
+# --------------------------------------------------------------------------
+@register(
+    "q148_mom_growth",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+             CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS mon,
+             {SQL_DSUM('o_totalprice')} AS revenue
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT yr, mon, revenue,
+           round(revenue - lag(revenue) OVER w, 2) AS delta,
+           round((revenue - lag(revenue) OVER w)
+                 / lag(revenue) OVER w, 6) AS growth
+    FROM monthly
+    WINDOW w AS (PARTITION BY yr ORDER BY mon)
+    """,
+)
+def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    monthly = (
+        orders.withColumn("yr", F.year("o_orderdate"))
+        .withColumn("mon", F.month("o_orderdate"))
+        .groupBy("yr", "mon")
+        .agg(F.sum(dec2("o_totalprice")).cast("double").alias("revenue"))
+    )
+    w = Window.partitionBy("yr").orderBy("mon")
+    prev = F.lag("revenue").over(w)
+    return monthly.select(
+        "yr",
+        "mon",
+        "revenue",
+        F.round(F.col("revenue") - prev, 2).alias("delta"),
+        F.round((F.col("revenue") - prev) / prev, 6).alias("growth"),
+    )
