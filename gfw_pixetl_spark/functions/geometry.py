@@ -42,6 +42,12 @@ __all__ = [
     "clip_ring_to_box",
     "clip_polygon_to_box",
     "clip_to_box_udf",
+    "clip_ring_to_convex",
+    "clip_polygon_to_convex",
+    "ear_clip_triangulate",
+    "clip_polygon_to_polygon",
+    "clip_to_polygon_udf",
+    "pieces_area_col",
     "ring_signed_area",
     "polygon_signed_area",
     "signed_area_col",
@@ -156,6 +162,182 @@ def clip_to_box_udf(left: float, bottom: float, right: float, top: float):
         )
 
     return _clip
+
+
+# ---------------------------------------------------------------------------
+# General polygon ∩ polygon (G3 closed: non-rectangular AOIs)
+#
+# The reference gets arbitrary-AOI clipping from PostGIS ST_Intersection
+# (``gfw_pixetl/tiles/vector_src_tile.py:44-63``) / shapely
+# (``utils/utils.py:187-225``). Dependency-free strategy here:
+#   1. ear-clip triangulate the AOI once on the driver (AOIs are small
+#      constants — a query region, not data);
+#   2. Sutherland–Hodgman each subject polygon against each triangle
+#      (convex clip ⇒ S–H is exact for arbitrary, even non-convex,
+#      subjects) inside the Arrow-batched kernel;
+#   3. the pieces are interior-disjoint by construction, so their areas
+#      ADD — union/area semantics need no boolean-ops engine.
+# This avoids the degenerate-intersection minefield of Greiner–Hormann
+# while staying exact for simple (hole-free) AOIs of any shape.
+# ---------------------------------------------------------------------------
+
+def clip_ring_to_convex(ring, clip_pts: np.ndarray) -> np.ndarray:
+    """Sutherland–Hodgman against an arbitrary convex clip polygon.
+
+    ``clip_pts``: ``(k, 2)`` CCW convex ring (open). Generalizes
+    ``clip_ring_to_box`` from axis-aligned half-planes to arbitrary edge
+    half-planes: a point p is inside edge (a, b) iff
+    ``cross(b - a, p - a) >= 0`` for CCW winding.
+    """
+    try:
+        pts = np.asarray(ring, dtype=np.float64)
+    except ValueError:
+        pts = np.stack([np.asarray(p, dtype=np.float64) for p in ring])
+    if pts.ndim != 2 or len(pts) == 0:
+        return np.empty((0, 2))
+    if len(pts) > 1 and (pts[0] == pts[-1]).all():
+        pts = pts[:-1]
+    clip_pts = np.asarray(clip_pts, dtype=np.float64)
+    k = len(clip_pts)
+    for e in range(k):
+        if len(pts) == 0:
+            break
+        a, b = clip_pts[e], clip_pts[(e + 1) % k]
+        ex, ey = b[0] - a[0], b[1] - a[1]
+        out: list = []
+        prev = pts[-1]
+        prev_in = ex * (prev[1] - a[1]) - ey * (prev[0] - a[0]) >= 0
+        for i in range(len(pts)):
+            cur = pts[i]
+            cur_in = ex * (cur[1] - a[1]) - ey * (cur[0] - a[0]) >= 0
+            if cur_in != prev_in:
+                # segment crosses the edge line: solve for t on prev→cur
+                dx, dy = cur[0] - prev[0], cur[1] - prev[1]
+                denom = ex * dy - ey * dx
+                t = (ey * (prev[0] - a[0]) - ex * (prev[1] - a[1])) / denom
+                out.append(prev + t * (cur - prev))
+            if cur_in:
+                out.append(cur)
+            prev, prev_in = cur, cur_in
+        pts = (
+            np.array(out, dtype=np.float64) if out else np.empty((0, 2))
+        )
+    return pts
+
+
+def clip_polygon_to_convex(rings, clip_pts) -> list[np.ndarray]:
+    """Clip every ring independently against a convex region (valid for
+    the same reason as the box case: the clip region is convex)."""
+    out = []
+    for ring in rings:
+        clipped = clip_ring_to_convex(ring, clip_pts)
+        if len(clipped) >= 3:
+            out.append(clipped)
+    return out
+
+
+def ear_clip_triangulate(ring) -> list[np.ndarray]:
+    """Ear-clipping triangulation of a simple (non-self-intersecting,
+    hole-free) polygon ring. O(n^2) — intended for small driver-side AOI
+    constants, not data-scale geometry. Returns ``(3, 2)`` arrays whose
+    areas sum to the polygon area."""
+    pts = np.asarray(ring, dtype=np.float64)
+    if len(pts) > 1 and (pts[0] == pts[-1]).all():
+        pts = pts[:-1]
+    if len(pts) < 3:
+        return []
+    if ring_signed_area(pts) < 0:  # normalize to CCW
+        pts = pts[::-1]
+    idx = list(range(len(pts)))
+    tris: list[np.ndarray] = []
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    guard = 0
+    while len(idx) > 3 and guard < 10000:
+        guard += 1
+        n = len(idx)
+        for ii in range(n):
+            i0, i1, i2 = idx[ii - 1], idx[ii], idx[(ii + 1) % n]
+            a, b, c = pts[i0], pts[i1], pts[i2]
+            if cross(a, b, c) <= 0:  # reflex or degenerate corner
+                continue
+            # ear test: no other vertex inside OR on the boundary of
+            # triangle abc (boundary counts — a reflex vertex exactly on
+            # the ear's diagonal would make the diagonal cross the
+            # polygon interior and the triangulation overlap)
+            ok = True
+            for jj in idx:
+                if jj in (i0, i1, i2):
+                    continue
+                p = pts[jj]
+                if any((p == v).all() for v in (a, b, c)):
+                    continue  # duplicate coordinate, not a blocker
+                if (
+                    cross(a, b, p) >= 0
+                    and cross(b, c, p) >= 0
+                    and cross(c, a, p) >= 0
+                ):
+                    ok = False
+                    break
+            if ok:
+                tris.append(np.array([a, b, c]))
+                del idx[ii]
+                break
+        else:  # no ear found (degenerate input) — bail with what we have
+            break
+    if len(idx) == 3:
+        tris.append(np.array([pts[idx[0]], pts[idx[1]], pts[idx[2]]]))
+    return tris
+
+
+def clip_polygon_to_polygon(rings, aoi_ring) -> list[list[np.ndarray]]:
+    """General clip: subject polygon (arbitrary rings) ∩ simple AOI
+    polygon. Returns a list of clipped *pieces* (each a ring list), one
+    per AOI triangle with non-empty intersection. Pieces are
+    interior-disjoint, so ``sum(polygon_signed_area(p))`` is the exact
+    intersection area (outer-CCW/holes-CW subjects)."""
+    pieces = []
+    for tri in ear_clip_triangulate(aoi_ring):
+        clipped = clip_polygon_to_convex(rings, tri)
+        if clipped:
+            pieces.append(clipped)
+    return pieces
+
+
+def clip_to_polygon_udf(aoi_ring):
+    """Pandas-UDF factory: general AOI clip over the engine-native
+    geometry column. Emits multipolygon pieces
+    (``array<array<array<array<double>>>>``); the AOI triangulation is
+    computed once at plan time and closed over (broadcast with the
+    serialized UDF). Narrow map, no shuffle."""
+    tris = [t.tolist() for t in ear_clip_triangulate(aoi_ring)]
+
+    @F.pandas_udf("array<array<array<array<double>>>>")
+    def _clip(geoms: pd.Series) -> pd.Series:
+        tri_arrs = [np.asarray(t) for t in tris]
+
+        def one(rings):
+            pieces = []
+            for tri in tri_arrs:
+                clipped = clip_polygon_to_convex(rings, tri)
+                if clipped:
+                    pieces.append([r.tolist() for r in clipped])
+            return pieces
+
+        return geoms.apply(one)
+
+    return _clip
+
+
+def pieces_area_col(pieces: Column) -> Column:
+    """Total area of disjoint multipolygon pieces (the
+    ``clip_to_polygon_udf`` output) — JVM-side shoelace per piece,
+    summed. Signed per piece so hole rings subtract, |.| per piece so
+    winding of the piece itself doesn't matter."""
+    per_piece = F.transform(pieces, lambda p: F.abs(signed_area_col(p)))
+    return F.aggregate(per_piece, F.lit(0.0), lambda acc, x: acc + x)
 
 
 # ---------------------------------------------------------------------------

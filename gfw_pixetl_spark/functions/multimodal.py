@@ -111,8 +111,10 @@ def resize_images(
     The Spark contract is the production one — binary in, binary out,
     Arrow-batched mapInPandas, constant output metadata enabling schema
     pruning. The pixel resample itself needs a codec: with PIL absent the
-    kernel emits a deterministic digest of (payload, target) in place of
-    resized bytes, keeping the pipeline testable end-to-end.
+    kernel emits a deterministic digest of (hex(payload), target) in place
+    of resized bytes — digesting the *hex* form keeps the stand-in
+    replayable by a VARCHAR-only SQL md5 (``unhex(md5(hex(p) || 'WxH'))``),
+    so the whole pipeline is oracle-checkable end-to-end.
     """
     tw, th = target
 
@@ -121,7 +123,7 @@ def resize_images(
             if HAVE_PIL:  # pragma: no cover - env-dependent
                 raise NotImplementedError("wire PIL resize here when available")
             out_payloads = [
-                hashlib.md5(bytes(p) + f"{tw}x{th}".encode()).digest()
+                hashlib.md5((bytes(p).hex() + f"{tw}x{th}").encode()).digest()
                 for p in pdf[payload_col]
             ]
             yield pd.DataFrame({
@@ -146,7 +148,8 @@ def sample_frames(
     """Frame-sampling kernel for video payloads: one input row fans out to
     ``n_frames`` rows (frame_idx = 0, n, 2n, ...). Real decoders plug into
     the same one-to-many mapInPandas shape; the stub derives each frame's
-    bytes deterministically from (payload, frame_idx)."""
+    bytes deterministically from (hex(payload), frame_idx) — hex form so a
+    VARCHAR-only SQL md5 can replay it (see resize_images)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -156,8 +159,9 @@ def sample_frames(
                     ids.append(doc_id)
                     idxs.append(k * every_nth)
                     outs.append(
-                        hashlib.md5(bytes(p) + str(k * every_nth).encode())
-                        .digest()
+                        hashlib.md5(
+                            (bytes(p).hex() + str(k * every_nth)).encode()
+                        ).digest()
                     )
             yield pd.DataFrame(
                 {"doc_id": ids, "frame_idx": idxs, "payload": outs}

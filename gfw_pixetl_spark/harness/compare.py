@@ -39,6 +39,70 @@ def norm_rows(cols, rows):
     return sorted(tuple(norm_cell(r[i]) for i in idx) for r in rows)
 
 
+def _duckdb_type_token(t: str) -> str:
+    """Collapse a DuckDB column_type into the dtype family the driver's
+    Arrow-based hash distinguishes.  The driver converts both sides to Arrow;
+    HUGEINT/DECIMAL become decimal128 (pandas ``Decimal`` objects) while all
+    machine ints become plain ints — so ``decimal`` must NOT equal ``int``,
+    but int widths collapse together (driver hashes values, not widths)."""
+    t = t.strip().upper()
+    if t.startswith("DECIMAL") or t == "HUGEINT" or t == "UHUGEINT":
+        return "decimal"
+    if t.startswith("STRUCT") or t.endswith("[]") or t.startswith("MAP"):
+        return "nested"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("DOUBLE", "FLOAT", "REAL"):
+        return "float"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    if t == "DATE":
+        return "date"
+    if t in ("VARCHAR", "TEXT", "STRING"):
+        return "string"
+    if t == "BOOLEAN":
+        return "bool"
+    if t == "BLOB":
+        return "binary"
+    return t.lower()
+
+
+def _spark_type_token(t: str) -> str:
+    t = t.strip().lower()
+    if t.startswith("decimal"):
+        return "decimal"
+    if t.startswith("array") or t.startswith("struct") or t.startswith("map"):
+        return "nested"
+    if t in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if t in ("double", "float"):
+        return "float"
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t == "date":
+        return "date"
+    if t == "boolean":
+        return "bool"
+    return t
+
+
+def dtype_problems(duck_con, oracle_sql: str, spark_df) -> list[str]:
+    """Driver-hash twin for dtypes: DESCRIBE the oracle (no execution) and
+    compare each column's dtype family against the Spark schema.  Catches
+    the decimal128-vs-int64 Arrow artifact that value-equality misses."""
+    desc = duck_con.execute(f"DESCRIBE ({oracle_sql})").fetchall()
+    otypes = {r[0]: _duckdb_type_token(r[1]) for r in desc}
+    stypes = {name: _spark_type_token(t) for name, t in spark_df.dtypes}
+    problems = []
+    for col in sorted(set(otypes) & set(stypes)):
+        if otypes[col] != stypes[col]:
+            problems.append(
+                f"dtype {col}: spark={stypes[col]} oracle={otypes[col]}"
+            )
+    return problems
+
+
 def compare_results(scols, srows, ocols, orows) -> list[str]:
     """Return a list of mismatch descriptions (empty == match)."""
     problems: list[str] = []

@@ -447,8 +447,8 @@ def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q16_validity_counts",
     oracle="""
     SELECT event_type,
-           SUM(CASE WHEN value IS NOT NULL AND value > 50.0 THEN 1 ELSE 0 END)
-             AS valid_count,
+           CAST(SUM(CASE WHEN value IS NOT NULL AND value > 50.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS valid_count,
            COUNT(*) AS total_count
     FROM events GROUP BY event_type
     """,
@@ -634,7 +634,8 @@ def q23(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q24_json_props",
     oracle="""
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+             AS sum_k,
            (CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS DOUBLE)
              / COUNT(*)) AS avg_k
     FROM events GROUP BY event_type
@@ -664,12 +665,13 @@ def q24(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     ), sess AS (
       SELECT user_id, event_id, ts,
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-                                 ROWS UNBOUNDED PRECEDING) AS session_id
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC,
+                                      event_id ASC ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_id
       FROM flagged
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
-           epoch(MAX(ts)) - epoch(MIN(ts)) AS duration_sec
+           CAST(epoch(MAX(ts)) - epoch(MIN(ts)) AS DOUBLE) AS duration_sec
     FROM sess GROUP BY user_id, session_id
     """,
 )

@@ -225,3 +225,51 @@ def q83(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("val").alias("max_val"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q149 — general polygon ∩ polygon clip (G3 closed): a NON-convex
+# L-shaped AOI clipped by the triangulate-then-Sutherland–Hodgman kernel
+# (functions/geometry.py clip_to_polygon_udf). The reference gets this
+# from PostGIS ST_Intersection (tiles/vector_src_tile.py:44-63). Spark
+# runs the general operator (ear-clip AOI → per-triangle convex clip →
+# disjoint-piece shoelace sum); the oracle exploits the rectangle
+# subjects + the AOI's disjoint two-box decomposition — closed interval
+# math, while the engine path never sees a box.
+# --------------------------------------------------------------------------
+_AOI_L = [
+    [0.0, 0.0], [60.0, 0.0], [60.0, 60.0],
+    [30.0, 60.0], [30.0, 110.0], [0.0, 110.0],
+]
+# disjoint decomposition used ONLY by the oracle
+_AOI_BOXES = ((0.0, 0.0, 60.0, 60.0), (0.0, 60.0, 30.0, 110.0))
+
+
+@register(
+    "q149_polygon_clip",
+    oracle=f"""
+    SELECT c_custkey, a1 + a2 AS clip_area FROM (
+      SELECT c_custkey,
+             greatest(0, least(r, {_AOI_BOXES[0][2]}) - greatest(l, {_AOI_BOXES[0][0]}))
+               * greatest(0, least(t, {_AOI_BOXES[0][3]}) - greatest(b, {_AOI_BOXES[0][1]}))
+               AS a1,
+             greatest(0, least(r, {_AOI_BOXES[1][2]}) - greatest(l, {_AOI_BOXES[1][0]}))
+               * greatest(0, least(t, {_AOI_BOXES[1][3]}) - greatest(b, {_AOI_BOXES[1][1]}))
+               AS a2
+      FROM ({_RECT_SQL})
+    ) WHERE a1 + a2 > 0
+    """,
+)
+def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rects = _rects(spark, sf_dir)
+    geom = F.array(F.array(
+        F.array("l", "b"), F.array("r", "b"),
+        F.array("r", "t"), F.array("l", "t"),
+    ))
+    pieces = G.clip_to_polygon_udf(_AOI_L)(geom)
+    return (
+        rects.select(
+            "c_custkey", G.pieces_area_col(pieces).alias("clip_area")
+        )
+        .filter(F.col("clip_area") > 0)
+    )

@@ -562,8 +562,9 @@ def q121(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT user_id, event_id,
-           SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS distinct_types_so_far
+           CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS distinct_types_so_far
     FROM marked
     """,
 )
@@ -1091,9 +1092,10 @@ def q143(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q144_recent_error_rate",
     oracle="""
     SELECT event_id, user_id,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
-             OVER (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS recent_errors,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS recent_errors,
            COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS window_n
     FROM events

@@ -265,8 +265,9 @@ def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q34_token_counts",
     oracle=f"""
     SELECT source,
-           SUM(len({SQL_WORDS})) AS ws_tokens,
-           SUM(len(regexp_extract_all(text, '{T.TOKEN_REGEX}'))) AS bpe_tokens,
+           CAST(SUM(len({SQL_WORDS})) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{T.TOKEN_REGEX}'))) AS BIGINT)
+             AS bpe_tokens,
            COUNT(*) AS n_docs
     FROM documents GROUP BY source
     """,
@@ -293,8 +294,8 @@ def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id,
-           SUM(({_sql_word_hash()} % {FNV_WORD_MOD}) * pos1) % {T.FINGERPRINT_MOD}
-             AS fingerprint
+           CAST(SUM(({_sql_word_hash()} % {FNV_WORD_MOD}) * pos1)
+                % {T.FINGERPRINT_MOD} AS BIGINT) AS fingerprint
     FROM w GROUP BY doc_id
     """,
 )
@@ -341,17 +342,35 @@ def _doc_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q50/q51 — multimodal binary kernels (resize, frame sampling). The digest
-# chain runs over BLOBs, which DuckDB's md5 cannot replay (VARCHAR-only),
-# so these are rows-only entries: the driver checks rows + schema, and the
-# deterministic-value tests live in tests/test_multimodal.py.
+# q50/q51 — multimodal binary kernels (resize, frame sampling). The stub
+# digests run over hex(payload) strings precisely so a VARCHAR-only SQL
+# md5 can replay them: payload = unhex(md5(text)), hex(payload) = md5(text),
+# so resize output = unhex(md5(md5(text) || 'WxH')) — fully oracle-checked.
 # --------------------------------------------------------------------------
-@register("q50_multimodal_resize")
+@register(
+    "q50_multimodal_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST(64 AS INT) AS width,
+           CAST(64 AS INT) AS height,
+           unhex(md5(md5(text) || '64x64')) AS payload
+    FROM documents
+    """,
+)
 def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_images(_doc_payloads(spark, sf_dir), target=(64, 64))
 
 
-@register("q51_multimodal_frames")
+@register(
+    "q51_multimodal_frames",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(f.frame_idx AS INT) AS frame_idx,
+           unhex(md5(md5(d.text) || CAST(f.frame_idx AS VARCHAR))) AS payload
+    FROM documents d
+    CROSS JOIN (SELECT unnest([0, 10, 20]) AS frame_idx) f
+    """,
+)
 def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(_doc_payloads(spark, sf_dir), every_nth=10, n_frames=3)
 

@@ -379,17 +379,19 @@ class RasterPipe:
         files: list[dict],
         subset: list[str] | None = None,
         existing_tile_ids: list[str] | None = None,
+        existing: DataFrame | None = None,
     ) -> DataFrame:
         """Full pipeline; returns the per-tile status DataFrame (F10).
 
         Statuses mirror ``pipes/pipe.py:137-162``: processed / skipped
-        (no data / subset) / existing.
+        (no data / subset) / existing. ``existing`` takes a tile_id
+        DataFrame directly (e.g. ``object_store.existing_tiles``);
+        ``existing_tile_ids`` is the list-literal convenience.
         """
         grid = self.grid_obj
         tiles = seed_tiles(spark, grid)
         catalog = file_catalog(spark, files)
-        existing = None
-        if existing_tile_ids:
+        if existing is None and existing_tile_ids:
             existing = spark.createDataFrame(
                 [(t,) for t in existing_tile_ids], "tile_id string"
             )

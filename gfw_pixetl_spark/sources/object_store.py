@@ -1,0 +1,180 @@
+"""S3 object-store integration: bucket-listing scan (S2) + upload sink (S9).
+
+Re-expresses the reference's object-store edges
+(``gfw_pixetl/utils/aws.py:42-62`` pseudo-glob listing,
+``gfw_pixetl/tiles/tile.py:143-172`` tile upload,
+``gfw_pixetl/utils/upload_geometries.py:30-83`` manifest upload) in the
+Spark execution model:
+
+* **Listing is driver-side.** A prefix listing is metadata (keys + sizes),
+  thousands of rows at most — it becomes the file-catalog DataFrame that
+  the broadcast prune joins consume. No executor ever lists.
+* **Uploads are executor-side.** ``upload_tiles`` runs one boto3 client
+  per partition inside ``mapInPandas`` and streams each tile file straight
+  from the worker that holds it; the driver only ever sees the (tiny)
+  status rows. At 100 TB scale the alternative — collecting paths and
+  uploading from the driver — is a single-node funnel; this shape keeps
+  the upload as wide as the write.
+* **Manifests are driver-side puts** of two small JSON objects, mirroring
+  the reference's manifest-on-all-success policy (S10).
+
+Endpoint + credentials travel in an ``S3Config`` value object so the same
+code runs against real S3 (None endpoint) and a local moto server in
+tests — no monkeypatching, the executors genuinely speak the S3 API over
+HTTP.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import json
+import os
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+try:  # boto3 ships in this container; gate anyway for minimal installs
+    import boto3
+
+    HAVE_BOTO3 = True
+except ImportError:  # pragma: no cover
+    HAVE_BOTO3 = False
+
+
+@dataclass(frozen=True)
+class S3Config:
+    """Connection recipe for an S3-compatible endpoint. Picklable, so it
+    rides into executor tasks; each task builds its own client (boto3
+    clients are not fork/pickle-safe)."""
+
+    endpoint_url: str | None = None
+    region: str = "us-east-1"
+    access_key: str | None = None
+    secret_key: str | None = None
+
+    def client(self):
+        if not HAVE_BOTO3:  # pragma: no cover
+            raise NotImplementedError(
+                "object-store access requires boto3 (absent in this install)"
+            )
+        kwargs: dict = {"region_name": self.region}
+        if self.endpoint_url:
+            kwargs["endpoint_url"] = self.endpoint_url
+        if self.access_key:
+            kwargs["aws_access_key_id"] = self.access_key
+            kwargs["aws_secret_access_key"] = self.secret_key
+        return boto3.client("s3", **kwargs)
+
+
+def list_files(cfg: S3Config, bucket: str, pattern: str) -> list[str]:
+    """S2: list keys under a prefix with the reference's pseudo-glob rule
+    (``utils/aws.py:42-62``): the listing prefix is everything before the
+    first ``*``; the full pattern then filters fnmatch-style. Returns keys
+    in lexicographic order (S3 listing order), which downstream VRT-merge
+    treats as the first-wins mosaic order (S5)."""
+    prefix = pattern.split("*", 1)[0]
+    client = cfg.client()
+    keys: list[str] = []
+    paginator = client.get_paginator("list_objects_v2")
+    for page in paginator.paginate(Bucket=bucket, Prefix=prefix):
+        for obj in page.get("Contents", []):
+            keys.append(obj["Key"])
+    if "*" in pattern:
+        keys = [k for k in keys if fnmatch.fnmatch(k, pattern)]
+    return keys
+
+
+def existing_tiles(
+    spark: SparkSession, cfg: S3Config, bucket: str, prefix: str
+) -> DataFrame:
+    """F5 incremental-skip input: DataFrame of tile_ids already present
+    under the destination prefix (``pipes/pipe.py:90-109``). Key scheme is
+    ``{prefix}/{tile_id}.{ext}`` (``layers.py:55-81``)."""
+    keys = list_files(cfg, bucket, prefix.rstrip("/") + "/")
+    ids = sorted(
+        {os.path.splitext(os.path.basename(k))[0] for k in keys}
+    )
+    if not ids:
+        return spark.createDataFrame([], "tile_id string")
+    return spark.createDataFrame([(t,) for t in ids], "tile_id string")
+
+
+def fetch_npz_profile(cfg: S3Config, bucket: str, key: str) -> dict:
+    """S3-metadata fetch for the engine's own npz tile container: read the
+    embedded profile dict (bounds/dtype/bands) without the pixel payload
+    staying in memory. The GeoTIFF equivalent (``utils/utils.py:99-120``)
+    stays rasterio-gated in sources/raster.py."""
+    import io
+
+    import numpy as np
+
+    body = cfg.client().get_object(Bucket=bucket, Key=key)["Body"].read()
+    with np.load(io.BytesIO(body), allow_pickle=False) as z:
+        return json.loads(bytes(z["profile"]).decode())
+
+
+UPLOAD_SCHEMA = "tile_id string, s3_key string, n_bytes long"
+
+
+def upload_tiles(
+    statuses: DataFrame,
+    cfg: S3Config,
+    bucket: str,
+    prefix: str,
+    ext: str = ".npz",
+) -> DataFrame:
+    """S9 upload sink: push each processed tile's output file to
+    ``{prefix}/{tile_id}{ext}`` (``tiles/tile.py:143-172``;
+    key scheme ``layers.py:55-81``).
+
+    Runs as ``mapInPandas`` so each partition opens ONE client and uploads
+    its tiles from the executor that can read them — upload parallelism
+    equals write parallelism, and the returned (tile_id, s3_key, n_bytes)
+    rows are the only thing that crosses back to the driver."""
+    pre = prefix.rstrip("/")
+
+    def up(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        client = cfg.client()
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                if r.status != "processed" or not r.out_path:
+                    continue
+                key = f"{pre}/{r.tile_id}{ext}"
+                n = os.path.getsize(r.out_path)
+                client.upload_file(r.out_path, bucket, key)
+                out.append((r.tile_id, key, n))
+            yield pd.DataFrame(
+                out, columns=["tile_id", "s3_key", "n_bytes"]
+            )
+
+    return statuses.select("tile_id", "status", "out_path").mapInPandas(
+        up, UPLOAD_SCHEMA
+    )
+
+
+def upload_geojsons(
+    manifest: dict, cfg: S3Config, bucket: str, prefix: str
+) -> list[str]:
+    """S10 manifest sink: put tiles.geojson + extent.geojson next to the
+    tiles (``utils/upload_geometries.py:30-59``). Two small driver-side
+    puts; caller enforces the manifest-only-on-all-success policy."""
+    client = cfg.client()
+    pre = prefix.rstrip("/")
+    written = []
+    for name in ("tiles", "extent"):
+        doc = manifest.get(name)
+        if doc is None:
+            continue
+        key = f"{pre}/{name}.geojson"
+        client.put_object(
+            Bucket=bucket,
+            Key=key,
+            Body=json.dumps(doc).encode(),
+            ContentType="application/geo+json",
+        )
+        written.append(key)
+    return written

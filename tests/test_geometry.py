@@ -139,3 +139,83 @@ def test_point_in_polygon_col_nonconvex_and_hole(spark):
         "want",
     ).collect()
     assert all(r.p == r.want for r in got)
+
+
+# ---------------------------------------------------------------------------
+# General polygon ∩ polygon (triangulated-AOI clip)
+# ---------------------------------------------------------------------------
+
+from gfw_pixetl_spark.functions.geometry import (  # noqa: E402
+    clip_polygon_to_convex,
+    clip_polygon_to_polygon,
+    clip_ring_to_convex,
+    clip_to_polygon_udf,
+    ear_clip_triangulate,
+    pieces_area_col,
+)
+
+
+def _pieces_area(pieces):
+    return sum(abs(polygon_signed_area(p)) for p in pieces)
+
+
+def test_convex_clip_matches_box_clip():
+    # a box expressed as a convex clip ring reproduces the box kernel
+    box_ring = np.array([[0.5, 0.5], [3.0, 0.5], [3.0, 3.0], [0.5, 3.0]])
+    a = clip_ring_to_box(np.array(L, float), 0.5, 0.5, 3, 3)
+    b = clip_ring_to_convex(np.array(L, float), box_ring)
+    assert ring_signed_area(a) == pytest.approx(ring_signed_area(b))
+
+
+def test_convex_clip_triangle_region():
+    # SQ (area 4) ∩ triangle {(0,0),(2,0),(0,2)} = that triangle, area 2
+    tri = np.array([[0.0, 0.0], [2.0, 0.0], [0.0, 2.0]])
+    c = clip_ring_to_convex(np.array(SQ, float), tri)
+    assert ring_signed_area(c) == pytest.approx(2.0)
+
+
+def test_ear_clip_areas_sum():
+    for ring in (SQ, L, [[0, 0], [4, 0], [4, 3], [2, 1], [0, 3]]):
+        tris = ear_clip_triangulate(np.array(ring, float))
+        total = sum(ring_signed_area(t) for t in tris)
+        assert total == pytest.approx(ring_signed_area(np.array(ring, float)))
+        assert all(ring_signed_area(t) > 0 for t in tris)
+
+
+def test_general_clip_nonconvex_aoi():
+    # AOI = L (non-convex, area 3); subject = unit square at (0.5, 0.5).
+    # Intersection: the square minus the quadrant above/right of (1,1)
+    # → 1 - 0.25 = 0.75
+    subject = [[[0.5, 0.5], [1.5, 0.5], [1.5, 1.5], [0.5, 1.5]]]
+    pieces = clip_polygon_to_polygon(subject, np.array(L, float))
+    assert _pieces_area(pieces) == pytest.approx(0.75)
+
+
+def test_general_clip_with_hole_subject():
+    # subject = SQ with a 1x1 hole at the center ([0.5,1.5]^2), clipped
+    # by the half-square triangle {(0,0),(2,0),(2,2)}: area = (4-1)/2
+    hole = [[0.5, 0.5], [0.5, 1.5], [1.5, 1.5], [1.5, 0.5]]  # CW
+    tri = np.array([[0.0, 0.0], [2.0, 0.0], [2.0, 2.0]])
+    pieces = clip_polygon_to_polygon([SQ, hole], tri)
+    total = sum(polygon_signed_area(p) for p in pieces)
+    assert total == pytest.approx(1.5)
+
+
+def test_general_clip_disjoint():
+    subject = [[[10.0, 10.0], [11.0, 10.0], [11.0, 11.0], [10.0, 11.0]]]
+    pieces = clip_polygon_to_polygon(subject, np.array(L, float))
+    assert _pieces_area(pieces) == pytest.approx(0.0)
+
+
+def test_clip_to_polygon_udf_roundtrip(spark):
+    rows = [
+        ([[[0.5, 0.5], [1.5, 0.5], [1.5, 1.5], [0.5, 1.5]]],),
+        ([[[10.0, 10.0], [11.0, 10.0], [11.0, 11.0], [10.0, 11.0]]],),
+    ]
+    df = spark.createDataFrame(rows, "geom array<array<array<double>>>")
+    aoi = np.array(L, float)
+    out = df.select(
+        pieces_area_col(clip_to_polygon_udf(aoi)(F.col("geom"))).alias("a")
+    ).collect()
+    assert out[0].a == pytest.approx(0.75)
+    assert out[1].a == pytest.approx(0.0)

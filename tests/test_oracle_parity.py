@@ -7,18 +7,15 @@ from __future__ import annotations
 import pytest
 
 import __spark_entry__ as entry_mod
-from gfw_pixetl_spark.harness.compare import compare_results
+from gfw_pixetl_spark.harness.compare import compare_results, dtype_problems
 from tests.conftest import SF_SMOKE
 
 QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
 
-# genuinely non-SQL-expressible ops (binary digest chains DuckDB cannot
-# replay; multi-stage tile jobs with npy payloads); the driver records a
-# rows-only check for these
+# genuinely non-SQL-expressible ops (multi-stage tile jobs with npy
+# payloads); the driver records a rows-only check for these
 ROWS_ONLY = {
-    "q50_multimodal_resize",
-    "q51_multimodal_frames",
     "q71_raster_tile_job",
     "q72_vector_tile_job",
 }
@@ -47,4 +44,8 @@ def test_parity(name, spark, duck):
     ocols = [d[0] for d in orel.description]
     orows = orel.fetchall()
     problems = compare_results(scols, [tuple(r) for r in srows], ocols, orows)
+    # driver-hash twin: the driver compares via Arrow, where DuckDB HUGEINT /
+    # DECIMAL become decimal128 and hash-mismatch Spark's int64/double even
+    # when values are identical — catch that locally before the driver does
+    problems += dtype_problems(duck, ORACLES[name], sdf)
     assert not problems, f"{name}: {problems}"
