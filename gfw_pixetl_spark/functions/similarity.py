@@ -46,6 +46,51 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def semdedup_keep(
+    df: DataFrame,
+    cluster: Column,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup decision (Abbas et al. 2023,
+    arXiv:2303.09540): within each cluster, an item is DROPPED when its
+    max cosine to any earlier (lower-id) cluster member exceeds the
+    threshold — the greedy keep-first rule the paper applies inside
+    k-means cells, here on any caller-supplied clustering column (LSH
+    bucket, IVF cell, ...).
+
+    Scale shape: the pair space is the equi-join on ``cluster`` (never
+    corpus x corpus); the verdict per item is one groupBy(max). Returns
+    (id, cluster, max_cos_prev [-1 when first/alone], keep).
+    """
+    b = df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("embedding"),
+        cluster.alias("cluster"),
+    )
+    a, c = b.alias("a"), b.alias("c")
+    cos = cosine(F.col("a.embedding"), F.col("c.embedding"))
+    prev_max = (
+        a.join(c, (F.col("a.cluster") == F.col("c.cluster"))
+               & (F.col("a.vec_id") < F.col("c.vec_id")))
+        .groupBy(F.col("c.vec_id").alias("vec_id"))
+        .agg(F.max(cos).alias("max_cos_prev"))
+    )
+    return (
+        b.join(prev_max, "vec_id", "left")
+        .select(
+            "vec_id", "cluster",
+            F.round(F.coalesce("max_cos_prev", F.lit(-1.0)), 6)
+            .alias("max_cos_prev"),
+            (
+                F.col("max_cos_prev").isNull()
+                | (F.col("max_cos_prev") <= F.lit(threshold))
+            ).alias("keep"),
+        )
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -50,11 +50,15 @@ def token_count_bpe(col: Column | str) -> Column:
     return F.regexp_count(c, F.lit(TOKEN_REGEX))
 
 
-def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_features(
+    df: DataFrame, text_col: str = "text", keep_cols: tuple = ()
+) -> DataFrame:
     """Length / punctuation / stopword ratios -> a scalar quality score.
 
     Pure column arithmetic; a full scan computes this for every document in
-    one codegen stage with zero shuffles.
+    one codegen stage with zero shuffles. ``keep_cols`` passes extra
+    source columns through (so funnel-style consumers stay one-pass
+    instead of re-joining the table to itself).
     """
     t = F.col(text_col)
     ws = words(text_col)
@@ -74,6 +78,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return df.select(
         "doc_id",
+        *keep_cols,
         n_words.alias("n_words"),
         alpha_chars.alias("alpha_chars"),
         n_stop.alias("n_stopwords"),

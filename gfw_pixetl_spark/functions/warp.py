@@ -5,9 +5,12 @@ The reference delegates warping to rasterio/GDAL WarpedVRT
 ``gfw_pixetl/resampling.py:9-25``). The aggregating kernels (average,
 mode, ...) are already Spark aggregations (operators/resample.py); this
 module supplies the *interpolating* kernels — nearest, bilinear, cubic,
-lanczos — and the EPSG:4326 ↔ EPSG:3857 coordinate math, which is
-analytic (spherical Mercator, public formulas), so no GDAL/proj is
-needed for the grid catalog this engine ships.
+lanczos — and analytic coordinate math for EPSG:4326, EPSG:3857
+(spherical Mercator) and all 120 WGS84 UTM zones (EPSG:326xx/327xx,
+Karney-Krüger transverse-Mercator series, public formulas), so no
+GDAL/proj is needed for the grid catalog this engine ships nor for
+UTM-gridded sources. Any pair among those CRS composes through the
+geographic hub; other CRS stay pyproj-gated.
 
 Execution model: :class:`WarpReader` is a :class:`WindowReader` adapter —
 it inverse-projects the DESTINATION window's pixel centers into the
@@ -117,19 +120,148 @@ def sample_grid(
     return np.ma.MaskedArray(out, mask=(den == 0))
 
 
+# --- WGS84 transverse Mercator (UTM zones), Karney-Krüger series ----------
+# Public formulas: Krüger (1912) series as rearranged by Karney,
+# "Transverse Mercator with an accuracy of a few nanometers" (J. Geod.
+# 2011, arXiv:1002.1417) — 4th order in n (n^4 ~ 8e-12 for WGS84, i.e.
+# sub-millimeter), vectorized over numpy arrays.
+
+_WGS84_A = 6378137.0
+_WGS84_F = 1.0 / 298.257223563
+_E2 = _WGS84_F * (2.0 - _WGS84_F)
+_E = _E2 ** 0.5
+_N = _WGS84_F / (2.0 - _WGS84_F)
+# rectifying radius A and the forward (alpha) / inverse (beta) coefficients
+_A_BAR = _WGS84_A / (1 + _N) * (1 + _N**2 / 4 + _N**4 / 64)
+_ALPHA = (
+    _N / 2 - 2 * _N**2 / 3 + 5 * _N**3 / 16 + 41 * _N**4 / 180,
+    13 * _N**2 / 48 - 3 * _N**3 / 5 + 557 * _N**4 / 1440,
+    61 * _N**3 / 240 - 103 * _N**4 / 140,
+    49561 * _N**4 / 161280,
+)
+_BETA = (
+    _N / 2 - 2 * _N**2 / 3 + 37 * _N**3 / 96 - _N**4 / 360,
+    _N**2 / 48 + _N**3 / 15 - 437 * _N**4 / 1440,
+    17 * _N**3 / 480 - 37 * _N**4 / 840,
+    4397 * _N**4 / 161280,
+)
+_K0 = 0.9996
+_FALSE_E = 500000.0
+_FALSE_N_S = 10000000.0
+
+
+def utm_zone_epsg(zone: int, north: bool) -> int:
+    if not 1 <= zone <= 60:
+        raise ValueError(f"UTM zone {zone} out of range 1..60")
+    return (32600 if north else 32700) + zone
+
+
+def _utm_params(epsg: int) -> tuple[float, bool]:
+    """(central meridian degrees, northern?) for EPSG:326xx/327xx."""
+    if 32601 <= epsg <= 32660:
+        zone, north = epsg - 32600, True
+    elif 32701 <= epsg <= 32760:
+        zone, north = epsg - 32700, False
+    else:
+        raise ValueError(f"EPSG:{epsg} is not a WGS84 UTM zone")
+    return -183.0 + 6.0 * zone, north
+
+
+def latlng_to_utm(lng, lat, epsg: int):
+    """Forward TM: geographic -> UTM easting/northing (meters)."""
+    lon0, north = _utm_params(epsg)
+    phi = np.radians(np.asarray(lat, dtype="float64"))
+    lam = np.radians(np.asarray(lng, dtype="float64") - lon0)
+    # wrap into (-pi, pi] so zone-adjacent reads don't fold
+    lam = (lam + np.pi) % (2 * np.pi) - np.pi
+    tau = np.tan(phi)
+    sigma = np.sinh(_E * np.arctanh(_E * tau / np.sqrt(1 + tau**2)))
+    taup = tau * np.sqrt(1 + sigma**2) - sigma * np.sqrt(1 + tau**2)
+    xi_p = np.arctan2(taup, np.cos(lam))
+    eta_p = np.arcsinh(np.sin(lam) / np.sqrt(taup**2 + np.cos(lam) ** 2))
+    xi, eta = xi_p.copy(), eta_p.copy()
+    for j, a in enumerate(_ALPHA, start=1):
+        xi += a * np.sin(2 * j * xi_p) * np.cosh(2 * j * eta_p)
+        eta += a * np.cos(2 * j * xi_p) * np.sinh(2 * j * eta_p)
+    x = _FALSE_E + _K0 * _A_BAR * eta
+    y = _K0 * _A_BAR * xi + (0.0 if north else _FALSE_N_S)
+    return x, y
+
+
+def utm_to_latlng(x, y, epsg: int):
+    """Inverse TM: UTM easting/northing -> geographic (degrees)."""
+    lon0, north = _utm_params(epsg)
+    eta = (np.asarray(x, dtype="float64") - _FALSE_E) / (_K0 * _A_BAR)
+    xi = (np.asarray(y, dtype="float64")
+          - (0.0 if north else _FALSE_N_S)) / (_K0 * _A_BAR)
+    xi_p, eta_p = xi.copy(), eta.copy()
+    for j, b in enumerate(_BETA, start=1):
+        xi_p -= b * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+        eta_p -= b * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+    taup = np.sin(xi_p) / np.sqrt(np.sinh(eta_p) ** 2 + np.cos(xi_p) ** 2)
+    lam = np.arctan2(np.sinh(eta_p), np.cos(xi_p))
+    # Newton-iterate conformal tau' back to geodetic tau (Karney eq. 19-21)
+    tau = taup / np.sqrt(1 - _E2)
+    for _ in range(5):
+        sigma = np.sinh(_E * np.arctanh(_E * tau / np.sqrt(1 + tau**2)))
+        taup_i = tau * np.sqrt(1 + sigma**2) - sigma * np.sqrt(1 + tau**2)
+        dtau = ((taup - taup_i) * (1 + (1 - _E2) * tau**2)
+                / ((1 - _E2) * np.sqrt((1 + taup_i**2) * (1 + tau**2))))
+        tau = tau + dtau
+        if np.all(np.abs(dtau) < 1e-14):
+            break
+    lat = np.degrees(np.arctan(tau))
+    lng = np.degrees(lam) + lon0
+    return lng, lat
+
+
+def _is_utm(code: int) -> bool:
+    return 32601 <= code <= 32660 or 32701 <= code <= 32760
+
+
+def _to_geographic(xs, ys, crs: str):
+    """crs coords -> (lng, lat)."""
+    code = int(crs.split(":")[1])
+    if code == 4326:
+        return xs, ys
+    if code == 3857:
+        return mercator_to_latlng(xs, ys)
+    if _is_utm(code):
+        return utm_to_latlng(xs, ys, code)
+    raise NotImplementedError(
+        f"{crs}: analytic support covers EPSG:4326, EPSG:3857 and WGS84 "
+        "UTM zones (EPSG:326xx/327xx); other CRS need pyproj/rasterio "
+        "(not in this runtime)"
+    )
+
+
+def _from_geographic(lng, lat, crs: str):
+    """(lng, lat) -> crs coords."""
+    code = int(crs.split(":")[1])
+    if code == 4326:
+        return lng, lat
+    if code == 3857:
+        return latlng_to_mercator(lng, lat)
+    if _is_utm(code):
+        return latlng_to_utm(lng, lat, code)
+    raise NotImplementedError(
+        f"{crs}: analytic support covers EPSG:4326, EPSG:3857 and WGS84 "
+        "UTM zones (EPSG:326xx/327xx); other CRS need pyproj/rasterio "
+        "(not in this runtime)"
+    )
+
+
 def _project(xs, ys, src_crs: str, dst_crs: str):
-    """Transform coords FROM dst_crs TO src_crs (inverse direction)."""
+    """Transform coords FROM dst_crs TO src_crs (inverse direction).
+
+    Any pair drawn from {EPSG:4326, EPSG:3857, WGS84 UTM zones} works —
+    routed through geographic as the hub (exactly how PROJ pipelines
+    compose transforms)."""
     s, d = src_crs.upper(), dst_crs.upper()
     if s == d:
         return xs, ys
-    if s == "EPSG:4326" and d == "EPSG:3857":
-        return mercator_to_latlng(xs, ys)
-    if s == "EPSG:3857" and d == "EPSG:4326":
-        return latlng_to_mercator(xs, ys)
-    raise NotImplementedError(
-        f"warp {d} -> {s}: only EPSG:4326 <-> EPSG:3857 is analytic; "
-        "other CRS pairs need pyproj/rasterio (not in this runtime)"
-    )
+    lng, lat = _to_geographic(xs, ys, d)
+    return _from_geographic(lng, lat, s)
 
 
 @dataclass

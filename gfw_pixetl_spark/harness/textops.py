@@ -471,9 +471,13 @@ _SHINGLES_SQL = """list_distinct(CASE WHEN len({w}) >= 3 THEN
     """,
 )
 def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
     docs = load(spark, sf_dir, "documents")
+    cap = os.environ.get("SPARK_GRAFT_SSJOIN_MAXTOK")
     return D.prefix_jaccard_pairs(
-        docs, threshold=0.6, tokens=D.shingle_set("text")
+        docs, threshold=0.6, tokens=D.shingle_set("text"),
+        max_verify_tokens=int(cap) if cap else None,
     )
 
 
@@ -518,4 +522,87 @@ def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "surprisal"
             ),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# q151 — filter funnel: the dataset-card attrition report. One pass
+# computes every stage's survivor count (cumulative filters: language ->
+# length band -> quality floor -> exact dedup keep-canonical); the only
+# shuffle is the md5-digest window for canonical ids. This is the
+# standard "documents remaining after each cleaning stage" table every
+# corpus release publishes.
+# --------------------------------------------------------------------------
+@register(
+    "q151_filter_funnel",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, lang,
+             len({SQL_WORDS}) AS n_words,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+             len(list_filter({SQL_WORDS},
+                             w -> list_contains([{_stop_lits}], lower(w)))) AS n_stopwords,
+             length(text) AS n_chars,
+             MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical
+      FROM documents
+    ), scored AS (
+      SELECT *,
+             round((alpha_chars / n_chars) * 0.5
+                   + (n_stopwords / n_words) * 0.3
+                   + least((n_chars - (n_words - 1)) / n_words / 10.0, 1.0) * 0.2,
+                   6) AS q
+      FROM feats
+    ), flags AS (
+      SELECT (lang = 'en') AS f1,
+             (lang = 'en' AND n_words BETWEEN 20 AND 200) AS f2,
+             (lang = 'en' AND n_words BETWEEN 20 AND 200
+              AND q >= 0.52) AS f3,
+             (lang = 'en' AND n_words BETWEEN 20 AND 200
+              AND q >= 0.52 AND doc_id = canonical) AS f4
+      FROM scored
+    ), agg AS (
+      SELECT COUNT(*) AS n0,
+             CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             CAST(SUM(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+      FROM flags
+    )
+    SELECT 0 AS stage, 'all' AS stage_name, n0 AS n_docs FROM agg
+    UNION ALL SELECT 1, 'lang_en', n1 FROM agg
+    UNION ALL SELECT 2, 'len_20_200', n2 FROM agg
+    UNION ALL SELECT 3, 'quality_ge_052', n3 FROM agg
+    UNION ALL SELECT 4, 'exact_dedup', n4 FROM agg
+    """,
+)
+def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    feats = T.quality_features(docs, keep_cols=("lang", "text")).withColumn(
+        "canonical", F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    )
+    f1 = F.col("lang") == "en"
+    f2 = f1 & F.col("n_words").between(20, 200)
+    f3 = f2 & (F.col("quality_score") >= 0.52)
+    f4 = f3 & (F.col("doc_id") == F.col("canonical"))
+    agg = feats.agg(
+        F.count("*").alias("n0"),
+        F.sum(f1.cast("long")).alias("n1"),
+        F.sum(f2.cast("long")).alias("n2"),
+        F.sum(f3.cast("long")).alias("n3"),
+        F.sum(f4.cast("long")).alias("n4"),
+    )
+    stages = F.array(*[
+        F.struct(
+            F.lit(i).alias("stage"),
+            F.lit(nm).alias("stage_name"),
+            F.col(f"n{i}").alias("n_docs"),
+        )
+        for i, nm in enumerate(
+            ["all", "lang_en", "len_20_200", "quality_ge_052", "exact_dedup"]
+        )
+    ])
+    return agg.select(F.explode(stages).alias("s")).select(
+        "s.stage", "s.stage_name", "s.n_docs"
     )

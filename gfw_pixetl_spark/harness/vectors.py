@@ -282,3 +282,32 @@ def q139(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
     )
+
+
+# --------------------------------------------------------------------------
+# q150 — SemDeDup: semantic dedup decision inside embedding clusters
+# (keep-first greedy rule, arXiv:2303.09540), clusters = sign-LSH buckets
+# --------------------------------------------------------------------------
+@register(
+    "q150_semdedup",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_sql_bucket('embedding')} AS cluster
+      FROM embeddings
+    ), m AS (
+      SELECT c.vec_id, max({_sql_cos('a.embedding', 'c.embedding')})
+               AS max_cos_prev
+      FROM b a JOIN b c ON a.cluster = c.cluster AND a.vec_id < c.vec_id
+      GROUP BY c.vec_id
+    )
+    SELECT b.vec_id, b.cluster,
+           round(coalesce(m.max_cos_prev, -1.0), 6) AS max_cos_prev,
+           (m.max_cos_prev IS NULL OR m.max_cos_prev <= 0.9) AS keep
+    FROM b LEFT JOIN m ON b.vec_id = m.vec_id
+    """,
+)
+def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return S.semdedup_keep(
+        emb, S.lsh_bucket(F.col("embedding"), _WEIGHTS), threshold=0.9
+    )

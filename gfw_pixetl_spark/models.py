@@ -52,6 +52,10 @@ class LayerModel:
     compute_histogram: bool = False
     process_locally: bool = False
     photometric: str | None = None
+    # destination formats (DstFormat, tiles/tile.py:83-102): "geotiff" is
+    # the default; adding "gdal-geotiff" also writes the reference's
+    # higher-compression secondary copy (utils/gdal.py:98-106)
+    dst_formats: tuple = ("geotiff",)
 
     def __post_init__(self) -> None:
         if not VERSION_REGEX.match(self.version):

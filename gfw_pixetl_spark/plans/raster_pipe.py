@@ -38,7 +38,9 @@ from pyspark.sql import functions as F
 from ..functions.calc import apply_calc, block_has_data, set_datatype
 from ..grids import Grid
 from ..models import LayerModel
+from ..sources.geotiff import write_cog
 from ..sources.raster import WindowReader
+from ..sources.raster_meta import metadata_from_array, write_stats_sidecar
 
 TILE_SCHEMA = (
     "tile_id string, tile_left double, tile_bottom double, "
@@ -215,10 +217,14 @@ def write_tiles(
     payloads: DataFrame, layer: LayerModel, grid: Grid, work_dir: str
 ) -> DataFrame:
     """S8 sink: one writer per tile assembles windows into the tile array
-    and writes an .npz "COG" (array + profile); shared by the raster and
-    vector pipes. groupBy(tile_id) + applyInPandas = the single-writer-
-    per-tile invariant; windowed assembly keeps peak memory at one tile
-    per task (profile shape mirrors ``gfw_pixetl/tiles/tile.py:54-97``).
+    and writes a real tiled-DEFLATE COG (pure-Python codec,
+    ``sources/geotiff.py``); shared by the raster and vector pipes.
+    groupBy(tile_id) + applyInPandas = the single-writer-per-tile
+    invariant; windowed assembly keeps peak memory at one tile per task.
+    The profile mirrors ``gfw_pixetl/tiles/tile.py:54-97`` (tiled layout,
+    block size, compression, CRS, nodata, photometric, NBITS) and the
+    write is atomic (tmp + rename), matching the reference's
+    write-then-upload discipline.
     """
     rows_, cols_ = grid.rows, grid.cols
     nodata = layer.no_data if isinstance(layer.no_data, list) else (
@@ -226,8 +232,18 @@ def write_tiles(
     )
     prefix = layer.prefix
     blockxsize = grid.blockxsize
-    compression = layer.dtype_obj.compression
+    compression = layer.dtype_obj.compression or "NONE"
+    nbits = layer.dtype_obj.nbits
     crs = grid.crs
+    xres, yres = grid.xres, grid.yres
+    photometric = layer.photometric
+    symbology = layer.symbology
+    compute_stats = layer.compute_stats
+    compute_histogram = layer.compute_histogram
+    dst_formats = tuple(layer.dst_formats)
+    # bounds come from the closed-form tile-id math (C5) inside each
+    # writer task — never a driver-side enumeration of the whole grid
+    get_bounds = grid.get_tile_bounds
 
     def writer(pdf: pd.DataFrame) -> pd.DataFrame:
         tile_id = pdf["tile_id"].iloc[0]
@@ -253,22 +269,53 @@ def write_tiles(
             ] = arr
         out_dir = os.path.join(work_dir, prefix, "geotiff")
         os.makedirs(out_dir, exist_ok=True)
-        path = os.path.join(out_dir, f"{tile_id}.npz")
-        profile = {
-            "dtype": dtype, "count": bands, "nodata": fill,
-            "blockxsize": blockxsize, "blockysize": blockxsize,
-            "compress": compression, "crs": crs, "tiled": True,
-            "width": cols_, "height": rows_,
-        }
+        path = os.path.join(out_dir, f"{tile_id}.tif")
+        tb = get_bounds(tile_id)
         # C6: symbology / photometric tagging passes through to the
-        # output profile (gfw_pixetl/tiles/tile.py:68-71)
-        if layer.photometric:
-            profile["photometric"] = layer.photometric
-        if layer.symbology:
-            profile["symbology"] = layer.symbology
-        np.savez_compressed(
-            path, data=tile, profile=json.dumps(profile).encode()
+        # output tags (gfw_pixetl/tiles/tile.py:68-71)
+        meta = (
+            {"SYMBOLOGY": json.dumps(symbology)} if symbology else None
         )
+        transform = (tb.left, xres, tb.top, yres)
+        profile = write_cog(
+            path, tile,
+            transform=transform,
+            crs=crs,
+            nodata=None if nodata is None else fill,
+            blockxsize=blockxsize,
+            compress=compression,
+            photometric=photometric,
+            nbits=nbits,
+            metadata=meta,
+            # the reference writes flat tiled GeoTIFFs (no gdaladdo pass)
+            # — overview pyramids are the zoom-pyramid rollup's job (q127)
+            overviews=False,
+        )
+        if "gdal-geotiff" in dst_formats:
+            # secondary higher-compression copy (create_gdal_geotiff,
+            # tiles/tile.py:125-137 + utils/gdal.py:98-106): same pixels,
+            # max deflate + horizontal-differencing predictor for ints
+            gdir = os.path.join(work_dir, prefix, "gdal-geotiff")
+            os.makedirs(gdir, exist_ok=True)
+            write_cog(
+                os.path.join(gdir, f"{tile_id}.tif"), tile,
+                transform=transform, crs=crs,
+                nodata=None if nodata is None else fill,
+                blockxsize=blockxsize, compress="DEFLATE",
+                predictor=2 if np.dtype(dtype).kind in "ui" else 1,
+                photometric=photometric, nbits=nbits, metadata=meta,
+                zlevel=9, overviews=False,
+            )
+        if compute_stats or compute_histogram:
+            # stats/histogram from the pixels already in hand — never a
+            # second read pass over the output (tiles/tile.py:190-196;
+            # sidecar = the .aux.xml gdalinfo -stats persists)
+            md = metadata_from_array(
+                tile, profile, transform,
+                compute_stats=compute_stats,
+                compute_histogram=compute_histogram,
+            )
+            write_stats_sidecar(path, md)
         return pd.DataFrame(
             [(tile_id, "processed", len(pdf), path)],
             columns=["tile_id", "status", "n_windows", "out_path"],

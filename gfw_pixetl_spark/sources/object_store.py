@@ -100,11 +100,37 @@ def existing_tiles(
     return spark.createDataFrame([(t,) for t in ids], "tile_id string")
 
 
+def fetch_cog_profile(
+    cfg: S3Config, bucket: str, key: str, first_bytes: int = 64 * 1024
+) -> dict:
+    """S3 raster-metadata fetch (``utils/utils.py:99-120`` equivalent)
+    via a *ranged* GET: a COG keeps every IFD at the head of the file, so
+    the profile (dtype/bands/blocks/CRS/nodata/transform) costs one small
+    range request, never the pixel payload — the property that lets a
+    1000-executor prune stage inspect a 100 TB mosaic cheaply. Doubles
+    the range and retries if a (non-COG) file keeps metadata deeper."""
+    import struct as _struct
+
+    from .geotiff import GeoTiff
+
+    client = cfg.client()
+    rng = first_bytes
+    while True:
+        body = client.get_object(
+            Bucket=bucket, Key=key, Range=f"bytes=0-{rng - 1}"
+        )["Body"].read()
+        try:
+            tif = GeoTiff.from_bytes(body, path=f"s3://{bucket}/{key}")
+            return tif.profile
+        except (_struct.error, ValueError, IndexError, KeyError):
+            if len(body) < rng:  # whole object fetched and still bad
+                raise
+            rng *= 4
+
+
 def fetch_npz_profile(cfg: S3Config, bucket: str, key: str) -> dict:
-    """S3-metadata fetch for the engine's own npz tile container: read the
-    embedded profile dict (bounds/dtype/bands) without the pixel payload
-    staying in memory. The GeoTIFF equivalent (``utils/utils.py:99-120``)
-    stays rasterio-gated in sources/raster.py."""
+    """Legacy profile fetch for the npz container the sink wrote before
+    the pure-Python COG codec landed (kept for stored artifacts)."""
     import io
 
     import numpy as np
@@ -122,7 +148,7 @@ def upload_tiles(
     cfg: S3Config,
     bucket: str,
     prefix: str,
-    ext: str = ".npz",
+    ext: str = ".tif",
 ) -> DataFrame:
     """S9 upload sink: push each processed tile's output file to
     ``{prefix}/{tile_id}{ext}`` (``tiles/tile.py:143-172``;
@@ -147,6 +173,14 @@ def upload_tiles(
                 n = os.path.getsize(r.out_path)
                 client.upload_file(r.out_path, bucket, key)
                 out.append((r.tile_id, key, n))
+                # stats sidecar rides along when present
+                # (tiles/tile.py:154-162)
+                sidecar = r.out_path + ".aux.xml"
+                if os.path.isfile(sidecar):
+                    skey = key + ".aux.xml"
+                    client.upload_file(sidecar, bucket, skey)
+                    out.append(
+                        (r.tile_id, skey, os.path.getsize(sidecar)))
             yield pd.DataFrame(
                 out, columns=["tile_id", "s3_key", "n_bytes"]
             )

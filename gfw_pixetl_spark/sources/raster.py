@@ -6,13 +6,11 @@ reader is a plain picklable callable invoked inside ``mapInPandas`` on the
 executors: ``reader(uris, bounds, shape, band_count) -> np.ma.MaskedArray``
 of shape ``(bands, rows, cols)`` with mask == nodata.
 
-* ``GeoTIFFReader`` wraps rasterio when available. The image libraries are
-  not shipped in this container, so the construction path is a
-  clearly-marked stub: it raises ``NotImplementedError`` unless rasterio
-  imports. The Spark-side plumbing (schema, partitioning, batch shape) is
-  identical for every reader and is what the tests exercise.
+* ``GeoTIFFReader`` reads real GeoTIFF/COG files through the pure-Python
+  codec in ``sources/geotiff.py`` (tile-granular partial reads, no
+  rasterio dependency), mosaicking first-non-null by file order.
 * ``SyntheticReader`` generates a deterministic array from pixel
-  coordinates — the test double standing in for raster IO, same contract.
+  coordinates — the fast test double, same contract.
 """
 
 from __future__ import annotations
@@ -67,42 +65,56 @@ class SyntheticReader(WindowReader):
 
 
 class GeoTIFFReader(WindowReader):
-    """Rasterio-backed windowed read (STUB when rasterio is absent).
+    """Real windowed GeoTIFF/COG read via the pure-Python codec
+    (``sources/geotiff.py``) — no rasterio required.
 
     Mirrors ``read_window``'s contract (``window_utils.py:88-133``):
-    reproject+resample the source mosaic into the destination window grid,
-    pad to exact shape, mask nodata. Requires rasterio — unavailable in
-    this environment, so instantiation raises with a clear marker.
+    boundless window over the source mosaic, first-non-null by file order
+    (the VRT mosaic semantic S5, ``gfw_pixetl/utils/gdal.py:31-49``),
+    nodata-masked, padded to exact shape. Sources must be on the window's
+    grid (same resolution, aligned origin — the engine's prep job
+    guarantees this, like the reference's VRT of same-grid inputs);
+    resampling/reprojection between grids is ``WarpReader``'s job (C4).
+    Only tiles intersecting the window are decompressed, so a 100 TB
+    mosaic costs range-reads proportional to the window, not the files.
     """
 
-    def __init__(self, src_nodata=None, resampling: str = "nearest") -> None:
-        try:
-            import rasterio  # noqa: F401
-        except ImportError as e:  # pragma: no cover - env-dependent
-            raise NotImplementedError(
-                "GeoTIFFReader requires rasterio, which is not installed in "
-                "this environment. Use SyntheticReader for tests; the Spark "
-                "plumbing is reader-agnostic."
-            ) from e
+    def __init__(self, src_nodata=None) -> None:
         self.src_nodata = src_nodata
-        self.resampling = resampling
 
-    def __call__(self, uris, bounds, shape, band_count):  # pragma: no cover
-        import rasterio
-        from rasterio.merge import merge
-        from rasterio.windows import from_bounds
+    def __call__(self, uris, bounds, shape, band_count):
+        from .geotiff import GeoTiff
 
         rows, cols = shape
-        out = np.ma.masked_all((band_count, rows, cols), dtype="float64")
-        # first-non-null by file order — the VRT mosaic semantic (S5,
-        # gfw_pixetl/utils/gdal.py:31-49)
+        accum_data = None
+        accum_mask = np.ones((band_count, rows, cols), dtype=bool)
         for uri in uris:
-            with rasterio.open(uri) as src:
-                win = from_bounds(*bounds, transform=src.transform)
-                data = src.read(
-                    indexes=list(range(1, band_count + 1)),
-                    window=win, boundless=True, masked=True,
-                    out_shape=(band_count, rows, cols),
+            src = GeoTiff.open(uri)
+            c0, r0, w, h = src.window_from_bounds(bounds)
+            if (w, h) != (cols, rows):
+                raise ValueError(
+                    f"{uri}: source grid ({src.transform[1]}, "
+                    f"{src.transform[3]}) is not aligned with the window "
+                    f"({w}x{h} != {cols}x{rows}); use WarpReader for "
+                    "cross-grid reads"
                 )
-                out = np.ma.where(np.ma.getmaskarray(out), data, out)
-        return out
+            arr = src.read_window(c0, r0, cols, rows)
+            if self.src_nodata is not None:
+                arr = np.ma.masked_equal(arr, self.src_nodata)
+            if arr.shape[0] >= band_count:
+                arr = arr[:band_count]
+            else:  # single-band source feeding a multiband calc (C1)
+                reps = -(-band_count // arr.shape[0])
+                arr = np.ma.concatenate([arr] * reps)[:band_count]
+            data = np.ma.getdata(arr)
+            mask = np.ma.getmaskarray(arr)
+            if accum_data is None:
+                accum_data = data.copy()
+                accum_mask = mask.copy()
+            else:
+                take = accum_mask & ~mask
+                accum_data[take] = data[take]
+                accum_mask &= mask
+        if accum_data is None:
+            accum_data = np.zeros((band_count, rows, cols), dtype="float64")
+        return np.ma.MaskedArray(accum_data, mask=accum_mask)

@@ -9,6 +9,7 @@ import pytest
 
 from gfw_pixetl_spark.cli import build_parser, main
 from gfw_pixetl_spark.plans.vector_pipe import GEOM_TYPE
+from gfw_pixetl_spark.sources.geotiff import read_tile
 
 
 def test_parser_surface():
@@ -64,9 +65,8 @@ def test_cli_vector_end_to_end(spark, tmp_path):
         }),
     ])
     assert code == 0
-    out = tmp_path / "ds/v1/raster/epsg-4326/1/4000/cls/geotiff/09N_001E.npz"
+    out = tmp_path / "ds/v1/raster/epsg-4326/1/4000/cls/geotiff/09N_001E.tif"
     assert out.exists()
-    with np.load(out) as z:
-        data = z["data"]
+    data, _ = read_tile(out)
     assert data.shape == (1, 4000, 4000)
     assert data.min() == 5 and data.max() == 5

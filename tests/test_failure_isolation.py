@@ -10,6 +10,7 @@ from gfw_pixetl_spark.grids import LatLngGrid
 from gfw_pixetl_spark.plans import raster_pipe as rp
 from gfw_pixetl_spark.plans.report import exit_code, should_upload_manifest
 from gfw_pixetl_spark.sources.raster import SyntheticReader
+from gfw_pixetl_spark.sources.geotiff import read_tile
 from tests.test_raster_pipe import make_layer
 
 
@@ -38,7 +39,7 @@ def test_failed_tile_isolates(spark, tmp_path):
     assert rows["10N_010W"].status.startswith("failed - OSError")
     assert rows["10N_010W"].out_path is None
     # the good tile's output is intact
-    with np.load(rows["10N_000E"].out_path) as z:
-        assert z["data"].shape == (1, 160, 160)
+    data, _ = read_tile(rows["10N_000E"].out_path)
+    assert data.shape == (1, 160, 160)
     assert exit_code(status) == 1
     assert not should_upload_manifest(status)

@@ -18,7 +18,7 @@ from gfw_pixetl_spark.plans import raster_pipe as rp
 from gfw_pixetl_spark.sources.object_store import (
     S3Config,
     existing_tiles,
-    fetch_npz_profile,
+    fetch_cog_profile,
     list_files,
     upload_geojsons,
     upload_tiles,
@@ -79,11 +79,13 @@ def test_upload_tiles_and_manifest(spark, tmp_path, s3cfg):
     for r in uploaded:
         head = client.head_object(Bucket=BUCKET, Key=r.s3_key)
         assert head["ContentLength"] == r.n_bytes
-        assert r.s3_key == f"{prefix}/{r.tile_id}.npz"
+        assert r.s3_key == f"{prefix}/{r.tile_id}.tif"
 
-    # round-trip the engine's own profile metadata from the object store
-    profile = fetch_npz_profile(s3cfg, BUCKET, uploaded[0].s3_key)
+    # round-trip the engine's own profile metadata from the object
+    # store with a RANGED GET — the COG header-only read
+    profile = fetch_cog_profile(s3cfg, BUCKET, uploaded[0].s3_key)
     assert profile["dtype"] == "uint8" and profile["count"] == 1
+    assert profile["crs"] == "EPSG:4326" and profile["tiled"]
 
     # F5 incremental skip now sees the destination as populated
     ex = existing_tiles(spark, s3cfg, BUCKET, prefix)

@@ -14,6 +14,7 @@ from gfw_pixetl_spark.grids import LatLngGrid, WebMercatorGrid
 from gfw_pixetl_spark.models import LayerModel
 from gfw_pixetl_spark.plans import raster_pipe as rp
 from gfw_pixetl_spark.sources.raster import SyntheticReader
+from gfw_pixetl_spark.sources.geotiff import read_tile
 
 
 def make_layer(**overrides) -> LayerModel:
@@ -63,9 +64,7 @@ def test_pipe_end_to_end(spark, tmp_path):
     assert all(r.n_windows == 1 for r in rows.values())
 
     for tid, r in rows.items():
-        with np.load(r.out_path) as z:
-            data = z["data"]
-            profile = json.loads(z["profile"].tobytes().decode())
+        data, profile = read_tile(r.out_path)
         bounds = grid.get_tile_bounds(tid)
         np.testing.assert_array_equal(data, expected_tile(bounds, grid))
         assert profile["dtype"] == "uint8"
@@ -100,8 +99,7 @@ def test_multiband_calc(spark, tmp_path):
     status = pipe.run(spark, files, subset=["10N_000E"])
     rows = status.collect()
     assert len(rows) == 1 and rows[0].status == "processed"
-    with np.load(rows[0].out_path) as z:
-        data = z["data"]
+    data, _ = read_tile(rows[0].out_path)
     assert data.shape == (3, 160, 160)
     # band 3 = A+B with mask union filled by 0
     reader = SyntheticReader(xres=grid.xres, yres=grid.yres)
@@ -124,8 +122,7 @@ def test_window_alignment_across_windows(spark, tmp_path):
     status = pipe.run(spark, files, subset=["10N_000E"])
     rows = status.collect()
     assert len(rows) == 1 and rows[0].n_windows == 4
-    with np.load(rows[0].out_path) as z:
-        data = z["data"]
+    data, _ = read_tile(rows[0].out_path)
     bounds = grid.get_tile_bounds("10N_000E")
     np.testing.assert_array_equal(data, expected_tile(bounds, grid))
 
@@ -174,3 +171,28 @@ def test_seed_tiles_wm(spark):
         r = rows[tid]
         assert abs(r.tile_left - bb.left) < 1e-6
         assert abs(r.tile_top - bb.top) < 1e-6
+
+
+def test_gdal_geotiff_secondary_copy(spark, tmp_path):
+    """DstFormat.gdal_geotiff (tiles/tile.py:125-137): same pixels,
+    higher compression, parallel directory tree."""
+    import os
+
+    from gfw_pixetl_spark.sources.geotiff import GeoTiff
+
+    grid = LatLngGrid(10, 160)
+    pipe = make_pipe(tmp_path, grid,
+                     dst_formats=("geotiff", "gdal-geotiff"))
+    files = [{"uri": "m://a", "band": 1,
+              "left": 0.0, "bottom": 0.0, "right": 10.0, "top": 10.0}]
+    rows = pipe.run(spark, files, subset=["10N_000E"]).collect()
+    assert rows[0].status == "processed"
+    primary = rows[0].out_path
+    secondary = primary.replace("/geotiff/", "/gdal-geotiff/")
+    assert os.path.isfile(secondary)
+    a, pa = read_tile(primary)
+    b, pb = read_tile(secondary)
+    np.testing.assert_array_equal(a, b)
+    # the copy carries the predictor+max-deflate profile: never larger
+    assert os.path.getsize(secondary) <= os.path.getsize(primary)
+    assert GeoTiff.open(secondary).predictor == 2

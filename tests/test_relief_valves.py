@@ -1,0 +1,58 @@
+"""Scale relief valves (VERDICT r1 item 8): approximate fallbacks for
+the two slowest bench queries, behind env flags, defaults untouched.
+
+At sf0.001 the q136 bottom-k cap exceeds every document's shingle count,
+so the flagged run must equal the exact oracle-checked default row for
+row; q142's percentile_approx skips midpoint interpolation, so its
+borderline outliers may flip by a hair — counts are held to 1% per
+group. Either way the valve changes cost, not semantics.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_q142_approx_quantiles_matches_exact_at_small_sf(spark, monkeypatch):
+    from gfw_pixetl_spark.harness import QUERIES
+
+    monkeypatch.delenv("SPARK_GRAFT_APPROX_QUANTILES", raising=False)
+    exact = dict(_rows(QUERIES["q142_mad_outliers"](spark, SF)))
+    monkeypatch.setenv("SPARK_GRAFT_APPROX_QUANTILES", "1")
+    approx = dict(_rows(QUERIES["q142_mad_outliers"](spark, SF)))
+    # percentile_approx returns an actual element (no midpoint
+    # interpolation), so borderline outliers can flip by a hair: same
+    # groups, counts within 1% of each group's size
+    assert approx.keys() == exact.keys() and len(exact) > 0
+    for g, n in exact.items():
+        assert abs(approx[g] - n) <= max(2, 0.01 * n), (g, approx[g], n)
+
+
+def test_q136_verify_cap_matches_exact_when_cap_covers(spark, monkeypatch):
+    from gfw_pixetl_spark.harness import QUERIES
+
+    monkeypatch.delenv("SPARK_GRAFT_SSJOIN_MAXTOK", raising=False)
+    exact = _rows(QUERIES["q136_prefix_ssjoin"](spark, SF))
+    # documents at sf0.001 have << 4096 distinct shingles each, so the
+    # bottom-k sketch is the full set and jaccard is identical
+    monkeypatch.setenv("SPARK_GRAFT_SSJOIN_MAXTOK", "4096")
+    capped = _rows(QUERIES["q136_prefix_ssjoin"](spark, SF))
+    assert capped == exact
+    assert len(exact) > 0
+
+
+def test_q136_small_cap_still_finds_duplicate_pairs(spark, monkeypatch):
+    from gfw_pixetl_spark.harness import QUERIES
+
+    monkeypatch.setenv("SPARK_GRAFT_SSJOIN_MAXTOK", "32")
+    df = QUERIES["q136_prefix_ssjoin"](spark, SF)
+    assert df.columns == ["doc_id_a", "doc_id_b", "jaccard"]
+    rows = df.collect()
+    # near-exact duplicates share their bottom-32 sketch -> still caught
+    assert any(r.jaccard >= 0.9 for r in rows)

@@ -8,6 +8,7 @@ from gfw_pixetl_spark.streaming.events import (
     run_hourly_rollup_once, run_sessionize_once,
 )
 from tests.conftest import SF_SMOKE
+from gfw_pixetl_spark.sources.geotiff import read_tile
 
 EVENTS = f"{SF_SMOKE}/events.parquet"
 
@@ -145,8 +146,7 @@ def test_incremental_vector_tiler(spark, tmp_path):
     ]
     assert {r.tile_id for r in second} == {"10N_000E"}
     [r2] = second
-    with np.load(r2.out_path) as z:
-        data = z["data"][0]
+    data = read_tile(r2.out_path)[0][0]
     # lon 1.5, lat 1.5 -> only feature 3; lon 3, lat 3 -> overlap, 7 wins
     assert data[int((10 - 1.5) / 0.0625), int(1.5 / 0.0625)] == 3
     assert data[int((10 - 3.0) / 0.0625), int(3.0 / 0.0625)] == 7

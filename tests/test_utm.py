@@ -1,0 +1,138 @@
+"""Analytic WGS84 UTM transforms (C4 arbitrary-CRS gap closure).
+
+Checks are chosen to be independent of the implementation:
+* quarter-meridian length against a numerically integrated meridian arc
+  (the series' rectifying radius must reproduce the ellipse integral);
+* the published CN Tower UTM sample (zone 17N) within survey tolerance;
+* structural identities (false easting on the central meridian, southern
+  false northing, zone symmetry);
+* forward/inverse roundtrip to sub-micrometer over the zone's width;
+* WarpReader end-to-end across a 4326 -> UTM warp.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from gfw_pixetl_spark.functions.warp import (
+    WarpReader,
+    _A_BAR,
+    latlng_to_utm,
+    utm_to_latlng,
+    utm_zone_epsg,
+)
+from gfw_pixetl_spark.sources.raster import SyntheticReader
+
+A = 6378137.0
+F = 1 / 298.257223563
+E2 = F * (2 - F)
+
+
+def meridian_arc(phi_deg: float) -> float:
+    """Independent meridian distance: numerically integrate
+    a(1-e^2)/(1-e^2 sin^2 t)^(3/2) dt with fine Simpson steps."""
+    phi = np.radians(phi_deg)
+    t = np.linspace(0.0, phi, 20001)
+    integrand = A * (1 - E2) / (1 - E2 * np.sin(t) ** 2) ** 1.5
+    return float(np.trapz(integrand, t))
+
+
+def test_quarter_meridian():
+    # rectifying radius: A_bar * pi/2 must equal the pole-to-equator arc
+    assert abs(_A_BAR * np.pi / 2 - meridian_arc(90.0)) < 1e-3
+
+
+def test_central_meridian_northing_matches_arc():
+    # on the central meridian x = 500000 and y = k0 * meridian arc
+    for lat in (0.0, 23.5, 40.0, 66.5, 80.0):
+        x, y = latlng_to_utm(-3.0, lat, 32630)  # zone 30N, CM = -3
+        assert abs(x - 500000.0) < 1e-6
+        assert abs(y - 0.9996 * meridian_arc(lat)) < 1e-3
+
+
+def test_cn_tower_published_sample():
+    # CN Tower (43.642567N, 79.387139W) -> UTM 17N ~ (630084 E, 4833439 N)
+    x, y = latlng_to_utm(-79.387139, 43.642567, 32617)
+    assert abs(x - 630084.0) < 2.0
+    assert abs(y - 4833439.0) < 2.0
+
+
+def test_southern_hemisphere_false_northing():
+    xn, yn = latlng_to_utm(-3.0, 10.0, 32630)
+    xs, ys = latlng_to_utm(-3.0, -10.0, 32730)
+    assert abs(xn - xs) < 1e-6
+    assert abs((10000000.0 - ys) - yn) < 1e-6
+
+
+def test_zone_symmetry():
+    # same offset from each zone's CM must give identical coordinates
+    x1, y1 = latlng_to_utm(1.5, 45.0, 32631)   # CM 3, offset -1.5
+    x2, y2 = latlng_to_utm(7.5, 45.0, 32632)   # CM 9, offset -1.5
+    assert abs(x1 - x2) < 1e-9 and abs(y1 - y2) < 1e-9
+
+
+def test_roundtrip_grid():
+    lngs = np.linspace(-3.0 - 2.9, -3.0 + 2.9, 31)  # zone 30 width
+    lats = np.linspace(-79.0, 79.0, 41)
+    glng, glat = np.meshgrid(lngs, lats)
+    x, y = latlng_to_utm(glng, glat, 32630)
+    blng, blat = utm_to_latlng(x, y, 32630)
+    assert np.max(np.abs(blng - glng)) < 1e-9   # ~0.1 um
+    assert np.max(np.abs(blat - glat)) < 1e-9
+
+
+def test_scale_factor_on_cm():
+    # d(northing)/d(arc) on the CM is exactly k0
+    _, y1 = latlng_to_utm(-3.0, 44.9995, 32630)
+    _, y2 = latlng_to_utm(-3.0, 45.0005, 32630)
+    arc = meridian_arc(45.0005) - meridian_arc(44.9995)
+    assert abs((y2 - y1) / arc - 0.9996) < 1e-9
+
+
+def test_utm_zone_epsg():
+    assert utm_zone_epsg(17, True) == 32617
+    assert utm_zone_epsg(30, False) == 32730
+    with pytest.raises(ValueError):
+        utm_zone_epsg(0, True)
+
+
+def test_warp_reader_4326_to_utm():
+    """Destination window in UTM meters over a lat/lng synthetic source:
+    nearest warp must equal direct sampling at the inverse-projected
+    centers."""
+    src = SyntheticReader(xres=0.001, yres=0.001, mask_value=None)
+    warp = WarpReader(
+        inner=src, src_xres=0.001, src_yres=0.001,
+        src_crs="EPSG:4326", dst_crs="EPSG:32630", method="nearest",
+    )
+    # a 4 km x 4 km window near (44N, 3W): zone 30 CM
+    x0, y0 = latlng_to_utm(-3.02, 44.02, 32630)
+    x0, y0 = float(x0), float(y0)
+    bounds = (x0, y0 - 4000.0, x0 + 4000.0, y0)
+    out = warp([], bounds, (40, 40), 1)
+    assert out.shape == (1, 40, 40)
+    # golden: inverse-project each destination center, sample directly
+    xs = x0 + (np.arange(40) + 0.5) * 100.0
+    ys = y0 - (np.arange(40) + 0.5) * 100.0
+    gx, gy = np.meshgrid(xs, ys)
+    lng, lat = utm_to_latlng(gx, gy, 32630)
+    col = np.rint((lng - (-180.0)) / 0.001 - 0.5).astype("int64")
+    row = np.rint((90.0 - lat) / 0.001 - 0.5).astype("int64")
+    expected = (row + col) % 16
+    np.testing.assert_array_equal(np.ma.getdata(out)[0], expected)
+
+
+def test_utm_to_mercator_chain():
+    """UTM -> 3857 composes through the geographic hub."""
+    from gfw_pixetl_spark.functions.warp import _project
+
+    x, y = latlng_to_utm(-79.387139, 43.642567, 32617)
+    mx, my = _project(
+        np.array([x]), np.array([y]), "EPSG:3857", "EPSG:32617")
+    # compare with direct 4326 -> 3857
+    from gfw_pixetl_spark.functions.warp import latlng_to_mercator
+
+    ex, ey = latlng_to_mercator(
+        np.array([-79.387139]), np.array([43.642567]))
+    assert abs(mx[0] - ex[0]) < 1e-6 and abs(my[0] - ey[0]) < 1e-6

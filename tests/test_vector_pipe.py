@@ -11,6 +11,7 @@ from gfw_pixetl_spark.functions.rasterize_kernel import polygon_mask, rasterize
 from gfw_pixetl_spark.grids import LatLngGrid
 from gfw_pixetl_spark.models import LayerModel
 from gfw_pixetl_spark.plans.vector_pipe import GEOM_TYPE, VectorPipe
+from gfw_pixetl_spark.sources.geotiff import read_tile
 
 # 4x4 px grid over (0..4, 0..4), origin top-left at (0, 4), 1-unit pixels
 T = (0.0, 4.0, 1.0, 1.0)
@@ -87,8 +88,7 @@ def test_vector_pipe_value(spark, tmp_path):
     status = pipe.run(spark, _features(spark), subset=["10N_000E"])
     rows = status.collect()
     assert len(rows) == 1 and rows[0].status == "processed"
-    with np.load(rows[0].out_path) as z:
-        data = z["data"][0]
+    data = read_tile(rows[0].out_path)[0][0]
     assert data.shape == (160, 160)
     # pixel at lon 1, lat 1 -> col 16, row 144: only feature 3
     assert data[144, 16] == 3
@@ -106,8 +106,7 @@ def test_vector_pipe_desc_order(spark, tmp_path):
                       work_dir=str(tmp_path), grid=grid)
     status = pipe.run(spark, _features(spark), subset=["10N_000E"])
     rows = status.collect()
-    with np.load(rows[0].out_path) as z:
-        data = z["data"][0]
+    data = read_tile(rows[0].out_path)[0][0]
     # desc: value 3 painted last -> wins the overlap
     assert data[144, 64] == 3
     assert data[144, 96] == 7
@@ -121,8 +120,7 @@ def test_vector_pipe_count(spark, tmp_path):
     )
     status = pipe.run(spark, _features(spark), subset=["10N_000E"])
     rows = status.collect()
-    with np.load(rows[0].out_path) as z:
-        data = z["data"][0]
+    data = read_tile(rows[0].out_path)[0][0]
     assert data[144, 16] == 1   # single cover
     assert data[144, 64] == 2   # overlap covered twice
     assert data[16, 144] == 0
@@ -142,8 +140,7 @@ def test_vector_pipe_multiwindow_assembly(spark, tmp_path):
     assert len(rows) == 1 and rows[0].status == "processed"
     # features span lon 0..7.5, lat 0..5 -> windows (1,0) and (1,1) only
     assert rows[0].n_windows == 2
-    with np.load(rows[0].out_path) as z:
-        data = z["data"][0]
+    data = read_tile(rows[0].out_path)[0][0]
     feats = [
         (3.0, [[(0.0, 0.0), (5.0, 0.0), (5.0, 5.0), (0.0, 5.0), (0.0, 0.0)]]),
         (7.0, [[(2.5, 0.0), (7.5, 0.0), (7.5, 5.0), (2.5, 5.0), (2.5, 0.0)]]),
@@ -221,10 +218,8 @@ def test_vector_pipe_salted_matches_sequential(spark, tmp_path):
         r1 = seq.run(spark, _features(spark), subset=["10N_000E"]).collect()
         r2 = sal.run(spark, _features(spark), subset=["10N_000E"]).collect()
         assert [r.status for r in r1] == [r.status for r in r2] == ["processed"]
-        with np.load(r1[0].out_path) as z:
-            a = z["data"]
-        with np.load(r2[0].out_path) as z:
-            b = z["data"]
+        a, _ = read_tile(r1[0].out_path)
+        b, _ = read_tile(r2[0].out_path)
         np.testing.assert_array_equal(a, b)
 
 
@@ -252,6 +247,6 @@ def test_vector_pipe_salted_stress_many_features(spark, tmp_path):
                           n_salts=n_salts)
         [r] = pipe.run(spark, feats, subset=["10N_000E"]).collect()
         assert r.status == "processed"
-        with np.load(r.out_path) as z:
-            outs.append(z["data"].copy())
+        data, _ = read_tile(r.out_path)
+        outs.append(data)
     np.testing.assert_array_equal(outs[0], outs[1])

@@ -12,6 +12,7 @@ from gfw_pixetl_spark.functions.warp import (
     WarpReader, latlng_to_mercator, mercator_to_latlng, sample_grid,
 )
 from gfw_pixetl_spark.sources.raster import SyntheticReader, WindowReader
+from gfw_pixetl_spark.sources.geotiff import read_tile
 
 
 class RampReader(WindowReader):
@@ -159,9 +160,8 @@ def test_warp_pipeline_end_to_end(spark, tmp_path):
     rows = {r.tile_id: r for r in pipe.run(spark, files).collect()}
     [r] = rows.values()
     assert r.status == "processed"
-    with np.load(r.out_path) as z:
-        data = z["data"][0]
-        profile = json.loads(z["profile"].tobytes().decode())
+    arr, profile = read_tile(r.out_path)
+    data = arr[0]
     assert profile["crs"] == "EPSG:3857"
     assert data.shape == (512, 512)
     # verify a scattered sample of pixels against the analytic value
