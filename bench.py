@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "q148_mom_growth",
     "q150_semdedup",
     "q151_filter_funnel",
+    "q152_raster_sql_zonal",
 ]
 
 

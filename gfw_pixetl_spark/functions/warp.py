@@ -215,6 +215,74 @@ def utm_to_latlng(x, y, epsg: int):
     return lng, lat
 
 
+# --- WGS84 polar stereographic (EPSG:3413 / 3031), Snyder variant B ------
+# Public formulas: Snyder, "Map Projections — A Working Manual" (USGS
+# Professional Paper 1395, 1987), pp. 160-162: ellipsoidal polar
+# stereographic with a standard parallel (latitude of true scale).
+# EPSG:3413 = NSIDC Sea Ice Polar Stereographic North (lat_ts 70N,
+# lon0 -45); EPSG:3031 = Antarctic Polar Stereographic (lat_ts 71S,
+# lon0 0). Both false easting/northing 0.
+
+_POLAR_PARAMS = {
+    3413: (70.0, -45.0, True),   # lat_ts, lon0, north?
+    3031: (-71.0, 0.0, False),
+}
+
+
+def _polar_tc_mc(lat_ts_abs: float) -> tuple[float, float]:
+    phi_c = np.radians(lat_ts_abs)
+    sin_c = np.sin(phi_c)
+    t_c = np.tan(np.pi / 4 - phi_c / 2) / (
+        (1 - _E * sin_c) / (1 + _E * sin_c)) ** (_E / 2)
+    m_c = np.cos(phi_c) / np.sqrt(1 - _E2 * sin_c**2)
+    return float(t_c), float(m_c)
+
+
+def latlng_to_polar(lng, lat, epsg: int):
+    lat_ts, lon0, north = _POLAR_PARAMS[epsg]
+    phi = np.radians(np.asarray(lat, dtype="float64"))
+    lam = np.radians(np.asarray(lng, dtype="float64") - lon0)
+    if not north:  # mirror the south pole onto the north-pole formulas
+        phi, lam = -phi, -lam
+    t_c, m_c = _polar_tc_mc(abs(lat_ts))
+    sin_p = np.sin(phi)
+    t = np.tan(np.pi / 4 - phi / 2) / (
+        (1 - _E * sin_p) / (1 + _E * sin_p)) ** (_E / 2)
+    rho = _WGS84_A * m_c * t / t_c
+    x = rho * np.sin(lam)
+    y = -rho * np.cos(lam)
+    if not north:
+        x, y = -x, -y
+    return x, y
+
+
+def polar_to_latlng(x, y, epsg: int):
+    lat_ts, lon0, north = _POLAR_PARAMS[epsg]
+    xx = np.asarray(x, dtype="float64")
+    yy = np.asarray(y, dtype="float64")
+    if not north:
+        xx, yy = -xx, -yy
+    t_c, m_c = _polar_tc_mc(abs(lat_ts))
+    rho = np.hypot(xx, yy)
+    t = rho * t_c / (_WGS84_A * m_c)
+    # fixed-point iteration for the conformal-to-geodetic latitude
+    # (Snyder eq. 7-9; converges in a handful of rounds)
+    phi = np.pi / 2 - 2 * np.arctan(t)
+    for _ in range(8):
+        sin_p = np.sin(phi)
+        phi_new = np.pi / 2 - 2 * np.arctan(
+            t * ((1 - _E * sin_p) / (1 + _E * sin_p)) ** (_E / 2))
+        if np.all(np.abs(phi_new - phi) < 1e-14):
+            phi = phi_new
+            break
+        phi = phi_new
+    lam = np.arctan2(xx, -yy)
+    lam = np.where(rho == 0, 0.0, lam)
+    if not north:
+        phi, lam = -phi, -lam
+    return np.degrees(lam) + lon0, np.degrees(phi)
+
+
 def _is_utm(code: int) -> bool:
     return 32601 <= code <= 32660 or 32701 <= code <= 32760
 
@@ -228,10 +296,12 @@ def _to_geographic(xs, ys, crs: str):
         return mercator_to_latlng(xs, ys)
     if _is_utm(code):
         return utm_to_latlng(xs, ys, code)
+    if code in _POLAR_PARAMS:
+        return polar_to_latlng(xs, ys, code)
     raise NotImplementedError(
-        f"{crs}: analytic support covers EPSG:4326, EPSG:3857 and WGS84 "
-        "UTM zones (EPSG:326xx/327xx); other CRS need pyproj/rasterio "
-        "(not in this runtime)"
+        f"{crs}: analytic support covers EPSG:4326, EPSG:3857, WGS84 UTM "
+        "zones (EPSG:326xx/327xx) and polar stereographic (EPSG:3413/"
+        "3031); other CRS need pyproj/rasterio (not in this runtime)"
     )
 
 
@@ -244,10 +314,12 @@ def _from_geographic(lng, lat, crs: str):
         return latlng_to_mercator(lng, lat)
     if _is_utm(code):
         return latlng_to_utm(lng, lat, code)
+    if code in _POLAR_PARAMS:
+        return latlng_to_polar(lng, lat, code)
     raise NotImplementedError(
-        f"{crs}: analytic support covers EPSG:4326, EPSG:3857 and WGS84 "
-        "UTM zones (EPSG:326xx/327xx); other CRS need pyproj/rasterio "
-        "(not in this runtime)"
+        f"{crs}: analytic support covers EPSG:4326, EPSG:3857, WGS84 UTM "
+        "zones (EPSG:326xx/327xx) and polar stereographic (EPSG:3413/"
+        "3031); other CRS need pyproj/rasterio (not in this runtime)"
     )
 
 

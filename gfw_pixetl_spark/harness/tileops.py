@@ -487,3 +487,73 @@ def q128(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("same")
         .alias("change"),
     )
+
+
+# --------------------------------------------------------------------------
+# q152 — SQL over real COG files: write two deterministic GeoTIFFs with
+# the pure-Python codec, read them back through the raster-table source
+# (catalog prune -> windowed kernel -> long pixel DF), and zonal-
+# aggregate per integer-degree cell. The oracle replays the pixel
+# arithmetic analytically with generate_series — so the ENTIRE
+# write->read->aggregate path over the real container format is value-
+# checked by an engine that never touches the files.
+# --------------------------------------------------------------------------
+def _rt_demo_files() -> list[str]:
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from ..sources.geotiff import write_cog
+
+    d = os.path.join(tempfile.gettempdir(), "gfw_pixetl_spark_rt_demo")
+    os.makedirs(d, exist_ok=True)
+    pa, pb = os.path.join(d, "a.tif"), os.path.join(d, "b.tif")
+    ii, jj = np.meshgrid(np.arange(80), np.arange(80), indexing="ij")
+    if not os.path.exists(pa):
+        a = ((ii * 3 + jj) % 11).astype("uint8")
+        write_cog(pa, a[None], transform=(0.0, 0.05, 10.0, 0.05),
+                  nodata=0, blockxsize=32, overviews=False)
+    if not os.path.exists(pb):
+        b = ((ii + jj * 2) % 7 + 1).astype("uint8")
+        write_cog(pb, b[None], transform=(4.0, 0.05, 10.0, 0.05),
+                  nodata=0, blockxsize=32, overviews=False)
+    return [pa, pb]
+
+
+@register(
+    "q152_raster_sql_zonal",
+    oracle="""
+    WITH grid AS (
+      SELECT i.i AS r, j.j AS c
+      FROM generate_series(0, 79) i(i), generate_series(0, 79) j(j)
+    ), a AS (
+      SELECT 0.0 + (c + 0.5) * 0.05 AS x, 10.0 - (r + 0.5) * 0.05 AS y,
+             (r * 3 + c) % 11 AS v
+      FROM grid WHERE (r * 3 + c) % 11 != 0
+    ), b AS (
+      SELECT 4.0 + (c + 0.5) * 0.05 AS x, 10.0 - (r + 0.5) * 0.05 AS y,
+             (r + c * 2) % 7 + 1 AS v
+      FROM grid
+    ), px AS (
+      SELECT * FROM a UNION ALL SELECT * FROM b
+    )
+    SELECT CAST(floor(x) AS INTEGER) AS cell_x,
+           CAST(floor(y) AS INTEGER) AS cell_y,
+           CAST(COUNT(*) AS BIGINT) AS n_pixels,
+           CAST(SUM(v) AS DOUBLE) AS sum_value
+    FROM px GROUP BY 1, 2
+    """,
+)
+def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.raster_table import raster_catalog, read_pixels
+
+    cat = raster_catalog(spark, _rt_demo_files())
+    px = read_pixels(cat, window=64)
+    return px.groupBy(
+        F.floor("x").cast("int").alias("cell_x"),
+        F.floor("y").cast("int").alias("cell_y"),
+    ).agg(
+        F.count("*").alias("n_pixels"),
+        F.sum("value").alias("sum_value"),
+    )

@@ -706,6 +706,28 @@ class GeoTiff:
         }
 
 
+def build_overviews(
+    path: str, resampling: str = "nearest", out_path: str | None = None
+) -> dict:
+    """gdaladdo analog: rewrite a GeoTIFF with a reduced-resolution
+    pyramid in COG order. The tile sink writes flat files (matching the
+    reference, which never runs gdaladdo); serving stacks that want
+    zoom-out reads run this as a post-pass — one bounded task per tile,
+    trivially parallel over the tile manifest."""
+    tif = GeoTiff.open(path)
+    data = tif.read_window(0, 0, tif.width, tif.height, masked=False)
+    prof = tif.profile
+    return write_cog(
+        out_path or path, data,
+        transform=tif.transform, crs=tif.crs, nodata=tif.nodata,
+        blockxsize=prof["blockxsize"], blockysize=prof["blockysize"],
+        compress=prof["compress"], predictor=tif.predictor,
+        photometric=prof["photometric"], nbits=tif.nbits,
+        metadata=tif.metadata or None,
+        overviews=True, overview_resampling=resampling,
+    )
+
+
 def read_tile(path: str) -> tuple[np.ndarray, dict]:
     """Load a whole tile ``(bands, rows, cols)`` + its profile dict —
     the one-call counterpart of the sink's ``write_cog`` (test + user

@@ -1,0 +1,142 @@
+"""Raster-as-table: expose GeoTIFF/COG mosaics to Spark SQL as a
+long-format pixel DataFrame (the read-side complement of the S8 sink).
+
+The reference is write-oriented; its read path exists only to feed the
+transform kernel. A PySpark-native engine can go further: register the
+tile store as a *table* so zonal stats, joins against vector features,
+and ad-hoc SQL run straight over the imagery. Execution model:
+
+* The catalog (one row per file: uri + bounds) is metadata — file-level
+  pruning against a query bbox happens on the catalog BEFORE any pixel
+  IO (the planning-time analog of parquet partition pruning; at 100 TB
+  the prune is what makes a 1-degree query touch 1 file, not 100k).
+* Each surviving file splits into window tasks (bounded rows x cols) so
+  a 40000^2 tile never materializes in one task; windows stream through
+  ``mapInPandas`` and emit only pixels inside the query bbox with valid
+  data — the filter runs inside the kernel, so nodata never shuffles.
+* Output schema: (uri, band, row, col, x, y, value) with x/y = pixel
+  CENTER coordinates in the file CRS — directly joinable against
+  geometry predicates (functions/geometry.py) and groupable for zonal
+  stats.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .geotiff import GeoTiff
+
+PIXEL_SCHEMA = (
+    "uri string, band int, row int, col int, "
+    "x double, y double, value double"
+)
+
+
+def raster_catalog(spark: SparkSession, uris: list[str]) -> DataFrame:
+    """Catalog DF from file headers (driver-side: one small header read
+    per file — the S3/metadata-fetch shape, thousands of rows max)."""
+    rows = []
+    for uri in uris:
+        t = GeoTiff.open(uri)
+        left, bottom, right, top = t.bounds
+        rows.append((uri, left, bottom, right, top, t.count,
+                     t.width, t.height))
+    return spark.createDataFrame(
+        rows,
+        "uri string, left double, bottom double, right double, "
+        "top double, bands int, width int, height int",
+    ).coalesce(1)
+
+
+def read_pixels(
+    catalog: DataFrame,
+    bounds: tuple[float, float, float, float] | None = None,
+    window: int = 2048,
+) -> DataFrame:
+    """Long-format pixel DataFrame over the cataloged files.
+
+    ``bounds`` prunes files at PLANNING time (catalog filter) and pixels
+    at KERNEL time (row/col slice before the window is emitted); nodata
+    pixels are dropped inside the kernel. ``window`` bounds per-task
+    memory (window^2 pixels max per batch row group).
+    """
+    files = catalog
+    if bounds is not None:
+        qleft, qbottom, qright, qtop = bounds
+        files = files.filter(
+            (F.col("left") < qright) & (F.col("right") > qleft)
+            & (F.col("bottom") < qtop) & (F.col("top") > qbottom)
+        )
+
+    # explode each file into window tasks (pure column math on metadata)
+    win = F.lit(window)
+    nwx = F.ceil(F.col("width") / win).cast("int")
+    nwy = F.ceil(F.col("height") / win).cast("int")
+    tasks = (
+        files.select(
+            "uri",
+            F.explode(F.sequence(F.lit(0), nwx - 1)).alias("wx"),
+            nwy.alias("nwy"),
+        )
+        .select(
+            "uri", "wx",
+            F.explode(F.sequence(F.lit(0), F.col("nwy") - 1)).alias("wy"),
+        )
+        .repartition("uri", "wx", "wy")
+    )
+
+    qbounds = bounds
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        open_files: dict[str, GeoTiff] = {}
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                t = open_files.get(r.uri)
+                if t is None:
+                    t = open_files[r.uri] = GeoTiff.open(r.uri)
+                c0, r0 = r.wx * window, r.wy * window
+                w = min(window, t.width - c0)
+                h = min(window, t.height - r0)
+                if w <= 0 or h <= 0:
+                    continue
+                arr = t.read_window(c0, r0, w, h)
+                ox, sx, oy, sy = t.transform
+                cols_idx = c0 + np.arange(w)
+                rows_idx = r0 + np.arange(h)
+                xs = ox + (cols_idx + 0.5) * sx
+                ys = oy - (rows_idx + 0.5) * sy
+                # pixel-level bbox clip inside the kernel
+                if qbounds is not None:
+                    ql, qb, qr, qt = qbounds
+                    csel = (xs > ql) & (xs < qr)
+                    rsel = (ys > qb) & (ys < qt)
+                    if not csel.any() or not rsel.any():
+                        continue
+                    arr = arr[:, rsel][:, :, csel]
+                    cols_idx, rows_idx = cols_idx[csel], rows_idx[rsel]
+                    xs, ys = xs[csel], ys[rsel]
+                valid = ~np.ma.getmaskarray(arr)
+                data = np.ma.getdata(arr).astype("float64")
+                out = []
+                for b in range(arr.shape[0]):
+                    bi, bj = np.nonzero(valid[b])
+                    if not len(bi):
+                        continue
+                    out.append(pd.DataFrame({
+                        "uri": r.uri, "band": np.int32(b + 1),
+                        "row": rows_idx[bi].astype("int32"),
+                        "col": cols_idx[bj].astype("int32"),
+                        "x": xs[bj], "y": ys[bi],
+                        "value": data[b][bi, bj],
+                    }))
+                if out:
+                    yield pd.concat(out, ignore_index=True)
+
+    return tasks.select(
+        "uri", "wx", "wy"
+    ).mapInPandas(kernel, PIXEL_SCHEMA)

@@ -362,3 +362,24 @@ def test_atomic_write_no_partial_file(tmp_path):
 
     assert os.listdir(tmp_path) == ["a.tif"]
     assert validate_cog(path) == []
+
+
+def test_build_overviews_post_pass(tmp_path):
+    """gdaladdo analog: flat tile in, COG pyramid out, pixels intact."""
+    from gfw_pixetl_spark.sources.geotiff import build_overviews
+
+    data = _data("uint8", rows=600, cols=600)
+    path = str(tmp_path / "flat.tif")
+    write_cog(path, data, transform=TRANSFORM, nodata=0, blockxsize=128,
+              overviews=False)
+    assert GeoTiff.open(path).profile["overviews"] == 0
+    prof = build_overviews(path)
+    assert prof["overviews"] >= 2
+    t = GeoTiff.open(path)
+    np.testing.assert_array_equal(
+        t.read_window(0, 0, 600, 600, masked=False), data)
+    np.testing.assert_array_equal(
+        t.read_window(0, 0, 300, 300, level_idx=1, masked=False),
+        data[:, ::2, ::2])
+    assert validate_cog(path) == []
+    assert t.crs == "EPSG:4326" and t.nodata == 0

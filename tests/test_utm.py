@@ -136,3 +136,90 @@ def test_utm_to_mercator_chain():
     ex, ey = latlng_to_mercator(
         np.array([-79.387139]), np.array([43.642567]))
     assert abs(mx[0] - ex[0]) < 1e-6 and abs(my[0] - ey[0]) < 1e-6
+
+
+# ---- polar stereographic (EPSG:3413 / EPSG:3031) -------------------------
+
+def test_polar_pole_maps_to_origin():
+    from gfw_pixetl_spark.functions.warp import latlng_to_polar
+
+    x, y = latlng_to_polar(123.0, 90.0, 3413)
+    assert abs(x) < 1e-6 and abs(y) < 1e-6
+    x, y = latlng_to_polar(-7.0, -90.0, 3031)
+    assert abs(x) < 1e-6 and abs(y) < 1e-6
+
+
+def test_polar_true_scale_parallel_radius():
+    """At the standard parallel the projection is true-scale, so the
+    mapped distance from the pole equals the ellipsoid's parallel-circle
+    radius there — an implementation-independent identity."""
+    from gfw_pixetl_spark.functions.warp import latlng_to_polar
+
+    # EPSG:3413: lat_ts 70N, lon0 -45 -> (70N, -45) lands on -y axis
+    x, y = latlng_to_polar(-45.0, 70.0, 3413)
+    r_parallel = A * np.cos(np.radians(70.0)) / np.sqrt(
+        1 - E2 * np.sin(np.radians(70.0)) ** 2)
+    assert abs(x) < 1e-6
+    assert abs(-y - r_parallel) < 1e-3
+    # EPSG:3031: lat_ts 71S, lon0 0 -> (71S, 0) on +y... check radius only
+    x, y = latlng_to_polar(0.0, -71.0, 3031)
+    r71 = A * np.cos(np.radians(71.0)) / np.sqrt(
+        1 - E2 * np.sin(np.radians(71.0)) ** 2)
+    assert abs(np.hypot(x, y) - r71) < 1e-3
+
+
+def test_polar_roundtrip():
+    from gfw_pixetl_spark.functions.warp import (
+        latlng_to_polar,
+        polar_to_latlng,
+    )
+
+    lngs = np.linspace(-179.0, 179.0, 37)
+    lats = np.linspace(55.0, 89.5, 20)
+    glng, glat = np.meshgrid(lngs, lats)
+    x, y = latlng_to_polar(glng, glat, 3413)
+    blng, blat = polar_to_latlng(x, y, 3413)
+    dl = (blng - glng + 180.0) % 360.0 - 180.0
+    assert np.max(np.abs(dl)) < 1e-9
+    assert np.max(np.abs(blat - glat)) < 1e-9
+    xs, ys = latlng_to_polar(glng, -glat, 3031)
+    blng2, blat2 = polar_to_latlng(xs, ys, 3031)
+    dl2 = (blng2 - glng + 180.0) % 360.0 - 180.0
+    assert np.max(np.abs(dl2)) < 1e-9
+    assert np.max(np.abs(blat2 + glat)) < 1e-9
+
+
+def test_polar_known_hemisphere_orientation():
+    from gfw_pixetl_spark.functions.warp import latlng_to_polar
+
+    # north grid: lon0 -45 -> Greenwich meridian (lon 0) lies at +45 deg
+    # from -y axis, i.e. x > 0, y < 0
+    x, y = latlng_to_polar(0.0, 75.0, 3413)
+    assert x > 0 and y < 0
+
+
+def test_polar_warp_reader_chain():
+    """4326 source -> EPSG:3413 destination window via WarpReader."""
+    from gfw_pixetl_spark.functions.warp import (
+        WarpReader,
+        latlng_to_polar,
+        polar_to_latlng,
+    )
+    from gfw_pixetl_spark.sources.raster import SyntheticReader
+
+    src = SyntheticReader(xres=0.01, yres=0.01, mask_value=None)
+    warp = WarpReader(
+        inner=src, src_xres=0.01, src_yres=0.01,
+        src_crs="EPSG:4326", dst_crs="EPSG:3413", method="nearest",
+    )
+    x0, y0 = latlng_to_polar(-44.0, 80.0, 3413)
+    x0, y0 = float(x0), float(y0)
+    bounds = (x0, y0 - 8000.0, x0 + 8000.0, y0)
+    out = warp([], bounds, (20, 20), 1)
+    xs = x0 + (np.arange(20) + 0.5) * 400.0
+    ys = y0 - (np.arange(20) + 0.5) * 400.0
+    gx, gy = np.meshgrid(xs, ys)
+    lng, lat = polar_to_latlng(gx, gy, 3413)
+    col = np.rint((lng - (-180.0)) / 0.01 - 0.5).astype("int64")
+    row = np.rint((90.0 - lat) / 0.01 - 0.5).astype("int64")
+    np.testing.assert_array_equal(np.ma.getdata(out)[0], (row + col) % 16)
