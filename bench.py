@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "q150_semdedup",
     "q151_filter_funnel",
     "q152_raster_sql_zonal",
+    "q153_image_decode_resize",
 ]
 
 

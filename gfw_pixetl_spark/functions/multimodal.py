@@ -5,11 +5,12 @@ struct of metadata next to them. Decode / feature-extract / resize run as
 Arrow-batched ``mapInPandas`` kernels — the same shape the raster window
 kernel uses, so partitioning, batch sizing, and schema handling are shared.
 
-The actual codec libraries (PIL/ffmpeg/...) are not available in this
-container, so the decode step is STUBBED: ``decode_image_meta`` falls back
-to a deterministic header parse of the payload bytes, and ``decode_image``
-raises ``NotImplementedError``. The Spark-side plumbing (schema, UDF
-signature, batch shape) is real and tested.
+PNG payloads decode for REAL through the pure-Python codec in
+``sources/png.py`` (spec-implemented, no PIL) — ``decode_image`` returns
+actual pixels and q153 value-checks a decode->resize pipeline against a
+SQL oracle. Other formats (JPEG/ffmpeg video/...) remain codec-gated:
+the md5-digest stand-ins keep those pipelines exercisable and
+oracle-checkable (q40/q50/q51/q65/q119) until a codec is present.
 """
 
 from __future__ import annotations
@@ -43,13 +44,36 @@ except ImportError:
 
 
 def decode_image(payload: bytes):
-    """Full image decode — requires a codec library (stubbed here)."""
+    """Full image decode: PNG decodes natively via ``sources/png.py``
+    (returns (h, w, channels) uint8/uint16); other container formats
+    need a codec library and stay gated."""
+    if bytes(payload[:8]) == b"\x89PNG\r\n\x1a\n":
+        from ..sources.png import decode_png
+
+        return decode_png(bytes(payload))
     if not HAVE_PIL:
         raise NotImplementedError(
-            "image decoding requires PIL; this container ships without it. "
-            "The metadata path (decode_image_meta) is fully functional."
+            "only PNG decodes natively (sources/png.py); other formats "
+            "need PIL/ffmpeg, absent in this container."
         )
     raise NotImplementedError("wire PIL decode here when available")
+
+
+def png_payload(text: str, size: int = 4) -> bytes:
+    """Deterministic REAL PNG payload: the md5 digest of ``text`` laid
+    out as a size x size grayscale image (16 digest bytes = 4x4). Unlike
+    ``fake_payload`` this is a spec-valid container that round-trips
+    through ``decode_image`` — and because the pixel values are digest
+    bytes, a SQL oracle can still replay any arithmetic on them."""
+    import numpy as np
+
+    from ..sources.png import encode_png
+
+    digest = hashlib.md5(text.encode("utf-8")).digest()
+    need = size * size
+    raw = (digest * ((need // len(digest)) + 1))[:need]
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(size, size)
+    return encode_png(arr, filter_type=4)  # Paeth: hardest decode path
 
 
 def fake_payload(text: str) -> bytes:
@@ -168,6 +192,45 @@ def sample_frames(
             )
 
     return df.select(id_col, payload_col).mapInPandas(kernel, FRAME_SCHEMA)
+
+
+REAL_RESIZE_SCHEMA = "doc_id long, m00 int, m01 int, m10 int, m11 int"
+
+
+def decode_resize_means(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """REAL image decode path: each doc's payload is a spec-valid PNG
+    (``png_payload``, Paeth-filtered), the kernel decodes it with the
+    pure-Python codec and area-resizes 4x4 -> 2x2 by integer-floor block
+    mean. Because the pixels are the md5 digest bytes, a SQL oracle can
+    replay the block means from ``md5(text)`` hex — so the decode +
+    resample of a real container is value-checked end-to-end (q153),
+    not rows-only. One-in/one-out Arrow mapInPandas, same shape as
+    ``resize_images``."""
+    import numpy as np
+
+    from .partitioning import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, means = [], []
+            for doc_id, t in zip(pdf["doc_id"], pdf[text_col]):
+                img = decode_image(png_payload(t))[:, :, 0].astype("int64")
+                blocks = img.reshape(2, 2, 2, 2).transpose(0, 2, 1, 3)
+                m = blocks.reshape(2, 2, 4).sum(axis=2) // 4
+                ids.append(doc_id)
+                means.append(m.ravel())
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "m00": [int(m[0]) for m in means],
+                "m01": [int(m[1]) for m in means],
+                "m10": [int(m[2]) for m in means],
+                "m11": [int(m[3]) for m in means],
+            })
+
+    return df.select("doc_id", text_col).mapInPandas(
+        kernel, REAL_RESIZE_SCHEMA)
 
 
 AHASH_SCHEMA = "doc_id long, ahash long"

@@ -606,3 +606,35 @@ def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(F.explode(stages).alias("s")).select(
         "s.stage", "s.stage_name", "s.n_docs"
     )
+
+
+# --------------------------------------------------------------------------
+# q153 — REAL image decode + resize: each doc's payload is a spec-valid
+# Paeth-filtered PNG (pure-Python codec, sources/png.py); the kernel
+# decodes actual pixels and block-averages 4x4 -> 2x2. The oracle
+# replays the block means from md5(text) hex bytes — proving the real
+# container decode bit-for-bit, not rows-only.
+# --------------------------------------------------------------------------
+def _md5_byte(i: int) -> str:
+    return f"('0x' || substr(md5(text), {2 * i + 1}, 2))::INTEGER"
+
+
+@register(
+    "q153_image_decode_resize",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(({_md5_byte(0)} + {_md5_byte(1)} + {_md5_byte(4)}
+                 + {_md5_byte(5)}) // 4 AS INTEGER) AS m00,
+           CAST(({_md5_byte(2)} + {_md5_byte(3)} + {_md5_byte(6)}
+                 + {_md5_byte(7)}) // 4 AS INTEGER) AS m01,
+           CAST(({_md5_byte(8)} + {_md5_byte(9)} + {_md5_byte(12)}
+                 + {_md5_byte(13)}) // 4 AS INTEGER) AS m10,
+           CAST(({_md5_byte(10)} + {_md5_byte(11)} + {_md5_byte(14)}
+                 + {_md5_byte(15)}) // 4 AS INTEGER) AS m11
+    FROM documents
+    """,
+)
+def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import decode_resize_means
+
+    return decode_resize_means(load(spark, sf_dir, "documents"))

@@ -1,0 +1,85 @@
+"""Pure-Python PNG codec (sources/png.py) — the real image-decode leaf
+of the multimodal family (W3C PNG spec; no PIL)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from gfw_pixetl_spark.functions.multimodal import decode_image, png_payload
+from gfw_pixetl_spark.sources.png import decode_png, encode_png
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize(
+    "shape,dtype",
+    [((13, 17), "uint8"), ((8, 8, 3), "uint8"), ((5, 9, 4), "uint8"),
+     ((6, 7, 2), "uint8"), ((9, 4), "uint16"), ((4, 5, 3), "uint16")],
+)
+def test_roundtrip(shape, dtype, filter_type):
+    rng = np.random.default_rng(7)
+    arr = rng.integers(
+        0, np.iinfo(dtype).max + 1, size=shape).astype(dtype)
+    dec = decode_png(encode_png(arr, filter_type=filter_type))
+    exp = arr[:, :, None] if arr.ndim == 2 else arr
+    np.testing.assert_array_equal(dec, exp)
+
+
+def test_signature_and_crc_validation():
+    arr = np.zeros((4, 4), dtype="uint8")
+    data = bytearray(encode_png(arr))
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"JUNK" + bytes(data[4:]))
+    data[40] ^= 0xFF  # flip a byte inside IDAT
+    with pytest.raises(ValueError):
+        decode_png(bytes(data))
+
+
+def test_rejects_interlace_and_palette():
+    # hand-build an IHDR with interlace=1
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+    crc = zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
+    data = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", len(ihdr)) + b"IHDR"
+            + ihdr + struct.pack(">I", crc))
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(data)
+
+
+def test_split_idat_streams():
+    """Decoders must concatenate multiple IDAT chunks (spec §5.6)."""
+    arr = (np.arange(64, dtype="uint8")).reshape(8, 8)
+    data = bytearray(encode_png(arr, filter_type=0))
+    # split the single IDAT into two chunks
+    pos = 8
+    while True:
+        (length,) = struct.unpack(">I", bytes(data[pos:pos + 4]))
+        tag = bytes(data[pos + 4:pos + 8])
+        if tag == b"IDAT":
+            break
+        pos += 12 + length
+    body = bytes(data[pos + 8:pos + 8 + length])
+    half = length // 2
+    def chunk(b):
+        c = zlib.crc32(b"IDAT" + b) & 0xFFFFFFFF
+        return struct.pack(">I", len(b)) + b"IDAT" + b + struct.pack(">I", c)
+    rebuilt = (bytes(data[:pos]) + chunk(body[:half]) + chunk(body[half:])
+               + bytes(data[pos + 12 + length:]))
+    np.testing.assert_array_equal(decode_png(rebuilt)[:, :, 0], arr)
+
+
+def test_png_payload_decodes_to_digest_bytes():
+    import hashlib
+
+    t = "hello corpus"
+    img = decode_image(png_payload(t))
+    digest = hashlib.md5(t.encode()).digest()
+    np.testing.assert_array_equal(
+        img[:, :, 0].ravel(), np.frombuffer(digest, dtype=np.uint8))
+
+
+def test_decode_image_gates_non_png():
+    with pytest.raises(NotImplementedError, match="PNG"):
+        decode_image(b"\xff\xd8\xff\xe0 fake jpeg bytes")
