@@ -140,6 +140,10 @@ BENCH_QUERIES = [
     "q151_filter_funnel",
     "q152_raster_sql_zonal",
     "q153_image_decode_resize",
+    "q154_market_share",
+    "q155_returned_items",
+    "q156_top_supplier",
+    "q157_small_qty_orders",
 ]
 
 

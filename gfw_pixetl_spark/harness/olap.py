@@ -1138,3 +1138,210 @@ def q144(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("recent_errors"),
         F.count("*").over(w).alias("window_n"),
     )
+
+
+# --------------------------------------------------------------------------
+# q154 — national market share (TPC-H Q8 shape): a supplier nation's
+# share of regional revenue for one product type, by order year. The
+# scale shape: every dimension (region->nation, part, supplier) is a
+# broadcast; the fact table shuffles once for the year aggregation, and
+# the share is a conditional-sum / total-sum ratio in the same pass —
+# no second join against a totals subquery.
+# --------------------------------------------------------------------------
+@register(
+    "q154_market_share",
+    oracle="""
+    WITH sales AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+             CAST(l_extendedprice AS DECIMAL(18,2))
+               * (CAST(1 AS DECIMAL(7,6)) - CAST(l_discount AS DECIMAL(7,6)))
+               AS volume,
+             sn.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN part     ON l_partkey = p_partkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN region   ON cn.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    )
+    SELECT CAST(o_year AS BIGINT) AS o_year,
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'CHINA' THEN volume
+                              ELSE 0 END) AS DOUBLE)
+                / CAST(SUM(volume) AS DOUBLE) AS DOUBLE) AS mkt_share
+    FROM sales GROUP BY o_year
+    """,
+)
+def q154(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load(spark, sf_dir, "nation")
+    cnation = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("c_nkey"))
+    snation = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    part = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    volume = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(7,6)") - F.col("l_discount").cast("decimal(7,6)")
+    )
+    sales = (
+        load(spark, sf_dir, "lineitem")
+        .join(load(spark, sf_dir, "orders"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(load(spark, sf_dir, "customer"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cnation), F.col("c_nationkey") == F.col("c_nkey"))
+        .join(F.broadcast(load(spark, sf_dir, "supplier")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(snation), F.col("s_nationkey") == F.col("s_nkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            volume.alias("volume"), "supp_nation",
+        )
+    )
+    return sales.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == "CHINA",
+                         F.col("volume")).otherwise(F.lit(0).cast("decimal(18,2)")))
+            .cast("double")
+            / F.sum("volume").cast("double")
+        ).cast("double").alias("mkt_share")
+    )
+
+
+# --------------------------------------------------------------------------
+# q155 — returned-item losses (TPC-H Q10 shape): top customers by
+# revenue lost to returns in a quarter. Dimension broadcasts + one fact
+# aggregation, then a top-k sort on the (tiny) aggregated set.
+# --------------------------------------------------------------------------
+@register(
+    "q155_returned_items",
+    oracle="""
+    SELECT c_custkey, c_name, n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(7,6))
+                       - CAST(l_discount AS DECIMAL(7,6)))) AS DOUBLE)
+             AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q155(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(7,6)") - F.col("l_discount").cast("decimal(7,6)")
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(load(spark, sf_dir, "customer"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(load(spark, sf_dir, "nation")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# q156 — top supplier(s) (TPC-H Q15 shape): suppliers whose period
+# revenue equals the maximum. The max is a broadcast scalar (one row),
+# so the "correlated subquery against a view" of the spec costs one
+# extra reduction, not a re-scan.
+# --------------------------------------------------------------------------
+@register(
+    "q156_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(7,6))
+                         - CAST(l_discount AS DECIMAL(7,6)))) AS DOUBLE)
+               AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+)
+def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(7,6)")
+               - F.col("l_discount").cast("decimal(7,6)"))
+        ).cast("double").alias("total_revenue")
+    )
+    top = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        load(spark, sf_dir, "supplier")
+        .join(rev, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(top), F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# q157 — small-quantity-order revenue (TPC-H Q17 shape): lines whose
+# quantity is below 20% of their part's average. The per-part average
+# is an aggregated (part-sized, not fact-sized) side that joins back
+# broadcast — never a correlated re-scan of the fact table.
+# --------------------------------------------------------------------------
+@register(
+    "q157_small_qty_orders",
+    oracle="""
+    WITH avg_qty AS (
+      SELECT l_partkey AS ap, AVG(CAST(l_quantity AS DOUBLE)) AS aq
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p_brand,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                / 7.0 AS DOUBLE) AS avg_yearly
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN avg_qty ON l_partkey = ap
+    WHERE l_quantity < 0.2 * aq
+    GROUP BY p_brand
+    """,
+)
+def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap")).agg(
+        F.avg(F.col("l_quantity").cast("double")).alias("aq")
+    )
+    return (
+        li.join(F.broadcast(load(spark, sf_dir, "part")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_qty, F.col("l_partkey") == F.col("ap"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("aq"))
+        .groupBy("p_brand")
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+             .cast("double") / 7.0).cast("double").alias("avg_yearly")
+        )
+    )
