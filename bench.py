@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "q155_returned_items",
     "q156_top_supplier",
     "q157_small_qty_orders",
+    "q158_bigram_perplexity",
 ]
 
 

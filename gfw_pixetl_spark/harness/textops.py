@@ -638,3 +638,73 @@ def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.multimodal import decode_resize_means
 
     return decode_resize_means(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# q158 — bigram-LM perplexity scoring (the next statistical rung above
+# q140's unigram surprisal): per-doc mean -log2 P(w2|w1) under the
+# corpus bigram model with add-0.5 smoothing. Scale shape: the model
+# (bigram counts, left-context totals, vocab size) is corpus-aggregated
+# once and joined back by key — the per-doc pass is explode + equi-join
+# + aggregate, all JVM-side; nothing is per-doc vocabulary-scanned.
+# --------------------------------------------------------------------------
+@register(
+    "q158_bigram_perplexity",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {SQL_WORDS} AS ws FROM documents
+    ), bi AS (
+      SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM (
+        SELECT doc_id,
+               unnest(list_zip(list_slice(ws, 1, len(ws) - 1),
+                               list_slice(ws, 2, len(ws)))) AS p
+        FROM w WHERE len(ws) >= 2)
+    ), bc AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM bi GROUP BY 1, 2
+    ), lc AS (
+      SELECT w1, SUM(c12) AS c1 FROM bc GROUP BY 1
+    ), v AS (
+      SELECT COUNT(DISTINCT w) AS vs
+      FROM (SELECT unnest(ws) AS w FROM w)
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           round(AVG(-log2((c12 + 0.5) / (c1 + 0.5 * vs))), 6) AS surprisal
+    FROM bi JOIN bc USING (w1, w2) JOIN lc USING (w1) CROSS JOIN v
+    GROUP BY doc_id
+    """,
+)
+def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ws = T.words("text")
+    n = F.size(ws)
+    bi = (
+        docs.filter(n >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(ws, F.lit(1), n - 1).alias("w1"),
+                    F.slice(ws, F.lit(2), n - 1).alias("w2"),
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    bc = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    lc = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        docs.select(F.explode(ws).alias("w")).agg(
+            F.countDistinct("w").alias("vs")
+        )
+    )
+    p = (F.col("c12") + 0.5) / (F.col("c1") + 0.5 * F.col("vs"))
+    return (
+        bi.join(bc, ["w1", "w2"])
+        .join(F.broadcast(lc), "w1")
+        .join(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg(-F.log2(p)), 6).alias("surprisal"),
+        )
+    )
