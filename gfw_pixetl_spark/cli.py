@@ -33,7 +33,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-d", "--dataset", required=True)
     p.add_argument("-v", "--version", required=True)
     p.add_argument("--subset", action="append", default=None)
-    p.add_argument("--overwrite", action="store_true", default=False)
+    p.add_argument("-o", "--overwrite", action="store_true", default=False)
     p.add_argument("--work-dir", default="/tmp/gfw_pixetl_spark")
     p.add_argument("--files", default=None,
                    help="raster source catalog JSON (list of file dicts)")

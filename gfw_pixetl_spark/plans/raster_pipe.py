@@ -302,7 +302,8 @@ def write_tiles(
                 transform=transform, crs=crs,
                 nodata=None if nodata is None else fill,
                 blockxsize=blockxsize, compress="DEFLATE",
-                predictor=2 if np.dtype(dtype).kind in "ui" else 1,
+                predictor=2 if np.dtype(dtype).kind in "ui"
+                and not (nbits is not None and nbits < 8) else 1,
                 photometric=photometric, nbits=nbits, metadata=meta,
                 zlevel=9, overviews=False,
             )

@@ -117,6 +117,24 @@ def _predict2_encode(tile: np.ndarray) -> np.ndarray:
     return out
 
 
+def _pack_rows(tile: np.ndarray, nbits: int) -> bytes:
+    """Bit-pack a uint8 tile at nbits/sample, each row padded to a byte
+    boundary MSB-first (TIFF 6.0 §"Compression", baseline packing)."""
+    rows, cols = tile.shape
+    shifts = np.arange(nbits - 1, -1, -1)
+    bits = ((tile[:, :, None] >> shifts) & 1).astype(np.uint8)
+    return np.packbits(bits.reshape(rows, cols * nbits), axis=1).tobytes()
+
+
+def _unpack_rows(raw: bytes, rows: int, cols: int, nbits: int) -> np.ndarray:
+    stride = (cols * nbits + 7) // 8
+    arr = np.frombuffer(raw, dtype=np.uint8, count=rows * stride)
+    bits = np.unpackbits(arr.reshape(rows, stride), axis=1)[:, :cols * nbits]
+    groups = bits.reshape(rows, cols, nbits)
+    weights = (1 << np.arange(nbits - 1, -1, -1)).astype(np.uint8)
+    return (groups * weights).sum(axis=2).astype(np.uint8)
+
+
 def _predict2_decode(tile: np.ndarray) -> np.ndarray:
     # cumulative sum per row undoes the differencing (mod 2**bits)
     bits = tile.dtype.itemsize * 8
@@ -196,6 +214,11 @@ def write_cog(
     written profile dict (same shape the npz sink used, so callers and
     the manifest are unchanged). COG layout: every IFD + tag payload is
     written before the first tile byte, full-res IFD first.
+
+    Compression: DEFLATE or NONE. Other schemes the reference's
+    data-type table names (CCITTFAX4 for 1-bit) fall back to NONE and
+    the profile reports what was actually written — with NBITS=1 the
+    payload is already bit-packed, so the fax coding's win is marginal.
     """
     if data.ndim == 2:
         data = data[None, ...]
@@ -207,6 +230,19 @@ def write_cog(
     if dt not in _DTYPE_TO_TIFF:
         raise ValueError(f"unsupported dtype for GeoTIFF: {dt}")
     bits, sfmt = _DTYPE_TO_TIFF[dt]
+    # sub-byte NBITS (1-7): store bit-packed like GDAL's NBITS creation
+    # option (BitsPerSample = nbits, rows byte-aligned, MSB-first)
+    pack_bits = None
+    if nbits is not None and 1 <= nbits <= 7:
+        if dt != "uint8":
+            raise ValueError("NBITS 1-7 requires uint8 data")
+        if predictor == 2:
+            raise ValueError("predictor=2 is incompatible with NBITS<8")
+        if int(data.max(initial=0)) >= (1 << nbits):
+            raise ValueError(
+                f"data exceeds NBITS={nbits} range (max {(1 << nbits) - 1})")
+        pack_bits = nbits
+        bits = nbits
     blockysize = blockysize or blockxsize
     # TIFF 6.0 requires tile dims % 16 == 0; round small/odd requests up
     # (edge padding already handles partial tiles)
@@ -247,7 +283,11 @@ def write_cog(
                     tile[:sub.shape[0], :sub.shape[1]] = sub
                     if predictor == 2:
                         tile = _predict2_encode(tile)
-                    raw = tile.astype(tile.dtype.newbyteorder("<")).tobytes()
+                    if pack_bits is not None:
+                        raw = _pack_rows(tile, pack_bits)
+                    else:
+                        raw = tile.astype(
+                            tile.dtype.newbyteorder("<")).tobytes()
                     plan.tiles.append(
                         zlib.compress(raw, zlevel)
                         if comp_code == COMPRESS_DEFLATE else raw)
@@ -410,6 +450,7 @@ class GeoTiff:
     nbits: int | None
     levels: list[_Level]
     metadata: dict[str, str] = field(default_factory=dict)
+    bits_per_sample: int = 8
     _endian: str = "<"
 
     # -- parsing -----------------------------------------------------------
@@ -535,7 +576,8 @@ class GeoTiff:
             predictor=main.get(T_PREDICTOR, [1])[0],
             planar=main.get(T_PLANAR_CONFIG, [1])[0],
             photometric=main.get(T_PHOTOMETRIC, [1])[0],
-            nbits=nbits, levels=levels, metadata=metadata, _endian=en,
+            nbits=nbits, levels=levels, metadata=metadata,
+            bits_per_sample=bits, _endian=en,
         )
 
     @staticmethod
@@ -595,10 +637,15 @@ class GeoTiff:
         raw = f.read(level.counts[idx])
         if self.compression == COMPRESS_DEFLATE:
             raw = zlib.decompress(raw)
-        arr = np.frombuffer(raw, dtype=np.dtype(self.dtype).newbyteorder(
-            self._endian))
         spb = self.count if self.planar == 1 else 1
         bw = level.tile_w
+        if self.bits_per_sample < 8:
+            stride = (bw * spb * self.bits_per_sample + 7) // 8
+            bh = level.tile_h if level.tiled else len(raw) // stride
+            arr = _unpack_rows(raw, bh, bw * spb, self.bits_per_sample)
+            return arr.reshape(bh, bw, spb).astype(self.dtype)
+        arr = np.frombuffer(raw, dtype=np.dtype(self.dtype).newbyteorder(
+            self._endian))
         bh = level.tile_h if level.tiled else len(arr) // (bw * spb)
         arr = arr[:bh * bw * spb].reshape(bh, bw, spb).copy()
         if self.predictor == 2:

@@ -170,12 +170,12 @@ def test_projected_crs_and_metadata(tmp_path):
     data = _data("uint8", rows=64, cols=64)
     path = str(tmp_path / "wm.tif")
     write_cog(path, data, transform=(0.0, 100.0, 2e6, 100.0),
-              crs="EPSG:3857", nodata=0, nbits=5,
+              crs="EPSG:3857", nodata=0, nbits=7,
               metadata={"SYMBOLOGY": '{"1": [0, 0, 0]}'},
               overviews=False)
     t = GeoTiff.open(path)
     assert t.crs == "EPSG:3857"
-    assert t.nbits == 5
+    assert t.nbits == 7
     assert t.metadata["SYMBOLOGY"] == '{"1": [0, 0, 0]}'
 
 
@@ -383,3 +383,39 @@ def test_build_overviews_post_pass(tmp_path):
         data[:, ::2, ::2])
     assert validate_cog(path) == []
     assert t.crs == "EPSG:4326" and t.nodata == 0
+
+
+@pytest.mark.parametrize("nbits", [1, 2, 5, 7])
+def test_nbits_bit_packed(tmp_path, nbits):
+    """Sub-byte NBITS stores bit-packed (BitsPerSample = nbits), the
+    GDAL NBITS creation-option layout the reference's data_type table
+    drives (gfw_pixetl data_type.py nbits 1-7)."""
+    rng = np.random.default_rng(nbits)
+    data = rng.integers(0, 1 << nbits, size=(1, 100, 130)).astype("uint8")
+    path = str(tmp_path / f"nb{nbits}.tif")
+    write_cog(path, data, transform=TRANSFORM, nodata=None,
+              blockxsize=48, nbits=nbits, overviews=False)
+    t = GeoTiff.open(path)
+    assert t.bits_per_sample == nbits and t.nbits == nbits
+    got = t.read_window(0, 0, 130, 100, masked=False)
+    np.testing.assert_array_equal(got, data)
+    # windowed read through packed tiles
+    win = t.read_window(33, 17, 50, 40, masked=False)
+    np.testing.assert_array_equal(win, data[:, 17:57, 33:83])
+    # 1-bit file is ~8x smaller than byte-aligned would be
+    if nbits == 1:
+        import os
+
+        byte_aligned = str(tmp_path / "byte.tif")
+        write_cog(byte_aligned, data, transform=TRANSFORM, nodata=None,
+                  blockxsize=48, compress="NONE", overviews=False)
+        write_cog(path, data, transform=TRANSFORM, nodata=None,
+                  blockxsize=48, nbits=1, compress="NONE", overviews=False)
+        assert os.path.getsize(path) < os.path.getsize(byte_aligned) / 4
+
+
+def test_nbits_range_validation(tmp_path):
+    data = np.full((1, 16, 16), 9, dtype="uint8")
+    with pytest.raises(ValueError, match="NBITS=3"):
+        write_cog(str(tmp_path / "x.tif"), data, transform=TRANSFORM,
+                  nbits=3)
