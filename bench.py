@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "q156_top_supplier",
     "q157_small_qty_orders",
     "q158_bigram_perplexity",
+    "q159_dup_substrings",
 ]
 
 

@@ -708,3 +708,56 @@ def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(-F.log2(p)), 6).alias("surprisal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q159 — exact duplicated-substring spans (the fixed-width core of
+# "Deduplicating Training Data Makes Language Models Better", Lee et al.
+# 2022, arXiv:2107.06499): every 8-word window that appears verbatim in
+# two or more documents, with its document and occurrence counts. Scale
+# shape: windows explode positionally (O(tokens) rows, bounded width —
+# the window arrays are built from a MATERIALIZED column, never a
+# re-evaluated split, per the HOF pitfall in ROADMAP), then one
+# hash-groupBy; no pairwise comparison anywhere.
+# --------------------------------------------------------------------------
+_W = 8
+
+
+@register(
+    "q159_dup_substrings",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {SQL_WORDS} AS ws FROM documents
+    ), win AS (
+      SELECT doc_id, unnest(
+        list_transform(generate_series(1, len(ws) - {_W - 1}),
+                       i -> array_to_string(list_slice(ws, i, i + {_W - 1}),
+                                            ' '))) AS wtext
+      FROM w WHERE len(ws) >= {_W}
+    )
+    SELECT md5(wtext) AS span_digest,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occurrences
+    FROM win GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", T.words("text").alias("ws"))
+    n = F.size("ws")
+    windows = F.transform(
+        F.sequence(F.lit(1), n - (_W - 1)),
+        lambda i: F.concat_ws(" ", F.slice("ws", i, _W)),
+    )
+    win = (
+        base.filter(n >= _W)
+        .select("doc_id", F.explode(windows).alias("wtext"))
+    )
+    return (
+        win.groupBy(F.md5("wtext").alias("span_digest"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
