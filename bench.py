@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "q157_small_qty_orders",
     "q158_bigram_perplexity",
     "q159_dup_substrings",
+    "q160_kmeans_iteration",
 ]
 
 

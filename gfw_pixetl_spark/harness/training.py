@@ -10,6 +10,7 @@ the exact selection.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..functions import dedup as D
 from ..functions import sampling as S
@@ -762,4 +763,108 @@ def q137(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink.run_available_now(stream)
     return sink.snapshot(spark).select(
         "key", "n", F.col("total").cast("double").alias("total")
+    )
+
+
+# --------------------------------------------------------------------------
+# q160 — k-means training iteration (Lloyd's step): seed centroids from
+# the first k vectors, assign by squared Euclidean distance, recompute
+# per-dimension means, re-assign. The clustering step SemDeDup-style
+# curation (q150) sits on, executed as pure DataFrame algebra: the only
+# per-vector work is k broadcast dot products; the centroid update is a
+# (cluster, dim)-keyed aggregation — never a driver-side loop over
+# vectors. Empty clusters drop out identically in both engines (inner
+# join semantics).
+# --------------------------------------------------------------------------
+_KM_K = 8
+
+
+def _km_oracle() -> str:
+    return f"""
+    WITH seeds AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings WHERE vec_id < {_KM_K}
+    ), s0 AS (
+      SELECT e.vec_id, seeds.cid,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                              CAST(e.embedding AS DOUBLE[]))
+             - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]), cv)
+             + list_dot_product(cv, cv) AS d2
+      FROM embeddings e CROSS JOIN seeds
+    ), a0 AS (
+      SELECT vec_id, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rk
+        FROM s0
+      ) WHERE rk = 1
+    ), ex AS (
+      SELECT a0.cid, unnest(e.embedding) AS v,
+             generate_subscripts(e.embedding, 1) AS pos
+      FROM embeddings e JOIN a0 USING (vec_id)
+    ), cd AS (
+      SELECT cid, pos, AVG(CAST(v AS DOUBLE)) AS cv FROM ex GROUP BY 1, 2
+    ), cent1 AS (
+      SELECT cid, list(cv ORDER BY pos) AS cv FROM cd GROUP BY 1
+    ), s1 AS (
+      SELECT e.vec_id, cent1.cid,
+             list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                              CAST(e.embedding AS DOUBLE[]))
+             - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]), cv)
+             + list_dot_product(cv, cv) AS d2
+      FROM embeddings e CROSS JOIN cent1
+    )
+    SELECT vec_id, cid AS assigned, round(d2, 6) AS dist2 FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rk
+      FROM s1
+    ) WHERE rk = 1
+    """
+
+
+@register("q160_kmeans_iteration", oracle=_km_oracle())
+def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions import similarity as SIM
+
+    emb = load(spark, sf_dir, "embeddings")
+
+    def assign(cent: DataFrame) -> DataFrame:
+        d2 = (
+            SIM.dot(F.col("embedding"), F.col("embedding"))
+            - 2 * SIM.dot(F.col("embedding"), F.col("cv"))
+            + SIM.dot(F.col("cv"), F.col("cv"))
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("d2").asc(), F.col("cid").asc())
+        return (
+            emb.crossJoin(F.broadcast(cent))
+            .select("vec_id", "embedding", "cid", d2.alias("d2"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .drop("rk")
+        )
+
+    seeds = emb.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    a0 = assign(seeds).select("vec_id", "cid")
+    ex = (
+        emb.join(a0, "vec_id")
+        .select("cid", F.posexplode("embedding").alias("pos0", "v"))
+    )
+    cent1 = (
+        ex.groupBy("cid", "pos0")
+        .agg(F.avg(F.col("v").cast("double")).alias("cv_d"))
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos0", "cv_d"))),
+                lambda s: s["cv_d"],
+            ).alias("cv")
+        )
+    )
+    return assign(cent1).select(
+        "vec_id", F.col("cid").alias("assigned"),
+        F.round("d2", 6).alias("dist2"),
     )
