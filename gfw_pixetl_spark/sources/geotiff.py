@@ -12,15 +12,15 @@ requested window — the property that makes COG reads cheap at 100 TB).
 
 Scope (documented deltas from GDAL):
 * Writer: classic little-endian TIFF (4 GiB file bound — a 40000² uint8
-  DEFLATE tile is far below), tiled layout, DEFLATE (zlib) or
-  uncompressed, optional predictor=2 (horizontal differencing), planar
-  configuration SEPARATE for multiband, nearest/average overviews in COG
-  IFD order (full-res IFD first, every IFD before any tile payload).
+  DEFLATE tile is far below), tiled layout, DEFLATE (zlib) / LZW /
+  PackBits / uncompressed, optional predictor=2 (horizontal
+  differencing), planar configuration SEPARATE for multiband,
+  nearest/average overviews in COG IFD order (full-res IFD first, every
+  IFD before any tile payload), sub-byte NBITS bit-packing (1-7 bits,
+  rows byte-aligned MSB-first like GDAL's NBITS option).
 * Reader: classic + BigTIFF, little/big endian, tiled or stripped,
-  DEFLATE/none, predictor 1/2, planar 1/2, windowed + boundless reads.
-* Sub-byte NBITS payloads are stored byte-aligned with the logical width
-  recorded in GDAL_METADATA (GDAL packs bits; the engine's data_type
-  table validates ranges before write so values are identical).
+  DEFLATE/LZW/PackBits/none, predictor 1/2, planar 1/2, sub-byte
+  BitsPerSample, windowed + boundless reads.
 
 The byte layout follows the public specs only; no GDAL code consulted.
 """
@@ -70,7 +70,145 @@ _FT_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f",
            12: "d", 16: "Q", 17: "q", 18: "Q"}
 
 COMPRESS_NONE = 1
+COMPRESS_LZW = 5
 COMPRESS_DEFLATE = 8  # Adobe deflate (zlib); code 32946 read as alias
+COMPRESS_PACKBITS = 32773
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW (TIFF 6.0 §13): MSB-first codes, ClearCode 256,
+    EOI 257, 9->12 bit widths with the early-change increment."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    bitbuf, nbits = 0, 0
+
+    def emit(code: int, width: int):
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((bitbuf >> nbits) & 0xFF)
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    emit(CLEAR, width)
+    w = b""
+    for ch in data:
+        wc = w + bytes([ch])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        # early change: widen one code early (TIFF quirk)
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code >= 4094:
+            emit(CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = 258, 9
+        w = bytes([ch])
+    if w:
+        emit(table[w], width)
+    emit(EOI, width)
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    bitbuf, nbits = 0, 0
+    pos = 0
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return bytes(out)
+            bitbuf = (bitbuf << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (bitbuf >> nbits) & ((1 << width) - 1)
+        if code == EOI:
+            return bytes(out)
+        if code == CLEAR:
+            reset()
+            continue
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError(f"corrupt LZW stream (code {code})")
+        out.extend(entry)
+        prev = entry
+        # the decoder's table lags the encoder by one entry, so with the
+        # TIFF early-change rule it widens at 2^w - 2 (one before the
+        # encoder's 2^w - 1)
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits RLE (TIFF 6.0 §9): runs >=3 as (257-n, byte), literals
+    in chunks of <=128."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out.append(257 - run & 0xFF)
+            out.append(data[i])
+            i += run
+            continue
+        lit_start = i
+        i += run
+        while i < n and i - lit_start < 128:
+            run = 1
+            while i + run < n and run < 3 and data[i + run] == data[i]:
+                run += 1
+            if run >= 3:
+                break
+            i += 1
+        out.append(i - lit_start - 1)
+        out.extend(data[lit_start:i])
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expected:
+        h = data[i]
+        i += 1
+        if h < 128:
+            out.extend(data[i:i + h + 1])
+            i += h + 1
+        elif h > 128:
+            out.extend(bytes([data[i]]) * (257 - h))
+            i += 1
+        # h == 128: no-op per spec
+    return bytes(out)
 
 _PHOTOMETRIC = {"MINISWHITE": 0, "MINISBLACK": 1, "RGB": 2, "PALETTE": 3}
 _PHOTOMETRIC_INV = {v: k for k, v in _PHOTOMETRIC.items()}
@@ -248,8 +386,10 @@ def write_cog(
     # (edge padding already handles partial tiles)
     blockxsize = max(16, -(-blockxsize // 16) * 16)
     blockysize = max(16, -(-blockysize // 16) * 16)
-    comp_code = COMPRESS_DEFLATE if compress.upper() == "DEFLATE" \
-        else COMPRESS_NONE
+    comp_code = {
+        "DEFLATE": COMPRESS_DEFLATE, "LZW": COMPRESS_LZW,
+        "PACKBITS": COMPRESS_PACKBITS,
+    }.get(compress.upper(), COMPRESS_NONE)
     if predictor == 2 and data.dtype.kind == "f":
         raise ValueError("predictor=2 is integer-only (use 1 for floats)")
     ox, sx, oy, sy = transform
@@ -288,9 +428,13 @@ def write_cog(
                     else:
                         raw = tile.astype(
                             tile.dtype.newbyteorder("<")).tobytes()
-                    plan.tiles.append(
-                        zlib.compress(raw, zlevel)
-                        if comp_code == COMPRESS_DEFLATE else raw)
+                    if comp_code == COMPRESS_DEFLATE:
+                        raw = zlib.compress(raw, zlevel)
+                    elif comp_code == COMPRESS_LZW:
+                        raw = _lzw_encode(raw)
+                    elif comp_code == COMPRESS_PACKBITS:
+                        raw = _packbits_encode(raw)
+                    plan.tiles.append(raw)
 
     # -- serialize ----------------------------------------------------------
     # Entries per IFD; values > 4 bytes go to an external block placed
@@ -400,8 +544,8 @@ def write_cog(
     profile = {
         "dtype": dt, "count": bands, "nodata": nodata,
         "blockxsize": blockxsize, "blockysize": blockysize,
-        "compress": compress.upper() if comp_code == COMPRESS_DEFLATE
-        else "NONE",
+        "compress": {COMPRESS_DEFLATE: "DEFLATE", COMPRESS_LZW: "LZW",
+                     COMPRESS_PACKBITS: "PACKBITS"}.get(comp_code, "NONE"),
         "crs": f"EPSG:{epsg}", "tiled": True, "width": cols, "height": rows,
         "driver": "GTiff", "overviews": len(plans) - 1,
         "photometric": _PHOTOMETRIC_INV[phot],
@@ -567,7 +711,8 @@ class GeoTiff:
         comp = main.get(T_COMPRESSION, [1])[0]
         if comp == 32946:
             comp = COMPRESS_DEFLATE
-        if comp not in (COMPRESS_NONE, COMPRESS_DEFLATE):
+        if comp not in (COMPRESS_NONE, COMPRESS_DEFLATE, COMPRESS_LZW,
+                        COMPRESS_PACKBITS):
             raise ValueError(f"unsupported compression {comp}")
         return cls(
             path=path, width=main[T_IMAGE_WIDTH][0],
@@ -637,6 +782,10 @@ class GeoTiff:
         raw = f.read(level.counts[idx])
         if self.compression == COMPRESS_DEFLATE:
             raw = zlib.decompress(raw)
+        elif self.compression == COMPRESS_LZW:
+            raw = _lzw_decode(raw)
+        elif self.compression == COMPRESS_PACKBITS:
+            raw = _packbits_decode(raw, 1 << 62)
         spb = self.count if self.planar == 1 else 1
         bw = level.tile_w
         if self.bits_per_sample < 8:
@@ -743,8 +892,9 @@ class GeoTiff:
         return {
             "dtype": self.dtype, "count": self.count, "nodata": self.nodata,
             "blockxsize": lv.tile_w, "blockysize": lv.tile_h,
-            "compress": "DEFLATE" if self.compression == COMPRESS_DEFLATE
-            else "NONE",
+            "compress": {COMPRESS_DEFLATE: "DEFLATE", COMPRESS_LZW: "LZW",
+                         COMPRESS_PACKBITS: "PACKBITS"}.get(
+                self.compression, "NONE"),
             "crs": self.crs, "tiled": lv.tiled,
             "width": self.width, "height": self.height, "driver": "GTiff",
             "overviews": sum(1 for l in self.levels if l.subfile_type == 1),

@@ -419,3 +419,35 @@ def test_nbits_range_validation(tmp_path):
     with pytest.raises(ValueError, match="NBITS=3"):
         write_cog(str(tmp_path / "x.tif"), data, transform=TRANSFORM,
                   nbits=3)
+
+
+@pytest.mark.parametrize("compress", ["LZW", "PACKBITS"])
+def test_lzw_packbits_roundtrip(tmp_path, compress):
+    """LZW (TIFF early-change variant) and PackBits — the two non-zlib
+    compressions external GeoTIFFs commonly carry."""
+    rng = np.random.default_rng(9)
+    # runs + noise exercises both RLE and dictionary paths
+    data = np.where(rng.random((2, 200, 300)) < 0.5, 7,
+                    rng.integers(0, 255, (2, 200, 300))).astype("uint8")
+    path = str(tmp_path / f"{compress}.tif")
+    prof = write_cog(path, data, transform=TRANSFORM, nodata=None,
+                     blockxsize=64, compress=compress, overviews=False)
+    assert prof["compress"] == compress
+    t = GeoTiff.open(path)
+    assert t.profile["compress"] == compress
+    np.testing.assert_array_equal(
+        t.read_window(0, 0, 300, 200, masked=False), data)
+    np.testing.assert_array_equal(
+        t.read_window(37, 51, 100, 80, masked=False),
+        data[:, 51:131, 37:137])
+
+
+def test_lzw_with_predictor(tmp_path):
+    data = np.cumsum(
+        np.ones((1, 128, 128), dtype="uint16"), axis=2).astype("uint16")
+    path = str(tmp_path / "lzwp.tif")
+    write_cog(path, data, transform=TRANSFORM, compress="LZW",
+              predictor=2, overviews=False)
+    got, prof = read_tile(path)
+    np.testing.assert_array_equal(got, data)
+    assert prof["compress"] == "LZW"
