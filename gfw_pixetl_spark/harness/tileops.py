@@ -549,7 +549,7 @@ def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.raster_table import raster_catalog, read_pixels
 
     cat = raster_catalog(spark, _rt_demo_files())
-    px = read_pixels(cat, window=64)
+    px = read_pixels(cat, window=64, parallelism=8)
     return px.groupBy(
         F.floor("x").cast("int").alias("cell_x"),
         F.floor("y").cast("int").alias("cell_y"),

@@ -46,17 +46,21 @@ def raster_catalog(spark: SparkSession, uris: list[str]) -> DataFrame:
         left, bottom, right, top = t.bounds
         rows.append((uri, left, bottom, right, top, t.count,
                      t.width, t.height))
+    # single-slice parallelize: a catalog is driver-local metadata; the
+    # default createDataFrame(list) path fans tiny row lists into
+    # shuffle-partition-many Python tasks (ROADMAP perf note)
     return spark.createDataFrame(
-        rows,
+        spark.sparkContext.parallelize(rows, 1),
         "uri string, left double, bottom double, right double, "
         "top double, bands int, width int, height int",
-    ).coalesce(1)
+    )
 
 
 def read_pixels(
     catalog: DataFrame,
     bounds: tuple[float, float, float, float] | None = None,
     window: int = 2048,
+    parallelism: int | None = None,
 ) -> DataFrame:
     """Long-format pixel DataFrame over the cataloged files.
 
@@ -87,7 +91,13 @@ def read_pixels(
             "uri", "wx",
             F.explode(F.sequence(F.lit(0), F.col("nwy") - 1)).alias("wy"),
         )
-        .repartition("uri", "wx", "wy")
+    )
+    # spread window tasks across executors; an explicit parallelism
+    # avoids paying spark.sql.shuffle.partitions-many task launches when
+    # the catalog is small (the default is right for a 100k-file mosaic)
+    tasks = (
+        tasks.repartition(parallelism, "uri", "wx", "wy")
+        if parallelism else tasks.repartition("uri", "wx", "wy")
     )
 
     qbounds = bounds
