@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "q158_bigram_perplexity",
     "q159_dup_substrings",
     "q160_kmeans_iteration",
+    "q161_stream_enrich",
 ]
 
 

@@ -311,3 +311,29 @@ def q150(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.semdedup_keep(
         emb, S.lsh_bucket(F.col("embedding"), _WEIGHTS), threshold=0.9
     )
+
+
+# --------------------------------------------------------------------------
+# q161 — stream-static enrichment rollup: the event STREAM joins a
+# broadcast customer dimension (stateless stream-static equi-join, the
+# standard streaming-ETL lookup shape) and rolls up per (segment,
+# event_type); availableNow drains all input so the batch oracle is the
+# exact expected state.
+# --------------------------------------------------------------------------
+@register(
+    "q161_stream_enrich",
+    oracle="""
+    SELECT c_mktsegment, event_type,
+           COUNT(*) AS n,
+           round(AVG(value), 6) AS avg_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_mktsegment, event_type
+    """,
+)
+def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import run_enriched_rollup_once
+
+    dim = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return run_enriched_rollup_once(
+        spark, f"{sf_dir}/events.parquet", dim
+    )

@@ -5,10 +5,10 @@ from the spec rather than gating on PIL).
 
 Scope: the PNG core from the W3C spec (RFC 2083 / ISO 15948) that a
 training-data pipeline actually hits — 8/16-bit grayscale, gray+alpha,
-RGB, RGBA, all five scanline filters (None/Sub/Up/Average/Paeth),
-single IDAT-or-split streams, CRC-validated chunks. Interlacing
-(Adam7) and palette images are rejected with a clear error; JPEG and
-friends remain codec-gated in ``functions/multimodal.py``.
+RGB, RGBA, palette (PLTE, expanded to RGB on decode), all five scanline
+filters (None/Sub/Up/Average/Paeth), Adam7 interlacing (decode), single
+IDAT-or-split streams, CRC-validated chunks. JPEG and friends remain
+codec-gated in ``functions/multimodal.py``.
 
 Kernels call these per payload inside Arrow-batched ``mapInPandas`` —
 decode cost parallelizes with the rows, nothing here touches Spark.
@@ -90,53 +90,25 @@ def encode_png(
             + _chunk(b"IEND", b""))
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """Decode PNG bytes to (h, w, channels) uint8/uint16."""
-    if data[:8] != _SIG:
-        raise ValueError("not a PNG (bad signature)")
-    pos = 8
-    width = height = depth = ctype = None
-    idat = bytearray()
-    while pos < len(data):
-        (length,) = struct.unpack(">I", data[pos:pos + 4])
-        tag = data[pos + 4:pos + 8]
-        body = data[pos + 8:pos + 8 + length]
-        (crc,) = struct.unpack(
-            ">I", data[pos + 8 + length:pos + 12 + length])
-        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
-            raise ValueError(f"CRC mismatch in {tag!r}")
-        if tag == b"IHDR":
-            width, height, depth, ctype, comp, filt, interlace = \
-                struct.unpack(">IIBBBBB", body)
-            if interlace:
-                raise ValueError("Adam7 interlace not supported")
-            if ctype == 3:
-                raise ValueError("palette PNG not supported")
-            if comp or filt:
-                raise ValueError("non-standard compression/filter method")
-            if depth not in (8, 16):
-                raise ValueError(f"bit depth {depth} not supported")
-        elif tag == b"IDAT":
-            idat.extend(body)
-        elif tag == b"IEND":
-            break
-        pos += 12 + length
-    if width is None:
-        raise ValueError("missing IHDR")
-    ch = _CHANNELS[ctype]
-    bpp = ch * depth // 8
-    stride = width * bpp
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != height * (stride + 1):
-        raise ValueError("IDAT length mismatch")
+# Adam7 pass origins/steps ((x0, y0, dx, dy), PNG spec §8.2)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
-    out = np.empty(height * stride, dtype=np.uint8)
+
+def _unfilter(raw: bytes, height: int, stride: int, bpp: int,
+              offset: int = 0) -> np.ndarray:
+    """Reverse per-scanline filtering for ``height`` rows of ``stride``
+    bytes starting at ``offset`` (each row prefixed by its filter byte).
+    Returns (height, stride) uint8."""
+    out = np.empty((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int16)
     for r in range(height):
-        ft = raw[r * (stride + 1)]
-        cur = np.frombuffer(
-            raw, dtype=np.uint8, count=stride,
-            offset=r * (stride + 1) + 1).astype(np.int16)
+        base = offset + r * (stride + 1)
+        ft = raw[base]
+        cur = np.frombuffer(raw, dtype=np.uint8, count=stride,
+                            offset=base + 1).astype(np.int16)
         if ft == 0:
             rec = cur
         elif ft == 1:
@@ -163,10 +135,82 @@ def decode_png(data: bytes) -> np.ndarray:
                 rec[i] = (rec[i] + pred) & 0xFF
         else:
             raise ValueError(f"bad filter byte {ft}")
-        out[r * stride:(r + 1) * stride] = rec.astype(np.uint8)
+        out[r] = rec.astype(np.uint8)
         prev = rec
-    if depth == 16:
-        img = out.view(">u2").astype(np.uint16).reshape(height, width, ch)
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode PNG bytes to (h, w, channels) uint8/uint16; palette images
+    come back expanded to RGB."""
+    if data[:8] != _SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos = 8
+    width = height = depth = ctype = interlace = None
+    idat = bytearray()
+    plte = None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", data[pos + 8 + length:pos + 12 + length])
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {tag!r}")
+        if tag == b"IHDR":
+            width, height, depth, ctype, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", body)
+            if comp or filt:
+                raise ValueError("non-standard compression/filter method")
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown interlace method {interlace}")
+            if depth not in (8, 16) or (ctype == 3 and depth != 8):
+                raise ValueError(f"bit depth {depth} not supported")
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("missing IHDR")
+    if ctype == 3 and plte is None:
+        raise ValueError("palette image without PLTE chunk")
+    ch = 1 if ctype == 3 else _CHANNELS[ctype]
+    bpp = ch * depth // 8
+    raw = zlib.decompress(bytes(idat))
+
+    if interlace == 0:
+        stride = width * bpp
+        if len(raw) != height * (stride + 1):
+            raise ValueError("IDAT length mismatch")
+        flat = _unfilter(raw, height, stride, bpp).reshape(-1)
+    elif interlace == 1:
+        # Adam7: seven independently-filtered sub-images, scattered back
+        # onto the full grid by each pass's origin/step (spec §8.2)
+        flat = np.empty(height * width * bpp, dtype=np.uint8)
+        grid = flat.reshape(height, width, bpp)
+        offset = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = max(0, -(-(width - x0) // dx))
+            ph = max(0, -(-(height - y0) // dy))
+            if pw == 0 or ph == 0:
+                continue
+            pstride = pw * bpp
+            sub = _unfilter(raw, ph, pstride, bpp, offset)
+            offset += ph * (pstride + 1)
+            grid[y0::dy, x0::dx, :] = sub.reshape(ph, pw, bpp)
+        if offset != len(raw):
+            raise ValueError("IDAT length mismatch (interlaced)")
     else:
-        img = out.reshape(height, width, ch)
+        raise ValueError(f"unknown interlace method {interlace}")
+
+    if depth == 16:
+        img = flat.reshape(height, width, ch * 2).reshape(-1).view(
+            ">u2").astype(np.uint16).reshape(height, width, ch)
+    else:
+        img = flat.reshape(height, width, ch)
+    if ctype == 3:
+        img = plte[img[:, :, 0]]
     return img

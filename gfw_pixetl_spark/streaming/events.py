@@ -335,3 +335,42 @@ def run_sliding_rollup_once(spark: SparkSession, events_path: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def enriched_rollup_stream(
+    spark: SparkSession, events_path: str, dim: DataFrame
+) -> DataFrame:
+    """Stream-static enrichment: the event stream joins a broadcast
+    static dimension (the lookup/enrichment shape every streaming ETL
+    has — Structured Streaming plans stream-static equi-joins without
+    state, re-resolving the static side per micro-batch), then rolls up
+    per (segment, event_type)."""
+    stream = _event_stream(spark, events_path)
+    return (
+        stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("value").alias("avg_value"),
+        )
+        .select(
+            "c_mktsegment", "event_type", "n",
+            F.round("avg_value", 6).alias("avg_value"),
+        )
+    )
+
+
+def run_enriched_rollup_once(
+    spark: SparkSession, events_path: str, dim: DataFrame
+) -> DataFrame:
+    name = f"enriched_rollup_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched_rollup_stream(spark, events_path, dim)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

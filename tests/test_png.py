@@ -38,9 +38,8 @@ def test_signature_and_crc_validation():
         decode_png(bytes(data))
 
 
-def test_rejects_interlace_and_palette():
-    # hand-build an IHDR with interlace=1
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1)
+def test_rejects_unknown_interlace_method():
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 2)  # method 2 = bad
     crc = zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
     data = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", len(ihdr)) + b"IHDR"
             + ihdr + struct.pack(">I", crc))
@@ -83,3 +82,56 @@ def test_png_payload_decodes_to_digest_bytes():
 def test_decode_image_gates_non_png():
     with pytest.raises(NotImplementedError, match="PNG"):
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg bytes")
+
+
+def _adam7_encode(arr: np.ndarray) -> bytes:
+    """Minimal Adam7 encoder (filter 0 rows) for decoder tests."""
+    h, w, ch = arr.shape
+    passes = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    stream = bytearray()
+    for x0, y0, dx, dy in passes:
+        sub = arr[y0::dy, x0::dx, :]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            stream.append(0)
+            stream.extend(row.astype("u1").tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, {1: 0, 3: 2, 4: 6}[ch], 0, 0, 1)
+    def chunk(tag, body):
+        crc = zlib.crc32(tag + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", crc)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(stream)))
+            + chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("shape", [(13, 17, 1), (8, 8, 3), (5, 3, 4),
+                                   (1, 1, 1), (2, 9, 3)])
+def test_adam7_interlaced_decode(shape):
+    rng = np.random.default_rng(3)
+    arr = rng.integers(0, 256, size=shape).astype("uint8")
+    dec = decode_png(_adam7_encode(arr))
+    np.testing.assert_array_equal(dec, arr)
+
+
+def test_palette_decode():
+    rng = np.random.default_rng(4)
+    plte = rng.integers(0, 256, size=(16, 3)).astype("uint8")
+    idx = rng.integers(0, 16, size=(9, 7)).astype("uint8")
+    stream = bytearray()
+    for row in idx:
+        stream.append(0)
+        stream.extend(row.tobytes())
+    ihdr = struct.pack(">IIBBBBB", 7, 9, 8, 3, 0, 0, 0)
+    def chunk(tag, body):
+        crc = zlib.crc32(tag + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + tag + body + struct.pack(
+            ">I", crc)
+    data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"PLTE", plte.tobytes())
+            + chunk(b"IDAT", zlib.compress(bytes(stream)))
+            + chunk(b"IEND", b""))
+    dec = decode_png(data)
+    np.testing.assert_array_equal(dec, plte[idx])
