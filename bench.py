@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "q159_dup_substrings",
     "q160_kmeans_iteration",
     "q161_stream_enrich",
+    "q162_webdataset_roundtrip",
 ]
 
 

@@ -761,3 +761,88 @@ def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# --------------------------------------------------------------------------
+# q162 — WebDataset tar-shard export round-trip: documents (+ their real
+# PNG payloads) shard into tar files (sinks/webdataset.py), read back by
+# shard, and the per-shard accounting — sample counts, text byte totals,
+# and the first pixel of every DECODED PNG — must equal the oracle's
+# replay from md5 arithmetic. This value-checks the full export format:
+# tar layout, per-sample file grouping, payload integrity through
+# write->tar->untar->decode.
+# --------------------------------------------------------------------------
+_WDS_SHARDS = 8
+
+
+@register(
+    "q162_webdataset_roundtrip",
+    oracle=f"""
+    SELECT printf('shard-%06d.tar', doc_id % {_WDS_SHARDS}) AS shard,
+           COUNT(*) AS n_txt,
+           CAST(SUM(strlen(text)) AS BIGINT) AS txt_bytes,
+           COUNT(*) AS n_png,
+           CAST(SUM(('0x' || substr(md5(text), 1, 2))::INTEGER) AS BIGINT)
+             AS sum_first_px
+    FROM documents GROUP BY 1
+    """,
+)
+def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib as _hl
+    import tempfile
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..functions.multimodal import decode_image, png_payload
+    from ..sinks.webdataset import read_shards, write_shards
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def add_payload(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "doc_id": pdf["doc_id"].values,
+                "text": pdf["text"].values,
+                "payload": [png_payload(t) for t in pdf["text"]],
+            })
+
+    with_png = docs.mapInPandas(
+        add_payload, "doc_id long, text string, payload binary")
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    out_dir = f"{tempfile.gettempdir()}/gfw_pixetl_spark_wds_{tag}"
+    statuses = write_shards(
+        with_png, out_dir, _WDS_SHARDS,
+        columns={"text": "txt", "payload": "png"},
+        shard_expr=F.col("doc_id") % _WDS_SHARDS,
+    ).collect()
+    paths = sorted(r.path for r in statuses)
+
+    rows = read_shards(spark, paths)
+
+    def first_px(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        for pdf in batches:
+            yield _pd.DataFrame({
+                "shard": pdf["shard"].values,
+                "suffix": pdf["suffix"].values,
+                "n_bytes": [len(p) for p in pdf["payload"]],
+                "px0": [
+                    int(decode_image(bytes(p))[0, 0, 0])
+                    if s == "png" else 0
+                    for p, s in zip(pdf["payload"], pdf["suffix"])
+                ],
+            })
+
+    decoded = rows.mapInPandas(
+        first_px, "shard string, suffix string, n_bytes long, px0 long")
+    return decoded.groupBy("shard").agg(
+        F.sum(F.when(F.col("suffix") == "txt", 1).otherwise(0))
+        .alias("n_txt"),
+        F.sum(F.when(F.col("suffix") == "txt", F.col("n_bytes"))
+              .otherwise(0)).alias("txt_bytes"),
+        F.sum(F.when(F.col("suffix") == "png", 1).otherwise(0))
+        .alias("n_png"),
+        F.sum(F.when(F.col("suffix") == "png", F.col("px0")).otherwise(0))
+        .alias("sum_first_px"),
+    )
