@@ -149,6 +149,8 @@ BENCH_QUERIES = [
     "q160_kmeans_iteration",
     "q161_stream_enrich",
     "q162_webdataset_roundtrip",
+    "q163_mixture_interleave",
+    "q164_bpe_pair_counts",
 ]
 
 

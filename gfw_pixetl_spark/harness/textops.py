@@ -846,3 +846,108 @@ def q162(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("suffix") == "png", F.col("px0")).otherwise(0))
         .alias("sum_first_px"),
     )
+
+
+# --------------------------------------------------------------------------
+# q163 — deterministic mixture interleave: the trainer-side data-mixing
+# order. Each source gets a weight; a document's global position key is
+# (rank within its source) / weight — the classic weighted round-robin
+# that makes a 2x-weighted source appear twice as often in any prefix
+# of the stream. Pure window arithmetic, reproducible across runs, no
+# shuffling RNG. Output: the first 200 schedule slots. Scale note: a
+# global schedule is inherently a total order; at corpus scale the
+# final slot numbering range-partitions on order_key (sortWithin
+# partitions + partition offsets) instead of one global window.
+# --------------------------------------------------------------------------
+_MIX_WEIGHTS = {"src0": 4.0, "src1": 2.0, "src2": 2.0}  # others 1.0
+
+
+def _mix_weight_sql() -> str:
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {w}" for s, w in _MIX_WEIGHTS.items())
+    return f"CASE {cases} ELSE 1.0 END"
+
+
+@register(
+    "q163_mixture_interleave",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+               AS rn,
+             {_mix_weight_sql()} AS w
+      FROM documents
+    ), keyed AS (
+      SELECT doc_id, source, round(rn / w, 9) AS order_key FROM ranked
+    )
+    SELECT slot, doc_id, source, order_key FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY order_key, source, doc_id)
+               AS slot
+      FROM keyed
+    ) WHERE slot <= 200
+    """,
+)
+def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = F.coalesce(
+        *[F.when(F.col("source") == s, F.lit(wt))
+          for s, wt in _MIX_WEIGHTS.items()],
+        F.lit(1.0),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy("doc_id"))
+    keyed = docs.select(
+        "doc_id", "source",
+        F.round(rn / w, 9).alias("order_key"),
+    )
+    slot = F.row_number().over(
+        Window.orderBy("order_key", "source", "doc_id"))
+    return (
+        keyed.withColumn("slot", slot)
+        .filter(F.col("slot") <= 200)
+        .select("slot", "doc_id", "source", "order_key")
+    )
+
+
+# --------------------------------------------------------------------------
+# q164 — BPE first-merge pair counts: the opening step of byte-pair-
+# encoding tokenizer training — frequency of every adjacent character
+# pair within words across the corpus. One explode of (word, in-word
+# position) pairs into a hash-groupBy; at 100 TB the pair vocabulary is
+# tiny relative to the corpus, so the aggregation is the whole cost.
+# --------------------------------------------------------------------------
+@register(
+    "q164_bpe_pair_counts",
+    oracle=f"""
+    WITH w AS (
+      SELECT unnest({SQL_WORDS}) AS word FROM documents
+    ), pairs AS (
+      SELECT substr(word, i, 2) AS pair
+      FROM w, unnest(generate_series(1, len(word) - 1)) AS t(i)
+      WHERE len(word) >= 2
+    )
+    SELECT pair, COUNT(*) AS n
+    FROM pairs GROUP BY pair HAVING COUNT(*) >= 10
+    """,
+)
+def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words_df = docs.select(F.explode(T.words("text")).alias("word"))
+    pairs = (
+        words_df.filter(F.length("word") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word") - 1),
+                    lambda i: F.col("word").substr(i, F.lit(2)),
+                )
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 10)
+    )
