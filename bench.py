@@ -151,6 +151,7 @@ BENCH_QUERIES = [
     "q162_webdataset_roundtrip",
     "q163_mixture_interleave",
     "q164_bpe_pair_counts",
+    "q165_ann_recall",
 ]
 
 

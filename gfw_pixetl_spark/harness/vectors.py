@@ -337,3 +337,67 @@ def q161(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_enriched_rollup_once(
         spark, f"{sf_dir}/events.parquet", dim
     )
+
+
+# --------------------------------------------------------------------------
+# q165 — ANN quality evaluation: recall@5 of the sign-LSH index (q37)
+# against the exact brute-force top-5 (q36), per query and summarized.
+# The eval every ANN deployment runs before trusting an index; both
+# sides are the engine's own operators, the oracle recomputes both in
+# SQL. Set-valued comparison via an equi-join on (query, neighbor).
+# --------------------------------------------------------------------------
+@register(
+    "q165_ann_recall",
+    oracle=f"""
+    WITH exact_r AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_sql_cos('q.qv', 'c.embedding')}
+                                    DESC, c.vec_id ASC) AS rank
+        FROM embeddings c, (SELECT vec_id AS query_id, embedding AS qv
+                            FROM embeddings WHERE vec_id < 10) q
+        WHERE c.vec_id != q.query_id
+      ) WHERE rank <= 5
+    ), b AS (
+      SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bucket
+      FROM embeddings
+    ), ann AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_sql_cos('q.qv', 'c.embedding')}
+                                    DESC, c.vec_id ASC) AS rank
+        FROM b c JOIN (SELECT vec_id AS query_id, embedding AS qv, bucket
+                       FROM b WHERE vec_id < 10) q
+          ON c.bucket = q.bucket
+        WHERE c.vec_id != q.query_id
+      ) WHERE rank <= 5
+    )
+    SELECT e.query_id,
+           COUNT(*) AS k_exact,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS k_hit,
+           round(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 / COUNT(*), 6) AS recall_at_5
+    FROM exact_r e LEFT JOIN ann a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = S.brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id")
+    ann = S.lsh_ann_topk(emb, queries, k=5, weights=_WEIGHTS).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an"))
+    joined = exact.join(
+        ann, (exact.query_id == ann.aq)
+        & (exact.neighbor_id == ann.an), "left")
+    hit = F.when(F.col("an").isNotNull(), 1).otherwise(0)
+    return joined.groupBy("query_id").agg(
+        F.count("*").alias("k_exact"),
+        F.sum(hit).alias("k_hit"),
+        F.round(F.sum(hit) / F.count("*"), 6).alias("recall_at_5"),
+    )

@@ -53,6 +53,17 @@ class S3Config:
     access_key: str | None = None
     secret_key: str | None = None
 
+    @classmethod
+    def for_gcs(cls, access_key: str | None = None,
+                secret_key: str | None = None) -> "S3Config":
+        """GCS via its S3-interoperability XML API
+        (storage.googleapis.com + HMAC keys) — the same listing/upload
+        code paths serve both clouds, which is how the engine covers the
+        reference's ``utils/google.py:30-46`` without a google-cloud
+        dependency."""
+        return cls(endpoint_url="https://storage.googleapis.com",
+                   access_key=access_key, secret_key=secret_key)
+
     def client(self):
         if not HAVE_BOTO3:  # pragma: no cover
             raise NotImplementedError(
