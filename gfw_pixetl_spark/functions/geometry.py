@@ -285,8 +285,24 @@ def ear_clip_triangulate(ring) -> list[np.ndarray]:
                 tris.append(np.array([a, b, c]))
                 del idx[ii]
                 break
-        else:  # no ear found (degenerate input) — bail with what we have
+        else:
+            # No ear found: the ring is degenerate or self-intersecting.
+            # Tolerate ONLY zero-area leftovers (collinear runs); a
+            # partial triangulation with remaining area would silently
+            # undercount every downstream clip, so fail loudly instead.
+            leftover = abs(ring_signed_area(pts[idx]))
+            if leftover > 1e-12 * max(1.0, abs(ring_signed_area(pts))):
+                raise ValueError(
+                    f"ear clipping stalled with {len(idx)} vertices and "
+                    f"area {leftover:g} untriangulated — is the AOI ring "
+                    "simple (non-self-intersecting)?"
+                )
             break
+    if guard >= 10000 and len(idx) > 3:
+        raise ValueError(
+            f"ear clipping exceeded the iteration guard with {len(idx)} "
+            "vertices remaining — AOI too large or degenerate"
+        )
     if len(idx) == 3:
         tris.append(np.array([pts[idx[0]], pts[idx[1]], pts[idx[2]]]))
     return tris

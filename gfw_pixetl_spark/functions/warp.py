@@ -287,9 +287,24 @@ def _is_utm(code: int) -> bool:
     return 32601 <= code <= 32660 or 32701 <= code <= 32760
 
 
+def _crs_code(crs: str | int) -> int:
+    """EPSG code from 'EPSG:4326', 'epsg:4326', '4326', or 4326 —
+    same tolerance as sources/geotiff._epsg_of, so a bare numeric code
+    raises the clear unsupported-CRS error instead of an IndexError."""
+    if isinstance(crs, int):
+        return crs
+    s = str(crs).upper().replace("EPSG:", "").strip()
+    try:
+        return int(s)
+    except ValueError as e:
+        raise NotImplementedError(
+            f"{crs!r}: only EPSG codes are supported (pass 'EPSG:<n>')"
+        ) from e
+
+
 def _to_geographic(xs, ys, crs: str):
     """crs coords -> (lng, lat)."""
-    code = int(crs.split(":")[1])
+    code = _crs_code(crs)
     if code == 4326:
         return xs, ys
     if code == 3857:
@@ -307,7 +322,7 @@ def _to_geographic(xs, ys, crs: str):
 
 def _from_geographic(lng, lat, crs: str):
     """(lng, lat) -> crs coords."""
-    code = int(crs.split(":")[1])
+    code = _crs_code(crs)
     if code == 4326:
         return lng, lat
     if code == 3857:

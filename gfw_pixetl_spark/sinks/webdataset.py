@@ -67,15 +67,36 @@ def write_shards(
     cols = list(columns)
     suffixes = [columns[c] for c in cols]
 
-    def writer(pdf: pd.DataFrame) -> pd.DataFrame:
-        sid = int(pdf["shard_id"].iloc[0])
+    def writer(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # rows arrive repartitioned by shard and sorted by (shard, key),
+        # so each shard is a contiguous run across the Arrow batches —
+        # the writer holds ONE open tar and one batch at a time, never a
+        # whole shard (applyInPandas would materialize the full group)
         os.makedirs(out_dir, exist_ok=True)
-        path = os.path.join(out_dir, f"{prefix}-{sid:06d}.tar")
-        pdf = pdf.sort_values(key_col, kind="mergesort")
-        n_bytes = 0
-        tmp = f"{path}.tmp{os.getpid()}"
-        with tarfile.open(tmp, "w") as tar:
+        cur_sid = None
+        tar = tmp = path = None
+        n_samples = n_bytes = 0
+        done = []
+
+        def close():
+            nonlocal tar
+            if tar is not None:
+                tar.close()
+                os.replace(tmp, path)  # atomic publish
+                done.append((cur_sid, path, n_samples, n_bytes))
+                tar = None
+
+        for pdf in batches:
             for r in pdf.itertuples(index=False):
+                sid = int(r.shard_id)
+                if sid != cur_sid:
+                    close()
+                    cur_sid = sid
+                    path = os.path.join(
+                        out_dir, f"{prefix}-{sid:06d}.tar")
+                    tmp = f"{path}.tmp{os.getpid()}"
+                    tar = tarfile.open(tmp, "w")
+                    n_samples = n_bytes = 0
                 key = getattr(r, key_col)
                 for c, suf in zip(cols, suffixes):
                     v = getattr(r, c)
@@ -88,16 +109,19 @@ def write_shards(
                     info.mtime = 0  # reproducible bytes
                     tar.addfile(info, io.BytesIO(bytes(data)))
                     n_bytes += len(data)
-        os.replace(tmp, path)  # atomic publish
-        return pd.DataFrame(
-            [(sid, path, len(pdf), n_bytes)],
-            columns=["shard_id", "path", "n_samples", "n_bytes"],
-        )
+                n_samples += 1
+        close()
+        if done:
+            yield pd.DataFrame(
+                done,
+                columns=["shard_id", "path", "n_samples", "n_bytes"],
+            )
 
     return (
         df.select(key_col, *cols, shard.alias("shard_id"))
-        .groupBy("shard_id")
-        .applyInPandas(writer, WRITE_SCHEMA)
+        .repartition(n_shards, "shard_id")
+        .sortWithinPartitions("shard_id", key_col)
+        .mapInPandas(writer, WRITE_SCHEMA)
     )
 
 

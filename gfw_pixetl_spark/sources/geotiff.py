@@ -274,12 +274,11 @@ def _unpack_rows(raw: bytes, rows: int, cols: int, nbits: int) -> np.ndarray:
 
 
 def _predict2_decode(tile: np.ndarray) -> np.ndarray:
-    # cumulative sum per row undoes the differencing (mod 2**bits)
-    bits = tile.dtype.itemsize * 8
-    acc = np.cumsum(tile.astype(np.int64), axis=1)
-    if tile.dtype.kind in "ui":
-        acc &= (1 << bits) - 1
-    return acc.astype(tile.dtype)
+    # cumulative sum per row undoes the differencing; accumulating IN
+    # the sample dtype wraps modulo 2**bits natively, which is exactly
+    # the inverse of the wraparound subtraction — and works for 64-bit
+    # samples where an int64 accumulator would overflow
+    return np.add.accumulate(tile, axis=1, dtype=tile.dtype)
 
 
 @dataclass
@@ -466,8 +465,11 @@ def write_cog(
             if nbits is not None:
                 items["NBITS"] = str(nbits)
             if items:
+                from xml.sax.saxutils import escape, quoteattr
+
                 body = "".join(
-                    f"  <Item name=\"{k}\">{v}</Item>\n"
+                    f"  <Item name={quoteattr(str(k))}>"
+                    f"{escape(str(v))}</Item>\n"
                     for k, v in sorted(items.items()))
                 xml = f"<GDALMetadata>\n{body}</GDALMetadata>\n\x00"
                 ent.append((T_GDAL_METADATA, FT_ASCII, xml))
@@ -680,10 +682,11 @@ class GeoTiff:
         meta = main.get(T_GDAL_METADATA)
         if meta:
             import re
+            from xml.sax.saxutils import unescape
 
             for m in re.finditer(
                     r'<Item name="([^"]+)"[^>]*>([^<]*)</Item>', meta):
-                metadata[m.group(1)] = m.group(2)
+                metadata[unescape(m.group(1))] = unescape(m.group(2))
             if metadata.get("NBITS", "").isdigit():
                 nbits = int(metadata["NBITS"])
         if bits < 8:
@@ -946,7 +949,9 @@ def validate_cog(path: str) -> list[str]:
     if widths != sorted(widths, reverse=True):
         errs.append("overviews not sorted by descending size")
     min_tile = min(min(l.offsets) for l in tif.levels if l.offsets)
-    # re-walk the raw IFD region to find its extent
+    # re-walk the raw IFD region — including every entry's OUT-OF-LINE
+    # value block (offset arrays, geokeys, doubles), which must also
+    # precede tile data for a head-prefix range read to suffice
     with open(path, "rb") as f:
         head = f.read(8)
         en = "<" if head[:2] == b"II" else ">"
@@ -956,9 +961,17 @@ def validate_cog(path: str) -> list[str]:
         while nxt:
             f.seek(nxt)
             n = struct.unpack(en + "H", f.read(2))[0]
-            end = nxt + 2 + n * 12 + 4
+            entries = f.read(n * 12)
+            max_meta = max(max_meta, nxt + 2 + n * 12 + 4)
+            for i in range(n):
+                tag, ft, cnt = struct.unpack(
+                    en + "HHI", entries[i * 12:i * 12 + 8])
+                vsz = _FT_SIZE.get(ft, 1) * cnt
+                if vsz > 4:
+                    off = struct.unpack(
+                        en + "I", entries[i * 12 + 8:i * 12 + 12])[0]
+                    max_meta = max(max_meta, off + vsz)
             f.seek(nxt + 2 + n * 12)
-            max_meta = max(max_meta, end)
             nxt = struct.unpack(en + "I", f.read(4))[0]
     if max_meta > min_tile:
         errs.append(

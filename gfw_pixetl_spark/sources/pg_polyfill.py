@@ -44,11 +44,20 @@ def _parse(geojson: str) -> list[np.ndarray]:
 
 
 def _dump(rings: list[np.ndarray]) -> str:
+    """Serialize clipped rings. Box-clipping each input ring yields
+    independent OUTER rings, so two-plus rings must be a MultiPolygon —
+    a single Polygon would make RFC 7946 consumers read ring 2+ as
+    holes of ring 1."""
     if not rings:
         return json.dumps({"type": "Polygon", "coordinates": []})
+    if len(rings) == 1:
+        return json.dumps({
+            "type": "Polygon",
+            "coordinates": [np.asarray(rings[0]).tolist()],
+        })
     return json.dumps({
-        "type": "Polygon",
-        "coordinates": [np.asarray(r).tolist() for r in rings],
+        "type": "MultiPolygon",
+        "coordinates": [[np.asarray(r).tolist()] for r in rings],
     })
 
 
@@ -74,10 +83,14 @@ def register_postgis_polyfill(con) -> None:
         # b is an envelope in every query the engine generates; clip a
         # to it and test for remaining area (PostGIS counts boundary
         # touches too — the engine's tile grids never share boundaries
-        # with features at exact float equality, matching F4's use)
+        # with features at exact float equality, matching F4's use).
+        # Per-ring |area| sum, not |sum|: opposite-winding disjoint
+        # outer rings must not cancel to a false negative.
         l, bo, r, t = _envelope_box(b)
         clipped = clip_polygon_to_box(_parse(a), l, bo, r, t)
-        return abs(polygon_signed_area(clipped)) > 0.0
+        from ..functions.geometry import ring_signed_area
+
+        return any(abs(ring_signed_area(rg)) > 0.0 for rg in clipped)
 
     def st_intersection(a: str, b: str) -> str:
         l, bo, r, t = _envelope_box(b)

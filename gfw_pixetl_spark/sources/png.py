@@ -101,7 +101,15 @@ def _unfilter(raw: bytes, height: int, stride: int, bpp: int,
               offset: int = 0) -> np.ndarray:
     """Reverse per-scanline filtering for ``height`` rows of ``stride``
     bytes starting at ``offset`` (each row prefixed by its filter byte).
-    Returns (height, stride) uint8."""
+    Returns (height, stride) uint8.
+
+    Cost note: None/Sub/Up rows are fully vectorized; Average and Paeth
+    carry a true left-to-right data dependency, so those rows fall back
+    to a per-byte loop — fine for the thumbnail-scale payloads the
+    kernels process, slow for megapixel Paeth-heavy images (a real
+    image-corpus scan should re-encode once or extend these two to a
+    compiled path).
+    """
     out = np.empty((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int16)
     for r in range(height):
@@ -112,9 +120,14 @@ def _unfilter(raw: bytes, height: int, stride: int, bpp: int,
         if ft == 0:
             rec = cur
         elif ft == 1:
-            rec = cur.copy()
-            for i in range(bpp, stride):
-                rec[i] = (rec[i] + rec[i - bpp]) & 0xFF
+            # Sub: cumulative sum per bpp lane (wraps mod 256 natively)
+            lanes = cur.astype(np.uint8)[:(stride // bpp) * bpp].reshape(
+                -1, bpp)
+            acc = np.add.accumulate(lanes, axis=0, dtype=np.uint8)
+            rec = np.concatenate(
+                [acc.reshape(-1),
+                 cur.astype(np.uint8)[(stride // bpp) * bpp:]]
+            ).astype(np.int16)
         elif ft == 2:
             rec = (cur + prev) & 0xFF
         elif ft == 3:

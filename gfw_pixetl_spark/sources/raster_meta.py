@@ -26,14 +26,24 @@ from .geotiff import GeoTiff
 HIST_BUCKETS = 256
 
 
+def _valid_pixels(arr: np.ndarray, nodata) -> np.ndarray:
+    """Pixels that count toward stats: nodata excluded, and NaN always
+    excluded for float bands (a NaN produced by calc would otherwise
+    poison every statistic even when nodata is a finite sentinel)."""
+    keep = np.ones(arr.shape, dtype=bool)
+    if arr.dtype.kind == "f":
+        keep &= ~np.isnan(arr)
+    if nodata is not None and not (
+            isinstance(nodata, float) and np.isnan(nodata)):
+        keep &= arr != nodata
+    return arr[keep]
+
+
 def band_stats(arr: np.ndarray, nodata=None) -> dict | None:
     """min/max/mean/std_dev over valid pixels (``BandStats`` shape,
     models/pydantic.py:88-92); None when the band is all-nodata (the
     reference skips stats for empty tiles)."""
-    if nodata is None or (isinstance(nodata, float) and np.isnan(nodata)):
-        valid = arr[~np.isnan(arr)] if arr.dtype.kind == "f" else arr.ravel()
-    else:
-        valid = arr[arr != nodata]
+    valid = _valid_pixels(arr, nodata)
     if valid.size == 0:
         return None
     v = valid.astype("float64")
@@ -57,10 +67,7 @@ def band_histogram(arr: np.ndarray, nodata=None) -> dict | None:
         lo, hi = lo - 0.5, hi + 0.5
     elif hi == lo:
         hi = lo + 1.0
-    if nodata is None or (isinstance(nodata, float) and np.isnan(nodata)):
-        valid = arr[~np.isnan(arr)] if arr.dtype.kind == "f" else arr.ravel()
-    else:
-        valid = arr[arr != nodata]
+    valid = _valid_pixels(arr, nodata)
     counts, _ = np.histogram(
         valid.astype("float64"), bins=HIST_BUCKETS, range=(lo, hi)
     )

@@ -219,3 +219,12 @@ def test_clip_to_polygon_udf_roundtrip(spark):
     ).collect()
     assert out[0].a == pytest.approx(0.75)
     assert out[1].a == pytest.approx(0.0)
+
+
+def test_ear_clip_collinear_leftover_tolerated():
+    """The loud-fail path tolerates zero-area leftovers (collinear
+    runs) — a straight-line 'ring' returns no triangles, no raise."""
+    from gfw_pixetl_spark.functions.geometry import ear_clip_triangulate
+
+    line = [[0.0, 0.0], [1.0, 0.0], [2.0, 0.0], [3.0, 0.0], [0.0, 0.0]]
+    assert ear_clip_triangulate(line) == []

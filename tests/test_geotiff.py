@@ -451,3 +451,28 @@ def test_lzw_with_predictor(tmp_path):
     got, prof = read_tile(path)
     np.testing.assert_array_equal(got, data)
     assert prof["compress"] == "LZW"
+
+
+@pytest.mark.parametrize("dtype", ["int64", "uint64"])
+def test_predictor2_64bit_roundtrip(tmp_path, dtype):
+    """Review regression: predictor-2 files with 8-byte samples must
+    read back (the old int64 accumulator could not represent the
+    wraparound modulus)."""
+    rng = np.random.default_rng(2)
+    data = rng.integers(0, 2**40, size=(1, 48, 64)).astype(dtype)
+    path = str(tmp_path / f"p64_{dtype}.tif")
+    write_cog(path, data, transform=TRANSFORM, predictor=2,
+              overviews=False)
+    got, _ = read_tile(path)
+    np.testing.assert_array_equal(got, data)
+
+
+def test_metadata_xml_escaping(tmp_path):
+    """Review regression: metadata values with XML-special characters
+    must survive the GDALMetadata tag round-trip."""
+    path = str(tmp_path / "esc.tif")
+    write_cog(path, _data("uint8", rows=32, cols=32),
+              transform=TRANSFORM,
+              metadata={"note": 'A&B <tag> "quoted"'}, overviews=False)
+    t = GeoTiff.open(path)
+    assert t.metadata["note"] == 'A&B <tag> "quoted"'

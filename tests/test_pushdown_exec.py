@@ -89,3 +89,23 @@ def test_calc_projection_executes(con):
     rows = con.execute(sql).fetchall()
     got = sorted(r[0] for r in rows)
     assert got == sorted([7 * 10 + 1, 3 * 10 + 2, 5 * 10 + 4])
+
+
+def test_multipart_subject_yields_multipolygon(con):
+    """Review regression: two disjoint clipped parts must serialize as
+    MultiPolygon (a 2-ring Polygon would read ring 2 as a hole)."""
+    two_part = {
+        "type": "MultiPolygon",
+        "coordinates": [
+            [[[1.0, 1.0], [3.0, 1.0], [3.0, 3.0], [1.0, 3.0], [1.0, 1.0]]],
+            [[[6.0, 6.0], [8.0, 6.0], [8.0, 8.0], [6.0, 8.0], [6.0, 6.0]]],
+        ],
+    }
+    con.execute("INSERT INTO gfw.features VALUES (9, 1, ?)",
+                [json.dumps(two_part)])
+    sql = fetch_tile_sql("gfw", "features", TILE, field="value")
+    rows = [r for r in con.execute(sql).fetchall() if r[0] == 1]
+    [geom] = [g for v, g in rows]
+    parsed = json.loads(geom)
+    assert parsed["type"] == "MultiPolygon"
+    assert len(parsed["coordinates"]) == 2

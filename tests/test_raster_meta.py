@@ -104,3 +104,14 @@ def test_pipe_writes_sidecar_when_requested(spark, tmp_path):
     rows = pipe.run(spark, files, subset=["10N_000E"]).collect()
     assert rows[0].status == "processed"
     assert os.path.isfile(rows[0].out_path + ".aux.xml")
+
+
+def test_nan_excluded_with_finite_nodata():
+    """Review regression: NaN pixels must not poison stats when nodata
+    is a finite sentinel."""
+    arr = np.array([[1.0, np.nan], [3.0, -9999.0]], dtype="float32")
+    s = band_stats(arr, nodata=-9999.0)
+    assert s == {"min": 1.0, "max": 3.0, "mean": 2.0,
+                 "std_dev": 1.0}
+    h = band_histogram(arr, nodata=-9999.0)
+    assert sum(h["buckets"]) == 2

@@ -56,3 +56,34 @@ def test_q136_small_cap_still_finds_duplicate_pairs(spark, monkeypatch):
     rows = df.collect()
     # near-exact duplicates share their bottom-32 sketch -> still caught
     assert any(r.jaccard >= 0.9 for r in rows)
+
+
+def test_bottom_k_sketch_not_fooled_by_subset(spark):
+    """Review regression: the naive sketch-vs-sketch Jaccard is biased
+    (a superset whose k smallest hashes equal B's set scores 1.0); the
+    Broder bottom-k estimator must score a true-Jaccard-0.5 pair below
+    a 0.9 threshold."""
+    from gfw_pixetl_spark.functions.dedup import prefix_jaccard_pairs
+
+    base = [f"w{i:03d}" for i in range(40)]
+    extra = [f"x{i:03d}" for i in range(40)]
+    rows = [
+        (1, " ".join(base)),            # B: 40 tokens
+        (2, " ".join(base + extra)),    # A ⊃ B: 80 tokens, true J = 0.5
+    ]
+    df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), "doc_id long, text string")
+    # low threshold so the pair passes both the prefix stage and the
+    # verify filter — the estimate itself is what's under test
+    out = prefix_jaccard_pairs(
+        df, threshold=0.2, max_verify_tokens=16).collect()
+    assert len(out) == 1
+    est = out[0].jaccard
+    # Broder bottom-k, k=16, true J=0.5: est ~ Binomial(16, .5)/16;
+    # the biased sketch-vs-sketch estimator would report 1.0 here
+    assert 0.2 <= est <= 0.8, f"estimate {est} wildly off true 0.5"
+    assert est < 0.95, "superset pair scored like an exact duplicate"
+    # and with the threshold above the true Jaccard the pair must drop
+    out_hi = prefix_jaccard_pairs(
+        df, threshold=0.9, max_verify_tokens=16).collect()
+    assert out_hi == []
