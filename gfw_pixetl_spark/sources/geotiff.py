@@ -11,8 +11,10 @@ true partial reads (it decompresses only the tiles intersecting the
 requested window — the property that makes COG reads cheap at 100 TB).
 
 Scope (documented deltas from GDAL):
-* Writer: classic little-endian TIFF (4 GiB file bound — a 40000² uint8
-  DEFLATE tile is far below), tiled layout, DEFLATE (zlib) / LZW /
+* Writer: classic little-endian TIFF, auto-switching to BigTIFF
+  (magic 43, 8-byte offsets) when the payload approaches the classic
+  4 GiB offset bound (or on request) — a 40000² multiband float tile
+  needs it; tiled layout, DEFLATE (zlib) / LZW /
   PackBits / uncompressed, optional predictor=2 (horizontal
   differencing), planar configuration SEPARATE for multiband,
   nearest/average overviews in COG IFD order (full-res IFD first, every
@@ -343,6 +345,7 @@ def write_cog(
     nbits: int | None = None,
     metadata: dict[str, str] | None = None,
     zlevel: int = 6,
+    bigtiff: bool | None = None,
 ) -> dict:
     """Write ``data`` (bands, rows, cols) as a tiled (CO)GeoTIFF.
 
@@ -452,7 +455,7 @@ def write_cog(
             (T_PREDICTOR, FT_SHORT, [predictor]),
             (T_TILE_WIDTH, FT_SHORT, [blockxsize]),
             (T_TILE_LENGTH, FT_SHORT, [blockysize]),
-            (T_TILE_OFFSETS, FT_LONG, tile_offsets),
+            (T_TILE_OFFSETS, off_ftype, tile_offsets),
             (T_TILE_BYTE_COUNTS, FT_LONG, [len(t) for t in plan.tiles]),
             (T_SAMPLE_FORMAT, FT_SHORT, [sfmt] * bands),
         ]
@@ -478,18 +481,32 @@ def write_cog(
         ent.sort(key=lambda e: e[0])
         return ent
 
+    # classic vs BigTIFF: auto-switch when the payload approaches the
+    # 4 GiB classic offset bound (a 40000^2 multiband float tile can),
+    # or honor an explicit request
+    payload_bytes = sum(
+        (len(t) + 1) // 2 * 2 for plan in plans for t in plan.tiles)
+    big = bigtiff if bigtiff is not None else (
+        payload_bytes > (1 << 32) - (1 << 25))
+    off_ftype = FT_LONG8 if big else FT_LONG
+    inline = 8 if big else 4
+    entry_sz = 20 if big else 12
+    cnt_sz, nxt_sz = (8, 8) if big else (2, 4)
+    hdr = 16 if big else 8
+    off_fmt = "Q" if big else "I"
+    cnt_fmt = "Q" if big else "H"
+
     def entry_extra(ftype: int, values) -> int:
         n = len(values)
         sz = _FT_SIZE[ftype] * n
-        return (sz + 1) // 2 * 2 if sz > 4 else 0
+        return (sz + 1) // 2 * 2 if sz > inline else 0
 
     # sizing pass (tile offsets unknown but their count is)
-    hdr = 8
     pos = hdr
     ifd_pos, extra_pos = [], []
     for plan in plans:
         ent = build_entries(plan, [0] * len(plan.tiles))
-        ifd_sz = 2 + 12 * len(ent) + 4
+        ifd_sz = cnt_sz + entry_sz * len(ent) + nxt_sz
         ifd_pos.append(pos)
         extra_pos.append(pos + ifd_sz)
         pos += ifd_sz + sum(entry_extra(ft, v) for _, ft, v in ent)
@@ -506,11 +523,14 @@ def write_cog(
         tile_off.append(offs)
 
     buf = io.BytesIO()
-    buf.write(struct.pack("<2sH I", b"II", 42, ifd_pos[0]))
+    if big:
+        buf.write(struct.pack("<2sHHHQ", b"II", 43, 8, 0, ifd_pos[0]))
+    else:
+        buf.write(struct.pack("<2sHI", b"II", 42, ifd_pos[0]))
     for i, plan in enumerate(plans):
         ent = build_entries(plan, tile_off[i])
         assert buf.tell() == ifd_pos[i]
-        buf.write(struct.pack("<H", len(ent)))
+        buf.write(struct.pack(f"<{cnt_fmt}", len(ent)))
         ext_cursor = extra_pos[i]
         ext_chunks = []
         for tag, ft, values in ent:
@@ -520,16 +540,17 @@ def write_cog(
             else:
                 payload = struct.pack(f"<{len(values)}{_FT_FMT[ft]}", *values)
                 n = len(values)
-            if len(payload) <= 4:
-                buf.write(struct.pack("<HHI", tag, ft, n))
-                buf.write(payload.ljust(4, b"\x00"))
+            if len(payload) <= inline:
+                buf.write(struct.pack(f"<HH{off_fmt}", tag, ft, n))
+                buf.write(payload.ljust(inline, b"\x00"))
             else:
-                buf.write(struct.pack("<HHII", tag, ft, n, ext_cursor))
+                buf.write(struct.pack(
+                    f"<HH{off_fmt}{off_fmt}", tag, ft, n, ext_cursor))
                 pad = payload.ljust((len(payload) + 1) // 2 * 2, b"\x00")
                 ext_chunks.append(pad)
                 ext_cursor += len(pad)
         next_ifd = ifd_pos[i + 1] if i + 1 < len(plans) else 0
-        buf.write(struct.pack("<I", next_ifd))
+        buf.write(struct.pack(f"<{off_fmt}", next_ifd))
         for c in ext_chunks:
             buf.write(c)
     buf.write(b"\x00" * (data_start - buf.tell()))
@@ -955,24 +976,37 @@ def validate_cog(path: str) -> list[str]:
     with open(path, "rb") as f:
         head = f.read(8)
         en = "<" if head[:2] == b"II" else ">"
-        first = struct.unpack(en + "I", head[4:8])[0]
-        max_meta = 8
+        magic = struct.unpack(en + "H", head[2:4])[0]
+        big = magic == 43
+        if big:
+            first = struct.unpack(en + "Q", f.read(8))[0]
+            cnt_sz, entry_sz, nxt_sz, inline = 8, 20, 8, 8
+            cfmt, ofmt = "Q", "Q"
+            max_meta = 16
+        else:
+            first = struct.unpack(en + "I", head[4:8])[0]
+            cnt_sz, entry_sz, nxt_sz, inline = 2, 12, 4, 4
+            cfmt, ofmt = "H", "I"
+            max_meta = 8
         nxt = first
         while nxt:
             f.seek(nxt)
-            n = struct.unpack(en + "H", f.read(2))[0]
-            entries = f.read(n * 12)
-            max_meta = max(max_meta, nxt + 2 + n * 12 + 4)
+            n = struct.unpack(en + cfmt, f.read(cnt_sz))[0]
+            entries = f.read(n * entry_sz)
+            max_meta = max(max_meta, nxt + cnt_sz + n * entry_sz + nxt_sz)
+            fsz = 8 if big else 4
+            ffmt = "Q" if big else "I"
             for i in range(n):
-                tag, ft, cnt = struct.unpack(
-                    en + "HHI", entries[i * 12:i * 12 + 8])
+                e = entries[i * entry_sz:(i + 1) * entry_sz]
+                tag, ft = struct.unpack(en + "HH", e[:4])
+                cnt = struct.unpack(en + ffmt, e[4:4 + fsz])[0]
                 vsz = _FT_SIZE.get(ft, 1) * cnt
-                if vsz > 4:
+                if vsz > inline:
                     off = struct.unpack(
-                        en + "I", entries[i * 12 + 8:i * 12 + 12])[0]
+                        en + ffmt, e[4 + fsz:4 + 2 * fsz])[0]
                     max_meta = max(max_meta, off + vsz)
-            f.seek(nxt + 2 + n * 12)
-            nxt = struct.unpack(en + "I", f.read(4))[0]
+            f.seek(nxt + cnt_sz + n * entry_sz)
+            nxt = struct.unpack(en + ofmt, f.read(nxt_sz))[0]
     if max_meta > min_tile:
         errs.append(
             f"IFD metadata (ends {max_meta}) interleaves tile data "

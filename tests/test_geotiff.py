@@ -476,3 +476,36 @@ def test_metadata_xml_escaping(tmp_path):
               metadata={"note": 'A&B <tag> "quoted"'}, overviews=False)
     t = GeoTiff.open(path)
     assert t.metadata["note"] == 'A&B <tag> "quoted"'
+
+
+def test_bigtiff_write_read_roundtrip(tmp_path):
+    """BigTIFF writer path (magic 43, 8-byte offsets): forced small file
+    round-trips through the existing BigTIFF-aware reader — the layout
+    a >4 GiB production tile would auto-select."""
+    rng = np.random.default_rng(6)
+    data = rng.integers(1, 200, size=(2, 300, 400)).astype("uint16")
+    path = str(tmp_path / "big.tif")
+    write_cog(path, data, transform=TRANSFORM, nodata=0, blockxsize=128,
+              bigtiff=True)
+    with open(path, "rb") as f:
+        assert f.read(4) == b"II\x2b\x00"  # magic 43 little-endian
+    t = GeoTiff.open(path)
+    np.testing.assert_array_equal(
+        t.read_window(0, 0, 400, 300, masked=False), data)
+    np.testing.assert_array_equal(
+        t.read_window(111, 37, 120, 90, masked=False),
+        data[:, 37:127, 111:231])
+    assert t.crs == "EPSG:4326" and t.nodata == 0
+    # classic stays the default for small payloads
+    small = str(tmp_path / "small.tif")
+    write_cog(small, data, transform=TRANSFORM, overviews=False)
+    with open(small, "rb") as f:
+        assert f.read(4) == b"II\x2a\x00"
+
+
+def test_bigtiff_validates_as_cog(tmp_path):
+    data = _data("uint8", rows=600, cols=600)
+    path = str(tmp_path / "bigcog.tif")
+    write_cog(path, data, transform=TRANSFORM, blockxsize=128,
+              bigtiff=True)
+    assert validate_cog(path) == []
