@@ -42,6 +42,33 @@ except ImportError:  # pragma: no cover
     HAVE_BOTO3 = False
 
 
+def _with_retries(
+    fn,
+    attempts: int = 5,
+    base_delay: float = 0.5,
+    retryable=(Exception,),
+):
+    """Bounded exponential-backoff retry for transient object-store
+    errors — the role of the reference's ``@retry(...)`` wrappers on its
+    S3/GDAL IO (``utils/gdal.py`` stop_max_attempt_number=7,
+    ``sources.py`` metadata fetch). Deterministic delays (no jitter
+    source) keep executor behavior reproducible; at 1000 executors the
+    per-task backoff is what stops a blip from becoming a retry storm.
+    """
+    import time
+
+    last = None
+    for attempt in range(attempts):
+        try:
+            return fn()
+        except retryable as e:  # noqa: PERF203 - retry loop by design
+            last = e
+            if attempt == attempts - 1:
+                break
+            time.sleep(base_delay * (2 ** attempt))
+    raise last
+
+
 @dataclass(frozen=True)
 class S3Config:
     """Connection recipe for an S3-compatible endpoint. Picklable, so it
@@ -86,11 +113,16 @@ def list_files(cfg: S3Config, bucket: str, pattern: str) -> list[str]:
     treats as the first-wins mosaic order (S5)."""
     prefix = pattern.split("*", 1)[0]
     client = cfg.client()
-    keys: list[str] = []
-    paginator = client.get_paginator("list_objects_v2")
-    for page in paginator.paginate(Bucket=bucket, Prefix=prefix):
-        for obj in page.get("Contents", []):
-            keys.append(obj["Key"])
+
+    def _list() -> list[str]:
+        keys: list[str] = []
+        paginator = client.get_paginator("list_objects_v2")
+        for page in paginator.paginate(Bucket=bucket, Prefix=prefix):
+            for obj in page.get("Contents", []):
+                keys.append(obj["Key"])
+        return keys
+
+    keys = _with_retries(_list)
     if "*" in pattern:
         keys = [k for k in keys if fnmatch.fnmatch(k, pattern)]
     return keys
@@ -127,9 +159,9 @@ def fetch_cog_profile(
     client = cfg.client()
     rng = first_bytes
     while True:
-        body = client.get_object(
+        body = _with_retries(lambda: client.get_object(
             Bucket=bucket, Key=key, Range=f"bytes=0-{rng - 1}"
-        )["Body"].read()
+        )["Body"].read())
         try:
             tif = GeoTiff.from_bytes(body, path=f"s3://{bucket}/{key}")
             return tif.profile
@@ -182,7 +214,9 @@ def upload_tiles(
                     continue
                 key = f"{pre}/{r.tile_id}{ext}"
                 n = os.path.getsize(r.out_path)
-                client.upload_file(r.out_path, bucket, key)
+                _with_retries(
+                    lambda p=r.out_path, k=key:
+                    client.upload_file(p, bucket, k))
                 out.append((r.tile_id, key, n))
                 # stats sidecar rides along when present
                 # (tiles/tile.py:154-162)

@@ -113,3 +113,26 @@ def test_upload_tiles_and_manifest(spark, tmp_path, s3cfg):
 def test_existing_tiles_empty_prefix(spark, s3cfg):
     df = existing_tiles(spark, s3cfg, BUCKET, "nothing/here")
     assert df.count() == 0 and df.columns == ["tile_id"]
+
+
+def test_retry_helper_recovers_and_gives_up():
+    from gfw_pixetl_spark.sources.object_store import _with_retries
+
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise ConnectionError("blip")
+        return "ok"
+
+    assert _with_retries(flaky, attempts=5, base_delay=0.0) == "ok"
+    assert calls["n"] == 3
+
+    import pytest
+
+    def always():
+        raise TimeoutError("down")
+
+    with pytest.raises(TimeoutError):
+        _with_retries(always, attempts=3, base_delay=0.0)
