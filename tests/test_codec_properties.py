@@ -96,3 +96,46 @@ def test_utm_roundtrip_property(lat, dlon, zone, north):
     blon, blat = utm_to_latlng(x, y, epsg)
     assert abs(blat - lat) < 1e-9
     assert abs((blon - lon + 180.0) % 360.0 - 180.0) < 1e-9
+
+
+@given(data=_rasters(), seed=st.integers(0, 2**31 - 1))
+@settings(**_SETTINGS)
+def test_geotiff_reader_survives_truncation(tmp_path_factory, data, seed):
+    """Robustness: truncated files must raise a clean error (ValueError /
+    struct.error / zlib.error / EOF-ish), never hang or crash the
+    interpreter — the failure mode a 1000-executor scan can tolerate."""
+    import struct as _struct
+    import zlib as _zlib
+
+    rng = np.random.default_rng(seed)
+    path = str(tmp_path_factory.mktemp("tr") / "t.tif")
+    write_cog(path, data, transform=(0.0, 0.5, 50.0, 0.5), nodata=None,
+              blockxsize=16, overviews=False)
+    blob = open(path, "rb").read()
+    cut = int(rng.integers(1, len(blob)))
+    trunc = str(tmp_path_factory.mktemp("tr2") / "trunc.tif")
+    open(trunc, "wb").write(blob[:cut])
+    try:
+        t = GeoTiff.open(trunc)
+        t.read_window(0, 0, t.width, t.height)
+    except (ValueError, _struct.error, _zlib.error, IndexError, KeyError,
+            EOFError, OSError):
+        pass  # clean, typed failure
+
+
+@given(img=_images(max_side=24), seed=st.integers(0, 2**31 - 1))
+@settings(**_SETTINGS)
+def test_png_reader_survives_corruption(img, seed):
+    import struct as _struct
+    import zlib as _zlib
+
+    rng = np.random.default_rng(seed)
+    blob = bytearray(encode_png(img.astype("uint8")
+                                if img.dtype != np.uint8 else img))
+    pos = int(rng.integers(8, len(blob)))
+    blob[pos] ^= int(rng.integers(1, 256))
+    try:
+        decode_png(bytes(blob))
+    except (ValueError, _struct.error, _zlib.error, IndexError, KeyError,
+            EOFError):
+        pass  # CRC or structure check caught it
