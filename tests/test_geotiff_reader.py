@@ -117,3 +117,44 @@ def test_pipe_cog_to_cog(spark, tmp_path, sources):
     ox, sx, oy, sy = out.transform
     assert (ox, oy) == (0.0, 10.0)
     assert abs(sx - GRID.xres) < 1e-12
+
+
+def test_streaming_incremental_tiler_with_real_cogs(spark, tmp_path,
+                                                    sources):
+    """Streaming drop-directory tiling over REAL COG sources: manifest
+    lands -> micro-batch runs the pipe with GeoTIFFReader -> real COG
+    tiles out; a re-trigger with no new drops is a no-op."""
+    import json
+
+    from gfw_pixetl_spark.streaming.incremental import IncrementalTiler
+
+    layer = LayerModel(
+        dataset="stream_cog", version="v1", source_type="raster",
+        pixel_meaning="value", data_type="uint8", grid="10/40000",
+        calc="A", no_data=0, source_uri=["memory://cogs"],
+    )
+    pipe = rp.RasterPipe(
+        layer=layer, reader=GeoTIFFReader(), work_dir=str(tmp_path / "w"),
+        grid=GRID,
+    )
+    drop = tmp_path / "drops"
+    drop.mkdir()
+    tiler = IncrementalTiler(
+        pipe=pipe, manifest_dir=str(drop),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        status_dir=str(tmp_path / "status"),
+        subset=["10N_000E"],
+    )
+    (drop / "m1.json").write_text(json.dumps(
+        {"uri": sources["b"][0], "band": 1,
+         "left": 0.0, "bottom": 0.0, "right": 10.0, "top": 10.0}) + "\n")
+    tiler.run_available_now(spark)
+    rows = tiler.statuses_of(spark).collect()
+    assert len(rows) == 1 and rows[0].status == "processed"
+    got, profile = read_tile(rows[0].out_path)
+    _, b = sources["b"]
+    np.testing.assert_array_equal(got[0], np.where(b == 0, 0, b))
+    assert profile["crs"] == "EPSG:4326"
+    # no new drops -> no re-burn
+    tiler.run_available_now(spark)
+    assert tiler.statuses_of(spark).count() == 1
