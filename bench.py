@@ -188,10 +188,7 @@ def main() -> None:
                 file=sys.stderr,
             )
 
-    def median(xs: list[float]) -> float:
-        s = sorted(xs)
-        m = len(s) // 2
-        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+    from statistics import median
 
     timings = {
         name: round(median(xs), 3) if xs else -1.0

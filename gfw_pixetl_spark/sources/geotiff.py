@@ -522,46 +522,48 @@ def write_cog(
             cur += (len(t) + 1) // 2 * 2  # word-align each tile
         tile_off.append(offs)
 
-    buf = io.BytesIO()
-    if big:
-        buf.write(struct.pack("<2sHHHQ", b"II", 43, 8, 0, ifd_pos[0]))
-    else:
-        buf.write(struct.pack("<2sHI", b"II", 42, ifd_pos[0]))
-    for i, plan in enumerate(plans):
-        ent = build_entries(plan, tile_off[i])
-        assert buf.tell() == ifd_pos[i]
-        buf.write(struct.pack(f"<{cnt_fmt}", len(ent)))
-        ext_cursor = extra_pos[i]
-        ext_chunks = []
-        for tag, ft, values in ent:
-            if ft == FT_ASCII:
-                payload = values.encode("ascii")
-                n = len(payload)
-            else:
-                payload = struct.pack(f"<{len(values)}{_FT_FMT[ft]}", *values)
-                n = len(values)
-            if len(payload) <= inline:
-                buf.write(struct.pack(f"<HH{off_fmt}", tag, ft, n))
-                buf.write(payload.ljust(inline, b"\x00"))
-            else:
-                buf.write(struct.pack(
-                    f"<HH{off_fmt}{off_fmt}", tag, ft, n, ext_cursor))
-                pad = payload.ljust((len(payload) + 1) // 2 * 2, b"\x00")
-                ext_chunks.append(pad)
-                ext_cursor += len(pad)
-        next_ifd = ifd_pos[i + 1] if i + 1 < len(plans) else 0
-        buf.write(struct.pack(f"<{off_fmt}", next_ifd))
-        for c in ext_chunks:
-            buf.write(c)
-    buf.write(b"\x00" * (data_start - buf.tell()))
-    for i, plan in enumerate(plans):
-        for j, t in enumerate(plan.tiles):
-            assert buf.tell() == tile_off[i][j]
-            buf.write(t.ljust((len(t) + 1) // 2 * 2, b"\x00"))
-
+    # stream directly to the tmp file — buffering the whole image in
+    # memory first would double the peak footprint of a multi-GiB
+    # BigTIFF tile for no benefit (offsets are precomputed above)
     tmp = f"{path}.tmp{os.getpid()}"
-    with open(tmp, "wb") as f:
-        f.write(buf.getvalue())
+    with open(tmp, "wb") as buf:
+        if big:
+            buf.write(struct.pack("<2sHHHQ", b"II", 43, 8, 0, ifd_pos[0]))
+        else:
+            buf.write(struct.pack("<2sHI", b"II", 42, ifd_pos[0]))
+        for i, plan in enumerate(plans):
+            ent = build_entries(plan, tile_off[i])
+            assert buf.tell() == ifd_pos[i]
+            buf.write(struct.pack(f"<{cnt_fmt}", len(ent)))
+            ext_cursor = extra_pos[i]
+            ext_chunks = []
+            for tag, ft, values in ent:
+                if ft == FT_ASCII:
+                    payload = values.encode("ascii")
+                    n = len(payload)
+                else:
+                    payload = struct.pack(
+                        f"<{len(values)}{_FT_FMT[ft]}", *values)
+                    n = len(values)
+                if len(payload) <= inline:
+                    buf.write(struct.pack(f"<HH{off_fmt}", tag, ft, n))
+                    buf.write(payload.ljust(inline, b"\x00"))
+                else:
+                    buf.write(struct.pack(
+                        f"<HH{off_fmt}{off_fmt}", tag, ft, n, ext_cursor))
+                    pad = payload.ljust(
+                        (len(payload) + 1) // 2 * 2, b"\x00")
+                    ext_chunks.append(pad)
+                    ext_cursor += len(pad)
+            next_ifd = ifd_pos[i + 1] if i + 1 < len(plans) else 0
+            buf.write(struct.pack(f"<{off_fmt}", next_ifd))
+            for c in ext_chunks:
+                buf.write(c)
+        buf.write(b"\x00" * (data_start - buf.tell()))
+        for i, plan in enumerate(plans):
+            for j, t in enumerate(plan.tiles):
+                assert buf.tell() == tile_off[i][j]
+                buf.write(t.ljust((len(t) + 1) // 2 * 2, b"\x00"))
     os.replace(tmp, path)  # atomic publish, safe under task retry
 
     profile = {
@@ -998,7 +1000,7 @@ def validate_cog(path: str) -> list[str]:
             ffmt = "Q" if big else "I"
             for i in range(n):
                 e = entries[i * entry_sz:(i + 1) * entry_sz]
-                tag, ft = struct.unpack(en + "HH", e[:4])
+                ft = struct.unpack(en + "H", e[2:4])[0]
                 cnt = struct.unpack(en + ffmt, e[4:4 + fsz])[0]
                 vsz = _FT_SIZE.get(ft, 1) * cnt
                 if vsz > inline:

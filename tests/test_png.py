@@ -84,6 +84,11 @@ def test_decode_image_gates_non_png():
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg bytes")
 
 
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    crc = zlib.crc32(tag + body) & 0xFFFFFFFF
+    return struct.pack(">I", len(body)) + tag + body + struct.pack(">I", crc)
+
+
 def _adam7_encode(arr: np.ndarray) -> bytes:
     """Minimal Adam7 encoder (filter 0 rows) for decoder tests."""
     h, w, ch = arr.shape
@@ -98,13 +103,9 @@ def _adam7_encode(arr: np.ndarray) -> bytes:
             stream.append(0)
             stream.extend(row.astype("u1").tobytes())
     ihdr = struct.pack(">IIBBBBB", w, h, 8, {1: 0, 3: 2, 4: 6}[ch], 0, 0, 1)
-    def chunk(tag, body):
-        crc = zlib.crc32(tag + body) & 0xFFFFFFFF
-        return struct.pack(">I", len(body)) + tag + body + struct.pack(
-            ">I", crc)
-    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", zlib.compress(bytes(stream)))
-            + chunk(b"IEND", b""))
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(stream)))
+            + _png_chunk(b"IEND", b""))
 
 
 @pytest.mark.parametrize("shape", [(13, 17, 1), (8, 8, 3), (5, 3, 4),
@@ -125,13 +126,9 @@ def test_palette_decode():
         stream.append(0)
         stream.extend(row.tobytes())
     ihdr = struct.pack(">IIBBBBB", 7, 9, 8, 3, 0, 0, 0)
-    def chunk(tag, body):
-        crc = zlib.crc32(tag + body) & 0xFFFFFFFF
-        return struct.pack(">I", len(body)) + tag + body + struct.pack(
-            ">I", crc)
-    data = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-            + chunk(b"PLTE", plte.tobytes())
-            + chunk(b"IDAT", zlib.compress(bytes(stream)))
-            + chunk(b"IEND", b""))
+    data = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"PLTE", plte.tobytes())
+            + _png_chunk(b"IDAT", zlib.compress(bytes(stream)))
+            + _png_chunk(b"IEND", b""))
     dec = decode_png(data)
     np.testing.assert_array_equal(dec, plte[idx])
