@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "q163_mixture_interleave",
     "q164_bpe_pair_counts",
     "q165_ann_recall",
+    "q166_lsh_quality",
 ]
 
 

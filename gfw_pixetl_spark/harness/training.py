@@ -868,3 +868,59 @@ def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", F.col("cid").alias("assigned"),
         F.round("d2", 6).alias("dist2"),
     )
+
+
+# --------------------------------------------------------------------------
+# q166 — dedup-index quality evaluation: precision/recall of the
+# MinHash-LSH candidate set (q29) against exact word-set Jaccard >= 0.5
+# ground truth (computed sub-quadratically via the prefix-filtered
+# SSJoin, q136's operator). The eval every near-dup deployment runs to
+# pick its band/permutation config — the dedup twin of q165's ANN
+# recall. One row: candidate volume, truth volume, hits, both rates.
+# --------------------------------------------------------------------------
+@register(
+    "q166_lsh_quality",
+    oracle=f"""
+    WITH cands AS (
+      {_Q29_SQL}
+    ), base AS (
+      SELECT doc_id, list_distinct(
+        list_filter(string_split(text, ' '), w -> w != '')) AS ws
+      FROM documents
+    ), truth AS (
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+      FROM base a JOIN base b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.ws, b.ws))
+            / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws)))
+            >= 0.5
+    ), hits AS (
+      SELECT COUNT(*) AS n_hits
+      FROM cands JOIN truth USING (doc_id_a, doc_id_b)
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_truth,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cands) AS n_candidates,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           round(n_hits / (SELECT COUNT(*) FROM cands), 6) AS precision,
+           round(n_hits / (SELECT COUNT(*) FROM truth), 6) AS recall
+    FROM hits
+    """,
+)
+def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs)
+    cands = D.lsh_candidate_pairs(sigs)
+    truth = D.prefix_jaccard_pairs(docs, threshold=0.5).select(
+        "doc_id_a", "doc_id_b")
+    hits = cands.join(truth, ["doc_id_a", "doc_id_b"]).agg(
+        F.count("*").alias("n_hits"))
+    n_truth = truth.agg(F.count("*").alias("n_truth"))
+    n_cands = cands.agg(F.count("*").alias("n_candidates"))
+    return (
+        hits.join(F.broadcast(n_truth)).join(F.broadcast(n_cands))
+        .select(
+            "n_truth", "n_candidates", "n_hits",
+            F.round(F.col("n_hits") / F.col("n_candidates"), 6)
+            .alias("precision"),
+            F.round(F.col("n_hits") / F.col("n_truth"), 6).alias("recall"),
+        )
+    )
