@@ -329,3 +329,74 @@ def centroid_assign(
             F.round("cos", 6).alias("sim"),
         )
     )
+
+
+def covariance_upper(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Upper-triangle covariance matrix of an embedding column via
+    PARTIAL GRAM aggregation: each partition computes its own X^T X /
+    column sums / count with one BLAS call inside an Arrow kernel, and
+    only those d^2-sized partials shuffle — never the vectors. At 100 TB
+    the shuffle volume is (#partitions x d^2) rows, independent of
+    corpus size; the classic one-pass distributed moment pattern (same
+    shape Spark MLlib's RowMatrix.computeGramianMatrix uses).
+
+    Output: (i, j, cov) for 1 <= i <= j <= d, cov = E[xy] - E[x]E[y],
+    rounded to 6 digits so partial-sum association order can't flip the
+    comparison.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gram = None
+        sums = None
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            n += X.shape[0]
+            g = X.T @ X
+            s = X.sum(axis=0)
+            gram = g if gram is None else gram + g
+            sums = s if sums is None else sums + s
+        if gram is None:
+            return
+        d = gram.shape[0]
+        iu, ju = np.triu_indices(d)
+        yield pd.concat([
+            pd.DataFrame({"i": (iu + 1).astype("int32"),
+                          "j": (ju + 1).astype("int32"),
+                          "v": gram[iu, ju]}),
+            pd.DataFrame({"i": np.arange(1, d + 1, dtype="int32"),
+                          "j": np.zeros(d, dtype="int32"), "v": sums}),
+            pd.DataFrame({"i": np.int32([0]), "j": np.int32([0]),
+                          "v": [float(n)]}),
+        ], ignore_index=True)
+
+    partials = df.select(vec_col).mapInPandas(kernel, "i int, j int, v double")
+    sums = partials.groupBy("i", "j").agg(F.sum("v").alias("s"))
+    n_row = sums.filter((F.col("i") == 0) & (F.col("j") == 0)).select(
+        F.col("s").alias("n"))
+    means = sums.filter((F.col("j") == 0) & (F.col("i") > 0)).select(
+        F.col("i").alias("mi"), F.col("s").alias("msum"))
+    pairs = sums.filter(F.col("j") > 0)
+    return (
+        pairs.crossJoin(F.broadcast(n_row))
+        .join(F.broadcast(means).withColumnRenamed("mi", "_a")
+              .withColumnRenamed("msum", "sum_a"), F.col("i") == F.col("_a"))
+        .join(F.broadcast(means).withColumnRenamed("mi", "_b")
+              .withColumnRenamed("msum", "sum_b"), F.col("j") == F.col("_b"))
+        .select(
+            "i", "j",
+            (F.round(
+                F.col("s") / F.col("n")
+                - (F.col("sum_a") / F.col("n")) * (F.col("sum_b") / F.col("n")),
+                6,
+            ) + 0.0).alias("cov"),  # + 0.0 canonicalizes IEEE -0.0
+        )
+    )

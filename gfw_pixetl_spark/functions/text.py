@@ -270,3 +270,45 @@ def domain_mix_weights(
             F.round(F.col("w") / F.col("w_total"), 6).alias("weight"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 200,
+    overlap: int = 40,
+) -> DataFrame:
+    """Overlapping fixed-width chunking (the RAG / context-window prep
+    step): each document explodes into ``ceil((len - overlap) / stride)``
+    chunks of ``size`` chars starting every ``stride = size - overlap``.
+
+    Entirely JVM-side (sequence + explode + substring inside whole-stage
+    codegen): no Python crosses the hot path, and the explode fan-out is
+    data-local — chunking 100 TB shuffles nothing, each input split
+    emits its own chunks. The last chunk is short rather than padded,
+    matching how retrieval indexes ingest text.
+    """
+    if overlap >= size:
+        raise ValueError("overlap must be < size")
+    stride = size - overlap
+    n = F.length(text_col)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((n - F.lit(overlap)) / F.lit(float(stride))).cast("int"),
+    )
+    return (
+        df.select(
+            id_col, text_col,
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            (F.col("chunk_id") * stride).cast("long").alias("chunk_start"),
+            F.expr(
+                f"substring({text_col}, chunk_id * {stride} + 1, {size})"
+            ).alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text").cast("long"))
+    )

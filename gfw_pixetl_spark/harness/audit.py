@@ -354,3 +354,71 @@ def q148(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("revenue") - prev, 2).alias("delta"),
         F.round((F.col("revenue") - prev) / prev, 6).alias("growth"),
     )
+
+
+# --------------------------------------------------------------------------
+# q168 — Bloom-sketch decontamination probe: build a 16 Kbit / 3-hash
+# Bloom bitmap over a "benchmark" subset (doc_id % 10 == 0), probe the
+# whole corpus against the BROADCAST bitmap, and tally per source:
+# flagged (all k bits set), true members, and the false positives the
+# sketch admits. The corpus-scale side never shuffles more than a k-way
+# fan-out; the bitmap is ~2 KB regardless of benchmark size — the shape
+# that makes benchmark decontamination feasible at 100 TB (an exact
+# anti-join would shuffle the full corpus text).
+# --------------------------------------------------------------------------
+@register(
+    "q168_bloom_decontaminate",
+    oracle="""
+    WITH bench AS (
+      SELECT text FROM documents WHERE doc_id % 10 = 0
+    ), bits AS (
+      SELECT DISTINCT
+        CAST(('0x' || substr(md5(text || '|' || j), 1, 15)) AS BIGINT)
+          % 16384 AS pos
+      FROM bench, (VALUES (0), (1), (2)) t(j)
+    ), probe AS (
+      SELECT d.doc_id, d.source, d.text,
+             CAST(('0x' || substr(md5(d.text || '|' || j.j), 1, 15))
+                  AS BIGINT) % 16384 AS pos
+      FROM documents d, (VALUES (0), (1), (2)) j(j)
+    ), hits AS (
+      SELECT doc_id, source, text,
+             SUM(CASE WHEN b.pos IS NOT NULL THEN 1 ELSE 0 END) AS nhit
+      FROM probe LEFT JOIN bits b USING (pos)
+      GROUP BY 1, 2, 3
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN nhit = 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_flagged,
+           CAST(SUM(CASE WHEN text IN (SELECT text FROM bench)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_members,
+           CAST(SUM(CASE WHEN nhit = 3
+                          AND text NOT IN (SELECT text FROM bench)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+    FROM hits
+    GROUP BY source
+    """,
+)
+def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import dedup as D
+
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    bloom = D.bloom_build(bench, "text")
+    probed = D.bloom_probe(docs.select("doc_id", "source", "text"), bloom)
+    member = F.col("_m").isNotNull()
+    probed = probed.join(
+        F.broadcast(bench.select(F.col("text").alias("_bt"))
+                    .distinct().withColumn("_m", F.lit(1))),
+        probed.text == F.col("_bt"), "left",
+    )
+    return probed.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("maybe_in_set"), 1).otherwise(0))
+         .cast("bigint").alias("n_flagged"),
+        F.sum(F.when(member, 1).otherwise(0)).cast("bigint")
+         .alias("n_members"),
+        F.sum(F.when(F.col("maybe_in_set") & ~member, 1).otherwise(0))
+         .cast("bigint").alias("n_false_pos"),
+    )

@@ -951,3 +951,35 @@ def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .filter(F.col("n") >= 10)
     )
+
+
+# --------------------------------------------------------------------------
+# q167 — overlapping document chunking (RAG / context-window prep):
+# size-200 chunks every 160 chars (40 overlap), short final chunk kept.
+# Pure sequence+explode+substring — whole-stage codegen end to end; the
+# fan-out is data-local so the op shuffles nothing at any corpus size.
+# Reference analog: the windowed read planner (tiles/tile.py windows)
+# applied to text instead of rasters.
+# --------------------------------------------------------------------------
+@register(
+    "q167_doc_chunking",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, text,
+             unnest(range(0, GREATEST(
+               CAST(ceil((length(text) - 40) / 160.0) AS BIGINT), 1)))
+               AS chunk_id
+      FROM documents
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(chunk_id * 160 AS BIGINT) AS chunk_start,
+           substring(text, CAST(chunk_id * 160 + 1 AS INT), 200)
+             AS chunk_text,
+           CAST(length(substring(text, CAST(chunk_id * 160 + 1 AS INT),
+                                 200)) AS BIGINT) AS chunk_len
+    FROM ch
+    """,
+)
+def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return T.chunk_documents(docs, size=200, overlap=40)

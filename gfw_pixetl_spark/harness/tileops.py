@@ -557,3 +557,67 @@ def q152(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_pixels"),
         F.sum("value").alias("sum_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# q169 — focal (3x3 neighborhood) raster stencil over a real COG with
+# HALO READS: each window task re-reads a 1-pixel ring from the COG
+# (tile-granular partial read) instead of shuffling edge pixels — the
+# distributed-stencil shape (slope/hillshade/convolution) at 100 TB.
+# The demo raster is analytic (v = (5r + 3c) mod 13, 96x96, 32-px COG
+# tiles so halos cross tile boundaries); sums are integers, so the
+# oracle replays the 9-term arithmetic exactly — no float rounding.
+# --------------------------------------------------------------------------
+def _focal_demo_file() -> str:
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from ..sources.geotiff import write_cog
+
+    d = os.path.join(tempfile.gettempdir(), "gfw_pixetl_spark_rt_demo")
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, "focal.tif")
+    if not os.path.exists(p):
+        ii, jj = np.meshgrid(np.arange(96), np.arange(96), indexing="ij")
+        v = ((ii * 5 + jj * 3) % 13).astype("uint8")
+        write_cog(p, v[None], transform=(0.0, 0.05, 10.0, 0.05),
+                  blockxsize=32, overviews=False)
+    return p
+
+
+_FOCAL_TERMS = " + ".join(
+    f"((r + {di - 1}) * 5 + (c + {dj - 1}) * 3) % 13"
+    for di in range(3) for dj in range(3)
+)
+
+
+@register(
+    "q169_focal_stencil",
+    oracle=f"""
+    WITH px AS (
+      SELECT i.r AS r, j.c AS c, {_FOCAL_TERMS} AS fsum
+      FROM generate_series(1, 94) i(r), generate_series(1, 94) j(c)
+    )
+    SELECT CAST(r // 16 AS INTEGER) AS block_r,
+           CAST(c // 16 AS INTEGER) AS block_c,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(fsum) AS BIGINT) AS sum_focal,
+           CAST(MAX(fsum) AS BIGINT) AS max_focal
+    FROM px GROUP BY 1, 2
+    """,
+)
+def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.raster_table import focal_sum_pixels, raster_catalog
+
+    cat = raster_catalog(spark, [_focal_demo_file()])
+    px = focal_sum_pixels(cat, window=48, parallelism=8)
+    return px.groupBy(
+        F.floor(F.col("row") / 16).cast("int").alias("block_r"),
+        F.floor(F.col("col") / 16).cast("int").alias("block_c"),
+    ).agg(
+        F.count("*").alias("n_px"),
+        F.sum("focal_sum").alias("sum_focal"),
+        F.max("focal_sum").alias("max_focal"),
+    )

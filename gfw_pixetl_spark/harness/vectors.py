@@ -401,3 +401,39 @@ def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(hit).alias("k_hit"),
         F.round(F.sum(hit) / F.count("*"), 6).alias("recall_at_5"),
     )
+
+
+# --------------------------------------------------------------------------
+# q170 — embedding covariance matrix (the whitening / PCA-prep moment
+# pass): upper-triangle cov via PARTIAL GRAM aggregation — each
+# partition emits one d^2 partial (X^T X, column sums, count) from a
+# single BLAS call, so shuffle volume is #partitions x d^2 regardless
+# of corpus size. The oracle replays the moments with zipped unnests.
+# --------------------------------------------------------------------------
+@register(
+    "q170_embed_covariance",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             unnest(range(1, len(embedding) + 1)) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), n AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM embeddings
+    ), m AS (
+      SELECT i, SUM(x) AS sx FROM e GROUP BY i
+    )
+    SELECT a.i AS i, b.i AS j,
+           round(SUM(a.x * b.x) / n.n
+                 - (ma.sx / n.n) * (mb.sx / n.n), 6) + 0.0 AS cov
+    FROM e a
+    JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+    CROSS JOIN n
+    JOIN m ma ON ma.i = a.i
+    JOIN m mb ON mb.i = b.i
+    GROUP BY a.i, b.i, n.n, ma.sx, mb.sx
+    """,
+)
+def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return S.covariance_upper(emb)

@@ -150,3 +150,100 @@ def read_pixels(
     return tasks.select(
         "uri", "wx", "wy"
     ).mapInPandas(kernel, PIXEL_SCHEMA)
+
+
+FOCAL_SCHEMA = (
+    "uri string, band int, row int, col int, "
+    "x double, y double, focal_sum long"
+)
+
+
+def focal_sum_pixels(
+    catalog: DataFrame,
+    window: int = 2048,
+    parallelism: int | None = None,
+    radius: int = 1,
+) -> DataFrame:
+    """Focal (neighborhood) sum over the cataloged rasters: for every
+    pixel whose full ``(2r+1)^2`` neighborhood lies inside the image,
+    emit the integer sum of that neighborhood.
+
+    The distributed-stencil part is the HALO READ: each window task
+    re-reads a ``radius``-pixel ring around its window straight from the
+    COG (tile-granular partial read) instead of shuffling edge pixels
+    between tasks. At 100 TB that turns the classic halo exchange into
+    cheap duplicate IO (``2r`` extra rows per window) and keeps the op
+    embarrassingly parallel — no shuffle until the caller aggregates.
+    Values accumulate in int64 so results are exact and order-free.
+    """
+    files = catalog
+    win = F.lit(window)
+    nwx = F.ceil(F.col("width") / win).cast("int")
+    nwy = F.ceil(F.col("height") / win).cast("int")
+    tasks = (
+        files.select(
+            "uri",
+            F.explode(F.sequence(F.lit(0), nwx - 1)).alias("wx"),
+            nwy.alias("nwy"),
+        )
+        .select(
+            "uri", "wx",
+            F.explode(F.sequence(F.lit(0), F.col("nwy") - 1)).alias("wy"),
+        )
+    )
+    tasks = (
+        tasks.repartition(parallelism, "uri", "wx", "wy")
+        if parallelism else tasks.repartition("uri", "wx", "wy")
+    )
+    rad = radius
+    side = 2 * rad + 1
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        open_files: dict[str, GeoTiff] = {}
+        for pdf in batches:
+            for t_row in pdf.itertuples(index=False):
+                t = open_files.get(t_row.uri)
+                if t is None:
+                    t = open_files[t_row.uri] = GeoTiff.open(t_row.uri)
+                # output range: window pixels whose neighborhood is
+                # fully inside the image
+                oc0 = max(t_row.wx * window, rad)
+                or0 = max(t_row.wy * window, rad)
+                oc1 = min((t_row.wx + 1) * window, t.width - rad)
+                or1 = min((t_row.wy + 1) * window, t.height - rad)
+                if oc1 <= oc0 or or1 <= or0:
+                    continue
+                # halo read: output range expanded by the radius
+                c0, r0 = oc0 - rad, or0 - rad
+                w, h = (oc1 - oc0) + 2 * rad, (or1 - or0) + 2 * rad
+                arr = t.read_window(c0, r0, w, h)
+                data = np.ma.getdata(arr).astype("int64")
+                valid = ~np.ma.getmaskarray(arr)
+                ox, sx, oy, sy = t.transform
+                cols_idx = np.arange(oc0, oc1)
+                rows_idx = np.arange(or0, or1)
+                xs = ox + (cols_idx + 0.5) * sx
+                ys = oy - (rows_idx + 0.5) * sy
+                out = []
+                for b in range(arr.shape[0]):
+                    acc = np.zeros((or1 - or0, oc1 - oc0), dtype="int64")
+                    nb_ok = np.ones_like(acc, dtype=bool)
+                    oh, ow = h - 2 * rad, w - 2 * rad
+                    for di in range(side):
+                        for dj in range(side):
+                            acc += data[b, di:di + oh, dj:dj + ow]
+                            nb_ok &= valid[b, di:di + oh, dj:dj + ow]
+                    bi, bj = np.nonzero(nb_ok)
+                    if not len(bi):
+                        continue
+                    out.append(pd.DataFrame({
+                        "uri": t_row.uri, "band": np.int32(b + 1),
+                        "row": rows_idx[bi].astype("int32"),
+                        "col": cols_idx[bj].astype("int32"),
+                        "x": xs[bj], "y": ys[bi],
+                        "focal_sum": acc[bi, bj],
+                    }))
+                if out:
+                    yield pd.concat(out, ignore_index=True)
+
+    return tasks.select("uri", "wx", "wy").mapInPandas(kernel, FOCAL_SCHEMA)

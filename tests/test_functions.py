@@ -275,3 +275,71 @@ def test_prefix_ssjoin_finds_planted_neardups(spark):
     assert set(out) == {(1, 2)}
     # 10 shingles each, 9 shared -> 9/11
     assert out[(1, 2)] == round(9 / 11, 6)
+
+
+# -- chunking (q167 operator) ---------------------------------------------
+
+def test_chunk_documents_coverage(spark):
+    texts = ["a" * 553, "b" * 200, "c" * 201, "d" * 40, "e"]
+    df = T.chunk_documents(docs_df(spark, texts), size=200, overlap=40)
+    rows = df.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # chunk counts: ceil((n-40)/160) clamped to >= 1
+    assert len(by_doc[0]) == 4 and len(by_doc[1]) == 1
+    assert len(by_doc[2]) == 2 and len(by_doc[3]) == 1 and len(by_doc[4]) == 1
+    for i, text in enumerate(texts):
+        chunks = sorted(by_doc[i], key=lambda r: r.chunk_id)
+        # starts stride apart, reconstruction covers the full text
+        rebuilt = chunks[0].chunk_text
+        for prev, cur in zip(chunks, chunks[1:]):
+            assert cur.chunk_start == prev.chunk_start + 160
+            rebuilt += cur.chunk_text[40:] if len(
+                text) - cur.chunk_start >= 40 else cur.chunk_text
+        assert rebuilt == text
+        assert all(r.chunk_len == len(r.chunk_text) for r in chunks)
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        T.chunk_documents(docs_df(spark, ["x"]), size=10, overlap=10)
+
+
+# -- bloom filter (q168 operator) -----------------------------------------
+
+def test_bloom_no_false_negatives(spark):
+    members = [f"member {i}" for i in range(30)]
+    others = [f"other {i}" for i in range(30)]
+    bloom = D.bloom_build(docs_df(spark, members), "text")
+    probed = D.bloom_probe(docs_df(spark, members + others), bloom)
+    got = {r.text: r.maybe_in_set for r in probed.collect()}
+    assert all(got[t] for t in members)  # bloom guarantee
+    # at n=30 / m=16384 / k=3 the fp rate is ~1e-7: all others clean
+    assert not any(got[t] for t in others)
+
+
+def test_bloom_bitmap_is_tiny(spark):
+    bloom = D.bloom_build(docs_df(spark, [f"t{i}" for i in range(100)]))
+    assert bloom.count() <= D.BLOOM_M // 64
+
+
+# -- covariance (q170 operator) -------------------------------------------
+
+def test_covariance_upper_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(40, 5)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        ["vec_id", "embedding"],
+    ).repartition(4)
+    got = {(r.i, r.j): r.cov for r in S.covariance_upper(df).collect()}
+    ref = np.cov(X.astype("float64"), rowvar=False, bias=True)
+    assert len(got) == 15
+    for i in range(5):
+        for j in range(i, 5):
+            assert abs(got[(i + 1, j + 1)] - ref[i, j]) < 2e-6

@@ -98,3 +98,38 @@ def test_zonal_stats_sql_over_rasters(spark, cogs):
     for k in exp:
         assert got[k][0] == exp[k][0]
         assert abs(got[k][1] - exp[k][1]) < 1e-6
+
+
+def test_focal_sum_matches_numpy(spark, cogs):
+    from gfw_pixetl_spark.sources.raster_table import focal_sum_pixels
+
+    pb, b = cogs["b"]  # fully valid raster
+    cat = raster_catalog(spark, [pb])
+    # window smaller than the image so halos cross window AND tile edges
+    px = focal_sum_pixels(cat, window=32, parallelism=4)
+    got = {(r.row, r.col): r.focal_sum for r in px.collect()}
+    ref = b.astype("int64")
+    assert len(got) == 78 * 78  # interior only
+    for (r0, c0) in [(1, 1), (1, 78), (78, 1), (40, 40), (31, 32), (32, 31)]:
+        assert got[(r0, c0)] == ref[r0 - 1:r0 + 2, c0 - 1:c0 + 2].sum()
+
+
+def test_focal_sum_skips_masked_neighborhoods(spark, cogs):
+    from gfw_pixetl_spark.sources.raster_table import focal_sum_pixels
+
+    pa, a = cogs["a"]  # zeros are nodata
+    cat = raster_catalog(spark, [pa])
+    px = focal_sum_pixels(cat, window=48, parallelism=2)
+    got = {(r.row, r.col): r.focal_sum for r in px.collect()}
+    valid = a != 0
+    import numpy as np
+
+    for (r0, c0), v in list(got.items())[:50]:
+        nb = a[r0 - 1:r0 + 2, c0 - 1:c0 + 2]
+        assert valid[r0 - 1:r0 + 2, c0 - 1:c0 + 2].all()
+        assert v == nb.astype("int64").sum()
+    # a pixel with a nodata neighbor must be absent
+    bad = np.argwhere(~valid)
+    r0, c0 = bad[len(bad) // 2]
+    if 0 < r0 < 79 and 0 < c0 < 79:
+        assert (r0, c0) not in got
