@@ -621,3 +621,59 @@ def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("focal_sum").alias("sum_focal"),
         F.max("focal_sum").alias("max_focal"),
     )
+
+
+# --------------------------------------------------------------------------
+# q171 — overview-decimated read: a zoom-out query served from the COG
+# pyramid. The 128x128 demo raster has nearest overviews (64, 32); a
+# 32x32 output picks the 4x level, so the reader decompresses 1/16 of
+# the pixels (GDAL's RasterIO overview-selection rule, pick_level).
+# Nearest level-k pixel (i,j) == full-res (i*2^k, j*2^k), so the oracle
+# replays the decimated grid analytically — integer-exact.
+# --------------------------------------------------------------------------
+def _decim_demo_file() -> str:
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from ..sources.geotiff import write_cog
+
+    d = os.path.join(tempfile.gettempdir(), "gfw_pixetl_spark_rt_demo")
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, "decim.tif")
+    if not os.path.exists(p):
+        ii, jj = np.meshgrid(np.arange(128), np.arange(128), indexing="ij")
+        v = ((ii * 3 + jj * 5) % 17).astype("uint8")
+        write_cog(p, v[None], transform=(0.0, 0.05, 10.0, 0.05),
+                  blockxsize=32, overviews=True,
+                  overview_resampling="nearest")
+    return p
+
+
+@register(
+    "q171_decimated_read",
+    oracle="""
+    WITH px AS (
+      SELECT i.r AS r, j.c AS c, (4 * i.r * 3 + 4 * j.c * 5) % 17 AS v
+      FROM generate_series(0, 31) i(r), generate_series(0, 31) j(c)
+    )
+    SELECT CAST(r // 8 AS INTEGER) AS block_r,
+           CAST(c // 8 AS INTEGER) AS block_c,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(v) AS BIGINT) AS sum_value
+    FROM px GROUP BY 1, 2
+    """,
+)
+def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.raster_table import decimated_pixels, raster_catalog
+
+    cat = raster_catalog(spark, [_decim_demo_file()])
+    px = decimated_pixels(cat, out_width=32, out_height=32)
+    return px.groupBy(
+        F.floor(F.col("row") / 8).cast("int").alias("block_r"),
+        F.floor(F.col("col") / 8).cast("int").alias("block_c"),
+    ).agg(
+        F.count("*").alias("n_px"),
+        F.sum("value").cast("bigint").alias("sum_value"),
+    )

@@ -907,6 +907,50 @@ class GeoTiff:
         c0, r0, w, h = self.window_from_bounds(bounds)
         return self.read_window(c0, r0, w, h, masked=masked)
 
+    def pick_level(self, decimation: float) -> int:
+        """Index of the coarsest pyramid level whose decimation factor
+        (full-res width / level width) does not exceed ``decimation`` —
+        GDAL's RasterIO overview-selection rule. A zoomed-out query then
+        decompresses 1/factor^2 of the bytes instead of reading full
+        res and throwing pixels away."""
+        best = 0
+        for idx, lv in enumerate(self.levels):
+            f = self.width / lv.width
+            if f <= decimation + 1e-9:
+                if f > self.width / self.levels[best].width:
+                    best = idx
+        return best
+
+    def read_decimated(
+        self,
+        bounds: tuple[float, float, float, float],
+        out_width: int,
+        out_height: int,
+        *,
+        masked: bool = True,
+    ):
+        """Read ``bounds`` at a reduced resolution ``(out_height,
+        out_width)``: picks the best overview level, windows it, and
+        nearest-maps to the output grid (rasterio's ``out_shape``
+        semantics). The overview pyramid makes low-zoom access O(output)
+        instead of O(source) — the read-side reason COGs carry
+        overviews at all."""
+        c0, r0, w, h = self.window_from_bounds(bounds)
+        if w <= 0 or h <= 0:
+            raise ValueError("empty window")
+        level_idx = self.pick_level(min(w / out_width, h / out_height))
+        lv = self.levels[level_idx]
+        f = self.width / lv.width
+        lc0, lr0 = int(round(c0 / f)), int(round(r0 / f))
+        lw = max(1, int(round(w / f)))
+        lh = max(1, int(round(h / f)))
+        arr = self.read_window(lc0, lr0, lw, lh, level_idx=level_idx,
+                               masked=masked)
+        ci = ((np.arange(out_width) + 0.5) * lw / out_width).astype(int)
+        ri = ((np.arange(out_height) + 0.5) * lh / out_height).astype(int)
+        ci, ri = np.minimum(ci, lw - 1), np.minimum(ri, lh - 1)
+        return arr[:, ri][:, :, ci]
+
     @property
     def bounds(self) -> tuple[float, float, float, float]:
         ox, sx, oy, sy = self.transform

@@ -509,3 +509,27 @@ def test_bigtiff_validates_as_cog(tmp_path):
     write_cog(path, data, transform=TRANSFORM, blockxsize=128,
               bigtiff=True)
     assert validate_cog(path) == []
+
+
+def test_read_decimated_picks_overview(tmp_path):
+    import numpy as np
+
+    from gfw_pixetl_spark.sources.geotiff import GeoTiff, write_cog
+
+    p = str(tmp_path / "d.tif")
+    ii, jj = np.meshgrid(np.arange(128), np.arange(128), indexing="ij")
+    v = ((ii * 3 + jj * 5) % 17).astype("uint8")
+    write_cog(p, v[None], transform=(0.0, 0.05, 10.0, 0.05),
+              blockxsize=32, overviews=True, overview_resampling="nearest")
+    t = GeoTiff.open(p)
+    assert len(t.levels) == 3  # 128, 64, 32
+    assert t.pick_level(1.0) == 0
+    assert t.pick_level(2.5) == 1
+    assert t.pick_level(4.0) == 2
+    # full-bounds decimated read == nearest pyramid level == v[::4, ::4]
+    arr = t.read_decimated(t.bounds, 32, 32)
+    assert arr.shape == (1, 32, 32)
+    assert np.array_equal(np.ma.getdata(arr)[0], v[::4, ::4])
+    # sub-window at 2x decimation comes from level 1 (v[::2, ::2])
+    sub = t.read_decimated((0.0, 8.4, 1.6, 10.0), 16, 16)
+    assert np.array_equal(np.ma.getdata(sub)[0], v[:32:2, :32:2])
