@@ -153,6 +153,11 @@ BENCH_QUERIES = [
     "q164_bpe_pair_counts",
     "q165_ann_recall",
     "q166_lsh_quality",
+    "q167_doc_chunking",
+    "q168_bloom_decontaminate",
+    "q169_focal_stencil",
+    "q170_embed_covariance",
+    "q171_decimated_read",
 ]
 
 

@@ -302,8 +302,19 @@ def _crs_code(crs: str | int) -> int:
         ) from e
 
 
+_UNSUPPORTED_CRS = (
+    ": analytic support covers EPSG:4326, EPSG:3857, WGS84 UTM zones "
+    "(EPSG:326xx/327xx), polar stereographic (EPSG:3413/3031), Lambert "
+    "conformal conic (EPSG:2154/3347), Albers equal-area (EPSG:5070/"
+    "3577) and LAEA Europe (EPSG:3035); other CRS need pyproj/rasterio "
+    "(not in this runtime)"
+)
+
+
 def _to_geographic(xs, ys, crs: str):
     """crs coords -> (lng, lat)."""
+    from . import conic
+
     code = _crs_code(crs)
     if code == 4326:
         return xs, ys
@@ -313,15 +324,19 @@ def _to_geographic(xs, ys, crs: str):
         return utm_to_latlng(xs, ys, code)
     if code in _POLAR_PARAMS:
         return polar_to_latlng(xs, ys, code)
-    raise NotImplementedError(
-        f"{crs}: analytic support covers EPSG:4326, EPSG:3857, WGS84 UTM "
-        "zones (EPSG:326xx/327xx) and polar stereographic (EPSG:3413/"
-        "3031); other CRS need pyproj/rasterio (not in this runtime)"
-    )
+    if code in conic.LCC_PARAMS:
+        return conic.lcc_to_latlng(xs, ys, code)
+    if code in conic.ALBERS_PARAMS:
+        return conic.albers_to_latlng(xs, ys, code)
+    if code in conic.LAEA_PARAMS:
+        return conic.laea_to_latlng(xs, ys, code)
+    raise NotImplementedError(f"{crs}{_UNSUPPORTED_CRS}")
 
 
 def _from_geographic(lng, lat, crs: str):
     """(lng, lat) -> crs coords."""
+    from . import conic
+
     code = _crs_code(crs)
     if code == 4326:
         return lng, lat
@@ -331,11 +346,13 @@ def _from_geographic(lng, lat, crs: str):
         return latlng_to_utm(lng, lat, code)
     if code in _POLAR_PARAMS:
         return latlng_to_polar(lng, lat, code)
-    raise NotImplementedError(
-        f"{crs}: analytic support covers EPSG:4326, EPSG:3857, WGS84 UTM "
-        "zones (EPSG:326xx/327xx) and polar stereographic (EPSG:3413/"
-        "3031); other CRS need pyproj/rasterio (not in this runtime)"
-    )
+    if code in conic.LCC_PARAMS:
+        return conic.latlng_to_lcc(lng, lat, code)
+    if code in conic.ALBERS_PARAMS:
+        return conic.latlng_to_albers(lng, lat, code)
+    if code in conic.LAEA_PARAMS:
+        return conic.latlng_to_laea(lng, lat, code)
+    raise NotImplementedError(f"{crs}{_UNSUPPORTED_CRS}")
 
 
 def _project(xs, ys, src_crs: str, dst_crs: str):
