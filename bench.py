@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "q169_focal_stencil",
     "q170_embed_covariance",
     "q171_decimated_read",
+    "q172_horn_slope",
 ]
 
 

@@ -677,3 +677,69 @@ def q171(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_px"),
         F.sum("value").cast("bigint").alias("sum_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# q172 — terrain slope by Horn's method (the gdaldem-slope stencil) over
+# a real COG, halo reads as in q169. Exactness discipline: the oracle
+# replays the integer Horn numerators (SUM -> BIGINT, exact) and the
+# per-block MAX of slope_pct — every float step (int-derived doubles,
+# x/0.4 with 0.4 = 8*double(0.05), mul/add/sqrt) is IEEE
+# correctly-rounded, so max-of-identical-doubles compares bit-for-bit
+# with no rounding fudge.
+# --------------------------------------------------------------------------
+_HORN_Z = "(({r}) * 5 + ({c}) * 3) % 13"
+
+
+def _horn_num(dr_dc: list[tuple[int, int, int]]) -> str:
+    return " + ".join(
+        f"{w} * ({_HORN_Z.format(r=f'r + {dr}', c=f'c + {dc}')})"
+        for dr, dc, w in dr_dc
+    )
+
+
+@register(
+    "q172_horn_slope",
+    oracle=f"""
+    WITH px AS (
+      SELECT i.r AS r, j.c AS c,
+             ({_horn_num([(-1, 1, 1), (0, 1, 2), (1, 1, 1)])})
+           - ({_horn_num([(-1, -1, 1), (0, -1, 2), (1, -1, 1)])}) AS nx,
+             ({_horn_num([(1, -1, 1), (1, 0, 2), (1, 1, 1)])})
+           - ({_horn_num([(-1, -1, 1), (-1, 0, 2), (-1, 1, 1)])}) AS ny
+      FROM generate_series(1, 94) i(r), generate_series(1, 94) j(c)
+    ), sl AS (
+      SELECT r, c, nx, ny,
+             100.0 * sqrt(
+               (nx / (8 * CAST(0.05 AS DOUBLE)))
+                 * (nx / (8 * CAST(0.05 AS DOUBLE)))
+               + (ny / (8 * CAST(0.05 AS DOUBLE)))
+                 * (ny / (8 * CAST(0.05 AS DOUBLE)))) AS slope_pct
+      FROM px
+    )
+    SELECT CAST(r // 16 AS INTEGER) AS block_r,
+           CAST(c // 16 AS INTEGER) AS block_c,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(nx) AS BIGINT) AS sum_dzdx_num,
+           CAST(SUM(ny) AS BIGINT) AS sum_dzdy_num,
+           MAX(slope_pct) AS max_slope_pct
+    FROM sl GROUP BY 1, 2
+    """,
+)
+def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.raster_table import horn_slope_pixels, raster_catalog
+
+    cat = raster_catalog(spark, [_focal_demo_file()])
+    px = horn_slope_pixels(cat, window=48, parallelism=8)
+    scale = 8 * 0.05
+    return px.groupBy(
+        F.floor(F.col("row") / 16).cast("int").alias("block_r"),
+        F.floor(F.col("col") / 16).cast("int").alias("block_c"),
+    ).agg(
+        F.count("*").alias("n_px"),
+        F.round(F.sum(F.col("dzdx") * scale)).cast("bigint")
+         .alias("sum_dzdx_num"),
+        F.round(F.sum(F.col("dzdy") * scale)).cast("bigint")
+         .alias("sum_dzdy_num"),
+        F.max("slope_pct").alias("max_slope_pct"),
+    )

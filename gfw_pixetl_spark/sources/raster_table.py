@@ -156,17 +156,21 @@ FOCAL_SCHEMA = (
     "uri string, band int, row int, col int, "
     "x double, y double, focal_sum long"
 )
+SLOPE_SCHEMA = (
+    "uri string, band int, row int, col int, "
+    "x double, y double, dzdx double, dzdy double, slope_pct double"
+)
 
 
-def focal_sum_pixels(
+def _halo_stencil(
     catalog: DataFrame,
-    window: int = 2048,
-    parallelism: int | None = None,
-    radius: int = 1,
+    window: int,
+    parallelism: int | None,
+    radius: int,
+    stencil,
+    schema: str,
 ) -> DataFrame:
-    """Focal (neighborhood) sum over the cataloged rasters: for every
-    pixel whose full ``(2r+1)^2`` neighborhood lies inside the image,
-    emit the integer sum of that neighborhood.
+    """Shared machinery for neighborhood (stencil) raster ops.
 
     The distributed-stencil part is the HALO READ: each window task
     re-reads a ``radius``-pixel ring around its window straight from the
@@ -174,14 +178,17 @@ def focal_sum_pixels(
     between tasks. At 100 TB that turns the classic halo exchange into
     cheap duplicate IO (``2r`` extra rows per window) and keeps the op
     embarrassingly parallel — no shuffle until the caller aggregates.
-    Values accumulate in int64 so results are exact and order-free.
+
+    ``stencil(data, valid, transform)`` receives one band's halo window
+    (``(oh+2r, ow+2r)`` float64/bool) and returns ``(cols_dict, ok)``
+    where each ``cols_dict`` value and ``ok`` are ``(oh, ow)`` arrays;
+    only ``ok`` pixels are emitted.
     """
-    files = catalog
     win = F.lit(window)
     nwx = F.ceil(F.col("width") / win).cast("int")
     nwy = F.ceil(F.col("height") / win).cast("int")
     tasks = (
-        files.select(
+        catalog.select(
             "uri",
             F.explode(F.sequence(F.lit(0), nwx - 1)).alias("wx"),
             nwy.alias("nwy"),
@@ -196,7 +203,6 @@ def focal_sum_pixels(
         if parallelism else tasks.repartition("uri", "wx", "wy")
     )
     rad = radius
-    side = 2 * rad + 1
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         open_files: dict[str, GeoTiff] = {}
@@ -217,7 +223,7 @@ def focal_sum_pixels(
                 c0, r0 = oc0 - rad, or0 - rad
                 w, h = (oc1 - oc0) + 2 * rad, (or1 - or0) + 2 * rad
                 arr = t.read_window(c0, r0, w, h)
-                data = np.ma.getdata(arr).astype("int64")
+                data = np.ma.getdata(arr)
                 valid = ~np.ma.getmaskarray(arr)
                 ox, sx, oy, sy = t.transform
                 cols_idx = np.arange(oc0, oc1)
@@ -226,27 +232,90 @@ def focal_sum_pixels(
                 ys = oy - (rows_idx + 0.5) * sy
                 out = []
                 for b in range(arr.shape[0]):
-                    acc = np.zeros((or1 - or0, oc1 - oc0), dtype="int64")
-                    nb_ok = np.ones_like(acc, dtype=bool)
-                    oh, ow = h - 2 * rad, w - 2 * rad
-                    for di in range(side):
-                        for dj in range(side):
-                            acc += data[b, di:di + oh, dj:dj + ow]
-                            nb_ok &= valid[b, di:di + oh, dj:dj + ow]
-                    bi, bj = np.nonzero(nb_ok)
+                    cols, ok = stencil(data[b], valid[b], t.transform)
+                    bi, bj = np.nonzero(ok)
                     if not len(bi):
                         continue
-                    out.append(pd.DataFrame({
+                    row = {
                         "uri": t_row.uri, "band": np.int32(b + 1),
                         "row": rows_idx[bi].astype("int32"),
                         "col": cols_idx[bj].astype("int32"),
                         "x": xs[bj], "y": ys[bi],
-                        "focal_sum": acc[bi, bj],
-                    }))
+                    }
+                    row.update({k: v[bi, bj] for k, v in cols.items()})
+                    out.append(pd.DataFrame(row))
                 if out:
                     yield pd.concat(out, ignore_index=True)
 
-    return tasks.select("uri", "wx", "wy").mapInPandas(kernel, FOCAL_SCHEMA)
+    return tasks.select("uri", "wx", "wy").mapInPandas(kernel, schema)
+
+
+def focal_sum_pixels(
+    catalog: DataFrame,
+    window: int = 2048,
+    parallelism: int | None = None,
+    radius: int = 1,
+) -> DataFrame:
+    """Focal (neighborhood) sum: for every pixel whose full
+    ``(2r+1)^2`` neighborhood lies inside the image, the integer sum of
+    that neighborhood (int64 accumulation — exact and order-free). See
+    :func:`_halo_stencil` for the halo-read execution model."""
+    side = 2 * radius + 1
+
+    def stencil(data, valid, _transform):
+        h, w = data.shape
+        oh, ow = h - 2 * radius, w - 2 * radius
+        acc = np.zeros((oh, ow), dtype="int64")
+        ok = np.ones((oh, ow), dtype=bool)
+        d64 = data.astype("int64")
+        for di in range(side):
+            for dj in range(side):
+                acc += d64[di:di + oh, dj:dj + ow]
+                ok &= valid[di:di + oh, dj:dj + ow]
+        return {"focal_sum": acc}, ok
+
+    return _halo_stencil(catalog, window, parallelism, radius, stencil,
+                         FOCAL_SCHEMA)
+
+
+def horn_slope_pixels(
+    catalog: DataFrame,
+    window: int = 2048,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Terrain slope by Horn's method (the gdaldem-slope stencil): for
+    each interior pixel, 8-neighbor weighted derivatives
+
+        dz/dx = ((z3 + 2·z6 + z9) − (z1 + 2·z4 + z7)) / (8·xres)
+        dz/dy = ((z7 + 2·z8 + z9) − (z1 + 2·z2 + z3)) / (8·yres)
+
+    and ``slope_pct = 100·sqrt(dzdx² + dzdy²)`` (percent rise/run; every
+    step is IEEE-exact — add/multiply/sqrt are correctly rounded — so an
+    external engine replays it bit-for-bit). Same halo-read execution
+    model as :func:`focal_sum_pixels`; pixels with any masked neighbor
+    are dropped, matching gdaldem's nodata handling."""
+
+    def stencil(data, valid, transform):
+        _, sx, _, sy = transform
+        h, w = data.shape
+        oh, ow = h - 2, w - 2
+        z = data.astype("float64")
+        # neighbors: z1 z2 z3 / z4 z5 z6 / z7 z8 z9 (row-major, north up)
+        z1, z2, z3 = z[0:oh, 0:ow], z[0:oh, 1:ow + 1], z[0:oh, 2:ow + 2]
+        z4, z6 = z[1:oh + 1, 0:ow], z[1:oh + 1, 2:ow + 2]
+        z7, z8, z9 = z[2:oh + 2, 0:ow], z[2:oh + 2, 1:ow + 1], \
+            z[2:oh + 2, 2:ow + 2]
+        dzdx = ((z3 + 2 * z6 + z9) - (z1 + 2 * z4 + z7)) / (8 * sx)
+        dzdy = ((z7 + 2 * z8 + z9) - (z1 + 2 * z2 + z3)) / (8 * sy)
+        slope = 100.0 * np.sqrt(dzdx * dzdx + dzdy * dzdy)
+        ok = np.ones((oh, ow), dtype=bool)
+        for di in range(3):
+            for dj in range(3):
+                ok &= valid[di:di + oh, dj:dj + ow]
+        return {"dzdx": dzdx, "dzdy": dzdy, "slope_pct": slope}, ok
+
+    return _halo_stencil(catalog, window, parallelism, 1, stencil,
+                         SLOPE_SCHEMA)
 
 
 def decimated_pixels(

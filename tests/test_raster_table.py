@@ -133,3 +133,25 @@ def test_focal_sum_skips_masked_neighborhoods(spark, cogs):
     r0, c0 = bad[len(bad) // 2]
     if 0 < r0 < 79 and 0 < c0 < 79:
         assert (r0, c0) not in got
+
+
+def test_horn_slope_matches_numpy(spark, cogs):
+    from gfw_pixetl_spark.sources.raster_table import horn_slope_pixels
+
+    pb, b = cogs["b"]
+    cat = raster_catalog(spark, [pb])
+    px = horn_slope_pixels(cat, window=32, parallelism=4)
+    got = {(r.row, r.col): (r.dzdx, r.dzdy, r.slope_pct)
+           for r in px.collect()}
+    z = b.astype("float64")
+    sx = sy = 0.05
+    assert len(got) == 78 * 78
+    for (r0, c0) in [(1, 1), (40, 40), (31, 32), (78, 78)]:
+        n = z[r0 - 1:r0 + 2, c0 - 1:c0 + 2]
+        dzdx = ((n[0, 2] + 2 * n[1, 2] + n[2, 2])
+                - (n[0, 0] + 2 * n[1, 0] + n[2, 0])) / (8 * sx)
+        dzdy = ((n[2, 0] + 2 * n[2, 1] + n[2, 2])
+                - (n[0, 0] + 2 * n[0, 1] + n[0, 2])) / (8 * sy)
+        gx, gy, gs = got[(r0, c0)]
+        assert gx == dzdx and gy == dzdy
+        assert gs == 100.0 * np.sqrt(dzdx * dzdx + dzdy * dzdy)
