@@ -100,3 +100,30 @@ def hash_stratified_sample(
         .filter(F.col("bucket") < rate)
         .select("doc_id", strata_col, "bucket")
     )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    val_pct: int = 5,
+    test_pct: int = 5,
+    salt: str = "split-v1",
+) -> DataFrame:
+    """Deterministic, stratification-free 3-way split: bucket =
+    md5(id || salt) mod 100; test takes the first ``test_pct`` buckets,
+    val the next ``val_pct``, train the rest. Map-only (the decision is
+    row-local, like :func:`hash_stratified_sample`), reproducible across
+    runs/engines, and stable under corpus growth — a document's split
+    never changes when other documents arrive, which is the property
+    that keeps eval sets uncontaminated across dataset versions.
+    """
+    bucket = F.pmod(
+        md5_int64(F.concat(F.col(id_col).cast("string"), F.lit("|" + salt))),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < test_pct, "test")
+        .when(bucket < test_pct + val_pct, "val")
+        .otherwise("train")
+    )
+    return df.withColumn("split", split)

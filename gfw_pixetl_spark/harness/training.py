@@ -873,20 +873,28 @@ def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q166 — dedup-index quality evaluation: precision/recall of the
 # MinHash-LSH candidate set (q29) against exact word-set Jaccard >= 0.5
-# ground truth (computed sub-quadratically via the prefix-filtered
-# SSJoin, q136's operator). The eval every near-dup deployment runs to
-# pick its band/permutation config — the dedup twin of q165's ANN
-# recall. One row: candidate volume, truth volume, hits, both rates.
+# ground truth (computed via the prefix-filtered SSJoin, q136's
+# operator). The eval every near-dup deployment runs to pick its
+# band/permutation config — the dedup twin of q165's ANN recall.
+# Both sides are restricted to a DETERMINISTIC 20% document sample
+# (doc_id % 5 == 0): exact ground truth over the full corpus is
+# quadratic-ish by nature (that's the point of having the index), so
+# production evals compute it on a fixed eval slice. The restriction
+# commutes with both pairwise ops (a band collision / a Jaccard value
+# depends only on the two documents), so sampled-pairs(full run) ==
+# pairs(sampled run) and the oracle stays exact. One row: candidate
+# volume, truth volume, hits, both rates — on the eval slice.
 # --------------------------------------------------------------------------
 @register(
     "q166_lsh_quality",
     oracle=f"""
     WITH cands AS (
-      {_Q29_SQL}
+      SELECT * FROM ({_Q29_SQL})
+      WHERE doc_id_a % 5 = 0 AND doc_id_b % 5 = 0
     ), base AS (
       SELECT doc_id, list_distinct(
         list_filter(string_split(text, ' '), w -> w != '')) AS ws
-      FROM documents
+      FROM documents WHERE doc_id % 5 = 0
     ), truth AS (
       SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
       FROM base a JOIN base b ON a.doc_id < b.doc_id
@@ -906,21 +914,28 @@ def q160(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents").filter(
+        F.pmod(F.col("doc_id"), F.lit(5)) == 0)
     sigs = D.minhash_signatures(docs)
-    cands = D.lsh_candidate_pairs(sigs)
+    # full-outer join on the pair key, then ONE aggregation pass: each
+    # expensive side (exact SSJoin truth, LSH candidate gen) is planned
+    # exactly once. The earlier three-reference formulation recomputed
+    # the SSJoin per reference — 150+ s at sf0.1 vs ~the cost of one
+    # SSJoin now.
+    cands = D.lsh_candidate_pairs(sigs).withColumn("is_cand", F.lit(1))
     truth = D.prefix_jaccard_pairs(docs, threshold=0.5).select(
-        "doc_id_a", "doc_id_b")
-    hits = cands.join(truth, ["doc_id_a", "doc_id_b"]).agg(
-        F.count("*").alias("n_hits"))
-    n_truth = truth.agg(F.count("*").alias("n_truth"))
-    n_cands = cands.agg(F.count("*").alias("n_candidates"))
-    return (
-        hits.join(F.broadcast(n_truth)).join(F.broadcast(n_cands))
-        .select(
-            "n_truth", "n_candidates", "n_hits",
-            F.round(F.col("n_hits") / F.col("n_candidates"), 6)
-            .alias("precision"),
-            F.round(F.col("n_hits") / F.col("n_truth"), 6).alias("recall"),
-        )
+        "doc_id_a", "doc_id_b").withColumn("is_truth", F.lit(1))
+    both = cands.join(truth, ["doc_id_a", "doc_id_b"], "full_outer")
+    return both.agg(
+        F.count("is_truth").cast("bigint").alias("n_truth"),
+        F.count("is_cand").cast("bigint").alias("n_candidates"),
+        F.sum(
+            F.when(F.col("is_cand").isNotNull()
+                   & F.col("is_truth").isNotNull(), 1).otherwise(0)
+        ).cast("bigint").alias("n_hits"),
+    ).select(
+        "n_truth", "n_candidates", "n_hits",
+        F.round(F.col("n_hits") / F.col("n_candidates"), 6)
+        .alias("precision"),
+        F.round(F.col("n_hits") / F.col("n_truth"), 6).alias("recall"),
     )
