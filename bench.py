@@ -159,6 +159,8 @@ BENCH_QUERIES = [
     "q170_embed_covariance",
     "q171_decimated_read",
     "q172_horn_slope",
+    "q173_train_val_test_split",
+    "q174_pq_encode",
 ]
 
 

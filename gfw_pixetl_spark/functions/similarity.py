@@ -400,3 +400,50 @@ def covariance_upper(
             ) + 0.0).alias("cov"),  # + 0.0 canonicalizes IEEE -0.0
         )
     )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization encode: split each vector into ``m`` equal
+    subvectors and store, per subvector, the index of the nearest
+    centroid from that subspace's codebook (``codebook[s][j]`` = j-th
+    centroid of subspace s) plus the total reconstruction error.
+
+    PQ is the standard embedding-compression step at retrieval scale —
+    a 64-dim float vector becomes m small codes (here 4 x 2 bits), an
+    ~64x memory cut that makes billion-vector indexes RAM-resident.
+    The codebook is dimension-sized (m*k*sub_dim floats), so it inlines
+    as literals and the whole encode stays inside whole-stage codegen:
+    distances via the dot-product identity |x|^2 - 2<x,c> + |c|^2 with
+    sequential-fold dots (replayable exactly by any engine), argmin with
+    lowest-index tie-break, no Python or shuffle anywhere.
+    """
+    m = len(codebook)
+    k = len(codebook[0])
+    sub = len(codebook[0][0])
+
+    def dot(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0), lambda acc, v: acc + v)
+
+    out_cols = [F.col(id_col)]
+    err = F.lit(0.0)
+    for s in range(m):
+        x = F.transform(
+            F.slice(F.col(vec_col), s * sub + 1, sub),
+            lambda v: v.cast("double"))
+        dists = []
+        for j in range(k):
+            c = F.array(*[F.lit(float(v)) for v in codebook[s][j]])
+            dists.append(dot(x, x) - 2 * dot(x, c) + dot(c, c))
+        darr = F.array(*dists)
+        best = F.array_position(darr, F.array_min(darr))
+        out_cols.append((best - 1).cast("int").alias(f"code_{s}"))
+        err = err + F.array_min(darr)
+    out_cols.append(F.round(err, 6).alias("recon_err"))
+    return df.select(*out_cols)

@@ -939,3 +939,38 @@ def q166(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("precision"),
         F.round(F.col("n_hits") / F.col("n_truth"), 6).alias("recall"),
     )
+
+
+# --------------------------------------------------------------------------
+# q173 — deterministic train/val/test split: bucket = md5(id|salt) % 100,
+# test = first 5 buckets, val = next 5, train = rest. Row-local (map-
+# only, no shuffle before the tally) and stable under corpus growth — a
+# document's split never changes when other documents arrive, the
+# property that keeps eval sets uncontaminated across dataset versions.
+# --------------------------------------------------------------------------
+@register(
+    "q173_train_val_test_split",
+    oracle=f"""
+    WITH b AS (
+      SELECT lang,
+             {md5_int64_sql("CAST(doc_id AS VARCHAR) || '|split-v1'")}
+               % 100 AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN bucket < 5 THEN 'test'
+                WHEN bucket < 10 THEN 'val'
+                ELSE 'train' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM b GROUP BY 1, 2
+    """,
+)
+def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sampling import train_val_test_split
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        train_val_test_split(docs, val_pct=5, test_pct=5)
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )

@@ -437,3 +437,63 @@ def q165(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q170(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return S.covariance_upper(emb)
+
+
+# --------------------------------------------------------------------------
+# q174 — product-quantization encode: 64-dim vectors -> 4 sub-space codes
+# (nearest of 4 centroids per 16-dim slice, codebook = the first four
+# corpus vectors' slices) + reconstruction error. PQ is the standard
+# compression step that makes billion-vector ANN indexes RAM-resident;
+# the codebook is dimension-sized so it inlines as literals and the
+# encode stays map-only inside codegen. Distances use the dot identity
+# |x|^2 - 2<x,c> + |c|^2 with sequential folds, replayed exactly by the
+# oracle; argmin ties break to the lowest centroid id.
+# --------------------------------------------------------------------------
+_PQ_SUBS = "(VALUES (0), (1), (2), (3))"
+
+
+@register(
+    "q174_pq_encode",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cb AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 4
+    ), sub AS (
+      SELECT e.vec_id, s.s, list_slice(e.v, s.s * 16 + 1, s.s * 16 + 16) AS x
+      FROM e, {_PQ_SUBS} s(s)
+    ), csub AS (
+      SELECT cb.cid, s.s, list_slice(cb.v, s.s * 16 + 1, s.s * 16 + 16) AS c
+      FROM cb, {_PQ_SUBS} s(s)
+    ), d AS (
+      SELECT sub.vec_id, sub.s, csub.cid,
+             list_dot_product(x, x) - 2 * list_dot_product(x, c)
+               + list_dot_product(c, c) AS dist
+      FROM sub JOIN csub USING (s)
+    ), best AS (
+      SELECT vec_id, s, cid, dist,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                ORDER BY dist ASC, cid ASC) AS rk
+      FROM d
+    )
+    SELECT vec_id,
+           CAST(MAX(CASE WHEN s = 0 THEN cid END) AS INTEGER) AS code_0,
+           CAST(MAX(CASE WHEN s = 1 THEN cid END) AS INTEGER) AS code_1,
+           CAST(MAX(CASE WHEN s = 2 THEN cid END) AS INTEGER) AS code_2,
+           CAST(MAX(CASE WHEN s = 3 THEN cid END) AS INTEGER) AS code_3,
+           round(SUM(dist), 6) AS recon_err
+    FROM best WHERE rk = 1 GROUP BY vec_id
+    """,
+)
+def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    # dimension-sized collect: 4 codebook vectors (the broadcast-literal
+    # pattern — same rationale as inlined LSH hyperplanes)
+    rows = (emb.filter(F.col("vec_id") < 4)
+            .orderBy("vec_id").select("embedding").collect())
+    codebook = [
+        [[float(x) for x in r.embedding[s * 16:(s + 1) * 16]] for r in rows]
+        for s in range(4)
+    ]
+    return S.pq_encode(emb, codebook)

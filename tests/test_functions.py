@@ -343,3 +343,55 @@ def test_covariance_upper_matches_numpy(spark):
     for i in range(5):
         for j in range(i, 5):
             assert abs(got[(i + 1, j + 1)] - ref[i, j]) < 2e-6
+
+
+# -- train/val/test split (q173 operator) ----------------------------------
+
+def test_split_deterministic_and_stable(spark):
+    from gfw_pixetl_spark.functions.sampling import train_val_test_split
+
+    df = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(500)], ["doc_id", "text"])
+    s1 = {r.doc_id: r.split for r in train_val_test_split(df).collect()}
+    # stability under corpus growth: same ids keep their split
+    df2 = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(1000)], ["doc_id", "text"])
+    s2 = {r.doc_id: r.split for r in train_val_test_split(df2).collect()}
+    assert all(s2[i] == s1[i] for i in s1)
+    # rough proportions
+    from collections import Counter
+
+    c = Counter(s2.values())
+    assert c["train"] > 800 and 20 <= c["val"] <= 90 and 20 <= c["test"] <= 90
+    # different salt reshuffles
+    s3 = {r.doc_id: r.split
+          for r in train_val_test_split(df, salt="v2").collect()}
+    assert any(s3[i] != s1[i] for i in s1)
+
+
+# -- product quantization (q174 operator) ----------------------------------
+
+def test_pq_encode_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(60, 8)).astype("float64")
+    codebook = [[list(X[j, s * 4:(s + 1) * 4]) for j in range(4)]
+                for s in range(2)]
+    df = spark.createDataFrame(
+        [(i, list(map(float, row))) for i, row in enumerate(X)],
+        ["vec_id", "embedding"])
+    got = {r.vec_id: r for r in S.pq_encode(df, codebook).collect()}
+    for i, x in enumerate(X):
+        err = 0.0
+        for s in range(2):
+            sub = x[s * 4:(s + 1) * 4]
+            dists = [float(np.sum((sub - np.array(codebook[s][j])) ** 2))
+                     for j in range(4)]
+            j_best = int(np.argmin(dists))
+            assert got[i][f"code_{s}"] == j_best
+            err += min(dists)
+        assert abs(got[i].recon_err - err) < 1e-5
+    # codebook rows encode to themselves with ~zero error
+    assert got[0].code_0 == 0 and got[0].code_1 == 0
+    assert got[0].recon_err == 0.0
