@@ -161,6 +161,8 @@ BENCH_QUERIES = [
     "q172_horn_slope",
     "q173_train_val_test_split",
     "q174_pq_encode",
+    "q175_image_patches",
+    "q176_matryoshka_recall",
 ]
 
 

@@ -295,3 +295,48 @@ def audio_energy(
             yield pd.DataFrame({"doc_id": ids, "win_idx": wins, "rms": rms})
 
     return df.select("doc_id", text_col).mapInPandas(kernel, ENERGY_SCHEMA)
+
+
+PATCH_SCHEMA = (
+    "doc_id long, patch_row int, patch_col int, p_mean long, p_max long"
+)
+
+
+def image_patches(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """ViT-style patch extraction over the REAL decode path: each doc's
+    payload is a spec-valid 8x8 Paeth-filtered PNG (digest bytes tiled),
+    the kernel decodes it and splits into 4x4 = 16 non-overlapping 2x2
+    patches, emitting per-patch floor-mean and max — the tokenize step
+    of a vision-transformer ingest pipeline (image -> patch sequence).
+    Long format: 16 rows per image; the fan-out is data-local, so the
+    op is map-only at any corpus size. Pixels are md5 digest bytes, so
+    a SQL oracle replays every patch statistic from md5(text) hex.
+    """
+    import numpy as np
+
+    from .partitioning import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "patch_row", "patch_col", "p_mean", "p_max")}
+            for doc_id, t in zip(pdf["doc_id"], pdf[text_col]):
+                img = decode_image(png_payload(t, size=8))[:, :, 0]
+                img = img.astype("int64")
+                # (4, 2, 4, 2) -> patch grid (4, 4, 2, 2)
+                p = img.reshape(4, 2, 4, 2).transpose(0, 2, 1, 3)
+                flat = p.reshape(4, 4, 4)
+                means = flat.sum(axis=2) // 4
+                maxs = flat.max(axis=2)
+                for pi in range(4):
+                    for pj in range(4):
+                        out["doc_id"].append(doc_id)
+                        out["patch_row"].append(np.int32(pi))
+                        out["patch_col"].append(np.int32(pj))
+                        out["p_mean"].append(int(means[pi, pj]))
+                        out["p_max"].append(int(maxs[pi, pj]))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", text_col).mapInPandas(kernel, PATCH_SCHEMA)

@@ -983,3 +983,41 @@ def q164(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return T.chunk_documents(docs, size=200, overlap=40)
+
+
+# --------------------------------------------------------------------------
+# q175 — ViT-style patch extraction (the vision twin of q167's text
+# chunking): REAL 8x8 PNG decode -> 16 non-overlapping 2x2 patches with
+# floor-mean and max per patch, long format (16 rows per image,
+# data-local fan-out). Pixels are md5 digest bytes tiled 4x, so the
+# oracle replays every patch statistic straight from md5(text) hex —
+# container decode value-checked, not rows-only (q153's pattern).
+# --------------------------------------------------------------------------
+def _patch_term(dr: int, dc: int) -> str:
+    idx = f"(((2 * g.pr + {dr}) * 8 + 2 * g.pc + {dc}) % 16)"
+    return f"('0x' || substr(md5(d.text), 2 * {idx} + 1, 2))::INTEGER"
+
+
+@register(
+    "q175_image_patches",
+    oracle=f"""
+    WITH g AS (
+      SELECT i.pr AS pr, j.pc AS pc
+      FROM generate_series(0, 3) i(pr), generate_series(0, 3) j(pc)
+    )
+    SELECT d.doc_id,
+           CAST(g.pr AS INTEGER) AS patch_row,
+           CAST(g.pc AS INTEGER) AS patch_col,
+           CAST(({_patch_term(0, 0)} + {_patch_term(0, 1)}
+                 + {_patch_term(1, 0)} + {_patch_term(1, 1)}) // 4
+                AS BIGINT) AS p_mean,
+           CAST(greatest({_patch_term(0, 0)}, {_patch_term(0, 1)},
+                         {_patch_term(1, 0)}, {_patch_term(1, 1)})
+                AS BIGINT) AS p_max
+    FROM documents d, g
+    """,
+)
+def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import image_patches
+
+    return image_patches(load(spark, sf_dir, "documents"))

@@ -497,3 +497,75 @@ def q174(spark: SparkSession, sf_dir: str) -> DataFrame:
         for s in range(4)
     ]
     return S.pq_encode(emb, codebook)
+
+
+# --------------------------------------------------------------------------
+# q176 — Matryoshka truncation eval: recall@5 of exact search on the
+# 16-dim embedding PREFIX vs exact search on the full 64 dims — the
+# measurement behind MRL-style dimension-reduction decisions (store the
+# prefix, re-rank with the tail). Both sides are the engine's own exact
+# top-k operator; the truncation is a JVM-side slice, so the eval adds
+# no new kernel — just a different projection feeding the same search.
+# --------------------------------------------------------------------------
+def _sql_cos_slice(a: str, b: str, d: int) -> str:
+    sa = f"list_slice(CAST({a} AS DOUBLE[]), 1, {d})"
+    sb = f"list_slice(CAST({b} AS DOUBLE[]), 1, {d})"
+    return (
+        f"list_dot_product({sa}, {sb})"
+        f" / (sqrt(list_dot_product({sa}, {sa}))"
+        f" * sqrt(list_dot_product({sb}, {sb})))"
+    )
+
+
+@register(
+    "q176_matryoshka_recall",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < 10),
+    full_r AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_sql_cos('q.qv', 'c.embedding')}
+                                    DESC, c.vec_id ASC) AS rank
+        FROM embeddings c, q WHERE c.vec_id != q.query_id
+      ) WHERE rank <= 5
+    ), trunc_r AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {_sql_cos_slice('q.qv', 'c.embedding', 16)}
+                   DESC, c.vec_id ASC) AS rank
+        FROM embeddings c, q WHERE c.vec_id != q.query_id
+      ) WHERE rank <= 5
+    )
+    SELECT f.query_id,
+           CAST(COUNT(*) AS BIGINT) AS k_full,
+           CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS k_hit,
+           round(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 / COUNT(*), 6) AS recall_at_5
+    FROM full_r f LEFT JOIN trunc_r t
+      ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+    GROUP BY f.query_id
+    """,
+)
+def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = S.brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id")
+    emb16 = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    q16 = emb16.filter(F.col("vec_id") < 10)
+    trunc = S.brute_force_topk(emb16, q16, k=5).select(
+        F.col("query_id").alias("tq"), F.col("neighbor_id").alias("tn"))
+    joined = exact.join(
+        trunc, (exact.query_id == trunc.tq)
+        & (exact.neighbor_id == trunc.tn), "left")
+    hit = F.when(F.col("tn").isNotNull(), 1).otherwise(0)
+    return joined.groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("k_full"),
+        F.sum(hit).cast("bigint").alias("k_hit"),
+        F.round(F.sum(hit) / F.count("*"), 6).alias("recall_at_5"),
+    )

@@ -73,3 +73,23 @@ def test_audio_energy_windows(spark):
     want = round(math.sqrt(sum(x * x for x in s) / 4.0), 6)
     assert row1[0] == want
     assert all(r.rms >= 0 for r in out)
+
+
+def test_image_patches_replay(spark):
+    import hashlib
+
+    from gfw_pixetl_spark.functions.multimodal import image_patches
+
+    out = image_patches(_docs(spark)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, {})[(r.patch_row, r.patch_col)] = r
+    assert all(len(v) == 16 for v in by_doc.values())
+    # replay patch (1, 2) of doc 1 straight from the digest layout
+    text = {r.doc_id: r.text for r in _docs(spark).collect()}[1]
+    digest = hashlib.md5(text.encode()).digest()
+    vals = [digest[((2 * 1 + dr) * 8 + 2 * 2 + dc) % 16]
+            for dr in (0, 1) for dc in (0, 1)]
+    got = by_doc[1][(1, 2)]
+    assert got.p_mean == sum(vals) // 4
+    assert got.p_max == max(vals)
