@@ -163,6 +163,8 @@ BENCH_QUERIES = [
     "q174_pq_encode",
     "q175_image_patches",
     "q176_matryoshka_recall",
+    "q177_cdc_boundaries",
+    "q178_hard_negatives",
 ]
 
 

@@ -312,3 +312,44 @@ def chunk_documents(
         )
         .withColumn("chunk_len", F.length("chunk_text").cast("long"))
     )
+
+
+CDC_WINDOW = 8      # rolling-hash window (chars)
+CDC_BASE = 31       # polynomial base
+CDC_MASK_MOD = 64   # boundary when H % 64 == 0 -> ~1/64 boundary rate
+
+
+def cdc_boundaries(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Content-defined chunking boundaries (the Rabin-style rolling-hash
+    rule dedup storage and some corpus pipelines use): position ``i`` is
+    a boundary when the polynomial hash of the trailing ``CDC_WINDOW``
+    chars is 0 mod ``CDC_MASK_MOD``. Unlike fixed-stride chunking
+    (chunk_documents), boundaries move WITH the content — an insertion
+    reshifts only the chunk it lands in, so downstream exact-dedup of
+    chunks survives edits.
+
+    The window is small and fixed, so the hash unrolls into 8 ascii()
+    terms evaluated entirely inside whole-stage codegen over a
+    sequence+explode of positions — map-only, data-local fan-out, and
+    bit-replayable in any SQL engine.
+    """
+    terms = None
+    for k in range(CDC_WINDOW):
+        t = (
+            F.ascii(F.expr(f"substr({text_col}, CAST(i - {k} AS INT), 1)"))
+            .cast("bigint") * (CDC_BASE ** k)
+        )
+        terms = t if terms is None else terms + t
+    return (
+        df.select(
+            id_col,
+            text_col,
+            F.explode(
+                F.sequence(F.lit(CDC_WINDOW), F.length(text_col))
+            ).alias("i"),
+        )
+        .filter((terms % CDC_MASK_MOD) == 0)
+        .select(id_col, F.col("i").cast("bigint").alias("boundary_pos"))
+    )

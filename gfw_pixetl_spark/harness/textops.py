@@ -1021,3 +1021,32 @@ def q175(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.multimodal import image_patches
 
     return image_patches(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# q177 — content-defined chunking boundaries: Rabin-style rolling hash
+# (8-char window, base-31 polynomial, boundary at H % 64 == 0). The
+# content-addressed complement of q167's fixed-stride chunking: an edit
+# reshifts only its own chunk, so chunk-level exact dedup survives
+# insertions. Fully unrolled into codegen'd ascii() terms; the oracle
+# replays the identical polynomial.
+# --------------------------------------------------------------------------
+_CDC_TERMS = " + ".join(
+    f"CAST(ord(substr(text, CAST(i - {k} AS INT), 1)) AS BIGINT) * {31 ** k}"
+    for k in range(8)
+)
+
+
+@register(
+    "q177_cdc_boundaries",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, text, unnest(range(8, length(text) + 1)) AS i
+      FROM documents
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS boundary_pos
+    FROM pos WHERE ({_CDC_TERMS}) % 64 = 0
+    """,
+)
+def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.cdc_boundaries(load(spark, sf_dir, "documents"))

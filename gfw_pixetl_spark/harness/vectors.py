@@ -569,3 +569,56 @@ def q176(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(hit).cast("bigint").alias("k_hit"),
         F.round(F.sum(hit) / F.count("*"), 6).alias("recall_at_5"),
     )
+
+
+# --------------------------------------------------------------------------
+# q178 — hard-negative mining for contrastive training: for each anchor
+# (vec_id < 20), the 3 highest-cosine vectors with a DIFFERENT label —
+# the negatives that actually move a contrastive loss. Same broadcast
+# anchors + map-only scoring + per-anchor top-k shape as q36; the label
+# filter rides inside the scan.
+# --------------------------------------------------------------------------
+@register(
+    "q178_hard_negatives",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS ql
+               FROM embeddings WHERE vec_id < 20),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_sql_cos('q.qv', 'c.embedding')} AS cs
+      FROM embeddings c, q
+      WHERE c.label != q.ql
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cs DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("ql"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("ql"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            S.cosine(F.col("qv"), F.col("embedding")).alias("cs"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cs").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank")
+    )
