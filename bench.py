@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "q176_matryoshka_recall",
     "q177_cdc_boundaries",
     "q178_hard_negatives",
+    "q179_stream_chunk_dedup",
 ]
 
 

@@ -1050,3 +1050,34 @@ _CDC_TERMS = " + ".join(
 )
 def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.cdc_boundaries(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# q179 — streaming chunk-level dedup: documents stream in (availableNow
+# drain), explode through the SAME fixed-stride chunker as q167
+# (stateless on a stream), and only never-seen chunk digests survive the
+# state store — the incremental corpus-prep pipeline. Oracle = batch
+# distinct over the q167 chunk set.
+# --------------------------------------------------------------------------
+@register(
+    "q179_stream_chunk_dedup",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, text,
+             unnest(range(0, GREATEST(
+               CAST(ceil((length(text) - 40) / 160.0) AS BIGINT), 1)))
+               AS chunk_id
+      FROM documents
+    )
+    SELECT DISTINCT
+           md5(substring(text, CAST(chunk_id * 160 + 1 AS INT), 200))
+             AS digest,
+           CAST(length(substring(text, CAST(chunk_id * 160 + 1 AS INT),
+                                 200)) AS BIGINT) AS chunk_len
+    FROM ch
+    """,
+)
+def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import run_stream_chunk_dedup_once
+
+    return run_stream_chunk_dedup_once(spark, f"{sf_dir}/documents.parquet")

@@ -374,3 +374,47 @@ def run_enriched_rollup_once(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_chunk_dedup(spark: SparkSession, docs_path: str) -> DataFrame:
+    """Streaming ingest -> fixed-stride chunking -> stateful chunk-level
+    exact dedup: the incremental corpus-prep pipeline (documents arrive
+    continuously; only never-seen chunk digests survive). Chunking is a
+    stateless explode (chunk_documents works unchanged on a stream);
+    dedup state is the chunk-digest store. Emits (digest, chunk_len).
+    """
+    from ..functions.text import chunk_documents
+
+    schema = spark.read.parquet(docs_path).schema
+    base, fname = docs_path.rsplit("/", 1)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", fname)
+        .parquet(base)
+    )
+    chunks = chunk_documents(stream, size=200, overlap=40)
+    return (
+        chunks.select(
+            F.md5(F.col("chunk_text")).alias("digest"),
+            F.col("chunk_len"),
+        )
+        .dropDuplicates(["digest"])
+    )
+
+
+def run_stream_chunk_dedup_once(
+    spark: SparkSession, docs_path: str
+) -> DataFrame:
+    """Drain with availableNow: the surviving digest set (and each
+    digest's length, a function of the digest's text) is deterministic."""
+    name = f"chunk_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_chunk_dedup(spark, docs_path)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
