@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "q177_cdc_boundaries",
     "q178_hard_negatives",
     "q179_stream_chunk_dedup",
+    "q180_bm25_ndcg",
 ]
 
 

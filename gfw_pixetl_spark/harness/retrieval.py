@@ -257,3 +257,81 @@ def q141(spark: SparkSession, sf_dir: str) -> DataFrame:
         if grown.count() == reach.count():
             return grown
         reach = grown
+
+
+# --------------------------------------------------------------------------
+# q180 — ranking-quality eval: nDCG@5 of the BM25 ranking (q118) against
+# a deterministic relevance label (number of distinct query terms the
+# doc contains, gain 2^rel - 1). Ordering uses the ROUNDED BM25 score —
+# which q118 proves matches the oracle digit-for-digit — with doc_id
+# tie-break, so the ranking is engine-independent by construction. The
+# retrieval twin of q165/q176's recall evals: recall checks the
+# candidate set, nDCG checks the ORDER a ranker puts it in.
+# --------------------------------------------------------------------------
+@register("q180_bm25_ndcg")
+def q180(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    bm25 = q118(spark, sf_dir)  # (doc_id, bm25) — rounded scores
+    rel = docs.select(
+        "doc_id",
+        F.size(F.array_intersect(
+            F.array_distinct(F.split("text", " ")),
+            F.array(*[F.lit(t) for t in QUERY_TERMS]),
+        )).alias("rel"),
+    )
+    w = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    top = (
+        bm25.withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= 5)
+        .join(rel, "doc_id")
+    )
+    gain = (F.pow(F.lit(2.0), F.col("rel")) - 1) / F.log2(F.col("pos") + 1)
+    dcg = top.agg(F.sum(gain).alias("dcg"))
+    wi = Window.orderBy(F.col("rel").desc(), F.col("doc_id").asc())
+    ideal = (
+        rel.filter(F.col("rel") > 0)
+        .withColumn("pos", F.row_number().over(wi))
+        .filter(F.col("pos") <= 5)
+    )
+    igain = (F.pow(F.lit(2.0), F.col("rel")) - 1) / F.log2(F.col("pos") + 1)
+    idcg = ideal.agg(F.sum(igain).alias("idcg"))
+    return dcg.crossJoin(F.broadcast(idcg)).select(
+        F.round("dcg", 6).alias("dcg5"),
+        F.round("idcg", 6).alias("idcg5"),
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg5"),
+    )
+
+
+from . import ORACLES as _OR  # noqa: E402
+
+_OR["q180_bm25_ndcg"] = f"""
+    WITH bm AS (
+      {_OR["q118_bm25"]}
+    ), rel AS (
+      SELECT doc_id,
+             len(list_intersect(
+               list_distinct(string_split(text, ' ')),
+               [{_terms_sql}])) AS rel
+      FROM documents
+    ), top AS (
+      SELECT bm.doc_id, rel.rel,
+             row_number() OVER (ORDER BY bm.bm25 DESC, bm.doc_id ASC) AS pos
+      FROM bm JOIN rel ON bm.doc_id = rel.doc_id
+    ), dcg AS (
+      SELECT SUM((pow(2.0, rel) - 1) / log2(pos + 1)) AS dcg
+      FROM top WHERE pos <= 5
+    ), ideal AS (
+      SELECT rel,
+             row_number() OVER (ORDER BY rel DESC, doc_id ASC) AS pos
+      FROM rel WHERE rel > 0
+    ), idcg AS (
+      SELECT SUM((pow(2.0, rel) - 1) / log2(pos + 1)) AS idcg
+      FROM ideal WHERE pos <= 5
+    )
+    SELECT round(dcg.dcg, 6) AS dcg5,
+           round(idcg.idcg, 6) AS idcg5,
+           round(dcg.dcg / idcg.idcg, 6) AS ndcg5
+    FROM dcg, idcg
+"""

@@ -236,3 +236,71 @@ def test_clip_to_containing_box_preserves_area(jitters, radii):
     ring = _star_ring(jitters, radii)
     c = clip_ring_to_box(ring, -100, -100, 100, 100)
     assert abs(ring_signed_area(c) - ring_signed_area(ring)) <= 1e-9
+
+
+# -- chunking invariants (pure-python replicas of the codegen'd exprs) ----
+
+def _chunk_starts(n: int, size: int = 200, overlap: int = 40) -> list[int]:
+    import math
+
+    stride = size - overlap
+    k = max(1, math.ceil((n - overlap) / stride))
+    return [i * stride for i in range(k)]
+
+
+@settings(max_examples=300, deadline=None)
+@given(n=st.integers(0, 2000))
+def test_fixed_stride_chunks_cover_whole_text(n):
+    starts = _chunk_starts(n)
+    # full coverage: union of [s, s+200) covers [0, n)
+    covered = 0
+    for s in starts:
+        assert s <= covered  # no gap
+        covered = max(covered, min(s + 200, max(n, 0)))
+    assert covered >= n
+    # no fully-redundant chunk: every chunk past the first adds content
+    for prev, cur in zip(starts, starts[1:]):
+        assert cur > prev and cur < n or (n <= 40)
+
+
+def _cdc_bounds(text: str) -> list[int]:
+    B, W, M = 31, 8, 64
+    out = []
+    for i in range(W, len(text) + 1):
+        h = sum(ord(text[i - 1 - k]) * B**k for k in range(W))
+        if h % M == 0:
+            out.append(i)
+    return out
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    s=st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+              min_size=20, max_size=300),
+    pos=st.integers(0, 19),
+    ins=st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                min_size=1, max_size=5),
+)
+def test_cdc_boundaries_are_edit_local(s, pos, ins):
+    """The CDC property: an insertion at ``pos`` leaves boundaries more
+    than a window past the edit unchanged (shifted by the insert length)."""
+    before = _cdc_bounds(s)
+    after = _cdc_bounds(s[:pos] + ins + s[pos:])
+    w = 8
+    tail_before = [b for b in before if b >= pos + w]
+    tail_after = [b - len(ins) for b in after if b - len(ins) >= pos + w]
+    assert tail_before == tail_after
+
+
+def test_cdc_python_replica_matches_spark(spark):
+    from gfw_pixetl_spark.functions.text import cdc_boundaries
+
+    texts = ["the quick brown fox jumps over the lazy dog " * 3,
+             "aaaaaaaaaaaaaaaaaaaaaaaa", "key agg row scan slow fast"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    got = {}
+    for r in cdc_boundaries(df).collect():
+        got.setdefault(r.doc_id, []).append(r.boundary_pos)
+    for i, t in enumerate(texts):
+        assert sorted(got.get(i, [])) == _cdc_bounds(t)
