@@ -167,6 +167,9 @@ BENCH_QUERIES = [
     "q178_hard_negatives",
     "q179_stream_chunk_dedup",
     "q180_bm25_ndcg",
+    "q181_triangle_count",
+    "q182_ewma",
+    "q183_morton_layout",
 ]
 
 

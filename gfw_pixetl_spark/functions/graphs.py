@@ -1,0 +1,88 @@
+"""Graph analytics operators (beyond connected components / PageRank):
+triangle counting with degree orientation.
+
+Triangle counting is the canonical "looks quadratic, isn't" graph op:
+orienting every undirected edge from its lower-(degree, id) endpoint to
+the higher one makes each triangle countable exactly once as a wedge
+(a->b, a->c) closed by (b->c), and bounds per-node wedge fan-out by the
+graph's degeneracy — the standard scalable formulation (e.g. Suri &
+Vassilvitskii's MapReduce variant, WWW 2011). Everything is equi-joins
+on node ids: no cross join, no iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def undirect(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Canonical undirected simple edges (u < v, no loops, distinct)."""
+    return (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(
+            F.least(src, dst).alias("u"), F.greatest(src, dst).alias("v")
+        )
+        .distinct()
+    )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """One-row graph summary over canonical undirected ``(u, v)`` edges:
+    edge count, wedge count (sum of C(deg, 2)), triangle count, global
+    clustering coefficient 3T / wedges.
+
+    Orientation by (degree, id) keeps the wedge join sub-quadratic on
+    skewed graphs: hubs receive edges instead of fanning them out.
+    """
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node").agg(F.count("*").alias("deg"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("bigint")
+        .alias("n_wedges"))
+    n_edges = edges.agg(F.count("*").cast("bigint").alias("n_edges"))
+
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    oriented = (
+        edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+        .select(
+            F.when(
+                (F.col("du") < F.col("dv"))
+                | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))),
+                F.struct(F.col("u").alias("a"), F.col("v").alias("b"),
+                         F.col("du").alias("ka"), F.col("dv").alias("kb")),
+            ).otherwise(
+                F.struct(F.col("v").alias("a"), F.col("u").alias("b"),
+                         F.col("dv").alias("ka"), F.col("du").alias("kb")),
+            ).alias("e")
+        )
+        .select("e.a", "e.b", "e.ka", "e.kb")
+    )
+    w1 = oriented.select(
+        F.col("a"), F.col("b").alias("x"),
+        F.col("kb").alias("kx"))
+    w2 = oriented.select(
+        F.col("a"), F.col("b").alias("y"),
+        F.col("kb").alias("ky"))
+    # wedge (a -> x, a -> y) with x before y in orientation order; the
+    # closing edge, if present, is oriented x -> y
+    wedge = w1.join(w2, "a").filter(
+        (F.col("kx") < F.col("ky"))
+        | ((F.col("kx") == F.col("ky")) & (F.col("x") < F.col("y"))))
+    closure = oriented.select(
+        F.col("a").alias("x"), F.col("b").alias("y"))
+    tri = wedge.join(closure, ["x", "y"], "left_semi").agg(
+        F.count("*").cast("bigint").alias("n_triangles"))
+    return (
+        n_edges.crossJoin(F.broadcast(wedges))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_edges", "n_wedges", "n_triangles",
+            F.round(3.0 * F.col("n_triangles") / F.col("n_wedges"), 6)
+            .alias("global_clustering"),
+        )
+    )

@@ -34,3 +34,39 @@ def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFr
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def morton_key(x, y, bits: int = 16):
+    """Z-order (Morton) key: bit-interleave of two grid indices, as a
+    pure column expression (unrolled shifts — whole-stage codegen, and
+    the identical arithmetic replays in any SQL engine).
+
+    Sorting or range-bucketing tiles by this key is the data-layout
+    lever for spatial stores at scale: neighbors in 2-D land in the
+    same file/byte-range, so a bbox query touches O(result) objects
+    instead of striding the whole store. (The same trick parquet
+    min/max skipping and Delta/Iceberg Z-ORDER clustering rely on.)
+    """
+    from pyspark.sql import functions as F
+
+    k = F.lit(0).cast("bigint")
+    for b in range(bits):
+        k = (
+            k
+            + F.shiftright(x, b).bitwiseAND(1).cast("bigint")
+            * (2 ** (2 * b))
+            + F.shiftright(y, b).bitwiseAND(1).cast("bigint")
+            * (2 ** (2 * b + 1))
+        )
+    return k
+
+
+def morton_key_sql(x_expr: str, y_expr: str, bits: int = 16) -> str:
+    """DuckDB twin of :func:`morton_key` (same unrolled arithmetic)."""
+    terms = []
+    for b in range(bits):
+        terms.append(
+            f"((({x_expr}) >> {b}) & 1) * {2 ** (2 * b)}"
+            f" + ((({y_expr}) >> {b}) & 1) * {2 ** (2 * b + 1)}"
+        )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"

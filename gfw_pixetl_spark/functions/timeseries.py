@@ -81,3 +81,42 @@ def gapfill_locf(
             f"{c}_locf", F.last(F.col(c), ignorenulls=True).over(w)
         )
     return dense
+
+
+EWMA_ALPHA = 0.2
+EWMA_HORIZON = 20
+
+
+def ewma_truncated(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    tiebreak_col: str = "event_id",
+    alpha: float = EWMA_ALPHA,
+    horizon: int = EWMA_HORIZON,
+) -> DataFrame:
+    """Exponentially-weighted moving average with a finite horizon:
+    y_t = sum_{j<horizon} (1-a)^j x_{t-j} / sum of the weights present.
+
+    Truncating the tail is what makes the smoother scale-stable: the
+    textbook recursive/normalized forms either serialize per key or
+    blow up numerically as (1/(1-a))^t, while the truncated form is a
+    fixed unrolled expression of ``horizon`` lag() terms — one window
+    sort per key, whole-stage codegen, and bit-replayable in any SQL
+    engine (streaming smoothers truncate the tail anyway: weights below
+    (1-a)^20 ~ 1% contribute noise, not signal).
+    """
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for j in range(horizon):
+        weight = float((1.0 - alpha) ** j)
+        lagged = F.lag(val_col, j).over(w)
+        num = num + F.coalesce(lagged, F.lit(0.0)) * weight
+        den = den + F.when(lagged.isNotNull(), weight).otherwise(0.0)
+    return df.select(
+        key_col, ts_col, tiebreak_col, val_col,
+        F.round(num / den, 6).alias("ewma"),
+    )

@@ -335,3 +335,65 @@ _OR["q180_bm25_ndcg"] = f"""
            round(dcg.dcg / idcg.idcg, 6) AS ndcg5
     FROM dcg, idcg
 """
+
+
+# --------------------------------------------------------------------------
+# q181 — triangle count + global clustering coefficient on the nation
+# trade graph (q117's edges, undirected/simple). The Spark side uses
+# degree orientation (each triangle counted once as a closed wedge from
+# its lowest-(degree, id) corner — the formulation whose wedge fan-out
+# is bounded by graph degeneracy, so it survives hub-skewed entity
+# graphs); the oracle counts the same triangles with the plain
+# a < b < c three-way join.
+# --------------------------------------------------------------------------
+_TRADE_EDGES_SQL = """
+    SELECT DISTINCT least(s.s_nationkey, c.c_nationkey) AS u,
+                    greatest(s.s_nationkey, c.c_nationkey) AS v
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    WHERE s.s_nationkey != c.c_nationkey
+"""
+
+
+@register(
+    "q181_triangle_count",
+    oracle=f"""
+    WITH e AS (
+      {_TRADE_EDGES_SQL}
+    ), deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+      ) GROUP BY node
+    ), tri AS (
+      SELECT COUNT(*) AS t
+      FROM e e1 JOIN e e2 ON e1.v = e2.u AND e1.u < e1.v AND e2.u < e2.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+           (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg)
+             AS n_wedges,
+           CAST(t AS BIGINT) AS n_triangles,
+           round(3.0 * t / (SELECT SUM(d * (d - 1) // 2) FROM deg), 6)
+             AS global_clustering
+    FROM tri
+    """,
+)
+def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.graphs import triangle_stats, undirect
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    directed = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .select(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+    )
+    return triangle_stats(undirect(directed))

@@ -743,3 +743,48 @@ def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("sum_dzdy_num"),
         F.max("slope_pct").alias("max_slope_pct"),
     )
+
+
+# --------------------------------------------------------------------------
+# q183 — Z-order (Morton) tile layout: the 10-degree lat/lng grid's 648
+# tiles keyed by bit-interleaved (grid_x, grid_y) and range-bucketed
+# into shards — the clustering that makes a bbox query touch O(result)
+# store objects (the Delta/Iceberg Z-ORDER trick applied to the tile
+# store). Per shard: tile count and key range; the unit test asserts
+# the locality property (adjacent tiles share shards far more often
+# than row-major order).
+# --------------------------------------------------------------------------
+from ..functions.partitioning import morton_key, morton_key_sql  # noqa: E402
+
+
+@register(
+    "q183_morton_layout",
+    oracle=f"""
+    WITH g AS (
+      SELECT CAST(i % 36 AS INT) AS gx, CAST(i // 36 AS INT) AS gy
+      FROM range(648) t(i)
+    ), keyed AS (
+      SELECT gx, gy, {morton_key_sql('gx', 'gy', 6)} AS zkey
+      FROM g
+    )
+    SELECT CAST(zkey // 64 AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_tiles,
+           CAST(MIN(zkey) AS BIGINT) AS min_key,
+           CAST(MAX(zkey) AS BIGINT) AS max_key
+    FROM keyed GROUP BY 1
+    """,
+)
+def q183(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.range(648)
+    gx = (F.col("id") % 36).cast("int")
+    gy = (F.col("id") / 36).cast("int")
+    zkey = morton_key(gx, gy, bits=6)
+    return (
+        df.select(zkey.alias("zkey"))
+        .groupBy((F.col("zkey") / 64).cast("bigint").alias("shard"))
+        .agg(
+            F.count("*").alias("n_tiles"),
+            F.min("zkey").alias("min_key"),
+            F.max("zkey").alias("max_key"),
+        )
+    )

@@ -233,3 +233,39 @@ def q89(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# q182 — truncated EWMA smoothing per user: 20 unrolled lag() terms with
+# (1-a)^j weights (a = 0.2), one window sort per key. The truncation is
+# the scale decision: recursive EWMA serializes per key and the
+# normalized closed form overflows as (1/(1-a))^t, while the horizon
+# form is codegen end-to-end and bit-replayable. Oracle unrolls the
+# identical expression.
+# --------------------------------------------------------------------------
+def _ewma_terms() -> tuple[str, str]:
+    nums, dens = [], []
+    for j in range(20):
+        w = repr((1.0 - 0.2) ** j)
+        lg = f"lag(value, {j}) OVER w"
+        nums.append(f"COALESCE({lg}, 0.0) * {w}")
+        dens.append(f"CASE WHEN {lg} IS NOT NULL THEN {w} ELSE 0.0 END")
+    return " + ".join(nums), " + ".join(dens)
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_terms()
+
+
+@register(
+    "q182_ewma",
+    oracle=f"""
+    SELECT user_id, ts, event_id, value,
+           round(({_EWMA_NUM}) / ({_EWMA_DEN}), 6) AS ewma
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    """,
+)
+def q182(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.timeseries import ewma_truncated
+
+    return ewma_truncated(load(spark, sf_dir, "events"))

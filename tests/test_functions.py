@@ -395,3 +395,47 @@ def test_pq_encode_matches_numpy(spark):
     # codebook rows encode to themselves with ~zero error
     assert got[0].code_0 == 0 and got[0].code_1 == 0
     assert got[0].recon_err == 0.0
+
+
+# -- morton layout (q183 operator) -----------------------------------------
+
+def test_morton_locality_beats_row_major(spark):
+    from gfw_pixetl_spark.functions.partitioning import morton_key
+
+    df = spark.range(1024)
+    gx = (F.col("id") % 32).cast("int")
+    gy = (F.col("id") / 32).cast("int")
+    rows = df.select(
+        gx.alias("gx"), gy.alias("gy"),
+        morton_key(gx, gy, bits=5).alias("z")).collect()
+    z = {(r.gx, r.gy): r.z for r in rows}
+    # bijective onto 0..1023
+    assert sorted(z.values()) == list(range(1024))
+    # locality: fraction of 4-neighbor pairs within the same 64-key shard
+    def same_shard(key):
+        hits = tot = 0
+        for (x, y), k in z.items():
+            for dx, dy in ((1, 0), (0, 1)):
+                if (x + dx, y + dy) in z:
+                    tot += 1
+                    hits += key((x, y)) // 64 == key((x + dx, y + dy)) // 64
+        return hits / tot
+    z_frac = same_shard(lambda p: z[p])
+    rm_frac = same_shard(lambda p: p[1] * 32 + p[0])  # row-major
+    assert z_frac > rm_frac  # z-order keeps 2-D neighbors together
+    assert z_frac > 0.6
+
+
+def test_triangle_stats_known_graph(spark):
+    from gfw_pixetl_spark.functions.graphs import triangle_stats, undirect
+
+    # K4 plus a pendant: 4 triangles, 6+1 edges
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a != b]
+        + [(3, 9)], ["src", "dst"])
+    got = triangle_stats(undirect(edges)).collect()[0]
+    assert got.n_edges == 7
+    assert got.n_triangles == 4
+    # wedges: deg 3,3,3,4,1 -> 3+3+3+6+0 = 15
+    assert got.n_wedges == 15
+    assert got.global_clustering == round(12 / 15, 6)
