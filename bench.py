@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "q181_triangle_count",
     "q182_ewma",
     "q183_morton_layout",
+    "q184_schema_evolution",
 ]
 
 

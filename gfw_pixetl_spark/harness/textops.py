@@ -1081,3 +1081,57 @@ def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import run_stream_chunk_dedup_once
 
     return run_stream_chunk_dedup_once(spark, f"{sf_dir}/documents.parquet")
+
+
+# --------------------------------------------------------------------------
+# q184 — schema-evolution read: the corpus directory holds files written
+# by TWO pipeline versions (v1: doc_id+lang; v2 adds source).
+# mergeSchema unions the footers; v1 rows surface source as NULL. The
+# per-(lang, version) tally proves the evolved read matches what a
+# never-evolved store would say — the contract a long-lived 100 TB
+# store depends on. Files are (re)written per sf_dir into a keyed tmp
+# dir, so the oracle replays from the documents table analytically
+# (v1 = doc_id % 2 == 0).
+# --------------------------------------------------------------------------
+def _evolved_dir(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    key = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(tempfile.gettempdir(), f"gfw_evolved_{key}")
+    marker = os.path.join(d, "_built")
+    if not os.path.exists(marker):
+        docs = load(spark, sf_dir, "documents")
+        v1 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
+        v2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "lang", "source")
+        v1.coalesce(1).write.mode("overwrite").parquet(d)
+        v2.coalesce(1).write.mode("append").parquet(d)
+        open(marker, "w").write("ok")
+    return d
+
+
+@register(
+    "q184_schema_evolution",
+    oracle="""
+    SELECT lang,
+           CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_v1_rows,
+           CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_v2_rows,
+           CAST(COUNT(DISTINCT CASE WHEN doc_id % 2 = 1 THEN source END)
+                AS BIGINT) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+)
+def q184(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.textfiles import read_evolved_parquet
+
+    df = read_evolved_parquet(spark, _evolved_dir(spark, sf_dir))
+    return df.groupBy("lang").agg(
+        F.sum(F.when(F.col("source").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_v1_rows"),
+        F.sum(F.when(F.col("source").isNotNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_v2_rows"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )

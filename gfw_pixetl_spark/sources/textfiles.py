@@ -125,3 +125,14 @@ def write_csv(
 ) -> None:
     out = df.repartition(partitions) if partitions else df
     out.write.mode("overwrite").option("header", header).csv(path)
+
+
+def read_evolved_parquet(spark, path: str) -> DataFrame:
+    """Schema-evolution read: union a parquet directory whose files were
+    written under DIFFERENT schema versions (columns added over time).
+    ``mergeSchema`` makes the footer union the scan schema; rows from
+    old files surface the added columns as NULL — the contract a 100 TB
+    store accumulated over years of pipeline versions depends on
+    (re-writing history on every column add is not an option).
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)
