@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "q182_ewma",
     "q183_morton_layout",
     "q184_schema_evolution",
+    "q185_terrain_indices",
 ]
 
 

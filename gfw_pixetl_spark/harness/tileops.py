@@ -788,3 +788,69 @@ def q183(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("zkey").alias("max_key"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q185 — gdaldem terrain indices (TPI / TRI / roughness), the trig-free
+# trio whose every step is IEEE-exact: TPI's /8 is a power of two, TRI
+# is sqrt of an integer, roughness is integer — so the oracle replays
+# the analytic field bit-for-bit (no rounding fudge). Same halo-read
+# stencil as q169/q172; hillshade/aspect (libm trig, not externally
+# replayable) live beside it as numpy-verified library stencils.
+# --------------------------------------------------------------------------
+_Z = "(({r}) * 5 + ({c}) * 3) % 13"
+
+
+def _z_at(dr: int, dc: int) -> str:
+    return _Z.format(r=f"r + {dr}", c=f"c + {dc}")
+
+
+_NB = [(dr, dc) for dr in (-1, 0, 1) for dc in (-1, 0, 1)
+       if not (dr == 0 and dc == 0)]
+_NB_SUM = " + ".join(_z_at(dr, dc) for dr, dc in _NB)
+_SQ_SUM = " + ".join(
+    f"(({_z_at(dr, dc)}) - zc) * (({_z_at(dr, dc)}) - zc)"
+    for dr, dc in _NB
+)
+_NB_MAX = "greatest(" + ", ".join(
+    [_z_at(dr, dc) for dr, dc in _NB] + ["zc"]) + ")"
+_NB_MIN = "least(" + ", ".join(
+    [_z_at(dr, dc) for dr, dc in _NB] + ["zc"]) + ")"
+
+
+@register(
+    "q185_terrain_indices",
+    oracle=f"""
+    WITH px AS (
+      SELECT i.r AS r, j.c AS c, {_Z.format(r='i.r', c='j.c')} AS zc
+      FROM generate_series(1, 94) i(r), generate_series(1, 94) j(c)
+    ), t AS (
+      SELECT r, c, zc,
+             CAST(zc AS DOUBLE) - ({_NB_SUM}) / 8.0 AS tpi,
+             sqrt(CAST({_SQ_SUM} AS DOUBLE)) AS tri,
+             {_NB_MAX} - {_NB_MIN} AS rough
+      FROM px
+    )
+    SELECT CAST(r // 16 AS INTEGER) AS block_r,
+           CAST(c // 16 AS INTEGER) AS block_c,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(CAST(tpi * 8 AS BIGINT)) AS BIGINT) AS sum_tpi8,
+           MAX(tri) AS max_tri,
+           CAST(SUM(rough) AS BIGINT) AS sum_roughness
+    FROM t GROUP BY 1, 2
+    """,
+)
+def q185(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.raster_table import raster_catalog, terrain_indices_pixels
+
+    cat = raster_catalog(spark, [_focal_demo_file()])
+    px = terrain_indices_pixels(cat, window=48, parallelism=8)
+    return px.groupBy(
+        F.floor(F.col("row") / 16).cast("int").alias("block_r"),
+        F.floor(F.col("col") / 16).cast("int").alias("block_c"),
+    ).agg(
+        F.count("*").alias("n_px"),
+        F.round(F.sum(F.col("tpi") * 8)).cast("bigint").alias("sum_tpi8"),
+        F.max("tri").alias("max_tri"),
+        F.sum("roughness").cast("bigint").alias("sum_roughness"),
+    )

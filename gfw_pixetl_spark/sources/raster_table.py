@@ -369,3 +369,114 @@ def decimated_pixels(
                     yield pd.concat(out, ignore_index=True)
 
     return files.select("uri").mapInPandas(kernel, PIXEL_SCHEMA)
+
+
+TERRAIN_SCHEMA = (
+    "uri string, band int, row int, col int, x double, y double, "
+    "tpi double, tri double, roughness long"
+)
+HILLSHADE_SCHEMA = (
+    "uri string, band int, row int, col int, x double, y double, "
+    "hillshade double, aspect double"
+)
+
+
+def terrain_indices_pixels(
+    catalog: DataFrame,
+    window: int = 2048,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """gdaldem-style terrain indices per interior pixel — the trig-free
+    trio, chosen because every step is IEEE-exact and thus externally
+    replayable (unlike slope-degrees/aspect/hillshade, whose libm trig
+    differs across engines):
+
+    * TPI  (topographic position) = z_c − mean(8 neighbors); the /8 is
+      a power of two, so the double is exact.
+    * TRI  (terrain ruggedness, Riley et al. 1999) =
+      sqrt(Σ (z_n − z_c)²) over the 8 neighbors — integer sum, exact
+      sqrt.
+    * roughness = max − min over the 3×3 neighborhood (integer).
+
+    Same halo-read execution model as :func:`focal_sum_pixels`.
+    """
+
+    def stencil(data, valid, _transform):
+        h, w = data.shape
+        oh, ow = h - 2, w - 2
+        z = data.astype("int64")
+        zc = z[1:oh + 1, 1:ow + 1]
+        nb_sum = np.zeros((oh, ow), dtype="int64")
+        sq_sum = np.zeros((oh, ow), dtype="int64")
+        nb_max = np.full((oh, ow), np.iinfo("int64").min)
+        nb_min = np.full((oh, ow), np.iinfo("int64").max)
+        ok = np.ones((oh, ow), dtype=bool)
+        for di in range(3):
+            for dj in range(3):
+                blk = z[di:di + oh, dj:dj + ow]
+                ok &= valid[di:di + oh, dj:dj + ow]
+                nb_max = np.maximum(nb_max, blk)
+                nb_min = np.minimum(nb_min, blk)
+                if di == 1 and dj == 1:
+                    continue
+                nb_sum += blk
+                d = blk - zc
+                sq_sum += d * d
+        tpi = zc.astype("float64") - nb_sum.astype("float64") / 8.0
+        tri = np.sqrt(sq_sum.astype("float64"))
+        return (
+            {"tpi": tpi, "tri": tri, "roughness": nb_max - nb_min},
+            ok,
+        )
+
+    return _halo_stencil(catalog, window, parallelism, 1, stencil,
+                         TERRAIN_SCHEMA)
+
+
+def hillshade_pixels(
+    catalog: DataFrame,
+    window: int = 2048,
+    parallelism: int | None = None,
+    azimuth: float = 315.0,
+    altitude: float = 45.0,
+    z_factor: float = 1.0,
+) -> DataFrame:
+    """gdaldem hillshade + aspect by Horn derivatives. Trig-heavy, so
+    there is no cross-engine-exact oracle (libm sin/cos differ by ulps
+    between engines) — values are unit-tested against an independent
+    numpy replay instead. Same halo-read model; output in [0, 255]
+    (hillshade) and degrees clockwise from north (aspect, NaN on flat).
+    """
+    az = np.radians(azimuth)
+    alt = np.radians(altitude)
+
+    def stencil(data, valid, transform):
+        _, sx, _, sy = transform
+        h, w = data.shape
+        oh, ow = h - 2, w - 2
+        z = data.astype("float64") * z_factor
+        z1, z2, z3 = z[0:oh, 0:ow], z[0:oh, 1:ow + 1], z[0:oh, 2:ow + 2]
+        z4, z6 = z[1:oh + 1, 0:ow], z[1:oh + 1, 2:ow + 2]
+        z7, z8, z9 = z[2:oh + 2, 0:ow], z[2:oh + 2, 1:ow + 1], \
+            z[2:oh + 2, 2:ow + 2]
+        dzdx = ((z3 + 2 * z6 + z9) - (z1 + 2 * z4 + z7)) / (8 * sx)
+        dzdy = ((z7 + 2 * z8 + z9) - (z1 + 2 * z2 + z3)) / (8 * sy)
+        slope = np.arctan(np.hypot(dzdx, dzdy))
+        aspect = np.arctan2(dzdy, -dzdx)
+        shade = (np.sin(alt) * np.cos(slope)
+                 + np.cos(alt) * np.sin(slope)
+                 * np.cos(az - np.pi / 2 - aspect))
+        shade = np.clip(shade * 255.0, 0.0, 255.0)
+        flat = (dzdx == 0) & (dzdy == 0)
+        # gdaldem aspect convention: degrees CW from north
+        asp_deg = np.degrees(np.arctan2(-dzdx, dzdy))
+        asp_deg = np.where(asp_deg < 0, asp_deg + 360.0, asp_deg)
+        asp_deg = np.where(flat, np.nan, asp_deg)
+        ok = np.ones((oh, ow), dtype=bool)
+        for di in range(3):
+            for dj in range(3):
+                ok &= valid[di:di + oh, dj:dj + ow]
+        return {"hillshade": shade, "aspect": asp_deg}, ok
+
+    return _halo_stencil(catalog, window, parallelism, 1, stencil,
+                         HILLSHADE_SCHEMA)

@@ -155,3 +155,54 @@ def test_horn_slope_matches_numpy(spark, cogs):
         gx, gy, gs = got[(r0, c0)]
         assert gx == dzdx and gy == dzdy
         assert gs == 100.0 * np.sqrt(dzdx * dzdx + dzdy * dzdy)
+
+
+def test_terrain_indices_match_numpy(spark, cogs):
+    from gfw_pixetl_spark.sources.raster_table import terrain_indices_pixels
+
+    pb, b = cogs["b"]
+    cat = raster_catalog(spark, [pb])
+    got = {(r.row, r.col): r for r in
+           terrain_indices_pixels(cat, window=32, parallelism=4).collect()}
+    z = b.astype("int64")
+    assert len(got) == 78 * 78
+    for (r0, c0) in [(1, 1), (40, 40), (31, 32), (78, 78)]:
+        nb = z[r0 - 1:r0 + 2, c0 - 1:c0 + 2]
+        zc = z[r0, c0]
+        r = got[(r0, c0)]
+        assert r.tpi == zc - (nb.sum() - zc) / 8.0
+        assert r.tri == np.sqrt(((nb - zc) ** 2).sum())
+        assert r.roughness == nb.max() - nb.min()
+
+
+def test_hillshade_matches_numpy(spark, cogs):
+    from gfw_pixetl_spark.sources.raster_table import hillshade_pixels
+
+    pb, b = cogs["b"]
+    cat = raster_catalog(spark, [pb])
+    got = {(r.row, r.col): r for r in
+           hillshade_pixels(cat, window=32, parallelism=4).collect()}
+    z = b.astype("float64")
+    sx = sy = 0.05
+    az, alt = np.radians(315.0), np.radians(45.0)
+    assert len(got) == 78 * 78
+    for (r0, c0) in [(1, 1), (40, 40), (31, 32)]:
+        n = z[r0 - 1:r0 + 2, c0 - 1:c0 + 2]
+        dzdx = ((n[0, 2] + 2 * n[1, 2] + n[2, 2])
+                - (n[0, 0] + 2 * n[1, 0] + n[2, 0])) / (8 * sx)
+        dzdy = ((n[2, 0] + 2 * n[2, 1] + n[2, 2])
+                - (n[0, 0] + 2 * n[0, 1] + n[0, 2])) / (8 * sy)
+        slope = np.arctan(np.hypot(dzdx, dzdy))
+        aspect = np.arctan2(dzdy, -dzdx)
+        shade = np.clip((np.sin(alt) * np.cos(slope)
+                         + np.cos(alt) * np.sin(slope)
+                         * np.cos(az - np.pi / 2 - aspect)) * 255, 0, 255)
+        r = got[(r0, c0)]
+        assert abs(r.hillshade - shade) < 1e-9
+        want_asp = np.degrees(np.arctan2(-dzdx, dzdy))
+        if want_asp < 0:
+            want_asp += 360.0
+        if dzdx == 0 and dzdy == 0:
+            assert np.isnan(r.aspect)
+        else:
+            assert abs(r.aspect - want_asp) < 1e-9
