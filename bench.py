@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     "q183_morton_layout",
     "q184_schema_evolution",
     "q185_terrain_indices",
+    "q186_curation_pipeline",
 ]
 
 

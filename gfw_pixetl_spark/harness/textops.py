@@ -1135,3 +1135,62 @@ def q184(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint").alias("n_v2_rows"),
         F.countDistinct("source").cast("bigint").alias("n_sources"),
     )
+
+
+# --------------------------------------------------------------------------
+# q186 — the corpus-curation pipeline END-TO-END as one DataFrame
+# program: length filter -> exact dedup (keep lowest doc_id) ->
+# deterministic train/val/test split -> per-(split, lang) doc and
+# token tallies. Every stage is an operator this engine already ships
+# (q26/q173/q34 building blocks) composed into the single plan a "run
+# my curation job" user actually submits; Catalyst fuses the filter
+# into the scan and the whole thing is two shuffles (dedup groupBy,
+# final rollup) at any corpus size.
+# --------------------------------------------------------------------------
+@register(
+    "q186_curation_pipeline",
+    oracle=f"""
+    WITH kept AS (
+      SELECT md5(text) AS digest,
+             MIN(doc_id) AS doc_id,
+             arg_min(lang, doc_id) AS lang,
+             arg_min(text, doc_id) AS text
+      FROM documents
+      WHERE n_chars BETWEEN 50 AND 400
+      GROUP BY md5(text)
+    ), split AS (
+      SELECT lang, text,
+             CASE WHEN {md5_int64_sql(
+                 "CAST(doc_id AS VARCHAR) || '|split-v1'")} % 100 < 5
+                    THEN 'test'
+                  WHEN {md5_int64_sql(
+                 "CAST(doc_id AS VARCHAR) || '|split-v1'")} % 100 < 10
+                    THEN 'val'
+                  ELSE 'train' END AS split
+      FROM kept
+    )
+    SELECT split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(list_filter(string_split(text, ' '),
+                                    w -> w != ''))) AS BIGINT) AS n_tokens
+    FROM split GROUP BY split, lang
+    """,
+)
+def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sampling import train_val_test_split
+
+    docs = load(spark, sf_dir, "documents")
+    kept = (
+        docs.filter(F.col("n_chars").between(50, 400))
+        .groupBy(F.md5("text").alias("digest"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.expr("min_by(lang, doc_id)").alias("lang"),
+            F.expr("min_by(text, doc_id)").alias("text"),
+        )
+    )
+    split = train_val_test_split(kept, val_pct=5, test_pct=5)
+    return split.groupBy("split", "lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(T.words("text"))).cast("bigint").alias("n_tokens"),
+    )
