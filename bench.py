@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "q184_schema_evolution",
     "q185_terrain_indices",
     "q186_curation_pipeline",
+    "q187_multiband_ndvi",
 ]
 
 

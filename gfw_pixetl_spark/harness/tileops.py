@@ -854,3 +854,75 @@ def q185(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("tri").alias("max_tri"),
         F.sum("roughness").cast("bigint").alias("sum_roughness"),
     )
+
+
+# --------------------------------------------------------------------------
+# q187 — multi-band raster algebra through the REAL container: a 2-band
+# COG (planar-SEPARATE, the red/NIR layout) read through raster-as-
+# table, bands re-joined per pixel, NDVI-style (b2-b1)/(b2+b1) zonal
+# aggregation. Exactness: per-block band sums are integers and the
+# NDVI ratio is computed from those exact sums, so only the final
+# round(6) touches floats. The band join is an equi-join on
+# (uri, row, col) — co-partitioned by the same kernel, no skew.
+# --------------------------------------------------------------------------
+def _ndvi_demo_file() -> str:
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from ..sources.geotiff import write_cog
+
+    d = os.path.join(tempfile.gettempdir(), "gfw_pixetl_spark_rt_demo")
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, "ndvi2band.tif")
+    if not os.path.exists(p):
+        ii, jj = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+        red = ((ii * 2 + jj) % 9 + 1).astype("uint8")      # 1..9, no zeros
+        nir = ((ii + jj * 3) % 11 + 2).astype("uint8")     # 2..12
+        write_cog(p, np.stack([red, nir]),
+                  transform=(0.0, 0.1, 10.0, 0.1),
+                  blockxsize=32, overviews=False)
+    return p
+
+
+@register(
+    "q187_multiband_ndvi",
+    oracle="""
+    WITH px AS (
+      SELECT i.r AS r, j.c AS c,
+             (i.r * 2 + j.c) % 9 + 1 AS red,
+             (i.r + j.c * 3) % 11 + 2 AS nir
+      FROM generate_series(0, 63) i(r), generate_series(0, 63) j(c)
+    )
+    SELECT CAST(r // 16 AS INTEGER) AS block_r,
+           CAST(c // 16 AS INTEGER) AS block_c,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(nir - red) AS BIGINT) AS sum_diff,
+           CAST(SUM(nir + red) AS BIGINT) AS sum_total,
+           round(CAST(SUM(nir - red) AS DOUBLE)
+                 / CAST(SUM(nir + red) AS DOUBLE), 6) AS ndvi_of_sums
+    FROM px GROUP BY 1, 2
+    """,
+)
+def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.raster_table import raster_catalog, read_pixels
+
+    cat = raster_catalog(spark, [_ndvi_demo_file()])
+    px = read_pixels(cat, window=32, parallelism=8)
+    red = px.filter(F.col("band") == 1).select(
+        "uri", "row", "col", F.col("value").alias("red"))
+    nir = px.filter(F.col("band") == 2).select(
+        "uri", "row", "col", F.col("value").alias("nir"))
+    both = red.join(nir, ["uri", "row", "col"])
+    return both.groupBy(
+        F.floor(F.col("row") / 16).cast("int").alias("block_r"),
+        F.floor(F.col("col") / 16).cast("int").alias("block_c"),
+    ).agg(
+        F.count("*").alias("n_px"),
+        F.sum(F.col("nir") - F.col("red")).cast("bigint").alias("sum_diff"),
+        F.sum(F.col("nir") + F.col("red")).cast("bigint").alias("sum_total"),
+        F.round(
+            F.sum(F.col("nir") - F.col("red"))
+            / F.sum(F.col("nir") + F.col("red")), 6).alias("ndvi_of_sums"),
+    )
