@@ -331,25 +331,37 @@ def cdc_boundaries(
     chunks survives edits.
 
     The window is small and fixed, so the hash unrolls into 8 ascii()
-    terms evaluated entirely inside whole-stage codegen over a
-    sequence+explode of positions — map-only, data-local fan-out, and
-    bit-replayable in any SQL engine.
+    terms evaluated entirely inside whole-stage codegen — and the
+    position scan runs INSIDE the row via higher-order functions
+    (filter over a position sequence), so only the boundary positions
+    themselves are ever exploded — the explode-then-filter formulation
+    materializes a copy of the document per character position (a
+    ~300x row blow-up carrying full text) before filtering. CPU-heavy
+    per row (~8 substring probes per char), so the small-file guard
+    matters: a single-split corpus file would otherwise serialize the
+    whole scan onto one core (observed 15 s -> 1.3 s at sf0.1).
+    Map-only, and bit-replayable in any SQL engine.
     """
-    terms = None
-    for k in range(CDC_WINDOW):
-        t = (
-            F.ascii(F.expr(f"substr({text_col}, CAST(i - {k} AS INT), 1)"))
-            .cast("bigint") * (CDC_BASE ** k)
-        )
-        terms = t if terms is None else terms + t
-    return (
-        df.select(
-            id_col,
-            text_col,
-            F.explode(
-                F.sequence(F.lit(CDC_WINDOW), F.length(text_col))
-            ).alias("i"),
-        )
-        .filter((terms % CDC_MASK_MOD) == 0)
-        .select(id_col, F.col("i").cast("bigint").alias("boundary_pos"))
+    from .partitioning import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
+
+    def is_boundary(i):
+        terms = None
+        for k in range(CDC_WINDOW):
+            t = (
+                F.ascii(F.substring(F.col(text_col), i - F.lit(k), F.lit(1)))
+                .cast("bigint") * (CDC_BASE ** k)
+            )
+            terms = t if terms is None else terms + t
+        return (terms % CDC_MASK_MOD) == 0
+
+    bounds = F.transform(
+        F.filter(F.sequence(F.lit(CDC_WINDOW), F.length(text_col)),
+                 is_boundary),
+        lambda i: i.cast("bigint"),
+    )
+    return df.select(
+        id_col,
+        F.explode(bounds).alias("boundary_pos"),
     )
