@@ -174,6 +174,8 @@ BENCH_QUERIES = [
     "q185_terrain_indices",
     "q186_curation_pipeline",
     "q187_multiband_ndvi",
+    "q188_source_overlap",
+    "q189_split_drift",
 ]
 
 

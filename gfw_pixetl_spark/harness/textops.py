@@ -1194,3 +1194,108 @@ def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum(F.size(T.words("text"))).cast("bigint").alias("n_tokens"),
     )
+
+
+# --------------------------------------------------------------------------
+# q188 — source-overlap planning matrix: one MinHash signature per
+# SOURCE (min over all word hashes any of its docs contain) and the
+# pairwise matching-component fraction — the unbiased vocabulary-
+# Jaccard estimate between sub-corpora, run before merging crawls to
+# decide where cross-source dedup pays off. Corpus-scale work is one
+# explode + one k-min groupBy over a handful of groups; the pairwise
+# stage is #sources^2 rows.
+# --------------------------------------------------------------------------
+@register(
+    "q188_source_overlap",
+    oracle=f"""
+    WITH w AS (
+      SELECT source AS g, unnest({SQL_WORDSET}) AS word FROM documents
+    ), h AS (
+      SELECT g, {_sql_word_hash()} AS hw FROM w
+    ), sigs AS (
+      SELECT g,
+           {_mh_cols}
+      FROM h GROUP BY g
+    )
+    SELECT a.g AS source_a, b.g AS source_b,
+           CAST({" + ".join(
+               f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END"
+               for i in range(D.N_MINHASH))} AS BIGINT) AS n_match,
+           round(({" + ".join(
+               f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END"
+               for i in range(D.N_MINHASH))}) / {float(D.N_MINHASH)}, 6)
+             AS est_jaccard
+    FROM sigs a JOIN sigs b ON a.g < b.g
+    """,
+)
+def q188(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.source_minhash_overlap(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# q189 — split drift check: chi-square statistic of (split x lang)
+# independence over the q173 assignment — the QA gate that catches a
+# bad split hash skewing language balance between train and val/test.
+# Counts are exact integers; the statistic is a 15-cell fold.
+# --------------------------------------------------------------------------
+_SPLIT_CASE = f"""CASE
+      WHEN {md5_int64_sql("CAST(doc_id AS VARCHAR) || '|split-v1'")} % 100
+           < 5 THEN 'test'
+      WHEN {md5_int64_sql("CAST(doc_id AS VARCHAR) || '|split-v1'")} % 100
+           < 10 THEN 'val'
+      ELSE 'train' END"""
+
+
+@register(
+    "q189_split_drift",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT lang, {_SPLIT_CASE} AS split FROM documents
+    ), cells AS (
+      SELECT split, lang, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM assigned GROUP BY split, lang
+    ), margins AS (
+      SELECT c.split, c.lang, c.n,
+             s.ns * l.nl / t.nt AS expected
+      FROM cells c
+      JOIN (SELECT split, SUM(n) AS ns FROM cells GROUP BY split) s
+        ON c.split = s.split
+      JOIN (SELECT lang, SUM(n) AS nl FROM cells GROUP BY lang) l
+        ON c.lang = l.lang
+      CROSS JOIN (SELECT SUM(n) AS nt FROM cells) t
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST((COUNT(DISTINCT split) - 1)
+                * (COUNT(DISTINCT lang) - 1) AS BIGINT) AS dof,
+           round(SUM((n - expected) * (n - expected) / expected), 6)
+             AS chi2
+    FROM margins
+    """,
+)
+def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sampling import train_val_test_split
+
+    docs = load(spark, sf_dir, "documents")
+    cells = (
+        train_val_test_split(docs, val_pct=5, test_pct=5)
+        .groupBy("split", "lang")
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    ns = cells.groupBy("split").agg(F.sum("n").alias("ns"))
+    nl = cells.groupBy("lang").agg(F.sum("n").alias("nl"))
+    nt = cells.agg(F.sum("n").alias("nt"))
+    m = (
+        cells.join(F.broadcast(ns), "split")
+        .join(F.broadcast(nl), "lang")
+        .crossJoin(F.broadcast(nt))
+        .withColumn("expected", F.col("ns") * F.col("nl") / F.col("nt"))
+    )
+    return m.agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        ((F.countDistinct("split") - 1)
+         * (F.countDistinct("lang") - 1)).cast("bigint").alias("dof"),
+        F.round(
+            F.sum((F.col("n") - F.col("expected"))
+                  * (F.col("n") - F.col("expected")) / F.col("expected")),
+            6).alias("chi2"),
+    )
