@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "q187_multiband_ndvi",
     "q188_source_overlap",
     "q189_split_drift",
+    "q190_poisson_bootstrap",
 ]
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import md5_int64_sql
 from . import load, register
 from .core import SQL_DSUM, dec2
 
@@ -421,4 +422,65 @@ def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("n_members"),
         F.sum(F.when(F.col("maybe_in_set") & ~member, 1).otherwise(0))
          .cast("bigint").alias("n_false_pos"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q190 — Poisson bootstrap of a mean: the at-scale bootstrap (per-row
+# replica weights ~ Poisson(1) instead of sampling n-of-n with
+# replacement, so it's one map-only pass — the formulation production
+# metric pipelines use for CIs over billions of rows). Weights come
+# from CDF inversion of a deterministic md5 uniform, so both engines
+# replay the identical resample. 8 replicas of mean(value) over
+# events; n_eff is the integer total weight.
+# --------------------------------------------------------------------------
+_POIS1_CDF = [  # P(X <= k) for Poisson(1), k = 0..4; tail -> 5
+    0.3678794411714423, 0.7357588823428846, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563,
+]
+
+
+def _pois_w_sql(u: str) -> str:
+    branches = "".join(
+        f" WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS1_CDF))
+    return f"(CASE{branches} ELSE 5 END)"
+
+
+@register(
+    "q190_poisson_bootstrap",
+    oracle=f"""
+    WITH w AS (
+      SELECT r.r AS replica, value,
+             {_pois_w_sql(
+                 "(" + md5_int64_sql(
+                     "CAST(event_id AS VARCHAR) || '|boot|' "
+                     "|| CAST(r.r AS VARCHAR)") + " % 1000000) / 1000000.0"
+             )} AS wt
+      FROM events, generate_series(0, 7) r(r)
+    )
+    SELECT CAST(replica AS INTEGER) AS replica,
+           CAST(SUM(wt) AS BIGINT) AS n_eff,
+           round(SUM(wt * value) / SUM(wt), 6) AS boot_mean
+    FROM w GROUP BY replica
+    """,
+)
+def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_int64
+
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    reps = ev.withColumn(
+        "replica", F.explode(F.array(*[F.lit(r) for r in range(8)])))
+    u = (
+        md5_int64(F.concat(
+            F.col("event_id").cast("string"), F.lit("|boot|"),
+            F.col("replica").cast("string"))) % 1000000
+    ) / 1000000.0
+    wt = F.lit(5)
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        wt = F.when(u < _POIS1_CDF[k], k).otherwise(wt)
+    reps = reps.withColumn("wt", wt)
+    return reps.groupBy(F.col("replica").cast("int").alias("replica")).agg(
+        F.sum("wt").cast("bigint").alias("n_eff"),
+        F.round(F.sum(F.col("wt") * F.col("value")) / F.sum("wt"), 6)
+        .alias("boot_mean"),
     )
