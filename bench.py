@@ -177,6 +177,8 @@ BENCH_QUERIES = [
     "q188_source_overlap",
     "q189_split_drift",
     "q190_poisson_bootstrap",
+    "q191_pmi_collocations",
+    "q192_quantile_normalize",
 ]
 
 

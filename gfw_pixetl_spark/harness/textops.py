@@ -1299,3 +1299,168 @@ def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
                   * (F.col("n") - F.col("expected")) / F.col("expected")),
             6).alias("chi2"),
     )
+
+
+# --------------------------------------------------------------------------
+# q191 — collocation mining by pointwise mutual information: adjacent
+# word pairs with count >= 30, PMI = ln(N * c(xy) / (c(x)·c(y))) using
+# corpus totals — the statistic tokenizer/vocab builders use to find
+# multi-word units worth merging. One explode for unigrams, one
+# zip_with for bigrams, equi-joins on the word keys; top-20 by (PMI,
+# pair) so the output is ordering-stable.
+# --------------------------------------------------------------------------
+@register(
+    "q191_pmi_collocations",
+    oracle=f"""
+    WITH ws AS (
+      SELECT doc_id, {SQL_WORDS} AS w FROM documents
+    ), uni AS (
+      SELECT unnest(w) AS x FROM ws
+    ), ucnt AS (
+      SELECT x, COUNT(*) AS cx FROM uni GROUP BY x
+    ), n AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM uni
+    ), bi AS (
+      SELECT p[1] AS x, p[2] AS y FROM (
+        SELECT unnest(list_zip(list_slice(w, 1, len(w) - 1),
+                               list_slice(w, 2, len(w)))) AS p
+        FROM ws
+      ) WHERE p[1] IS NOT NULL AND p[2] IS NOT NULL
+    ), bcnt AS (
+      SELECT x, y, COUNT(*) AS cxy FROM bi GROUP BY x, y
+    ), scored AS (
+      SELECT b.x, b.y, CAST(b.cxy AS BIGINT) AS n_pair,
+             round(ln(n.n * b.cxy / (ux.cx * uy.cx)), 6) AS pmi
+      FROM bcnt b
+      JOIN ucnt ux ON b.x = ux.x
+      JOIN ucnt uy ON b.y = uy.x
+      CROSS JOIN n
+      WHERE b.cxy >= 30
+    )
+    SELECT x, y, n_pair, pmi FROM (
+      SELECT *, row_number() OVER (ORDER BY pmi DESC, x ASC, y ASC) AS rk
+      FROM scored
+    ) WHERE rk <= 20
+    """,
+)
+def q191(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    ws = docs.select(T.words("text").alias("w"))
+    uni = ws.select(F.explode("w").alias("x"))
+    ucnt = uni.groupBy("x").agg(F.count("*").alias("cx"))
+    n = uni.agg(F.count("*").cast("double").alias("n"))
+    pairs = ws.select(
+        F.explode(
+            F.zip_with(
+                F.slice("w", 1, F.greatest(F.size("w") - 1, F.lit(0))),
+                F.slice("w", 2, F.greatest(F.size("w") - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+            )
+        ).alias("p")
+    ).select("p.x", "p.y").filter(
+        F.col("x").isNotNull() & F.col("y").isNotNull())
+    bcnt = pairs.groupBy("x", "y").agg(F.count("*").alias("cxy")).filter(
+        F.col("cxy") >= 30)
+    ux = ucnt.select(F.col("x"), F.col("cx").alias("cx_x"))
+    uy = ucnt.select(F.col("x").alias("y"), F.col("cx").alias("cx_y"))
+    scored = (
+        bcnt.join(F.broadcast(ux), "x").join(F.broadcast(uy), "y")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "x", "y", F.col("cxy").cast("bigint").alias("n_pair"),
+            F.round(F.log(F.col("n") * F.col("cxy")
+                          / (F.col("cx_x") * F.col("cx_y"))), 6)
+            .alias("pmi"),
+        )
+    )
+    w = Window.orderBy(F.col("pmi").desc(), F.col("x").asc(),
+                       F.col("y").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20).drop("rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# q192 — cross-source quantile normalization: map each source's length
+# distribution onto the GLOBAL distribution by rank (value := the
+# global order statistic at the same percentile) — the distribution-
+# matching step used when per-source quality scores aren't comparable
+# (different crawlers, different scales). Scale shape: the global
+# order statistic comes from a HISTOGRAM CDF — groupBy(n_chars) to a
+# value-domain-sized table (~500 rows however large the corpus), one
+# cumulative window over THAT table, broadcast range-join back. The
+# per-source ranks are partitioned windows. Integer rank arithmetic
+# throughout; target rank = round(p * (N-1)) + 1.
+# --------------------------------------------------------------------------
+@register(
+    "q192_quantile_normalize",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars ASC, doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS ns
+      FROM documents
+    ), hist AS (
+      SELECT n_chars AS v, COUNT(*) AS c FROM documents GROUP BY n_chars
+    ), cdf AS (
+      SELECT v, SUM(c) OVER (ORDER BY v ASC
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(c) OVER (ORDER BY v ASC
+                          ROWS UNBOUNDED PRECEDING) - c AS cum_before
+      FROM hist
+    ), n AS (
+      SELECT COUNT(*) AS nt FROM documents
+    ), mapped AS (
+      SELECT s.doc_id, s.source, s.n_chars,
+             CAST(round((s.rn - 1.0) / (s.ns - 1.0) * (n.nt - 1)) + 1
+                  AS BIGINT) AS target
+      FROM src s CROSS JOIN n
+      WHERE s.ns > 1
+    )
+    SELECT m.doc_id, m.source,
+           CAST(m.n_chars AS BIGINT) AS n_chars,
+           CAST(g.v AS BIGINT) AS normalized
+    FROM mapped m JOIN cdf g
+      ON m.target > g.cum_before AND m.target <= g.cum
+    """,
+)
+def q192(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    ws = Window.partitionBy("source").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc())
+    src = docs.select(
+        "doc_id", "source", "n_chars",
+        F.row_number().over(ws).alias("rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("ns"),
+    )
+    hist = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count("*").alias("c"))
+    wc = Window.orderBy(F.col("v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cdf = hist.select(
+        "v", F.sum("c").over(wc).alias("cum"),
+        (F.sum("c").over(wc) - F.col("c")).alias("cum_before"))
+    nt = docs.agg(F.count("*").alias("nt"))
+    mapped = (
+        src.filter(F.col("ns") > 1)
+        .crossJoin(F.broadcast(nt))
+        .withColumn(
+            "target",
+            (F.round((F.col("rn") - 1.0) / (F.col("ns") - 1.0)
+                     * (F.col("nt") - 1)) + 1).cast("bigint"),
+        )
+    )
+    return mapped.join(
+        F.broadcast(cdf),
+        (mapped.target > cdf.cum_before) & (mapped.target <= cdf.cum),
+    ).select(
+        "doc_id", "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("v").cast("bigint").alias("normalized"),
+    )

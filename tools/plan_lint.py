@@ -45,6 +45,13 @@ EXEMPTIONS: dict[str, dict[str, str]] = {
     "q78_rect_union_area": {
         "SINGLE_PART": "edge-interval lead over O(#rects) distinct edges"
     },
+    # the cumulative CDF window runs over the groupBy(n_chars) HISTOGRAM —
+    # a value-domain-sized table (~500 rows however large the corpus); the
+    # fact scan is reduced before the global window sees it, and the join
+    # back is a broadcast range join on that table.
+    "q192_quantile_normalize": {
+        "SINGLE_PART": "CDF window over the value-domain histogram"
+    },
 }
 
 
