@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "q190_poisson_bootstrap",
     "q191_pmi_collocations",
     "q192_quantile_normalize",
+    "q193_dataset_card",
 ]
 
 

@@ -1464,3 +1464,90 @@ def q192(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("bigint").alias("n_chars"),
         F.col("v").cast("bigint").alias("normalized"),
     )
+
+
+# --------------------------------------------------------------------------
+# q193 — dataset-card summary: the per-source documentation table every
+# corpus release ships (docs, exact dup rate, exact median and p90
+# length, language count). Medians come from the per-source value-
+# domain histogram CDF (partitioned windows over ~500-row groups, the
+# q192 pattern — no per-source sort of raw rows); dup counts are one
+# digest aggregation. Everything exact and integer-derived except the
+# rounded dup_rate.
+# --------------------------------------------------------------------------
+@register(
+    "q193_dataset_card",
+    oracle="""
+    WITH base AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM documents GROUP BY source
+    ), hist AS (
+      SELECT source, n_chars AS v, COUNT(*) AS c
+      FROM documents GROUP BY source, n_chars
+    ), cdf AS (
+      SELECT source, v,
+             SUM(c) OVER w AS cum, SUM(c) OVER w - c AS cum_before
+      FROM hist
+      WINDOW w AS (PARTITION BY source ORDER BY v ASC
+                   ROWS UNBOUNDED PRECEDING)
+    ), med AS (
+      SELECT b.source, g.v AS median_len
+      FROM base b JOIN cdf g ON b.source = g.source
+        AND CAST(ceil(b.n_docs / 2.0) AS BIGINT) > g.cum_before
+        AND CAST(ceil(b.n_docs / 2.0) AS BIGINT) <= g.cum
+    ), p90 AS (
+      SELECT b.source, g.v AS p90_len
+      FROM base b JOIN cdf g ON b.source = g.source
+        AND CAST(ceil(b.n_docs * 0.9) AS BIGINT) > g.cum_before
+        AND CAST(ceil(b.n_docs * 0.9) AS BIGINT) <= g.cum
+    )
+    SELECT b.source, b.n_docs, b.n_unique,
+           round(1.0 - b.n_unique / b.n_docs, 6) AS dup_rate,
+           CAST(med.median_len AS BIGINT) AS median_len,
+           CAST(p90.p90_len AS BIGINT) AS p90_len,
+           b.n_langs
+    FROM base b
+    JOIN med ON b.source = med.source
+    JOIN p90 ON b.source = p90.source
+    """,
+)
+def q193(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct(F.md5("text")).cast("bigint").alias("n_unique"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+    )
+    hist = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count("*").alias("c"))
+    wc = Window.partitionBy("source").orderBy(F.col("v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cdf = hist.select(
+        "source", "v",
+        F.sum("c").over(wc).alias("cum"),
+        (F.sum("c").over(wc) - F.col("c")).alias("cum_before"),
+    )
+
+    def rank_value(target, alias):
+        t = target.cast("bigint")
+        j = base.select("source", t.alias("_t")).join(
+            cdf, "source").filter(
+            (F.col("_t") > F.col("cum_before")) & (F.col("_t") <= F.col("cum"))
+        )
+        return j.select("source", F.col("v").cast("bigint").alias(alias))
+
+    med = rank_value(F.ceil(F.col("n_docs") / 2.0), "median_len")
+    p90 = rank_value(F.ceil(F.col("n_docs") * 0.9), "p90_len")
+    return (
+        base.join(med, "source").join(p90, "source")
+        .select(
+            "source", "n_docs", "n_unique",
+            F.round(1.0 - F.col("n_unique") / F.col("n_docs"), 6)
+            .alias("dup_rate"),
+            "median_len", "p90_len", "n_langs",
+        )
+    )
