@@ -180,6 +180,7 @@ BENCH_QUERIES = [
     "q191_pmi_collocations",
     "q192_quantile_normalize",
     "q193_dataset_card",
+    "q194_materialized_raster",
 ]
 
 

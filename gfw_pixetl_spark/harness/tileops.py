@@ -926,3 +926,58 @@ def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("nir") - F.col("red"))
             / F.sum(F.col("nir") + F.col("red")), 6).alias("ndvi_of_sums"),
     )
+
+
+# --------------------------------------------------------------------------
+# q194 — raster CREATE TABLE AS SELECT, value-checked end to end: read
+# the demo COG through raster-as-table, run SQL band algebra (3v + 1),
+# MATERIALIZE the result as a new COG tile store (single-writer-per-
+# tile applyInPandas), read the store back through a fresh catalog, and
+# zonal-aggregate. The oracle replays the arithmetic analytically — so
+# the write->read round trip of the materialized layer is what's being
+# value-checked, not just the SQL.
+# --------------------------------------------------------------------------
+@register(
+    "q194_materialized_raster",
+    oracle="""
+    WITH px AS (
+      SELECT i.r AS r, j.c AS c,
+             ((i.r * 5 + j.c * 3) % 13) * 3 + 1 AS v
+      FROM generate_series(0, 95) i(r), generate_series(0, 95) j(c)
+    )
+    SELECT CAST(r // 16 AS INTEGER) AS block_r,
+           CAST(c // 16 AS INTEGER) AS block_c,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(v) AS BIGINT) AS sum_value
+    FROM px GROUP BY 1, 2
+    """,
+)
+def q194(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from ..sources.raster_table import (
+        materialize_pixels, raster_catalog, read_pixels,
+    )
+
+    src = raster_catalog(spark, [_focal_demo_file()])
+    px = read_pixels(src, window=48, parallelism=8)
+    transformed = px.withColumn("value", F.col("value") * 3 + 1)
+    out = os.path.join(tempfile.gettempdir(),
+                       "gfw_pixetl_spark_rt_demo", "mat_q194")
+    written = materialize_pixels(
+        transformed, out, transform=(0.0, 0.05, 10.0, 0.05),
+        tile_size=48, dtype="int16", nodata=None, blockxsize=32,
+    ).collect()
+    back = raster_catalog(spark, sorted(r.uri for r in written))
+    px2 = read_pixels(back, window=48, parallelism=4)
+    # rows/cols in the re-read are tile-local; recover globals from x/y
+    gr = F.floor((F.lit(10.0) - F.col("y")) / 0.05).cast("int")
+    gc = F.floor(F.col("x") / 0.05).cast("int")
+    return px2.groupBy(
+        F.floor(gr / 16).cast("int").alias("block_r"),
+        F.floor(gc / 16).cast("int").alias("block_c"),
+    ).agg(
+        F.count("*").alias("n_px"),
+        F.sum("value").cast("bigint").alias("sum_value"),
+    )

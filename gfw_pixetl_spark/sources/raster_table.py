@@ -480,3 +480,63 @@ def hillshade_pixels(
 
     return _halo_stencil(catalog, window, parallelism, 1, stencil,
                          HILLSHADE_SCHEMA)
+
+
+def materialize_pixels(
+    px: DataFrame,
+    out_dir: str,
+    *,
+    transform: tuple[float, float, float, float],
+    tile_size: int = 256,
+    dtype: str = "float64",
+    nodata: float | int | None = None,
+    value_col: str = "value",
+    blockxsize: int = 64,
+    overviews: bool = False,
+) -> DataFrame:
+    """Materialize a pixel DataFrame back into a COG tile store — the
+    raster engine's CREATE TABLE AS SELECT: any SQL over
+    :func:`read_pixels` output (band algebra, joins against vector
+    features, zonal reclassification) becomes a new raster layer.
+
+    Pixels route to tiles by pure column math on (row, col); one
+    groupBy(tile) shuffle moves each pixel to its single writer, and
+    the kernel assembles the dense array (missing pixels = nodata) and
+    writes one COG per tile — the S8 single-writer discipline, so
+    re-materializing 100 TB parallelizes per tile with no write
+    contention. Returns one row per written tile (uri, n_px).
+    """
+    import os
+
+    import numpy as np
+
+    from .geotiff import write_cog
+
+    os.makedirs(out_dir, exist_ok=True)
+    ox, sx, oy, sy = transform
+    keyed = px.select(
+        (F.floor(F.col("row") / tile_size)).cast("int").alias("tr"),
+        (F.floor(F.col("col") / tile_size)).cast("int").alias("tc"),
+        (F.col("row") % tile_size).cast("int").alias("rr"),
+        (F.col("col") % tile_size).cast("int").alias("cc"),
+        F.col(value_col).alias("v"),
+    )
+
+    fill = nodata if nodata is not None else 0
+
+    def write_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        tr, tc = int(pdf["tr"].iloc[0]), int(pdf["tc"].iloc[0])
+        arr = np.full((tile_size, tile_size), fill, dtype=dtype)
+        arr[pdf["rr"].to_numpy(), pdf["cc"].to_numpy()] = (
+            pdf["v"].to_numpy().astype(dtype))
+        t = (ox + tc * tile_size * sx, sx,
+             oy - tr * tile_size * sy, sy)
+        uri = os.path.join(out_dir, f"tile_{tr}_{tc}.tif")
+        tmp = uri + ".tmp.tif"
+        write_cog(tmp, arr[None], transform=t, nodata=nodata,
+                  blockxsize=blockxsize, overviews=overviews)
+        os.replace(tmp, uri)
+        return pd.DataFrame({"uri": [uri], "n_px": [len(pdf)]})
+
+    return keyed.groupBy("tr", "tc").applyInPandas(
+        write_tile, "uri string, n_px long")

@@ -206,3 +206,32 @@ def test_hillshade_matches_numpy(spark, cogs):
             assert np.isnan(r.aspect)
         else:
             assert abs(r.aspect - want_asp) < 1e-9
+
+
+def test_materialize_pixels_round_trip(spark, cogs, tmp_path):
+    """SQL over pixels -> COG store -> read back == the SQL result
+    (CREATE TABLE AS SELECT for rasters)."""
+    from gfw_pixetl_spark.sources.geotiff import GeoTiff
+    from gfw_pixetl_spark.sources.raster_table import materialize_pixels
+
+    pb, b = cogs["b"]  # 80x80, fully valid, transform (4.0,0.05,10.0,0.05)
+    cat = raster_catalog(spark, [pb])
+    px = read_pixels(cat, window=32, parallelism=4)
+    doubled = px.withColumn("value", F.col("value") * 2 + 1)
+    out = str(tmp_path / "mat")
+    res = materialize_pixels(
+        doubled, out, transform=(4.0, 0.05, 10.0, 0.05),
+        tile_size=40, dtype="int16", nodata=None, blockxsize=32,
+    ).collect()
+    assert len(res) == 4 and all(r.n_px == 40 * 40 for r in res)
+    want = (b.astype("int64") * 2 + 1).astype("int16")
+    for r in res:
+        t = GeoTiff.open(r.uri)
+        tr, tc = [int(x) for x in
+                  r.uri.rsplit("tile_", 1)[1][:-4].split("_")]
+        got = np.ma.getdata(t.read_window(0, 0, 40, 40))[0]
+        np.testing.assert_array_equal(
+            got, want[tr * 40:(tr + 1) * 40, tc * 40:(tc + 1) * 40])
+        # georeferencing follows the tile offset
+        assert t.transform == (4.0 + tc * 40 * 0.05, 0.05,
+                               10.0 - tr * 40 * 0.05, 0.05)
