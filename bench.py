@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "q192_quantile_normalize",
     "q193_dataset_card",
     "q194_materialized_raster",
+    "q195_ab_readout",
 ]
 
 

@@ -484,3 +484,101 @@ def q190(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("wt") * F.col("value")) / F.sum("wt"), 6)
         .alias("boot_mean"),
     )
+
+
+# --------------------------------------------------------------------------
+# q195 — A/B test readout: deterministic 50/50 assignment (md5 of the
+# user id), conversion = a purchase within 1h of any view, and the
+# two-proportion z-statistic — the experiment-analysis query every
+# product pipeline runs. Exposure and conversion are semi-join shapes
+# (never a row explosion); the z arithmetic runs on one aggregated row.
+# --------------------------------------------------------------------------
+@register(
+    "q195_ab_readout",
+    oracle=f"""
+    WITH exposed AS (
+      SELECT DISTINCT user_id,
+             {md5_int64_sql("CAST(user_id AS VARCHAR) || '|ab1'")} % 2
+               AS variant
+      FROM events WHERE event_type = 'view'
+    ), converted AS (
+      SELECT DISTINCT v.user_id
+      FROM events v JOIN events p
+        ON v.user_id = p.user_id
+       AND p.event_type = 'purchase' AND v.event_type = 'view'
+       AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    ), cells AS (
+      SELECT e.variant,
+             COUNT(*) AS n,
+             SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS conv
+      FROM exposed e LEFT JOIN converted c ON e.user_id = c.user_id
+      GROUP BY e.variant
+    ), wide AS (
+      SELECT
+        MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+        MAX(CASE WHEN variant = 0 THEN conv END) AS c0,
+        MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+        MAX(CASE WHEN variant = 1 THEN conv END) AS c1
+      FROM cells
+    )
+    SELECT CAST(n0 AS BIGINT) AS n0, CAST(c0 AS BIGINT) AS c0,
+           CAST(n1 AS BIGINT) AS n1, CAST(c1 AS BIGINT) AS c1,
+           round(c0 / CAST(n0 AS DOUBLE), 6) AS rate0,
+           round(c1 / CAST(n1 AS DOUBLE), 6) AS rate1,
+           round(
+             (c1 / CAST(n1 AS DOUBLE) - c0 / CAST(n0 AS DOUBLE))
+             / sqrt(((c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                    * (1 - (c0 + c1) / CAST(n0 + n1 AS DOUBLE))
+                    * (1.0 / n0 + 1.0 / n1)), 6) AS z_stat
+    FROM wide
+    """,
+)
+def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_int64
+
+    ev = load(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+    exposed = views.select("user_id").distinct().withColumn(
+        "variant",
+        md5_int64(F.concat(F.col("user_id").cast("string"),
+                           F.lit("|ab1"))) % 2,
+    )
+    converted = (
+        views.join(
+            purchases,
+            (views.user_id == F.col("p_user"))
+            & (F.col("p_ts") >= views.ts)
+            & (F.col("p_ts") <= views.ts + F.expr("INTERVAL 1 HOUR")),
+            "left_semi",
+        )
+        .select("user_id").distinct().withColumn("_c", F.lit(1))
+    )
+    cells = (
+        exposed.join(converted, "user_id", "left")
+        .groupBy("variant")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.coalesce(F.col("_c"), F.lit(0))).alias("conv"))
+    )
+    wide = cells.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("conv"))).alias("c1"),
+    )
+    p0 = F.col("c0") / F.col("n0").cast("double")
+    p1 = F.col("c1") / F.col("n1").cast("double")
+    pp = (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1")).cast(
+        "double")
+    return wide.select(
+        F.col("n0").cast("bigint").alias("n0"),
+        F.col("c0").cast("bigint").alias("c0"),
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("c1").cast("bigint").alias("c1"),
+        F.round(p0, 6).alias("rate0"),
+        F.round(p1, 6).alias("rate1"),
+        F.round((p1 - p0) / F.sqrt(
+            pp * (1 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))), 6)
+        .alias("z_stat"),
+    )

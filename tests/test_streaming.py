@@ -214,3 +214,58 @@ def test_stream_neardup_ttl_single_drain_unchanged(spark):
         ).collect()
     }
     assert ttl == base
+
+
+def test_stream_stream_join_restart_exactly_once(spark, tmp_path):
+    """The attribution interval join survives a restart: drain, re-drain
+    with no new data (no duplicate output), append a new input file and
+    re-drain (only the new matches appear). This is the checkpoint
+    contract a production stream relies on after executor loss."""
+    import pandas as pd
+
+    from gfw_pixetl_spark.streaming.events import view_purchase_stream_join
+
+    src = tmp_path / "events"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def write_events(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type",
+                           "value", "props"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode(
+            "append").parquet(str(src))
+
+    write_events("a", [
+        (1, "2024-01-01 10:00:00", 7, "view", 1.0, "{}"),
+        (2, "2024-01-01 10:10:00", 7, "purchase", 5.0, "{}"),
+        (3, "2024-01-01 10:00:00", 8, "view", 1.0, "{}"),
+    ])
+
+    def drain():
+        q = (
+            view_purchase_stream_join(spark, f"{src}/*.parquet")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).collect()
+
+    first = drain()
+    assert len(first) == 1  # user 7's view->purchase within the horizon
+    again = drain()
+    assert len(again) == 1  # restart with no new data: no duplicates
+    # late-arriving purchase for user 8 lands in a NEW file
+    write_events("b", [
+        (4, "2024-01-01 10:20:00", 8, "purchase", 9.0, "{}"),
+    ])
+    third = drain()
+    assert len(third) == 2  # exactly the one new match appended
+    users = sorted(r.user_id for r in third)
+    assert users == [7, 8]
