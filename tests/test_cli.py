@@ -70,3 +70,41 @@ def test_cli_vector_end_to_end(spark, tmp_path):
     data, _ = read_tile(out)
     assert data.shape == (1, 4000, 4000)
     assert data.min() == 5 and data.max() == 5
+
+
+def test_sql_cli_list(capsys):
+    from gfw_pixetl_spark.sql_cli import main
+
+    assert main(["--list"]) == 0
+    out = capsys.readouterr().out
+    assert "q01_pricing_summary" in out and "q194_materialized_raster" in out
+
+
+def test_sql_cli_registry_query(capsys):
+    from gfw_pixetl_spark.sql_cli import main
+    from tests.conftest import SF_SMOKE
+
+    assert main(["--query", "q18_sort_limit", "--sf-dir", SF_SMOKE,
+                 "--format", "csv"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert len(out) > 1 and "," in out[0]
+
+
+def test_sql_cli_adhoc_sql(capsys):
+    from gfw_pixetl_spark.sql_cli import main
+    from tests.conftest import SF_SMOKE
+
+    assert main(["--sql",
+                 "SELECT COUNT(*) AS n, COUNT(DISTINCT n_nationkey) AS d "
+                 "FROM nation",
+                 "--sf-dir", SF_SMOKE, "--format", "json"]) == 0
+    import json
+
+    row = json.loads(capsys.readouterr().out.strip())
+    assert row["n"] == 25 and row["d"] == 25
+
+
+def test_sql_cli_unknown_query():
+    from gfw_pixetl_spark.sql_cli import main
+
+    assert main(["--query", "q999_nope"]) == 2
