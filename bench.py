@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "q193_dataset_card",
     "q194_materialized_raster",
     "q195_ab_readout",
+    "q196_pixel_trend",
 ]
 
 

@@ -981,3 +981,88 @@ def q194(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_px"),
         F.sum("value").cast("bigint").alias("sum_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# q196 — raster time-series trend: three co-registered epochs of the
+# same grid (t = 0, 1, 2), per-pixel OLS slope over time, zonal rollup.
+# The EO change-detection workload (e.g. NDVI trend): the pixel stack
+# is a groupBy(row, col) over the multi-file pixel DF — co-registered
+# rasters make the time dimension just another aggregation key, no
+# array stacking. Exactness: with integer values and t = 0..2, the
+# slope numerator n·Σty − Σt·Σy and denominator n·Σt² − (Σt)² are
+# exact integers; the oracle replays them and the rounded slope.
+# --------------------------------------------------------------------------
+def _trend_files() -> list[str]:
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from ..sources.geotiff import write_cog
+
+    d = os.path.join(tempfile.gettempdir(), "gfw_pixetl_spark_rt_demo")
+    os.makedirs(d, exist_ok=True)
+    out = []
+    ii, jj = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    for t in range(3):
+        p = os.path.join(d, f"trend_t{t}.tif")
+        if not os.path.exists(p):
+            v = ((ii * 2 + jj + t * (1 + (ii + jj) % 3)) % 17 + 1
+                 ).astype("uint8")
+            write_cog(p, v[None], transform=(0.0, 0.1, 10.0, 0.1),
+                      blockxsize=32, overviews=False)
+        out.append(p)
+    return out
+
+
+@register(
+    "q196_pixel_trend",
+    oracle="""
+    WITH px AS (
+      SELECT t.t AS t, i.r AS r, j.c AS c,
+             (i.r * 2 + j.c + t.t * (1 + (i.r + j.c) % 3)) % 17 + 1 AS v
+      FROM generate_series(0, 2) t(t),
+           generate_series(0, 63) i(r), generate_series(0, 63) j(c)
+    ), fit AS (
+      SELECT r, c,
+             3 * SUM(t * v) - SUM(t) * SUM(v) AS num,
+             3 * SUM(t * t) - SUM(t) * SUM(t) AS den
+      FROM px GROUP BY r, c
+    )
+    SELECT CAST(r // 16 AS INTEGER) AS block_r,
+           CAST(c // 16 AS INTEGER) AS block_c,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(num) AS BIGINT) AS sum_num,
+           CAST(SUM(CASE WHEN num > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_rising,
+           round(AVG(num / CAST(den AS DOUBLE)), 6) AS mean_slope
+    FROM fit GROUP BY 1, 2
+    """,
+)
+def q196(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.raster_table import raster_catalog, read_pixels
+
+    files = _trend_files()
+    cat = raster_catalog(spark, files)
+    px = read_pixels(cat, window=32, parallelism=8)
+    # epoch index from the file name (catalog metadata, not pixel data)
+    t = F.regexp_extract(F.col("uri"), r"trend_t(\d)\.tif", 1).cast("int")
+    px = px.withColumn("t", t)
+    fit = px.groupBy("row", "col").agg(
+        (3 * F.sum(F.col("t") * F.col("value"))
+         - F.sum("t") * F.sum("value")).alias("num"),
+        (3 * F.sum(F.col("t") * F.col("t"))
+         - F.sum("t") * F.sum("t")).alias("den"),
+    )
+    return fit.groupBy(
+        F.floor(F.col("row") / 16).cast("int").alias("block_r"),
+        F.floor(F.col("col") / 16).cast("int").alias("block_c"),
+    ).agg(
+        F.count("*").alias("n_px"),
+        F.sum("num").cast("bigint").alias("sum_num"),
+        F.sum(F.when(F.col("num") > 0, 1).otherwise(0)).cast("bigint")
+        .alias("n_rising"),
+        F.round(F.avg(F.col("num") / F.col("den").cast("double")), 6)
+        .alias("mean_slope"),
+    )

@@ -37,6 +37,9 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--list", action="store_true",
                    help="list registry queries and exit")
     p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    p.add_argument("--rasters", default=None,
+                   help="comma-separated COG paths to register as the "
+                        "'pixels' view (uri, band, row, col, x, y, value)")
     p.add_argument("--format", choices=("table", "csv", "json"),
                    default="table")
     p.add_argument("-n", "--limit", type=int, default=50,
@@ -87,6 +90,11 @@ def main(argv: list[str] | None = None) -> int:
         df = harness.QUERIES[args.query](spark, args.sf_dir)
     else:
         register_tables(spark, args.sf_dir)
+        if args.rasters:
+            from .sources.raster_table import raster_catalog, read_pixels
+
+            cat = raster_catalog(spark, args.rasters.split(","))
+            read_pixels(cat).createOrReplaceTempView("pixels")
         df = spark.sql(args.sql)
     emit(df, args.format, args.limit)
     return 0

@@ -108,3 +108,24 @@ def test_sql_cli_unknown_query():
     from gfw_pixetl_spark.sql_cli import main
 
     assert main(["--query", "q999_nope"]) == 2
+
+
+def test_sql_cli_raster_view(capsys, tmp_path):
+    import numpy as np
+
+    from gfw_pixetl_spark.sources.geotiff import write_cog
+    from gfw_pixetl_spark.sql_cli import main
+    from tests.conftest import SF_SMOKE
+
+    p = str(tmp_path / "r.tif")
+    v = (np.arange(64, dtype=np.uint8).reshape(8, 8) + 1)
+    write_cog(p, v[None], transform=(0.0, 1.0, 8.0, 1.0), overviews=False)
+    assert main(["--sql",
+                 "SELECT CAST(SUM(value) AS BIGINT) AS s, COUNT(*) AS n "
+                 "FROM pixels",
+                 "--sf-dir", SF_SMOKE, "--rasters", p,
+                 "--format", "json"]) == 0
+    import json
+
+    row = json.loads(capsys.readouterr().out.strip())
+    assert row["n"] == 64 and row["s"] == int(v.sum())
