@@ -183,6 +183,8 @@ BENCH_QUERIES = [
     "q194_materialized_raster",
     "q195_ab_readout",
     "q196_pixel_trend",
+    "q197_embedding_ood",
+    "q198_popular_unseen",
 ]
 
 

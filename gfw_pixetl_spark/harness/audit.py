@@ -582,3 +582,64 @@ def q195(spark: SparkSession, sf_dir: str) -> DataFrame:
             pp * (1 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))), 6)
         .alias("z_stat"),
     )
+
+
+# --------------------------------------------------------------------------
+# q198 — popularity-baseline recommendations: for each of the first 20
+# users, the top-3 globally-popular items the user has NOT interacted
+# with (item = event_type x day-of-week, the contextual-slot framing) —
+# the anti-join + popularity-rank shape every recommender starts from.
+# At scale the anti-join stays a broadcast against the tiny popularity
+# table, never a per-user scan of the catalog.
+# --------------------------------------------------------------------------
+@register(
+    "q198_popular_unseen",
+    oracle="""
+    WITH it AS (
+      SELECT user_id,
+             event_type || '@' || CAST(dayofweek(ts) + 1 AS VARCHAR) AS item
+      FROM events
+    ), pop AS (
+      SELECT item, COUNT(*) AS n FROM it GROUP BY item
+    ), u AS (
+      SELECT DISTINCT user_id FROM it WHERE user_id < 20
+    ), seen AS (
+      SELECT DISTINCT user_id, item FROM it WHERE user_id < 20
+    ), cand AS (
+      SELECT u.user_id, p.item, p.n
+      FROM u CROSS JOIN pop p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM seen s
+        WHERE s.user_id = u.user_id AND s.item = p.item)
+    )
+    SELECT user_id, item, CAST(n AS BIGINT) AS popularity, rk FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY n DESC, item ASC) AS rk
+      FROM cand
+    ) WHERE rk <= 3
+    """,
+)
+def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.concat(F.col("event_type"), F.lit("@"),
+                 F.dayofweek("ts").cast("string")).alias("item"),
+    )
+    pop = ev.groupBy("item").agg(F.count("*").alias("n"))
+    mine = ev.filter(F.col("user_id") < 20)
+    users = mine.select("user_id").distinct()
+    seen = mine.select("user_id", "item").distinct()
+    cand = (
+        users.crossJoin(F.broadcast(pop))
+        .join(seen, ["user_id", "item"], "left_anti")
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n").desc(), F.col("item").asc())
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("user_id", "item",
+                F.col("n").cast("bigint").alias("popularity"), "rk")
+    )

@@ -622,3 +622,65 @@ def q178(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# q197 — embedding OOD scoring (diagonal Mahalanobis): distance from
+# the corpus mean weighted by per-dimension variance, top-10 outliers —
+# the out-of-distribution filter curation pipelines run on embedding
+# columns. Moments come from ONE aggregation over zipped unnests
+# (map-side combinable); the score pass is a broadcast join of the
+# 64-row moment table; ordering uses the rounded score (engine-
+# independent) with vec_id tie-break.
+# --------------------------------------------------------------------------
+@register(
+    "q197_embedding_ood",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             unnest(range(1, len(embedding) + 1)) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), m AS (
+      SELECT i, AVG(x) AS mu,
+             AVG(x * x) - AVG(x) * AVG(x) AS var
+      FROM e GROUP BY i
+    ), scored AS (
+      SELECT e.vec_id,
+             round(SUM((e.x - m.mu) * (e.x - m.mu) / m.var), 6) AS ood
+      FROM e JOIN m ON e.i = m.i
+      GROUP BY e.vec_id
+    )
+    SELECT vec_id, ood FROM (
+      SELECT vec_id, ood,
+             row_number() OVER (ORDER BY ood DESC, vec_id ASC) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+    """,
+)
+def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>"))
+        .alias("i0", "x"),
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "x")
+    m = e.groupBy("i").agg(
+        F.avg("x").alias("mu"),
+        (F.avg(F.col("x") * F.col("x"))
+         - F.avg("x") * F.avg("x")).alias("var"),
+    )
+    scored = (
+        e.join(F.broadcast(m), "i")
+        .groupBy("vec_id")
+        .agg(F.round(
+            F.sum((F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu"))
+                  / F.col("var")), 6).alias("ood"))
+    )
+    w = Window.orderBy(F.col("ood").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10).drop("rk")
+    )
