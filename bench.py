@@ -185,6 +185,8 @@ BENCH_QUERIES = [
     "q196_pixel_trend",
     "q197_embedding_ood",
     "q198_popular_unseen",
+    "q199_welford_merge",
+    "q200_bbox_pruned_read",
 ]
 
 

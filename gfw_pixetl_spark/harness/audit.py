@@ -643,3 +643,81 @@ def q198(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "item",
                 F.col("n").cast("bigint").alias("popularity"), "rk")
     )
+
+
+# --------------------------------------------------------------------------
+# q199 — mergeable moment state (Chan/Welford): split the stream into
+# two halves, reduce each to (n, mean, M2) partials, MERGE with the
+# parallel-variance formula, and emit merged == direct as a checked
+# column — the additive-state algebra every incremental aggregate view
+# and every partial aggregation relies on, here verified end-to-end in
+# one query. All arithmetic identical on both engines.
+# --------------------------------------------------------------------------
+@register(
+    "q199_welford_merge",
+    oracle="""
+    WITH halves AS (
+      SELECT event_type, event_id % 2 AS half,
+             COUNT(*) AS n, AVG(value) AS mean,
+             SUM(value * value) - COUNT(*) * AVG(value) * AVG(value) AS m2
+      FROM events GROUP BY event_type, event_id % 2
+    ), merged AS (
+      SELECT a.event_type,
+             a.n + b.n AS n,
+             (a.n * a.mean + b.n * b.mean) / (a.n + b.n) AS mean,
+             a.m2 + b.m2
+               + (a.mean - b.mean) * (a.mean - b.mean)
+                 * a.n * b.n / (a.n + b.n) AS m2
+      FROM halves a JOIN halves b
+        ON a.event_type = b.event_type AND a.half = 0 AND b.half = 1
+    ), direct AS (
+      SELECT event_type, COUNT(*) AS n, AVG(value) AS mean,
+             SUM(value * value) - COUNT(*) * AVG(value) * AVG(value) AS m2
+      FROM events GROUP BY event_type
+    )
+    SELECT m.event_type,
+           CAST(m.n AS BIGINT) AS n,
+           round(m.mean, 6) AS mean,
+           round(m.m2 / (m.n - 1), 6) AS sample_var,
+           (abs(m.mean - d.mean) < 1e-9
+            AND abs(m.m2 - d.m2) / greatest(abs(d.m2), 1.0) < 1e-9)
+             AS merge_consistent
+    FROM merged m JOIN direct d ON m.event_type = d.event_type
+    """,
+)
+def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    halves = ev.groupBy(
+        "event_type", (F.col("event_id") % 2).alias("half")
+    ).agg(
+        F.count("*").alias("n"), F.avg("value").alias("mean"),
+        (F.sum(F.col("value") * F.col("value"))
+         - F.count("*") * F.avg("value") * F.avg("value")).alias("m2"),
+    )
+    a = halves.filter(F.col("half") == 0).alias("a")
+    b = halves.filter(F.col("half") == 1).alias("b")
+    na, nb = F.col("a.n"), F.col("b.n")
+    ma, mb = F.col("a.mean"), F.col("b.mean")
+    merged = a.join(b, F.col("a.event_type") == F.col("b.event_type")).select(
+        F.col("a.event_type").alias("event_type"),
+        (na + nb).alias("n"),
+        ((na * ma + nb * mb) / (na + nb)).alias("mean"),
+        (F.col("a.m2") + F.col("b.m2")
+         + (ma - mb) * (ma - mb) * na * nb / (na + nb)).alias("m2"),
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.count("*").alias("dn"), F.avg("value").alias("dmean"),
+        (F.sum(F.col("value") * F.col("value"))
+         - F.count("*") * F.avg("value") * F.avg("value")).alias("dm2"),
+    )
+    j = merged.join(direct, "event_type")
+    return j.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("mean", 6).alias("mean"),
+        F.round(F.col("m2") / (F.col("n") - 1), 6).alias("sample_var"),
+        ((F.abs(F.col("mean") - F.col("dmean")) < 1e-9)
+         & (F.abs(F.col("m2") - F.col("dm2"))
+            / F.greatest(F.abs(F.col("dm2")), F.lit(1.0)) < 1e-9))
+        .alias("merge_consistent"),
+    )

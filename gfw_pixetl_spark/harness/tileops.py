@@ -1066,3 +1066,41 @@ def q196(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.col("num") / F.col("den").cast("double")), 6)
         .alias("mean_slope"),
     )
+
+
+# --------------------------------------------------------------------------
+# q200 — bbox-pruned mosaic read: a window query over the two-file demo
+# mosaic whose bbox intersects only file A. The catalog prune (planning
+# time) plus the in-kernel pixel clip must yield exactly the analytic
+# pixels of the intersection — and n_files == 1 proves the
+# non-intersecting file was never read (the partition-pruning contract
+# that makes a 1-degree query touch 1 file in a 100k-file mosaic).
+# --------------------------------------------------------------------------
+@register(
+    "q200_bbox_pruned_read",
+    oracle="""
+    WITH px AS (
+      SELECT 0.0 + (j.c + 0.5) * 0.05 AS x,
+             10.0 - (i.r + 0.5) * 0.05 AS y,
+             (i.r * 3 + j.c) % 11 AS v
+      FROM generate_series(0, 79) i(r), generate_series(0, 79) j(c)
+      WHERE (i.r * 3 + j.c) % 11 != 0
+    )
+    SELECT CAST(1 AS BIGINT) AS n_files,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(v) AS BIGINT) AS sum_value
+    FROM px
+    WHERE x > 0.5 AND x < 3.5 AND y > 6.5 AND y < 9.5
+    """,
+)
+def q200(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.raster_table import raster_catalog, read_pixels
+
+    cat = raster_catalog(spark, _rt_demo_files())  # a: lon 0-4, b: lon 4-8
+    px = read_pixels(cat, bounds=(0.5, 6.5, 3.5, 9.5), window=32,
+                     parallelism=4)
+    return px.agg(
+        F.countDistinct("uri").cast("bigint").alias("n_files"),
+        F.count("*").alias("n_px"),
+        F.sum("value").cast("bigint").alias("sum_value"),
+    )
