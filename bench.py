@@ -187,6 +187,8 @@ BENCH_QUERIES = [
     "q198_popular_unseen",
     "q199_welford_merge",
     "q200_bbox_pruned_read",
+    "q201_jsonl_roundtrip",
+    "q202_sliding_hll",
 ]
 
 

@@ -267,3 +267,88 @@ def hll_distinct_sql(
              END) AS BIGINT) AS approx_distinct
     FROM per_group
     """
+
+
+def hll_sliding_distinct(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    hours: int = 3,
+    p: int = 12,
+) -> DataFrame:
+    """Distinct estimate per SLIDING window by sketch merge: one hourly
+    HLL register table, each hourly sketch exploded into the ``hours``
+    windows it covers, merged by register MAX — the mergeability that
+    makes sketches the scale answer for overlapping windows (exact
+    distinct would re-scan every row once per overlapping window;
+    here each row is hashed once and merging touches only registers).
+    Output: (win, approx_distinct) where ``win`` is the window END hour.
+    """
+    m = 1 << p
+    w_bits = HASH_BITS - p
+    h = md5_int64(F.col(value_col).cast("string"))
+    hashed = df.select(
+        F.date_trunc("hour", F.col(ts_col)).alias("h0"),
+        F.shiftright(h, w_bits).alias("bucket"),
+        rho_col(h % (1 << w_bits), w_bits).alias("rho"),
+    )
+    regs = hashed.groupBy("h0", "bucket").agg(F.max("rho").alias("mx"))
+    win = regs.select(
+        F.explode(F.array(*[
+            F.col("h0") + F.expr(f"INTERVAL {k} HOURS")
+            for k in range(hours)
+        ])).alias("win"),
+        "bucket", "mx",
+    )
+    merged = win.groupBy("win", "bucket").agg(F.max("mx").alias("mx"))
+    per = merged.groupBy("win").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("s"),
+        F.count("*").alias("nonzero"),
+    )
+    raw = F.lit(_alpha(m) * m * m) / (F.col("s") + (m - F.col("nonzero")))
+    zeros = F.lit(m) - F.col("nonzero")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    est = F.when((raw <= 2.5 * m) & (zeros > 0), linear).otherwise(raw)
+    return per.select(
+        "win", F.round(est).cast("bigint").alias("approx_distinct"))
+
+
+def hll_sliding_distinct_sql(
+    table_expr: str,
+    ts_expr: str,
+    value_expr: str,
+    hours: int = 3,
+    p: int = 12,
+) -> str:
+    """DuckDB twin of :func:`hll_sliding_distinct`."""
+    m = 1 << p
+    w_bits = HASH_BITS - p
+    h = md5_int64_sql(f"CAST({value_expr} AS VARCHAR)")
+    rho = rho_sql(f"h % {1 << w_bits}", w_bits)
+    offsets = ", ".join(f"({k})" for k in range(hours))
+    amm = f"CAST({_alpha(m) * m * m!r} AS DOUBLE)"
+    return f"""
+    WITH hashed AS (
+      SELECT date_trunc('hour', {ts_expr}) AS h0, {h} AS h
+      FROM {table_expr}
+    ), regs AS (
+      SELECT h0, h // {1 << w_bits} AS bucket, MAX({rho}) AS mx
+      FROM hashed GROUP BY h0, bucket
+    ), winreg AS (
+      SELECT h0 + k.k * INTERVAL 1 HOUR AS win, bucket, mx
+      FROM regs, (VALUES {offsets}) k(k)
+    ), merged AS (
+      SELECT win, bucket, MAX(mx) AS mx FROM winreg GROUP BY win, bucket
+    ), per AS (
+      SELECT win, SUM(pow(2.0, -mx)) AS s, COUNT(*) AS nonzero
+      FROM merged GROUP BY win
+    )
+    SELECT win,
+           CAST(round(
+             CASE WHEN ({amm}) / (s + ({m} - nonzero)) <= 2.5 * {m}
+                   AND ({m} - nonzero) > 0
+                  THEN {float(m)} * ln({float(m)} / ({m} - nonzero))
+                  ELSE ({amm}) / (s + ({m} - nonzero))
+             END) AS BIGINT) AS approx_distinct
+    FROM per
+    """

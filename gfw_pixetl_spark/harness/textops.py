@@ -1551,3 +1551,61 @@ def q193(spark: SparkSession, sf_dir: str) -> DataFrame:
             "median_len", "p90_len", "n_langs",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q201 — JSONL ingestion in the oracle gate: the corpus is exported to
+# line-delimited JSON (the interchange format crawls actually arrive
+# in), re-read through the declared-schema reader with the corrupt-line
+# policy, and aggregated — value-checked against the parquet truth, so
+# the whole export -> ingest path is proven lossless, not just tested
+# for shape.
+# --------------------------------------------------------------------------
+def _jsonl_dir(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    key = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(tempfile.gettempdir(), f"gfw_jsonl_{key}")
+    marker = os.path.join(d, "_built")
+    if not os.path.exists(marker):
+        from ..sources.textfiles import write_jsonl
+
+        write_jsonl(load(spark, sf_dir, "documents"), d, partitions=4)
+        open(marker, "w").write("ok")
+    return d
+
+
+@register(
+    "q201_jsonl_roundtrip",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_consistent
+    FROM documents GROUP BY lang
+    """,
+)
+def q201(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from ..sources.textfiles import read_jsonl
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ])
+    df = read_jsonl(spark, _jsonl_dir(spark, sf_dir) + "/*.json",
+                    schema, on_corrupt="drop")
+    return df.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(F.when(F.length("text") == F.col("n_chars"), 1).otherwise(0))
+        .cast("bigint").alias("n_consistent"),
+    )

@@ -269,3 +269,25 @@ def q182(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.timeseries import ewma_truncated
 
     return ewma_truncated(load(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# q202 — sliding-window distinct users by HLL sketch MERGE: hourly
+# register tables exploded into the 3 windows each covers, merged by
+# register max — mergeability is why sketches win on overlapping
+# windows (exact distinct re-scans every row once per window; here
+# each row hashes once and only registers move). Deterministic md5
+# registers, so the estimate is bit-identical in the oracle.
+# --------------------------------------------------------------------------
+from ..functions.sketches import (  # noqa: E402
+    hll_sliding_distinct, hll_sliding_distinct_sql,
+)
+
+
+@register(
+    "q202_sliding_hll",
+    oracle=hll_sliding_distinct_sql("events", "ts", "user_id", hours=3),
+)
+def q202(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hll_sliding_distinct(
+        load(spark, sf_dir, "events"), "ts", "user_id", hours=3)
