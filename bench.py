@@ -189,6 +189,8 @@ BENCH_QUERIES = [
     "q200_bbox_pruned_read",
     "q201_jsonl_roundtrip",
     "q202_sliding_hll",
+    "q203_hourly_entropy",
+    "q204_user_burstiness",
 ]
 
 

@@ -291,3 +291,106 @@ from ..functions.sketches import (  # noqa: E402
 def q202(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_sliding_distinct(
         load(spark, sf_dir, "events"), "ts", "user_id", hours=3)
+
+
+# --------------------------------------------------------------------------
+# q203 — temporal regularity profile: each event type's hour-of-day
+# histogram summarized as Shannon entropy (bots are low-entropy, humans
+# near-uniform-ish) — the behavioral fingerprint used in traffic
+# triage. Two tiny aggregations; entropy is a 24-term fold over the
+# post-aggregation table.
+# --------------------------------------------------------------------------
+@register(
+    "q203_hourly_entropy",
+    oracle="""
+    WITH h AS (
+      SELECT event_type, EXTRACT(hour FROM ts) AS hod, COUNT(*) AS n
+      FROM events GROUP BY event_type, EXTRACT(hour FROM ts)
+    ), tot AS (
+      SELECT event_type, SUM(n) AS nt FROM h GROUP BY event_type
+    )
+    SELECT h.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_active_hours,
+           CAST(MAX(h.n) AS BIGINT) AS peak_hour_n,
+           round(-SUM((h.n / CAST(t.nt AS DOUBLE))
+                      * ln(h.n / CAST(t.nt AS DOUBLE))), 6) AS entropy
+    FROM h JOIN tot t ON h.event_type = t.event_type
+    GROUP BY h.event_type
+    """,
+)
+def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.hour("ts").alias("hod")
+    ).agg(F.count("*").alias("n"))
+    tot = h.groupBy("event_type").agg(F.sum("n").alias("nt"))
+    p = F.col("n") / F.col("nt").cast("double")
+    return (
+        h.join(tot, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_active_hours"),
+            F.max("n").cast("bigint").alias("peak_hour_n"),
+            F.round(-F.sum(p * F.log(p)), 6).alias("entropy"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q204 — per-user burstiness: inter-event gap stats and the Goh–Barabási
+# burstiness coefficient B = (sigma - mu) / (sigma + mu) (B -> -1
+# periodic, 0 Poisson, +1 bursty) for the 20 most active users — the
+# behavioral feature that separates schedulers from humans from bots.
+# One lag window per user, exact integer gap sums, rounded outputs.
+# --------------------------------------------------------------------------
+@register(
+    "q204_user_burstiness",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch(ts) - epoch(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) AS gap
+      FROM events
+    ), stats AS (
+      SELECT user_id, COUNT(gap) AS n_gaps,
+             AVG(gap) AS mu,
+             sqrt(AVG(gap * gap) - AVG(gap) * AVG(gap)) AS sigma
+      FROM gaps WHERE gap IS NOT NULL GROUP BY user_id
+    )
+    SELECT user_id, CAST(n_gaps AS BIGINT) AS n_gaps,
+           round(mu, 6) AS mean_gap_sec,
+           round((sigma - mu) / (sigma + mu), 6) AS burstiness
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY n_gaps DESC, user_id ASC) AS rk
+      FROM stats
+    ) WHERE rk <= 20
+    """,
+)
+def q204(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc())
+    gaps = ev.select(
+        "user_id",
+        (F.col("ts").cast("double")
+         - F.lag(F.col("ts").cast("double")).over(w)).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    stats = gaps.groupBy("user_id").agg(
+        F.count("gap").alias("n_gaps"),
+        F.avg("gap").alias("mu"),
+        F.sqrt(F.avg(F.col("gap") * F.col("gap"))
+               - F.avg("gap") * F.avg("gap")).alias("sigma"),
+    )
+    wr = Window.orderBy(F.col("n_gaps").desc(), F.col("user_id").asc())
+    return (
+        stats.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 20)
+        .select(
+            "user_id", F.col("n_gaps").cast("bigint").alias("n_gaps"),
+            F.round("mu", 6).alias("mean_gap_sec"),
+            F.round((F.col("sigma") - F.col("mu"))
+                    / (F.col("sigma") + F.col("mu")), 6).alias("burstiness"),
+        )
+    )
