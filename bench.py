@@ -191,6 +191,8 @@ BENCH_QUERIES = [
     "q202_sliding_hll",
     "q203_hourly_entropy",
     "q204_user_burstiness",
+    "q205_csv_roundtrip",
+    "q206_source_kl_divergence",
 ]
 
 

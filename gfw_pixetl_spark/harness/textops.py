@@ -1609,3 +1609,112 @@ def q201(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.length("text") == F.col("n_chars"), 1).otherwise(0))
         .cast("bigint").alias("n_consistent"),
     )
+
+
+# --------------------------------------------------------------------------
+# q205 — CSV ingestion in the oracle gate (the q201 twin for the other
+# interchange format): export with quoting, re-read through the
+# declared-schema reader, aggregate — lossless through commas, quotes,
+# and newlines in text fields, value-checked against the parquet truth.
+# --------------------------------------------------------------------------
+def _csv_dir(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    key = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(tempfile.gettempdir(), f"gfw_csv_{key}")
+    marker = os.path.join(d, "_built")
+    if not os.path.exists(marker):
+        from ..sources.textfiles import write_csv
+
+        write_csv(load(spark, sf_dir, "documents"), d, partitions=4)
+        open(marker, "w").write("ok")
+    return d
+
+
+@register(
+    "q205_csv_roundtrip",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_consistent
+    FROM documents GROUP BY source
+    """,
+)
+def q205(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from ..sources.textfiles import read_csv
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ])
+    df = read_csv(spark, _csv_dir(spark, sf_dir), schema, on_corrupt="drop")
+    return df.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(F.when(F.length("text") == F.col("n_chars"), 1).otherwise(0))
+        .cast("bigint").alias("n_consistent"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q206 — distribution divergence per source: KL(source-length-histogram
+# || global-length-histogram) over 50-char buckets — the drift score
+# that flags a crawler whose documents stopped looking like the corpus.
+# Histograms are value-domain-sized aggregations; KL is a fold over the
+# post-aggregation (source x bucket) table.
+# --------------------------------------------------------------------------
+@register(
+    "q206_source_kl_divergence",
+    oracle="""
+    WITH b AS (
+      SELECT source, n_chars // 50 AS bucket, COUNT(*) AS n
+      FROM documents GROUP BY source, n_chars // 50
+    ), st AS (
+      SELECT source, SUM(n) AS ns FROM b GROUP BY source
+    ), g AS (
+      SELECT bucket, SUM(n) AS ng FROM b GROUP BY bucket
+    ), gt AS (
+      SELECT SUM(n) AS nt FROM b
+    )
+    SELECT b.source,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           round(SUM((b.n / CAST(st.ns AS DOUBLE))
+                     * ln((b.n / CAST(st.ns AS DOUBLE))
+                          / (g.ng / CAST(gt.nt AS DOUBLE)))), 6) AS kl
+    FROM b
+    JOIN st ON b.source = st.source
+    JOIN g ON b.bucket = g.bucket
+    CROSS JOIN gt
+    GROUP BY b.source
+    """,
+)
+def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    b = docs.groupBy(
+        "source", (F.col("n_chars") / 50).cast("long").alias("bucket")
+    ).agg(F.count("*").alias("n"))
+    st = b.groupBy("source").agg(F.sum("n").alias("ns"))
+    g = b.groupBy("bucket").agg(F.sum("n").alias("ng"))
+    gt = b.agg(F.sum("n").alias("nt"))
+    p = F.col("n") / F.col("ns").cast("double")
+    q = F.col("ng") / F.col("nt").cast("double")
+    return (
+        b.join(F.broadcast(st), "source")
+        .join(F.broadcast(g), "bucket")
+        .crossJoin(F.broadcast(gt))
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_buckets"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl"),
+        )
+    )
