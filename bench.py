@@ -193,6 +193,8 @@ BENCH_QUERIES = [
     "q204_user_burstiness",
     "q205_csv_roundtrip",
     "q206_source_kl_divergence",
+    "q207_vocab_coverage",
+    "q208_cluster_size_histogram",
 ]
 
 

@@ -1718,3 +1718,62 @@ def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(p * F.log(p / q)), 6).alias("kl"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q207 — vocabulary coverage scoring: share of each document's tokens
+# that fall in the top-1000 corpus vocabulary (count-desc, token-asc
+# ties) — the OOV-rate filter that predicts tokenizer efficiency per
+# document. The vocab is a broadcast dimension; the per-doc pass is
+# explode + broadcast join + ratio aggregation.
+# --------------------------------------------------------------------------
+@register(
+    "q207_vocab_coverage",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang, unnest({SQL_WORDS}) AS word FROM documents
+    ), vocab AS (
+      SELECT word FROM (
+        SELECT word, row_number() OVER (
+          ORDER BY COUNT(*) DESC, word ASC) AS rk
+        FROM w GROUP BY word
+      ) WHERE rk <= 1000
+    ), per_doc AS (
+      SELECT w.doc_id, w.lang,
+             COUNT(*) AS n_tok,
+             SUM(CASE WHEN v.word IS NOT NULL THEN 1 ELSE 0 END) AS n_in
+      FROM w LEFT JOIN vocab v ON w.word = v.word
+      GROUP BY w.doc_id, w.lang
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(AVG(n_in / CAST(n_tok AS DOUBLE)), 6) AS avg_coverage,
+           round(MIN(n_in / CAST(n_tok AS DOUBLE)), 6) AS min_coverage
+    FROM per_doc GROUP BY lang
+    """,
+)
+def q207(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id", "lang", F.explode(T.words("text")).alias("word"))
+    # top-k via orderBy+limit = TakeOrdered (per-partition partial top-k
+    # merged on the driver) — a web-scale vocabulary never funnels
+    # through a single-partition ranking window
+    vocab = (
+        w.groupBy("word").agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("word").asc())
+        .limit(1000)
+        .select("word").withColumn("_v", F.lit(1))
+    )
+    per_doc = (
+        w.join(F.broadcast(vocab), "word", "left")
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n_tok"),
+             F.sum(F.coalesce(F.col("_v"), F.lit(0))).alias("n_in"))
+    )
+    cov = F.col("n_in") / F.col("n_tok").cast("double")
+    return per_doc.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(F.avg(cov), 6).alias("avg_coverage"),
+        F.round(F.min(cov), 6).alias("min_coverage"),
+    )

@@ -974,3 +974,57 @@ def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "split")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# --------------------------------------------------------------------------
+# q208 — dedup cluster-size histogram: the report consumed after any
+# near-dup run (how much mass sits in big duplicate families?). Sizes
+# come from the q53 component labels (star-contracted edges, pointer-
+# jumped components); singletons = docs with no near-dup edge. The
+# oracle replays the full recursive-CTE component computation and the
+# same histogram.
+# --------------------------------------------------------------------------
+@register(
+    "q208_cluster_size_histogram",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+      {_Q29_SQL}
+    ), edges AS (
+      SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_id_b AS src, doc_id_a AS dst FROM pairs
+    ), reach(id, lab) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, r.lab FROM edges e JOIN reach r ON e.src = r.id
+    ), comp AS (
+      SELECT id AS doc_id, MIN(lab) AS component FROM reach GROUP BY id
+    ), sizes AS (
+      SELECT component, COUNT(*) AS sz FROM comp GROUP BY component
+      UNION ALL
+      SELECT doc_id AS component, 1 AS sz
+      FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM comp)
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY sz
+    """,
+)
+def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs)
+    comp = D.connected_components(D.lsh_star_edges(sigs))
+    sizes = comp.groupBy("component").agg(F.count("*").alias("sz"))
+    singles = (
+        docs.join(comp.select(F.col("doc_id").alias("d")),
+                  docs.doc_id == F.col("d"), "left_anti")
+        .select(F.col("doc_id").alias("component"))
+        .withColumn("sz", F.lit(1))
+    )
+    return (
+        sizes.unionByName(singles)
+        .groupBy(F.col("sz").cast("bigint").alias("cluster_size"))
+        .agg(F.count("*").cast("bigint").alias("n_clusters"),
+             F.sum("sz").cast("bigint").alias("n_docs"))
+    )
