@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     "q206_source_kl_divergence",
     "q207_vocab_coverage",
     "q208_cluster_size_histogram",
+    "q209_positive_pairs",
 ]
 
 

@@ -1777,3 +1777,52 @@ def q207(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(cov), 6).alias("avg_coverage"),
         F.round(F.min(cov), 6).alias("min_coverage"),
     )
+
+
+# --------------------------------------------------------------------------
+# q209 — positive-pair mining for contrastive training: each document's
+# single best in-source near-duplicate (max Jaccard, lowest partner id
+# on ties) from the q27 blocked pair set — the anchor->positive side of
+# the pair story whose negatives q178 mines. The pair set is symmetric,
+# so both directions union before the per-doc argmax; everything after
+# candidate generation is one groupBy.
+# --------------------------------------------------------------------------
+@register("q209_positive_pairs")
+def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5,
+                                  block_cols=("source",))
+    sym = pairs.select(
+        F.col("doc_id_a").alias("doc_id"),
+        F.col("doc_id_b").alias("partner"), "jaccard",
+    ).unionByName(pairs.select(
+        F.col("doc_id_b").alias("doc_id"),
+        F.col("doc_id_a").alias("partner"), "jaccard",
+    ))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("jaccard").desc(), F.col("partner").asc())
+    return (
+        sym.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "partner", "jaccard")
+    )
+
+
+from . import ORACLES as _ORC  # noqa: E402
+
+_ORC["q209_positive_pairs"] = f"""
+    WITH pairs AS (
+      {_ORC["q27_jaccard_pairs"]}
+    ), sym AS (
+      SELECT doc_id_a AS doc_id, doc_id_b AS partner, jaccard FROM pairs
+      UNION ALL
+      SELECT doc_id_b AS doc_id, doc_id_a AS partner, jaccard FROM pairs
+    )
+    SELECT doc_id, partner, jaccard FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY jaccard DESC, partner ASC) AS rk
+      FROM sym
+    ) WHERE rk = 1
+"""
