@@ -239,16 +239,43 @@ def main() -> None:
         for name, xs in samples.items()
     }
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+
+    # Full per-query medians go to a file (the driver's tail capture is
+    # ~2 KB; a 169-entry map overflows it — r2 verdict #2). The LAST stdout
+    # line is a compact summary the driver can always parse.
+    detail = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "reps": reps,
+        "aggregation": "median_per_query",
+    }
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    detail_path.write_text(json.dumps(detail, indent=1) + "\n")
+
+    slowest = sorted(
+        ((n, t) for n, t in timings.items() if t >= 0),
+        key=lambda kv: -kv[1],
+    )[:5]
+    ok = [t for t in timings.values() if t >= 0]
+    ok.sort()
+    p50 = round(ok[len(ok) // 2], 3) if ok else -1.0
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_time",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": dict(slowest),
+                "n_queries": len(ok),
+                "n_failed": sum(1 for t in timings.values() if t < 0),
+                "p50": p50,
                 "sf": float(sf),
                 "reps": reps,
                 "aggregation": "median_per_query",
+                "detail": str(detail_path),
             }
         )
     )

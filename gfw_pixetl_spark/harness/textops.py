@@ -345,7 +345,9 @@ def _doc_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q50/q51 — multimodal binary kernels (resize, frame sampling). The stub
 # digests run over hex(payload) strings precisely so a VARCHAR-only SQL
 # md5 can replay them: payload = unhex(md5(text)), hex(payload) = md5(text),
-# so resize output = unhex(md5(md5(text) || 'WxH')) — fully oracle-checked.
+# so resize output = md5(md5(text) || 'WxH') — fully oracle-checked. The
+# kernels stay binary internally; the harness surface hex-encodes the
+# payload so downstream canonicalizers never see raw bytes (r2 verdict #1).
 # --------------------------------------------------------------------------
 @register(
     "q50_multimodal_resize",
@@ -353,12 +355,13 @@ def _doc_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(64 AS INT) AS width,
            CAST(64 AS INT) AS height,
-           unhex(md5(md5(text) || '64x64')) AS payload
+           upper(md5(md5(text) || '64x64')) AS payload_hex
     FROM documents
     """,
 )
 def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return resize_images(_doc_payloads(spark, sf_dir), target=(64, 64))
+    out = resize_images(_doc_payloads(spark, sf_dir), target=(64, 64))
+    return out.withColumn("payload_hex", F.hex("payload")).drop("payload")
 
 
 @register(
@@ -366,13 +369,14 @@ def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT d.doc_id,
            CAST(f.frame_idx AS INT) AS frame_idx,
-           unhex(md5(md5(d.text) || CAST(f.frame_idx AS VARCHAR))) AS payload
+           upper(md5(md5(d.text) || CAST(f.frame_idx AS VARCHAR))) AS payload_hex
     FROM documents d
     CROSS JOIN (SELECT unnest([0, 10, 20]) AS frame_idx) f
     """,
 )
 def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sample_frames(_doc_payloads(spark, sf_dir), every_nth=10, n_frames=3)
+    out = sample_frames(_doc_payloads(spark, sf_dir), every_nth=10, n_frames=3)
+    return out.withColumn("payload_hex", F.hex("payload")).drop("payload")
 
 
 # --------------------------------------------------------------------------
