@@ -196,6 +196,7 @@ BENCH_QUERIES = [
     "q207_vocab_coverage",
     "q208_cluster_size_histogram",
     "q209_positive_pairs",
+    "q210_warp_cubicspline",
 ]
 
 

@@ -5,7 +5,7 @@ The reference delegates warping to rasterio/GDAL WarpedVRT
 ``gfw_pixetl/resampling.py:9-25``). The aggregating kernels (average,
 mode, ...) are already Spark aggregations (operators/resample.py); this
 module supplies the *interpolating* kernels — nearest, bilinear, cubic,
-lanczos — and analytic coordinate math for EPSG:4326, EPSG:3857
+lanczos, cubic_spline, gauss — and analytic coordinate math for EPSG:4326, EPSG:3857
 (spherical Mercator) and all 120 WGS84 UTM zones (EPSG:326xx/327xx,
 Karney-Krüger transverse-Mercator series, public formulas), so no
 GDAL/proj is needed for the grid catalog this engine ships nor for
@@ -72,11 +72,38 @@ def _kernel_lanczos(t: np.ndarray, a: int = 3) -> np.ndarray:
     return np.where(at < a, np.sinc(t) * np.sinc(t / a), 0.0)
 
 
+def _kernel_cubic_spline(t: np.ndarray) -> np.ndarray:
+    """Cubic B-spline (GDAL ``cubicspline``): smoothing, non-interpolating.
+
+    B3(t) = (4 - 6t² + 3|t|³)/6 for |t|<1, (2-|t|)³/6 for 1≤|t|<2.
+    Weights are non-negative and sum to 1 on an integer lattice, so the
+    result is a weighted average of the 4×4 neighborhood (no overshoot,
+    unlike Keys cubic). Reference enum: gfw_pixetl/resampling.py:9-25.
+    """
+    at = np.abs(t)
+    return np.where(
+        at < 1,
+        (4.0 - 6.0 * at**2 + 3.0 * at**3) / 6.0,
+        np.where(at < 2, (2.0 - at) ** 3 / 6.0, 0.0),
+    )
+
+
+def _kernel_gauss(t: np.ndarray) -> np.ndarray:
+    """Truncated Gaussian (GDAL ``gauss``): exp(-2t²) on |t|<2.
+
+    Separable low-pass kernel; the sampler's den-normalization makes the
+    truncated weights sum to 1, so flat fields are preserved exactly.
+    """
+    return np.where(np.abs(t) < 2, np.exp(-2.0 * t * t), 0.0)
+
+
 # method -> (kernel fn, support radius in source pixels)
 KERNELS = {
     "bilinear": (_kernel_bilinear, 1),
     "cubic": (_kernel_cubic, 2),
     "lanczos": (_kernel_lanczos, 3),
+    "cubic_spline": (_kernel_cubic_spline, 2),
+    "gauss": (_kernel_gauss, 2),
 }
 INTERPOLATING_METHODS = ("nearest", *KERNELS)
 

@@ -624,6 +624,86 @@ def q169(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q210 — interpolating warp (C4) through the cubic_spline kernel as a
+# pixel table: a 64x64 analytic COG upsampled 2x. Destination pixel
+# (r, c) has fractional source index f = (idx+0.5)/2 - 0.5, so the
+# fraction is always 0.25 (odd idx) or 0.75 (even idx) and the 4 B-spline
+# tap weights are the exact rationals (27,235,121,1)/384 resp. its
+# mirror. value*384^2 is therefore an integer (recovered exactly by
+# round(): float error ~1e-9 << 0.5), and the oracle replays the
+# separable 16-tap weighted sum in pure INTEGER arithmetic — IEEE-exact.
+# Windows are 64 px on the destination grid, so halo reads cross the
+# 32-px COG tile boundaries (tile-granular partial reads, no shuffle).
+# --------------------------------------------------------------------------
+def _warp_demo_file() -> str:
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from ..sources.geotiff import write_cog
+
+    d = os.path.join(tempfile.gettempdir(), "gfw_pixetl_spark_rt_demo")
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, "warp_src.tif")
+    if not os.path.exists(p):
+        ii, jj = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+        v = ((ii * 5 + jj * 3) % 13).astype("uint8")
+        write_cog(p, v[None], transform=(0.0, 0.1, 10.0, 0.1),
+                  blockxsize=32, overviews=False)
+    return p
+
+
+@register(
+    "q210_warp_cubicspline",
+    oracle="""
+    WITH wts AS (
+      SELECT * FROM (VALUES
+        (0, -1, 1), (0, 0, 121), (0, 1, 235), (0, 2, 27),
+        (1, -1, 27), (1, 0, 235), (1, 1, 121), (1, 2, 1)
+      ) AS t(par, d, w)
+    ), dst AS (
+      SELECT i.r AS r, j.c AS c,
+             CAST(floor(i.r / 2.0 - 0.25) AS INT) AS y0,
+             CAST(floor(j.c / 2.0 - 0.25) AS INT) AS x0,
+             i.r % 2 AS rpar, j.c % 2 AS cpar
+      FROM generate_series(0, 127) i(r), generate_series(0, 127) j(c)
+    ), px AS (
+      SELECT d.r, d.c,
+             SUM(wy.w * wx.w
+                 * ((5 * (d.y0 + wy.d) + 3 * (d.x0 + wx.d)) % 13)) AS vs
+      FROM dst d
+      JOIN wts wy ON wy.par = d.rpar
+      JOIN wts wx ON wx.par = d.cpar
+      WHERE d.y0 BETWEEN 1 AND 61 AND d.x0 BETWEEN 1 AND 61
+      GROUP BY 1, 2
+    )
+    SELECT CAST(r // 32 AS INTEGER) AS block_r,
+           CAST(c // 32 AS INTEGER) AS block_c,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(vs) AS BIGINT) AS sum_scaled,
+           CAST(MAX(vs) AS BIGINT) AS max_scaled
+    FROM px GROUP BY 1, 2
+    """,
+)
+def q210(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.raster_table import raster_catalog, warp_pixels
+
+    cat = raster_catalog(spark, [_warp_demo_file()])
+    px = warp_pixels(cat, scale=2.0, method="cubic_spline", window=64,
+                     parallelism=8)
+    scaled = F.round(F.col("value") * 147456).cast("long")
+    return px.groupBy(
+        F.floor(F.col("row") / 32).cast("int").alias("block_r"),
+        F.floor(F.col("col") / 32).cast("int").alias("block_c"),
+    ).agg(
+        F.count("*").alias("n_px"),
+        F.sum(scaled).alias("sum_scaled"),
+        F.max(scaled).alias("max_scaled"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q171 — overview-decimated read: a zoom-out query served from the COG
 # pyramid. The 128x128 demo raster has nearest overviews (64, 32); a
 # 32x32 output picks the 4x level, so the reader decompresses 1/16 of

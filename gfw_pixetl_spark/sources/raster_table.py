@@ -540,3 +540,114 @@ def materialize_pixels(
 
     return keyed.groupBy("tr", "tc").applyInPandas(
         write_tile, "uri string, n_px long")
+
+
+WARP_SCHEMA = "uri string, band int, row int, col int, value double"
+
+
+def warp_pixels(
+    catalog: DataFrame,
+    scale: float,
+    method: str = "bilinear",
+    window: int = 2048,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Interpolating resample (C4 warp kernel) as a long-format pixel DF.
+
+    Each cataloged file is resampled by ``scale`` destination pixels per
+    source pixel on the same CRS/origin; destination pixel (r, c) has
+    fractional source index ``f = (idx + 0.5)/scale - 0.5`` (pixel-center
+    convention, matching GDAL's geotransform algebra; reference kernels
+    gfw_pixetl/resampling.py:9-25). Tasks are windows of the DESTINATION
+    grid; each task halo-reads only the source rows/cols its kernel
+    support touches (tile-granular partial read — no full-image
+    materialization, no shuffle), then runs the vectorized
+    :func:`gfw_pixetl_spark.functions.warp.sample_grid` kernel. Only
+    pixels whose full support lies inside the source are emitted, so
+    results are partition-independent and edge-policy-free.
+    """
+    from ..functions.warp import KERNELS
+
+    radius = 1 if method == "nearest" else KERNELS[method][1]
+    win = F.lit(window)
+    dw = F.ceil(F.col("width") * F.lit(scale)).cast("int")
+    dh = F.ceil(F.col("height") * F.lit(scale)).cast("int")
+    nwx = F.ceil(dw / win).cast("int")
+    nwy = F.ceil(dh / win).cast("int")
+    tasks = (
+        catalog.select(
+            "uri",
+            F.explode(F.sequence(F.lit(0), nwx - 1)).alias("wx"),
+            nwy.alias("nwy"),
+        )
+        .select(
+            "uri", "wx",
+            F.explode(F.sequence(F.lit(0), F.col("nwy") - 1)).alias("wy"),
+        )
+    )
+    tasks = (
+        tasks.repartition(parallelism, "uri", "wx", "wy")
+        if parallelism else tasks.repartition("uri", "wx", "wy")
+    )
+    rad, mth, scl = radius, method, float(scale)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.warp import sample_grid
+
+        open_files: dict[str, GeoTiff] = {}
+        for pdf in batches:
+            for t_row in pdf.itertuples(index=False):
+                t = open_files.get(t_row.uri)
+                if t is None:
+                    t = open_files[t_row.uri] = GeoTiff.open(t_row.uri)
+                dst_w = int(np.ceil(t.width * scl))
+                dst_h = int(np.ceil(t.height * scl))
+                c0, c1 = t_row.wx * window, min((t_row.wx + 1) * window,
+                                                dst_w)
+                r0, r1 = t_row.wy * window, min((t_row.wy + 1) * window,
+                                                dst_h)
+                if c1 <= c0 or r1 <= r0:
+                    continue
+                cols_idx = np.arange(c0, c1)
+                rows_idx = np.arange(r0, r1)
+                fx = (cols_idx + 0.5) / scl - 0.5
+                fy = (rows_idx + 0.5) / scl - 0.5
+                # keep only dst pixels whose full kernel support is inside
+                x0 = np.floor(fx).astype("int64")
+                y0 = np.floor(fy).astype("int64")
+                csel = (x0 - rad + 1 >= 0) & (x0 + rad <= t.width - 1)
+                rsel = (y0 - rad + 1 >= 0) & (y0 + rad <= t.height - 1)
+                if not csel.any() or not rsel.any():
+                    continue
+                cols_idx, fx, x0 = cols_idx[csel], fx[csel], x0[csel]
+                rows_idx, fy, y0 = rows_idx[rsel], fy[rsel], y0[rsel]
+                # halo read: exactly the source rows/cols the taps touch
+                sc0 = int(x0[0] - rad + 1)
+                sc1 = int(x0[-1] + rad + 1)
+                sr0 = int(y0[0] - rad + 1)
+                sr1 = int(y0[-1] + rad + 1)
+                arr = t.read_window(sc0, sr0, sc1 - sc0, sr1 - sr0)
+                gfy, gfx = np.meshgrid(fy - sr0, fx - sc0, indexing="ij")
+                out = []
+                for b in range(arr.shape[0]):
+                    res = sample_grid(
+                        np.ma.MaskedArray(
+                            np.ma.getdata(arr[b]),
+                            mask=np.ma.getmaskarray(arr[b]),
+                        ),
+                        gfx, gfy, mth,
+                    )
+                    okm = ~np.ma.getmaskarray(res)
+                    bi, bj = np.nonzero(okm)
+                    if not len(bi):
+                        continue
+                    out.append(pd.DataFrame({
+                        "uri": t_row.uri, "band": np.int32(b + 1),
+                        "row": rows_idx[bi].astype("int32"),
+                        "col": cols_idx[bj].astype("int32"),
+                        "value": np.ma.getdata(res)[bi, bj],
+                    }))
+                if out:
+                    yield pd.concat(out, ignore_index=True)
+
+    return tasks.select("uri", "wx", "wy").mapInPandas(kernel, WARP_SCHEMA)

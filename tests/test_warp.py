@@ -172,3 +172,67 @@ def test_warp_pipeline_end_to_end(spark, tmp_path):
         ci = int(np.rint((lng[0] + 180.0) / 0.5 - 0.5))
         ri = int(np.rint((90.0 - lat[0]) / 0.5 - 0.5))
         assert data[rr, cc] == (ri + ci) % 16
+
+
+@pytest.mark.parametrize("method", ["cubic_spline", "gauss"])
+def test_smoothing_kernels_preserve_flat_fields(method):
+    """cubic_spline and gauss are smoothing (non-interpolating) kernels;
+    den-normalization must still preserve a constant field exactly."""
+    src = np.ma.MaskedArray(
+        np.full((8, 8), 42.0), mask=np.zeros((8, 8), bool)
+    )
+    rng = np.random.default_rng(7)
+    fx = rng.uniform(2.0, 5.0, (3, 3))
+    fy = rng.uniform(2.0, 5.0, (3, 3))
+    out = sample_grid(src, fx, fy, method)
+    np.testing.assert_allclose(out, 42.0, atol=1e-12)
+
+
+def test_cubic_spline_linear_precision():
+    """B-splines partition unity and reproduce linear polynomials:
+    sum_k B3(x-k)*k == x, so a linear ramp survives the smoothing."""
+    jj, ii = np.meshgrid(np.arange(12.0), np.arange(11.0))
+    src = np.ma.MaskedArray(3 * jj + 2 * ii, mask=np.zeros((11, 12), bool))
+    rng = np.random.default_rng(11)
+    fx = rng.uniform(2.0, 9.0, (4, 4))
+    fy = rng.uniform(2.0, 8.0, (4, 4))
+    out = sample_grid(src, fx, fy, "cubic_spline")
+    np.testing.assert_allclose(out, 3 * fx + 2 * fy, atol=1e-9)
+
+
+def test_cubic_spline_known_weights_at_half_pixel():
+    """At a half-pixel offset the 4 taps weigh (1, 23, 23, 1)/48."""
+    col = np.ma.MaskedArray(
+        np.tile(np.array([0.0, 10.0, 20.0, 30.0]), (4, 1)).T,
+        mask=np.zeros((4, 4), bool),
+    )
+    out = sample_grid(col, np.array([[1.0]]), np.array([[1.5]]), "cubic_spline")
+    expected = (1 * 0.0 + 23 * 10.0 + 23 * 20.0 + 1 * 30.0) / 48.0
+    np.testing.assert_allclose(out[0, 0], expected, atol=1e-12)
+
+
+def test_gauss_symmetric_midpoint_and_monotone():
+    """Truncated Gaussian is even, so the midpoint of a linear ramp is
+    exact; elsewhere the result stays within the neighborhood hull."""
+    jj, _ = np.meshgrid(np.arange(10.0), np.arange(10.0))
+    src = np.ma.MaskedArray(jj.copy(), mask=np.zeros((10, 10), bool))
+    out = sample_grid(src, np.array([[4.5]]), np.array([[5.0]]), "gauss")
+    np.testing.assert_allclose(out[0, 0], 4.5, atol=1e-12)
+    out2 = sample_grid(src, np.array([[4.25]]), np.array([[5.0]]), "gauss")
+    assert 3.0 < out2[0, 0] < 6.0
+
+
+def test_every_interpolating_enum_value_dispatches():
+    """Every interpolating method the models enum accepts must have a
+    kernel (r2 verdict #3: gauss/cubic_spline used to fail here)."""
+    from gfw_pixetl_spark.functions.warp import INTERPOLATING_METHODS
+    from gfw_pixetl_spark.operators.resample import AGG_METHODS
+    from gfw_pixetl_spark.models import RESAMPLING_METHODS
+
+    src = np.ma.MaskedArray(np.ones((6, 6)), mask=np.zeros((6, 6), bool))
+    for m in INTERPOLATING_METHODS:
+        out = sample_grid(src, np.array([[2.5]]), np.array([[2.5]]), m)
+        np.testing.assert_allclose(out[0, 0], 1.0, atol=1e-12)
+    covered = set(INTERPOLATING_METHODS) | set(AGG_METHODS) | {"mode"}
+    missing = [m for m in RESAMPLING_METHODS if m not in covered]
+    assert not missing, f"enum values without a kernel: {missing}"
