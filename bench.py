@@ -197,6 +197,7 @@ BENCH_QUERIES = [
     "q208_cluster_size_histogram",
     "q209_positive_pairs",
     "q210_warp_cubicspline",
+    "q211_jpeg_decode",
 ]
 
 

@@ -5,10 +5,11 @@ struct of metadata next to them. Decode / feature-extract / resize run as
 Arrow-batched ``mapInPandas`` kernels — the same shape the raster window
 kernel uses, so partitioning, batch sizing, and schema handling are shared.
 
-PNG payloads decode for REAL through the pure-Python codec in
-``sources/png.py`` (spec-implemented, no PIL) — ``decode_image`` returns
-actual pixels and q153 value-checks a decode->resize pipeline against a
-SQL oracle. Other formats (JPEG/ffmpeg video/...) remain codec-gated:
+PNG and baseline JPEG payloads decode for REAL through the pure-Python
+codecs in ``sources/png.py`` and ``sources/jpeg.py`` (spec-implemented,
+no PIL) — ``decode_image`` returns actual pixels; q153 value-checks a
+PNG decode->resize pipeline and q211 a JFIF decode against SQL oracles.
+Remaining formats (ffmpeg video, compressed audio) stay codec-gated:
 the md5-digest stand-ins keep those pipelines exercisable and
 oracle-checkable (q40/q50/q51/q65/q119) until a codec is present.
 """
@@ -45,16 +46,22 @@ except ImportError:
 
 def decode_image(payload: bytes):
     """Full image decode: PNG decodes natively via ``sources/png.py``
-    (returns (h, w, channels) uint8/uint16); other container formats
-    need a codec library and stay gated."""
+    and baseline JPEG via ``sources/jpeg.py`` (both return
+    (h, w, channels) uint8 — PNG may also be uint16); other container
+    formats need a codec library and stay gated."""
     if bytes(payload[:8]) == b"\x89PNG\r\n\x1a\n":
         from ..sources.png import decode_png
 
         return decode_png(bytes(payload))
+    if bytes(payload[:2]) == b"\xff\xd8":
+        from ..sources.jpeg import decode_jpeg
+
+        return decode_jpeg(bytes(payload))
     if not HAVE_PIL:
         raise NotImplementedError(
-            "only PNG decodes natively (sources/png.py); other formats "
-            "need PIL/ffmpeg, absent in this container."
+            "only PNG and baseline JPEG decode natively (sources/png.py, "
+            "sources/jpeg.py); other formats need PIL/ffmpeg, absent in "
+            "this container."
         )
     raise NotImplementedError("wire PIL decode here when available")
 
@@ -231,6 +238,58 @@ def decode_resize_means(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     return df.select("doc_id", text_col).mapInPandas(
         kernel, REAL_RESIZE_SCHEMA)
+
+
+def jpeg_payload(text: str) -> bytes:
+    """Deterministic REAL baseline-JPEG payload: a 16x16 grayscale JFIF
+    whose four 8x8 blocks are constant at md5(text) digest bytes 0-3.
+    DC-only blocks with an all-ones quant table decode EXACTLY (see
+    sources/jpeg.py), so a SQL oracle can replay the decoded pixels from
+    ``md5(text)`` hex — the JPEG analog of ``png_payload``."""
+    import numpy as np
+
+    from ..sources.jpeg import encode_jpeg
+
+    digest = hashlib.md5(text.encode("utf-8")).digest()
+    blocks = np.array(
+        [[digest[0], digest[1]], [digest[2], digest[3]]], dtype=np.uint8)
+    return encode_jpeg(np.repeat(np.repeat(blocks, 8, 0), 8, 1))
+
+
+JPEG_BLOCK_SCHEMA = (
+    "doc_id long, width int, height int, b00 int, b01 int, b10 int, b11 int"
+)
+
+
+def decode_jpeg_blocks(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """REAL JPEG decode path: each doc's payload is a spec-valid baseline
+    JFIF (``jpeg_payload``: Huffman entropy coding, DCT, the works), the
+    kernel runs the full decoder (marker parse, Annex-K Huffman decode,
+    dequantize, IDCT, level shift) and emits the four 8x8 block values
+    (exact, DC-only construction). Value-checked against md5(text) hex
+    replay in q211 — the JPEG twin of ``decode_resize_means``/q153."""
+    from .partitioning import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "width", "height", "b00", "b01", "b10", "b11")}
+            for doc_id, t in zip(pdf["doc_id"], pdf[text_col]):
+                img = decode_image(jpeg_payload(t))[:, :, 0]
+                h, w = img.shape
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["b00"].append(int(img[0, 0]))
+                out["b01"].append(int(img[0, 8]))
+                out["b10"].append(int(img[8, 0]))
+                out["b11"].append(int(img[8, 8]))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", text_col).mapInPandas(
+        kernel, JPEG_BLOCK_SCHEMA)
 
 
 AHASH_SCHEMA = "doc_id long, ahash long"

@@ -645,6 +645,32 @@ def q153(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q211 — REAL baseline-JPEG decode: each doc's payload is a spec-valid
+# JFIF (sources/jpeg.py: Annex-K Huffman coding, DCT, byte stuffing)
+# whose four 8x8 blocks are constant at md5(text) digest bytes 0-3 —
+# DC-only blocks with a unit quant table decode exactly, so the oracle
+# replays the decoded pixels from md5 hex. Proves the dominant
+# web-image container end-to-end, the JPEG twin of q153.
+# --------------------------------------------------------------------------
+@register(
+    "q211_jpeg_decode",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+           CAST({_md5_byte(0)} AS INT) AS b00,
+           CAST({_md5_byte(1)} AS INT) AS b01,
+           CAST({_md5_byte(2)} AS INT) AS b10,
+           CAST({_md5_byte(3)} AS INT) AS b11
+    FROM documents
+    """,
+)
+def q211(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import decode_jpeg_blocks
+
+    return decode_jpeg_blocks(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
 # q158 — bigram-LM perplexity scoring (the next statistical rung above
 # q140's unigram surprisal): per-doc mean -log2 P(w2|w1) under the
 # corpus bigram model with add-0.5 smoothing. Scale shape: the model

@@ -1,0 +1,176 @@
+"""Pure-Python baseline JPEG codec (sources/jpeg.py).
+
+The encoder only emits 4:4:4 no-restart streams, so the subsampled and
+restart-interval decode paths are exercised with hand-assembled streams
+built from the codec's own primitives (tables + bit writer), which is
+what T.81's interchange format specifies byte-for-byte.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from gfw_pixetl_spark.sources.jpeg import (
+    _AC_CHR, _AC_LUM, _DC_CHR, _DC_LUM, _BitWriter, _encode_codes,
+    _magnitude, decode_jpeg, encode_jpeg,
+)
+
+
+def test_dc_only_grayscale_exact_roundtrip():
+    """Constant 8x8 blocks with an all-ones quant table decode EXACTLY
+    (single integer DC coefficient, lossless quantize)."""
+    rng = np.random.default_rng(1)
+    blocks = rng.integers(0, 256, (3, 5), dtype=np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+    dec = decode_jpeg(encode_jpeg(img))
+    assert dec.shape == (24, 40, 1)
+    assert np.array_equal(dec[:, :, 0], img)
+
+
+def test_general_grayscale_near_lossless():
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img))[:, :, 0]
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_rgb_roundtrip_and_odd_dims():
+    """Non-multiple-of-8 dims pad/crop; color conversion bounds error."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (17, 19, 3), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img))
+    assert dec.shape == (17, 19, 3)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_quantized_lossy_path():
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    q = np.full((8, 8), 16, np.int32)
+    dec = decode_jpeg(encode_jpeg(img, quant=q))[:, :, 0]
+    # errors bounded by ~q/2 per coefficient energy; generous cap
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 32
+
+
+def test_rejects_progressive_and_garbage():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x01")
+    enc = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
+    sof = enc.find(b"\xff\xc0")
+    enc[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(enc))
+
+
+def _headers(h, w, comps, dri=0):
+    """Minimal JFIF header stack for a hand-built scan. ``comps`` is a
+    list of (component_id, h_samp, v_samp)."""
+    from gfw_pixetl_spark.sources.jpeg import ZIGZAG
+
+    out = bytearray(b"\xff\xd8")
+    q = np.ones(64, np.uint8)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" \
+        + q[ZIGZAG].tobytes()
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, hs, vs in comps:
+        sof += struct.pack(">BBB", cid, (hs << 4) | vs, 0)
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    tables = [(0x00, _DC_LUM), (0x10, _AC_LUM)]
+    if len(comps) == 3:
+        tables += [(0x01, _DC_CHR), (0x11, _AC_CHR)]
+    for tid, (bits, vals) in tables:
+        body = bytes([tid]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+    if dri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+    sos = bytes([len(comps)])
+    for i, (cid, _, _) in enumerate(comps):
+        t = 0 if i == 0 else 1
+        sos += bytes([cid, (t << 4) | t])
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    return out
+
+
+def _write_dc_block(writer, enc_dc, enc_ac, dc, pred):
+    """One DC-only block: DC diff + EOB. Returns the new predictor."""
+    diff = dc - pred
+    t, bits = _magnitude(diff)
+    code, length = enc_dc[t]
+    writer.write(code, length)
+    if t:
+        writer.write(bits, t)
+    code, length = enc_ac[0x00]
+    writer.write(code, length)
+    return dc
+
+
+def test_420_subsampled_decode():
+    """Hand-built 4:2:0 stream: one MCU = 4 Y blocks + 1 Cb + 1 Cr, all
+    DC-only. Chroma upsamples by replication; DC-only means Y/Cb/Cr are
+    known exactly, so the RGB output is the closed-form conversion."""
+    y_vals = [90, 110, 130, 150]  # Y for the four 8x8 quadrants
+    cb, cr = 100, 140
+    dc_lum, ac_lum = _encode_codes(*_DC_LUM), _encode_codes(*_AC_LUM)
+    dc_chr, ac_chr = _encode_codes(*_DC_CHR), _encode_codes(*_AC_CHR)
+    w = _BitWriter()
+    pred = 0
+    for v in y_vals:  # Y blocks in raster order within the MCU
+        pred = _write_dc_block(w, dc_lum, ac_lum, 8 * (v - 128), pred)
+    _write_dc_block(w, dc_chr, ac_chr, 8 * (cb - 128), 0)
+    _write_dc_block(w, dc_chr, ac_chr, 8 * (cr - 128), 0)
+    w.flush()
+    data = bytes(_headers(16, 16, [(1, 2, 2), (2, 1, 1), (3, 1, 1)])
+                 + w.buf + b"\xff\xd9")
+    out = decode_jpeg(data)
+    assert out.shape == (16, 16, 3)
+    for qi, (dy, dx) in enumerate([(0, 0), (0, 8), (8, 0), (8, 8)]):
+        y = float(y_vals[qi])
+        exp = np.clip(np.round([
+            y + 1.402 * (cr - 128),
+            y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128),
+            y + 1.772 * (cb - 128),
+        ]), 0, 255).astype(np.uint8)
+        quad = out[dy:dy + 8, dx:dx + 8]
+        assert (quad == exp[None, None, :]).all(), (qi, quad[0, 0], exp)
+
+
+def test_restart_markers_reset_predictors():
+    """DRI=1 grayscale stream: each MCU is followed by RSTn and the DC
+    predictor resets, so each block's DC diff is vs 0, not the prior."""
+    vals = [50, 200, 125]
+    dc_lum, ac_lum = _encode_codes(*_DC_LUM), _encode_codes(*_AC_LUM)
+    chunks = []
+    for v in vals:
+        w = _BitWriter()
+        _write_dc_block(w, dc_lum, ac_lum, 8 * (v - 128), 0)
+        w.flush()
+        chunks.append(bytes(w.buf))
+    scan = chunks[0] + b"\xff\xd0" + chunks[1] + b"\xff\xd1" + chunks[2]
+    data = bytes(_headers(8, 24, [(1, 1, 1)], dri=1)) + scan + b"\xff\xd9"
+    out = decode_jpeg(data)[:, :, 0]
+    assert out.shape == (8, 24)
+    for i, v in enumerate(vals):
+        assert (out[:, i * 8:(i + 1) * 8] == v).all()
+
+
+def test_decode_422_horizontal_subsampling():
+    """4:2:2: 2 Y blocks + 1 Cb + 1 Cr per MCU, chroma repeats in x."""
+    dc_lum, ac_lum = _encode_codes(*_DC_LUM), _encode_codes(*_AC_LUM)
+    dc_chr, ac_chr = _encode_codes(*_DC_CHR), _encode_codes(*_AC_CHR)
+    w = _BitWriter()
+    pred = 0
+    for v in (64, 192):
+        pred = _write_dc_block(w, dc_lum, ac_lum, 8 * (v - 128), pred)
+    _write_dc_block(w, dc_chr, ac_chr, 0, 0)  # Cb = 128 (neutral)
+    _write_dc_block(w, dc_chr, ac_chr, 0, 0)  # Cr = 128
+    w.flush()
+    data = bytes(_headers(8, 16, [(1, 2, 1), (2, 1, 1), (3, 1, 1)])
+                 + w.buf + b"\xff\xd9")
+    out = decode_jpeg(data)
+    assert out.shape == (8, 16, 3)
+    # neutral chroma -> R == G == B == Y
+    assert (out[:, :8] == 64).all() and (out[:, 8:] == 192).all()
