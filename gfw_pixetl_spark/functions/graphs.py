@@ -47,8 +47,11 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
 
     du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    # plain equi-joins: the degree table is O(|V|) — forcing a broadcast
+    # would materialize every node's degree per executor on a large
+    # graph (r2 advice). AQE still picks broadcast when it actually fits.
     oriented = (
-        edges.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+        edges.join(du, "u").join(dv, "v")
         .select(
             F.when(
                 (F.col("du") < F.col("dv"))

@@ -306,8 +306,10 @@ def chunk_documents(
             id_col,
             F.col("chunk_id").cast("long").alias("chunk_id"),
             (F.col("chunk_id") * stride).cast("long").alias("chunk_start"),
-            F.expr(
-                f"substring({text_col}, chunk_id * {stride} + 1, {size})"
+            # column-API substr (not f-string F.expr) so a non-bare
+            # column name (spaces, dots, keywords) can't break parsing
+            F.col(text_col).substr(
+                (F.col("chunk_id") * stride + 1).cast("int"), F.lit(size)
             ).alias("chunk_text"),
         )
         .withColumn("chunk_len", F.length("chunk_text").cast("long"))

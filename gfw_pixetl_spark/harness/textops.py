@@ -1123,22 +1123,63 @@ def q179(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dir, so the oracle replays from the documents table analytically
 # (v1 = doc_id % 2 == 0).
 # --------------------------------------------------------------------------
-def _evolved_dir(spark: SparkSession, sf_dir: str) -> str:
+def _source_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint of the source documents.parquet (path, size,
+    mtime of every data file) — regenerated testdata changes the
+    fingerprint, so derived-dataset caches can never serve stale."""
+    import hashlib as _hl
     import os
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    paths = [p]
+    if os.path.isdir(p):
+        paths = sorted(
+            os.path.join(r, f) for r, _, fs in os.walk(p) for f in fs)
+    parts = []
+    for q in paths:
+        st = os.stat(q)
+        parts.append(f"{q}|{st.st_size}|{st.st_mtime_ns}")
+    return _hl.md5("\n".join(parts).encode()).hexdigest()[:12]
+
+
+def _derived_dir(sf_dir: str, tag: str, build) -> str:
+    """Cache a derived dataset under a fingerprint-keyed tmp dir.
+
+    ``build(tmp_path)`` writes into a unique scratch dir which is then
+    atomically renamed into place — a concurrent builder loses the
+    rename race harmlessly (its scratch is discarded), and a stale
+    cache is impossible because the source fingerprint is in the key
+    (r2 advice on the old non-atomic ``_built`` marker scheme).
+    """
+    import os
+    import shutil
     import tempfile
+    import uuid
 
     key = sf_dir.strip("/").replace("/", "_")
-    d = os.path.join(tempfile.gettempdir(), f"gfw_evolved_{key}")
-    marker = os.path.join(d, "_built")
-    if not os.path.exists(marker):
+    fp = _source_fingerprint(sf_dir)
+    d = os.path.join(tempfile.gettempdir(), f"gfw_{tag}_{key}_{fp}")
+    if os.path.isdir(d):
+        return d
+    tmp = f"{d}.build.{uuid.uuid4().hex[:8]}"
+    build(tmp)
+    try:
+        os.rename(tmp, d)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return d
+
+
+def _evolved_dir(spark: SparkSession, sf_dir: str) -> str:
+    def build(d: str) -> None:
         docs = load(spark, sf_dir, "documents")
         v1 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "lang")
         v2 = docs.filter(F.col("doc_id") % 2 == 1).select(
             "doc_id", "lang", "source")
         v1.coalesce(1).write.mode("overwrite").parquet(d)
         v2.coalesce(1).write.mode("append").parquet(d)
-        open(marker, "w").write("ok")
-    return d
+
+    return _derived_dir(sf_dir, "evolved", build)
 
 
 @register(
@@ -1149,6 +1190,8 @@ def _evolved_dir(spark: SparkSession, sf_dir: str) -> str:
              AS n_v1_rows,
            CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_v2_rows,
+           CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_v1_null_source,
            CAST(COUNT(DISTINCT CASE WHEN doc_id % 2 = 1 THEN source END)
                 AS BIGINT) AS n_sources
     FROM documents GROUP BY lang
@@ -1157,12 +1200,20 @@ def _evolved_dir(spark: SparkSession, sf_dir: str) -> str:
 def q184(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.textfiles import read_evolved_parquet
 
+    # version is derived from doc_id % 2 on BOTH sides (the writer's
+    # discriminator, r2 advice); n_v1_null_source separately asserts the
+    # mergeSchema contract that every v1 row surfaces source as NULL —
+    # in the oracle that count IS n_v1_rows, so a v1 row with a non-NULL
+    # source (or a dropped NULL) hash-mismatches.
+    v1 = F.col("doc_id") % 2 == 0
     df = read_evolved_parquet(spark, _evolved_dir(spark, sf_dir))
     return df.groupBy("lang").agg(
-        F.sum(F.when(F.col("source").isNull(), 1).otherwise(0))
+        F.sum(F.when(v1, 1).otherwise(0))
         .cast("bigint").alias("n_v1_rows"),
-        F.sum(F.when(F.col("source").isNotNull(), 1).otherwise(0))
+        F.sum(F.when(~v1, 1).otherwise(0))
         .cast("bigint").alias("n_v2_rows"),
+        F.sum(F.when(v1 & F.col("source").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_v1_null_source"),
         F.countDistinct("source").cast("bigint").alias("n_sources"),
     )
 
@@ -1592,18 +1643,12 @@ def q193(spark: SparkSession, sf_dir: str) -> DataFrame:
 # for shape.
 # --------------------------------------------------------------------------
 def _jsonl_dir(spark: SparkSession, sf_dir: str) -> str:
-    import os
-    import tempfile
-
-    key = sf_dir.strip("/").replace("/", "_")
-    d = os.path.join(tempfile.gettempdir(), f"gfw_jsonl_{key}")
-    marker = os.path.join(d, "_built")
-    if not os.path.exists(marker):
+    def build(d: str) -> None:
         from ..sources.textfiles import write_jsonl
 
         write_jsonl(load(spark, sf_dir, "documents"), d, partitions=4)
-        open(marker, "w").write("ok")
-    return d
+
+    return _derived_dir(sf_dir, "jsonl", build)
 
 
 @register(
@@ -1648,18 +1693,12 @@ def q201(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and newlines in text fields, value-checked against the parquet truth.
 # --------------------------------------------------------------------------
 def _csv_dir(spark: SparkSession, sf_dir: str) -> str:
-    import os
-    import tempfile
-
-    key = sf_dir.strip("/").replace("/", "_")
-    d = os.path.join(tempfile.gettempdir(), f"gfw_csv_{key}")
-    marker = os.path.join(d, "_built")
-    if not os.path.exists(marker):
+    def build(d: str) -> None:
         from ..sources.textfiles import write_csv
 
         write_csv(load(spark, sf_dir, "documents"), d, partitions=4)
-        open(marker, "w").write("ok")
-    return d
+
+    return _derived_dir(sf_dir, "csv", build)
 
 
 @register(
