@@ -72,6 +72,7 @@ _FT_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f",
            12: "d", 16: "Q", 17: "q", 18: "Q"}
 
 COMPRESS_NONE = 1
+COMPRESS_CCITTFAX4 = 4  # ITU-T T.6 (Group 4 MMR), 1-bit only
 COMPRESS_LZW = 5
 COMPRESS_DEFLATE = 8  # Adobe deflate (zlib); code 32946 read as alias
 COMPRESS_PACKBITS = 32773
@@ -355,10 +356,12 @@ def write_cog(
     the manifest are unchanged). COG layout: every IFD + tag payload is
     written before the first tile byte, full-res IFD first.
 
-    Compression: DEFLATE or NONE. Other schemes the reference's
-    data-type table names (CCITTFAX4 for 1-bit) fall back to NONE and
-    the profile reports what was actually written — with NBITS=1 the
-    payload is already bit-packed, so the fax coding's win is marginal.
+    Compression: DEFLATE / LZW / PACKBITS / NONE for any dtype, plus
+    CCITTFAX4 (ITU-T T.6 Group-4 fax, ``sources/ccitt.py``) for
+    NBITS=1 boolean layers — the scheme the reference's data-type table
+    assigns to boolean (``gfw_pixetl/data_type.py:122-124``).
+    Unrecognized names fall back to NONE and the profile reports what
+    was actually written.
     """
     if data.ndim == 2:
         data = data[None, ...]
@@ -390,8 +393,13 @@ def write_cog(
     blockysize = max(16, -(-blockysize // 16) * 16)
     comp_code = {
         "DEFLATE": COMPRESS_DEFLATE, "LZW": COMPRESS_LZW,
-        "PACKBITS": COMPRESS_PACKBITS,
+        "PACKBITS": COMPRESS_PACKBITS, "CCITTFAX4": COMPRESS_CCITTFAX4,
     }.get(compress.upper(), COMPRESS_NONE)
+    if comp_code == COMPRESS_CCITTFAX4:
+        if pack_bits != 1 or bands != 1:
+            raise ValueError(
+                "CCITTFAX4 requires NBITS=1 single-band data "
+                "(reference gfw_pixetl/data_type.py:122-124)")
     if predictor == 2 and data.dtype.kind == "f":
         raise ValueError("predictor=2 is integer-only (use 1 for floats)")
     ox, sx, oy, sy = transform
@@ -425,6 +433,15 @@ def write_cog(
                     tile[:sub.shape[0], :sub.shape[1]] = sub
                     if predictor == 2:
                         tile = _predict2_encode(tile)
+                    if comp_code == COMPRESS_CCITTFAX4:
+                        from .ccitt import g4_encode
+
+                        # fax codes black runs; sample->black depends on
+                        # the photometric (MINISWHITE: 1 = black)
+                        raw = g4_encode(
+                            (tile != 0) if phot == 0 else (tile == 0))
+                        plan.tiles.append(raw)
+                        continue
                     if pack_bits is not None:
                         raw = _pack_rows(tile, pack_bits)
                     else:
@@ -570,6 +587,7 @@ def write_cog(
         "dtype": dt, "count": bands, "nodata": nodata,
         "blockxsize": blockxsize, "blockysize": blockysize,
         "compress": {COMPRESS_DEFLATE: "DEFLATE", COMPRESS_LZW: "LZW",
+                     COMPRESS_CCITTFAX4: "CCITTFAX4",
                      COMPRESS_PACKBITS: "PACKBITS"}.get(comp_code, "NONE"),
         "crs": f"EPSG:{epsg}", "tiled": True, "width": cols, "height": rows,
         "driver": "GTiff", "overviews": len(plans) - 1,
@@ -738,7 +756,7 @@ class GeoTiff:
         if comp == 32946:
             comp = COMPRESS_DEFLATE
         if comp not in (COMPRESS_NONE, COMPRESS_DEFLATE, COMPRESS_LZW,
-                        COMPRESS_PACKBITS):
+                        COMPRESS_PACKBITS, COMPRESS_CCITTFAX4):
             raise ValueError(f"unsupported compression {comp}")
         return cls(
             path=path, width=main[T_IMAGE_WIDTH][0],
@@ -806,6 +824,19 @@ class GeoTiff:
         runs per sample channel within each row."""
         f.seek(level.offsets[idx])
         raw = f.read(level.counts[idx])
+        if self.compression == COMPRESS_CCITTFAX4:
+            from .ccitt import g4_decode
+
+            if self.planar == 1 and self.count > 1:
+                raise ValueError("CCITTFAX4 is single-sample only")
+            bw = level.tile_w
+            if level.tiled:
+                bh = level.tile_h
+            else:  # strips are sequential row bands
+                bh = min(level.tile_h, level.height - idx * level.tile_h)
+            black = g4_decode(raw, bw, bh)
+            vals = (black == (self.photometric == 0)).astype(self.dtype)
+            return vals.reshape(bh, bw, 1)
         if self.compression == COMPRESS_DEFLATE:
             raw = zlib.decompress(raw)
         elif self.compression == COMPRESS_LZW:
@@ -963,6 +994,7 @@ class GeoTiff:
             "dtype": self.dtype, "count": self.count, "nodata": self.nodata,
             "blockxsize": lv.tile_w, "blockysize": lv.tile_h,
             "compress": {COMPRESS_DEFLATE: "DEFLATE", COMPRESS_LZW: "LZW",
+                     COMPRESS_CCITTFAX4: "CCITTFAX4",
                          COMPRESS_PACKBITS: "PACKBITS"}.get(
                 self.compression, "NONE"),
             "crs": self.crs, "tiled": lv.tiled,

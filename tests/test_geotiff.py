@@ -533,3 +533,94 @@ def test_read_decimated_picks_overview(tmp_path):
     # sub-window at 2x decimation comes from level 1 (v[::2, ::2])
     sub = t.read_decimated((0.0, 8.4, 1.6, 10.0), 16, 16)
     assert np.array_equal(np.ma.getdata(sub)[0], v[:32:2, :32:2])
+
+
+# --- CCITT Group 4 (T.6) boolean layers ------------------------------------
+# Reference assigns CCITTFAX4 + NBITS=1 to boolean data types
+# (gfw_pixetl/data_type.py:122-124); the codec implements T.6 MMR from
+# the public recommendation (sources/ccitt.py).
+
+@pytest.mark.parametrize("photometric", ["MINISWHITE", "MINISBLACK"])
+def test_ccittfax4_boolean_roundtrip(tmp_path, photometric):
+    rng = np.random.default_rng(11)
+    ii, jj = np.meshgrid(np.arange(100), np.arange(130), indexing="ij")
+    data = (((ii - 40) ** 2 + (jj - 70) ** 2 < 900)
+            | (rng.random((100, 130)) < 0.02)).astype("uint8")[None]
+    path = str(tmp_path / f"fax_{photometric}.tif")
+    prof = write_cog(path, data, transform=TRANSFORM, nbits=1,
+                     compress="CCITTFAX4", photometric=photometric,
+                     blockxsize=48, overviews=False)
+    assert prof["compress"] == "CCITTFAX4"
+    assert prof["photometric"] == photometric
+    t = GeoTiff.open(path)
+    assert t.compression == 4 and t.bits_per_sample == 1
+    arr = t.read_window(0, 0, 130, 100)
+    assert np.array_equal(np.ma.getdata(arr[0]), data[0])
+
+
+def test_ccittfax4_compresses_structured_masks(tmp_path):
+    """A realistic boolean mask (large connected regions) must come out
+    smaller than the bit-packed NONE encoding — fax coding is the point."""
+    ii, jj = np.meshgrid(np.arange(256), np.arange(256), indexing="ij")
+    data = ((ii // 64 + jj // 64) % 2 == 0).astype("uint8")[None]
+    p_fax = str(tmp_path / "fax.tif")
+    p_none = str(tmp_path / "none.tif")
+    write_cog(p_fax, data, transform=TRANSFORM, nbits=1,
+              compress="CCITTFAX4", overviews=False)
+    write_cog(p_none, data, transform=TRANSFORM, nbits=1,
+              compress="NONE", overviews=False)
+    import os
+    assert os.path.getsize(p_fax) < os.path.getsize(p_none)
+    t = GeoTiff.open(p_fax)
+    arr = t.read_window(0, 0, 256, 256)
+    assert np.array_equal(np.ma.getdata(arr[0]), data[0])
+
+
+def test_ccittfax4_requires_nbits1_single_band(tmp_path):
+    with pytest.raises(ValueError, match="NBITS=1"):
+        write_cog(str(tmp_path / "x.tif"), _data("uint8"),
+                  transform=TRANSFORM, compress="CCITTFAX4")
+    with pytest.raises(ValueError, match="NBITS=1"):
+        write_cog(str(tmp_path / "y.tif"),
+                  np.zeros((2, 32, 32), "uint8"), transform=TRANSFORM,
+                  nbits=1, compress="CCITTFAX4")
+
+
+def test_ccittfax4_partial_tile_and_overviews(tmp_path):
+    """Edge tiles pad, overview IFDs fax-code too, windowed reads hit
+    only the needed tiles."""
+    rng = np.random.default_rng(5)
+    data = (rng.random((1, 300, 460)) < 0.1).astype("uint8")
+    path = str(tmp_path / "fax_ov.tif")
+    prof = write_cog(path, data, transform=TRANSFORM, nbits=1,
+                     compress="CCITTFAX4", blockxsize=64, overviews=True)
+    assert prof["overviews"] >= 1
+    t = GeoTiff.open(path)
+    arr = t.read_window(37, 51, 200, 120)
+    assert np.array_equal(np.ma.getdata(arr[0]),
+                          data[0, 51:171, 37:237])
+
+
+def test_t4_code_table_spot_checks():
+    """Published T.4 §4.1 code words (spot sample across both trees)."""
+    from gfw_pixetl_spark.sources.ccitt import _BLACK_CODES, _WHITE_CODES
+
+    assert _WHITE_CODES[0] == (0b00110101, 8)
+    assert _WHITE_CODES[1] == (0b000111, 6)
+    assert _WHITE_CODES[63] == (0b00110100, 8)
+    assert _WHITE_CODES[64] == (0b11011, 5)
+    assert _WHITE_CODES[2560] == (0b000000011111, 12)
+    assert _BLACK_CODES[0] == (0b0000110111, 10)
+    assert _BLACK_CODES[2] == (0b11, 2)
+    assert _BLACK_CODES[3] == (0b10, 2)
+    assert _BLACK_CODES[63] == (0b000001100111, 12)
+    assert _BLACK_CODES[64] == (0b0000001111, 10)
+
+
+def test_g4_known_bitstream():
+    """An all-white 2x8 tile is two V0 codes (1 bit each) + EOFB:
+    11 000000000001 000000000001 + 6 pad -> C0 04 00 40."""
+    from gfw_pixetl_spark.sources.ccitt import g4_encode
+
+    enc = g4_encode(np.zeros((2, 8), dtype=bool))
+    assert enc == bytes([0xC0, 0x04, 0x00, 0x40])

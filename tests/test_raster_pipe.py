@@ -196,3 +196,32 @@ def test_gdal_geotiff_secondary_copy(spark, tmp_path):
     # the copy carries the predictor+max-deflate profile: never larger
     assert os.path.getsize(secondary) <= os.path.getsize(primary)
     assert GeoTiff.open(secondary).predictor == 2
+
+
+def test_boolean_layer_writes_real_ccittfax4(tmp_path, spark):
+    """Boolean layers carry the reference's NBITS=1 + CCITTFAX4 profile
+    (gfw_pixetl/data_type.py:122-124) — since the T.6 codec landed, the
+    output is genuinely fax-coded, not a NONE fallback, and reads back
+    exactly."""
+    from gfw_pixetl_spark.grids import grid_factory
+    from gfw_pixetl_spark.sources.geotiff import GeoTiff, read_tile
+
+    grid = grid_factory("1/4000")
+    pipe = rp.RasterPipe(
+        layer=make_layer(data_type="boolean", calc="A>5", no_data=0,
+                         grid="1/4000"),
+        reader=SyntheticReader(xres=grid.xres, yres=grid.yres),
+        work_dir=str(tmp_path),
+        grid=grid,
+    )
+    files = [{"uri": "memory://b", "band": 1, "left": 10.0, "bottom": 40.0,
+              "right": 11.0, "top": 41.0}]
+    rows = [r for r in pipe.run(spark, files).collect()
+            if r.status == "processed"]
+    assert rows
+    t = GeoTiff.open(rows[0].out_path)
+    assert t.compression == 4  # CCITTFAX4
+    assert t.bits_per_sample == 1
+    arr, profile = read_tile(rows[0].out_path)
+    assert profile["compress"] == "CCITTFAX4"
+    assert set(np.unique(np.ma.getdata(arr))) <= {0, 1}
