@@ -13,9 +13,14 @@ PostGIS SQL ourselves and hand it to the JDBC reader as a subquery
 * GeometryCollection cleanup: ``st_collectionextract(..., 3)`` keeps
   polygons only (``vector_src_tile.py:57-64``)
 
-No live DB exists in this environment: SQL generation is fully
-unit-tested; the JDBC execution path is exercised only when a jdbc_url
-is supplied.
+Validation layers: SQL generation is unit-tested; the generated text
+executes VERBATIM against DuckDB + an ST_* polyfill
+(``pg_polyfill.py``, ``tests/test_pushdown_exec.py``) AND against a
+live PostgreSQL 15 server with PL/pgSQL ST_* functions
+(``pg_live.py``, ``tests/test_pg_live.py`` — real grammar, quoting,
+type mapping, IEEE-exact clip parity). Only the JDBC driver itself is
+environment-gated (no driver jar in this container); the JDBC execution
+path is exercised when a jdbc_url is supplied.
 """
 
 from __future__ import annotations
