@@ -198,6 +198,10 @@ BENCH_QUERIES = [
     "q209_positive_pairs",
     "q210_warp_cubicspline",
     "q211_jpeg_decode",
+    "q212_rrf_fusion",
+    "q213_raster_polygonize",
+    "q214_median_composite",
+    "q215_temperature_mixture",
 ]
 
 

@@ -397,3 +397,109 @@ def q181(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return triangle_stats(undirect(directed))
+
+
+# --------------------------------------------------------------------------
+# q212 — hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.,
+# SIGIR 2009): fuse the BM25 keyword ranking (q118) with a dense
+# cosine ranking against a fixed query embedding (vec_id 0), score =
+# sum over rankers of 1/(60 + rank). Scale shape: each ranker reduces
+# to a bounded top-100 via orderBy+limit (Spark plans TakeOrdered — a
+# per-partition heap + driver merge, no global sort shuffle); the rank
+# window then runs on a <=100-row side, and the fusion is a full-outer
+# join of two 100-row sets — corpus size never enters the fused stage.
+# doc_id == vec_id in the testdata (co-generated tables).
+# --------------------------------------------------------------------------
+_RRF_K = 60
+_RRF_TOP = 100
+
+
+@register("q212_rrf_fusion")
+def q212(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.similarity import cosine
+
+    lex = q118(spark, sf_dir)  # (doc_id, bm25) — oracle-proven scores
+    lex_top = lex.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()) \
+        .limit(_RRF_TOP)
+    w_lex = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    lex_rank = lex_top.select(
+        "doc_id", F.row_number().over(w_lex).alias("r_lex"))
+
+    emb = load(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"))
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine(F.col("qv"), F.col("embedding")).alias("cs"),
+        )
+    )
+    sem_top = scored.orderBy(F.col("cs").desc(), F.col("doc_id").asc()) \
+        .limit(_RRF_TOP)
+    w_sem = Window.orderBy(F.col("cs").desc(), F.col("doc_id").asc())
+    sem_rank = sem_top.select(
+        "doc_id", F.row_number().over(w_sem).alias("r_sem"))
+
+    fused = (
+        lex_rank.join(sem_rank, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("r_lex")), F.lit(0.0))
+             + F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("r_sem")),
+                          F.lit(0.0))).alias("rrf"),
+        )
+    )
+    w_out = Window.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+    return (
+        fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(20)
+        .select("doc_id", F.row_number().over(w_out).alias("rank"),
+                F.round("rrf", 8).alias("rrf"))
+    )
+
+
+def _sql_cos_rrf(a: str, b: str) -> str:
+    return (
+        f"(list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
+        f" / (sqrt(list_dot_product(CAST({a} AS DOUBLE[]),"
+        f" CAST({a} AS DOUBLE[])))"
+        f" * sqrt(list_dot_product(CAST({b} AS DOUBLE[]),"
+        f" CAST({b} AS DOUBLE[])))))"
+    )
+
+
+from . import ORACLES as _OR2  # noqa: E402
+
+_OR2["q212_rrf_fusion"] = f"""
+    WITH bm AS (
+      {_OR2["q118_bm25"]}
+    ), lex AS (
+      SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC)
+               AS r_lex
+      FROM bm
+      QUALIFY r_lex <= {_RRF_TOP}
+    ), qv AS (
+      SELECT embedding AS q FROM embeddings WHERE vec_id = 0
+    ), sem AS (
+      SELECT vec_id AS doc_id,
+             row_number() OVER (
+               ORDER BY {_sql_cos_rrf("q", "embedding")} DESC,
+                        vec_id ASC) AS r_sem
+      FROM embeddings, qv
+      WHERE vec_id != 0
+      QUALIFY r_sem <= {_RRF_TOP}
+    ), fused AS (
+      SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+             coalesce(1.0::DOUBLE / (60 + r_lex), 0)
+               + coalesce(1.0::DOUBLE / (60 + r_sem), 0) AS rrf
+      FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+    )
+    SELECT doc_id,
+           row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank,
+           round(rrf, 8) AS rrf
+    FROM fused
+    QUALIFY rank <= 20
+"""

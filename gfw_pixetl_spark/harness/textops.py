@@ -1895,3 +1895,43 @@ _ORC["q209_positive_pairs"] = f"""
       FROM sym
     ) WHERE rk = 1
 """
+
+
+# --------------------------------------------------------------------------
+# q215 — temperature-scaled mixture weights: per-source sampling
+# probability proportional to count^tau (tau = 0.7), the multilingual /
+# multi-domain rebalancing rule (mBERT/XLM-R style) that upsamples
+# small sources without letting a head domain dominate. One dimension-
+# sized aggregation + a broadcast scalar total; the corpus shuffles
+# once on source. expected_epochs = weight * N / count shows how many
+# passes a source would see under the schedule.
+# --------------------------------------------------------------------------
+@register(
+    "q215_temperature_mixture",
+    oracle="""
+    WITH c AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ), tot AS (
+      SELECT SUM(pow(n_docs, 0.7)) AS z, SUM(n_docs) AS n FROM c
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           round(pow(n_docs, 0.7) / z, 6) AS weight,
+           round(pow(n_docs, 0.7) / z * n / n_docs, 6) AS expected_epochs
+    FROM c CROSS JOIN tot
+    """,
+)
+def q215(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count("*").alias("n_docs"))
+    tot = c.agg(
+        F.sum(F.pow("n_docs", F.lit(0.7))).alias("z"),
+        F.sum("n_docs").alias("n"),
+    )
+    w = F.pow("n_docs", F.lit(0.7)) / F.col("z")
+    return c.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round(w, 6).alias("weight"),
+        F.round(w * F.col("n") / F.col("n_docs"), 6)
+        .alias("expected_epochs"),
+    )

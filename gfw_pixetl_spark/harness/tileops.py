@@ -704,6 +704,120 @@ def q210(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q213 — raster POLYGONIZE (the gdal_polygonize shape): connected
+# same-value regions of a mask raster become vector features. Engine
+# composition: raster-as-table pixels -> 4-adjacency edges via two
+# equi-self-joins on (row, col±1)/(row±1, col) — Catalyst extracts the
+# arithmetic equalities as hash-join keys, no theta join — -> the SAME
+# pointer-jumping component resolver the dedup stack uses
+# (functions/dedup.py::connected_components), O(log diameter) rounds.
+# The demo mask is 4x4-px blocks with md5-parity values, so the oracle
+# replays components on the 12x12 block graph (recursive CTE) and
+# scales areas by 16 — pixel-level and block-level components coincide
+# because 4-adjacent same-value blocks share a 4-px edge.
+# --------------------------------------------------------------------------
+_POLY_N = 48   # raster side (px)
+_POLY_B = 4    # block side (px)
+
+
+def _poly_demo_file() -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from ..sources.geotiff import write_cog
+
+    d = os.path.join(tempfile.gettempdir(), "gfw_pixetl_spark_rt_demo")
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, "polygonize.tif")
+    if not os.path.exists(p):
+        nb = _POLY_N // _POLY_B
+        blocks = np.zeros((nb, nb), dtype="uint8")
+        for br in range(nb):
+            for bc in range(nb):
+                h = hashlib.md5(str(br * nb + bc).encode()).hexdigest()
+                blocks[br, bc] = int(h[:2], 16) % 2
+        v = np.repeat(np.repeat(blocks, _POLY_B, 0), _POLY_B, 1)
+        write_cog(p, v[None], transform=(0.0, 0.1, 10.0, 0.1),
+                  blockxsize=16, overviews=False)
+    return p
+
+
+@register(
+    "q213_raster_polygonize",
+    oracle=f"""
+    WITH RECURSIVE blk AS (
+      SELECT i.br AS br, j.bc AS bc,
+             i.br * {_POLY_N // _POLY_B} + j.bc AS bid,
+             CAST(('0x' || substr(md5(CAST(
+               i.br * {_POLY_N // _POLY_B} + j.bc AS VARCHAR)), 1, 2))
+               AS INT) % 2 AS v
+      FROM generate_series(0, {_POLY_N // _POLY_B - 1}) i(br),
+           generate_series(0, {_POLY_N // _POLY_B - 1}) j(bc)
+    ), ones AS (
+      SELECT * FROM blk WHERE v = 1
+    ), e0 AS (
+      SELECT a.bid AS src, b.bid AS dst
+      FROM ones a JOIN ones b
+        ON (a.br = b.br AND a.bc + 1 = b.bc)
+        OR (a.br + 1 = b.br AND a.bc = b.bc)
+    ), edges AS (
+      SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+    ), reach(id, lab) AS (
+      SELECT bid, bid FROM ones
+      UNION
+      SELECT e.dst, r.lab FROM edges e JOIN reach r ON e.src = r.id
+    ), comp AS (
+      SELECT id, MIN(lab) AS lab FROM reach GROUP BY id
+    ), sizes AS (
+      SELECT lab, COUNT(*) * {_POLY_B * _POLY_B} AS px
+      FROM comp GROUP BY lab
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_components,
+           CAST(SUM(px) AS BIGINT) AS total_px,
+           CAST(MAX(px) AS BIGINT) AS max_px
+    FROM sizes
+    """,
+)
+def q213(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.dedup import connected_components
+    from ..sources.raster_table import raster_catalog, read_pixels
+
+    cat = raster_catalog(spark, [_poly_demo_file()])
+    px = read_pixels(cat, window=16, parallelism=8).filter(
+        F.col("value") == 1)
+    ids = px.select(
+        (F.col("row").cast("long") * _POLY_N + F.col("col")).alias("pid"),
+        "row", "col",
+    )
+    a, b = ids.alias("a"), ids.alias("b")
+    right = a.join(
+        b, (F.col("a.row") == F.col("b.row"))
+        & (F.col("a.col") + 1 == F.col("b.col"))
+    ).select(F.col("a.pid").alias("doc_id_a"),
+             F.col("b.pid").alias("doc_id_b"))
+    down = a.join(
+        b, (F.col("a.row") + 1 == F.col("b.row"))
+        & (F.col("a.col") == F.col("b.col"))
+    ).select(F.col("a.pid").alias("doc_id_a"),
+             F.col("b.pid").alias("doc_id_b"))
+    comp = connected_components(right.unionAll(down))
+    # isolated pixels have no edges: left join + coalesce keeps them as
+    # their own single-pixel component
+    labeled = ids.join(
+        comp.withColumnRenamed("doc_id", "pid"), "pid", "left"
+    ).select("pid", F.coalesce("component", F.col("pid")).alias("component"))
+    sizes = labeled.groupBy("component").agg(F.count("*").alias("px"))
+    return sizes.agg(
+        F.count("*").cast("bigint").alias("n_components"),
+        F.sum("px").cast("bigint").alias("total_px"),
+        F.max("px").cast("bigint").alias("max_px"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q171 — overview-decimated read: a zoom-out query served from the COG
 # pyramid. The 128x128 demo raster has nearest overviews (64, 32); a
 # 32x32 output picks the 4x level, so the reader decompresses 1/16 of
@@ -1060,6 +1174,81 @@ def q194(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count("*").alias("n_px"),
         F.sum("value").cast("bigint").alias("sum_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q214 — cloud-free MEDIAN COMPOSITE: three co-registered epochs where
+# some pixels are cloud-masked (value 0 = nodata, dropped inside the
+# read kernel), per-pixel median over the CLEAR epochs — the standard
+# EO compositing op (e.g. Landsat/Sentinel mosaics). The stack is a
+# groupBy(row, col) like q196; median of 1-3 integers is exact in
+# halves, so sum(2*median) is an exact BIGINT the oracle replays.
+# --------------------------------------------------------------------------
+def _composite_files() -> list[str]:
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from ..sources.geotiff import write_cog
+
+    d = os.path.join(tempfile.gettempdir(), "gfw_pixetl_spark_rt_demo")
+    os.makedirs(d, exist_ok=True)
+    out = []
+    ii, jj = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    for t in range(3):
+        p = os.path.join(d, f"composite_t{t}.tif")
+        if not os.path.exists(p):
+            v = ((ii * 3 + jj * 2 + t * 7) % 19 + 1).astype("uint8")
+            cloud = (ii * 7 + jj * 11 + t * 5) % 9 == 0
+            v[cloud] = 0  # nodata = cloud
+            write_cog(p, v[None], transform=(0.0, 0.1, 10.0, 0.1),
+                      nodata=0, blockxsize=32, overviews=False)
+        out.append(p)
+    return out
+
+
+@register(
+    "q214_median_composite",
+    oracle="""
+    WITH px AS (
+      SELECT t.t AS t, i.r AS r, j.c AS c,
+             (i.r * 3 + j.c * 2 + t.t * 7) % 19 + 1 AS v
+      FROM generate_series(0, 2) t(t),
+           generate_series(0, 63) i(r), generate_series(0, 63) j(c)
+      WHERE (i.r * 7 + j.c * 11 + t.t * 5) % 9 != 0
+    ), med AS (
+      SELECT r, c, COUNT(*) AS n_clear,
+             median(CAST(v AS DOUBLE)) AS m
+      FROM px GROUP BY r, c
+    )
+    SELECT CAST(r // 16 AS INTEGER) AS block_r,
+           CAST(c // 16 AS INTEGER) AS block_c,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(CASE WHEN n_clear = 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_full,
+           CAST(SUM(2 * m) AS BIGINT) AS sum_2median
+    FROM med GROUP BY 1, 2
+    """,
+)
+def q214(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.raster_table import raster_catalog, read_pixels
+
+    cat = raster_catalog(spark, _composite_files())
+    px = read_pixels(cat, window=32, parallelism=8)  # nodata dropped
+    med = px.groupBy("row", "col").agg(
+        F.count("*").alias("n_clear"),
+        F.percentile(F.col("value"), F.lit(0.5)).alias("m"),
+    )
+    return med.groupBy(
+        F.floor(F.col("row") / 16).cast("int").alias("block_r"),
+        F.floor(F.col("col") / 16).cast("int").alias("block_c"),
+    ).agg(
+        F.count("*").alias("n_px"),
+        F.sum(F.when(F.col("n_clear") == 3, 1).otherwise(0)).cast("bigint")
+        .alias("n_full"),
+        F.round(F.sum(2 * F.col("m"))).cast("bigint").alias("sum_2median"),
     )
 
 

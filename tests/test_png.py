@@ -79,9 +79,12 @@ def test_png_payload_decodes_to_digest_bytes():
         img[:, :, 0].ravel(), np.frombuffer(digest, dtype=np.uint8))
 
 
-def test_decode_image_gates_non_png():
+def test_decode_image_gates_unsupported_formats():
+    # JPEG now decodes natively (sources/jpeg.py); GIF/WebP remain gated
     with pytest.raises(NotImplementedError, match="PNG"):
-        decode_image(b"\xff\xd8\xff\xe0 fake jpeg bytes")
+        decode_image(b"GIF89a fake gif bytes")
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        decode_image(b"RIFF....WEBP fake webp bytes")
 
 
 def _png_chunk(tag: bytes, body: bytes) -> bytes:
