@@ -202,6 +202,9 @@ BENCH_QUERIES = [
     "q213_raster_polygonize",
     "q214_median_composite",
     "q215_temperature_mixture",
+    "q216_char_entropy",
+    "q217_snapshot_time_travel",
+    "q218_snapshot_incremental",
 ]
 
 

@@ -1935,3 +1935,121 @@ def q215(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(w * F.col("n") / F.col("n_docs"), 6)
         .alias("expected_epochs"),
     )
+
+
+# --------------------------------------------------------------------------
+# q216 — per-document character entropy: H = -sum p_c log2 p_c over the
+# doc's character distribution — the cheap gibberish/boilerplate signal
+# (low H = repeated filler, high H = encrypted/binary junk) most corpus
+# quality stacks compute next to q33's ratios. Shape: explode to
+# (doc_id, char) pairs, two hash aggregations, all JVM-side; the
+# explode is data-local (fan-out = doc length) and the result stream is
+# doc-sized. Entropy arithmetic is replayed term-for-term in SQL with
+# the same log2/round discipline as q158.
+# --------------------------------------------------------------------------
+@register(
+    "q216_char_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+    ), freq AS (
+      SELECT doc_id, c, COUNT(*) AS n FROM ch GROUP BY doc_id, c
+    ), tot AS (
+      SELECT doc_id, SUM(n) AS total, COUNT(*) AS n_distinct
+      FROM freq GROUP BY doc_id
+    )
+    SELECT f.doc_id,
+           CAST(t.n_distinct AS BIGINT) AS n_distinct_chars,
+           round(-SUM((n / CAST(total AS DOUBLE))
+                      * log2(n / CAST(total AS DOUBLE))), 6) AS entropy
+    FROM freq f JOIN tot t ON f.doc_id = t.doc_id
+    GROUP BY f.doc_id, t.n_distinct
+    """,
+)
+def q216(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    freq = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split("text", "")).alias("c"),
+        )
+        .groupBy("doc_id", "c")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = freq.groupBy("doc_id").agg(
+        F.sum("n").alias("total"),
+        F.count("*").alias("n_distinct"),
+    )
+    p = F.col("n") / F.col("total").cast("double")
+    return (
+        freq.join(tot, "doc_id")
+        .groupBy("doc_id", "n_distinct")
+        .agg(F.round(-F.sum(p * F.log2(p)), 6).alias("entropy"))
+        .select(
+            "doc_id",
+            F.col("n_distinct").cast("bigint").alias("n_distinct_chars"),
+            "entropy",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q217/q218 — snapshot-versioned table (sources/snapshots.py): manifest
+# commits, time travel, incremental diff. The harness table commits
+# v1 = even docs then appends v2 = odd docs; q217 reads BOTH versions
+# via their manifests (time travel) and q218 reads only the files added
+# in (v1, v2] (the O(delta) incremental-consumption path). Oracles
+# replay from doc_id parity.
+# --------------------------------------------------------------------------
+def _snapshot_table(spark: SparkSession, sf_dir: str) -> str:
+    def build(d: str) -> None:
+        from ..sources.snapshots import snapshot_append
+
+        docs = load(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "n_chars")
+        v1 = snapshot_append(docs.filter(F.col("doc_id") % 2 == 0), d)
+        v2 = snapshot_append(docs.filter(F.col("doc_id") % 2 == 1), d)
+        assert (v1, v2) == (1, 2), (v1, v2)
+
+    return _derived_dir(sf_dir, "snaptab", build)
+
+
+@register(
+    "q217_snapshot_time_travel",
+    oracle="""
+    SELECT 1 AS version, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents WHERE doc_id % 2 = 0 GROUP BY lang
+    UNION ALL
+    SELECT 2 AS version, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.snapshots import read_snapshot
+
+    d = _snapshot_table(spark, sf_dir)
+    v1 = read_snapshot(spark, d, 1).groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    ).select(F.lit(1).alias("version"), "lang", "n_docs")
+    v2 = read_snapshot(spark, d, 2).groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    ).select(F.lit(2).alias("version"), "lang", "n_docs")
+    return v1.unionAll(v2)
+
+
+@register(
+    "q218_snapshot_incremental",
+    oracle="""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_new,
+           CAST(SUM(n_chars) AS BIGINT) AS new_chars
+    FROM documents WHERE doc_id % 2 = 1 GROUP BY source
+    """,
+)
+def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.snapshots import read_diff
+
+    d = _snapshot_table(spark, sf_dir)
+    return read_diff(spark, d, 1, 2).groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_new"),
+        F.sum("n_chars").cast("bigint").alias("new_chars"),
+    )

@@ -1,0 +1,92 @@
+"""Snapshot-versioned parquet tables (sources/snapshots.py): manifest
+commits, time travel, incremental diff, and the create-exclusive race
+protocol."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from gfw_pixetl_spark.sources.snapshots import (
+    diff_files,
+    latest_version,
+    read_diff,
+    read_manifest,
+    read_snapshot,
+    snapshot_append,
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from gfw_pixetl_spark.session import get_spark
+
+    s = get_spark("test-snapshots")
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def _df(spark, lo, hi, tag):
+    return spark.range(lo, hi).selectExpr(
+        "id", f"'{tag}' AS tag", "id * 2 AS v")
+
+
+def test_append_time_travel_and_diff(spark, tmp_path):
+    d = str(tmp_path / "tbl")
+    assert latest_version(d) == 0
+    v1 = snapshot_append(_df(spark, 0, 10, "a"), d)
+    v2 = snapshot_append(_df(spark, 10, 25, "b"), d)
+    assert (v1, v2) == (1, 2)
+    assert latest_version(d) == 2
+    # time travel: v1 sees only the first commit
+    assert read_snapshot(spark, d, 1).count() == 10
+    assert read_snapshot(spark, d).count() == 25
+    # incremental: exactly the second commit's rows
+    inc = read_diff(spark, d, 1, 2)
+    assert inc.count() == 15
+    assert inc.agg({"id": "min"}).first()[0] == 10
+    # manifests carry lineage
+    m2 = read_manifest(d, 2)
+    assert m2["parent"] == 1 and m2["added_rows"] == 15
+    assert set(m2["files"]) >= set(read_manifest(d, 1)["files"])
+
+
+def test_old_snapshots_survive_later_appends(spark, tmp_path):
+    d = str(tmp_path / "tbl2")
+    snapshot_append(_df(spark, 0, 5, "a"), d)
+    first = read_snapshot(spark, d, 1).orderBy("id").collect()
+    snapshot_append(_df(spark, 5, 9, "b"), d)
+    snapshot_append(_df(spark, 9, 11, "c"), d)
+    again = read_snapshot(spark, d, 1).orderBy("id").collect()
+    assert first == again  # immutable history
+    assert read_snapshot(spark, d, 3).count() == 11
+
+
+def test_commit_race_loser_retries_with_new_parent(spark, tmp_path):
+    """Simulate losing the O_EXCL race: pre-create the version file the
+    writer is about to claim; the commit must retry on top of it and
+    land as the NEXT version, chaining its files."""
+    d = str(tmp_path / "tbl3")
+    snapshot_append(_df(spark, 0, 4, "a"), d)
+    # an interloping commit appears between staging and manifest write
+    interloper = {
+        "version": 2, "parent": 1, "operation": "append",
+        "files": read_manifest(d, 1)["files"], "added_files": [],
+        "added_rows": 0,
+    }
+    with open(os.path.join(d, "_snapshots", "v2.json"), "w") as f:
+        json.dump(interloper, f)
+    v = snapshot_append(_df(spark, 4, 7, "b"), d)
+    assert v == 3
+    m3 = read_manifest(d, 3)
+    assert m3["parent"] == 2
+    assert read_snapshot(spark, d, 3).count() == 7
+
+
+def test_diff_from_empty_is_full_table(spark, tmp_path):
+    d = str(tmp_path / "tbl4")
+    snapshot_append(_df(spark, 0, 6, "a"), d)
+    assert len(diff_files(d, 0, 1)) == len(read_manifest(d, 1)["files"])
+    assert read_diff(spark, d, 0, 1).count() == 6
