@@ -205,6 +205,8 @@ BENCH_QUERIES = [
     "q216_char_entropy",
     "q217_snapshot_time_travel",
     "q218_snapshot_incremental",
+    "q219_color_relief",
+    "q220_png_tile_export",
 ]
 
 

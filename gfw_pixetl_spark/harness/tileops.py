@@ -1373,3 +1373,153 @@ def q200(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_px"),
         F.sum("value").cast("bigint").alias("sum_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# q219 — COLOR RELIEF (the gdaldem color-relief shape, C6 symbology
+# APPLIED rather than tagged): map each pixel value through a ramp of
+# (value -> RGB) stops with linear interpolation between stops. The
+# colormap is a broadcast range join (v BETWEEN lo AND hi), the
+# interpolation is pure column math inside whole-stage codegen — no
+# kernel, no shuffle beyond the final block rollup. Channels are
+# emitted x4 so every interpolated value is an exact integer (stop
+# spacing 4), making the oracle IEEE-free.
+# --------------------------------------------------------------------------
+_RELIEF_STOPS = [
+    # (v0, v1, r0, g0, b0, r1, g1, b1)
+    (0, 4, 0, 0, 255, 0, 255, 0),
+    (4, 8, 0, 255, 0, 255, 255, 0),
+    (8, 13, 255, 255, 0, 255, 0, 0),
+]
+_RELIEF_VALUES = " UNION ALL ".join(
+    f"SELECT {v0} AS lo, {v1} AS hi, {r0} AS r0, {g0} AS g0, {b0} AS b0, "
+    f"{r1} AS r1, {g1} AS g1, {b1} AS b1"
+    for v0, v1, r0, g0, b0, r1, g1, b1 in _RELIEF_STOPS
+)
+
+
+@register(
+    "q219_color_relief",
+    oracle=f"""
+    WITH px AS (
+      SELECT i.r AS r, j.c AS c, (i.r * 5 + j.c * 3) % 13 AS v
+      FROM generate_series(0, 95) i(r), generate_series(0, 95) j(c)
+    ), ramp AS (
+      {_RELIEF_VALUES}
+    ), colored AS (
+      SELECT r, c,
+        4 * r0 + 4 * (v - lo) * (r1 - r0) / (hi - lo) AS r4,
+        4 * g0 + 4 * (v - lo) * (g1 - g0) / (hi - lo) AS g4,
+        4 * b0 + 4 * (v - lo) * (b1 - b0) / (hi - lo) AS b4
+      FROM px JOIN ramp ON v >= lo AND v < hi
+    )
+    SELECT CAST(r // 32 AS INTEGER) AS block_r,
+           CAST(c // 32 AS INTEGER) AS block_c,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(r4) AS BIGINT) AS sum_r4,
+           CAST(SUM(g4) AS BIGINT) AS sum_g4,
+           CAST(SUM(b4) AS BIGINT) AS sum_b4
+    FROM colored GROUP BY 1, 2
+    """,
+)
+def q219(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.raster_table import raster_catalog, read_pixels
+
+    cat = raster_catalog(spark, [_focal_demo_file()])
+    px = read_pixels(cat, window=48, parallelism=8)
+    ramp = spark.createDataFrame(
+        _RELIEF_STOPS,
+        "lo int, hi int, r0 int, g0 int, b0 int, r1 int, g1 int, b1 int",
+    )
+    v = F.col("value")
+    joined = px.join(
+        F.broadcast(ramp), (v >= F.col("lo")) & (v < F.col("hi")))
+
+    def chan4(c0: str, c1: str):
+        span = F.col("hi") - F.col("lo")
+        return (4 * F.col(c0)
+                + 4 * (v - F.col("lo")) * (F.col(c1) - F.col(c0)) / span)
+
+    return joined.groupBy(
+        F.floor(F.col("row") / 32).cast("int").alias("block_r"),
+        F.floor(F.col("col") / 32).cast("int").alias("block_c"),
+    ).agg(
+        F.count("*").alias("n_px"),
+        F.sum(chan4("r0", "r1")).cast("bigint").alias("sum_r4"),
+        F.sum(chan4("g0", "g1")).cast("bigint").alias("sum_g4"),
+        F.sum(chan4("b0", "b1")).cast("bigint").alias("sum_b4"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q220 — PNG TILE-CACHE EXPORT: the web-tile product built from a COG
+# layer (the reference ecosystem publishes z/x/y PNG tiles next to the
+# COGs). Each 48x48 window of the demo raster is read tile-granularly,
+# encoded as a REAL PNG (sources/png.py, Paeth filter), written to the
+# cache dir with an atomic rename, then decoded BACK inside the same
+# kernel — the emitted pixel sum proves the encode->decode roundtrip on
+# every tile, and the oracle replays the sums analytically. One task
+# per tile, no shuffle: the tile-server export is embarrassingly
+# parallel at any zoom.
+# --------------------------------------------------------------------------
+@register(
+    "q220_png_tile_export",
+    oracle="""
+    WITH px AS (
+      SELECT i.r AS r, j.c AS c, (i.r * 5 + j.c * 3) % 13 AS v
+      FROM generate_series(0, 95) i(r), generate_series(0, 95) j(c)
+    )
+    SELECT CAST(r // 48 AS INTEGER) AS tile_y,
+           CAST(c // 48 AS INTEGER) AS tile_x,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(v) AS BIGINT) AS decoded_sum
+    FROM px GROUP BY 1, 2
+    """,
+)
+def q220(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib as _hl
+    import tempfile
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    src = _focal_demo_file()
+    tag = _hl.md5(src.encode()).hexdigest()[:8]
+    out_dir = f"{tempfile.gettempdir()}/gfw_pixetl_spark_pngtiles_{tag}"
+
+    tiles = spark.createDataFrame(
+        [(ty, tx) for ty in range(2) for tx in range(2)],
+        "tile_y int, tile_x int",
+    ).repartition(4, "tile_y", "tile_x")
+
+    def kernel(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        import os
+
+        import numpy as np
+
+        from gfw_pixetl_spark.sources.geotiff import GeoTiff
+        from gfw_pixetl_spark.sources.png import decode_png, encode_png
+
+        os.makedirs(out_dir, exist_ok=True)
+        t = GeoTiff.open(src)
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("tile_y", "tile_x", "n_px", "decoded_sum")}
+            for ty, tx in zip(pdf["tile_y"], pdf["tile_x"]):
+                arr = t.read_window(tx * 48, ty * 48, 48, 48)
+                data = np.ma.getdata(arr[0]).astype("uint8")
+                payload = encode_png(data, filter_type=4)
+                path = os.path.join(out_dir, f"1_{tx}_{ty}.png")
+                tmp = f"{path}.tmp{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    f.write(payload)
+                os.replace(tmp, path)  # atomic publish
+                back = decode_png(open(path, "rb").read())[:, :, 0]
+                rows["tile_y"].append(int(ty))
+                rows["tile_x"].append(int(tx))
+                rows["n_px"].append(int(back.size))
+                rows["decoded_sum"].append(int(back.astype("int64").sum()))
+            yield _pd.DataFrame(rows)
+
+    return tiles.mapInPandas(
+        kernel, "tile_y int, tile_x int, n_px long, decoded_sum long")
