@@ -139,3 +139,101 @@ def test_png_reader_survives_corruption(img, seed):
     except (ValueError, _struct.error, _zlib.error, IndexError, KeyError,
             EOFError):
         pass  # CRC or structure check caught it
+
+
+# --- CCITT G4 (sources/ccitt.py) -------------------------------------------
+
+@st.composite
+def _bitmaps(draw):
+    h = draw(st.integers(1, 64))
+    w = draw(st.integers(1, 300))
+    density = draw(st.sampled_from([0.02, 0.2, 0.5, 0.8, 0.98]))
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    return rng.random((h, w)) < density
+
+
+@given(bm=_bitmaps())
+@settings(**_SETTINGS)
+def test_g4_roundtrip_property(bm):
+    from gfw_pixetl_spark.sources.ccitt import g4_decode, g4_encode
+
+    np.testing.assert_array_equal(
+        g4_decode(g4_encode(bm), bm.shape[1], bm.shape[0]), bm)
+
+
+# --- baseline JPEG (sources/jpeg.py) ---------------------------------------
+
+@st.composite
+def _block_images(draw):
+    """Images constant per 8x8 block: decode must be EXACT."""
+    bh = draw(st.integers(1, 6))
+    bw = draw(st.integers(1, 6))
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    blocks = rng.integers(0, 256, (bh, bw), dtype=np.uint8)
+    return np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+
+
+@given(img=_block_images())
+@settings(**_SETTINGS)
+def test_jpeg_dc_only_exact_property(img):
+    from gfw_pixetl_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    np.testing.assert_array_equal(
+        decode_jpeg(encode_jpeg(img))[:, :, 0], img)
+
+
+@given(
+    h=st.integers(1, 40), w=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(**_SETTINGS)
+def test_jpeg_unit_quant_near_lossless_property(h, w, seed):
+    from gfw_pixetl_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(img))[:, :, 0]
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 1
+
+
+# --- warp kernels (functions/warp.py) --------------------------------------
+
+@given(
+    method=st.sampled_from(
+        ["bilinear", "cubic", "lanczos", "cubic_spline", "gauss"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(**_SETTINGS)
+def test_kernels_partition_of_unity_property(method, seed):
+    """Den-normalized sampling preserves constants for EVERY kernel at
+    arbitrary fractional positions (flat-field invariance)."""
+    from gfw_pixetl_spark.functions.warp import sample_grid
+
+    rng = np.random.default_rng(seed)
+    c = float(rng.uniform(-1000, 1000))
+    src = np.ma.MaskedArray(np.full((12, 12), c),
+                            mask=np.zeros((12, 12), bool))
+    fx = rng.uniform(3.0, 8.0, (3, 3))
+    fy = rng.uniform(3.0, 8.0, (3, 3))
+    out = sample_grid(src, fx, fy, method)
+    np.testing.assert_allclose(out, c, rtol=1e-12, atol=1e-9)
+
+
+@given(seed=st.integers(0, 2**31 - 1))
+@settings(**_SETTINGS)
+def test_smoothing_kernels_stay_in_hull_property(seed):
+    """cubic_spline and gauss have non-negative weights: outputs lie in
+    [src.min(), src.max()] (no ringing/overshoot, unlike Keys/Lanczos)."""
+    from gfw_pixetl_spark.functions.warp import sample_grid
+
+    rng = np.random.default_rng(seed)
+    src = np.ma.MaskedArray(rng.uniform(0, 255, (10, 10)),
+                            mask=np.zeros((10, 10), bool))
+    fx = rng.uniform(2.0, 7.0, (4, 4))
+    fy = rng.uniform(2.0, 7.0, (4, 4))
+    for method in ("cubic_spline", "gauss"):
+        out = sample_grid(src, fx, fy, method)
+        assert float(out.min()) >= float(src.min()) - 1e-9
+        assert float(out.max()) <= float(src.max()) + 1e-9
