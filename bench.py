@@ -207,6 +207,10 @@ BENCH_QUERIES = [
     "q218_snapshot_incremental",
     "q219_color_relief",
     "q220_png_tile_export",
+    "q221_epoch_shuffle_shards",
+    "q222_padding_waste",
+    "q223_orc_roundtrip",
+    "q224_snapshot_compaction",
 ]
 
 

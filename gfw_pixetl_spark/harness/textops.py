@@ -2053,3 +2053,177 @@ def q218(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_new"),
         F.sum("n_chars").cast("bigint").alias("new_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# q221 — deterministic epoch shuffle + shard assignment: the step that
+# turns a curated corpus into training shards. Order is md5(seed ||
+# doc_id) — reshuffling an epoch is just a new seed, reproducible on
+# any cluster size; shard = hash % n (map-only, no global sort). The
+# per-shard summary (count, first/last order key, id checksum) pins
+# both the assignment AND the within-shard order deterministically.
+# --------------------------------------------------------------------------
+_EPOCH_SEED = "epoch-7"
+_N_TRAIN_SHARDS = 8
+
+
+@register(
+    "q221_epoch_shuffle_shards",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5('{_EPOCH_SEED}|' || CAST(doc_id AS VARCHAR)) AS ok,
+             CAST(('0x' || substr(md5('{_EPOCH_SEED}|shard|'
+                   || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % {_N_TRAIN_SHARDS} AS shard
+      FROM documents
+    )
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(ok) AS first_key, MAX(ok) AS last_key,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM keyed GROUP BY shard
+    """,
+)
+def q221(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ok = F.md5(F.concat(F.lit(f"{_EPOCH_SEED}|"),
+                        F.col("doc_id").cast("string")))
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{_EPOCH_SEED}|shard|"),
+                               F.col("doc_id").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("bigint") % _N_TRAIN_SHARDS
+    )
+    return (
+        docs.select("doc_id", ok.alias("ok"), shard.alias("shard"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("ok").alias("first_key"),
+            F.max("ok").alias("last_key"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q222 — padding-waste analytics for length-bucketed batching: tokens
+# lost to padding when sequences are padded up to their 64-token bucket
+# boundary (the pre-packing baseline q92's packer beats). Pure column
+# math + one dimension-sized aggregation; the report is what decides
+# bucket granularity for a training run.
+# --------------------------------------------------------------------------
+@register(
+    "q222_padding_waste",
+    oracle=f"""
+    WITH lens AS (
+      SELECT doc_id, len({SQL_WORDS}) AS n_tok FROM documents
+    ), b AS (
+      SELECT doc_id, n_tok,
+             CAST(ceil(n_tok / 64.0) * 64 AS BIGINT) AS bucket
+      FROM lens WHERE n_tok > 0
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS real_tokens,
+           CAST(SUM(bucket - n_tok) AS BIGINT) AS padding_tokens,
+           round(SUM(bucket - n_tok)
+                 / CAST(SUM(bucket) AS DOUBLE), 6) AS waste_frac
+    FROM b GROUP BY bucket
+    """,
+)
+def q222(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(T.words("text"))
+    b = docs.select(
+        "doc_id", n_tok.alias("n_tok"),
+        (F.ceil(n_tok / 64.0) * 64).cast("bigint").alias("bucket"),
+    ).filter(F.col("n_tok") > 0)
+    return b.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("real_tokens"),
+        F.sum(F.col("bucket") - F.col("n_tok")).cast("bigint")
+        .alias("padding_tokens"),
+        F.round(
+            F.sum(F.col("bucket") - F.col("n_tok"))
+            / F.sum("bucket").cast("double"), 6,
+        ).alias("waste_frac"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q223 — ORC interchange roundtrip (the q201/q205 twin for the third
+# columnar format): export the corpus as ORC, re-read, aggregate —
+# value-checked against the parquet truth, so the ORC write/read path
+# is proven lossless including text with newlines/quotes.
+# --------------------------------------------------------------------------
+def _orc_dir(spark: SparkSession, sf_dir: str) -> str:
+    def build(d: str) -> None:
+        load(spark, sf_dir, "documents").repartition(4) \
+            .write.mode("overwrite").orc(d)
+
+    return _derived_dir(sf_dir, "orc", build)
+
+
+@register(
+    "q223_orc_roundtrip",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_consistent
+    FROM documents GROUP BY lang
+    """,
+)
+def q223(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.orc(_orc_dir(spark, sf_dir))
+    return df.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum(F.when(F.length("text") == F.col("n_chars"), 1).otherwise(0))
+        .cast("bigint").alias("n_consistent"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q224 — snapshot COMPACTION: rewrite the table head into exactly 2
+# files as a new version; prior versions keep time-traveling over the
+# old files. The query reads the compacted head — identical rows to v2
+# by contract — and reports the (designed, deterministic) file count
+# from the manifest, proving maintenance ops preserve data.
+# --------------------------------------------------------------------------
+def _compacted_table(spark: SparkSession, sf_dir: str) -> str:
+    def build(d: str) -> None:
+        from ..sources.snapshots import snapshot_append, snapshot_compact
+
+        docs = load(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "n_chars")
+        snapshot_append(docs.filter(F.col("doc_id") % 2 == 0), d)
+        snapshot_append(docs.filter(F.col("doc_id") % 2 == 1), d)
+        v = snapshot_compact(spark, d, target_files=2)
+        assert v == 3, v
+
+    return _derived_dir(sf_dir, "snapcompact", build)
+
+
+@register(
+    "q224_snapshot_compaction",
+    oracle="""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(2 AS BIGINT) AS n_files
+    FROM documents GROUP BY lang
+    """,
+)
+def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.snapshots import read_manifest, read_snapshot
+
+    d = _compacted_table(spark, sf_dir)
+    n_files = len(read_manifest(d, 3)["files"])
+    return read_snapshot(spark, d, 3).groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.lit(n_files).cast("bigint").alias("n_files"),
+    )

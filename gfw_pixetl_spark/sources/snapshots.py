@@ -135,3 +135,54 @@ def read_diff(
 ) -> DataFrame:
     files = diff_files(table_dir, v_from, v_to)
     return spark.read.parquet(*files)
+
+
+def snapshot_compact(
+    spark: SparkSession, table_dir: str, target_files: int = 2,
+    max_retries: int = 10,
+) -> int:
+    """Rewrite the latest snapshot's data into ``target_files`` files
+    and commit it as a new version (operation = 'compact').
+
+    Row-preserving by construction: the new manifest's file list is the
+    compacted set, old files stay on disk so every prior version keeps
+    time-traveling. This is the small-files maintenance op a streaming
+    ingest needs — readers of HEAD stop paying per-file open costs
+    while history stays intact. Same O_EXCL commit protocol as append.
+    """
+    parent = latest_version(table_dir)
+    df = read_snapshot(spark, table_dir, parent).repartition(target_files)
+    data_dir = os.path.join(table_dir, "data")
+    stage = os.path.join(table_dir, f"_stage_{uuid.uuid4().hex[:12]}")
+    df.write.mode("overwrite").parquet(stage)
+    added = []
+    for name in sorted(os.listdir(stage)):
+        if not name.endswith(".parquet"):
+            continue
+        dst = f"{uuid.uuid4().hex[:12]}-{name}"
+        os.rename(os.path.join(stage, name), os.path.join(data_dir, dst))
+        added.append(os.path.join("data", dst))
+    for leftover in os.listdir(stage):
+        os.remove(os.path.join(stage, leftover))
+    os.rmdir(stage)
+
+    n_rows = df.count()
+    for _ in range(max_retries):
+        parent = latest_version(table_dir)
+        manifest = {
+            "version": parent + 1,
+            "parent": parent,
+            "operation": "compact",
+            "files": added,
+            "added_files": added,
+            "added_rows": n_rows,
+        }
+        path = _manifest_path(table_dir, parent + 1)
+        try:
+            fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        except FileExistsError:
+            continue
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f)
+        return parent + 1
+    raise RuntimeError(f"compact commit lost {max_retries} races")

@@ -90,3 +90,22 @@ def test_diff_from_empty_is_full_table(spark, tmp_path):
     snapshot_append(_df(spark, 0, 6, "a"), d)
     assert len(diff_files(d, 0, 1)) == len(read_manifest(d, 1)["files"])
     assert read_diff(spark, d, 0, 1).count() == 6
+
+
+def test_compaction_preserves_rows_and_history(spark, tmp_path):
+    from gfw_pixetl_spark.sources.snapshots import snapshot_compact
+
+    d = str(tmp_path / "tbl5")
+    snapshot_append(_df(spark, 0, 7, "a").repartition(4), d)
+    snapshot_append(_df(spark, 7, 12, "b").repartition(4), d)
+    files_before = len(read_manifest(d, 2)["files"])
+    v = snapshot_compact(spark, d, target_files=2)
+    assert v == 3
+    m3 = read_manifest(d, 3)
+    assert m3["operation"] == "compact"
+    assert len(m3["files"]) == 2 < files_before
+    # head rows identical, history untouched
+    head = {r["id"] for r in read_snapshot(spark, d, 3).collect()}
+    assert head == set(range(12))
+    assert read_snapshot(spark, d, 1).count() == 7
+    assert read_snapshot(spark, d, 2).count() == 12
