@@ -211,6 +211,9 @@ BENCH_QUERIES = [
     "q222_padding_waste",
     "q223_orc_roundtrip",
     "q224_snapshot_compaction",
+    "q225_waiting_suppliers",
+    "q226_parts_supplier_bands",
+    "q227_image_normalize",
 ]
 
 

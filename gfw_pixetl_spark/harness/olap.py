@@ -1345,3 +1345,115 @@ def q157(spark: SparkSession, sf_dir: str) -> DataFrame:
              .cast("double") / 7.0).cast("double").alias("avg_yearly")
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q225 — the TPC-H Q21 shape (suppliers who kept orders waiting),
+# adapted to this schema: late = shipped > 60 days after order date.
+# The classic formulation is a correlated EXISTS + NOT EXISTS on the
+# fact table (the oracle runs it literally); the engine DECORRELATES it
+# into one per-order aggregation — n_suppliers and n_late_suppliers as
+# two count-distincts — and a filter (n_supp >= 2, n_late_supp = 1):
+# one shuffle on orderkey instead of two correlated fact re-scans,
+# which is the only formulation that survives 100 TB. Top-20 via
+# TakeOrdered.
+# --------------------------------------------------------------------------
+@register(
+    "q225_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name AS s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 20
+    """,
+)
+def q225(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_shipdate")
+         > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .alias("late"),
+    )
+    per_order = joined.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    waiting = (
+        joined.filter(F.col("late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        waiting.join(F.broadcast(supp),
+                     waiting.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# q226 — the TPC-H Q16 shape (parts/supplier relationship): count
+# distinct suppliers per (brand, type, size) band, excluding a brand
+# and a NOT IN supplier subquery. The NOT IN becomes a broadcast anti
+# join (s_suppkey is non-null, so the semantics coincide); the dim
+# attributes arrive via a broadcast join; top-30 via TakeOrdered.
+# --------------------------------------------------------------------------
+@register(
+    "q226_parts_supplier_bands",
+    oracle="""
+    SELECT p.p_brand AS p_brand, p.p_type AS p_type,
+           CAST(p.p_size AS INT) AS p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 30
+    """,
+)
+def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = load(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("l_suppkey"))
+    return (
+        li.join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("int")
+                 .alias("p_size"))
+        .agg(F.countDistinct("l_suppkey").cast("bigint")
+             .alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type",
+                 "p_size")
+        .limit(30)
+    )

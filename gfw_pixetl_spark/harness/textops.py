@@ -2227,3 +2227,59 @@ def q224(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("total_chars"),
         F.lit(n_files).cast("bigint").alias("n_files"),
     )
+
+
+# --------------------------------------------------------------------------
+# q227 — cross-codec image NORMALIZATION pipeline: decode a baseline
+# JFIF (sources/jpeg.py), 2x box-downsample, re-encode as PNG
+# (sources/png.py), decode the PNG back — the standard "whatever came
+# in, normalized PNG comes out" ingest step, with BOTH real codecs in
+# one kernel. The JFIF is DC-only (exact decode) and the blocks are
+# constant, so the downsampled pixels equal the md5 digest bytes and
+# the oracle replays the whole chain arithmetically.
+# --------------------------------------------------------------------------
+@register(
+    "q227_image_normalize",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+           CAST({_md5_byte(0)} + {_md5_byte(1)} + {_md5_byte(2)}
+                + {_md5_byte(3)} AS BIGINT) * 16 AS pixel_sum
+    FROM documents
+    """,
+)
+def q227(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from ..functions.multimodal import jpeg_payload
+    from ..functions.partitioning import ensure_min_partitions
+
+    docs = ensure_min_partitions(
+        load(spark, sf_dir, "documents").select("doc_id", "text"))
+
+    def kernel(batches: _It[_pd.DataFrame]) -> _It[_pd.DataFrame]:
+        import numpy as np
+
+        from gfw_pixetl_spark.sources.jpeg import decode_jpeg
+        from gfw_pixetl_spark.sources.png import decode_png, encode_png
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "width", "height",
+                                   "pixel_sum")}
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                img = decode_jpeg(jpeg_payload(t))[:, :, 0]
+                # 2x box downsample (16x16 -> 8x8, exact integer means
+                # because each 2x2 block is constant)
+                small = img.reshape(8, 2, 8, 2).mean(axis=(1, 3))
+                png = encode_png(small.astype(np.uint8), filter_type=2)
+                back = decode_png(png)[:, :, 0]
+                out["doc_id"].append(doc_id)
+                out["height"].append(back.shape[0])
+                out["width"].append(back.shape[1])
+                out["pixel_sum"].append(int(back.astype("int64").sum()))
+            yield _pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        kernel, "doc_id long, width int, height int, pixel_sum long")
