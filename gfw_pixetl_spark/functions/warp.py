@@ -242,17 +242,25 @@ def utm_to_latlng(x, y, epsg: int):
     return lng, lat
 
 
-# --- WGS84 polar stereographic (EPSG:3413 / 3031), Snyder variant B ------
+# --- WGS84 polar stereographic (EPSG:3413/3031 variant B, UPS
+# EPSG:32661/32761 variant A) ---------------------------------------------
 # Public formulas: Snyder, "Map Projections — A Working Manual" (USGS
 # Professional Paper 1395, 1987), pp. 160-162: ellipsoidal polar
-# stereographic with a standard parallel (latitude of true scale).
-# EPSG:3413 = NSIDC Sea Ice Polar Stereographic North (lat_ts 70N,
-# lon0 -45); EPSG:3031 = Antarctic Polar Stereographic (lat_ts 71S,
-# lon0 0). Both false easting/northing 0.
+# stereographic. Variant B is parameterized by a standard parallel
+# (latitude of true scale): EPSG:3413 = NSIDC Sea Ice North (lat_ts
+# 70N, lon0 -45), EPSG:3031 = Antarctic (lat_ts 71S, lon0 0), FE/FN 0.
+# Variant A is parameterized by the scale at the pole: the Universal
+# Polar Stereographic system (EPSG:32661 north / 32761 south) uses
+# k0 = 0.994, lon0 = 0, false easting/northing 2,000,000 m. Both share
+# rho = a * COEF * t; COEF = m_c/t_c (variant B, Snyder 21-34) or
+# 2*k0 / sqrt((1+e)^(1+e) * (1-e)^(1-e)) (variant A, Snyder 21-33).
 
 _POLAR_PARAMS = {
-    3413: (70.0, -45.0, True),   # lat_ts, lon0, north?
-    3031: (-71.0, 0.0, False),
+    # epsg: (lat_ts | None, lon0, north?, k0 | None, fe, fn)
+    3413: (70.0, -45.0, True, None, 0.0, 0.0),
+    3031: (-71.0, 0.0, False, None, 0.0, 0.0),
+    32661: (None, 0.0, True, 0.994, 2_000_000.0, 2_000_000.0),
+    32761: (None, 0.0, False, 0.994, 2_000_000.0, 2_000_000.0),
 }
 
 
@@ -265,33 +273,41 @@ def _polar_tc_mc(lat_ts_abs: float) -> tuple[float, float]:
     return float(t_c), float(m_c)
 
 
+def _polar_coef(lat_ts, k0) -> float:
+    if lat_ts is not None:
+        t_c, m_c = _polar_tc_mc(abs(lat_ts))
+        return m_c / t_c
+    return float(
+        2.0 * k0 / np.sqrt((1 + _E) ** (1 + _E) * (1 - _E) ** (1 - _E)))
+
+
 def latlng_to_polar(lng, lat, epsg: int):
-    lat_ts, lon0, north = _POLAR_PARAMS[epsg]
+    lat_ts, lon0, north, k0, fe, fn = _POLAR_PARAMS[epsg]
     phi = np.radians(np.asarray(lat, dtype="float64"))
     lam = np.radians(np.asarray(lng, dtype="float64") - lon0)
     if not north:  # mirror the south pole onto the north-pole formulas
         phi, lam = -phi, -lam
-    t_c, m_c = _polar_tc_mc(abs(lat_ts))
+    coef = _polar_coef(lat_ts, k0)
     sin_p = np.sin(phi)
     t = np.tan(np.pi / 4 - phi / 2) / (
         (1 - _E * sin_p) / (1 + _E * sin_p)) ** (_E / 2)
-    rho = _WGS84_A * m_c * t / t_c
+    rho = _WGS84_A * coef * t
     x = rho * np.sin(lam)
     y = -rho * np.cos(lam)
     if not north:
         x, y = -x, -y
-    return x, y
+    return x + fe, y + fn
 
 
 def polar_to_latlng(x, y, epsg: int):
-    lat_ts, lon0, north = _POLAR_PARAMS[epsg]
-    xx = np.asarray(x, dtype="float64")
-    yy = np.asarray(y, dtype="float64")
+    lat_ts, lon0, north, k0, fe, fn = _POLAR_PARAMS[epsg]
+    xx = np.asarray(x, dtype="float64") - fe
+    yy = np.asarray(y, dtype="float64") - fn
     if not north:
         xx, yy = -xx, -yy
-    t_c, m_c = _polar_tc_mc(abs(lat_ts))
+    coef = _polar_coef(lat_ts, k0)
     rho = np.hypot(xx, yy)
-    t = rho * t_c / (_WGS84_A * m_c)
+    t = rho / (_WGS84_A * coef)
     # fixed-point iteration for the conformal-to-geodetic latitude
     # (Snyder eq. 7-9; converges in a handful of rounds)
     phi = np.pi / 2 - 2 * np.arctan(t)
@@ -331,7 +347,8 @@ def _crs_code(crs: str | int) -> int:
 
 _UNSUPPORTED_CRS = (
     ": analytic support covers EPSG:4326, EPSG:3857, WGS84 UTM zones "
-    "(EPSG:326xx/327xx), polar stereographic (EPSG:3413/3031), Lambert "
+    "(EPSG:326xx/327xx), polar stereographic (EPSG:3413/3031), UPS "
+    "(EPSG:32661/32761), Lambert "
     "conformal conic (EPSG:2154/3347), Albers equal-area (EPSG:5070/"
     "3577) and LAEA Europe (EPSG:3035); other CRS need pyproj/rasterio "
     "(not in this runtime)"

@@ -223,3 +223,62 @@ def test_polar_warp_reader_chain():
     col = np.rint((lng - (-180.0)) / 0.01 - 0.5).astype("int64")
     row = np.rint((90.0 - lat) / 0.01 - 0.5).astype("int64")
     np.testing.assert_array_equal(np.ma.getdata(out)[0], (row + col) % 16)
+
+
+# ---- Universal Polar Stereographic (EPSG:32661 / 32761, variant A) --------
+
+def test_ups_pole_maps_to_false_origin():
+    from gfw_pixetl_spark.functions.warp import latlng_to_polar
+
+    x, y = latlng_to_polar(np.array([33.0]), np.array([90.0]), 32661)
+    assert abs(x[0] - 2_000_000.0) < 1e-6 and abs(y[0] - 2_000_000.0) < 1e-6
+    x, y = latlng_to_polar(np.array([0.0]), np.array([-90.0]), 32761)
+    assert abs(x[0] - 2_000_000.0) < 1e-6 and abs(y[0] - 2_000_000.0) < 1e-6
+
+
+def test_ups_scale_at_pole_is_k0():
+    """Variant A's defining property: scale at the pole = 0.994 (the UPS
+    constant). Measured as rho / meridian-arc for a point 0.0001 deg off
+    the pole."""
+    from gfw_pixetl_spark.functions.warp import (
+        _E2, _WGS84_A, latlng_to_polar,
+    )
+
+    x, y = latlng_to_polar(np.array([0.0]), np.array([89.9999]), 32661)
+    rho = float(np.hypot(x[0] - 2e6, y[0] - 2e6))
+    dphi = np.radians(0.0001)
+    m = _WGS84_A * (1 - _E2) / (1 - _E2) ** 1.5 * dphi
+    assert abs(rho / m - 0.994) < 1e-7
+
+
+def test_ups_roundtrip_and_axis_symmetry():
+    from gfw_pixetl_spark.functions.warp import (
+        latlng_to_polar, polar_to_latlng,
+    )
+
+    rng = np.random.default_rng(4)
+    lng = rng.uniform(-180, 180, 100)
+    lat = rng.uniform(60, 89.99, 100)
+    for epsg, la in ((32661, lat), (32761, -lat)):
+        x, y = latlng_to_polar(lng, la, epsg)
+        lng2, lat2 = polar_to_latlng(x, y, epsg)
+        np.testing.assert_allclose(
+            np.mod(lng2 - lng + 180, 360) - 180, 0, atol=1e-9)
+        np.testing.assert_allclose(lat2, la, atol=1e-9)
+    # north: 0E meridian is the -y axis, 90E the +x axis
+    x, y = latlng_to_polar(np.array([0.0, 90.0]), np.array([84.0, 84.0]),
+                           32661)
+    assert abs(x[0] - 2e6) < 1e-6 and y[0] < 2e6
+    assert abs(y[1] - 2e6) < 1e-6 and x[1] > 2e6
+
+
+def test_ups_warp_hub_roundtrip():
+    """UPS participates in the geographic hub like every other CRS."""
+    from gfw_pixetl_spark.functions.warp import _from_geographic, _to_geographic
+
+    lng = np.array([-30.0, 45.0, 170.0])
+    lat = np.array([75.0, 82.0, 66.0])
+    x, y = _from_geographic(lng, lat, "EPSG:32661")
+    lng2, lat2 = _to_geographic(x, y, "EPSG:32661")
+    np.testing.assert_allclose(lng2, lng, atol=1e-9)
+    np.testing.assert_allclose(lat2, lat, atol=1e-9)
