@@ -214,6 +214,8 @@ BENCH_QUERIES = [
     "q225_waiting_suppliers",
     "q226_parts_supplier_bands",
     "q227_image_normalize",
+    "q228_contour_crossings",
+    "q229_bpe_apply",
 ]
 
 

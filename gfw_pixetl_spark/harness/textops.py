@@ -2283,3 +2283,54 @@ def q227(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return docs.mapInPandas(
         kernel, "doc_id long, width int, height int, pixel_sum long")
+
+
+# --------------------------------------------------------------------------
+# q229 — BPE MERGE APPLICATION: tokenize with a FIXED ranked merge
+# table (the apply side of BPE; q164 computes the pair counts that
+# train it). Each word becomes a space-separated char sequence; merges
+# apply in rank order, each exhaustively left-to-right — exactly
+# replace-all semantics, which both engines implement identically, so
+# the whole tokenizer is JVM-side nested replace() calls in one
+# codegen stage. Output: the top-20 resulting subword tokens by
+# frequency (TakeOrdered).
+# --------------------------------------------------------------------------
+_BPE_MERGES = [("e", "r"), ("t", "h"), ("i", "n"), ("a", "n"), ("an", "d")]
+
+
+@register(
+    "q229_bpe_apply",
+    oracle=f"""
+    WITH w AS (
+      SELECT unnest({SQL_WORDS}) AS word FROM documents
+    ), seq AS (
+      SELECT {"".join(
+          f"replace(" for _ in _BPE_MERGES
+      )}array_to_string(string_split(word, ''), ' '){"".join(
+          f", '{a} {b}', '{a}{b}')" for a, b in _BPE_MERGES
+      )} AS toks
+      FROM w
+    ), t AS (
+      SELECT unnest(string_split(toks, ' ')) AS token FROM seq
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM t WHERE token != ''
+    GROUP BY token
+    ORDER BY n DESC, token ASC
+    LIMIT 20
+    """,
+)
+def q229(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(F.explode(T.words("text")).alias("word"))
+    toks = F.array_join(F.split(F.col("word"), ""), " ")
+    for a, b in _BPE_MERGES:
+        toks = F.replace(toks, F.lit(f"{a} {b}"), F.lit(f"{a}{b}"))
+    return (
+        words.select(F.explode(F.split(toks, " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )

@@ -1523,3 +1523,94 @@ def q220(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return tiles.mapInPandas(
         kernel, "tile_y int, tile_x int, n_px long, decoded_sum long")
+
+
+# --------------------------------------------------------------------------
+# q228 — CONTOUR CROSSING EXTRACTION (the gdal_contour vertex step):
+# classify pixels against a level (6.5), find every grid edge whose
+# endpoints classify differently, and linearly interpolate the crossing
+# position along the edge — marching squares' vertex computation. The
+# engine derives edges from the pixel table with two shifted
+# equi-self-joins (same hash-join-key trick as q213); the interpolation
+# fraction t = (level - v0)/(v1 - v0) scaled by 27720 (= lcm 1..12) is
+# an exact integer for integer pixel values, so the oracle replays
+# everything in integer arithmetic.
+# --------------------------------------------------------------------------
+_CONTOUR_LEVEL = 6.5
+_CONTOUR_SCALE = 55440  # 2*lcm(1..12): 55440/d is EVEN for every |d| <= 12,
+#                        so scale*(6.5 - v0)/d is an exact integer
+
+
+@register(
+    "q228_contour_crossings",
+    oracle=f"""
+    WITH px AS (
+      SELECT i.r AS r, j.c AS c, (i.r * 5 + j.c * 3) % 13 AS v
+      FROM generate_series(0, 95) i(r), generate_series(0, 95) j(c)
+    ), h AS (
+      SELECT a.r AS r, a.c AS c,
+             CAST(({_CONTOUR_SCALE} * {_CONTOUR_LEVEL} -
+                   {_CONTOUR_SCALE} * a.v) / (b.v - a.v) AS BIGINT)
+               AS scaled_t
+      FROM px a JOIN px b ON a.r = b.r AND a.c + 1 = b.c
+      WHERE (a.v > {_CONTOUR_LEVEL}) <> (b.v > {_CONTOUR_LEVEL})
+    ), vv AS (
+      SELECT a.r AS r, a.c AS c,
+             CAST(({_CONTOUR_SCALE} * {_CONTOUR_LEVEL} -
+                   {_CONTOUR_SCALE} * a.v) / (b.v - a.v) AS BIGINT)
+               AS scaled_t
+      FROM px a JOIN px b ON a.r + 1 = b.r AND a.c = b.c
+      WHERE (a.v > {_CONTOUR_LEVEL}) <> (b.v > {_CONTOUR_LEVEL})
+    ), edges AS (
+      SELECT r, c, scaled_t, 'h' AS kind FROM h
+      UNION ALL SELECT r, c, scaled_t, 'v' FROM vv
+    )
+    SELECT CAST(r // 32 AS INTEGER) AS block_r,
+           CAST(c // 32 AS INTEGER) AS block_c,
+           CAST(SUM(CASE WHEN kind = 'h' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_h_crossings,
+           CAST(SUM(CASE WHEN kind = 'v' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_v_crossings,
+           CAST(SUM(scaled_t) AS BIGINT) AS sum_scaled_t
+    FROM edges GROUP BY 1, 2
+    """,
+)
+def q228(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.raster_table import raster_catalog, read_pixels
+
+    cat = raster_catalog(spark, [_focal_demo_file()])
+    px = read_pixels(cat, window=48, parallelism=8).select(
+        "row", "col", "value")
+    lvl = F.lit(_CONTOUR_LEVEL)
+    a, b = px.alias("a"), px.alias("b")
+
+    def crossings(cond, kind):
+        va, vb = F.col("a.value"), F.col("b.value")
+        return (
+            a.join(b, cond)
+            .filter((va > lvl) != (vb > lvl))
+            .select(
+                F.col("a.row").alias("r"), F.col("a.col").alias("c"),
+                ((_CONTOUR_SCALE * lvl - _CONTOUR_SCALE * va)
+                 / (vb - va)).cast("bigint").alias("scaled_t"),
+                F.lit(kind).alias("kind"),
+            )
+        )
+
+    h = crossings(
+        (F.col("a.row") == F.col("b.row"))
+        & (F.col("a.col") + 1 == F.col("b.col")), "h")
+    v = crossings(
+        (F.col("a.row") + 1 == F.col("b.row"))
+        & (F.col("a.col") == F.col("b.col")), "v")
+    edges = h.unionAll(v)
+    return edges.groupBy(
+        F.floor(F.col("r") / 32).cast("int").alias("block_r"),
+        F.floor(F.col("c") / 32).cast("int").alias("block_c"),
+    ).agg(
+        F.sum(F.when(F.col("kind") == "h", 1).otherwise(0)).cast("bigint")
+        .alias("n_h_crossings"),
+        F.sum(F.when(F.col("kind") == "v", 1).otherwise(0)).cast("bigint")
+        .alias("n_v_crossings"),
+        F.sum("scaled_t").cast("bigint").alias("sum_scaled_t"),
+    )
