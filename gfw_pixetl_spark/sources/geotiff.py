@@ -639,6 +639,15 @@ class GeoTiff:
     metadata: dict[str, str] = field(default_factory=dict)
     bits_per_sample: int = 8
     _endian: str = "<"
+    # optional factory returning a seekable file-like for pixel reads;
+    # None = local open(path). object_store.open_cog wires a ranged-GET
+    # reader here so read_window works straight off S3/GCS objects.
+    opener: object = None
+
+    def _open_pixels(self):
+        if self.opener is not None:
+            return self.opener()
+        return open(self.path, "rb")
 
     # -- parsing -----------------------------------------------------------
     @classmethod
@@ -888,7 +897,7 @@ class GeoTiff:
             ncols_t = -(-level.width // level.tile_w)
             nrows_t = -(-level.height // level.tile_h)
             per_band = ncols_t * nrows_t
-            with open(self.path, "rb") as f:
+            with self._open_pixels() as f:
                 for ti in range(ti0, ti1 + 1):
                     for tj in range(tj0, tj1 + 1):
                         bx0, by0 = tj * level.tile_w, ti * level.tile_h
