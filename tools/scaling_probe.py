@@ -1,0 +1,68 @@
+"""Empirical scaling probe: run representative corpus-bound queries at
+sf0.001 / sf0.01 / sf0.1 (10x data steps) and report the time ratios.
+
+A data-bound operator on this 32-thread box should scale sublinearly at
+these sizes (fixed per-job overhead dominates small SFs and amortizes
+at larger ones); a super-linear ratio (>> 10x per step) is the smell of
+an accidental quadratic. Results land in stdout as one JSON line; the
+SCALING.md table quotes a representative run.
+
+Usage: python tools/scaling_probe.py [query ...]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+from statistics import median
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from gfw_pixetl_spark import harness
+from gfw_pixetl_spark.session import get_spark
+
+DEFAULT_QUERIES = [
+    "q01_pricing_summary",   # full-scan aggregation
+    "q26_dedup_exact",       # digest groupBy
+    "q29_minhash_lsh_pairs", # signature + bucket self-join (output-bound)
+    "q34_token_counts",      # explode-heavy text pass
+    "q36_embed_topk",        # broadcast-scored ANN baseline
+    "q83_zonal_stats",       # join + rollup
+]
+
+SF_DIRS = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+]
+
+
+def main() -> None:
+    names = sys.argv[1:] or DEFAULT_QUERIES
+    spark = get_spark("scaling-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    harness.QUERIES["q01_pricing_summary"](spark, SF_DIRS[0]).count()
+
+    out: dict[str, dict] = {}
+    for name in names:
+        fn = harness.QUERIES[name]
+        times = []
+        for sf_dir in SF_DIRS:
+            samples = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).count()
+                samples.append(time.perf_counter() - t0)
+            times.append(round(median(samples), 3))
+        ratios = [
+            round(times[i + 1] / times[i], 2) for i in range(len(times) - 1)
+        ]
+        out[name] = {"sec": times, "ratio_per_10x": ratios}
+        print(f"{name}: {times} ratios {ratios}", file=sys.stderr)
+    print(json.dumps({"sf": [0.001, 0.01, 0.1], "queries": out}))
+
+
+if __name__ == "__main__":
+    main()
