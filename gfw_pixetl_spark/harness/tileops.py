@@ -283,38 +283,216 @@ def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q71/q72 — the flagship tile pipelines as harness entries (rows-only: the
-# outputs are written tiles; array values are golden-tested in
-# tests/test_raster_pipe.py / test_vector_pipe.py). Deterministic subset
-# on a 160-px test grid so the driver's repeat runs are stable.
+# q71/q72 — the flagship tile pipelines as harness entries, VALUE-CHECKED
+# end-to-end: the job runs (seed -> prune -> kernel -> COG write), then a
+# read-back kernel re-opens every written tile and emits per-tile valid-
+# pixel counts and pixel sums, which the oracles replay analytically —
+# q71 from the synthetic source formula through calc/mask/cast, q72 from
+# pixel-center rectangle coverage with last-wins paint order. The 160-px
+# test grid keeps the driver's repeat runs stable; array values are ALSO
+# golden-tested in tests/test_raster_pipe.py / test_vector_pipe.py.
 # --------------------------------------------------------------------------
-@register("q71_raster_tile_job")
+_Q71_GRID_PX = 160  # 10-degree tiles at 160 px -> res 0.0625
+# footprint deliberately NOT tile-aligned on the east edge (15 < 20) so
+# partial-coverage tiles have position-dependent checksums
+_Q71_FOOTPRINT = (-20.0, -20.0, 15.0, 20.0)
+
+
+def _tile_value_summary(status_df: DataFrame) -> DataFrame:
+    """Read every processed tile back through the COG codec and emit
+    (tile_id, n_valid, px_sum) — the checksum columns the oracles check.
+    One task per tile, reads ride the same pure-Python reader the rest
+    of S4 uses."""
+    import pandas as pd
+
+    def kernel(batches):
+        import numpy as np
+
+        from ..sources.geotiff import read_tile
+
+        for pdf in batches:
+            out = {"tile_id": [], "n_valid": [], "px_sum": []}
+            for tile_id, path in zip(pdf["tile_id"], pdf["out_path"]):
+                arr, profile = read_tile(path)
+                a = np.ma.getdata(np.asarray(arr))[0]
+                nodata = profile.get("nodata")
+                valid = (np.ones(a.shape, bool) if nodata is None
+                         else a != np.asarray(nodata, dtype=a.dtype))
+                out["tile_id"].append(tile_id)
+                out["n_valid"].append(int(valid.sum()))
+                out["px_sum"].append(
+                    int(a[valid].astype("int64").sum()))
+            yield pd.DataFrame(out)
+
+    return status_df.filter(F.col("status") == "processed").select(
+        "tile_id", "out_path"
+    ).repartition(8, "tile_id").mapInPandas(
+        kernel, "tile_id string, n_valid long, px_sum long")
+
+
+def _q71_oracle() -> str:
+    """Replays the raster job: global pixel grid from origin (-180, 90)
+    at res 0.0625, source value (ii+jj)%16 masked at 0, calc A*2, only
+    pixels inside the footprint exist (boundless read masks outside)."""
+    from ..grids import LatLngGrid
+
+    grid = LatLngGrid(10, _Q71_GRID_PX)
+    left, bottom, right, top = _Q71_FOOTPRINT
+    tiles = []
+    lng = -180.0
+    while lng < 180.0:
+        lat = 90.0
+        while lat > -90.0:
+            if (lng < right and lng + 10 > left
+                    and lat > bottom and lat - 10 < top):
+                tid = grid.xy_to_tile_id(lng + 0.5, lat - 0.5)
+                row0 = int(round((90.0 - lat) / grid.yres))
+                col0 = int(round((lng + 180.0) / grid.xres))
+                tiles.append(f"('{tid}', {row0}, {col0})")
+            lat -= 10
+        lng += 10
+    c_lo = int(round((left + 180.0) / grid.xres))
+    c_hi = int(round((right + 180.0) / grid.xres))
+    r_lo = int(round((90.0 - top) / grid.yres))
+    r_hi = int(round((90.0 - bottom) / grid.yres))
+    return f"""
+    WITH tiles(tile_id, row0, col0) AS (VALUES {', '.join(tiles)}),
+    px AS (
+      SELECT t.tile_id,
+             (t.row0 + i.r + t.col0 + j.c) % 16 AS v
+      FROM tiles t,
+           generate_series(0, {_Q71_GRID_PX - 1}) i(r),
+           generate_series(0, {_Q71_GRID_PX - 1}) j(c)
+      WHERE t.col0 + j.c >= {c_lo} AND t.col0 + j.c < {c_hi}
+        AND t.row0 + i.r >= {r_lo} AND t.row0 + i.r < {r_hi}
+    )
+    SELECT tile_id,
+           CAST(SUM(CASE WHEN v != 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_valid,
+           CAST(SUM(2 * v) AS BIGINT) AS px_sum
+    FROM px GROUP BY tile_id
+    HAVING SUM(CASE WHEN v != 0 THEN 1 ELSE 0 END) > 0
+    """
+
+
+def _q71_source_file() -> str:
+    """Real source COG over the (non-tile-aligned) footprint: values
+    (ii+jj)%16 on the GLOBAL 0.0625-degree pixel lattice, nodata 0 —
+    the production GeoTIFFReader masks both outside-footprint area and
+    in-footprint nodata, so partial tiles carry position-dependent
+    checksums."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from ..sources.geotiff import write_cog
+
+    d = os.path.join(tempfile.gettempdir(), "gfw_pixetl_spark_rt_demo")
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, "q71_source.tif")
+    if not os.path.exists(p):
+        left, bottom, right, top = _Q71_FOOTPRINT
+        res = 10.0 / _Q71_GRID_PX
+        cols = int(round((right - left) / res))
+        rows = int(round((top - bottom) / res))
+        row0 = int(round((90.0 - top) / res))
+        col0 = int(round((left + 180.0) / res))
+        jj, ii = np.meshgrid(np.arange(col0, col0 + cols),
+                             np.arange(row0, row0 + rows))
+        v = ((ii + jj) % 16).astype("uint8")
+        write_cog(p, v[None], transform=(left, res, top, res),
+                  nodata=0, blockxsize=160, overviews=False)
+    return p
+
+
+@register("q71_raster_tile_job", oracle=None)
 def q71(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from ..grids import LatLngGrid
     from ..models import LayerModel
     from ..plans.raster_pipe import RasterPipe
-    from ..sources.raster import SyntheticReader
+    from ..sources.raster import GeoTIFFReader
 
-    grid = LatLngGrid(10, 160)
+    grid = LatLngGrid(10, _Q71_GRID_PX)
     layer = LayerModel(
         dataset="harness_raster", version="v1", source_type="raster",
         pixel_meaning="value", data_type="uint8", grid="10/40000",
         calc="A*2", no_data=0, source_uri=["memory://synthetic"],
     )
+    src = _q71_source_file()
     pipe = RasterPipe(
         layer=layer,
-        reader=SyntheticReader(xres=grid.xres, yres=grid.yres),
+        reader=GeoTIFFReader(),
         work_dir=tempfile.mkdtemp(prefix="q71_"),
         grid=grid,
     )
-    files = [{"uri": "memory://a", "band": 1,
-              "left": -20.0, "bottom": -20.0, "right": 20.0, "top": 20.0}]
-    return pipe.run(spark, files).select("tile_id", "status", "n_windows")
+    left, bottom, right, top = _Q71_FOOTPRINT
+    files = [{"uri": src, "band": 1,
+              "left": left, "bottom": bottom, "right": right, "top": top}]
+    return _tile_value_summary(pipe.run(spark, files))
 
 
-@register("q72_vector_tile_job")
+_Q72_FEATURES = [
+    # (feature_id, burn value, rectangle x0 y0 x1 y1)
+    (1, 3, (1.0, 1.0, 15.0, 8.0)),
+    (2, 7, (-5.0, -5.0, 6.0, 6.0)),
+    (3, 5, (12.0, -12.0, 18.0, -2.0)),
+]
+
+
+def _q72_oracle() -> str:
+    """Replays the burn: pixel-center-in-rectangle coverage; ORDER BY
+    value asc means the largest covering value paints last and wins."""
+    from ..grids import LatLngGrid
+
+    grid = LatLngGrid(10, _Q71_GRID_PX)
+    xmin = min(f[2][0] for f in _Q72_FEATURES)
+    xmax = max(f[2][2] for f in _Q72_FEATURES)
+    ymin = min(f[2][1] for f in _Q72_FEATURES)
+    ymax = max(f[2][3] for f in _Q72_FEATURES)
+    tiles = []
+    lng = -180.0
+    while lng < 180.0:
+        lat = 90.0
+        while lat > -90.0:
+            if (lng < xmax and lng + 10 > xmin
+                    and lat > ymin and lat - 10 < ymax):
+                tid = grid.xy_to_tile_id(lng + 0.5, lat - 0.5)
+                row0 = int(round((90.0 - lat) / grid.yres))
+                col0 = int(round((lng + 180.0) / grid.xres))
+                tiles.append(f"('{tid}', {row0}, {col0})")
+            lat -= 10
+        lng += 10
+    feats = ", ".join(
+        f"({v}, {x0}, {y0}, {x1}, {y1})"
+        for _fid, v, (x0, y0, x1, y1) in _Q72_FEATURES)
+    res = grid.xres
+    return f"""
+    WITH tiles(tile_id, row0, col0) AS (VALUES {', '.join(tiles)}),
+    feats(v, x0, y0, x1, y1) AS (VALUES {feats}),
+    px AS (
+      SELECT t.tile_id,
+             -180.0 + (t.col0 + j.c + 0.5) * {res} AS xc,
+             90.0 - (t.row0 + i.r + 0.5) * {res} AS yc
+      FROM tiles t,
+           generate_series(0, {_Q71_GRID_PX - 1}) i(r),
+           generate_series(0, {_Q71_GRID_PX - 1}) j(c)
+    ), burned AS (
+      SELECT p.tile_id, MAX(f.v) AS v
+      FROM px p JOIN feats f
+        ON p.xc > f.x0 AND p.xc < f.x1 AND p.yc > f.y0 AND p.yc < f.y1
+      GROUP BY p.tile_id, p.xc, p.yc
+    )
+    SELECT tile_id,
+           CAST(COUNT(*) AS BIGINT) AS n_valid,
+           CAST(SUM(v) AS BIGINT) AS px_sum
+    FROM burned GROUP BY tile_id
+    """
+
+
+@register("q72_vector_tile_job", oracle=None)
 def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
@@ -322,19 +500,16 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..models import LayerModel
     from ..plans.vector_pipe import GEOM_TYPE, VectorPipe
 
-    grid = LatLngGrid(10, 160)
+    grid = LatLngGrid(10, _Q71_GRID_PX)
     layer = LayerModel(
         dataset="harness_vector", version="v1", source_type="vector",
         pixel_meaning="cls", data_type="uint8", grid="10/40000", no_data=0,
         order="asc",
     )
     rows = [
-        (1, 3.0, [[[1.0, 1.0], [15.0, 1.0], [15.0, 8.0], [1.0, 8.0],
-                   [1.0, 1.0]]]),
-        (2, 7.0, [[[-5.0, -5.0], [6.0, -5.0], [6.0, 6.0], [-5.0, 6.0],
-                   [-5.0, -5.0]]]),
-        (3, 5.0, [[[12.0, -12.0], [18.0, -12.0], [18.0, -2.0], [12.0, -2.0],
-                   [12.0, -12.0]]]),
+        (fid, float(v),
+         [[[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]]])
+        for fid, v, (x0, y0, x1, y1) in _Q72_FEATURES
     ]
     features = spark.createDataFrame(
         rows, f"feature_id long, value double, geom {GEOM_TYPE}"
@@ -343,7 +518,13 @@ def q72(spark: SparkSession, sf_dir: str) -> DataFrame:
         layer=layer, work_dir=tempfile.mkdtemp(prefix="q72_"), grid=grid,
         n_salts=2,
     )
-    return pipe.run(spark, features).select("tile_id", "status", "n_windows")
+    return _tile_value_summary(pipe.run(spark, features))
+
+
+from . import ORACLES as _TILE_ORC  # noqa: E402
+
+_TILE_ORC["q71_raster_tile_job"] = _q71_oracle()
+_TILE_ORC["q72_vector_tile_job"] = _q72_oracle()
 
 
 # --------------------------------------------------------------------------
