@@ -216,6 +216,8 @@ BENCH_QUERIES = [
     "q227_image_normalize",
     "q228_contour_crossings",
     "q229_bpe_apply",
+    "q230_hist_equalization",
+    "q231_domain_centroid_sim",
 ]
 
 

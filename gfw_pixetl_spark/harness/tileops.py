@@ -1795,3 +1795,70 @@ def q228(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_v_crossings"),
         F.sum("scaled_t").cast("bigint").alias("sum_scaled_t"),
     )
+
+
+# --------------------------------------------------------------------------
+# q230 — HISTOGRAM EQUALIZATION (the contrast-stretch remap every
+# imagery-viz pipeline runs): global value histogram -> CDF -> remap
+# new_v = floor(255 * cdf(v)), where cdf(v) = cumulative count up to v
+# over total. The histogram is a 13-row broadcast side; the remap joins
+# it back onto the pixel stream (no second scan shuffles pixel-wide),
+# and integer arithmetic keeps the oracle exact: floor(255 * cum / n)
+# computed as (255 * cum) // n in BIGINTs on both engines.
+# --------------------------------------------------------------------------
+@register(
+    "q230_hist_equalization",
+    oracle="""
+    WITH px AS (
+      SELECT i.r AS r, j.c AS c, (i.r * 5 + j.c * 3) % 13 AS v
+      FROM generate_series(0, 95) i(r), generate_series(0, 95) j(c)
+    ), hist AS (
+      SELECT v, COUNT(*) AS n FROM px GROUP BY v
+    ), cdf AS (
+      SELECT v, SUM(n) OVER (ORDER BY v) AS cum,
+             (SELECT SUM(n) FROM hist) AS total
+      FROM hist
+    ), remap AS (
+      SELECT v, CAST((255 * cum) // total AS BIGINT) AS new_v FROM cdf
+    )
+    SELECT CAST(p.r // 32 AS INTEGER) AS block_r,
+           CAST(p.c // 32 AS INTEGER) AS block_c,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(m.new_v) AS BIGINT) AS sum_eq,
+           CAST(MIN(m.new_v) AS BIGINT) AS min_eq,
+           CAST(MAX(m.new_v) AS BIGINT) AS max_eq
+    FROM px p JOIN remap m ON p.v = m.v
+    GROUP BY 1, 2
+    """,
+)
+def q230(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..sources.raster_table import raster_catalog, read_pixels
+
+    cat = raster_catalog(spark, [_focal_demo_file()])
+    px = read_pixels(cat, window=48, parallelism=8).select(
+        "row", "col", F.col("value").cast("bigint").alias("v"))
+    hist = px.groupBy("v").agg(F.count("*").alias("n"))
+    # 13-value dimension: the running sum window is histogram-sized
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    total = hist.agg(F.sum("n").alias("total"))
+    remap = (
+        hist.withColumn("cum", F.sum("n").over(w))
+        .crossJoin(F.broadcast(total))
+        .select("v", F.floor((255 * F.col("cum")) / F.col("total"))
+                .cast("bigint").alias("new_v"))
+    )
+    return (
+        px.join(F.broadcast(remap), "v")
+        .groupBy(
+            F.floor(F.col("row") / 32).cast("int").alias("block_r"),
+            F.floor(F.col("col") / 32).cast("int").alias("block_c"),
+        )
+        .agg(
+            F.count("*").alias("n_px"),
+            F.sum("new_v").cast("bigint").alias("sum_eq"),
+            F.min("new_v").cast("bigint").alias("min_eq"),
+            F.max("new_v").cast("bigint").alias("max_eq"),
+        )
+    )

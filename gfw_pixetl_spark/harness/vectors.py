@@ -684,3 +684,60 @@ def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 10).drop("rk")
     )
+
+
+# --------------------------------------------------------------------------
+# q231 — domain-centroid similarity matrix: per-source mean embedding
+# (fact-scale aggregation, one shuffle on source), then pairwise cosine
+# between the ~20 source centroids — the "which domains are semantically
+# close" input to mixture design (q215's temperature weights often get
+# adjusted by exactly this matrix). The pairwise stage is dimension x
+# dimension (20x20), so the join is broadcast-trivial at any corpus
+# size; only distinct pairs (a < b) are emitted.
+# --------------------------------------------------------------------------
+_DOC_PER_VEC = 1  # vec_id == doc_id in the co-generated testdata
+
+
+@register(
+    "q231_domain_centroid_sim",
+    oracle=f"""
+    WITH cent AS (
+      SELECT d.source AS source,
+             [SUM(CAST(e.embedding[1] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[2] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[3] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[4] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[5] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[6] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[7] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[8] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[9] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[10] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[11] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[12] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[13] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[14] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[15] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[16] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[17] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[18] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[19] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[20] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[21] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[22] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[23] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[24] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[25] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[26] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[27] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[28] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[29] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[30] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[31] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[32] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[33] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[34] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[35] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[36] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[37] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[38] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[39] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[40] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[41] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[42] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[43] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[44] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[45] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[46] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[47] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[48] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[49] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[50] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[51] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[52] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[53] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[54] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[55] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[56] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[57] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[58] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[59] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[60] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[61] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[62] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[63] AS DOUBLE)) / COUNT(*), SUM(CAST(e.embedding[64] AS DOUBLE)) / COUNT(*)] AS c
+      FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+      GROUP BY d.source
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           round({_sql_cos('a.c', 'b.c')}, 6) AS cos_sim
+    FROM cent a JOIN cent b ON a.source < b.source
+    """,
+)
+def q231(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    dim = len(emb.select("embedding").first()[0])
+    joined = emb.join(docs, emb.vec_id == docs.doc_id)
+    cent = joined.groupBy("source").agg(
+        F.array(*[
+            (F.sum(F.col("embedding")[i].cast("double")) / F.count("*"))
+            for i in range(dim)
+        ]).alias("c")
+    )
+    a = cent.select(F.col("source").alias("source_a"),
+                    F.col("c").alias("ca"))
+    b = cent.select(F.col("source").alias("source_b"),
+                    F.col("c").alias("cb"))
+    dot = F.aggregate(
+        F.zip_with("ca", "cb", lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(
+        F.zip_with("ca", "ca", lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(
+        F.zip_with("cb", "cb", lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x))
+    return (
+        a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+        .select("source_a", "source_b",
+                F.round(dot / (na * nb), 6).alias("cos_sim"))
+    )

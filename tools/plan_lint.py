@@ -52,6 +52,12 @@ EXEMPTIONS: dict[str, dict[str, str]] = {
     "q192_quantile_normalize": {
         "SINGLE_PART": "CDF window over the value-domain histogram"
     },
+    # same class as q192: the equalization CDF runs over the 13-row value
+    # histogram of the raster (value-domain-sized whatever the pixel
+    # count); the remap joins back as a broadcast.
+    "q230_hist_equalization": {
+        "SINGLE_PART": "CDF window over the 13-row value histogram"
+    },
 }
 
 
