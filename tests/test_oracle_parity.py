@@ -13,12 +13,8 @@ from tests.conftest import SF_SMOKE
 QUERIES = entry_mod.queries()
 ORACLES = entry_mod.oracle_sql()
 
-# genuinely non-SQL-expressible ops (multi-stage tile jobs with npy
-# payloads); the driver records a rows-only check for these
-ROWS_ONLY = {
-    "q71_raster_tile_job",
-    "q72_vector_tile_job",
-}
+# every registered query now carries a value-check oracle; rows-only is empty
+ROWS_ONLY = set()
 
 
 def test_registry_complete():
