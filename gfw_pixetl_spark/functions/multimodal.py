@@ -5,13 +5,16 @@ struct of metadata next to them. Decode / feature-extract / resize run as
 Arrow-batched ``mapInPandas`` kernels — the same shape the raster window
 kernel uses, so partitioning, batch sizing, and schema handling are shared.
 
-PNG and baseline JPEG payloads decode for REAL through the pure-Python
-codecs in ``sources/png.py`` and ``sources/jpeg.py`` (spec-implemented,
-no PIL) — ``decode_image`` returns actual pixels; q153 value-checks a
-PNG decode->resize pipeline and q211 a JFIF decode against SQL oracles.
-Remaining formats (ffmpeg video, compressed audio) stay codec-gated:
-the md5-digest stand-ins keep those pipelines exercisable and
-oracle-checkable (q40/q50/q51/q65/q119) until a codec is present.
+The whole IMAGE family runs real codecs end-to-end: PNG and JPEG
+(baseline + progressive SOF2) decode through the pure-Python codecs in
+``sources/png.py`` / ``sources/jpeg.py``; resize is real NumPy
+area/bilinear resampling (``functions/imageops.py``); frame sampling
+slices real PNG frames out of an offset-indexed container
+(``video_payload``); metadata extraction is a real IHDR/SOF header
+sniff. q40/q50/q51/q65/q153/q211/q232 value-check these against SQL
+oracles built on digest-byte pixel constructions. Only compressed AUDIO
+remains codec-gated (md5-digest PCM stand-in, q119) until a decoder is
+present.
 """
 
 from __future__ import annotations
@@ -84,26 +87,73 @@ def png_payload(text: str, size: int = 4) -> bytes:
 
 
 def fake_payload(text: str) -> bytes:
-    """Deterministic stand-in payload (md5 digest bytes) so the binary
-    pipeline is exercisable without real media files."""
+    """Deterministic stand-in payload (md5 digest bytes) for the audio
+    family only — image kernels all run real codecs now; PCM audio stays
+    honestly gated until a decoder is present."""
     return hashlib.md5(text.encode("utf-8")).digest()
 
 
-def _parse_header(payload: bytes) -> tuple[int, int, int, int]:
-    """Deterministic 'header parse': width/height/channels from the first
-    bytes — the stub stands in for a real format sniffer."""
-    return payload[0], payload[1], payload[2] % 4 + 1, len(payload)
+_PNG_COLOR_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def sniff_image_meta(payload: bytes) -> tuple[int, int, int]:
+    """REAL format sniffer: (width, height, channels) from container
+    headers WITHOUT a full pixel decode — PNG IHDR (RFC 2083 §4.1.1) or
+    JFIF SOF0/SOF2 frame header (ITU-T T.81 §B.2.2). This is the metadata
+    pass a corpus scan runs over billions of images, so it must not
+    inflate pixels."""
+    import struct
+
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        if payload[12:16] != b"IHDR":
+            raise ValueError("PNG missing IHDR")
+        w, h, _depth, ctype = struct.unpack(">IIBB", payload[16:26])
+        return w, h, _PNG_COLOR_CHANNELS[ctype]
+    if payload[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                raise ValueError("bad JPEG marker stream")
+            marker = payload[pos + 1]
+            (seg_len,) = struct.unpack(">H", payload[pos + 2:pos + 4])
+            if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+                _prec, h, w, ncomp = struct.unpack(
+                    ">BHHB", payload[pos + 4:pos + 10])
+                return w, h, ncomp
+            pos += 2 + seg_len
+        raise ValueError("JPEG without SOF marker")
+    raise ValueError("unknown container (PNG/JFIF supported)")
+
+
+def doc_image_payload(text: str) -> bytes:
+    """Deterministic REAL per-doc image whose DIMENSIONS vary by content:
+    md5 digest bytes b0/b1/b2 pick width = 2 + b0 % 7, height =
+    2 + b1 % 7, channels = 1 or 3 (b2 % 2), pixels = digest tiled. A
+    header sniffer must genuinely parse IHDR to recover them — and a SQL
+    oracle replays all three from md5(text) hex (q40)."""
+    import numpy as np
+
+    from ..sources.png import encode_png
+
+    digest = hashlib.md5(text.encode("utf-8")).digest()
+    w, h = 2 + digest[0] % 7, 2 + digest[1] % 7
+    ch = 1 + 2 * (digest[2] % 2)
+    need = w * h * ch
+    raw = (digest * ((need // len(digest)) + 1))[:need]
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, ch)
+    return encode_png(arr, filter_type=2)
 
 
 def extract_image_meta(df: DataFrame, text_col: str = "text") -> DataFrame:
     """documents -> (doc_id, width, height, channels, n_bytes).
 
-    mapInPandas with Arrow batches: payload synthesis + header parse happen
-    vectorized per batch; at scale, swap fake_payload for the real binary
-    column and _parse_header for the codec sniffer — the plan is unchanged.
-    The parallelism guard keeps the Python workers fed when the source is
-    a handful of small files (a media manifest is bytes-tiny relative to
-    its decode cost).
+    mapInPandas with Arrow batches over REAL spec-valid PNGs whose
+    dimensions vary per doc (``doc_image_payload``): the kernel runs the
+    real header sniffer (IHDR parse, no pixel inflate) and emits the
+    recovered metadata plus the raw pixel byte count. The parallelism
+    guard keeps the Python workers fed when the source is a handful of
+    small files (a media manifest is bytes-tiny relative to its decode
+    cost).
     """
     from .partitioning import ensure_min_partitions
 
@@ -111,15 +161,16 @@ def extract_image_meta(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = [fake_payload(t) for t in pdf[text_col]]
-            meta = [_parse_header(p) for p in payloads]
+            meta = [
+                sniff_image_meta(doc_image_payload(t)) for t in pdf[text_col]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].values,
                     "width": [m[0] for m in meta],
                     "height": [m[1] for m in meta],
                     "channels": [m[2] for m in meta],
-                    "n_bytes": [m[3] for m in meta],
+                    "n_bytes": [m[0] * m[1] * m[2] for m in meta],
                 }
             )
 
@@ -134,36 +185,97 @@ RESIZE_SCHEMA = (
 def resize_images(
     df: DataFrame,
     target: tuple[int, int] = (64, 64),
+    method: str = "area",
     id_col: str = "doc_id",
     payload_col: str = "payload",
 ) -> DataFrame:
-    """Resize kernel over a binary image column (decode step stubbed).
-
-    The Spark contract is the production one — binary in, binary out,
-    Arrow-batched mapInPandas, constant output metadata enabling schema
-    pruning. The pixel resample itself needs a codec: with PIL absent the
-    kernel emits a deterministic digest of (hex(payload), target) in place
-    of resized bytes — digesting the *hex* form keeps the stand-in
-    replayable by a VARCHAR-only SQL md5 (``unhex(md5(hex(p) || 'WxH'))``),
-    so the whole pipeline is oracle-checkable end-to-end.
+    """REAL resize kernel over a binary image column: decode the payload
+    (PNG via ``sources/png.py``, baseline JFIF via ``sources/jpeg.py``),
+    resample with the exact NumPy area / bilinear kernels
+    (``functions/imageops.py``), round half-to-even to uint8, and
+    re-encode as PNG. Binary in, binary out, Arrow-batched mapInPandas,
+    constant output metadata enabling schema pruning — the production
+    contract, now with real pixel math end-to-end (no digest stand-ins).
+    q50 value-checks a JPEG-decode -> area -> bilinear chain against a
+    SQL oracle built on exact dyadic resample weights.
     """
+    import numpy as np
+
+    from ..sources.png import encode_png
+    from .imageops import quantize_u8, resize_array
+
     tw, th = target
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if HAVE_PIL:  # pragma: no cover - env-dependent
-                raise NotImplementedError("wire PIL resize here when available")
-            out_payloads = [
-                hashlib.md5((bytes(p).hex() + f"{tw}x{th}").encode()).digest()
-                for p in pdf[payload_col]
-            ]
+            outs = []
+            for p in pdf[payload_col]:
+                img = decode_image(bytes(p))
+                out = resize_array(img.astype(np.float64), th, tw, method)
+                outs.append(encode_png(quantize_u8(out)))
             yield pd.DataFrame({
                 "doc_id": pdf[id_col].values,
                 "width": tw, "height": th,
-                "payload": out_payloads,
+                "payload": outs,
             })
 
     return df.select(id_col, payload_col).mapInPandas(kernel, RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Frame container: a real offset-indexed multi-frame payload (the 'stbl'
+# sample-table idea from ISO-BMFF mp4, reduced to its essentials). Real
+# video codecs (H.264 etc.) stay honestly gated — but frame EXTRACTION,
+# the part a corpus pipeline shuffles at scale, is real byte-range work
+# against an index, exactly like mp4 sample tables or MJPEG streams.
+#
+#   magic 'GPXV' | u32 n_frames | u32 offsets[n_frames + 1] | frame bytes
+#
+# Each frame is an independently-decodable PNG, so sample_frames output
+# feeds straight back into decode_image / resize_images.
+# ---------------------------------------------------------------------------
+VIDEO_MAGIC = b"GPXV"
+
+
+def video_payload(text: str, n_frames: int = 24, size: int = 4) -> bytes:
+    """Deterministic REAL video payload: ``n_frames`` PNG frames behind an
+    offset index. Frame k's pixels are the md5 digest of ``text:k`` laid
+    out ``size`` x ``size`` — spec-valid containers all the way down, and
+    a SQL oracle can still replay any frame's pixels from
+    ``md5(text || ':' || k)`` hex."""
+    import struct
+
+    import numpy as np
+
+    from ..sources.png import encode_png
+
+    frames = []
+    for k in range(n_frames):
+        digest = hashlib.md5(f"{text}:{k}".encode("utf-8")).digest()
+        need = size * size
+        raw = (digest * ((need // len(digest)) + 1))[:need]
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(size, size)
+        frames.append(encode_png(arr, filter_type=4))
+    head_len = 8 + 4 * (n_frames + 1)
+    offsets, pos = [], head_len
+    for f in frames:
+        offsets.append(pos)
+        pos += len(f)
+    offsets.append(pos)
+    return (VIDEO_MAGIC + struct.pack("<I", n_frames)
+            + struct.pack(f"<{n_frames + 1}I", *offsets)
+            + b"".join(frames))
+
+
+def _video_index(payload: bytes) -> list[tuple[int, int]]:
+    """Parse the container header -> [(start, end)] per frame."""
+    import struct
+
+    if payload[:4] != VIDEO_MAGIC:
+        raise ValueError("not a GPXV frame container (bad magic)")
+    (n,) = struct.unpack("<I", payload[4:8])
+    offs = struct.unpack(f"<{n + 1}I", payload[8:8 + 4 * (n + 1)])
+    return [(offs[i], offs[i + 1]) for i in range(n)]
 
 
 FRAME_SCHEMA = "doc_id long, frame_idx int, payload binary"
@@ -176,29 +288,69 @@ def sample_frames(
     id_col: str = "doc_id",
     payload_col: str = "payload",
 ) -> DataFrame:
-    """Frame-sampling kernel for video payloads: one input row fans out to
-    ``n_frames`` rows (frame_idx = 0, n, 2n, ...). Real decoders plug into
-    the same one-to-many mapInPandas shape; the stub derives each frame's
-    bytes deterministically from (hex(payload), frame_idx) — hex form so a
-    VARCHAR-only SQL md5 can replay it (see resize_images)."""
+    """Frame sampling over a real offset-indexed container: one input row
+    fans out to ``n_frames`` rows (frame_idx = 0, n, 2n, ...), each
+    carrying the ACTUAL frame bytes sliced out via the container's sample
+    table — no decode of unsampled frames, the property that matters when
+    the container is a 2 GB mp4 and you want 3 frames. Emitted payloads
+    are standalone PNGs, directly decodable downstream (q51 value-checks
+    decoded pixels of each sampled frame)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, outs = [], [], []
             for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                p = bytes(p)
+                index = _video_index(p)
                 for k in range(n_frames):
+                    fi = k * every_nth
+                    if fi >= len(index):
+                        break
+                    s, e = index[fi]
                     ids.append(doc_id)
-                    idxs.append(k * every_nth)
-                    outs.append(
-                        hashlib.md5(
-                            (bytes(p).hex() + str(k * every_nth)).encode()
-                        ).digest()
-                    )
+                    idxs.append(fi)
+                    outs.append(p[s:e])
             yield pd.DataFrame(
                 {"doc_id": ids, "frame_idx": idxs, "payload": outs}
             )
 
     return df.select(id_col, payload_col).mapInPandas(kernel, FRAME_SCHEMA)
+
+
+def decode_pixel_probe(
+    df: DataFrame,
+    positions: list[tuple[int, int]],
+    id_cols: tuple[str, ...] = ("doc_id",),
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Decode a binary image column and emit the pixel value (band 0) at
+    each (row, col) probe position as ``p{row}{col}`` int columns, plus
+    decoded width/height. The oracle-side hook for value-checking real
+    codec + resample chains (q50/q51): whatever pixels the chain
+    produced, this reads them back out via a second full decode."""
+    schema = (", ".join(f"{c} long" for c in id_cols)
+              + ", width int, height int, "
+              + ", ".join(f"p{r}{c} int" for r, c in positions))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {c: pdf[c].values for c in id_cols}
+            out.update({"width": [], "height": []})
+            for r, c in positions:
+                out[f"p{r}{c}"] = []
+            for p in pdf[payload_col]:
+                img = decode_image(bytes(p))
+                h, w = img.shape[:2]
+                out["width"].append(w)
+                out["height"].append(h)
+                for r, c in positions:
+                    out[f"p{r}{c}"].append(int(img[r, c, 0]))
+            yield pd.DataFrame(out)
+
+    from pyspark.sql import functions as _F
+
+    keys = [_F.col(c).cast("long").alias(c) for c in id_cols]
+    return df.select(*keys, payload_col).mapInPandas(kernel, schema)
 
 
 REAL_RESIZE_SCHEMA = "doc_id long, m00 int, m01 int, m10 int, m11 int"
@@ -240,20 +392,25 @@ def decode_resize_means(df: DataFrame, text_col: str = "text") -> DataFrame:
         kernel, REAL_RESIZE_SCHEMA)
 
 
-def jpeg_payload(text: str) -> bytes:
+def jpeg_payload(text: str, progressive: bool = False) -> bytes:
     """Deterministic REAL baseline-JPEG payload: a 16x16 grayscale JFIF
     whose four 8x8 blocks are constant at md5(text) digest bytes 0-3.
     DC-only blocks with an all-ones quant table decode EXACTLY (see
     sources/jpeg.py), so a SQL oracle can replay the decoded pixels from
-    ``md5(text)`` hex — the JPEG analog of ``png_payload``."""
+    ``md5(text)`` hex — the JPEG analog of ``png_payload``. With
+    ``progressive=True`` the same pixels are emitted as a multi-scan
+    SOF2 stream (T.81 Annex G successive approximation), which decodes
+    to the identical exact values (q232)."""
     import numpy as np
 
-    from ..sources.jpeg import encode_jpeg
+    from ..sources.jpeg import encode_jpeg, encode_jpeg_progressive
 
     digest = hashlib.md5(text.encode("utf-8")).digest()
     blocks = np.array(
         [[digest[0], digest[1]], [digest[2], digest[3]]], dtype=np.uint8)
-    return encode_jpeg(np.repeat(np.repeat(blocks, 8, 0), 8, 1))
+    img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+    return (encode_jpeg_progressive(img) if progressive
+            else encode_jpeg(img))
 
 
 JPEG_BLOCK_SCHEMA = (
@@ -261,13 +418,16 @@ JPEG_BLOCK_SCHEMA = (
 )
 
 
-def decode_jpeg_blocks(df: DataFrame, text_col: str = "text") -> DataFrame:
+def decode_jpeg_blocks(df: DataFrame, text_col: str = "text",
+                       progressive: bool = False) -> DataFrame:
     """REAL JPEG decode path: each doc's payload is a spec-valid baseline
     JFIF (``jpeg_payload``: Huffman entropy coding, DCT, the works), the
     kernel runs the full decoder (marker parse, Annex-K Huffman decode,
     dequantize, IDCT, level shift) and emits the four 8x8 block values
     (exact, DC-only construction). Value-checked against md5(text) hex
-    replay in q211 — the JPEG twin of ``decode_resize_means``/q153."""
+    replay in q211 — the JPEG twin of ``decode_resize_means``/q153. With
+    ``progressive=True`` the payloads are multi-scan SOF2 streams and the
+    kernel runs the full Annex-G progressive decoder (q232)."""
     from .partitioning import ensure_min_partitions
 
     df = ensure_min_partitions(df)
@@ -277,7 +437,7 @@ def decode_jpeg_blocks(df: DataFrame, text_col: str = "text") -> DataFrame:
             out = {k: [] for k in
                    ("doc_id", "width", "height", "b00", "b01", "b10", "b11")}
             for doc_id, t in zip(pdf["doc_id"], pdf[text_col]):
-                img = decode_image(jpeg_payload(t))[:, :, 0]
+                img = decode_image(jpeg_payload(t, progressive))[:, :, 0]
                 h, w = img.shape
                 out["doc_id"].append(doc_id)
                 out["width"].append(w)
@@ -296,22 +456,22 @@ AHASH_SCHEMA = "doc_id long, ahash long"
 
 
 def image_ahash(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Perceptual average-hash over the decoded image: bit i set iff
+    """Perceptual average-hash over the REAL decoded image: bit i set iff
     pixel i is brighter than the image mean — the standard aHash dedup
     fingerprint, downstream of which near-dup matching is JVM-side
     xor/bit_count (same shape as SimHash, q30/q31).
 
-    With codecs absent the 'decoded image' is the deterministic stub
-    (the 16 payload bytes as a 4x4 grayscale grid), which makes this the
-    one multimodal kernel an external SQL oracle can replay bit-for-bit
-    (harness q65) — the plumbing proof for the whole decode family.
+    The payload is a spec-valid Paeth-filtered 4x4 PNG whose pixels are
+    the md5 digest bytes (``png_payload``), so the kernel runs the full
+    codec path and an external SQL oracle still replays the hash
+    bit-for-bit from md5(text) hex (harness q65).
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, hashes = [], []
             for doc_id, t in zip(pdf["doc_id"], pdf[text_col]):
-                px = fake_payload(t)  # 16 'pixels'
+                px = decode_image(png_payload(t))[:, :, 0].ravel()
                 mean = sum(px) / 16.0
                 hashes.append(
                     sum(1 << i for i, b in enumerate(px) if b > mean)

@@ -14,7 +14,7 @@ from ..functions import dedup as D
 from ..functions import text as T
 from ..functions.hashing import FNV_WORD_MOD, P31, md5_int64_sql, minhash_coeffs
 from ..functions.multimodal import (
-    extract_image_meta, fake_payload, resize_images, sample_frames,
+    extract_image_meta, resize_images, sample_frames,
 )
 from . import load, register
 
@@ -304,25 +304,38 @@ def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q40 — multimodal metadata extraction (mapInPandas binary plumbing);
-# oracle reproduces the deterministic header parse arithmetically.
+# q40 — multimodal metadata extraction: REAL spec-valid PNGs whose
+# dimensions/channels vary per doc (doc_image_payload: w = 2 + b0 % 7,
+# h = 2 + b1 % 7, ch = 1 or 3 by b2 % 2), recovered by a real IHDR
+# header sniff (no pixel inflate); the oracle replays all of it from
+# md5(text) hex.
 # --------------------------------------------------------------------------
 @register(
     "q40_multimodal_meta",
     oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(text), 1, 2))::INT AS b0,
+             ('0x' || substr(md5(text), 3, 2))::INT AS b1,
+             ('0x' || substr(md5(text), 5, 2))::INT AS b2
+      FROM documents
+    )
     SELECT doc_id,
-           CAST(('0x' || substr(md5(text), 1, 2)) AS INT) AS width,
-           CAST(('0x' || substr(md5(text), 3, 2)) AS INT) AS height,
-           CAST(('0x' || substr(md5(text), 5, 2)) AS INT) % 4 + 1 AS channels,
-           16 AS n_bytes
-    FROM documents
+           CAST(2 + b0 % 7 AS INT) AS width,
+           CAST(2 + b1 % 7 AS INT) AS height,
+           CAST(1 + 2 * (b2 % 2) AS INT) AS channels,
+           CAST((2 + b0 % 7) * (2 + b1 % 7) * (1 + 2 * (b2 % 2)) AS INT)
+               AS n_bytes
+    FROM b
     """,
 )
 def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_image_meta(load(spark, sf_dir, "documents"))
 
 
-def _doc_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _media_payloads(spark: SparkSession, sf_dir: str, maker) -> DataFrame:
+    """documents -> (doc_id, payload) with a REAL container payload built
+    per doc by ``maker`` (jpeg_payload / video_payload / ...)."""
     from ..functions.partitioning import ensure_min_partitions
 
     docs = ensure_min_partitions(
@@ -335,48 +348,100 @@ def _doc_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"].values,
-                "payload": [fake_payload(t) for t in pdf["text"]],
+                "payload": [maker(t) for t in pdf["text"]],
             })
 
     return docs.mapInPandas(attach, "doc_id long, payload binary")
 
 
+def _rhe(e: str) -> str:
+    """SQL round-half-to-even (the np.rint / IEEE default the uint8
+    quantizer uses), for non-negative dyadic-exact doubles."""
+    return (f"CAST(CASE WHEN ({e}) - floor({e}) = 0.5 "
+            f"THEN floor({e}) + CAST(floor({e}) AS BIGINT) % 2 "
+            f"ELSE floor(({e}) + 0.5) END AS INT)")
+
+
 # --------------------------------------------------------------------------
-# q50/q51 — multimodal binary kernels (resize, frame sampling). The stub
-# digests run over hex(payload) strings precisely so a VARCHAR-only SQL
-# md5 can replay them: payload = unhex(md5(text)), hex(payload) = md5(text),
-# so resize output = md5(md5(text) || 'WxH') — fully oracle-checked. The
-# kernels stay binary internally; the harness surface hex-encodes the
-# payload so downstream canonicalizers never see raw bytes (r2 verdict #1).
+# q50 — REAL resize chain: baseline-JPEG decode (Huffman + DCT,
+# sources/jpeg.py) -> exact area resize 16x16 -> 2x2 (block means = the
+# four digest bytes) -> PNG round-trip -> bilinear upscale 2x2 -> 4x4
+# (half-pixel centers, dyadic 3/4 + 1/4 taps that MIX all four blocks)
+# -> uint8 round-half-even -> PNG -> second full decode via the probe.
+# Every weight is dyadic, so float64 is exact and the oracle replays the
+# resampled pixels to the bit from md5(text) hex. Digest stand-ins gone.
 # --------------------------------------------------------------------------
+_Q50_MIX = {  # (row, col) -> bilinear weights on (d0, d1, d2, d3), /16
+    (1, 1): (9, 3, 3, 1), (1, 2): (3, 9, 1, 3),
+    (2, 1): (3, 1, 9, 3), (2, 2): (1, 3, 3, 9),
+}
+_Q50_PROBES = ", ".join(
+    _rhe(f"({w[0]}*d0 + {w[1]}*d1 + {w[2]}*d2 + {w[3]}*d3) / 16.0")
+    + f" AS p{r}{c}"
+    for (r, c), w in _Q50_MIX.items()
+)
+
+
 @register(
     "q50_multimodal_resize",
-    oracle="""
-    SELECT doc_id,
-           CAST(64 AS INT) AS width,
-           CAST(64 AS INT) AS height,
-           upper(md5(md5(text) || '64x64')) AS payload_hex
-    FROM documents
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(text), 1, 2))::INT AS d0,
+             ('0x' || substr(md5(text), 3, 2))::INT AS d1,
+             ('0x' || substr(md5(text), 5, 2))::INT AS d2,
+             ('0x' || substr(md5(text), 7, 2))::INT AS d3
+      FROM documents
+    )
+    SELECT doc_id, CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+           CAST(d0 AS INT) AS p00, {_Q50_PROBES},
+           CAST(d3 AS INT) AS p33
+    FROM b
     """,
 )
 def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = resize_images(_doc_payloads(spark, sf_dir), target=(64, 64))
-    return out.withColumn("payload_hex", F.hex("payload")).drop("payload")
+    from ..functions.multimodal import decode_pixel_probe, jpeg_payload
+
+    jpegs = _media_payloads(spark, sf_dir, jpeg_payload)
+    small = resize_images(jpegs, target=(2, 2), method="area")
+    up = resize_images(small, target=(4, 4), method="bilinear")
+    return decode_pixel_probe(
+        up, [(0, 0), (1, 1), (1, 2), (2, 1), (2, 2), (3, 3)]
+    )
 
 
+# --------------------------------------------------------------------------
+# q51 — REAL frame sampling: each doc carries a GPXV frame container (24
+# offset-indexed PNG frames; the mp4-sample-table shape), sample_frames
+# slices frames 0/10/20 out by byte range WITHOUT decoding the rest, and
+# the probe fully decodes each sampled PNG. Frame k's pixels are
+# md5(text || ':' || k) digest bytes, so the oracle replays the decoded
+# pixels of exactly the sampled frames.
+# --------------------------------------------------------------------------
 @register(
     "q51_multimodal_frames",
     oracle="""
     SELECT d.doc_id,
-           CAST(f.frame_idx AS INT) AS frame_idx,
-           upper(md5(md5(d.text) || CAST(f.frame_idx AS VARCHAR))) AS payload_hex
+           CAST(f.frame_idx AS BIGINT) AS frame_idx,
+           CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+           ('0x' || substr(md5(d.text || ':' || f.frame_idx), 1, 2))::INT
+               AS p00,
+           ('0x' || substr(md5(d.text || ':' || f.frame_idx), 11, 2))::INT
+               AS p11,
+           ('0x' || substr(md5(d.text || ':' || f.frame_idx), 31, 2))::INT
+               AS p33
     FROM documents d
     CROSS JOIN (SELECT unnest([0, 10, 20]) AS frame_idx) f
     """,
 )
 def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = sample_frames(_doc_payloads(spark, sf_dir), every_nth=10, n_frames=3)
-    return out.withColumn("payload_hex", F.hex("payload")).drop("payload")
+    from ..functions.multimodal import decode_pixel_probe, video_payload
+
+    vids = _media_payloads(spark, sf_dir, video_payload)
+    frames = sample_frames(vids, every_nth=10, n_frames=3)
+    return decode_pixel_probe(
+        frames, [(0, 0), (1, 1), (3, 3)], id_cols=("doc_id", "frame_idx")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -668,6 +733,34 @@ def q211(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.multimodal import decode_jpeg_blocks
 
     return decode_jpeg_blocks(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# q232 — REAL PROGRESSIVE JPEG decode (SOF2, T.81 Annex G): the same
+# DC-only pixel construction as q211, but encoded as a multi-scan
+# progressive stream (DC first at Al=1 + refinement, AC spectral bands
+# with successive approximation, EOB-run coding). The decoder
+# accumulates coefficient bits across scans and reconstructs exactly,
+# so the identical md5-hex oracle applies — proving the dominant
+# real-world web-JPEG variant end-to-end.
+# --------------------------------------------------------------------------
+@register(
+    "q232_progressive_jpeg",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+           CAST({_md5_byte(0)} AS INT) AS b00,
+           CAST({_md5_byte(1)} AS INT) AS b01,
+           CAST({_md5_byte(2)} AS INT) AS b10,
+           CAST({_md5_byte(3)} AS INT) AS b11
+    FROM documents
+    """,
+)
+def q232(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import decode_jpeg_blocks
+
+    return decode_jpeg_blocks(load(spark, sf_dir, "documents"),
+                              progressive=True)
 
 
 # --------------------------------------------------------------------------

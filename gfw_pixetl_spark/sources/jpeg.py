@@ -3,12 +3,14 @@ of the multimodal family (same move as ``sources/png.py``: the format is
 public — ITU-T T.81 / ISO 10918-1 — so implement it from the spec rather
 than gating on PIL).
 
-Scope: baseline sequential DCT (SOF0), 8-bit samples, Huffman entropy
+Scope: baseline sequential DCT (SOF0/1) AND progressive DCT (SOF2,
+T.81 Annex G: spectral selection + successive approximation, DC and AC
+first/refinement passes, EOB-run coding), 8-bit samples, Huffman entropy
 coding with up to 4 DC/AC tables (DHT), 1-4 components with h/v sampling
 factors 1-4 (covers 4:4:4, 4:2:2, 4:2:0 chroma subsampling), restart
-markers (DRI/RSTn), JFIF YCbCr->RGB color conversion. Progressive
-(SOF2), arithmetic coding, and 12-bit precision raise ``ValueError`` —
-honestly out of scope, not silently wrong.
+markers (DRI/RSTn), JFIF YCbCr->RGB color conversion. Arithmetic coding
+and 12-bit precision raise ``ValueError`` — honestly out of scope, not
+silently wrong.
 
 The encoder writes spec-valid baseline JFIF with the Annex K Huffman
 tables and a caller-supplied quantization table. With an all-ones quant
@@ -218,6 +220,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     huff_ac: dict[int, dict] = {}
     frame = None
     restart_interval = 0
+    prog = None  # progressive coefficient store, built at SOF2
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
@@ -255,7 +258,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 codes = _build_codes(bits, vals)
                 (huff_dc if cls == 0 else huff_ac)[tid] = codes
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec = body[0]
             if prec != 8:
                 raise ValueError(f"{prec}-bit precision not supported")
@@ -266,12 +269,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, hv, tq = body[6 + 3 * c:9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+            if frame["progressive"]:
+                prog = _ProgressiveState(frame)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"SOF{marker - 0xC0}: only baseline sequential (SOF0/1) "
-                "is supported")
+                "and progressive (SOF2) are supported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS -> entropy-coded data follows
@@ -279,13 +285,23 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 raise ValueError("SOS before SOF")
             ns = body[0]
             scan_map = {}
+            scan_order = []
             for c in range(ns):
                 cid, tt = body[1 + 2 * c:3 + 2 * c]
                 scan_map[cid] = (tt >> 4, tt & 0x0F)
-            return _decode_scan(
-                data, pos + seg_len, frame, scan_map, qt, huff_dc,
-                huff_ac, restart_interval)
+                scan_order.append(cid)
+            ss, se, ahl = body[1 + 2 * ns:4 + 2 * ns]
+            if not frame["progressive"]:
+                return _decode_scan(
+                    data, pos + seg_len, frame, scan_map, qt, huff_dc,
+                    huff_ac, restart_interval)
+            pos = prog.decode_scan(
+                data, pos + seg_len, scan_order, scan_map, huff_dc,
+                huff_ac, ss, se, ahl >> 4, ahl & 0x0F, restart_interval)
+            continue
         pos += seg_len
+    if prog is not None:
+        return prog.reconstruct(qt)
     raise ValueError("no SOS marker found")
 
 
@@ -343,7 +359,12 @@ def _decode_scan(data, pos, frame, scan_map, qt, huff_dc, huff_ac,
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = block
             mcu_count += 1
 
-    # upsample subsampled components by replication, crop to (h, w)
+    return _finish_image(planes, comps, h, w, hmax, vmax)
+
+
+def _finish_image(planes, comps, h, w, hmax, vmax) -> np.ndarray:
+    """Upsample subsampled components by replication, crop to (h, w),
+    JFIF YCbCr->RGB for 3-component images, round+clip to uint8."""
     out = np.empty((h, w, len(comps)), dtype=np.float64)
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -360,6 +381,209 @@ def _decode_scan(data, pos, frame, scan_map, qt, huff_dc, huff_ac,
         rgb[:, :, 2] = y + 1.772 * cb
         out = rgb
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+class _ProgressiveState:
+    """Coefficient accumulator for progressive (SOF2) decoding — T.81
+    Annex G. Each scan deposits DC/AC coefficient bits (spectral
+    selection bands Ss..Se, successive-approximation shift Al) into a
+    persistent per-component zigzag store; ``reconstruct`` dequantizes
+    and inverse-transforms once all scans are in. The refinement-pass
+    bit semantics follow G.1.2.3 (correction bits on nonzero-history
+    coefficients, EOB-run coding across blocks)."""
+
+    def __init__(self, frame):
+        self.frame = frame
+        comps = frame["comps"]
+        h, w = frame["h"], frame["w"]
+        self.hmax = max(c["h"] for c in comps)
+        self.vmax = max(c["v"] for c in comps)
+        self.mcus_x = -(-w // (8 * self.hmax))
+        self.mcus_y = -(-h // (8 * self.vmax))
+        self.coefs = []    # (padded_by, padded_bx, 64) zigzag-order int32
+        self.nblocks = []  # true (bh, bw) for non-interleaved scans
+        for c in comps:
+            self.coefs.append(np.zeros(
+                (self.mcus_y * c["v"], self.mcus_x * c["h"], 64), np.int32))
+            cw = -(-(w * c["h"]) // self.hmax)
+            ch = -(-(h * c["v"]) // self.vmax)
+            self.nblocks.append((-(-ch // 8), -(-cw // 8)))
+
+    def decode_scan(self, data, pos, scan_order, scan_map, huff_dc,
+                    huff_ac, ss, se, ah, al, restart_interval) -> int:
+        comps = self.frame["comps"]
+        idx = {c["id"]: i for i, c in enumerate(comps)}
+        members = [idx[cid] for cid in scan_order]
+        reader = _BitReader(data, pos)
+        if ss == 0:
+            if se != 0:
+                raise ValueError("DC scan must have Se = 0")
+            self._dc_scan(reader, members, scan_map, huff_dc, ah, al,
+                          restart_interval)
+        else:
+            if len(members) != 1:
+                raise ValueError("progressive AC scan must be "
+                                 "single-component")
+            self._ac_scan(reader, members[0], scan_map, huff_ac, ss, se,
+                          ah, al, restart_interval)
+        # skip any padding to the next marker (not a stuffed 0xFF00, not
+        # an RSTn — those belong to the scan body)
+        p = reader.pos
+        while not (data[p] == 0xFF and data[p + 1] != 0x00
+                   and not 0xD0 <= data[p + 1] <= 0xD7):
+            p += 1
+        return p
+
+    def _dc_scan(self, reader, members, scan_map, huff_dc, ah, al, ri):
+        comps = self.frame["comps"]
+        pred = {ci: 0 for ci in members}
+        interleaved = len(members) > 1
+
+        def one_block(ci, by, bx):
+            blk = self.coefs[ci][by, bx]
+            if ah == 0:
+                dc_codes = huff_dc[scan_map[comps[ci]["id"]][0]]
+                t = reader.decode_huff(dc_codes)
+                pred[ci] += _extend(reader.receive(t), t)
+                blk[0] = pred[ci] << al
+            elif reader.read_bit():
+                blk[0] |= 1 << al
+
+        if interleaved:
+            count = 0
+            for my in range(self.mcus_y):
+                for mx in range(self.mcus_x):
+                    if ri and count and count % ri == 0:
+                        reader.align_restart()
+                        for ci in members:
+                            pred[ci] = 0
+                    for ci in members:
+                        c = comps[ci]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                one_block(ci, my * c["v"] + by,
+                                          mx * c["h"] + bx)
+                    count += 1
+        else:
+            ci = members[0]
+            bh, bw = self.nblocks[ci]
+            count = 0
+            for by in range(bh):
+                for bx in range(bw):
+                    if ri and count and count % ri == 0:
+                        reader.align_restart()
+                        pred[ci] = 0
+                    one_block(ci, by, bx)
+                    count += 1
+
+    def _ac_scan(self, reader, ci, scan_map, huff_ac, ss, se, ah, al, ri):
+        comps = self.frame["comps"]
+        ac_codes = huff_ac[scan_map[comps[ci]["id"]][1]]
+        bh, bw = self.nblocks[ci]
+        eobrun = 0
+        count = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if ri and count and count % ri == 0:
+                    reader.align_restart()
+                    eobrun = 0
+                blk = self.coefs[ci][by, bx]
+                if ah == 0:
+                    eobrun = self._ac_first(reader, ac_codes, blk, ss, se,
+                                            al, eobrun)
+                else:
+                    eobrun = self._ac_refine(reader, ac_codes, blk, ss, se,
+                                             al, eobrun)
+                count += 1
+
+    @staticmethod
+    def _ac_first(reader, ac_codes, blk, ss, se, al, eobrun) -> int:
+        """G.1.2.2: first pass over an AC band — zero-run/magnitude
+        coding plus EOB runs spanning whole blocks."""
+        if eobrun > 0:
+            return eobrun - 1
+        k = ss
+        while k <= se:
+            rs = reader.decode_huff(ac_codes)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.receive(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC index past band end")
+            blk[k] = _extend(reader.receive(s), s) << al
+            k += 1
+        return eobrun
+
+    @staticmethod
+    def _ac_refine(reader, ac_codes, blk, ss, se, al, eobrun) -> int:
+        """G.1.2.3: refinement pass — newly-significant coefficients
+        arrive as ±1<<Al with runs counted over zero-HISTORY positions
+        only; every nonzero-history coefficient passed over contributes
+        one correction bit."""
+        p1, m1 = 1 << al, -(1 << al)
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = reader.decode_huff(ac_codes)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.receive(r)
+                        break
+                    val = 0  # ZRL: skip 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise ValueError(
+                            "refinement magnitude must be 1")
+                    val = p1 if reader.read_bit() else m1
+                while k <= se:
+                    if blk[k] != 0:
+                        if reader.read_bit() and (int(blk[k]) & p1) == 0:
+                            blk[k] += p1 if blk[k] >= 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    blk[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:  # EOB member: correction bits only
+                if blk[k] != 0 and reader.read_bit() \
+                        and (int(blk[k]) & p1) == 0:
+                    blk[k] += p1 if blk[k] >= 0 else m1
+                k += 1
+            eobrun -= 1
+        return eobrun
+
+    def reconstruct(self, qt) -> np.ndarray:
+        frame = self.frame
+        comps = frame["comps"]
+        planes = []
+        for ci, c in enumerate(comps):
+            q = qt[c["tq"]].astype(np.float64)  # raster (8, 8)
+            coe = self.coefs[ci]
+            bh, bw, _ = coe.shape
+            raster = np.zeros((bh, bw, 64), np.float64)
+            raster[:, :, ZIGZAG] = coe
+            blocks = raster.reshape(bh, bw, 8, 8) * q
+            # batched IDCT: s = M.T @ (CC * S) @ M over every block
+            spat = np.einsum("ij,xyjk,kl->xyil", _DCT_M.T,
+                             _CC[None, None] * blocks, _DCT_M) + 128.0
+            planes.append(
+                spat.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
+        return _finish_image(planes, comps, frame["h"], frame["w"],
+                             self.hmax, self.vmax)
 
 
 class _BitWriter:
@@ -490,5 +714,254 @@ def encode_jpeg(arr: np.ndarray, quant: np.ndarray | None = None) -> bytes:
     sos += b"\x00\x3f\x00"
     out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
     out += writer.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# Progressive AC scans need EOBn symbols (r<<4, r = 1..14) that the
+# Annex K baseline tables do not define (which is why libjpeg always
+# custom-builds Huffman tables for progressive output). This fixed table
+# covers every symbol a progressive AC scan can emit — EOB0..EOB14, ZRL,
+# and all (run, size 1..10) pairs — as a flat 8-bit canonical code
+# (176 symbols, Kraft sum 176/256 < 1, so the table is spec-valid).
+_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+    [r << 4 for r in range(15)] + [0xF0]
+    + [(run << 4) | s for run in range(16) for s in range(1, 11)],
+)
+
+
+def _component_coefs(arr: np.ndarray, q: np.ndarray):
+    """Forward path shared with the progressive encoder: (h, w, ch)
+    uint8 -> per-component (bh, bw, 64) zigzag-order quantized DCT
+    coefficient arrays (4:4:4, edge-replication padding)."""
+    h, w, ch = arr.shape
+    samples = arr.astype(np.float64)
+    if ch == 3:
+        r, g, b = samples[:, :, 0], samples[:, :, 1], samples[:, :, 2]
+        samples = np.stack([
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ], axis=2)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(samples, ((0, ph - h), (0, pw - w), (0, 0)),
+                    mode="edge")
+    bh, bw = ph // 8, pw // 8
+    out = []
+    for ci in range(ch):
+        coefs = np.zeros((bh, bw, 64), np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                block = padded[by * 8:by * 8 + 8,
+                               bx * 8:bx * 8 + 8, ci] - 128.0
+                coef = np.round(_fdct(block) / q).astype(np.int64)
+                coefs[by, bx] = coef.reshape(-1)[ZIGZAG]
+        out.append(coefs)
+    return out
+
+
+class _ProgWriter(_BitWriter):
+    """_BitWriter plus the EOB-run bookkeeping the progressive AC
+    encoder needs (G.1.2.2/G.1.2.3): an accumulated EOB run with its
+    attached buffered correction bits."""
+
+    def __init__(self, ac_enc):
+        super().__init__()
+        self.ac_enc = ac_enc
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def emit_eobrun(self) -> None:
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            code, length = self.ac_enc[r << 4]
+            self.write(code, length)
+            if r:
+                self.write(self.eobrun - (1 << r), r)
+        for b in self.pending:
+            self.write(b, 1)
+        self.eobrun = 0
+        self.pending = []
+
+
+def _enc_ac_first(wr: _ProgWriter, blocks, ss, se, al) -> None:
+    """Encode one component's first AC pass over band Ss..Se (point
+    transform: magnitudes arithmetic-shifted by Al)."""
+    for blk in blocks:
+        vals = []
+        for k in range(ss, se + 1):
+            v = int(blk[k])
+            a = abs(v) >> al
+            vals.append(a if v >= 0 else -a)
+        nz = [i for i, v in enumerate(vals) if v]
+        if not nz:
+            wr.eobrun += 1
+            if wr.eobrun == 0x7FFF:
+                wr.emit_eobrun()
+            continue
+        wr.emit_eobrun()
+        run = 0
+        for i in range(nz[-1] + 1):
+            v = vals[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = wr.ac_enc[0xF0]  # ZRL
+                wr.write(code, length)
+                run -= 16
+            t, bits = _magnitude(v)
+            code, length = wr.ac_enc[(run << 4) | t]
+            wr.write(code, length)
+            wr.write(bits, t)
+            run = 0
+        if nz[-1] < se - ss:  # trailing zeros -> block ends an EOB run
+            wr.eobrun += 1
+            if wr.eobrun == 0x7FFF:
+                wr.emit_eobrun()
+    wr.emit_eobrun()
+
+
+def _enc_ac_refine(wr: _ProgWriter, blocks, ss, se, al) -> None:
+    """Encode one component's AC refinement pass (G.1.2.3): runs count
+    zero-history positions; nonzero-history coefficients contribute
+    buffered correction bits that trail the next emitted symbol."""
+    for blk in blocks:
+        absv = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+        eob = -1
+        for i, a in enumerate(absv):
+            if a == 1:
+                eob = i
+        r = 0
+        cur: list[int] = []  # correction bits since the last symbol
+        for i, a in enumerate(absv):
+            if a == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob:
+                wr.emit_eobrun()
+                code, length = wr.ac_enc[0xF0]  # ZRL
+                wr.write(code, length)
+                r -= 16
+                for b in cur:
+                    wr.write(b, 1)
+                cur = []
+            if a > 1:  # history coefficient: correction bit only
+                cur.append(a & 1)
+                continue
+            # newly significant (+-1 at this approximation level)
+            wr.emit_eobrun()
+            code, length = wr.ac_enc[(r << 4) | 1]
+            wr.write(code, length)
+            wr.write(1 if int(blk[ss + i]) >= 0 else 0, 1)
+            for b in cur:
+                wr.write(b, 1)
+            cur = []
+            r = 0
+        if r > 0 or cur:
+            wr.eobrun += 1
+            wr.pending.extend(cur)
+            if wr.eobrun == 0x7FFF or len(wr.pending) > 900:
+                wr.emit_eobrun()
+    wr.emit_eobrun()
+
+
+def encode_jpeg_progressive(arr: np.ndarray,
+                            quant: np.ndarray | None = None) -> bytes:
+    """Encode (h, w) or (h, w, 3) uint8 to PROGRESSIVE JFIF bytes
+    (SOF2) with a libjpeg-shaped scan script exercising both Annex-G
+    mechanisms: DC first at Al=1 + DC refinement to Al=0, then per
+    component AC bands 1..5 and 6..63 first at Al=1 + refinement scans
+    to Al=0. Same Annex K Huffman tables and quantization contract as
+    ``encode_jpeg`` — with the default all-ones table a DC-only image
+    round-trips exactly (the q233 oracle fact)."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    if arr.dtype != np.uint8 or ch not in (1, 3):
+        raise ValueError("uint8 grayscale or RGB only")
+    q = (np.ones((8, 8), np.int32) if quant is None
+         else np.asarray(quant, np.int32))
+    if q.shape != (8, 8) or (q < 1).any() or (q > 255).any():
+        raise ValueError("quant table must be (8,8) in 1..255")
+
+    comps = _component_coefs(arr, q)
+    bh, bw, _ = comps[0].shape
+    enc_dc = [_encode_codes(*_DC_LUM), _encode_codes(*_DC_CHR)]
+    enc_ac_prog = _encode_codes(*_AC_PROG)
+
+    def dc_scan(al):  # interleaved first DC pass, Ah=0
+        writer = _BitWriter()
+        pred = [0] * ch
+        for by in range(bh):
+            for bx in range(bw):
+                for ci in range(ch):
+                    tsel = 0 if ci == 0 else 1
+                    dc = int(comps[ci][by, bx, 0]) >> al
+                    diff = dc - pred[ci]
+                    pred[ci] = dc
+                    t, bits = _magnitude(diff)
+                    code, length = enc_dc[tsel][t]
+                    writer.write(code, length)
+                    if t:
+                        writer.write(bits, t)
+        writer.flush()
+        header = bytes([ch])
+        for ci in range(ch):
+            header += bytes([ci + 1, (0 if ci == 0 else 1) << 4])
+        return header + bytes([0, 0, 0 << 4 | al]), writer.buf
+
+    def dc_refine(ah, al):
+        writer = _BitWriter()
+        for by in range(bh):
+            for bx in range(bw):
+                for ci in range(ch):
+                    writer.write((int(comps[ci][by, bx, 0]) >> al) & 1, 1)
+        writer.flush()
+        header = bytes([ch])
+        for ci in range(ch):
+            header += bytes([ci + 1, 0])
+        return header + bytes([0, 0, (ah << 4) | al]), writer.buf
+
+    def ac_scan(ci, ss, se, ah, al):
+        tsel = 0 if ci == 0 else 1
+        wr = _ProgWriter(enc_ac_prog)
+        blocks = [comps[ci][by, bx]
+                  for by in range(bh) for bx in range(bw)]
+        if ah == 0:
+            _enc_ac_first(wr, blocks, ss, se, al)
+        else:
+            _enc_ac_refine(wr, blocks, ss, se, al)
+        wr.flush()
+        header = bytes([1, ci + 1, tsel])
+        return header + bytes([ss, se, (ah << 4) | al]), wr.buf
+
+    scans = [dc_scan(1), dc_refine(1, 0)]
+    for ci in range(ch):
+        scans.append(ac_scan(ci, 1, 5, 0, 1))
+        scans.append(ac_scan(ci, 6, 63, 0, 1))
+    for ci in range(ch):
+        scans.append(ac_scan(ci, 1, 5, 1, 0))
+        scans.append(ac_scan(ci, 6, 63, 1, 0))
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01" \
+        + b"\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    zzq = q.reshape(-1)[ZIGZAG].astype(np.uint8).tobytes()
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zzq
+    sof = struct.pack(">BHHB", 8, h, w, ch)
+    for ci in range(ch):
+        sof += struct.pack(">BBB", ci + 1, 0x11, 0)
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    tables = [(0x00, _DC_LUM), (0x10, _AC_PROG)]
+    if ch == 3:
+        tables += [(0x01, _DC_CHR), (0x11, _AC_PROG)]
+    for tid, (bits, vals) in tables:
+        body = bytes([tid]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+    for header, payload in scans:
+        out += b"\xff\xda" + struct.pack(">H", len(header) + 2) + header
+        out += payload
     out += b"\xff\xd9"
     return bytes(out)

@@ -15,7 +15,7 @@ import pytest
 
 from gfw_pixetl_spark.sources.jpeg import (
     _AC_CHR, _AC_LUM, _DC_CHR, _DC_LUM, _BitWriter, _encode_codes,
-    _magnitude, decode_jpeg, encode_jpeg,
+    _magnitude, decode_jpeg, encode_jpeg, encode_jpeg_progressive,
 )
 
 
@@ -55,13 +55,18 @@ def test_quantized_lossy_path():
     assert np.abs(dec.astype(int) - img.astype(int)).max() <= 32
 
 
-def test_rejects_progressive_and_garbage():
+def test_rejects_lossless_and_garbage():
     with pytest.raises(ValueError):
         decode_jpeg(b"\x00\x01")
     enc = bytearray(encode_jpeg(np.zeros((8, 8), np.uint8)))
     sof = enc.find(b"\xff\xc0")
-    enc[sof + 1] = 0xC2  # rewrite SOF0 -> SOF2 (progressive)
-    with pytest.raises(ValueError, match="baseline"):
+    enc[sof + 1] = 0xC3  # rewrite SOF0 -> SOF3 (lossless, unsupported)
+    with pytest.raises(ValueError, match="SOF3"):
+        decode_jpeg(bytes(enc))
+    # a baseline-style full-band SOS inside a progressive frame is
+    # malformed: DC scans must carry Se = 0
+    enc[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="Se"):
         decode_jpeg(bytes(enc))
 
 
@@ -174,3 +179,61 @@ def test_decode_422_horizontal_subsampling():
     assert out.shape == (8, 16, 3)
     # neutral chroma -> R == G == B == Y
     assert (out[:, :8] == 64).all() and (out[:, 8:] == 192).all()
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) — T.81 Annex G. The progressive encoder emits a
+# libjpeg-shaped scan script (DC Al=1 + refinement, AC bands 1..5/6..63
+# first at Al=1 + refinement to 0), so decode exercises spectral
+# selection, successive approximation, EOB-run coding, and the
+# correction-bit refinement path.
+# ---------------------------------------------------------------------------
+
+def test_progressive_dc_only_exact():
+    rng = np.random.default_rng(11)
+    blocks = rng.integers(0, 256, (2, 3), dtype=np.uint8)
+    img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+    dec = decode_jpeg(encode_jpeg_progressive(img))
+    assert np.array_equal(dec[:, :, 0], img)
+
+
+def test_progressive_matches_baseline_grayscale():
+    """Same coefficients -> identical reconstruction: progressive decode
+    must agree with baseline decode bit-for-bit on every pixel."""
+    rng = np.random.default_rng(12)
+    for _ in range(6):
+        h, w = int(rng.integers(1, 41)), int(rng.integers(1, 41))
+        img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(img)),
+            decode_jpeg(encode_jpeg_progressive(img)))
+
+
+def test_progressive_matches_baseline_rgb_and_quant():
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, (19, 23, 3), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(img)),
+        decode_jpeg(encode_jpeg_progressive(img)))
+    q = np.clip(np.arange(64).reshape(8, 8) + 4, 1, 255)
+    gray = rng.integers(0, 256, (24, 17), dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(gray, quant=q)),
+        decode_jpeg(encode_jpeg_progressive(gray, quant=q)))
+
+
+def test_progressive_is_actually_sof2_with_many_scans():
+    enc = encode_jpeg_progressive(np.zeros((16, 16), np.uint8))
+    assert b"\xff\xc2" in enc and b"\xff\xc0" not in enc
+    assert enc.count(b"\xff\xda") == 6  # 2 DC + 4 AC scans (grayscale)
+
+
+def test_progressive_sparse_high_band():
+    """A single hot pixel makes sparse AC coefficients across both
+    spectral bands — exercises ZRL and long EOB runs in first and
+    refinement passes."""
+    img = np.zeros((32, 32), np.uint8)
+    img[13, 29] = 255
+    assert np.array_equal(
+        decode_jpeg(encode_jpeg(img)),
+        decode_jpeg(encode_jpeg_progressive(img)))

@@ -1,11 +1,14 @@
-"""Multimodal binary-column plumbing: schema, batch shape, determinism."""
+"""Multimodal binary-column plumbing: real codecs, batch shape, determinism."""
 
 from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+
 from gfw_pixetl_spark.functions.multimodal import (
-    extract_image_meta, fake_payload, resize_images, sample_frames,
+    decode_image, extract_image_meta, png_payload, resize_images,
+    sample_frames, sniff_image_meta, video_payload,
 )
 
 
@@ -15,46 +18,92 @@ def _docs(spark):
     )
 
 
-def _payloads(spark):
+def _png_payloads(spark):
     return spark.createDataFrame(
-        [(1, fake_payload("hello")), (2, fake_payload("world"))],
+        [(1, png_payload("hello")), (2, png_payload("world"))],
         "doc_id long, payload binary",
     )
 
 
-def test_extract_image_meta_deterministic(spark):
+def _video_payloads(spark):
+    return spark.createDataFrame(
+        [(1, video_payload("hello")), (2, video_payload("world"))],
+        "doc_id long, payload binary",
+    )
+
+
+def test_sniff_image_meta_no_decode():
+    from gfw_pixetl_spark.functions.multimodal import (
+        doc_image_payload, jpeg_payload,
+    )
+
+    h = hashlib.md5(b"hello").digest()
+    w, ht, ch = sniff_image_meta(doc_image_payload("hello"))
+    assert (w, ht, ch) == (2 + h[0] % 7, 2 + h[1] % 7, 1 + 2 * (h[2] % 2))
+    assert sniff_image_meta(jpeg_payload("hello")) == (16, 16, 1)
+    assert sniff_image_meta(png_payload("hello")) == (4, 4, 1)
+
+
+def test_extract_image_meta_real_headers(spark):
     out = {r.doc_id: r for r in extract_image_meta(_docs(spark)).collect()}
     h = hashlib.md5(b"hello").digest()
-    assert out[1].width == h[0] and out[1].height == h[1]
-    assert out[1].channels == h[2] % 4 + 1
-    assert out[1].n_bytes == 16
-    # stable across runs
+    assert out[1].width == 2 + h[0] % 7
+    assert out[1].height == 2 + h[1] % 7
+    assert out[1].channels == 1 + 2 * (h[2] % 2)
+    assert out[1].n_bytes == out[1].width * out[1].height * out[1].channels
     again = {r.doc_id: r for r in extract_image_meta(_docs(spark)).collect()}
     assert out[1] == again[1]
 
 
-def test_resize_images_contract(spark):
-    out = resize_images(_payloads(spark), target=(32, 16)).collect()
-    assert {r.doc_id for r in out} == {1, 2}
-    assert all((r.width, r.height) == (32, 16) for r in out)
-    assert all(isinstance(r.payload, (bytes, bytearray)) for r in out)
-    # payload depends on target size (distinct kernels distinguishable)
-    other = resize_images(_payloads(spark), target=(64, 64)).collect()
-    assert out[0].payload != [r for r in other if r.doc_id == out[0].doc_id][0].payload
+def test_resize_images_real_pixels(spark):
+    from gfw_pixetl_spark.functions.imageops import quantize_u8, resize_array
+
+    out = {r.doc_id: r
+           for r in resize_images(
+               _png_payloads(spark), target=(2, 3), method="bilinear"
+           ).collect()}
+    assert all((r.width, r.height) == (2, 3) for r in out.values())
+    got = decode_image(bytes(out[1].payload))[:, :, 0]
+    src = decode_image(png_payload("hello"))[:, :, 0].astype(np.float64)
+    want = quantize_u8(resize_array(src, 3, 2, "bilinear"))
+    assert np.array_equal(got, want)
 
 
-def test_sample_frames_fanout(spark):
-    out = sample_frames(_payloads(spark), every_nth=5, n_frames=4).collect()
+def test_resize_images_area_blockmean(spark):
+    out = {r.doc_id: r
+           for r in resize_images(
+               _png_payloads(spark), target=(2, 2), method="area"
+           ).collect()}
+    got = decode_image(bytes(out[2].payload))[:, :, 0].astype(int)
+    src = decode_image(png_payload("world"))[:, :, 0].astype(np.float64)
+    want = src.reshape(2, 2, 2, 2).transpose(0, 2, 1, 3).reshape(2, 2, 4)
+    assert np.array_equal(got, np.rint(want.mean(axis=2)).clip(0, 255))
+
+
+def test_sample_frames_real_container(spark):
+    out = sample_frames(_video_payloads(spark), every_nth=5,
+                        n_frames=4).collect()
     assert len(out) == 2 * 4
-    idxs = sorted({r.frame_idx for r in out})
-    assert idxs == [0, 5, 10, 15]
-    # frames are distinct per index
-    d1 = [r.payload for r in out if r.doc_id == 1]
-    assert len(set(d1)) == 4
+    assert sorted({r.frame_idx for r in out}) == [0, 5, 10, 15]
+    # sampled payloads are standalone PNGs whose pixels are the digest
+    # of text:frame_idx — the real byte-range extraction proof
+    for r in out:
+        if r.doc_id != 1:
+            continue
+        img = decode_image(bytes(r.payload))[:, :, 0]
+        digest = hashlib.md5(f"hello:{r.frame_idx}".encode()).digest()
+        assert np.array_equal(
+            img, np.frombuffer(digest, np.uint8).reshape(4, 4))
+
+
+def test_sample_frames_past_container_end(spark):
+    # 24-frame container, every 20th, ask for 3 -> only frames 0 and 20
+    out = sample_frames(_video_payloads(spark), every_nth=20,
+                        n_frames=3).collect()
+    assert sorted(r.frame_idx for r in out if r.doc_id == 1) == [0, 20]
 
 
 def test_audio_energy_windows(spark):
-    import hashlib
     import math
 
     from gfw_pixetl_spark.functions.multimodal import audio_energy
@@ -76,8 +125,6 @@ def test_audio_energy_windows(spark):
 
 
 def test_image_patches_replay(spark):
-    import hashlib
-
     from gfw_pixetl_spark.functions.multimodal import image_patches
 
     out = image_patches(_docs(spark)).collect()
