@@ -274,8 +274,16 @@ def main() -> None:
         "reps": reps,
         "aggregation": "median_per_query",
     }
-    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    repo = Path(__file__).resolve().parent
+    detail_path = repo / "BENCH_DETAIL.json"
     detail_path.write_text(json.dumps(detail, indent=1) + "\n")
+    # Also archive per-round (BENCH_DETAIL.json is overwritten in place,
+    # which made cross-round per-query diffs require git archaeology —
+    # r3 verdict #5). Round = 1 + the latest driver-recorded BENCH_r{N}.
+    rounds = [int(p.stem.split("_r")[-1]) for p in repo.glob("BENCH_r*.json")
+              if p.stem.split("_r")[-1].isdigit()]
+    rnd_path = repo / f"BENCH_DETAIL_r{(max(rounds) + 1 if rounds else 1):02d}.json"
+    rnd_path.write_text(json.dumps(detail, indent=1) + "\n")
 
     slowest = sorted(
         ((n, t) for n, t in timings.items() if t >= 0),
