@@ -14,8 +14,13 @@ from pathlib import Path
 
 
 def load(path: str) -> dict:
-    text = Path(path).read_text().strip().splitlines()[-1]
-    return json.loads(text)
+    """Accept both shapes: an indented BENCH_DETAIL*.json document, or a
+    driver log whose LAST line is the compact bench JSON."""
+    raw = Path(path).read_text().strip()
+    try:
+        return json.loads(raw)
+    except json.JSONDecodeError:
+        return json.loads(raw.splitlines()[-1])
 
 
 def main(argv: list[str] | None = None) -> int:
