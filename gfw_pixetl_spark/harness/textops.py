@@ -2130,6 +2130,65 @@ def q217(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v1.unionAll(v2)
 
 
+# --------------------------------------------------------------------------
+# q233 — snapshot DELETE + sequence semantics (sources/snapshots.py):
+# merge-on-read equality deletes with Iceberg sequence numbers. The
+# harness table appends even docs (v1) + odd docs (v2), commits a
+# delete of doc_id % 10 IN (3, 4) (v3), then RE-APPENDS the % 10 = 3
+# docs (v4). Reading v2/v3/v4 proves: pre-delete time travel intact,
+# the delete suppresses only older-sequence files, and re-inserted
+# keys are visible again. Scale shape: the delete-key set broadcasts
+# into one LEFT ANTI join; the table side never reshuffles.
+# --------------------------------------------------------------------------
+def _deleted_table(spark: SparkSession, sf_dir: str) -> str:
+    def build(d: str) -> None:
+        from ..sources.snapshots import snapshot_append, snapshot_delete
+
+        docs = load(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "source", "n_chars")
+        snapshot_append(docs.filter(F.col("doc_id") % 2 == 0), d)
+        snapshot_append(docs.filter(F.col("doc_id") % 2 == 1), d)
+        v3 = snapshot_delete(
+            docs.filter((F.col("doc_id") % 10).isin(3, 4))
+                .select("doc_id"), d, ["doc_id"])
+        v4 = snapshot_append(docs.filter(F.col("doc_id") % 10 == 3), d)
+        assert (v3, v4) == (3, 4), (v3, v4)
+
+    return _derived_dir(sf_dir, "snapdelete", build)
+
+
+@register(
+    "q233_snapshot_delete",
+    oracle="""
+    SELECT 2 AS version, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents
+    UNION ALL
+    SELECT 3, CAST(COUNT(*) AS BIGINT), CAST(SUM(doc_id) AS BIGINT)
+    FROM documents WHERE doc_id % 10 NOT IN (3, 4)
+    UNION ALL
+    SELECT 4, CAST(COUNT(*) AS BIGINT), CAST(SUM(doc_id) AS BIGINT)
+    FROM (
+      SELECT doc_id FROM documents WHERE doc_id % 10 NOT IN (3, 4)
+      UNION ALL
+      SELECT doc_id FROM documents WHERE doc_id % 10 = 3
+    )
+    """,
+)
+def q233(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.snapshots import read_snapshot
+
+    d = _deleted_table(spark, sf_dir)
+    out = None
+    for v in (2, 3, 4):
+        part = read_snapshot(spark, d, v).agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+        ).select(F.lit(v).alias("version"), "n_docs", "id_sum")
+        out = part if out is None else out.unionAll(part)
+    return out
+
+
 @register(
     "q218_snapshot_incremental",
     oracle="""

@@ -24,6 +24,16 @@ Incremental consumption (``diff_files``) is the CDC shape: the files
 added between two snapshots, read directly — no full-table scan to
 find "what's new", which is what keeps a downstream incremental job
 O(delta) instead of O(table).
+
+Row-level deletes (``snapshot_delete``) are merge-on-read equality
+deletes with Iceberg's sequence-number semantics: a delete file is a
+parquet of key values committed like any snapshot, and it suppresses
+matching rows ONLY in data files with a lower commit sequence — so a
+key re-inserted after the delete is visible again, and every pre-delete
+version still time-travels to the un-deleted data. ``snapshot_compact``
+physically purges suppressed rows (it reads through the delete filter),
+which is the GDPR-erasure two-step: logical delete now, physical erase
+at the next maintenance window.
 """
 
 from __future__ import annotations
@@ -58,15 +68,10 @@ def read_manifest(table_dir: str, version: int) -> dict:
         return json.load(f)
 
 
-def snapshot_append(
-    df: DataFrame, table_dir: str, max_retries: int = 10
-) -> int:
-    """Append ``df`` as a new snapshot; returns the committed version.
-
-    Data files are written once under a unique prefix (they are dead
-    weight, not corruption, if the commit loses every retry); the
-    manifest create-exclusive is the atomic commit point.
-    """
+def _stage_files(df: DataFrame, table_dir: str) -> list[str]:
+    """Write ``df`` once into data/ under unique names; returns the
+    relative paths. Staged files are dead weight, not corruption, if
+    the commit loses every retry."""
     data_dir = os.path.join(table_dir, "data")
     os.makedirs(data_dir, exist_ok=True)
     os.makedirs(os.path.join(table_dir, _SNAP_DIR), exist_ok=True)
@@ -83,20 +88,19 @@ def snapshot_append(
     for leftover in os.listdir(stage):
         os.remove(os.path.join(stage, leftover))
     os.rmdir(stage)
+    return added
 
-    n_rows = df.count()
+
+def _commit(table_dir: str, build_manifest, max_retries: int) -> int:
+    """O_EXCL commit loop: ``build_manifest(parent, parent_manifest)``
+    returns the manifest dict for version ``parent + 1``; on a lost race
+    the builder is re-invoked against the new parent."""
     for _ in range(max_retries):
         parent = latest_version(table_dir)
-        files = (read_manifest(table_dir, parent)["files"]
-                 if parent else [])
-        manifest = {
-            "version": parent + 1,
-            "parent": parent,
-            "operation": "append",
-            "files": files + added,
-            "added_files": added,
-            "added_rows": n_rows,
-        }
+        pm = read_manifest(table_dir, parent) if parent else {}
+        manifest = build_manifest(parent, pm)
+        manifest["version"] = parent + 1
+        manifest["parent"] = parent
         path = _manifest_path(table_dir, parent + 1)
         try:
             fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
@@ -108,15 +112,109 @@ def snapshot_append(
     raise RuntimeError(f"snapshot commit lost {max_retries} races")
 
 
+def snapshot_append(
+    df: DataFrame, table_dir: str, max_retries: int = 10
+) -> int:
+    """Append ``df`` as a new snapshot; returns the committed version.
+    The manifest create-exclusive is the atomic commit point."""
+    added = _stage_files(df, table_dir)
+    n_rows = df.count()
+
+    def build(parent: int, pm: dict) -> dict:
+        seqs = dict(pm.get("seqs", {}))
+        seqs.update({f: parent + 1 for f in added})
+        return {
+            "operation": "append",
+            "files": pm.get("files", []) + added,
+            "seqs": seqs,
+            "deletes": pm.get("deletes", []),
+            "added_files": added,
+            "added_rows": n_rows,
+        }
+
+    return _commit(table_dir, build, max_retries)
+
+
+def snapshot_delete(
+    keys_df: DataFrame, table_dir: str, key_cols: list[str],
+    max_retries: int = 10,
+) -> int:
+    """Commit a merge-on-read EQUALITY DELETE: every row of the current
+    and future snapshots whose ``key_cols`` match a row of ``keys_df``
+    is suppressed at read time — but only in data files committed
+    BEFORE this delete (Iceberg sequence-number semantics), so a key
+    re-appended later is visible again. Physical bytes are untouched:
+    older versions still time-travel to the pre-delete rows, and
+    ``snapshot_compact`` performs the physical purge."""
+    delete_files = _stage_files(
+        keys_df.select(*key_cols).distinct().coalesce(1), table_dir)
+    n_keys = keys_df.select(*key_cols).distinct().count()
+
+    def build(parent: int, pm: dict) -> dict:
+        deletes = list(pm.get("deletes", []))
+        deletes += [{"path": f, "seq": parent + 1, "keys": list(key_cols)}
+                    for f in delete_files]
+        return {
+            "operation": "delete",
+            "files": pm.get("files", []),
+            "seqs": pm.get("seqs", {}),
+            "deletes": deletes,
+            "added_files": [],
+            "added_rows": 0,
+            "deleted_keys": n_keys,
+        }
+
+    return _commit(table_dir, build, max_retries)
+
+
 def read_snapshot(
     spark: SparkSession, table_dir: str, version: int | None = None
 ) -> DataFrame:
     """Read the table as of ``version`` (default: latest). Planning cost
-    is one manifest, regardless of table size."""
+    is one manifest, regardless of table size.
+
+    Equality deletes apply merge-on-read: data files are grouped by
+    commit sequence, the (small) delete-key set is broadcast, and one
+    LEFT ANTI join with the condition ``keys match AND delete.seq >
+    data.seq`` suppresses exactly the rows each delete file governs —
+    the table-scale side never reshuffles."""
+    from pyspark.sql import functions as F
+
     v = latest_version(table_dir) if version is None else version
-    files = [os.path.join(table_dir, f)
-             for f in read_manifest(table_dir, v)["files"]]
-    return spark.read.parquet(*files)
+    m = read_manifest(table_dir, v)
+    deletes = m.get("deletes", [])
+    if not deletes:
+        files = [os.path.join(table_dir, f) for f in m["files"]]
+        return spark.read.parquet(*files)
+
+    key_sets = {tuple(d["keys"]) for d in deletes}
+    if len(key_sets) != 1:
+        raise ValueError(f"mixed delete key sets unsupported: {key_sets}")
+    keys = list(key_sets.pop())
+
+    seqs = m.get("seqs", {})
+    by_seq: dict[int, list[str]] = {}
+    for f in m["files"]:
+        by_seq.setdefault(int(seqs.get(f, 0)), []).append(
+            os.path.join(table_dir, f))
+    data = None
+    for s, group in sorted(by_seq.items()):
+        part = spark.read.parquet(*group).withColumn("_seq", F.lit(s))
+        data = part if data is None else data.unionByName(part)
+
+    dels = None
+    for d in deletes:
+        part = spark.read.parquet(
+            os.path.join(table_dir, d["path"])
+        ).withColumn("_dseq", F.lit(int(d["seq"])))
+        dels = part if dels is None else dels.unionByName(part)
+    dels = dels.select(
+        *[F.col(k).alias(f"_dk_{k}") for k in keys], "_dseq")
+
+    cond = F.col("_dseq") > F.col("_seq")
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"_dk_{k}"))
+    return data.join(F.broadcast(dels), cond, "left_anti").drop("_seq")
 
 
 def diff_files(table_dir: str, v_from: int, v_to: int) -> list[str]:
@@ -149,40 +247,24 @@ def snapshot_compact(
     time-traveling. This is the small-files maintenance op a streaming
     ingest needs — readers of HEAD stop paying per-file open costs
     while history stays intact. Same O_EXCL commit protocol as append.
+
+    Compaction reads THROUGH the delete filter, so any pending equality
+    deletes are physically purged and the new manifest carries none —
+    the erasure half of the GDPR two-step started by ``snapshot_delete``.
     """
     parent = latest_version(table_dir)
     df = read_snapshot(spark, table_dir, parent).repartition(target_files)
-    data_dir = os.path.join(table_dir, "data")
-    stage = os.path.join(table_dir, f"_stage_{uuid.uuid4().hex[:12]}")
-    df.write.mode("overwrite").parquet(stage)
-    added = []
-    for name in sorted(os.listdir(stage)):
-        if not name.endswith(".parquet"):
-            continue
-        dst = f"{uuid.uuid4().hex[:12]}-{name}"
-        os.rename(os.path.join(stage, name), os.path.join(data_dir, dst))
-        added.append(os.path.join("data", dst))
-    for leftover in os.listdir(stage):
-        os.remove(os.path.join(stage, leftover))
-    os.rmdir(stage)
-
+    added = _stage_files(df, table_dir)
     n_rows = df.count()
-    for _ in range(max_retries):
-        parent = latest_version(table_dir)
-        manifest = {
-            "version": parent + 1,
-            "parent": parent,
+
+    def build(parent: int, pm: dict) -> dict:
+        return {
             "operation": "compact",
             "files": added,
+            "seqs": {f: parent + 1 for f in added},
+            "deletes": [],
             "added_files": added,
             "added_rows": n_rows,
         }
-        path = _manifest_path(table_dir, parent + 1)
-        try:
-            fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
-        except FileExistsError:
-            continue
-        with os.fdopen(fd, "w") as f:
-            json.dump(manifest, f)
-        return parent + 1
-    raise RuntimeError(f"compact commit lost {max_retries} races")
+
+    return _commit(table_dir, build, max_retries)

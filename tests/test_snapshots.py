@@ -109,3 +109,65 @@ def test_compaction_preserves_rows_and_history(spark, tmp_path):
     assert head == set(range(12))
     assert read_snapshot(spark, d, 1).count() == 7
     assert read_snapshot(spark, d, 2).count() == 12
+
+
+def test_equality_delete_sequence_semantics(spark, tmp_path):
+    """Delete suppresses only lower-sequence data files; re-inserted
+    keys reappear; pre-delete versions time-travel unchanged."""
+    from gfw_pixetl_spark.sources.snapshots import (
+        read_snapshot, snapshot_append, snapshot_delete,
+    )
+
+    d = str(tmp_path / "tab")
+    df = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(20)], "id long, name string")
+    snapshot_append(df.filter("id % 2 = 0"), d)
+    v2 = snapshot_append(df.filter("id % 2 = 1"), d)
+    keys = spark.createDataFrame([(3,), (4,), (5,)], "id long")
+    v3 = snapshot_delete(keys, d, ["id"])
+    v4 = snapshot_append(df.filter("id in (3, 5)"), d)
+
+    def ids(v):
+        return sorted(r.id for r in read_snapshot(spark, d, v).collect())
+
+    assert ids(v2) == list(range(20))
+    assert ids(v3) == [i for i in range(20) if i not in (3, 4, 5)]
+    assert ids(v4) == sorted(
+        [i for i in range(20) if i not in (3, 4, 5)] + [3, 5])
+    # time travel to the pre-delete version is untouched after all that
+    assert ids(v2) == list(range(20))
+
+
+def test_compaction_purges_deletes(spark, tmp_path):
+    """Compaction reads through the delete filter: the new manifest has
+    no delete entries and the suppressed rows are physically gone."""
+    from gfw_pixetl_spark.sources.snapshots import (
+        read_manifest, read_snapshot, snapshot_append, snapshot_compact,
+        snapshot_delete,
+    )
+
+    d = str(tmp_path / "tab")
+    df = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    snapshot_append(df, d)
+    snapshot_delete(spark.createDataFrame([(7,)], "id long"), d, ["id"])
+    v = snapshot_compact(spark, d, target_files=1)
+    m = read_manifest(d, v)
+    assert m["deletes"] == [] and len(m["files"]) == 1
+    got = sorted(r.id for r in read_snapshot(spark, d, v).collect())
+    assert got == [i for i in range(10) if i != 7]
+
+
+def test_delete_plan_broadcasts_keys(spark, tmp_path):
+    """The merge-on-read join must broadcast the delete-key side — the
+    table-scale side never reshuffles."""
+    from gfw_pixetl_spark.sources.snapshots import (
+        read_snapshot, snapshot_append, snapshot_delete,
+    )
+
+    d = str(tmp_path / "tab")
+    df = spark.createDataFrame([(i,) for i in range(50)], "id long")
+    snapshot_append(df, d)
+    snapshot_delete(spark.createDataFrame([(1,)], "id long"), d, ["id"])
+    plan = read_snapshot(spark, d)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
