@@ -218,6 +218,8 @@ BENCH_QUERIES = [
     "q229_bpe_apply",
     "q230_hist_equalization",
     "q231_domain_centroid_sim",
+    "q232_progressive_jpeg",
+    "q233_snapshot_delete",
 ]
 
 
@@ -262,6 +264,30 @@ def main() -> None:
     }
     total = round(sum(t for t in timings.values() if t >= 0), 3)
 
+    # At-size raster-pipe stress run (268 MB COG through the full
+    # pipeline, r3 verdict #4): one pass, wall time recorded per round.
+    # SPARK_GRAFT_BENCH_STRESS=0 opts out for quick local iterations.
+    stress = None
+    if os.environ.get("SPARK_GRAFT_BENCH_STRESS", "1") != "0":
+        import tempfile
+
+        from gfw_pixetl_spark.harness import scale_stress
+
+        try:
+            t0 = time.perf_counter()
+            facts = scale_stress.run(spark, tempfile.mkdtemp())
+            problems = scale_stress.verify_outputs(facts)
+            stress = {
+                "sec": round(time.perf_counter() - t0, 3),
+                "sec_full_pipeline": facts["sec_full_pipeline"],
+                "source_mb": facts["source_bytes_uncompressed"] // 2**20,
+                "max_batch_mb": round(facts["max_batch_bytes"] / 2**20, 1),
+                "golden": not problems,
+            }
+        except Exception as e:  # noqa: BLE001
+            print(f"bench scale_stress FAILED: {e}", file=sys.stderr)
+            stress = {"sec": -1.0, "golden": False}
+
     # Full per-query medians go to a file (the driver's tail capture is
     # ~2 KB; a 169-entry map overflows it — r2 verdict #2). The LAST stdout
     # line is a compact summary the driver can always parse.
@@ -273,6 +299,7 @@ def main() -> None:
         "sf": float(sf),
         "reps": reps,
         "aggregation": "median_per_query",
+        "scale_stress": stress,
     }
     repo = Path(__file__).resolve().parent
     detail_path = repo / "BENCH_DETAIL.json"
@@ -305,6 +332,7 @@ def main() -> None:
                 "sf": float(sf),
                 "reps": reps,
                 "aggregation": "median_per_query",
+                "scale_stress": stress,
                 "detail": str(detail_path),
             }
         )
