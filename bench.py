@@ -220,6 +220,8 @@ BENCH_QUERIES = [
     "q231_domain_centroid_sim",
     "q232_progressive_jpeg",
     "q233_snapshot_delete",
+    "q234_wav_decode",
+    "q235_mulaw_expand",
 ]
 
 

@@ -11,10 +11,11 @@ The whole IMAGE family runs real codecs end-to-end: PNG and JPEG
 area/bilinear resampling (``functions/imageops.py``); frame sampling
 slices real PNG frames out of an offset-indexed container
 (``video_payload``); metadata extraction is a real IHDR/SOF header
-sniff. q40/q50/q51/q65/q153/q211/q232 value-check these against SQL
-oracles built on digest-byte pixel constructions. Only compressed AUDIO
-remains codec-gated (md5-digest PCM stand-in, q119) until a decoder is
-present.
+sniff. AUDIO is real too: RIFF/WAVE PCM 8/16-bit and ITU-T G.711
+mu-law/A-law companding (``sources/wav.py``). q40/q50/q51/q65/q119/
+q153/q211/q232/q234/q235 value-check these against SQL oracles built on
+digest-byte constructions. Only compressed formats (MP3/AAC/H.264 and
+friends) remain out of scope — declared, not stubbed.
 """
 
 from __future__ import annotations
@@ -71,10 +72,10 @@ def decode_image(payload: bytes):
 
 def png_payload(text: str, size: int = 4) -> bytes:
     """Deterministic REAL PNG payload: the md5 digest of ``text`` laid
-    out as a size x size grayscale image (16 digest bytes = 4x4). Unlike
-    ``fake_payload`` this is a spec-valid container that round-trips
-    through ``decode_image`` — and because the pixel values are digest
-    bytes, a SQL oracle can still replay any arithmetic on them."""
+    out as a size x size grayscale image (16 digest bytes = 4x4) — a
+    spec-valid container that round-trips through ``decode_image``, and
+    because the pixel values are digest bytes, a SQL oracle can still
+    replay any arithmetic on them."""
     import numpy as np
 
     from ..sources.png import encode_png
@@ -84,13 +85,6 @@ def png_payload(text: str, size: int = 4) -> bytes:
     raw = (digest * ((need // len(digest)) + 1))[:need]
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(size, size)
     return encode_png(arr, filter_type=4)  # Paeth: hardest decode path
-
-
-def fake_payload(text: str) -> bytes:
-    """Deterministic stand-in payload (md5 digest bytes) for the audio
-    family only — image kernels all run real codecs now; PCM audio stays
-    honestly gated until a decoder is present."""
-    return hashlib.md5(text.encode("utf-8")).digest()
 
 
 _PNG_COLOR_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
@@ -485,26 +479,55 @@ def image_ahash(df: DataFrame, text_col: str = "text") -> DataFrame:
 ENERGY_SCHEMA = "doc_id long, win_idx int, rms double"
 
 
+def wav_payload(text: str, codec: str = "pcm8", rate: int = 8000) -> bytes:
+    """Deterministic REAL RIFF/WAVE payload (``sources/wav.py``):
+
+    * ``pcm8`` — the 16 md5 digest bytes as 8-bit offset-binary PCM
+      (decoded sample = byte - 128);
+    * ``pcm16`` — 8 samples from digest byte PAIRS
+      (``(hi << 8 | lo) - 32768``);
+    * ``mulaw`` / ``alaw`` — digest bytes as G.711 companded code words.
+
+    Every variant is a spec-valid container whose decoded samples a SQL
+    oracle replays from md5(text) hex (q119/q234/q235)."""
+    import numpy as np
+
+    from ..sources.wav import alaw_decode, encode_wav, mulaw_decode
+
+    digest = hashlib.md5(text.encode("utf-8")).digest()
+    raw = np.frombuffer(digest, np.uint8)
+    if codec == "pcm8":
+        return encode_wav(raw, rate)
+    if codec == "pcm16":
+        s = (raw.astype(np.int64)[0::2] * 256
+             + raw.astype(np.int64)[1::2] - 32768).astype(np.int16)
+        return encode_wav(s, rate)
+    if codec == "mulaw":
+        return encode_wav(mulaw_decode(raw), rate, codec="mulaw")
+    if codec == "alaw":
+        return encode_wav(alaw_decode(raw), rate, codec="alaw")
+    raise ValueError(f"unknown wav_payload codec {codec!r}")
+
+
 def audio_energy(
     df: DataFrame, text_col: str = "text", window: int = 4
 ) -> DataFrame:
-    """Windowed RMS energy over an audio payload: one input row fans out
-    to n_samples/window rows — the silence-trim / voice-activity feature
-    a speech-corpus pipeline computes before segmentation. Real PCM
-    decoders plug into the same one-to-many mapInPandas shape.
-
-    With codecs absent the 'decoded samples' are the deterministic stub
-    (the 16 md5 payload bytes as signed int8 PCM), so like the aHash
-    kernel (q65) an external SQL oracle can replay the values
-    bit-for-bit (harness q119).
+    """Windowed RMS energy over a REAL audio payload: each doc carries a
+    spec-valid 8-bit PCM WAV (``wav_payload``), the kernel runs the real
+    RIFF/fmt/data parse (``sources/wav.py``) and fans one row out to
+    n_samples/window rows — the silence-trim / voice-activity feature a
+    speech-corpus pipeline computes before segmentation. Samples are
+    digest bytes in offset-binary, so the SQL oracle replays the RMS
+    values bit-for-bit (harness q119).
     """
+    from ..sources.wav import decode_wav
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, wins, rms = [], [], []
             for doc_id, t in zip(pdf["doc_id"], pdf[text_col]):
-                raw = fake_payload(t)
-                samples = [b - 256 if b > 127 else b for b in raw]
+                samples, _rate = decode_wav(wav_payload(t))
+                samples = [int(s) for s in samples[:, 0]]
                 for w0 in range(0, len(samples) // window):
                     chunk = samples[w0 * window : (w0 + 1) * window]
                     e = (sum(s * s for s in chunk) / float(window)) ** 0.5
@@ -514,6 +537,70 @@ def audio_energy(
             yield pd.DataFrame({"doc_id": ids, "win_idx": wins, "rms": rms})
 
     return df.select("doc_id", text_col).mapInPandas(kernel, ENERGY_SCHEMA)
+
+
+WAV_DECODE_SCHEMA = ("doc_id long, rate int, n_samples int, "
+                     "s0 int, s3 int, s7 int")
+
+
+def decode_wav_samples(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """REAL 16-bit PCM WAV decode: payload = 8 int16 samples built from
+    digest byte pairs, kernel runs the full RIFF parse and emits rate +
+    probe samples — value-checked against md5-hex replay (q234)."""
+    from ..sources.wav import decode_wav
+    from .partitioning import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "rate", "n_samples", "s0", "s3", "s7")}
+            for doc_id, t in zip(pdf["doc_id"], pdf[text_col]):
+                samples, rate = decode_wav(wav_payload(t, codec="pcm16"))
+                s = samples[:, 0]
+                out["doc_id"].append(doc_id)
+                out["rate"].append(rate)
+                out["n_samples"].append(len(s))
+                out["s0"].append(int(s[0]))
+                out["s3"].append(int(s[3]))
+                out["s7"].append(int(s[7]))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", text_col).mapInPandas(
+        kernel, WAV_DECODE_SCHEMA)
+
+
+MULAW_SCHEMA = ("doc_id long, n_samples int, s_sum long, s_min int, "
+                "s_max int")
+
+
+def decode_mulaw_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """REAL G.711 mu-law expansion: payload = a mu-law WAV whose 16 code
+    words are the digest bytes; the kernel decodes through the real
+    RIFF parse + companding tables and emits sum/min/max of the linear
+    samples. The G.711 expansion is closed-form integer math, so the
+    SQL oracle replays it exactly (q235)."""
+    from ..sources.wav import decode_wav
+    from .partitioning import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "n_samples", "s_sum", "s_min", "s_max")}
+            for doc_id, t in zip(pdf["doc_id"], pdf[text_col]):
+                samples, _ = decode_wav(wav_payload(t, codec="mulaw"))
+                s = samples[:, 0].astype(int)
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(len(s))
+                out["s_sum"].append(int(s.sum()))
+                out["s_min"].append(int(s.min()))
+                out["s_max"].append(int(s.max()))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", text_col).mapInPandas(kernel, MULAW_SCHEMA)
 
 
 PATCH_SCHEMA = (

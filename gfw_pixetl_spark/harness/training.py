@@ -651,17 +651,17 @@ def q81(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q119 — audio-modality feature extraction: windowed RMS energy over the
-# stubbed PCM payload (functions/multimodal.py::audio_energy). The md5
-# stub makes the fan-out kernel value-checkable in SQL, like q65.
+# q119 — audio-modality feature extraction: windowed RMS energy over a
+# REAL 8-bit PCM RIFF/WAVE payload (sources/wav.py; samples = digest
+# bytes in offset-binary, decoded as byte - 128). The digest-byte
+# construction keeps the real-container fan-out kernel value-checkable
+# in SQL, like q65.
 # --------------------------------------------------------------------------
 _PCM_BYTES = [
     f"CAST(('0x' || substr(md5(text), {2 * i + 1}, 2)) AS BIGINT)"
     for i in range(16)
 ]
-_PCM_SIGNED = [
-    f"(CASE WHEN {b} > 127 THEN {b} - 256 ELSE {b} END)" for b in _PCM_BYTES
-]
+_PCM_SIGNED = [f"({b} - 128)" for b in _PCM_BYTES]
 _ENERGY_SELECTS = " UNION ALL ".join(
     f"""SELECT doc_id, {w} AS win_idx,
         round(sqrt(({" + ".join(f"{s}*{s}" for s in _PCM_SIGNED[4 * w : 4 * w + 4])}) / 4.0), 6) AS rms
@@ -675,6 +675,67 @@ def q119(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.multimodal import audio_energy
 
     return audio_energy(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# q234 — REAL 16-bit PCM WAV decode (sources/wav.py): full RIFF chunk
+# walk, fmt parse, little-endian PCM16 samples built from digest byte
+# pairs — the oracle replays (hi*256 + lo) - 32768 from md5 hex.
+# --------------------------------------------------------------------------
+@register(
+    "q234_wav_decode",
+    oracle=f"""
+    SELECT doc_id, CAST(8000 AS INT) AS rate, CAST(8 AS INT) AS n_samples,
+           CAST({_PCM_BYTES[0]} * 256 + {_PCM_BYTES[1]} - 32768 AS INT)
+               AS s0,
+           CAST({_PCM_BYTES[6]} * 256 + {_PCM_BYTES[7]} - 32768 AS INT)
+               AS s3,
+           CAST({_PCM_BYTES[14]} * 256 + {_PCM_BYTES[15]} - 32768 AS INT)
+               AS s7
+    FROM documents
+    """,
+)
+def q234(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import decode_wav_samples
+
+    return decode_wav_samples(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# q235 — REAL G.711 mu-law expansion (ITU-T closed form): the payload is
+# a mu-law WAV whose 16 code words are the digest bytes; the kernel
+# expands them through the companding tables and the oracle replays the
+# same integer formula — complement, chord/step, ((2m + 33) << e - 33)
+# * 4 with the sign bit — entirely in SQL.
+# --------------------------------------------------------------------------
+_MULAW_U = [f"(255 - {b})" for b in _PCM_BYTES]
+_MULAW_DEC = [
+    f"""(CASE WHEN {u} >= 128 THEN -1 ELSE 1 END
+     * (((2 * ({u} % 16) + 33)
+         * CAST(pow(2, ({u} // 16) % 8) AS BIGINT)) - 33) * 4)"""
+    for u in _MULAW_U
+]
+
+
+@register(
+    "q235_mulaw_expand",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             [{", ".join(_MULAW_DEC)}] AS xs
+      FROM documents
+    )
+    SELECT doc_id, CAST(16 AS INT) AS n_samples,
+           CAST(list_sum(xs) AS BIGINT) AS s_sum,
+           CAST(list_min(xs) AS INT) AS s_min,
+           CAST(list_max(xs) AS INT) AS s_max
+    FROM s
+    """,
+)
+def q235(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import decode_mulaw_stats
+
+    return decode_mulaw_stats(load(spark, sf_dir, "documents"))
 
 
 # --------------------------------------------------------------------------

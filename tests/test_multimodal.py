@@ -114,11 +114,12 @@ def test_audio_energy_windows(spark):
     for r in out:
         by_doc.setdefault(r.doc_id, []).append(r)
     assert all(len(v) == 4 for v in by_doc.values())
-    # replay window 0 of doc 1 by hand
+    # replay window 0 of doc 1 by hand: real 8-bit PCM WAV decode
+    # (offset-binary, sample = byte - 128)
     row1 = {r.win_idx: r.rms for r in by_doc[1]}
     text = {r.doc_id: r.text for r in _docs(spark).collect()}[1]
     raw = hashlib.md5(text.encode()).digest()
-    s = [b - 256 if b > 127 else b for b in raw[:4]]
+    s = [b - 128 for b in raw[:4]]
     want = round(math.sqrt(sum(x * x for x in s) / 4.0), 6)
     assert row1[0] == want
     assert all(r.rms >= 0 for r in out)
