@@ -237,3 +237,95 @@ def test_progressive_sparse_high_band():
     assert np.array_equal(
         decode_jpeg(encode_jpeg(img)),
         decode_jpeg(encode_jpeg_progressive(img)))
+
+
+def test_progressive_420_subsampled_hand_built():
+    """Hand-built 4:2:0 PROGRESSIVE stream (our encoder is 4:4:4-only,
+    so subsampled SOF2 coverage is assembled from the codec primitives):
+    interleaved DC first scan at Al=1 over the 4Y+Cb+Cr MCU, a DC
+    refinement scan, then non-interleaved per-component AC band scans
+    whose block grids have different dimensions (Y: 2x2 blocks,
+    chroma: 1x1). DC-only blocks make the expected RGB closed-form."""
+    import struct as _struct
+
+    from gfw_pixetl_spark.sources.jpeg import ZIGZAG
+
+    y_vals = [90, 110, 130, 150]
+    cb, cr = 100, 140
+    comps = [(1, 2, 2), (2, 1, 1), (3, 1, 1)]
+
+    out = bytearray(b"\xff\xd8")
+    q = np.ones(64, np.uint8)
+    out += b"\xff\xdb" + _struct.pack(">H", 67) + b"\x00" \
+        + q[ZIGZAG].tobytes()
+    sof = _struct.pack(">BHHB", 8, 16, 16, len(comps))
+    for cid, hs, vs in comps:
+        sof += _struct.pack(">BBB", cid, (hs << 4) | vs, 0)
+    out += b"\xff\xc2" + _struct.pack(">H", len(sof) + 2) + sof  # SOF2
+    for tid, (bits, vals) in [(0x00, _DC_LUM), (0x10, _AC_LUM),
+                              (0x01, _DC_CHR), (0x11, _AC_CHR)]:
+        body = bytes([tid]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + _struct.pack(">H", len(body) + 2) + body
+
+    def sos(comp_specs, ss, se, ah, al):
+        body = bytes([len(comp_specs)])
+        for cid, tsel in comp_specs:
+            body += bytes([cid, tsel])
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + _struct.pack(">H", len(body) + 2) + body
+
+    dcs = {1: [8 * (v - 128) for v in y_vals],
+           2: [8 * (cb - 128)], 3: [8 * (cr - 128)]}
+    dc_enc = {1: _encode_codes(*_DC_LUM), 2: _encode_codes(*_DC_CHR),
+              3: _encode_codes(*_DC_CHR)}
+    ac_enc = {1: _encode_codes(*_AC_LUM), 2: _encode_codes(*_AC_CHR),
+              3: _encode_codes(*_AC_CHR)}
+
+    # scan 1: interleaved DC first, Al=1 (one MCU: 4 Y, 1 Cb, 1 Cr)
+    w = _BitWriter()
+    for cid in (1, 2, 3):
+        pred = 0
+        for dc in dcs[cid]:
+            v = dc >> 1  # point transform
+            diff = v - pred
+            pred = v
+            t, bits = _magnitude(diff)
+            code, length = dc_enc[cid][t]
+            w.write(code, length)
+            if t:
+                w.write(bits, t)
+    w.flush()
+    out += sos([(1, 0x00), (2, 0x10), (3, 0x10)], 0, 0, 0, 1) + w.buf
+
+    # scan 2: DC refinement (Ah=1, Al=0): one raw bit per block
+    w = _BitWriter()
+    for cid in (1, 2, 3):
+        for dc in dcs[cid]:
+            w.write(dc & 1, 1)
+    w.flush()
+    out += sos([(1, 0), (2, 0), (3, 0)], 0, 0, 1, 0) + w.buf
+
+    # AC band scans, non-interleaved per component: all-zero bands, so
+    # each block is one EOB0 symbol (Y has 4 blocks, chroma 1 each)
+    for cid, nblocks in [(1, 4), (2, 1), (3, 1)]:
+        for ss, se in [(1, 5), (6, 63)]:
+            w = _BitWriter()
+            for _ in range(nblocks):
+                code, length = ac_enc[cid][0x00]
+                w.write(code, length)
+            w.flush()
+            tsel = 0x00 if cid == 1 else 0x01
+            out += sos([(cid, tsel)], ss, se, 0, 0) + w.buf
+
+    out += b"\xff\xd9"
+    dec = decode_jpeg(bytes(out))
+    assert dec.shape == (16, 16, 3)
+    for qi, (dy, dx) in enumerate([(0, 0), (0, 8), (8, 0), (8, 8)]):
+        y = float(y_vals[qi])
+        exp = np.clip(np.round([
+            y + 1.402 * (cr - 128),
+            y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128),
+            y + 1.772 * (cb - 128),
+        ]), 0, 255).astype(np.uint8)
+        quad = dec[dy:dy + 8, dx:dx + 8]
+        assert (quad == exp[None, None, :]).all(), (qi, quad[0, 0], exp)
