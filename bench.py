@@ -222,6 +222,7 @@ BENCH_QUERIES = [
     "q233_snapshot_delete",
     "q234_wav_decode",
     "q235_mulaw_expand",
+    "q236_hillshade",
 ]
 
 

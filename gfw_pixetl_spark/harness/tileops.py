@@ -1121,6 +1121,66 @@ def q172(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q236 — gdaldem HILLSHADE, oracle-exact: the kernel uses GDAL's
+# trig-free rational form (sources/raster_table.py::hillshade_pixels),
+# so with the three light constants embedded as identical double
+# literals on both sides, every per-pixel step (int Horn numerators,
+# /0.4, fused linear form, sqrt, clip) is IEEE correctly rounded and
+# the per-block MAX/MIN of shade compare bit-for-bit — upgrading
+# hillshade from "numpy-verified only" to externally replayed.
+# --------------------------------------------------------------------------
+from ..sources.raster_table import hillshade_constants  # noqa: E402
+
+_HS_C0, _HS_C1, _HS_C2 = hillshade_constants(315.0, 45.0)
+
+
+@register(
+    "q236_hillshade",
+    oracle=f"""
+    WITH px AS (
+      SELECT i.r AS r, j.c AS c,
+             ({_horn_num([(-1, 1, 1), (0, 1, 2), (1, 1, 1)])})
+           - ({_horn_num([(-1, -1, 1), (0, -1, 2), (1, -1, 1)])}) AS nx,
+             ({_horn_num([(1, -1, 1), (1, 0, 2), (1, 1, 1)])})
+           - ({_horn_num([(-1, -1, 1), (-1, 0, 2), (-1, 1, 1)])}) AS ny
+      FROM generate_series(1, 94) i(r), generate_series(1, 94) j(c)
+    ), sh AS (
+      SELECT r, c,
+             LEAST(GREATEST(
+               (({_HS_C0!r} - {_HS_C1!r} * (nx / (8 * CAST(0.05 AS DOUBLE)))
+                 + {_HS_C2!r} * (ny / (8 * CAST(0.05 AS DOUBLE))))
+                / sqrt(1.0
+                       + (nx / (8 * CAST(0.05 AS DOUBLE)))
+                         * (nx / (8 * CAST(0.05 AS DOUBLE)))
+                       + (ny / (8 * CAST(0.05 AS DOUBLE)))
+                         * (ny / (8 * CAST(0.05 AS DOUBLE))))) * 255.0,
+               0.0), 255.0) AS shade
+      FROM px
+    )
+    SELECT CAST(r // 16 AS INTEGER) AS block_r,
+           CAST(c // 16 AS INTEGER) AS block_c,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           MAX(shade) AS max_shade,
+           MIN(shade) AS min_shade
+    FROM sh GROUP BY 1, 2
+    """,
+)
+def q236(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.raster_table import hillshade_pixels, raster_catalog
+
+    cat = raster_catalog(spark, [_focal_demo_file()])
+    px = hillshade_pixels(cat, window=48, parallelism=8)
+    return px.groupBy(
+        F.floor(F.col("row") / 16).cast("int").alias("block_r"),
+        F.floor(F.col("col") / 16).cast("int").alias("block_c"),
+    ).agg(
+        F.count("*").alias("n_px"),
+        F.max("hillshade").alias("max_shade"),
+        F.min("hillshade").alias("min_shade"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q183 — Z-order (Morton) tile layout: the 10-degree lat/lng grid's 648
 # tiles keyed by bit-interleaved (grid_x, grid_y) and range-bucketed
 # into shards — the clustering that makes a bbox query touch O(result)
@@ -1170,8 +1230,9 @@ def q183(spark: SparkSession, sf_dir: str) -> DataFrame:
 # trio whose every step is IEEE-exact: TPI's /8 is a power of two, TRI
 # is sqrt of an integer, roughness is integer — so the oracle replays
 # the analytic field bit-for-bit (no rounding fudge). Same halo-read
-# stencil as q169/q172; hillshade/aspect (libm trig, not externally
-# replayable) live beside it as numpy-verified library stencils.
+# stencil as q169/q172. Hillshade joined the oracle-exact club in q236
+# via GDAL's trig-free rational form; only aspect (per-pixel atan2)
+# remains numpy-verified.
 # --------------------------------------------------------------------------
 _Z = "(({r}) * 5 + ({c}) * 3) % 13"
 

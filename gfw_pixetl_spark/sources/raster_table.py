@@ -441,14 +441,25 @@ def hillshade_pixels(
     altitude: float = 45.0,
     z_factor: float = 1.0,
 ) -> DataFrame:
-    """gdaldem hillshade + aspect by Horn derivatives. Trig-heavy, so
-    there is no cross-engine-exact oracle (libm sin/cos differ by ulps
-    between engines) — values are unit-tested against an independent
-    numpy replay instead. Same halo-read model; output in [0, 255]
+    """gdaldem hillshade + aspect by Horn derivatives.
+
+    The shade uses GDAL's own TRIG-FREE rational form: with p = dz/dx,
+    q = dz/dy and the light direction folded into three CONSTANTS
+    (c0 = sin alt, c1 = cos alt * cos(az - pi/2),
+    c2 = cos alt * sin(az - pi/2)),
+
+        shade = 255 * clip((c0 - c1*p + c2*q) / sqrt(1 + p^2 + q^2))
+
+    — algebraically identical to sin(alt)cos(s) + cos(alt)sin(s)
+    cos(az - pi/2 - aspect), but every PER-PIXEL step is a correctly
+    rounded IEEE op (+ * / sqrt), so an external engine replays the
+    doubles bit-for-bit given the same constants (q236's oracle does
+    exactly that; per-pixel libm trig would differ by ulps across
+    engines). Aspect keeps its atan2/degrees form and stays
+    numpy-verified only. Same halo-read model; output in [0, 255]
     (hillshade) and degrees clockwise from north (aspect, NaN on flat).
     """
-    az = np.radians(azimuth)
-    alt = np.radians(altitude)
+    c0, c1, c2 = hillshade_constants(azimuth, altitude)
 
     def stencil(data, valid, transform):
         _, sx, _, sy = transform
@@ -461,12 +472,9 @@ def hillshade_pixels(
             z[2:oh + 2, 2:ow + 2]
         dzdx = ((z3 + 2 * z6 + z9) - (z1 + 2 * z4 + z7)) / (8 * sx)
         dzdy = ((z7 + 2 * z8 + z9) - (z1 + 2 * z2 + z3)) / (8 * sy)
-        slope = np.arctan(np.hypot(dzdx, dzdy))
-        aspect = np.arctan2(dzdy, -dzdx)
-        shade = (np.sin(alt) * np.cos(slope)
-                 + np.cos(alt) * np.sin(slope)
-                 * np.cos(az - np.pi / 2 - aspect))
-        shade = np.clip(shade * 255.0, 0.0, 255.0)
+        shade = ((c0 - c1 * dzdx + c2 * dzdy)
+                 / np.sqrt(1.0 + dzdx * dzdx + dzdy * dzdy))
+        shade = np.minimum(np.maximum(shade * 255.0, 0.0), 255.0)
         flat = (dzdx == 0) & (dzdy == 0)
         # gdaldem aspect convention: degrees CW from north
         asp_deg = np.degrees(np.arctan2(-dzdx, dzdy))
@@ -480,6 +488,19 @@ def hillshade_pixels(
 
     return _halo_stencil(catalog, window, parallelism, 1, stencil,
                          HILLSHADE_SCHEMA)
+
+
+def hillshade_constants(
+    azimuth: float = 315.0, altitude: float = 45.0
+) -> tuple[float, float, float]:
+    """The three light-direction constants of the rational hillshade
+    form; computed ONCE here so the Spark kernel and any SQL oracle can
+    embed the identical double literals."""
+    az = np.radians(azimuth)
+    alt = np.radians(altitude)
+    return (float(np.sin(alt)),
+            float(np.cos(alt) * np.cos(az - np.pi / 2)),
+            float(np.cos(alt) * np.sin(az - np.pi / 2)))
 
 
 def materialize_pixels(
