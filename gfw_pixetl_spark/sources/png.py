@@ -55,38 +55,43 @@ def encode_png(
     bpp = ch * depth // 8  # bytes per pixel
     raw_rows = arr.astype(">u2" if depth == 16 else "u1").tobytes()
     stride = w * bpp
-    rows = [raw_rows[r * stride:(r + 1) * stride] for r in range(h)]
 
-    out = bytearray()
-    prev = bytes(stride)
-    for row in rows:
-        cur = np.frombuffer(row, dtype=np.uint8).astype(np.int16)
-        up = np.frombuffer(prev, dtype=np.uint8).astype(np.int16)
-        left = np.concatenate([np.zeros(bpp, np.int16), cur[:-bpp]])
-        ul = np.concatenate([np.zeros(bpp, np.int16), up[:-bpp]])
-        if filter_type == 0:
-            enc = cur
-        elif filter_type == 1:
-            enc = cur - left
-        elif filter_type == 2:
-            enc = cur - up
-        elif filter_type == 3:
-            enc = cur - (left + up) // 2
-        elif filter_type == 4:
-            p = left + up - ul
-            pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
-            pred = np.where((pa <= pb) & (pa <= pc), left,
-                            np.where(pb <= pc, up, ul))
-            enc = cur - pred
-        else:
-            raise ValueError(f"bad filter {filter_type}")
-        out.append(filter_type)
-        out.extend((enc & 0xFF).astype(np.uint8).tobytes())
-        prev = row
+    # The encode side has NO cross-row sequential dependency (filters
+    # predict from RAW neighbor bytes, unlike decode's unfilter), so the
+    # whole image filters in one vectorized pass: shift the (h, stride)
+    # byte matrix down/right/diagonally to get up/left/upper-left.
+    cur = np.frombuffer(raw_rows, dtype=np.uint8).reshape(
+        h, stride).astype(np.int16)
+    up = np.zeros_like(cur)
+    up[1:] = cur[:-1]
+    left = np.zeros_like(cur)
+    left[:, bpp:] = cur[:, :-bpp]
+    ul = np.zeros_like(cur)
+    ul[1:, bpp:] = cur[:-1, :-bpp]
+    if filter_type == 0:
+        enc = cur
+    elif filter_type == 1:
+        enc = cur - left
+    elif filter_type == 2:
+        enc = cur - up
+    elif filter_type == 3:
+        enc = cur - (left + up) // 2
+    elif filter_type == 4:
+        p = left + up - ul
+        pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+        pred = np.where((pa <= pb) & (pa <= pc), left,
+                        np.where(pb <= pc, up, ul))
+        enc = cur - pred
+    else:
+        raise ValueError(f"bad filter {filter_type}")
+    scan = np.empty((h, 1 + stride), dtype=np.uint8)
+    scan[:, 0] = filter_type
+    scan[:, 1:] = enc & 0xFF
+    out = scan.tobytes()
 
     ihdr = struct.pack(">IIBBBBB", w, h, depth, _COLOR_TYPE[ch], 0, 0, 0)
     return (_SIG + _chunk(b"IHDR", ihdr)
-            + _chunk(b"IDAT", zlib.compress(bytes(out), level))
+            + _chunk(b"IDAT", zlib.compress(out, level))
             + _chunk(b"IEND", b""))
 
 
