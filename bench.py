@@ -223,6 +223,7 @@ BENCH_QUERIES = [
     "q234_wav_decode",
     "q235_mulaw_expand",
     "q236_hillshade",
+    "q237_aspect",
 ]
 
 

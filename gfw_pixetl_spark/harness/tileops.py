@@ -1181,6 +1181,67 @@ def q236(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q237 — gdaldem ASPECT (degrees clockwise from north, NaN on flat):
+# per-pixel atan2 is libm, where numpy and DuckDB differ by <= 2e-15
+# (measured), so this is a ROUNDED oracle (6 dp, the repo's float
+# discipline) rather than a bitwise one — flat-pixel accounting is
+# integer-exact. Completes the gdaldem family: slope (q172, exact),
+# TPI/TRI/roughness (q185, exact), hillshade (q236, exact), aspect
+# (rounded).
+# --------------------------------------------------------------------------
+@register(
+    "q237_aspect",
+    oracle=f"""
+    WITH px AS (
+      SELECT i.r AS r, j.c AS c,
+             ({_horn_num([(-1, 1, 1), (0, 1, 2), (1, 1, 1)])})
+           - ({_horn_num([(-1, -1, 1), (0, -1, 2), (1, -1, 1)])}) AS nx,
+             ({_horn_num([(1, -1, 1), (1, 0, 2), (1, 1, 1)])})
+           - ({_horn_num([(-1, -1, 1), (-1, 0, 2), (-1, 1, 1)])}) AS ny
+      FROM generate_series(1, 94) i(r), generate_series(1, 94) j(c)
+    ), asp AS (
+      SELECT r, c, nx = 0 AND ny = 0 AS flat,
+             CASE WHEN nx = 0 AND ny = 0 THEN NULL ELSE
+               CASE WHEN degrees(atan2(
+                        -(nx / (8 * CAST(0.05 AS DOUBLE))),
+                        ny / (8 * CAST(0.05 AS DOUBLE)))) < 0
+                    THEN degrees(atan2(
+                        -(nx / (8 * CAST(0.05 AS DOUBLE))),
+                        ny / (8 * CAST(0.05 AS DOUBLE)))) + 360.0
+                    ELSE degrees(atan2(
+                        -(nx / (8 * CAST(0.05 AS DOUBLE))),
+                        ny / (8 * CAST(0.05 AS DOUBLE)))) END
+             END AS aspect
+      FROM px
+    )
+    SELECT CAST(r // 16 AS INTEGER) AS block_r,
+           CAST(c // 16 AS INTEGER) AS block_c,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(CASE WHEN flat THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flat,
+           round(MAX(aspect), 6) AS max_aspect,
+           round(MIN(aspect), 6) AS min_aspect
+    FROM asp GROUP BY 1, 2
+    """,
+)
+def q237(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.raster_table import hillshade_pixels, raster_catalog
+
+    cat = raster_catalog(spark, [_focal_demo_file()])
+    px = hillshade_pixels(cat, window=48, parallelism=8)
+    not_flat = F.when(~F.isnan("aspect"), F.col("aspect"))
+    return px.groupBy(
+        F.floor(F.col("row") / 16).cast("int").alias("block_r"),
+        F.floor(F.col("col") / 16).cast("int").alias("block_c"),
+    ).agg(
+        F.count("*").alias("n_px"),
+        F.sum(F.isnan("aspect").cast("bigint")).alias("n_flat"),
+        F.round(F.max(not_flat), 6).alias("max_aspect"),
+        F.round(F.min(not_flat), 6).alias("min_aspect"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q183 — Z-order (Morton) tile layout: the 10-degree lat/lng grid's 648
 # tiles keyed by bit-interleaved (grid_x, grid_y) and range-bucketed
 # into shards — the clustering that makes a bbox query touch O(result)
