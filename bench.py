@@ -224,6 +224,7 @@ BENCH_QUERIES = [
     "q235_mulaw_expand",
     "q236_hillshade",
     "q237_aspect",
+    "q238_snapshot_skipping",
 ]
 
 

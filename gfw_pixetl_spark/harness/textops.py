@@ -2189,6 +2189,59 @@ def q233(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --------------------------------------------------------------------------
+# q238 — manifest zone-map DATA SKIPPING (sources/snapshots.py): each
+# append records per-file doc_id min/max from the parquet footers; a
+# ranged read prunes provably-empty files BEFORE any bytes are read and
+# applies the residual row filter. The harness table is four
+# range-disjoint files; the [120, 180] scan must open exactly one. The
+# skip counts ride in the result as value-checked constants — the q200
+# n_files==1 move applied to the lakehouse layer.
+# --------------------------------------------------------------------------
+def _zonemap_table(spark: SparkSession, sf_dir: str) -> str:
+    def build(d: str) -> None:
+        from ..sources.snapshots import snapshot_append
+
+        docs = load(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars")
+        for lo in (0, 100, 200, 300):
+            cond = (F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 100)                 if lo < 300 else (F.col("doc_id") >= lo)
+            snapshot_append(docs.filter(cond).coalesce(1), d,
+                            stats_cols=["doc_id"])
+
+    return _derived_dir(sf_dir, "snapzonemap", build)
+
+
+@register(
+    "q238_snapshot_skipping",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(4 AS INT) AS n_files_total,
+           CAST(1 AS INT) AS n_files_scanned
+    FROM documents WHERE doc_id BETWEEN 120 AND 180
+    """,
+)
+def q238(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.snapshots import (
+        latest_version, prune_files, read_manifest, read_snapshot,
+    )
+
+    d = _zonemap_table(spark, sf_dir)
+    m = read_manifest(d, latest_version(d))
+    scanned = len(prune_files(m, "doc_id", 120, 180))
+    return read_snapshot(
+        spark, d, between=("doc_id", 120, 180)
+    ).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+        F.lit(len(m["files"])).cast("int").alias("n_files_total"),
+        F.lit(scanned).cast("int").alias("n_files_scanned"),
+    )
+
+
 @register(
     "q218_snapshot_incremental",
     oracle="""

@@ -91,6 +91,52 @@ def _stage_files(df: DataFrame, table_dir: str) -> list[str]:
     return added
 
 
+def _file_stats(table_dir: str, rel_paths: list[str],
+                stats_cols: list[str]) -> dict:
+    """Per-file min/max of ``stats_cols`` straight from the parquet
+    footers (no data read) — the manifest-level zone map that lets a
+    reader prune files before touching bytes, the Iceberg/Delta
+    data-skipping move. JSON-serializable values only."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict] = {}
+    for rel in rel_paths:
+        md = pq.ParquetFile(os.path.join(table_dir, rel)).metadata
+        names = {md.schema.column(i).name: i
+                 for i in range(md.num_columns)}
+        per_col: dict[str, list] = {}
+        for col in stats_cols:
+            if col not in names:
+                continue
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(names[col]).statistics
+                if st is None or not st.has_min_max:
+                    lo = hi = None
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if lo is not None and isinstance(lo, (int, float, str)):
+                per_col[col] = [lo, hi]
+        out[rel] = per_col
+    return out
+
+
+def prune_files(manifest: dict, col: str, lo, hi) -> list[str]:
+    """Data files of ``manifest`` that can contain col values in
+    [lo, hi]: files whose recorded [min, max] misses the range are
+    dropped; files without stats are kept (pruning is never allowed to
+    change results, only to skip provably-empty reads)."""
+    stats = manifest.get("stats", {})
+    keep = []
+    for f in manifest["files"]:
+        rng = stats.get(f, {}).get(col)
+        if rng is not None and (rng[1] < lo or rng[0] > hi):
+            continue
+        keep.append(f)
+    return keep
+
+
 def _commit(table_dir: str, build_manifest, max_retries: int) -> int:
     """O_EXCL commit loop: ``build_manifest(parent, parent_manifest)``
     returns the manifest dict for version ``parent + 1``; on a lost race
@@ -113,12 +159,17 @@ def _commit(table_dir: str, build_manifest, max_retries: int) -> int:
 
 
 def snapshot_append(
-    df: DataFrame, table_dir: str, max_retries: int = 10
+    df: DataFrame, table_dir: str, max_retries: int = 10,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Append ``df`` as a new snapshot; returns the committed version.
-    The manifest create-exclusive is the atomic commit point."""
+    The manifest create-exclusive is the atomic commit point.
+    ``stats_cols`` records per-file min/max zone maps in the manifest
+    (from the parquet footers, no extra data pass) so readers can
+    prune files by predicate (``read_snapshot(between=...)``/q238)."""
     added = _stage_files(df, table_dir)
     n_rows = df.count()
+    stats = _file_stats(table_dir, added, stats_cols) if stats_cols else {}
 
     def build(parent: int, pm: dict) -> dict:
         seqs = dict(pm.get("seqs", {}))
@@ -128,6 +179,7 @@ def snapshot_append(
             "files": pm.get("files", []) + added,
             "seqs": seqs,
             "deletes": pm.get("deletes", []),
+            "stats": {**pm.get("stats", {}), **stats},
             "added_files": added,
             "added_rows": n_rows,
         }
@@ -159,6 +211,7 @@ def snapshot_delete(
             "files": pm.get("files", []),
             "seqs": pm.get("seqs", {}),
             "deletes": deletes,
+            "stats": pm.get("stats", {}),
             "added_files": [],
             "added_rows": 0,
             "deleted_keys": n_keys,
@@ -168,10 +221,17 @@ def snapshot_delete(
 
 
 def read_snapshot(
-    spark: SparkSession, table_dir: str, version: int | None = None
+    spark: SparkSession, table_dir: str, version: int | None = None,
+    between: tuple | None = None,
 ) -> DataFrame:
     """Read the table as of ``version`` (default: latest). Planning cost
     is one manifest, regardless of table size.
+
+    ``between=(col, lo, hi)`` prunes data files via the manifest zone
+    maps before any bytes are read AND applies the residual row filter,
+    so the result is exactly the predicate's rows while provably-empty
+    files are never opened (the file-skipping half of every lakehouse
+    read path; q238 value-checks it and asserts the skip count).
 
     Equality deletes apply merge-on-read: data files are grouped by
     commit sequence, the (small) delete-key set is broadcast, and one
@@ -182,10 +242,20 @@ def read_snapshot(
 
     v = latest_version(table_dir) if version is None else version
     m = read_manifest(table_dir, v)
+    if between is not None:
+        col, lo, hi = between
+        m = dict(m, files=prune_files(m, col, lo, hi))
+
+    def residual(df: DataFrame) -> DataFrame:
+        if between is None:
+            return df
+        col, lo, hi = between
+        return df.filter(F.col(col).between(lo, hi))
+
     deletes = m.get("deletes", [])
     if not deletes:
         files = [os.path.join(table_dir, f) for f in m["files"]]
-        return spark.read.parquet(*files)
+        return residual(spark.read.parquet(*files))
 
     key_sets = {tuple(d["keys"]) for d in deletes}
     if len(key_sets) != 1:
@@ -214,7 +284,8 @@ def read_snapshot(
     cond = F.col("_dseq") > F.col("_seq")
     for k in keys:
         cond = cond & (F.col(k) == F.col(f"_dk_{k}"))
-    return data.join(F.broadcast(dels), cond, "left_anti").drop("_seq")
+    return residual(
+        data.join(F.broadcast(dels), cond, "left_anti").drop("_seq"))
 
 
 def diff_files(table_dir: str, v_from: int, v_to: int) -> list[str]:
@@ -258,11 +329,16 @@ def snapshot_compact(
     n_rows = df.count()
 
     def build(parent: int, pm: dict) -> dict:
+        # carry the zone-map contract forward: recompute stats for the
+        # rewritten files over whatever columns the parent tracked
+        cols = sorted({c for per in pm.get("stats", {}).values()
+                       for c in per})
         return {
             "operation": "compact",
             "files": added,
             "seqs": {f: parent + 1 for f in added},
             "deletes": [],
+            "stats": _file_stats(table_dir, added, cols) if cols else {},
             "added_files": added,
             "added_rows": n_rows,
         }

@@ -171,3 +171,53 @@ def test_delete_plan_broadcasts_keys(spark, tmp_path):
     plan = read_snapshot(spark, d)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_zone_map_pruning(spark, tmp_path):
+    """Manifest min/max stats prune provably-empty files; results equal
+    the unpruned read + filter; files without stats are kept."""
+    from gfw_pixetl_spark.sources.snapshots import (
+        prune_files, read_manifest, read_snapshot, snapshot_append,
+    )
+
+    d = str(tmp_path / "tab")
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(400)], "id long, v long")
+    for lo in (0, 100, 200, 300):
+        snapshot_append(
+            df.filter(f"id >= {lo} and id < {lo + 100}").coalesce(1),
+            d, stats_cols=["id"])
+    m = read_manifest(d, 4)
+    assert len(m["files"]) == 4 and len(m["stats"]) == 4
+    kept = prune_files(m, "id", 120, 180)
+    assert len(kept) == 1
+    got = sorted(r.id for r in
+                 read_snapshot(spark, d, between=("id", 120, 180))
+                 .collect())
+    assert got == list(range(120, 181))
+    # stats-less manifests never prune (safety)
+    m_nostats = dict(m, stats={})
+    assert len(prune_files(m_nostats, "id", 120, 180)) == 4
+
+
+def test_zone_map_survives_compaction_and_deletes(spark, tmp_path):
+    from gfw_pixetl_spark.sources.snapshots import (
+        read_manifest, read_snapshot, snapshot_append, snapshot_compact,
+        snapshot_delete,
+    )
+
+    d = str(tmp_path / "tab")
+    df = spark.createDataFrame([(i,) for i in range(100)], "id long")
+    snapshot_append(df.filter("id < 50").coalesce(1), d,
+                    stats_cols=["id"])
+    snapshot_append(df.filter("id >= 50").coalesce(1), d,
+                    stats_cols=["id"])
+    snapshot_delete(spark.createDataFrame([(7,), (77,)], "id long"),
+                    d, ["id"])
+    # pruned read composes with merge-on-read deletes
+    got = sorted(r.id for r in
+                 read_snapshot(spark, d, between=("id", 0, 20)).collect())
+    assert got == [i for i in range(21) if i != 7]
+    v = snapshot_compact(spark, d, target_files=2)
+    m = read_manifest(d, v)
+    assert m["stats"] and all("id" in s for s in m["stats"].values())
