@@ -225,6 +225,7 @@ BENCH_QUERIES = [
     "q236_hillshade",
     "q237_aspect",
     "q238_snapshot_skipping",
+    "q239_stream_snapshot_ingest",
 ]
 
 

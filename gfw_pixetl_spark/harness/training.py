@@ -790,6 +790,51 @@ def q126(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q239 — streaming ingest INTO the snapshot table format: the events
+# feed drains through foreachBatch -> snapshot_append with the batch_id
+# recorded in each manifest (Delta's txnAppId idempotent-write trick),
+# so crash-replayed batches are no-ops and readers plan each version
+# from one manifest. The final table equals the batch read — the SQL
+# oracle — while the unit suite separately proves replay idempotency
+# and vacuum lifecycle.
+# --------------------------------------------------------------------------
+@register(
+    "q239_stream_snapshot_ingest",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def q239(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..sources.snapshots import read_snapshot
+    from ..streaming.snapshot_sink import SnapshotTableSink
+
+    work = tempfile.mkdtemp(prefix="q239_")
+    ev_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    base, fname = f"{sf_dir}/events.parquet".rsplit("/", 1)
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("pathGlobFilter", fname)
+        .parquet(base)
+        .select("event_type", "user_id", "event_id")
+    )
+    sink = SnapshotTableSink(f"{work}/table", f"{work}/ckpt")
+    sink.run_available_now(stream)
+    return read_snapshot(spark, f"{work}/table").groupBy(
+        "event_type"
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q137 — incremental aggregate materialization (streaming materialized
 # view): per-user event count + decimal value total maintained across
 # micro-batches by AdditiveAggSink (map-side partial agg per batch,

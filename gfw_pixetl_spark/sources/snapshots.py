@@ -161,6 +161,7 @@ def _commit(table_dir: str, build_manifest, max_retries: int) -> int:
 def snapshot_append(
     df: DataFrame, table_dir: str, max_retries: int = 10,
     stats_cols: list[str] | None = None,
+    extra: dict | None = None,
 ) -> int:
     """Append ``df`` as a new snapshot; returns the committed version.
     The manifest create-exclusive is the atomic commit point.
@@ -182,6 +183,7 @@ def snapshot_append(
             "stats": {**pm.get("stats", {}), **stats},
             "added_files": added,
             "added_rows": n_rows,
+            **(extra or {}),
         }
 
     return _commit(table_dir, build, max_retries)
@@ -344,3 +346,55 @@ def snapshot_compact(
         }
 
     return _commit(table_dir, build, max_retries)
+
+
+def snapshot_vacuum(table_dir: str, keep_last: int = 3) -> dict:
+    """Garbage-collect the table: drop manifests older than the last
+    ``keep_last`` versions and every data/delete file no retained
+    manifest references, plus any orphaned ``_stage_*`` staging dirs.
+
+    This is the Delta ``VACUUM`` trade stated explicitly: time travel
+    below the retention horizon is GONE after this runs (those
+    manifests are removed, so the versions are no longer addressable);
+    everything at or above the horizon is untouched. Returns counts.
+    """
+    import shutil
+
+    head = latest_version(table_dir)
+    horizon = max(1, head - keep_last + 1)
+    referenced: set[str] = set()
+    for v in range(horizon, head + 1):
+        m = read_manifest(table_dir, v)
+        referenced.update(m["files"])
+        referenced.update(d["path"] for d in m.get("deletes", []))
+
+    removed_files = 0
+    data_dir = os.path.join(table_dir, "data")
+    if os.path.isdir(data_dir):
+        for name in os.listdir(data_dir):
+            rel = os.path.join("data", name)
+            if rel not in referenced:
+                os.remove(os.path.join(data_dir, name))
+                removed_files += 1
+
+    removed_manifests = 0
+    for v in range(1, horizon):
+        p = _manifest_path(table_dir, v)
+        if os.path.exists(p):
+            os.remove(p)
+            removed_manifests += 1
+
+    removed_stages = 0
+    for name in os.listdir(table_dir):
+        if name.startswith("_stage_"):
+            shutil.rmtree(os.path.join(table_dir, name),
+                          ignore_errors=True)
+            removed_stages += 1
+
+    return {
+        "head": head,
+        "horizon": horizon,
+        "removed_data_files": removed_files,
+        "removed_manifests": removed_manifests,
+        "removed_stage_dirs": removed_stages,
+    }

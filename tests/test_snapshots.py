@@ -221,3 +221,75 @@ def test_zone_map_survives_compaction_and_deletes(spark, tmp_path):
     v = snapshot_compact(spark, d, target_files=2)
     m = read_manifest(d, v)
     assert m["stats"] and all("id" in s for s in m["stats"].values())
+
+
+def test_streaming_sink_exactly_once(spark, tmp_path):
+    """Re-delivered micro-batches are no-ops: the batch_id rides in the
+    manifest, so a crash-replay append never double-counts."""
+    from gfw_pixetl_spark.sources.snapshots import read_snapshot
+    from gfw_pixetl_spark.streaming.snapshot_sink import SnapshotTableSink
+
+    d = str(tmp_path / "tab")
+    sink = SnapshotTableSink(d, str(tmp_path / "ckpt"), stats_cols=["id"])
+    b0 = spark.createDataFrame([(1,), (2,)], "id long")
+    b1 = spark.createDataFrame([(3,)], "id long")
+    sink.process_batch(b0, 0)
+    sink.process_batch(b1, 1)
+    sink.process_batch(b0, 0)  # crash replay of batch 0
+    sink.process_batch(b1, 1)  # and of batch 1
+    got = sorted(r.id for r in read_snapshot(spark, d).collect())
+    assert got == [1, 2, 3]
+    assert sink.committed_batch_ids() == {0, 1}
+
+
+def test_streaming_sink_available_now(spark, tmp_path):
+    """End-to-end: a real readStream drains into snapshot commits via
+    foreachBatch; the table equals the batch read."""
+    from gfw_pixetl_spark.sources.snapshots import read_snapshot
+    from gfw_pixetl_spark.streaming.snapshot_sink import SnapshotTableSink
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(i, i * 2) for i in range(30)], "id long, v long"
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    sink = SnapshotTableSink(str(tmp_path / "tab"),
+                             str(tmp_path / "ckpt"))
+    sink.run_available_now(stream)
+    got = sorted(r.id for r in
+                 read_snapshot(spark, str(tmp_path / "tab")).collect())
+    assert got == list(range(30))
+    # a second availableNow run with the same checkpoint adds nothing
+    sink.run_available_now(
+        spark.readStream.schema(schema).parquet(src))
+    got = sorted(r.id for r in
+                 read_snapshot(spark, str(tmp_path / "tab")).collect())
+    assert got == list(range(30))
+
+
+def test_vacuum_drops_history_below_horizon(spark, tmp_path):
+    import os
+
+    import pytest as _pytest
+
+    from gfw_pixetl_spark.sources.snapshots import (
+        read_snapshot, snapshot_append, snapshot_compact, snapshot_vacuum,
+    )
+
+    d = str(tmp_path / "tab")
+    df = spark.createDataFrame([(i,) for i in range(20)], "id long")
+    snapshot_append(df.filter("id < 10").coalesce(1), d)
+    snapshot_append(df.filter("id >= 10").coalesce(1), d)
+    snapshot_compact(spark, d, target_files=1)  # v3 references 1 file
+    n_before = len(os.listdir(os.path.join(d, "data")))
+    out = snapshot_vacuum(d, keep_last=1)
+    assert out["horizon"] == 3 and out["removed_manifests"] == 2
+    assert len(os.listdir(os.path.join(d, "data"))) \
+        == n_before - out["removed_data_files"]
+    # head still reads perfectly
+    got = sorted(r.id for r in read_snapshot(spark, d).collect())
+    assert got == list(range(20))
+    # time travel below the horizon is gone, explicitly
+    with _pytest.raises(FileNotFoundError):
+        read_snapshot(spark, d, 1).collect()
