@@ -226,6 +226,7 @@ BENCH_QUERIES = [
     "q237_aspect",
     "q238_snapshot_skipping",
     "q239_stream_snapshot_ingest",
+    "q240_snapshot_cdf",
 ]
 
 

@@ -2242,6 +2242,45 @@ def q238(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q240 — snapshot CHANGE DATA FEED (read_changes): the q233 table's
+# commit history replayed as tagged row changes — v2's insert of the
+# odd docs, v3's delete emitting the ACTUAL suppressed rows
+# (pre-delete snapshot semi-joined with the broadcast keys), v4's
+# re-insert. Compactions are silent. This is the O(delta) feed an
+# incremental index/aggregate maintainer consumes instead of rescanning
+# the table.
+# --------------------------------------------------------------------------
+@register(
+    "q240_snapshot_cdf",
+    oracle="""
+    SELECT 2 AS commit_version, 'insert' AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM documents WHERE doc_id % 2 = 1
+    UNION ALL
+    SELECT 3, 'delete', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(doc_id) AS BIGINT)
+    FROM documents WHERE doc_id % 10 IN (3, 4)
+    UNION ALL
+    SELECT 4, 'insert', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(doc_id) AS BIGINT)
+    FROM documents WHERE doc_id % 10 = 3
+    """,
+)
+def q240(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.snapshots import read_changes
+
+    d = _deleted_table(spark, sf_dir)
+    return read_changes(spark, d, 1, 4).groupBy(
+        F.col("_commit_version").alias("commit_version"),
+        F.col("_change_type").alias("change_type"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+    )
+
+
 @register(
     "q218_snapshot_incremental",
     oracle="""

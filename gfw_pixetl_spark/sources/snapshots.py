@@ -348,6 +348,57 @@ def snapshot_compact(
     return _commit(table_dir, build, max_retries)
 
 
+def read_changes(
+    spark: SparkSession, table_dir: str, v_from: int, v_to: int
+) -> DataFrame:
+    """Change data feed over (v_from, v_to] — the Delta CDF shape:
+    every commit contributes its logical row changes tagged with
+    ``_change_type`` ('insert' | 'delete') and ``_commit_version``.
+
+    * append commits emit the rows of their added files (an O(delta)
+      file read, never a table scan);
+    * delete commits emit the ACTUAL deleted rows — the pre-delete
+      snapshot semi-joined with the (broadcast) delete keys, which is
+      exactly the set the delete suppressed under sequence semantics;
+    * compaction commits emit nothing (no logical change).
+
+    Downstream incremental consumers (index maintainers, aggregate
+    views, replication) apply inserts/deletes in commit order.
+    """
+    from pyspark.sql import functions as F
+
+    out = None
+    for v in range(v_from + 1, v_to + 1):
+        m = read_manifest(table_dir, v)
+        op = m.get("operation")
+        if op == "append":
+            part = spark.read.parquet(
+                *[os.path.join(table_dir, f) for f in m["added_files"]]
+            ).withColumn("_change_type", F.lit("insert"))
+        elif op == "delete":
+            new_deletes = [d for d in m.get("deletes", [])
+                           if d["seq"] == v]
+            keys = None
+            key_cols = None
+            for d in new_deletes:
+                part_k = spark.read.parquet(
+                    os.path.join(table_dir, d["path"]))
+                key_cols = d["keys"]
+                keys = part_k if keys is None else keys.unionByName(part_k)
+            if keys is None:
+                continue
+            part = read_snapshot(spark, table_dir, v - 1).join(
+                F.broadcast(keys.distinct()), on=key_cols, how="left_semi"
+            ).withColumn("_change_type", F.lit("delete"))
+        else:  # compact: physical rewrite, no logical change
+            continue
+        part = part.withColumn("_commit_version", F.lit(v))
+        out = part if out is None else out.unionByName(part)
+    if out is None:
+        raise ValueError(f"no logical changes in ({v_from}, {v_to}]")
+    return out
+
+
 def snapshot_vacuum(table_dir: str, keep_last: int = 3) -> dict:
     """Garbage-collect the table: drop manifests older than the last
     ``keep_last`` versions and every data/delete file no retained

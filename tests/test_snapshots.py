@@ -293,3 +293,29 @@ def test_vacuum_drops_history_below_horizon(spark, tmp_path):
     # time travel below the horizon is gone, explicitly
     with _pytest.raises(FileNotFoundError):
         read_snapshot(spark, d, 1).collect()
+
+
+def test_change_data_feed_order_and_compact_silence(spark, tmp_path):
+    from gfw_pixetl_spark.sources.snapshots import (
+        read_changes, snapshot_append, snapshot_compact, snapshot_delete,
+    )
+
+    d = str(tmp_path / "tab")
+    df = spark.createDataFrame(
+        [(i, f"u{i}") for i in range(10)], "id long, name string")
+    snapshot_append(df.filter("id < 5"), d)          # v1
+    snapshot_append(df.filter("id >= 5"), d)         # v2
+    snapshot_delete(spark.createDataFrame([(2,), (7,)], "id long"),
+                    d, ["id"])                        # v3
+    snapshot_compact(spark, d, target_files=1)       # v4: silent
+    ch = read_changes(spark, d, 0, 4).collect()
+    by = {}
+    for r in ch:
+        by.setdefault((r._commit_version, r._change_type), []).append(r.id)
+    assert sorted(by[(1, "insert")]) == [0, 1, 2, 3, 4]
+    assert sorted(by[(2, "insert")]) == [5, 6, 7, 8, 9]
+    # the delete emits the ACTUAL rows (with their payload columns)
+    assert sorted(by[(3, "delete")]) == [2, 7]
+    deleted = [r for r in ch if r._change_type == "delete"]
+    assert {r.name for r in deleted} == {"u2", "u7"}
+    assert not any(v == 4 for v, _ in by)  # compaction is silent
