@@ -225,6 +225,7 @@ def snapshot_delete(
 def read_snapshot(
     spark: SparkSession, table_dir: str, version: int | None = None,
     between: tuple | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Read the table as of ``version`` (default: latest). Planning cost
     is one manifest, regardless of table size.
@@ -254,10 +255,17 @@ def read_snapshot(
         col, lo, hi = between
         return df.filter(F.col(col).between(lo, hi))
 
+    # schema evolution: appends may add columns over the table's life;
+    # merge_schema unions footer schemas (absent columns read as NULL),
+    # the Spark-native answer — pay the per-file footer read only when
+    # asked, exactly like spark.read.option("mergeSchema")
+    reader = spark.read.option("mergeSchema", "true") if merge_schema \
+        else spark.read
+
     deletes = m.get("deletes", [])
     if not deletes:
         files = [os.path.join(table_dir, f) for f in m["files"]]
-        return residual(spark.read.parquet(*files))
+        return residual(reader.parquet(*files))
 
     key_sets = {tuple(d["keys"]) for d in deletes}
     if len(key_sets) != 1:
@@ -271,8 +279,9 @@ def read_snapshot(
             os.path.join(table_dir, f))
     data = None
     for s, group in sorted(by_seq.items()):
-        part = spark.read.parquet(*group).withColumn("_seq", F.lit(s))
-        data = part if data is None else data.unionByName(part)
+        part = reader.parquet(*group).withColumn("_seq", F.lit(s))
+        data = part if data is None else data.unionByName(
+            part, allowMissingColumns=merge_schema)
 
     dels = None
     for d in deletes:

@@ -68,3 +68,46 @@ class SnapshotTableSink:
             .start()
             .awaitTermination()
         )
+
+
+class ChangeFeedConsumer:
+    """Cursor-persisted incremental consumer of a snapshot table — the
+    downstream half of the ingest loop: each ``poll`` returns the
+    change feed since the last committed cursor (tagged insert/delete
+    rows via ``read_changes``) and ``commit`` advances the cursor
+    atomically (tmp + rename), so a crashed consumer re-reads the same
+    window instead of skipping it. At-least-once by construction;
+    consumers dedupe on (_commit_version, key) if they need effectively
+    exactly-once."""
+
+    def __init__(self, table_dir: str, cursor_path: str) -> None:
+        self.table_dir = table_dir
+        self.cursor_path = cursor_path
+
+    def position(self) -> int:
+        try:
+            with open(self.cursor_path) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return 0
+
+    def poll(self, spark):
+        """(changes DataFrame or None, head version) since the cursor."""
+        from ..sources.snapshots import read_changes
+
+        start = self.position()
+        head = latest_version(self.table_dir)
+        if head <= start:
+            return None, head
+        try:
+            return read_changes(spark, self.table_dir, start, head), head
+        except ValueError:  # only compactions in the window
+            return None, head
+
+    def commit(self, version: int) -> None:
+        import os
+
+        tmp = f"{self.cursor_path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            f.write(str(int(version)))
+        os.replace(tmp, self.cursor_path)

@@ -319,3 +319,44 @@ def test_change_data_feed_order_and_compact_silence(spark, tmp_path):
     deleted = [r for r in ch if r._change_type == "delete"]
     assert {r.name for r in deleted} == {"u2", "u7"}
     assert not any(v == 4 for v, _ in by)  # compaction is silent
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    from gfw_pixetl_spark.sources.snapshots import (
+        read_snapshot, snapshot_append,
+    )
+
+    d = str(tmp_path / "tab")
+    snapshot_append(spark.createDataFrame([(1,)], "id long"), d)
+    snapshot_append(
+        spark.createDataFrame([(2, "fr")], "id long, lang string"), d)
+    got = {r.id: r for r in
+           read_snapshot(spark, d, merge_schema=True).collect()}
+    assert got[1].lang is None and got[2].lang == "fr"
+
+
+def test_change_feed_consumer_cursor(spark, tmp_path):
+    from gfw_pixetl_spark.sources.snapshots import (
+        snapshot_append, snapshot_delete,
+    )
+    from gfw_pixetl_spark.streaming.snapshot_sink import ChangeFeedConsumer
+
+    d = str(tmp_path / "tab")
+    cur = str(tmp_path / "cursor")
+    df = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    snapshot_append(df.filter("id < 3"), d)
+    c = ChangeFeedConsumer(d, cur)
+    ch, head = c.poll(spark)
+    assert sorted(r.id for r in ch.collect()) == [0, 1, 2]
+    c.commit(head)
+    assert c.poll(spark) == (None, head)  # drained
+    snapshot_append(df.filter("id >= 3"), d)
+    snapshot_delete(spark.createDataFrame([(1,)], "id long"), d, ["id"])
+    ch, head2 = c.poll(spark)
+    rows = [(r._commit_version, r._change_type, r.id)
+            for r in ch.collect()]
+    assert sorted(rows) == [(2, "insert", 3), (2, "insert", 4),
+                            (2, "insert", 5), (3, "delete", 1)]
+    c.commit(head2)
+    # crash before commit would re-read: position persists across objects
+    assert ChangeFeedConsumer(d, cur).position() == head2
