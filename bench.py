@@ -227,6 +227,7 @@ BENCH_QUERIES = [
     "q238_snapshot_skipping",
     "q239_stream_snapshot_ingest",
     "q240_snapshot_cdf",
+    "q241_tile_store_versions",
 ]
 
 

@@ -2281,6 +2281,95 @@ def q240(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# q241 — TILE-STORE VERSIONING: the reference's incremental workflow
+# (seed -> prune -> skip-existing, F5) executed against the snapshot
+# table format. Run 1 commits the tiles intersecting footprint A as
+# table v1 (the production broadcast-semi-join prune); run 2 prunes for
+# A ∪ B, anti-joins against the v1 SNAPSHOT READ (target-exists on the
+# manifest, no object-store listing), and commits only the new tiles as
+# v2. The query emits (version, tile_id); the oracle replays the grid
+# intersection closed-form. read_diff(v1, v2) = exactly run 2's output
+# — the O(delta) consumer contract.
+# --------------------------------------------------------------------------
+_Q241_FP_A = (0.0, 0.0, 25.0, 15.0)
+_Q241_FP_B = (-30.0, -20.0, 5.0, 5.0)
+
+
+def _tilestore_table(spark: SparkSession, sf_dir: str) -> str:
+    def build(d: str) -> None:
+        from ..grids import LatLngGrid
+        from ..plans import raster_pipe as rp
+        from ..sources.snapshots import read_snapshot, snapshot_append
+
+        grid = LatLngGrid(10, 160)
+        tiles = rp.seed_tiles(spark, grid)
+
+        def pruned(fps):
+            cat = rp.file_catalog(spark, [
+                {"uri": f"memory://f{i}", "band": 1,
+                 "left": lo, "bottom": b, "right": r, "top": t}
+                for i, (lo, b, r, t) in enumerate(fps)
+            ])
+            return rp.prune_tiles(tiles, cat).select("tile_id")
+
+        v1 = snapshot_append(pruned([_Q241_FP_A]), d)
+        existing = read_snapshot(spark, d, v1)
+        fresh = pruned([_Q241_FP_A, _Q241_FP_B]).join(
+            existing, "tile_id", "left_anti")
+        v2 = snapshot_append(fresh, d)
+        assert (v1, v2) == (1, 2)
+
+    return _derived_dir(sf_dir, "tilestore", build)
+
+
+def _q241_intersects(fp) -> str:
+    lo, b, r, t = fp
+    return (f"(tile_left < {r} AND tile_right > {lo} "
+            f"AND tile_bottom < {t} AND tile_top > {b})")
+
+
+@register(
+    "q241_tile_store_versions",
+    oracle=f"""
+    WITH g AS (
+      SELECT
+        CONCAT(
+          lpad(CAST(abs(-80 + CAST(i // 36 AS INT) * 10 + 10) AS VARCHAR),
+               2, '0'),
+          CASE WHEN -80 + CAST(i // 36 AS INT) * 10 + 10 >= 0
+               THEN 'N' ELSE 'S' END,
+          '_',
+          lpad(CAST(abs(-180 + CAST(i % 36 AS INT) * 10) AS VARCHAR),
+               3, '0'),
+          CASE WHEN -180 + CAST(i % 36 AS INT) * 10 >= 0
+               THEN 'E' ELSE 'W' END
+        ) AS tile_id,
+        -180 + CAST(i % 36 AS INT) * 10 AS tile_left,
+        -80 + CAST(i // 36 AS INT) * 10 AS tile_bottom,
+        -180 + CAST(i % 36 AS INT) * 10 + 10 AS tile_right,
+        -80 + CAST(i // 36 AS INT) * 10 + 10 AS tile_top
+      FROM range(648) t(i)
+    )
+    SELECT 1 AS version, tile_id FROM g
+    WHERE {_q241_intersects(_Q241_FP_A)}
+    UNION ALL
+    SELECT 2, tile_id FROM g
+    WHERE {_q241_intersects(_Q241_FP_B)}
+      AND NOT {_q241_intersects(_Q241_FP_A)}
+    """,
+)
+def q241(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.snapshots import read_diff, read_snapshot
+
+    d = _tilestore_table(spark, sf_dir)
+    v1 = read_snapshot(spark, d, 1).select(
+        F.lit(1).alias("version"), "tile_id")
+    delta = read_diff(spark, d, 1, 2).select(
+        F.lit(2).alias("version"), "tile_id")
+    return v1.unionAll(delta)
+
+
 @register(
     "q218_snapshot_incremental",
     oracle="""
