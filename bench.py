@@ -228,6 +228,8 @@ BENCH_QUERIES = [
     "q239_stream_snapshot_ingest",
     "q240_snapshot_cdf",
     "q241_tile_store_versions",
+    "q242_k_anonymity",
+    "q243_dp_noisy_counts",
 ]
 
 

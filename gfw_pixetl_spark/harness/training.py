@@ -601,6 +601,99 @@ def q79(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q242 — k-ANONYMITY release gate (k = 5) on the (lang, source)
+# quasi-identifier pair: groups meeting k pass through; smaller groups
+# generalize source -> '*' and pass only if the generalized group
+# itself meets k; the rest are suppressed. The Sweeney release
+# discipline a public training-data card applies before publishing
+# per-slice counts. Scale shape: two shrinking hash aggregations.
+# --------------------------------------------------------------------------
+_K_ANON = 5
+
+
+@register(
+    "q242_k_anonymity",
+    oracle=f"""
+    WITH g AS (
+      SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2
+    ), small AS (
+      SELECT lang, SUM(n) AS n FROM g WHERE n < {_K_ANON} GROUP BY lang
+    )
+    SELECT lang, source, CAST(n AS BIGINT) AS n_docs
+    FROM g WHERE n >= {_K_ANON}
+    UNION ALL
+    SELECT lang, '*' AS source, CAST(n AS BIGINT) AS n_docs
+    FROM small WHERE n >= {_K_ANON}
+    """,
+)
+def q242(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n"))
+    )
+    keep = g.filter(F.col("n") >= _K_ANON).select(
+        "lang", "source", F.col("n").cast("bigint").alias("n_docs"))
+    general = (
+        g.filter(F.col("n") < _K_ANON)
+        .groupBy("lang")
+        .agg(F.sum("n").alias("n"))
+        .filter(F.col("n") >= _K_ANON)
+        .select("lang", F.lit("*").alias("source"),
+                F.col("n").cast("bigint").alias("n_docs"))
+    )
+    return keep.unionAll(general)
+
+
+# --------------------------------------------------------------------------
+# q243 — differentially-private released counts: per-lang doc counts
+# plus Laplace(b = 2) noise drawn DETERMINISTICALLY by inverse-CDF over
+# an md5-uniform seeded from the group key — the seeded-noise release
+# pattern that makes a DP publication reproducible and auditable. The
+# only libm step (ln) differs across engines by ulps, so the release
+# value is rounded to 4 dp (the aspect/q237 discipline); everything
+# upstream is integer-exact.
+# --------------------------------------------------------------------------
+_DP_B = 2.0
+_DP_POW52 = 1 << 52
+
+
+@register(
+    "q243_dp_noisy_counts",
+    oracle=f"""
+    WITH c AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ), u AS (
+      SELECT lang, n,
+             (CAST(({md5_int64_sql("concat('dp1:', lang)")}
+                    % {_DP_POW52}) AS DOUBLE) + 0.5) / {float(_DP_POW52)}
+               AS u
+      FROM c
+    )
+    SELECT lang, CAST(n AS BIGINT) AS true_n,
+           round(n + (-{_DP_B}) * sign(u - 0.5)
+                   * ln(1 - 2 * abs(u - 0.5)), 4) AS released_n
+    FROM u
+    """,
+)
+def q243(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_int64
+
+    c = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang").agg(F.count("*").alias("n"))
+    )
+    u = ((md5_int64(F.concat(F.lit("dp1:"), F.col("lang")))
+          % F.lit(_DP_POW52)).cast("double") + 0.5) / F.lit(float(_DP_POW52))
+    noise = F.lit(-_DP_B) * F.signum(u - 0.5) * F.log(1 - 2 * F.abs(u - 0.5))
+    return c.select(
+        "lang",
+        F.col("n").cast("bigint").alias("true_n"),
+        F.round(F.col("n") + noise, 4).alias("released_n"),
+    )
+
+
+# --------------------------------------------------------------------------
 # q80 — within-doc repetition signals (Gopher quality rules):
 # duplicate-word fraction + top-word fraction via two-level agg.
 # --------------------------------------------------------------------------
