@@ -360,7 +360,7 @@ _TRADE_EDGES_SQL = """
 @register(
     "q181_triangle_count",
     oracle=f"""
-    WITH e AS (
+    WITH e AS MATERIALIZED (
       {_TRADE_EDGES_SQL}
     ), deg AS (
       SELECT node, COUNT(*) AS d FROM (

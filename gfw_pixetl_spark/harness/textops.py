@@ -111,6 +111,77 @@ for b in range(D.N_BANDS):
 _bands_union = "\n      UNION ALL\n      ".join(_band_key_sql)
 
 
+# Star-contracted LSH edges in SQL (hub = min doc_id per bucket): the
+# SAME connected components as the full pair graph, with linearly many
+# edges — the oracle-side twin of functions/dedup.py::lsh_star_edges.
+# Component-family oracles (q53/q62/q208) build their recursive
+# reachability on THIS edge set; the full O(m^2)-pair edge set made the
+# transitive-closure join explode at sf0.1 (edges x labels ~ 1e10).
+# banded is MATERIALIZED so DuckDB computes the signature pipeline once.
+STAR_EDGES_SQL = f"""
+    WITH w AS (
+      SELECT doc_id, unnest({SQL_WORDSET}) AS word FROM documents
+    ), h AS (
+      SELECT doc_id, {_sql_word_hash()} AS hw FROM w
+    ), sigs AS (
+      SELECT doc_id,
+             {_mh_cols}
+      FROM h GROUP BY doc_id
+    ), banded AS MATERIALIZED (
+      {_bands_union}
+    ), hubs AS (
+      SELECT band_id, key, MIN(doc_id) AS hub FROM banded GROUP BY 1, 2
+    )
+    SELECT DISTINCT hb.hub AS doc_id_a, b.doc_id AS doc_id_b
+    FROM banded b JOIN hubs hb
+      ON b.band_id = hb.band_id AND b.key = hb.key
+    WHERE b.doc_id != hb.hub
+"""
+
+
+# Component CTE stack shared by the component-family oracles
+# (q53/q62/q208): reachability closure runs over the HUB GRAPH only
+# (hubs sharing a member are adjacent), then members take the min of
+# their hubs' component labels. Identical components to the full pair
+# graph — every doc sharing a bucket reaches its bucket hub, and the
+# component's min doc_id is always itself a hub (it is the min of any
+# bucket containing it) — at a label-propagation cost bounded by the
+# hub count, not O(cluster^2) (the full closure blew past 10 GB at
+# sf0.1). Ends with `comp(doc_id, component)`.
+COMPONENT_CTES_SQL = f"""star AS MATERIALIZED (
+      {{star_edges}}
+    ), hub_set AS (
+      SELECT DISTINCT doc_id_a AS hub FROM star
+    ), hub_edges AS (
+      -- hubs adjacent iff their buckets overlap: via a shared plain
+      -- member, OR because one hub is itself a member of the other's
+      -- bucket (the chain 461-case: hub-as-member links components)
+      SELECT DISTINCT a.doc_id_a AS src, b.doc_id_a AS dst
+      FROM star a JOIN star b ON a.doc_id_b = b.doc_id_b
+      WHERE a.doc_id_a != b.doc_id_a
+      UNION
+      SELECT s.doc_id_a, s.doc_id_b FROM star s
+      JOIN hub_set h ON s.doc_id_b = h.hub
+      UNION
+      SELECT s.doc_id_b, s.doc_id_a FROM star s
+      JOIN hub_set h ON s.doc_id_b = h.hub
+    ), reach(id, lab) AS (
+      SELECT DISTINCT doc_id_a, doc_id_a FROM star
+      UNION
+      SELECT e.dst, r.lab FROM hub_edges e JOIN reach r ON e.src = r.id
+    ), hub_comp AS (
+      SELECT id AS hub, MIN(lab) AS component FROM reach GROUP BY id
+    ), doc_labels AS (
+      SELECT s.doc_id_b AS doc_id, hc.component
+      FROM star s JOIN hub_comp hc ON s.doc_id_a = hc.hub
+      UNION ALL
+      SELECT hub, component FROM hub_comp
+    ), comp AS (
+      SELECT doc_id, MIN(component) AS component
+      FROM doc_labels GROUP BY doc_id
+    )"""
+
+
 @register(
     "q29_minhash_lsh_pairs",
     oracle=f"""
@@ -529,14 +600,25 @@ _SHINGLES_SQL = """list_distinct(CASE WHEN len({w}) >= 3 THEN
     WITH base AS (
       SELECT doc_id, {_SHINGLES_SQL} AS ws FROM documents
     )
-    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-           round(len(list_intersect(a.ws, b.ws))
-                 / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))),
-                 6) AS jaccard
-    FROM base a JOIN base b ON a.doc_id < b.doc_id
-    WHERE len(a.ws) > 0 AND len(b.ws) > 0
-      AND len(list_intersect(a.ws, b.ws))
-          / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) >= 0.6
+    , sizes AS (
+      SELECT doc_id, len(ws) AS n FROM base WHERE len(ws) > 0
+    ), ex AS (
+      SELECT doc_id, unnest(ws) AS s FROM base
+    ), common AS (
+      -- equi-join on shingle instead of all-pairs list_intersect:
+      -- pairs with zero common shingles cannot reach the threshold, so
+      -- this is EXACTLY the same result at sub-quadratic cost (the
+      -- all-pairs form ran minutes-to-never at sf0.1)
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS c
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_id_a, doc_id_b,
+           round(c / (sa.n + sb.n - c), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON common.doc_id_a = sa.doc_id
+    JOIN sizes sb ON common.doc_id_b = sb.doc_id
+    WHERE c / (sa.n + sb.n - c) >= 0.6
     """,
 )
 def q136(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -150,17 +150,31 @@ def q90(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q91 — fuzzy entity-resolution join: customer-name pairs within edit
 # distance 1, blocked by SymSpell deletion neighborhoods (linear key
-# volume) + levenshtein verify. The oracle is the O(n^2) brute force —
-# tractable at oracle scale, which is exactly why the blocked plan is
-# the operator.
+# volume) + levenshtein verify. The oracle blocks by the SAME deletion-
+# neighborhood identity (two strings within distance 1 ALWAYS share a
+# delete-<=1 key: delete the edited position from whichever side has
+# it) and then verifies with levenshtein — exact by construction, and
+# it replaces the brute-force O(n^2) form that ran >2 min at sf0.1.
 # --------------------------------------------------------------------------
 @register(
     "q91_fuzzy_join",
     oracle="""
-    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
-           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
-    FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
-    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    WITH keys AS (
+      SELECT c_custkey, c_name, c_name AS k FROM customer
+      UNION ALL
+      SELECT c_custkey, c_name,
+             concat(substr(c_name, 1, i - 1), substr(c_name, i + 1))
+      FROM customer, generate_series(1, 64) t(i)
+      WHERE i <= length(c_name)
+    ), cand AS (
+      SELECT DISTINCT a.c_custkey AS id_a, b.c_custkey AS id_b,
+             a.c_name AS na, b.c_name AS nb
+      FROM keys a JOIN keys b
+        ON a.k = b.k AND a.c_custkey < b.c_custkey
+    )
+    SELECT id_a, id_b,
+           CAST(levenshtein(na, nb) AS BIGINT) AS dist
+    FROM cand WHERE levenshtein(na, nb) <= 1
     """,
 )
 def q91(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -26,22 +26,17 @@ from . import ORACLES, load, register
 # doc_id, exactly the fixpoint of min-label propagation.
 _Q29_SQL = ORACLES["q29_minhash_lsh_pairs"]
 
+# component-family oracles run reachability over STAR edges (same
+# components, linear edge count) — see textops.STAR_EDGES_SQL
+from .textops import COMPONENT_CTES_SQL, STAR_EDGES_SQL  # noqa: E402
+_COMP_SQL = COMPONENT_CTES_SQL.format(star_edges=STAR_EDGES_SQL)
+
 
 @register(
     "q53_dedup_components",
     oracle=f"""
-    WITH RECURSIVE pairs AS (
-      {_Q29_SQL}
-    ), edges AS (
-      SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
-      UNION ALL
-      SELECT doc_id_b AS src, doc_id_a AS dst FROM pairs
-    ), reach(id, lab) AS (
-      SELECT DISTINCT src, src FROM edges
-      UNION
-      SELECT e.dst, r.lab FROM edges e JOIN reach r ON e.src = r.id
-    )
-    SELECT id AS doc_id, MIN(lab) AS component FROM reach GROUP BY id
+    WITH RECURSIVE {_COMP_SQL}
+    SELECT doc_id, component FROM comp
     """,
 )
 def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -271,19 +266,7 @@ def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q62_dedup_keep_best",
     oracle=f"""
-    WITH RECURSIVE pairs AS (
-      {_Q29_SQL}
-    ), edges AS (
-      SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
-      UNION ALL
-      SELECT doc_id_b AS src, doc_id_a AS dst FROM pairs
-    ), reach(id, lab) AS (
-      SELECT DISTINCT src, src FROM edges
-      UNION
-      SELECT e.dst, r.lab FROM edges e JOIN reach r ON e.src = r.id
-    ), comp AS (
-      SELECT id AS doc_id, MIN(lab) AS component FROM reach GROUP BY id
-    ), full_comp AS (
+    WITH RECURSIVE {_COMP_SQL}, full_comp AS (
       -- singletons (no near-dup edge) are their own component
       SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
              d.n_chars
@@ -1186,19 +1169,7 @@ def q173(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q208_cluster_size_histogram",
     oracle=f"""
-    WITH RECURSIVE pairs AS (
-      {_Q29_SQL}
-    ), edges AS (
-      SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
-      UNION ALL
-      SELECT doc_id_b AS src, doc_id_a AS dst FROM pairs
-    ), reach(id, lab) AS (
-      SELECT DISTINCT src, src FROM edges
-      UNION
-      SELECT e.dst, r.lab FROM edges e JOIN reach r ON e.src = r.id
-    ), comp AS (
-      SELECT id AS doc_id, MIN(lab) AS component FROM reach GROUP BY id
-    ), sizes AS (
+    WITH RECURSIVE {_COMP_SQL}, sizes AS (
       SELECT component, COUNT(*) AS sz FROM comp GROUP BY component
       UNION ALL
       SELECT doc_id AS component, 1 AS sz

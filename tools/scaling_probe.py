@@ -30,6 +30,10 @@ DEFAULT_QUERIES = [
     "q34_token_counts",      # explode-heavy text pass
     "q36_embed_topk",        # broadcast-scored ANN baseline
     "q83_zonal_stats",       # join + rollup
+    "q136_prefix_ssjoin",    # PPJoin prefix filter (sub-quadratic claim)
+    "q233_snapshot_delete",  # snapshot build + merge-on-read delete read
+    "q240_snapshot_cdf",     # change-feed replay (O(delta) claim)
+    "q242_k_anonymity",      # shrinking double aggregation
 ]
 
 SF_DIRS = [
