@@ -52,15 +52,26 @@ def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH base AS (
       SELECT doc_id, source, {SQL_WORDSET} AS ws FROM documents
+    ), sizes AS (
+      SELECT doc_id, len(ws) AS n FROM base
+    ), ex AS (
+      SELECT doc_id, source, unnest(ws) AS w FROM base
+    ), common AS (
+      -- equi-join on term instead of all-pairs list_intersect (zero
+      -- overlap cannot reach the threshold -> identical result set)
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS c
+      FROM ex a JOIN ex b
+        ON a.w = b.w AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
     ), pairs AS (
-      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-             round(len(list_intersect(a.ws, b.ws))
-                   / (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))),
-                   6) AS jaccard
-      FROM base a JOIN base b
-        ON a.source = b.source AND a.doc_id < b.doc_id
+      SELECT doc_id_a, doc_id_b,
+             round(c / (sa.n + sb.n - c), 6) AS jaccard
+      FROM common
+      JOIN sizes sa ON common.doc_id_a = sa.doc_id
+      JOIN sizes sb ON common.doc_id_b = sb.doc_id
+      WHERE c / (sa.n + sb.n - c) >= 0.5
     )
-    SELECT * FROM pairs WHERE jaccard >= 0.5
+    SELECT * FROM pairs
     """,
 )
 def q27(spark: SparkSession, sf_dir: str) -> DataFrame:

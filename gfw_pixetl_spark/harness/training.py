@@ -418,15 +418,24 @@ def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
              ELSE CAST([] AS VARCHAR[]) END) AS ss
       FROM w
     )
-    SELECT doc_id_a, doc_id_b, jaccard FROM (
-      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
-             round(len(list_intersect(a.ss, b.ss))
-                   / (len(a.ss) + len(b.ss) - len(list_intersect(a.ss, b.ss))),
-                   6) AS jaccard
-      FROM base a JOIN base b
-        ON a.source = b.source AND a.doc_id < b.doc_id
-      WHERE len(a.ss) > 0 AND len(b.ss) > 0
-    ) WHERE jaccard >= 0.5
+    , sizes AS (
+      SELECT doc_id, len(ss) AS n FROM base WHERE len(ss) > 0
+    ), ex AS (
+      SELECT doc_id, source, unnest(ss) AS s FROM base
+    ), common AS (
+      -- equi-join on shingle instead of all-pairs list_intersect
+      -- (zero overlap cannot reach 0.5 -> identical result set)
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS c
+      FROM ex a JOIN ex b
+        ON a.s = b.s AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_id_a, doc_id_b,
+           round(c / (sa.n + sb.n - c), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON common.doc_id_a = sa.doc_id
+    JOIN sizes sb ON common.doc_id_b = sb.doc_id
+    WHERE c / (sa.n + sb.n - c) >= 0.5
     """,
 )
 def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
