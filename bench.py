@@ -230,6 +230,7 @@ BENCH_QUERIES = [
     "q241_tile_store_versions",
     "q242_k_anonymity",
     "q243_dp_noisy_counts",
+    "q244_mmr_select",
 ]
 
 

@@ -447,3 +447,69 @@ def pq_encode(
         err = err + F.array_min(darr)
     out_cols.append(F.round(err, 6).alias("recon_err"))
     return df.select(*out_cols)
+
+
+def mmr_select(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 3,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein 1998):
+    greedily pick k items maximizing ``lam * rel - (1 - lam) * max-sim to
+    already-selected`` — the diversity re-rank between retrieval and a
+    context window.
+
+    Scale shape: the greedy loop is k BOUNDED driver steps; each scores
+    the corpus against the (broadcast, <= k-row) selected set and takes
+    a TakeOrdered(1). Nothing corpus-sized ever reaches the driver, and
+    the corpus-side plan is map + bounded-k join per step. Ties break by
+    id for cross-engine determinism; only ids are emitted (argmax ids
+    are stable across engines where raw float scores would not hash).
+    """
+    from pyspark.sql import functions as F
+
+    from .partitioning import ensure_min_partitions
+
+    q = query.select(F.col(vec_col).alias("qvec"))
+    cands = ensure_min_partitions(
+        corpus.select(F.col(id_col).alias("vid"),
+                      F.col(vec_col).alias("vec"))
+    ).crossJoin(F.broadcast(q)).select(
+        "vid", "vec", cosine(F.col("vec"), F.col("qvec")).alias("rel")
+    ).localCheckpoint(eager=False)
+
+    spark = corpus.sparkSession
+    selected: list = []  # (step, vid, vec)
+    for step in range(1, k + 1):
+        pool = cands
+        if selected:
+            sel = spark.createDataFrame(
+                [(r[1], r[2]) for r in selected], ["svid", "svec"]
+            )
+            sims = (
+                pool.join(F.broadcast(sel), F.col("vid") != F.col("svid"))
+                .groupBy("vid", "rel")
+                .agg(F.max(cosine(F.col("vec"), F.col("svec")))
+                     .alias("ms"))
+            )
+            picked_ids = [r[1] for r in selected]
+            score = F.lit(lam) * F.col("rel") \
+                - F.lit(1.0 - lam) * F.col("ms")
+            top = (
+                sims.filter(~F.col("vid").isin(picked_ids))
+                .orderBy(score.desc(), F.col("vid"))
+                .limit(1)
+                .join(pool.select("vid", "vec"), "vid")
+                .collect()
+            )
+        else:
+            top = pool.orderBy(F.col("rel").desc(),
+                               F.col("vid")).limit(1).collect()
+        r = top[0]
+        selected.append((step, int(r.vid),
+                         [float(x) for x in r.vec]))
+    return spark.createDataFrame(
+        [(s, v) for s, v, _ in selected], "step int, vec_id bigint")

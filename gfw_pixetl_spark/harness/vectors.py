@@ -61,6 +61,58 @@ def q36(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q244 — Maximal Marginal Relevance (Carbonell & Goldstein 1998): the
+# diversity re-rank between retrieval and a context window. Greedy
+# k = 3 selection maximizing 0.7*rel - 0.3*max-sim-to-selected over the
+# 200-vector candidate slice, query = vec 0. The loop is k BOUNDED
+# driver steps (TakeOrdered(1) per step, broadcast <= k selected
+# vectors); the oracle unrolls the same greedy argmax in SQL. Only ids
+# ride in the result — argmax ids are cross-engine stable where raw
+# float scores would not hash.
+# --------------------------------------------------------------------------
+_MMR_SCORE = f"0.7 * rel - 0.30000000000000004 * ms"
+
+
+@register(
+    "q244_mmr_select",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cands AS (
+      SELECT vec_id, embedding,
+             {_sql_cos('embedding', 'q.qv')} AS rel
+      FROM embeddings, q WHERE vec_id != 0 AND vec_id < 200
+    ), s1 AS (
+      SELECT vec_id, embedding FROM cands
+      ORDER BY rel DESC, vec_id LIMIT 1
+    ), m2 AS (
+      SELECT c.vec_id, c.embedding, c.rel,
+             {_sql_cos('c.embedding', 's1.embedding')} AS ms
+      FROM cands c, s1 WHERE c.vec_id != s1.vec_id
+    ), s2 AS (
+      SELECT vec_id, embedding FROM m2
+      ORDER BY {_MMR_SCORE} DESC, vec_id LIMIT 1
+    ), m3 AS (
+      SELECT c.vec_id, c.rel,
+             GREATEST({_sql_cos('c.embedding', 's1.embedding')},
+                      {_sql_cos('c.embedding', 's2.embedding')}) AS ms
+      FROM cands c, s1, s2
+      WHERE c.vec_id NOT IN (s1.vec_id, s2.vec_id)
+    ), s3 AS (
+      SELECT vec_id FROM m3 ORDER BY {_MMR_SCORE} DESC, vec_id LIMIT 1
+    )
+    SELECT 1 AS step, (SELECT CAST(vec_id AS BIGINT) FROM s1) AS vec_id
+    UNION ALL SELECT 2, (SELECT CAST(vec_id AS BIGINT) FROM s2)
+    UNION ALL SELECT 3, (SELECT CAST(vec_id AS BIGINT) FROM s3)
+    """,
+)
+def q244(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.filter((F.col("vec_id") != 0) & (F.col("vec_id") < 200))
+    query = emb.filter(F.col("vec_id") == 0)
+    return S.mmr_select(corpus, query, k=3, lam=0.7)
+
+
+# --------------------------------------------------------------------------
 # q37 — LSH-bucketed approximate top-k (the scale path: equi-join on
 # bucket instead of a cross join)
 # --------------------------------------------------------------------------
