@@ -1457,3 +1457,291 @@ def q226(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "p_size")
         .limit(30)
     )
+
+
+# --------------------------------------------------------------------------
+# q245 — the TPC-H Q2 shape (minimum-cost supplier), adapted to this
+# schema: there is no partsupp table, so "supply cost" is the minimum
+# observed unit price (l_extendedprice / l_quantity) each supplier ever
+# charged for the part. The classic formulation is a correlated scalar
+# subquery re-aggregating the fact per part; the engine DECORRELATES it
+# into ONE aggregation (per part+supplier unit cost) plus a per-part
+# window MIN — a single shuffle on l_partkey instead of a correlated
+# re-scan, which is the only plan that survives 100 TB. Dims
+# (supplier ⨝ nation ⨝ region) are broadcast. Top-100 via TakeOrdered.
+# --------------------------------------------------------------------------
+@register(
+    "q245_min_cost_supplier",
+    oracle="""
+    WITH eu_supp AS (
+      SELECT s_suppkey, s_name, CAST(s_acctbal AS DOUBLE) AS s_acctbal,
+             n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ),
+    cost AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem
+      WHERE l_suppkey IN (SELECT s_suppkey FROM eu_supp)
+      GROUP BY 1, 2
+    )
+    SELECT s.s_acctbal AS s_acctbal, s.s_name AS s_name,
+           s.n_name AS n_name, CAST(p.p_partkey AS BIGINT) AS p_partkey,
+           p.p_name AS p_name, c.unit_cost AS unit_cost
+    FROM cost c
+    JOIN eu_supp s ON c.l_suppkey = s.s_suppkey
+    JOIN part p ON c.l_partkey = p.p_partkey
+    WHERE p.p_type = 'LARGE' AND p.p_size BETWEEN 10 AND 40
+      AND c.unit_cost = (
+        SELECT MIN(c2.unit_cost) FROM cost c2
+        WHERE c2.l_partkey = c.l_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q245(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(load(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(load(spark, sf_dir, "region")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name",
+                F.col("s_acctbal").cast("double").alias("s_acctbal"),
+                "n_name")
+    )
+    part = (
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "LARGE")
+                & F.col("p_size").between(10, 40))
+        .select("p_partkey", "p_name")
+    )
+    cost = (
+        load(spark, sf_dir, "lineitem")
+        .join(F.broadcast(supp.select("s_suppkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+             .alias("unit_cost"))
+    )
+    w = Window.partitionBy("l_partkey")
+    best = (
+        cost.withColumn("min_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .drop("min_cost")
+    )
+    return (
+        best.join(F.broadcast(part),
+                  best.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .select("s_acctbal", "s_name", "n_name",
+                F.col("p_partkey").cast("bigint").alias("p_partkey"),
+                "p_name", "unit_cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name",
+                 "p_partkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# q246 — the TPC-H Q9 shape (product-type profit by nation and year),
+# adapted: cost basis is 0.5 * p_retailprice per unit (no partsupp
+# supplycost here). Revenue and cost are accumulated as exact decimals
+# in SEPARATE sums and combined as doubles outside the aggregate, so
+# both engines run the identical IEEE ops. One shuffle on the group
+# key; part + supplier-nation dims broadcast.
+# --------------------------------------------------------------------------
+@register(
+    "q246_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(7,6))
+                       - CAST(l.l_discount AS DECIMAL(7,6)))) AS DOUBLE)
+           - 0.5 * CAST(SUM(CAST(p.p_retailprice AS DECIMAL(18,2))
+                            * CAST(l.l_quantity AS DECIMAL(18,2)))
+                        AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q246(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("int").alias("o_year"))
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    snation = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(load(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    one_minus_disc = (F.lit(1).cast("decimal(7,6)")
+                      - F.col("l_discount").cast("decimal(7,6)"))
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * one_minus_disc
+    cost = (F.col("p_retailprice").cast("decimal(18,2)")
+            * F.col("l_quantity").cast("decimal(18,2)"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(snation), li.l_suppkey == snation.s_suppkey)
+        .groupBy("nation", "o_year")
+        .agg((F.sum(rev).cast("double")
+              - 0.5 * F.sum(cost).cast("double")).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+# --------------------------------------------------------------------------
+# q247 — the TPC-H Q11 shape (important stock), adapted: per-part value
+# is the decimal-exact extended-price sum shipped by ASIA suppliers;
+# the HAVING compares against a scalar derived from the same filtered
+# set (2x the mean per-part value — scale-free, so selectivity holds at
+# any SF). The scalar is ONE row cross-joined broadcast, not a
+# correlated re-scan; the fact shuffles once on l_partkey.
+# --------------------------------------------------------------------------
+@register(
+    "q247_important_parts",
+    oracle="""
+    WITH v AS (
+      SELECT l.l_partkey,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                  AS DOUBLE) AS part_value
+      FROM lineitem l
+      WHERE l.l_suppkey IN (
+        SELECT s_suppkey FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA')
+      GROUP BY 1
+    )
+    SELECT CAST(l_partkey AS BIGINT) AS p_partkey,
+           part_value
+    FROM v
+    WHERE part_value > (SELECT 2.0 * AVG(part_value) FROM v)
+    ORDER BY part_value DESC, p_partkey
+    """,
+)
+def q247(spark: SparkSession, sf_dir: str) -> DataFrame:
+    asia = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(load(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(load(spark, sf_dir, "region")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .select("s_suppkey")
+    )
+    v = (
+        load(spark, sf_dir, "lineitem")
+        .join(F.broadcast(asia),
+              F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+             .cast("double").alias("part_value"))
+    )
+    threshold = v.agg(
+        (F.lit(2.0) * F.avg("part_value")).alias("thr"))
+    return (
+        v.crossJoin(F.broadcast(threshold))
+        .filter(F.col("part_value") > F.col("thr"))
+        .select(F.col("l_partkey").cast("bigint").alias("p_partkey"),
+                "part_value")
+        .orderBy(F.col("part_value").desc(), "p_partkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q248 — the TPC-H Q20 shape (suppliers with excess stock), adapted:
+# a supplier qualifies when its all-time shipped quantity of a
+# 'cold%'-named part exceeds half that part's total 1995 shipments.
+# The classic nested-IN chain decorrelates into two aggregations over
+# the name-filtered fact slice (per part+supplier, per part-in-1995)
+# joined on l_partkey, then a semi join back to the region's suppliers
+# — no correlated re-scan, each agg shuffles once on its key.
+# --------------------------------------------------------------------------
+@register(
+    "q248_excess_stock_suppliers",
+    oracle="""
+    SELECT s.s_name AS s_name, n.n_name AS n_name,
+           CAST(s.s_acctbal AS DOUBLE) AS s_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND s.s_suppkey IN (
+        SELECT ps.l_suppkey
+        FROM (
+          SELECT l_partkey, l_suppkey,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                      AS DOUBLE) AS supp_qty
+          FROM lineitem
+          WHERE l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'cold%')
+          GROUP BY 1, 2) ps
+        JOIN (
+          SELECT l_partkey,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                      AS DOUBLE) AS total_qty_1995
+          FROM lineitem
+          WHERE l_partkey IN (
+            SELECT p_partkey FROM part WHERE p_name LIKE 'cold%')
+            AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+          GROUP BY 1) pt USING (l_partkey)
+        WHERE ps.supp_qty > 0.5 * pt.total_qty_1995)
+    ORDER BY s_name
+    """,
+)
+def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cold = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("cold%"))
+        .select(F.col("p_partkey").alias("l_partkey"))
+    )
+    li = load(spark, sf_dir, "lineitem").join(
+        F.broadcast(cold), "l_partkey", "left_semi")
+    supp_qty = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double").alias("supp_qty"))
+    total_1995 = (
+        li.filter(
+            (F.col("l_shipdate")
+             >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate")
+               < F.lit("1996-01-01 00:00:00").cast("timestamp")))
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+             .cast("double").alias("total_qty_1995"))
+    )
+    excess = (
+        supp_qty.join(total_1995, "l_partkey")
+        .filter(F.col("supp_qty") > 0.5 * F.col("total_qty_1995"))
+        .select(F.col("l_suppkey").alias("s_suppkey")).distinct()
+    )
+    return (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(load(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(load(spark, sf_dir, "region")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .join(excess, "s_suppkey", "left_semi")
+        .select("s_name", "n_name",
+                F.col("s_acctbal").cast("double").alias("s_acctbal"))
+        .orderBy("s_name")
+    )
