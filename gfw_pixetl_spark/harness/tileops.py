@@ -1984,3 +1984,199 @@ def q230(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("new_v").cast("bigint").alias("max_eq"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q249 — raster SIEVE (the gdal_sieve.py shape, reference's GDAL-utility
+# family): connected foreground regions smaller than a pixel threshold
+# are removed (set to background). GDAL's full semantic merges small
+# polygons into their largest neighbor; for a binary mask — the
+# reference's data-type table is dominated by boolean/uint8 masks —
+# "merge into neighbor" IS "set to background", so the adaptation is
+# exact for this profile. Engine composition: the SAME pixel →
+# 4-adjacency equi-self-joins → pointer-jumping component resolver as
+# polygonize (q213), then a size filter — one extra groupBy, no new
+# machinery. The oracle replays components on the md5-parity block
+# graph (recursive CTE) with the threshold scaled to block units.
+# --------------------------------------------------------------------------
+_SIEVE_THRESHOLD_PX = 48  # components under 3 blocks (48 px) are sieved
+
+
+@register(
+    "q249_raster_sieve",
+    oracle=f"""
+    WITH RECURSIVE blk AS (
+      SELECT i.br AS br, j.bc AS bc,
+             i.br * {_POLY_N // _POLY_B} + j.bc AS bid,
+             CAST(('0x' || substr(md5(CAST(
+               i.br * {_POLY_N // _POLY_B} + j.bc AS VARCHAR)), 1, 2))
+               AS INT) % 2 AS v
+      FROM generate_series(0, {_POLY_N // _POLY_B - 1}) i(br),
+           generate_series(0, {_POLY_N // _POLY_B - 1}) j(bc)
+    ), ones AS (
+      SELECT * FROM blk WHERE v = 1
+    ), e0 AS (
+      SELECT a.bid AS src, b.bid AS dst
+      FROM ones a JOIN ones b
+        ON (a.br = b.br AND a.bc + 1 = b.bc)
+        OR (a.br + 1 = b.br AND a.bc = b.bc)
+    ), edges AS (
+      SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0
+    ), reach(id, lab) AS (
+      SELECT bid, bid FROM ones
+      UNION
+      SELECT e.dst, r.lab FROM edges e JOIN reach r ON e.src = r.id
+    ), comp AS (
+      SELECT id, MIN(lab) AS lab FROM reach GROUP BY id
+    ), sizes AS (
+      SELECT lab, COUNT(*) * {_POLY_B * _POLY_B} AS px
+      FROM comp GROUP BY lab
+    )
+    SELECT
+      CAST(COUNT(*) FILTER (px >= {_SIEVE_THRESHOLD_PX}) AS BIGINT)
+        AS n_kept,
+      CAST(COUNT(*) FILTER (px < {_SIEVE_THRESHOLD_PX}) AS BIGINT)
+        AS n_sieved,
+      CAST(COALESCE(SUM(px) FILTER (px < {_SIEVE_THRESHOLD_PX}), 0)
+        AS BIGINT) AS px_removed,
+      CAST(COALESCE(SUM(px) FILTER (px >= {_SIEVE_THRESHOLD_PX}), 0)
+        AS BIGINT) AS px_kept
+    FROM sizes
+    """,
+)
+def q249(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.dedup import connected_components
+    from ..sources.raster_table import raster_catalog, read_pixels
+
+    cat = raster_catalog(spark, [_poly_demo_file()])
+    px = read_pixels(cat, window=16, parallelism=8).filter(
+        F.col("value") == 1)
+    ids = px.select(
+        (F.col("row").cast("long") * _POLY_N + F.col("col")).alias("pid"),
+        "row", "col",
+    )
+    a, b = ids.alias("a"), ids.alias("b")
+    right = a.join(
+        b, (F.col("a.row") == F.col("b.row"))
+        & (F.col("a.col") + 1 == F.col("b.col"))
+    ).select(F.col("a.pid").alias("doc_id_a"),
+             F.col("b.pid").alias("doc_id_b"))
+    down = a.join(
+        b, (F.col("a.row") + 1 == F.col("b.row"))
+        & (F.col("a.col") == F.col("b.col"))
+    ).select(F.col("a.pid").alias("doc_id_a"),
+             F.col("b.pid").alias("doc_id_b"))
+    comp = connected_components(right.unionAll(down))
+    labeled = ids.join(
+        comp.withColumnRenamed("doc_id", "pid"), "pid", "left"
+    ).select("pid", F.coalesce("component", F.col("pid")).alias("component"))
+    sizes = labeled.groupBy("component").agg(F.count("*").alias("px"))
+    small = F.col("px") < _SIEVE_THRESHOLD_PX
+    return sizes.agg(
+        F.count(F.when(~small, 1)).cast("bigint").alias("n_kept"),
+        F.count(F.when(small, 1)).cast("bigint").alias("n_sieved"),
+        F.coalesce(F.sum(F.when(small, F.col("px"))), F.lit(0))
+        .cast("bigint").alias("px_removed"),
+        F.coalesce(F.sum(F.when(~small, F.col("px"))), F.lit(0))
+        .cast("bigint").alias("px_kept"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q250 — raster PROXIMITY (the gdal_proximity.py shape): per-pixel
+# Euclidean distance to the nearest target pixel, bounded by maxdist.
+# The scale plan is spatial binning, NOT an all-pairs or theta join:
+# pixels are keyed by a (row/R, col/R) grid cell, each TARGET is
+# exploded to its 9 neighboring cell keys (a Chebyshev-R ball can only
+# reach cells one step away when the cell side equals R), and
+# candidates meet in a plain equi-join on the cell key — linear in
+# pixels at fixed target density, the classic distributed
+# distance-transform trick. Distances come out as a GROUPED HISTOGRAM
+# (sqrt is correctly-rounded IEEE, and counts dodge float-sum order),
+# value-exact vs a DuckDB banded-join replay of the same md5-parity
+# raster. Pixels beyond maxdist are reported via the n_unreached count
+# (GDAL writes nodata there).
+# --------------------------------------------------------------------------
+_PROX_R = 6  # maxdist in pixels
+
+
+@register(
+    "q250_raster_proximity",
+    oracle=f"""
+    WITH px AS (
+      SELECT i.r AS r, j.c AS c,
+             CAST(('0x' || substr(md5(CAST(
+               (i.r // {_POLY_B}) * {_POLY_N // _POLY_B}
+               + (j.c // {_POLY_B}) AS VARCHAR)), 1, 2))
+               AS INT) % 2 AS v
+      FROM generate_series(0, {_POLY_N - 1}) i(r),
+           generate_series(0, {_POLY_N - 1}) j(c)
+    ), t AS (
+      SELECT r, c FROM px WHERE v = 1
+    ), z AS (
+      SELECT r, c FROM px WHERE v = 0
+    ), nearest AS (
+      SELECT z.r, z.c,
+             MIN((z.r - t.r) * (z.r - t.r)
+                 + (z.c - t.c) * (z.c - t.c)) AS d2
+      FROM z JOIN t
+        ON t.r BETWEEN z.r - {_PROX_R} AND z.r + {_PROX_R}
+       AND t.c BETWEEN z.c - {_PROX_R} AND z.c + {_PROX_R}
+      GROUP BY 1, 2
+    ), reached AS (
+      SELECT * FROM nearest WHERE d2 <= {_PROX_R * _PROX_R}
+    )
+    SELECT CAST(SQRT(d2) AS DOUBLE) AS dist,
+           CAST(COUNT(*) AS BIGINT) AS n_px
+    FROM reached
+    GROUP BY d2
+    UNION ALL
+    SELECT CAST(-1.0 AS DOUBLE) AS dist,
+           CAST((SELECT COUNT(*) FROM z)
+                - (SELECT COUNT(*) FROM reached) AS BIGINT) AS n_px
+    ORDER BY dist
+    """,
+)
+def q250(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.raster_table import raster_catalog, read_pixels
+
+    cat = raster_catalog(spark, [_poly_demo_file()])
+    px = read_pixels(cat, window=16, parallelism=8).select(
+        "row", "col", "value")
+    r = _PROX_R
+    cell = [(F.col("row") / r).cast("int").alias("cell_r"),
+            (F.col("col") / r).cast("int").alias("cell_c")]
+    zeros = px.filter(F.col("value") == 0).select("row", "col", *cell)
+    off = F.array([F.lit(i) for i in (-1, 0, 1)])
+    targets = (
+        px.filter(F.col("value") == 1)
+        .select(F.col("row").alias("t_row"), F.col("col").alias("t_col"),
+                *cell)
+        .withColumn("dr", F.explode(off))
+        .withColumn("dc", F.explode(off))
+        .select("t_row", "t_col",
+                (F.col("cell_r") + F.col("dr")).alias("cell_r"),
+                (F.col("cell_c") + F.col("dc")).alias("cell_c"))
+    )
+    d2 = ((F.col("row") - F.col("t_row")) * (F.col("row") - F.col("t_row"))
+          + (F.col("col") - F.col("t_col"))
+          * (F.col("col") - F.col("t_col")))
+    nearest = (
+        zeros.join(targets, ["cell_r", "cell_c"])
+        .groupBy("row", "col")
+        .agg(F.min(d2).alias("d2"))
+    )
+    reached = nearest.filter(F.col("d2") <= r * r)
+    hist = reached.groupBy("d2").agg(
+        F.count("*").cast("bigint").alias("n_px")
+    ).select(F.sqrt("d2").cast("double").alias("dist"), "n_px")
+    # unreached = zeros minus reached, both as 1-row aggregates joined
+    # broadcast — no eager driver-side count
+    n_zero = zeros.agg(F.count("*").alias("nz"))
+    unreached = (
+        reached.agg(F.count("*").alias("nr"))
+        .crossJoin(F.broadcast(n_zero))
+        .select(F.lit(-1.0).cast("double").alias("dist"),
+                (F.col("nz") - F.col("nr")).cast("bigint").alias("n_px"))
+    )
+    return hist.unionAll(unreached).orderBy("dist")
