@@ -367,3 +367,56 @@ def cdc_boundaries(
         id_col,
         F.explode(bounds).alias("boundary_pos"),
     )
+
+
+# Tracking parameters stripped during URL canonicalization (the
+# CommonCrawl/WARC dedup convention: analytics noise, not content
+# identity). Kept as a module constant so SQL oracles inline the same
+# list.
+URL_TRACKING_PARAMS_REGEX = r"^(utm_[^=]*|fbclid|gclid|msclkid)="
+
+
+def canonical_url(col: Column | str) -> Column:
+    """Canonical form of an absolute http(s) URL, entirely JVM-side.
+
+    The normalization ladder every crawl-dedup pipeline applies before
+    URL-level dedup (reference analogue: upstream tile URIs are
+    normalized once before the manifest diff —
+    gfw_pixetl/models/layer_model.py source URI handling):
+
+    - scheme and host lowercased
+    - leading ``www.`` dropped
+    - default ports (``:80`` http, ``:443`` https) dropped
+    - fragment dropped
+    - tracking params (``utm_*``/fbclid/gclid/msclkid) removed,
+      remaining query params sorted bytewise
+    - trailing slashes collapsed (root stays ``/``)
+
+    Pure column expressions (regexp + HOF filter + array_sort) — no UDF,
+    no shuffle; safe at any scale as a map-only projection.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.\-]*):", 1))
+    authority = F.regexp_extract(c, r"^[^:]+://([^/?#]*)", 1)
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(authority, r"^([^:]+)", 1)),
+        r"^www\.", "")
+    port = F.regexp_extract(authority, r":([0-9]+)$", 1)
+    port_part = F.when(
+        (port == "")
+        | ((scheme == F.lit("https")) & (port == "443"))
+        | ((scheme == F.lit("http")) & (port == "80")),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+    raw_path = F.regexp_extract(c, r"^[^:]+://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(raw_path, r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    raw_query = F.regexp_extract(c, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(raw_query, "&"),
+        lambda p: (p != "") & ~p.rlike(URL_TRACKING_PARAMS_REGEX),
+    )
+    query = F.array_join(F.array_sort(params), "&")
+    query_part = F.when(query == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), query))
+    return F.concat(scheme, F.lit("://"), host, port_part, path, query_part)

@@ -2760,3 +2760,74 @@ def q229(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("token").asc())
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# q251 — URL CANONICALIZATION + host-level dedup, the step every crawl
+# pipeline runs before any content dedup (trafilatura/CCNet drop
+# tracking params and case noise so the same page fetched four ways
+# counts once). Each doc synthesizes one of four deterministic messy
+# variants of its page URL (case noise, default port, trailing slash,
+# utm/gclid params, fragment, param order); `T.canonical_url` — pure
+# regexp/HOF column expressions, map-only, no UDF — collapses the three
+# https variants to one canonical form while the http variant stays
+# distinct. The oracle does NOT replay the parser: it constructs the
+# expected canonical strings analytically from the variant table, so a
+# parser bug cannot hide on both sides. Per-host aggregation is
+# value-domain-sized (~#sources); MIN(canonical) value-checks exact
+# output bytes.
+# --------------------------------------------------------------------------
+@register(
+    "q251_url_canonicalize",
+    oracle="""
+    WITH urls AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 4 = 3
+                  THEN 'http://' || source || '.example.com/data/'
+                       || CAST(doc_id % 40 AS VARCHAR) || '?a=1&b=2'
+                  ELSE 'https://' || source || '.example.com/data/'
+                       || CAST(doc_id % 40 AS VARCHAR) || '?a=1&b=2'
+             END AS canonical
+      FROM documents
+    )
+    SELECT source || '.example.com' AS host,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT canonical) AS BIGINT) AS n_canonical,
+           MIN(canonical) AS first_url
+    FROM urls
+    GROUP BY 1
+    ORDER BY host
+    """,
+)
+def q251(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n = F.col("doc_id") % 40
+    messy = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(
+            F.lit("https://www."), F.col("source"),
+            F.lit(".example.com/data/"), n.cast("string"),
+            F.lit("?b=2&a=1")))
+        .when(F.col("doc_id") % 4 == 1, F.concat(
+            F.lit("HTTPS://WWW."), F.col("source"),
+            F.lit(".Example.COM:443/data/"), n.cast("string"),
+            F.lit("/?a=1&utm_source=feed&b=2#top")))
+        .when(F.col("doc_id") % 4 == 2, F.concat(
+            F.lit("https://"), F.col("source"),
+            F.lit(".example.com/data/"), n.cast("string"),
+            F.lit("?a=1&b=2&gclid=abc")))
+        .otherwise(F.concat(
+            F.lit("http://"), F.col("source"),
+            F.lit(".example.com:80/data/"), n.cast("string"),
+            F.lit("?b=2&a=1")))
+    )
+    canon = docs.select(
+        "doc_id", "source", T.canonical_url(messy).alias("canonical"))
+    host = F.regexp_extract(F.col("canonical"), r"^[^:]+://([^/:?#]*)", 1)
+    return (
+        canon.groupBy(host.alias("host"))
+        .agg(F.count("*").cast("bigint").alias("n_docs"),
+             F.countDistinct("canonical").cast("bigint")
+             .alias("n_canonical"),
+             F.min("canonical").alias("first_url"))
+        .orderBy("host")
+    )
