@@ -2180,3 +2180,122 @@ def q250(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("nz") - F.col("nr")).cast("bigint").alias("n_px"))
     )
     return hist.unionAll(unreached).orderBy("dist")
+
+
+# --------------------------------------------------------------------------
+# q252 — FILLNODATA (the gdal_fillnodata.py shape): nodata holes are
+# filled by inverse-distance-weighted interpolation of valid pixels
+# within a search radius. Same spatial-binning plan as proximity
+# (q250): valid pixels explode to 9 neighbor cell keys (cell side =
+# radius), holes meet them in a plain equi-join — linear in pixels, no
+# theta join. DETERMINISM TRICK: GDAL's 1/d weights would make the
+# fill a float sum whose value depends on reduction order; here the
+# weight is the INTEGER (R^2 + 1 - d^2), so numerator and denominator
+# are exact BIGINT sums and the fill is ONE IEEE division of exact
+# operands — bit-identical on any partitioning and on DuckDB. The demo
+# raster carries the full md5 byte per block (0..255); pixels with
+# value % 4 == 0 are the holes (~25%).
+# --------------------------------------------------------------------------
+_FILL_R = 6  # search radius (px)
+
+
+def _fill_demo_file() -> str:
+    import hashlib
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from ..sources.geotiff import write_cog
+
+    d = os.path.join(tempfile.gettempdir(), "gfw_pixetl_spark_rt_demo")
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, "fillnodata.tif")
+    if not os.path.exists(p):
+        nb = _POLY_N // _POLY_B
+        blocks = np.zeros((nb, nb), dtype="uint8")
+        for br in range(nb):
+            for bc in range(nb):
+                h = hashlib.md5(str(br * nb + bc).encode()).hexdigest()
+                blocks[br, bc] = int(h[:2], 16)
+        v = np.repeat(np.repeat(blocks, _POLY_B, 0), _POLY_B, 1)
+        write_cog(p, v[None], transform=(0.0, 0.1, 10.0, 0.1),
+                  blockxsize=16, overviews=False)
+    return p
+
+
+@register(
+    "q252_fillnodata",
+    oracle=f"""
+    WITH px AS (
+      SELECT i.r AS r, j.c AS c,
+             CAST(('0x' || substr(md5(CAST(
+               (i.r // {_POLY_B}) * {_POLY_N // _POLY_B}
+               + (j.c // {_POLY_B}) AS VARCHAR)), 1, 2))
+               AS BIGINT) AS v
+      FROM generate_series(0, {_POLY_N - 1}) i(r),
+           generate_series(0, {_POLY_N - 1}) j(c)
+    ), holes AS (
+      SELECT r, c FROM px WHERE v % 4 = 0
+    ), valid AS (
+      SELECT r, c, v FROM px WHERE v % 4 != 0
+    ), idw AS (
+      SELECT h.r, h.c,
+             SUM(({_FILL_R * _FILL_R} + 1
+                  - ((h.r - t.r) * (h.r - t.r)
+                     + (h.c - t.c) * (h.c - t.c))) * t.v) AS num,
+             SUM({_FILL_R * _FILL_R} + 1
+                 - ((h.r - t.r) * (h.r - t.r)
+                    + (h.c - t.c) * (h.c - t.c))) AS den
+      FROM holes h JOIN valid t
+        ON t.r BETWEEN h.r - {_FILL_R} AND h.r + {_FILL_R}
+       AND t.c BETWEEN h.c - {_FILL_R} AND h.c + {_FILL_R}
+       AND (h.r - t.r) * (h.r - t.r)
+           + (h.c - t.c) * (h.c - t.c) <= {_FILL_R * _FILL_R}
+      GROUP BY 1, 2
+    )
+    SELECT CAST(num AS DOUBLE) / den AS fill, 
+           CAST(COUNT(*) AS BIGINT) AS n_px
+    FROM idw
+    GROUP BY 1
+    ORDER BY fill
+    """,
+)
+def q252(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.raster_table import raster_catalog, read_pixels
+
+    cat = raster_catalog(spark, [_fill_demo_file()])
+    px = read_pixels(cat, window=16, parallelism=8).select(
+        "row", "col", F.col("value").cast("long").alias("v"))
+    r = _FILL_R
+    cell = [(F.col("row") / r).cast("int").alias("cell_r"),
+            (F.col("col") / r).cast("int").alias("cell_c")]
+    holes = px.filter(F.col("v") % 4 == 0).select("row", "col", *cell)
+    off = F.array([F.lit(i) for i in (-1, 0, 1)])
+    valid = (
+        px.filter(F.col("v") % 4 != 0)
+        .select(F.col("row").alias("t_row"), F.col("col").alias("t_col"),
+                "v", *cell)
+        .withColumn("dr", F.explode(off))
+        .withColumn("dc", F.explode(off))
+        .select("t_row", "t_col", "v",
+                (F.col("cell_r") + F.col("dr")).alias("cell_r"),
+                (F.col("cell_c") + F.col("dc")).alias("cell_c"))
+    )
+    d2 = ((F.col("row") - F.col("t_row")) * (F.col("row") - F.col("t_row"))
+          + (F.col("col") - F.col("t_col"))
+          * (F.col("col") - F.col("t_col")))
+    w = F.lit(r * r + 1) - d2
+    idw = (
+        holes.join(valid, ["cell_r", "cell_c"])
+        .filter(d2 <= r * r)
+        .groupBy("row", "col")
+        .agg(F.sum(w * F.col("v")).alias("num"), F.sum(w).alias("den"))
+    )
+    return (
+        idw.select((F.col("num").cast("double") / F.col("den"))
+                   .alias("fill"))
+        .groupBy("fill")
+        .agg(F.count("*").cast("bigint").alias("n_px"))
+        .orderBy("fill")
+    )
