@@ -231,6 +231,15 @@ BENCH_QUERIES = [
     "q242_k_anonymity",
     "q243_dp_noisy_counts",
     "q244_mmr_select",
+    "q245_min_cost_supplier",
+    "q246_product_profit",
+    "q247_important_parts",
+    "q248_excess_stock_suppliers",
+    "q249_raster_sieve",
+    "q250_raster_proximity",
+    "q251_url_canonicalize",
+    "q252_fillnodata",
+    "q253_sq8_recall",
 ]
 
 

@@ -793,3 +793,81 @@ def q231(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source_a", "source_b",
                 F.round(dot / (na * nb), 6).alias("cos_sim"))
     )
+
+
+# --------------------------------------------------------------------------
+# q253 — int8 SCALAR QUANTIZATION + recall@5: the third leg of the
+# vector-compression family (PQ q174, Matryoshka truncation q176).
+# Codes are symmetric max-abs int8 (floor(x*127/m + 0.5) — explicit
+# half-up so the tie rule is engine-portable); approx ranking uses the
+# INTEGER cosine ratio, where per-vector scales cancel and every dot
+# term is an exact small integer, so the ranking is bit-stable under
+# any partitioning. Recall joins against the engine's own exact
+# brute-force top-5 (q36's operator); the oracle replays both sides.
+# --------------------------------------------------------------------------
+@register(
+    "q253_sq8_recall",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), s AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS m
+      FROM e
+    ), q8 AS (
+      SELECT vec_id,
+             list_transform(v, x -> FLOOR(x * 127 / m + 0.5)) AS q
+      FROM s
+    ), qq AS (
+      SELECT vec_id AS query_id, q AS qv FROM q8 WHERE vec_id < 10
+    ), approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT qq.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY qq.query_id
+                 ORDER BY list_dot_product(qq.qv, c.q)
+                   / sqrt(list_dot_product(qq.qv, qq.qv)
+                          * list_dot_product(c.q, c.q)) DESC,
+                 c.vec_id ASC) AS rk
+        FROM q8 c, qq WHERE c.vec_id != qq.query_id
+      ) WHERE rk <= 5
+    ), exact_r AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {_sql_cos('q.qv', 'c.embedding')} DESC,
+                 c.vec_id ASC) AS rank
+        FROM embeddings c, (SELECT vec_id AS query_id, embedding AS qv
+                            FROM embeddings WHERE vec_id < 10) q
+        WHERE c.vec_id != q.query_id
+      ) WHERE rank <= 5
+    )
+    SELECT e.query_id,
+           CAST(COUNT(*) AS BIGINT) AS k_exact,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS k_hit,
+           round(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                 / COUNT(*), 6) AS recall_at_5
+    FROM exact_r e LEFT JOIN approx a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def q253(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    codes = S.sq8_quantize(emb)
+    ann = S.sq8_topk(
+        codes, queries.select("vec_id"), k=5
+    ).select(F.col("query_id").alias("aq"),
+             F.col("neighbor_id").alias("an"))
+    exact = S.brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id")
+    joined = exact.join(
+        ann, (exact.query_id == ann.aq)
+        & (exact.neighbor_id == ann.an), "left")
+    hit = F.when(F.col("an").isNotNull(), 1).otherwise(0)
+    return joined.groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("k_exact"),
+        F.sum(hit).cast("bigint").alias("k_hit"),
+        F.round(F.sum(hit) / F.count("*"), 6).alias("recall_at_5"),
+    )
