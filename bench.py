@@ -240,6 +240,7 @@ BENCH_QUERIES = [
     "q251_url_canonicalize",
     "q252_fillnodata",
     "q253_sq8_recall",
+    "q254_snapshot_merge",
 ]
 
 

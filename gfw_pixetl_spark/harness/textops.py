@@ -2831,3 +2831,74 @@ def q251(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.min("canonical").alias("first_url"))
         .orderBy("host")
     )
+
+
+# --------------------------------------------------------------------------
+# q254 — snapshot MERGE INTO (sources/snapshots.py::snapshot_merge):
+# the Delta/Iceberg upsert shape as ONE atomic commit — source keys
+# become an equality delete and non-delete source rows become new data
+# files, both at sequence parent+1, so the reader's strict
+# delete.seq > data.seq rule applies the delete to every pre-merge
+# file but never to the rows the same commit appends. The harness
+# merge UPDATEs doc_id%10==1 (n_chars += 1000), INSERTs new keys
+# (doc_id + 1,000,000 for %10==2, n_chars=77), and DELETEs %10==3 via
+# the matched-delete condition. Reading v1 and v2 proves pre-merge
+# time travel is intact and all three MERGE arms landed atomically.
+# --------------------------------------------------------------------------
+def _merged_table(spark: SparkSession, sf_dir: str) -> str:
+    def build(d: str) -> None:
+        from ..sources.snapshots import snapshot_append, snapshot_merge
+
+        docs = load(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars")
+        v1 = snapshot_append(docs, d)
+        updates = docs.filter(F.col("doc_id") % 10 == 1).withColumn(
+            "n_chars", F.col("n_chars") + 1000)
+        inserts = docs.filter(F.col("doc_id") % 10 == 2).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "lang",
+            F.lit(77).cast("long").alias("n_chars"))
+        deletes = docs.filter(F.col("doc_id") % 10 == 3)
+        source = updates.unionByName(inserts).unionByName(deletes)
+        v2 = snapshot_merge(source, d, ["doc_id"],
+                            delete_condition="doc_id % 10 = 3")
+        assert (v1, v2) == (1, 2), (v1, v2)
+
+    return _derived_dir(sf_dir, "snapmerge", build)
+
+
+@register(
+    "q254_snapshot_merge",
+    oracle="""
+    SELECT 1 AS version, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT 2, lang, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(doc_id) AS BIGINT), CAST(SUM(n_chars) AS BIGINT)
+    FROM (
+      SELECT doc_id, lang, n_chars FROM documents
+      WHERE doc_id % 10 NOT IN (1, 3)
+      UNION ALL
+      SELECT doc_id, lang, n_chars + 1000 FROM documents
+      WHERE doc_id % 10 = 1
+      UNION ALL
+      SELECT doc_id + 1000000, lang, 77 FROM documents
+      WHERE doc_id % 10 = 2
+    ) GROUP BY lang
+    """,
+)
+def q254(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.snapshots import read_snapshot
+
+    d = _merged_table(spark, sf_dir)
+    out = None
+    for v in (1, 2):
+        part = read_snapshot(spark, d, v).groupBy("lang").agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+            F.sum("n_chars").cast("bigint").alias("chars_sum"),
+        ).select(F.lit(v).alias("version"), "lang", "n_docs", "id_sum",
+                 "chars_sum")
+        out = part if out is None else out.unionAll(part)
+    return out

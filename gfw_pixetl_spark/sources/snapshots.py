@@ -222,6 +222,67 @@ def snapshot_delete(
     return _commit(table_dir, build, max_retries)
 
 
+def snapshot_merge(
+    source: DataFrame, table_dir: str, key_cols: list[str],
+    delete_condition=None, max_retries: int = 10,
+) -> int:
+    """MERGE INTO (upsert) as ONE atomic commit — the Delta/Iceberg
+    ``MERGE`` shape on this format, composed from the existing
+    merge-on-read primitives:
+
+    - every source key becomes an equality delete (suppressing the
+      target's old row if one exists — a key absent from the target
+      makes the delete a harmless no-op, exactly NOT MATCHED),
+    - source rows NOT matching ``delete_condition`` are appended as new
+      data files (matched keys -> UPDATE, new keys -> INSERT),
+    - rows matching ``delete_condition`` contribute only their delete
+      key (WHEN MATCHED AND cond THEN DELETE).
+
+    Both the delete file and the data files carry sequence number
+    ``parent + 1``: the reader's strict ``delete.seq > data.seq`` rule
+    means the delete governs every pre-merge file but never the rows
+    this same commit appends — which is why one manifest write is
+    enough for atomicity (readers see all of the merge or none of it).
+    Scale shape: the delete-key set broadcasts; the table side is never
+    reshuffled, and the merge writes O(source), not O(table).
+    (Reference analogue: gfw_pixetl overwrites whole tiles; row-level
+    merge is the lakehouse extension of its incremental skip, S10/F5.)
+    """
+    from pyspark.sql import functions as F
+
+    if delete_condition is not None:
+        cond = (F.expr(delete_condition)
+                if isinstance(delete_condition, str) else delete_condition)
+        upserts = source.filter(~cond)
+    else:
+        upserts = source
+    delete_files = _stage_files(
+        source.select(*key_cols).distinct().coalesce(1), table_dir)
+    added = _stage_files(upserts, table_dir)
+    n_rows = upserts.count()
+    n_keys = source.select(*key_cols).distinct().count()
+
+    def build(parent: int, pm: dict) -> dict:
+        seq = parent + 1
+        seqs = dict(pm.get("seqs", {}))
+        seqs.update({f: seq for f in added})
+        deletes = list(pm.get("deletes", []))
+        deletes += [{"path": f, "seq": seq, "keys": list(key_cols)}
+                    for f in delete_files]
+        return {
+            "operation": "merge",
+            "files": pm.get("files", []) + added,
+            "seqs": seqs,
+            "deletes": deletes,
+            "stats": pm.get("stats", {}),
+            "added_files": added,
+            "added_rows": n_rows,
+            "merged_keys": n_keys,
+        }
+
+    return _commit(table_dir, build, max_retries)
+
+
 def read_snapshot(
     spark: SparkSession, table_dir: str, version: int | None = None,
     between: tuple | None = None,

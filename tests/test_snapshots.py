@@ -360,3 +360,47 @@ def test_change_feed_consumer_cursor(spark, tmp_path):
     c.commit(head2)
     # crash before commit would re-read: position persists across objects
     assert ChangeFeedConsumer(d, cur).position() == head2
+
+
+def test_merge_upsert_delete_atomic(spark, tmp_path):
+    from gfw_pixetl_spark.sources.snapshots import snapshot_merge
+
+    d = str(tmp_path / "merge")
+    v1 = snapshot_append(_df(spark, 0, 10, "base"), d)
+    # UPDATE ids 0-2 (v -> 999), INSERT ids 100-101, DELETE ids 8-9
+    src = spark.createDataFrame(
+        [(0, "upd", 999), (1, "upd", 999), (2, "upd", 999),
+         (100, "new", 1), (101, "new", 1),
+         (8, "del", 0), (9, "del", 0)],
+        "id long, tag string, v long",
+    )
+    v2 = snapshot_merge(src, d, ["id"], delete_condition="tag = 'del'")
+    assert (v1, v2) == (1, 2)  # one commit for all three arms
+
+    rows = {r.id: (r.tag, r.v)
+            for r in read_snapshot(spark, d, 2).collect()}
+    assert set(rows) == {0, 1, 2, 3, 4, 5, 6, 7, 100, 101}
+    for i in (0, 1, 2):
+        assert rows[i] == ("upd", 999)       # matched -> updated
+    for i in (3, 4, 5, 6, 7):
+        assert rows[i] == ("base", i * 2)    # untouched
+    for i in (100, 101):
+        assert rows[i] == ("new", 1)         # not matched -> inserted
+
+    # pre-merge version is untouched by the merge (time travel)
+    pre = {r.id for r in read_snapshot(spark, d, 1).collect()}
+    assert pre == set(range(10))
+
+
+def test_merge_then_remerge_same_key_wins_latest(spark, tmp_path):
+    from gfw_pixetl_spark.sources.snapshots import snapshot_merge
+
+    d = str(tmp_path / "merge2")
+    snapshot_append(_df(spark, 0, 4, "base"), d)
+    one = spark.createDataFrame([(1, "m1", 10)], "id long, tag string, v long")
+    two = spark.createDataFrame([(1, "m2", 20)], "id long, tag string, v long")
+    snapshot_merge(one, d, ["id"])
+    snapshot_merge(two, d, ["id"])
+    rows = {r.id: (r.tag, r.v) for r in read_snapshot(spark, d).collect()}
+    assert rows[1] == ("m2", 20)  # the later merge's delete governs m1's file
+    assert rows[0] == ("base", 0)
