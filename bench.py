@@ -241,6 +241,7 @@ BENCH_QUERIES = [
     "q252_fillnodata",
     "q253_sq8_recall",
     "q254_snapshot_merge",
+    "q255_calibration_ece",
 ]
 
 

@@ -2902,3 +2902,75 @@ def q254(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "chars_sum")
         out = part if out is None else out.unionAll(part)
     return out
+
+
+# --------------------------------------------------------------------------
+# q255 — QUALITY-CLASSIFIER CALIBRATION (reliability table + ECE): the
+# eval every learned curation filter needs before its scores gate data
+# (is "0.9 confident" right 90% of the time?). Confidence is a
+# deterministic md5 pseudo-uniform in milliunits, the label a second
+# independent hash thresholded BY the confidence (calibrated by
+# construction up to quantization — so the table is non-degenerate).
+# DETERMINISM: every reported double is ONE IEEE division of exact
+# integer sums — conf = sum_k/(1000 n), acc = sum_l/n, |gap| and the
+# final ECE = sum_b|1000 sl_b − sk_b| / (1000 N) — no float
+# accumulation anywhere, so values are bit-identical on any
+# partitioning and in DuckDB. One fact-scale hash agg on the decile.
+# --------------------------------------------------------------------------
+@register(
+    "q255_calibration_ece",
+    oracle=f"""
+    WITH scored AS (
+      SELECT ({md5_int64_sql('text')}) % 1000 AS k,
+             CASE WHEN ({md5_int64_sql("text || 'y'")}) % 1000
+                       < ({md5_int64_sql('text')}) % 1000
+                  THEN 1 ELSE 0 END AS label
+      FROM documents
+    ), buckets AS (
+      SELECT CAST(k // 100 AS INT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(k) AS sk, SUM(label) AS sl
+      FROM scored GROUP BY 1
+    )
+    SELECT CAST(bucket AS INT) AS bucket, n,
+           CAST(sk AS DOUBLE) / (1000 * n) AS conf,
+           CAST(sl AS DOUBLE) / n AS acc,
+           CAST(ABS(1000 * sl - sk) AS DOUBLE) / (1000 * n) AS gap
+    FROM buckets
+    UNION ALL
+    SELECT -1, CAST(SUM(n) AS BIGINT),
+           NULL, NULL,
+           CAST(SUM(ABS(1000 * sl - sk)) AS DOUBLE) / (1000 * SUM(n))
+    FROM buckets
+    ORDER BY bucket
+    """,
+)
+def q255(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_int64
+
+    docs = load(spark, sf_dir, "documents")
+    k = md5_int64(F.col("text")) % 1000
+    label = F.when(
+        md5_int64(F.concat(F.col("text"), F.lit("y"))) % 1000 < k, 1
+    ).otherwise(0)
+    buckets = (
+        docs.select(k.alias("k"), label.alias("label"))
+        .groupBy((F.col("k") / 100).cast("int").alias("bucket"))
+        .agg(F.count("*").cast("bigint").alias("n"),
+             F.sum("k").alias("sk"), F.sum("label").alias("sl"))
+    )
+    per_bucket = buckets.select(
+        F.col("bucket").cast("int").alias("bucket"), "n",
+        (F.col("sk").cast("double") / (1000 * F.col("n"))).alias("conf"),
+        (F.col("sl").cast("double") / F.col("n")).alias("acc"),
+        (F.abs(1000 * F.col("sl") - F.col("sk")).cast("double")
+         / (1000 * F.col("n"))).alias("gap"),
+    )
+    total = buckets.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        (F.sum(F.abs(1000 * F.col("sl") - F.col("sk"))).cast("double")
+         / (1000 * F.sum("n"))).alias("gap"),
+    ).select(F.lit(-1).cast("int").alias("bucket"), "n",
+             F.lit(None).cast("double").alias("conf"),
+             F.lit(None).cast("double").alias("acc"), "gap")
+    return per_bucket.unionAll(total).orderBy("bucket")
