@@ -242,6 +242,7 @@ BENCH_QUERIES = [
     "q253_sq8_recall",
     "q254_snapshot_merge",
     "q255_calibration_ece",
+    "q256_span_corruption",
 ]
 
 

@@ -7,7 +7,7 @@ the exact same math.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import dedup as D
@@ -2974,3 +2974,110 @@ def q255(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.lit(None).cast("double").alias("conf"),
              F.lit(None).cast("double").alias("acc"), "gap")
     return per_bucket.unionAll(total).orderBy("bucket")
+
+
+# --------------------------------------------------------------------------
+# q256 — T5-STYLE SPAN CORRUPTION: the masked-span (inputs, targets)
+# pair construction behind every encoder-decoder pretraining pipeline
+# (T5 §3.1.4 "replace corrupted spans"). Mask decision is a
+# deterministic hash on (doc_id, pos//3) — ~20% of 3-token blocks —
+# consecutive masked blocks merge into one span; spans are numbered
+# sequentially per doc and rendered as <extra_id_K> sentinels in the
+# inputs, with the removed tokens echoed after their sentinel in the
+# targets. Plan shape: posexplode -> ONE shuffle on doc_id (running
+# span count + order-safe re-assembly via sorted struct collect) —
+# docs are independent, so the shuffle keys are perfectly parallel at
+# any corpus size. The oracle rebuilds the exact strings with
+# window + ordered string_agg; both sides emit identical bytes.
+# --------------------------------------------------------------------------
+@register(
+    "q256_span_corruption",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(string_split(text, ' ')))) - 1
+               AS pos,
+             unnest(string_split(text, ' ')) AS word
+      FROM documents
+    ), m AS (
+      SELECT doc_id, pos, word,
+             ({md5_int64_sql(
+                 "CAST(doc_id AS VARCHAR) || '/' || CAST(pos // 3 AS VARCHAR)"
+             )}) % 5 = 0 AS masked
+      FROM toks
+    ), sp AS (
+      SELECT doc_id, pos, word, masked,
+             CASE WHEN masked AND NOT COALESCE(
+               LAG(masked) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+             THEN 1 ELSE 0 END AS span_start
+      FROM m
+    ), sid AS (
+      SELECT doc_id, pos, word, masked, span_start,
+             SUM(span_start) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+      FROM sp
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(span_start) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_masked,
+           COALESCE(string_agg(
+             CASE WHEN NOT masked THEN word
+                  WHEN span_start = 1
+                  THEN '<extra_id_' || CAST(sid - 1 AS VARCHAR) || '>'
+             END, ' ' ORDER BY pos), '') AS inputs,
+           COALESCE(string_agg(
+             CASE WHEN span_start = 1
+                  THEN '<extra_id_' || CAST(sid - 1 AS VARCHAR) || '> '
+                       || word
+                  WHEN masked THEN word
+             END, ' ' ORDER BY pos), '') AS targets
+    FROM sid
+    GROUP BY doc_id
+    """,
+)
+def q256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_int64
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " "))
+        .alias("pos", "word"))
+    masked = md5_int64(F.concat(
+        F.col("doc_id").cast("string"), F.lit("/"),
+        F.floor(F.col("pos") / 3).cast("long").cast("string"))) % 5 == 0
+    m = toks.select("doc_id", "pos", "word", masked.alias("masked"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    sp = m.withColumn(
+        "span_start",
+        F.when(F.col("masked")
+               & ~F.coalesce(F.lag("masked").over(w), F.lit(False)),
+               1).otherwise(0))
+    sid = sp.withColumn("sid", F.sum("span_start").over(w))
+    sentinel = F.concat(
+        F.lit("<extra_id_"), (F.col("sid") - 1).cast("string"), F.lit(">"))
+    in_piece = (
+        F.when(~F.col("masked"), F.col("word"))
+        .when(F.col("span_start") == 1, sentinel)
+    )
+    tgt_piece = (
+        F.when(F.col("span_start") == 1,
+               F.concat(sentinel, F.lit(" "), F.col("word")))
+        .when(F.col("masked"), F.col("word"))
+    )
+
+    def ordered_join(piece):
+        # order-safe string agg: collect (pos, piece) structs, sort by
+        # pos, drop nulls, join — deterministic under any shuffle order
+        arr = F.array_sort(F.collect_list(F.struct("pos", piece.alias("p"))))
+        return F.array_join(
+            F.filter(F.transform(arr, lambda s: s["p"]),
+                     lambda x: x.isNotNull()), " ")
+
+    return sid.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum("span_start").cast("bigint").alias("n_spans"),
+        F.sum(F.col("masked").cast("int")).cast("bigint").alias("n_masked"),
+        ordered_join(in_piece).alias("inputs"),
+        ordered_join(tgt_piece).alias("targets"),
+    )
