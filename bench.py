@@ -243,6 +243,7 @@ BENCH_QUERIES = [
     "q254_snapshot_merge",
     "q255_calibration_ece",
     "q256_span_corruption",
+    "q257_annotator_kappa",
 ]
 
 

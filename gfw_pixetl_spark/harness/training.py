@@ -1207,3 +1207,74 @@ def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_clusters"),
              F.sum("sz").cast("bigint").alias("n_docs"))
     )
+
+
+# --------------------------------------------------------------------------
+# q257 — INTER-ANNOTATOR AGREEMENT (Cohen's kappa): the QA gate on any
+# human/model labeling campaign before its labels train a filter.
+# Annotator A is a length heuristic; annotator B is A with a
+# deterministic 15% hash-flip — so agreement is high but not total and
+# kappa is non-degenerate. DETERMINISM: kappa has the closed form
+# (N·agree − Σ a_c·b_c) / (N² − Σ a_c·b_c) over integer marginals, so
+# the single reported double is ONE IEEE division of exact BIGINTs.
+# Plan: one fact-scale hash agg to the 2×2 confusion matrix, constant
+# rows after that.
+# --------------------------------------------------------------------------
+@register(
+    "q257_annotator_kappa",
+    oracle=f"""
+    WITH lab AS (
+      SELECT CASE WHEN n_chars > 120 THEN 1 ELSE 0 END AS a,
+             CASE WHEN ({md5_int64_sql('text')}) % 100 < 15
+                  THEN 1 - CASE WHEN n_chars > 120 THEN 1 ELSE 0 END
+                  ELSE CASE WHEN n_chars > 120 THEN 1 ELSE 0 END
+             END AS b
+      FROM documents
+    ), cm AS (
+      SELECT CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n11,
+             CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n10,
+             CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n01,
+             CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n00
+      FROM lab
+    )
+    SELECT n11, n10, n01, n00,
+           CAST((n11 + n10 + n01 + n00) * (n11 + n00)
+                - ((n11 + n10) * (n11 + n01)
+                   + (n01 + n00) * (n10 + n00)) AS DOUBLE)
+           / ((n11 + n10 + n01 + n00) * (n11 + n10 + n01 + n00)
+              - ((n11 + n10) * (n11 + n01)
+                 + (n01 + n00) * (n10 + n00))) AS kappa
+    FROM cm
+    """,
+)
+def q257(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_int64
+
+    docs = load(spark, sf_dir, "documents")
+    a = F.when(F.col("n_chars") > 120, 1).otherwise(0)
+    flip = md5_int64(F.col("text")) % 100 < 15
+    b = F.when(flip, 1 - a).otherwise(a)
+    cm = docs.select(a.alias("a"), b.alias("b")).agg(
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 1), 1)
+              .otherwise(0)).cast("bigint").alias("n11"),
+        F.sum(F.when((F.col("a") == 1) & (F.col("b") == 0), 1)
+              .otherwise(0)).cast("bigint").alias("n10"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 1), 1)
+              .otherwise(0)).cast("bigint").alias("n01"),
+        F.sum(F.when((F.col("a") == 0) & (F.col("b") == 0), 1)
+              .otherwise(0)).cast("bigint").alias("n00"),
+    )
+    n = F.col("n11") + F.col("n10") + F.col("n01") + F.col("n00")
+    chance = ((F.col("n11") + F.col("n10"))
+              * (F.col("n11") + F.col("n01"))
+              + (F.col("n01") + F.col("n00"))
+              * (F.col("n10") + F.col("n00")))
+    return cm.select(
+        "n11", "n10", "n01", "n00",
+        ((n * (F.col("n11") + F.col("n00")) - chance).cast("double")
+         / (n * n - chance)).alias("kappa"),
+    )
