@@ -560,3 +560,95 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q258 — stream-stream LEFT OUTER join: q84's attribution join plus the
+# rows the inner join can't express — "which impressions never
+# converted", emitted as NULL-padded rows when the watermark evicts
+# their state. Determinism: the feed is the events table split into 4
+# time-DISJOINT ascending drops (so nothing is ever late) plus a
+# far-future sentinel drop (one unmatchable view + purchase) whose
+# batch pushes the global watermark past every real view's expiry —
+# the unmatched set is then exactly the batch LEFT JOIN's, independent
+# of how earlier micro-batches interleaved. File order is forced with
+# ascending mtimes; maxFilesPerTrigger=1. Sentinel rows never emit
+# (nothing advances the watermark past THEM).
+# --------------------------------------------------------------------------
+def _outer_feed(spark: SparkSession, sf_dir: str) -> str:
+    from .textops import _derived_dir
+
+    def build(d: str) -> None:
+        import datetime
+        import os
+
+        ev = load(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type")
+        b = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")
+                   ).collect()[0]  # bounded: 2 scalars
+        span = (b.hi - b.lo) / 4
+        for i in range(4):
+            lo = b.lo + i * span
+            cond = (F.col("ts") >= lo) & (F.col("ts") < b.lo + (i + 1) * span) \
+                if i < 3 else (F.col("ts") >= lo)
+            ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(d, f"drop_{i}"))
+        sent = spark.createDataFrame(
+            [(-1, datetime.datetime(2100, 1, 1), -1, "view"),
+             (-2, datetime.datetime(2100, 1, 1), -2, "purchase")],
+            ev.schema).coalesce(1)
+        sent.write.mode("overwrite").parquet(os.path.join(d, "drop_4"))
+        # force strictly ascending file mtimes = deterministic batch order
+        t0 = 1_600_000_000
+        for i in range(5):
+            dd = os.path.join(d, f"drop_{i}")
+            for f in os.listdir(dd):
+                os.utime(os.path.join(dd, f), (t0 + i, t0 + i))
+
+    return _derived_dir(sf_dir, "ssouterfeed", build)
+
+
+@register(
+    "q258_stream_outer_join",
+    oracle="""
+    WITH v AS (
+      SELECT event_id AS view_id, user_id, ts FROM events
+      WHERE event_type = 'view'
+    ), p AS (
+      SELECT event_id AS purchase_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    ), j AS (
+      SELECT v.view_id, p.purchase_id
+      FROM v LEFT JOIN p
+        ON v.user_id = p.user_id
+       AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 24 HOUR
+    )
+    SELECT CAST(COUNT(*) FILTER (purchase_id IS NOT NULL) AS BIGINT)
+             AS n_matched,
+           CAST(COUNT(*) FILTER (purchase_id IS NULL) AS BIGINT)
+             AS n_unmatched,
+           CAST(COALESCE(SUM(view_id) FILTER (purchase_id IS NULL), 0)
+                AS BIGINT) AS unmatched_view_sum,
+           CAST(COALESCE(SUM(view_id + purchase_id)
+                         FILTER (purchase_id IS NOT NULL), 0)
+                AS BIGINT) AS matched_sum
+    FROM j
+    """,
+)
+def q258(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import run_view_purchase_left_outer_once
+
+    feed = _outer_feed(spark, sf_dir)
+    schema = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type").schema
+    out = run_view_purchase_left_outer_once(spark, feed, schema)
+    matched = F.col("purchase_id").isNotNull()
+    return out.agg(
+        F.sum(matched.cast("int")).cast("bigint").alias("n_matched"),
+        F.sum((~matched).cast("int")).cast("bigint").alias("n_unmatched"),
+        F.coalesce(F.sum(F.when(~matched, F.col("view_id"))), F.lit(0))
+        .cast("bigint").alias("unmatched_view_sum"),
+        F.coalesce(F.sum(F.when(matched,
+                                F.col("view_id") + F.col("purchase_id"))),
+                   F.lit(0)).cast("bigint").alias("matched_sum"),
+    )

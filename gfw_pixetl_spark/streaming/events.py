@@ -418,3 +418,71 @@ def run_stream_chunk_dedup_once(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def view_purchase_left_outer(
+    spark: SparkSession,
+    feed_dir: str,
+    schema,
+    horizon: str = "24 hours",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: every view emits — matched views
+    as (view, purchase) pairs exactly like the inner join (q84), and
+    views with NO purchase inside ``horizon`` as NULL-padded rows once
+    the global watermark passes ``view_ts + horizon`` and their state
+    is evicted. This is the semantics the inner join can't express:
+    "which impressions never converted" as a STREAM. State stays
+    watermark-bounded exactly as in the inner case; the NULL emission
+    is the state-cleanup path (Spark's no-data batches fire it).
+    """
+    s = _normalize_ts(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{feed_dir}/drop_*")
+    )
+    views = (
+        s.filter(F.col("event_type") == "view")
+        .select(F.col("event_id").alias("view_id"), F.col("user_id"),
+                F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        s.filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", watermark)
+    )
+    return views.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts")
+           <= F.col("view_ts") + F.expr(f"INTERVAL {horizon}")),
+        "left_outer",
+    ).select("view_id", "user_id", "view_ts", "purchase_id", "purchase_ts")
+
+
+def run_view_purchase_left_outer_once(
+    spark: SparkSession, feed_dir: str, schema
+) -> DataFrame:
+    """Drain the left-outer join with availableNow over a time-ordered
+    multi-file feed whose LAST drop is a far-future watermark sentinel
+    (one unmatchable view + one unmatchable purchase): after the
+    sentinel batch the global watermark is past every real view's
+    expiry, so the unmatched set is exactly "real views with no
+    purchase in the horizon" — deterministic regardless of how earlier
+    batches interleave. Sentinel rows themselves never emit (nothing
+    ever advances the watermark past THEM)."""
+    name = f"ssouter_{uuid.uuid4().hex[:8]}"
+    q = (
+        view_purchase_left_outer(spark, feed_dir, schema)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
