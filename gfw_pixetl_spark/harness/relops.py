@@ -586,26 +586,29 @@ def _outer_feed(spark: SparkSession, sf_dir: str) -> str:
             "event_id", "ts", "user_id", "event_type")
         b = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")
                    ).collect()[0]  # bounded: 2 scalars
-        span = (b.hi - b.lo) / 4
-        for i in range(4):
+        n_real = 2
+        span = (b.hi - b.lo) / n_real
+        for i in range(n_real):
             lo = b.lo + i * span
-            cond = (F.col("ts") >= lo) & (F.col("ts") < b.lo + (i + 1) * span) \
-                if i < 3 else (F.col("ts") >= lo)
+            cond = ((F.col("ts") >= lo)
+                    & (F.col("ts") < b.lo + (i + 1) * span)
+                    if i < n_real - 1 else (F.col("ts") >= lo))
             ev.filter(cond).coalesce(1).write.mode("overwrite").parquet(
                 os.path.join(d, f"drop_{i}"))
         sent = spark.createDataFrame(
             [(-1, datetime.datetime(2100, 1, 1), -1, "view"),
              (-2, datetime.datetime(2100, 1, 1), -2, "purchase")],
             ev.schema).coalesce(1)
-        sent.write.mode("overwrite").parquet(os.path.join(d, "drop_4"))
+        sent.write.mode("overwrite").parquet(
+            os.path.join(d, f"drop_{n_real}"))
         # force strictly ascending file mtimes = deterministic batch order
         t0 = 1_600_000_000
-        for i in range(5):
+        for i in range(n_real + 1):
             dd = os.path.join(d, f"drop_{i}")
             for f in os.listdir(dd):
                 os.utime(os.path.join(dd, f), (t0 + i, t0 + i))
 
-    return _derived_dir(sf_dir, "ssouterfeed", build)
+    return _derived_dir(sf_dir, "ssouterfeed_r2", build)  # tag carries the layout rev (cache key lacks params)
 
 
 @register(
