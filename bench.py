@@ -244,6 +244,8 @@ BENCH_QUERIES = [
     "q255_calibration_ece",
     "q256_span_corruption",
     "q257_annotator_kappa",
+    "q259_unicode_fold",
+    "q260_hashed_classifier",
 ]
 
 

@@ -420,3 +420,49 @@ def canonical_url(col: Column | str) -> Column:
     query_part = F.when(query == "", F.lit("")).otherwise(
         F.concat(F.lit("?"), query))
     return F.concat(scheme, F.lit("://"), host, port_part, path, query_part)
+
+
+# Compatibility-fold subset for text cleaning (the NFKC mappings a crawl
+# pipeline hits constantly: fullwidth ASCII, typographic quotes/dashes,
+# ellipsis, NBSP-family spaces). A documented SUBSET — full NFKC needs
+# the Unicode tables; these cover the high-frequency cases and the
+# mapping literals inline identically into SQL oracles.
+_FOLD_ONE_TO_ONE = (
+    # src, dst — 1:1 codepoints only (translate()-safe)
+    "   ‘’“”–—−",
+    "   ''\"\"---",
+)
+# fullwidth block: FF01-FF5E maps to ASCII 21-7E (generated, 1:1)
+_FULLWIDTH_SRC = "".join(chr(c) for c in range(0xFF01, 0xFF5F))
+_FULLWIDTH_DST = "".join(chr(c - 0xFEE0) for c in range(0xFF01, 0xFF5F))
+# multi-char expansions (regexp pass, applied before translate)
+_FOLD_EXPANSIONS = (("…", "..."), ("«", '"'), ("»", '"'))
+
+
+def fold_text(col: Column | str) -> Column:
+    """NFKC-subset compatibility fold + whitespace squeeze, JVM-side.
+
+    translate() for every 1:1 mapping (fullwidth ASCII, quotes, dashes,
+    NBSP variants), literal replace for the expansions, then a
+    whitespace collapse — the standard pre-tokenization cleanup (CCNet/
+    fastText pipelines run full NFKC here). Map-only projection.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    for src, dst in _FOLD_EXPANSIONS:
+        c = F.replace(c, F.lit(src), F.lit(dst))
+    c = F.translate(c, _FOLD_ONE_TO_ONE[0] + _FULLWIDTH_SRC,
+                    _FOLD_ONE_TO_ONE[1] + _FULLWIDTH_DST)
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def fold_text_sql(expr: str) -> str:
+    """DuckDB twin of :func:`fold_text` (literals escaped, 'g' flag —
+    Spark's regexp_replace is global by default, DuckDB's is not)."""
+    e = expr
+    for src, dst in _FOLD_EXPANSIONS:
+        e = f"replace({e}, '{src}', '{dst}')"
+    full_src = (_FOLD_ONE_TO_ONE[0] + _FULLWIDTH_SRC).replace("'", "''")
+    full_dst = (_FOLD_ONE_TO_ONE[1] + _FULLWIDTH_DST).replace("'", "''")
+    e = f"translate({e}, '{full_src}', '{full_dst}')"
+    return f"trim(regexp_replace({e}, '\\s+', ' ', 'g'))"

@@ -3081,3 +3081,89 @@ def q256(spark: SparkSession, sf_dir: str) -> DataFrame:
         ordered_join(in_piece).alias("inputs"),
         ordered_join(tgt_piece).alias("targets"),
     )
+
+
+# --------------------------------------------------------------------------
+# q259 — UNICODE COMPATIBILITY FOLD (NFKC subset): the pre-tokenization
+# cleanup every crawl pipeline runs (CCNet/fastText normalize before
+# anything hashes or tokenizes) — fullwidth ASCII, typographic quotes/
+# dashes, NBSP-family spaces, ellipsis expansion, whitespace squeeze.
+# Each doc wraps its text in deterministic mess (curly quotes,
+# NBSP-joined words, a fullwidth tail) and `T.fold_text` — translate +
+# literal replaces + one regexp, map-only, no UDF — must recover the
+# clean form; the oracle replays the identical construction and fold,
+# and the EXACT folded strings are value-compared per doc.
+# --------------------------------------------------------------------------
+_MESSY_TAIL = "　ＴＥＳＴ１２３…"
+
+
+@register(
+    "q259_unicode_fold",
+    oracle=f"""
+    SELECT doc_id,
+           {T.fold_text_sql(
+               "'“' || replace(text, ' ', ' ') || '” "
+               + _MESSY_TAIL + "'"
+           )} AS folded
+    FROM documents
+    """,
+)
+def q259(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("“"),
+        F.translate(F.col("text"), " ", " "),
+        F.lit("” " + _MESSY_TAIL),
+    )
+    return docs.select("doc_id", T.fold_text(messy).alias("folded"))
+
+
+# --------------------------------------------------------------------------
+# q260 — HASHED LINEAR CLASSIFIER INFERENCE (the fastText-style quality
+# scorer run over a whole corpus): words hash into 32 feature buckets
+# (the hashing trick — vocabulary-free, so the plan is identical at any
+# corpus size) and the doc score is the sum of per-word bucket weights,
+# i.e. Σ_j tf_j·w_j without materializing the tf vector: one explode +
+# one doc_id hash agg, weights inlined as a 32-literal array lookup —
+# model inference with NO UDF and no model state beyond literals.
+# DETERMINISM: weights are SIXTEENTHS (dyadic), so every partial sum is
+# exact and the score is bit-identical in any reduction order; the
+# label threshold is exact comparison, not sigmoid.
+# --------------------------------------------------------------------------
+_HASH_BUCKETS = 32
+_LINEAR_W = [((j * 37 + 11) % 21 - 10) / 16.0 for j in range(_HASH_BUCKETS)]
+
+
+@register(
+    "q260_hashed_classifier",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+                                        x -> x != '')) AS word
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(SUM(([{', '.join(str(x) for x in _LINEAR_W)}]::DOUBLE[])[
+             CAST(({md5_int64_sql('word')}) % {_HASH_BUCKETS} AS INT) + 1
+           ]) AS DOUBLE) AS score,
+           CASE WHEN SUM(([{', '.join(str(x) for x in _LINEAR_W)}]::DOUBLE[])[
+             CAST(({md5_int64_sql('word')}) % {_HASH_BUCKETS} AS INT) + 1
+           ]) > 0 THEN 1 ELSE 0 END AS label
+    FROM w GROUP BY doc_id
+    """,
+)
+def q260(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_int64
+
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.col("text"), " "),
+                           lambda x: x != "")).alias("word"))
+    warr = F.array(*[F.lit(x) for x in _LINEAR_W])
+    wt = F.element_at(
+        warr, (md5_int64(F.col("word")) % _HASH_BUCKETS).cast("int") + 1)
+    return words.groupBy("doc_id").agg(
+        F.sum(wt).alias("score"),
+        F.when(F.sum(wt) > 0, 1).otherwise(0).alias("label"),
+    )
