@@ -428,13 +428,18 @@ def canonical_url(col: Column | str) -> Column:
 # the Unicode tables; these cover the high-frequency cases and the
 # mapping literals inline identically into SQL oracles.
 _FOLD_ONE_TO_ONE = (
-    # src, dst — 1:1 codepoints only (translate()-safe)
-    "   ‘’“”–—−",
-    "   ''\"\"---",
+    # src, dst — 1:1 codepoints only (translate()-safe): NBSP,
+    # figure space, narrow NBSP, ideographic space, curly quotes,
+    # en/em dash, minus sign
+    '\xa0\u2007\u202f\u3000‘’“”–—−',
+    '    \'\'""---',
 )
 # fullwidth block: FF01-FF5E maps to ASCII 21-7E (generated, 1:1)
 _FULLWIDTH_SRC = "".join(chr(c) for c in range(0xFF01, 0xFF5F))
 _FULLWIDTH_DST = "".join(chr(c - 0xFEE0) for c in range(0xFF01, 0xFF5F))
+# the U+2000-200A space family (en quad .. hair space), all -> ASCII space
+_SPACE_FAMILY_SRC = "".join(chr(c) for c in range(0x2000, 0x200B))
+_SPACE_FAMILY_DST = " " * len(_SPACE_FAMILY_SRC)
 # multi-char expansions (regexp pass, applied before translate)
 _FOLD_EXPANSIONS = (("…", "..."), ("«", '"'), ("»", '"'))
 
@@ -450,8 +455,9 @@ def fold_text(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
     for src, dst in _FOLD_EXPANSIONS:
         c = F.replace(c, F.lit(src), F.lit(dst))
-    c = F.translate(c, _FOLD_ONE_TO_ONE[0] + _FULLWIDTH_SRC,
-                    _FOLD_ONE_TO_ONE[1] + _FULLWIDTH_DST)
+    c = F.translate(
+        c, _FOLD_ONE_TO_ONE[0] + _FULLWIDTH_SRC + _SPACE_FAMILY_SRC,
+        _FOLD_ONE_TO_ONE[1] + _FULLWIDTH_DST + _SPACE_FAMILY_DST)
     c = F.regexp_replace(c, r"\s+", " ")
     return F.trim(c)
 
@@ -462,7 +468,9 @@ def fold_text_sql(expr: str) -> str:
     e = expr
     for src, dst in _FOLD_EXPANSIONS:
         e = f"replace({e}, '{src}', '{dst}')"
-    full_src = (_FOLD_ONE_TO_ONE[0] + _FULLWIDTH_SRC).replace("'", "''")
-    full_dst = (_FOLD_ONE_TO_ONE[1] + _FULLWIDTH_DST).replace("'", "''")
+    full_src = (_FOLD_ONE_TO_ONE[0] + _FULLWIDTH_SRC
+                + _SPACE_FAMILY_SRC).replace("'", "''")
+    full_dst = (_FOLD_ONE_TO_ONE[1] + _FULLWIDTH_DST
+                + _SPACE_FAMILY_DST).replace("'", "''")
     e = f"translate({e}, '{full_src}', '{full_dst}')"
     return f"trim(regexp_replace({e}, '\\s+', ' ', 'g'))"

@@ -45,3 +45,35 @@ def test_canonical_url_is_idempotent(spark):
     df2 = spark.createDataFrame([(c,) for c in once], "url string").coalesce(1)
     twice = [r.c for r in df2.select(canonical_url("url").alias("c")).collect()]
     assert once == twice
+
+
+# ---- fold_text properties (same file: the string-cleaning pair) ----
+
+FOLD_CASES = [
+    ("ＨＥＬＬＯ　Ｗｏｒｌｄ！", "HELLO World!"),
+    ("a b c d", "a b c d"),
+    ("“quoted” – dash — em − minus", '"quoted" - dash - em - minus'),
+    ("dots…and «guillemets»", 'dots...and "guillemets"'),
+    ("  spaced\t\tout\n\n", "spaced out"),
+    ("plain ascii stays", "plain ascii stays"),
+]
+
+
+@pytest.mark.parametrize("raw,expect", FOLD_CASES)
+def test_fold_text(spark, raw, expect):
+    from gfw_pixetl_spark.functions.text import fold_text
+
+    df = spark.createDataFrame([(raw,)], "t string").coalesce(1)
+    got = df.select(fold_text("t").alias("f")).collect()[0].f
+    assert got == expect, f"{raw!r} -> {got!r}, want {expect!r}"
+
+
+def test_fold_text_is_idempotent(spark):
+    from gfw_pixetl_spark.functions.text import fold_text
+
+    raws = [r for r, _ in FOLD_CASES]
+    df = spark.createDataFrame([(r,) for r in raws], "t string").coalesce(1)
+    once = [r.f for r in df.select(fold_text("t").alias("f")).collect()]
+    df2 = spark.createDataFrame([(o,) for o in once], "t string").coalesce(1)
+    twice = [r.f for r in df2.select(fold_text("t").alias("f")).collect()]
+    assert once == twice
