@@ -246,6 +246,7 @@ BENCH_QUERIES = [
     "q257_annotator_kappa",
     "q259_unicode_fold",
     "q260_hashed_classifier",
+    "q261_png_jpeg_transcode",
 ]
 
 

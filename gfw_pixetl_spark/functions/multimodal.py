@@ -646,3 +646,53 @@ def image_patches(df: DataFrame, text_col: str = "text") -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select("doc_id", text_col).mapInPandas(kernel, PATCH_SCHEMA)
+
+
+TRANSCODE_SCHEMA = (
+    "doc_id long, b00 int, b01 int, b10 int, b11 int, lossless int"
+)
+
+
+def transcode_png_jpeg(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Full FORMAT-TRANSCODE chain, every stage a real codec: build a
+    16x16 block-constant PNG (Paeth-filtered, sources/png.py), DECODE
+    it, re-ENCODE the decoded pixels as baseline JPEG (unit quant table
+    — DC-only blocks are exact, sources/jpeg.py), decode THAT, and emit
+    the four block values plus an in-kernel lossless flag (png pixels
+    == jpeg pixels elementwise). The pipeline a multimodal corpus
+    conversion job runs (normalize heterogenous inputs to one format),
+    proven bit-exact end-to-end; the oracle replays the block values
+    from md5(text) hex (q261). Arrow-batched mapInPandas, one pass.
+    """
+    import numpy as np
+
+    from ..sources.jpeg import decode_jpeg, encode_jpeg
+    from ..sources.png import decode_png, encode_png
+    from .partitioning import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "b00", "b01", "b10", "b11", "lossless")}
+            for doc_id, t in zip(pdf["doc_id"], pdf[text_col]):
+                digest = hashlib.md5(t.encode("utf-8")).digest()
+                blocks = np.array([[digest[0], digest[1]],
+                                   [digest[2], digest[3]]], dtype=np.uint8)
+                img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+                png_px = decode_png(encode_png(img, filter_type=4))[:, :, 0]
+                jpg_px = decode_jpeg(encode_jpeg(png_px))
+                if jpg_px.ndim == 3:
+                    jpg_px = jpg_px[:, :, 0]
+                out["doc_id"].append(doc_id)
+                out["b00"].append(int(jpg_px[0, 0]))
+                out["b01"].append(int(jpg_px[0, 8]))
+                out["b10"].append(int(jpg_px[8, 0]))
+                out["b11"].append(int(jpg_px[8, 8]))
+                out["lossless"].append(
+                    int(bool((png_px == jpg_px).all())))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", text_col).mapInPandas(
+        kernel, TRANSCODE_SCHEMA)

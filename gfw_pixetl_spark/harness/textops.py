@@ -3167,3 +3167,31 @@ def q260(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(wt).alias("score"),
         F.when(F.sum(wt) > 0, 1).otherwise(0).alias("label"),
     )
+
+
+# --------------------------------------------------------------------------
+# q261 — PNG -> JPEG TRANSCODE, every stage a real codec: encode PNG
+# (Paeth), decode, re-encode the DECODED pixels as baseline JPEG (unit
+# quant — DC-only exact), decode again; emit the final block values
+# plus an in-kernel lossless flag. The "normalize a heterogeneous
+# image corpus to one format" job, proven bit-exact across BOTH codecs
+# in one chain (q153 and q211 each prove one format; this composes
+# them). Oracle replays the block values from md5 hex; lossless must
+# be 1 everywhere by the DC-exact construction.
+# --------------------------------------------------------------------------
+@register(
+    "q261_png_jpeg_transcode",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_md5_byte(0)} AS INT) AS b00,
+           CAST({_md5_byte(1)} AS INT) AS b01,
+           CAST({_md5_byte(2)} AS INT) AS b10,
+           CAST({_md5_byte(3)} AS INT) AS b11,
+           CAST(1 AS INT) AS lossless
+    FROM documents
+    """,
+)
+def q261(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import transcode_png_jpeg
+
+    return transcode_png_jpeg(load(spark, sf_dir, "documents"))
