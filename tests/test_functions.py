@@ -439,3 +439,30 @@ def test_triangle_stats_known_graph(spark):
     # wedges: deg 3,3,3,4,1 -> 3+3+3+6+0 = 15
     assert got.n_wedges == 15
     assert got.global_clustering == round(12 / 15, 6)
+
+
+def test_connected_components_local_contract_equivalence(spark):
+    """The union-find pre-contraction must be invisible in the result:
+    same labels as the uncontracted loop on a graph with chains,
+    islands, a star, and a self-loop, under a partitioning that splits
+    components ACROSS partitions (the case contraction can't finish
+    locally)."""
+    from gfw_pixetl_spark.functions.dedup import connected_components
+
+    pairs = (
+        [(i, i + 1) for i in range(0, 40)]          # one long chain
+        + [(100, 101), (102, 103)]                   # islands
+        + [(200, x) for x in range(201, 220)]        # star
+        + [(300, 300)]                               # self-loop only
+        + [(400, 401), (401, 402), (400, 402)]       # triangle
+    )
+    edges = spark.createDataFrame(
+        pairs, "doc_id_a long, doc_id_b long").repartition(7)
+    on = {(r.doc_id, r.component)
+          for r in connected_components(edges, local_contract=True).collect()}
+    off = {(r.doc_id, r.component)
+           for r in connected_components(edges, local_contract=False).collect()}
+    assert on == off
+    # spot-check semantics: chain collapses to min id 0
+    labels = dict(on)
+    assert labels[40] == 0 and labels[219] == 200 and labels[300] == 300
