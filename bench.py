@@ -247,6 +247,7 @@ BENCH_QUERIES = [
     "q259_unicode_fold",
     "q260_hashed_classifier",
     "q261_png_jpeg_transcode",
+    "q262_token_budget_select",
 ]
 
 

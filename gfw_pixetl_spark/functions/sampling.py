@@ -127,3 +127,49 @@ def train_val_test_split(
         .otherwise("train")
     )
     return df.withColumn("split", split)
+
+
+def budget_select(
+    df: DataFrame,
+    score_col: str,
+    cost_col: str,
+    budget: int,
+    id_col: str = "doc_id",
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Budgeted greedy selection: take documents in descending
+    ``score_col`` order until the running sum of ``cost_col`` would
+    exceed ``budget`` — the token-budget mix-selection step every
+    pretraining data plan runs ("best docs until N tokens").
+
+    The global prefix sum is computed WITHOUT a single-task global
+    window (the naive ``Window.orderBy`` with no partition key): scores
+    in [0, 1) bucket into ``n_buckets`` fixed value-domain ranges, each
+    bucket cumsums independently (the window partitions by bucket), and
+    the <= n_buckets bucket totals cumulate in a broadcast 1-row-per-
+    bucket join — the classic distributed scan. Deterministic: fixed
+    bucket boundaries (no sampled range partitioner), ties broken by
+    ``id_col``. Returns the selected rows with their running total.
+    """
+    bucket = F.least(
+        F.lit(n_buckets - 1),
+        F.floor(F.col(score_col) * n_buckets).cast("int"))
+    scored = df.withColumn("_bucket", bucket)
+    per_bucket = scored.groupBy("_bucket").agg(
+        F.sum(cost_col).alias("_bsum"))
+    # cumulative cost of all STRICTLY BETTER buckets (higher score):
+    # n_buckets rows — the window below runs on dimension-sized data
+    wb = (Window.orderBy(F.col("_bucket").desc())
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = per_bucket.withColumn(
+        "_boff", F.coalesce(F.sum("_bsum").over(wb), F.lit(0))).drop("_bsum")
+    win = (Window.partitionBy("_bucket")
+           .orderBy(F.col(score_col).desc(), F.col(id_col).asc()))
+    return (
+        scored.join(F.broadcast(offsets), "_bucket")
+        .withColumn("_run",
+                    F.sum(cost_col).over(win) + F.col("_boff"))
+        .filter(F.col("_run") <= budget)
+        .drop("_bucket", "_boff")
+        .withColumnRenamed("_run", "running_cost")
+    )

@@ -1278,3 +1278,41 @@ def q257(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((n * (F.col("n11") + F.col("n00")) - chance).cast("double")
          / (n * n - chance)).alias("kappa"),
     )
+
+
+# --------------------------------------------------------------------------
+# q262 — TOKEN-BUDGET SELECTION (sampling.py::budget_select): take the
+# best-scoring documents until the running token cost would exceed the
+# budget — the "best docs until N tokens" cut every pretraining mix
+# plan executes. The global prefix sum is a DISTRIBUTED SCAN, not a
+# single-task global window: fixed score-domain buckets (x16 is a
+# power of two, so the bucket boundary math is float-exact) cumsum
+# independently and only the 16 bucket totals cross partitions in a
+# broadcast offset join. The oracle IS the naive global window — the
+# two formulations must agree row-for-row.
+# --------------------------------------------------------------------------
+@register(
+    "q262_token_budget_select",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             (({md5_int64_sql('text')}) % 1000) / 1000.0 AS score
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(SUM(n_chars) OVER (ORDER BY score DESC, doc_id ASC)
+                AS BIGINT) AS running_cost
+    FROM s
+    QUALIFY running_cost <= 40000
+    """,
+)
+def q262(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_int64
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars",
+        ((md5_int64(F.col("text")) % 1000) / 1000.0).alias("score"))
+    return S.budget_select(
+        docs, "score", "n_chars", budget=40000
+    ).select("doc_id", F.col("running_cost").cast("bigint")
+             .alias("running_cost"))
