@@ -248,6 +248,7 @@ BENCH_QUERIES = [
     "q260_hashed_classifier",
     "q261_png_jpeg_transcode",
     "q262_token_budget_select",
+    "q263_image_neardup",
 ]
 
 

@@ -1316,3 +1316,70 @@ def q262(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "score", "n_chars", budget=40000
     ).select("doc_id", F.col("running_cost").cast("bigint")
              .alias("running_cost"))
+
+
+# --------------------------------------------------------------------------
+# q263 — IMAGE NEAR-DUP pairs: the multimodal twin of the text LSH
+# stack — perceptual aHash (REAL PNG decode path, q65) banded into 4
+# hamming bands; by pigeonhole any pair within hamming distance 3
+# shares at least one identical band, so candidates arrive through a
+# plain (band, key) equi-join — never an all-pairs hash comparison —
+# and only candidates pay the popcount verify. Output is the distance
+# histogram of verified pairs. Production would run a 64-bit pHash
+# with 8 bands; the band algebra is identical.
+# --------------------------------------------------------------------------
+@register(
+    "q263_image_neardup",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, text,
+             ({" + ".join(_AHASH_BYTES)}) / 16.0 AS m
+      FROM documents
+    ), h AS (
+      SELECT doc_id, CAST({_AHASH_BITS} AS BIGINT) AS ahash FROM b
+    ), bands AS (
+      SELECT doc_id, ahash, g.band_id,
+             (ahash // CASE g.band_id WHEN 0 THEN 1 WHEN 1 THEN 16
+                                      WHEN 2 THEN 256 ELSE 4096 END) % 16
+               AS key
+      FROM h, (SELECT unnest(generate_series(0, 3)) AS band_id) g
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.ahash AS ha, b.ahash AS hb
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.key = b.key
+       AND a.doc_id < b.doc_id
+    )
+    SELECT CAST(bit_count(xor(ha, hb)) AS INT) AS dist,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= 3
+    GROUP BY 1
+    ORDER BY dist
+    """,
+)
+def q263(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import image_ahash
+
+    h = image_ahash(load(spark, sf_dir, "documents"))
+    band_id = F.explode(F.array(*[F.lit(i) for i in range(4)]))
+    bands = h.select(
+        "doc_id", "ahash", band_id.alias("band_id")
+    ).withColumn(
+        "key", F.expr("shiftrightunsigned(ahash, band_id * 4)") % 16)
+    a = bands.select(F.col("doc_id").alias("id_a"),
+                     F.col("ahash").alias("ha"), "band_id", "key")
+    b2 = bands.select(F.col("doc_id").alias("id_b"),
+                      F.col("ahash").alias("hb"), "band_id", "key")
+    cand = (
+        a.join(b2, ["band_id", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb").distinct()
+    )
+    dist = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.filter(dist <= 3)
+        .groupBy(dist.cast("int").alias("dist"))
+        .agg(F.count("*").cast("bigint").alias("n_pairs"))
+        .orderBy("dist")
+    )
