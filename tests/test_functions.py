@@ -466,3 +466,48 @@ def test_connected_components_local_contract_equivalence(spark):
     # spot-check semantics: chain collapses to min id 0
     labels = dict(on)
     assert labels[40] == 0 and labels[219] == 200 and labels[300] == 300
+
+
+def test_budget_select_matches_global_window(spark):
+    """Bucketed distributed prefix sum == naive global cumsum, including
+    cross-bucket boundaries and score ties (broken by id)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from gfw_pixetl_spark.functions.sampling import budget_select
+
+    rows = [(i, (i * 37 % 100) / 100.0, 10 + i % 7) for i in range(200)]
+    rows += [(500, 0.5, 5), (501, 0.5, 5)]  # exact tie on score
+    df = spark.createDataFrame(
+        rows, "doc_id long, score double, cost long").repartition(5)
+    got = {(r.doc_id, r.running_cost) for r in budget_select(
+        df, "score", "cost", budget=700, id_col="doc_id"
+    ).select("doc_id", "running_cost").collect()}
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    want = {(r.doc_id, r.run) for r in df.withColumn(
+        "run", F.sum("cost").over(w)).filter(F.col("run") <= 700)
+        .select("doc_id", "run").collect()}
+    assert got == want and got
+
+
+def test_budget_select_budget_below_first_doc_selects_nothing(spark):
+    from gfw_pixetl_spark.functions.sampling import budget_select
+
+    df = spark.createDataFrame(
+        [(1, 0.9, 100), (2, 0.1, 100)], "doc_id long, score double, cost long")
+    assert budget_select(df, "score", "cost", budget=50).count() == 0
+
+
+def test_sq8_codes_bounded_and_scale_recovers(spark):
+    from pyspark.sql import functions as F
+
+    from gfw_pixetl_spark.functions.similarity import sq8_quantize
+
+    vecs = [(0, [0.5, -1.0, 0.25, 1.0]), (1, [-0.003, 0.001, 0.002, -0.004])]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = {r.vec_id: (list(r.sq8_code), r.sq8_scale)
+           for r in sq8_quantize(df).collect()}
+    for code, scale in out.values():
+        assert all(-127 <= c <= 127 for c in code)
+        assert max(abs(c) for c in code) == 127  # max-abs element saturates
+    assert out[0][0] == [64, -127, 32, 127]  # exact quarters of 127+0.5 floor

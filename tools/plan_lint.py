@@ -33,6 +33,13 @@ EXEMPTIONS: dict[str, dict[str, str]] = {
     "q115_shard_assign": {
         "SINGLE_PART": "size-ordered LPT binning over dimension-scale rows"
     },
+    # the bucket-offset window runs over the POST-aggregation 16-row
+    # bucket-total table (the whole point of budget_select: the fact-
+    # scale prefix sum partitions BY bucket; only bucket totals see a
+    # global order) — the fact scan is reduced before this window.
+    "q262_token_budget_select": {
+        "SINGLE_PART": "offset window over 16 aggregated bucket totals"
+    },
     # the grand-total window runs over the POST-aggregation 25-row nation
     # table — the fact scan is reduced before the global window sees it
     # (asserted by test_revenue_share_windows_aggregated_dims).
