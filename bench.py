@@ -249,6 +249,7 @@ BENCH_QUERIES = [
     "q261_png_jpeg_transcode",
     "q262_token_budget_select",
     "q263_image_neardup",
+    "q264_entity_resolution",
 ]
 
 

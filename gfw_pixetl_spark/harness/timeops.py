@@ -408,3 +408,111 @@ def q204(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / (F.col("sigma") + F.col("mu")), 6).alias("burstiness"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q264 — ENTITY RESOLUTION end-to-end: q91's fuzzy name pairs (SymSpell
+# deletion-neighborhood blocking, levenshtein verify) feed the
+# component resolver (with its union-find pre-contraction), every
+# customer collapses to a canonical entity (min custkey reachable),
+# and the orders fact re-aggregates AT ENTITY GRAIN — the master-data
+# dedup pipeline (match -> cluster -> golden record -> re-key facts).
+# Scale shape: blocking keys are O(len) per row, the entity map is
+# dimension-sized and broadcasts into the fact join; no fact-scale
+# fuzzy work. The oracle replays blocking + a recursive closure seeded
+# with all customers (singletons label themselves).
+# --------------------------------------------------------------------------
+@register(
+    "q264_entity_resolution",
+    oracle="""
+    WITH RECURSIVE keys AS (
+      SELECT c_custkey, c_name, c_name AS k FROM customer
+      UNION ALL
+      SELECT c_custkey, c_name,
+             concat(substr(c_name, 1, i - 1), substr(c_name, i + 1))
+      FROM customer, generate_series(1, 64) t(i)
+      WHERE i <= length(c_name)
+    ), seg AS (
+      SELECT c_custkey, c_mktsegment, c_nationkey FROM customer
+    ), pairs AS MATERIALIZED (
+      -- same-market-same-country blocking: a cross-block name
+      -- collision is a different entity, and the block product keeps
+      -- the synthetic sequential names from chaining the whole table
+      -- into one dense component (Hamming-1 digit graphs are dense)
+      SELECT DISTINCT a.c_custkey AS id_a, b.c_custkey AS id_b
+      FROM keys a JOIN keys b
+        ON a.k = b.k AND a.c_custkey < b.c_custkey
+      JOIN seg sa ON sa.c_custkey = a.c_custkey
+      JOIN seg sb ON sb.c_custkey = b.c_custkey
+      WHERE levenshtein(a.c_name, b.c_name) <= 1
+        AND sa.c_mktsegment = sb.c_mktsegment
+        AND sa.c_nationkey = sb.c_nationkey
+    ), edges AS MATERIALIZED (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach(id, lab) AS (
+      SELECT c_custkey, c_custkey FROM customer
+      UNION
+      SELECT e.d, r.lab FROM edges e JOIN reach r ON e.s = r.id
+    ), ent AS (
+      SELECT id AS c_custkey, MIN(lab) AS entity FROM reach GROUP BY id
+    ), members AS (
+      SELECT c.c_custkey, e.entity, c.c_acctbal
+      FROM customer c JOIN ent e USING (c_custkey)
+    ), ord AS (
+      SELECT m.entity, COUNT(*) AS n_orders
+      FROM orders o JOIN members m ON o.o_custkey = m.c_custkey
+      GROUP BY 1
+    )
+    SELECT m.entity AS entity,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(CAST(m.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             AS acctbal_sum,
+           CAST(COALESCE(MAX(o.n_orders), 0) AS BIGINT) AS n_orders
+    FROM members m LEFT JOIN ord o ON m.entity = o.entity
+    GROUP BY m.entity
+    """,
+)
+def q264(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.dedup import connected_components
+
+    cust = load(spark, sf_dir, "customer")
+    seg = cust.select("c_custkey", "c_mktsegment", "c_nationkey")
+    raw_pairs = fuzzy_pairs_symdelete(cust, "c_custkey", "c_name",
+                                      max_dist=1)
+    pairs = (
+        raw_pairs
+        .join(F.broadcast(seg.select(
+            F.col("c_custkey").alias("id_a"),
+            F.col("c_mktsegment").alias("seg_a"),
+            F.col("c_nationkey").alias("nat_a"))), "id_a")
+        .join(F.broadcast(seg.select(
+            F.col("c_custkey").alias("id_b"),
+            F.col("c_mktsegment").alias("seg_b"),
+            F.col("c_nationkey").alias("nat_b"))), "id_b")
+        .filter((F.col("seg_a") == F.col("seg_b"))
+                & (F.col("nat_a") == F.col("nat_b")))
+        .select(F.col("id_a").alias("doc_id_a"),
+                F.col("id_b").alias("doc_id_b"))
+    )
+    comp = connected_components(pairs).withColumnRenamed(
+        "doc_id", "c_custkey")
+    members = cust.join(F.broadcast(comp), "c_custkey", "left").select(
+        "c_custkey", "c_acctbal",
+        F.coalesce("component", F.col("c_custkey")).alias("entity"))
+    orders = load(spark, sf_dir, "orders").join(
+        F.broadcast(members.select("c_custkey", "entity")),
+        F.col("o_custkey") == F.col("c_custkey"))
+    per_ent_orders = orders.groupBy("entity").agg(
+        F.count("*").alias("n_orders"))
+    return (
+        members.groupBy("entity")
+        .agg(F.count("*").cast("bigint").alias("n_members"),
+             F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+             .cast("double").alias("acctbal_sum"))
+        .join(per_ent_orders, "entity", "left")
+        .select(F.col("entity").cast("bigint").alias("entity"),
+                "n_members", "acctbal_sum",
+                F.coalesce("n_orders", F.lit(0)).cast("bigint")
+                .alias("n_orders"))
+    )
