@@ -655,3 +655,95 @@ def q258(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 F.col("view_id") + F.col("purchase_id"))),
                    F.lit(0)).cast("bigint").alias("matched_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# q265 — WATERMARK LATE-DATA DROP, made deterministic: the newer half
+# of the events table arrives FIRST (setting the watermark to
+# max(ts) − 30 min), the older half arrives second — now late — and
+# only its rows whose 1-hour window is still live (window end >
+# watermark) survive; a far-future sentinel batch then finalizes every
+# real window so append mode emits each exactly once. The oracle
+# computes the identical keep rule in closed form. This is the
+# semantics q39 (complete mode) deliberately does NOT exercise: here
+# the watermark actually discards input.
+# --------------------------------------------------------------------------
+def _late_feed(spark: SparkSession, sf_dir: str) -> str:
+    from .textops import _derived_dir
+
+    def build(d: str) -> None:
+        import datetime
+        import os
+
+        ev = load(spark, sf_dir, "events").select(
+            "event_id", "ts", "user_id", "event_type")
+        b = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")
+                   ).collect()[0]  # bounded: 2 scalars
+        span_us = ((b.hi - b.lo).days * 86_400_000_000
+                   + (b.hi - b.lo).seconds * 1_000_000
+                   + (b.hi - b.lo).microseconds)
+        # integer-microsecond midpoint — the oracle replays this exact
+        # arithmetic (interval/2 halves differently across engines)
+        mid = b.lo + datetime.timedelta(microseconds=span_us // 2)
+        ev.filter(F.col("ts") >= mid).coalesce(1).write.mode(
+            "overwrite").parquet(os.path.join(d, "drop_0"))
+        # the TICK batch: state eviction runs at END of batch, so the
+        # watermark set by drop_0 only evicts finalized windows during
+        # this intermediate batch — late rows in drop_2 then hit
+        # genuinely-gone state and are dropped on input
+        tick = spark.createDataFrame(
+            [(-1, b.hi + datetime.timedelta(minutes=1), -1, "tick")],
+            ev.schema).coalesce(1)
+        tick.write.mode("overwrite").parquet(os.path.join(d, "drop_1"))
+        ev.filter(F.col("ts") < mid).coalesce(1).write.mode(
+            "overwrite").parquet(os.path.join(d, "drop_2"))
+        sent = spark.createDataFrame(
+            [(-2, datetime.datetime(2100, 1, 1), -2, "tick")], ev.schema
+        ).coalesce(1)
+        sent.write.mode("overwrite").parquet(os.path.join(d, "drop_3"))
+        t0 = 1_600_000_000
+        for i in range(4):
+            dd = os.path.join(d, f"drop_{i}")
+            for f in os.listdir(dd):
+                os.utime(os.path.join(dd, f), (t0 + i, t0 + i))
+
+    return _derived_dir(sf_dir, "latefeed_r3", build)
+
+
+@register(
+    "q265_watermark_late_drop",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(ts) AS lo, MAX(ts) AS hi,
+             make_timestamp(epoch_us(MIN(ts))
+               + (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 2) AS mid
+      FROM events
+    ), kept AS (
+      -- keep rule = the engine's eviction rule: newer half always;
+      -- late (older-half) rows only where the 1-h window outlived the
+      -- tick watermark hi + 1 min - 30 min
+      SELECT date_trunc('hour', e.ts) AS bucket, e.event_type
+      FROM events e, bounds b
+      WHERE e.ts >= b.mid
+         OR date_trunc('hour', e.ts) + INTERVAL 1 HOUR
+            > b.hi + INTERVAL 1 MINUTE - INTERVAL 30 MINUTE
+    )
+    SELECT bucket, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM kept GROUP BY 1, 2
+    ORDER BY bucket, event_type
+    """,
+)
+def q265(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.events import run_late_data_rollup_once
+
+    feed = _late_feed(spark, sf_dir)
+    schema = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type").schema
+    out = run_late_data_rollup_once(spark, feed, schema)
+    return (
+        out.filter((F.col("bucket")
+                    < F.lit("2099-01-01 00:00:00").cast("timestamp"))
+                   & (F.col("event_type") != "tick"))
+        .select("bucket", "event_type", F.col("n").cast("bigint").alias("n"))
+        .orderBy("bucket", "event_type")
+    )

@@ -495,3 +495,56 @@ def run_view_purchase_left_outer_once(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+def late_data_rollup(
+    spark: SparkSession,
+    feed_dir: str,
+    schema,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling-window rollup in APPEND mode — the configuration where
+    the watermark actually DROPS late data (complete mode keeps all
+    state, q39): a window emits exactly once when the watermark passes
+    its end, and rows arriving for an already-finalized window are
+    discarded on input. Paired with a batch-ordered feed this makes
+    the dropped-late set deterministic (q265)."""
+    s = _normalize_ts(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{feed_dir}/drop_*")
+    )
+    return (
+        s.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("win.start").alias("bucket"), "event_type", "n")
+    )
+
+
+def run_late_data_rollup_once(
+    spark: SparkSession, feed_dir: str, schema
+) -> DataFrame:
+    """Drain the append-mode rollup over a feed ordered NEWER-HALF
+    FIRST, then the older half (now late), then a far-future sentinel:
+    batch 0 sets the watermark to max(ts) - delay, batch 1's rows only
+    count where their window is still live (end > watermark), and the
+    sentinel batch finalizes every real window so append emits each
+    exactly once. The sentinel's own window never finalizes and so
+    never appears."""
+    name = f"latedrop_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            late_data_rollup(spark, feed_dir, schema)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)
