@@ -250,6 +250,8 @@ BENCH_QUERIES = [
     "q262_token_budget_select",
     "q263_image_neardup",
     "q264_entity_resolution",
+    "q266_chi_square_independence",
+    "q267_conversion_latency",
 ]
 
 

@@ -1745,3 +1745,77 @@ def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("s_acctbal").cast("double").alias("s_acctbal"))
         .orderBy("s_name")
     )
+
+
+# --------------------------------------------------------------------------
+# q266 — CHI-SQUARE INDEPENDENCE + Cramér's V (lang x source): the
+# association test a curation pipeline runs before stratifying on two
+# attributes ("is language independent of source?"). One fact-scale
+# hash agg to the contingency table; marginals and expecteds live on
+# the ~100-cell table. Each cell's contribution is (N·o − r·c)² /
+# (N·r·c) — one IEEE division of exact BIGINT products — emitted
+# PER CELL (order-free); the χ² total and Cramér's V are 6-dp rounded
+# (the repo's stddev convention) since a 100-term float sum is
+# reduction-order-dependent.
+# --------------------------------------------------------------------------
+@register(
+    "q266_chi_square_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+      FROM documents GROUP BY 1, 2
+    ), m AS (
+      SELECT lang, source, o,
+             SUM(o) OVER (PARTITION BY lang) AS r,
+             SUM(o) OVER (PARTITION BY source) AS c,
+             SUM(o) OVER () AS n
+      FROM cells
+    ), contrib AS (
+      SELECT lang, source, o,
+             CAST((n * o - r * c) * (n * o - r * c) AS DOUBLE)
+               / (n * r * c) AS chi2_term,
+             n, r, c
+      FROM m
+    )
+    SELECT lang, source, o, chi2_term,
+           round(SUM(chi2_term) OVER (), 6) AS chi2_total,
+           round(sqrt((SUM(chi2_term) OVER ())
+                      / (MAX(n) OVER ()
+                         * least((SELECT COUNT(DISTINCT lang) - 1
+                                  FROM documents),
+                                 (SELECT COUNT(DISTINCT source) - 1
+                                  FROM documents)))), 6) AS cramers_v
+    FROM contrib
+    ORDER BY lang, source
+    """,
+)
+def q266(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count("*").cast("bigint").alias("o"))
+    wl = Window.partitionBy("lang")
+    ws = Window.partitionBy("source")
+    wa = Window.partitionBy()
+    m = cells.select(
+        "lang", "source", "o",
+        F.sum("o").over(wl).alias("r"),
+        F.sum("o").over(ws).alias("c"),
+        F.sum("o").over(wa).alias("n"))
+    term = ((F.col("n") * F.col("o") - F.col("r") * F.col("c"))
+            * (F.col("n") * F.col("o") - F.col("r") * F.col("c"))
+            ).cast("double") / (F.col("n") * F.col("r") * F.col("c"))
+    contrib = m.select("lang", "source", "o", term.alias("chi2_term"),
+                       "n")
+    k = docs.agg(
+        (F.least(F.countDistinct("lang") - 1,
+                 F.countDistinct("source") - 1)).alias("dof_min"))
+    return (
+        contrib.crossJoin(F.broadcast(k))
+        .select(
+            "lang", "source", "o", "chi2_term",
+            F.round(F.sum("chi2_term").over(wa), 6).alias("chi2_total"),
+            F.round(F.sqrt(F.sum("chi2_term").over(wa)
+                           / (F.max("n").over(wa) * F.col("dof_min"))),
+                    6).alias("cramers_v"))
+        .orderBy("lang", "source")
+    )

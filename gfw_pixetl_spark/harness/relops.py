@@ -747,3 +747,70 @@ def q265(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bucket", "event_type", F.col("n").cast("bigint").alias("n"))
         .orderBy("bucket", "event_type")
     )
+
+
+# --------------------------------------------------------------------------
+# q267 — CONVERSION-LATENCY QUANTILES: the funnel (q70) extended to
+# "how long did conversion take" — per user, the FIRST view and the
+# FIRST purchase after it; latency quantiles per event-count-weighted
+# user segment come from the grouped distributed-selection operator
+# (q135's machinery: joint (group, value) range partitioning, no
+# single-reducer percentile funnel). Latency is measured in exact
+# epoch seconds; quantile interpolation matches quantile_cont's
+# p·(n−1) lattice on both engines, rounded 6 dp by repo convention.
+# --------------------------------------------------------------------------
+_LAT_PS = [0.5, 0.9, 0.99]
+
+
+@register(
+    "q267_conversion_latency",
+    oracle=" UNION ALL ".join(
+        f"""SELECT seg AS segment, CAST({p} AS DOUBLE) AS p,
+            round(quantile_cont(lat, {p}), 6) AS value
+            FROM (
+              SELECT CASE WHEN u.user_id % 3 = 0 THEN 'heavy'
+                          ELSE 'light' END AS seg,
+                     epoch(u.first_p) - epoch(u.first_v) AS lat
+              FROM (
+                SELECT user_id,
+                       MIN(CASE WHEN event_type = 'view' THEN ts END)
+                         AS first_v,
+                       MIN(CASE WHEN event_type = 'purchase'
+                            AND ts >= (SELECT MIN(ts) FROM events e2
+                                       WHERE e2.user_id = e.user_id
+                                         AND e2.event_type = 'view')
+                            THEN ts END) AS first_p
+                FROM events e GROUP BY user_id
+              ) u
+              WHERE u.first_v IS NOT NULL AND u.first_p IS NOT NULL
+            ) GROUP BY seg"""
+        for p in _LAT_PS
+    ),
+)
+def q267(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.quantiles import grouped_exact_quantiles
+
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts")))
+        .alias("first_v"))
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .filter(F.col("ts") >= F.col("first_v"))
+        .groupBy("user_id", "first_v")
+        .agg(F.min("ts").alias("first_p"))
+        .filter(F.col("first_v").isNotNull())
+        .select(
+            F.when(F.col("user_id") % 3 == 0, "heavy")
+            .otherwise("light").alias("seg"),
+            # timestamp->double = fractional epoch seconds, the exact
+            # twin of DuckDB's epoch()
+            (F.col("first_p").cast("double")
+             - F.col("first_v").cast("double")).alias("lat"),
+        )
+    )
+    out = grouped_exact_quantiles(conv, "seg", "lat", _LAT_PS)
+    return out.select(
+        F.col("group").alias("segment"), "p",
+        F.round("value", 6).alias("value"))

@@ -40,6 +40,12 @@ EXEMPTIONS: dict[str, dict[str, str]] = {
     "q262_token_budget_select": {
         "SINGLE_PART": "offset window over 16 aggregated bucket totals"
     },
+    # chi-square totals window over the POST-aggregation ~100-cell
+    # contingency table (lang x source is value-domain-sized however
+    # large the corpus); the fact scan is reduced before this window.
+    "q266_chi_square_independence": {
+        "SINGLE_PART": "chi2 total over the ~100-cell contingency table"
+    },
     # the grand-total window runs over the POST-aggregation 25-row nation
     # table — the fact scan is reduced before the global window sees it
     # (asserted by test_revenue_share_windows_aggregated_dims).
