@@ -474,3 +474,175 @@ def fold_text_sql(expr: str) -> str:
                 + _SPACE_FAMILY_DST).replace("'", "''")
     e = f"translate({e}, '{full_src}', '{full_dst}')"
     return f"trim(regexp_replace({e}, '\\s+', ' ', 'g'))"
+
+
+# --------------------------------------------------------------------------
+# Readability (Flesch-Kincaid grade) — counting heuristics shared with
+# the SQL oracle: words = maximal letter runs, sentences = maximal
+# [.!?]+ runs (floored at 1), syllables = maximal vowel-group runs in
+# the lowercased text. Regex literals are module constants so oracles
+# inline the identical patterns.
+# --------------------------------------------------------------------------
+READ_WORD_REGEX = r"[A-Za-z]+"
+READ_SENT_REGEX = r"[.!?]+"
+READ_SYL_REGEX = r"[aeiouy]+"
+
+
+def readability_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch-Kincaid grade level per document, entirely JVM-side.
+
+    grade = 0.39 * (words / sentences) + 11.8 * (syllables / words)
+            - 15.59
+
+    with the counting heuristics above (the classic formula needs a
+    dictionary-free syllable proxy; vowel-group runs are the standard
+    one). All three counts are integers, the grade is two double
+    divisions combined in a fixed order, so a SQL oracle replays the
+    value bit-for-bit before rounding. Map-only projection — no
+    shuffle, no UDF, safe at any corpus size; the quality-filtering
+    stage (reference analogue: the calc-expression band filters,
+    gfw_pixetl/models/layer_model.py calc strings) every curriculum /
+    quality-mix pipeline runs.
+    """
+    c = F.col(text_col)
+    n_words = F.regexp_count(c, F.lit(READ_WORD_REGEX))
+    n_sents = F.greatest(F.regexp_count(c, F.lit(READ_SENT_REGEX)), F.lit(1))
+    n_syl = F.regexp_count(F.lower(c), F.lit(READ_SYL_REGEX))
+    grade = (
+        F.lit(0.39) * (n_words.cast("double") / n_sents.cast("double"))
+        + F.lit(11.8) * (n_syl.cast("double") / n_words.cast("double"))
+        - F.lit(15.59)
+    )
+    return df.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        n_sents.cast("bigint").alias("n_sentences"),
+        n_syl.cast("bigint").alias("n_syllables"),
+        F.when(n_words > 0, F.round(grade, 6)).alias("fk_grade"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Registrable-domain extraction (public-suffix-list discipline). A
+# documented SUBSET of the PSL: the multi-label suffixes a crawl
+# pipeline hits constantly; the full list is a data file swap, not a
+# code change. Longest-suffix-wins, exactly the PSL algorithm.
+# --------------------------------------------------------------------------
+PUBLIC_SUFFIXES = (
+    "com", "org", "net", "io", "edu", "gov",
+    "co.uk", "ac.uk", "gov.uk", "com.au", "org.au", "co.jp",
+    "github.io", "blogspot.com", "s3.amazonaws.com",
+)
+
+
+def registrable_domain(col: Column | str) -> Column:
+    """eTLD+1 of a lowercase hostname via longest-matching public
+    suffix — the grouping key for host-level dedup / per-site caps
+    (crawl pipelines rate-limit and dedup at the registrable domain,
+    not the raw host, so ``a.blog.example.co.uk`` and
+    ``example.co.uk`` collapse together).
+
+    Pure column expressions: the suffix table is a literal array (HOF
+    filter -> longest match via max-by-(length, name) struct ordering),
+    the label before the suffix comes from one substring. Map-only —
+    no UDF, no join, no shuffle. Hosts that ARE a bare public suffix
+    (or match none) yield NULL.
+    """
+    host = F.lower(F.col(col) if isinstance(col, str) else col)
+    sufs = F.array(*[F.lit(s) for s in PUBLIC_SUFFIXES])
+    matched = F.filter(
+        sufs, lambda s: host.endswith(F.concat(F.lit("."), s)))
+    best = F.array_max(
+        F.transform(matched, lambda s: F.struct(
+            F.length(s).alias("l"), s.alias("s"))))["s"]
+    # label = last dot-separated token before the suffix
+    prefix = host.substr(
+        F.lit(1), F.length(host) - F.length(best) - F.lit(1))
+    label = F.regexp_extract(prefix, r"([^.]+)$", 1)
+    return F.when(
+        best.isNotNull() & (label != ""),
+        F.concat(label, F.lit("."), best))
+
+
+# --------------------------------------------------------------------------
+# BPE merge LEARNING (the train side of q229's apply side): iterative
+# argmax over adjacent-pair frequencies on the word-frequency table,
+# with the canonical left-to-right non-overlapping merge application.
+# --------------------------------------------------------------------------
+BPE_WORD_FILTER = r"^[A-Za-z]+$"
+
+
+def _apply_merge(toks: Column, p1: str, p2: str) -> Column:
+    """One BPE merge over a token array, as a Catalyst HOF fold: scan
+    left to right, replacing each non-overlapping (p1, p2) adjacency
+    with the concatenated symbol — exactly the reference BPE semantics
+    (a freshly merged symbol can itself be the left side of the next
+    match only if its NAME equals p1, which length makes impossible).
+    Pure ``aggregate`` expression: JVM-side, no UDF."""
+    merged = p1 + p2
+    return F.aggregate(
+        toks,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(p1))
+            & (x == F.lit(p2)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(df: DataFrame, text_col: str = "text",
+              n_merges: int = 4) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges from a corpus.
+
+    Classic BPE training operates on the WORD-FREQUENCY table, not the
+    corpus: the vocabulary is value-domain-sized however large the
+    corpus, so after one fact-scale word count every iteration touches
+    only vocab rows. Per iteration: explode adjacent symbol pairs
+    (weighted by word count) -> hash agg -> argmax with a total
+    deterministic tie-break (count DESC, pair ASC) -> collect ONE row
+    (bounded metadata, the q160 k-means discipline) -> apply the merge
+    with a Catalyst HOF fold and localCheckpoint the (small) vocab so
+    plans stay flat. Returns one row per learned merge: (it, p1, p2,
+    pair count, total corpus tokens after the merge).
+    """
+    spark = df.sparkSession
+    vocab = (
+        df.select(F.explode(words(text_col)).alias("w"))
+        .filter(F.col("w").rlike(BPE_WORD_FILTER) & (F.length("w") >= 2))
+        .groupBy(F.lower(F.col("w")).alias("word"))
+        .agg(F.count("*").alias("cnt"))
+        .select("word", "cnt", F.split("word", "").alias("toks"))
+        .localCheckpoint()
+    )
+    out = []
+    for it in range(1, n_merges + 1):
+        n_t = F.size("toks")
+        pairs = (
+            vocab.filter(n_t >= 2)
+            .select(
+                "cnt",
+                F.explode(F.arrays_zip(
+                    F.slice("toks", 1, n_t - 1).alias("p1"),
+                    F.slice(F.col("toks"), 2, n_t - 1).alias("p2"),
+                )).alias("pr"),
+            )
+            .groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+            .agg(F.sum("cnt").alias("n"))
+        )
+        best = pairs.orderBy(
+            F.col("n").desc(), F.col("p1").asc(), F.col("p2").asc()
+        ).limit(1).collect()  # bounded: one argmax row per iteration
+        if not best:
+            break
+        b = best[0]
+        vocab = vocab.withColumn(
+            "toks", _apply_merge(F.col("toks"), b.p1, b.p2)
+        ).localCheckpoint()
+        total = vocab.agg(
+            F.sum(F.size("toks") * F.col("cnt"))).collect()[0][0]
+        out.append((it, b.p1, b.p2, int(b.n), int(total)))
+    return spark.createDataFrame(
+        out, "it int, p1 string, p2 string, n bigint, total_tokens bigint")

@@ -3195,3 +3195,172 @@ def q261(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.multimodal import transcode_png_jpeg
 
     return transcode_png_jpeg(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# q270 — READABILITY (Flesch-Kincaid grade): the dictionary-free
+# counting heuristics (letter-run words, [.!?]+ sentences, vowel-group
+# syllables) shared as module regex constants; grade = two integer
+# ratios combined in a fixed double order, so the oracle replays the
+# value bit-for-bit before the 6-dp round. Map-only projection —
+# whole-stage codegen end to end, the quality-scoring shape (q33)
+# extended with the curriculum-standard readability metric.
+# --------------------------------------------------------------------------
+@register(
+    "q270_readability",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{T.READ_WORD_REGEX}'))
+               AS n_words,
+             GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS n_sentences,
+             len(regexp_extract_all(lower(text), '{T.READ_SYL_REGEX}'))
+               AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           CASE WHEN n_words > 0 THEN
+             round(0.39 * (CAST(n_words AS DOUBLE)
+                           / CAST(n_sentences AS DOUBLE))
+                   + 11.8 * (CAST(n_syllables AS DOUBLE)
+                             / CAST(n_words AS DOUBLE))
+                   - 15.59, 6)
+           END AS fk_grade
+    FROM c
+    """,
+)
+def q270(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.readability_features(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# q271 — REGISTRABLE DOMAIN (eTLD+1) grouping: each doc synthesizes one
+# of five deterministic messy hosts (case noise, deep subdomains, a
+# multi-label co.uk suffix, a github.io private suffix); the engine
+# runs the real longest-suffix-wins PSL-subset parser
+# (text.py::registrable_domain — literal-array HOF, map-only, no UDF)
+# while the oracle constructs the expected eTLD+1 strings analytically
+# from the variant table — a parser bug cannot hide on both sides
+# (q251's discipline). Two variants share a registrable domain, so the
+# per-domain host count proves subdomains actually collapse.
+# --------------------------------------------------------------------------
+@register(
+    "q271_registrable_domain",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id, source,
+             CASE CAST(doc_id % 5 AS INT)
+               WHEN 0 THEN source || '.com'
+               WHEN 1 THEN source || '.co.uk'
+               WHEN 2 THEN source || '.github.io'
+               WHEN 3 THEN source || '.org'
+               ELSE source || '.com' END AS reg,
+             CASE CAST(doc_id % 5 AS INT)
+               WHEN 0 THEN 'www.' || source || '.com'
+               WHEN 1 THEN 'blog.' || source || '.co.uk'
+               WHEN 2 THEN source || '.github.io'
+               WHEN 3 THEN 'a.b.' || source || '.org'
+               ELSE 'cdn.assets.' || source || '.com' END AS host
+      FROM documents
+    )
+    SELECT reg AS registrable, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts
+    FROM v GROUP BY 1 ORDER BY 1
+    """,
+)
+def q271(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    host = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("WWW."), F.col("source"), F.lit(".Com")))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(F.lit("Blog."), F.col("source"), F.lit(".CO.UK")))
+        .when(F.col("doc_id") % 5 == 2,
+              F.concat(F.col("source"), F.lit(".github.io")))
+        .when(F.col("doc_id") % 5 == 3,
+              F.concat(F.lit("a.b."), F.col("source"), F.lit(".org")))
+        .otherwise(
+            F.concat(F.lit("cdn.assets."), F.col("source"), F.lit(".com")))
+    )
+    hosts = docs.select(
+        F.lower(host).alias("host"),
+        T.registrable_domain(host).alias("registrable"))
+    return (
+        hosts.groupBy("registrable")
+        .agg(F.count("*").cast("bigint").alias("n_docs"),
+             F.countDistinct("host").cast("bigint").alias("n_hosts"))
+        .orderBy("registrable")
+    )
+
+
+# --------------------------------------------------------------------------
+# q272 — BPE MERGE LEARNING (the train side; q164 = first-step pair
+# counts, q229 = apply side — this closes the tokenizer loop): 4
+# iterations of argmax-pair + canonical left-to-right merge over the
+# word-frequency table (text.py::bpe_train — vocab-sized iterations, a
+# Catalyst HOF fold applies each merge, one collected argmax row per
+# iteration = bounded metadata, the q160 k-means discipline). The
+# oracle unrolls the SAME 4 iterations as chained MATERIALIZED CTEs
+# (the q181 lesson: scalar subqueries re-evaluate non-materialized
+# CTEs exponentially), applying each merge with delimiter-string
+# replace() — whose left-to-right non-overlapping scan is exactly the
+# BPE merge rule — so engine and oracle implement the algorithm by two
+# INDEPENDENT mechanisms and must agree on every merge, count, and
+# post-merge corpus token total.
+# --------------------------------------------------------------------------
+_BPE_N_MERGES = 4
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    # v0: word-frequency vocab; token sequence as '|p1||p2||...|'
+    ctes = [f"""v0 AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+             substr('|' || regexp_replace(word, '(.)', '\\1||', 'g'),
+                    1, 3 * len(word)) AS s
+      FROM (SELECT lower(w) AS word
+            FROM (SELECT unnest({SQL_WORDS}) AS w FROM documents)
+            WHERE regexp_full_match(w, '[A-Za-z]+') AND len(w) >= 2)
+      GROUP BY word
+    )"""]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        ctes.append(f"""c{i} AS MATERIALIZED (
+      SELECT toks[g.i] AS p1, toks[g.i + 1] AS p2, SUM(cnt) AS n
+      FROM (SELECT cnt,
+                   list_filter(string_split(s, '|'), x -> x != '') AS toks
+            FROM v{p}) t,
+           unnest(generate_series(1, len(toks) - 1)) AS g(i)
+      GROUP BY 1, 2
+    )""")
+        ctes.append(f"""m{i} AS MATERIALIZED (
+      SELECT p1, p2, CAST(n AS BIGINT) AS n
+      FROM c{i} ORDER BY n DESC, p1, p2 LIMIT 1
+    )""")
+        ctes.append(f"""v{i} AS MATERIALIZED (
+      SELECT word, cnt,
+             replace(s,
+                     '|' || (SELECT p1 FROM m{i}) || '||'
+                         || (SELECT p2 FROM m{i}) || '|',
+                     '|' || (SELECT p1 FROM m{i})
+                         || (SELECT p2 FROM m{i}) || '|') AS s
+      FROM v{p}
+    )""")
+    selects = [
+        f"""SELECT CAST({i} AS INT) AS it, (SELECT p1 FROM m{i}) AS p1,
+           (SELECT p2 FROM m{i}) AS p2, (SELECT n FROM m{i}) AS n,
+           (SELECT CAST(SUM(len(list_filter(string_split(s, '|'),
+                                            x -> x != '')) * cnt)
+                        AS BIGINT) FROM v{i}) AS total_tokens"""
+        for i in range(1, n_merges + 1)
+    ]
+    return ("WITH " + ",\n".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(selects) + "\nORDER BY it")
+
+
+@register("q272_bpe_train", oracle=_bpe_oracle(_BPE_N_MERGES))
+def q272(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.bpe_train(
+        load(spark, sf_dir, "documents"), n_merges=_BPE_N_MERGES)

@@ -77,3 +77,61 @@ def test_fold_text_is_idempotent(spark):
     df2 = spark.createDataFrame([(o,) for o in once], "t string").coalesce(1)
     twice = [r.f for r in df2.select(fold_text("t").alias("f")).collect()]
     assert once == twice
+
+
+# ---- registrable_domain (eTLD+1, PSL-subset longest-suffix-wins) ----
+
+DOMAIN_CASES = [
+    ("www.example.com", "example.com"),
+    ("a.b.example.co.uk", "example.co.uk"),        # multi-label suffix wins
+    ("user.github.io", "user.github.io"),          # private suffix
+    ("deep.sub.user.github.io", "user.github.io"),
+    ("EXAMPLE.ORG", "example.org"),                # case-folded
+    ("example.com", "example.com"),                # already registrable
+    ("com", None),                                 # bare public suffix
+    ("co.uk", None),                               # bare multi-label suffix
+    ("localhost", None),                           # no matching suffix
+    ("bucket.s3.amazonaws.com", "bucket.s3.amazonaws.com"),
+]
+
+
+@pytest.mark.parametrize("host,expect", DOMAIN_CASES)
+def test_registrable_domain(spark, host, expect):
+    from gfw_pixetl_spark.functions.text import registrable_domain
+
+    df = spark.createDataFrame([(host,)], "h string").coalesce(1)
+    got = df.select(registrable_domain("h").alias("d")).collect()[0].d
+    assert got == expect, f"{host!r} -> {got!r}, want {expect!r}"
+
+
+def test_bpe_train_classic(spark):
+    """The textbook BPE example: corpus where 'lo' then 'low' emerge."""
+    from gfw_pixetl_spark.functions.text import bpe_train
+
+    rows = [("low low low lower lower newest newest newest widest",)]
+    df = spark.createDataFrame(rows, "text string")
+    out = bpe_train(df, n_merges=3).collect()
+    merges = [(r.p1, r.p2) for r in out]
+    # word-frequency table: low:3 lower:2 newest:3 widest:1
+    # it1 pairs: (l,o)=5 (o,w)=5 (w,e)=5 (e,s)=4 (s,t)=4 (n,e)=3 (e,w)=3
+    # (e,r)=2 ... -> three-way tie at 5, pair-ASC tie-break picks (l,o)
+    assert merges[0] == ("l", "o")
+    assert out[0].n == 5
+    # it2: (lo,w)=5 now beats everything else -> 'low' emerges
+    assert merges[1] == ("lo", "w")
+    assert out[1].n == 5
+    assert len(merges) == 3
+    assert all(out[i].total_tokens > out[i + 1].total_tokens
+               for i in range(len(out) - 1))
+
+
+def test_readability_known_value(spark):
+    from gfw_pixetl_spark.functions.text import readability_features
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran fast!")], "doc_id long, text string")
+    r = readability_features(df).collect()[0]
+    assert (r.n_words, r.n_sentences, r.n_syllables) == (7, 2, 7)
+    # grade = 0.39*(7/2) + 11.8*(7/7) - 15.59
+    expect = round(0.39 * 3.5 + 11.8 - 15.59, 6)
+    assert r.fk_grade == expect
