@@ -696,3 +696,41 @@ def transcode_png_jpeg(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     return df.select("doc_id", text_col).mapInPandas(
         kernel, TRANSCODE_SCHEMA)
+
+
+ZCR_SCHEMA = ("doc_id long, n_samples int, zcr int, peak int, "
+              "mean_abs double")
+
+
+def audio_zcr(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Zero-crossing rate + peak + mean absolute amplitude per doc over
+    a REAL 8-bit PCM WAV payload — the voiced/unvoiced + clipping
+    screen a speech-corpus pipeline runs before transcription. The
+    kernel runs the real RIFF parse (``sources/wav.py``); every output
+    is integer-exact (crossing = sign-bit change over adjacent samples
+    with zero counted non-negative; mean_abs divides an exact integer
+    sum by 16, a power of two), so the SQL oracle replays the values
+    bit-for-bit from the digest bytes.
+    """
+    from ..sources.wav import decode_wav
+    from .partitioning import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "n_samples", "zcr", "peak", "mean_abs")}
+            for doc_id, t in zip(pdf["doc_id"], pdf[text_col]):
+                samples, _rate = decode_wav(wav_payload(t))
+                s = [int(v) for v in samples[:, 0]]
+                zcr = sum(
+                    1 for a, b in zip(s, s[1:]) if (a < 0) != (b < 0))
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(len(s))
+                out["zcr"].append(zcr)
+                out["peak"].append(max(abs(v) for v in s))
+                out["mean_abs"].append(sum(abs(v) for v in s) / len(s))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", text_col).mapInPandas(kernel, ZCR_SCHEMA)

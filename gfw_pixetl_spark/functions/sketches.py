@@ -352,3 +352,92 @@ def hll_sliding_distinct_sql(
              END) AS BIGINT) AS approx_distinct
     FROM per
     """
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k) distinct sketch — Bar-Yossef et al.
+# 2002. Keep the k smallest distinct hash values; with hashes uniform on
+# [0, 2^60), E[distinct] ~ (k-1) * 2^60 / h_(k). Unlike HLL the sketch
+# IS a deterministic function of the value set (the k smallest hashes),
+# so an oracle replays the estimate bit-for-bit — and set operations
+# (union = merge-and-retrim) come free.
+# --------------------------------------------------------------------------
+KMV_SALT_BUCKETS = 64
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 256,
+) -> DataFrame:
+    """Per-group KMV distinct estimate of ``value_col``.
+
+    Scale shape: one distinct-reducing shuffle on (group, hash) with
+    map-side combine, then TWO-LEVEL selection of the k smallest hashes
+    (the exact-quantile discipline): level 1 ranks within (group,
+    hash % 64) salt buckets — each window task sees ~1/64 of a group's
+    distinct hashes and keeps at most k; level 2 ranks the surviving
+    <= 64k rows per group. No group ever funnels its full distinct set
+    through one task. Groups with fewer than k distinct values report
+    exactly (the standard KMV small-set rule: the sketch holds the
+    whole set).
+    """
+    from pyspark.sql.window import Window
+
+    h = md5_int64(F.col(value_col).cast("string"))
+    distinct_h = (
+        df.select(*group_cols, h.alias("h"))
+        .groupBy(*group_cols, "h").agg(F.lit(1).alias("one"))
+    )
+    lvl1 = Window.partitionBy(
+        *group_cols, F.pmod(F.col("h"), F.lit(KMV_SALT_BUCKETS))
+    ).orderBy("h")
+    lvl2 = Window.partitionBy(*group_cols).orderBy("h")
+    bottom = (
+        distinct_h
+        .withColumn("r1", F.row_number().over(lvl1))
+        .filter(F.col("r1") <= k)
+        .withColumn("r2", F.row_number().over(lvl2))
+        .filter(F.col("r2") <= k)
+    )
+    per = bottom.groupBy(*group_cols).agg(
+        F.count("*").alias("n_k"), F.max("h").alias("h_k"))
+    est = F.when(
+        F.col("n_k") < k, F.col("n_k").cast("double")
+    ).otherwise(
+        # (k-1)*2^60 is an exact double (k-1 < 2^11); h_k rounds to
+        # nearest double identically in any IEEE engine; one division.
+        F.lit(float((k - 1) * (1 << HASH_BITS))) / F.col("h_k").cast("double")
+    )
+    return per.select(
+        *group_cols, F.round(est).cast("bigint").alias("approx_distinct"))
+
+
+def kmv_distinct_sql(
+    table_expr: str,
+    group_exprs: list[str],
+    value_expr: str,
+    k: int = 256,
+) -> str:
+    """DuckDB twin of :func:`kmv_distinct` (same hash, same estimator)."""
+    g = ", ".join(group_exprs)
+    h = md5_int64_sql(f"CAST({value_expr} AS VARCHAR)")
+    return f"""
+    WITH dh AS (
+      SELECT DISTINCT {g}, {h} AS h FROM {table_expr}
+    ), bottom AS (
+      SELECT {g}, h,
+             row_number() OVER (PARTITION BY {g} ORDER BY h) AS r
+      FROM dh
+    ), per AS (
+      SELECT {g}, COUNT(*) AS n_k, MAX(h) AS h_k
+      FROM bottom WHERE r <= {k} GROUP BY {g}
+    )
+    SELECT {g},
+           CAST(round(CASE WHEN n_k < {k} THEN CAST(n_k AS DOUBLE)
+                ELSE CAST({float((k - 1) * (1 << HASH_BITS))!r} AS DOUBLE)
+                     / CAST(h_k AS DOUBLE) END) AS BIGINT)
+             AS approx_distinct
+    FROM per
+    """

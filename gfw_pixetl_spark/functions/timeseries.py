@@ -120,3 +120,86 @@ def ewma_truncated(
         key_col, ts_col, tiebreak_col, val_col,
         F.round(num / den, 6).alias("ewma"),
     )
+
+
+def acf_integer(
+    daily: DataFrame,
+    t_col: str,
+    x_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Autocorrelation r_1..r_max_lag of an INTEGER-valued series,
+    IEEE-exact on any partitioning.
+
+    ``daily`` holds one row per PRESENT calendar index ``t`` (0-based;
+    absent indices mean x_t = 0) with integer measure ``x``. The series
+    length N = max(t) + 1. The textbook estimator
+
+        r_l = sum_{t<=N-1-l} (x_t - mu)(x_{t+l} - mu)
+              / sum_t (x_t - mu)^2,  mu = S / N
+
+    is a ratio of float sums whose value depends on summation order —
+    so multiply both sides by N^2 and expand mu away: every term is an
+    exact BIGINT
+
+        num_l = N^2 * sum_t x_t x_{t+l}
+                - N * S * (head_l + tail_l) + (N - l) * S^2
+        den   = N^2 * sum x^2 - N * S^2
+
+    (head_l = sum of x_t for t <= N-1-l, tail_l = sum for t >= l) and
+    r_l is ONE IEEE division of exact integers — bit-identical in any
+    engine, any reduction order.
+
+    Scale shape: the series table is value-domain-sized (one row per
+    calendar index however large the fact table feeding it); lag
+    products come from an equi-join on t + l = t' after a broadcast
+    explode over the max_lag-row lag table; the (N, S, sum x^2) scalar
+    broadcasts as one row. Nothing fact-scale moves.
+    """
+    s = daily.select(
+        F.col(t_col).cast("bigint").alias("t"),
+        F.col(x_col).cast("bigint").alias("x"),
+    )
+    scal = s.agg(
+        (F.max("t") + 1).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    lags = s.sparkSession.range(1, max_lag + 1).select(
+        F.col("id").cast("bigint").alias("lag"))
+    parts = (
+        s.crossJoin(F.broadcast(scal))
+        .crossJoin(F.broadcast(lags))
+        .groupBy("lag")
+        .agg(
+            F.sum(F.when(F.col("t") <= F.col("n") - 1 - F.col("lag"),
+                         F.col("x")).otherwise(F.lit(0))).alias("head_sum"),
+            F.sum(F.when(F.col("t") >= F.col("lag"), F.col("x"))
+                  .otherwise(F.lit(0))).alias("tail_sum"),
+        )
+    )
+    a = s.select(F.col("t").alias("ta"), F.col("x").alias("xa"))
+    b = s.select(F.col("t").alias("tb"), F.col("x").alias("xb"))
+    prods = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("tb") == F.col("ta") + F.col("lag"))
+        .groupBy("lag")
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("sxy"))
+    )
+    joined = (
+        lags.join(parts, "lag", "left")
+        .join(prods, "lag", "left")
+        .crossJoin(F.broadcast(scal))
+        .na.fill({"head_sum": 0, "tail_sum": 0, "sxy": 0})
+    )
+    n, s1, s2, lag = F.col("n"), F.col("s1"), F.col("s2"), F.col("lag")
+    num = (
+        n * n * F.col("sxy")
+        - n * s1 * (F.col("head_sum") + F.col("tail_sum"))
+        + (n - lag) * s1 * s1
+    )
+    den = n * n * s2 - n * s1 * s1
+    return joined.select(
+        lag.cast("int").alias("lag"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias("acf"),
+    ).orderBy("lag")

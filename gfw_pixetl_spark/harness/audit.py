@@ -721,3 +721,79 @@ def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.greatest(F.abs(F.col("dm2")), F.lit(1.0)) < 1e-9))
         .alias("merge_consistent"),
     )
+
+
+# --------------------------------------------------------------------------
+# q275 — BENFORD first-digit audit on order totals (the classic fraud /
+# data-fabrication screen). First significant digit extracted in exact
+# integer space (floor(price*100) cents -> first char of the decimal
+# string — Spark's bigint cast truncates while DuckDB's rounds, so
+# BOTH sides floor explicitly); expected Benford shares log10(1+1/d)
+# are computed ONCE in Python and inlined as identical literals on
+# both sides; observed share and the chi-square contribution
+# (n - N*p)^2 / (N*p) are fixed-order scalar IEEE ops on exact
+# integers. One fact-scale hash agg to 9 rows + a broadcast 1-row
+# total — nothing else moves.
+# --------------------------------------------------------------------------
+import math as _math
+
+_BENFORD_P = {d: _math.log10(1 + 1 / d) for d in range(1, 10)}
+
+
+@register(
+    "q275_benford_digits",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ), obs AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY 1
+    ), tot AS (SELECT SUM(n) AS total FROM obs),
+    exp AS (
+      SELECT * FROM (VALUES
+        {", ".join(f"({d}, CAST({_BENFORD_P[d]!r} AS DOUBLE))"
+                   for d in range(1, 10))}) AS t(digit, p)
+    )
+    SELECT e.digit, COALESCE(n, 0) AS n,
+           round(CAST(COALESCE(n, 0) AS DOUBLE) / CAST(total AS DOUBLE), 6)
+             AS observed_share,
+           round(p, 6) AS benford_share,
+           round((CAST(COALESCE(n, 0) AS DOUBLE)
+                  - CAST(total AS DOUBLE) * p)
+                 * (CAST(COALESCE(n, 0) AS DOUBLE)
+                    - CAST(total AS DOUBLE) * p)
+                 / (CAST(total AS DOUBLE) * p), 6) AS chi2_term
+    FROM exp e LEFT JOIN obs ON obs.digit = e.digit, tot
+    ORDER BY e.digit
+    """,
+)
+def q275(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    obs = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .select(
+            F.substring(
+                F.floor(F.col("o_totalprice") * 100).cast("bigint")
+                .cast("string"), 1, 1).cast("int").alias("digit"))
+        .groupBy("digit").agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = obs.agg(F.sum("n").alias("total"))
+    exp = spark.createDataFrame(
+        [(d, _BENFORD_P[d]) for d in range(1, 10)],
+        "digit int, p double").coalesce(1)
+    nn = F.coalesce(F.col("n"), F.lit(0)).cast("double")
+    ep = F.col("total").cast("double") * F.col("p")
+    return (
+        F.broadcast(exp).join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
+            F.round(nn / F.col("total").cast("double"), 6)
+              .alias("observed_share"),
+            F.round(F.col("p"), 6).alias("benford_share"),
+            F.round((nn - ep) * (nn - ep) / ep, 6).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

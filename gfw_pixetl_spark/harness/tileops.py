@@ -2299,3 +2299,65 @@ def q252(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_px"))
         .orderBy("fill")
     )
+
+
+# --------------------------------------------------------------------------
+# q276 — D8 FLOW DIRECTION (the ESRI/GDAL hydrology primitive) through
+# the real COG + halo-read stencil: steepest-descent neighbor among 8,
+# codes 1..128 clockwise from East, 0 = pit. The cardinal-vs-diagonal
+# slope comparison is done in the exact INTEGER metric (2*d^2 vs d^2 —
+# squaring clears sqrt(2) on positive drops), ties to the lowest code,
+# so the oracle replays the argmax bit-for-bit over the analytic z
+# field with a (metric, 255-code) packed-integer max. Output is the
+# direction histogram + total metric — one fact-scale hash agg after
+# the embarrassingly parallel stencil.
+# --------------------------------------------------------------------------
+_D8_NB_SQL = ", ".join(
+    f"({code}, {dr}, {dc}, {1 if diag else 0})"
+    for code, dr, dc, diag in
+    [(1, 0, 1, False), (2, 1, 1, True), (4, 1, 0, False), (8, 1, -1, True),
+     (16, 0, -1, False), (32, -1, -1, True), (64, -1, 0, False),
+     (128, -1, 1, True)]
+)
+
+
+@register(
+    "q276_d8_flow",
+    oracle=f"""
+    WITH px AS (
+      SELECT i.r AS r, j.c AS c, {_Z.format(r='i.r', c='j.c')} AS zc
+      FROM generate_series(1, 94) i(r), generate_series(1, 94) j(c)
+    ), nb AS (
+      SELECT * FROM (VALUES {_D8_NB_SQL}) AS t(code, dr, dc, diag)
+    ), cand AS (
+      SELECT r, c, code,
+             CASE WHEN diag = 1 THEN d * d ELSE 2 * d * d END AS m
+      FROM (SELECT px.r, px.c, code, diag,
+                   zc - ({_Z.format(r='px.r + dr', c='px.c + dc')}) AS d
+            FROM px, nb) s
+      WHERE d > 0
+    ), best AS (
+      SELECT r, c, MAX(m * 256 + (255 - code)) AS k
+      FROM cand GROUP BY r, c
+    ), flow AS (
+      SELECT px.r, px.c,
+             CAST(COALESCE(255 - (k % 256), 0) AS INT) AS flow_dir,
+             CAST(COALESCE(k // 256, 0) AS BIGINT) AS metric
+      FROM px LEFT JOIN best USING (r, c)
+    )
+    SELECT flow_dir, CAST(COUNT(*) AS BIGINT) AS n_px,
+           CAST(SUM(metric) AS BIGINT) AS sum_metric
+    FROM flow GROUP BY flow_dir ORDER BY flow_dir
+    """,
+)
+def q276(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.raster_table import d8_flow_pixels, raster_catalog
+
+    cat = raster_catalog(spark, [_focal_demo_file()])
+    px = d8_flow_pixels(cat, window=48, parallelism=8)
+    return (
+        px.groupBy("flow_dir")
+        .agg(F.count("*").cast("bigint").alias("n_px"),
+             F.sum("metric").cast("bigint").alias("sum_metric"))
+        .orderBy("flow_dir")
+    )

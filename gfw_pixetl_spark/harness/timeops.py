@@ -14,9 +14,9 @@ from ..functions.hashing import md5_int64_sql
 from ..functions.sampling import weighted_reservoir_sample
 from ..functions.sketches import (
     cms_heavy_hitters_sql, cms_probe, count_min_sketch,
-    hll_distinct, hll_distinct_sql,
+    hll_distinct, hll_distinct_sql, kmv_distinct, kmv_distinct_sql,
 )
-from ..functions.timeseries import gapfill_locf
+from ..functions.timeseries import acf_integer, gapfill_locf
 from . import load, register
 
 
@@ -515,4 +515,154 @@ def q264(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_members", "acctbal_sum",
                 F.coalesce("n_orders", F.lit(0)).cast("bigint")
                 .alias("n_orders"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q273 — KMV (bottom-k) distinct sketch: per-event-type distinct-user
+# estimate from the 256 smallest portable-md5 hash values. Unlike HLL
+# the sketch is a DETERMINISTIC function of the value set, so the
+# oracle replays the estimate bit-for-bit: (k-1)*2^60/h_(k), one IEEE
+# division. Engine side keeps the selection distributed (two-level
+# row_number over salt buckets then group — no group funnels its full
+# distinct set through one task); the oracle ranks plainly.
+# --------------------------------------------------------------------------
+@register(
+    "q273_kmv_distinct",
+    oracle=kmv_distinct_sql("events", ["event_type"], "user_id", k=256),
+)
+def q273(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return kmv_distinct(ev, ["event_type"], "user_id", k=256)
+
+
+# --------------------------------------------------------------------------
+# q274 — AUTOCORRELATION of the daily order count series, lags 1..7
+# (the weekly-seasonality probe every forecast pipeline starts with).
+# The estimator is rewritten so mu never appears: numerator and
+# denominator become exact BIGINT combinations (N^2*sum x_t*x_{t+l}
+# - N*S*(head+tail) + (N-l)*S^2 over N^2*sum x^2 - N*S^2) and each
+# r_l is ONE IEEE division — bit-identical on any partitioning, so
+# the oracle replays the same integers with a plain lag self-join.
+# Daily counts are value-domain-sized; nothing fact-scale moves after
+# the first hash agg.
+# --------------------------------------------------------------------------
+_ACF_MAX_LAG = 7
+
+
+@register(
+    "q274_daily_acf",
+    oracle=f"""
+    WITH daily AS (
+      SELECT datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+               AS t,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ), scal AS (
+      SELECT MAX(t) + 1 AS n, SUM(x) AS s1, SUM(x * x) AS s2 FROM daily
+    ), lags AS (
+      SELECT unnest(generate_series(1, {_ACF_MAX_LAG})) AS lag
+    ), parts AS (
+      SELECT lag,
+             SUM(CASE WHEN t <= n - 1 - lag THEN x ELSE 0 END) AS head_sum,
+             SUM(CASE WHEN t >= lag THEN x ELSE 0 END) AS tail_sum
+      FROM daily, scal, lags GROUP BY lag
+    ), prods AS (
+      SELECT lag, SUM(a.x * b.x) AS sxy
+      FROM lags, daily a JOIN daily b ON b.t = a.t + lag
+      GROUP BY lag
+    )
+    SELECT CAST(l.lag AS INT) AS lag,
+           round(CAST(n*n*COALESCE(sxy, 0)
+                      - n*s1*(COALESCE(head_sum, 0) + COALESCE(tail_sum, 0))
+                      + (n - l.lag)*s1*s1 AS DOUBLE)
+                 / CAST(n*n*s2 - n*s1*s1 AS DOUBLE), 6) AS acf
+    FROM lags l
+    LEFT JOIN parts USING (lag) LEFT JOIN prods USING (lag), scal
+    ORDER BY lag
+    """,
+)
+def q274(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.datediff(F.col("o_orderdate").cast("date"),
+                       F.lit("1992-01-01").cast("date")).alias("t"))
+        .agg(F.count("*").alias("x"))
+    )
+    return acf_integer(daily, "t", "x", max_lag=_ACF_MAX_LAG)
+
+
+# --------------------------------------------------------------------------
+# q278 — BLOCKING-QUALITY EVALUATION (the record-linkage design step
+# BEFORE any pair is materialized): ground truth = synthetic entity
+# c_custkey // 3; candidate scheme = (mktsegment, nationkey) blocks.
+# Pair completeness (recall of true pairs inside blocks) and reduction
+# ratio (1 - candidates / C(N,2)) computed ENTIRELY from group sizes —
+# three hash aggs of C(sz,2) integers, zero pair materialization, so
+# the evaluation itself scales to any corpus. The only floats are the
+# two final divisions of exact BIGINTs.
+# --------------------------------------------------------------------------
+@register(
+    "q278_blocking_quality",
+    oracle="""
+    WITH ent AS (
+      SELECT c_custkey // 3 AS entity, COUNT(*) AS sz
+      FROM customer GROUP BY 1
+    ), blk AS (
+      SELECT c_mktsegment, c_nationkey, COUNT(*) AS sz
+      FROM customer GROUP BY 1, 2
+    ), cell AS (
+      SELECT c_mktsegment, c_nationkey, c_custkey // 3 AS entity,
+             COUNT(*) AS sz
+      FROM customer GROUP BY 1, 2, 3
+    ), scal AS (
+      SELECT (SELECT COUNT(*) FROM customer) AS n,
+             (SELECT SUM(sz * (sz - 1) // 2) FROM ent) AS true_pairs,
+             (SELECT SUM(sz * (sz - 1) // 2) FROM blk) AS cand_pairs,
+             (SELECT SUM(sz * (sz - 1) // 2) FROM cell) AS matched_pairs
+    )
+    SELECT CAST(n AS BIGINT) AS n_records,
+           CAST(true_pairs AS BIGINT) AS n_true_pairs,
+           CAST(cand_pairs AS BIGINT) AS n_cand_pairs,
+           CAST(matched_pairs AS BIGINT) AS n_matched_pairs,
+           round(CAST(matched_pairs AS DOUBLE) / CAST(true_pairs AS DOUBLE),
+                 6) AS pair_completeness,
+           round(1.0 - CAST(cand_pairs AS DOUBLE)
+                       / CAST(n * (n - 1) // 2 AS DOUBLE), 6)
+             AS reduction_ratio
+    FROM scal
+    """,
+)
+def q278(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+
+    def pair_sum(*keys):
+        g = cust.groupBy(*[k.alias(f"k{i}") for i, k in enumerate(keys)])
+        # sz*(sz-1) div 2 stays in exact int64 — a float /2 would lose
+        # ulps past 2^53 pairs (a single hot block at corpus scale)
+        return g.agg(F.count("*").alias("sz")).agg(
+            F.sum(F.expr("sz * (sz - 1) div 2")).alias("s"))
+
+    true_pairs = pair_sum(F.floor(F.col("c_custkey") / 3))
+    cand_pairs = pair_sum(F.col("c_mktsegment"), F.col("c_nationkey"))
+    matched = pair_sum(F.col("c_mktsegment"), F.col("c_nationkey"),
+                       F.floor(F.col("c_custkey") / 3))
+    n = cust.agg(F.count("*").alias("n"))
+    j = (
+        n.crossJoin(true_pairs.select(F.col("s").alias("true_pairs")))
+        .crossJoin(cand_pairs.select(F.col("s").alias("cand_pairs")))
+        .crossJoin(matched.select(F.col("s").alias("matched_pairs")))
+    )
+    return j.select(
+        F.col("n").cast("bigint").alias("n_records"),
+        F.col("true_pairs").alias("n_true_pairs"),
+        F.col("cand_pairs").alias("n_cand_pairs"),
+        F.col("matched_pairs").alias("n_matched_pairs"),
+        F.round(F.col("matched_pairs").cast("double")
+                / F.col("true_pairs").cast("double"), 6)
+          .alias("pair_completeness"),
+        F.round(F.lit(1.0) - F.col("cand_pairs").cast("double")
+                / F.expr("n * (n - 1) div 2").cast("double"), 6)
+          .alias("reduction_ratio"),
     )

@@ -1383,3 +1383,36 @@ def q263(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_pairs"))
         .orderBy("dist")
     )
+
+
+# --------------------------------------------------------------------------
+# q277 — AUDIO ZCR/PEAK screen: zero-crossing count, peak amplitude and
+# mean-abs per doc through the REAL RIFF/WAVE parse (8-bit PCM, 16
+# digest-byte samples). All integer-exact (crossing = sign-bit change,
+# zero counted non-negative; mean_abs = integer sum / 16, a power of
+# two), so the oracle replays every value from md5 hex. One-to-one
+# Arrow kernel — map-only, no shuffle.
+# --------------------------------------------------------------------------
+_ZCR_TERMS = " + ".join(
+    f"(CASE WHEN ({_PCM_SIGNED[i]} < 0) != ({_PCM_SIGNED[i + 1]} < 0) "
+    "THEN 1 ELSE 0 END)"
+    for i in range(15)
+)
+_ABS_TERMS = " + ".join(f"abs({s})" for s in _PCM_SIGNED)
+
+
+@register(
+    "q277_audio_zcr",
+    oracle=f"""
+    SELECT doc_id, CAST(16 AS INT) AS n_samples,
+           CAST({_ZCR_TERMS} AS INT) AS zcr,
+           CAST(greatest({", ".join(f"abs({s})" for s in _PCM_SIGNED)})
+                AS INT) AS peak,
+           CAST(({_ABS_TERMS}) AS DOUBLE) / 16.0 AS mean_abs
+    FROM documents
+    """,
+)
+def q277(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import audio_zcr
+
+    return audio_zcr(load(spark, sf_dir, "documents"))

@@ -433,6 +433,62 @@ def terrain_indices_pixels(
                          TERRAIN_SCHEMA)
 
 
+D8_SCHEMA = (
+    "uri string, band int, row int, col int, x double, y double, "
+    "flow_dir int, metric long"
+)
+
+# ESRI/GDAL D8 codes in code-ascending order: (code, dr, dc, diagonal)
+D8_NEIGHBORS = (
+    (1, 0, 1, False), (2, 1, 1, True), (4, 1, 0, False), (8, 1, -1, True),
+    (16, 0, -1, False), (32, -1, -1, True), (64, -1, 0, False),
+    (128, -1, 1, True),
+)
+
+
+def d8_flow_pixels(
+    catalog: DataFrame,
+    window: int = 2048,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """D8 flow direction (the ESRI/GDAL hydrology primitive) per
+    interior pixel: the steepest-descent neighbor among 8, encoded
+    1/2/4/.../128 clockwise from East; 0 = pit/flat (no lower
+    neighbor).
+
+    Exactness: slope to a cardinal neighbor is drop/1, to a diagonal
+    drop/sqrt(2) — comparing drop_c vs drop_d/sqrt(2) over POSITIVE
+    drops is equivalent to comparing the INTEGER metric 2*drop_c^2 vs
+    drop_d^2 (squaring is monotone on non-negatives and the sqrt(2)
+    clears), so the argmax is exact integer arithmetic and an external
+    SQL oracle replays it bit-for-bit. Ties break to the LOWEST code
+    (strict-greater update in code-ascending order). Same halo-read
+    execution model as the other stencils: no shuffle until the caller
+    aggregates.
+    """
+
+    def stencil(data, valid, _transform):
+        h, w = data.shape
+        oh, ow = h - 2, w - 2
+        z = data.astype("int64")
+        zc = z[1:oh + 1, 1:ow + 1]
+        ok = np.ones((oh, ow), dtype=bool)
+        best_m = np.zeros((oh, ow), dtype="int64")
+        best_c = np.zeros((oh, ow), dtype="int64")
+        for code, dr, dc, diag in D8_NEIGHBORS:
+            blk = z[1 + dr:1 + dr + oh, 1 + dc:1 + dc + ow]
+            ok &= valid[1 + dr:1 + dr + oh, 1 + dc:1 + dc + ow]
+            d = zc - blk
+            m = np.where(d > 0, d * d if diag else 2 * d * d, 0)
+            upd = m > best_m
+            best_m = np.where(upd, m, best_m)
+            best_c = np.where(upd, code, best_c)
+        return {"flow_dir": best_c.astype("int32"), "metric": best_m}, ok
+
+    return _halo_stencil(catalog, window, parallelism, 1, stencil,
+                         D8_SCHEMA)
+
+
 def hillshade_pixels(
     catalog: DataFrame,
     window: int = 2048,

@@ -235,3 +235,37 @@ def test_materialize_pixels_round_trip(spark, cogs, tmp_path):
         # georeferencing follows the tile offset
         assert t.transform == (4.0 + tc * 40 * 0.05, 0.05,
                                10.0 - tr * 40 * 0.05, 0.05)
+
+
+def test_d8_flow_matches_numpy(spark, cogs):
+    from gfw_pixetl_spark.sources.raster_table import (
+        D8_NEIGHBORS, d8_flow_pixels)
+
+    pb, b = cogs["b"]
+    cat = raster_catalog(spark, [pb])
+    got = {(r.row, r.col): r for r in
+           d8_flow_pixels(cat, window=32, parallelism=4).collect()}
+    z = b.astype("int64")
+    assert len(got) == 78 * 78
+    for (r0, c0) in [(1, 1), (40, 40), (31, 32), (78, 78), (2, 77)]:
+        best_m, best_c = 0, 0
+        for code, dr, dc, diag in D8_NEIGHBORS:
+            d = z[r0, c0] - z[r0 + dr, c0 + dc]
+            m = (d * d if diag else 2 * d * d) if d > 0 else 0
+            if m > best_m:
+                best_m, best_c = m, code
+        r = got[(r0, c0)]
+        assert (r.flow_dir, r.metric) == (best_c, best_m)
+
+
+def test_d8_flat_raster_is_all_pits(spark, tmp_path):
+    from gfw_pixetl_spark.sources.raster_table import d8_flow_pixels
+
+    p = str(tmp_path / "flat.tif")
+    write_cog(p, np.full((1, 40, 40), 5, dtype="uint8"),
+              transform=(0.0, 0.1, 10.0, 0.1), blockxsize=32,
+              overviews=False)
+    rows = d8_flow_pixels(
+        raster_catalog(spark, [p]), window=32, parallelism=2).collect()
+    assert len(rows) == 38 * 38
+    assert all(r.flow_dir == 0 and r.metric == 0 for r in rows)

@@ -239,3 +239,78 @@ def test_weighted_sample_stratified_exact_k(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == sorted(
         r["doc_id"] for r in again.collect()
     )
+
+
+def test_kmv_within_rse_of_exact(spark):
+    from gfw_pixetl_spark.functions.sketches import kmv_distinct
+
+    rows = [(f"g{i % 3}", f"v{i % (700 * (1 + i % 3))}")
+            for i in range(6000)]
+    df = spark.createDataFrame(rows, "g string, v string")
+    exact = {r.g: r.n for r in
+             df.groupBy("g").agg(
+                 F.countDistinct("v").alias("n")).collect()}
+    got = {r.g: r.approx_distinct for r in
+           kmv_distinct(df, ["g"], "v", k=128).collect()}
+    for g, n in exact.items():
+        # KMV RSE ~ 1/sqrt(k-2) ~ 9% at k=128; allow 4 sigma
+        assert abs(got[g] - n) <= max(4 * n / (126 ** 0.5), 2), (g, got[g], n)
+
+
+def test_kmv_small_groups_exact(spark):
+    from gfw_pixetl_spark.functions.sketches import kmv_distinct
+
+    rows = [("a", f"v{i}") for i in range(50)] + [("b", "only")]
+    df = spark.createDataFrame(rows * 3, "g string, v string")
+    got = {r.g: r.approx_distinct for r in
+           kmv_distinct(df, ["g"], "v", k=256).collect()}
+    assert got == {"a": 50, "b": 1}  # below k: the sketch IS the set
+
+
+def test_kmv_partition_invariant(spark):
+    from gfw_pixetl_spark.functions.sketches import kmv_distinct
+
+    rows = [("g", f"x{i}") for i in range(3000)]
+    df1 = spark.createDataFrame(rows, "g string, v string").repartition(1)
+    df32 = spark.createDataFrame(rows, "g string, v string").repartition(32)
+    a = kmv_distinct(df1, ["g"], "v", k=64).collect()[0].approx_distinct
+    b = kmv_distinct(df32, ["g"], "v", k=64).collect()[0].approx_distinct
+    assert a == b
+
+
+def test_acf_constant_series_and_known_alternation(spark):
+    from gfw_pixetl_spark.functions.timeseries import acf_integer
+
+    # alternating 0/10 over an even horizon: r_1 = -1 + O(1/N) exactly
+    # computable; verify against a NumPy reference on the same series.
+    import numpy as np
+
+    xs = [(t, 10 if t % 2 == 0 else 0) for t in range(40)]
+    df = spark.createDataFrame(xs, "t long, x long")
+    got = {r.lag: r.acf for r in
+           acf_integer(df, "t", "x", max_lag=3).collect()}
+    x = np.array([v for _, v in xs], dtype=float)
+    mu = x.mean()
+    den = ((x - mu) ** 2).sum()
+    for lag in (1, 2, 3):
+        ref = ((x[:-lag] - mu) * (x[lag:] - mu)).sum() / den
+        assert abs(got[lag] - ref) < 1e-9, (lag, got[lag], ref)
+
+
+def test_acf_treats_missing_days_as_zero(spark):
+    from gfw_pixetl_spark.functions.timeseries import acf_integer
+
+    import numpy as np
+
+    present = [(0, 4), (1, 7), (3, 2), (6, 9)]  # t=2,4,5 absent -> 0
+    df = spark.createDataFrame(present, "t long, x long")
+    got = {r.lag: r.acf for r in
+           acf_integer(df, "t", "x", max_lag=2).collect()}
+    x = np.zeros(7)
+    for t, v in present:
+        x[t] = v
+    mu = x.mean()
+    den = ((x - mu) ** 2).sum()
+    for lag in (1, 2):
+        ref = ((x[:-lag] - mu) * (x[lag:] - mu)).sum() / den
+        assert abs(got[lag] - round(ref, 6)) < 1e-6
