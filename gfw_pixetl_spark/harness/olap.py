@@ -1819,3 +1819,77 @@ def q266(spark: SparkSession, sf_dir: str) -> DataFrame:
                     6).alias("cramers_v"))
         .orderBy("lang", "source")
     )
+
+
+# --------------------------------------------------------------------------
+# q281 — GINI COEFFICIENT of customer spend, exact and distributed: the
+# rank-weighted formula G = (2*sum(i*x_i) - (N+1)*S) / (N*S) needs a
+# GLOBAL ascending rank — computed with the q262 bucketed-scan
+# discipline instead of a single-task Window.orderBy: 64 fixed value-
+# domain buckets (bounds from a broadcast min/max scalar) rank
+# independently, cumulative bucket COUNTS provide the offsets (the
+# only global window runs over the 64-row bucket table — exempted),
+# and the rank-weighted sum accumulates in DECIMAL(38,0) because
+# sum(i * x_i) overflows int64 at fact scale (N^2 * x_max). One
+# division of exact decimal sums -> double.
+# --------------------------------------------------------------------------
+@register(
+    "q281_gini_spend",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS x
+      FROM orders GROUP BY 1
+    ), ranked AS (
+      SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i FROM spend
+    ), s AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(i * x) AS six FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(sx AS DOUBLE) AS total_cents,
+           round((2.0 * CAST(six AS DOUBLE) - (n + 1) * CAST(sx AS DOUBLE))
+                 / (n * CAST(sx AS DOUBLE)), 6) AS gini
+    FROM s
+    """,
+)
+def q281(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_buckets = 64
+    orders = load(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .alias("x"))
+    rng = spend.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    bucketed = (
+        spend.crossJoin(F.broadcast(rng))
+        .withColumn(
+            "_b",
+            F.least(
+                F.lit(n_buckets - 1),
+                ((F.col("x") - F.col("lo")) * n_buckets
+                 / (F.col("hi") - F.col("lo") + 1)).cast("int")))
+    )
+    counts = bucketed.groupBy("_b").agg(F.count("*").alias("_bn"))
+    wb = (Window.orderBy(F.col("_b").asc())
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_bn").over(wb), F.lit(0))).drop("_bn")
+    wr = Window.partitionBy("_b").orderBy(F.col("x").asc(),
+                                          F.col("o_custkey").asc())
+    ranked = (
+        bucketed.join(F.broadcast(offsets), "_b")
+        .withColumn("i", F.row_number().over(wr) + F.col("_off"))
+    )
+    s = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("i").cast("decimal(19,0)")
+              * F.col("x").cast("decimal(19,0)")).alias("six"),
+    )
+    n, sx, six = F.col("n"), F.col("sx").cast("double"), \
+        F.col("six").cast("double")
+    return s.select(
+        n.cast("bigint").alias("n_customers"),
+        sx.alias("total_cents"),
+        F.round((F.lit(2.0) * six - (n + 1) * sx) / (n * sx), 6)
+          .alias("gini"),
+    )

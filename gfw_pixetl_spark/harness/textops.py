@@ -3364,3 +3364,68 @@ def _bpe_oracle(n_merges: int) -> str:
 def q272(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bpe_train(
         load(spark, sf_dir, "documents"), n_merges=_BPE_N_MERGES)
+
+
+# --------------------------------------------------------------------------
+# q282 — VOCABULARY COVERAGE / OOV RATE: fixed vocab = the corpus's
+# top-500 words (count DESC, word ASC — total deterministic order);
+# per-language coverage = fraction of word OCCURRENCES outside the
+# vocab, the tokenizer-fit metric a multilingual data plan checks
+# before committing a vocab budget. Scale shape: the vocab is
+# value-domain-sized and broadcast; coverage is one fact-scale hash
+# agg over the exploded words with a broadcast LEFT join — integers
+# until one final division per language.
+# --------------------------------------------------------------------------
+_VOCAB_TOP = 500
+
+
+@register(
+    "q282_oov_rate",
+    oracle=f"""
+    WITH ex AS (
+      SELECT lang, lower(w) AS w
+      FROM (SELECT lang, unnest({SQL_WORDS}) AS w FROM documents) t
+      WHERE w != ''
+    ), vocab AS (
+      SELECT w FROM (
+        SELECT lower(w) AS w, COUNT(*) AS c
+        FROM (SELECT unnest({SQL_WORDS}) AS w FROM documents) t
+        WHERE w != '' GROUP BY 1
+      ) s ORDER BY c DESC, w ASC LIMIT {_VOCAB_TOP}
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           round(CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS oov_rate
+    FROM ex LEFT JOIN vocab v USING (w)
+    GROUP BY lang ORDER BY lang
+    """,
+)
+def q282(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ex = (
+        docs.select("lang", F.explode(T.words("text")).alias("w"))
+        .filter(F.col("w") != "")
+        .select("lang", F.lower("w").alias("w"))
+    )
+    vocab = (
+        ex.groupBy("w").agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(_VOCAB_TOP)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        ex.join(F.broadcast(vocab), "w", "left")
+        .groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("n_tokens"),
+             F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+             .cast("bigint").alias("n_oov"))
+        .select("lang", "n_tokens", "n_oov",
+                F.round(F.col("n_oov").cast("double")
+                        / F.col("n_tokens").cast("double"), 6)
+                  .alias("oov_rate"))
+        .orderBy("lang")
+    )

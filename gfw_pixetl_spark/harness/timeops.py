@@ -666,3 +666,180 @@ def q278(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.expr("n * (n - 1) div 2").cast("double"), 6)
           .alias("reduction_ratio"),
     )
+
+
+# --------------------------------------------------------------------------
+# q279 — WEEKDAY SEASONALITY DECOMPOSITION, integer-exact: daily order
+# counts, 7-day centered moving sum as the trend proxy (multiplying the
+# classic x_t - trend_t through by 7 keeps the deviation 7*x_t - sum7_t
+# an exact BIGINT — no float moving average), per-weekday deviation
+# totals + ONE division for the mean. The moving sum comes from a
+# broadcast 7-row offset table + equi-join on the value-domain daily
+# series (the q274 ACF discipline) — no global-order window anywhere.
+# --------------------------------------------------------------------------
+@register(
+    "q279_weekday_seasonality",
+    oracle="""
+    WITH daily AS (
+      SELECT datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+               AS t,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ), scal AS (SELECT MAX(t) + 1 AS n FROM daily),
+    win AS (
+      SELECT a.t, a.x, SUM(b.x) AS sum7, COUNT(b.t) AS n_present
+      FROM daily a
+      JOIN daily b ON b.t BETWEEN a.t - 3 AND a.t + 3
+      GROUP BY a.t, a.x
+    )
+    SELECT CAST(t % 7 AS INT) AS weekday,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(7 * x - sum7) AS BIGINT) AS sum_dev7,
+           round(CAST(SUM(7 * x - sum7) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_dev7
+    FROM win, scal
+    WHERE t >= 3 AND t <= n - 4
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q279(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.datediff(F.col("o_orderdate").cast("date"),
+                       F.lit("1992-01-01").cast("date")).alias("t"))
+        .agg(F.count("*").alias("x"))
+    )
+    scal = daily.agg((F.max("t") + 1).alias("n"))
+    offs = spark.range(-3, 4).select(F.col("id").alias("off"))
+    win = (
+        daily.select(F.col("t").alias("tb"), F.col("x").alias("xb"))
+        .crossJoin(F.broadcast(offs))
+        .select((F.col("tb") + F.col("off")).alias("t"),
+                F.col("xb"))
+        .groupBy("t").agg(F.sum("xb").alias("sum7"))
+    )
+    j = (
+        daily.join(win, "t")
+        .crossJoin(F.broadcast(scal))
+        .filter((F.col("t") >= 3) & (F.col("t") <= F.col("n") - 4))
+    )
+    dev = 7 * F.col("x") - F.col("sum7")
+    return (
+        j.groupBy((F.col("t") % 7).cast("int").alias("weekday"))
+        .agg(F.count("*").cast("bigint").alias("n_days"),
+             F.sum(dev).cast("bigint").alias("sum_dev7"))
+        .select("weekday", "n_days", "sum_dev7",
+                F.round(F.col("sum_dev7").cast("double")
+                        / F.col("n_days").cast("double"), 6)
+                  .alias("mean_dev7"))
+        .orderBy("weekday")
+    )
+
+
+# --------------------------------------------------------------------------
+# q280 — KMV SKETCH MERGE (the set algebra that makes bottom-k the
+# scale answer for distinct-over-unions): per-event-type bottom-k
+# sketches (k=128) built ONCE from the fact table, then every
+# unordered TYPE PAIR's distinct-user estimate computed purely by
+# merging the two k-row sketches (union hashes, dedup, retrim to k) —
+# the fact table is never rescanned per pair. All post-sketch work
+# touches <= 2k rows per pair; the estimate formula and hash are the
+# q273 ones, so the oracle replays every merged estimate bit-for-bit.
+# --------------------------------------------------------------------------
+_KMV_MERGE_K = 128
+
+
+@register(
+    "q280_kmv_merge",
+    oracle=f"""
+    WITH dh AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM events
+    ), sk AS (
+      SELECT event_type, h
+      FROM (SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h)
+                     AS r
+            FROM dh) t
+      WHERE r <= {_KMV_MERGE_K}
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM (SELECT DISTINCT event_type FROM events) a
+      JOIN (SELECT DISTINCT event_type FROM events) b
+        ON a.event_type < b.event_type
+    ), merged AS (
+      SELECT p.type_a, p.type_b, s.h
+      FROM pairs p JOIN sk s
+        ON s.event_type IN (p.type_a, p.type_b)
+      GROUP BY 1, 2, 3
+    ), ranked AS (
+      SELECT type_a, type_b, h,
+             row_number() OVER (PARTITION BY type_a, type_b ORDER BY h)
+               AS r
+      FROM merged
+    ), per AS (
+      SELECT type_a, type_b, COUNT(*) AS n_k, MAX(h) AS h_k
+      FROM ranked WHERE r <= {_KMV_MERGE_K} GROUP BY 1, 2
+    )
+    SELECT type_a, type_b,
+           CAST(round(CASE WHEN n_k < {_KMV_MERGE_K}
+                           THEN CAST(n_k AS DOUBLE)
+                ELSE CAST({float((_KMV_MERGE_K - 1) * (1 << 60))!r}
+                          AS DOUBLE) / CAST(h_k AS DOUBLE) END) AS BIGINT)
+             AS approx_union_distinct
+    FROM per ORDER BY type_a, type_b
+    """,
+)
+def q280(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions.hashing import md5_int64
+    from ..functions.sketches import KMV_SALT_BUCKETS
+
+    k = _KMV_MERGE_K
+    ev = load(spark, sf_dir, "events")
+    dh = (
+        ev.select("event_type",
+                  md5_int64(F.col("user_id").cast("string")).alias("h"))
+        .groupBy("event_type", "h").agg(F.lit(1).alias("one"))
+    )
+    lvl1 = Window.partitionBy(
+        "event_type", F.pmod(F.col("h"), F.lit(KMV_SALT_BUCKETS))
+    ).orderBy("h")
+    lvl2 = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        dh.withColumn("r1", F.row_number().over(lvl1))
+        .filter(F.col("r1") <= k)
+        .withColumn("r2", F.row_number().over(lvl2))
+        .filter(F.col("r2") <= k)
+        .select("event_type", "h")
+        .localCheckpoint()  # sketches are tiny; plan both pair sides once
+    )
+    types = sk.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(types.select(F.col("event_type").alias("type_b")),
+              F.col("type_a") < F.col("type_b"))
+    )
+    merged = (
+        F.broadcast(pairs)
+        .join(sk, (F.col("event_type") == F.col("type_a"))
+              | (F.col("event_type") == F.col("type_b")))
+        .select("type_a", "type_b", "h").distinct()
+    )
+    rk = Window.partitionBy("type_a", "type_b").orderBy("h")
+    per = (
+        merged.withColumn("r", F.row_number().over(rk))
+        .filter(F.col("r") <= k)
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_k"), F.max("h").alias("h_k"))
+    )
+    est = F.when(F.col("n_k") < k, F.col("n_k").cast("double")).otherwise(
+        F.lit(float((k - 1) * (1 << 60))) / F.col("h_k").cast("double"))
+    return per.select(
+        "type_a", "type_b",
+        F.round(est).cast("bigint").alias("approx_union_distinct")
+    ).orderBy("type_a", "type_b")

@@ -40,6 +40,12 @@ EXEMPTIONS: dict[str, dict[str, str]] = {
     "q262_token_budget_select": {
         "SINGLE_PART": "offset window over 16 aggregated bucket totals"
     },
+    # same bucketed-scan discipline as q262: the global rank's offset
+    # window runs over the 64-row bucket-count table; per-row ranks
+    # partition BY bucket and the fact scan is reduced first.
+    "q281_gini_spend": {
+        "SINGLE_PART": "offset window over 64 aggregated bucket counts"
+    },
     # chi-square totals window over the POST-aggregation ~100-cell
     # contingency table (lang x source is value-domain-sized however
     # large the corpus); the fact scan is reduced before this window.
