@@ -252,6 +252,26 @@ BENCH_QUERIES = [
     "q264_entity_resolution",
     "q266_chi_square_independence",
     "q267_conversion_latency",
+    "q270_readability",
+    "q271_registrable_domain",
+    "q272_bpe_train",
+    "q273_kmv_distinct",
+    "q274_daily_acf",
+    "q275_benford_digits",
+    "q276_d8_flow",
+    "q277_audio_zcr",
+    "q278_blocking_quality",
+    "q279_weekday_seasonality",
+    "q280_kmv_merge",
+    "q281_gini_spend",
+    "q282_oov_rate",
+    "q283_winsorized_stats",
+    "q284_kmv_intersection",
+    "q285_pca_power_iteration",
+    "q286_mann_kendall",
+    "q287_theil_sen",
+    "q288_cusum_changepoint",
+    "q289_seasonal_mase",
 ]
 
 

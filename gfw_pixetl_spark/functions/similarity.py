@@ -584,3 +584,50 @@ def sq8_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def int_gram(
+    codes: DataFrame, code_col: str = "sq8_code"
+) -> DataFrame:
+    """Exact integer Gram matrix X^T X of a quantized-code column via
+    PARTIAL GRAM aggregation (the :func:`covariance_upper` scale shape,
+    but in EXACT int64): each partition computes its own d x d Gram
+    with one NumPy int64 matmul inside an Arrow kernel, and only those
+    d^2-sized partials shuffle — never the vectors. Entries are exact
+    (|G_ij| <= n * 127^2 stays in int64 up to n ~ 5e14 rows), so a SQL
+    oracle replays them bit-for-bit in any reduction order — the
+    property float Grams (q170) can never have.
+
+    Output: (i, j, g) for the FULL d x d matrix (1-based), plus the
+    row count as (0, 0, n).
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        gram = None
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(pdf[code_col].tolist(), dtype=np.int64)
+            n += X.shape[0]
+            g = X.T @ X
+            gram = g if gram is None else gram + g
+        if gram is None:
+            return
+        d = gram.shape[0]
+        ii, jj = np.meshgrid(np.arange(d), np.arange(d), indexing="ij")
+        yield pd.concat([
+            pd.DataFrame({"i": (ii.ravel() + 1).astype("int32"),
+                          "j": (jj.ravel() + 1).astype("int32"),
+                          "g": gram.ravel()}),
+            pd.DataFrame({"i": np.int32([0]), "j": np.int32([0]),
+                          "g": np.int64([n])}),
+        ], ignore_index=True)
+
+    partials = codes.select(code_col).mapInPandas(
+        kernel, "i int, j int, g long")
+    return partials.groupBy("i", "j").agg(F.sum("g").alias("g"))

@@ -779,9 +779,12 @@ def q275(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("digit").agg(F.count("*").cast("bigint").alias("n"))
     )
     tot = obs.agg(F.sum("n").alias("total"))
+    # single-slice parallelize: a local createDataFrame(list) pays a
+    # multi-second Python-task round per execution (ROADMAP perf note)
     exp = spark.createDataFrame(
-        [(d, _BENFORD_P[d]) for d in range(1, 10)],
-        "digit int, p double").coalesce(1)
+        spark.sparkContext.parallelize(
+            [(d, _BENFORD_P[d]) for d in range(1, 10)], 1),
+        "digit int, p double")
     nn = F.coalesce(F.col("n"), F.lit(0)).cast("double")
     ep = F.col("total").cast("double") * F.col("p")
     return (

@@ -1893,3 +1893,72 @@ def q281(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((F.lit(2.0) * six - (n + 1) * sx) / (n * sx), 6)
           .alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# q283 — WINSORIZED + TRIMMED statistics (the outlier-robust
+# preprocessing every metrics pipeline applies before averaging):
+# p05/p95 bounds in exact integer cent space via the distributed
+# range-partitioned selection (two driver floats, codegen'd literal
+# comparisons — no single-reducer percentile), then ONE fact-scale agg
+# of pure integers (n, clipped-low/high counts, mid-range cent sum).
+# Winsorized mean = (sum_mid + n_lo*lo + n_hi*hi)/n and trimmed mean =
+# sum_mid/n_mid are SCALAR fixed-order IEEE ops on exact aggregates —
+# no float ever enters a distributed sum, so any partitioning gives
+# the same bits. Oracle shares the interpolation formula
+# (quantile_cont == the module's rank = p*(n-1) rule).
+# --------------------------------------------------------------------------
+@register(
+    "q283_winsorized_stats",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS x FROM orders
+    ), b AS (
+      SELECT quantile_cont(x, 0.05) AS lo, quantile_cont(x, 0.95) AS hi
+      FROM c
+    ), agg AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN x < lo THEN 1 ELSE 0 END) AS n_lo,
+             SUM(CASE WHEN x > hi THEN 1 ELSE 0 END) AS n_hi,
+             SUM(CASE WHEN x >= lo AND x <= hi THEN x ELSE 0 END)
+               AS sum_mid,
+             MAX(lo) AS lo, MAX(hi) AS hi
+      FROM c, b
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(n_lo AS BIGINT) AS n_clip_low,
+           CAST(n_hi AS BIGINT) AS n_clip_high,
+           round((CAST(sum_mid AS DOUBLE) + n_lo * lo + n_hi * hi)
+                 / CAST(n AS DOUBLE) / 100.0, 6) AS winsorized_mean,
+           round(CAST(sum_mid AS DOUBLE)
+                 / CAST(n - n_lo - n_hi AS DOUBLE) / 100.0, 6)
+             AS trimmed_mean
+    FROM agg
+    """,
+)
+def q283(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.quantiles import exact_quantiles
+
+    orders = load(spark, sf_dir, "orders")
+    cents = orders.select(
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("x"))
+    lo, hi = exact_quantiles(cents, "x", [0.05, 0.95])
+    agg = cents.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("x") < lo, 1).otherwise(0)).alias("n_lo"),
+        F.sum(F.when(F.col("x") > hi, 1).otherwise(0)).alias("n_hi"),
+        F.sum(F.when((F.col("x") >= lo) & (F.col("x") <= hi),
+                     F.col("x")).otherwise(F.lit(0))).alias("sum_mid"),
+    )
+    n, n_lo, n_hi = F.col("n"), F.col("n_lo"), F.col("n_hi")
+    sum_mid = F.col("sum_mid").cast("double")
+    return agg.select(
+        n.cast("bigint").alias("n"),
+        n_lo.cast("bigint").alias("n_clip_low"),
+        n_hi.cast("bigint").alias("n_clip_high"),
+        F.round((sum_mid + n_lo * F.lit(lo) + n_hi * F.lit(hi))
+                / n.cast("double") / F.lit(100.0), 6)
+          .alias("winsorized_mean"),
+        F.round(sum_mid / (n - n_lo - n_hi).cast("double") / F.lit(100.0),
+                6).alias("trimmed_mean"),
+    )

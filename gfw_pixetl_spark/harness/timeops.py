@@ -5,7 +5,7 @@ and CUBE multi-dimensional totals.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.dedup import fuzzy_pairs_symdelete
@@ -843,3 +843,401 @@ def q280(spark: SparkSession, sf_dir: str) -> DataFrame:
         "type_a", "type_b",
         F.round(est).cast("bigint").alias("approx_union_distinct")
     ).orderBy("type_a", "type_b")
+
+
+# --------------------------------------------------------------------------
+# q284 — KMV INTERSECTION (audience overlap) via the merged-sketch
+# rho-estimator (Beyer et al. 2007): the union's bottom-k hash values
+# all lie below BOTH per-type sketch thresholds (the union's k-th min
+# is <= each individual k-th min), so for each of them "present in
+# both sets" is decidable exactly from the two sketches; rho =
+# both-count / k IS the Jaccard estimate and intersection = rho *
+# est(union). Binomial-tight (stderr ~ sqrt(rho(1-rho)/k) * |union|,
+# vs inclusion-exclusion whose error compounds three estimates). One
+# fact scan builds per-type sketches; everything after touches <= 2k
+# rows per pair; deterministic, so the oracle replays every value.
+# --------------------------------------------------------------------------
+@register(
+    "q284_kmv_intersection",
+    oracle=f"""
+    WITH dh AS (
+      SELECT DISTINCT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS h
+      FROM events
+    ), sk AS (
+      SELECT event_type, h
+      FROM (SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h)
+                     AS r
+            FROM dh) t
+      WHERE r <= {_KMV_MERGE_K}
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM (SELECT DISTINCT event_type FROM events) a
+      JOIN (SELECT DISTINCT event_type FROM events) b
+        ON a.event_type < b.event_type
+    ), merged AS (
+      SELECT p.type_a, p.type_b, s.h,
+             MAX(CASE WHEN s.event_type = p.type_a THEN 1 ELSE 0 END)
+               AS in_a,
+             MAX(CASE WHEN s.event_type = p.type_b THEN 1 ELSE 0 END)
+               AS in_b
+      FROM pairs p JOIN sk s ON s.event_type IN (p.type_a, p.type_b)
+      GROUP BY 1, 2, 3
+    ), ranked AS (
+      SELECT type_a, type_b, h, in_a, in_b,
+             row_number() OVER (PARTITION BY type_a, type_b ORDER BY h)
+               AS r
+      FROM merged
+    ), per AS (
+      SELECT type_a, type_b, COUNT(*) AS n_k, MAX(h) AS h_k,
+             SUM(in_a * in_b) AS n_both
+      FROM ranked WHERE r <= {_KMV_MERGE_K} GROUP BY 1, 2
+    )
+    SELECT type_a, type_b,
+           CAST(n_both AS BIGINT) AS k_both,
+           round(CAST(n_both AS DOUBLE) / CAST(n_k AS DOUBLE), 6)
+             AS est_jaccard,
+           round((CAST(n_both AS DOUBLE) / CAST(n_k AS DOUBLE))
+                 * (CASE WHEN n_k < {_KMV_MERGE_K}
+                         THEN CAST(n_k AS DOUBLE)
+                    ELSE CAST({float((_KMV_MERGE_K - 1) * (1 << 60))!r}
+                              AS DOUBLE) / CAST(h_k AS DOUBLE) END), 2)
+             AS est_intersection
+    FROM per ORDER BY type_a, type_b
+    """,
+)
+def q284(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_int64
+    from ..functions.sketches import KMV_SALT_BUCKETS
+
+    k = _KMV_MERGE_K
+    kfac = float((k - 1) * (1 << 60))
+    ev = load(spark, sf_dir, "events")
+    dh = (
+        ev.select("event_type",
+                  md5_int64(F.col("user_id").cast("string")).alias("h"))
+        .groupBy("event_type", "h").agg(F.lit(1).alias("one"))
+    )
+    lvl1 = Window.partitionBy(
+        "event_type", F.pmod(F.col("h"), F.lit(KMV_SALT_BUCKETS))
+    ).orderBy("h")
+    lvl2 = Window.partitionBy("event_type").orderBy("h")
+    sk = (
+        dh.withColumn("r1", F.row_number().over(lvl1))
+        .filter(F.col("r1") <= k)
+        .withColumn("r2", F.row_number().over(lvl2))
+        .filter(F.col("r2") <= k)
+        .select("event_type", "h")
+        .localCheckpoint()
+    )
+    types = sk.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(types.select(F.col("event_type").alias("type_b")),
+              F.col("type_a") < F.col("type_b"))
+    )
+    merged = (
+        F.broadcast(pairs)
+        .join(sk, (F.col("event_type") == F.col("type_a"))
+              | (F.col("event_type") == F.col("type_b")))
+        .groupBy("type_a", "type_b", "h")
+        .agg(
+            F.max(F.when(F.col("event_type") == F.col("type_a"), 1)
+                  .otherwise(0)).alias("in_a"),
+            F.max(F.when(F.col("event_type") == F.col("type_b"), 1)
+                  .otherwise(0)).alias("in_b"),
+        )
+    )
+    rk = Window.partitionBy("type_a", "type_b").orderBy("h")
+    per = (
+        merged.withColumn("r", F.row_number().over(rk))
+        .filter(F.col("r") <= k)
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_k"), F.max("h").alias("h_k"),
+             F.sum(F.col("in_a") * F.col("in_b")).alias("n_both"))
+    )
+    rho = F.col("n_both").cast("double") / F.col("n_k").cast("double")
+    est_union = F.when(
+        F.col("n_k") < k, F.col("n_k").cast("double")
+    ).otherwise(F.lit(kfac) / F.col("h_k").cast("double"))
+    return per.select(
+        "type_a", "type_b",
+        F.col("n_both").cast("bigint").alias("k_both"),
+        F.round(rho, 6).alias("est_jaccard"),
+        F.round(rho * est_union, 2).alias("est_intersection"),
+    ).orderBy("type_a", "type_b")
+
+
+# --------------------------------------------------------------------------
+# q286 — MANN-KENDALL TREND TEST on the daily order-count series, the
+# standard nonparametric "is there a monotone trend" screen. S =
+# sum over day pairs of sign(x_j - x_i) and the tie-corrected variance
+# are EXACT integers (the /18 and the z-score's sqrt+division are
+# fixed-order scalar ops on them). The pair join is quadratic ONLY in
+# the value-domain daily table (one row per day regardless of fact
+# size — ~2400 days => ~3M pairs, bounded by the calendar, not the
+# data); the fact table reduces in one hash agg first.
+# --------------------------------------------------------------------------
+@register(
+    "q286_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+               AS t,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ), s AS (
+      SELECT SUM(CASE WHEN b.x > a.x THEN 1
+                      WHEN b.x < a.x THEN -1 ELSE 0 END) AS s
+      FROM daily a JOIN daily b ON b.t > a.t
+    ), ties AS (
+      SELECT COALESCE(SUM(u * (u - 1) * (2 * u + 5)), 0) AS tc
+      FROM (SELECT COUNT(*) AS u FROM daily GROUP BY x) g
+      WHERE u > 1
+    ), scal AS (
+      SELECT (SELECT COUNT(*) FROM daily) AS n, s.s AS s, ties.tc AS tc
+      FROM s, ties
+    )
+    SELECT CAST(n AS BIGINT) AS n_days, CAST(s AS BIGINT) AS s_stat,
+           round(CAST(n * (n - 1) * (2 * n + 5) - tc AS DOUBLE) / 18.0, 6)
+             AS var_s,
+           round(CASE WHEN s > 0 THEN (s - 1) / sqrt(
+                        CAST(n * (n - 1) * (2 * n + 5) - tc AS DOUBLE)
+                        / 18.0)
+                      WHEN s < 0 THEN (s + 1) / sqrt(
+                        CAST(n * (n - 1) * (2 * n + 5) - tc AS DOUBLE)
+                        / 18.0)
+                      ELSE 0.0 END, 6) AS z_score
+    FROM scal
+    """,
+)
+def q286(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.datediff(F.col("o_orderdate").cast("date"),
+                       F.lit("1992-01-01").cast("date")).alias("t"))
+        .agg(F.count("*").alias("x"))
+        .localCheckpoint()  # value-domain table, planned on both pair sides
+    )
+    a = daily.select(F.col("t").alias("ta"), F.col("x").alias("xa"))
+    b = daily.select(F.col("t").alias("tb"), F.col("x").alias("xb"))
+    s = (
+        a.join(b, F.col("tb") > F.col("ta"))
+        .agg(F.sum(F.when(F.col("xb") > F.col("xa"), 1)
+                   .when(F.col("xb") < F.col("xa"), -1)
+                   .otherwise(0)).alias("s"))
+    )
+    ties = (
+        daily.groupBy("x").agg(F.count("*").alias("u"))
+        .filter(F.col("u") > 1)
+        .agg(F.coalesce(
+            F.sum(F.col("u") * (F.col("u") - 1) * (2 * F.col("u") + 5)),
+            F.lit(0)).alias("tc"))
+    )
+    n = daily.agg(F.count("*").alias("n"))
+    j = n.crossJoin(F.broadcast(s)).crossJoin(F.broadcast(ties))
+    nn, ss, tc = F.col("n"), F.col("s"), F.col("tc")
+    var_num = (nn * (nn - 1) * (2 * nn + 5) - tc).cast("double")
+    sd = F.sqrt(var_num / F.lit(18.0))
+    return j.select(
+        nn.cast("bigint").alias("n_days"),
+        ss.cast("bigint").alias("s_stat"),
+        F.round(var_num / F.lit(18.0), 6).alias("var_s"),
+        F.round(F.when(ss > 0, (ss - 1) / sd)
+                .when(ss < 0, (ss + 1) / sd)
+                .otherwise(F.lit(0.0)), 6).alias("z_score"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q287 — THEIL-SEN ROBUST SLOPE of the daily series: median of all
+# pairwise slopes (x_j - x_i)/(t_j - t_i). Each slope is ONE IEEE
+# division of exact integers (bit-identical both engines); the median
+# over the ~3M value-domain-bounded pair slopes runs through the
+# distributed range-partitioned selection (functions/quantiles.py) —
+# no single-reducer percentile — and the shared rank = p*(n-1)
+# interpolation rule makes it match quantile_cont to the last ulp.
+# --------------------------------------------------------------------------
+@register(
+    "q287_theil_sen",
+    oracle="""
+    WITH daily AS (
+      SELECT datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+               AS t,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ), slopes AS (
+      SELECT CAST(b.x - a.x AS DOUBLE) / CAST(b.t - a.t AS DOUBLE)
+               AS slope
+      FROM daily a JOIN daily b ON b.t > a.t
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(quantile_cont(slope, 0.5), 6) AS median_slope
+    FROM slopes
+    """,
+)
+def q287(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.quantiles import exact_quantiles
+
+    orders = load(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.datediff(F.col("o_orderdate").cast("date"),
+                       F.lit("1992-01-01").cast("date")).alias("t"))
+        .agg(F.count("*").alias("x"))
+        .localCheckpoint()
+    )
+    a = daily.select(F.col("t").alias("ta"), F.col("x").alias("xa"))
+    b = daily.select(F.col("t").alias("tb"), F.col("x").alias("xb"))
+    slopes = (
+        a.join(b, F.col("tb") > F.col("ta"))
+        .select(((F.col("xb") - F.col("xa")).cast("double")
+                 / (F.col("tb") - F.col("ta")).cast("double"))
+                .alias("slope"))
+        .localCheckpoint()  # selection pass re-plans the input
+    )
+    med = exact_quantiles(slopes, "slope", [0.5])[0]
+    n_pairs = slopes.count()
+    return spark.createDataFrame(
+        [(n_pairs, round(med, 6))], "n_pairs long, median_slope double")
+
+
+# --------------------------------------------------------------------------
+# q288 — CUSUM CHANGEPOINT on the daily series: the split k maximizing
+# |n*S_k - k*S| (the mean-shift CUSUM statistic with the mean cleared
+# by multiplying through by n — every candidate score an exact
+# BIGINT, so the argmax is exact; ties to the earliest day). The
+# prefix sum runs as a window over the VALUE-DOMAIN daily table
+# (~2400 rows however large the fact table — exempted single-partition
+# scan, the q78 dimension-scale class); the normalized score is one
+# final division.
+# --------------------------------------------------------------------------
+@register(
+    "q288_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+               AS t,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ), scal AS (
+      SELECT COUNT(*) AS n, SUM(x) AS s FROM daily
+    ), pre AS (
+      SELECT t, SUM(x) OVER (ORDER BY t) AS sk,
+             row_number() OVER (ORDER BY t) AS k
+      FROM daily
+    ), scored AS (
+      SELECT t, k, abs(n * sk - k * s) AS d
+      FROM pre, scal WHERE k < n
+    ), best AS (
+      SELECT t, k, d FROM scored ORDER BY d DESC, t ASC LIMIT 1
+    )
+    SELECT CAST(scal.n AS BIGINT) AS n_days,
+           CAST(best.t AS BIGINT) AS change_t,
+           CAST(best.d AS BIGINT) AS d_stat,
+           round(CAST(best.d AS DOUBLE)
+                 / (CAST(scal.n AS DOUBLE) * CAST(scal.s AS DOUBLE)), 6)
+             AS d_norm
+    FROM best, scal
+    """,
+)
+def q288(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.datediff(F.col("o_orderdate").cast("date"),
+                       F.lit("1992-01-01").cast("date")).alias("t"))
+        .agg(F.count("*").alias("x"))
+    )
+    scal = daily.agg(F.count("*").alias("n"), F.sum("x").alias("s"))
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    wk = Window.orderBy("t")
+    pre = daily.select(
+        "t", F.sum("x").over(w).alias("sk"),
+        F.row_number().over(wk).alias("k"))
+    scored = (
+        pre.crossJoin(F.broadcast(scal))
+        .filter(F.col("k") < F.col("n"))
+        .select("t", "n", "s",
+                F.abs(F.col("n") * F.col("sk") - F.col("k") * F.col("s"))
+                .alias("d"))
+    )
+    best = scored.orderBy(F.col("d").desc(), F.col("t").asc()).limit(1)
+    return best.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("t").cast("bigint").alias("change_t"),
+        F.col("d").cast("bigint").alias("d_stat"),
+        F.round(F.col("d").cast("double")
+                / (F.col("n").cast("double") * F.col("s").cast("double")),
+                6).alias("d_norm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q289 — SEASONAL-NAIVE BACKTEST (MASE): forecast x_{t-7} on the
+# ZERO-FILLED calendar spine, scored by MASE = MAE_seasonal7 /
+# MAE_naive1 — the sanity baseline every forecast deployment must
+# beat. Absolute errors of integer counts sum exactly; MASE is one
+# IEEE division. The spine is a value-domain sequence (dimension
+# explode), joined to observed days twice — nothing fact-scale after
+# the first agg.
+# --------------------------------------------------------------------------
+@register(
+    "q289_seasonal_mase",
+    oracle="""
+    WITH daily AS (
+      SELECT datediff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+               AS t,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ), scal AS (SELECT MAX(t) + 1 AS n FROM daily),
+    spine AS (
+      SELECT unnest(generate_series(0, n - 1)) AS t FROM scal
+    ), z AS (
+      SELECT spine.t, COALESCE(daily.x, 0) AS x
+      FROM spine LEFT JOIN daily USING (t)
+    ), j AS (
+      SELECT a.t, a.x,
+             l7.x AS x7, l1.x AS x1
+      FROM z a JOIN z l7 ON l7.t = a.t - 7 JOIN z l1 ON l1.t = a.t - 1
+      WHERE a.t >= 7
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(abs(x - x7)) AS BIGINT) AS sae_seasonal7,
+           CAST(SUM(abs(x - x1)) AS BIGINT) AS sae_naive1,
+           round(CAST(SUM(abs(x - x7)) AS DOUBLE)
+                 / CAST(SUM(abs(x - x1)) AS DOUBLE), 6) AS mase
+    FROM j
+    """,
+)
+def q289(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.datediff(F.col("o_orderdate").cast("date"),
+                       F.lit("1992-01-01").cast("date")).alias("t"))
+        .agg(F.count("*").alias("x"))
+    )
+    spine = (
+        daily.agg(F.max("t").alias("mx"))
+        .select(F.explode(F.sequence(F.lit(0), F.col("mx"))).alias("t"))
+    )
+    z = (
+        spine.join(daily, "t", "left")
+        .select("t", F.coalesce("x", F.lit(0)).alias("x"))
+        .localCheckpoint()  # value-domain series, used three times
+    )
+    l7 = z.select((F.col("t") + 7).alias("t"), F.col("x").alias("x7"))
+    l1 = z.select((F.col("t") + 1).alias("t"), F.col("x").alias("x1"))
+    j = z.filter(F.col("t") >= 7).join(l7, "t").join(l1, "t")
+    sae7 = F.sum(F.abs(F.col("x") - F.col("x7")))
+    sae1 = F.sum(F.abs(F.col("x") - F.col("x1")))
+    return j.agg(
+        F.count("*").cast("bigint").alias("n_eval"),
+        sae7.cast("bigint").alias("sae_seasonal7"),
+        sae1.cast("bigint").alias("sae_naive1"),
+        F.round(sae7.cast("double") / sae1.cast("double"), 6).alias("mase"),
+    )

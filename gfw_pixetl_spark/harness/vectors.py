@@ -871,3 +871,101 @@ def q253(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(hit).cast("bigint").alias("k_hit"),
         F.round(F.sum(hit) / F.count("*"), 6).alias("recall_at_5"),
     )
+
+
+# --------------------------------------------------------------------------
+# q285 — PCA POWER ITERATION on the INTEGER Gram matrix: the top
+# principal direction of the embedding cloud, exactly. Vectors are SQ8
+# int8-quantized (q253's half-up floor rule), the d x d Gram
+# aggregates as EXACT int64 partial matmuls (similarity.py::int_gram —
+# shuffle volume #partitions x d^2, never the vectors), and two power
+# iterations v1 = G*1, v2 = G*v1 run as 64-row joins with
+# DECIMAL(38,0) products (G*v1 entries pass int64 at fact scale; the
+# Rayleigh numerator sum(v1*v2) <= d*(d*Gmax)*(d^2*Gmax^2) needs the
+# full 38 digits — documented headroom to n ~ 1e14 rows). Rayleigh
+# quotient and top-dimension share are single IEEE divisions of exact
+# decimals; top_dim argmax ties to the lowest index. The oracle
+# replays Gram + both iterations in HUGEINT over the same quantized
+# codes — every intermediate integer must agree.
+# --------------------------------------------------------------------------
+@register(
+    "q285_pca_power_iteration",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), s AS (
+      SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m
+      FROM e
+    ), q8 AS (
+      SELECT vec_id,
+             list_transform(v, x -> CAST(FLOOR(x * 127 / m + 0.5)
+                                         AS BIGINT)) AS q
+      FROM s
+    ), flat AS (
+      SELECT vec_id, unnest(range(1, len(q) + 1)) AS i, unnest(q) AS x
+      FROM q8
+    ), g AS (
+      SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS g
+      FROM flat a JOIN flat b USING (vec_id) GROUP BY 1, 2
+    ), v1 AS (
+      SELECT i, SUM(g) AS s FROM g GROUP BY i
+    ), v2 AS (
+      SELECT g.i, SUM(g.g * v1.s) AS s FROM g JOIN v1 ON v1.i = g.j
+      GROUP BY g.i
+    ), scal AS (
+      SELECT (SELECT COUNT(*) FROM q8) AS n,
+             (SELECT SUM(v1.s * v2.s) FROM v1 JOIN v2 USING (i)) AS r_num,
+             (SELECT SUM(s * s) FROM v1) AS r_den,
+             (SELECT SUM(abs(s)) FROM v2) AS l1
+    ), top AS (
+      SELECT i, abs(s) AS a FROM v2 ORDER BY abs(s) DESC, i ASC LIMIT 1
+    )
+    SELECT CAST(n AS BIGINT) AS n_vectors,
+           round(CAST(r_num AS DOUBLE) / CAST(r_den AS DOUBLE), 6)
+             AS rayleigh_1,
+           CAST(top.i AS INT) AS top_dim,
+           round(CAST(top.a AS DOUBLE) / CAST(l1 AS DOUBLE), 6)
+             AS top_dim_share
+    FROM scal, top
+    """,
+)
+def q285(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    codes = S.sq8_quantize(emb)
+    gram = S.int_gram(codes).localCheckpoint()  # d^2+1 rows, planned 4x
+    g = gram.filter(F.col("i") > 0)
+    n = gram.filter((F.col("i") == 0) & (F.col("j") == 0)).select(
+        F.col("g").alias("n"))
+    v1 = g.groupBy(F.col("i")).agg(F.sum("g").alias("s"))
+    v2 = (
+        g.join(F.broadcast(v1.select(F.col("i").alias("j"),
+                                     F.col("s").alias("v1j"))), "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("g").cast("decimal(19,0)")
+                   * F.col("v1j").cast("decimal(19,0)")).alias("s"))
+    )
+    r_num = (
+        v1.select(F.col("i"), F.col("s").alias("a"))
+        .join(v2.select(F.col("i"), F.col("s").alias("b")), "i")
+        .agg(F.sum(F.col("a").cast("decimal(19,0)") * F.col("b"))
+             .alias("r_num"))
+    )
+    r_den = v1.agg(F.sum(F.col("s").cast("decimal(19,0)")
+                         * F.col("s").cast("decimal(19,0)")).alias("r_den"))
+    l1 = v2.agg(F.sum(F.abs(F.col("s"))).alias("l1"))
+    top = (
+        v2.select(F.col("i"), F.abs(F.col("s")).alias("a"))
+        .orderBy(F.col("a").desc(), F.col("i").asc()).limit(1)
+    )
+    return (
+        n.crossJoin(F.broadcast(r_num)).crossJoin(F.broadcast(r_den))
+        .crossJoin(F.broadcast(l1)).crossJoin(F.broadcast(top))
+        .select(
+            F.col("n").cast("bigint").alias("n_vectors"),
+            F.round(F.col("r_num").cast("double")
+                    / F.col("r_den").cast("double"), 6).alias("rayleigh_1"),
+            F.col("i").cast("int").alias("top_dim"),
+            F.round(F.col("a").cast("double")
+                    / F.col("l1").cast("double"), 6).alias("top_dim_share"),
+        )
+    )

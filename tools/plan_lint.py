@@ -46,6 +46,12 @@ EXEMPTIONS: dict[str, dict[str, str]] = {
     "q281_gini_spend": {
         "SINGLE_PART": "offset window over 64 aggregated bucket counts"
     },
+    # the CUSUM prefix scan runs over the POST-aggregation daily series
+    # (one row per calendar day however large the fact table — ~2400
+    # rows, the q78 dimension-scale class); the fact scan reduces first.
+    "q288_cusum_changepoint": {
+        "SINGLE_PART": "prefix-sum window over the value-domain daily series"
+    },
     # chi-square totals window over the POST-aggregation ~100-cell
     # contingency table (lang x source is value-domain-sized however
     # large the corpus); the fact scan is reduced before this window.
