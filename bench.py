@@ -272,6 +272,10 @@ BENCH_QUERIES = [
     "q287_theil_sen",
     "q288_cusum_changepoint",
     "q289_seasonal_mase",
+    "q290_l_diversity",
+    "q291_fd_profile",
+    "q292_point_sampling",
+    "q293_tokenizer_fertility",
 ]
 
 

@@ -3429,3 +3429,57 @@ def q282(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("oov_rate"))
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# q293 — TOKENIZER FERTILITY per language (tokens per word after the
+# q229 BPE merges): the multilingual-fairness metric a tokenizer
+# evaluation reports — languages whose words shatter into more pieces
+# pay more context budget per sentence. Same merge application as
+# q229 (string replace chain = canonical left-to-right merge rule);
+# per-lang word and token counts are integers, fertility is ONE
+# division. Map-only until the languages-sized agg.
+# --------------------------------------------------------------------------
+@register(
+    "q293_tokenizer_fertility",
+    oracle=f"""
+    WITH w AS (
+      SELECT lang, unnest({SQL_WORDS}) AS word FROM documents
+    ), seq AS (
+      SELECT lang, word, {"".join(
+          "replace(" for _ in _BPE_MERGES
+      )}array_to_string(string_split(word, ''), ' '){"".join(
+          f", '{a} {b}', '{a}{b}')" for a, b in _BPE_MERGES
+      )} AS toks
+      FROM w WHERE word != ''
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(list_filter(string_split(toks, ' '),
+                                    x -> x != ''))) AS BIGINT) AS n_tokens,
+           round(CAST(SUM(len(list_filter(string_split(toks, ' '),
+                                          x -> x != ''))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS fertility
+    FROM seq GROUP BY lang ORDER BY lang
+    """,
+)
+def q293(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "lang", F.explode(T.words("text")).alias("word")
+    ).filter(F.col("word") != "")
+    toks = F.array_join(F.split(F.col("word"), ""), " ")
+    for a, b in _BPE_MERGES:
+        toks = F.replace(toks, F.lit(f"{a} {b}"), F.lit(f"{a}{b}"))
+    n_tok = F.size(F.filter(F.split(toks, " "), lambda x: x != ""))
+    return (
+        words.select("lang", n_tok.alias("nt"))
+        .groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("n_words"),
+             F.sum("nt").cast("bigint").alias("n_tokens"))
+        .select("lang", "n_words", "n_tokens",
+                F.round(F.col("n_tokens").cast("double")
+                        / F.col("n_words").cast("double"), 6)
+                  .alias("fertility"))
+        .orderBy("lang")
+    )

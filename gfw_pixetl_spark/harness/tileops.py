@@ -2361,3 +2361,70 @@ def q276(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("metric").cast("bigint").alias("sum_metric"))
         .orderBy("flow_dir")
     )
+
+
+# --------------------------------------------------------------------------
+# q292 — RASTER POINT SAMPLING (gdallocationinfo at scale): extract the
+# raster value under each of a fact-table of points — THE geospatial
+# training-data prep op (label points -> covariate values). Points map
+# to (row, col) with the broadcast catalog transform (pure column
+# math), the raster reads through the real COG windowed kernel pruned
+# to the points' bbox, and the lookup is an equi-join on (row, col) —
+# pixels are the SMALL side here and broadcast; at billions of points
+# per tile the same join co-partitions instead. The oracle replays the
+# analytic z field at the expected pixel, so a transform off-by-one or
+# a codec bug flips every row.
+# --------------------------------------------------------------------------
+@register(
+    "q292_point_sampling",
+    oracle=f"""
+    WITH pts AS (
+      SELECT o_orderkey,
+             CAST((o_orderkey * 7) % 96 AS INT) AS px,
+             CAST((o_orderkey * 11) % 96 AS INT) AS py
+      FROM orders
+    )
+    SELECT o_orderkey, px, py,
+           CAST({_Z.format(r='py', c='px')} AS BIGINT) AS value
+    FROM pts ORDER BY o_orderkey
+    """,
+)
+def q292(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.raster_table import raster_catalog, read_pixels
+
+    cat = raster_catalog(spark, [_focal_demo_file()])
+    # synth points in GEO coordinates (pixel centers) — the engine must
+    # invert the transform itself; using pixel indices directly would
+    # hide an off-by-one
+    # scalar aggregate, not limit(1): GlobalLimit funnels through a
+    # single-partition exchange; the one-file catalog reduces the same
+    meta = cat.agg(F.min("left").alias("left"), F.max("top").alias("top"))
+    orders = load(spark, sf_dir, "orders")
+    xres, yres = 0.05, 0.05
+    pts = (
+        orders.select(
+            "o_orderkey",
+            ((F.col("o_orderkey") * 7) % 96).cast("int").alias("px"),
+            ((F.col("o_orderkey") * 11) % 96).cast("int").alias("py"))
+        .crossJoin(F.broadcast(meta))
+        .select(
+            "o_orderkey",
+            (F.col("left") + (F.col("px") + 0.5) * xres).alias("gx"),
+            (F.col("top") - (F.col("py") + 0.5) * yres).alias("gy"),
+            "left", "top")
+    )
+    # invert the affine transform: col = floor((gx-left)/xres)
+    mapped = pts.select(
+        "o_orderkey",
+        F.floor((F.col("gx") - F.col("left")) / xres).cast("int")
+        .alias("col"),
+        F.floor((F.col("top") - F.col("gy")) / yres).cast("int")
+        .alias("row"))
+    px = read_pixels(cat, window=48, parallelism=8).select(
+        "row", "col", F.col("value").cast("bigint").alias("value"))
+    return (
+        mapped.join(F.broadcast(px), ["row", "col"])
+        .select("o_orderkey", F.col("col").alias("px"),
+                F.col("row").alias("py"), "value")
+        .orderBy("o_orderkey")
+    )

@@ -1090,19 +1090,27 @@ def q287(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("x"))
         .localCheckpoint()
     )
-    a = daily.select(F.col("t").alias("ta"), F.col("x").alias("xa"))
+    # the aggregated daily series lands in one partition; spread the
+    # probe side so the non-equi pair join (and the 3M-row selection
+    # downstream) parallelizes instead of running one task
+    a = daily.repartition(16).select(
+        F.col("t").alias("ta"), F.col("x").alias("xa"))
     b = daily.select(F.col("t").alias("tb"), F.col("x").alias("xb"))
     slopes = (
-        a.join(b, F.col("tb") > F.col("ta"))
+        a.join(F.broadcast(b), F.col("tb") > F.col("ta"))
         .select(((F.col("xb") - F.col("xa")).cast("double")
                  / (F.col("tb") - F.col("ta")).cast("double"))
                 .alias("slope"))
-        .localCheckpoint()  # selection pass re-plans the input
+        .localCheckpoint()  # selection re-plans its input (multi-pass)
     )
     med = exact_quantiles(slopes, "slope", [0.5])[0]
-    n_pairs = slopes.count()
+    # n_pairs = C(n_days, 2) from the tiny daily table — no extra pass
+    # over the 3M-row slope set
+    n_days = daily.count()
     return spark.createDataFrame(
-        [(n_pairs, round(med, 6))], "n_pairs long, median_slope double")
+        spark.sparkContext.parallelize(
+            [(n_days * (n_days - 1) // 2, round(med, 6))], 1),
+        "n_pairs long, median_slope double")
 
 
 # --------------------------------------------------------------------------

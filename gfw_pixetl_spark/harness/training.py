@@ -1416,3 +1416,132 @@ def q277(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.multimodal import audio_zcr
 
     return audio_zcr(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# q290 — l-DIVERSITY audit (the k-anonymity companion, q242): a
+# quasi-identifier group can meet k yet expose its members if the
+# SENSITIVE attribute barely varies. For each (mktsegment, nationkey)
+# group: distinct sensitive values (order priority via the customer's
+# orders), the dominant value's share, and the distinct-l /
+# dominant-share release verdict (l >= 3 AND top share <= 0.6).
+# Integer counts + one division per group; two shrinking hash aggs +
+# a max_by — nothing fact-scale after the first.
+# --------------------------------------------------------------------------
+_LDIV_L = 3
+_LDIV_TOP = 0.6
+
+
+@register(
+    "q290_l_diversity",
+    oracle=f"""
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg, c.c_nationkey AS nat,
+             o.o_orderpriority AS sens
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    ), cell AS (
+      SELECT seg, nat, sens, COUNT(*) AS n FROM j GROUP BY 1, 2, 3
+    ), grp AS (
+      SELECT seg, nat, SUM(n) AS n_rows, COUNT(*) AS l_distinct,
+             MAX(n) AS n_top
+      FROM cell GROUP BY 1, 2
+    )
+    SELECT seg, CAST(nat AS BIGINT) AS nat,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(l_distinct AS BIGINT) AS l_distinct,
+           round(CAST(n_top AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+             AS top_share,
+           (l_distinct >= {_LDIV_L}
+            AND CAST(n_top AS DOUBLE) / CAST(n_rows AS DOUBLE)
+                <= {_LDIV_TOP}) AS releasable
+    FROM grp ORDER BY seg, nat
+    """,
+)
+def q290(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    j = orders.join(
+        cust.select("c_custkey", "c_mktsegment", "c_nationkey"),
+        F.col("o_custkey") == F.col("c_custkey"))
+    cell = j.groupBy(
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("o_orderpriority").alias("sens"),
+    ).agg(F.count("*").alias("n"))
+    grp = cell.groupBy("seg", "nat").agg(
+        F.sum("n").alias("n_rows"),
+        F.count("*").alias("l_distinct"),
+        F.max("n").alias("n_top"),
+    )
+    share = F.col("n_top").cast("double") / F.col("n_rows").cast("double")
+    return grp.select(
+        "seg", F.col("nat").cast("bigint").alias("nat"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("l_distinct").cast("bigint").alias("l_distinct"),
+        F.round(share, 6).alias("top_share"),
+        ((F.col("l_distinct") >= _LDIV_L) & (share <= _LDIV_TOP))
+        .alias("releasable"),
+    ).orderBy("seg", "nat")
+
+
+# --------------------------------------------------------------------------
+# q291 — FUNCTIONAL-DEPENDENCY PROFILING (the schema-discovery pass a
+# data catalog runs): for each candidate FD X -> Y, violations =
+# sum over X-groups of (group size - dominant Y count) — zero means
+# the FD holds exactly; the rate normalizes by table size. Candidates
+# span true FDs (custkey -> nation via the customer dim), near-FDs,
+# and garbage (clerk-less orders have none), so the profile is
+# non-trivial in both directions. Each candidate is one shrinking
+# two-level hash agg; integers until one division.
+# --------------------------------------------------------------------------
+_FD_CANDIDATES = (
+    ("o_custkey", "o_orderpriority"),
+    ("o_custkey", "o_orderstatus"),
+    ("o_orderpriority", "o_orderstatus"),
+    ("o_orderstatus", "o_orderpriority"),
+)
+
+
+def _fd_sql(x: str, y: str) -> str:
+    return f"""
+    SELECT '{x}' AS x_col, '{y}' AS y_col,
+           CAST(COUNT(DISTINCT x) AS BIGINT) AS n_groups,
+           CAST(SUM(n) - SUM(n_top) AS BIGINT) AS n_violations,
+           round(CAST(SUM(n) - SUM(n_top) AS DOUBLE)
+                 / CAST(SUM(n) AS DOUBLE), 6) AS violation_rate
+    FROM (
+      SELECT x, SUM(n) AS n, MAX(n) AS n_top
+      FROM (SELECT {x} AS x, {y} AS y, COUNT(*) AS n
+            FROM orders GROUP BY 1, 2) c
+      GROUP BY x
+    ) g
+    """
+
+
+@register(
+    "q291_fd_profile",
+    oracle=" UNION ALL ".join(_fd_sql(x, y) for x, y in _FD_CANDIDATES)
+    + " ORDER BY x_col, y_col",
+)
+def q291(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    outs = []
+    for x, y in _FD_CANDIDATES:
+        cell = orders.groupBy(
+            F.col(x).alias("x"), F.col(y).alias("y")
+        ).agg(F.count("*").alias("n"))
+        g = cell.groupBy("x").agg(
+            F.sum("n").alias("n"), F.max("n").alias("n_top"))
+        outs.append(g.agg(
+            F.lit(x).alias("x_col"), F.lit(y).alias("y_col"),
+            F.count("*").cast("bigint").alias("n_groups"),
+            (F.sum("n") - F.sum("n_top")).cast("bigint")
+            .alias("n_violations"),
+            F.round((F.sum("n") - F.sum("n_top")).cast("double")
+                    / F.sum("n").cast("double"), 6)
+            .alias("violation_rate"),
+        ))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("x_col", "y_col")
