@@ -276,6 +276,8 @@ BENCH_QUERIES = [
     "q291_fd_profile",
     "q292_point_sampling",
     "q293_tokenizer_fertility",
+    "q294_nn_spatial_join",
+    "q295_mixed_script",
 ]
 
 

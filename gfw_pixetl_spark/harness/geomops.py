@@ -273,3 +273,99 @@ def q149(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("clip_area") > 0)
     )
+
+
+# --------------------------------------------------------------------------
+# q294 — NEAREST-NEIGHBOR SPATIAL JOIN (grid-binned): each customer
+# point finds its nearest supplier point within radius R. Engine:
+# cell = coord div R, suppliers EXPLODED to their 9 neighbor cells,
+# candidates meet in a plain equi-join on the cell key (the q250
+# distance-transform binning — linear in points, never all-pairs),
+# exact INTEGER squared distances, argmin via min_by struct with
+# (d2, suppkey) total order. The oracle computes the same nearest by
+# BRUTE FORCE cross join — an INDEPENDENT mechanism: the binning is
+# complete for radius R (a disc of radius R from any point in a cell
+# lies inside the 3x3 neighborhood), so any pruning bug shows as a
+# value mismatch. Customers with no supplier within R surface with
+# NULLs through the left join.
+# --------------------------------------------------------------------------
+_NN_R = 250
+_NN_CX = "CAST((c_custkey * 13) % 1000 AS BIGINT)"
+_NN_CY = "CAST((c_custkey * 29) % 1000 AS BIGINT)"
+_NN_SX = "CAST((s_suppkey * 17) % 1000 AS BIGINT)"
+_NN_SY = "CAST((s_suppkey * 31) % 1000 AS BIGINT)"
+
+
+@register(
+    "q294_nn_spatial_join",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_custkey, {_NN_CX} AS cx, {_NN_CY} AS cy FROM customer
+    ), s AS (
+      SELECT s_suppkey, {_NN_SX} AS sx, {_NN_SY} AS sy FROM supplier
+    ), cand AS (
+      SELECT c.c_custkey, s.s_suppkey,
+             (c.cx - s.sx) * (c.cx - s.sx)
+             + (c.cy - s.sy) * (c.cy - s.sy) AS d2
+      FROM c, s
+      WHERE (c.cx - s.sx) * (c.cx - s.sx)
+            + (c.cy - s.sy) * (c.cy - s.sy) <= {_NN_R * _NN_R}
+    ), best AS (
+      SELECT c_custkey, s_suppkey, d2,
+             row_number() OVER (PARTITION BY c_custkey
+                                ORDER BY d2 ASC, s_suppkey ASC) AS rk
+      FROM cand
+    )
+    SELECT c.c_custkey,
+           CAST(b.s_suppkey AS BIGINT) AS nearest_suppkey,
+           CAST(b.d2 AS BIGINT) AS d2
+    FROM c LEFT JOIN (SELECT * FROM best WHERE rk = 1) b
+      USING (c_custkey)
+    ORDER BY c.c_custkey
+    """,
+)
+def q294(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _NN_R
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 13) % 1000).cast("bigint").alias("cx"),
+        ((F.col("c_custkey") * 29) % 1000).cast("bigint").alias("cy"))
+    supp = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 17) % 1000).cast("bigint").alias("sx"),
+        ((F.col("s_suppkey") * 31) % 1000).cast("bigint").alias("sy"))
+    # suppliers fan out to the 9 neighbor cells; customers key by their
+    # own cell — candidates meet in a hash join on the cell id
+    off = spark.range(-1, 2).select(F.col("id").alias("dx"))
+    off2 = off.crossJoin(
+        spark.range(-1, 2).select(F.col("id").alias("dy")))
+    s9 = (
+        supp.crossJoin(F.broadcast(off2))
+        .select(
+            "s_suppkey", "sx", "sy",
+            (F.floor(F.col("sx") / r) + F.col("dx")).alias("gx"),
+            (F.floor(F.col("sy") / r) + F.col("dy")).alias("gy"))
+    )
+    ckey = cust.select(
+        "c_custkey", "cx", "cy",
+        F.floor(F.col("cx") / r).alias("gx"),
+        F.floor(F.col("cy") / r).alias("gy"))
+    d2 = ((F.col("cx") - F.col("sx")) * (F.col("cx") - F.col("sx"))
+          + (F.col("cy") - F.col("sy")) * (F.col("cy") - F.col("sy")))
+    best = (
+        ckey.join(s9, ["gx", "gy"])
+        .select("c_custkey", "s_suppkey", d2.alias("d2"))
+        .filter(F.col("d2") <= r * r)
+        .groupBy("c_custkey")
+        .agg(F.min(F.struct("d2", "s_suppkey")).alias("b"))
+        .select("c_custkey", F.col("b.s_suppkey").alias("nearest_suppkey"),
+                F.col("b.d2").alias("d2"))
+    )
+    return (
+        cust.select("c_custkey")
+        .join(best, "c_custkey", "left")
+        .select("c_custkey",
+                F.col("nearest_suppkey").cast("bigint"),
+                F.col("d2").cast("bigint"))
+        .orderBy("c_custkey")
+    )

@@ -3483,3 +3483,76 @@ def q293(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("fertility"))
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# q295 — MIXED-SCRIPT / HOMOGLYPH SPAM DETECTION: the crawl-quality
+# screen that catches Cyrillic lookalikes inside Latin words (spam,
+# SEO cloaking, phishing corpora). Each doc synthesizes a deterministic
+# variant (doc_id%3==1 -> 'a' becomes U+0430, %3==2 -> 'e' becomes
+# U+0435, else clean); the DETECTOR — per-script regexp_count over the
+# Unicode ranges, integer counts, one ratio, mixed-word count via a
+# Latin+Cyrillic-adjacency pattern — runs identically over the
+# constructed text on both sides. Map-only projection, whole-stage
+# codegen; flags exactly the 2/3 tainted docs.
+# --------------------------------------------------------------------------
+@register(
+    "q295_mixed_script",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INT)
+               WHEN 1 THEN replace(text, 'a', 'а')
+               WHEN 2 THEN replace(text, 'e', 'е')
+               ELSE text END AS t
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+             len(regexp_extract_all(t, '[A-Za-z]')) AS n_latin,
+             len(regexp_extract_all(t, '[Ѐ-ӿ]')) AS n_cyrillic,
+             len(regexp_extract_all(t,
+                 '[A-Za-z][Ѐ-ӿ]|[Ѐ-ӿ][A-Za-z]'))
+               AS n_adjacent
+      FROM v
+    )
+    SELECT doc_id, CAST(n_latin AS BIGINT) AS n_latin,
+           CAST(n_cyrillic AS BIGINT) AS n_cyrillic,
+           CAST(n_adjacent AS BIGINT) AS n_adjacent,
+           CASE WHEN n_latin + n_cyrillic > 0 THEN
+             round(CAST(n_cyrillic AS DOUBLE)
+                   / CAST(n_latin + n_cyrillic AS DOUBLE), 6) END
+             AS cyrillic_ratio,
+           (n_cyrillic > 0 AND n_latin > 0 AND n_adjacent > 0)
+             AS suspect
+    FROM c
+    """,
+)
+def q295(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = (
+        F.when(F.col("doc_id") % 3 == 1,
+               F.replace(F.col("text"), F.lit("a"), F.lit("а")))
+        .when(F.col("doc_id") % 3 == 2,
+              F.replace(F.col("text"), F.lit("e"), F.lit("е")))
+        .otherwise(F.col("text"))
+    )
+    v = docs.select("doc_id", t.alias("t"))
+    n_lat = F.regexp_count(F.col("t"), F.lit("[A-Za-z]"))
+    n_cyr = F.regexp_count(F.col("t"), F.lit("[Ѐ-ӿ]"))
+    n_adj = F.regexp_count(
+        F.col("t"),
+        F.lit("[A-Za-z][Ѐ-ӿ]|[Ѐ-ӿ][A-Za-z]"))
+    c = v.select(
+        "doc_id",
+        n_lat.cast("bigint").alias("n_latin"),
+        n_cyr.cast("bigint").alias("n_cyrillic"),
+        n_adj.cast("bigint").alias("n_adjacent"))
+    tot = F.col("n_latin") + F.col("n_cyrillic")
+    return c.select(
+        "doc_id", "n_latin", "n_cyrillic", "n_adjacent",
+        F.when(tot > 0,
+               F.round(F.col("n_cyrillic").cast("double")
+                       / tot.cast("double"), 6)).alias("cyrillic_ratio"),
+        ((F.col("n_cyrillic") > 0) & (F.col("n_latin") > 0)
+         & (F.col("n_adjacent") > 0)).alias("suspect"),
+    )
