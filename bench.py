@@ -278,6 +278,9 @@ BENCH_QUERIES = [
     "q293_tokenizer_fertility",
     "q294_nn_spatial_join",
     "q295_mixed_script",
+    "q296_ks_two_sample",
+    "q297_mann_whitney_u",
+    "q298_kaplan_meier",
 ]
 
 

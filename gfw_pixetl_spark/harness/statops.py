@@ -1,0 +1,334 @@
+"""Hypothesis-test / survival statistics family: two-sample
+Kolmogorov-Smirnov, Mann-Whitney U (tie-corrected), and Kaplan-Meier
+churn survival — the experiment-readout tests an analytics engine is
+asked for right after the descriptive stats (q195 A/B readout, q266
+chi-square) exist.
+
+Scale discipline: both rank tests need a GLOBAL cumulative sum over the
+sorted value domain. That is computed with the q262/q281 bucketed-scan
+pattern — the fact scan first shrinks to one row per DISTINCT value,
+64 fixed value-range buckets accumulate independently (window
+partitioned BY bucket), and only the 64-row bucket-total table sees a
+global window (exempted in plan_lint with justification). No fact-scale
+row ever crosses a SinglePartition exchange.
+
+Float discipline (repo convention): money enters exact integer cent
+space via floor(x*100); every distributed sum is integer/decimal; the
+final statistic is a fixed-order scalar IEEE expression over exact
+aggregates, rounded to 6 dp on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from . import load, register
+
+_NB = 64  # value-domain buckets for the distributed cumulative scan
+
+
+def _bucketed_cum(d: DataFrame, value_col: str, cnt_cols: list[str],
+                  order_tail: list[str] | None = None) -> DataFrame:
+    """Inclusive global cumulative sums of ``cnt_cols`` over ``d`` ordered
+    by ``value_col`` ascending, without a fact-scale single-partition
+    window: bucket by value range (bounds from one broadcast scalar row),
+    cumulate within buckets, then add per-bucket offsets computed by a
+    window over the 64-row bucket-total table. ``d`` must have one row
+    per distinct ``value_col`` (plus optional ``order_tail`` tie-break
+    columns when values repeat across rows)."""
+    rng = d.agg(F.min(value_col).alias("_lo"), F.max(value_col).alias("_hi"))
+    b = (
+        d.crossJoin(F.broadcast(rng))
+        .withColumn(
+            "_b",
+            F.least(
+                F.lit(_NB - 1),
+                ((F.col(value_col) - F.col("_lo")) * _NB
+                 / (F.col("_hi") - F.col("_lo") + 1)).cast("int")))
+        .drop("_lo", "_hi")
+    )
+    totals = b.groupBy("_b").agg(
+        *[F.sum(c).alias(f"_t_{c}") for c in cnt_cols])
+    wb = (Window.orderBy(F.col("_b").asc())
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offs = totals.select(
+        "_b",
+        *[F.coalesce(F.sum(f"_t_{c}").over(wb), F.lit(0))
+          .alias(f"_off_{c}") for c in cnt_cols])
+    tail = [F.col(c).asc() for c in (order_tail or [])]
+    wr = (Window.partitionBy("_b")
+          .orderBy(F.col(value_col).asc(), *tail)
+          .rowsBetween(Window.unboundedPreceding, 0))
+    out = b.join(F.broadcast(offs), "_b")
+    for c in cnt_cols:
+        out = out.withColumn(f"cum_{c}",
+                             F.col(f"_off_{c}") + F.sum(c).over(wr))
+    return out.drop("_b", *[f"_off_{c}" for c in cnt_cols])
+
+
+# --------------------------------------------------------------------------
+# q296 — TWO-SAMPLE KOLMOGOROV-SMIRNOV: do BUILDING and MACHINERY
+# customers draw order values from the same distribution? The exact D
+# statistic needs sup|F1 - F2| over the merged sorted sample — here the
+# integer-exact numerator max|n2*cumA - n1*cumB| (DECIMAL(38,0): the
+# product overflows int64 once n1*n2 passes ~9.2e18 at full scale) over
+# the distinct-cent-value table, cumulated with the bucketed scan. The
+# asymptotic p-value 2*exp(-2*D^2*n1*n2/(n1+n2)) is a fixed-order scalar
+# expression over the exact aggregates, rounded 6 dp (libm exp may
+# differ in the last ULP across engines). Oracle: same definition via a
+# plain ordered window — an independent cumulation mechanism, so any
+# bucket/offset bug shows as a value mismatch.
+# --------------------------------------------------------------------------
+@register(
+    "q296_ks_two_sample",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS x,
+             CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS ga
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ), d AS (
+      SELECT x, SUM(ga) AS a, SUM(1 - ga) AS b FROM g GROUP BY x
+    ), c AS (
+      SELECT x,
+             SUM(a) OVER (ORDER BY x) AS ca,
+             SUM(b) OVER (ORDER BY x) AS cb
+      FROM d
+    ), tot AS (
+      SELECT SUM(a) AS n1, SUM(b) AS n2 FROM d
+    ), s AS (
+      SELECT MAX(abs(CAST(n2 AS DECIMAL(38,0)) * ca
+                     - CAST(n1 AS DECIMAL(38,0)) * cb)) AS d_num,
+             MAX(n1) AS n1, MAX(n2) AS n2
+      FROM c, tot
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(d_num AS DOUBLE) AS d_num,
+           round(CAST(d_num AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS d_stat,
+           round(2.0 * exp(
+             -2.0
+             * (CAST(d_num AS DOUBLE)
+                / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+             * (CAST(d_num AS DOUBLE)
+                / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+             * (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))), 6)
+             AS p_value
+    FROM s
+    """,
+)
+def q296(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+    g = orders.join(F.broadcast(cust),
+                    orders.o_custkey == cust.c_custkey).select(
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("x"),
+        (F.col("c_mktsegment") == "BUILDING").cast("bigint").alias("ga"))
+    d = g.groupBy("x").agg(F.sum("ga").alias("a"),
+                           F.sum(1 - F.col("ga")).alias("b"))
+    c = _bucketed_cum(d, "x", ["a", "b"])
+    tot = d.agg(F.sum("a").alias("n1"), F.sum("b").alias("n2"))
+    s = (
+        c.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max(F.abs(F.col("n2").cast("decimal(38,0)") * F.col("cum_a")
+                        - F.col("n1").cast("decimal(38,0)")
+                        * F.col("cum_b"))).alias("d_num"),
+            F.max("n1").alias("n1"), F.max("n2").alias("n2"))
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    dd = F.col("d_num").cast("double") / (n1d * n2d)
+    return s.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.col("d_num").cast("double").alias("d_num"),
+        F.round(dd, 6).alias("d_stat"),
+        F.round(F.lit(2.0)
+                * F.exp(F.lit(-2.0) * dd * dd * (n1d * n2d / (n1d + n2d))),
+                6).alias("p_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q297 — MANN-WHITNEY U, tie-corrected: are HOUSEHOLD account balances
+# stochastically larger than FURNITURE ones? Ranks stay EXACT under ties
+# by working in doubled-rank space: a tied block of k values after
+# c_before smaller ones has average rank c_before + (k+1)/2, i.e.
+# doubled rank 2*c_before + k + 1 — an integer. R1*2 accumulates in
+# DECIMAL(38,0) (sum of rank*count overflows int64 at full scale),
+# U1 = R1 - n1(n1+1)/2 emerges as an exact half-integer, and the
+# tie-corrected normal approximation z = (U1 - n1*n2/2)/sqrt(var) is a
+# fixed-order scalar over the exact aggregates. The exclusive cumulative
+# count over the distinct-value table uses the same bucketed scan as
+# q296; the oracle cumulates with a plain ordered window instead.
+# --------------------------------------------------------------------------
+@register(
+    "q297_mann_whitney_u",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(floor(c_acctbal * 100) AS BIGINT) AS x,
+             CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END AS ga
+      FROM customer
+      WHERE c_mktsegment IN ('HOUSEHOLD', 'FURNITURE')
+    ), d AS (
+      SELECT x, SUM(ga) AS a, SUM(1 - ga) AS b, COUNT(*) AS k
+      FROM g GROUP BY x
+    ), c AS (
+      SELECT x, a, b, k,
+             COALESCE(SUM(k) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cbefore
+      FROM d
+    ), s AS (
+      SELECT SUM(CAST(a AS DECIMAL(38,0)) * (2 * cbefore + k + 1))
+               AS r1x2,
+             SUM(a) AS n1, SUM(b) AS n2,
+             SUM(CAST(k AS DECIMAL(38,0)) * k * k - k) AS tie_term
+      FROM c
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(r1x2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1) AS DOUBLE)
+             / 2.0 AS u1,
+           CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+             - CAST(r1x2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1) AS DOUBLE)
+               / 2.0 AS u2,
+           round((CAST(r1x2 - CAST(n1 AS DECIMAL(38,0)) * (n1 + 1)
+                       AS DOUBLE) / 2.0
+                  - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+                 / sqrt((CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0)
+                        * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) + 1.0)
+                           - CAST(tie_term AS DOUBLE)
+                             / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                                * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)
+                                   - 1.0)))), 6) AS z
+    FROM s
+    """,
+)
+def q297(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("HOUSEHOLD", "FURNITURE"))
+    g = cust.select(
+        F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("x"),
+        (F.col("c_mktsegment") == "HOUSEHOLD").cast("bigint").alias("ga"))
+    d = g.groupBy("x").agg(F.sum("ga").alias("a"),
+                           F.sum(1 - F.col("ga")).alias("b"),
+                           F.count("*").alias("k"))
+    c = _bucketed_cum(d, "x", ["k"]).withColumn(
+        "cbefore", F.col("cum_k") - F.col("k"))
+    s = c.agg(
+        F.sum(F.col("a").cast("decimal(38,0)")
+              * (2 * F.col("cbefore") + F.col("k") + 1)).alias("r1x2"),
+        F.sum("a").alias("n1"), F.sum("b").alias("n2"),
+        F.sum(F.col("k").cast("decimal(38,0)") * F.col("k") * F.col("k")
+              - F.col("k")).alias("tie_term"),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    nd = n1d + n2d
+    u1 = (F.col("r1x2") - F.col("n1").cast("decimal(38,0)")
+          * (F.col("n1") + 1)).cast("double") / F.lit(2.0)
+    var = ((n1d * n2d / F.lit(12.0))
+           * ((nd + F.lit(1.0))
+              - F.col("tie_term").cast("double")
+              / (nd * (nd - F.lit(1.0)))))
+    return s.select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        u1.alias("u1"),
+        (n1d * n2d - u1).alias("u2"),
+        F.round((u1 - n1d * n2d / F.lit(2.0)) / F.sqrt(var), 6).alias("z"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q298 — KAPLAN-MEIER CHURN SURVIVAL: per customer, time-on-book =
+# days from first to last order; the churn EVENT is observed when the
+# last order predates the dataset horizon by > 365 days, otherwise the
+# customer is right-censored at the same duration. The fact table first
+# shrinks to one row per distinct duration (~value-domain-sized: the
+# calendar span in days, whatever the customer count), so the at-risk
+# cumulation and the log-survival prefix sum are windows over a
+# dimension-scale table (q288's exemption class). Survival is
+# exp(cumsum(ln((n_risk - d)/n_risk))) — each log argument is one exact
+# integer division, the prefix sum runs in ascending-time order on both
+# engines, and the result is rounded 6 dp. The oracle replays the
+# identical definition with plain ordered windows.
+# --------------------------------------------------------------------------
+@register(
+    "q298_kaplan_meier",
+    oracle="""
+    WITH horizon AS (
+      SELECT CAST(MAX(o_orderdate) AS DATE) AS t_end FROM orders
+    ), cust AS (
+      SELECT o_custkey,
+             CAST(MIN(o_orderdate) AS DATE) AS f,
+             CAST(MAX(o_orderdate) AS DATE) AS l
+      FROM orders GROUP BY o_custkey
+    ), obs AS (
+      SELECT date_diff('day', f, l) AS t,
+             CASE WHEN date_diff('day', l, t_end) > 365
+                  THEN 1 ELSE 0 END AS ev
+      FROM cust, horizon
+    ), per_t AS (
+      SELECT t, SUM(ev) AS d, COUNT(*) AS k FROM obs GROUP BY t
+    ), risk AS (
+      SELECT t, d,
+             (SELECT COUNT(*) FROM obs)
+               - COALESCE(SUM(k) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM per_t
+    ), km AS (
+      SELECT t, n_risk, d,
+             SUM(ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)))
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS lns
+      FROM risk WHERE d > 0
+    )
+    SELECT CAST(t AS BIGINT) AS t_days,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CAST(d AS BIGINT) AS d_events,
+           round(exp(lns), 6) AS survival
+    FROM km ORDER BY t_days
+    """,
+)
+def q298(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    horizon = orders.agg(
+        F.max(F.to_date("o_orderdate")).alias("t_end"))
+    cust = orders.groupBy("o_custkey").agg(
+        F.min(F.to_date("o_orderdate")).alias("f"),
+        F.max(F.to_date("o_orderdate")).alias("l"))
+    obs = cust.crossJoin(F.broadcast(horizon)).select(
+        F.datediff("l", "f").cast("bigint").alias("t"),
+        (F.datediff("t_end", "l") > 365).cast("bigint").alias("ev"))
+    per_t = obs.groupBy("t").agg(F.sum("ev").alias("d"),
+                                 F.count("*").alias("k"))
+    n_total = obs.agg(F.count("*").alias("n_total"))
+    wprev = (Window.orderBy(F.col("t").asc())
+             .rowsBetween(Window.unboundedPreceding, -1))
+    risk = (
+        per_t.crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "n_risk",
+            F.col("n_total")
+            - F.coalesce(F.sum("k").over(wprev), F.lit(0)))
+        .filter(F.col("d") > 0)
+    )
+    wcum = (Window.orderBy(F.col("t").asc())
+            .rowsBetween(Window.unboundedPreceding, 0))
+    lns = F.sum(
+        F.log((F.col("n_risk") - F.col("d")).cast("double")
+              / F.col("n_risk").cast("double"))).over(wcum)
+    return (
+        risk.select(
+            F.col("t").cast("bigint").alias("t_days"),
+            F.col("n_risk").cast("bigint").alias("n_risk"),
+            F.col("d").cast("bigint").alias("d_events"),
+            F.round(F.exp(lns), 6).alias("survival"))
+        .orderBy("t_days")
+    )

@@ -83,6 +83,21 @@ EXEMPTIONS: dict[str, dict[str, str]] = {
     "q230_hist_equalization": {
         "SINGLE_PART": "CDF window over the 13-row value histogram"
     },
+    # q281's bucketed-scan discipline: the only global windows run over
+    # the 64-row bucket-total table; per-value cumulations partition BY
+    # bucket and the fact scan shrinks to distinct values first.
+    "q296_ks_two_sample": {
+        "SINGLE_PART": "offset window over 64 aggregated bucket totals"
+    },
+    "q297_mann_whitney_u": {
+        "SINGLE_PART": "offset window over 64 aggregated bucket totals"
+    },
+    # at-risk + log-survival prefix sums run over the per-duration table
+    # (one row per calendar-day duration, ~2400 however many customers) —
+    # the q288 dimension-scale exemption class.
+    "q298_kaplan_meier": {
+        "SINGLE_PART": "KM windows over the value-domain duration table"
+    },
 }
 
 
