@@ -281,6 +281,9 @@ BENCH_QUERIES = [
     "q296_ks_two_sample",
     "q297_mann_whitney_u",
     "q298_kaplan_meier",
+    "q299_rfm_segmentation",
+    "q300_referential_audit",
+    "q301_sentence_dedup",
 ]
 
 

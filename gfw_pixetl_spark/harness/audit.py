@@ -800,3 +800,65 @@ def q275(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# --------------------------------------------------------------------------
+# q300 — REFERENTIAL-INTEGRITY AUDIT: every declared FK edge of the
+# star schema checked in one pass each — row count, orphan rows (FK
+# value absent from the parent key set), NULL FKs, and distinct orphan
+# key count. Each edge is child LEFT JOIN distinct-parent-keys: dims
+# broadcast, the two fact-scale edges (lineitem->orders/part/supplier)
+# shuffle on the natural key and AQE coalesces. The edges run as
+# independent branches of one UNION (Catalyst schedules them in
+# parallel); a healthy warehouse reports zeros, and the audit proves
+# the zeros rather than assuming them. Oracle: the same seven LEFT
+# JOINs written longhand.
+# --------------------------------------------------------------------------
+_FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+@register(
+    "q300_referential_audit",
+    oracle=" UNION ALL ".join(
+        f"""SELECT '{child}.{fk}->{parent}' AS edge,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) FILTER (p.{pk} IS NULL AND c.{fk} IS NOT NULL)
+                  AS BIGINT) AS n_orphans,
+             CAST(COUNT(*) FILTER (c.{fk} IS NULL) AS BIGINT) AS n_null_fk,
+             CAST(COUNT(DISTINCT CASE WHEN p.{pk} IS NULL
+                                      THEN c.{fk} END) AS BIGINT)
+               AS n_orphan_keys
+            FROM {child} c LEFT JOIN
+              (SELECT DISTINCT {pk} FROM {parent}) p ON c.{fk} = p.{pk}"""
+        for child, fk, parent, pk in _FK_EDGES
+    ) + " ORDER BY edge",
+)
+def q300(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for child, fk, parent, pk in _FK_EDGES:
+        cdf = load(spark, sf_dir, child).select(fk)
+        pdf = load(spark, sf_dir, parent).select(pk).distinct()
+        if parent not in ("orders", "part", "supplier"):
+            pdf = F.broadcast(pdf)
+        orphan = F.col(pk).isNull() & F.col(fk).isNotNull()
+        edge = (
+            cdf.join(pdf, cdf[fk] == pdf[pk], "left")
+            .agg(
+                F.lit(f"{child}.{fk}->{parent}").alias("edge"),
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.sum(orphan.cast("int")).cast("bigint").alias("n_orphans"),
+                F.sum(F.col(fk).isNull().cast("int")).cast("bigint")
+                .alias("n_null_fk"),
+                F.countDistinct(F.when(F.col(pk).isNull(), F.col(fk)))
+                .cast("bigint").alias("n_orphan_keys"))
+        )
+        out = edge if out is None else out.unionByName(edge)
+    return out.orderBy("edge")

@@ -1962,3 +1962,96 @@ def q283(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sum_mid / (n - n_lo - n_hi).cast("double") / F.lit(100.0),
                 6).alias("trimmed_mean"),
     )
+
+
+# --------------------------------------------------------------------------
+# q299 — RFM SEGMENTATION: the marketing-analytics workhorse. Per
+# customer, Recency (days from last order to the dataset horizon),
+# Frequency (order count), Monetary (lifetime cents). Each dimension is
+# scored 1-5 against its own exact 20/40/60/80th percentile bounds —
+# computed by the distributed range-partitioned selection
+# (functions/quantiles.py: parallel sort + 32-row offset table + one
+# Arrow pass; NO ntile, whose global ordering would funnel every
+# customer through one task), embedded as four codegen'd literals per
+# dimension. Cell id = 100r + 10f + m keeps the output integer-exact.
+# Oracle recomputes bounds with quantile_cont — the same p*(n-1)
+# interpolation lattice — and must agree on every cell count.
+# --------------------------------------------------------------------------
+_RFM_PS = [0.2, 0.4, 0.6, 0.8]
+
+
+def _rfm_score_sql(col: str, bcols: list[str]) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {col} > {b} THEN 1 ELSE 0 END)" for b in bcols)
+    return f"1 + {terms}"
+
+
+@register(
+    "q299_rfm_segmentation",
+    oracle=f"""
+    WITH horizon AS (
+      SELECT CAST(MAX(o_orderdate) AS DATE) AS t_end FROM orders
+    ), c AS (
+      SELECT o_custkey,
+             date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                       MAX(t_end)) AS rec,
+             COUNT(*) AS freq,
+             SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS mon
+      FROM orders, horizon GROUP BY o_custkey
+    ), b AS (
+      SELECT {", ".join(
+        f"quantile_cont(rec, {p}) AS r{i}, "
+        f"quantile_cont(freq, {p}) AS f{i}, "
+        f"quantile_cont(mon, {p}) AS m{i}"
+        for i, p in enumerate(_RFM_PS))}
+      FROM c
+    ), scored AS (
+      SELECT ({_rfm_score_sql("rec", ["r0", "r1", "r2", "r3"])}) * 100
+           + ({_rfm_score_sql("freq", ["f0", "f1", "f2", "f3"])}) * 10
+           + ({_rfm_score_sql("mon", ["m0", "m1", "m2", "m3"])}) AS cell,
+             mon
+      FROM c, b
+    )
+    SELECT CAST(cell AS BIGINT) AS cell,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           round(CAST(SUM(mon) AS DOUBLE) / COUNT(*) / 100.0, 6)
+             AS avg_monetary
+    FROM scored GROUP BY cell ORDER BY cell
+    """,
+)
+def q299(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.quantiles import exact_quantiles
+
+    orders = load(spark, sf_dir, "orders")
+    horizon = orders.agg(F.max(F.to_date("o_orderdate")).alias("t_end"))
+    c = (
+        orders.groupBy("o_custkey")
+        .agg(F.max(F.to_date("o_orderdate")).alias("last_d"),
+             F.count("*").alias("freq"),
+             F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+             .alias("mon"))
+        .crossJoin(F.broadcast(horizon))
+        .select("o_custkey",
+                F.datediff("t_end", "last_d").cast("bigint").alias("rec"),
+                "freq", "mon")
+    )
+    c = c.localCheckpoint()  # 3 selection passes + the scoring scan
+    bounds = {dim: exact_quantiles(c, dim, _RFM_PS)
+              for dim in ("rec", "freq", "mon")}
+
+    def score(dim: str):
+        s = F.lit(1)
+        for b in bounds[dim]:
+            s = s + (F.col(dim) > F.lit(b)).cast("int")
+        return s
+
+    cell = (score("rec") * 100 + score("freq") * 10
+            + score("mon")).cast("bigint")
+    return (
+        c.select(cell.alias("cell"), "mon")
+        .groupBy("cell")
+        .agg(F.count("*").cast("bigint").alias("n_customers"),
+             F.round(F.sum("mon").cast("double") / F.count("*")
+                     / F.lit(100.0), 6).alias("avg_monetary"))
+        .orderBy("cell")
+    )

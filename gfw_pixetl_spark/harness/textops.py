@@ -3556,3 +3556,75 @@ def q295(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("n_cyrillic") > 0) & (F.col("n_latin") > 0)
          & (F.col("n_adjacent") > 0)).alias("suspect"),
     )
+
+
+# --------------------------------------------------------------------------
+# q301 — SENTENCE-LEVEL CORPUS DEDUP (the C4 "remove any line that
+# occurs >= 3 times in the corpus" rule): each doc gains a
+# deterministic boilerplate sentence (doc_id % 4 != 0 — the 3/4 of the
+# corpus that shares a newsletter footer), sentences explode WITH
+# POSITION, one corpus-wide count per sentence (a shrinking hash agg —
+# at 100 TB the join key would be the sentence digest, not the string;
+# here the string keeps the oracle mechanism-independent), and docs
+# reassemble ORDER-PRESERVINGLY from the surviving sentences
+# (array_sort over (pos, sent) structs -> array_join). Output is
+# per-doc kept/removed counts + the md5 of the cleaned text, so the
+# oracle value-checks the exact reassembled string.
+# --------------------------------------------------------------------------
+_BOILER = "Subscribe to our newsletter for updates"
+
+
+@register(
+    "q301_sentence_dedup",
+    oracle=f"""
+    WITH v AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 <> 0
+                  THEN text || '. {_BOILER}' ELSE text END AS t
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             unnest(str_split(t, '. ')) AS sent,
+             unnest(range(1, len(str_split(t, '. ')) + 1)) AS pos
+      FROM v
+    ), c AS (
+      SELECT sent, COUNT(*) AS n FROM s GROUP BY sent
+    ), j AS (
+      SELECT s.doc_id, s.sent, s.pos, c.n < 3 AS keep
+      FROM s JOIN c USING (sent)
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_removed,
+           md5(COALESCE(string_agg(CASE WHEN keep THEN sent END, '. '
+                                   ORDER BY pos), '')) AS clean_md5
+    FROM j GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q301(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = F.when(F.col("doc_id") % 4 != 0,
+               F.concat(F.col("text"), F.lit(". " + _BOILER))
+               ).otherwise(F.col("text"))
+    s = docs.select(
+        "doc_id",
+        F.posexplode(F.split(t, "\\. ")).alias("pos0", "sent"))
+    c = s.groupBy("sent").agg(F.count("*").alias("n"))
+    j = s.join(c, "sent").select(
+        "doc_id", "sent", (F.col("pos0") + 1).alias("pos"),
+        (F.col("n") < 3).alias("keep"))
+    kept_structs = F.array_sort(F.collect_list(
+        F.when(F.col("keep"), F.struct("pos", "sent"))))
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_kept"),
+            F.sum((~F.col("keep")).cast("int")).cast("bigint")
+            .alias("n_removed"),
+            F.md5(F.array_join(
+                F.transform(kept_structs, lambda x: x["sent"]), ". "))
+            .alias("clean_md5"))
+        .orderBy("doc_id")
+    )
