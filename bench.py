@@ -284,6 +284,9 @@ BENCH_QUERIES = [
     "q299_rfm_segmentation",
     "q300_referential_audit",
     "q301_sentence_dedup",
+    "q302_flow_path_length",
+    "q303_zipf_slope",
+    "q304_t_closeness",
 ]
 
 

@@ -3628,3 +3628,83 @@ def q301(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("clean_md5"))
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q303 — ZIPF RANK-FREQUENCY SLOPE: the corpus-health diagnostic (a
+# natural corpus fits log f ~ -1 * log r; synthetic/spammy text
+# doesn't). Word counts are one shrinking hash agg; the OLS fit runs
+# over the TOP-100 frequencies only — fetched with TakeOrdered (per-
+# partition top-k, no global sort), ranked by a window over that
+# bounded 100-row table (exempted), with ln/products as scalar
+# expressions. vocab_size / total_tokens stay exact integers from the
+# full count table. Slope/intercept/r2 are fixed-order expressions over
+# 100-term sums, rounded 6 dp (libm ln may differ in the last ulp).
+# --------------------------------------------------------------------------
+@register(
+    "q303_zipf_slope",
+    oracle="""
+    WITH w AS (
+      SELECT unnest(list_filter(
+               regexp_split_to_array(lower(text), '[^a-z]+'),
+               x -> x != '')) AS w
+      FROM documents
+    ), wc AS (
+      SELECT w, COUNT(*) AS f FROM w GROUP BY w
+    ), tot AS (
+      SELECT COUNT(*) AS vocab, SUM(f) AS toks FROM wc
+    ), top AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, w ASC) AS r
+      FROM wc ORDER BY f DESC, w ASC LIMIT 100
+    ), s AS (
+      SELECT COUNT(*) AS n,
+             SUM(ln(r)) AS sx, SUM(ln(f)) AS sy,
+             SUM(ln(r) * ln(f)) AS sxy,
+             SUM(ln(r) * ln(r)) AS sxx,
+             SUM(ln(f) * ln(f)) AS syy
+      FROM top
+    )
+    SELECT CAST(vocab AS BIGINT) AS vocab_size,
+           CAST(toks AS BIGINT) AS total_tokens,
+           CAST(n AS BIGINT) AS n_fit,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n, 6) AS intercept,
+           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s, tot
+    """,
+)
+def q303(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select(
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w")
+    ).filter(F.col("w") != "")
+    wc = w.groupBy("w").agg(F.count("*").alias("f"))
+    tot = wc.agg(F.count("*").alias("vocab"), F.sum("f").alias("toks"))
+    top = wc.orderBy(F.col("f").desc(), F.col("w").asc()).limit(100)
+    wr = Window.orderBy(F.col("f").desc(), F.col("w").asc())
+    ranked = top.select("f", F.row_number().over(wr).alias("r"))
+    lr, lf = F.log(F.col("r").cast("double")), F.log(F.col("f").cast("double"))
+    s = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum(lr).alias("sx"), F.sum(lf).alias("sy"),
+        F.sum(lr * lf).alias("sxy"),
+        F.sum(lr * lr).alias("sxx"),
+        F.sum(lf * lf).alias("syy"))
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("vocab").cast("bigint").alias("vocab_size"),
+            F.col("toks").cast("bigint").alias("total_tokens"),
+            F.col("n").cast("bigint").alias("n_fit"),
+            F.round(slope, 6).alias("slope"),
+            F.round((sy - slope * sx) / n, 6).alias("intercept"),
+            F.round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+            .alias("r2"))
+    )

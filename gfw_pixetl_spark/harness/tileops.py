@@ -2428,3 +2428,98 @@ def q292(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("row").alias("py"), "value")
         .orderBy("o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# q302 — FLOW PATH LENGTH via POINTER DOUBLING over the D8 flow graph:
+# for every pixel, how many hops its water takes before terminating in
+# a pit or off the grid edge — the hydrology follow-up to q276 and a
+# second user of the dedup stack's O(log diameter) iteration pattern on
+# a FUNCTIONAL graph (out-degree <= 1, provably acyclic because z
+# strictly decreases along flow). Each round squares the pointer:
+# (ptr, d) <- (ptr.ptr, d + ptr.d) by one equi-self-join on the node
+# key; terminal rows (null ptr) are fixed points; a bounded scalar
+# count drives the loop. The z field is bounded by 13 values so every
+# path is <= 12 hops — 4 doubling rounds. The oracle walks the SAME
+# graph one hop at a time with a recursive CTE (an independent
+# mechanism: any doubling/accumulation bug shifts the histogram).
+# --------------------------------------------------------------------------
+@register(
+    "q302_flow_path_length",
+    oracle=f"""
+    WITH RECURSIVE px AS (
+      SELECT i.r AS r, j.c AS c, {_Z.format(r='i.r', c='j.c')} AS zc
+      FROM generate_series(1, 94) i(r), generate_series(1, 94) j(c)
+    ), nb AS (
+      SELECT * FROM (VALUES {_D8_NB_SQL}) AS t(code, dr, dc, diag)
+    ), cand AS (
+      SELECT r, c, code,
+             CASE WHEN diag = 1 THEN d * d ELSE 2 * d * d END AS m
+      FROM (SELECT px.r, px.c, code, diag,
+                   zc - ({_Z.format(r='px.r + dr', c='px.c + dc')}) AS d
+            FROM px, nb) s
+      WHERE d > 0
+    ), best AS (
+      SELECT r, c, MAX(m * 256 + (255 - code)) AS k
+      FROM cand GROUP BY r, c
+    ), flow AS (
+      SELECT px.r, px.c,
+             CAST(COALESCE(255 - (k % 256), 0) AS INT) AS dir
+      FROM px LEFT JOIN best USING (r, c)
+    ), parent AS (
+      SELECT f.r, f.c, f.r + nb.dr AS pr, f.c + nb.dc AS pc
+      FROM flow f JOIN nb ON nb.code = f.dir
+    ), walk AS (
+      SELECT r AS sr, c AS sc, r AS cr, c AS cc, 0 AS d FROM flow
+      UNION ALL
+      SELECT w.sr, w.sc, p.pr, p.pc, w.d + 1
+      FROM walk w JOIN parent p ON p.r = w.cr AND p.c = w.cc
+    ), dist AS (
+      SELECT sr, sc, MAX(d) AS path_len FROM walk GROUP BY sr, sc
+    )
+    SELECT CAST(path_len AS BIGINT) AS path_len,
+           CAST(COUNT(*) AS BIGINT) AS n_px
+    FROM dist GROUP BY path_len ORDER BY path_len
+    """,
+)
+def q302(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.raster_table import d8_flow_pixels, raster_catalog
+
+    cat = raster_catalog(spark, [_focal_demo_file()])
+    px = d8_flow_pixels(cat, window=48, parallelism=8)
+    lo, hi = 1, 94  # d8_flow_pixels emits the interior ring only
+    nid = (F.col("row") * 1024 + F.col("col")).cast("bigint")
+    # flow_dir code -> (dr, dc); code 0 (pit) -> null parent
+    dr = (F.when(F.col("flow_dir").isin(2, 4, 8), 1)
+          .when(F.col("flow_dir").isin(32, 64, 128), -1).otherwise(0))
+    dc = (F.when(F.col("flow_dir").isin(128, 1, 2), 1)
+          .when(F.col("flow_dir").isin(8, 16, 32), -1).otherwise(0))
+    pr, pc = F.col("row") + dr, F.col("col") + dc
+    in_grid = (pr >= lo) & (pr <= hi) & (pc >= lo) & (pc <= hi)
+    state = px.select(
+        nid.alias("id"),
+        F.when(F.col("flow_dir") == 0, F.lit(None).cast("bigint"))
+        .when(in_grid, (pr * 1024 + pc).cast("bigint"))
+        .otherwise(F.lit(None).cast("bigint")).alias("ptr"),
+        F.when(F.col("flow_dir") == 0, F.lit(0))
+        .otherwise(F.lit(1)).cast("bigint").alias("d"),
+    ).localCheckpoint()
+    while state.filter(F.col("ptr").isNotNull()).count() > 0:  # bounded scalar
+        nxt = state.select(F.col("id").alias("_pid"),
+                           F.col("ptr").alias("_pptr"),
+                           F.col("d").alias("_pd"))
+        state = (
+            state.join(nxt, state.ptr == F.col("_pid"), "left")
+            .select(
+                "id",
+                F.when(F.col("ptr").isNull(), F.lit(None).cast("bigint"))
+                .otherwise(F.col("_pptr")).alias("ptr"),
+                F.when(F.col("ptr").isNull(), F.col("d"))
+                .otherwise(F.col("d") + F.col("_pd")).alias("d"))
+            .localCheckpoint()
+        )
+    return (
+        state.groupBy(F.col("d").alias("path_len"))
+        .agg(F.count("*").cast("bigint").alias("n_px"))
+        .orderBy("path_len")
+    )

@@ -9,7 +9,7 @@ the exact selection.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import dedup as D
@@ -1545,3 +1545,103 @@ def q291(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out.orderBy("x_col", "y_col")
+
+
+# --------------------------------------------------------------------------
+# q304 — t-CLOSENESS (the EMD follow-up to q242's k-anonymity and
+# q290's l-diversity): per (lang, source) quasi-identifier class, the
+# Earth Mover's Distance between the class's distribution of the
+# ORDERED sensitive attribute (n_chars decile band 0..9) and the global
+# distribution — for ordinal attributes EMD = mean |cumP - cumQ|. Kept
+# integer-exact by clearing denominators: |cum_c * N - cum_g * n_c|
+# accumulates as bigint and one final division maps to the t value.
+# The fact table shrinks to (class, band) counts first; the per-class
+# cumulation windows over <= 10 band rows (partitioned BY class — no
+# global window), and the 10-row global band table broadcasts.
+# --------------------------------------------------------------------------
+_TC_BANDS = 10
+_TC_WIDTH = 400
+
+
+@register(
+    "q304_t_closeness",
+    oracle=f"""
+    WITH d AS (
+      SELECT lang, source,
+             LEAST({_TC_BANDS - 1}, n_chars // {_TC_WIDTH}) AS band
+      FROM documents
+    ), cls AS (
+      SELECT lang, source, COUNT(*) AS n_c FROM d GROUP BY 1, 2
+    ), bandtab AS (
+      SELECT CAST(b AS BIGINT) AS band
+      FROM generate_series(0, {_TC_BANDS - 1}) t(b)
+    ), cnt AS (
+      SELECT c.lang, c.source, b.band, c.n_c,
+             COALESCE(x.k, 0) AS k
+      FROM cls c CROSS JOIN bandtab b
+      LEFT JOIN (SELECT lang, source, band, COUNT(*) AS k
+                 FROM d GROUP BY 1, 2, 3) x
+        ON x.lang = c.lang AND x.source = c.source AND x.band = b.band
+    ), g AS (
+      SELECT band, COUNT(*) AS gk FROM d GROUP BY band
+    ), cum AS (
+      SELECT cnt.lang, cnt.source, cnt.band, cnt.n_c,
+             SUM(cnt.k) OVER (PARTITION BY cnt.lang, cnt.source
+                              ORDER BY cnt.band) AS cum_c,
+             SUM(COALESCE(g.gk, 0)) OVER (
+               PARTITION BY cnt.lang, cnt.source
+               ORDER BY cnt.band) AS cum_g,
+             (SELECT COUNT(*) FROM d) AS n_tot
+      FROM cnt LEFT JOIN g USING (band)
+    )
+    SELECT lang, source,
+           CAST(MAX(n_c) AS BIGINT) AS n_docs,
+           round(CAST(SUM(abs(cum_c * n_tot - cum_g * n_c)) AS DOUBLE)
+                 / (CAST(MAX(n_c) AS DOUBLE) * MAX(n_tot)
+                    * {_TC_BANDS - 1}), 6) AS t_emd
+    FROM cum GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+def q304(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang", "source",
+        F.least(F.lit(_TC_BANDS - 1),
+                (F.col("n_chars") / _TC_WIDTH).cast("bigint")).alias("band"))
+    cls = d.groupBy("lang", "source").agg(F.count("*").alias("n_c"))
+    bands = (
+        d.sparkSession.range(_TC_BANDS)
+        .select(F.col("id").cast("bigint").alias("band"))
+    )
+    x = d.groupBy("lang", "source", "band").agg(F.count("*").alias("k"))
+    g = d.groupBy("band").agg(F.count("*").alias("gk"))
+    n_tot = d.agg(F.count("*").alias("n_tot"))
+    grid = (
+        cls.crossJoin(F.broadcast(bands))
+        .join(x, ["lang", "source", "band"], "left")
+        .join(F.broadcast(g), "band", "left")
+        .crossJoin(F.broadcast(n_tot))
+        .select("lang", "source", "band", "n_c",
+                F.coalesce(F.col("k"), F.lit(0)).alias("k"),
+                F.coalesce(F.col("gk"), F.lit(0)).alias("gk"), "n_tot")
+    )
+    wc = (Window.partitionBy("lang", "source")
+          .orderBy(F.col("band").asc())
+          .rowsBetween(Window.unboundedPreceding, 0))
+    cum = grid.select(
+        "lang", "source", "n_c", "n_tot",
+        F.sum("k").over(wc).alias("cum_c"),
+        F.sum("gk").over(wc).alias("cum_g"))
+    return (
+        cum.groupBy("lang", "source")
+        .agg(
+            F.max("n_c").cast("bigint").alias("n_docs"),
+            F.round(
+                F.sum(F.abs(F.col("cum_c") * F.col("n_tot")
+                            - F.col("cum_g") * F.col("n_c")))
+                .cast("double")
+                / (F.max("n_c").cast("double") * F.max("n_tot")
+                   * F.lit(_TC_BANDS - 1)), 6).alias("t_emd"))
+        .orderBy("lang", "source")
+    )
