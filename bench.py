@@ -287,6 +287,9 @@ BENCH_QUERIES = [
     "q302_flow_path_length",
     "q303_zipf_slope",
     "q304_t_closeness",
+    "q305_cuped",
+    "q306_audio_decimate",
+    "q307_hubness",
 ]
 
 

@@ -734,3 +734,43 @@ def audio_zcr(df: DataFrame, text_col: str = "text") -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.select("doc_id", text_col).mapInPandas(kernel, ZCR_SCHEMA)
+
+
+DECIM_SCHEMA = ("doc_id long, n_in int, n_out int, "
+                "y0 long, y1 long, y2 long, y3 long")
+
+
+def audio_decimate(df: DataFrame, factor: int = 4,
+                   text_col: str = "text") -> DataFrame:
+    """Boxcar-sum decimation by ``factor`` over the REAL 8-bit PCM WAV
+    payload — the anti-aliased downsample a speech pipeline applies
+    before feature extraction. Each output sample is the EXACT integer
+    sum of ``factor`` consecutive input samples (the moving-average
+    anti-alias filter with the division deliberately left out: signed
+    integer division rounds differently across engines, a plain sum is
+    bit-portable). One-to-one Arrow kernel over the RIFF parse
+    (``sources/wav.py``) — map-only, no shuffle.
+    """
+    from ..sources.wav import decode_wav
+    from .partitioning import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "n_in", "n_out", "y0", "y1", "y2", "y3")}
+            for doc_id, t in zip(pdf["doc_id"], pdf[text_col]):
+                samples, _rate = decode_wav(wav_payload(t))
+                s = [int(v) for v in samples[:, 0]]
+                n_out = len(s) // factor
+                y = [sum(s[k * factor:(k + 1) * factor])
+                     for k in range(n_out)]
+                out["doc_id"].append(doc_id)
+                out["n_in"].append(len(s))
+                out["n_out"].append(n_out)
+                for i in range(4):
+                    out[f"y{i}"].append(y[i] if i < n_out else 0)
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", text_col).mapInPandas(kernel, DECIM_SCHEMA)

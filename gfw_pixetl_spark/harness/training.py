@@ -1645,3 +1645,147 @@ def q304(spark: SparkSession, sf_dir: str) -> DataFrame:
                    * F.lit(_TC_BANDS - 1)), 6).alias("t_emd"))
         .orderBy("lang", "source")
     )
+
+
+# --------------------------------------------------------------------------
+# q305 — CUPED variance reduction (the industry-standard A/B readout
+# adjustment): covariate X = pre-period spend, metric Y = post-period
+# spend (split at a fixed calendar date), theta = cov(X,Y)/var(X) from
+# POOLED exact sums, adjusted arm mean = mean(Y_a) - theta *
+# (mean(X_a) - mean(X)). Every distributed aggregate is integer cents
+# or DECIMAL(38,0) cross-products; theta / means / the variance-
+# reduction ratio (= r^2 of X on Y) are fixed-order scalar IEEE ops
+# over those exact aggregates, so partitioning cannot move a bit.
+# Scale shape: one fact-scale groupBy(custkey), then a 2-row arm agg
+# and a 1-row pooled agg joined by broadcast.
+# --------------------------------------------------------------------------
+_CUPED_SPLIT = "1998-01-01"
+
+
+@register(
+    "q305_cuped",
+    oracle=f"""
+    WITH per_c AS (
+      SELECT o_custkey,
+             o_custkey % 2 AS arm,
+             SUM(CASE WHEN o_orderdate < TIMESTAMP '{_CUPED_SPLIT} 00:00:00'
+                 THEN CAST(floor(o_totalprice * 100) AS BIGINT)
+                 ELSE 0 END) AS x,
+             SUM(CASE WHEN o_orderdate >= TIMESTAMP '{_CUPED_SPLIT} 00:00:00'
+                 THEN CAST(floor(o_totalprice * 100) AS BIGINT)
+                 ELSE 0 END) AS y
+      FROM orders GROUP BY 1, 2
+    ), pooled AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+               AS sxy,
+             SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+               AS sxx,
+             SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+               AS syy
+      FROM per_c
+    ), arms AS (
+      SELECT arm, COUNT(*) AS n_a,
+             SUM(CAST(x AS DECIMAL(38,0))) AS sx_a,
+             SUM(CAST(y AS DECIMAL(38,0))) AS sy_a
+      FROM per_c GROUP BY arm
+    )
+    SELECT CAST(arm AS BIGINT) AS arm,
+           CAST(n_a AS BIGINT) AS n_customers,
+           round(CAST(sy_a AS DOUBLE) / n_a / 100.0, 6) AS mean_y,
+           round((CAST(sy_a AS DOUBLE) / n_a
+                  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * (CAST(sx_a AS DOUBLE) / n_a
+                       - CAST(sx AS DOUBLE) / n)) / 100.0, 6)
+             AS mean_y_adj,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             AS theta,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS var_reduction
+    FROM arms, pooled ORDER BY arm
+    """,
+)
+def q305(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    split = F.lit(_CUPED_SPLIT + " 00:00:00").cast("timestamp")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    per_c = orders.groupBy("o_custkey").agg(
+        F.sum(F.when(F.col("o_orderdate") < split, cents)
+              .otherwise(F.lit(0))).alias("x"),
+        F.sum(F.when(F.col("o_orderdate") >= split, cents)
+              .otherwise(F.lit(0))).alias("y"),
+    ).select((F.col("o_custkey") % 2).alias("arm"), "x", "y")
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    pooled = per_c.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(d19("x") * d19("y")).alias("sxy"),
+        F.sum(d19("x") * d19("x")).alias("sxx"),
+        F.sum(d19("y") * d19("y")).alias("syy"),
+    )
+    arms = per_c.groupBy("arm").agg(
+        F.count("*").alias("n_a"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx_a"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy_a"),
+    )
+    j = arms.crossJoin(F.broadcast(pooled))
+    nd = F.col("n").cast("double")
+    nad = F.col("n_a").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxa, sya = F.col("sx_a").cast("double"), F.col("sy_a").cast("double")
+    cov_n = nd * sxy - sx * sy
+    theta = cov_n / (nd * sxx - sx * sx)
+    return j.select(
+        F.col("arm").cast("bigint").alias("arm"),
+        F.col("n_a").cast("bigint").alias("n_customers"),
+        F.round(sya / nad / F.lit(100.0), 6).alias("mean_y"),
+        F.round((sya / nad - theta * (sxa / nad - sx / nd))
+                / F.lit(100.0), 6).alias("mean_y_adj"),
+        F.round(theta, 6).alias("theta"),
+        F.round(cov_n * cov_n
+                / ((nd * sxx - sx * sx) * (nd * syy - sy * sy)), 6)
+        .alias("var_reduction"),
+    ).orderBy("arm")
+
+
+# --------------------------------------------------------------------------
+# q306 — AUDIO DECIMATION (anti-aliased downsample): 16 PCM samples ->
+# 4, each output the EXACT integer boxcar sum of 4 consecutive inputs
+# (the division is deliberately left out — signed integer division
+# rounds differently across engines; the sum is bit-portable). Runs
+# through the real RIFF parse like q234/q277; the oracle replays every
+# sum from the md5 digest bytes. Map-only Arrow kernel, no shuffle.
+# --------------------------------------------------------------------------
+@register(
+    "q306_audio_decimate",
+    oracle=f"""
+    SELECT doc_id, CAST(16 AS INT) AS n_in, CAST(4 AS INT) AS n_out,
+           {", ".join(
+               "CAST((" + " + ".join(_PCM_SIGNED[4 * k:4 * k + 4])
+               + f") AS BIGINT) AS y{k}" for k in range(4))}
+    FROM documents
+    """,
+)
+def q306(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import audio_decimate
+
+    return audio_decimate(load(spark, sf_dir, "documents"))

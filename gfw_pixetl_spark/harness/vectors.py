@@ -969,3 +969,81 @@ def q285(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / F.col("l1").cast("double"), 6).alias("top_dim_share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q307 — HUBNESS AUDIT of the embedding space: in-degree distribution
+# of the k-NN graph (k = 5). High-dimensional spaces grow "hubs" —
+# points that appear in everyone's neighbor list — which silently skew
+# ANN retrieval, SemDeDup, and hard-negative mining; the in-degree
+# histogram is the standard diagnostic (Radovanovic et al., JMLR 2010).
+# The k-NN graph reuses the q37/q38 scale path: candidates meet in a
+# bucket EQUI-SELF-JOIN (sign-LSH — collisions, never corpus x corpus),
+# exact cosine re-rank within bucket, top-5 per query by a window
+# partitioned BY query, then one shrinking count per neighbor; degree-0
+# points are kept through a left join. Integer counts — the only floats
+# (cosines) affect ranking exactly as in the already-verified q37.
+# --------------------------------------------------------------------------
+@register(
+    "q307_hubness",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bucket
+      FROM embeddings
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_sql_cos('q.embedding', 'c.embedding')} AS cs
+      FROM b c JOIN b q ON c.bucket = q.bucket
+      WHERE c.vec_id != q.vec_id
+    ), knn AS (
+      SELECT neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cs DESC, neighbor_id ASC)
+                 AS rank
+        FROM scored
+      ) WHERE rank <= 5
+    ), deg AS (
+      SELECT e.vec_id, COUNT(k.neighbor_id) AS degree
+      FROM embeddings e LEFT JOIN knn k ON k.neighbor_id = e.vec_id
+      GROUP BY e.vec_id
+    )
+    SELECT CAST(degree AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_points
+    FROM deg GROUP BY degree ORDER BY degree
+    """,
+)
+def q307(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id", "embedding",
+        S.lsh_bucket(F.col("embedding"), _WEIGHTS).alias("bucket"))
+    c = b.select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("embedding").alias("cvec"), "bucket")
+    q = b.select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qvec"), "bucket")
+    scored = (
+        c.join(q, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                S.cosine(F.col("qvec"), F.col("cvec")).alias("cs"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cs").desc(), F.col("neighbor_id").asc())
+    knn = (scored.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= 5).select("neighbor_id"))
+    indeg = knn.groupBy("neighbor_id").agg(F.count("*").alias("degree"))
+    deg = (
+        emb.select("vec_id")
+        .join(indeg, emb.vec_id == indeg.neighbor_id, "left")
+        .select(F.coalesce(F.col("degree"), F.lit(0)).alias("degree"))
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count("*").cast("bigint").alias("n_points"))
+        .select(F.col("degree").cast("bigint").alias("degree"),
+                "n_points")
+        .orderBy("degree")
+    )
