@@ -290,6 +290,9 @@ BENCH_QUERIES = [
     "q305_cuped",
     "q306_audio_decimate",
     "q307_hubness",
+    "q308_stupid_backoff",
+    "q309_table_digest",
+    "q310_phrase_search",
 ]
 
 

@@ -862,3 +862,84 @@ def q300(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = edge if out is None else out.unionByName(edge)
     return out.orderBy("edge")
+
+
+# --------------------------------------------------------------------------
+# q309 — TABLE INTEGRITY DIGEST (homomorphic set-hash Merkle): the
+# verify-your-100TB-copy primitive. Every row maps to a 60-bit md5 of
+# its canonical '|'-joined INTEGER encoding (cents, not doubles —
+# double->string formatting differs across engines), leaves accumulate
+# per key-bucket as an order-INDEPENDENT exact DECIMAL(38,0) sum (O(1)
+# state per bucket — unlike an ordered Merkle chain, a commutative sum
+# needs no sort and distributes perfectly; Btrfs/ZFS-style set
+# checksumming), and the root is the md5 of the 64 leaf digests in
+# bucket order. Any flipped bit, lost row, or duplicated row moves the
+# leaf sum and therefore the root. Output = 64 leaves + the root row
+# (bucket = -1).
+# --------------------------------------------------------------------------
+_MERKLE_ROW = ("CAST(l_orderkey AS VARCHAR) || '|' || "
+               "CAST(l_linenumber AS VARCHAR) || '|' || "
+               "CAST(CAST(floor(l_extendedprice * 100) AS BIGINT)"
+               " AS VARCHAR) || '|' || "
+               "CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)")
+
+
+@register(
+    "q309_table_digest",
+    oracle=f"""
+    WITH r AS (
+      SELECT l_orderkey % 64 AS bucket,
+             {md5_int64_sql(_MERKLE_ROW)} AS h
+      FROM lineitem
+    ), leaf AS (
+      SELECT bucket, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(h AS DECIMAL(38,0))) AS VARCHAR) AS digest
+      FROM r GROUP BY bucket
+    ), root AS (
+      SELECT CAST(-1 AS BIGINT) AS bucket,
+             SUM(n_rows) AS n_rows,
+             md5(string_agg(digest, '|' ORDER BY bucket)) AS digest
+      FROM leaf
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(n_rows AS BIGINT) AS n_rows, digest
+    FROM leaf
+    UNION ALL SELECT bucket, CAST(n_rows AS BIGINT), digest FROM root
+    ORDER BY bucket
+    """,
+)
+def q309(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_int64
+
+    li = load(spark, sf_dir, "lineitem")
+    row_str = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint")
+        .cast("string"),
+        F.col("l_quantity").cast("bigint").cast("string"))
+    leaf = (
+        li.select((F.col("l_orderkey") % 64).alias("bucket"),
+                  md5_int64(row_str).alias("h"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_rows"),
+             F.sum(F.col("h").cast("decimal(38,0)")).cast("string")
+             .alias("digest"))
+    )
+    root = leaf.agg(
+        F.lit(-1).cast("bigint").alias("bucket"),
+        F.sum("n_rows").alias("n_rows"),
+        F.md5(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bucket", "digest"))),
+                lambda x: x["digest"]), "|")).alias("digest"))
+    return (
+        leaf.select(F.col("bucket").cast("bigint").alias("bucket"),
+                    F.col("n_rows").cast("bigint").alias("n_rows"),
+                    "digest")
+        .unionByName(root.select(
+            "bucket", F.col("n_rows").cast("bigint").alias("n_rows"),
+            "digest"))
+        .orderBy("bucket")
+    )

@@ -3708,3 +3708,204 @@ def q303(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
             .alias("r2"))
     )
+
+
+# --------------------------------------------------------------------------
+# q308 — TRIGRAM STUPID-BACKOFF scoring (Brants et al. 2007, the
+# web-scale LM that deliberately drops normalization): the model is
+# built from the ODD docs and scores the held-out EVEN docs, so unseen
+# trigrams genuinely exercise the backoff chain
+#   S(w3|w1w2) = c123/c12            if c123 > 0
+#              = 0.4 * c23/c2        elif c23 > 0
+#              = 0.16 * (c3+0.5)/(N+0.5V)   otherwise (add-0.5 floor)
+# Scale shape: the model tables are corpus aggregates joined back by
+# n-gram key (LEFT equi-joins — the trigram table is the big side,
+# shuffled once); nothing scans the vocabulary per doc. Every branch
+# is a ratio of exact integers; per-doc mean -log2 rounds 6 (the q158
+# discipline).
+# --------------------------------------------------------------------------
+@register(
+    "q308_stupid_backoff",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {SQL_WORDS} AS ws FROM documents
+    ), tri AS (
+      SELECT doc_id, p[1] AS w1, p[2] AS w2, p[3] AS w3 FROM (
+        SELECT doc_id,
+               unnest(list_zip(list_slice(ws, 1, len(ws) - 2),
+                               list_slice(ws, 2, len(ws) - 1),
+                               list_slice(ws, 3, len(ws)))) AS p
+        FROM w WHERE len(ws) >= 3)
+    ), train3 AS (
+      SELECT w1, w2, w3, COUNT(*) AS c123 FROM tri
+      WHERE doc_id % 2 = 1 GROUP BY 1, 2, 3
+    ), train2 AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM (
+        SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM (
+          SELECT doc_id,
+                 unnest(list_zip(list_slice(ws, 1, len(ws) - 1),
+                                 list_slice(ws, 2, len(ws)))) AS p
+          FROM w WHERE len(ws) >= 2)
+      ) WHERE doc_id % 2 = 1 GROUP BY 1, 2
+    ), train1 AS (
+      SELECT w, COUNT(*) AS c1 FROM (
+        SELECT doc_id, unnest(ws) AS w FROM w
+      ) WHERE doc_id % 2 = 1 GROUP BY 1
+    ), nv AS (
+      SELECT SUM(c1) AS n_tok, COUNT(*) AS v FROM train1
+    ), held AS (
+      SELECT t.doc_id, t.w1, t.w2, t.w3,
+             t3.c123, b12.c12, b23.c12 AS c23, u2.c1 AS c2, u3.c1 AS c3
+      FROM tri t
+      LEFT JOIN train3 t3 USING (w1, w2, w3)
+      LEFT JOIN train2 b12 ON b12.w1 = t.w1 AND b12.w2 = t.w2
+      LEFT JOIN train2 b23 ON b23.w1 = t.w2 AND b23.w2 = t.w3
+      LEFT JOIN train1 u2 ON u2.w = t.w2
+      LEFT JOIN train1 u3 ON u3.w = t.w3
+      WHERE t.doc_id % 2 = 0
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+           CAST(SUM(CASE WHEN c123 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_backoff,
+           round(AVG(-log2(
+             CASE WHEN c123 IS NOT NULL
+                  THEN CAST(c123 AS DOUBLE) / c12
+                  WHEN c23 IS NOT NULL
+                  THEN 0.4 * (CAST(c23 AS DOUBLE) / c2)
+                  ELSE 0.16 * ((COALESCE(c3, 0) + 0.5)
+                               / (n_tok + 0.5 * v))
+             END)), 6) AS mean_logscore
+    FROM held, nv GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q308(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ws = T.words("text")
+    n = F.size(ws)
+    tri = (
+        docs.filter(n >= 3)
+        .select("doc_id", F.explode(F.arrays_zip(
+            F.slice(ws, F.lit(1), n - 2).alias("w1"),
+            F.slice(ws, F.lit(2), n - 2).alias("w2"),
+            F.slice(ws, F.lit(3), n - 2).alias("w3"))).alias("p"))
+        .select("doc_id", "p.w1", "p.w2", "p.w3")
+    )
+    bi = (
+        docs.filter(n >= 2)
+        .select("doc_id", F.explode(F.arrays_zip(
+            F.slice(ws, F.lit(1), n - 1).alias("w1"),
+            F.slice(ws, F.lit(2), n - 1).alias("w2"))).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    uni = docs.select("doc_id", F.explode(ws).alias("w"))
+    train = F.col("doc_id") % 2 == 1
+    t3 = tri.filter(train).groupBy("w1", "w2", "w3").agg(
+        F.count("*").alias("c123"))
+    t2 = bi.filter(train).groupBy("w1", "w2").agg(
+        F.count("*").alias("c12"))
+    t1 = uni.filter(train).groupBy("w").agg(F.count("*").alias("c1"))
+    nv = t1.agg(F.sum("c1").alias("n_tok"), F.count("*").alias("v"))
+    held = (
+        tri.filter(F.col("doc_id") % 2 == 0)
+        .join(t3, ["w1", "w2", "w3"], "left")
+        .join(t2, ["w1", "w2"], "left")
+        .join(t2.select(F.col("w1").alias("w2"), F.col("w2").alias("w3"),
+                        F.col("c12").alias("c23")), ["w2", "w3"], "left")
+        .join(F.broadcast(t1.select(F.col("w").alias("w2"),
+                                    F.col("c1").alias("c2"))),
+              "w2", "left")
+        .join(F.broadcast(t1.select(F.col("w").alias("w3"),
+                                    F.col("c1").alias("c3"))),
+              "w3", "left")
+        .crossJoin(F.broadcast(nv))
+    )
+    score = (
+        F.when(F.col("c123").isNotNull(),
+               F.col("c123").cast("double") / F.col("c12"))
+        .when(F.col("c23").isNotNull(),
+              F.lit(0.4) * (F.col("c23").cast("double") / F.col("c2")))
+        .otherwise(F.lit(0.16)
+                   * ((F.coalesce(F.col("c3"), F.lit(0)) + F.lit(0.5))
+                      / (F.col("n_tok") + F.lit(0.5) * F.col("v"))))
+    )
+    return (
+        held.groupBy("doc_id")
+        .agg(F.count("*").cast("bigint").alias("n_trigrams"),
+             F.sum(F.col("c123").isNull().cast("int")).cast("bigint")
+             .alias("n_backoff"),
+             F.round(F.avg(-F.log2(score)), 6).alias("mean_logscore"))
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q310 — POSITIONAL-INDEX PHRASE SEARCH: the inverted-index primitive
+# (term -> (doc, position) postings; phrase match = equi-join of the
+# two term posting lists on doc with pos2 = pos1 + 1). The query
+# phrase is self-determined as the corpus's most frequent bigram
+# (TakeOrdered argmax with a full tie-break — no global sort), so the
+# test is data-independent yet deterministic. Scale shape: the posting
+# build is explode + filter against the BROADCAST 1-row phrase —
+# predicate pushdown keeps only two terms' postings; the positional
+# join shuffles on doc_id. Output: per-doc match counts, exact ints.
+# --------------------------------------------------------------------------
+@register(
+    "q310_phrase_search",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {SQL_WORDS} AS ws FROM documents
+    ), bi AS (
+      SELECT p[1] AS w1, p[2] AS w2 FROM (
+        SELECT unnest(list_zip(list_slice(ws, 1, len(ws) - 1),
+                               list_slice(ws, 2, len(ws)))) AS p
+        FROM w WHERE len(ws) >= 2)
+    ), phrase AS (
+      SELECT w1, w2 FROM (
+        SELECT w1, w2, COUNT(*) AS c FROM bi GROUP BY 1, 2
+      ) ORDER BY c DESC, w1 ASC, w2 ASC LIMIT 1
+    ), post AS (
+      SELECT doc_id, unnest(ws) AS term,
+             unnest(range(1, len(ws) + 1)) AS pos
+      FROM w
+    ), m AS (
+      SELECT a.doc_id, a.pos
+      FROM post a JOIN post b
+        ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      JOIN phrase p ON a.term = p.w1 AND b.term = p.w2
+    )
+    SELECT m.doc_id, p.w1, p.w2,
+           CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM m, phrase p GROUP BY 1, 2, 3 ORDER BY doc_id
+    """,
+)
+def q310(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ws = T.words("text")
+    n = F.size(ws)
+    bi = (
+        docs.filter(n >= 2)
+        .select(F.explode(F.arrays_zip(
+            F.slice(ws, F.lit(1), n - 1).alias("w1"),
+            F.slice(ws, F.lit(2), n - 1).alias("w2"))).alias("p"))
+        .select("p.w1", "p.w2")
+    )
+    phrase = (
+        bi.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(1).select("w1", "w2")
+    )
+    post = docs.select(
+        "doc_id", F.posexplode(ws).alias("pos0", "term"))
+    p1 = post.join(F.broadcast(phrase),
+                   F.col("term") == F.col("w1")).select(
+        "doc_id", F.col("pos0").alias("a_pos"), "w1", "w2")
+    p2 = post.join(F.broadcast(phrase.select(F.col("w2").alias("_w2"))),
+                   F.col("term") == F.col("_w2")).select(
+        F.col("doc_id").alias("b_doc"), F.col("pos0").alias("b_pos"))
+    m = p1.join(p2, (F.col("b_doc") == F.col("doc_id"))
+                & (F.col("b_pos") == F.col("a_pos") + 1))
+    return (
+        m.groupBy("doc_id", "w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("n_matches"))
+        .orderBy("doc_id")
+    )
