@@ -293,6 +293,9 @@ BENCH_QUERIES = [
     "q308_stupid_backoff",
     "q309_table_digest",
     "q310_phrase_search",
+    "q311_kcenter_coreset",
+    "q312_tree_rollup",
+    "q313_knn_label_probe",
 ]
 
 

@@ -2055,3 +2055,71 @@ def q299(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / F.lit(100.0), 6).alias("avg_monetary"))
         .orderBy("cell")
     )
+
+
+# --------------------------------------------------------------------------
+# q312 — HIERARCHY SUBTREE ROLLUP (BOM / category-tree aggregation):
+# parts form a deterministic forest (parent = partkey // 7, roots where
+# that hits 0) and every node reports the sales-cents TOTAL and node
+# COUNT of its whole subtree. The engine materializes (node, ancestor)
+# pairs level-by-level: frontier_{k+1} = frontier_k JOIN parent-edges —
+# a FUNCTIONAL graph, so each frontier row is unique (one ancestor per
+# distance, no dedup shuffle) and the closure has exactly sum(depth)
+# rows, built by a FIXED unrolled 10 rounds (covers 7^10 ≈ 282M keys;
+# deeper domains switch to pointer doubling, q302). Rollup = one hash
+# agg of the pair table joined to per-part sales. Oracle: recursive
+# CTE over the same edges.
+# --------------------------------------------------------------------------
+_TREE_ROUNDS = 10
+
+
+@register(
+    "q312_tree_rollup",
+    oracle="""
+    WITH RECURSIVE v AS (
+      SELECT p.p_partkey AS u,
+             COALESCE(s.cents, 0) AS cents
+      FROM part p LEFT JOIN (
+        SELECT l_partkey,
+               SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS cents
+        FROM lineitem GROUP BY 1) s ON s.l_partkey = p.p_partkey
+    ), anc AS (
+      SELECT u, u AS a FROM v
+      UNION ALL
+      SELECT anc.u, anc.a // 7 AS a FROM anc WHERE anc.a // 7 >= 1
+    )
+    SELECT a AS partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_subtree,
+           CAST(SUM(cents) AS BIGINT) AS subtree_cents
+    FROM anc JOIN v USING (u)
+    GROUP BY a ORDER BY partkey
+    """,
+)
+def q312(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("u"))
+    sales = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("u"))
+        .agg(F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint"))
+             .alias("cents"))
+    )
+    v = part.join(sales, "u", "left").select(
+        "u", F.coalesce("cents", F.lit(0)).alias("cents"))
+    edges = part.select(
+        "u", (F.col("u") / 7).cast("bigint").alias("p")).filter(
+        F.col("p") >= 1)
+    anc = part.select("u", F.col("u").alias("a"))
+    frontier = edges.select("u", F.col("p").alias("a"))
+    up = edges.select(F.col("u").alias("a"), F.col("p").alias("a2"))
+    for _ in range(_TREE_ROUNDS):
+        anc = anc.unionByName(frontier)
+        frontier = (frontier.join(up, "a")
+                    .select("u", F.col("a2").alias("a")))
+    return (
+        anc.join(v, "u")
+        .groupBy(F.col("a").alias("partkey"))
+        .agg(F.count("*").cast("bigint").alias("n_subtree"),
+             F.sum("cents").cast("bigint").alias("subtree_cents"))
+        .orderBy("partkey")
+    )

@@ -1047,3 +1047,188 @@ def q307(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_points")
         .orderBy("degree")
     )
+
+
+# --------------------------------------------------------------------------
+# q311 — k-CENTER GREEDY CORESET (Gonzalez 2-approximation — the
+# geometry-coverage data-selection pass used for active learning and
+# "facility location" subset selection): start from the lowest vec_id,
+# then 7 times pick the point FARTHEST from the chosen set. State is
+# one running min-distance column updated by least() against each new
+# broadcast-literal center (never a distance matrix); the argmax is a
+# single max(struct(dist, -id)) aggregate with a deterministic
+# id tie-break; per round, two bounded 1-row collects (the argmax row
+# and the center vector — driver metadata, the exact_quantiles
+# pattern). Distances use the dot-product DECOMPOSITION
+# d2 = <a,a> - 2<a,b> + <b,b> so both engines run the same proven
+# arithmetic as q37's cosine. The oracle unrolls all 7 rounds as
+# chained CTEs. Output: selection order, chosen id, coverage radius.
+# --------------------------------------------------------------------------
+_KC_ROUNDS = 8
+
+
+def _kc_oracle() -> str:
+    ldp = "list_dot_product"
+    parts = [
+        f"""WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 {ldp}(CAST(embedding AS DOUBLE[]),
+                       CAST(embedding AS DOUBLE[])) AS na
+          FROM embeddings
+        ), c0 AS (
+          SELECT vec_id AS id0, v AS cv, na AS cn FROM e
+          ORDER BY vec_id ASC LIMIT 1
+        ), d1 AS (
+          SELECT e.vec_id, e.v, e.na,
+                 e.na - 2 * {ldp}(e.v, c0.cv) + c0.cn AS mind
+          FROM e, c0
+        )"""
+    ]
+    sel = ["SELECT CAST(0 AS BIGINT) AS pick, id0 AS vec_id, "
+           "CAST(0.0 AS DOUBLE) AS radius FROM c0"]
+    for k in range(1, _KC_ROUNDS):
+        parts.append(f"""p{k} AS (
+          SELECT vec_id AS id{k}, mind AS r{k} FROM d{k}
+          ORDER BY mind DESC, vec_id ASC LIMIT 1
+        ), c{k} AS (
+          SELECT e.v AS cv, e.na AS cn FROM e, p{k} WHERE e.vec_id = id{k}
+        ), d{k + 1} AS (
+          SELECT d.vec_id, d.v, d.na,
+                 LEAST(d.mind,
+                       d.na - 2 * list_dot_product(d.v, c{k}.cv)
+                       + c{k}.cn) AS mind
+          FROM d{k} d, c{k}
+        )""")
+        sel.append(f"SELECT CAST({k} AS BIGINT), id{k}, "
+                   f"round(r{k}, 6) FROM p{k}")
+    return (parts[0] + ", " + ", ".join(parts[1:])
+            + " " + " UNION ALL ".join(sel) + " ORDER BY pick")
+
+
+@register("q311_kcenter_coreset", oracle=_kc_oracle())
+def q311(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", F.col("embedding").alias("v"),
+        S.dot(F.col("embedding"), F.col("embedding")).alias("na"))
+
+    def lit_vec(vals):
+        return F.array(*[F.lit(float(x)) for x in vals])
+
+    first = e.orderBy(F.col("vec_id").asc()).limit(1).collect()[0]  # 1 row
+    picks = [(0, int(first.vec_id), 0.0)]
+    cv, cn = list(first.v), float(first.na)
+    d = e.select(
+        "vec_id", "v", "na",
+        (F.col("na") - 2 * S.dot(F.col("v"), lit_vec(cv)) + F.lit(cn))
+        .alias("mind")).localCheckpoint()
+    for k in range(1, _KC_ROUNDS):
+        top = d.agg(F.max(F.struct(F.col("mind"),
+                                   (-F.col("vec_id")).alias("nid")))
+                    .alias("m")).collect()[0].m  # bounded: 1 row
+        pick_id, radius = -top.nid, float(top.mind)
+        picks.append((k, int(pick_id), round(radius, 6)))
+        row = e.filter(F.col("vec_id") == pick_id).collect()[0]  # 1 row
+        cv, cn = list(row.v), float(row.na)
+        d = d.select(
+            "vec_id", "v", "na",
+            F.least(
+                F.col("mind"),
+                F.col("na") - 2 * S.dot(F.col("v"), lit_vec(cv))
+                + F.lit(cn)).alias("mind")).localCheckpoint()
+    # single-slice parallelize: a local createDataFrame(list) pays 32
+    # Python tasks for 8 rows
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(picks, 1),
+        "pick bigint, vec_id bigint, radius double").orderBy("pick")
+
+
+# --------------------------------------------------------------------------
+# q313 — kNN LABEL PROBE (the standard embedding-quality eval from the
+# SSL literature: predict a label from the 5 nearest neighbors' votes
+# and read the confusion matrix). Labels are the deterministic
+# vec_id % 3 classes; the k-NN graph reuses the q307 LSH-bucket
+# equi-self-join + per-query top-5 window; the vote argmax is one
+# max(struct(votes, -label)) per query (ties to the SMALLEST label);
+# queries with an empty candidate bucket surface as predicted = -1.
+# Output: 3x(3+1) confusion counts + per-true-class accuracy — all
+# integers and one exact division.
+# --------------------------------------------------------------------------
+@register(
+    "q313_knn_label_probe",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bucket
+      FROM embeddings
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_sql_cos('q.embedding', 'c.embedding')} AS cs
+      FROM b c JOIN b q ON c.bucket = q.bucket
+      WHERE c.vec_id != q.vec_id
+    ), knn AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cs DESC, neighbor_id ASC)
+                 AS rank
+        FROM scored) WHERE rank <= 5
+    ), votes AS (
+      SELECT query_id, neighbor_id % 3 AS lab, COUNT(*) AS nv
+      FROM knn GROUP BY 1, 2
+    ), pred AS (
+      SELECT e.vec_id, e.vec_id % 3 AS true_label,
+             COALESCE(
+               (SELECT v.lab FROM votes v WHERE v.query_id = e.vec_id
+                ORDER BY v.nv DESC, v.lab ASC LIMIT 1), -1) AS pred_label
+      FROM embeddings e
+    )
+    SELECT CAST(true_label AS BIGINT) AS true_label,
+           CAST(pred_label AS BIGINT) AS pred_label,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY 1, 2 ORDER BY true_label, pred_label
+    """,
+)
+def q313(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id", "embedding",
+        S.lsh_bucket(F.col("embedding"), _WEIGHTS).alias("bucket"))
+    c = b.select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("embedding").alias("cvec"), "bucket")
+    q = b.select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qvec"), "bucket")
+    scored = (
+        c.join(q, "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                S.cosine(F.col("qvec"), F.col("cvec")).alias("cs"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cs").desc(), F.col("neighbor_id").asc())
+    knn = (scored.withColumn("rank", F.row_number().over(w))
+           .filter(F.col("rank") <= 5)
+           .select("query_id", (F.col("neighbor_id") % 3).alias("lab")))
+    votes = knn.groupBy("query_id", "lab").agg(F.count("*").alias("nv"))
+    pred = (
+        votes.groupBy("query_id")
+        .agg(F.max(F.struct(F.col("nv"), (-F.col("lab")).alias("nl")))
+             .alias("m"))
+        .select("query_id", (-F.col("m.nl")).alias("pred_label"))
+    )
+    out = (
+        emb.select("vec_id", (F.col("vec_id") % 3).alias("true_label"))
+        .join(pred, emb.vec_id == pred.query_id, "left")
+        .select("true_label",
+                F.coalesce(F.col("pred_label"), F.lit(-1))
+                .alias("pred_label"))
+    )
+    return (
+        out.groupBy("true_label", "pred_label")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select(F.col("true_label").cast("bigint").alias("true_label"),
+                F.col("pred_label").cast("bigint").alias("pred_label"),
+                "n")
+        .orderBy("true_label", "pred_label")
+    )
