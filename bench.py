@@ -296,6 +296,9 @@ BENCH_QUERIES = [
     "q311_kcenter_coreset",
     "q312_tree_rollup",
     "q313_knn_label_probe",
+    "q314_bitmap_distinct",
+    "q315_time_weighted_avg",
+    "q316_trigram_index_search",
 ]
 
 

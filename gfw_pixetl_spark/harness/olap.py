@@ -2123,3 +2123,120 @@ def q312(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("cents").cast("bigint").alias("subtree_cents"))
         .orderBy("partkey")
     )
+
+
+# --------------------------------------------------------------------------
+# q314 — BITMAP-INDEX DISTINCT (the roaring-bitmap mechanism in pure
+# SQL): active customers per nation compress into int64 chunks
+# (chunk = custkey // 63, mask = bit_or(1 << custkey % 63); 63 bits
+# per chunk because DuckDB's checked shift rejects 1 << 63) — a
+# shrinking agg whose state is ONE int64 per chunk however many fact
+# rows hit it. Per-nation distinct = sum(bit_count(mask)); the UNION
+# across nations 0-9 is answered from the BITMAPS ALONE by a second
+# bit_or over chunk — the whole point of bitmap indexes: set algebra
+# without rescanning facts. Exact integers end to end; the oracle
+# recomputes both levels the same way.
+# --------------------------------------------------------------------------
+@register(
+    "q314_bitmap_distinct",
+    oracle="""
+    WITH f AS (
+      SELECT c_nationkey AS nat, c_custkey // 63 AS chunk,
+             bit_or(CAST(1 AS BIGINT) << CAST(c_custkey % 63 AS INT))
+               AS mask
+      FROM customer JOIN orders ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ), per_nation AS (
+      SELECT nat, SUM(bit_count(mask)) AS n_active FROM f GROUP BY nat
+    ), unioned AS (
+      SELECT SUM(bit_count(mask2)) AS n_union FROM (
+        SELECT chunk, bit_or(mask) AS mask2 FROM f
+        WHERE nat < 10 GROUP BY chunk)
+    )
+    SELECT CAST(nat AS BIGINT) AS nat,
+           CAST(n_active AS BIGINT) AS n_active,
+           CAST((SELECT n_union FROM unioned) AS BIGINT) AS n_union_0_9
+    FROM per_nation ORDER BY nat
+    """,
+)
+def q314(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    f = (
+        orders.join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+                    F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_nationkey").alias("nat"),
+                 (F.col("c_custkey") / 63).cast("bigint").alias("chunk"))
+        .agg(F.bit_or(
+            # pyspark's shiftleft() only takes a literal shift — go
+            # through the SQL expression for a column shift amount
+            F.expr("shiftleft(CAST(1 AS BIGINT), "
+                   "CAST(c_custkey % 63 AS INT))")).alias("mask"))
+    )
+    f = f.localCheckpoint()  # both levels read the bitmap table
+    per_nation = f.groupBy("nat").agg(
+        F.sum(F.bit_count("mask")).alias("n_active"))
+    unioned = (
+        f.filter(F.col("nat") < 10)
+        .groupBy("chunk").agg(F.bit_or("mask").alias("mask2"))
+        .agg(F.sum(F.bit_count("mask2")).alias("n_union"))
+    )
+    return (
+        per_nation.crossJoin(F.broadcast(unioned))
+        .select(F.col("nat").cast("bigint").alias("nat"),
+                F.col("n_active").cast("bigint").alias("n_active"),
+                F.col("n_union").cast("bigint").alias("n_union_0_9"))
+        .orderBy("nat")
+    )
+
+
+# --------------------------------------------------------------------------
+# q315 — TIME-WEIGHTED AVERAGE (TWAP — the metric ops and finance ask
+# for when sampling is irregular): per user, each event's value holds
+# until the next event; the average weights each value by its holding
+# interval. dt comes from lead(ts) over the per-user ordered window
+# (partitioned — no global sort) in EXACT epoch microseconds; value is
+# a deterministic integer function of the event; the weighted sum
+# accumulates as DECIMAL(38,0) so no float enters a distributed agg.
+# The last event of each user is excluded (no holding interval) — the
+# oracle applies the identical rule.
+# --------------------------------------------------------------------------
+@register(
+    "q315_time_weighted_avg",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t, event_id % 97 AS v,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS t_next
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(t_next - t) AS BIGINT) AS total_us,
+           round(CAST(SUM(CAST(v AS DECIMAL(38,0)) * (t_next - t))
+                      AS DOUBLE)
+                 / CAST(SUM(t_next - t) AS DOUBLE), 6) AS twap
+    FROM e WHERE t_next IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q315(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts"),
+                                              F.col("event_id"))
+    t = (F.col("ts").cast("double") * 1_000_000).cast("bigint")
+    e = ev.select(
+        "user_id", t.alias("t"),
+        (F.col("event_id") % 97).alias("v"),
+        F.lead(t).over(w).alias("t_next"),
+    ).filter(F.col("t_next").isNotNull())
+    dt = F.col("t_next") - F.col("t")
+    return (
+        e.groupBy("user_id")
+        .agg(F.count("*").cast("bigint").alias("n_intervals"),
+             F.sum(dt).cast("bigint").alias("total_us"),
+             F.round(F.sum(F.col("v").cast("decimal(38,0)") * dt)
+                     .cast("double") / F.sum(dt).cast("double"), 6)
+             .alias("twap"))
+        .orderBy("user_id")
+    )

@@ -3909,3 +3909,77 @@ def q310(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_matches"))
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q316 — TRIGRAM-INDEX SUBSTRING SEARCH (the pg_trgm / code-search
+# mechanism): find documents containing a needle WITHOUT scanning every
+# text — candidates must hold ALL of the needle's character trigrams
+# (distinct doc trigrams equi-join the broadcast needle trigrams, count
+# == n_trigrams), then only candidates pay the exact contains() verify.
+# The needle is self-determined (most frequent word of length >= 8,
+# full tie-break) so the test tracks the corpus. The oracle is the
+# BRUTE-FORCE contains() scan — a completely independent mechanism: a
+# missed candidate (index bug) or a false positive surviving verify
+# would mismatch. Occurrence counts via exact length arithmetic.
+# --------------------------------------------------------------------------
+@register(
+    "q316_trigram_index_search",
+    oracle=f"""
+    WITH needle AS (
+      SELECT w FROM (
+        SELECT unnest({SQL_WORDS}) AS w FROM documents
+      ) WHERE len(w) >= 8
+      GROUP BY w ORDER BY COUNT(*) DESC, w ASC LIMIT 1
+    )
+    SELECT doc_id,
+           CAST((len(text) - len(replace(text, n.w, ''))) // len(n.w)
+                AS BIGINT) AS n_occurrences
+    FROM documents, needle n
+    WHERE contains(text, n.w)
+    ORDER BY doc_id
+    """,
+)
+def q316(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    needle = (
+        docs.select(F.explode(T.words("text")).alias("w"))
+        .filter(F.length("w") >= 8)
+        .groupBy("w").agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(1).select(F.col("w").alias("needle"))
+    )
+    tris = F.expr(
+        "transform(sequence(1, length(text) - 2),"
+        " i -> substring(text, i, 3))")
+    doc_tri = docs.select(
+        "doc_id", F.explode_outer(tris).alias("tri")).distinct()
+    # n_tri counts DISTINCT needle trigrams (a needle with internal
+    # repeats must not demand more hits than exist)
+    needle_tri = needle.select(
+        "needle",
+        F.explode(F.array_distinct(F.expr(
+            "transform(sequence(1, length(needle) - 2),"
+            " i -> substring(needle, i, 3))"))).alias("tri"))
+    needle_tri = needle_tri.join(
+        needle_tri.groupBy("needle").agg(F.count("*").alias("n_tri")),
+        "needle")
+    cand = (
+        doc_tri.join(F.broadcast(needle_tri), "tri")
+        .groupBy("doc_id", "needle")
+        .agg(F.countDistinct("tri").alias("hit"),
+             F.max("n_tri").alias("n_tri"))
+        .filter(F.col("hit") == F.col("n_tri"))
+    )
+    verified = (
+        cand.join(docs, "doc_id")
+        .filter(F.contains(F.col("text"), F.col("needle")))
+    )
+    occ = F.floor(
+        (F.length("text")
+         - F.length(F.replace(F.col("text"), F.col("needle"), F.lit(""))))
+        / F.length("needle")).cast("bigint")
+    return (
+        verified.select("doc_id", occ.alias("n_occurrences"))
+        .orderBy("doc_id")
+    )
