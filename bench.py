@@ -299,6 +299,9 @@ BENCH_QUERIES = [
     "q314_bitmap_distinct",
     "q315_time_weighted_avg",
     "q316_trigram_index_search",
+    "q317_business_day_lag",
+    "q318_cms_join_estimate",
+    "q319_gains_table",
 ]
 
 

@@ -2240,3 +2240,236 @@ def q315(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("twap"))
         .orderBy("user_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q317 — BUSINESS-DAY LAG (the ops-SLA metric): weekdays between order
+# date and ship date, in CLOSED FORM — no calendar table, no per-day
+# explode. Weekday comes from pure epoch-day arithmetic
+# (dow = (epoch_days + 4) % 7, anchored on 1970-01-01 = Thursday;
+# engine date-part conventions disagree on week start, integer math
+# does not). lag = floor(gap/7)*5 + sum over the <= 6 remainder days
+# of an is-weekday CASE — all exact integers on both engines. Output:
+# histogram of business-day lags.
+# --------------------------------------------------------------------------
+def _bizdays_sql(d1_days: str, d2_days: str) -> str:
+    """SQL expression: weekdays in [d1, d2) from epoch-day ints."""
+    gap = f"({d2_days} - {d1_days})"
+    dow1 = f"(({d1_days} + 4) % 7)"  # 0 = Sunday
+    rem_terms = " + ".join(
+        f"(CASE WHEN ({gap} % 7) > {i} AND (({dow1} + {i}) % 7) NOT IN (0, 6)"
+        " THEN 1 ELSE 0 END)"
+        for i in range(7)
+    )
+    return f"(({gap} // 7) * 5 + {rem_terms})"
+
+
+@register(
+    "q317_business_day_lag",
+    oracle=f"""
+    WITH d AS (
+      SELECT date_diff('day', DATE '1970-01-01',
+                       CAST(o_orderdate AS DATE)) AS d1,
+             date_diff('day', DATE '1970-01-01',
+                       CAST(l_shipdate AS DATE)) AS d2
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT CAST({_bizdays_sql('d1', 'd2')} AS BIGINT) AS biz_days,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM d WHERE d2 >= d1
+    GROUP BY 1 ORDER BY biz_days
+    """,
+)
+def q317(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey",
+                                                  "o_orderdate")
+    epoch = F.lit("1970-01-01").cast("date")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        F.datediff(F.to_date("o_orderdate"), epoch).alias("d1"),
+        F.datediff(F.to_date("l_shipdate"), epoch).alias("d2"))
+    gap = F.col("d2") - F.col("d1")
+    dow1 = (F.col("d1") + 4) % 7
+    rem = gap % 7
+    extra = None
+    for i in range(7):
+        t = F.when((rem > i) & (~((dow1 + i) % 7).isin(0, 6)), 1
+                   ).otherwise(0)
+        extra = t if extra is None else extra + t
+    biz = (F.floor(gap / 7) * 5 + extra).cast("bigint")
+    return (
+        j.filter(F.col("d2") >= F.col("d1"))
+        .groupBy(biz.alias("biz_days"))
+        .agg(F.count("*").cast("bigint").alias("n_lineitems"))
+        .orderBy("biz_days")
+    )
+
+
+# --------------------------------------------------------------------------
+# q318 — CMS JOIN-SIZE ESTIMATION (the inner-product property of
+# count-min sketches, Cormode & Muthukrishnan 2005 §4.3): the size of
+# A ⋈ B on a key is sum_k fA(k)*fB(k), and min over depths of the
+# sketch-row dot products estimates it WITHOUT touching the join — the
+# cardinality-estimator trick a query optimizer runs before picking a
+# plan. A = lineitem keyed by l_suppkey; B = the returned-items subset.
+# Both sketches reuse q90's engine-portable md5+LCG hashes, the dot
+# products meet in an equi-join on (depth, col), products accumulate in
+# DECIMAL(38,0), and the exact truth is one group-count join. The
+# estimate is provably >= exact (never under) — the oracle checks both
+# numbers and the ratio.
+# --------------------------------------------------------------------------
+_CMS_D, _CMS_W, _CMS_SEED = 5, 2048, 7
+
+
+def _cms_sketch_sql(table_expr: str, value_expr: str) -> str:
+    from ..functions.hashing import P31, md5_int64_sql, minhash_coeffs
+
+    coeffs = minhash_coeffs(_CMS_D, seed=_CMS_SEED)
+    dvals = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(coeffs))
+    h = f"({md5_int64_sql(f'CAST({value_expr} AS VARCHAR)')} % {P31})"
+    return f"""(
+      SELECT dd.d AS d, (({h} * dd.a + dd.b) % {P31}) % {_CMS_W} AS col,
+             COUNT(*) AS cnt
+      FROM {table_expr} CROSS JOIN (VALUES {dvals}) dd(d, a, b)
+      GROUP BY 1, 2
+    )"""
+
+
+@register(
+    "q318_cms_join_estimate",
+    oracle=f"""
+    WITH ska AS {_cms_sketch_sql("lineitem", "l_suppkey")},
+    skb AS {_cms_sketch_sql(
+        "(SELECT * FROM lineitem WHERE l_returnflag = 'R')", "l_suppkey")},
+    est AS (
+      SELECT MIN(dp) AS est_size FROM (
+        SELECT a.d, SUM(CAST(a.cnt AS DECIMAL(19,0))
+                        * CAST(b.cnt AS DECIMAL(19,0))) AS dp
+        FROM ska a JOIN skb b ON a.d = b.d AND a.col = b.col
+        GROUP BY a.d)
+    ), truth AS (
+      SELECT SUM(CAST(a.n AS DECIMAL(19,0))
+                 * CAST(b.n AS DECIMAL(19,0))) AS exact_size
+      FROM (SELECT l_suppkey, COUNT(*) AS n FROM lineitem GROUP BY 1) a
+      JOIN (SELECT l_suppkey, COUNT(*) AS n FROM lineitem
+            WHERE l_returnflag = 'R' GROUP BY 1) b USING (l_suppkey)
+    )
+    SELECT CAST(est_size AS BIGINT) AS est_size,
+           CAST(exact_size AS BIGINT) AS exact_size,
+           round(CAST(est_size AS DOUBLE) / CAST(exact_size AS DOUBLE), 6)
+             AS overcount_ratio
+    FROM est, truth
+    """,
+)
+def q318(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sketches import count_min_sketch
+
+    li = load(spark, sf_dir, "lineitem")
+    returns = li.filter(F.col("l_returnflag") == "R")
+    ska = count_min_sketch(li, "l_suppkey", depth=_CMS_D, width=_CMS_W,
+                           seed=_CMS_SEED)
+    skb = count_min_sketch(returns, "l_suppkey", depth=_CMS_D,
+                           width=_CMS_W, seed=_CMS_SEED)
+    est = (
+        ska.join(skb.select(F.col("d").alias("d2"),
+                            F.col("col").alias("col2"),
+                            F.col("cnt").alias("cnt2")),
+                 (F.col("d") == F.col("d2")) & (F.col("col") == F.col("col2")))
+        .groupBy("d")
+        .agg(F.sum(F.col("cnt").cast("decimal(19,0)")
+                   * F.col("cnt2").cast("decimal(19,0)")).alias("dp"))
+        .agg(F.min("dp").alias("est_size"))
+    )
+    ca = li.groupBy("l_suppkey").agg(F.count("*").alias("n"))
+    cb = returns.groupBy("l_suppkey").agg(F.count("*").alias("n2"))
+    truth = (
+        ca.join(cb.select(F.col("l_suppkey"), "n2"), "l_suppkey")
+        .agg(F.sum(F.col("n").cast("decimal(19,0)")
+                   * F.col("n2").cast("decimal(19,0)")).alias("exact_size"))
+    )
+    return est.crossJoin(F.broadcast(truth)).select(
+        F.col("est_size").cast("bigint").alias("est_size"),
+        F.col("exact_size").cast("bigint").alias("exact_size"),
+        F.round(F.col("est_size").cast("double")
+                / F.col("exact_size").cast("double"), 6)
+        .alias("overcount_ratio"))
+
+
+# --------------------------------------------------------------------------
+# q319 — GAINS TABLE / DECILE LIFT (the model-eval deliverable every
+# targeting model ships with): customers ranked by a deterministic
+# integer score (acctbal cents + a custkey hash-noise term — correlated
+# with the label so the lift is real), cut into deciles against exact
+# 10..90th percentile bounds from the distributed range-partitioned
+# selection (NO ntile global sort), then per-decile capture and
+# cumulative gain. The only global window runs over the 10-row decile
+# table (q288's exemption class). label = acctbal > 0; every count is
+# exact, ratios are single divisions rounded 6.
+# --------------------------------------------------------------------------
+_GAIN_PS = [i / 10.0 for i in range(1, 10)]
+
+
+@register(
+    "q319_gains_table",
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST(floor(c_acctbal * 100) AS BIGINT)
+             + (c_custkey * 2654435761) % 997 AS score,
+             CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS pos
+      FROM customer
+    ), b AS (
+      SELECT {", ".join(f"quantile_cont(score, {p}) AS b{i}"
+                        for i, p in enumerate(_GAIN_PS))}
+      FROM s
+    ), d AS (
+      SELECT (10 - ({" + ".join(
+          f"(CASE WHEN score > b{i} THEN 1 ELSE 0 END)"
+          for i in range(9))})) AS decile,
+             pos
+      FROM s, b
+    ), g AS (
+      SELECT decile, COUNT(*) AS n, SUM(pos) AS n_pos FROM d GROUP BY 1
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(n AS BIGINT) AS n,
+           CAST(n_pos AS BIGINT) AS n_pos,
+           round(CAST(n_pos AS DOUBLE) / n, 6) AS pos_rate,
+           round(CAST(SUM(n_pos) OVER (ORDER BY decile) AS DOUBLE)
+                 / (SELECT SUM(n_pos) FROM g), 6) AS cum_capture
+    FROM g ORDER BY decile
+    """,
+)
+def q319(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.quantiles import exact_quantiles
+
+    cust = load(spark, sf_dir, "customer")
+    s = cust.select(
+        (F.floor(F.col("c_acctbal") * 100).cast("bigint")
+         + (F.col("c_custkey") * 2654435761) % 997).alias("score"),
+        (F.col("c_acctbal") > 0).cast("int").alias("pos"))
+    s = s.localCheckpoint()  # selection passes + the scoring scan
+    bounds = exact_quantiles(s, "score", _GAIN_PS)
+    above = None
+    for b in bounds:
+        t = (F.col("score") > F.lit(b)).cast("int")
+        above = t if above is None else above + t
+    g = (
+        s.select((10 - above).alias("decile"), "pos")
+        .groupBy("decile")
+        .agg(F.count("*").alias("n"), F.sum("pos").alias("n_pos"))
+    )
+    tot = g.agg(F.sum("n_pos").alias("tot_pos"))
+    wc = (Window.orderBy(F.col("decile").asc())
+          .rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("bigint").alias("decile"),
+            F.col("n").cast("bigint").alias("n"),
+            F.col("n_pos").cast("bigint").alias("n_pos"),
+            F.round(F.col("n_pos").cast("double") / F.col("n"), 6)
+            .alias("pos_rate"),
+            F.round(F.sum("n_pos").over(wc).cast("double")
+                    / F.col("tot_pos"), 6).alias("cum_capture"))
+        .orderBy("decile")
+    )

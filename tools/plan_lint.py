@@ -98,6 +98,12 @@ EXEMPTIONS: dict[str, dict[str, str]] = {
     "q298_kaplan_meier": {
         "SINGLE_PART": "KM windows over the value-domain duration table"
     },
+    # cumulative capture runs over the POST-aggregation 10-row decile
+    # table (q288's class); deciles themselves come from the distributed
+    # selection, never an ntile global sort.
+    "q319_gains_table": {
+        "SINGLE_PART": "cumulative window over the 10-row decile table"
+    },
 }
 
 
