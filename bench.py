@@ -302,6 +302,9 @@ BENCH_QUERIES = [
     "q317_business_day_lag",
     "q318_cms_join_estimate",
     "q319_gains_table",
+    "q320_flow_accumulation",
+    "q321_containment_attribution",
+    "q322_winnowing",
 ]
 
 

@@ -3983,3 +3983,169 @@ def q316(spark: SparkSession, sf_dir: str) -> DataFrame:
         verified.select("doc_id", occ.alias("n_occurrences"))
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q321 — SNIPPET CONTAINMENT ATTRIBUTION (the RAG / quote-attribution
+# op): given a table of snippets (first 25 words of every 10th doc —
+# the search-result preview), find every document whose shingle set
+# CONTAINS the snippet: containment C(s, d) = |S(s) ∩ S(d)| / |S(s)|,
+# the ASYMMETRIC cousin of Jaccard (q27/q66 would miss a short quote
+# inside a long doc — the union term drowns it). Candidates meet in a
+# shingle equi-join (never snippets x docs); |S(s)| is a per-snippet
+# count joined back by broadcast. Exact integer intersection counts,
+# one division, threshold 0.8.
+# --------------------------------------------------------------------------
+_CONT_K = 5       # shingle width (words)
+_CONT_LEN = 25    # snippet length (words)
+
+_SQL_SHINGLES = (
+    "list_distinct(list_transform("
+    "generate_series(1, len({ws}) - {k}), "
+    "i -> array_to_string(list_slice({ws}, i, i + {k} - 1), ' ')))"
+)
+
+
+@register(
+    "q321_containment_attribution",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {SQL_WORDS} AS ws FROM documents
+    ), snip AS (
+      SELECT doc_id AS snippet_id,
+             {_SQL_SHINGLES.format(ws=f"list_slice(ws, 1, {_CONT_LEN})",
+                                   k=_CONT_K)} AS sh
+      FROM w WHERE doc_id % 10 = 0 AND len(ws) >= {_CONT_LEN}
+    ), ssh AS (
+      SELECT snippet_id, unnest(sh) AS shingle,
+             len(sh) AS n_snip FROM snip
+    ), dsh AS (
+      SELECT doc_id, unnest({_SQL_SHINGLES.format(ws="ws", k=_CONT_K)})
+               AS shingle
+      FROM w
+    ), hit AS (
+      SELECT s.snippet_id, d.doc_id, COUNT(*) AS n_hit, MAX(s.n_snip)
+               AS n_snip
+      FROM ssh s JOIN dsh d USING (shingle)
+      GROUP BY 1, 2
+    )
+    SELECT snippet_id, doc_id,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CAST(n_snip AS BIGINT) AS n_snip,
+           round(CAST(n_hit AS DOUBLE) / n_snip, 6) AS containment
+    FROM hit WHERE CAST(n_hit AS DOUBLE) / n_snip >= 0.8
+    ORDER BY snippet_id, doc_id
+    """,
+)
+def q321(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ws = T.words("text")
+    w = docs.select("doc_id", ws.alias("ws"))
+
+    def shingles(ws_expr: str) -> F.Column:
+        return F.array_distinct(F.expr(
+            f"transform(sequence(1, size({ws_expr}) - {_CONT_K}), "
+            f"i -> array_join(slice({ws_expr}, i, {_CONT_K}), ' '))"))
+
+    snip = (
+        w.filter((F.col("doc_id") % 10 == 0)
+                 & (F.size("ws") >= _CONT_LEN))
+        .select(F.col("doc_id").alias("snippet_id"),
+                F.slice("ws", 1, _CONT_LEN).alias("sws"))
+        .select("snippet_id", shingles("sws").alias("sh"))
+    )
+    ssh = snip.select(
+        "snippet_id", F.explode("sh").alias("shingle"),
+        F.size("sh").alias("n_snip"))
+    dsh = w.select(
+        "doc_id", F.explode(shingles("ws")).alias("shingle"))
+    hit = (
+        ssh.join(dsh, "shingle")
+        .groupBy("snippet_id", "doc_id")
+        .agg(F.count("*").alias("n_hit"), F.max("n_snip").alias("n_snip"))
+    )
+    c = F.col("n_hit").cast("double") / F.col("n_snip")
+    return (
+        hit.filter(c >= 0.8)
+        .select("snippet_id", "doc_id",
+                F.col("n_hit").cast("bigint").alias("n_hit"),
+                F.col("n_snip").cast("bigint").alias("n_snip"),
+                F.round(c, 6).alias("containment"))
+        .orderBy("snippet_id", "doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q322 — WINNOWING FINGERPRINTS (Schleimer/Wilkerson/Aiken 2003 — the
+# MOSS plagiarism-detection selection rule): hash every 3-word k-gram,
+# slide a w=4 window, keep the minimum hash per window with RIGHTMOST
+# tie-break (packed as hash*4 + (3-offset) so one integer min encodes
+# both rules), dedupe. Guarantees: any shared run >= w+k-1 grams shares
+# a fingerprint, density ~ 2/(w+1). All array HOFs (transform /
+# array_min / aggregate) — JVM-side, map-only, no shuffle; hashes are
+# 40-bit md5 prefixes so the *4 packing cannot overflow. Checksum =
+# exact integer sum of the distinct fingerprints (order-free, so
+# list_distinct order differences between engines cannot matter).
+# --------------------------------------------------------------------------
+@register(
+    "q322_winnowing",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {SQL_WORDS} AS ws FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_transform(
+               list_transform(generate_series(1, len(ws) - 2),
+                 i -> array_to_string(list_slice(ws, i, i + 2), ' ')),
+               s -> CAST(('0x' || substr(md5(s), 1, 10)) AS BIGINT)) AS hh
+      FROM w WHERE len(ws) >= 6
+    ), p AS (
+      SELECT doc_id, len(hh) AS n_kgrams,
+             list_distinct(list_transform(
+               list_transform(generate_series(1, len(hh) - 3),
+                 i -> list_min(list_transform(generate_series(0, 3),
+                        o -> hh[i + o] * 4 + (3 - o)))),
+               v -> v // 4)) AS fps
+      FROM g
+    )
+    SELECT doc_id,
+           CAST(n_kgrams AS BIGINT) AS n_kgrams,
+           CAST(n_kgrams - 3 AS BIGINT) AS n_windows,
+           CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           round(CAST(len(fps) AS DOUBLE) / (n_kgrams - 3), 6) AS density,
+           CAST(list_sum(fps) AS BIGINT) AS fp_checksum
+    FROM p ORDER BY doc_id
+    """,
+)
+def q322(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select("doc_id", T.words("text").alias("ws")).filter(
+        F.size("ws") >= 6)
+    g = w.select(
+        "doc_id",
+        F.expr(
+            "transform("
+            " transform(sequence(1, size(ws) - 2),"
+            "  i -> array_join(slice(ws, i, 3), ' ')),"
+            " s -> CAST(conv(substring(md5(s), 1, 10), 16, 10) AS BIGINT))"
+        ).alias("hh"))
+    p = g.select(
+        "doc_id", F.size("hh").alias("n_kgrams"),
+        F.array_distinct(F.expr(
+            "transform("
+            " transform(sequence(1, size(hh) - 3),"
+            "  i -> array_min(transform(sequence(0, 3),"
+            "        o -> element_at(hh, CAST(i + o AS INT)) * 4"
+            "             + (3 - o)))),"
+            " v -> v div 4)")).alias("fps"))
+    return p.select(
+        "doc_id",
+        F.col("n_kgrams").cast("bigint").alias("n_kgrams"),
+        (F.col("n_kgrams") - 3).cast("bigint").alias("n_windows"),
+        F.size("fps").cast("bigint").alias("n_fingerprints"),
+        F.round(F.size("fps").cast("double")
+                / (F.col("n_kgrams") - 3), 6).alias("density"),
+        F.aggregate("fps", F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x).cast("bigint")
+        .alias("fp_checksum"),
+    ).orderBy("doc_id")

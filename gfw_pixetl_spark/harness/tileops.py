@@ -2523,3 +2523,102 @@ def q302(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_px"))
         .orderBy("path_len")
     )
+
+
+# --------------------------------------------------------------------------
+# q320 — D8 FLOW ACCUMULATION (the gdaldem/ArcGIS hydrology op that
+# completes q276 direction -> q302 path length): for every pixel, how
+# many upstream cells drain THROUGH it. The engine materializes the
+# (cell, downstream-node-at-distance-k) pairs frontier-by-frontier over
+# the in-grid flow edges — the same functional-graph closure as q312
+# (each frontier row unique, no dedup shuffle); rounds are bounded by
+# the z value range (13 levels -> paths <= 12 hops; deeper DEMs would
+# emit from the q302 pointer-doubling states instead). Accumulation =
+# one hash agg over the pair table; cells receiving no flow keep 0 via
+# a left join. The oracle counts visits in the recursive one-hop walk —
+# an independent mechanism.
+# --------------------------------------------------------------------------
+_ACC_ROUNDS = 12
+
+
+@register(
+    "q320_flow_accumulation",
+    oracle=f"""
+    WITH RECURSIVE px AS (
+      SELECT i.r AS r, j.c AS c, {_Z.format(r='i.r', c='j.c')} AS zc
+      FROM generate_series(1, 94) i(r), generate_series(1, 94) j(c)
+    ), nb AS (
+      SELECT * FROM (VALUES {_D8_NB_SQL}) AS t(code, dr, dc, diag)
+    ), cand AS (
+      SELECT r, c, code,
+             CASE WHEN diag = 1 THEN d * d ELSE 2 * d * d END AS m
+      FROM (SELECT px.r, px.c, code, diag,
+                   zc - ({_Z.format(r='px.r + dr', c='px.c + dc')}) AS d
+            FROM px, nb) s
+      WHERE d > 0
+    ), best AS (
+      SELECT r, c, MAX(m * 256 + (255 - code)) AS k
+      FROM cand GROUP BY r, c
+    ), flow AS (
+      SELECT px.r, px.c,
+             CAST(COALESCE(255 - (k % 256), 0) AS INT) AS dir
+      FROM px LEFT JOIN best USING (r, c)
+    ), parent AS (
+      SELECT f.r, f.c, f.r + nb.dr AS pr, f.c + nb.dc AS pc
+      FROM flow f JOIN nb ON nb.code = f.dir
+      WHERE f.r + nb.dr BETWEEN 1 AND 94
+        AND f.c + nb.dc BETWEEN 1 AND 94
+    ), walk AS (
+      SELECT r AS cr, c AS cc FROM flow
+      UNION ALL
+      SELECT p.pr, p.pc FROM walk w
+      JOIN parent p ON p.r = w.cr AND p.c = w.cc
+    ), acc AS (
+      SELECT px.r, px.c,
+             COALESCE(v.n, 0) AS acc
+      FROM px LEFT JOIN (
+        SELECT cr, cc, COUNT(*) - 1 AS n  -- each cell visits itself once
+        FROM walk GROUP BY cr, cc) v ON v.cr = px.r AND v.cc = px.c
+    )
+    SELECT CAST(acc AS BIGINT) AS acc,
+           CAST(COUNT(*) AS BIGINT) AS n_px
+    FROM acc GROUP BY acc ORDER BY acc
+    """,
+)
+def q320(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.raster_table import d8_flow_pixels, raster_catalog
+
+    cat = raster_catalog(spark, [_focal_demo_file()])
+    px = d8_flow_pixels(cat, window=48, parallelism=8)
+    lo, hi = 1, 94
+    nid = (F.col("row") * 1024 + F.col("col")).cast("bigint")
+    dr = (F.when(F.col("flow_dir").isin(2, 4, 8), 1)
+          .when(F.col("flow_dir").isin(32, 64, 128), -1).otherwise(0))
+    dc = (F.when(F.col("flow_dir").isin(128, 1, 2), 1)
+          .when(F.col("flow_dir").isin(8, 16, 32), -1).otherwise(0))
+    pr, pc = F.col("row") + dr, F.col("col") + dc
+    in_grid = ((pr >= lo) & (pr <= hi) & (pc >= lo) & (pc <= hi)
+               & (F.col("flow_dir") != 0))
+    nodes = px.select(nid.alias("u")).localCheckpoint()
+    edges = (
+        px.filter(in_grid)
+        .select(nid.alias("u"), (pr * 1024 + pc).cast("bigint").alias("p"))
+        .localCheckpoint()
+    )
+    up = edges.select(F.col("u").alias("a"), F.col("p").alias("a2"))
+    pairs = edges.select(F.col("p").alias("a"))  # distance-1 visits
+    frontier = edges.select("u", F.col("p").alias("a"))
+    for _ in range(_ACC_ROUNDS - 1):
+        frontier = (frontier.join(up, "a")
+                    .select("u", F.col("a2").alias("a")))
+        pairs = pairs.unionByName(frontier.select("a"))
+    acc = pairs.groupBy(F.col("a").alias("u")).agg(
+        F.count("*").alias("acc"))
+    return (
+        nodes.join(acc, "u", "left")
+        .select(F.coalesce("acc", F.lit(0)).alias("acc"))
+        .groupBy("acc")
+        .agg(F.count("*").cast("bigint").alias("n_px"))
+        .select(F.col("acc").cast("bigint").alias("acc"), "n_px")
+        .orderBy("acc")
+    )
