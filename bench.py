@@ -305,6 +305,9 @@ BENCH_QUERIES = [
     "q320_flow_accumulation",
     "q321_containment_attribution",
     "q322_winnowing",
+    "q323_incremental_dedup",
+    "q324_analyze_stats",
+    "q325_byte_histogram",
 ]
 
 

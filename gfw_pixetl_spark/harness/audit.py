@@ -943,3 +943,75 @@ def q309(spark: SparkSession, sf_dir: str) -> DataFrame:
             "digest"))
         .orderBy("bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# q324 — ANALYZE-TABLE COLUMN STATISTICS (the CBO-feeding profile every
+# engine ships: Spark's ANALYZE TABLE ... COMPUTE STATISTICS FOR
+# COLUMNS): per lineitem column — rows, nulls, exact NDV, min/max.
+# Numerics (and timestamps via exact epoch seconds) report through
+# DOUBLE min/max; strings report through string min/max — never a
+# double->string format round-trip, which differs across engines. Each
+# column's profile is an independent scalar aggregate branch of one
+# UNION (Catalyst shares the scan); at warehouse scale NDV would drop
+# to approx_count_distinct (HLL) — exact here because the oracle is.
+# --------------------------------------------------------------------------
+_PROFILE_COLS = [
+    ("l_orderkey", "num"), ("l_partkey", "num"), ("l_suppkey", "num"),
+    ("l_linenumber", "num"), ("l_quantity", "num"),
+    ("l_extendedprice", "num"), ("l_discount", "num"), ("l_tax", "num"),
+    ("l_returnflag", "str"), ("l_linestatus", "str"),
+    ("l_shipdate", "ts"),
+]
+
+
+def _profile_sql(col: str, kind: str) -> str:
+    if kind == "num":
+        mn, mx = f"CAST(MIN({col}) AS DOUBLE)", f"CAST(MAX({col}) AS DOUBLE)"
+        ms, xs = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+    elif kind == "ts":
+        mn, mx = f"epoch(MIN({col}))", f"epoch(MAX({col}))"
+        ms, xs = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+    else:
+        mn, mx = "CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)"
+        ms, xs = f"MIN({col})", f"MAX({col})"
+    return f"""SELECT '{col}' AS column_name,
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_null,
+        CAST(COUNT(DISTINCT {col}) AS BIGINT) AS ndv,
+        {mn} AS min_num, {mx} AS max_num, {ms} AS min_str, {xs} AS max_str
+      FROM lineitem"""
+
+
+@register(
+    "q324_analyze_stats",
+    oracle=" UNION ALL ".join(
+        _profile_sql(c, k) for c, k in _PROFILE_COLS
+    ) + " ORDER BY column_name",
+)
+def q324(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    out = None
+    for col, kind in _PROFILE_COLS:
+        c = F.col(col)
+        if kind == "num":
+            mn, mx = F.min(c).cast("double"), F.max(c).cast("double")
+            ms = xs = F.lit(None).cast("string")
+        elif kind == "ts":
+            # parquet TIMESTAMP_NTZ refuses numeric casts; the session tz
+            # is pinned UTC so TIMESTAMP is a no-op on the instant
+            mn = F.min(c).cast("timestamp").cast("double")
+            mx = F.max(c).cast("timestamp").cast("double")
+            ms = xs = F.lit(None).cast("string")
+        else:
+            mn = mx = F.lit(None).cast("double")
+            ms, xs = F.min(c), F.max(c)
+        row = li.agg(
+            F.lit(col).alias("column_name"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            (F.count("*") - F.count(c)).cast("bigint").alias("n_null"),
+            F.countDistinct(c).cast("bigint").alias("ndv"),
+            mn.alias("min_num"), mx.alias("max_num"),
+            ms.alias("min_str"), xs.alias("max_str"))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("column_name")

@@ -4149,3 +4149,155 @@ def q322(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda acc, x: acc + x).cast("bigint")
         .alias("fp_checksum"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q323 — INCREMENTAL DEDUP against a historical index (how production
+# dedup actually runs: yesterday's corpus is already signed, only the
+# new batch pays signature cost, and candidates come from an ASYMMETRIC
+# band join — batch x index bucket collisions, never batch x batch or a
+# full self-join). Index = doc_id % 5 != 0, batch = the remaining 20%.
+# Estimated similarity = matching minhash components / 16 — an exact
+# integer agreement count over the q28 signatures, so the oracle
+# replays it bit-for-bit; best match per batch doc via
+# max(struct(n_match, -index_id)). is_dup at >= 8/16.
+# --------------------------------------------------------------------------
+_INC_MATCH = " + ".join(
+    f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+    for i in range(D.N_MINHASH)
+)
+
+
+@register(
+    "q323_incremental_dedup",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest({SQL_WORDSET}) AS word FROM documents
+    ), h AS (
+      SELECT doc_id, {_sql_word_hash()} AS hw FROM w
+    ), sigs AS (
+      SELECT doc_id,
+           {_mh_cols}
+      FROM h GROUP BY doc_id
+    ), banded AS (
+      {_bands_union}
+    ), cand AS (
+      SELECT DISTINCT b.doc_id AS batch_id, a.doc_id AS index_id
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.key = b.key
+      WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+    ), m AS (
+      SELECT c.batch_id, c.index_id, ({_INC_MATCH}) AS n_match
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.index_id
+      JOIN sigs sb ON sb.doc_id = c.batch_id
+    ), best AS (
+      SELECT batch_id, index_id, n_match,
+             row_number() OVER (PARTITION BY batch_id
+                                ORDER BY n_match DESC, index_id ASC) AS rk
+      FROM m
+    )
+    SELECT batch_id, index_id AS match_id,
+           CAST(n_match AS BIGINT) AS n_match,
+           round(n_match / {D.N_MINHASH}.0, 6) AS est_jaccard,
+           n_match >= {D.N_MINHASH // 2} AS is_dup
+    FROM best WHERE rk = 1 ORDER BY batch_id
+    """,
+)
+def q323(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs).localCheckpoint(eager=False)
+    rows = D.N_MINHASH // D.N_BANDS
+    band_cols = []
+    for b in range(D.N_BANDS):
+        parts = [F.col(f"mh{b * rows + r}").cast("string")
+                 for r in range(rows)]
+        band_cols.append(
+            F.conv(F.substring(F.md5(F.concat_ws("_", *parts)), 1, 15),
+                   16, 10).cast("bigint").alias(f"band{b}"))
+    stacked = sigs.select("doc_id", *band_cols).select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_id"),
+                     F.col(f"band{b}").alias("key"))
+            for b in range(D.N_BANDS)])).alias("bk")
+    ).select("doc_id", "bk.band_id", "bk.key")
+    index_keys = stacked.filter(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("index_id"), "band_id", "key")
+    batch_keys = stacked.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("batch_id"), "band_id", "key")
+    cand = (index_keys.join(batch_keys, ["band_id", "key"])
+            .select("batch_id", "index_id").distinct())
+    sa = sigs.select(F.col("doc_id").alias("index_id"),
+                     *[F.col(f"mh{i}").alias(f"a{i}")
+                       for i in range(D.N_MINHASH)])
+    sb = sigs.select(F.col("doc_id").alias("batch_id"),
+                     *[F.col(f"mh{i}").alias(f"b{i}")
+                       for i in range(D.N_MINHASH)])
+    n_match = None
+    for i in range(D.N_MINHASH):
+        t = (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        n_match = t if n_match is None else n_match + t
+    m = (cand.join(sa, "index_id").join(sb, "batch_id")
+         .select("batch_id", "index_id", n_match.alias("n_match")))
+    best = (
+        m.groupBy("batch_id")
+        .agg(F.max(F.struct(F.col("n_match"),
+                            (-F.col("index_id")).alias("ni"))).alias("t"))
+        .select("batch_id", (-F.col("t.ni")).alias("match_id"),
+                F.col("t.n_match").alias("n_match"))
+    )
+    return best.select(
+        "batch_id", "match_id",
+        F.col("n_match").cast("bigint").alias("n_match"),
+        F.round(F.col("n_match") / float(D.N_MINHASH), 6)
+        .alias("est_jaccard"),
+        (F.col("n_match") >= D.N_MINHASH // 2).alias("is_dup"),
+    ).orderBy("batch_id")
+
+
+# --------------------------------------------------------------------------
+# q325 — UTF-8 BYTE HISTOGRAM / MOJIBAKE AUDIT: the encoding screen a
+# crawl pipeline runs before trusting "UTF-8" labels — per language,
+# the distribution of raw encoded BYTES (not codepoints), the non-ASCII
+# share, and continuation-byte counts (0x80-0xBF — a high share without
+# matching lead bytes is the classic double-encoding smell). Bytes come
+# from hex(encode(text)) split into 2-char chunks with array HOFs —
+# JVM-side, no UDF; both engines uppercase hex identically and conv the
+# chunks to exact integers. One shrinking (lang, byte) hash agg.
+# --------------------------------------------------------------------------
+@register(
+    "q325_byte_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT lang,
+             unnest(list_transform(
+               generate_series(1, len(t) // 2),
+               i -> CAST(('0x' || substr(t, i * 2 - 1, 2)) AS BIGINT)))
+               AS byte
+      FROM (SELECT lang, hex(encode(text)) AS t FROM documents)
+    )
+    SELECT lang, CAST(byte AS BIGINT) AS byte,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           (byte >= 128) AS non_ascii,
+           (byte >= 128 AND byte < 192) AS continuation
+    FROM b GROUP BY lang, byte ORDER BY lang, byte
+    """,
+)
+def q325(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    b = docs.select(
+        "lang",
+        F.explode(F.expr(
+            "transform(sequence(1, length(hex(encode(text, 'UTF-8')))"
+            " div 2), i -> CAST(conv(substring(hex(encode(text,"
+            " 'UTF-8')), i * 2 - 1, 2), 16, 10) AS BIGINT))")).alias("byte"))
+    return (
+        b.groupBy("lang", "byte")
+        .agg(F.count("*").cast("bigint").alias("n"))
+        .select("lang", F.col("byte").cast("bigint").alias("byte"), "n",
+                (F.col("byte") >= 128).alias("non_ascii"),
+                ((F.col("byte") >= 128) & (F.col("byte") < 192))
+                .alias("continuation"))
+        .orderBy("lang", "byte")
+    )
