@@ -308,6 +308,8 @@ BENCH_QUERIES = [
     "q323_incremental_dedup",
     "q324_analyze_stats",
     "q325_byte_histogram",
+    "q326_secret_scan",
+    "q327_clustering_coefficient",
 ]
 
 

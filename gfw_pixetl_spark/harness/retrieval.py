@@ -503,3 +503,106 @@ _OR2["q212_rrf_fusion"] = f"""
     FROM fused
     QUALIFY rank <= 20
 """
+
+
+# --------------------------------------------------------------------------
+# q327 — LOCAL CLUSTERING COEFFICIENT per node (the per-node refinement
+# of q181's global statistic) on the supplier CO-SUPPLY graph: two
+# suppliers are adjacent when they both shipped the same part. Edge
+# generation is bounded by DETERMINISTIC BLOCKING: each part contributes
+# pairs among its 6 lowest-keyed suppliers only (C(6,2) = 15 edges per
+# part whatever the fan-in — a hot part would otherwise emit
+# quadratically; ranking partitions BY part, never globally).
+# Triangles enumerate once each via the oriented u<v<w edge-join and
+# credit all three corners (explode); cc(v) = 2*T(v) / (d(v)*(d(v)-1))
+# — exact integers and one division. Oracle: identical algebra with a
+# MATERIALIZED edge CTE (the multiply-referenced-CTE lesson from the
+# round-4 oracle scale audit).
+# --------------------------------------------------------------------------
+_COSUPPLY_EDGES_SQL = """
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM (SELECT l_partkey, l_suppkey FROM (
+              SELECT l_partkey, l_suppkey,
+                     row_number() OVER (PARTITION BY l_partkey
+                                        ORDER BY l_suppkey) AS rk
+              FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem))
+            WHERE rk <= 6) a
+      JOIN (SELECT l_partkey, l_suppkey FROM (
+              SELECT l_partkey, l_suppkey,
+                     row_number() OVER (PARTITION BY l_partkey
+                                        ORDER BY l_suppkey) AS rk
+              FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem))
+            WHERE rk <= 6) b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+"""
+
+
+@register(
+    "q327_clustering_coefficient",
+    oracle=f"""
+    WITH e AS MATERIALIZED (
+      {_COSUPPLY_EDGES_SQL}
+    ), deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+      ) GROUP BY node
+    ), tri AS (
+      SELECT corner, COUNT(*) AS t FROM (
+        SELECT unnest([e1.u, e1.v, e2.v]) AS corner
+        FROM e e1
+        JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+      ) GROUP BY corner
+    )
+    SELECT deg.node AS suppkey,
+           CAST(deg.d AS BIGINT) AS degree,
+           CAST(COALESCE(tri.t, 0) AS BIGINT) AS n_triangles,
+           round(2.0 * COALESCE(tri.t, 0) / (deg.d * (deg.d - 1)), 6)
+             AS clustering_coeff
+    FROM deg LEFT JOIN tri ON tri.corner = deg.node
+    WHERE deg.d >= 2
+    ORDER BY suppkey
+    """,
+)
+def q327(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    wr = Window.partitionBy("l_partkey").orderBy("l_suppkey")
+    a = (ps.withColumn("rk", F.row_number().over(wr))
+         .filter(F.col("rk") <= 6).drop("rk"))
+    b = a.select(F.col("l_partkey"), F.col("l_suppkey").alias("s2"))
+    e = (
+        a.join(b, "l_partkey")
+        .filter(F.col("l_suppkey") < F.col("s2"))
+        .select(F.col("l_suppkey").alias("u"), F.col("s2").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)  # e is joined three ways below
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node").agg(F.count("*").alias("d"))
+    )
+    e1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    e2 = e.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    e3 = e.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    tri = (
+        e1.join(e2, "y").join(e3, ["x", "z"])
+        .select(F.explode(F.array("x", "y", "z")).alias("corner"))
+        .groupBy("corner").agg(F.count("*").alias("t"))
+    )
+    return (
+        deg.join(tri, deg.node == tri.corner, "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            F.col("node").cast("bigint").alias("suppkey"),
+            F.col("d").cast("bigint").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("bigint")
+            .alias("n_triangles"),
+            F.round(2.0 * F.coalesce(F.col("t"), F.lit(0))
+                    / (F.col("d") * (F.col("d") - 1)), 6)
+            .alias("clustering_coeff"))
+        .orderBy("suppkey")
+    )

@@ -4301,3 +4301,85 @@ def q325(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("continuation"))
         .orderBy("lang", "byte")
     )
+
+
+# --------------------------------------------------------------------------
+# q326 — SECRET / CREDENTIAL SCAN (the scrub every LLM crawl pipeline
+# runs before training: leaked API keys are high-entropy base64-ish
+# runs): docs in the doc_id % 7 == 0 class carry a deterministic
+# 32-hex-char fake token; the detector — regexp candidate extraction
+# ([A-Za-z0-9+/=]{{24,}}), per-candidate character histogram (one
+# shrinking (doc, token, char) agg), Shannon entropy, threshold 3.0 on
+# the ROUNDED value so both engines make the identical boundary
+# decision — runs over the constructed text on both sides. English
+# words never pass the length gate; hex tokens sit near 4 bits/char.
+# --------------------------------------------------------------------------
+_SECRET_RE = "[A-Za-z0-9+/=]{24,}"
+
+
+@register(
+    "q326_secret_scan",
+    oracle=f"""
+    WITH v AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN text || ' api_key=' || md5(CAST(doc_id AS VARCHAR))
+                  ELSE text END AS t
+      FROM documents
+    ), cand AS (
+      SELECT doc_id, unnest(regexp_extract_all(t, '{_SECRET_RE}')) AS tok
+      FROM v
+    ), ch AS (
+      SELECT doc_id, tok,
+             unnest(list_transform(generate_series(1, len(tok)),
+                                   i -> substr(tok, i, 1))) AS c
+      FROM cand
+    ), hist AS (
+      SELECT doc_id, tok, c, COUNT(*) AS k FROM ch GROUP BY 1, 2, 3
+    ), tot AS (
+      SELECT doc_id, tok, SUM(k) AS n, COUNT(*) AS n_distinct
+      FROM hist GROUP BY doc_id, tok
+    ), ent AS (
+      SELECT h.doc_id, h.tok, MAX(t.n) AS n,
+             MAX(t.n_distinct) AS n_distinct,
+             round(SUM(-(CAST(h.k AS DOUBLE) / t.n)
+                       * log2(CAST(h.k AS DOUBLE) / t.n)), 6) AS entropy
+      FROM hist h JOIN tot t USING (doc_id, tok)
+      GROUP BY h.doc_id, h.tok
+    )
+    SELECT doc_id, tok,
+           CAST(n AS BIGINT) AS n_chars,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           entropy, (entropy >= 3.0) AS is_secret
+    FROM ent ORDER BY doc_id, tok
+    """,
+)
+def q326(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" api_key="),
+                        F.md5(F.col("doc_id").cast("string")))
+               ).otherwise(F.col("text"))
+    cand = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(t, F.lit(_SECRET_RE), F.lit(0)))
+        .alias("tok"))
+    ch = cand.select(
+        "doc_id", "tok",
+        F.explode(F.expr(
+            "transform(sequence(1, length(tok)),"
+            " i -> substring(tok, i, 1))")).alias("c"))
+    hist = ch.groupBy("doc_id", "tok", "c").agg(F.count("*").alias("k"))
+    wt = Window.partitionBy("doc_id", "tok")
+    p = F.col("k").cast("double") / F.sum("k").over(wt)
+    ent = (
+        hist.select("doc_id", "tok", "k", (-p * F.log2(p)).alias("term"))
+        .groupBy("doc_id", "tok")
+        .agg(F.sum("k").cast("bigint").alias("n_chars"),
+             F.count("*").cast("bigint").alias("n_distinct"),
+             F.round(F.sum("term"), 6).alias("entropy"))
+    )
+    return ent.select(
+        "doc_id", "tok", "n_chars", "n_distinct", "entropy",
+        (F.col("entropy") >= 3.0).alias("is_secret"),
+    ).orderBy("doc_id", "tok")
