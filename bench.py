@@ -310,6 +310,8 @@ BENCH_QUERIES = [
     "q325_byte_histogram",
     "q326_secret_scan",
     "q327_clustering_coefficient",
+    "q328_ctfidf_topterms",
+    "q329_wordpiece",
 ]
 
 

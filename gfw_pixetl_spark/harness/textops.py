@@ -4383,3 +4383,205 @@ def q326(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "tok", "n_chars", "n_distinct", "entropy",
         (F.col("entropy") >= 3.0).alias("is_secret"),
     ).orderBy("doc_id", "tok")
+
+
+# --------------------------------------------------------------------------
+# q328 — c-TF-IDF TOP TERMS per class (the BERTopic class-based TF-IDF
+# that labels clusters with their characteristic words): treat each
+# lang as one aggregate "class document"; score(term, class) =
+# tf_norm * ln(1 + avg_class_size / cross-class term count). Two
+# shrinking aggs (term x class counts, then class totals), the global
+# term table joins back by term, and the top-5 ranking windows
+# partition BY class (never global). Scores are fixed-order scalar
+# expressions per row — no distributed float sum — rounded 6; ranking
+# ties break on the term string.
+# --------------------------------------------------------------------------
+@register(
+    "q328_ctfidf_topterms",
+    oracle=f"""
+    WITH w AS (
+      SELECT lang, unnest({SQL_WORDS}) AS term FROM documents
+    ), tc AS (
+      SELECT lang, term, COUNT(*) AS tf FROM w GROUP BY 1, 2
+    ), cls AS (
+      SELECT lang, SUM(tf) AS class_total FROM tc GROUP BY lang
+    ), gt AS (
+      SELECT term, SUM(tf) AS global_tf FROM tc GROUP BY term
+    ), avg_sz AS (
+      SELECT AVG(class_total) AS a FROM cls
+    ), scored AS (
+      SELECT tc.lang, tc.term, tc.tf,
+             round((CAST(tc.tf AS DOUBLE) / cls.class_total)
+                   * ln(1 + a / gt.global_tf), 6) AS score
+      FROM tc JOIN cls USING (lang) JOIN gt USING (term)
+      CROSS JOIN avg_sz
+    )
+    SELECT lang, term, CAST(tf AS BIGINT) AS tf, score,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT lang, term, tf, score,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY score DESC, term ASC) AS rk
+      FROM scored
+    ) WHERE rk <= 5 ORDER BY lang, rk
+    """,
+)
+def q328(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select("lang", F.explode(T.words("text")).alias("term"))
+    tc = w.groupBy("lang", "term").agg(F.count("*").alias("tf"))
+    tc = tc.localCheckpoint(eager=False)  # feeds cls, gt, and scored
+    cls = tc.groupBy("lang").agg(F.sum("tf").alias("class_total"))
+    gt = tc.groupBy("term").agg(F.sum("tf").alias("global_tf"))
+    avg_sz = cls.agg(F.avg("class_total").alias("a"))
+    scored = (
+        tc.join(F.broadcast(cls), "lang")
+        .join(gt, "term")
+        .crossJoin(F.broadcast(avg_sz))
+        .select(
+            "lang", "term", "tf",
+            F.round((F.col("tf").cast("double") / F.col("class_total"))
+                    * F.log(1 + F.col("a") / F.col("global_tf")), 6)
+            .alias("score"))
+    )
+    wr = Window.partitionBy("lang").orderBy(
+        F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "term", F.col("tf").cast("bigint").alias("tf"),
+                "score", F.col("rk").cast("bigint").alias("rk"))
+        .orderBy("lang", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# q329 — WORDPIECE TOKENIZATION (greedy longest-match-first, the
+# BERT-family algorithm — a genuinely different tokenizer from the
+# q229/q272 BPE merge family): vocab = the top-10 corpus words + every
+# single character as both an initial and a '##'-continuation piece
+# (the guaranteed fallback, so tokenization never fails). The engine
+# tokenizes DISTINCT words only (vocab-scale, never per-occurrence):
+# a set-based best_l table gives the longest vocab match for EVERY
+# (word, position) — one explode over candidate lengths 1..12 + a
+# vocab equi-join + max — and the greedy walk just follows best_l
+# (frontier loop, <= max word length rounds, each a small join).
+# Occurrence counts join back at the end. The oracle follows the same
+# best_l table with a recursive CTE — an independent path-following
+# mechanism. Output: pieces-per-word histogram weighted by occurrences.
+# --------------------------------------------------------------------------
+_WP_TOP = 10
+_WP_MAXL = 12
+
+
+@register(
+    "q329_wordpiece",
+    oracle=f"""
+    WITH RECURSIVE w AS (
+      SELECT unnest({SQL_WORDS}) AS word FROM documents
+    ), wc AS (
+      SELECT word, COUNT(*) AS n FROM w GROUP BY word
+    ), top AS (
+      SELECT word AS piece FROM wc
+      ORDER BY n DESC, word ASC LIMIT {_WP_TOP}
+    ), chars AS (
+      SELECT DISTINCT unnest(list_transform(
+               generate_series(1, len(word)),
+               i -> substr(word, i, 1))) AS c
+      FROM wc
+    ), vocab AS (
+      SELECT piece FROM top
+      UNION SELECT c FROM chars
+      UNION SELECT '##' || c FROM chars
+    ), pos AS (
+      SELECT word, unnest(generate_series(1, len(word))) AS p FROM wc
+    ), best AS (
+      SELECT pos.word, pos.p, MAX(l.l) AS best_l
+      FROM pos
+      JOIN generate_series(1, {_WP_MAXL}) l(l)
+        ON pos.p + l.l - 1 <= len(pos.word)
+      JOIN vocab v
+        ON v.piece = CASE WHEN pos.p = 1
+                          THEN substr(pos.word, pos.p, l.l)
+                          ELSE '##' || substr(pos.word, pos.p, l.l) END
+      GROUP BY pos.word, pos.p
+    ), walk AS (
+      SELECT word, 1 AS p, 0 AS pieces FROM wc
+      UNION ALL
+      SELECT w.word, w.p + b.best_l, w.pieces + 1
+      FROM walk w JOIN best b ON b.word = w.word AND b.p = w.p
+    ), done AS (
+      SELECT word, MAX(pieces) AS n_pieces FROM walk GROUP BY word
+    )
+    SELECT CAST(n_pieces AS BIGINT) AS n_pieces,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_words,
+           CAST(SUM(wc.n) AS BIGINT) AS n_occurrences
+    FROM done JOIN wc USING (word)
+    GROUP BY n_pieces ORDER BY n_pieces
+    """,
+)
+def q329(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(T.words("text")).alias("word"))
+        .groupBy("word").agg(F.count("*").alias("n"))
+        .localCheckpoint()
+    )
+    top = (wc.orderBy(F.col("n").desc(), F.col("word").asc())
+           .limit(_WP_TOP).select(F.col("word").alias("piece")))
+    chars = wc.select(F.explode(F.expr(
+        "transform(sequence(1, length(word)),"
+        " i -> substring(word, i, 1))")).alias("c")).distinct()
+    vocab = (
+        top.unionByName(chars.select(F.col("c").alias("piece")))
+        .unionByName(chars.select(F.concat(F.lit("##"), F.col("c"))
+                                  .alias("piece")))
+        .distinct()
+    )
+    pos = wc.select(
+        "word", F.explode(F.expr(
+            "sequence(1, length(word))")).alias("p"))
+    cand = (
+        pos.join(F.broadcast(
+            pos.sparkSession.range(1, _WP_MAXL + 1)
+            .select(F.col("id").cast("int").alias("l"))))
+        .filter(F.col("p") + F.col("l") - 1 <= F.length("word"))
+        .select("word", "p", "l",
+                F.when(F.col("p") == 1,
+                       F.expr("substring(word, p, l)"))
+                .otherwise(F.concat(F.lit("##"),
+                                    F.expr("substring(word, p, l)")))
+                .alias("piece"))
+    )
+    best = (
+        cand.join(F.broadcast(vocab), "piece")
+        .groupBy("word", "p").agg(F.max("l").alias("best_l"))
+        .localCheckpoint()
+    )
+    # greedy walk: follow best_l from position 1; frontier shrinks as
+    # words finish (pos > len) — bounded by the longest word
+    state = wc.select("word", F.lit(1).alias("p"),
+                      F.lit(0).alias("pieces"),
+                      F.length("word").alias("wl")).localCheckpoint()
+    done = state.filter(F.col("p") > F.col("wl")).select("word", "pieces")
+    active = state.filter(F.col("p") <= F.col("wl"))
+    while active.count() > 0:  # bounded scalar per round
+        stepped = (
+            active.join(best, ["word", "p"])
+            .select("word", (F.col("p") + F.col("best_l")).alias("p"),
+                    (F.col("pieces") + 1).alias("pieces"), "wl")
+            .localCheckpoint()
+        )
+        done = done.unionByName(
+            stepped.filter(F.col("p") > F.col("wl"))
+            .select("word", "pieces"))
+        active = stepped.filter(F.col("p") <= F.col("wl"))
+    return (
+        done.join(wc, "word")
+        .groupBy(F.col("pieces").alias("n_pieces"))
+        .agg(F.count("*").cast("bigint").alias("n_distinct_words"),
+             F.sum("n").cast("bigint").alias("n_occurrences"))
+        .select(F.col("n_pieces").cast("bigint").alias("n_pieces"),
+                "n_distinct_words", "n_occurrences")
+        .orderBy("n_pieces")
+    )
