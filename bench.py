@@ -312,6 +312,7 @@ BENCH_QUERIES = [
     "q327_clustering_coefficient",
     "q328_ctfidf_topterms",
     "q329_wordpiece",
+    "q330_suffix_array",
 ]
 
 

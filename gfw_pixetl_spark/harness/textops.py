@@ -4585,3 +4585,73 @@ def q329(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_distinct_words", "n_occurrences")
         .orderBy("n_pieces")
     )
+
+
+# --------------------------------------------------------------------------
+# q330 — SUFFIX ARRAY by PREFIX DOUBLING (Manber-Myers — the algorithm
+# behind exact-substring dedup at scale, cf. Lee et al. 2022 whose
+# dedup tool builds exactly this): per doc (first 256 chars), suffix
+# ranks start as character codes and double their resolved prefix each
+# round: rank'(i) = dense_rank(rank(i), rank(i + 2^k)), with the
+# shifted rank fetched by lead(rank, 2^k) — NO self-join. 8 fixed
+# rounds resolve 256 chars; every window PARTITIONS BY doc (a doc's
+# suffixes sort within one task — the unit of parallelism is the
+# corpus, not the suffix). Distinct suffix lengths guarantee total
+# order, so the checksum sum(pos * rank) is exact. The oracle sorts the
+# materialized suffix STRINGS directly — a completely independent
+# mechanism; any doubling bug scrambles the permutation.
+# --------------------------------------------------------------------------
+_SA_LEN = 256
+_SA_ROUNDS = 8  # 2^8 = 256 >= _SA_LEN
+
+
+@register(
+    "q330_suffix_array",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, substr(text, 1, {_SA_LEN}) AS t FROM documents
+    ), suf AS (
+      SELECT doc_id, i AS pos, substr(t, i) AS s, len(t) AS n
+      FROM d, LATERAL unnest(generate_series(1, len(t))) u(i)
+    ), ranked AS (
+      SELECT doc_id, pos, n,
+             row_number() OVER (PARTITION BY doc_id ORDER BY s) AS r
+      FROM suf
+    )
+    SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_suffixes,
+           CAST(SUM(pos * r) AS BIGINT) AS sa_checksum
+    FROM ranked GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q330(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select("doc_id",
+                    F.substring("text", 1, _SA_LEN).alias("t"))
+    st = d.select(
+        "doc_id", F.length("t").alias("n"),
+        F.posexplode(F.expr(
+            "transform(sequence(1, length(t)),"
+            " i -> ascii(substring(t, i, 1)))")).alias("pos0", "r")
+    ).select("doc_id", "n", (F.col("pos0") + 1).alias("pos"),
+             F.col("r").cast("bigint").alias("r"))
+    st = st.localCheckpoint()
+    wpos = Window.partitionBy("doc_id").orderBy("pos")
+    for k in range(_SA_ROUNDS):
+        step = 1 << k
+        wrank = Window.partitionBy("doc_id").orderBy(
+            F.col("r").asc(), F.col("r2").asc())
+        st = (
+            st.withColumn("r2", F.coalesce(
+                F.lead("r", step).over(wpos), F.lit(0)))
+            .withColumn("r", F.dense_rank().over(wrank).cast("bigint"))
+            .drop("r2")
+        )
+        if k == 3:  # cut the 8-round lineage once mid-way
+            st = st.localCheckpoint()
+    return (
+        st.groupBy("doc_id")
+        .agg(F.max("n").cast("bigint").alias("n_suffixes"),
+             F.sum(F.col("pos") * F.col("r")).cast("bigint")
+             .alias("sa_checksum"))
+        .orderBy("doc_id")
+    )
