@@ -313,6 +313,7 @@ BENCH_QUERIES = [
     "q328_ctfidf_topterms",
     "q329_wordpiece",
     "q330_suffix_array",
+    "q331_dbscan",
 ]
 
 

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import geometry as G
+from ..functions.hashing import md5_int64_sql
 from . import load, register
 
 
@@ -368,4 +369,155 @@ def q294(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("nearest_suppkey").cast("bigint"),
                 F.col("d2").cast("bigint"))
         .orderBy("c_custkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# q331 — GRID-BASED DBSCAN (Ester et al. 1996, composed entirely from
+# the repo's scale primitives): md5-scattered points, eps chosen
+# density-adaptively (eps^2 = 636620 // n keeps the expected
+# neighborhood ~2 points at every scale), neighbor pairs meet in the
+# q294 grid-binned equi-join (cell side = floor(eps)+1 > eps, so the
+# 3x3 neighborhood provably covers the disc — never points x points),
+# core = count >= 4 including self, clusters = the dedup stack's
+# pointer-jumping component resolver over core-core edges, border
+# points attach to their MIN core neighbor's cluster, the rest is
+# noise. The oracle recomputes everything BRUTE-FORCE (n^2 distance
+# join + recursive min-label closure) — fully independent mechanisms;
+# only the integer eps^2 threshold is shared.
+# --------------------------------------------------------------------------
+_DB_MINPTS = 4
+
+
+@register(
+    "q331_dbscan",
+    oracle=f"""
+    WITH RECURSIVE p AS (
+      SELECT c_custkey AS id,
+             {md5_int64_sql("CAST(c_custkey AS VARCHAR) || 'x'")} % 1000
+               AS x,
+             {md5_int64_sql("CAST(c_custkey AS VARCHAR) || 'y'")} % 1000
+               AS y
+      FROM customer WHERE c_custkey % 4 = 0
+    ), eps AS (
+      SELECT 636620 // COUNT(*) AS e2 FROM p
+    ), pairs AS MATERIALIZED (
+      SELECT a.id AS ia, b.id AS ib
+      FROM p a, p b, eps
+      WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= e2
+    ), deg AS (
+      SELECT ia AS id, COUNT(*) AS nn FROM pairs GROUP BY ia
+    ), core AS (
+      SELECT id FROM deg WHERE nn >= {_DB_MINPTS}
+    ), ce AS MATERIALIZED (
+      SELECT ia, ib FROM pairs
+      JOIN core a ON pairs.ia = a.id JOIN core b ON pairs.ib = b.id
+      WHERE ia <> ib
+    ), reach AS (
+      SELECT id, id AS r FROM core
+      UNION
+      SELECT w.id, e.ib FROM reach w JOIN ce e ON e.ia = w.r
+    ), comp AS (
+      SELECT id, MIN(r) AS cluster FROM reach GROUP BY id
+    ), border AS (
+      SELECT pr.ia AS id, MIN(c.cluster) AS cluster
+      FROM pairs pr
+      JOIN comp c ON c.id = pr.ib
+      WHERE pr.ia NOT IN (SELECT id FROM core) AND pr.ia <> pr.ib
+      GROUP BY pr.ia
+    ), labelled AS (
+      SELECT cluster, 1 AS is_core FROM comp
+      UNION ALL SELECT cluster, 0 FROM border
+    ), clusters AS (
+      SELECT cluster, SUM(is_core) AS n_core,
+             SUM(1 - is_core) AS n_border
+      FROM labelled GROUP BY cluster
+    ), noise AS (
+      SELECT CAST(-1 AS BIGINT) AS cluster, CAST(0 AS BIGINT) AS n_core,
+             COUNT(*) AS n_border
+      FROM p WHERE id NOT IN (SELECT id FROM comp)
+                AND id NOT IN (SELECT id FROM border)
+    )
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           CAST(n_core AS BIGINT) AS n_core,
+           CAST(n_border AS BIGINT) AS n_border
+    FROM clusters
+    UNION ALL SELECT cluster, n_core, n_border FROM noise
+    ORDER BY cluster
+    """,
+)
+def q331(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.dedup import connected_components
+    from ..functions.hashing import md5_int64
+
+    cust = load(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 4 == 0)
+    p = cust.select(
+        F.col("c_custkey").alias("id"),
+        (md5_int64(F.concat(F.col("c_custkey").cast("string"),
+                            F.lit("x"))) % 1000).alias("x"),
+        (md5_int64(F.concat(F.col("c_custkey").cast("string"),
+                            F.lit("y"))) % 1000).alias("y"))
+    eps = p.agg((F.lit(636620) / F.count("*")).cast("bigint").alias("e2"))
+    p = p.crossJoin(F.broadcast(eps))
+    # cell side strictly > eps radius => the 3x3 neighborhood covers
+    # the disc (the q294 completeness argument)
+    s = (F.floor(F.sqrt(F.col("e2"))) + 1).cast("bigint")
+    off = spark.range(-1, 2).select(F.col("id").alias("dx")).crossJoin(
+        spark.range(-1, 2).select(F.col("id").alias("dy")))
+    left = p.select(F.col("id").alias("ia"), F.col("x").alias("xa"),
+                    F.col("y").alias("ya"), "e2",
+                    F.floor(F.col("x") / s).alias("gx"),
+                    F.floor(F.col("y") / s).alias("gy"))
+    right = (
+        p.crossJoin(F.broadcast(off))
+        .select(F.col("id").alias("ib"), F.col("x").alias("xb"),
+                F.col("y").alias("yb"),
+                (F.floor(F.col("x") / s) + F.col("dx")).alias("gx"),
+                (F.floor(F.col("y") / s) + F.col("dy")).alias("gy"))
+    )
+    d2 = ((F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))
+          + (F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb")))
+    pairs = (left.join(right, ["gx", "gy"])
+             .filter(d2 <= F.col("e2"))
+             .select("ia", "ib").localCheckpoint(eager=False))
+    deg = pairs.groupBy(F.col("ia").alias("id")).agg(
+        F.count("*").alias("nn"))
+    core = deg.filter(F.col("nn") >= _DB_MINPTS).select("id")
+    ce = (pairs.join(core.select(F.col("id").alias("ia")), "ia")
+          .join(core.select(F.col("id").alias("ib")), "ib")
+          .filter(F.col("ia") < F.col("ib")))
+    comp_edges = connected_components(ce, a="ia", b="ib").select(
+        F.col("doc_id").alias("id"), F.col("component").alias("cluster"))
+    comp = (core.join(comp_edges, "id", "left")
+            .select("id", F.coalesce("cluster", F.col("id"))
+                    .alias("cluster")))
+    border = (
+        pairs.filter(F.col("ia") != F.col("ib"))
+        .join(comp.select(F.col("id").alias("ib"),
+                          F.col("cluster")), "ib")
+        .join(core.select(F.col("id").alias("ia"),
+                          F.lit(1).alias("_c")), "ia", "left_anti")
+        .groupBy(F.col("ia").alias("id"))
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    labelled = (comp.select("cluster", F.lit(1).alias("is_core"))
+                .unionByName(border.select(
+                    "cluster", F.lit(0).alias("is_core"))))
+    clusters = labelled.groupBy("cluster").agg(
+        F.sum("is_core").cast("bigint").alias("n_core"),
+        F.sum(1 - F.col("is_core")).cast("bigint").alias("n_border"))
+    assigned = (comp.select("id")
+                .unionByName(border.select("id")))
+    noise = (
+        p.select("id").join(assigned, "id", "left_anti")
+        .agg(F.lit(-1).cast("bigint").alias("cluster"),
+             F.lit(0).cast("bigint").alias("n_core"),
+             F.count("*").cast("bigint").alias("n_border"))
+    )
+    return (
+        clusters.select(F.col("cluster").cast("bigint").alias("cluster"),
+                        "n_core", "n_border")
+        .unionByName(noise)
+        .orderBy("cluster")
     )
