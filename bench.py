@@ -314,6 +314,8 @@ BENCH_QUERIES = [
     "q329_wordpiece",
     "q330_suffix_array",
     "q331_dbscan",
+    "q332_isotonic_calibration",
+    "q333_luhn_pii",
 ]
 
 

@@ -2473,3 +2473,108 @@ def q319(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / F.col("tot_pos"), 6).alias("cum_capture"))
         .orderBy("decile")
     )
+
+
+# --------------------------------------------------------------------------
+# q332 — ISOTONIC CALIBRATION (PAVA fit): the monotone-regression
+# calibrator (sklearn's IsotonicRegression) over 20 score bins of the
+# q319 score/label pair. Instead of the sequential pool-adjacent-
+# violators loop, the fit uses the CLOSED-FORM minimax characterization
+#   iso(k) = max_{i<=k} min_{j>=max(i,k)} mean(y[i..j])
+# — every interval mean comes from exact integer prefix sums over the
+# 20-row bin table (dimension-scale; the only windows run there), the
+# 400 interval means materialize once, and two small joins take the
+# min/max. Every mean is ONE double division of exact integers, so both
+# engines compare identical values. Weighted by bin counts, as PAVA
+# requires.
+# --------------------------------------------------------------------------
+_ISO_BINS = 20
+
+
+@register(
+    "q332_isotonic_calibration",
+    oracle=f"""
+    WITH s AS (
+      SELECT CAST(floor(c_acctbal * 100) AS BIGINT)
+             + (c_custkey * 2654435761) % 997 AS score,
+             CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS pos
+      FROM customer
+    ), rng AS (
+      SELECT MIN(score) AS lo, MAX(score) AS hi FROM s
+    ), b AS (
+      SELECT LEAST({_ISO_BINS - 1},
+                   (score - lo) * {_ISO_BINS} // (hi - lo + 1)) AS bin,
+             pos
+      FROM s, rng
+    ), bins AS (
+      SELECT bin, COUNT(*) AS n, SUM(pos) AS p FROM b GROUP BY bin
+    ), cum AS (
+      SELECT bin, n, p,
+             SUM(n) OVER (ORDER BY bin) AS cn,
+             SUM(p) OVER (ORDER BY bin) AS cp
+      FROM bins
+    ), iv AS (
+      SELECT i.bin AS i, j.bin AS j,
+             CAST(j.cp - i.cp + i.p AS DOUBLE)
+               / (j.cn - i.cn + i.n) AS m
+      FROM cum i JOIN cum j ON i.bin <= j.bin
+    ), mn AS (
+      -- min over j >= max(i, k) of mean(i..j), for every (i, k<=?) pair
+      SELECT iv.i, k.bin AS k, MIN(iv.m) AS v
+      FROM iv JOIN cum k ON iv.j >= k.bin AND iv.i <= k.bin
+      GROUP BY iv.i, k.bin
+    ), iso AS (
+      SELECT k, MAX(v) AS iso_rate FROM mn GROUP BY k
+    )
+    SELECT CAST(bins.bin AS BIGINT) AS bin,
+           CAST(bins.n AS BIGINT) AS n,
+           round(CAST(bins.p AS DOUBLE) / bins.n, 6) AS raw_rate,
+           round(iso.iso_rate, 6) AS iso_rate
+    FROM bins JOIN iso ON iso.k = bins.bin
+    ORDER BY bin
+    """,
+)
+def q332(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    s = cust.select(
+        (F.floor(F.col("c_acctbal") * 100).cast("bigint")
+         + (F.col("c_custkey") * 2654435761) % 997).alias("score"),
+        (F.col("c_acctbal") > 0).cast("int").alias("pos"))
+    rng = s.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+    b = s.crossJoin(F.broadcast(rng)).select(
+        F.least(F.lit(_ISO_BINS - 1),
+                F.floor((F.col("score") - F.col("lo")) * _ISO_BINS
+                        / (F.col("hi") - F.col("lo") + 1))).alias("bin"),
+        "pos")
+    bins = b.groupBy("bin").agg(F.count("*").alias("n"),
+                                F.sum("pos").alias("p"))
+    wc = (Window.orderBy(F.col("bin").asc())
+          .rowsBetween(Window.unboundedPreceding, 0))
+    cum = bins.select("bin", "n", "p",
+                      F.sum("n").over(wc).alias("cn"),
+                      F.sum("p").over(wc).alias("cp")).localCheckpoint()
+    ci = cum.select(F.col("bin").alias("i"), F.col("n").alias("ni"),
+                    F.col("p").alias("pi"), F.col("cn").alias("cni"),
+                    F.col("cp").alias("cpi"))
+    cj = cum.select(F.col("bin").alias("j"), F.col("cn").alias("cnj"),
+                    F.col("cp").alias("cpj"))
+    iv = (ci.join(cj, F.col("i") <= F.col("j"))
+          .select("i", "j",
+                  ((F.col("cpj") - F.col("cpi") + F.col("pi"))
+                   .cast("double")
+                   / (F.col("cnj") - F.col("cni") + F.col("ni")))
+                  .alias("m")))
+    ks = cum.select(F.col("bin").alias("k"))
+    mn = (iv.join(F.broadcast(ks),
+                  (F.col("j") >= F.col("k")) & (F.col("i") <= F.col("k")))
+          .groupBy("i", "k").agg(F.min("m").alias("v")))
+    iso = mn.groupBy("k").agg(F.max("v").alias("iso_rate"))
+    return (
+        bins.join(iso, bins.bin == iso.k)
+        .select(F.col("bin").cast("bigint").alias("bin"),
+                F.col("n").cast("bigint").alias("n"),
+                F.round(F.col("p").cast("double") / F.col("n"), 6)
+                .alias("raw_rate"),
+                F.round("iso_rate", 6).alias("iso_rate"))
+        .orderBy("bin")
+    )

@@ -4655,3 +4655,95 @@ def q330(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("sa_checksum"))
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# q333 — LUHN CHECKSUM PII DETECTION (the presidio-style credit-card
+# validator that separates real card numbers from random digit runs):
+# docs in the doc_id % 11 == 0 class carry a VALID 16-digit number
+# (15 md5-derived digits + the computed Luhn check digit), the % 11 ==
+# 5 class carries the same number with the check digit corrupted (+1
+# mod 10); the detector regexp-extracts 16-digit candidates and
+# verifies the mod-10 double-every-second-from-the-right sum. Pure
+# integer digit arithmetic unrolled 16 ways — identical on both
+# engines; the oracle replays construction AND verification.
+# --------------------------------------------------------------------------
+def _luhn_terms_sql(digit_expr_fmt: str, n: int) -> str:
+    """Sum of Luhn-weighted digits i=1..n (i odd -> doubled, fold >9)."""
+    terms = []
+    for i in range(1, n + 1):
+        d = digit_expr_fmt.format(i=i)
+        if i % 2 == 1:
+            terms.append(f"(CASE WHEN 2 * {d} > 9 THEN 2 * {d} - 9"
+                         f" ELSE 2 * {d} END)")
+        else:
+            terms.append(f"({d})")
+    return " + ".join(terms)
+
+
+_L_BASE_D = ("(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), {i}, 1))"
+             " AS BIGINT) % 10)")
+_L_BASE15 = " || ".join(
+    f"CAST({_L_BASE_D.format(i=i)} AS VARCHAR)" for i in range(1, 16))
+_L_S15 = _luhn_terms_sql(_L_BASE_D, 15)
+_L_CAND_D = "CAST(substr(tok, {i}, 1) AS BIGINT)"
+
+
+@register(
+    "q333_luhn_pii",
+    oracle=f"""
+    WITH v AS (
+      SELECT doc_id,
+             CASE
+               WHEN doc_id % 11 = 0 THEN text || ' card=' || {_L_BASE15}
+                 || CAST((10 - ({_L_S15}) % 10) % 10 AS VARCHAR)
+               WHEN doc_id % 11 = 5 THEN text || ' card=' || {_L_BASE15}
+                 || CAST((11 - ({_L_S15}) % 10) % 10 AS VARCHAR)
+               ELSE text END AS t
+      FROM documents
+    ), cand AS (
+      SELECT doc_id, unnest(regexp_extract_all(t, '[0-9]{{16}}')) AS tok
+      FROM v
+    )
+    SELECT doc_id, tok,
+           (({_luhn_terms_sql(_L_CAND_D, 16)}) % 10 = 0) AS luhn_valid
+    FROM cand ORDER BY doc_id, tok
+    """,
+)
+def q333(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+
+    def base_digit(i: int) -> F.Column:
+        return (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")),
+                                   i, 1), 16, 10).cast("bigint") % 10)
+
+    def luhn_sum(digit, n: int) -> F.Column:
+        s = None
+        for i in range(1, n + 1):
+            d = digit(i)
+            t = F.when(2 * d > 9, 2 * d - 9).otherwise(2 * d) \
+                if i % 2 == 1 else d
+            s = t if s is None else s + t
+        return s
+
+    base15 = F.concat(*[base_digit(i).cast("string")
+                        for i in range(1, 16)])
+    s15 = luhn_sum(base_digit, 15)
+    t = (
+        F.when(F.col("doc_id") % 11 == 0,
+               F.concat(F.col("text"), F.lit(" card="), base15,
+                        ((10 - s15 % 10) % 10).cast("string")))
+        .when(F.col("doc_id") % 11 == 5,
+              F.concat(F.col("text"), F.lit(" card="), base15,
+                       ((11 - s15 % 10) % 10).cast("string")))
+        .otherwise(F.col("text"))
+    )
+    cand = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(t, F.lit("[0-9]{16}"), F.lit(0)))
+        .alias("tok"))
+    tok_digit = lambda i: F.substring("tok", i, 1).cast("bigint")  # noqa: E731
+    return cand.select(
+        "doc_id", "tok",
+        (luhn_sum(tok_digit, 16) % 10 == 0).alias("luhn_valid"),
+    ).orderBy("doc_id", "tok")
