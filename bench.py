@@ -316,6 +316,8 @@ BENCH_QUERIES = [
     "q331_dbscan",
     "q332_isotonic_calibration",
     "q333_luhn_pii",
+    "q334_fixed_width_roundtrip",
+    "q335_cheapest_route",
 ]
 
 

@@ -814,3 +814,69 @@ def q267(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("group").alias("segment"), "p",
         F.round("value", 6).alias("value"))
+
+
+# --------------------------------------------------------------------------
+# q334 — FIXED-WIDTH RECORD INGESTION (the mainframe/COBOL copybook
+# format ETL still meets daily): orders export as 49-char fixed-width
+# lines (orderkey 12 right-padded zeros? no — zero-padded numerics,
+# space-padded status, cents as 14-digit zero-padded int, ISO date 10),
+# re-ingest through spark.read.text + substring slicing against the
+# copybook layout (all JVM-side column ops — the standard fixed-width
+# reader Spark lacks natively), and aggregate. The oracle aggregates
+# the parquet truth directly, so any padding/slicing/parsing bug
+# breaks value parity. Derived files are fingerprint-cached like the
+# q201/q205 interchange twins.
+# --------------------------------------------------------------------------
+def _fixed_width_dir(spark: SparkSession, sf_dir: str) -> str:
+    from .textops import _derived_dir
+
+    def build(d: str) -> None:
+        orders = load(spark, sf_dir, "orders")
+        line = F.concat(
+            F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+            F.lpad(F.col("o_custkey").cast("string"), 12, "0"),
+            F.rpad(F.col("o_orderstatus"), 1, " "),
+            F.lpad(F.floor(F.col("o_totalprice") * 100)
+                   .cast("bigint").cast("string"), 14, "0"),
+            F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd"),
+        )
+        orders.select(line.alias("value")).coalesce(4).write.mode(
+            "overwrite").text(d)
+
+    return _derived_dir(sf_dir, "fixedwidth_r1", build)
+
+
+@register(
+    "q334_fixed_width_roundtrip",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_cents,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+           CAST(COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS BIGINT)
+             AS n_dates
+    FROM orders GROUP BY 1 ORDER BY status
+    """,
+)
+def q334(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _fixed_width_dir(spark, sf_dir)
+    raw = spark.read.text(d)
+    rec = raw.select(
+        F.substring("value", 1, 12).cast("bigint").alias("o_orderkey"),
+        F.substring("value", 13, 12).cast("bigint").alias("o_custkey"),
+        F.trim(F.substring("value", 25, 1)).alias("status"),
+        F.substring("value", 26, 14).cast("bigint").alias("cents"),
+        F.to_date(F.substring("value", 40, 10)).alias("d"),
+    )
+    return (
+        rec.groupBy("status")
+        .agg(F.count("*").cast("bigint").alias("n_orders"),
+             F.sum("cents").cast("bigint").alias("total_cents"),
+             F.min("o_orderkey").cast("bigint").alias("min_key"),
+             F.max("o_orderkey").cast("bigint").alias("max_key"),
+             F.countDistinct("d").cast("bigint").alias("n_dates"))
+        .orderBy("status")
+    )

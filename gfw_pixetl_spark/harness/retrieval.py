@@ -606,3 +606,95 @@ def q327(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("clustering_coeff"))
         .orderBy("suppkey")
     )
+
+
+# --------------------------------------------------------------------------
+# q335 — WEIGHTED SHORTEST PATH (distributed Bellman-Ford): cheapest
+# trade route from the lowest-keyed supplier nation (self-determined —
+# tiny scale factors have sparse nation coverage) over the directed
+# nation graph, edge weight = the MINIMUM lineitem cents ever shipped
+# on that lane (a shrinking agg; the relaxation loop then runs on the
+# aggregated edge table). Each round relaxes every edge once — one
+# equi-join + a min-aggregation — and a bounded changed-count scalar
+# drives the fixpoint (the q53-component loop discipline; rounds =
+# graph diameter, here 2-3). The oracle unrolls 10 dynamic-programming
+# rounds as chained CTEs (d_{k+1} = min(d_k, d_k + w)) — enough for
+# any 25-node diameter and an independent mechanism from the engine's
+# adaptive fixpoint.
+# --------------------------------------------------------------------------
+_BF_ROUNDS = 10
+
+
+def _bf_oracle() -> str:
+    head = f"""WITH e AS MATERIALIZED (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+             MIN(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) AS w
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_nationkey != c.c_nationkey
+      GROUP BY 1, 2
+    ), d0 AS (SELECT CAST(MIN(src) AS BIGINT) AS node,
+                      CAST(0 AS BIGINT) AS cost FROM e)"""
+    parts = [head]
+    for k in range(_BF_ROUNDS):
+        parts.append(f""", d{k + 1} AS (
+          SELECT node, MIN(cost) AS cost FROM (
+            SELECT node, cost FROM d{k}
+            UNION ALL
+            SELECT e.dst AS node, d{k}.cost + e.w AS cost
+            FROM d{k} JOIN e ON e.src = d{k}.node
+          ) GROUP BY node
+        )""")
+    return ("".join(parts)
+            + f" SELECT CAST(node AS BIGINT) AS node, cost"
+              f" FROM d{_BF_ROUNDS} ORDER BY node")
+
+
+@register("q335_cheapest_route", oracle=_bf_oracle())
+def q335(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    e = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(F.col("s_nationkey").alias("src"),
+                 F.col("c_nationkey").alias("dst"))
+        .agg(F.min(F.floor(F.col("l_extendedprice") * 100)
+                   .cast("bigint")).alias("w"))
+        .localCheckpoint()
+    )
+    src0 = e.agg(F.min("src")).collect()[0][0]  # bounded: 1 scalar
+    dist = spark.createDataFrame(
+        spark.sparkContext.parallelize([(int(src0), 0)], 1),
+        "node bigint, cost bigint")
+    while True:
+        relax = (
+            dist.join(e, dist.node == e.src)
+            .select(F.col("dst").alias("node"),
+                    (F.col("cost") + F.col("w")).alias("cost"))
+        )
+        merged = (
+            dist.unionByName(relax)
+            .groupBy("node").agg(F.min("cost").alias("cost"))
+            .localCheckpoint()
+        )
+        # bounded scalars: node count + total cost shrink monotonically
+        changed = (
+            merged.join(dist.select(F.col("node"),
+                                    F.col("cost").alias("old")),
+                        "node", "left")
+            .filter(F.col("old").isNull() | (F.col("cost") < F.col("old")))
+            .count()
+        )
+        dist = merged
+        if changed == 0:
+            break
+    return dist.select(F.col("node").cast("bigint").alias("node"),
+                       F.col("cost").cast("bigint").alias("cost")
+                       ).orderBy("node")
