@@ -318,6 +318,8 @@ BENCH_QUERIES = [
     "q333_luhn_pii",
     "q334_fixed_width_roundtrip",
     "q335_cheapest_route",
+    "q336_polygon_validity",
+    "q337_assortativity",
 ]
 
 

@@ -521,3 +521,120 @@ def q331(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(noise)
         .orderBy("cluster")
     )
+
+
+# --------------------------------------------------------------------------
+# q336 — POLYGON VALIDITY AUDIT (ST_IsValid-lite): synthetic 6-vertex
+# rings (md5-scattered integer coordinates — random rings self-
+# intersect often, which is the point) checked for PROPER self-
+# intersections with EXACT INTEGER orientation tests: segments (i,j)
+# non-adjacent cross iff the endpoints of each straddle the other's
+# line — four cross-product signs, no division, no floats, so both
+# engines agree bit-for-bit. Segments explode per polygon (bounded: 6
+# per ring -> <= 9 non-adjacent pairs) and pair up in a per-polygon
+# equi-join. The sf-proof shape: work is linear in polygons, quadratic
+# only in the tiny fixed vertex count.
+# --------------------------------------------------------------------------
+_PV_N = 6  # vertices per ring
+
+
+def _pv_sign(ax, ay, bx, by, cx, cy):
+    """Orientation sign of (a,b,c) as +1/0/-1 — exact bigint math."""
+    return F.signum(((bx - ax) * (cy - ay) - (by - ay) * (cx - ax))
+                    .cast("double")).cast("int")
+
+
+@register(
+    "q336_polygon_validity",
+    oracle=f"""
+    WITH vtx AS (
+      SELECT s_suppkey AS pid, i.i AS vid,
+             CAST(('0x' || substr(md5(CAST(s_suppkey AS VARCHAR) || ':'
+                   || CAST(i.i AS VARCHAR) || 'x'), 1, 8)) AS BIGINT)
+               % 1000 AS x,
+             CAST(('0x' || substr(md5(CAST(s_suppkey AS VARCHAR) || ':'
+                   || CAST(i.i AS VARCHAR) || 'y'), 1, 8)) AS BIGINT)
+               % 1000 AS y
+      FROM supplier, generate_series(0, {_PV_N - 1}) i(i)
+    ), seg AS (
+      SELECT a.pid, a.vid AS sid, a.x AS ax, a.y AS ay,
+             b.x AS bx, b.y AS by
+      FROM vtx a JOIN vtx b
+        ON b.pid = a.pid AND b.vid = (a.vid + 1) % {_PV_N}
+    ), pairs AS (
+      SELECT s.pid,
+             sign((s.bx - s.ax) * (t.ay - s.ay)
+                  - (s.by - s.ay) * (t.ax - s.ax)) AS d1,
+             sign((s.bx - s.ax) * (t.by - s.ay)
+                  - (s.by - s.ay) * (t.bx - s.ax)) AS d2,
+             sign((t.bx - t.ax) * (s.ay - t.ay)
+                  - (t.by - t.ay) * (s.ax - t.ax)) AS d3,
+             sign((t.bx - t.ax) * (s.by - t.ay)
+                  - (t.by - t.ay) * (s.bx - t.ax)) AS d4
+      FROM seg s JOIN seg t
+        ON t.pid = s.pid AND t.sid > s.sid + 1
+       AND NOT (s.sid = 0 AND t.sid = {_PV_N - 1})
+    ), x AS (
+      SELECT pid,
+             SUM(CASE WHEN d1 * d2 < 0 AND d3 * d4 < 0
+                      THEN 1 ELSE 0 END) AS n_cross
+      FROM pairs GROUP BY pid
+    )
+    SELECT pid AS suppkey, CAST({_PV_N} AS BIGINT) AS n_vertices,
+           CAST(n_cross AS BIGINT) AS n_self_intersections,
+           (n_cross = 0) AS is_simple
+    FROM x ORDER BY suppkey
+    """,
+)
+def q336(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_int64
+
+    supp = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("pid"))
+    ids = spark.range(_PV_N).select(F.col("id").cast("int").alias("vid"))
+
+    def coord(axis: str) -> F.Column:
+        return (F.conv(F.substring(F.md5(F.concat(
+            F.col("pid").cast("string"), F.lit(":"),
+            F.col("vid").cast("string"), F.lit(axis))), 1, 8), 16, 10)
+            .cast("bigint") % 1000)
+
+    vtx = supp.crossJoin(F.broadcast(ids)).select(
+        "pid", "vid", coord("x").alias("x"), coord("y").alias("y"))
+    nxt = vtx.select(F.col("pid"), ((F.col("vid") + 1) % _PV_N)
+                     .alias("vid"),
+                     F.col("x").alias("bx"), F.col("y").alias("by"))
+    # join on the NEXT vertex id: b.vid == a.vid + 1 (mod n)
+    seg = (
+        vtx.alias("a")
+        .join(nxt.alias("b"),
+              (F.col("a.pid") == F.col("b.pid"))
+              & (F.col("b.vid") == (F.col("a.vid") + 2) % _PV_N))
+        .select(F.col("a.pid").alias("pid"), F.col("a.vid").alias("sid"),
+                F.col("a.x").alias("ax"), F.col("a.y").alias("ay"),
+                F.col("bx"), F.col("by"))
+    )
+    s, t = seg.alias("s"), seg.alias("t")
+    pairs = s.join(
+        t,
+        (F.col("t.pid") == F.col("s.pid"))
+        & (F.col("t.sid") > F.col("s.sid") + 1)
+        & ~((F.col("s.sid") == 0) & (F.col("t.sid") == _PV_N - 1)))
+    d1 = _pv_sign(F.col("s.ax"), F.col("s.ay"), F.col("s.bx"),
+                  F.col("s.by"), F.col("t.ax"), F.col("t.ay"))
+    d2 = _pv_sign(F.col("s.ax"), F.col("s.ay"), F.col("s.bx"),
+                  F.col("s.by"), F.col("t.bx"), F.col("t.by"))
+    d3 = _pv_sign(F.col("t.ax"), F.col("t.ay"), F.col("t.bx"),
+                  F.col("t.by"), F.col("s.ax"), F.col("s.ay"))
+    d4 = _pv_sign(F.col("t.ax"), F.col("t.ay"), F.col("t.bx"),
+                  F.col("t.by"), F.col("s.bx"), F.col("s.by"))
+    crossed = ((d1 * d2 < 0) & (d3 * d4 < 0)).cast("int")
+    x = pairs.select(F.col("s.pid").alias("pid"),
+                     crossed.alias("c")).groupBy("pid").agg(
+        F.sum("c").alias("n_cross"))
+    return x.select(
+        F.col("pid").cast("bigint").alias("suppkey"),
+        F.lit(_PV_N).cast("bigint").alias("n_vertices"),
+        F.col("n_cross").cast("bigint").alias("n_self_intersections"),
+        (F.col("n_cross") == 0).alias("is_simple"),
+    ).orderBy("suppkey")

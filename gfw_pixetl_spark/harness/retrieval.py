@@ -698,3 +698,89 @@ def q335(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.select(F.col("node").cast("bigint").alias("node"),
                        F.col("cost").cast("bigint").alias("cost")
                        ).orderBy("node")
+
+
+# --------------------------------------------------------------------------
+# q337 — DEGREE ASSORTATIVITY (Newman 2002): does the co-supply graph
+# wire hubs to hubs (r > 0) or hubs to leaves (r < 0)? r = Pearson
+# correlation of endpoint degrees over the edge STUBS (each undirected
+# edge contributes both orientations, so sum(x) = sum(y) and one pass
+# suffices). Reuses q327's deterministically blocked edge set; degrees
+# come from one shrinking agg joined back twice; every distributed sum
+# is integer/DECIMAL(38,0) and r is a fixed-order scalar, rounded 6.
+# --------------------------------------------------------------------------
+@register(
+    "q337_assortativity",
+    oracle=f"""
+    WITH e AS MATERIALIZED (
+      {_COSUPPLY_EDGES_SQL}
+    ), deg AS (
+      SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
+      ) GROUP BY node
+    ), stubs AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+      UNION ALL
+      SELECT dv.d, du.d
+      FROM e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v
+    ), s AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+               AS sxy,
+             SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+               AS sxx
+      FROM stubs
+    )
+    SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0),
+                 6) AS assortativity
+    FROM s
+    """,
+)
+def q337(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    wr = Window.partitionBy("l_partkey").orderBy("l_suppkey")
+    a = (ps.withColumn("rk", F.row_number().over(wr))
+         .filter(F.col("rk") <= 6).drop("rk"))
+    b = a.select(F.col("l_partkey"), F.col("l_suppkey").alias("s2"))
+    e = (
+        a.join(b, "l_partkey")
+        .filter(F.col("l_suppkey") < F.col("s2"))
+        .select(F.col("l_suppkey").alias("u"), F.col("s2").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node").agg(F.count("*").alias("d"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("xu"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("xv"))
+    ej = e.join(du, "u").join(dv, "v")
+    stubs = (ej.select(F.col("xu").alias("x"), F.col("xv").alias("y"))
+             .unionAll(ej.select(F.col("xv").alias("x"),
+                                 F.col("xu").alias("y"))))
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    s = stubs.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(d19("x") * d19("y")).alias("sxy"),
+        F.sum(d19("x") * d19("x")).alias("sxx"))
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    den = nd * F.col("sxx").cast("double") - sx * sx
+    return s.select(
+        (F.col("n") / 2).cast("bigint").alias("n_edges"),
+        # a regular graph (all degrees equal) has zero degree variance:
+        # assortativity is undefined -> NULL on both engines
+        F.round((nd * F.col("sxy").cast("double") - sx * sx)
+                / F.when(den != 0, den), 6).alias("assortativity"))
