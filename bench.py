@@ -320,6 +320,8 @@ BENCH_QUERIES = [
     "q335_cheapest_route",
     "q336_polygon_validity",
     "q337_assortativity",
+    "q338_cooccurrence",
+    "q339_span_f1",
 ]
 
 

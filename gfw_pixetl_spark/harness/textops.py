@@ -4747,3 +4747,143 @@ def q333(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "tok",
         (luhn_sum(tok_digit, 16) % 10 == 0).alias("luhn_valid"),
     ).orderBy("doc_id", "tok")
+
+
+# --------------------------------------------------------------------------
+# q338 — WINDOWED CO-OCCURRENCE MATRIX (the GloVe/PPMI input build):
+# word pairs within a +-4 token window, weighted by inverse distance —
+# kept EXACT by scaling 1/d through lcm(1..4) = 12 (weights 12/6/4/3,
+# integers; a float 1/d would drift under distributed summation).
+# Positions explode once; pairs meet in a join on (doc, pos + d) for
+# the four unrolled offsets — never a theta join; one (w1, w2) hash agg
+# shrinks to the co-occurrence matrix. Top-20 pairs by TakeOrdered.
+# --------------------------------------------------------------------------
+_COOC_W = 4
+_COOC_SCALE = {1: 12, 2: 6, 3: 4, 4: 3}
+
+
+@register(
+    "q338_cooccurrence",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {SQL_WORDS} AS ws FROM documents
+    ), p AS (
+      SELECT doc_id, unnest(ws) AS word,
+             unnest(range(1, len(ws) + 1)) AS pos
+      FROM w
+    ), pairs AS (
+      {" UNION ALL ".join(
+        f'''SELECT a.word AS w1, b.word AS w2, {wt} AS wt
+            FROM p a JOIN p b
+              ON b.doc_id = a.doc_id AND b.pos = a.pos + {d}'''
+        for d, wt in _COOC_SCALE.items())}
+    ), m AS (
+      SELECT w1, w2, SUM(wt) AS weight12, COUNT(*) AS n_cooc
+      FROM pairs GROUP BY w1, w2
+    )
+    SELECT w1, w2, CAST(weight12 AS BIGINT) AS weight12,
+           CAST(n_cooc AS BIGINT) AS n_cooc
+    FROM m ORDER BY weight12 DESC, w1 ASC, w2 ASC LIMIT 20
+    """,
+)
+def q338(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    p = docs.select(
+        "doc_id", F.posexplode(T.words("text")).alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    p = p.localCheckpoint(eager=False)  # four offset joins read it
+    pairs = None
+    for d, wt in _COOC_SCALE.items():
+        b = p.select(F.col("doc_id"), (F.col("pos") - d).alias("pos"),
+                     F.col("word").alias("w2"))
+        leg = (p.join(b, ["doc_id", "pos"])
+               .select(F.col("word").alias("w1"), "w2",
+                       F.lit(wt).alias("wt")))
+        pairs = leg if pairs is None else pairs.unionByName(leg)
+    m = pairs.groupBy("w1", "w2").agg(
+        F.sum("wt").cast("bigint").alias("weight12"),
+        F.count("*").cast("bigint").alias("n_cooc"))
+    return m.orderBy(F.col("weight12").desc(), F.col("w1").asc(),
+                     F.col("w2").asc()).limit(20)
+
+
+# --------------------------------------------------------------------------
+# q339 — SPAN-LEVEL F1 (the NER / extraction eval): two deterministic
+# "annotators" mark token spans — gold = words longer than 6 chars,
+# predicted = words containing a doubled lowercase letter (explicit
+# aa|bb|...|zz alternation — RE2 oracles have no backreferences) — and
+# the eval counts
+# EXACT span matches (same doc, same position, same width). Explode
+# once per annotator with positions, equi-join on (doc, pos), and the
+# micro P/R/F1 are three divisions over exact integer counts, grouped
+# by lang. The standard seqeval computation as relational algebra.
+# --------------------------------------------------------------------------
+@register(
+    "q339_span_f1",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, lang, unnest({SQL_WORDS}) AS word,
+             unnest(range(1, len({SQL_WORDS}) + 1)) AS pos
+      FROM documents
+    ), gold AS (
+      SELECT doc_id, lang, pos FROM p WHERE len(word) > 6
+    ), pred AS (
+      SELECT doc_id, lang, pos FROM p
+      WHERE regexp_matches(word, 'aa|bb|cc|dd|ee|ff|gg|hh|ii|jj|kk|ll|mm|nn|oo|pp|qq|rr|ss|tt|uu|vv|ww|xx|yy|zz')
+    ), m AS (
+      SELECT g.lang, COUNT(*) AS tp
+      FROM gold g JOIN pred r ON r.doc_id = g.doc_id AND r.pos = g.pos
+      GROUP BY g.lang
+    ), gg AS (
+      SELECT lang, COUNT(*) AS n_gold FROM gold GROUP BY lang
+    ), pp AS (
+      SELECT lang, COUNT(*) AS n_pred FROM pred GROUP BY lang
+    )
+    SELECT gg.lang,
+           CAST(COALESCE(m.tp, 0) AS BIGINT) AS tp,
+           CAST(gg.n_gold AS BIGINT) AS n_gold,
+           CAST(COALESCE(pp.n_pred, 0) AS BIGINT) AS n_pred,
+           round(CAST(COALESCE(m.tp, 0) AS DOUBLE)
+                 / NULLIF(pp.n_pred, 0), 6) AS precision,
+           round(CAST(COALESCE(m.tp, 0) AS DOUBLE) / gg.n_gold, 6)
+             AS recall,
+           round(2.0 * COALESCE(m.tp, 0)
+                 / NULLIF(gg.n_gold + COALESCE(pp.n_pred, 0), 0), 6)
+             AS f1
+    FROM gg LEFT JOIN m USING (lang) LEFT JOIN pp USING (lang)
+    ORDER BY lang
+    """,
+)
+def q339(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    p = docs.select(
+        "doc_id", "lang",
+        F.posexplode(T.words("text")).alias("pos0", "word")
+    ).select("doc_id", "lang", (F.col("pos0") + 1).alias("pos"), "word")
+    p = p.localCheckpoint(eager=False)
+    gold = p.filter(F.length("word") > 6).select("doc_id", "lang", "pos")
+    pred = p.filter(F.col("word").rlike("aa|bb|cc|dd|ee|ff|gg|hh|ii|jj|kk|ll|mm|nn|oo|pp|qq|rr|ss|tt|uu|vv|ww|xx|yy|zz")).select(
+        "doc_id", F.col("pos").alias("ppos"))
+    m = (gold.join(pred, (gold.doc_id == pred.doc_id)
+                   & (gold.pos == pred.ppos))
+         .groupBy("lang").agg(F.count("*").alias("tp")))
+    gg = gold.groupBy("lang").agg(F.count("*").alias("n_gold"))
+    pp = (p.filter(F.col("word").rlike("aa|bb|cc|dd|ee|ff|gg|hh|ii|jj|kk|ll|mm|nn|oo|pp|qq|rr|ss|tt|uu|vv|ww|xx|yy|zz"))
+          .groupBy("lang").agg(F.count("*").alias("n_pred")))
+    tp = F.coalesce(F.col("tp"), F.lit(0))
+    npred = F.coalesce(F.col("n_pred"), F.lit(0))
+    return (
+        gg.join(m, "lang", "left").join(pp, "lang", "left")
+        .select(
+            "lang", tp.cast("bigint").alias("tp"),
+            F.col("n_gold").cast("bigint").alias("n_gold"),
+            npred.cast("bigint").alias("n_pred"),
+            F.round(tp.cast("double")
+                    / F.when(npred != 0, npred), 6).alias("precision"),
+            F.round(tp.cast("double") / F.col("n_gold"), 6)
+            .alias("recall"),
+            F.round(F.lit(2.0) * tp
+                    / F.when(F.col("n_gold") + npred != 0,
+                             F.col("n_gold") + npred), 6).alias("f1"))
+        .orderBy("lang")
+    )
