@@ -322,6 +322,8 @@ BENCH_QUERIES = [
     "q337_assortativity",
     "q338_cooccurrence",
     "q339_span_f1",
+    "q340_heaps_law",
+    "q341_apriori_itemsets",
 ]
 
 

@@ -2578,3 +2578,93 @@ def q332(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round("iso_rate", 6).alias("iso_rate"))
         .orderBy("bin")
     )
+
+
+# --------------------------------------------------------------------------
+# q341 — APRIORI FREQUENT ITEMSETS (level-wise candidate generation,
+# Agrawal & Srikant 1994): baskets = the distinct MANUFACTURER set per
+# order (substr(p_brand,1,7) — TPC-H encodes the 5 manufacturers in
+# the brand prefix; a bounded item domain keeps candidate joins tiny
+# however many orders), L1 = frequent brands, L2 = frequent pairs from
+# an ordered within-basket self-join of L1 survivors, L3 = triples
+# generated by joining L2 with L1-filtered items — each level one
+# equi-join + count + threshold, the downward-closure prune expressed
+# relationally. Support threshold scales with the basket count
+# (10% of baskets, a broadcast scalar). Exact integer supports.
+# --------------------------------------------------------------------------
+@register(
+    "q341_apriori_itemsets",
+    oracle="""
+    WITH b AS (
+      SELECT DISTINCT l.l_orderkey AS oid, substr(p.p_brand, 1, 7) AS item
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), nb AS (
+      SELECT COUNT(DISTINCT oid) AS n FROM b
+    ), minsup AS (
+      SELECT GREATEST(2, n // 10) AS s FROM nb
+    ), l1 AS (
+      SELECT item FROM b, minsup GROUP BY item, s HAVING COUNT(*) >= s
+    ), bf AS (
+      SELECT b.oid, b.item FROM b JOIN l1 USING (item)
+    ), l2 AS (
+      SELECT a.item AS i1, c.item AS i2, COUNT(*) AS support
+      FROM bf a JOIN bf c ON c.oid = a.oid AND a.item < c.item, minsup
+      GROUP BY a.item, c.item, s HAVING COUNT(*) >= s
+    ), l3 AS (
+      SELECT l2.i1, l2.i2, d.item AS i3, COUNT(*) AS support
+      FROM l2
+      JOIN bf a ON a.item = l2.i1
+      JOIN bf c ON c.oid = a.oid AND c.item = l2.i2
+      JOIN bf d ON d.oid = a.oid AND d.item > l2.i2, minsup
+      GROUP BY l2.i1, l2.i2, d.item, s HAVING COUNT(*) >= s
+    )
+    SELECT 2 AS level, i1, i2, CAST(NULL AS VARCHAR) AS i3,
+           CAST(support AS BIGINT) AS support
+    FROM l2
+    UNION ALL
+    SELECT 3, i1, i2, i3, CAST(support AS BIGINT) FROM l3
+    ORDER BY level, i1, i2, i3 NULLS FIRST
+    """,
+)
+def q341(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    b = (li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                 li.l_partkey == part.p_partkey)
+         .select(F.col("l_orderkey").alias("oid"),
+                 F.substring("p_brand", 1, 7).alias("item"))
+         .distinct().localCheckpoint(eager=False))
+    minsup = b.agg(F.greatest(
+        F.lit(2), (F.countDistinct("oid") / 10).cast("bigint")).alias("s"))
+    l1 = (b.groupBy("item").agg(F.count("*").alias("c"))
+          .crossJoin(F.broadcast(minsup))
+          .filter(F.col("c") >= F.col("s")).select("item"))
+    bf = b.join(F.broadcast(l1), "item").localCheckpoint(eager=False)
+    a = bf.select("oid", F.col("item").alias("i1"))
+    c = bf.select(F.col("oid"), F.col("item").alias("i2"))
+    l2 = (a.join(c, "oid").filter(F.col("i1") < F.col("i2"))
+          .groupBy("i1", "i2").agg(F.count("*").alias("support"))
+          .crossJoin(F.broadcast(minsup))
+          .filter(F.col("support") >= F.col("s"))
+          .select("i1", "i2", "support"))
+    # L3: orders containing an L2 pair, extended by a third frequent
+    # item above the pair
+    pair_orders = (
+        l2.select("i1", "i2")
+        .join(a.select(F.col("oid"), F.col("i1")), "i1")
+        .join(c.select(F.col("oid"), F.col("i2")), ["oid", "i2"])
+    )
+    d = bf.select("oid", F.col("item").alias("i3"))
+    l3 = (pair_orders.join(d, "oid")
+          .filter(F.col("i3") > F.col("i2"))
+          .groupBy("i1", "i2", "i3").agg(F.count("*").alias("support"))
+          .crossJoin(F.broadcast(minsup))
+          .filter(F.col("support") >= F.col("s"))
+          .select("i1", "i2", "i3", "support"))
+    out2 = l2.select(F.lit(2).alias("level"), "i1", "i2",
+                     F.lit(None).cast("string").alias("i3"),
+                     F.col("support").cast("bigint").alias("support"))
+    out3 = l3.select(F.lit(3).alias("level"), "i1", "i2", "i3",
+                     F.col("support").cast("bigint").alias("support"))
+    return out2.unionByName(out3).orderBy(
+        "level", "i1", "i2", F.col("i3").asc_nulls_first())

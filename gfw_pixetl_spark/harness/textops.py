@@ -4887,3 +4887,76 @@ def q339(spark: SparkSession, sf_dir: str) -> DataFrame:
                              F.col("n_gold") + npred), 6).alias("f1"))
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# q340 — HEAPS' LAW FIT (vocabulary growth V ~ K * n^beta — the q303
+# Zipf companion; real corpora sit near beta ~ 0.5, synthetic/looped
+# text collapses): vocabulary size after each doc-count checkpoint
+# WITHOUT rescanning — a word's first-occurrence doc (one min-agg) and
+# its token contribution per checkpoint make V(k) and N(k) pure
+# filtered counts; checkpoints are the 8 powers of two up to the
+# corpus size. The ln-ln OLS over <= 8 checkpoint rows is a
+# fixed-order scalar fold. All counts exact integers.
+# --------------------------------------------------------------------------
+_HEAPS_KS = [2 ** i for i in range(2, 10)]  # 4 .. 512 doc prefixes
+
+
+@register(
+    "q340_heaps_law",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest({SQL_WORDS}) AS word FROM documents
+    ), fo AS (
+      SELECT word, MIN(doc_id) AS first_doc FROM w GROUP BY word
+    ), ck AS (
+      SELECT k FROM (VALUES {", ".join(f"({k})" for k in _HEAPS_KS)}) t(k)
+      WHERE k <= (SELECT MAX(doc_id) FROM w)
+    ), pts AS (
+      SELECT ck.k,
+             (SELECT COUNT(*) FROM fo WHERE first_doc <= ck.k) AS v,
+             (SELECT COUNT(*) FROM w WHERE doc_id <= ck.k) AS n
+      FROM ck
+    ), s AS (
+      SELECT COUNT(*) AS m, SUM(ln(n)) AS sx, SUM(ln(v)) AS sy,
+             SUM(ln(n) * ln(v)) AS sxy, SUM(ln(n) * ln(n)) AS sxx
+      FROM pts
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM pts) AS n_checkpoints,
+           round((m * sxy - sx * sy) / (m * sxx - sx * sx), 6) AS beta,
+           round(exp((sy - (m * sxy - sx * sy) / (m * sxx - sx * sx)
+                      * sx) / m), 6) AS k_const
+    FROM s
+    """,
+)
+def q340(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.explode(T.words("text")).alias("word"))
+    w = w.localCheckpoint(eager=False)
+    fo = w.groupBy("word").agg(F.min("doc_id").alias("first_doc"))
+    max_doc = w.agg(F.max("doc_id").alias("mx"))
+    ck = (spark.createDataFrame(
+        spark.sparkContext.parallelize([(k,) for k in _HEAPS_KS], 1),
+        "k bigint")
+        .crossJoin(F.broadcast(max_doc))
+        .filter(F.col("k") <= F.col("mx")).select("k"))
+    v = (fo.crossJoin(F.broadcast(ck))
+         .filter(F.col("first_doc") <= F.col("k"))
+         .groupBy("k").agg(F.count("*").alias("v")))
+    n = (w.crossJoin(F.broadcast(ck))
+         .filter(F.col("doc_id") <= F.col("k"))
+         .groupBy("k").agg(F.count("*").alias("n")))
+    pts = v.join(n, "k")
+    lx, ly = F.log(F.col("n").cast("double")), F.log(F.col("v")
+                                                     .cast("double"))
+    s = pts.agg(F.count("*").alias("m"),
+                F.sum(lx).alias("sx"), F.sum(ly).alias("sy"),
+                F.sum(lx * ly).alias("sxy"), F.sum(lx * lx).alias("sxx"))
+    m = F.col("m").cast("double")
+    beta = (m * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        / (m * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return s.select(
+        F.col("m").cast("bigint").alias("n_checkpoints"),
+        F.round(beta, 6).alias("beta"),
+        F.round(F.exp((F.col("sy") - beta * F.col("sx")) / m), 6)
+        .alias("k_const"))
