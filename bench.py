@@ -324,6 +324,7 @@ BENCH_QUERIES = [
     "q339_span_f1",
     "q340_heaps_law",
     "q341_apriori_itemsets",
+    "q342_random_walks",
 ]
 
 

@@ -784,3 +784,105 @@ def q337(spark: SparkSession, sf_dir: str) -> DataFrame:
         # assortativity is undefined -> NULL on both engines
         F.round((nd * F.col("sxy").cast("double") - sx * sx)
                 / F.when(den != 0, den), 6).alias("assortativity"))
+
+
+# --------------------------------------------------------------------------
+# q342 — DETERMINISTIC RANDOM WALKS (the node2vec/DeepWalk corpus
+# generator): one 4-step walk from every node of the directed trade
+# graph, where step t from node u picks neighbor index
+# md5(u:start:t) % outdeg(u) — seeded pseudo-randomness, so the walk
+# corpus is reproducible and an external engine replays it exactly.
+# Neighbors are indexed once by a window partitioned BY source node
+# (rank over the bounded out-edge list); each step is then ONE
+# equi-join on (node, index) — walks over a 100 TB edge table cost 4
+# joins, not a per-walk loop. Dead ends absorb (the walk stays).
+# --------------------------------------------------------------------------
+_WALK_STEPS = 4
+
+
+def _walk_oracle() -> str:
+    from ..functions.hashing import md5_int64_sql
+
+    head = """WITH e AS MATERIALIZED (
+      SELECT DISTINCT s.s_nationkey AS src, c.c_nationkey AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE s.s_nationkey != c.c_nationkey
+    ), nbr AS (
+      SELECT src, dst,
+             row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+               AS idx,
+             COUNT(*) OVER (PARTITION BY src) AS deg
+      FROM e
+    ), w0 AS (
+      SELECT DISTINCT src AS start, src AS cur FROM e
+    )"""
+    parts = [head]
+    for t in range(1, _WALK_STEPS + 1):
+        h = md5_int64_sql(
+            "CAST(w.cur AS VARCHAR) || ':' || CAST(w.start AS VARCHAR)"
+            f" || ':{t}'")
+        parts.append(f""", w{t} AS (
+          SELECT w.start, COALESCE(n.dst, w.cur) AS cur
+          FROM w{t - 1} w LEFT JOIN nbr n
+            ON n.src = w.cur AND n.idx = ({h}) % n.deg
+        )""")
+    sel = ", ".join(f"CAST(w{t}.cur AS BIGINT) AS n{t}"
+                    for t in range(1, _WALK_STEPS + 1))
+    joins = " ".join(
+        f"JOIN w{t} ON w{t}.start = w0.start"
+        for t in range(1, _WALK_STEPS + 1))
+    return (("".join(parts))
+            + f" SELECT CAST(w0.start AS BIGINT) AS start, {sel}"
+              f" FROM w0 {joins} ORDER BY start")
+
+
+@register("q342_random_walks", oracle=_walk_oracle())
+def q342(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.hashing import md5_int64
+
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    supp = load(spark, sf_dir, "supplier")
+    e = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .select(F.col("s_nationkey").alias("src"),
+                F.col("c_nationkey").alias("dst"))
+        .distinct().localCheckpoint()
+    )
+    wn = Window.partitionBy("src").orderBy("dst")
+    nbr = e.select(
+        "src", "dst",
+        (F.row_number().over(wn) - 1).alias("idx"),
+        F.count("*").over(Window.partitionBy("src")).alias("deg"))
+    nbr = nbr.localCheckpoint(eager=False)  # one index read per step
+    walk = e.select(F.col("src").alias("start")).distinct().select(
+        "start", F.col("start").alias("cur"))
+    outs = []
+    for t in range(1, _WALK_STEPS + 1):
+        h = md5_int64(F.concat(
+            F.col("cur").cast("string"), F.lit(":"),
+            F.col("start").cast("string"), F.lit(f":{t}")))
+        step = (
+            walk.join(nbr, (nbr.src == walk.cur)
+                      & (nbr.idx == h % nbr.deg), "left")
+            .select("start", F.coalesce("dst", "cur").alias("cur"))
+        )
+        walk = step
+        outs.append(step.select("start",
+                                F.col("cur").cast("bigint")
+                                .alias(f"n{t}")))
+    out = outs[0]
+    for t, o in enumerate(outs[1:], start=2):
+        out = out.join(o, "start")
+    return out.select(F.col("start").cast("bigint").alias("start"),
+                      *[f"n{t}" for t in range(1, _WALK_STEPS + 1)]
+                      ).orderBy("start")
