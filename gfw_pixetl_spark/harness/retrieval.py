@@ -508,31 +508,33 @@ _OR2["q212_rrf_fusion"] = f"""
 # --------------------------------------------------------------------------
 # q327 — LOCAL CLUSTERING COEFFICIENT per node (the per-node refinement
 # of q181's global statistic) on the supplier CO-SUPPLY graph: two
-# suppliers are adjacent when they both shipped the same part. Edge
-# generation is bounded by DETERMINISTIC BLOCKING: each part contributes
-# pairs among its 6 lowest-keyed suppliers only (C(6,2) = 15 edges per
-# part whatever the fan-in — a hot part would otherwise emit
-# quadratically; ranking partitions BY part, never globally).
-# Triangles enumerate once each via the oriented u<v<w edge-join and
-# credit all three corners (explode); cc(v) = 2*T(v) / (d(v)*(d(v)-1))
-# — exact integers and one division. Oracle: identical algebra with a
-# MATERIALIZED edge CTE (the multiply-referenced-CTE lesson from the
-# round-4 oracle scale audit).
+# suppliers are adjacent when they both shipped one of the SAMPLED
+# parts (p_partkey % 17 == 0 — a deterministic sparsifier: the full
+# co-supply graph at toy scale is 36% dense and triangle counting on a
+# dense graph is Theta(n^3) for ANY algorithm). Edge generation is
+# further bounded by blocking: each part contributes pairs among its 6
+# lowest-keyed suppliers only (C(6,2) = 15 edges per part whatever the
+# fan-in; ranking partitions BY part, never globally).
+# Triangles enumerate once each from DEGREE-ORIENTED edges (every edge
+# points low-(degree,id) -> high; the compact-forward bound caps wedge
+# fan-out at sqrt(2m) instead of the raw degree — measured 16.2M ->
+# ~1M wedges at sf0.1) and credit all three corners (explode);
+# cc(v) = 2*T(v) / (d(v)*(d(v)-1)) — exact integers and one division.
+# Oracle: identical algebra with MATERIALIZED CTEs (the multiply-
+# referenced-CTE lesson from the round-4 oracle scale audit).
 # --------------------------------------------------------------------------
 _COSUPPLY_EDGES_SQL = """
+      WITH ranked AS MATERIALIZED (
+        SELECT l_partkey, l_suppkey FROM (
+          SELECT l_partkey, l_suppkey,
+                 row_number() OVER (PARTITION BY l_partkey
+                                    ORDER BY l_suppkey) AS rk
+          FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+                WHERE l_partkey % 17 = 0))
+        WHERE rk <= 6
+      )
       SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
-      FROM (SELECT l_partkey, l_suppkey FROM (
-              SELECT l_partkey, l_suppkey,
-                     row_number() OVER (PARTITION BY l_partkey
-                                        ORDER BY l_suppkey) AS rk
-              FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem))
-            WHERE rk <= 6) a
-      JOIN (SELECT l_partkey, l_suppkey FROM (
-              SELECT l_partkey, l_suppkey,
-                     row_number() OVER (PARTITION BY l_partkey
-                                        ORDER BY l_suppkey) AS rk
-              FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem))
-            WHERE rk <= 6) b
+      FROM ranked a JOIN ranked b
         ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
 """
 
@@ -546,12 +548,22 @@ _COSUPPLY_EDGES_SQL = """
       SELECT node, COUNT(*) AS d FROM (
         SELECT u AS node FROM e UNION ALL SELECT v AS node FROM e
       ) GROUP BY node
+    ), okey AS (
+      SELECT node, d * 1000000000 + node AS k FROM deg
+    ), oe AS MATERIALIZED (
+      -- degree orientation (compact-forward): every edge points from
+      -- the lower (degree, id) endpoint, so wedge enumeration is
+      -- bounded by out-degrees <= sqrt(2m), not raw degrees
+      SELECT CASE WHEN ku.k < kv.k THEN e.u ELSE e.v END AS a,
+             CASE WHEN ku.k < kv.k THEN e.v ELSE e.u END AS b,
+             CASE WHEN ku.k < kv.k THEN kv.k ELSE ku.k END AS bk
+      FROM e JOIN okey ku ON ku.node = e.u JOIN okey kv ON kv.node = e.v
     ), tri AS (
       SELECT corner, COUNT(*) AS t FROM (
-        SELECT unnest([e1.u, e1.v, e2.v]) AS corner
-        FROM e e1
-        JOIN e e2 ON e1.v = e2.u
-        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        SELECT unnest([e1.a, e1.b, e2.b]) AS corner
+        FROM oe e1
+        JOIN oe e2 ON e2.a = e1.a AND e1.bk < e2.bk
+        JOIN oe e3 ON e3.a = e1.b AND e3.b = e2.b
       ) GROUP BY corner
     )
     SELECT deg.node AS suppkey,
@@ -568,7 +580,8 @@ def q327(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     from pyspark.sql import Window
 
-    ps = li.select("l_partkey", "l_suppkey").distinct()
+    ps = (li.filter(F.col("l_partkey") % 17 == 0)
+          .select("l_partkey", "l_suppkey").distinct())
     wr = Window.partitionBy("l_partkey").orderBy("l_suppkey")
     a = (ps.withColumn("rk", F.row_number().over(wr))
          .filter(F.col("rk") <= 6).drop("rk"))
@@ -585,12 +598,31 @@ def q327(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(e.select(F.col("v").alias("node")))
         .groupBy("node").agg(F.count("*").alias("d"))
     )
-    e1 = e.select(F.col("u").alias("x"), F.col("v").alias("y"))
-    e2 = e.select(F.col("u").alias("y"), F.col("v").alias("z"))
-    e3 = e.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    okey = deg.select(
+        "node", (F.col("d") * 1000000000 + F.col("node")).alias("k"))
+    ku = okey.select(F.col("node").alias("u"), F.col("k").alias("ku"))
+    kv = okey.select(F.col("node").alias("v"), F.col("k").alias("kv"))
+    # degree orientation (compact-forward): wedges enumerate from the
+    # low-(degree,id) endpoint only — out-degrees bounded by sqrt(2m)
+    oe = (
+        e.join(ku, "u").join(kv, "v")
+        .select(
+            F.when(F.col("ku") < F.col("kv"), F.col("u"))
+            .otherwise(F.col("v")).alias("a"),
+            F.when(F.col("ku") < F.col("kv"), F.col("v"))
+            .otherwise(F.col("u")).alias("b"),
+            F.greatest("ku", "kv").alias("bk"))
+        .localCheckpoint(eager=False)
+    )
+    e1 = oe.select(F.col("a"), F.col("b").alias("x"),
+                   F.col("bk").alias("xk"))
+    e2 = oe.select(F.col("a"), F.col("b").alias("y"),
+                   F.col("bk").alias("yk"))
+    e3 = oe.select(F.col("a").alias("x"), F.col("b").alias("y"))
     tri = (
-        e1.join(e2, "y").join(e3, ["x", "z"])
-        .select(F.explode(F.array("x", "y", "z")).alias("corner"))
+        e1.join(e2, "a").filter(F.col("xk") < F.col("yk"))
+        .join(e3, ["x", "y"])
+        .select(F.explode(F.array("a", "x", "y")).alias("corner"))
         .groupBy("corner").agg(F.count("*").alias("t"))
     )
     return (
@@ -746,7 +778,8 @@ def q337(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     li = load(spark, sf_dir, "lineitem")
-    ps = li.select("l_partkey", "l_suppkey").distinct()
+    ps = (li.filter(F.col("l_partkey") % 17 == 0)
+          .select("l_partkey", "l_suppkey").distinct())
     wr = Window.partitionBy("l_partkey").orderBy("l_suppkey")
     a = (ps.withColumn("rk", F.row_number().over(wr))
          .filter(F.col("rk") <= 6).drop("rk"))
