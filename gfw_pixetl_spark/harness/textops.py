@@ -3952,8 +3952,7 @@ def q316(spark: SparkSession, sf_dir: str) -> DataFrame:
     tris = F.expr(
         "transform(sequence(1, length(text) - 2),"
         " i -> substring(text, i, 3))")
-    doc_tri = docs.select(
-        "doc_id", F.explode_outer(tris).alias("tri")).distinct()
+    doc_tri = docs.select("doc_id", F.explode_outer(tris).alias("tri"))
     # n_tri counts DISTINCT needle trigrams (a needle with internal
     # repeats must not demand more hits than exist)
     needle_tri = needle.select(
@@ -3964,11 +3963,13 @@ def q316(spark: SparkSession, sf_dir: str) -> DataFrame:
     needle_tri = needle_tri.join(
         needle_tri.groupBy("needle").agg(F.count("*").alias("n_tri")),
         "needle")
+    # the broadcast needle join runs BEFORE the distinct, so only
+    # matching trigrams (a tiny fraction of the corpus) ever shuffle
     cand = (
         doc_tri.join(F.broadcast(needle_tri), "tri")
+        .select("doc_id", "needle", "tri", "n_tri").distinct()
         .groupBy("doc_id", "needle")
-        .agg(F.countDistinct("tri").alias("hit"),
-             F.max("n_tri").alias("n_tri"))
+        .agg(F.count("*").alias("hit"), F.max("n_tri").alias("n_tri"))
         .filter(F.col("hit") == F.col("n_tri"))
     )
     verified = (
