@@ -4287,12 +4287,17 @@ def q323(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q325(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    b = docs.select(
+    # materialize the hex string BEFORE the HOF: Catalyst does no
+    # common-subexpression elimination inside lambda bodies, so an
+    # inline hex(encode(text)) would re-encode the whole doc once PER
+    # BYTE (measured ~7 s -> ~1 s at sf0.1)
+    hx = docs.select("lang", F.hex(F.encode("text", "UTF-8")).alias("hx"))
+    b = hx.select(
         "lang",
         F.explode(F.expr(
-            "transform(sequence(1, length(hex(encode(text, 'UTF-8')))"
-            " div 2), i -> CAST(conv(substring(hex(encode(text,"
-            " 'UTF-8')), i * 2 - 1, 2), 16, 10) AS BIGINT))")).alias("byte"))
+            "transform(sequence(1, length(hx) div 2),"
+            " i -> CAST(conv(substring(hx, i * 2 - 1, 2), 16, 10)"
+            " AS BIGINT))")).alias("byte"))
     return (
         b.groupBy("lang", "byte")
         .agg(F.count("*").cast("bigint").alias("n"))
