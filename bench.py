@@ -325,6 +325,9 @@ BENCH_QUERIES = [
     "q340_heaps_law",
     "q341_apriori_itemsets",
     "q342_random_walks",
+    "q343_adamic_adar",
+    "q344_feature_hash_collisions",
+    "q345_jackknife",
 ]
 
 

@@ -2668,3 +2668,73 @@ def q341(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("support").cast("bigint").alias("support"))
     return out2.unionByName(out3).orderBy(
         "level", "i1", "i2", F.col("i3").asc_nulls_first())
+
+
+# --------------------------------------------------------------------------
+# q345 — DELETE-A-GROUP JACKKNIFE (the survey-statistics variance
+# estimator production A/B platforms use when units cluster): the mean
+# order value's standard error estimated by leaving each NATION out in
+# turn. Every replicate theta_i = (S - s_i) / (N - n_i) is a scalar
+# over EXACT integer cent/count aggregates (one shrinking per-nation
+# agg + one broadcast total), so the only float work is 25 fixed-order
+# scalars and the final (g-1)/g moment — rounded 6.
+# --------------------------------------------------------------------------
+@register(
+    "q345_jackknife",
+    oracle="""
+    WITH per_g AS (
+      SELECT c_nationkey AS g,
+             SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS s,
+             COUNT(*) AS n
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1
+    ), tot AS (
+      SELECT SUM(s) AS st, SUM(n) AS nt, COUNT(*) AS ng FROM per_g
+    ), reps AS (
+      SELECT CAST(st - s AS DOUBLE) / (nt - n) AS theta, ng
+      FROM per_g, tot
+    ), m AS (
+      SELECT AVG(theta) AS theta_bar, MAX(ng) AS ng FROM reps
+    )
+    SELECT CAST(m.ng AS BIGINT) AS n_groups,
+           round(CAST(tot.st AS DOUBLE) / tot.nt / 100.0, 6)
+             AS mean_cents,
+           round(sqrt((m.ng - 1.0) / m.ng
+                      * SUM((reps.theta - m.theta_bar)
+                            * (reps.theta - m.theta_bar))) / 100.0, 6)
+             AS jk_se
+    FROM reps, m, tot
+    GROUP BY m.ng, tot.st, tot.nt
+    """,
+)
+def q345(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    per_g = (
+        orders.join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+                    F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("c_nationkey").alias("g"))
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+             .alias("s"),
+             F.count("*").alias("n"))
+    )
+    per_g = per_g.localCheckpoint()  # totals + replicates read it
+    tot = per_g.agg(F.sum("s").alias("st"), F.sum("n").alias("nt"),
+                    F.count("*").alias("ng"))
+    reps = (per_g.crossJoin(F.broadcast(tot))
+            .select(((F.col("st") - F.col("s")).cast("double")
+                     / (F.col("nt") - F.col("n"))).alias("theta"),
+                    "ng", "st", "nt"))
+    m = reps.agg(F.avg("theta").alias("theta_bar"))
+    return (
+        reps.crossJoin(F.broadcast(m))
+        .agg(
+            F.max("ng").cast("bigint").alias("n_groups"),
+            F.round(F.max(F.col("st").cast("double") / F.col("nt"))
+                    / F.lit(100.0), 6).alias("mean_cents"),
+            F.round(F.sqrt((F.max("ng") - F.lit(1.0)) / F.max("ng")
+                           * F.sum((F.col("theta") - F.col("theta_bar"))
+                                   * (F.col("theta")
+                                      - F.col("theta_bar"))))
+                    / F.lit(100.0), 6).alias("jk_se"))
+    )

@@ -919,3 +919,83 @@ def q342(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.col("start").cast("bigint").alias("start"),
                       *[f"n{t}" for t in range(1, _WALK_STEPS + 1)]
                       ).orderBy("start")
+
+
+# --------------------------------------------------------------------------
+# q343 — ADAMIC-ADAR LINK PREDICTION (the classic common-neighbor
+# index, 2003): for non-adjacent supplier pairs, score = sum over
+# common neighbors z of 1/ln(deg(z)). Candidate pairs enumerate from
+# WEDGES (two edges sharing z — linear in Sum deg^2 on the sparsified
+# q327 graph, never nodes x nodes); existing edges drop by anti-join;
+# each wedge contributes its center's exact 1/ln(deg) term and the
+# per-pair sum rounds 6 (ulp-order differences only). Top-20 by
+# (score, pair) with a full tie-break.
+# --------------------------------------------------------------------------
+@register(
+    "q343_adamic_adar",
+    oracle=f"""
+    WITH e AS MATERIALIZED (
+      {_COSUPPLY_EDGES_SQL}
+    ), sym AS (
+      SELECT u, v FROM e UNION ALL SELECT v, u FROM e
+    ), deg AS (
+      SELECT u AS node, COUNT(*) AS d FROM sym GROUP BY u
+    ), wedge AS (
+      SELECT a.u AS x, b.u AS y, a.v AS z
+      FROM sym a JOIN sym b ON a.v = b.v AND a.u < b.u
+    ), cand AS (
+      SELECT w.x, w.y, SUM(1.0 / ln(d.d)) AS aa, COUNT(*) AS n_common
+      FROM wedge w JOIN deg d ON d.node = w.z
+      WHERE d.d >= 2
+        AND NOT EXISTS (SELECT 1 FROM e
+                        WHERE e.u = w.x AND e.v = w.y)
+      GROUP BY w.x, w.y
+    )
+    SELECT CAST(x AS BIGINT) AS supp_a, CAST(y AS BIGINT) AS supp_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           round(aa, 6) AS adamic_adar
+    FROM cand ORDER BY aa DESC, x ASC, y ASC LIMIT 20
+    """,
+)
+def q343(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    ps = (li.filter(F.col("l_partkey") % 17 == 0)
+          .select("l_partkey", "l_suppkey").distinct())
+    wr = Window.partitionBy("l_partkey").orderBy("l_suppkey")
+    a = (ps.withColumn("rk", F.row_number().over(wr))
+         .filter(F.col("rk") <= 6).drop("rk"))
+    b = a.select(F.col("l_partkey"), F.col("l_suppkey").alias("s2"))
+    e = (
+        a.join(b, "l_partkey")
+        .filter(F.col("l_suppkey") < F.col("s2"))
+        .select(F.col("l_suppkey").alias("u"), F.col("s2").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    sym = e.unionAll(e.select(F.col("v").alias("u"),
+                              F.col("u").alias("v")))
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").alias("d"))
+    w1 = sym.select(F.col("u").alias("x"), F.col("v").alias("z"))
+    w2 = sym.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    wedge = w1.join(w2, "z").filter(F.col("x") < F.col("y"))
+    cand = (
+        wedge.join(deg.filter(F.col("d") >= 2),
+                   wedge.z == F.col("node"))
+        .join(e.select(F.col("u").alias("x"), F.col("v").alias("y"),
+                       F.lit(1).alias("_e")), ["x", "y"], "left_anti")
+        .groupBy("x", "y")
+        .agg(F.sum(F.lit(1.0) / F.log(F.col("d").cast("double")))
+             .alias("aa"),
+             F.count("*").alias("n_common"))
+    )
+    return (
+        cand.orderBy(F.col("aa").desc(), F.col("x").asc(),
+                     F.col("y").asc()).limit(20)
+        .select(F.col("x").cast("bigint").alias("supp_a"),
+                F.col("y").cast("bigint").alias("supp_b"),
+                F.col("n_common").cast("bigint").alias("n_common"),
+                F.round("aa", 6).alias("adamic_adar"))
+    )

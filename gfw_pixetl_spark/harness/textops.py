@@ -4966,3 +4966,64 @@ def q340(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(beta, 6).alias("beta"),
         F.round(F.exp((F.col("sy") - beta * F.col("sx")) / m), 6)
         .alias("k_const"))
+
+
+# --------------------------------------------------------------------------
+# q344 — FEATURE-HASHING COLLISION AUDIT (the hashing-trick due
+# diligence behind q260's classifier): hash the word vocabulary into
+# 2^k buckets for k = 8/10/12 and report occupied buckets, collisions,
+# and the birthday-math EXPECTATION m*(1-(1-1/m)^V) — the gap between
+# actual and expected flags a bad hash. One distinct-vocab scan; per-k
+# occupied counts are countDistinct over the bucket id (bounded by m).
+# All integers except the expectation (fixed-order scalar, round 6).
+# --------------------------------------------------------------------------
+_FH_KS = [8, 10, 12]
+
+
+@register(
+    "q344_feature_hash_collisions",
+    oracle=f"""
+    WITH v AS (
+      SELECT DISTINCT unnest({SQL_WORDS}) AS w FROM documents
+    ), h AS (
+      SELECT w, {md5_int64_sql("w")} AS hw FROM v
+    ), stats AS (
+      SELECT COUNT(*) AS vocab FROM v
+    )
+    {" UNION ALL ".join(f'''
+    SELECT CAST({k} AS BIGINT) AS k, CAST({1 << k} AS BIGINT) AS m,
+           CAST(stats.vocab AS BIGINT) AS vocab,
+           CAST(COUNT(DISTINCT hw % {1 << k}) AS BIGINT) AS occupied,
+           CAST(stats.vocab - COUNT(DISTINCT hw % {1 << k}) AS BIGINT)
+             AS collisions,
+           round({float(1 << k)} * (1 - pow(1 - 1.0 / {1 << k},
+                                            stats.vocab)), 6)
+             AS expected_occupied
+    FROM h, stats GROUP BY stats.vocab''' for k in _FH_KS)}
+    ORDER BY k
+    """,
+)
+def q344(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_int64
+
+    docs = load(spark, sf_dir, "documents")
+    v = docs.select(F.explode(T.words("text")).alias("w")).distinct()
+    h = v.select(md5_int64(F.col("w")).alias("hw")).localCheckpoint()
+    out = None
+    for k in _FH_KS:
+        m = 1 << k
+        row = h.agg(
+            F.lit(k).cast("bigint").alias("k"),
+            F.lit(m).cast("bigint").alias("m"),
+            F.count("*").cast("bigint").alias("vocab"),
+            F.countDistinct(F.col("hw") % m).cast("bigint")
+            .alias("occupied"),
+        ).select(
+            "k", "m", "vocab", "occupied",
+            (F.col("vocab") - F.col("occupied")).alias("collisions"),
+            F.round(F.lit(float(m))
+                    * (1 - F.pow(F.lit(1 - 1.0 / m),
+                                 F.col("vocab").cast("double"))), 6)
+            .alias("expected_occupied"))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("k")
