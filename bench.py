@@ -328,6 +328,9 @@ BENCH_QUERIES = [
     "q343_adamic_adar",
     "q344_feature_hash_collisions",
     "q345_jackknife",
+    "q346_neyman_allocation",
+    "q347_diff_in_diff",
+    "q348_cidr_join",
 ]
 
 

@@ -1015,3 +1015,98 @@ def q324(spark: SparkSession, sf_dir: str) -> DataFrame:
             ms.alias("min_str"), xs.alias("max_str"))
         out = row if out is None else out.unionByName(row)
     return out.orderBy("column_name")
+
+
+# --------------------------------------------------------------------------
+# q348 — CIDR CONTAINMENT JOIN (firewall-log / geo-IP enrichment): each
+# event gets a synthetic 32-bit IP (md5-seeded); the rule table is 9
+# fixed CIDR blocks of mixed prefix length. Containment = integer
+# SHIFT equality — ip >> (32 - len) == prefix >> (32 - len) — an
+# equi-join per prefix LENGTH against the broadcast rule table (the
+# standard longest-prefix decomposition: one hash join per distinct
+# length, never a theta join); longest match wins via max(struct(len,
+# rule)). Unmatched IPs fall through as 'unrouted'. Pure integers.
+# --------------------------------------------------------------------------
+_CIDR_RULES = [  # (name, a, b, c, d, prefix_len)
+    ("corp-10/8", 10, 0, 0, 0, 8),
+    ("corp-10.1/16", 10, 1, 0, 0, 16),
+    ("dmz-192.168/16", 192, 168, 0, 0, 16),
+    ("dmz-192.168.7/24", 192, 168, 7, 0, 24),
+    ("cloud-52/8", 52, 0, 0, 0, 8),
+    ("cloud-52.16/12", 52, 16, 0, 0, 12),
+    ("cdn-151.101/16", 151, 101, 0, 0, 16),
+    ("lab-172.16/12", 172, 16, 0, 0, 12),
+    ("vpn-100.64/10", 100, 64, 0, 0, 10),
+]
+
+
+def _cidr_rows() -> list[tuple[str, int, int]]:
+    out = []
+    for name, a, b, c, d, ln in _CIDR_RULES:
+        ip = (a << 24) | (b << 16) | (c << 8) | d
+        out.append((name, ip >> (32 - ln), ln))
+    return out
+
+
+@register(
+    "q348_cidr_join",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id,
+             {md5_int64_sql("CAST(event_id AS VARCHAR) || ':ip'")}
+               % 4294967296 AS ip
+      FROM events
+    ), rules(name, pfx, len) AS (
+      VALUES {", ".join(f"('{n}', {p}, {l})" for n, p, l in _cidr_rows())}
+    ), hits AS (
+      SELECT ev.event_id, r.name, r.len,
+             row_number() OVER (PARTITION BY ev.event_id
+                                ORDER BY r.len DESC) AS rk
+      FROM ev JOIN rules r ON ev.ip // (1 << (32 - r.len)) = r.pfx
+    ), best AS (
+      SELECT event_id, name, len FROM hits WHERE rk = 1
+    ), routed AS (
+      SELECT COALESCE(b.name, 'unrouted') AS rule,
+             COALESCE(b.len, 0) AS match_len
+      FROM ev LEFT JOIN best b USING (event_id)
+    )
+    SELECT rule, CAST(match_len AS BIGINT) AS match_len,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM routed GROUP BY rule, match_len ORDER BY rule
+    """,
+)
+def q348(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_int64
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        (md5_int64(F.concat(F.col("event_id").cast("string"),
+                            F.lit(":ip"))) % 4294967296).alias("ip"))
+    rules = spark.createDataFrame(
+        spark.sparkContext.parallelize(_cidr_rows(), 1),
+        "name string, pfx bigint, len int")
+    # one equi-join per distinct prefix length (longest-prefix
+    # decomposition); rule table broadcasts
+    lens = sorted({l for _, _, l in _cidr_rows()})
+    hits = None
+    for ln in lens:
+        r = rules.filter(F.col("len") == ln).select(
+            F.col("pfx"), F.col("name"), F.col("len"))
+        leg = (ev.withColumn("pfx", (F.col("ip") / (1 << (32 - ln)))
+                             .cast("bigint"))
+               .join(F.broadcast(r), "pfx")
+               .select("event_id", "name", "len"))
+        hits = leg if hits is None else hits.unionByName(leg)
+    best = (hits.groupBy("event_id")
+            .agg(F.max(F.struct(F.col("len"), F.col("name")))
+                 .alias("b"))
+            .select("event_id", F.col("b.name").alias("rule"),
+                    F.col("b.len").alias("match_len")))
+    routed = (ev.join(best, "event_id", "left")
+              .select(F.coalesce("rule", F.lit("unrouted")).alias("rule"),
+                      F.coalesce("match_len", F.lit(0)).alias("match_len")))
+    return (routed.groupBy("rule", "match_len")
+            .agg(F.count("*").cast("bigint").alias("n_events"))
+            .select("rule", F.col("match_len").cast("bigint")
+                    .alias("match_len"), "n_events")
+            .orderBy("rule"))

@@ -2738,3 +2738,134 @@ def q345(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       - F.col("theta_bar"))))
                     / F.lit(100.0), 6).alias("jk_se"))
     )
+
+
+# --------------------------------------------------------------------------
+# q346 — NEYMAN OPTIMAL ALLOCATION (survey sampling design): given a
+# budget of 1000 interviews, allocate per market segment proportionally
+# to N_h * S_h (stratum size x stddev) — the textbook minimum-variance
+# design. Per-stratum size/mean/stddev come from one shrinking agg of
+# exact integer cents (population stddev via the decimal co-moment
+# trick, no float enters a distributed sum); the allocation share is a
+# fixed-order scalar against the broadcast total. floor() keeps the
+# allocations integers on both engines.
+# --------------------------------------------------------------------------
+_NEYMAN_BUDGET = 1000
+
+
+@register(
+    "q346_neyman_allocation",
+    oracle=f"""
+    WITH s AS (
+      SELECT c_mktsegment AS seg, COUNT(*) AS n,
+             SUM(CAST(floor(c_acctbal * 100) AS BIGINT)) AS sx,
+             SUM(CAST(floor(c_acctbal * 100) AS DECIMAL(19,0))
+                 * CAST(floor(c_acctbal * 100) AS DECIMAL(19,0))) AS sxx
+      FROM customer GROUP BY 1
+    ), d AS (
+      SELECT seg, n,
+             sqrt((CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * sx / n) / n) AS sd
+      FROM s
+    ), tot AS (
+      SELECT SUM(n * sd) AS w FROM d
+    )
+    SELECT seg, CAST(n AS BIGINT) AS n_stratum,
+           round(sd / 100.0, 6) AS stddev,
+           CAST(floor({_NEYMAN_BUDGET} * (n * sd) / tot.w) AS BIGINT)
+             AS n_alloc
+    FROM d, tot ORDER BY seg
+    """,
+)
+def q346(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100).cast("bigint")
+    d19 = F.floor(F.col("c_acctbal") * 100).cast("decimal(19,0)")
+    s = cust.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.count("*").alias("n"),
+        F.sum(cents).alias("sx"),
+        F.sum(d19 * d19).alias("sxx"))
+    sd = F.sqrt((F.col("sxx").cast("double")
+                 - F.col("sx").cast("double") * F.col("sx") / F.col("n"))
+                / F.col("n"))
+    d = s.select("seg", "n", sd.alias("sd"))
+    tot = d.agg(F.sum(F.col("n") * F.col("sd")).alias("w"))
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .select("seg", F.col("n").cast("bigint").alias("n_stratum"),
+                F.round(F.col("sd") / 100.0, 6).alias("stddev"),
+                F.floor(_NEYMAN_BUDGET * (F.col("n") * F.col("sd"))
+                        / F.col("w")).cast("bigint").alias("n_alloc"))
+        .orderBy("seg")
+    )
+
+
+# --------------------------------------------------------------------------
+# q347 — DIFFERENCE-IN-DIFFERENCES (the causal-inference workhorse
+# CUPED doesn't replace): treatment = odd custkeys, intervention at a
+# fixed calendar date; DiD = (T_post - T_pre) - (C_post - C_pre) over
+# mean order values. All four cell means are ratios of EXACT integer
+# cent/count aggregates from ONE shrinking (arm, period) agg; the
+# estimate and the pooled SE are fixed-order scalars, rounded 6.
+# --------------------------------------------------------------------------
+_DID_SPLIT = "1998-01-01"
+
+
+@register(
+    "q347_diff_in_diff",
+    oracle=f"""
+    WITH cell AS (
+      SELECT o_custkey % 2 AS arm,
+             CASE WHEN o_orderdate >= TIMESTAMP '{_DID_SPLIT} 00:00:00'
+                  THEN 1 ELSE 0 END AS post,
+             COUNT(*) AS n,
+             SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS sx,
+             SUM(CAST(floor(o_totalprice * 100) AS DECIMAL(19,0))
+                 * CAST(floor(o_totalprice * 100) AS DECIMAL(19,0)))
+               AS sxx
+      FROM orders GROUP BY 1, 2
+    ), m AS (
+      SELECT arm, post, n,
+             CAST(sx AS DOUBLE) / n AS mu,
+             (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n)
+               / (n - 1) / n AS var_mu
+      FROM cell
+    )
+    SELECT
+      round((MAX(CASE WHEN arm = 1 AND post = 1 THEN mu END)
+             - MAX(CASE WHEN arm = 1 AND post = 0 THEN mu END)
+             - MAX(CASE WHEN arm = 0 AND post = 1 THEN mu END)
+             + MAX(CASE WHEN arm = 0 AND post = 0 THEN mu END))
+            / 100.0, 6) AS did_cents,
+      round(sqrt(SUM(var_mu)) / 100.0, 6) AS se_cents,
+      CAST(SUM(n) AS BIGINT) AS n_orders
+    FROM m
+    """,
+)
+def q347(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    split = F.lit(_DID_SPLIT + " 00:00:00").cast("timestamp")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    d19 = F.floor(F.col("o_totalprice") * 100).cast("decimal(19,0)")
+    cell = orders.groupBy(
+        (F.col("o_custkey") % 2).alias("arm"),
+        (F.col("o_orderdate") >= split).cast("int").alias("post")).agg(
+        F.count("*").alias("n"), F.sum(cents).alias("sx"),
+        F.sum(d19 * d19).alias("sxx"))
+    mu = F.col("sx").cast("double") / F.col("n")
+    var_mu = ((F.col("sxx").cast("double")
+               - F.col("sx").cast("double") * F.col("sx") / F.col("n"))
+              / (F.col("n") - 1) / F.col("n"))
+    m = cell.select("arm", "post", "n", mu.alias("mu"),
+                    var_mu.alias("var_mu"))
+
+    def pick(a, p):
+        return F.max(F.when((F.col("arm") == a) & (F.col("post") == p),
+                            F.col("mu")))
+
+    return m.agg(
+        F.round((pick(1, 1) - pick(1, 0) - pick(0, 1) + pick(0, 0))
+                / F.lit(100.0), 6).alias("did_cents"),
+        F.round(F.sqrt(F.sum("var_mu")) / F.lit(100.0), 6)
+        .alias("se_cents"),
+        F.sum("n").cast("bigint").alias("n_orders"))
