@@ -331,6 +331,9 @@ BENCH_QUERIES = [
     "q346_neyman_allocation",
     "q347_diff_in_diff",
     "q348_cidr_join",
+    "q349_rolling_backtest",
+    "q350_higher_moments",
+    "q351_spearman",
 ]
 
 

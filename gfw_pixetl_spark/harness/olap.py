@@ -2869,3 +2869,150 @@ def q347(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(F.sum("var_mu")) / F.lit(100.0), 6)
         .alias("se_cents"),
         F.sum("n").cast("bigint").alias("n_orders"))
+
+
+# --------------------------------------------------------------------------
+# q350 — EXACT HIGHER MOMENTS (skewness g1 = m3/m2^1.5, excess
+# kurtosis g2 = m4/m2^2 - 3): the distribution-shape profile that
+# decides whether a metric needs winsorizing (q283). Central moments
+# expand algebraically into RAW power sums S1..S4, each accumulated as
+# DECIMAL(38,0) over exact cents (cents^4 * rows stays under 10^38 at
+# warehouse scale) — no float enters a distributed sum, and the final
+# m2/m3/m4 algebra is fixed-order scalar IEEE, rounded 6.
+# --------------------------------------------------------------------------
+@register(
+    "q350_higher_moments",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS x FROM orders
+    ), s AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(x AS DECIMAL(38,0))) AS s1,
+             SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+               AS s2,
+             SUM(CAST(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))
+                      AS DECIMAL(25,0)) * x) AS s3,
+             SUM(CAST(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0))
+                      AS DECIMAL(25,0))
+                 * CAST(CAST(x AS DECIMAL(19,0))
+                        * CAST(x AS DECIMAL(19,0)) AS DECIMAL(25,0)))
+               AS s4
+      FROM c
+    ), m AS (
+      SELECT n,
+             CAST(s1 AS DOUBLE) / n AS mu,
+             CAST(s2 AS DOUBLE) / n
+               - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+               AS m2,
+             CAST(s3 AS DOUBLE) / n
+               - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+               + 2 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                 * (CAST(s1 AS DOUBLE) / n) AS m3,
+             CAST(s4 AS DOUBLE) / n
+               - 4 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+               + 6 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                 * (CAST(s2 AS DOUBLE) / n)
+               - 3 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+                 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+               AS m4
+      FROM s
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(mu / 100.0, 6) AS mean,
+           round(sqrt(m2) / 100.0, 6) AS stddev_pop,
+           round(m3 / pow(m2, 1.5), 6) AS skewness,
+           round(m4 / (m2 * m2) - 3, 6) AS excess_kurtosis
+    FROM m
+    """,
+)
+def q350(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    x = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    c = orders.select(x.alias("x"))
+    x19 = F.col("x").cast("decimal(19,0)")
+    x2 = (x19 * x19).cast("decimal(25,0)")
+    s = c.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("s1"),
+        F.sum(x19 * x19).alias("s2"),
+        F.sum(x2 * F.col("x")).alias("s3"),
+        F.sum(x2 * x2).alias("s4"))
+    n = F.col("n").cast("double")
+    mu = F.col("s1").cast("double") / n
+    e2 = F.col("s2").cast("double") / n
+    e3 = F.col("s3").cast("double") / n
+    e4 = F.col("s4").cast("double") / n
+    m2 = e2 - mu * mu
+    m3 = e3 - 3 * mu * e2 + 2 * mu * mu * mu
+    m4 = e4 - 4 * mu * e3 + 6 * mu * mu * e2 - 3 * mu * mu * mu * mu
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(mu / F.lit(100.0), 6).alias("mean"),
+        F.round(F.sqrt(m2) / F.lit(100.0), 6).alias("stddev_pop"),
+        F.round(m3 / F.pow(m2, 1.5), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3, 6).alias("excess_kurtosis"))
+
+
+# --------------------------------------------------------------------------
+# q349 — ROLLING-ORIGIN FORECAST BACKTEST (the time-series eval
+# protocol behind q289's MASE): from every origin day o, the drift
+# forecaster predicts y(o+h) = y(o) + h*(y(o) - y(o-7))/7 for horizons
+# 1..7, and the backtest reports per-horizon MAE over ALL origins.
+# Exactness: the /7 never happens — errors live in SEVENTHS
+# (err7 = |7*y(o+h) - 7*y(o) - h*(y(o)-y(o-7))|, all integer cents)
+# and divide once at the end. The series shrinks to one row per day;
+# lookback/lookahead are EQUI-JOINS on day arithmetic (gap-safe — a
+# ROWS-frame lag would silently step over missing days), fanned out by
+# a broadcast 7-row horizon table.
+# --------------------------------------------------------------------------
+@register(
+    "q349_rolling_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS d,
+             SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS y
+      FROM orders GROUP BY 1
+    ), h AS (SELECT unnest(range(1, 8)) AS h), j AS (
+      SELECT h.h,
+             abs(7 * yt.y - 7 * o.y - h.h * (o.y - m7.y)) AS err7
+      FROM daily o
+      JOIN daily m7 ON m7.d = o.d - 7
+      CROSS JOIN h
+      JOIN daily yt ON yt.d = o.d + h.h
+    )
+    SELECT CAST(h AS BIGINT) AS horizon,
+           CAST(COUNT(*) AS BIGINT) AS n_origins,
+           round(CAST(SUM(err7) AS DOUBLE) / (7.0 * COUNT(*)) / 100.0, 6)
+             AS mae
+    FROM j GROUP BY h ORDER BY horizon
+    """,
+)
+def q349(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        # TIMESTAMP_NTZ refuses numeric casts; TIMESTAMP is a no-op on
+        # the instant under the pinned-UTC session
+        F.floor(F.col("o_orderdate").cast("timestamp").cast("double")
+                / 86400).cast("bigint").alias("d")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .alias("y"))
+    daily = daily.localCheckpoint(eager=False)  # three self-joins
+    hs = spark.range(1, 8).select(F.col("id").cast("bigint").alias("h"))
+    m7 = daily.select((F.col("d") + 7).alias("d"),
+                      F.col("y").alias("y_m7"))
+    o = daily.join(m7, "d").crossJoin(F.broadcast(hs))
+    yt = daily.select(F.col("d").alias("dt"), F.col("y").alias("y_t"))
+    j = o.join(yt, F.col("dt") == F.col("d") + F.col("h"))
+    err7 = F.abs(7 * F.col("y_t") - 7 * F.col("y")
+                 - F.col("h") * (F.col("y") - F.col("y_m7")))
+    return (
+        j.select("h", err7.alias("err7"))
+        .groupBy(F.col("h").alias("horizon"))
+        .agg(F.count("*").cast("bigint").alias("n_origins"),
+             F.round(F.sum("err7").cast("double")
+                     / (F.lit(7.0) * F.count("*")) / F.lit(100.0), 6)
+             .alias("mae"))
+        .select(F.col("horizon").cast("bigint").alias("horizon"),
+                "n_origins", "mae")
+        .orderBy("horizon")
+    )

@@ -332,3 +332,94 @@ def q298(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.exp(lns), 6).alias("survival"))
         .orderBy("t_days")
     )
+
+
+# --------------------------------------------------------------------------
+# q351 — SPEARMAN RANK CORRELATION with ties (the robust cousin of
+# q104's Pearson): does quantity co-rank with price? Both columns rank
+# through the q297 doubled-average-rank construction (2*c_before + k +
+# 1 — tied blocks get their exact average rank as an INTEGER), each
+# cumulated with the q296 bucketed scan over its own distinct-value
+# table and joined back to rows by value. rho is then Pearson over the
+# exact integer doubled ranks — DECIMAL(38,0) sums, one fixed-order
+# scalar, rounded 6. The oracle cumulates with plain ordered windows.
+# --------------------------------------------------------------------------
+def _sql_rank2(table: str, col: str) -> str:
+    return f"""(
+      SELECT {col} AS v,
+             2 * COALESCE(SUM(k) OVER (ORDER BY {col}
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + k + 1 AS r2
+      FROM (SELECT {col}, COUNT(*) AS k FROM {table} GROUP BY {col})
+    )"""
+
+
+@register(
+    "q351_spearman",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(floor(l_extendedprice * 100) AS BIGINT) AS y
+      FROM lineitem
+    ), rx AS {_sql_rank2("base", "x")},
+    ry AS {_sql_rank2("base", "y")},
+    j AS (
+      SELECT rx.r2 AS a, ry.r2 AS b
+      FROM base JOIN rx ON rx.v = base.x JOIN ry ON ry.v = base.y
+    ), s AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(a AS DECIMAL(38,0))) AS sa,
+             SUM(CAST(b AS DECIMAL(38,0))) AS sb,
+             SUM(CAST(a AS DECIMAL(19,0)) * CAST(b AS DECIMAL(19,0)))
+               AS sab,
+             SUM(CAST(a AS DECIMAL(19,0)) * CAST(a AS DECIMAL(19,0)))
+               AS saa,
+             SUM(CAST(b AS DECIMAL(19,0)) * CAST(b AS DECIMAL(19,0)))
+               AS sbb
+      FROM j
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+                  - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                         - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                           - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))),
+                 6) AS spearman_rho
+    FROM s
+    """,
+)
+def q351(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    base = li.select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("y"))
+    base = base.localCheckpoint(eager=False)
+
+    def rank2(col: str) -> DataFrame:
+        d = base.groupBy(col).agg(F.count("*").alias("k"))
+        c = _bucketed_cum(d, col, ["k"])
+        return c.select(
+            F.col(col).alias("v"),
+            (2 * (F.col("cum_k") - F.col("k")) + F.col("k") + 1)
+            .alias("r2"))
+
+    rx = rank2("x").select(F.col("v").alias("x"), F.col("r2").alias("a"))
+    ry = rank2("y").select(F.col("v").alias("y"), F.col("r2").alias("b"))
+    j = base.join(F.broadcast(rx), "x").join(ry, "y")
+    d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    s = j.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("a").cast("decimal(38,0)")).alias("sa"),
+        F.sum(F.col("b").cast("decimal(38,0)")).alias("sb"),
+        F.sum(d19("a") * d19("b")).alias("sab"),
+        F.sum(d19("a") * d19("a")).alias("saa"),
+        F.sum(d19("b") * d19("b")).alias("sbb"))
+    n = F.col("n").cast("double")
+    sa, sb = F.col("sa").cast("double"), F.col("sb").cast("double")
+    return s.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round((n * F.col("sab").cast("double") - sa * sb)
+                / F.sqrt((n * F.col("saa").cast("double") - sa * sa)
+                         * (n * F.col("sbb").cast("double") - sb * sb)),
+                6).alias("spearman_rho"))

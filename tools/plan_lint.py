@@ -92,6 +92,9 @@ EXEMPTIONS: dict[str, dict[str, str]] = {
     "q297_mann_whitney_u": {
         "SINGLE_PART": "offset window over 64 aggregated bucket totals"
     },
+    "q351_spearman": {
+        "SINGLE_PART": "offset window over 64 aggregated bucket totals"
+    },
     # at-risk + log-survival prefix sums run over the per-duration table
     # (one row per calendar-day duration, ~2400 however many customers) —
     # the q288 dimension-scale exemption class.
