@@ -334,6 +334,7 @@ BENCH_QUERIES = [
     "q349_rolling_backtest",
     "q350_higher_moments",
     "q351_spearman",
+    "q352_slo_burn",
 ]
 
 

@@ -1110,3 +1110,70 @@ def q348(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("rule", F.col("match_len").cast("bigint")
                     .alias("match_len"), "n_events")
             .orderBy("rule"))
+
+
+# --------------------------------------------------------------------------
+# q352 — SLO BURN-RATE ALERT (the Google-SRE multiwindow policy): with
+# a 99% success SLO, the burn rate is bad-fraction / error-budget over
+# a 1 h and a 6 h trailing window (anchored at max(ts) — deterministic);
+# the alert fires only when BOTH windows burn hot (fast-burn 14.4x +
+# 6x confirmation), which suppresses blips. "Bad" is the deterministic
+# event_id % 100 < 5 class. Two filtered integer aggregates against a
+# broadcast anchor scalar; every ratio is one fixed-order division.
+# --------------------------------------------------------------------------
+_SLO_TARGET = 0.99
+
+
+@register(
+    "q352_slo_burn",
+    oracle=f"""
+    WITH anchor AS (
+      SELECT MAX(ts) AS hi FROM events
+    ), w AS (
+      SELECT CASE WHEN ts > hi - INTERVAL 1 HOUR THEN 1 ELSE 0 END
+               AS in1,
+             CASE WHEN ts > hi - INTERVAL 6 HOUR THEN 1 ELSE 0 END
+               AS in6,
+             CASE WHEN event_id % 100 < 5 THEN 1 ELSE 0 END AS bad
+      FROM events, anchor
+    ), s AS (
+      SELECT SUM(in1) AS n1, SUM(in1 * bad) AS b1,
+             SUM(in6) AS n6, SUM(in6 * bad) AS b6
+      FROM w
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_1h, CAST(b1 AS BIGINT) AS bad_1h,
+           CAST(n6 AS BIGINT) AS n_6h, CAST(b6 AS BIGINT) AS bad_6h,
+           round(CAST(b1 AS DOUBLE) / n1 / {1 - _SLO_TARGET}, 6)
+             AS burn_1h,
+           round(CAST(b6 AS DOUBLE) / n6 / {1 - _SLO_TARGET}, 6)
+             AS burn_6h,
+           (CAST(b1 AS DOUBLE) / n1 / {1 - _SLO_TARGET} > 14.4
+            AND CAST(b6 AS DOUBLE) / n6 / {1 - _SLO_TARGET} > 6.0)
+             AS page
+    FROM s
+    """,
+)
+def q352(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("hi"))
+    w = ev.crossJoin(F.broadcast(anchor)).select(
+        (F.col("ts") > F.col("hi") - F.expr("INTERVAL 1 HOUR"))
+        .cast("int").alias("in1"),
+        (F.col("ts") > F.col("hi") - F.expr("INTERVAL 6 HOUR"))
+        .cast("int").alias("in6"),
+        (F.col("event_id") % 100 < 5).cast("int").alias("bad"))
+    s = w.agg(F.sum("in1").alias("n1"),
+              F.sum(F.col("in1") * F.col("bad")).alias("b1"),
+              F.sum("in6").alias("n6"),
+              F.sum(F.col("in6") * F.col("bad")).alias("b6"))
+    budget = F.lit(1 - _SLO_TARGET)
+    burn1 = F.col("b1").cast("double") / F.col("n1") / budget
+    burn6 = F.col("b6").cast("double") / F.col("n6") / budget
+    return s.select(
+        F.col("n1").cast("bigint").alias("n_1h"),
+        F.col("b1").cast("bigint").alias("bad_1h"),
+        F.col("n6").cast("bigint").alias("n_6h"),
+        F.col("b6").cast("bigint").alias("bad_6h"),
+        F.round(burn1, 6).alias("burn_1h"),
+        F.round(burn6, 6).alias("burn_6h"),
+        ((burn1 > 14.4) & (burn6 > 6.0)).alias("page"))
