@@ -335,6 +335,7 @@ BENCH_QUERIES = [
     "q350_higher_moments",
     "q351_spearman",
     "q352_slo_burn",
+    "q353_haar_energy",
 ]
 
 

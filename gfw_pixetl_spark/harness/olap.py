@@ -3016,3 +3016,74 @@ def q349(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_origins", "mae")
         .orderBy("horizon")
     )
+
+
+# --------------------------------------------------------------------------
+# q353 — HAAR MULTI-RESOLUTION ENERGY (the wavelet decomposition that
+# localizes WHERE a time series' variance lives — daily noise vs
+# weekly/monthly structure; complements q274's ACF): at scale k the
+# UNNORMALIZED Haar detail of each 2^k-day block is
+# left-half-sum - right-half-sum — pure integer cents, missing days
+# contribute 0 on both engines by construction. Each level is ONE hash
+# agg keyed by (day-anchor) // 2^k (the fact table shrinks to daily
+# rows first); energies accumulate as DECIMAL(38,0) squares. Six
+# levels unrolled as independent UNION branches.
+# --------------------------------------------------------------------------
+_HAAR_LEVELS = 6
+
+
+@register(
+    "q353_haar_energy",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS d,
+             SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS y
+      FROM orders GROUP BY 1
+    ), anch AS (
+      SELECT MIN(d) AS d0 FROM daily
+    ), rel AS (
+      SELECT d - d0 AS i, y FROM daily, anch
+    )
+    {" UNION ALL ".join(f'''
+    SELECT CAST({k} AS BIGINT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(CAST(det AS DECIMAL(19,0))
+                    * CAST(det AS DECIMAL(19,0))) AS DOUBLE)
+             AS energy
+    FROM (
+      SELECT i // {1 << k} AS blk,
+             SUM(CASE WHEN (i // {1 << (k - 1)}) % 2 = 0
+                      THEN y ELSE -y END) AS det
+      FROM rel GROUP BY 1
+    )''' for k in range(1, _HAAR_LEVELS + 1))}
+    ORDER BY level
+    """,
+)
+def q353(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.floor(F.col("o_orderdate").cast("timestamp").cast("double")
+                / 86400).cast("bigint").alias("d")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+        .alias("y"))
+    anch = daily.agg(F.min("d").alias("d0"))
+    rel = (daily.crossJoin(F.broadcast(anch))
+           .select((F.col("d") - F.col("d0")).alias("i"), "y")
+           .localCheckpoint(eager=False))  # six level aggs read it
+    out = None
+    for k in range(1, _HAAR_LEVELS + 1):
+        half = (F.col("i") / (1 << (k - 1))).cast("bigint") % 2
+        det = F.sum(F.when(half == 0, F.col("y"))
+                    .otherwise(-F.col("y")))
+        lvl = (
+            rel.groupBy((F.col("i") / (1 << k)).cast("bigint")
+                        .alias("blk"))
+            .agg(det.alias("det"))
+            .agg(F.lit(k).cast("bigint").alias("level"),
+                 F.count("*").cast("bigint").alias("n_blocks"),
+                 F.sum(F.col("det").cast("decimal(19,0)")
+                       * F.col("det").cast("decimal(19,0)"))
+                 .cast("double").alias("energy"))
+        )
+        out = lvl if out is None else out.unionByName(lvl)
+    return out.orderBy("level")
