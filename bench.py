@@ -336,6 +336,7 @@ BENCH_QUERIES = [
     "q351_spearman",
     "q352_slo_burn",
     "q353_haar_energy",
+    "q354_bh_fdr",
 ]
 
 

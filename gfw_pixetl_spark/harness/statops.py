@@ -423,3 +423,104 @@ def q351(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sqrt((n * F.col("saa").cast("double") - sa * sa)
                          * (n * F.col("sbb").cast("double") - sb * sb)),
                 6).alias("spearman_rho"))
+
+
+# --------------------------------------------------------------------------
+# q354 — BENJAMINI-HOCHBERG FDR CONTROL (the multiple-testing step-up
+# every metrics platform needs once it tests 25 segments at once):
+# per-nation z of mean order value vs the global mean (all from exact
+# integer cent/count sums), p replaced by its CHERNOFF BOUND
+# exp(-z^2/2) — a valid p-value upper bound, so BH on it stays
+# conservative while keeping both engines bit-comparable (no erf).
+# The step-up rank is a COUNT over a broadcast self-join of the 25-row
+# test table (rank_i = #{p_j <= p_i}, ties broken by nation — no
+# global window anywhere); reject p_i <= max{p_j : p_j <= rank_j/m * a}.
+# --------------------------------------------------------------------------
+_BH_ALPHA = 0.1
+
+
+@register(
+    "q354_bh_fdr",
+    oracle=f"""
+    WITH per AS (
+      SELECT c_nationkey AS nat, COUNT(*) AS n,
+             SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS sx,
+             SUM(CAST(floor(o_totalprice * 100) AS DECIMAL(19,0))
+                 * CAST(floor(o_totalprice * 100) AS DECIMAL(19,0)))
+               AS sxx
+      FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1
+    ), tot AS (
+      SELECT SUM(sx) AS st, SUM(n) AS nt, COUNT(*) AS m FROM per
+    ), t AS (
+      SELECT nat, n,
+             (CAST(sx AS DOUBLE) / n - CAST(st AS DOUBLE) / nt)
+             / sqrt((CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * sx / n) / (n - 1) / n) AS z,
+             m
+      FROM per, tot
+    ), p AS (
+      SELECT nat, n, z, exp(-z * z / 2) AS pb, m FROM t
+    ), ranked AS (
+      SELECT a.nat, a.n, a.z, a.pb, a.m,
+             (SELECT COUNT(*) FROM p b
+              WHERE b.pb < a.pb OR (b.pb = a.pb AND b.nat <= a.nat))
+               AS rk
+      FROM p a
+    ), thresh AS (
+      SELECT MAX(pb) AS cut FROM ranked
+      WHERE pb <= CAST(rk AS DOUBLE) / m * {_BH_ALPHA}
+    )
+    SELECT CAST(nat AS BIGINT) AS nat, CAST(n AS BIGINT) AS n,
+           round(z, 6) AS z, round(pb, 6) AS p_bound,
+           CAST(rk AS BIGINT) AS rank,
+           COALESCE(pb <= (SELECT cut FROM thresh), FALSE) AS rejected
+    FROM ranked ORDER BY nat
+    """,
+)
+def q354(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("bigint")
+    d19 = F.floor(F.col("o_totalprice") * 100).cast("decimal(19,0)")
+    per = (orders.join(F.broadcast(cust.select("c_custkey",
+                                               "c_nationkey")),
+                       F.col("o_custkey") == F.col("c_custkey"))
+           .groupBy(F.col("c_nationkey").alias("nat"))
+           .agg(F.count("*").alias("n"), F.sum(cents).alias("sx"),
+                F.sum(d19 * d19).alias("sxx")))
+    per = per.localCheckpoint()  # totals + the 25x25 rank self-join
+    tot = per.agg(F.sum("sx").alias("st"), F.sum("n").alias("nt"),
+                  F.count("*").alias("m"))
+    z = ((F.col("sx").cast("double") / F.col("n")
+          - F.col("st").cast("double") / F.col("nt"))
+         / F.sqrt((F.col("sxx").cast("double")
+                   - F.col("sx").cast("double") * F.col("sx")
+                   / F.col("n")) / (F.col("n") - 1) / F.col("n")))
+    p = (per.crossJoin(F.broadcast(tot))
+         .select("nat", "n", z.alias("z"), "m")
+         .withColumn("pb", F.exp(-F.col("z") * F.col("z") / 2)))
+    b = p.select(F.col("nat").alias("nat2"), F.col("pb").alias("pb2"))
+    ranked = (
+        p.join(F.broadcast(b),
+               (F.col("pb2") < F.col("pb"))
+               | ((F.col("pb2") == F.col("pb"))
+                  & (F.col("nat2") <= F.col("nat"))))
+        .groupBy("nat", "n", "z", "pb", "m")
+        .agg(F.count("*").alias("rk"))
+    )
+    ranked = ranked.localCheckpoint(eager=False)
+    thresh = (ranked.filter(F.col("pb")
+                            <= F.col("rk").cast("double") / F.col("m")
+                            * _BH_ALPHA)
+              .agg(F.max("pb").alias("cut")))
+    return (
+        ranked.crossJoin(F.broadcast(thresh))
+        .select(F.col("nat").cast("bigint").alias("nat"),
+                F.col("n").cast("bigint").alias("n"),
+                F.round("z", 6).alias("z"),
+                F.round("pb", 6).alias("p_bound"),
+                F.col("rk").cast("bigint").alias("rank"),
+                F.coalesce(F.col("pb") <= F.col("cut"), F.lit(False))
+                .alias("rejected"))
+        .orderBy("nat")
+    )
