@@ -337,6 +337,8 @@ BENCH_QUERIES = [
     "q352_slo_burn",
     "q353_haar_energy",
     "q354_bh_fdr",
+    "q355_greedy_set_cover",
+    "q356_good_turing",
 ]
 
 

@@ -5027,3 +5027,145 @@ def q344(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("expected_occupied"))
         out = row if out is None else out.unionByName(row)
     return out.orderBy("k")
+
+
+# --------------------------------------------------------------------------
+# q356 — GOOD-TURING FREQUENCY SMOOTHING (the classic LM mass
+# re-estimator): from the word frequency-of-frequencies table
+# N_r = #{words seen exactly r times}, the adjusted count is
+# r* = (r+1) * N_{r+1} / N_r and the unseen-mass estimate is N_1 / N.
+# Everything is a ratio of EXACT integers: one shrinking word-count
+# agg, one freq-of-freq agg (value-domain-sized), and a self-join on
+# r+1. Reported for the 10 smallest r (where GT is actually used; high
+# r keeps raw counts).
+# --------------------------------------------------------------------------
+@register(
+    "q356_good_turing",
+    oracle=f"""
+    WITH wc AS (
+      SELECT word, COUNT(*) AS r FROM (
+        SELECT unnest({SQL_WORDS}) AS word FROM documents
+      ) GROUP BY word
+    ), fof AS (
+      SELECT r, COUNT(*) AS nr FROM wc GROUP BY r
+    ), tot AS (
+      SELECT SUM(r * nr) AS n_tok FROM fof
+    )
+    SELECT CAST(a.r AS BIGINT) AS r,
+           CAST(a.nr AS BIGINT) AS n_r,
+           CAST(COALESCE(b.nr, 0) AS BIGINT) AS n_r1,
+           round((a.r + 1) * CAST(COALESCE(b.nr, 0) AS DOUBLE) / a.nr, 6)
+             AS r_star,
+           round((SELECT CAST(nr AS DOUBLE) FROM fof WHERE r = 1)
+                 / (SELECT n_tok FROM tot), 6) AS p_unseen
+    FROM fof a LEFT JOIN fof b ON b.r = a.r + 1
+    ORDER BY a.r LIMIT 10
+    """,
+)
+def q356(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    wc = (docs.select(F.explode(T.words("text")).alias("word"))
+          .groupBy("word").agg(F.count("*").alias("r")))
+    fof = wc.groupBy("r").agg(F.count("*").alias("nr"))
+    fof = fof.localCheckpoint(eager=False)  # read 4 ways below
+    tot = fof.agg(F.sum(F.col("r") * F.col("nr")).alias("n_tok"))
+    # aggregate (not filter): a corpus with NO hapax words must still
+    # yield one row with NULL, matching the oracle's scalar subquery
+    n1 = fof.agg(F.sum(F.when(F.col("r") == 1, F.col("nr")))
+                 .cast("double").alias("n1"))
+    b = fof.select((F.col("r") - 1).alias("r"),
+                   F.col("nr").alias("nr1"))
+    j = (fof.join(b, "r", "left")
+         .crossJoin(F.broadcast(tot)).crossJoin(F.broadcast(n1)))
+    return (
+        j.select(
+            F.col("r").cast("bigint").alias("r"),
+            F.col("nr").cast("bigint").alias("n_r"),
+            F.coalesce("nr1", F.lit(0)).cast("bigint").alias("n_r1"),
+            F.round((F.col("r") + 1)
+                    * F.coalesce("nr1", F.lit(0)).cast("double")
+                    / F.col("nr"), 6).alias("r_star"),
+            F.round(F.col("n1") / F.col("n_tok"), 6).alias("p_unseen"))
+        .orderBy("r").limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# q355 — GREEDY MAX-COVERAGE SELECTION (the (1-1/e) facility-location
+# greedy used for instruction-data subset selection): pick 5 docs, each
+# round choosing the one covering the most NOT-YET-COVERED 5-word
+# shingles (ties to the lowest doc_id). The uncovered gain is one
+# anti-join + hash agg per round; the argmax is a bounded 1-row
+# collect (the k-center q311 discipline) and the covered set grows by
+# the winner's shingles only. The oracle unrolls all 5 rounds as
+# chained CTEs — an independent mechanism that must agree on every
+# pick and gain.
+# --------------------------------------------------------------------------
+_COVER_K = 5
+
+
+def _cover_oracle() -> str:
+    head = f"""WITH sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, len({SQL_WORDS}) - 4),
+                 i -> array_to_string(list_slice({SQL_WORDS}, i, i + 4),
+                                      ' '))) AS shingle
+        FROM documents)
+    ), g1 AS (
+      SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id
+    ), p1 AS (
+      SELECT doc_id, c FROM g1 ORDER BY c DESC, doc_id ASC LIMIT 1
+    ), c1 AS (
+      SELECT DISTINCT shingle FROM sh JOIN p1 USING (doc_id)
+    )"""
+    parts = [head]
+    for k in range(2, _COVER_K + 1):
+        parts.append(f""", g{k} AS (
+          SELECT s.doc_id, COUNT(*) AS c
+          FROM sh s LEFT JOIN c{k - 1} cc ON cc.shingle = s.shingle
+          WHERE cc.shingle IS NULL GROUP BY s.doc_id
+        ), p{k} AS (
+          SELECT doc_id, c FROM g{k} ORDER BY c DESC, doc_id ASC LIMIT 1
+        ), c{k} AS (
+          SELECT shingle FROM c{k - 1}
+          UNION
+          SELECT s.shingle FROM sh s JOIN p{k} USING (doc_id)
+        )""")
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS pick, doc_id, "
+        f"CAST(c AS BIGINT) AS gain FROM p{k}"
+        for k in range(1, _COVER_K + 1))
+    return "".join(parts) + " " + sel + " ORDER BY pick"
+
+
+@register("q355_greedy_set_cover", oracle=_cover_oracle())
+def q355(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ws = T.words("text")
+    sh = (docs.select("doc_id", ws.alias("ws"))
+          .select("doc_id", F.explode(F.expr(
+              "transform(sequence(1, size(ws) - 4),"
+              " i -> array_join(slice(ws, i, 5), ' '))")).alias("shingle"))
+          .distinct().localCheckpoint())
+    covered = None
+    picks = []
+    for k in range(1, _COVER_K + 1):
+        rem = (sh if covered is None
+               else sh.join(covered, "shingle", "left_anti"))
+        gain = rem.groupBy("doc_id").agg(F.count("*").alias("c"))
+        top = gain.agg(F.max(F.struct(
+            F.col("c"), (-F.col("doc_id")).alias("nd"))).alias("m")
+        ).collect()[0].m  # bounded: 1 row
+        if top is None:
+            break
+        pick, c = -top.nd, int(top.c)
+        picks.append((k, int(pick), c))
+        new_cov = sh.filter(F.col("doc_id") == pick).select("shingle")
+        covered = (new_cov if covered is None
+                   else covered.unionByName(new_cov).distinct()
+                   ).localCheckpoint()
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(picks, 1),
+        "pick bigint, doc_id bigint, gain bigint").orderBy("pick")
