@@ -339,6 +339,7 @@ BENCH_QUERIES = [
     "q354_bh_fdr",
     "q355_greedy_set_cover",
     "q356_good_turing",
+    "q357_abc_xyz",
 ]
 
 

@@ -524,3 +524,116 @@ def q354(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("rejected"))
         .orderBy("nat")
     )
+
+
+# --------------------------------------------------------------------------
+# q357 — ABC-XYZ INVENTORY CLASSIFICATION (the supply-chain planning
+# matrix): ABC = cumulative-revenue-share bands (A <= 80%, B <= 95%,
+# C rest) over parts ranked by revenue DESC — the global cumulation
+# runs through the q296 bucketed scan on negated revenue with a
+# partkey tie-break (never a fact-scale single-partition window).
+# XYZ = weekly-demand variability bands with the float boundary
+# ELIMINATED: cv^2 <= 1/4 iff 4*W*Sq2 <= 5*(Sq)^2 and cv^2 <= 1 iff
+# W*Sq2 <= 2*(Sq)^2 — exact DECIMAL comparisons (zero-demand weeks
+# enter through the global week count W, costing nothing). ABC
+# boundaries likewise compare 100*cum <= 80*total in integers. Output:
+# the 3x3 cell counts + revenue share per cell.
+# --------------------------------------------------------------------------
+@register(
+    "q357_abc_xyz",
+    oracle="""
+    WITH pr AS (
+      SELECT l_partkey AS p,
+             SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS rev
+      FROM lineitem GROUP BY 1
+    ), tot AS (
+      SELECT SUM(rev) AS trev FROM pr
+    ), ranked AS (
+      SELECT p, rev,
+             SUM(rev) OVER (ORDER BY rev DESC, p ASC) AS cum
+      FROM pr
+    ), abc AS (
+      SELECT p, rev,
+             CASE WHEN 100 * CAST(cum AS DECIMAL(38,0)) <= 80 * trev
+                  THEN 'A'
+                  WHEN 100 * CAST(cum AS DECIMAL(38,0)) <= 95 * trev
+                  THEN 'B' ELSE 'C' END AS abc
+      FROM ranked, tot
+    ), wk AS (
+      SELECT l_partkey AS p,
+             CAST(floor(epoch(l_shipdate) / 604800) AS BIGINT) AS w,
+             SUM(CAST(l_quantity AS BIGINT)) AS q
+      FROM lineitem GROUP BY 1, 2
+    ), nw AS (
+      SELECT COUNT(DISTINCT w) AS wt FROM wk
+    ), dem AS (
+      SELECT p, SUM(q) AS sq,
+             SUM(CAST(q AS DECIMAL(19,0)) * CAST(q AS DECIMAL(19,0)))
+               AS sq2
+      FROM wk GROUP BY p
+    ), xyz AS (
+      SELECT p,
+             CASE WHEN 4 * wt * sq2 <= 5 * CAST(sq AS DECIMAL(38,0)) * sq
+                  THEN 'X'
+                  WHEN wt * sq2 <= 2 * CAST(sq AS DECIMAL(38,0)) * sq
+                  THEN 'Y' ELSE 'Z' END AS xyz
+      FROM dem, nw
+    )
+    SELECT abc.abc AS abc_class, xyz.xyz AS xyz_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           round(CAST(SUM(abc.rev) AS DOUBLE)
+                 / (SELECT CAST(trev AS DOUBLE) FROM tot), 6)
+             AS revenue_share
+    FROM abc JOIN xyz USING (p)
+    GROUP BY 1, 2 ORDER BY abc_class, xyz_class
+    """,
+)
+def q357(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    pr = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("bigint"))
+        .alias("rev"))
+    pr = pr.localCheckpoint(eager=False)
+    tot = pr.agg(F.sum("rev").alias("trev"))
+    d = pr.select((-F.col("rev")).alias("negrev"), "p", "rev")
+    ranked = _bucketed_cum(d, "negrev", ["rev"], order_tail=["p"])
+    cum100 = 100 * F.col("cum_rev").cast("decimal(38,0)")
+    abc = (
+        ranked.crossJoin(F.broadcast(tot))
+        .select("p", "rev",
+                F.when(cum100 <= 80 * F.col("trev"), "A")
+                .when(cum100 <= 95 * F.col("trev"), "B")
+                .otherwise("C").alias("abc"))
+    )
+    wk = li.groupBy(
+        F.col("l_partkey").alias("p"),
+        F.floor(F.col("l_shipdate").cast("timestamp").cast("double")
+                / 604800).cast("bigint").alias("w")).agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("q"))
+    nw = wk.agg(F.countDistinct("w").alias("wt"))
+    d19 = F.col("q").cast("decimal(19,0)")
+    dem = wk.groupBy("p").agg(F.sum("q").alias("sq"),
+                              F.sum(d19 * d19).alias("sq2"))
+    sq38 = F.col("sq").cast("decimal(38,0)")
+    xyz = (
+        dem.crossJoin(F.broadcast(nw))
+        .select("p",
+                F.when(4 * F.col("wt") * F.col("sq2")
+                       <= 5 * sq38 * F.col("sq"), "X")
+                .when(F.col("wt") * F.col("sq2")
+                      <= 2 * sq38 * F.col("sq"), "Y")
+                .otherwise("Z").alias("xyz"))
+    )
+    return (
+        abc.join(xyz, "p")
+        .groupBy(F.col("abc").alias("abc_class"),
+                 F.col("xyz").alias("xyz_class"))
+        .agg(F.count("*").cast("bigint").alias("n_parts"),
+             F.sum("rev").alias("cell_rev"))
+        .crossJoin(F.broadcast(tot))
+        .select("abc_class", "xyz_class", "n_parts",
+                F.round(F.col("cell_rev").cast("double")
+                        / F.col("trev").cast("double"), 6)
+                .alias("revenue_share"))
+        .orderBy("abc_class", "xyz_class")
+    )

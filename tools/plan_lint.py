@@ -95,6 +95,9 @@ EXEMPTIONS: dict[str, dict[str, str]] = {
     "q351_spearman": {
         "SINGLE_PART": "offset window over 64 aggregated bucket totals"
     },
+    "q357_abc_xyz": {
+        "SINGLE_PART": "offset window over 64 aggregated bucket totals"
+    },
     # at-risk + log-survival prefix sums run over the per-duration table
     # (one row per calendar-day duration, ~2400 however many customers) —
     # the q288 dimension-scale exemption class.
