@@ -340,6 +340,7 @@ BENCH_QUERIES = [
     "q355_greedy_set_cover",
     "q356_good_turing",
     "q357_abc_xyz",
+    "q358_duplicate_payments",
 ]
 
 

@@ -1177,3 +1177,60 @@ def q352(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(burn1, 6).alias("burn_1h"),
         F.round(burn6, 6).alias("burn_6h"),
         ((burn1 > 14.4) & (burn6 > 6.0)).alias("page"))
+
+
+# --------------------------------------------------------------------------
+# q358 — DUPLICATE-PAYMENT SCREEN (the AP-fraud / double-charge audit):
+# the payment ledger is orders plus a deterministic double-submission
+# of every 97th order (re-keyed +10^9 — the classic resubmitted
+# invoice); two different payments by the SAME customer for the SAME
+# exact amount on the SAME day are flagged. The candidate generator is
+# a pure equi-self-join on (custkey, cents, day) — blocking on the
+# full composite key, so the join output is exactly the suspicious
+# set, never a cross product. Exact integers; pairs emitted once.
+# --------------------------------------------------------------------------
+@register(
+    "q358_duplicate_payments",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, o_custkey AS c,
+             CAST(floor(o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(o_orderdate AS DATE) AS d
+      FROM orders
+    ), o AS (
+      SELECT * FROM base
+      UNION ALL
+      SELECT k + 1000000000, c, cents, d FROM base WHERE k % 97 = 0
+    ), pairs AS (
+      SELECT a.c, a.cents, a.d, a.k AS order_a, b.k AS order_b
+      FROM o a JOIN o b
+        ON b.c = a.c AND b.cents = a.cents AND b.d = a.d AND a.k < b.k
+    )
+    SELECT CAST(c AS BIGINT) AS custkey,
+           CAST(cents AS BIGINT) AS cents, d AS day,
+           CAST(order_a AS BIGINT) AS order_a,
+           CAST(order_b AS BIGINT) AS order_b
+    FROM pairs ORDER BY custkey, cents, order_a, order_b
+    """,
+)
+def q358(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"), F.col("o_custkey").alias("c"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint")
+        .alias("cents"),
+        F.to_date("o_orderdate").alias("d"))
+    o = base.unionByName(
+        base.filter(F.col("k") % 97 == 0)
+        .select((F.col("k") + 1000000000).alias("k"), "c", "cents", "d"))
+    b = o.select(F.col("k").alias("k2"), "c", "cents", "d")
+    return (
+        o.join(b, ["c", "cents", "d"])
+        .filter(F.col("k") < F.col("k2"))
+        .select(F.col("c").cast("bigint").alias("custkey"),
+                F.col("cents").cast("bigint").alias("cents"),
+                F.col("d").alias("day"),
+                F.col("k").cast("bigint").alias("order_a"),
+                F.col("k2").cast("bigint").alias("order_b"))
+        .orderBy("custkey", "cents", "order_a", "order_b")
+    )
