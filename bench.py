@@ -341,6 +341,7 @@ BENCH_QUERIES = [
     "q356_good_turing",
     "q357_abc_xyz",
     "q358_duplicate_payments",
+    "q359_cohort_ltv",
 ]
 
 

@@ -3087,3 +3087,74 @@ def q353(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = lvl if out is None else out.unionByName(lvl)
     return out.orderBy("level")
+
+
+# --------------------------------------------------------------------------
+# q359 — COHORT LTV CURVES (the finance twin of q82's retention
+# triangle): customers cohort by FIRST-ORDER month; each later order
+# lands at month-index ym(order) - ym(first) (pure integer year*12 +
+# month arithmetic — months_between() floats differ across engines);
+# the curve is cumulative revenue-per-cohort-member over the index.
+# One fact groupBy for first months, one for (cohort, index) cells,
+# and the cumulation windows PARTITION BY cohort over <= the calendar
+# span in months. Exact cents; one division per output row.
+# --------------------------------------------------------------------------
+@register(
+    "q359_cohort_ltv",
+    oracle="""
+    WITH f AS (
+      SELECT o_custkey,
+             MIN(year(o_orderdate) * 12 + month(o_orderdate)) AS ym0
+      FROM orders GROUP BY 1
+    ), sizes AS (
+      SELECT ym0, COUNT(*) AS n_members FROM f GROUP BY ym0
+    ), cell AS (
+      SELECT f.ym0,
+             (year(o.o_orderdate) * 12 + month(o.o_orderdate)) - f.ym0
+               AS mi,
+             SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders o JOIN f ON f.o_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ), cum AS (
+      SELECT ym0, mi,
+             SUM(cents) OVER (PARTITION BY ym0 ORDER BY mi) AS cum_cents
+      FROM cell
+    )
+    SELECT CAST(ym0 AS BIGINT) AS cohort_ym,
+           CAST(mi AS BIGINT) AS month_index,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(cum_cents AS BIGINT) AS cum_cents,
+           round(CAST(cum_cents AS DOUBLE) / n_members / 100.0, 6)
+             AS ltv_per_member
+    FROM cum JOIN sizes USING (ym0)
+    WHERE mi <= 11
+    ORDER BY cohort_ym, month_index
+    """,
+)
+def q359(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    ym = (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+    f = orders.groupBy("o_custkey").agg(F.min(ym).alias("ym0"))
+    sizes = f.groupBy("ym0").agg(F.count("*").alias("n_members"))
+    cell = (
+        orders.join(f, "o_custkey")
+        .groupBy("ym0", (ym - F.col("ym0")).alias("mi"))
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+             .alias("cents"))
+    )
+    wc = (Window.partitionBy("ym0").orderBy(F.col("mi").asc())
+          .rowsBetween(Window.unboundedPreceding, 0))
+    cum = cell.select("ym0", "mi",
+                      F.sum("cents").over(wc).alias("cum_cents"))
+    return (
+        cum.join(F.broadcast(sizes), "ym0")
+        .filter(F.col("mi") <= 11)
+        .select(F.col("ym0").cast("bigint").alias("cohort_ym"),
+                F.col("mi").cast("bigint").alias("month_index"),
+                F.col("n_members").cast("bigint").alias("n_members"),
+                F.col("cum_cents").cast("bigint").alias("cum_cents"),
+                F.round(F.col("cum_cents").cast("double")
+                        / F.col("n_members") / F.lit(100.0), 6)
+                .alias("ltv_per_member"))
+        .orderBy("cohort_ym", "month_index")
+    )
