@@ -25,6 +25,16 @@ from gfw_pixetl_spark.session import get_spark
 
 # Headline set: one per operator family; heavy dedup/similarity included
 # because they are the scale-critical paths.
+#
+# EXCLUSION RULE — this list is NOT the full registry. A registry query
+# is excluded from the bench iff it is (a) a Structured Streaming
+# micro-batch harness (q25-adjacent streaming variants: wall time is
+# trigger latency, not engine throughput), (b) a trivial constant-size
+# seed/metadata query whose runtime is pure fixed overhead (grid seeds,
+# status tallies), or (c) a duplicate plan shape already timed under
+# another family member. Every scale-bearing operator family has at
+# least one entry here; the registry size is len(harness.QUERIES), not
+# len(BENCH_QUERIES).
 BENCH_QUERIES = [
     "q01_pricing_summary",
     "q02_scan_pushdown",
@@ -342,6 +352,7 @@ BENCH_QUERIES = [
     "q357_abc_xyz",
     "q358_duplicate_payments",
     "q359_cohort_ltv",
+    "q360_bmff_frames",
 ]
 
 

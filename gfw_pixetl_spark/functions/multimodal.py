@@ -262,14 +262,55 @@ def video_payload(text: str, n_frames: int = 24, size: int = 4) -> bytes:
 
 
 def _video_index(payload: bytes) -> list[tuple[int, int]]:
-    """Parse the container header -> [(start, end)] per frame."""
+    """Parse the container's sample index -> [(start, end)] per frame.
+
+    Two real layouts: ISO-BMFF (sniffed by the ftyp box at offset 4;
+    the full moov/trak/mdia/minf/stbl walk in ``sources/bmff.py`` per
+    ISO/IEC 14496-12) and the legacy GPXV flat offset index. Either
+    way the result is byte ranges — frame extraction never decodes
+    unsampled frames."""
     import struct
 
+    if payload[4:8] == b"ftyp":
+        from ..sources.bmff import sample_ranges
+
+        tab = sample_ranges(payload)
+        return [(off, off + size) for off, size, _dts in tab["samples"]]
     if payload[:4] != VIDEO_MAGIC:
-        raise ValueError("not a GPXV frame container (bad magic)")
+        raise ValueError("neither ISO-BMFF nor GPXV frame container")
     (n,) = struct.unpack("<I", payload[4:8])
     offs = struct.unpack(f"<{n + 1}I", payload[8:8 + 4 * (n + 1)])
     return [(offs[i], offs[i + 1]) for i in range(n)]
+
+
+def mp4_payload(text: str, n_frames: int = 24, size: int = 4) -> bytes:
+    """Deterministic REAL ISO-BMFF payload: ``n_frames`` PNG frames in a
+    spec-valid mp4 (ftyp+mdat+moov, full stbl sample tables via
+    ``sources/bmff.py``), grouped into multi-sample chunks so stsc has
+    real run-length structure. Frame k's pixels are md5(text || ':' || k)
+    digest bytes — same oracle-replayable construction as
+    ``video_payload``, now behind the real container."""
+    import numpy as np
+
+    from ..sources.bmff import encode_mp4
+    from ..sources.png import encode_png
+
+    frames = []
+    for k in range(n_frames):
+        digest = hashlib.md5(f"{text}:{k}".encode("utf-8")).digest()
+        need = size * size
+        raw = (digest * ((need // len(digest)) + 1))[:need]
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(size, size)
+        frames.append(encode_png(arr, filter_type=4))
+    # chunks of 5,4,3,5,4,3,... -> a 3-run stsc that repeats, the shape
+    # real muxers emit
+    plan, left, cyc = [], n_frames, [5, 4, 3]
+    while left > 0:
+        take = min(cyc[len(plan) % 3], left)
+        plan.append(take)
+        left -= take
+    return encode_mp4(frames, fourcc="png ", width=size, height=size,
+                      chunk_plan=plan)
 
 
 FRAME_SCHEMA = "doc_id long, frame_idx int, payload binary"

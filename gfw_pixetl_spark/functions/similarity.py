@@ -508,6 +508,8 @@ def mmr_select(
         else:
             top = pool.orderBy(F.col("rel").desc(),
                                F.col("vid")).limit(1).collect()
+        if not top:  # k exceeds the corpus / candidate pool exhausted
+            break
         r = top[0]
         selected.append((step, int(r.vid),
                          [float(x) for x in r.vec]))
@@ -531,7 +533,10 @@ def sq8_quantize(
     column reference (never recompute array_max per element —
     ROADMAP HOF note).
     """
-    m = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))
+    raw_m = F.array_max(F.transform(F.col(vec_col), lambda x: F.abs(x)))
+    # all-zero vector: scale 1.0 keeps codes at exact zeros instead of
+    # null/NaN poisoning downstream integer dot products
+    m = F.when(raw_m == 0, F.lit(1.0)).otherwise(raw_m)
     scaled = df.select(
         F.col(id_col), F.col(vec_col), m.alias("sq8_scale"))
     code = F.transform(

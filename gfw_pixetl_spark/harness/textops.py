@@ -527,6 +527,45 @@ def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q360 — REAL ISO-BMFF (mp4) frame sampling: each doc carries a
+# spec-valid mp4 (ftyp+mdat+moov; full stsd/stts/stsc/stsz/stco sample
+# tables per ISO/IEC 14496-12, multi-run stsc chunking) holding 24 PNG
+# frames. sample_frames walks the real moov/trak/mdia/minf/stbl box
+# tree (sources/bmff.py), slices frames 0/10/20 by byte range WITHOUT
+# touching the other 21 frames, and the probe fully decodes each
+# sampled PNG. Frame k's pixels are md5(text || ':' || k) digest bytes,
+# so the oracle replays the decoded pixels of exactly the sampled
+# frames — identical values to q51, arrived at through the real
+# container. At 100 TB this is ranged-GET work: O(frames picked) bytes
+# per video regardless of container size.
+# --------------------------------------------------------------------------
+@register(
+    "q360_bmff_frames",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(f.frame_idx AS BIGINT) AS frame_idx,
+           CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+           ('0x' || substr(md5(d.text || ':' || f.frame_idx), 1, 2))::INT
+               AS p00,
+           ('0x' || substr(md5(d.text || ':' || f.frame_idx), 11, 2))::INT
+               AS p11,
+           ('0x' || substr(md5(d.text || ':' || f.frame_idx), 31, 2))::INT
+               AS p33
+    FROM documents d
+    CROSS JOIN (SELECT unnest([0, 10, 20]) AS frame_idx) f
+    """,
+)
+def q360(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import decode_pixel_probe, mp4_payload
+
+    vids = _media_payloads(spark, sf_dir, mp4_payload)
+    frames = sample_frames(vids, every_nth=10, n_frames=3)
+    return decode_pixel_probe(
+        frames, [(0, 0), (1, 1), (3, 3)], id_cols=("doc_id", "frame_idx")
+    )
+
+
+# --------------------------------------------------------------------------
 # q96 — winsorization: clip n_chars to the per-lang [p05, p95] band
 # (exact linear-interpolated percentiles). The percentile dim is
 # languages-sized, so it broadcasts back onto the corpus — the doc

@@ -1,0 +1,397 @@
+"""ISO Base Media File Format (MP4) sample-table parsing + a minimal
+spec-valid writer — pure Python over the PUBLIC ISO/IEC 14496-12 spec.
+
+A multimodal corpus's video column is .mp4: frame extraction at scale is
+NOT "decode the video", it is a byte-range lookup against the container's
+sample tables — exactly the shape S3 ranged-GETs want. This module does
+the real `moov/trak/mdia/minf/stbl` walk:
+
+* box framing (§4.2): u32 size + fourcc; size==1 -> u64 largesize;
+  size==0 -> box extends to end of file; FullBox version+flags,
+* `stsd` sample description (codec fourcc + VisualSampleEntry w/h §12.1.3),
+* `stts` decoding-time deltas (run-length (count, delta) pairs §8.6.1.2),
+* `stsc` sample-to-chunk (run-length (first_chunk, samples_per_chunk)
+  table whose runs extend to the next first_chunk §8.7.4),
+* `stsz` sample sizes (constant or per-sample §8.7.3),
+* `stco`/`co64` chunk offsets (32/64-bit file-absolute §8.7.5),
+* `mdhd` timescale (version 0 and 1 layouts §8.4.2).
+
+`sample_ranges` composes these into [(offset, size, dts)] per sample —
+the only thing a frame sampler needs; codec payload decode stays with
+the per-format codecs (PNG/JPEG real, H.264 honestly gated).
+
+`encode_mp4` writes a minimal ftyp+mdat+moov file (moov after mdat so
+chunk offsets never depend on moov's size) with a caller-controlled
+chunk plan, so tests exercise multi-run stsc and forced co64 layouts.
+
+Reference parity: gfw_pixetl has no video path (GDAL rasters only);
+this extends the engine's multimodal family (SURVEY §2 LLM-pipeline
+operators) the way `sources/jpeg.py` extends images.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# container boxes whose payload is a sequence of child boxes
+_CONTAINERS = {
+    b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts", b"dinf",
+    b"mvex", b"moof", b"traf", b"udta",
+}
+
+
+def iter_boxes(buf: bytes, start: int = 0, end: int | None = None):
+    """Yield (fourcc, body_start, body_end) for each box in
+    buf[start:end], validating framing — truncated or undersized boxes
+    raise ValueError instead of yielding garbage ranges."""
+    end = len(buf) if end is None else end
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError(
+                f"truncated box header at {pos} (need 8, have {end - pos})")
+        size, fourcc = struct.unpack(">I4s", buf[pos:pos + 8])
+        hdr = 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                raise ValueError(f"truncated largesize box at {pos}")
+            (size,) = struct.unpack(">Q", buf[pos + 8:pos + 16])
+            hdr = 16
+        elif size == 0:  # box extends to end of enclosing scope
+            size = end - pos
+        if size < hdr:
+            raise ValueError(f"box {fourcc!r} size {size} < header {hdr}")
+        if pos + size > end:
+            raise ValueError(
+                f"box {fourcc!r} overruns scope: {pos}+{size} > {end}")
+        yield fourcc, pos + hdr, pos + size
+        pos += size
+
+
+def find_boxes(buf: bytes, path: list[bytes], start: int = 0,
+               end: int | None = None) -> list[tuple[int, int]]:
+    """All (body_start, body_end) ranges matching the box path, walking
+    container boxes recursively (e.g. [b'moov', b'trak'] -> one range
+    per track)."""
+    scopes = [(start, len(buf) if end is None else end)]
+    for depth, want in enumerate(path):
+        hits = []
+        for s, e in scopes:
+            for fourcc, bs, be in iter_boxes(buf, s, e):
+                if fourcc == want:
+                    hits.append((bs, be))
+        scopes = hits
+        if not scopes:
+            return []
+    return scopes
+
+
+def _fullbox(buf: bytes, start: int) -> tuple[int, int]:
+    """(version, body offset past version+flags)."""
+    return buf[start], start + 4
+
+
+def parse_stsd(buf: bytes, bs: int, be: int) -> list[dict]:
+    """Sample descriptions: [{'format', 'width', 'height'}] — width and
+    height from the VisualSampleEntry layout (§12.1.3: 8-byte SampleEntry
+    prefix, then 16 bytes of pre_defined/reserved, then u16 w, u16 h)."""
+    _v, p = _fullbox(buf, bs)
+    (n,) = struct.unpack(">I", buf[p:p + 4])
+    p += 4
+    out = []
+    for _ in range(n):
+        if p + 8 > be:
+            raise ValueError("truncated stsd entry")
+        size, fmt = struct.unpack(">I4s", buf[p:p + 8])
+        if size < 16 or p + size > be:
+            raise ValueError("bad stsd entry size")
+        entry = {"format": fmt.decode("latin-1"), "width": None,
+                 "height": None}
+        if size >= 8 + 28:  # enough bytes for the visual w/h fields
+            w, h = struct.unpack(">HH", buf[p + 32:p + 36])
+            if w and h:
+                entry["width"], entry["height"] = w, h
+        out.append(entry)
+        p += size
+    return out
+
+
+def parse_stts(buf: bytes, bs: int, be: int) -> list[tuple[int, int]]:
+    _v, p = _fullbox(buf, bs)
+    (n,) = struct.unpack(">I", buf[p:p + 4])
+    p += 4
+    if p + 8 * n > be:
+        raise ValueError("truncated stts")
+    return [struct.unpack(">II", buf[p + 8 * i:p + 8 * i + 8])
+            for i in range(n)]
+
+
+def parse_stsc(buf: bytes, bs: int, be: int) -> list[tuple[int, int, int]]:
+    _v, p = _fullbox(buf, bs)
+    (n,) = struct.unpack(">I", buf[p:p + 4])
+    p += 4
+    if p + 12 * n > be:
+        raise ValueError("truncated stsc")
+    return [struct.unpack(">III", buf[p + 12 * i:p + 12 * i + 12])
+            for i in range(n)]
+
+
+def parse_stsz(buf: bytes, bs: int, be: int) -> list[int]:
+    _v, p = _fullbox(buf, bs)
+    const_size, count = struct.unpack(">II", buf[p:p + 8])
+    p += 8
+    if const_size:
+        return [const_size] * count
+    if p + 4 * count > be:
+        raise ValueError("truncated stsz")
+    return list(struct.unpack(f">{count}I", buf[p:p + 4 * count]))
+
+
+def parse_stco(buf: bytes, bs: int, be: int, wide: bool) -> list[int]:
+    """stco (u32) or co64 (u64) chunk offsets, file-absolute."""
+    _v, p = _fullbox(buf, bs)
+    (n,) = struct.unpack(">I", buf[p:p + 4])
+    p += 4
+    width = 8 if wide else 4
+    if p + width * n > be:
+        raise ValueError("truncated chunk-offset table")
+    fmt = ">%d%s" % (n, "Q" if wide else "I")
+    return list(struct.unpack(fmt, buf[p:p + width * n]))
+
+
+def parse_mdhd_timescale(buf: bytes, bs: int) -> int:
+    """mdhd timescale: version 1 uses u64 creation/modification times
+    (timescale at +20), version 0 u32 (timescale at +12)."""
+    version, p = _fullbox(buf, bs)
+    off = 16 if version == 1 else 8
+    (ts,) = struct.unpack(">I", buf[p + off:p + off + 4])
+    return ts
+
+
+def _handler_type(buf: bytes, mdia_bs: int, mdia_be: int) -> bytes:
+    for fourcc, bs, be in iter_boxes(buf, mdia_bs, mdia_be):
+        if fourcc == b"hdlr":
+            return buf[bs + 8:bs + 12]  # FullBox(4) + pre_defined(4)
+    return b""
+
+
+def sample_ranges(payload: bytes, handler: bytes = b"vide") -> dict:
+    """The full sample-table walk for the first track whose hdlr matches
+    ``handler``: returns {'format', 'width', 'height', 'timescale',
+    'samples': [(offset, size, dts)]} with one entry per sample.
+
+    Offsets come from stco/co64 + the running sum of same-chunk sample
+    sizes; dts from the stts run-length expansion. This is exactly the
+    index a ranged-GET frame sampler needs — O(frames picked) bytes read
+    from a container of any size.
+    """
+    if payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF file (no ftyp)")
+    for trak_bs, trak_be in find_boxes(payload, [b"moov", b"trak"]):
+        mdia = find_boxes(payload, [b"mdia"], trak_bs, trak_be)
+        if not mdia:
+            continue
+        mdia_bs, mdia_be = mdia[0]
+        if _handler_type(payload, mdia_bs, mdia_be) != handler:
+            continue
+        stbl = find_boxes(payload, [b"minf", b"stbl"], mdia_bs, mdia_be)
+        if not stbl:
+            continue
+        stbl_bs, stbl_be = stbl[0]
+        boxes = {f: (bs, be)
+                 for f, bs, be in iter_boxes(payload, stbl_bs, stbl_be)}
+        for need in (b"stsd", b"stts", b"stsc", b"stsz"):
+            if need not in boxes:
+                raise ValueError(f"stbl missing {need!r}")
+        if b"stco" in boxes:
+            chunk_offs = parse_stco(payload, *boxes[b"stco"], wide=False)
+        elif b"co64" in boxes:
+            chunk_offs = parse_stco(payload, *boxes[b"co64"], wide=True)
+        else:
+            raise ValueError("stbl missing stco/co64")
+        descs = parse_stsd(payload, *boxes[b"stsd"])
+        sizes = parse_stsz(payload, *boxes[b"stsz"])
+        stsc = parse_stsc(payload, *boxes[b"stsc"])
+        stts = parse_stts(payload, *boxes[b"stts"])
+
+        # expand stsc: run r covers chunks [first_chunk_r, first_chunk_{r+1})
+        per_chunk: list[int] = []
+        remaining = len(sizes)
+        for r, (first, spc, _sdi) in enumerate(stsc):
+            last = stsc[r + 1][0] if r + 1 < len(stsc) else None
+            c = first
+            while remaining > 0 and (last is None or c < last):
+                take = min(spc, remaining)
+                per_chunk.append(take)
+                remaining -= take
+                c += 1
+            if remaining == 0:
+                break
+        if remaining:
+            raise ValueError(
+                f"stsc covers too few samples ({remaining} unassigned)")
+
+        # expand stts into per-sample dts
+        dts, t = [], 0
+        for count, delta in stts:
+            for _ in range(count):
+                dts.append(t)
+                t += delta
+        if len(dts) < len(sizes):
+            raise ValueError("stts covers fewer samples than stsz")
+
+        samples, si = [], 0
+        for ci, nsamp in enumerate(per_chunk):
+            if ci >= len(chunk_offs):
+                raise ValueError("more chunks than chunk offsets")
+            off = chunk_offs[ci]
+            for _ in range(nsamp):
+                samples.append((off, sizes[si], dts[si]))
+                off += sizes[si]
+                si += 1
+
+        ts = 0
+        for f, bs, _be in iter_boxes(payload, mdia_bs, mdia_be):
+            if f == b"mdhd":
+                ts = parse_mdhd_timescale(payload, bs)
+        d0 = descs[0] if descs else {"format": "", "width": None,
+                                     "height": None}
+        return {"format": d0["format"], "width": d0["width"],
+                "height": d0["height"], "timescale": ts,
+                "samples": samples}
+    raise ValueError(f"no {handler!r} track found")
+
+
+# ---------------------------------------------------------------------------
+# Writer: minimal spec-valid single-track file. moov AFTER mdat, so
+# chunk offsets are known before moov is sized (the standard non-
+# faststart layout); chunk_plan controls stsc shape; force_co64 writes
+# the 64-bit offset table regardless of magnitude.
+# ---------------------------------------------------------------------------
+
+def _box(fourcc: bytes, body: bytes) -> bytes:
+    return struct.pack(">I4s", 8 + len(body), fourcc) + body
+
+
+def _full(fourcc: bytes, version: int, flags: int, body: bytes) -> bytes:
+    return _box(fourcc, struct.pack(">B3s", version,
+                                    flags.to_bytes(3, "big")) + body)
+
+
+def _rle_chunks(chunk_plan: list[int]) -> list[tuple[int, int, int]]:
+    """chunk_plan [n0, n1, ...] -> compact stsc runs
+    (first_chunk, samples_per_chunk, sample_description_index)."""
+    runs = []
+    for i, n in enumerate(chunk_plan):
+        if not runs or runs[-1][1] != n:
+            runs.append((i + 1, n, 1))
+    return runs
+
+
+def encode_mp4(
+    frames: list[bytes],
+    fourcc: str = "png ",
+    width: int = 0,
+    height: int = 0,
+    timescale: int = 1000,
+    sample_delta: int = 40,
+    chunk_plan: list[int] | None = None,
+    force_co64: bool = False,
+) -> bytes:
+    """Write frames as one video track of a minimal ISO-BMFF file.
+
+    ``chunk_plan`` groups samples into chunks (default: one chunk);
+    ``force_co64`` emits the 64-bit chunk-offset box. Every table the
+    parser reads (stsd/stts/stsc/stsz/stco|co64, mdhd, hdlr) is written
+    per the public spec, so encode->sample_ranges round-trips exactly.
+    """
+    n = len(frames)
+    if chunk_plan is None:
+        chunk_plan = [n]
+    if sum(chunk_plan) != n:
+        raise ValueError("chunk_plan must cover every frame")
+
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512)
+                + b"isom" + b"iso2")
+    mdat_body = b"".join(frames)
+    mdat = _box(b"mdat", mdat_body)
+
+    # file-absolute chunk offsets (mdat body starts after ftyp + header)
+    base = len(ftyp) + 8
+    chunk_offs, si = [], 0
+    sizes = [len(f) for f in frames]
+    for nsamp in chunk_plan:
+        chunk_offs.append(base + sum(sizes[:si]))
+        si += nsamp
+
+    duration = n * sample_delta
+
+    # --- stbl ---
+    vse = (
+        b"\x00" * 6 + struct.pack(">H", 1)          # SampleEntry
+        + struct.pack(">HH", 0, 0) + b"\x00" * 12   # pre_defined/reserved
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + struct.pack(">I", 0) + struct.pack(">H", 1)  # reserved, frames
+        + b"\x00" * 32                               # compressorname
+        + struct.pack(">Hh", 24, -1)                 # depth, pre_defined
+    )
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1)
+                 + _box(fourcc.encode("latin-1"), vse))
+    stts = _full(b"stts", 0, 0,
+                 struct.pack(">III", 1, n, sample_delta))
+    runs = _rle_chunks(chunk_plan)
+    stsc = _full(b"stsc", 0, 0, struct.pack(">I", len(runs))
+                 + b"".join(struct.pack(">III", *r) for r in runs))
+    const = sizes[0] if len(set(sizes)) == 1 else 0
+    stsz = _full(b"stsz", 0, 0, struct.pack(">II", const, n)
+                 + (b"" if const else
+                    struct.pack(f">{n}I", *sizes)))
+    if force_co64 or (chunk_offs and max(chunk_offs) > 0xFFFFFFFF):
+        co = _full(b"co64", 0, 0, struct.pack(">I", len(chunk_offs))
+                   + struct.pack(f">{len(chunk_offs)}Q", *chunk_offs))
+    else:
+        co = _full(b"stco", 0, 0, struct.pack(">I", len(chunk_offs))
+                   + struct.pack(f">{len(chunk_offs)}I", *chunk_offs))
+    stbl = _box(b"stbl", stsd + stts + stsc + stsz + co)
+
+    # --- minf / mdia / trak / moov ---
+    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1)
+                 + _full(b"url ", 0, 1, b""))  # self-contained
+    minf = _box(b"minf", vmhd + _box(b"dinf", dref) + stbl)
+    mdhd = _full(b"mdhd", 0, 0, struct.pack(
+        ">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0))  # lang 'und'
+    hdlr = _full(b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide"
+                 + b"\x00" * 12 + b"VideoHandler\x00")
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    matrix = struct.pack(">9I", 0x00010000, 0, 0, 0, 0x00010000, 0,
+                         0, 0, 0x40000000)
+    tkhd = _full(b"tkhd", 0, 7, struct.pack(
+        ">IIIII", 0, 0, 1, 0, duration) + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0) + matrix
+        + struct.pack(">II", width << 16, height << 16))
+    trak = _box(b"trak", tkhd + mdia)
+    mvhd = _full(b"mvhd", 0, 0, struct.pack(
+        ">IIII", 0, 0, timescale, duration)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0) + b"\x00" * 8
+        + matrix + b"\x00" * 24 + struct.pack(">I", 2))
+    moov = _box(b"moov", mvhd + trak)
+
+    return ftyp + mdat + moov
+
+
+def extract_samples(payload: bytes, indices: list[int],
+                    handler: bytes = b"vide") -> list[tuple[int, bytes]]:
+    """(sample_index, bytes) for each requested sample, slicing via the
+    sample table — O(requested) bytes touched, never a full decode."""
+    tab = sample_ranges(payload, handler)
+    out = []
+    for i in indices:
+        if i >= len(tab["samples"]):
+            continue
+        off, size, _dts = tab["samples"][i]
+        if off + size > len(payload):
+            raise ValueError(f"sample {i} range beyond file end")
+        out.append((i, payload[off:off + size]))
+    return out

@@ -147,6 +147,15 @@ def _commit(table_dir: str, build_manifest, max_retries: int) -> int:
         manifest = build_manifest(parent, pm)
         manifest["version"] = parent + 1
         manifest["parent"] = parent
+        # Carry the streaming batch-id high-water mark forward through
+        # EVERY commit (append/delete/merge/compact), like seqs — so
+        # vacuuming old manifests can never erase the idempotence record
+        # the streaming sink depends on (Delta txnVersion semantics).
+        hwm = [x for x in (pm.get("max_batch_id"),
+                           manifest.get("batch_id"),
+                           manifest.get("max_batch_id")) if x is not None]
+        if hwm:
+            manifest["max_batch_id"] = max(int(x) for x in hwm)
         path = _manifest_path(table_dir, parent + 1)
         try:
             fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
@@ -469,7 +478,8 @@ def read_changes(
     return out
 
 
-def snapshot_vacuum(table_dir: str, keep_last: int = 3) -> dict:
+def snapshot_vacuum(table_dir: str, keep_last: int = 3,
+                    min_age_seconds: float = 3600.0) -> dict:
     """Garbage-collect the table: drop manifests older than the last
     ``keep_last`` versions and every data/delete file no retained
     manifest references, plus any orphaned ``_stage_*`` staging dirs.
@@ -478,8 +488,26 @@ def snapshot_vacuum(table_dir: str, keep_last: int = 3) -> dict:
     below the retention horizon is GONE after this runs (those
     manifests are removed, so the versions are no longer addressable);
     everything at or above the horizon is untouched. Returns counts.
+
+    ``min_age_seconds`` is the concurrent-writer safety window (Delta's
+    retention check): ``_stage_files`` moves data files into data/
+    BEFORE the O_EXCL manifest commit, so a file that is unreferenced
+    *right now* may belong to an in-flight commit. Only unreferenced
+    files and stage dirs whose mtime is older than the window are
+    removed; a vacuum can therefore never delete the files of a commit
+    racing within the window. Pass 0 only when the caller guarantees
+    no concurrent writers (tests, single-writer maintenance).
     """
     import shutil
+    import time
+
+    cutoff = time.time() - max(0.0, float(min_age_seconds))
+
+    def _old_enough(path: str) -> bool:
+        try:
+            return os.path.getmtime(path) <= cutoff
+        except OSError:
+            return False  # vanished mid-scan: another process owns it
 
     head = latest_version(table_dir)
     horizon = max(1, head - keep_last + 1)
@@ -494,8 +522,9 @@ def snapshot_vacuum(table_dir: str, keep_last: int = 3) -> dict:
     if os.path.isdir(data_dir):
         for name in os.listdir(data_dir):
             rel = os.path.join("data", name)
-            if rel not in referenced:
-                os.remove(os.path.join(data_dir, name))
+            full = os.path.join(data_dir, name)
+            if rel not in referenced and _old_enough(full):
+                os.remove(full)
                 removed_files += 1
 
     removed_manifests = 0
@@ -507,9 +536,9 @@ def snapshot_vacuum(table_dir: str, keep_last: int = 3) -> dict:
 
     removed_stages = 0
     for name in os.listdir(table_dir):
-        if name.startswith("_stage_"):
-            shutil.rmtree(os.path.join(table_dir, name),
-                          ignore_errors=True)
+        full = os.path.join(table_dir, name)
+        if name.startswith("_stage_") and _old_enough(full):
+            shutil.rmtree(full, ignore_errors=True)
             removed_stages += 1
 
     return {

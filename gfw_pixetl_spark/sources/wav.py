@@ -56,23 +56,26 @@ def mulaw_encode(x: np.ndarray) -> np.ndarray:
 
 def alaw_decode(b: np.ndarray) -> np.ndarray:
     """G.711 A-law byte -> linear int16 (even-bit inversion 0x55, then
-    the chord/step expansion, scaled x8 into int16)."""
+    the chord/step expansion, scaled x8 into int16). Per ITU-T G.711
+    (and reference g711.c) the sign bit is SET for positive samples,
+    so standard silence 0xD5 decodes to 0."""
     a = np.asarray(b, np.int64) ^ 0x55
-    sign = (a & 0x80) != 0
+    neg = (a & 0x80) == 0
     e = (a >> 4) & 0x07
     m = a & 0x0F
     mag = np.where(e == 0, 2 * m + 1, (2 * m + 33) << (e - 1)) * 8
-    return np.where(sign, -mag, mag).astype(np.int16)
+    return np.where(neg, -mag, mag).astype(np.int16)
 
 
 def alaw_encode(x: np.ndarray) -> np.ndarray:
-    """Linear int16 -> G.711 A-law byte."""
+    """Linear int16 -> G.711 A-law byte (sign bit = 1 for positive,
+    matching G.711: silence encodes to the standard 0xD5)."""
     x = np.asarray(x, np.int64)
     sign = x < 0
     mag = np.minimum(np.abs(x) // 8, 4095)  # 12-bit domain
     e = np.maximum(np.floor(np.log2(np.maximum(mag, 1))).astype(np.int64) - 4, 0)
     m = np.where(e == 0, mag >> 1, (mag >> e) & 0x0F)
-    a = (np.where(sign, 0x80, 0) | (e << 4) | m).astype(np.int64)
+    a = (np.where(sign, 0, 0x80) | (e << 4) | m).astype(np.int64)
     return (a ^ 0x55).astype(np.uint8)
 
 

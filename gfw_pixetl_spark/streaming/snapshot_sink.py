@@ -52,8 +52,25 @@ class SnapshotTableSink:
                 out.add(int(b))
         return out
 
+    def batch_high_water_mark(self) -> int:
+        """Highest batch_id ever committed, read from the HEAD manifest's
+        ``max_batch_id`` — which every commit (including compaction)
+        carries forward like sequence numbers, so ``snapshot_vacuum``
+        removing old manifests can never erase the idempotence record.
+        Falls back to the manifest scan for pre-upgrade tables."""
+        head = latest_version(self.table_dir)
+        if head:
+            hwm = read_manifest(self.table_dir, head).get("max_batch_id")
+            if hwm is not None:
+                return int(hwm)
+        return max(self.committed_batch_ids(), default=-1)
+
     def process_batch(self, df: DataFrame, batch_id: int) -> None:
-        if int(batch_id) in self.committed_batch_ids():
+        # Structured Streaming batch_ids are monotonically increasing
+        # per checkpoint, so a durable high-water mark is a complete
+        # replay filter — and unlike the per-version scan it survives
+        # vacuum (the mark rides in every retained manifest).
+        if int(batch_id) <= self.batch_high_water_mark():
             return  # re-delivered batch: the append already committed
         snapshot_append(
             df, self.table_dir, stats_cols=self.stats_cols,

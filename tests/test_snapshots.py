@@ -283,7 +283,7 @@ def test_vacuum_drops_history_below_horizon(spark, tmp_path):
     snapshot_append(df.filter("id >= 10").coalesce(1), d)
     snapshot_compact(spark, d, target_files=1)  # v3 references 1 file
     n_before = len(os.listdir(os.path.join(d, "data")))
-    out = snapshot_vacuum(d, keep_last=1)
+    out = snapshot_vacuum(d, keep_last=1, min_age_seconds=0)
     assert out["horizon"] == 3 and out["removed_manifests"] == 2
     assert len(os.listdir(os.path.join(d, "data"))) \
         == n_before - out["removed_data_files"]
@@ -293,6 +293,66 @@ def test_vacuum_drops_history_below_horizon(spark, tmp_path):
     # time travel below the horizon is gone, explicitly
     with _pytest.raises(FileNotFoundError):
         read_snapshot(spark, d, 1).collect()
+
+
+def test_vacuum_retention_window_spares_inflight_commits(spark, tmp_path):
+    """The min_age guard: a file staged by an in-flight commit (moved
+    into data/ BEFORE the manifest O_EXCL) and an active _stage_ dir
+    are unreferenced *right now* but young — a default-window vacuum
+    must leave them alone, so a racing writer's commit never ends up
+    referencing deleted files."""
+    import os
+
+    from gfw_pixetl_spark.sources.snapshots import (
+        snapshot_append, snapshot_vacuum,
+    )
+
+    d = str(tmp_path / "tab")
+    df = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    snapshot_append(df.coalesce(1), d)
+    # simulate a racing writer mid-_stage_files: data file moved in,
+    # manifest not yet committed
+    orphan = os.path.join(d, "data", "deadbeef-part-inflight.parquet")
+    with open(orphan, "wb") as f:
+        f.write(b"PAR1stub")
+    stage = os.path.join(d, "_stage_inflight")
+    os.makedirs(stage)
+    out = snapshot_vacuum(d, keep_last=1)  # default 1h window
+    assert out["removed_data_files"] == 0
+    assert out["removed_stage_dirs"] == 0
+    assert os.path.exists(orphan) and os.path.isdir(stage)
+    # an aged-out orphan IS collected
+    old = __import__("time").time() - 7200
+    os.utime(orphan, (old, old))
+    os.utime(stage, (old, old))
+    out = snapshot_vacuum(d, keep_last=1)
+    assert out["removed_data_files"] == 1
+    assert out["removed_stage_dirs"] == 1
+    assert not os.path.exists(orphan) and not os.path.isdir(stage)
+
+
+def test_streaming_sink_idempotent_across_vacuum(spark, tmp_path):
+    """max_batch_id rides in every manifest (carried forward like
+    seqs), so vacuuming the manifests that recorded old batch_ids
+    cannot resurrect a replayed batch."""
+    from gfw_pixetl_spark.sources.snapshots import (
+        read_snapshot, snapshot_compact, snapshot_vacuum,
+    )
+    from gfw_pixetl_spark.streaming.snapshot_sink import SnapshotTableSink
+
+    d = str(tmp_path / "tab")
+    sink = SnapshotTableSink(d, str(tmp_path / "ckpt"))
+    b0 = spark.createDataFrame([(1,), (2,)], "id long")
+    b1 = spark.createDataFrame([(3,)], "id long")
+    sink.process_batch(b0, 0)   # v1
+    sink.process_batch(b1, 1)   # v2
+    snapshot_compact(spark, d, target_files=1)  # v3: no batch_id of its own
+    snapshot_vacuum(d, keep_last=1, min_age_seconds=0)  # drops v1, v2
+    assert sink.batch_high_water_mark() == 1  # survived in v3's manifest
+    sink.process_batch(b0, 0)  # replay after vacuum: must be a no-op
+    sink.process_batch(b1, 1)
+    got = sorted(r.id for r in read_snapshot(spark, d).collect())
+    assert got == [1, 2, 3]
 
 
 def test_change_data_feed_order_and_compact_silence(spark, tmp_path):

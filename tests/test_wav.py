@@ -55,6 +55,21 @@ def test_alaw_codec_idempotent_on_codewords():
     assert np.array_equal(alaw_encode(alaw_decode(b)), b)
 
 
+def test_alaw_itu_sign_convention():
+    """G.711 pins the sign bit SET for positive samples: silence is the
+    standard 0xD5 code, 0xD5 expands to +8, 0x55 to -8, and full scale
+    is the canonical +/-32256 (spandsp g711.c values)."""
+    assert alaw_encode(np.array([0]))[0] == 0xD5
+    assert alaw_decode(np.array([0xD5], np.uint8))[0] == 8
+    assert alaw_decode(np.array([0x55], np.uint8))[0] == -8
+    assert alaw_decode(np.array([0xAA], np.uint8))[0] == 32256
+    assert alaw_decode(np.array([0x2A], np.uint8))[0] == -32256
+    # positive inputs map to sign-bit-set codes across the whole domain
+    x = np.arange(8, 32000, 97)
+    assert ((alaw_encode(x) ^ 0x55) & 0x80).all()
+    assert (((alaw_encode(-x) ^ 0x55) & 0x80) == 0).all()
+
+
 def test_mulaw_known_segments():
     """Spot values from the ITU-T expansion formula:
     ((2m + 33) << e - 33) * 4, sign from the complemented MSB."""
