@@ -353,6 +353,7 @@ BENCH_QUERIES = [
     "q358_duplicate_payments",
     "q359_cohort_ltv",
     "q360_bmff_frames",
+    "q361_flac_decode",
 ]
 
 

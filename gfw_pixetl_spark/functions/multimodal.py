@@ -612,6 +612,52 @@ def decode_wav_samples(df: DataFrame, text_col: str = "text") -> DataFrame:
         kernel, WAV_DECODE_SCHEMA)
 
 
+def flac_payload(text: str, rate: int = 8000) -> bytes:
+    """Deterministic REAL FLAC payload (``sources/flac.py``): the same 8
+    int16 samples the pcm16 WAV oracle replays — digest byte pairs,
+    ``(hi << 8 | lo) - 32768`` — compressed as a spec-valid FLAC stream
+    (two 4-sample frames, fixed predictors + Rice residuals, CRC-8/16,
+    STREAMINFO MD5). Decoding must give back the WAV oracle's PCM
+    bit-exactly (q361)."""
+    import numpy as np
+
+    from ..sources.flac import encode_flac
+
+    digest = hashlib.md5(text.encode("utf-8")).digest()
+    raw = np.frombuffer(digest, np.uint8).astype(np.int64)
+    s = (raw[0::2] * 256 + raw[1::2] - 32768).astype(np.int16)
+    return encode_flac(s, rate=rate, block_size=4)
+
+
+def decode_flac_samples(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """REAL FLAC decode: the full stream parse (STREAMINFO, frame sync,
+    subframe predictors, Rice residuals, CRC + MD5 verification) runs in
+    the Arrow kernel; probe columns match q234's WAV decode exactly —
+    same PCM through a compressed codec (q361)."""
+    from ..sources.flac import decode_flac
+    from .partitioning import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "rate", "n_samples", "s0", "s3", "s7")}
+            for doc_id, t in zip(pdf["doc_id"], pdf[text_col]):
+                samples, rate = decode_flac(flac_payload(t))
+                s = samples[:, 0]
+                out["doc_id"].append(doc_id)
+                out["rate"].append(rate)
+                out["n_samples"].append(len(s))
+                out["s0"].append(int(s[0]))
+                out["s3"].append(int(s[3]))
+                out["s7"].append(int(s[7]))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", text_col).mapInPandas(
+        kernel, WAV_DECODE_SCHEMA)
+
+
 MULAW_SCHEMA = ("doc_id long, n_samples int, s_sum long, s_min int, "
                 "s_max int")
 

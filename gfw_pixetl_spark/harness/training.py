@@ -787,6 +787,34 @@ def q234(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q361 — REAL FLAC decode (sources/flac.py, public RFC 9639 spec): the
+# payload compresses q234's exact 8-sample PCM into a spec-valid FLAC
+# stream (two 4-sample frames, fixed predictors + Rice residuals,
+# CRC-8/CRC-16 verified, STREAMINFO MD5 checked), and the kernel must
+# hand back the SAME samples the WAV oracle replays from md5 hex —
+# bit-exact PCM through a genuinely compressed codec. Speech corpora
+# (LibriSpeech-shape) ship FLAC; this is their column's decode path.
+# --------------------------------------------------------------------------
+@register(
+    "q361_flac_decode",
+    oracle=f"""
+    SELECT doc_id, CAST(8000 AS INT) AS rate, CAST(8 AS INT) AS n_samples,
+           CAST({_PCM_BYTES[0]} * 256 + {_PCM_BYTES[1]} - 32768 AS INT)
+               AS s0,
+           CAST({_PCM_BYTES[6]} * 256 + {_PCM_BYTES[7]} - 32768 AS INT)
+               AS s3,
+           CAST({_PCM_BYTES[14]} * 256 + {_PCM_BYTES[15]} - 32768 AS INT)
+               AS s7
+    FROM documents
+    """,
+)
+def q361(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import decode_flac_samples
+
+    return decode_flac_samples(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
 # q235 — REAL G.711 mu-law expansion (ITU-T closed form): the payload is
 # a mu-law WAV whose 16 code words are the digest bytes; the kernel
 # expands them through the companding tables and the oracle replays the
