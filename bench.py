@@ -354,6 +354,7 @@ BENCH_QUERIES = [
     "q359_cohort_ltv",
     "q360_bmff_frames",
     "q361_flac_decode",
+    "q362_bucketed_incremental_dedup",
 ]
 
 

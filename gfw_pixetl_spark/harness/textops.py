@@ -4297,6 +4297,63 @@ def q323(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q362 — STORAGE-PARTITIONED incremental dedup: q323's exact semantics
+# (and exact oracle), but the historical index is a PERSISTED bucketed
+# signature store (functions/signature_store.py) — band keys bucketed
+# by (band_id, key), signatures bucketed by doc_id — so the batch join
+# plans with NO Exchange above either index scan (FileScan shows
+# Bucketed: true; the only shuffles move the small batch side). This is
+# what q323 looks like when the index is 100 TB: the index is hashed
+# once at write time and never re-signed or re-shuffled per batch.
+# Plan shape is asserted in tests/test_signature_store.py.
+# --------------------------------------------------------------------------
+@register(
+    "q362_bucketed_incremental_dedup",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest({SQL_WORDSET}) AS word FROM documents
+    ), h AS (
+      SELECT doc_id, {_sql_word_hash()} AS hw FROM w
+    ), sigs AS (
+      SELECT doc_id,
+           {_mh_cols}
+      FROM h GROUP BY doc_id
+    ), banded AS (
+      {_bands_union}
+    ), cand AS (
+      SELECT DISTINCT b.doc_id AS batch_id, a.doc_id AS index_id
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.key = b.key
+      WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+    ), m AS (
+      SELECT c.batch_id, c.index_id, ({_INC_MATCH}) AS n_match
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.index_id
+      JOIN sigs sb ON sb.doc_id = c.batch_id
+    ), best AS (
+      SELECT batch_id, index_id, n_match,
+             row_number() OVER (PARTITION BY batch_id
+                                ORDER BY n_match DESC, index_id ASC) AS rk
+      FROM m
+    )
+    SELECT batch_id, index_id AS match_id,
+           CAST(n_match AS BIGINT) AS n_match,
+           round(n_match / {D.N_MINHASH}.0, 6) AS est_jaccard,
+           n_match >= {D.N_MINHASH // 2} AS is_dup
+    FROM best WHERE rk = 1 ORDER BY batch_id
+    """,
+)
+def q362(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions import signature_store as SS
+
+    docs = load(spark, sf_dir, "documents")
+    SS.store_signatures(
+        spark, docs.filter(F.col("doc_id") % 5 != 0), "q362_store")
+    return SS.incremental_dedup_against_store(
+        spark, docs.filter(F.col("doc_id") % 5 == 0), "q362_store")
+
+
+# --------------------------------------------------------------------------
 # q325 — UTF-8 BYTE HISTOGRAM / MOJIBAKE AUDIT: the encoding screen a
 # crawl pipeline runs before trusting "UTF-8" labels — per language,
 # the distribution of raw encoded BYTES (not codepoints), the non-ASCII
