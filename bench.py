@@ -423,6 +423,29 @@ def main() -> None:
             print(f"bench scale_stress FAILED: {e}", file=sys.stderr)
             stress = {"sec": -1.0, "golden": False}
 
+    # At-size VECTOR-pipe stress (105 MB of feature coordinates through
+    # the salted fetch->burn->merge->write path, r4 verdict #4).
+    stress_vec = None
+    if os.environ.get("SPARK_GRAFT_BENCH_STRESS", "1") != "0":
+        import tempfile
+
+        from gfw_pixetl_spark.harness import scale_stress_vector
+
+        try:
+            t0 = time.perf_counter()
+            facts = scale_stress_vector.run(spark, tempfile.mkdtemp())
+            problems = scale_stress_vector.verify_outputs(facts)
+            stress_vec = {
+                "sec": round(time.perf_counter() - t0, 3),
+                "sec_full_pipeline": facts["sec_full_pipeline"],
+                "coord_mb": facts["coord_bytes"] // 2**20,
+                "max_batch_mb": round(facts["max_batch_bytes"] / 2**20, 1),
+                "golden": not problems,
+            }
+        except Exception as e:  # noqa: BLE001
+            print(f"bench scale_stress_vector FAILED: {e}", file=sys.stderr)
+            stress_vec = {"sec": -1.0, "golden": False}
+
     # Full per-query medians go to a file (the driver's tail capture is
     # ~2 KB; a 169-entry map overflows it — r2 verdict #2). The LAST stdout
     # line is a compact summary the driver can always parse.
@@ -435,6 +458,7 @@ def main() -> None:
         "reps": reps,
         "aggregation": "median_per_query",
         "scale_stress": stress,
+        "scale_stress_vector": stress_vec,
     }
     repo = Path(__file__).resolve().parent
     detail_path = repo / "BENCH_DETAIL.json"
@@ -468,6 +492,7 @@ def main() -> None:
                 "reps": reps,
                 "aggregation": "median_per_query",
                 "scale_stress": stress,
+                "scale_stress_vector": stress_vec,
                 "detail": str(detail_path),
             }
         )

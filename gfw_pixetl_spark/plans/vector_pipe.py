@@ -275,19 +275,16 @@ class VectorPipe:
             merge, WINDOW_PAYLOAD_SCHEMA
         )
 
-    def run(
+    def plan_payloads(
         self,
         spark: SparkSession,
         features: DataFrame,
         subset: list[str] | None = None,
     ) -> DataFrame:
-        """features: DataFrame[feature_id long, value double, geom GEOM_TYPE].
-
-        Returns the per-tile status DataFrame (F10). Tiles with no
-        intersecting features never shuffle (the F4 existence probe is the
-        join itself); within a tile, only windows a feature's bbox
-        touches are burned.
-        """
+        """The fetch -> fan-out -> burn stages as a window-payload
+        DataFrame (WINDOW_PAYLOAD_SCHEMA) — split out of :meth:`run` so
+        the at-size stress harness can tap Arrow batch sizes at the
+        exact point the write exchange consumes them."""
         grid = self.grid_obj
         tiles = seed_tiles(spark, grid)
         if subset:
@@ -351,7 +348,22 @@ class VectorPipe:
             )
         )
         if self.n_salts > 1:
-            payloads = self.rasterize_windows_salted(pairs)
-        else:
-            payloads = self.rasterize_windows(pairs)
-        return write_tiles(payloads, self.layer, grid, self.work_dir)
+            return self.rasterize_windows_salted(pairs)
+        return self.rasterize_windows(pairs)
+
+    def run(
+        self,
+        spark: SparkSession,
+        features: DataFrame,
+        subset: list[str] | None = None,
+    ) -> DataFrame:
+        """features: DataFrame[feature_id long, value double, geom GEOM_TYPE].
+
+        Returns the per-tile status DataFrame (F10). Tiles with no
+        intersecting features never shuffle (the F4 existence probe is the
+        join itself); within a tile, only windows a feature's bbox
+        touches are burned.
+        """
+        payloads = self.plan_payloads(spark, features, subset)
+        return write_tiles(payloads, self.layer, self.grid_obj,
+                           self.work_dir)
