@@ -355,6 +355,7 @@ BENCH_QUERIES = [
     "q360_bmff_frames",
     "q361_flac_decode",
     "q362_bucketed_incremental_dedup",
+    "q363_spec_evolution",
 ]
 
 

@@ -2375,6 +2375,77 @@ def q238(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q363 — PARTITION-SPEC EVOLUTION (Iceberg spec-v2 behavior): v1 of the
+# table is written partitioned by truncate[100] on doc_id (spec 1,
+# 2 files: [0,100) and [100,200)); v2 appends docs [200,400) under a
+# FINER spec, truncate[50] (spec 2, 4 files) — no rewrite of v1's
+# layout. prune_files applies EACH FILE'S OWN spec, so a [120, 260]
+# scan at HEAD opens exactly 1 spec-1 file + 2 spec-2 files (3 of 6),
+# and time-traveling to v1 opens 1 of 2 under the old spec alone. The
+# scanned-file counts ride in the result as value-checked constants
+# (the q238 move) and the row aggregates prove pruning never dropped a
+# live row: over-pruning breaks n_docs/id_sum, under-pruning breaks
+# n_files_scanned.
+# --------------------------------------------------------------------------
+def _spec_evolution_table(spark: SparkSession, sf_dir: str) -> str:
+    def build(d: str) -> None:
+        from ..sources.snapshots import snapshot_append
+
+        docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+        snapshot_append(
+            docs.filter(F.col("doc_id") < 200), d,
+            partition_spec={"col": "doc_id", "transform": "truncate",
+                            "param": 100})
+        snapshot_append(
+            docs.filter((F.col("doc_id") >= 200)
+                        & (F.col("doc_id") < 400)), d,
+            partition_spec={"col": "doc_id", "transform": "truncate",
+                            "param": 50})
+
+    return _derived_dir(sf_dir, "snapspecevo", build)
+
+
+@register(
+    "q363_spec_evolution",
+    oracle="""
+    SELECT 2 AS snapshot_version,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(6 AS INT) AS n_files_total,
+           CAST(3 AS INT) AS n_files_scanned
+    FROM documents WHERE doc_id BETWEEN 120 AND 260
+    UNION ALL
+    SELECT 1, CAST(COUNT(*) AS BIGINT), CAST(SUM(doc_id) AS BIGINT),
+           CAST(2 AS INT), CAST(1 AS INT)
+    FROM documents WHERE doc_id BETWEEN 120 AND 199
+    ORDER BY snapshot_version DESC
+    """,
+)
+def q363(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.snapshots import (
+        prune_files, read_manifest, read_snapshot,
+    )
+
+    d = _spec_evolution_table(spark, sf_dir)
+    out = None
+    for v in (2, 1):
+        m = read_manifest(d, v)
+        scanned = len(prune_files(m, "doc_id", 120, 260))
+        agg = read_snapshot(
+            spark, d, version=v, between=("doc_id", 120, 260)
+        ).agg(
+            F.lit(v).cast("int").alias("snapshot_version"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+            F.lit(len(m["files"])).cast("int").alias("n_files_total"),
+            F.lit(scanned).cast("int").alias("n_files_scanned"),
+        ).select("snapshot_version", "n_docs", "id_sum",
+                 "n_files_total", "n_files_scanned")
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
+# --------------------------------------------------------------------------
 # q240 — snapshot CHANGE DATA FEED (read_changes): the q233 table's
 # commit history replayed as tagged row changes — v2's insert of the
 # odd docs, v3's delete emitting the ACTUAL suppressed rows

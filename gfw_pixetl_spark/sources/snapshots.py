@@ -91,6 +91,61 @@ def _stage_files(df: DataFrame, table_dir: str) -> list[str]:
     return added
 
 
+def _stage_files_partitioned(
+    df: DataFrame, table_dir: str, spec: dict,
+) -> list[tuple[str, object]]:
+    """Stage ``df`` split by the partition transform of ``spec``
+    ({'col', 'transform': 'identity'|'truncate', 'param'}): one
+    Hive-style ``_pval=<v>`` directory per transform value, files moved
+    into data/ with their value recorded. Returns [(rel_path, value)].
+
+    The single-writer repartition keeps one file per partition value —
+    at fleet scale you would ``repartition(n, '_pval')`` instead; the
+    manifest contract (file -> value) is identical either way.
+    """
+    from pyspark.sql import functions as F
+
+    col, t = spec["col"], spec.get("transform", "identity")
+    if t == "identity":
+        pval = F.col(col)
+    elif t == "truncate":
+        w = int(spec.get("param") or 1)
+        pval = (F.floor(F.col(col) / w) * w).cast("long")
+    else:
+        raise ValueError(f"unsupported partition transform {t!r}")
+
+    data_dir = os.path.join(table_dir, "data")
+    os.makedirs(data_dir, exist_ok=True)
+    os.makedirs(os.path.join(table_dir, _SNAP_DIR), exist_ok=True)
+    stage = os.path.join(table_dir, f"_stage_{uuid.uuid4().hex[:12]}")
+    (df.withColumn("_pval", pval).repartition(1)
+       .write.mode("overwrite").partitionBy("_pval").parquet(stage))
+    added: list[tuple[str, object]] = []
+    for dname in sorted(os.listdir(stage)):
+        pdir = os.path.join(stage, dname)
+        if not (dname.startswith("_pval=") and os.path.isdir(pdir)):
+            continue
+        raw = dname.split("=", 1)[1]
+        try:
+            value: object = int(raw)
+        except ValueError:
+            try:
+                value = float(raw)
+            except ValueError:
+                value = raw
+        for name in sorted(os.listdir(pdir)):
+            if not name.endswith(".parquet"):
+                continue
+            dst = f"{uuid.uuid4().hex[:12]}-{name}"
+            os.rename(os.path.join(pdir, name),
+                      os.path.join(data_dir, dst))
+            added.append((os.path.join("data", dst), value))
+    import shutil
+
+    shutil.rmtree(stage, ignore_errors=True)
+    return added
+
+
 def _file_stats(table_dir: str, rel_paths: list[str],
                 stats_cols: list[str]) -> dict:
     """Per-file min/max of ``stats_cols`` straight from the parquet
@@ -122,16 +177,40 @@ def _file_stats(table_dir: str, rel_paths: list[str],
     return out
 
 
+def _part_excludes(spec: dict, value, col: str, lo, hi) -> bool:
+    """True iff a file with partition ``value`` under ``spec`` provably
+    contains no rows with spec['col']==col in [lo, hi]."""
+    if spec.get("col") != col or value is None:
+        return False
+    t = spec.get("transform", "identity")
+    if t == "identity":
+        return value < lo or value > hi
+    if t == "truncate":  # file covers [value, value + param)
+        w = spec.get("param") or 1
+        return value > hi or value + w <= lo
+    return False  # bucket/unknown transforms never range-prune
+
+
 def prune_files(manifest: dict, col: str, lo, hi) -> list[str]:
     """Data files of ``manifest`` that can contain col values in
-    [lo, hi]: files whose recorded [min, max] misses the range are
-    dropped; files without stats are kept (pruning is never allowed to
-    change results, only to skip provably-empty reads)."""
+    [lo, hi]: files are dropped when EITHER their recorded [min, max]
+    zone map misses the range OR their partition value (under the
+    partition spec they were written with — specs may differ per file
+    after spec evolution, Iceberg-style) provably excludes it. Files
+    without stats or partition info are kept (pruning is never allowed
+    to change results, only to skip provably-empty reads)."""
     stats = manifest.get("stats", {})
+    specs = manifest.get("specs", {})
+    file_specs = manifest.get("file_specs", {})
+    file_parts = manifest.get("file_parts", {})
     keep = []
     for f in manifest["files"]:
         rng = stats.get(f, {}).get(col)
         if rng is not None and (rng[1] < lo or rng[0] > hi):
+            continue
+        spec = specs.get(str(file_specs.get(f)))
+        if spec is not None and _part_excludes(
+                spec, file_parts.get(f), col, lo, hi):
             continue
         keep.append(f)
     return keep
@@ -156,6 +235,19 @@ def _commit(table_dir: str, build_manifest, max_retries: int) -> int:
                            manifest.get("max_batch_id")) if x is not None]
         if hwm:
             manifest["max_batch_id"] = max(int(x) for x in hwm)
+        # Partition-spec metadata also rides forward through commits
+        # whose builders don't manage it (delete/merge/compact):
+        # specs are table history; per-file entries are trimmed to the
+        # files this manifest still lists (a compact's rewritten files
+        # are unpartitioned unless its builder says otherwise).
+        if "specs" not in manifest and pm.get("specs"):
+            manifest["specs"] = pm["specs"]
+        live = set(manifest.get("files", []))
+        for k in ("file_specs", "file_parts"):
+            if k not in manifest and pm.get(k):
+                trimmed = {f: v for f, v in pm[k].items() if f in live}
+                if trimmed:
+                    manifest[k] = trimmed
         path = _manifest_path(table_dir, parent + 1)
         try:
             fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
@@ -171,20 +263,35 @@ def snapshot_append(
     df: DataFrame, table_dir: str, max_retries: int = 10,
     stats_cols: list[str] | None = None,
     extra: dict | None = None,
+    partition_spec: dict | None = None,
 ) -> int:
     """Append ``df`` as a new snapshot; returns the committed version.
     The manifest create-exclusive is the atomic commit point.
     ``stats_cols`` records per-file min/max zone maps in the manifest
     (from the parquet footers, no extra data pass) so readers can
-    prune files by predicate (``read_snapshot(between=...)``/q238)."""
-    added = _stage_files(df, table_dir)
+    prune files by predicate (``read_snapshot(between=...)``/q238).
+
+    ``partition_spec`` ({'col', 'transform': 'identity'|'truncate',
+    'param'}) writes the append PARTITIONED by the transform value and
+    records (spec, value) per file — Iceberg-style partition-spec
+    EVOLUTION: each append may use a different spec, every file keeps
+    the spec it was written under, and ``prune_files`` applies each
+    file's own spec, so layouts from before and after a spec change
+    prune correctly in the same table (q363)."""
+    if partition_spec is not None:
+        pairs = _stage_files_partitioned(df, table_dir, partition_spec)
+        added = [f for f, _ in pairs]
+        parts = {f: v for f, v in pairs}
+    else:
+        added = _stage_files(df, table_dir)
+        parts = {}
     n_rows = df.count()
     stats = _file_stats(table_dir, added, stats_cols) if stats_cols else {}
 
     def build(parent: int, pm: dict) -> dict:
         seqs = dict(pm.get("seqs", {}))
         seqs.update({f: parent + 1 for f in added})
-        return {
+        out = {
             "operation": "append",
             "files": pm.get("files", []) + added,
             "seqs": seqs,
@@ -192,8 +299,26 @@ def snapshot_append(
             "stats": {**pm.get("stats", {}), **stats},
             "added_files": added,
             "added_rows": n_rows,
+            "specs": dict(pm.get("specs", {})),
+            "file_specs": dict(pm.get("file_specs", {})),
+            "file_parts": dict(pm.get("file_parts", {})),
             **(extra or {}),
         }
+        if partition_spec is not None:
+            want = {
+                "col": partition_spec["col"],
+                "transform": partition_spec.get("transform", "identity"),
+                "param": partition_spec.get("param"),
+            }
+            sid = next((k for k, v in out["specs"].items() if v == want),
+                       None)
+            if sid is None:  # new spec: evolution, old files untouched
+                sid = str(1 + max((int(k) for k in out["specs"]),
+                                  default=0))
+                out["specs"][sid] = want
+            out["file_specs"].update({f: sid for f in added})
+            out["file_parts"].update(parts)
+        return out
 
     return _commit(table_dir, build, max_retries)
 

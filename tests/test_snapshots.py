@@ -355,6 +355,91 @@ def test_streaming_sink_idempotent_across_vacuum(spark, tmp_path):
     assert got == [1, 2, 3]
 
 
+def test_partition_spec_evolution_prunes_both_layouts(spark, tmp_path):
+    """Two partition specs live in one table: files keep the spec they
+    were written under, prune_files applies each file's own transform,
+    and time travel below the spec change prunes under the old spec."""
+    from gfw_pixetl_spark.sources.snapshots import (
+        prune_files, read_manifest, read_snapshot, snapshot_append,
+    )
+
+    d = str(tmp_path / "tab")
+    df = spark.createDataFrame([(i, i * 2) for i in range(400)],
+                               "id long, v long")
+    snapshot_append(df.filter("id < 200"), d,
+                    partition_spec={"col": "id", "transform": "truncate",
+                                    "param": 100})
+    snapshot_append(df.filter("id >= 200"), d,
+                    partition_spec={"col": "id", "transform": "truncate",
+                                    "param": 50})
+    m2 = read_manifest(d, 2)
+    assert len(m2["specs"]) == 2  # evolution, not rewrite
+    assert len(m2["files"]) == 2 + 4
+    # per-file spec application: [120, 260] needs 1 coarse + 2 fine files
+    kept = prune_files(m2, "id", 120, 260)
+    assert len(kept) == 3
+    got = sorted(r.id for r in read_snapshot(
+        spark, d, between=("id", 120, 260)).collect())
+    assert got == list(range(120, 261))
+    # time travel to v1: only the coarse spec exists
+    m1 = read_manifest(d, 1)
+    assert len(m1["specs"]) == 1 and len(m1["files"]) == 2
+    assert len(prune_files(m1, "id", 120, 260)) == 1
+    got = sorted(r.id for r in read_snapshot(
+        spark, d, version=1, between=("id", 120, 260)).collect())
+    assert got == list(range(120, 200))
+    # identical re-used spec does NOT mint a third id
+    snapshot_append(df.filter("id < 10"), d,
+                    partition_spec={"col": "id", "transform": "truncate",
+                                    "param": 50})
+    assert len(read_manifest(d, 3)["specs"]) == 2
+
+
+def test_partition_spec_survives_delete_and_compact(spark, tmp_path):
+    """Spec metadata rides through delete commits (files unchanged) and
+    is trimmed at compaction (rewritten files are unpartitioned)."""
+    from gfw_pixetl_spark.sources.snapshots import (
+        prune_files, read_manifest, read_snapshot, snapshot_append,
+        snapshot_compact, snapshot_delete,
+    )
+
+    d = str(tmp_path / "tab")
+    df = spark.createDataFrame([(i,) for i in range(200)], "id long")
+    snapshot_append(df, d, partition_spec={
+        "col": "id", "transform": "truncate", "param": 100})
+    snapshot_delete(spark.createDataFrame([(7,)], "id long"), d, ["id"])
+    m = read_manifest(d, 2)
+    assert m["specs"] and len(m["file_parts"]) == 2
+    assert len(prune_files(m, "id", 0, 50)) == 1  # pruning still works
+    got = sorted(r.id for r in read_snapshot(
+        spark, d, between=("id", 0, 50)).collect())
+    assert got == [i for i in range(51) if i != 7]
+    v = snapshot_compact(spark, d, target_files=1)
+    m = read_manifest(d, v)
+    # rewritten files carry no partition entries; history (specs) stays
+    assert m.get("file_parts", {}) == {}
+    assert sorted(r.id for r in read_snapshot(spark, d).collect()) \
+        == [i for i in range(200) if i != 7]
+
+
+def test_identity_partition_spec(spark, tmp_path):
+    from gfw_pixetl_spark.sources.snapshots import (
+        prune_files, read_manifest, read_snapshot, snapshot_append,
+    )
+
+    d = str(tmp_path / "tab")
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(90)], "id long, grp long")
+    snapshot_append(df, d, partition_spec={"col": "grp",
+                                           "transform": "identity"})
+    m = read_manifest(d, 1)
+    assert len(m["files"]) == 3
+    assert len(prune_files(m, "grp", 1, 1)) == 1
+    got = sorted(r.id for r in read_snapshot(
+        spark, d, between=("grp", 1, 1)).collect())
+    assert got == [i for i in range(90) if i % 3 == 1]
+
+
 def test_change_data_feed_order_and_compact_silence(spark, tmp_path):
     from gfw_pixetl_spark.sources.snapshots import (
         read_changes, snapshot_append, snapshot_compact, snapshot_delete,
