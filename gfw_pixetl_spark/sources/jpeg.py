@@ -868,14 +868,21 @@ def _enc_ac_refine(wr: _ProgWriter, blocks, ss, se, al) -> None:
 
 
 def encode_jpeg_progressive(arr: np.ndarray,
-                            quant: np.ndarray | None = None) -> bytes:
+                            quant: np.ndarray | None = None,
+                            ac_bands: list | None = None,
+                            al_levels: int = 1) -> bytes:
     """Encode (h, w) or (h, w, 3) uint8 to PROGRESSIVE JFIF bytes
     (SOF2) with a libjpeg-shaped scan script exercising both Annex-G
-    mechanisms: DC first at Al=1 + DC refinement to Al=0, then per
-    component AC bands 1..5 and 6..63 first at Al=1 + refinement scans
-    to Al=0. Same Annex K Huffman tables and quantization contract as
-    ``encode_jpeg`` — with the default all-ones table a DC-only image
-    round-trips exactly (the q233 oracle fact)."""
+    mechanisms: DC first at Al=``al_levels`` + DC refinements down to
+    Al=0, then per component each AC spectral band (``ac_bands``,
+    default [(1, 5), (6, 63)]; any contiguous partition of 1..63)
+    first at Al=``al_levels`` + refinement scans per level down to 0.
+    ``al_levels=0`` writes single full-precision scans (no successive
+    approximation). Same Annex K Huffman tables and quantization
+    contract as ``encode_jpeg`` — with the default all-ones table a
+    DC-only image round-trips exactly (the q233 oracle fact), and for
+    ANY image the decoded pixels must equal the sequential encoder's
+    (test_jpeg.py scan-script fuzz)."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, ch = arr.shape
@@ -937,13 +944,27 @@ def encode_jpeg_progressive(arr: np.ndarray,
         header = bytes([1, ci + 1, tsel])
         return header + bytes([ss, se, (ah << 4) | al]), wr.buf
 
-    scans = [dc_scan(1), dc_refine(1, 0)]
+    bands = list(ac_bands) if ac_bands is not None else [(1, 5), (6, 63)]
+    if al_levels < 0:
+        raise ValueError("al_levels must be >= 0")
+    cover = []
+    for ss, se in bands:
+        if not (1 <= ss <= se <= 63):
+            raise ValueError(f"bad AC band ({ss}, {se})")
+        cover.extend(range(ss, se + 1))
+    if sorted(cover) != list(range(1, 64)) or len(cover) != 63:
+        raise ValueError("ac_bands must partition 1..63 exactly")
+
+    scans = [dc_scan(al_levels)]
+    for al in range(al_levels - 1, -1, -1):
+        scans.append(dc_refine(al + 1, al))
     for ci in range(ch):
-        scans.append(ac_scan(ci, 1, 5, 0, 1))
-        scans.append(ac_scan(ci, 6, 63, 0, 1))
-    for ci in range(ch):
-        scans.append(ac_scan(ci, 1, 5, 1, 0))
-        scans.append(ac_scan(ci, 6, 63, 1, 0))
+        for ss, se in bands:
+            scans.append(ac_scan(ci, ss, se, 0, al_levels))
+    for al in range(al_levels - 1, -1, -1):
+        for ci in range(ch):
+            for ss, se in bands:
+                scans.append(ac_scan(ci, ss, se, al + 1, al))
 
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01" \

@@ -329,3 +329,68 @@ def test_progressive_420_subsampled_hand_built():
         ]), 0, 255).astype(np.uint8)
         quad = dec[dy:dy + 8, dx:dx + 8]
         assert (quad == exp[None, None, :]).all(), (qi, quad[0, 0], exp)
+
+
+# ---------------------------------------------------------------------------
+# Scan-script fuzz (r4 verdict #8): arbitrary spectral-band partitions
+# and successive-approximation depths must decode to the EXACT pixels
+# the sequential encoder produces for the same image — the property
+# that pins the AC first/refinement correction-bit logic.
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@st.composite
+def _band_partition(draw):
+    """Random contiguous partition of the AC indices 1..63."""
+    n_cuts = draw(st.integers(0, 4))
+    cuts = sorted(draw(st.sets(st.integers(2, 63), min_size=n_cuts,
+                               max_size=n_cuts)))
+    edges = [1] + cuts + [64]
+    return [(edges[i], edges[i + 1] - 1) for i in range(len(edges) - 1)]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    h=st.integers(8, 28),
+    w=st.integers(8, 28),
+    bands=_band_partition(),
+    al=st.integers(0, 3),
+    rgb=st.booleans(),
+)
+def test_progressive_scan_script_fuzz(seed, h, w, bands, al, rgb):
+    rng = np.random.RandomState(seed)
+    shape = (h, w, 3) if rgb else (h, w)
+    img = rng.randint(0, 256, shape).astype(np.uint8)
+    seq = decode_jpeg(encode_jpeg(img))
+    prog = decode_jpeg(encode_jpeg_progressive(
+        img, ac_bands=bands, al_levels=al))
+    assert np.array_equal(prog, seq), (bands, al)
+
+
+@settings(max_examples=10, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), al=st.integers(0, 2))
+def test_progressive_fuzz_with_quant_table(seed, al):
+    """The parity must hold through a real (lossy) quant table too —
+    the correction bits operate on quantized coefficients."""
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (17, 23)).astype(np.uint8)
+    q = np.clip(rng.randint(1, 40, (8, 8)), 1, 255).astype(np.int32)
+    seq = decode_jpeg(encode_jpeg(img, quant=q))
+    prog = decode_jpeg(encode_jpeg_progressive(
+        img, quant=q, ac_bands=[(1, 9), (10, 63)], al_levels=al))
+    assert np.array_equal(prog, seq)
+
+
+def test_progressive_rejects_bad_scripts():
+    img = np.zeros((8, 8), np.uint8)
+    with pytest.raises(ValueError, match="partition"):
+        encode_jpeg_progressive(img, ac_bands=[(1, 5)])  # gap 6..63
+    with pytest.raises(ValueError, match="partition"):
+        encode_jpeg_progressive(img, ac_bands=[(1, 40), (30, 63)])
+    with pytest.raises(ValueError, match="bad AC band"):
+        encode_jpeg_progressive(img, ac_bands=[(0, 63)])
+    with pytest.raises(ValueError, match="al_levels"):
+        encode_jpeg_progressive(img, al_levels=-1)
