@@ -356,6 +356,10 @@ BENCH_QUERIES = [
     "q361_flac_decode",
     "q362_bucketed_incremental_dedup",
     "q363_spec_evolution",
+    "q364_bmff_audio_track",
+    "q365_snapshot_tags",
+    "q366_dedup_canonicalize",
+    "q367_partition_overwrite",
 ]
 
 

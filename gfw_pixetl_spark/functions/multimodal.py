@@ -612,6 +612,73 @@ def decode_wav_samples(df: DataFrame, text_col: str = "text") -> DataFrame:
         kernel, WAV_DECODE_SCHEMA)
 
 
+def av_payload(text: str, n_frames: int = 4, size: int = 4) -> bytes:
+    """Deterministic REAL audio+video ISO-BMFF payload: a 'vide' track
+    of PNG digest frames plus a 'soun' track of 16-bit PCM samples —
+    the SAME 8 samples the pcm16 WAV oracle replays (digest byte pairs,
+    ``(hi << 8 | lo) - 32768``), one BMFF sample each, multi-chunk
+    stsc. The audio decode path of a real multimodal corpus: walk the
+    sound track's sample table, slice PCM by byte range (q364)."""
+    import struct as _struct
+
+    import numpy as np
+
+    from ..sources.bmff import encode_mp4_tracks
+    from ..sources.png import encode_png
+
+    frames = []
+    for k in range(n_frames):
+        digest = hashlib.md5(f"{text}:{k}".encode("utf-8")).digest()
+        need = size * size
+        raw = (digest * ((need // len(digest)) + 1))[:need]
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(size, size)
+        frames.append(encode_png(arr, filter_type=4))
+    digest = hashlib.md5(text.encode("utf-8")).digest()
+    raw = np.frombuffer(digest, np.uint8).astype(np.int64)
+    pcm = (raw[0::2] * 256 + raw[1::2] - 32768).astype(np.int16)
+    audio = [_struct.pack("<h", int(s)) for s in pcm]
+    return encode_mp4_tracks([
+        {"samples": frames, "handler": b"vide", "fourcc": "png ",
+         "width": size, "height": size, "chunk_plan": [2] * (n_frames // 2)},
+        {"samples": audio, "handler": b"soun", "fourcc": "sowt",
+         "sample_rate": 8000, "timescale": 8000, "sample_delta": 1,
+         "chunk_plan": [3, 3, 2]},
+    ])
+
+
+def decode_av_audio(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """REAL mp4 audio-track decode: the kernel walks the 'soun' track's
+    sample table (sources/bmff.py), slices the PCM samples by byte
+    range, and emits the q234 probe columns — same PCM through the
+    container a multimodal corpus actually ships (q364)."""
+    import struct as _struct
+
+    from ..sources.bmff import sample_ranges
+    from .partitioning import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "rate", "n_samples", "s0", "s3", "s7")}
+            for doc_id, t in zip(pdf["doc_id"], pdf[text_col]):
+                p = av_payload(t)
+                tab = sample_ranges(p, b"soun")
+                pcm = [_struct.unpack("<h", p[o:o + s])[0]
+                       for o, s, _dts in tab["samples"]]
+                out["doc_id"].append(doc_id)
+                out["rate"].append(tab["timescale"])
+                out["n_samples"].append(len(pcm))
+                out["s0"].append(pcm[0])
+                out["s3"].append(pcm[3])
+                out["s7"].append(pcm[7])
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", text_col).mapInPandas(
+        kernel, WAV_DECODE_SCHEMA)
+
+
 def flac_payload(text: str, rate: int = 8000) -> bytes:
     """Deterministic REAL FLAC payload (``sources/flac.py``): the same 8
     int16 samples the pcm16 WAV oracle replays — digest byte pairs,

@@ -2446,6 +2446,134 @@ def q363(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q367 — DYNAMIC PARTITION OVERWRITE (Iceberg overwrite semantics):
+# v1 writes docs <300 partitioned truncate[100] (3 files); v2
+# recomputes ONLY the [100, 200) partition with shifted n_chars and
+# swaps it in atomically — untouched partitions keep their v1 files
+# (and seqs), time travel to v1 sees the original rows, and the change
+# feed emits the replaced partition's old rows as deletes + the new
+# rows as inserts. The per-version char sums and file counts are the
+# value-checked proof that exactly one partition changed.
+# --------------------------------------------------------------------------
+def _overwrite_table(spark: SparkSession, sf_dir: str) -> str:
+    def build(d: str) -> None:
+        from ..sources.snapshots import (
+            snapshot_append, snapshot_overwrite_partitions,
+        )
+
+        spec = {"col": "doc_id", "transform": "truncate", "param": 100}
+        docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+        snapshot_append(docs.filter(F.col("doc_id") < 300), d,
+                        partition_spec=spec)                        # v1
+        rebuilt = docs.filter(
+            (F.col("doc_id") >= 100) & (F.col("doc_id") < 200)
+        ).withColumn("n_chars", F.col("n_chars") + 1000)
+        snapshot_overwrite_partitions(rebuilt, d, spec)             # v2
+
+    return _derived_dir(sf_dir, "snapoverwrite", build)
+
+
+@register(
+    "q367_partition_overwrite",
+    oracle="""
+    SELECT 2 AS version, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id BETWEEN 100 AND 199
+                         THEN n_chars + 1000 ELSE n_chars END)
+                AS BIGINT) AS chars_sum,
+           CAST(3 AS INT) AS n_files
+    FROM documents WHERE doc_id < 300
+    UNION ALL
+    SELECT 1, CAST(COUNT(*) AS BIGINT), CAST(SUM(n_chars) AS BIGINT),
+           CAST(3 AS INT)
+    FROM documents WHERE doc_id < 300
+    ORDER BY version DESC
+    """,
+)
+def q367(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.snapshots import read_manifest, read_snapshot
+
+    d = _overwrite_table(spark, sf_dir)
+    out = None
+    for v in (2, 1):
+        m = read_manifest(d, v)
+        agg = read_snapshot(spark, d, version=v).agg(
+            F.lit(v).cast("int").alias("version"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("chars_sum"),
+            F.lit(len(m["files"])).cast("int").alias("n_files"),
+        ).select("version", "n_docs", "chars_sum", "n_files")
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
+# --------------------------------------------------------------------------
+# q365 — snapshot TAGS (Iceberg named refs): v1 is tagged 'baseline',
+# v2 appends more docs, v3 compacts, then a keep_last=1 vacuum runs.
+# The tag PINS v1 through the vacuum — its manifest and files survive
+# while the untagged v2 manifest is collected — so reading by ref
+# returns exactly the tagged-version rows and the head keeps reading
+# the full table. Manifest-on-disk count rides as a value-checked
+# constant (2 = tagged v1 + head v3). This is the audit/training-input
+# pin a production table needs: routine GC can never erase a named
+# snapshot.
+# --------------------------------------------------------------------------
+def _tagged_table(spark: SparkSession, sf_dir: str) -> str:
+    def build(d: str) -> None:
+        from ..sources.snapshots import (
+            snapshot_append, snapshot_compact, snapshot_tag,
+            snapshot_vacuum,
+        )
+
+        docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+        snapshot_append(docs.filter(F.col("doc_id") < 200), d)      # v1
+        snapshot_tag(d, "baseline")                                 # -> v1
+        snapshot_append(docs.filter(
+            (F.col("doc_id") >= 200) & (F.col("doc_id") < 400)), d)  # v2
+        snapshot_compact(spark, d, target_files=1)                  # v3
+        snapshot_vacuum(d, keep_last=1, min_age_seconds=0)
+
+    return _derived_dir(sf_dir, "snaptags", build)
+
+
+@register(
+    "q365_snapshot_tags",
+    oracle="""
+    SELECT 'baseline' AS ref, 1 AS version,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(2 AS INT) AS n_manifests
+    FROM documents WHERE doc_id < 200
+    UNION ALL
+    SELECT 'head', 3, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(doc_id) AS BIGINT), CAST(2 AS INT)
+    FROM documents WHERE doc_id < 400
+    ORDER BY ref
+    """,
+)
+def q365(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from ..sources.snapshots import latest_version, read_snapshot
+
+    d = _tagged_table(spark, sf_dir)
+    n_manifests = len([f for f in _os.listdir(_os.path.join(
+        d, "_snapshots")) if f.endswith(".json")])
+    out = None
+    for ref, ver in (("baseline", 1), ("head", latest_version(d))):
+        df = read_snapshot(spark, d, ref="baseline") if ref == "baseline" \
+            else read_snapshot(spark, d)
+        agg = df.agg(
+            F.lit(ref).alias("ref"),
+            F.lit(ver).cast("int").alias("version"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+            F.lit(n_manifests).cast("int").alias("n_manifests"),
+        ).select("ref", "version", "n_docs", "id_sum", "n_manifests")
+        out = agg if out is None else out.unionByName(agg)
+    return out.orderBy("ref")
+
+
+# --------------------------------------------------------------------------
 # q240 — snapshot CHANGE DATA FEED (read_changes): the q233 table's
 # commit history replayed as tagged row changes — v2's insert of the
 # odd docs, v3's delete emitting the ACTUAL suppressed rows

@@ -815,6 +815,34 @@ def q361(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q364 — mp4 AUDIO-TRACK extraction: each doc carries a REAL two-track
+# ISO-BMFF file (PNG 'vide' track + 16-bit PCM 'soun' track,
+# sources/bmff.py multi-trak writer); the kernel walks the SOUND
+# track's moov/trak/mdia/minf/stbl sample table, slices each PCM
+# sample by byte range, and must hand back the q234 WAV oracle's PCM —
+# the audio half of a multimodal corpus's mp4 column, with the rate
+# carried by the track's mdhd timescale.
+# --------------------------------------------------------------------------
+@register(
+    "q364_bmff_audio_track",
+    oracle=f"""
+    SELECT doc_id, CAST(8000 AS INT) AS rate, CAST(8 AS INT) AS n_samples,
+           CAST({_PCM_BYTES[0]} * 256 + {_PCM_BYTES[1]} - 32768 AS INT)
+               AS s0,
+           CAST({_PCM_BYTES[6]} * 256 + {_PCM_BYTES[7]} - 32768 AS INT)
+               AS s3,
+           CAST({_PCM_BYTES[14]} * 256 + {_PCM_BYTES[15]} - 32768 AS INT)
+               AS s7
+    FROM documents
+    """,
+)
+def q364(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import decode_av_audio
+
+    return decode_av_audio(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
 # q235 — REAL G.711 mu-law expansion (ITU-T closed form): the payload is
 # a mu-law WAV whose 16 code words are the digest bytes; the kernel
 # expands them through the companding tables and the oracle replays the
@@ -1235,6 +1263,43 @@ def q208(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_clusters"),
              F.sum("sz").cast("bigint").alias("n_docs"))
     )
+
+
+# --------------------------------------------------------------------------
+# q366 — near-dup cluster CANONICALIZATION: the dedup OUTPUT op. After
+# q53's components, each cluster keeps exactly one canonical doc (max
+# n_chars, tie -> lowest doc_id — deterministic under any
+# partitioning) and the rest are drops; singletons are implicitly
+# kept. The kept set IS the training corpus after dedup. The oracle
+# replays the recursive-CTE components and the same argmax.
+# Scale: the component table is O(dup docs); one equi-join + one
+# cluster-keyed max(struct) with map-side partials — no corpus window.
+# --------------------------------------------------------------------------
+@register(
+    "q366_dedup_canonicalize",
+    oracle=f"""
+    WITH RECURSIVE {_COMP_SQL}, j AS (
+      SELECT c.doc_id, c.component, d.n_chars
+      FROM comp c JOIN documents d USING (doc_id)
+    ), best AS (
+      SELECT component, doc_id AS canon_id FROM (
+        SELECT component, doc_id,
+               row_number() OVER (PARTITION BY component
+                 ORDER BY n_chars DESC, doc_id ASC) AS rk
+        FROM j
+      ) WHERE rk = 1
+    )
+    SELECT j.doc_id, j.component,
+           CAST(j.n_chars AS BIGINT) AS quality,
+           j.doc_id = b.canon_id AS is_canonical
+    FROM j JOIN best b USING (component)
+    """,
+)
+def q366(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs)
+    comp = D.connected_components(D.lsh_star_edges(sigs))
+    return D.canonicalize_clusters(comp, docs)
 
 
 # --------------------------------------------------------------------------

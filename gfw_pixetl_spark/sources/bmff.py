@@ -288,6 +288,128 @@ def _rle_chunks(chunk_plan: list[int]) -> list[tuple[int, int, int]]:
     return runs
 
 
+def _build_stbl(fourcc: str, handler: bytes, sizes: list[int],
+                chunk_plan: list[int], chunk_offs: list[int],
+                sample_delta: int, width: int, height: int,
+                force_co64: bool, sample_rate: int) -> bytes:
+    n = len(sizes)
+    if handler == b"vide":
+        entry = (
+            b"\x00" * 6 + struct.pack(">H", 1)          # SampleEntry
+            + struct.pack(">HH", 0, 0) + b"\x00" * 12   # pre_defined/resv
+            + struct.pack(">HH", width, height)
+            + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+            + struct.pack(">I", 0) + struct.pack(">H", 1)
+            + b"\x00" * 32                               # compressorname
+            + struct.pack(">Hh", 24, -1)                 # depth, pre_def
+        )
+    else:  # AudioSampleEntry (§12.2.3): mono 16-bit PCM description
+        entry = (
+            b"\x00" * 6 + struct.pack(">H", 1)           # SampleEntry
+            + b"\x00" * 8                                # reserved[2] u32
+            + struct.pack(">HHHH", 1, 16, 0, 0)          # ch, bits, pre, r
+            + struct.pack(">I", sample_rate << 16)       # rate, 16.16
+        )
+    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1)
+                 + _box(fourcc.encode("latin-1"), entry))
+    stts = _full(b"stts", 0, 0, struct.pack(">III", 1, n, sample_delta))
+    runs = _rle_chunks(chunk_plan)
+    stsc = _full(b"stsc", 0, 0, struct.pack(">I", len(runs))
+                 + b"".join(struct.pack(">III", *r) for r in runs))
+    const = sizes[0] if len(set(sizes)) == 1 else 0
+    stsz = _full(b"stsz", 0, 0, struct.pack(">II", const, n)
+                 + (b"" if const else struct.pack(f">{n}I", *sizes)))
+    if force_co64 or (chunk_offs and max(chunk_offs) > 0xFFFFFFFF):
+        co = _full(b"co64", 0, 0, struct.pack(">I", len(chunk_offs))
+                   + struct.pack(f">{len(chunk_offs)}Q", *chunk_offs))
+    else:
+        co = _full(b"stco", 0, 0, struct.pack(">I", len(chunk_offs))
+                   + struct.pack(f">{len(chunk_offs)}I", *chunk_offs))
+    return _box(b"stbl", stsd + stts + stsc + stsz + co)
+
+
+_MATRIX = struct.pack(">9I", 0x00010000, 0, 0, 0, 0x00010000, 0,
+                      0, 0, 0x40000000)
+
+
+def _build_trak(track_id: int, handler: bytes, fourcc: str,
+                sizes: list[int], chunk_plan: list[int],
+                chunk_offs: list[int], timescale: int, sample_delta: int,
+                width: int, height: int, force_co64: bool,
+                sample_rate: int) -> bytes:
+    n = len(sizes)
+    duration = n * sample_delta
+    stbl = _build_stbl(fourcc, handler, sizes, chunk_plan, chunk_offs,
+                       sample_delta, width, height, force_co64,
+                       sample_rate)
+    if handler == b"vide":
+        mhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+        name = b"VideoHandler\x00"
+    else:
+        mhd = _full(b"smhd", 0, 0, struct.pack(">HH", 0, 0))
+        name = b"SoundHandler\x00"
+    dref = _full(b"dref", 0, 0, struct.pack(">I", 1)
+                 + _full(b"url ", 0, 1, b""))  # self-contained
+    minf = _box(b"minf", mhd + _box(b"dinf", dref) + stbl)
+    mdhd = _full(b"mdhd", 0, 0, struct.pack(
+        ">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0))  # lang 'und'
+    hdlr = _full(b"hdlr", 0, 0, struct.pack(">I", 0) + handler
+                 + b"\x00" * 12 + name)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    tkhd = _full(b"tkhd", 0, 7, struct.pack(
+        ">IIIII", 0, 0, track_id, 0, duration) + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0x0100 if handler == b"soun" else 0,
+                      0) + _MATRIX
+        + struct.pack(">II", width << 16, height << 16))
+    return _box(b"trak", tkhd + mdia)
+
+
+def encode_mp4_tracks(tracks: list[dict],
+                      force_co64: bool = False) -> bytes:
+    """Write a multi-track ISO-BMFF file. Each track dict:
+    {'samples': [bytes], 'handler': b'vide'|b'soun', 'fourcc': str,
+     'timescale': int, 'sample_delta': int, 'chunk_plan': [int] | None,
+     'width'/'height' (visual), 'sample_rate' (audio)}.
+    mdat carries each track's samples contiguously in track order;
+    every sample table is written per the public spec, so
+    ``sample_ranges(payload, handler)`` round-trips each track.
+    """
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512)
+                + b"isom" + b"iso2")
+    mdat_body = b"".join(s for t in tracks for s in t["samples"])
+    mdat = _box(b"mdat", mdat_body)
+
+    base = len(ftyp) + 8
+    traks = []
+    max_dur = 0
+    mv_timescale = tracks[0].get("timescale", 1000) if tracks else 1000
+    for ti, t in enumerate(tracks):
+        samples = t["samples"]
+        sizes = [len(s) for s in samples]
+        plan = t.get("chunk_plan") or [len(samples)]
+        if sum(plan) != len(samples):
+            raise ValueError("chunk_plan must cover every sample")
+        chunk_offs, si = [], 0
+        for nsamp in plan:
+            chunk_offs.append(base + sum(sizes[:si]))
+            si += nsamp
+        base += sum(sizes)
+        delta = t.get("sample_delta", 40)
+        traks.append(_build_trak(
+            ti + 1, t.get("handler", b"vide"), t.get("fourcc", "png "),
+            sizes, plan, chunk_offs, t.get("timescale", 1000), delta,
+            t.get("width", 0), t.get("height", 0), force_co64,
+            t.get("sample_rate", 8000)))
+        max_dur = max(max_dur, len(samples) * delta)
+
+    mvhd = _full(b"mvhd", 0, 0, struct.pack(
+        ">IIII", 0, 0, mv_timescale, max_dur)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0) + b"\x00" * 8
+        + _MATRIX + b"\x00" * 24 + struct.pack(">I", len(tracks) + 1))
+    moov = _box(b"moov", mvhd + b"".join(traks))
+    return ftyp + mdat + moov
+
+
 def encode_mp4(
     frames: list[bytes],
     fourcc: str = "png ",
@@ -305,80 +427,11 @@ def encode_mp4(
     parser reads (stsd/stts/stsc/stsz/stco|co64, mdhd, hdlr) is written
     per the public spec, so encode->sample_ranges round-trips exactly.
     """
-    n = len(frames)
-    if chunk_plan is None:
-        chunk_plan = [n]
-    if sum(chunk_plan) != n:
-        raise ValueError("chunk_plan must cover every frame")
-
-    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512)
-                + b"isom" + b"iso2")
-    mdat_body = b"".join(frames)
-    mdat = _box(b"mdat", mdat_body)
-
-    # file-absolute chunk offsets (mdat body starts after ftyp + header)
-    base = len(ftyp) + 8
-    chunk_offs, si = [], 0
-    sizes = [len(f) for f in frames]
-    for nsamp in chunk_plan:
-        chunk_offs.append(base + sum(sizes[:si]))
-        si += nsamp
-
-    duration = n * sample_delta
-
-    # --- stbl ---
-    vse = (
-        b"\x00" * 6 + struct.pack(">H", 1)          # SampleEntry
-        + struct.pack(">HH", 0, 0) + b"\x00" * 12   # pre_defined/reserved
-        + struct.pack(">HH", width, height)
-        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
-        + struct.pack(">I", 0) + struct.pack(">H", 1)  # reserved, frames
-        + b"\x00" * 32                               # compressorname
-        + struct.pack(">Hh", 24, -1)                 # depth, pre_defined
-    )
-    stsd = _full(b"stsd", 0, 0, struct.pack(">I", 1)
-                 + _box(fourcc.encode("latin-1"), vse))
-    stts = _full(b"stts", 0, 0,
-                 struct.pack(">III", 1, n, sample_delta))
-    runs = _rle_chunks(chunk_plan)
-    stsc = _full(b"stsc", 0, 0, struct.pack(">I", len(runs))
-                 + b"".join(struct.pack(">III", *r) for r in runs))
-    const = sizes[0] if len(set(sizes)) == 1 else 0
-    stsz = _full(b"stsz", 0, 0, struct.pack(">II", const, n)
-                 + (b"" if const else
-                    struct.pack(f">{n}I", *sizes)))
-    if force_co64 or (chunk_offs and max(chunk_offs) > 0xFFFFFFFF):
-        co = _full(b"co64", 0, 0, struct.pack(">I", len(chunk_offs))
-                   + struct.pack(f">{len(chunk_offs)}Q", *chunk_offs))
-    else:
-        co = _full(b"stco", 0, 0, struct.pack(">I", len(chunk_offs))
-                   + struct.pack(f">{len(chunk_offs)}I", *chunk_offs))
-    stbl = _box(b"stbl", stsd + stts + stsc + stsz + co)
-
-    # --- minf / mdia / trak / moov ---
-    vmhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
-    dref = _full(b"dref", 0, 0, struct.pack(">I", 1)
-                 + _full(b"url ", 0, 1, b""))  # self-contained
-    minf = _box(b"minf", vmhd + _box(b"dinf", dref) + stbl)
-    mdhd = _full(b"mdhd", 0, 0, struct.pack(
-        ">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0))  # lang 'und'
-    hdlr = _full(b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide"
-                 + b"\x00" * 12 + b"VideoHandler\x00")
-    mdia = _box(b"mdia", mdhd + hdlr + minf)
-    matrix = struct.pack(">9I", 0x00010000, 0, 0, 0, 0x00010000, 0,
-                         0, 0, 0x40000000)
-    tkhd = _full(b"tkhd", 0, 7, struct.pack(
-        ">IIIII", 0, 0, 1, 0, duration) + b"\x00" * 8
-        + struct.pack(">HHHH", 0, 0, 0, 0) + matrix
-        + struct.pack(">II", width << 16, height << 16))
-    trak = _box(b"trak", tkhd + mdia)
-    mvhd = _full(b"mvhd", 0, 0, struct.pack(
-        ">IIII", 0, 0, timescale, duration)
-        + struct.pack(">IHH", 0x00010000, 0x0100, 0) + b"\x00" * 8
-        + matrix + b"\x00" * 24 + struct.pack(">I", 2))
-    moov = _box(b"moov", mvhd + trak)
-
-    return ftyp + mdat + moov
+    return encode_mp4_tracks([{
+        "samples": list(frames), "handler": b"vide", "fourcc": fourcc,
+        "timescale": timescale, "sample_delta": sample_delta,
+        "chunk_plan": chunk_plan, "width": width, "height": height,
+    }], force_co64=force_co64)
 
 
 def extract_samples(payload: bytes, indices: list[int],

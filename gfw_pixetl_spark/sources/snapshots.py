@@ -356,6 +356,73 @@ def snapshot_delete(
     return _commit(table_dir, build, max_retries)
 
 
+def snapshot_overwrite_partitions(
+    df: DataFrame, table_dir: str, partition_spec: dict,
+    max_retries: int = 10,
+) -> int:
+    """Iceberg-style DYNAMIC PARTITION OVERWRITE in one atomic commit:
+    stage ``df`` partitioned by ``partition_spec``; the new manifest
+    drops every parent file whose recorded partition value — under an
+    IDENTICAL spec — is among the incoming values, and adds the new
+    files. Partitions the incoming data does not touch are untouched;
+    files written under a different spec are never replaced (their
+    value ranges are not comparable), matching Iceberg's
+    overwrite-by-expression safety. Old files stay on disk, so every
+    prior version still time-travels to the pre-overwrite rows.
+
+    This is the nightly-rebuild op: recompute one day/shard and swap
+    it in without rewriting the table or blocking readers (q367).
+    """
+    pairs = _stage_files_partitioned(df, table_dir, partition_spec)
+    added = [f for f, _ in pairs]
+    parts = dict(pairs)
+    incoming = {v for _, v in pairs}
+    n_rows = df.count()
+    want = {
+        "col": partition_spec["col"],
+        "transform": partition_spec.get("transform", "identity"),
+        "param": partition_spec.get("param"),
+    }
+
+    def build(parent: int, pm: dict) -> dict:
+        specs = dict(pm.get("specs", {}))
+        sid = next((k for k, v in specs.items() if v == want), None)
+        if sid is None:
+            sid = str(1 + max((int(k) for k in specs), default=0))
+            specs[sid] = want
+        file_specs = dict(pm.get("file_specs", {}))
+        file_parts = dict(pm.get("file_parts", {}))
+        replaced = {
+            f for f in pm.get("files", [])
+            if file_specs.get(f) == sid and file_parts.get(f) in incoming
+        }
+        kept = [f for f in pm.get("files", []) if f not in replaced]
+        seqs = {f: s for f, s in pm.get("seqs", {}).items()
+                if f in set(kept)}
+        seqs.update({f: parent + 1 for f in added})
+        file_specs = {f: s for f, s in file_specs.items() if f in set(kept)}
+        file_parts = {f: v for f, v in file_parts.items() if f in set(kept)}
+        file_specs.update({f: sid for f in added})
+        file_parts.update(parts)
+        return {
+            "operation": "overwrite",
+            "files": kept + added,
+            "seqs": seqs,
+            "deletes": pm.get("deletes", []),
+            "stats": {k: v for k, v in pm.get("stats", {}).items()
+                      if k in set(kept)},
+            "added_files": added,
+            "added_rows": n_rows,
+            "replaced_files": len(replaced),
+            "replaced_paths": sorted(replaced),
+            "specs": specs,
+            "file_specs": file_specs,
+            "file_parts": file_parts,
+        }
+
+    return _commit(table_dir, build, max_retries)
+
+
 def snapshot_merge(
     source: DataFrame, table_dir: str, key_cols: list[str],
     delete_condition=None, max_retries: int = 10,
@@ -417,10 +484,50 @@ def snapshot_merge(
     return _commit(table_dir, build, max_retries)
 
 
+def snapshot_tag(table_dir: str, name: str,
+                 version: int | None = None) -> int:
+    """Create an IMMUTABLE named ref (Iceberg tag) pointing at
+    ``version`` (default: current head). O_EXCL create — a tag can
+    never be moved or silently overwritten; re-tagging a name raises.
+    Tagged versions are exempt from ``snapshot_vacuum``'s retention
+    horizon: the manifest and every file it references stay alive for
+    as long as the tag exists, which is how a quarterly-audit or
+    model-training-input pin survives routine GC."""
+    v = latest_version(table_dir) if version is None else int(version)
+    if not os.path.exists(_manifest_path(table_dir, v)):
+        raise FileNotFoundError(f"no snapshot v{v} to tag")
+    refs = os.path.join(table_dir, "_refs")
+    os.makedirs(refs, exist_ok=True)
+    if "/" in name or name.startswith("."):
+        raise ValueError(f"bad tag name {name!r}")
+    fd = os.open(os.path.join(refs, f"{name}.json"),
+                 os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    with os.fdopen(fd, "w") as f:
+        json.dump({"version": v, "type": "tag"}, f)
+    return v
+
+
+def list_tags(table_dir: str) -> dict[str, int]:
+    refs = os.path.join(table_dir, "_refs")
+    if not os.path.isdir(refs):
+        return {}
+    out = {}
+    for fn in os.listdir(refs):
+        if fn.endswith(".json"):
+            with open(os.path.join(refs, fn)) as f:
+                out[fn[:-5]] = int(json.load(f)["version"])
+    return out
+
+
+def drop_tag(table_dir: str, name: str) -> None:
+    os.remove(os.path.join(table_dir, "_refs", f"{name}.json"))
+
+
 def read_snapshot(
     spark: SparkSession, table_dir: str, version: int | None = None,
     between: tuple | None = None,
     merge_schema: bool = False,
+    ref: str | None = None,
 ) -> DataFrame:
     """Read the table as of ``version`` (default: latest). Planning cost
     is one manifest, regardless of table size.
@@ -438,6 +545,13 @@ def read_snapshot(
     the table-scale side never reshuffles."""
     from pyspark.sql import functions as F
 
+    if ref is not None:
+        if version is not None:
+            raise ValueError("pass version OR ref, not both")
+        tags = list_tags(table_dir)
+        if ref not in tags:
+            raise KeyError(f"unknown ref {ref!r}; tags: {sorted(tags)}")
+        version = tags[ref]
     v = latest_version(table_dir) if version is None else version
     m = read_manifest(table_dir, v)
     if between is not None:
@@ -579,6 +693,21 @@ def read_changes(
             part = spark.read.parquet(
                 *[os.path.join(table_dir, f) for f in m["added_files"]]
             ).withColumn("_change_type", F.lit("insert"))
+        elif op == "overwrite":
+            # replaced partitions: their old rows are logical deletes,
+            # the new files are inserts — both O(partition), read from
+            # the still-on-disk immutable files
+            ins = spark.read.parquet(
+                *[os.path.join(table_dir, f) for f in m["added_files"]]
+            ).withColumn("_change_type", F.lit("insert"))
+            dropped = m.get("replaced_paths", [])
+            if dropped:
+                dels_part = spark.read.parquet(
+                    *[os.path.join(table_dir, f) for f in dropped]
+                ).withColumn("_change_type", F.lit("delete"))
+                part = dels_part.unionByName(ins)
+            else:
+                part = ins
         elif op == "delete":
             new_deletes = [d for d in m.get("deletes", [])
                            if d["seq"] == v]
@@ -636,8 +765,12 @@ def snapshot_vacuum(table_dir: str, keep_last: int = 3,
 
     head = latest_version(table_dir)
     horizon = max(1, head - keep_last + 1)
+    # tagged versions are pinned: their manifests and files outlive the
+    # horizon for as long as the tag exists (Iceberg ref retention)
+    pinned = set(list_tags(table_dir).values())
+    retained = set(range(horizon, head + 1)) | pinned
     referenced: set[str] = set()
-    for v in range(horizon, head + 1):
+    for v in retained:
         m = read_manifest(table_dir, v)
         referenced.update(m["files"])
         referenced.update(d["path"] for d in m.get("deletes", []))
@@ -654,6 +787,8 @@ def snapshot_vacuum(table_dir: str, keep_last: int = 3,
 
     removed_manifests = 0
     for v in range(1, horizon):
+        if v in pinned:
+            continue
         p = _manifest_path(table_dir, v)
         if os.path.exists(p):
             os.remove(p)

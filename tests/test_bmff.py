@@ -164,3 +164,47 @@ def test_writer_is_parseable_box_tree():
     names = [f for f, _, _ in iter_boxes(bytes(patched))]
     assert names == [b"ftyp", b"mdat", b"moov"]
     assert sample_ranges(bytes(patched))["samples"]
+
+
+def test_multitrack_audio_video():
+    """Two-track file: the handler selector routes to the right stbl,
+    both sample tables round-trip, the audio mdhd timescale carries the
+    rate, and the AudioSampleEntry format is exposed."""
+    from gfw_pixetl_spark.sources.bmff import encode_mp4_tracks
+
+    video = [b"VF%02d" % i for i in range(4)]
+    audio = [struct.pack("<h", 100 * i - 200) for i in range(8)]
+    mp4 = encode_mp4_tracks([
+        {"samples": video, "handler": b"vide", "fourcc": "png ",
+         "width": 4, "height": 4, "chunk_plan": [2, 2]},
+        {"samples": audio, "handler": b"soun", "fourcc": "sowt",
+         "sample_rate": 8000, "timescale": 8000, "sample_delta": 1,
+         "chunk_plan": [3, 3, 2]},
+    ])
+    v = sample_ranges(mp4, b"vide")
+    a = sample_ranges(mp4, b"soun")
+    assert [mp4[o:o + s] for o, s, _ in v["samples"]] == video
+    assert [mp4[o:o + s] for o, s, _ in a["samples"]] == audio
+    assert a["timescale"] == 8000 and a["format"] == "sowt"
+    assert [d for _, _, d in a["samples"]] == list(range(8))
+    with pytest.raises(ValueError, match="no b'meta' track"):
+        sample_ranges(mp4, b"meta")
+
+
+def test_av_payload_audio_matches_wav_pcm():
+    """q364's contract: the mp4 sound track carries the exact PCM the
+    pcm16 WAV oracle replays."""
+    from gfw_pixetl_spark.functions.multimodal import av_payload, wav_payload
+    from gfw_pixetl_spark.sources.bmff import sample_ranges
+    from gfw_pixetl_spark.sources.wav import decode_wav
+
+    for text in ("hello", "abc"):
+        p = av_payload(text)
+        tab = sample_ranges(p, b"soun")
+        pcm = [struct.unpack("<h", p[o:o + s])[0]
+               for o, s, _ in tab["samples"]]
+        wav_s, _ = decode_wav(wav_payload(text, codec="pcm16"))
+        assert pcm == [int(x) for x in wav_s[:, 0]]
+        # the video track still decodes to digest pixels
+        vt = sample_ranges(p, b"vide")
+        assert len(vt["samples"]) == 4

@@ -8,6 +8,7 @@ import json
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from gfw_pixetl_spark.sources.snapshots import (
     diff_files,
@@ -438,6 +439,79 @@ def test_identity_partition_spec(spark, tmp_path):
     got = sorted(r.id for r in read_snapshot(
         spark, d, between=("grp", 1, 1)).collect())
     assert got == [i for i in range(90) if i % 3 == 1]
+
+
+def test_tags_pin_versions_through_vacuum(spark, tmp_path):
+    import pytest as _pytest
+
+    from gfw_pixetl_spark.sources.snapshots import (
+        drop_tag, list_tags, read_snapshot, snapshot_append,
+        snapshot_compact, snapshot_tag, snapshot_vacuum,
+    )
+
+    d = str(tmp_path / "tab")
+    df = spark.createDataFrame([(i,) for i in range(40)], "id long")
+    snapshot_append(df.filter("id < 20"), d)        # v1
+    snapshot_tag(d, "baseline")
+    snapshot_append(df.filter("id >= 20"), d)       # v2
+    snapshot_compact(spark, d, target_files=1)      # v3
+    assert list_tags(d) == {"baseline": 1}
+    # a tag is immutable
+    with _pytest.raises(FileExistsError):
+        snapshot_tag(d, "baseline", 2)
+    out = snapshot_vacuum(d, keep_last=1, min_age_seconds=0)
+    assert out["removed_manifests"] == 1  # v2 only; v1 pinned by tag
+    got = sorted(r.id for r in read_snapshot(spark, d,
+                                             ref="baseline").collect())
+    assert got == list(range(20))
+    got = sorted(r.id for r in read_snapshot(spark, d).collect())
+    assert got == list(range(40))
+    with _pytest.raises(KeyError, match="unknown ref"):
+        read_snapshot(spark, d, ref="nope")
+    # dropping the tag releases the pin on the next vacuum
+    drop_tag(d, "baseline")
+    snapshot_vacuum(d, keep_last=1, min_age_seconds=0)
+    with _pytest.raises(FileNotFoundError):
+        read_snapshot(spark, d, 1).collect()
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    from gfw_pixetl_spark.sources.snapshots import (
+        read_changes, read_manifest, read_snapshot, snapshot_append,
+        snapshot_overwrite_partitions,
+    )
+
+    d = str(tmp_path / "tab")
+    spec = {"col": "id", "transform": "truncate", "param": 10}
+    df = spark.createDataFrame([(i, i) for i in range(30)],
+                               "id long, v long")
+    snapshot_append(df, d, partition_spec=spec)  # 3 files: 0, 10, 20
+    rebuilt = df.filter("id >= 10 and id < 20").withColumn(
+        "v", F.col("v") + 100)
+    snapshot_overwrite_partitions(rebuilt, d, spec)
+    m = read_manifest(d, 2)
+    assert m["replaced_files"] == 1 and len(m["files"]) == 3
+    got = {r.id: r.v for r in read_snapshot(spark, d).collect()}
+    assert all(got[i] == (i + 100 if 10 <= i < 20 else i)
+               for i in range(30))
+    # time travel sees the pre-overwrite rows
+    got1 = {r.id: r.v for r in read_snapshot(spark, d, 1).collect()}
+    assert all(got1[i] == i for i in range(30))
+    # change feed: replaced rows as deletes, new rows as inserts
+    ch = read_changes(spark, d, 1, 2).collect()
+    dels = sorted(r.id for r in ch if r._change_type == "delete")
+    ins = sorted(r.id for r in ch if r._change_type == "insert")
+    assert dels == list(range(10, 20)) and ins == list(range(10, 20))
+    # a different spec never replaces the other spec's files
+    other = df.filter("id < 5").withColumn("v", F.lit(0).cast("long"))
+    snapshot_overwrite_partitions(
+        other, d, {"col": "id", "transform": "truncate", "param": 5})
+    m3 = read_manifest(d, 3)
+    assert m3["replaced_files"] == 0  # spec mismatch: append-like
+    got = {r.id: r.v for r in read_snapshot(spark, d).collect()}
+    # both the old and new rows for id<5 are present (no replacement)
+    assert sorted(r.id for r in read_snapshot(spark, d).collect()
+                  ).count(3) == 2
 
 
 def test_change_data_feed_order_and_compact_silence(spark, tmp_path):
