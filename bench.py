@@ -360,6 +360,8 @@ BENCH_QUERIES = [
     "q365_snapshot_tags",
     "q366_dedup_canonicalize",
     "q367_partition_overwrite",
+    "q368_domain_blocklist",
+    "q369_hits_bipartite",
 ]
 
 

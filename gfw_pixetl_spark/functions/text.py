@@ -564,6 +564,44 @@ def registrable_domain(col: Column | str) -> Column:
         F.concat(label, F.lit("."), best))
 
 
+def suffix_blocklist_join(
+    df: DataFrame, blocklist: DataFrame, host_col: str = "host",
+    rule_col: str = "rule",
+) -> DataFrame:
+    """Domain-blocklist filter with SUFFIX matching: a host is blocked
+    by rule R iff host == R or host ends with '.' + R — the semantics
+    of every crawl blocklist (one rule covers all subdomains).
+
+    Scale shape: the naive form is a LIKE-join (quadratic); this
+    explodes each host into its dot-suffixes (bounded by label count,
+    ~4-6 rows per host) and EQUI-joins the blocklist on the suffix —
+    linear in corpus + blocklist, broadcastable or shuffled by the
+    join key, AQE-skew-safe. For a literal in-query list the map-only
+    ``registrable_domain``-style HOF is enough; the join form is the
+    one that survives a 100M-rule blocklist.
+
+    Returns df + (blocked boolean, block_rule = lexicographically
+    first matching rule or NULL) with one row per input row.
+    """
+    labels = F.split(F.lower(F.col(host_col)), r"\.")
+    n = F.size(labels)
+    suffixes = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n), "."),
+    )
+    exploded = df.withColumn("_sfx", F.explode(suffixes))
+    rules = blocklist.select(
+        F.lower(F.col(rule_col)).alias("_sfx"),
+        F.lower(F.col(rule_col)).alias("_rule")).distinct()
+    hits = (
+        exploded.join(rules, "_sfx")
+        .groupBy(*df.columns)
+        .agg(F.min("_rule").alias("block_rule"))
+    )
+    return df.join(hits, df.columns, "left").withColumn(
+        "blocked", F.col("block_rule").isNotNull())
+
+
 # --------------------------------------------------------------------------
 # BPE merge LEARNING (the train side of q229's apply side): iterative
 # argmax over adjacent-pair frequencies on the word-frequency table,

@@ -3158,3 +3158,59 @@ def q359(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("ltv_per_member"))
         .orderBy("cohort_ym", "month_index")
     )
+
+
+# --------------------------------------------------------------------------
+# q369 — HITS hubs & authorities (Kleinberg) over the customer->supplier
+# purchase bipartite graph, TWO UNNORMALIZED POWER STEPS IN EXACT
+# INTEGER ARITHMETIC: a1(s) = in-edge count, h1(c) = sum of a1 over the
+# customer's edges, a2(s) = sum of h1 over the supplier's edges. The
+# usual float L1 normalization per step is a per-step constant factor,
+# so the unnormalized integer ranking is IDENTICAL to normalized HITS
+# after two iterations — and every value is an exact int64 (bounds:
+# a2 <= edges_per_supplier * edges_per_customer * max_a1 ~ 1e10 at
+# sf1; a 100 TB run would lift h/a into DECIMAL(38,0), same plan).
+# Plan: two groupBy aggs + two equi-joins over the edge table; the
+# authority/hub tables are entity-sized and broadcast back.
+# --------------------------------------------------------------------------
+@register(
+    "q369_hits_bipartite",
+    oracle="""
+    WITH e AS (
+      SELECT o.o_custkey AS c, l.l_suppkey AS s
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ), a1 AS (
+      SELECT s, COUNT(*) AS a FROM e GROUP BY s
+    ), h1 AS (
+      SELECT e.c, SUM(a1.a) AS h FROM e JOIN a1 USING (s) GROUP BY e.c
+    ), a2 AS (
+      SELECT e.s, SUM(h1.h) AS a FROM e JOIN h1 USING (c) GROUP BY e.s
+    )
+    SELECT CAST(a2.s AS BIGINT) AS suppkey,
+           CAST(a1.a AS BIGINT) AS authority_1,
+           CAST(a2.a AS BIGINT) AS authority_2
+    FROM a2 JOIN a1 USING (s)
+    ORDER BY a2.a DESC, a2.s ASC LIMIT 10
+    """,
+)
+def q369(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    e = lineitem.select(F.col("l_orderkey").alias("ok"),
+                        F.col("l_suppkey").alias("s")).join(
+        orders.select(F.col("o_orderkey").alias("ok"),
+                      F.col("o_custkey").alias("c")), "ok"
+    ).select("c", "s").localCheckpoint(eager=False)
+    a1 = e.groupBy("s").agg(F.count("*").alias("a1"))
+    h1 = (e.join(F.broadcast(a1), "s")
+          .groupBy("c").agg(F.sum("a1").alias("h1")))
+    a2 = (e.join(F.broadcast(h1), "c")
+          .groupBy("s").agg(F.sum("h1").alias("a2")))
+    return (
+        a2.join(F.broadcast(a1), "s")
+        .select(F.col("s").cast("bigint").alias("suppkey"),
+                F.col("a1").cast("bigint").alias("authority_1"),
+                F.col("a2").cast("bigint").alias("authority_2"))
+        .orderBy(F.col("authority_2").desc(), F.col("suppkey").asc())
+        .limit(10)
+    )

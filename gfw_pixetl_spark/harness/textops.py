@@ -2446,6 +2446,61 @@ def q363(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q368 — DOMAIN BLOCKLIST with SUFFIX matching: the crawl pipeline's
+# first filter. Hosts are lang.source.example.com; rules block a whole
+# subtree ('src3.example.com' covers every lang under src3) or one
+# exact host. The operator explodes each host into its dot-suffixes
+# (bounded by label count) and EQUI-joins the blocklist — the shape
+# that survives a 100M-rule list, vs the quadratic LIKE-join. The
+# oracle replays the suffix semantics with an EXISTS over a VALUES
+# list; per-host aggregation is value-domain-sized.
+# --------------------------------------------------------------------------
+_BLOCK_RULES = ["src3.example.com", "en.src1.example.com", "badtld.net"]
+
+
+@register(
+    "q368_domain_blocklist",
+    oracle=f"""
+    WITH hosts AS (
+      SELECT doc_id,
+             lang || '.' || source || '.example.com' AS host
+      FROM documents
+    ), rules AS (
+      SELECT unnest(['{"', '".join(_BLOCK_RULES)}']) AS rule
+    ), m AS (
+      SELECT h.doc_id, h.host,
+             (SELECT MIN(rule) FROM rules r
+              WHERE h.host = r.rule
+                 OR h.host LIKE '%.' || r.rule) AS block_rule
+      FROM hosts h
+    )
+    SELECT host, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           block_rule IS NOT NULL AS blocked, block_rule
+    FROM m GROUP BY host, block_rule
+    ORDER BY host
+    """,
+)
+def q368(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import suffix_blocklist_join
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("lang"), F.lit("."), F.col("source"),
+                 F.lit(".example.com")).alias("host"))
+    rules = spark.createDataFrame([(r,) for r in _BLOCK_RULES],
+                                  "rule string")
+    out = suffix_blocklist_join(docs, F.broadcast(rules))
+    return (
+        out.groupBy("host", "block_rule")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+        .select("host", "n_docs",
+                F.col("block_rule").isNotNull().alias("blocked"),
+                "block_rule")
+        .orderBy("host")
+    )
+
+
+# --------------------------------------------------------------------------
 # q367 — DYNAMIC PARTITION OVERWRITE (Iceberg overwrite semantics):
 # v1 writes docs <300 partitioned truncate[100] (3 files); v2
 # recomputes ONLY the [100, 200) partition with shifted n_chars and
