@@ -362,6 +362,7 @@ BENCH_QUERIES = [
     "q367_partition_overwrite",
     "q368_domain_blocklist",
     "q369_hits_bipartite",
+    "q370_robots_rules",
 ]
 
 

@@ -2446,6 +2446,79 @@ def q363(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q370 — robots.txt EVALUATION (RFC 9309): the crawl-legality audit.
+# Each source publishes a deterministic robots.txt (group selection,
+# Allow/Disallow with '*' and '$' wildcards, longest-match decision,
+# Allow wins ties); each doc derives one of five path shapes. The
+# kernel runs the REAL RFC parser+matcher (functions/robots.py); the
+# oracle replays the DECISION TABLE analytically (never the parser —
+# q251's move), so a grammar bug cannot hide on both sides. Decisions:
+#   /data/N        -> allowed   (no rule matches)
+#   /private/a     -> blocked   (Disallow /private/, len 9)
+#   /private/ok/b  -> allowed   (Allow /private/ok/ len 12 > 9)
+#   /files/cN.tmp  -> blocked   (Disallow /*.tmp$ wildcard+anchor)
+#   /              -> allowed
+# src7 additionally blocks everything for agent 'gfwbot' via a MORE
+# SPECIFIC user-agent group (prefix match beats the '*' group).
+# --------------------------------------------------------------------------
+_ROBOTS_TXT = (
+    "User-agent: gfwbot-fast\nDisallow: /\n\n"      # more specific agent
+    "User-agent: *\n"
+    "Disallow: /private/\n"
+    "Allow: /private/ok/\n"
+    "Disallow: /*.tmp$\n"
+    "Crawl-delay: 5\n"                               # ignored directive
+)
+_ROBOTS_TXT_SRC7 = "User-agent: gfwbot\nDisallow: /\n\n" + _ROBOTS_TXT
+
+
+@register(
+    "q370_robots_rules",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             CASE doc_id % 5
+               WHEN 0 THEN '/data/' || CAST(doc_id % 40 AS VARCHAR)
+               WHEN 1 THEN '/private/a'
+               WHEN 2 THEN '/private/ok/b'
+               WHEN 3 THEN '/files/c' || CAST(doc_id % 7 AS VARCHAR)
+                           || '.tmp'
+               ELSE '/' END AS path
+      FROM documents
+    )
+    SELECT doc_id, path,
+           CASE WHEN source = 'src7' THEN FALSE
+                WHEN doc_id % 5 = 1 THEN FALSE
+                WHEN doc_id % 5 = 3 THEN FALSE
+                ELSE TRUE END AS allowed
+    FROM d
+    """,
+)
+def q370(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.robots import robots_filter
+
+    docs = load(spark, sf_dir, "documents")
+    path = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("/data/"),
+                        (F.col("doc_id") % 40).cast("string")))
+        .when(F.col("doc_id") % 5 == 1, F.lit("/private/a"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("/private/ok/b"))
+        .when(F.col("doc_id") % 5 == 3,
+              F.concat(F.lit("/files/c"),
+                       (F.col("doc_id") % 7).cast("string"),
+                       F.lit(".tmp")))
+        .otherwise(F.lit("/"))
+    )
+    robots = F.when(F.col("source") == "src7",
+                    F.lit(_ROBOTS_TXT_SRC7)).otherwise(F.lit(_ROBOTS_TXT))
+    pages = docs.select("doc_id", path.alias("path"),
+                        robots.alias("robots_txt"))
+    out = robots_filter(pages, agent="gfwbot")
+    return out.select("doc_id", "path", "allowed")
+
+
+# --------------------------------------------------------------------------
 # q368 — DOMAIN BLOCKLIST with SUFFIX matching: the crawl pipeline's
 # first filter. Hosts are lang.source.example.com; rules block a whole
 # subtree ('src3.example.com' covers every lang under src3) or one
