@@ -363,6 +363,8 @@ BENCH_QUERIES = [
     "q368_domain_blocklist",
     "q369_hits_bipartite",
     "q370_robots_rules",
+    "q371_warc_ingest",
+    "q372_html_extract",
 ]
 
 

@@ -1,0 +1,127 @@
+"""HTML text extraction — the trafilatura/jusText step of a crawl
+pipeline, reduced to its deterministic core: strip markup, drop
+non-content elements, decode entities, normalize whitespace, and
+measure link density (the classic boilerplate signal).
+
+Pure-Python state machine (no html.parser dependency on recovery
+behavior): ``script``/``style``/``noscript``/``template`` subtrees and
+comments are dropped wholesale, every other tag becomes a whitespace
+boundary, character/numeric entities decode, and runs of whitespace
+collapse to single spaces. Link density = visible characters inside
+<a> / total visible characters.
+
+Runs as an Arrow ``mapInPandas`` kernel (grammar work, same shape as
+the codec kernels). q372 value-checks extraction + link density
+against an analytic oracle built from the same generated structure —
+never a second parser.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+_DROP = {"script", "style", "noscript", "template"}
+_ENT = {"amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'",
+        "nbsp": " "}
+
+
+def _decode_entities(s: str) -> str:
+    def sub(m: re.Match) -> str:
+        body = m.group(1)
+        if body.startswith("#x") or body.startswith("#X"):
+            try:
+                return chr(int(body[2:], 16))
+            except ValueError:
+                return m.group(0)
+        if body.startswith("#"):
+            try:
+                return chr(int(body[1:]))
+            except ValueError:
+                return m.group(0)
+        return _ENT.get(body, m.group(0))
+
+    return re.sub(r"&(#?[0-9a-zA-Z]+);", sub, s)
+
+
+def extract_text(html: str) -> tuple[str, int, int]:
+    """(visible_text, n_visible_chars, n_link_chars): markup stripped,
+    drop-subtrees removed, entities decoded, whitespace collapsed.
+    Character counts are measured on the collapsed text, with link
+    chars counted inside <a>...</a> spans."""
+    out: list[str] = []
+    link_depth = 0
+    drop_tag: str | None = None
+    link_chars = 0
+    i, n = 0, len(html)
+    while i < n:
+        c = html[i]
+        if c == "<":
+            if html.startswith("<!--", i):
+                end = html.find("-->", i + 4)
+                i = n if end < 0 else end + 3
+                continue
+            end = html.find(">", i + 1)
+            if end < 0:
+                break  # unterminated tag: stop at it
+            tag_body = html[i + 1:end].strip()
+            i = end + 1
+            closing = tag_body.startswith("/")
+            name = re.split(r"[\s/>]", tag_body.lstrip("/"), 1)[0].lower()
+            if drop_tag is not None:
+                if closing and name == drop_tag:
+                    drop_tag = None
+                continue
+            if not closing and name in _DROP:
+                if not tag_body.endswith("/"):
+                    drop_tag = name
+                continue
+            if name == "a":
+                if closing:
+                    link_depth = max(0, link_depth - 1)
+                elif not tag_body.endswith("/"):
+                    link_depth += 1
+            out.append(" ")  # every tag is a word boundary
+            continue
+        if drop_tag is not None:
+            i += 1
+            continue
+        # text run up to the next tag
+        nxt = html.find("<", i)
+        if nxt < 0:
+            nxt = n
+        chunk = _decode_entities(html[i:nxt])
+        out.append(chunk)
+        if link_depth > 0:
+            link_chars += len(re.sub(r"\s+", " ", chunk).strip())
+        i = nxt
+    text = re.sub(r"\s+", " ", "".join(out)).strip()
+    return text, len(text), link_chars
+
+
+HTML_SCHEMA = ("doc_id long, text string, n_chars int, link_chars int, "
+               "link_density double")
+
+
+def html_extract(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Extract visible text + link density per row (Arrow kernel)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, texts, ncs, lcs, lds = [], [], [], [], []
+            for doc_id, h in zip(pdf["doc_id"], pdf[html_col]):
+                t, nc, lc = extract_text(h)
+                ids.append(doc_id)
+                texts.append(t)
+                ncs.append(nc)
+                lcs.append(lc)
+                lds.append(round(lc / nc, 6) if nc else 0.0)
+            yield pd.DataFrame({
+                "doc_id": ids, "text": texts, "n_chars": ncs,
+                "link_chars": lcs, "link_density": lds,
+            })
+
+    return df.select("doc_id", html_col).mapInPandas(kernel, HTML_SCHEMA)

@@ -2446,6 +2446,118 @@ def q363(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q371 — WARC INGEST (ISO 28500 / Common Crawl layout): each doc rides
+# as an HTTP response record inside a per-record-gzip-member WARC
+# (sources/warc.py). The kernel runs the REAL chain — gzip member
+# index (the random-access index an ingest persists), WARC framing
+# parse, HTTP/1.1 status+header+body split — and the oracle replays
+# the analytic facts: member count, status by doc_id, body length and
+# an md5 probe of the exact body bytes. This is the INGEST boundary of
+# a 100 TB text pipeline; at scale each record is one ranged GET + one
+# inflate, exactly what member_index enables.
+# --------------------------------------------------------------------------
+WARC_SCHEMA = ("doc_id long, n_members int, status int, ctype string, "
+               "body_bytes int, body_sig int")
+
+
+@register(
+    "q371_warc_ingest",
+    oracle="""
+    SELECT doc_id, CAST(2 AS INT) AS n_members,
+           CAST(CASE WHEN doc_id % 4 = 1 THEN 404 ELSE 200 END AS INT)
+               AS status,
+           'text/html' AS ctype,
+           CAST(length('<p>' || text || '</p>') AS INT) AS body_bytes,
+           ('0x' || substr(md5('<p>' || text || '</p>'), 1, 4))::INT
+               AS body_sig
+    FROM documents
+    """,
+)
+def q371(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib as _hashlib
+
+    from ..functions.partitioning import ensure_min_partitions
+    from ..sources.warc import (
+        http_response_bytes, iter_warc, member_index, parse_http_response,
+        write_warc,
+    )
+
+    docs = ensure_min_partitions(
+        load(spark, sf_dir, "documents").select("doc_id", "text"))
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "n_members", "status",
+                                   "ctype", "body_bytes", "body_sig")}
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                body = f"<p>{t}</p>".encode()
+                status = 404 if doc_id % 4 == 1 else 200
+                warc = write_warc([{
+                    "type": "response",
+                    "uri": f"https://example.org/{doc_id}",
+                    "payload": http_response_bytes(body, status=status),
+                }])
+                n_members = len(member_index(warc))
+                got = None
+                for headers, payload in iter_warc(warc):
+                    if headers.get("WARC-Type") == "response":
+                        got = parse_http_response(payload)
+                st, hh, bb = got
+                out["doc_id"].append(doc_id)
+                out["n_members"].append(n_members)
+                out["status"].append(st)
+                out["ctype"].append(hh["content-type"])
+                out["body_bytes"].append(len(bb))
+                out["body_sig"].append(
+                    int(_hashlib.md5(bb).hexdigest()[:4], 16))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(kernel, WARC_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# q372 — HTML TEXT EXTRACTION + link density (functions/html.py): each
+# doc renders as a deterministic page (title, heading, its text in a
+# <p>, two links, a dropped <script> and a comment); the kernel runs
+# the real tag/entity/whitespace state machine and the oracle builds
+# the expected visible text ANALYTICALLY from the same fields — a
+# parser bug cannot hide on both sides. Link density = link chars /
+# visible chars, the classic boilerplate signal.
+# --------------------------------------------------------------------------
+@register(
+    "q372_html_extract",
+    oracle="""
+    SELECT doc_id,
+           'Title Doc ' || CAST(doc_id % 100 AS VARCHAR) || ' ' || text
+               || ' link A B&C' AS text,
+           CAST(length('Title Doc ' || CAST(doc_id % 100 AS VARCHAR)
+                       || ' ' || text || ' link A B&C') AS INT)
+               AS n_chars,
+           CAST(9 AS INT) AS link_chars,
+           round(9.0 / length('Title Doc '
+                 || CAST(doc_id % 100 AS VARCHAR) || ' ' || text
+                 || ' link A B&C'), 6) AS link_density
+    FROM documents
+    """,
+)
+def q372(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.html import html_extract
+
+    docs = load(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit("<html><head><title>Title</title>"
+              "<script>var x = 1;</script></head><body><h1>Doc "),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit('</p><a href="/x">link A</a> <a href="/y">B&amp;C</a>'
+              "<!-- hidden --></body></html>"),
+    )
+    return html_extract(docs.select("doc_id", page.alias("html")))
+
+
+# --------------------------------------------------------------------------
 # q370 — robots.txt EVALUATION (RFC 9309): the crawl-legality audit.
 # Each source publishes a deterministic robots.txt (group selection,
 # Allow/Disallow with '*' and '$' wildcards, longest-match decision,

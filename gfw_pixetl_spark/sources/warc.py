@@ -1,0 +1,163 @@
+"""WARC (Web ARChive, ISO 28500 / WARC 1.1) parsing + writing — the
+container every crawl corpus actually ships (Common Crawl's format).
+
+A 100 TB text pipeline's raw input is WARC: framed records
+(``WARC/1.1`` version line, named headers, ``Content-Length`` octet
+framing, CRLF CRLF terminators), with HTTP response records wrapping
+the fetched page. Common Crawl compresses EACH RECORD AS ITS OWN GZIP
+MEMBER so a single record is a ranged GET + one inflate — this module
+implements both layers:
+
+* ``write_warc`` — spec-valid writer (warcinfo/request/response
+  records, correct framing) with per-record gzip members,
+* ``iter_warc`` — record parser over raw or multi-member-gzip bytes,
+* ``member_index`` — (offset, size) of every gzip member, the random-
+  access index a columnar ingest stores next to the archive,
+* ``parse_http_response`` — status line + headers + body split of an
+  HTTP/1.1 response payload.
+
+The Spark ingest runs in Arrow ``mapInPandas`` kernels (framing is
+per-record byte work), the same execution shape as the codec sources.
+q371 value-checks the full WARC->HTTP->body chain against an analytic
+oracle. Reference parity: gfw_pixetl has no crawl path; this extends
+SURVEY §2's LLM-pipeline family at the INGEST boundary, upstream of
+everything else.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import uuid
+import zlib
+
+CRLF = b"\r\n"
+
+
+def _record_bytes(rtype: str, headers: dict, payload: bytes) -> bytes:
+    h = {
+        "WARC-Type": rtype,
+        "WARC-Record-ID": headers.get(
+            "WARC-Record-ID",
+            f"<urn:uuid:{uuid.uuid5(uuid.NAMESPACE_URL, rtype + str(len(payload)))}>"),
+        "WARC-Date": headers.get("WARC-Date", "2024-01-01T00:00:00Z"),
+        **headers,
+        "Content-Length": str(len(payload)),
+    }
+    out = b"WARC/1.1" + CRLF
+    for k, v in h.items():
+        out += f"{k}: {v}".encode() + CRLF
+    return out + CRLF + payload + CRLF + CRLF
+
+
+def http_response_bytes(body: bytes, status: int = 200,
+                        content_type: str = "text/html") -> bytes:
+    """A minimal valid HTTP/1.1 response payload for a response record."""
+    reason = {200: "OK", 404: "Not Found", 301: "Moved Permanently",
+              503: "Service Unavailable"}.get(status, "OK")
+    return (f"HTTP/1.1 {status} {reason}\r\n"
+            f"Content-Type: {content_type}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n").encode() + body
+
+
+def write_warc(records: list[dict], gzip_members: bool = True) -> bytes:
+    """Write records ([{'type', 'uri', 'payload', 'headers'?}]) as a
+    WARC file; ``gzip_members`` compresses each record as its own gzip
+    member (the Common Crawl layout that makes records ranged-GET
+    addressable)."""
+    out = io.BytesIO()
+    info = _record_bytes(
+        "warcinfo",
+        {"WARC-Filename": "synthetic.warc", "Content-Type":
+         "application/warc-fields"},
+        b"software: gfw_pixetl_spark\r\nformat: WARC File Format 1.1\r\n")
+    chunks = [info]
+    for r in records:
+        headers = {
+            "WARC-Target-URI": r.get("uri", ""),
+            "Content-Type":
+                "application/http;msgtype=response"
+                if r.get("type", "response") == "response"
+                else r.get("content_type", "application/octet-stream"),
+            **(r.get("headers") or {}),
+        }
+        chunks.append(_record_bytes(r.get("type", "response"), headers,
+                                    r["payload"]))
+    for c in chunks:
+        if gzip_members:
+            buf = io.BytesIO()
+            with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as g:
+                g.write(c)
+            out.write(buf.getvalue())
+        else:
+            out.write(c)
+    return out.getvalue()
+
+
+def member_index(data: bytes) -> list[tuple[int, int]]:
+    """(offset, compressed_size) of every gzip member — decompresses
+    once to find boundaries (an ingest job does this a single time and
+    persists the index; readers then do ranged GETs per record)."""
+    out = []
+    pos = 0
+    while pos < len(data):
+        if data[pos:pos + 2] != b"\x1f\x8b":
+            raise ValueError(f"not a gzip member at offset {pos}")
+        d = zlib.decompressobj(wbits=31)
+        d.decompress(data[pos:])
+        consumed = len(data) - pos - len(d.unused_data)
+        out.append((pos, consumed))
+        pos += consumed
+    return out
+
+
+def _split_records(raw: bytes):
+    pos = 0
+    while pos < len(raw):
+        if raw[pos:pos + 5] != b"WARC/":
+            raise ValueError(f"bad WARC version line at {pos}")
+        hdr_end = raw.index(CRLF + CRLF, pos)
+        head = raw[pos:hdr_end].decode("utf-8", "replace").split("\r\n")
+        headers = {}
+        for line in head[1:]:
+            k, _, v = line.partition(":")
+            headers[k.strip()] = v.strip()
+        n = int(headers.get("Content-Length", "0"))
+        body_start = hdr_end + 4
+        payload = raw[body_start:body_start + n]
+        if len(payload) != n:
+            raise ValueError("truncated WARC record payload")
+        yield headers, payload
+        pos = body_start + n
+        while raw[pos:pos + 2] == CRLF:
+            pos += 2
+
+
+def iter_warc(data: bytes):
+    """Yield (headers dict, payload bytes) per record; accepts raw WARC
+    or multi-member gzip (sniffed by magic)."""
+    if data[:2] == b"\x1f\x8b":
+        raw = bytearray()
+        pos = 0
+        while pos < len(data):
+            d = zlib.decompressobj(wbits=31)
+            raw += d.decompress(data[pos:])
+            raw += d.flush()
+            pos = len(data) - len(d.unused_data)
+        data = bytes(raw)
+    yield from _split_records(data)
+
+
+def parse_http_response(payload: bytes) -> tuple[int, dict, bytes]:
+    """(status, headers, body) of an HTTP/1.1 response payload."""
+    hdr_end = payload.index(CRLF + CRLF)
+    head = payload[:hdr_end].decode("utf-8", "replace").split("\r\n")
+    version, _, rest = head[0].partition(" ")
+    if not version.startswith("HTTP/"):
+        raise ValueError(f"bad HTTP status line {head[0]!r}")
+    status = int(rest.split(" ", 1)[0])
+    headers = {}
+    for line in head[1:]:
+        k, _, v = line.partition(":")
+        headers[k.strip().lower()] = v.strip()
+    return status, headers, payload[hdr_end + 4:]

@@ -1,0 +1,124 @@
+"""WARC container (sources/warc.py) and HTML text extraction
+(functions/html.py)."""
+
+import gzip
+
+import pytest
+
+from gfw_pixetl_spark.functions.html import extract_text
+from gfw_pixetl_spark.sources.warc import (
+    http_response_bytes, iter_warc, member_index, parse_http_response,
+    write_warc,
+)
+
+# ---------------------------------------------------------------- WARC
+
+
+def _one_response(body=b"hello world", status=200, gz=True):
+    return write_warc([{
+        "type": "response", "uri": "https://example.org/x",
+        "payload": http_response_bytes(body, status=status),
+    }], gzip_members=gz)
+
+
+def test_warc_roundtrip_gzip_members():
+    warc = _one_response()
+    idx = member_index(warc)
+    assert len(idx) == 2  # warcinfo + response
+    # offsets tile the file exactly
+    assert idx[0][0] == 0
+    assert idx[0][0] + idx[0][1] == idx[1][0]
+    assert idx[1][0] + idx[1][1] == len(warc)
+    recs = list(iter_warc(warc))
+    assert [h["WARC-Type"] for h, _ in recs] == ["warcinfo", "response"]
+    status, headers, body = parse_http_response(recs[1][1])
+    assert (status, body) == (200, b"hello world")
+    assert headers["content-type"] == "text/html"
+    assert recs[1][0]["WARC-Target-URI"] == "https://example.org/x"
+
+
+def test_warc_member_is_independently_inflatable():
+    """The Common Crawl property: one record = one ranged GET + one
+    gunzip, no other bytes needed."""
+    warc = _one_response(body=b"standalone")
+    off, size = member_index(warc)[1]
+    raw = gzip.decompress(warc[off:off + size])
+    recs = list(iter_warc(raw))
+    assert len(recs) == 1
+    _, _, body = parse_http_response(recs[0][1])
+    assert body == b"standalone"
+
+
+def test_warc_uncompressed_and_binary_payload():
+    payload = bytes(range(256)) * 3
+    warc = write_warc(
+        [{"type": "resource", "uri": "u", "payload": payload,
+          "content_type": "application/octet-stream"}],
+        gzip_members=False)
+    recs = list(iter_warc(warc))
+    assert recs[1][1] == payload
+    assert recs[1][0]["Content-Length"] == str(len(payload))
+
+
+def test_warc_errors():
+    with pytest.raises(ValueError, match="bad WARC version"):
+        list(iter_warc(b"NOPE/1.1\r\n\r\n"))
+    warc = _one_response(gz=False)
+    with pytest.raises(ValueError, match="truncated"):
+        list(iter_warc(warc[:-30]))
+    with pytest.raises(ValueError, match="gzip member"):
+        member_index(b"plainbytes")
+
+
+def test_http_statuses():
+    for status in (200, 301, 404, 503):
+        st, _, _ = parse_http_response(
+            http_response_bytes(b"x", status=status))
+        assert st == status
+    with pytest.raises(ValueError, match="bad HTTP status"):
+        parse_http_response(b"GET / HTTP/1.1\r\n\r\n")
+
+
+# ---------------------------------------------------------------- HTML
+
+
+def test_extract_basic_and_drops():
+    html = ("<html><head><title>T</title><script>var x='<p>';</script>"
+            "</head><body><h1>H</h1><p>body text</p>"
+            "<style>.a{}</style><!-- no --></body></html>")
+    text, n, links = extract_text(html)
+    assert text == "T H body text"
+    assert n == len(text) and links == 0
+
+
+def test_extract_entities_and_links():
+    html = '<p>A&amp;B &#65; &#x42;</p><a href="/x">my link</a>'
+    text, n, links = extract_text(html)
+    assert text == "A&B A B my link"
+    assert links == len("my link")
+
+
+def test_nested_and_self_closing_links():
+    html = '<a href="/x">one <b>two</b></a><a href="/y"/>after'
+    text, _, links = extract_text(html)
+    assert text == "one two after"
+    assert links == len("one") + len("two")  # self-closed <a/> adds none
+
+
+def test_whitespace_collapse_and_unterminated():
+    text, n, _ = extract_text("a\n\n  b\t<br>c<unclosed")
+    assert text == "a b c"
+    bad = extract_text("<p>x&zzz; &#xGG;</p>")[0]
+    assert bad == "x&zzz; &#xGG;"  # unknown entities pass through
+
+
+def test_link_density_kernel(spark):
+    from gfw_pixetl_spark.functions.html import html_extract
+
+    df = spark.createDataFrame(
+        [(1, '<p>abcd</p><a href="/">ef</a>'), (2, "<p></p>")],
+        "doc_id long, html string")
+    got = {r.doc_id: (r.text, r.n_chars, r.link_chars, r.link_density)
+           for r in html_extract(df).collect()}
+    assert got[1] == ("abcd ef", 7, 2, round(2 / 7, 6))
+    assert got[2] == ("", 0, 0, 0.0)
