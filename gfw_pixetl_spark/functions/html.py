@@ -54,7 +54,6 @@ def extract_text(html: str) -> tuple[str, int, int]:
     chars counted inside <a>...</a> spans."""
     out: list[str] = []
     link_depth = 0
-    drop_tag: str | None = None
     link_chars = 0
     i, n = 0, len(html)
     while i < n:
@@ -71,13 +70,15 @@ def extract_text(html: str) -> tuple[str, int, int]:
             i = end + 1
             closing = tag_body.startswith("/")
             name = re.split(r"[\s/>]", tag_body.lstrip("/"), 1)[0].lower()
-            if drop_tag is not None:
-                if closing and name == drop_tag:
-                    drop_tag = None
-                continue
             if not closing and name in _DROP:
-                if not tag_body.endswith("/"):
-                    drop_tag = name
+                if tag_body.endswith("/"):
+                    continue  # self-closed: no subtree to drop
+                # HTML5 raw-text rule: the element body is NOT markup —
+                # a '<' inside `if (a<b)` must not be parsed as a tag;
+                # skip straight to the matching close tag
+                m = re.search(rf"</{name}\b[^>]*>", html[i:],
+                              re.IGNORECASE)
+                i = n if m is None else i + m.end()
                 continue
             if name == "a":
                 if closing:
@@ -85,9 +86,6 @@ def extract_text(html: str) -> tuple[str, int, int]:
                 elif not tag_body.endswith("/"):
                     link_depth += 1
             out.append(" ")  # every tag is a word boundary
-            continue
-        if drop_tag is not None:
-            i += 1
             continue
         # text run up to the next tag
         nxt = html.find("<", i)

@@ -637,9 +637,10 @@ def av_payload(text: str, n_frames: int = 4, size: int = 4) -> bytes:
     raw = np.frombuffer(digest, np.uint8).astype(np.int64)
     pcm = (raw[0::2] * 256 + raw[1::2] - 32768).astype(np.int16)
     audio = [_struct.pack("<h", int(s)) for s in pcm]
+    video_plan = [2] * (n_frames // 2) + ([1] if n_frames % 2 else [])
     return encode_mp4_tracks([
         {"samples": frames, "handler": b"vide", "fourcc": "png ",
-         "width": size, "height": size, "chunk_plan": [2] * (n_frames // 2)},
+         "width": size, "height": size, "chunk_plan": video_plan},
         {"samples": audio, "handler": b"soun", "fourcc": "sowt",
          "sample_rate": 8000, "timescale": 8000, "sample_delta": 1,
          "chunk_plan": [3, 3, 2]},

@@ -64,18 +64,21 @@ def parse_robots(txt: str, agent: str = "*") -> list[tuple[bool, str]]:
         groups.append((cur_agents, cur_rules))
 
     agent = agent.lower()
-    best: tuple[int, list] | None = None
+    best_score = -1
+    merged: list[tuple[bool, str]] = []
     for agents, rules in groups:
-        for a in agents:
-            if a == "*":
-                score = 0
-            elif agent.startswith(a):
-                score = len(a) + 1
-            else:
-                continue
-            if best is None or score > best[0]:
-                best = (score, rules)
-    return best[1] if best else []
+        score = max((0 if a == "*" else len(a) + 1
+                     for a in agents
+                     if a == "*" or agent.startswith(a)), default=-1)
+        if score < 0:
+            continue
+        if score > best_score:
+            best_score, merged = score, list(rules)
+        elif score == best_score:
+            # RFC 9309 §2.2.1: groups matching equally MUST be combined
+            # (concatenated robots files commonly repeat 'User-agent: *')
+            merged.extend(rules)
+    return merged
 
 
 def _pattern_matches(pattern: str, path: str) -> bool:
@@ -89,22 +92,22 @@ def _pattern_matches(pattern: str, path: str) -> bool:
     return re.match(rx, path) is not None
 
 
-def robots_allowed(txt: str, path: str, agent: str = "*") -> bool:
-    """The RFC decision for one (robots.txt, path): longest matching
-    rule wins; Allow wins length ties; empty Disallow / no match =
-    allowed."""
+def _decide(rules: list[tuple[bool, str]], path: str) -> bool:
+    """The RFC decision over a parsed rule list: longest matching rule
+    wins (octet length, §2.2.2); Allow wins length ties; an empty
+    Disallow value or no match = allowed."""
     best_len, best_allow = -1, True
-    for is_allow, pattern in parse_robots(txt, agent):
-        if pattern == "":
-            continue  # 'Disallow:' (empty) permits everything
-        if _pattern_matches(pattern, path):
+    for is_allow, pattern in rules:
+        if pattern and _pattern_matches(pattern, path):
             ln = len(pattern)
             if ln > best_len or (ln == best_len and is_allow):
                 best_len, best_allow = ln, is_allow
     return best_allow
 
 
-ROBOTS_SCHEMA = "doc_id long, path string, allowed boolean, host string"
+def robots_allowed(txt: str, path: str, agent: str = "*") -> bool:
+    """The RFC decision for one (robots.txt, path)."""
+    return _decide(parse_robots(txt, agent), path)
 
 
 def robots_filter(
@@ -124,13 +127,7 @@ def robots_filter(
                 rules = cache.get(txt)
                 if rules is None:
                     rules = cache[txt] = parse_robots(txt, agent)
-                best_len, best_allow = -1, True
-                for is_allow, pattern in rules:
-                    if pattern and _pattern_matches(pattern, path):
-                        ln = len(pattern)
-                        if ln > best_len or (ln == best_len and is_allow):
-                            best_len, best_allow = ln, is_allow
-                out.append(best_allow)
+                out.append(_decide(rules, path))
             res = pdf.copy()
             res["allowed"] = out
             yield res

@@ -581,7 +581,10 @@ def suffix_blocklist_join(
     one that survives a 100M-rule blocklist.
 
     Returns df + (blocked boolean, block_rule = lexicographically
-    first matching rule or NULL) with one row per input row.
+    first matching rule or NULL) with one row per input row — exact
+    duplicates and NULLs in other columns included (the fold back to
+    one row per input happens on a per-row id inside one linear
+    lineage, never a null-unsafe equality rejoin on data columns).
     """
     labels = F.split(F.lower(F.col(host_col)), r"\.")
     n = F.size(labels)
@@ -589,17 +592,22 @@ def suffix_blocklist_join(
         F.sequence(F.lit(1), n),
         lambda i: F.array_join(F.slice(labels, i, n), "."),
     )
-    exploded = df.withColumn("_sfx", F.explode(suffixes))
     rules = blocklist.select(
         F.lower(F.col(rule_col)).alias("_sfx"),
         F.lower(F.col(rule_col)).alias("_rule")).distinct()
-    hits = (
-        exploded.join(rules, "_sfx")
-        .groupBy(*df.columns)
-        .agg(F.min("_rule").alias("block_rule"))
+    exploded = (
+        df.withColumn("_rid", F.monotonically_increasing_id())
+        .withColumn("_sfx", F.explode(suffixes))
+        .join(rules, "_sfx", "left")
     )
-    return df.join(hits, df.columns, "left").withColumn(
-        "blocked", F.col("block_rule").isNotNull())
+    return (
+        exploded.groupBy("_rid")
+        .agg(*[F.first(c, ignorenulls=False).alias(c)
+               for c in df.columns],
+             F.min("_rule").alias("block_rule"))
+        .drop("_rid")
+        .withColumn("blocked", F.col("block_rule").isNotNull())
+    )
 
 
 # --------------------------------------------------------------------------

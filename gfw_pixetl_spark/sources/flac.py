@@ -419,6 +419,12 @@ def _write_subframe(w: BitWriter, x: list[int], bps: int, mode: str,
                                    partition_order)
         coefs, shift = got
         order = len(coefs)
+        # partitions must divide blocksize and the first must still
+        # cover the warm-up samples (same clamp as the fixed branch)
+        while partition_order and (
+                n % (1 << partition_order)
+                or n // (1 << partition_order) <= order):
+            partition_order -= 1
         res = _lpc_residual(x, coefs, shift)
         w.write(0, 1)
         w.write(32 | (order - 1), 6)
@@ -463,8 +469,9 @@ _BPS_FROM_CODE = {v: k for k, v in _BPS_CODES.items()}
 
 def _pcm_md5(samples: np.ndarray, bps: int) -> bytes:
     """MD5 of the decoded PCM as FLAC defines it: interleaved samples,
-    little-endian, bps/8 bytes each, signed."""
-    width = bps // 8
+    little-endian, ceil(bps/8) bytes each, signed (libFLAC packs
+    12/20-bit samples into 2/3 bytes)."""
+    width = (bps + 7) // 8
     flat = samples.reshape(-1)
     raw = bytearray()
     for v in flat.tolist():

@@ -120,19 +120,34 @@ def _stage_files_partitioned(
     stage = os.path.join(table_dir, f"_stage_{uuid.uuid4().hex[:12]}")
     (df.withColumn("_pval", pval).repartition(1)
        .write.mode("overwrite").partitionBy("_pval").parquet(stage))
+
+    # parse values back from the Hive dir names: unescape %XX, map the
+    # NULL sentinel to None (a file prune must never compare against
+    # it), and coerce by the SOURCE COLUMN's type — never by guessing
+    # from the string shape (a string column of numeric-looking values
+    # must stay a string or range pruning compares across types).
+    from urllib.parse import unquote
+
+    kind = df.schema[col].dataType.typeName()
+    if t == "truncate" or kind in ("byte", "short", "integer", "long"):
+        caster = int
+    elif kind in ("float", "double", "decimal"):
+        caster = float
+    else:
+        caster = str
+
+    def parse_value(raw: str):
+        raw = unquote(raw)
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            return None
+        return caster(raw)
+
     added: list[tuple[str, object]] = []
     for dname in sorted(os.listdir(stage)):
         pdir = os.path.join(stage, dname)
         if not (dname.startswith("_pval=") and os.path.isdir(pdir)):
             continue
-        raw = dname.split("=", 1)[1]
-        try:
-            value: object = int(raw)
-        except ValueError:
-            try:
-                value = float(raw)
-            except ValueError:
-                value = raw
+        value = parse_value(dname.split("=", 1)[1])
         for name in sorted(os.listdir(pdir)):
             if not name.endswith(".parquet"):
                 continue
@@ -179,15 +194,20 @@ def _file_stats(table_dir: str, rel_paths: list[str],
 
 def _part_excludes(spec: dict, value, col: str, lo, hi) -> bool:
     """True iff a file with partition ``value`` under ``spec`` provably
-    contains no rows with spec['col']==col in [lo, hi]."""
+    contains no rows with spec['col']==col in [lo, hi]. Any type
+    mismatch between the recorded value and the query bounds keeps the
+    file (pruning may only ever skip provably-empty reads)."""
     if spec.get("col") != col or value is None:
         return False
     t = spec.get("transform", "identity")
-    if t == "identity":
-        return value < lo or value > hi
-    if t == "truncate":  # file covers [value, value + param)
-        w = spec.get("param") or 1
-        return value > hi or value + w <= lo
+    try:
+        if t == "identity":
+            return value < lo or value > hi
+        if t == "truncate":  # file covers [value, value + param)
+            w = spec.get("param") or 1
+            return value > hi or value + w <= lo
+    except TypeError:
+        return False
     return False  # bucket/unknown transforms never range-prune
 
 

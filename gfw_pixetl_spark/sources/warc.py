@@ -34,12 +34,21 @@ import zlib
 CRLF = b"\r\n"
 
 
-def _record_bytes(rtype: str, headers: dict, payload: bytes) -> bytes:
+def _record_bytes(rtype: str, headers: dict, payload: bytes,
+                  seq: int = 0) -> bytes:
+    import hashlib
+
+    # deterministic AND unique per file: the id hashes the record's
+    # sequence number + type + payload digest, so equal-length (or even
+    # identical) payloads in different slots never share an id
+    # (ISO 28500 requires global uniqueness)
+    default_id = uuid.uuid5(
+        uuid.NAMESPACE_URL,
+        f"{rtype}:{seq}:{hashlib.md5(payload).hexdigest()}")
     h = {
         "WARC-Type": rtype,
-        "WARC-Record-ID": headers.get(
-            "WARC-Record-ID",
-            f"<urn:uuid:{uuid.uuid5(uuid.NAMESPACE_URL, rtype + str(len(payload)))}>"),
+        "WARC-Record-ID": headers.get("WARC-Record-ID",
+                                      f"<urn:uuid:{default_id}>"),
         "WARC-Date": headers.get("WARC-Date", "2024-01-01T00:00:00Z"),
         **headers,
         "Content-Length": str(len(payload)),
@@ -72,7 +81,7 @@ def write_warc(records: list[dict], gzip_members: bool = True) -> bytes:
          "application/warc-fields"},
         b"software: gfw_pixetl_spark\r\nformat: WARC File Format 1.1\r\n")
     chunks = [info]
-    for r in records:
+    for seq, r in enumerate(records, start=1):
         headers = {
             "WARC-Target-URI": r.get("uri", ""),
             "Content-Type":
@@ -82,7 +91,7 @@ def write_warc(records: list[dict], gzip_members: bool = True) -> bytes:
             **(r.get("headers") or {}),
         }
         chunks.append(_record_bytes(r.get("type", "response"), headers,
-                                    r["payload"]))
+                                    r["payload"], seq=seq))
     for c in chunks:
         if gzip_members:
             buf = io.BytesIO()
@@ -97,14 +106,18 @@ def write_warc(records: list[dict], gzip_members: bool = True) -> bytes:
 def member_index(data: bytes) -> list[tuple[int, int]]:
     """(offset, compressed_size) of every gzip member — decompresses
     once to find boundaries (an ingest job does this a single time and
-    persists the index; readers then do ranged GETs per record)."""
+    persists the index; readers then do ranged GETs per record).
+    memoryview slices keep the pass LINEAR in archive size — a bytes
+    slice per member would copy the whole remaining tail each time
+    (quadratic on a Common-Crawl-sized member count)."""
+    view = memoryview(data)
     out = []
     pos = 0
     while pos < len(data):
         if data[pos:pos + 2] != b"\x1f\x8b":
             raise ValueError(f"not a gzip member at offset {pos}")
         d = zlib.decompressobj(wbits=31)
-        d.decompress(data[pos:])
+        d.decompress(view[pos:])
         consumed = len(data) - pos - len(d.unused_data)
         out.append((pos, consumed))
         pos += consumed
@@ -137,11 +150,12 @@ def iter_warc(data: bytes):
     """Yield (headers dict, payload bytes) per record; accepts raw WARC
     or multi-member gzip (sniffed by magic)."""
     if data[:2] == b"\x1f\x8b":
+        view = memoryview(data)
         raw = bytearray()
         pos = 0
         while pos < len(data):
             d = zlib.decompressobj(wbits=31)
-            raw += d.decompress(data[pos:])
+            raw += d.decompress(view[pos:])
             raw += d.flush()
             pos = len(data) - len(d.unused_data)
         data = bytes(raw)

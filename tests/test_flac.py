@@ -173,3 +173,16 @@ def test_flac_payload_matches_wav_pcm():
         flac_s, flac_r = decode_flac(flac_payload(text))
         assert wav_r == flac_r
         assert np.array_equal(flac_s, wav_s.astype(np.int32))
+
+
+def test_lpc_partitions_clamped_and_odd_bps_md5():
+    """LPC subframes clamp the Rice partition order exactly like the
+    fixed branch (16-sample block, order 8, partition_order 2 would go
+    negative); 12-bit depth packs 2-byte samples into the MD5."""
+    x = _signal(16, seed=9)
+    dec, _ = decode_flac(encode_flac(
+        x, block_size=16, subframe="lpc", lpc_order=8, partition_order=2))
+    assert np.array_equal(dec[:, 0], x.astype(np.int32))
+    x12 = (_signal(200, seed=4) // 16).astype(np.int16)  # 12-bit range
+    dec, _ = decode_flac(encode_flac(x12, bps=12, block_size=64))
+    assert np.array_equal(dec[:, 0], x12.astype(np.int32))

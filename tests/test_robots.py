@@ -84,3 +84,14 @@ def test_spark_kernel(spark):
     got = {r.doc_id: r.allowed
            for r in robots_filter(df).select("doc_id", "allowed").collect()}
     assert got == {1: False, 2: True, 3: True, 4: False}
+
+
+def test_equal_groups_are_combined_rfc():
+    """RFC 9309 §2.2.1: multiple groups matching the agent equally MUST
+    be combined (concatenated robots files repeat 'User-agent: *')."""
+    txt = ("User-agent: *\nDisallow: /a\n\n"
+           "Sitemap: https://x/s.xml\n\n"
+           "User-agent: *\nDisallow: /b\n")
+    assert not robots_allowed(txt, "/a/x")
+    assert not robots_allowed(txt, "/b/x")
+    assert robots_allowed(txt, "/c/x")

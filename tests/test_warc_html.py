@@ -122,3 +122,25 @@ def test_link_density_kernel(spark):
            for r in html_extract(df).collect()}
     assert got[1] == ("abcd ef", 7, 2, round(2 / 7, 6))
     assert got[2] == ("", 0, 0, 0.0)
+
+
+def test_record_ids_unique_for_equal_length_payloads():
+    warc = write_warc([
+        {"type": "response", "uri": "a", "payload": http_response_bytes(b"xx")},
+        {"type": "response", "uri": "b", "payload": http_response_bytes(b"xx")},
+    ], gzip_members=False)
+    ids = [h["WARC-Record-ID"] for h, _ in iter_warc(warc)]
+    assert len(ids) == len(set(ids)) == 3
+
+
+def test_script_body_with_angle_brackets():
+    """HTML5 raw-text rule: '<' inside a script body is NOT markup —
+    the rest of the document must survive."""
+    html = "<p>keep</p><script>if(a<b)x();</script><p>also kept</p>"
+    text, _, _ = extract_text(html)
+    assert text == "keep also kept"
+    # unterminated raw-text element drops to EOF, not beyond
+    assert extract_text("<p>k</p><style>.a{")[0] == "k"
+    # close tag with attributes/case still terminates the drop
+    html = "<SCRIPT>a<b</ScRiPt ></p>tail"
+    assert extract_text(html)[0] == "tail"
