@@ -365,6 +365,7 @@ BENCH_QUERIES = [
     "q370_robots_rules",
     "q371_warc_ingest",
     "q372_html_extract",
+    "q373_pdf_extract",
 ]
 
 

@@ -2446,6 +2446,64 @@ def q363(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q373 — PDF TEXT EXTRACTION (ISO 32000): each doc renders as a real
+# two-page PDF 1.4 (FlateDecode content streams, classic xref,
+# catalog->pages->kids walk) with a heading, the doc text split over
+# two Tj lines, and a footer page; the kernel runs the full parse —
+# xref table, object resolution, stream inflate, content-stream
+# tokenizer (Tj/'/TJ, escapes, Td boundaries) — and the oracle builds
+# the expected text analytically from the same fields. Digitally-born
+# PDFs are the second-biggest document format after HTML; scanned PDFs
+# need OCR and stay out of scope (module docstring states the matrix).
+# --------------------------------------------------------------------------
+PDF_SCHEMA = "doc_id long, n_pages int, text string, n_chars int"
+
+
+@register(
+    "q373_pdf_extract",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               'Report ' || CAST(doc_id % 100 AS VARCHAR) || ' '
+                 || substr(text, 1, 40) || ' ' || substr(text, 41),
+               '\\s+', ' ', 'g')) || CHR(10) || 'Footer page' AS full_text
+      FROM documents
+    )
+    SELECT doc_id, CAST(2 AS INT) AS n_pages, full_text AS text,
+           CAST(length(full_text) AS INT) AS n_chars
+    FROM p
+    """,
+)
+def q373(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.partitioning import ensure_min_partitions
+    from ..sources.pdf import PdfDocument, write_pdf
+
+    docs = ensure_min_partitions(
+        load(spark, sf_dir, "documents").select("doc_id", "text"))
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf_batch in batches:
+            out = {k: [] for k in ("doc_id", "n_pages", "text", "n_chars")}
+            for doc_id, t in zip(pdf_batch["doc_id"], pdf_batch["text"]):
+                payload = write_pdf([
+                    [f"Report {doc_id % 100}", t[:40], t[40:]],
+                    ["Footer page"],
+                ])
+                doc = PdfDocument(payload)
+                text = doc.text()
+                out["doc_id"].append(doc_id)
+                out["n_pages"].append(len(doc.pages()))
+                out["text"].append(text)
+                out["n_chars"].append(len(text))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(kernel, PDF_SCHEMA)
+
+
+# --------------------------------------------------------------------------
 # q371 — WARC INGEST (ISO 28500 / Common Crawl layout): each doc rides
 # as an HTTP response record inside a per-record-gzip-member WARC
 # (sources/warc.py). The kernel runs the REAL chain — gzip member
