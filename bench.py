@@ -366,6 +366,8 @@ BENCH_QUERIES = [
     "q371_warc_ingest",
     "q372_html_extract",
     "q373_pdf_extract",
+    "q374_docx_extract",
+    "q375_exif_audit",
 ]
 
 

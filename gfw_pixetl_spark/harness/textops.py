@@ -2446,6 +2446,123 @@ def q363(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q374 — DOCX TEXT EXTRACTION (ECMA-376 WordprocessingML in a ZIP/OPC
+# package): each doc renders as a real .docx (Content_Types + rels +
+# word/document.xml; the doc text split over two <w:p> paragraphs with
+# XML-escaped content), the kernel unzips and extracts w:t runs with
+# entity decode, and the oracle rebuilds the expected text
+# analytically. HTML -> PDF -> DOCX completes the document-format
+# triad a text corpus ingests.
+# --------------------------------------------------------------------------
+DOCX_SCHEMA = "doc_id long, n_paragraphs int, text string, n_chars int"
+
+
+@register(
+    "q374_docx_extract",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             'Heading ' || CAST(doc_id % 100 AS VARCHAR) || CHR(10)
+               || trim(substr(text, 1, 60))
+               || CASE WHEN length(text) > 60
+                       THEN CHR(10) || trim(substr(text, 61))
+                       ELSE '' END AS full_text
+      FROM documents
+    )
+    SELECT doc_id, CAST(3 AS INT) AS n_paragraphs, full_text AS text,
+           CAST(length(full_text) AS INT) AS n_chars
+    FROM p
+    """,
+)
+def q374(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.partitioning import ensure_min_partitions
+    from ..sources.docx import extract_docx_text, write_docx
+
+    docs = ensure_min_partitions(
+        load(spark, sf_dir, "documents").select("doc_id", "text"))
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("doc_id", "n_paragraphs", "text", "n_chars")}
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                paragraphs = [f"Heading {doc_id % 100}", t[:60], t[60:]]
+                text = extract_docx_text(write_docx(paragraphs))
+                out["doc_id"].append(doc_id)
+                out["n_paragraphs"].append(len(paragraphs))
+                out["text"].append(text)
+                out["n_chars"].append(len(text))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(kernel, DOCX_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# q375 — EXIF METADATA AUDIT (EXIF 2.3 APP1 TIFF-IFD): each doc's JPEG
+# carries a deterministic EXIF block (orientation cycling 1..8, camera
+# make keyed by source, ISO, capture time; alternating II/MM byte
+# orders), the kernel walks the real marker stream + IFD chain WITHOUT
+# decoding pixels — the metadata pass an image-corpus audit runs over
+# billions of files before any training decision (orientation fixes,
+# camera dedup). Oracle replays the construction analytically.
+# --------------------------------------------------------------------------
+EXIF_SCHEMA = ("doc_id long, orientation int, make string, iso int, "
+               "byte_order string")
+
+
+@register(
+    "q375_exif_audit",
+    oracle="""
+    SELECT doc_id,
+           CAST(doc_id % 8 + 1 AS INT) AS orientation,
+           'Cam-' || source AS make,
+           CAST(100 * (doc_id % 4 + 1) AS INT) AS iso,
+           CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END AS byte_order
+    FROM documents
+    """,
+)
+def q375(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.partitioning import ensure_min_partitions
+    from ..sources.exif import (
+        TAG_ISO, TAG_MAKE, TAG_ORIENTATION, build_exif, insert_exif,
+        parse_exif,
+    )
+    from ..functions.multimodal import jpeg_payload
+
+    docs = ensure_min_partitions(
+        load(spark, sf_dir, "documents").select("doc_id", "text",
+                                                "source"))
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "orientation", "make",
+                                   "iso", "byte_order")}
+            for doc_id, t, src in zip(pdf["doc_id"], pdf["text"],
+                                      pdf["source"]):
+                bo = "II" if doc_id % 2 == 0 else "MM"
+                jpeg = insert_exif(
+                    jpeg_payload(t),
+                    build_exif(make=f"Cam-{src}",
+                               orientation=int(doc_id % 8 + 1),
+                               iso=int(100 * (doc_id % 4 + 1)),
+                               byte_order=bo))
+                tags = parse_exif(jpeg)
+                out["doc_id"].append(doc_id)
+                out["orientation"].append(int(tags[TAG_ORIENTATION]))
+                out["make"].append(tags[TAG_MAKE])
+                out["iso"].append(int(tags[TAG_ISO]))
+                # APP1 layout: SOI(2) FFE1(2) len(2) 'Exif\0\0'(6) TIFF
+                out["byte_order"].append(jpeg[12:14].decode("ascii"))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(kernel, EXIF_SCHEMA)
+
+
+# --------------------------------------------------------------------------
 # q373 — PDF TEXT EXTRACTION (ISO 32000): each doc renders as a real
 # two-page PDF 1.4 (FlateDecode content streams, classic xref,
 # catalog->pages->kids walk) with a heading, the doc text split over

@@ -1,0 +1,159 @@
+"""EXIF metadata in JPEG APP1 — the TIFF-IFD structure (EXIF 2.3 /
+JEITA CP-3451, public spec) every camera image carries.
+
+A multimodal corpus audit reads EXIF without decoding pixels:
+orientation (the #1 cause of silently-rotated training images),
+camera make/model (dedup/attribution), capture time. The payload is a
+real TIFF IFD (same framing as ``sources/geotiff.py``'s reader,
+re-implemented here in the ~80 lines the APP1 subset needs): byte-order
+mark II/MM, magic 42, IFD entry stream, inline-or-offset values.
+
+``insert_exif`` splices a spec-valid APP1 right after SOI, so existing
+decoders (``sources/jpeg.py`` walks and skips APPn) are unaffected;
+``parse_exif`` finds the segment and walks IFD0 + the ExifIFD pointer.
+q375 value-checks the round trip against an analytic oracle.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# IFD0 / Exif tags the audit reads
+TAG_MAKE = 271
+TAG_MODEL = 272
+TAG_ORIENTATION = 274
+TAG_DATETIME = 306
+TAG_EXIF_IFD = 34665
+TAG_ISO = 34855
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+
+
+def build_exif(
+    make: str = "", model: str = "", orientation: int = 1,
+    datetime: str = "", iso: int | None = None,
+    byte_order: str = "II",
+) -> bytes:
+    """APP1 payload: 'Exif\\0\\0' + TIFF header + IFD0 (+ ExifIFD when
+    iso is given). Both byte orders supported."""
+    en = "<" if byte_order == "II" else ">"
+
+    def entry(tag, ftype, values, extra_at):
+        if ftype == 2:  # ASCII, NUL-terminated
+            data = values.encode("ascii") + b"\x00"
+            n = len(data)
+        else:
+            data = b"".join(struct.pack(
+                en + {3: "H", 4: "I"}[ftype], v) for v in values)
+            n = len(values)
+        if len(data) <= 4:
+            inline = data + b"\x00" * (4 - len(data))
+            return struct.pack(en + "HHI", tag, ftype, n) + inline, b""
+        return (struct.pack(en + "HHII", tag, ftype, n, extra_at),
+                data + (b"\x00" if len(data) % 2 else b""))
+
+    entries0 = []
+    if make:
+        entries0.append((TAG_MAKE, 2, make))
+    if model:
+        entries0.append((TAG_MODEL, 2, model))
+    entries0.append((TAG_ORIENTATION, 3, [orientation]))
+    if datetime:
+        entries0.append((TAG_DATETIME, 2, datetime))
+
+    exif_entries = [(TAG_ISO, 3, [iso])] if iso is not None else []
+
+    # layout: header(8) + IFD0 + [ExifIFD] + value area
+    n0 = len(entries0) + (1 if exif_entries else 0)
+    ifd0_at = 8
+    ifd0_size = 2 + 12 * n0 + 4
+    exif_at = ifd0_at + ifd0_size
+    exif_size = (2 + 12 * len(exif_entries) + 4) if exif_entries else 0
+    extra_at = exif_at + exif_size
+
+    def render(entries, extra_at, extra_parts):
+        body = b""
+        for tag, ftype, values in entries:
+            e, extra = entry(tag, ftype, values, extra_at)
+            body += e
+            extra_parts.append(extra)
+            extra_at += len(extra)
+        return body, extra_at
+
+    extras: list[bytes] = []
+    all0 = list(entries0)
+    body0, extra_at = render(all0, extra_at, extras)
+    if exif_entries:
+        body0 += struct.pack(en + "HHII", TAG_EXIF_IFD, 4, 1, exif_at)
+    ifd0 = struct.pack(en + "H", n0) + body0 + struct.pack(en + "I", 0)
+    exif_ifd = b""
+    if exif_entries:
+        bodyx, extra_at = render(exif_entries, extra_at, extras)
+        exif_ifd = (struct.pack(en + "H", len(exif_entries)) + bodyx
+                    + struct.pack(en + "I", 0))
+    tiff = (byte_order.encode() + struct.pack(en + "HI", 42, ifd0_at)
+            + ifd0 + exif_ifd + b"".join(extras))
+    return b"Exif\x00\x00" + tiff
+
+
+def insert_exif(jpeg: bytes, exif_payload: bytes) -> bytes:
+    """Splice an APP1 Exif segment right after SOI."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    seg = b"\xff\xe1" + struct.pack(">H", len(exif_payload) + 2) \
+        + exif_payload
+    return jpeg[:2] + seg + jpeg[2:]
+
+
+def _read_ifd(tiff: bytes, en: str, at: int, out: dict) -> None:
+    (n,) = struct.unpack_from(en + "H", tiff, at)
+    for i in range(n):
+        tag, ftype, cnt = struct.unpack_from(
+            en + "HHI", tiff, at + 2 + 12 * i)
+        voff = at + 2 + 12 * i + 8
+        size = _TYPE_SIZE.get(ftype, 1) * cnt
+        if size > 4:
+            (voff,) = struct.unpack_from(en + "I", tiff, voff)
+        if ftype == 2:
+            val = tiff[voff:voff + cnt].split(b"\x00")[0].decode(
+                "ascii", "replace")
+        elif ftype == 3:
+            vals = struct.unpack_from(en + f"{cnt}H", tiff, voff)
+            val = vals[0] if cnt == 1 else list(vals)
+        elif ftype == 4:
+            vals = struct.unpack_from(en + f"{cnt}I", tiff, voff)
+            val = vals[0] if cnt == 1 else list(vals)
+        else:
+            val = tiff[voff:voff + size]
+        out[tag] = val
+
+
+def parse_exif(jpeg: bytes) -> dict:
+    """Walk the JPEG marker stream to APP1 'Exif', parse IFD0 and the
+    ExifIFD pointer. Returns {tag: value}; empty dict when no EXIF."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    while pos + 4 <= len(jpeg):
+        if jpeg[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = jpeg[pos + 1]
+        if marker == 0xD9 or marker == 0xDA:  # EOI / SOS: no EXIF ahead
+            return {}
+        (seg_len,) = struct.unpack(">H", jpeg[pos + 2:pos + 4])
+        if marker == 0xE1 and jpeg[pos + 4:pos + 10] == b"Exif\x00\x00":
+            tiff = jpeg[pos + 10:pos + 2 + seg_len]
+            order = tiff[:2]
+            if order not in (b"II", b"MM"):
+                raise ValueError(f"bad TIFF byte order {order!r}")
+            en = "<" if order == b"II" else ">"
+            magic, ifd0 = struct.unpack_from(en + "HI", tiff, 2)
+            if magic != 42:
+                raise ValueError(f"bad TIFF magic {magic}")
+            out: dict = {}
+            _read_ifd(tiff, en, ifd0, out)
+            if TAG_EXIF_IFD in out:
+                _read_ifd(tiff, en, int(out[TAG_EXIF_IFD]), out)
+            return out
+        pos += 2 + seg_len
+    return {}

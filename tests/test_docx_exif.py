@@ -1,0 +1,94 @@
+"""DOCX extraction (sources/docx.py) and EXIF APP1 parsing
+(sources/exif.py)."""
+
+import numpy as np
+import pytest
+
+from gfw_pixetl_spark.sources.docx import extract_docx_text, write_docx
+from gfw_pixetl_spark.sources.exif import (
+    TAG_DATETIME, TAG_ISO, TAG_MAKE, TAG_MODEL, TAG_ORIENTATION,
+    build_exif, insert_exif, parse_exif,
+)
+from gfw_pixetl_spark.sources.jpeg import decode_jpeg, encode_jpeg
+
+
+def test_docx_roundtrip_and_entities():
+    d = write_docx(["Hello & <world>", 'quotes "here"', "third"])
+    assert extract_docx_text(d) == 'Hello & <world>\nquotes "here"\nthird'
+
+
+def test_docx_tabs_breaks_and_preserved_space():
+    """Hand-built document.xml: tabs, breaks, multiple runs per
+    paragraph, xml:space-preserved leading space inside a run."""
+    import io
+    import zipfile
+
+    from gfw_pixetl_spark.sources.docx import _CONTENT_TYPES, _RELS
+
+    doc = (
+        '<?xml version="1.0"?><w:document xmlns:w="x"><w:body>'
+        '<w:p><w:r><w:t>one</w:t></w:r><w:tab/>'
+        '<w:r><w:t xml:space="preserve"> two</w:t></w:r>'
+        "<w:r><w:br/><w:t>three</w:t></w:r></w:p>"
+        "<w:p><w:r><w:t>para2 &amp; &#65;</w:t></w:r></w:p>"
+        "</w:body></w:document>"
+    ).encode()
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml", _CONTENT_TYPES)
+        z.writestr("_rels/.rels", _RELS)
+        z.writestr("word/document.xml", doc)
+    text = extract_docx_text(buf.getvalue())
+    assert text == "one\t two\nthree\npara2 & A"
+
+
+def test_docx_errors():
+    with pytest.raises(ValueError, match="ZIP"):
+        extract_docx_text(b"not a zip at all")
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("other.xml", b"<x/>")
+    with pytest.raises(ValueError, match="word/document.xml"):
+        extract_docx_text(buf.getvalue())
+
+
+@pytest.mark.parametrize("bo", ["II", "MM"])
+def test_exif_roundtrip(bo):
+    img = (np.arange(256, dtype=np.int64) % 251).astype(
+        np.uint8).reshape(16, 16)
+    jpeg = encode_jpeg(img)
+    exif = build_exif(make="CamCo", model="X-100", orientation=6,
+                      datetime="2024:01:02 03:04:05", iso=400,
+                      byte_order=bo)
+    tagged = insert_exif(jpeg, exif)
+    tags = parse_exif(tagged)
+    assert tags[TAG_MAKE] == "CamCo"
+    assert tags[TAG_MODEL] == "X-100"
+    assert tags[TAG_ORIENTATION] == 6
+    assert tags[TAG_DATETIME] == "2024:01:02 03:04:05"
+    assert tags[TAG_ISO] == 400
+    # the APP1 splice is transparent to the pixel decoder
+    assert np.array_equal(decode_jpeg(tagged), decode_jpeg(jpeg))
+
+
+def test_exif_minimal_and_missing():
+    jpeg = encode_jpeg(np.zeros((8, 8), np.uint8))
+    assert parse_exif(jpeg) == {}
+    tagged = insert_exif(jpeg, build_exif(orientation=3))
+    tags = parse_exif(tagged)
+    assert tags[TAG_ORIENTATION] == 3 and TAG_ISO not in tags
+    with pytest.raises(ValueError, match="SOI"):
+        insert_exif(b"nope", b"")
+    with pytest.raises(ValueError, match="SOI"):
+        parse_exif(b"nope")
+
+
+def test_exif_short_strings_inline():
+    """ASCII values of <= 4 bytes (incl. NUL) pack inline in the IFD
+    entry rather than the external value area."""
+    jpeg = encode_jpeg(np.zeros((8, 8), np.uint8))
+    tagged = insert_exif(jpeg, build_exif(make="abc", orientation=1))
+    assert parse_exif(tagged)[TAG_MAKE] == "abc"
