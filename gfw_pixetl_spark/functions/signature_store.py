@@ -118,6 +118,11 @@ def append_signatures(spark: SparkSession, docs: DataFrame, name: str,
     sigs.write.format("parquet").insertInto(f"{name}_sigs")
     band_key_cols(sigs).write.format("parquet").insertInto(
         f"{name}_bands")
+    # invalidate cached file listings explicitly: when the append runs
+    # inside foreachBatch (a cloned session) the caller's session may
+    # hold a stale relation cache for the store tables
+    spark.catalog.refreshTable(f"{name}_sigs")
+    spark.catalog.refreshTable(f"{name}_bands")
     return sigs.count()
 
 

@@ -130,6 +130,55 @@ def test_results_match_brute_force(spark, store):
         assert got[bi] == (ii, nm, nm >= D.N_MINHASH // 2), bi
 
 
+def test_streaming_dedup_against_store(spark, tmp_path):
+    """The full production loop: micro-batches of new docs probe the
+    PERSISTED index (no index-side Exchange), then their signatures are
+    appended so the NEXT batch dedups against them too — stream ->
+    probe -> index-maintain, exactly the nightly+realtime shape."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"{c}{i // 2}" for c in "abcdefgh"))
+         for i in range(40)],
+        "doc_id long, text string")
+    # initial index: the first 10 odd docs
+    SS.store_signatures(spark, docs.filter("doc_id < 20 and doc_id % 2 = 1"),
+                        "t_sigstore_stream", n_buckets=4)
+
+    src = str(tmp_path / "src")
+    # stream carries the remaining docs: evens (dups of indexed or
+    # future docs) and late odds
+    docs.filter("doc_id % 2 = 0 or doc_id >= 20").write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    matches = {}
+
+    def process(batch_df, batch_id):
+        found = SS.incremental_dedup_against_store(
+            spark, batch_df, "t_sigstore_stream")
+        for r in found.collect():
+            matches[r.batch_id] = r.match_id
+        SS.append_signatures(spark, batch_df, "t_sigstore_stream")
+
+    (spark.readStream.schema(schema).parquet(src)
+     .writeStream.foreachBatch(process)
+     .option("checkpointLocation", str(tmp_path / "ckpt"))
+     .trigger(availableNow=True).start().awaitTermination())
+
+    # every even doc < 20 has its exact twin (2k+1 < 20) in the initial
+    # index and must have matched with n_match = 16 (match_id = twin)
+    for b in range(0, 20, 2):
+        assert matches.get(b) == b + 1, (b, matches.get(b))
+    # the index absorbed the streamed signatures: a fresh batch of
+    # twins of STREAMED docs now matches them
+    probe = spark.createDataFrame(
+        [(100 + i, " ".join(f"{c}{(20 + i) // 2}" for c in "abcdefgh"))
+         for i in range(4)],
+        "doc_id long, text string")
+    out = {r.batch_id: r.match_id for r in
+           SS.incremental_dedup_against_store(
+               spark, probe, "t_sigstore_stream").collect()}
+    assert all(out[100 + i] in (20 + i - i % 2, 20 + i - i % 2 + 1)
+               for i in range(4))
+
+
 def test_append_preserves_bucketing_and_results(spark):
     # pairs (2k, 2k+1) are exact twins; evens probe, odds index
     docs = spark.createDataFrame(
