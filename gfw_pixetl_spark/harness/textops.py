@@ -2799,8 +2799,10 @@ def q370(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     robots = F.when(F.col("source") == "src7",
                     F.lit(_ROBOTS_TXT_SRC7)).otherwise(F.lit(_ROBOTS_TXT))
-    pages = docs.select("doc_id", path.alias("path"),
-                        robots.alias("robots_txt"))
+    from ..functions.partitioning import ensure_min_partitions
+
+    pages = ensure_min_partitions(docs.select(
+        "doc_id", path.alias("path"), robots.alias("robots_txt")))
     out = robots_filter(pages, agent="gfwbot")
     return out.select("doc_id", "path", "allowed")
 
