@@ -29,22 +29,28 @@ _ENT = {"amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'",
         "nbsp": " "}
 
 
-def _decode_entities(s: str) -> str:
+def decode_entities(s: str, entities: dict[str, str] | None = None) -> str:
+    """Character-reference decode shared by the HTML and XML (docx)
+    extractors: named entities from ``entities`` (default: the HTML
+    core set), numeric decimal/hex forms; malformed or out-of-range
+    references pass through literally (never raise)."""
+    table = _ENT if entities is None else entities
+
     def sub(m: re.Match) -> str:
         body = m.group(1)
-        if body.startswith("#x") or body.startswith("#X"):
-            try:
+        try:
+            if body.startswith("#x") or body.startswith("#X"):
                 return chr(int(body[2:], 16))
-            except ValueError:
-                return m.group(0)
-        if body.startswith("#"):
-            try:
+            if body.startswith("#"):
                 return chr(int(body[1:]))
-            except ValueError:
-                return m.group(0)
-        return _ENT.get(body, m.group(0))
+        except (ValueError, OverflowError):
+            return m.group(0)
+        return table.get(body, m.group(0))
 
     return re.sub(r"&(#?[0-9a-zA-Z]+);", sub, s)
+
+
+_decode_entities = decode_entities  # internal alias (pre-refactor name)
 
 
 def extract_text(html: str) -> tuple[str, int, int]:

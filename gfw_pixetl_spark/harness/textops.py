@@ -2466,10 +2466,13 @@ DOCX_SCHEMA = "doc_id long, n_paragraphs int, text string, n_chars int"
                || trim(substr(text, 1, 60))
                || CASE WHEN length(text) > 60
                        THEN CHR(10) || trim(substr(text, 61))
-                       ELSE '' END AS full_text
+                       ELSE '' END AS full_text,
+             CASE WHEN length(text) > 60 THEN 3 ELSE 2 END AS n_para
       FROM documents
     )
-    SELECT doc_id, CAST(3 AS INT) AS n_paragraphs, full_text AS text,
+    SELECT doc_id,
+           CAST(n_para AS INT) AS n_paragraphs,
+           full_text AS text,
            CAST(length(full_text) AS INT) AS n_chars
     FROM p
     """,
@@ -2488,7 +2491,12 @@ def q374(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = {k: [] for k in
                    ("doc_id", "n_paragraphs", "text", "n_chars")}
             for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
-                paragraphs = [f"Heading {doc_id % 100}", t[:60], t[60:]]
+                # whitespace-only paragraphs are dropped up front: the
+                # extractor collapses them anyway, so writing them
+                # would only make n_paragraphs disagree with the text
+                paragraphs = [p.strip() for p in
+                              (f"Heading {doc_id % 100}", t[:60], t[60:])
+                              if p.strip()]
                 text = extract_docx_text(write_docx(paragraphs))
                 out["doc_id"].append(doc_id)
                 out["n_paragraphs"].append(len(paragraphs))

@@ -52,15 +52,11 @@ def _xml_escape(s: str) -> str:
 
 
 def _xml_unescape(s: str) -> str:
-    def sub(m: re.Match) -> str:
-        body = m.group(1)
-        if body.startswith("#x") or body.startswith("#X"):
-            return chr(int(body[2:], 16))
-        if body.startswith("#"):
-            return chr(int(body[1:]))
-        return _XML_ENT.get(body, m.group(0))
+    # shared guarded decoder (functions/html.py) with the XML 1.0
+    # predefined entity set — no &nbsp; in XML
+    from ..functions.html import decode_entities
 
-    return re.sub(r"&(#?[0-9a-zA-Z]+);", sub, s)
+    return decode_entities(s, _XML_ENT)
 
 
 def write_docx(paragraphs: list[str]) -> bytes:
@@ -84,8 +80,13 @@ def write_docx(paragraphs: list[str]) -> bytes:
     return buf.getvalue()
 
 
+# w:tab stays attribute-less on purpose: an ATTRIBUTED <w:tab .../> is
+# a tab-STOP definition inside <w:tabs> (paragraph properties), not a
+# text tab. Breaks DO carry attributes (<w:br w:type="page"/>), and
+# Word also emits <w:cr/> for carriage returns.
 _WT_RE = re.compile(
-    r"<w:t(?:\s[^>]*)?>(.*?)</w:t>|<w:tab\s*/>|<w:br\s*/>|</w:p>",
+    r"<w:t(?:\s[^>]*)?>(.*?)</w:t>|<w:tab\s*/>|<w:br[^>]*/>|<w:cr\s*/>"
+    r"|</w:p>",
     re.DOTALL)
 
 

@@ -33,6 +33,11 @@ import zlib
 
 
 def _esc(s: str) -> str:
+    if any(ord(c) > 0xFF for c in s):
+        raise ValueError(
+            "write_pdf shows text through a simple (latin-1-encodable) "
+            "font; characters above U+00FF need a CID-keyed font, which "
+            "is out of scope (module docstring)")
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
@@ -47,7 +52,7 @@ def write_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
         return len(objs)  # 1-based object number
 
     font = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
-    page_ids, content_ids = [], []
+    content_ids = []
     for lines in pages:
         ops = ["BT", "/F1 12 Tf", "72 720 Td"]
         for i, line in enumerate(lines):
@@ -63,15 +68,14 @@ def write_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
             head = b"<< /Length %d >>" % len(stream)
         content_ids.append(add(
             head + b"\nstream\n" + stream + b"\nendstream"))
-        page_ids.append(None)  # placeholder, filled after pages obj
 
     pages_id = len(objs) + len(pages) + 1  # after the page objects
-    for ci in content_ids:
-        pid = add(
-            b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
+    page_ids = [
+        add(b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792] "
             b"/Resources << /Font << /F1 %d 0 R >> >> "
             b"/Contents %d 0 R >>" % (pages_id, font, ci))
-        page_ids[content_ids.index(ci)] = pid
+        for ci in content_ids
+    ]
     kids = b" ".join(b"%d 0 R" % p for p in page_ids)
     real_pages_id = add(
         b"<< /Type /Pages /Kids [%s] /Count %d >>"
@@ -100,6 +104,7 @@ def write_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
 
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
+_NAME_RE = re.compile(rb"/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)")
 
 
 class Ref:
@@ -159,9 +164,10 @@ class _Lexer:
         raise ValueError(f"PDF: cannot parse value at byte {p}")
 
     def _parse_name(self) -> str:
-        m = re.match(rb"/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)",
-                     self.data[self.pos:])
-        self.pos += m.end()
+        # anchored match at pos (never slice: a dict-heavy PDF would
+        # copy the buffer tail per name token — quadratic)
+        m = _NAME_RE.match(self.data, self.pos)
+        self.pos = m.end()
         name = m.group(1)
         # #xx hex escapes in names
         name = re.sub(rb"#([0-9A-Fa-f]{2})",
@@ -204,7 +210,8 @@ class _Lexer:
                 if nxt in esc:
                     out += esc[nxt]
                     p += 2
-                elif nxt and nxt[0:1].isdigit():
+                elif nxt in (b"0", b"1", b"2", b"3", b"4", b"5", b"6",
+                             b"7"):
                     m = re.match(rb"[0-7]{1,3}", d[p + 1:p + 4])
                     out.append(int(m.group(0), 8) & 0xFF)
                     p += 1 + m.end()
@@ -290,14 +297,19 @@ class PdfDocument:
                 off, _gen, kind = entry[:10], entry[11:16], entry[17:18]
                 if kind == b"n":
                     self.xref.setdefault(first + i, int(off))
+                elif kind == b"f":
+                    # freed in a NEWER section must shadow older 'n'
+                    # entries from the /Prev chain (incremental delete)
+                    self.xref.setdefault(first + i, -1)
                 lex.pos += 20
 
     def obj(self, num: int):
         if num in self._cache:
             return self._cache[num]
         at = self.xref.get(num)
-        if at is None:
-            raise ValueError(f"PDF: object {num} not in xref")
+        if at is None or at < 0:
+            raise ValueError(f"PDF: object {num} is "
+                             f"{'freed' if at is not None else 'absent'}")
         m = re.match(rb"(\d+)\s+(\d+)\s+obj", self.data[at:at + 48])
         if not m or int(m.group(1)) != num:
             raise ValueError(f"PDF: xref offset for {num} is wrong")
@@ -343,10 +355,14 @@ class PdfDocument:
 
     def page_text(self, page: dict) -> str:
         contents = self.resolve(page.get("Contents"))
+        if contents is None:
+            return ""  # /Contents is optional: an empty page is valid
         streams = contents if isinstance(contents, list) else [contents]
         chunks: list[bytes] = []
         for s in streams:
             s = self.resolve(s)
+            if not isinstance(s, dict) or "__stream__" not in s:
+                raise ValueError("PDF: page /Contents is not a stream")
             chunks.append(s["__stream__"])
         return extract_content_text(b"\n".join(chunks))
 
@@ -392,9 +408,8 @@ def extract_content_text(stream: bytes) -> str:
             i += 1
             continue
         if c == b"/":
-            m = re.match(rb"/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*",
-                         stream[i:])
-            i += m.end()
+            m = _NAME_RE.match(stream, i)
+            i = m.end()
             continue
         if c == b"<":  # inline dict (BDC/DP operands): skip to >>
             e = stream.find(b">>", i)

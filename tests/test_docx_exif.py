@@ -92,3 +92,29 @@ def test_exif_short_strings_inline():
     jpeg = encode_jpeg(np.zeros((8, 8), np.uint8))
     tagged = insert_exif(jpeg, build_exif(make="abc", orientation=1))
     assert parse_exif(tagged)[TAG_MAKE] == "abc"
+
+
+def test_attributed_breaks_and_cr():
+    """Word emits <w:br w:type='page'/> and <w:cr/>; attributed w:tab
+    elements are tab-STOP definitions, not text tabs."""
+    import io
+    import zipfile
+
+    from gfw_pixetl_spark.sources.docx import _CONTENT_TYPES, _RELS
+
+    doc = (
+        '<?xml version="1.0"?><w:document xmlns:w="x"><w:body>'
+        "<w:p><w:pPr><w:tabs>"
+        '<w:tab w:val="left" w:pos="708"/></w:tabs></w:pPr>'
+        '<w:r><w:t>one</w:t><w:br w:type="page"/><w:t>two</w:t>'
+        "<w:cr/><w:t>three</w:t></w:r></w:p>"
+        "<w:p><w:r><w:t>bad &#xzz; stays</w:t></w:r></w:p>"
+        "</w:body></w:document>"
+    ).encode()
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("[Content_Types].xml", _CONTENT_TYPES)
+        z.writestr("_rels/.rels", _RELS)
+        z.writestr("word/document.xml", doc)
+    text = extract_docx_text(buf.getvalue())
+    assert text == "one\ntwo\nthree\nbad &#xzz; stays"

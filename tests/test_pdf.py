@@ -138,3 +138,34 @@ def _assemble(objs: dict[int, bytes], root: int) -> bytes:
     out += (b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF"
             % (nmax + 1, root, xref_at))
     return bytes(out)
+
+
+def test_review_fixes_escapes_contents_freed():
+    """Second-review regressions: \\8/\\9 escapes drop the backslash
+    (never crash), a /Contents-less page extracts as empty, a freed
+    xref entry in a newer section shadows the /Prev chain, and
+    non-latin-1 writer input raises the declared error."""
+    assert extract_content_text(rb"BT (a\8b\9c) Tj ET") == "a8b9c"
+    with pytest.raises(ValueError, match="CID-keyed"):
+        write_pdf([["euro € sign"]])
+    # page without /Contents
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R >>",
+    }
+    assert extract_pdf_text(_assemble(objs, root=1)) == ""
+    # freed entry shadows: incremental update frees object 4
+    pdf = bytearray(_assemble({
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>",
+        4: b"<< /Length 13 >>\nstream\nBT (old) Tj ET\nendstream",
+    }, root=1))
+    old_sx = int(pdf.rsplit(b"startxref", 1)[1].split()[0])
+    xref_at = len(pdf) + 1
+    pdf += (b"\nxref\n4 1\n0000000000 00001 f \n"
+            b"trailer\n<< /Size 5 /Root 1 0 R /Prev %d >>\n"
+            b"startxref\n%d\n%%%%EOF" % (old_sx, xref_at))
+    with pytest.raises(ValueError, match="freed"):
+        PdfDocument(bytes(pdf)).text()
