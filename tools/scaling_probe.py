@@ -34,6 +34,9 @@ DEFAULT_QUERIES = [
     "q233_snapshot_delete",  # snapshot build + merge-on-read delete read
     "q240_snapshot_cdf",     # change-feed replay (O(delta) claim)
     "q242_k_anonymity",      # shrinking double aggregation
+    "q362_bucketed_incremental_dedup",  # storage-partitioned probe
+    "q371_warc_ingest",      # per-doc container kernel (linear claim)
+    "q373_pdf_extract",      # per-doc parser kernel (linear claim)
 ]
 
 SF_DIRS = [
