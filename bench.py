@@ -368,6 +368,8 @@ BENCH_QUERIES = [
     "q373_pdf_extract",
     "q374_docx_extract",
     "q375_exif_audit",
+    "q376_markdown_to_text",
+    "q377_data_uri_images",
 ]
 
 

@@ -564,6 +564,30 @@ def registrable_domain(col: Column | str) -> Column:
         F.concat(label, F.lit("."), best))
 
 
+def markdown_to_text(col: Column | str) -> Column:
+    """Markdown -> visible text as a PURE COLUMN EXPRESSION (chained
+    regexp_replace — JVM-side, whole-stage codegen, no UDF): code
+    fences and inline backticks drop their markers (content kept),
+    images collapse to their alt text, links to their anchor text,
+    ATX header markers / blockquote markers / list bullets strip,
+    emphasis markers strip, and whitespace normalizes. Deterministic
+    rule chain a SQL oracle replays verbatim (q376) — the README/docs
+    corpus cleanup step before quality scoring."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.regexp_replace(c, r"```[a-zA-Z0-9]*\n?", "")     # fence markers
+    c = F.regexp_replace(c, r"`([^`]*)`", r"$1")           # inline code
+    c = F.regexp_replace(c, r"!\[([^\]]*)\]\([^)]*\)", r"$1")  # images
+    c = F.regexp_replace(c, r"\[([^\]]*)\]\([^)]*\)", r"$1")   # links
+    c = F.regexp_replace(c, r"(?m)^#{1,6}\s*", "")         # ATX headers
+    c = F.regexp_replace(c, r"(?m)^>\s?", "")              # blockquotes
+    c = F.regexp_replace(c, r"(?m)^\s*[-*+]\s+", "")       # list bullets
+    c = F.regexp_replace(c, r"\*\*([^*]*)\*\*", r"$1")     # bold
+    c = F.regexp_replace(c, r"\*([^*]*)\*", r"$1")         # italic
+    c = F.regexp_replace(c, r"__([^_]*)__", r"$1")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
 def suffix_blocklist_join(
     df: DataFrame, blocklist: DataFrame, host_col: str = "host",
     rule_col: str = "rule",

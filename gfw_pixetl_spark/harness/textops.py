@@ -2446,6 +2446,109 @@ def q363(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q376 — MARKDOWN -> TEXT (pure column expressions, whole-stage
+# codegen, zero Python): each doc renders as deterministic markdown
+# (header, bold, link, inline code, list bullet, fenced block around
+# its text) and markdown_to_text strips it with a fixed regex chain
+# the oracle replays verbatim in DuckDB. The README/docs-corpus
+# cleanup pass — the one text format that needs NO kernel at all.
+# --------------------------------------------------------------------------
+@register(
+    "q376_markdown_to_text",
+    oracle=r"""
+    WITH md AS (
+      SELECT doc_id,
+             '# Title ' || CAST(doc_id % 100 AS VARCHAR)
+             || CHR(10) || CHR(10) || '**bold** and [a link](http://x) '
+             || '`inline` text' || CHR(10) || '- item one' || CHR(10)
+             || '```sql' || CHR(10) || text || CHR(10) || '```' AS m
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+        trim(regexp_replace(
+          regexp_replace(
+           regexp_replace(
+            regexp_replace(
+             regexp_replace(
+              regexp_replace(
+               regexp_replace(
+                regexp_replace(
+                 regexp_replace(
+                  regexp_replace(
+                   regexp_replace(m, '```[a-zA-Z0-9]*\n?', '', 'g'),
+                   '`([^`]*)`', '\1', 'g'),
+                  '!\[([^\]]*)\]\([^)]*\)', '\1', 'g'),
+                 '\[([^\]]*)\]\([^)]*\)', '\1', 'g'),
+                '(?m)^#{1,6}\s*', '', 'g'),
+               '(?m)^>\s?', '', 'g'),
+              '(?m)^\s*[-*+]\s+', '', 'g'),
+             '\*\*([^*]*)\*\*', '\1', 'g'),
+            '\*([^*]*)\*', '\1', 'g'),
+           '__([^_]*)__', '\1', 'g'),
+          '\s+', ' ', 'g')) AS t
+      FROM md
+    )
+    SELECT doc_id, t AS text, CAST(length(t) AS INT) AS n_chars
+    FROM s
+    """,
+)
+def q376(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import markdown_to_text
+
+    docs = load(spark, sf_dir, "documents")
+    md = F.concat(
+        F.lit("# Title "), (F.col("doc_id") % 100).cast("string"),
+        F.lit("\n\n**bold** and [a link](http://x) `inline` text\n"
+              "- item one\n```sql\n"),
+        F.col("text"), F.lit("\n```"),
+    )
+    out = markdown_to_text(md)
+    return docs.select(
+        "doc_id", out.alias("text"),
+        F.length(out).cast("int").alias("n_chars"))
+
+
+# --------------------------------------------------------------------------
+# q377 — DATA-URI IMAGE EXTRACTION: the inline-image path of an HTML
+# corpus (img src="data:image/png;base64,..."): the base64 payload is
+# pulled out with regexp_extract and decoded with the BUILT-IN
+# unbase64 — both JVM-side — and only the final PNG pixel probe runs
+# in a kernel. Pixels are md5(text) digest bytes, so the oracle
+# replays them from md5 hex (the q40/q153 construction) — an
+# end-to-end chain of builtin-extract -> builtin-decode -> real codec.
+# --------------------------------------------------------------------------
+@register(
+    "q377_data_uri_images",
+    oracle="""
+    SELECT doc_id, CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+           ('0x' || substr(md5(text), 1, 2))::INT AS p00,
+           ('0x' || substr(md5(text), 11, 2))::INT AS p11,
+           ('0x' || substr(md5(text), 31, 2))::INT AS p33
+    FROM documents
+    """,
+)
+def q377(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import decode_pixel_probe, png_payload
+
+    pngs = _media_payloads(spark, sf_dir, png_payload)
+    html = pngs.select(
+        "doc_id",
+        F.concat(F.lit('<p>x</p><img src="data:image/png;base64,'),
+                 F.base64(F.col("payload")),
+                 F.lit('" alt="y">')).alias("html"))
+    # Spark's base64() emits MIME-chunked output (CRLF every 76 chars,
+    # like data URIs found in real HTML often are) — the extract class
+    # must admit the line breaks, then strip them before unbase64
+    b64 = F.regexp_extract(
+        F.col("html"),
+        'data:image/png;base64,([A-Za-z0-9+/=\r\n]+)', 1)
+    payloads = html.select(
+        "doc_id",
+        F.unbase64(F.regexp_replace(b64, "[\r\n]", "")).alias("payload"))
+    return decode_pixel_probe(payloads, [(0, 0), (1, 1), (3, 3)])
+
+
+# --------------------------------------------------------------------------
 # q374 — DOCX TEXT EXTRACTION (ECMA-376 WordprocessingML in a ZIP/OPC
 # package): each doc renders as a real .docx (Content_Types + rels +
 # word/document.xml; the doc text split over two <w:p> paragraphs with
