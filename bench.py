@@ -370,6 +370,7 @@ BENCH_QUERIES = [
     "q375_exif_audit",
     "q376_markdown_to_text",
     "q377_data_uri_images",
+    "q378_sitemap_parse",
 ]
 
 

@@ -2446,6 +2446,70 @@ def q363(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q378 — SITEMAP PARSING (sitemaps.org XML): the crawl-frontier feed
+# that pairs with robots.txt (q370) and the blocklist (q368). Each
+# source publishes a deterministic <urlset> (one <url> per doc of the
+# source, loc + lastmod + priority); extraction is PURE column work —
+# regexp_extract_all over the XML for the per-field vectors, explode,
+# zip — no kernel, no UDF. The oracle rebuilds the same URL set
+# analytically from the documents table.
+# --------------------------------------------------------------------------
+@register(
+    "q378_sitemap_parse",
+    oracle="""
+    SELECT source,
+           'https://' || source || '.example.org/doc/'
+             || CAST(doc_id AS VARCHAR) AS loc,
+           '2024-01-' || CASE WHEN doc_id % 28 + 1 < 10
+                              THEN '0' ELSE '' END
+             || CAST(doc_id % 28 + 1 AS VARCHAR) AS lastmod,
+           round((doc_id % 10 + 1) / 10.0, 1) AS priority
+    FROM documents
+    """,
+)
+def q378(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    day = F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0")
+    url_xml = F.concat(
+        F.lit("<url><loc>https://"), F.col("source"),
+        F.lit(".example.org/doc/"), F.col("doc_id").cast("string"),
+        F.lit("</loc><lastmod>2024-01-"), day,
+        F.lit("</lastmod><priority>"),
+        F.round((F.col("doc_id") % 10 + 1) / 10.0, 1).cast("string"),
+        F.lit("</priority></url>"),
+    )
+    # one sitemap per source: concat_ws over the per-doc <url> entries
+    sitemaps = docs.groupBy("source").agg(
+        F.concat(
+            F.lit('<?xml version="1.0"?><urlset>'),
+            F.concat_ws("", F.collect_list(url_xml)),
+            F.lit("</urlset>"),
+        ).alias("xml"))
+    # parse back with JVM regex vectors: one regexp_extract_all per
+    # field, zipped positionally (sitemap entries are well-formed XML
+    # elements, each field exactly once per <url>)
+    locs = F.regexp_extract_all(F.col("xml"), F.lit("<loc>([^<]*)</loc>"),
+                                F.lit(1))
+    mods = F.regexp_extract_all(F.col("xml"),
+                                F.lit("<lastmod>([^<]*)</lastmod>"),
+                                F.lit(1))
+    pris = F.regexp_extract_all(F.col("xml"),
+                                F.lit("<priority>([^<]*)</priority>"),
+                                F.lit(1))
+    entries = F.zip_with(
+        locs, F.zip_with(mods, pris,
+                         lambda m, p: F.struct(m.alias("m"), p.alias("p"))),
+        lambda l, mp: F.struct(l.alias("loc"), mp["m"].alias("lastmod"),
+                               mp["p"].alias("priority")))
+    return (
+        sitemaps.select("source", F.explode(entries).alias("e"))
+        .select("source", F.col("e.loc").alias("loc"),
+                F.col("e.lastmod").alias("lastmod"),
+                F.col("e.priority").cast("double").alias("priority"))
+    )
+
+
+# --------------------------------------------------------------------------
 # q376 — MARKDOWN -> TEXT (pure column expressions, whole-stage
 # codegen, zero Python): each doc renders as deterministic markdown
 # (header, bold, link, inline code, list bullet, fenced block around
