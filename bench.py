@@ -371,6 +371,8 @@ BENCH_QUERIES = [
     "q376_markdown_to_text",
     "q377_data_uri_images",
     "q378_sitemap_parse",
+    "q379_access_log_parse",
+    "q380_srt_cues",
 ]
 
 

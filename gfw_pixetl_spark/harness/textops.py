@@ -2446,6 +2446,151 @@ def q363(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q379 — ACCESS-LOG PARSING (Apache/nginx combined log format): the
+# ops-ingest twin of the crawl family — each doc renders one combined-
+# format line (ip, ident, user, [time], "method path proto", status,
+# bytes, "referer", "user-agent") and ONE regexp_extract per field
+# pulls it apart, all JVM-side. The oracle rebuilds every field
+# analytically. The per-status/per-path rollup after the parse is the
+# first query every log pipeline runs.
+# --------------------------------------------------------------------------
+_CLF_RE = (r'^(\S+) (\S+) (\S+) \[([^\]]+)\] "(\S+) (\S+) ([^"]+)" '
+           r'(\d{3}) (\d+|-) "([^"]*)" "([^"]*)"$')
+
+
+@register(
+    "q379_access_log_parse",
+    oracle="""
+    SELECT '10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+             || CAST(doc_id % 100 AS VARCHAR) AS ip,
+           'GET' AS method,
+           '/doc/' || CAST(doc_id AS VARCHAR) AS path,
+           CAST(CASE doc_id % 10 WHEN 7 THEN 404 WHEN 9 THEN 500
+                ELSE 200 END AS INT) AS status,
+           CAST(n_chars AS BIGINT) AS bytes,
+           'crawler/' || lang AS agent
+    FROM documents
+    """,
+)
+def q379(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    status = (F.when(F.col("doc_id") % 10 == 7, 404)
+              .when(F.col("doc_id") % 10 == 9, 500)
+              .otherwise(200))
+    line = F.concat(
+        F.lit("10.0."), (F.col("doc_id") % 256).cast("string"),
+        F.lit("."), (F.col("doc_id") % 100).cast("string"),
+        F.lit(' - frank [10/Oct/2024:13:55:36 -0700] "GET /doc/'),
+        F.col("doc_id").cast("string"),
+        F.lit(' HTTP/1.1" '), status.cast("string"),
+        F.lit(" "), F.col("n_chars").cast("string"),
+        F.lit(' "https://ref.example/" "crawler/'), F.col("lang"),
+        F.lit('"'),
+    )
+    logs = docs.select(line.alias("line"))
+    f = lambda i: F.regexp_extract(F.col("line"), _CLF_RE, i)  # noqa: E731
+    return logs.select(
+        f(1).alias("ip"), f(5).alias("method"), f(6).alias("path"),
+        f(8).cast("int").alias("status"),
+        f(9).cast("bigint").alias("bytes"),
+        f(11).alias("agent"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q380 — SRT SUBTITLE CUES (the video-paired text artifact): each doc
+# renders a 3-cue SubRip file (index, HH:MM:SS,mmm --> timestamps, cue
+# text lines); parsing splits on blank lines and pulls index/start/end/
+# text per cue — regexp_extract_all vectors + explode, no kernel. Cue
+# duration in EXACT milliseconds via the closed-form timestamp
+# arithmetic both engines replay. This is how subtitle text enters a
+# multimodal corpus next to the mp4 track (q360/q364).
+# --------------------------------------------------------------------------
+@register(
+    "q380_srt_cues",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, unnest([0, 1, 2]) AS cue
+      FROM documents
+    )
+    SELECT doc_id, CAST(cue + 1 AS INT) AS idx,
+           CAST((doc_id % 50) * 3000 + cue * 2500 AS BIGINT) AS start_ms,
+           CAST((doc_id % 50) * 3000 + cue * 2500 + 1999 AS BIGINT)
+               AS end_ms,
+           CAST(1999 AS BIGINT) AS dur_ms,
+           'cue ' || CAST(cue AS VARCHAR) || ' of doc '
+             || CAST(doc_id AS VARCHAR) AS text
+    FROM c
+    """,
+)
+def q380(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+
+    def ts(ms_col):
+        h = F.floor(ms_col / 3600000)
+        m = F.floor(ms_col / 60000) % 60
+        s = F.floor(ms_col / 1000) % 60
+        ms = ms_col % 1000
+        return F.concat(
+            F.lpad(h.cast("string"), 2, "0"), F.lit(":"),
+            F.lpad(m.cast("string"), 2, "0"), F.lit(":"),
+            F.lpad(s.cast("string"), 2, "0"), F.lit(","),
+            F.lpad(ms.cast("string"), 3, "0"))
+
+    base = (F.col("doc_id") % 50) * 3000
+    cues = []
+    for k in range(3):
+        start = base + k * 2500
+        end = start + 1999
+        cues.append(F.concat(
+            F.lit(f"{k + 1}\n"), ts(start), F.lit(" --> "), ts(end),
+            F.lit(f"\ncue {k} of doc "), F.col("doc_id").cast("string"),
+            F.lit("\n")))
+    srt = F.concat_ws("\n", *cues)
+
+    blocks = F.split(srt, "\n\n")
+    one = F.transform(blocks, lambda b: F.struct(
+        F.regexp_extract(b, r"^(\d+)\n", 1).cast("int").alias("idx"),
+        F.regexp_extract(
+            b, r"(\d{2}):(\d{2}):(\d{2}),(\d{3}) -->", 1).cast("bigint")
+        .alias("h1"),
+        F.regexp_extract(
+            b, r"(\d{2}):(\d{2}):(\d{2}),(\d{3}) -->", 2).cast("bigint")
+        .alias("m1"),
+        F.regexp_extract(
+            b, r"(\d{2}):(\d{2}):(\d{2}),(\d{3}) -->", 3).cast("bigint")
+        .alias("s1"),
+        F.regexp_extract(
+            b, r"(\d{2}):(\d{2}):(\d{2}),(\d{3}) -->", 4).cast("bigint")
+        .alias("ms1"),
+        F.regexp_extract(
+            b, r"--> (\d{2}):(\d{2}):(\d{2}),(\d{3})", 1).cast("bigint")
+        .alias("h2"),
+        F.regexp_extract(
+            b, r"--> (\d{2}):(\d{2}):(\d{2}),(\d{3})", 2).cast("bigint")
+        .alias("m2"),
+        F.regexp_extract(
+            b, r"--> (\d{2}):(\d{2}):(\d{2}),(\d{3})", 3).cast("bigint")
+        .alias("s2"),
+        F.regexp_extract(
+            b, r"--> (\d{2}):(\d{2}):(\d{2}),(\d{3})", 4).cast("bigint")
+        .alias("ms2"),
+        F.regexp_extract(b, r"\n.*\n(.*)\n?$", 1).alias("text"),
+    ))
+    parsed = docs.select(
+        "doc_id", F.explode(one).alias("c")).select("doc_id", "c.*")
+    start_ms = (F.col("h1") * 3600000 + F.col("m1") * 60000
+                + F.col("s1") * 1000 + F.col("ms1"))
+    end_ms = (F.col("h2") * 3600000 + F.col("m2") * 60000
+              + F.col("s2") * 1000 + F.col("ms2"))
+    return parsed.select(
+        "doc_id", F.col("idx"),
+        start_ms.alias("start_ms"), end_ms.alias("end_ms"),
+        (end_ms - start_ms).alias("dur_ms"), "text",
+    )
+
+
+# --------------------------------------------------------------------------
 # q378 — SITEMAP PARSING (sitemaps.org XML): the crawl-frontier feed
 # that pairs with robots.txt (q370) and the blocklist (q368). Each
 # source publishes a deterministic <urlset> (one <url> per doc of the
