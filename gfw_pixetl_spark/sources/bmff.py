@@ -132,8 +132,20 @@ def parse_stsc(buf: bytes, bs: int, be: int) -> list[tuple[int, int, int]]:
     p += 4
     if p + 12 * n > be:
         raise ValueError("truncated stsc")
-    return [struct.unpack(">III", buf[p + 12 * i:p + 12 * i + 12])
-            for i in range(n)]
+    entries = [struct.unpack(">III", buf[p + 12 * i:p + 12 * i + 12])
+               for i in range(n)]
+    # ISO 14496-12 8.7.4: first_chunk starts at 1 and is strictly
+    # increasing; samples_per_chunk >= 1. A zero samples_per_chunk
+    # would make the run expansion loop forever (take=0 never
+    # decrements remaining) — malformed tables must raise, not hang.
+    prev_first = 0
+    for first, spc, _sdi in entries:
+        if spc < 1:
+            raise ValueError("stsc samples_per_chunk must be >= 1")
+        if first <= prev_first:
+            raise ValueError("stsc first_chunk must be strictly increasing")
+        prev_first = first
+    return entries
 
 
 def parse_stsz(buf: bytes, bs: int, be: int) -> list[int]:

@@ -134,15 +134,29 @@ def parse_exif(jpeg: bytes) -> dict:
     if jpeg[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
-    while pos + 4 <= len(jpeg):
+    n = len(jpeg)
+    while pos < n:
         if jpeg[pos] != 0xFF:
             raise ValueError("bad JPEG marker stream")
-        marker = jpeg[pos + 1]
+        # ITU T.81 B.1.1.2: any marker may be preceded by a run of
+        # 0xFF fill bytes — skip the run, then read the marker byte.
+        while pos < n and jpeg[pos] == 0xFF:
+            pos += 1
+        if pos >= n:
+            return {}
+        marker = jpeg[pos]
+        pos += 1
+        if marker == 0x00:  # FF 00 is a stuffed data byte, not a marker
+            raise ValueError("bad JPEG marker stream (stuffed byte)")
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # TEM / RSTn: standalone markers, no length field
         if marker == 0xD9 or marker == 0xDA:  # EOI / SOS: no EXIF ahead
             return {}
-        (seg_len,) = struct.unpack(">H", jpeg[pos + 2:pos + 4])
-        if marker == 0xE1 and jpeg[pos + 4:pos + 10] == b"Exif\x00\x00":
-            tiff = jpeg[pos + 10:pos + 2 + seg_len]
+        if pos + 2 > n:
+            return {}
+        (seg_len,) = struct.unpack(">H", jpeg[pos:pos + 2])
+        if marker == 0xE1 and jpeg[pos + 2:pos + 8] == b"Exif\x00\x00":
+            tiff = jpeg[pos + 8:pos + seg_len]
             order = tiff[:2]
             if order not in (b"II", b"MM"):
                 raise ValueError(f"bad TIFF byte order {order!r}")
@@ -155,5 +169,5 @@ def parse_exif(jpeg: bytes) -> dict:
             if TAG_EXIF_IFD in out:
                 _read_ifd(tiff, en, int(out[TAG_EXIF_IFD]), out)
             return out
-        pos += 2 + seg_len
+        pos += seg_len
     return {}

@@ -131,9 +131,14 @@ def _stage_files_partitioned(
     kind = df.schema[col].dataType.typeName()
     if t == "truncate" or kind in ("byte", "short", "integer", "long"):
         caster = int
-    elif kind in ("float", "double", "decimal"):
+    elif kind in ("float", "double"):
         caster = float
     else:
+        # str — including DECIMAL columns: round-tripping a decimal
+        # through float can shift a value at a range boundary and make
+        # ``_part_excludes`` "provably" drop a live file. As a string
+        # the comparison raises TypeError and the file is KEPT (pruning
+        # may only ever skip provably-empty reads, never change results).
         caster = str
 
     def parse_value(raw: str):
@@ -255,6 +260,21 @@ def _commit(table_dir: str, build_manifest, max_retries: int) -> int:
                            manifest.get("max_batch_id")) if x is not None]
         if hwm:
             manifest["max_batch_id"] = max(int(x) for x in hwm)
+        # Per-writer marks (Delta's txnAppId/txnVersion): the global
+        # max_batch_id above cannot distinguish two streaming queries
+        # (separate checkpoints, batch ids both restarting at 0)
+        # appending to the same table — one would see the other's mark
+        # and silently skip every batch. ``batch_hwms`` keys the mark
+        # by the committing sink's identity so each stream only ever
+        # compares against ITS OWN high-water mark.
+        hwms = dict(pm.get("batch_hwms") or {})
+        hwms.update(manifest.get("batch_hwms") or {})
+        app = manifest.get("txn_app_id")
+        if app is not None and manifest.get("batch_id") is not None:
+            b = int(manifest["batch_id"])
+            hwms[str(app)] = max(b, int(hwms.get(str(app), -1)))
+        if hwms:
+            manifest["batch_hwms"] = hwms
         # Partition-spec metadata also rides forward through commits
         # whose builders don't manage it (delete/merge/compact):
         # specs are table history; per-file entries are trimmed to the

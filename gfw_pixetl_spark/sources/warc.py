@@ -103,24 +103,48 @@ def write_warc(records: list[dict], gzip_members: bool = True) -> bytes:
     return out.getvalue()
 
 
+_INFLATE_CHUNK = 1 << 20
+
+
+def _member_end(view: memoryview, pos: int,
+                sink: bytearray | None = None) -> int:
+    """Inflate ONE gzip member starting at ``pos``, feeding the
+    decompressor bounded chunks and stopping at ``d.eof`` — so the
+    bytes past the member boundary are never handed to zlib at all.
+    (Passing the whole remaining tail would make zlib materialize it
+    as a bytes copy in ``unused_data`` at every member boundary:
+    O(members x tail), quadratic on Common-Crawl-sized member counts.)
+    Returns the member's end offset; appends inflated bytes to
+    ``sink`` when given."""
+    d = zlib.decompressobj(wbits=31)
+    cur = pos
+    n = len(view)
+    while not d.eof:
+        if cur >= n:
+            raise ValueError(f"truncated gzip member at offset {pos}")
+        chunk = view[cur:cur + _INFLATE_CHUNK]
+        out = d.decompress(chunk)
+        if sink is not None:
+            sink.extend(out)
+        cur += len(chunk)
+    return cur - len(d.unused_data)
+
+
 def member_index(data: bytes) -> list[tuple[int, int]]:
     """(offset, compressed_size) of every gzip member — decompresses
     once to find boundaries (an ingest job does this a single time and
     persists the index; readers then do ranged GETs per record).
-    memoryview slices keep the pass LINEAR in archive size — a bytes
-    slice per member would copy the whole remaining tail each time
-    (quadratic on a Common-Crawl-sized member count)."""
+    Bounded-chunk inflation via ``_member_end`` keeps the pass LINEAR
+    in archive size regardless of member count."""
     view = memoryview(data)
     out = []
     pos = 0
     while pos < len(data):
         if data[pos:pos + 2] != b"\x1f\x8b":
             raise ValueError(f"not a gzip member at offset {pos}")
-        d = zlib.decompressobj(wbits=31)
-        d.decompress(view[pos:])
-        consumed = len(data) - pos - len(d.unused_data)
-        out.append((pos, consumed))
-        pos += consumed
+        end = _member_end(view, pos)
+        out.append((pos, end - pos))
+        pos = end
     return out
 
 
@@ -154,10 +178,7 @@ def iter_warc(data: bytes):
         raw = bytearray()
         pos = 0
         while pos < len(data):
-            d = zlib.decompressobj(wbits=31)
-            raw += d.decompress(view[pos:])
-            raw += d.flush()
-            pos = len(data) - len(d.unused_data)
+            pos = _member_end(view, pos, sink=raw)
         data = bytes(raw)
     yield from _split_records(data)
 

@@ -33,48 +33,68 @@ class SnapshotTableSink:
         table_dir: str,
         checkpoint_dir: str,
         stats_cols: list[str] | None = None,
+        app_id: str | None = None,
     ) -> None:
         self.table_dir = table_dir
         self.checkpoint_dir = checkpoint_dir
         self.stats_cols = stats_cols
+        # The sink's durable identity (Delta's txnAppId): batch ids are
+        # only monotone WITHIN one checkpoint, so the replay mark must
+        # be keyed per sink — a second streaming query (fresh
+        # checkpoint, batch ids restarting at 0) writing to the same
+        # table must never be filtered by this one's mark. The
+        # checkpoint dir is the natural default identity: one
+        # checkpoint == one batch-id sequence.
+        self.app_id = str(app_id or checkpoint_dir)
 
     def committed_batch_ids(self) -> set[int]:
-        """batch_ids recorded by prior commits (manifest scan; a
-        production table would index these, but the scan is one small
-        json per version and only runs once per micro-batch)."""
+        """batch_ids recorded by THIS sink's prior commits (manifest
+        scan; a production table would index these, but the scan is one
+        small json per version and only runs once per micro-batch).
+        Commits tagged with another sink's txn_app_id are ignored;
+        untagged commits (pre-upgrade, single-writer by contract)
+        count."""
         out = set()
         for v in range(1, latest_version(self.table_dir) + 1):
             try:
-                b = read_manifest(self.table_dir, v).get("batch_id")
+                m = read_manifest(self.table_dir, v)
             except FileNotFoundError:
                 continue  # version vacuumed below the retention horizon
-            if b is not None:
+            b = m.get("batch_id")
+            app = m.get("txn_app_id")
+            if b is not None and (app is None or str(app) == self.app_id):
                 out.add(int(b))
         return out
 
     def batch_high_water_mark(self) -> int:
-        """Highest batch_id ever committed, read from the HEAD manifest's
-        ``max_batch_id`` — which every commit (including compaction)
-        carries forward like sequence numbers, so ``snapshot_vacuum``
-        removing old manifests can never erase the idempotence record.
-        Falls back to the manifest scan for pre-upgrade tables."""
+        """Highest batch_id THIS sink ever committed, read from the
+        HEAD manifest's ``batch_hwms[app_id]`` — which every commit
+        (including compaction) carries forward like sequence numbers,
+        so ``snapshot_vacuum`` removing old manifests can never erase
+        the idempotence record. Falls back to the legacy global
+        ``max_batch_id`` only for pre-upgrade tables (no per-app marks
+        at all), which were single-writer by contract."""
         head = latest_version(self.table_dir)
-        if head:
-            hwm = read_manifest(self.table_dir, head).get("max_batch_id")
-            if hwm is not None:
-                return int(hwm)
+        if not head:
+            return -1
+        m = read_manifest(self.table_dir, head)
+        hwms = m.get("batch_hwms")
+        if hwms is not None:
+            return int(hwms.get(self.app_id, -1))
+        if m.get("max_batch_id") is not None:
+            return int(m["max_batch_id"])
         return max(self.committed_batch_ids(), default=-1)
 
     def process_batch(self, df: DataFrame, batch_id: int) -> None:
         # Structured Streaming batch_ids are monotonically increasing
-        # per checkpoint, so a durable high-water mark is a complete
-        # replay filter — and unlike the per-version scan it survives
-        # vacuum (the mark rides in every retained manifest).
+        # per checkpoint, so a durable per-sink high-water mark is a
+        # complete replay filter — and unlike the per-version scan it
+        # survives vacuum (the mark rides in every retained manifest).
         if int(batch_id) <= self.batch_high_water_mark():
             return  # re-delivered batch: the append already committed
         snapshot_append(
             df, self.table_dir, stats_cols=self.stats_cols,
-            extra={"batch_id": int(batch_id)},
+            extra={"batch_id": int(batch_id), "txn_app_id": self.app_id},
         )
 
     def run_available_now(self, stream_df: DataFrame) -> None:

@@ -208,3 +208,26 @@ def test_av_payload_audio_matches_wav_pcm():
         # the video track still decodes to digest pixels
         vt = sample_ranges(p, b"vide")
         assert len(vt["samples"]) == 4
+
+
+def test_zero_samples_per_chunk_raises_not_hangs():
+    """ADVICE r5: a malformed stsc run with samples_per_chunk == 0 must
+    raise (spec requires >= 1) — the expansion loop used to spin forever
+    growing per_chunk unbounded on such input."""
+    frames = _frames(4)
+    mp4 = bytearray(encode_mp4(frames))
+    i = bytes(mp4).index(b"stsc")
+    # fourcc at i; ver/flags [i+4,i+8); count [i+8,i+12);
+    # entry0 = first_chunk [i+12,i+16), samples_per_chunk [i+16,i+20)
+    mp4[i + 16:i + 20] = struct.pack(">I", 0)
+    with pytest.raises(ValueError, match="samples_per_chunk"):
+        sample_ranges(bytes(mp4))
+
+
+def test_non_increasing_first_chunk_raises():
+    frames = _frames(4)
+    mp4 = bytearray(encode_mp4(frames))
+    i = bytes(mp4).index(b"stsc")
+    mp4[i + 12:i + 16] = struct.pack(">I", 0)  # first_chunk must start at 1
+    with pytest.raises(ValueError, match="first_chunk"):
+        sample_ranges(bytes(mp4))

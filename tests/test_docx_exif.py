@@ -118,3 +118,29 @@ def test_attributed_breaks_and_cr():
         z.writestr("word/document.xml", doc)
     text = extract_docx_text(buf.getvalue())
     assert text == "one\ntwo\nthree\nbad &#xzz; stays"
+
+
+def test_exif_fill_bytes_and_standalone_markers():
+    """ADVICE r5: ITU T.81 B.1.1.2 allows runs of 0xFF fill bytes before
+    any marker, and TEM (0x01) / RSTn (0xD0-D7) are standalone markers
+    with no length field — parse_exif must walk past both, not misread
+    the length from the wrong offset or raise on legal streams."""
+    img = (np.arange(64, dtype=np.int64) % 251).astype(
+        np.uint8).reshape(8, 8)
+    jpeg = encode_jpeg(img)
+    exif = build_exif(make="FillCo", orientation=8)
+    tagged = insert_exif(jpeg, exif)
+    # inject fill bytes + a TEM + an RST1 standalone marker before APP1
+    assert tagged[2:4] == b"\xff\xe1"
+    hacked = (tagged[:2]
+              + b"\xff\xff\xff"       # fill run before a marker
+              + b"\xff\x01"           # TEM (standalone, no length)
+              + b"\xff\xd1"           # RST1 (standalone, no length)
+              + b"\xff\xff"           # more fill, merging into APP1's FF
+              + tagged[2:])
+    tags = parse_exif(hacked)
+    assert tags[TAG_MAKE] == "FillCo"
+    assert tags[TAG_ORIENTATION] == 8
+    # a stuffed data byte where a marker should be is still an error
+    with pytest.raises(ValueError, match="stuffed"):
+        parse_exif(b"\xff\xd8\xff\x00rest")

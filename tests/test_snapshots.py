@@ -623,3 +623,78 @@ def test_merge_then_remerge_same_key_wins_latest(spark, tmp_path):
     rows = {r.id: (r.tag, r.v) for r in read_snapshot(spark, d).collect()}
     assert rows[1] == ("m2", 20)  # the later merge's delete governs m1's file
     assert rows[0] == ("base", 0)
+
+
+def test_two_streaming_sinks_independent_marks(spark, tmp_path):
+    """ADVICE r5: two streaming queries (separate checkpoints, batch ids
+    both restarting at 0) appending to one table must not filter each
+    other — the replay mark is keyed by sink identity (txn_app_id), not
+    a global high-water mark."""
+    from gfw_pixetl_spark.sources.snapshots import read_snapshot
+    from gfw_pixetl_spark.streaming.snapshot_sink import SnapshotTableSink
+
+    d = str(tmp_path / "tab")
+    a = SnapshotTableSink(d, str(tmp_path / "ckpt_a"))
+    b = SnapshotTableSink(d, str(tmp_path / "ckpt_b"))
+    a.process_batch(spark.createDataFrame([(1,), (2,)], "id long"), 0)
+    a.process_batch(spark.createDataFrame([(3,)], "id long"), 1)
+    # sink B starts fresh at batch 0 — must NOT be skipped as a replay
+    b.process_batch(spark.createDataFrame([(10,)], "id long"), 0)
+    b.process_batch(spark.createDataFrame([(11,)], "id long"), 1)
+    # replays on both sinks stay no-ops
+    a.process_batch(spark.createDataFrame([(1,), (2,)], "id long"), 0)
+    b.process_batch(spark.createDataFrame([(10,)], "id long"), 0)
+    got = sorted(r.id for r in read_snapshot(spark, d).collect())
+    assert got == [1, 2, 3, 10, 11]
+    assert a.batch_high_water_mark() == 1
+    assert b.batch_high_water_mark() == 1
+    assert a.committed_batch_ids() == {0, 1}
+
+
+def test_two_sinks_marks_survive_compaction(spark, tmp_path):
+    """batch_hwms carries forward through commits that have no batch_id
+    of their own (compaction), per sink."""
+    from gfw_pixetl_spark.sources.snapshots import (
+        read_snapshot, snapshot_compact,
+    )
+    from gfw_pixetl_spark.streaming.snapshot_sink import SnapshotTableSink
+
+    d = str(tmp_path / "tab")
+    a = SnapshotTableSink(d, str(tmp_path / "ckpt_a"))
+    b = SnapshotTableSink(d, str(tmp_path / "ckpt_b"))
+    a.process_batch(spark.createDataFrame([(1,)], "id long"), 0)
+    b.process_batch(spark.createDataFrame([(2,)], "id long"), 0)
+    snapshot_compact(spark, d, target_files=1)
+    assert a.batch_high_water_mark() == 0
+    assert b.batch_high_water_mark() == 0
+    a.process_batch(spark.createDataFrame([(1,)], "id long"), 0)  # replay
+    got = sorted(r.id for r in read_snapshot(spark, d).collect())
+    assert got == [1, 2]
+
+
+def test_decimal_partition_values_never_misprune(spark, tmp_path):
+    """ADVICE r5: identity-partition values of DECIMAL columns must not
+    round-trip through float — a non-float-representable decimal at a
+    range boundary could then be 'provably' excluded, silently pruning
+    live rows. Decimals are recorded as strings; the typed comparison
+    in _part_excludes raises TypeError and the file is KEPT."""
+    from decimal import Decimal
+
+    from gfw_pixetl_spark.sources.snapshots import (
+        prune_files, read_manifest, snapshot_append,
+    )
+
+    d = str(tmp_path / "tab")
+    df = spark.createDataFrame(
+        [(Decimal("0.10"),), (Decimal("0.30"),)],
+        "price decimal(10,2)",
+    )
+    snapshot_append(df, d, partition_spec={"col": "price"})
+    m = read_manifest(d, 1)
+    vals = set(m["file_parts"].values())
+    assert all(isinstance(v, str) for v in vals)  # exact text, not float
+    # a range query at the exact boundary keeps every file it might need
+    kept = prune_files(m, "price", 0.10, 0.10)
+    files_with_010 = [f for f, v in m["file_parts"].items()
+                      if v.rstrip("0").rstrip(".") in ("0.1",)]
+    assert set(files_with_010) <= set(kept)

@@ -144,3 +144,41 @@ def test_script_body_with_angle_brackets():
     # close tag with attributes/case still terminates the drop
     html = "<SCRIPT>a<b</ScRiPt ></p>tail"
     assert extract_text(html)[0] == "tail"
+
+
+def test_member_index_linear_bounded_chunks():
+    """ADVICE r5: member boundary discovery feeds zlib bounded chunks
+    (stop at d.eof) instead of the whole remaining tail — otherwise
+    unused_data materializes a tail copy per member, O(members x tail).
+    Probe: time member_index at two member counts; the per-member cost
+    must stay flat (quadratic would blow the generous 8x gate)."""
+    import time
+
+    def archive(n):
+        return write_warc([
+            {"uri": f"http://e.com/{i}",
+             "payload": http_response_bytes(b"x" * 200)}
+            for i in range(n)
+        ], gzip_members=True)
+
+    a1, a2 = archive(300), archive(3000)
+    t0 = time.perf_counter(); idx1 = member_index(a1)
+    t1 = time.perf_counter(); idx2 = member_index(a2)
+    t2 = time.perf_counter()
+    assert len(idx1) == 301 and len(idx2) == 3001
+    per1 = (t1 - t0) / len(idx1)
+    per2 = (t2 - t1) / len(idx2)
+    assert per2 < per1 * 8 + 1e-4  # flat per-member cost, not linear-in-N
+    # boundaries still exact: offsets+sizes tile the archive
+    assert idx2[0][0] == 0
+    assert all(idx2[i][0] + idx2[i][1] == idx2[i + 1][0]
+               for i in range(len(idx2) - 1))
+    assert idx2[-1][0] + idx2[-1][1] == len(a2)
+
+
+def test_member_end_truncated_raises():
+    full = write_warc(
+        [{"uri": "http://e.com/a",
+          "payload": http_response_bytes(b"hello")}], gzip_members=True)
+    with pytest.raises(ValueError, match="truncated gzip"):
+        member_index(full[:-4])

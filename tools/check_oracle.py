@@ -34,9 +34,12 @@ def main() -> int:
     oracles = entry_mod.oracle_sql()
 
     failures = []
-    for name, fn in queries.items():
-        if only and name not in only:
-            continue
+    run = [n for n in queries if not only or n in only]
+    unknown = sorted(only - set(queries))
+    if unknown:
+        print(f"WARNING: not in registry: {unknown}")
+    for name in run:
+        fn = queries[name]
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -65,8 +68,12 @@ def main() -> int:
         else:
             print(f"ok   {name}: rows={len(srows)} [{time.time()-t0:.1f}s]")
 
-    missing_oracle = [n for n in queries if n not in oracles]
-    print(f"\n{len(queries)} queries, {len(failures)} failures, "
+    # summarize over the queries actually RUN (the `only` subset when
+    # given), not the whole registry — the registry-wide denominator
+    # misreported subset invocations (VERDICT r5 "what's wrong" #3)
+    missing_oracle = [n for n in run if n not in oracles]
+    scope = f" (of {len(queries)} registered)" if only else ""
+    print(f"\n{len(run)} queries checked{scope}, {len(failures)} failures, "
           f"{len(missing_oracle)} rows-only: {missing_oracle}")
     return 1 if failures else 0
 
