@@ -373,6 +373,7 @@ BENCH_QUERIES = [
     "q378_sitemap_parse",
     "q379_access_log_parse",
     "q380_srt_cues",
+    "q381_pdf_xref_stream",
 ]
 
 

@@ -2941,6 +2941,73 @@ def q373(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q381 — PDF 1.5 XREF STREAMS + OBJECT STREAMS: the layout virtually
+# every born-digital PDF has shipped since ~2006 (compressed
+# cross-reference: /Type /XRef binary rows behind Flate + PNG-Up
+# Predictor 12, dict objects packed into a /Type /ObjStm addressed by
+# type-2 entries). Even docs render with ObjStm packing, odd docs with
+# an xref stream only — the kernel runs the FULL modern read path
+# (predictor undo, W-field decode, type-2 resolution through the
+# cached object stream) and reports how many objects resolved through
+# the ObjStm, value-checked analytically. Closes VERDICT r5 gap #1:
+# sources/pdf.py used to raise on these files.
+# --------------------------------------------------------------------------
+PDF15_SCHEMA = ("doc_id long, n_pages int, n_compressed int, "
+                "text string, n_chars int")
+
+
+@register(
+    "q381_pdf_xref_stream",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               'Report ' || CAST(doc_id % 100 AS VARCHAR) || ' '
+                 || substr(text, 1, 40) || ' ' || substr(text, 41),
+               '\\s+', ' ', 'g')) || CHR(10) || 'Footer page' AS full_text
+      FROM documents
+    )
+    SELECT doc_id, CAST(2 AS INT) AS n_pages,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 5 ELSE 0 END AS INT)
+               AS n_compressed,
+           full_text AS text,
+           CAST(length(full_text) AS INT) AS n_chars
+    FROM p
+    """,
+)
+def q381(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.partitioning import ensure_min_partitions
+    from ..sources.pdf import PdfDocument, write_pdf
+
+    docs = ensure_min_partitions(
+        load(spark, sf_dir, "documents").select("doc_id", "text"))
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf_batch in batches:
+            out = {k: [] for k in ("doc_id", "n_pages", "n_compressed",
+                                   "text", "n_chars")}
+            for doc_id, t in zip(pdf_batch["doc_id"], pdf_batch["text"]):
+                objstm = doc_id % 2 == 0
+                payload = write_pdf(
+                    [[f"Report {doc_id % 100}", t[:40], t[40:]],
+                     ["Footer page"]],
+                    xref_stream=True, use_objstm=objstm)
+                doc = PdfDocument(payload)
+                text = doc.text()
+                out["doc_id"].append(doc_id)
+                out["n_pages"].append(len(doc.pages()))
+                out["n_compressed"].append(sum(
+                    1 for v in doc.xref.values() if isinstance(v, tuple)))
+                out["text"].append(text)
+                out["n_chars"].append(len(text))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(kernel, PDF15_SCHEMA)
+
+
+# --------------------------------------------------------------------------
 # q371 — WARC INGEST (ISO 28500 / Common Crawl layout): each doc rides
 # as an HTTP response record inside a per-record-gzip-member WARC
 # (sources/warc.py). The kernel runs the REAL chain — gzip member

@@ -1,25 +1,38 @@
 """Minimal-but-real PDF text extraction over the PUBLIC ISO 32000-1
 spec — the other container every document corpus ships besides HTML.
 
-Scope (stated, not padded): classic cross-reference TABLES (`xref` /
-`trailer`, single section + `/Prev` chains), indirect object
-resolution, `/FlateDecode` streams with direct or indirect `/Length`,
-the `Catalog -> Pages -> Kids` page-tree walk (nested trees, `Contents`
-as one stream or an array), and text extraction from content streams:
-`Tj`, `'` and `TJ` show operators (TJ kerning numbers dropped),
-literal strings with the full escape set (\\n \\r \\t \\b \\f \\( \\)
-\\\\ \\ddd octal + line continuations), hex strings `<...>`, and
-`Td/TD/T*` treated as word boundaries. NOT implemented — and raising
-clearly, never mis-parsing: cross-reference STREAMS (PDF 1.5 compressed
-xref), encryption, and non-Flate filters. That covers the
-digitally-born report/paper PDFs a text corpus actually wants; scanned
-PDFs need OCR anyway.
+Scope (stated, not padded):
 
-Includes a writer for spec-valid fixtures (Helvetica, per-page content
-streams, optional Flate compression, correct xref offsets), so the
-parser is round-trip-testable and q373's oracle can replay the
-extracted text analytically. Per-document work runs in Arrow
-``mapInPandas`` kernels, the same shape as every other codec source.
+* classic cross-reference TABLES (`xref` / `trailer`, single section +
+  `/Prev` chains, incremental updates with free-entry shadowing),
+* PDF 1.5+ cross-reference STREAMS (`/Type /XRef`: W-array field
+  widths, `/Index` subsections, `/Prev` chains) including the PNG
+  predictors (`/DecodeParms /Predictor 10-15` — Up=12 is what writers
+  emit — plus TIFF Predictor 2) that real xref streams always use,
+* hybrid-reference files (classic trailer with `/XRefStm` bridging to
+  a stream section, ISO 32000-1 7.5.8.4),
+* OBJECT STREAMS (`/Type /ObjStm`: `/N` `/First` header pairs, lazily
+  parsed and cached per stream) — type-2 xref entries resolve through
+  them, which is how virtually every born-digital PDF since ~2006
+  stores its page dicts,
+* indirect object resolution, `/FlateDecode` (name or 1-element array
+  form) with direct or indirect `/Length`,
+* the `Catalog -> Pages -> Kids` page-tree walk (nested trees,
+  `Contents` as one stream or an array), and text extraction from
+  content streams: `Tj`, `'` and `TJ` show operators (TJ kerning
+  numbers dropped), literal strings with the full escape set
+  (\\n \\r \\t \\b \\f \\( \\) \\\\ \\ddd octal + line continuations),
+  hex strings `<...>`, and `Td/TD/T*` treated as word boundaries.
+
+NOT implemented — and raising clearly, never mis-parsing: encryption
+and non-Flate filters (DCT/JBIG2/CCITT image streams are not text).
+
+Includes a writer for spec-valid fixtures in BOTH layouts — classic
+xref tables, and PDF 1.5 xref streams with objects packed into an
+ObjStm (Predictor-12-filtered entry rows) — so the parser is
+round-trip-testable and q373/q381's oracles can replay the extracted
+text analytically. Per-document work runs in Arrow ``mapInPandas``
+kernels, the same shape as every other codec source.
 """
 
 from __future__ import annotations
@@ -41,10 +54,23 @@ def _esc(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def write_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
-    """Write one text line list per page as a spec-valid PDF 1.4 file:
+def write_pdf(pages: list[list[str]], compress: bool = True,
+              xref_stream: bool = False,
+              use_objstm: bool = False) -> bytes:
+    """Write one text line list per page as a spec-valid PDF file:
     catalog, pages tree, Helvetica, one content stream per page
-    (optionally FlateDecode), classic xref table + trailer."""
+    (optionally FlateDecode).
+
+    Default layout is PDF 1.4: classic xref table + trailer.
+    ``xref_stream=True`` emits a PDF 1.5 cross-reference STREAM
+    (W=[1,4,2] binary rows, Flate + PNG-Up Predictor 12 — the layout
+    real writers produce); ``use_objstm=True`` additionally packs every
+    non-stream object into one OBJECT STREAM referenced by type-2
+    entries. The writer exists so the reader's modern-PDF path is
+    round-trip-testable without external fixtures."""
+    if use_objstm and not xref_stream:
+        raise ValueError("ObjStm entries need an xref stream (type 2 "
+                         "entries have no classic-table encoding)")
     objs: list[bytes] = []
 
     def add(body: bytes) -> int:
@@ -83,18 +109,85 @@ def write_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
     assert real_pages_id == pages_id
     catalog = add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_id)
 
-    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
-    offsets = [0]
+    if not xref_stream:
+        out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+        offsets = [0]
+        for i, body in enumerate(objs, start=1):
+            offsets.append(len(out))
+            out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+        xref_at = len(out)
+        out += b"xref\n0 %d\n" % (len(objs) + 1)
+        out += b"0000000000 65535 f \n"
+        for off in offsets[1:]:
+            out += b"%010d 00000 n \n" % off
+        out += (b"trailer\n<< /Size %d /Root %d 0 R >>\n"
+                b"startxref\n%d\n%%%%EOF" % (len(objs) + 1, catalog,
+                                             xref_at))
+        return bytes(out)
+
+    # ---- PDF 1.5 layout: xref STREAM, optionally ObjStm-packed ----
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    stream_ids = set(content_ids)
+    objstm_id = len(objs) + 1
+    xref_id = objstm_id + (1 if use_objstm else 0)
+    # streams are illegal inside an ObjStm (7.5.7): content streams
+    # stay top-level; every dict object gets packed when asked
+    packed = ([i for i in range(1, len(objs) + 1) if i not in stream_ids]
+              if use_objstm else [])
+    packed_set = set(packed)
+
+    entries: dict[int, tuple] = {}
     for i, body in enumerate(objs, start=1):
-        offsets.append(len(out))
+        if i in packed_set:
+            continue
+        entries[i] = ("in", len(out))
         out += b"%d 0 obj\n" % i + body + b"\nendobj\n"
+
+    if use_objstm:
+        pair_offs = []
+        cur = 0
+        parts = []
+        for i in packed:
+            pair_offs.append((i, cur))
+            parts.append(objs[i - 1])
+            cur += len(objs[i - 1]) + 1
+        header = " ".join(f"{n} {o}" for n, o in pair_offs).encode() + b"\n"
+        comp = zlib.compress(header + b"\n".join(parts))
+        entries[objstm_id] = ("in", len(out))
+        out += (b"%d 0 obj\n<< /Type /ObjStm /N %d /First %d "
+                b"/Filter /FlateDecode /Length %d >>\nstream\n"
+                % (objstm_id, len(packed), len(header), len(comp)))
+        out += comp + b"\nendstream\nendobj\n"
+        for idx, i in enumerate(packed):
+            entries[i] = ("stm", objstm_id, idx)
+
+    # binary entry rows, W=[1,4,2], PNG Up predictor (12) over 7 columns
     xref_at = len(out)
-    out += b"xref\n0 %d\n" % (len(objs) + 1)
-    out += b"0000000000 65535 f \n"
-    for off in offsets[1:]:
-        out += b"%010d 00000 n \n" % off
-    out += (b"trailer\n<< /Size %d /Root %d 0 R >>\n"
-            b"startxref\n%d\n%%%%EOF" % (len(objs) + 1, catalog, xref_at))
+    size = xref_id + 1
+    rows = bytearray(b"\x00" + (0).to_bytes(4, "big")
+                     + (65535).to_bytes(2, "big"))
+    for num in range(1, size):
+        e = ("in", xref_at) if num == xref_id else entries[num]
+        if e[0] == "in":
+            rows += b"\x01" + e[1].to_bytes(4, "big") + b"\x00\x00"
+        else:
+            rows += (b"\x02" + e[1].to_bytes(4, "big")
+                     + e[2].to_bytes(2, "big"))
+    rowlen = 7
+    filtered = bytearray()
+    prev = bytes(rowlen)
+    for r in range(0, len(rows), rowlen):
+        row = bytes(rows[r:r + rowlen])
+        filtered += b"\x02" + bytes((row[i] - prev[i]) & 0xFF
+                                    for i in range(rowlen))
+        prev = row
+    comp = zlib.compress(bytes(filtered))
+    out += (b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root %d 0 R "
+            b"/Filter /FlateDecode "
+            b"/DecodeParms << /Predictor 12 /Columns 7 >> /Length %d >>"
+            b"\nstream\n" % (xref_id, size, catalog, len(comp)))
+    out += comp + b"\nendstream\nendobj\n"
+    out += b"startxref\n%d\n%%%%EOF" % xref_at
     return bytes(out)
 
 
@@ -246,17 +339,81 @@ class _Lexer:
         return bytes.fromhex(hexs.decode("ascii"))
 
 
+def _unpredict(data: bytes, predictor: int, columns: int,
+               colors: int = 1, bpc: int = 8) -> bytes:
+    """Undo the /DecodeParms predictor on a decoded stream: TIFF
+    horizontal differencing (Predictor 2, 8-bit) and the PNG row
+    filters (Predictors 10-15 — the per-row filter tag byte picks
+    None/Sub/Up/Average/Paeth, RFC 2083 §6; xref streams in the wild
+    are Up-filtered, /Predictor 12)."""
+    if predictor in (1, 0):
+        return data
+    bpp = max(1, (colors * bpc) // 8)
+    rowlen = (columns * colors * bpc + 7) // 8
+    if predictor == 2:
+        if bpc != 8:
+            raise ValueError("PDF: TIFF predictor only for 8-bit")
+        out = bytearray(data)
+        for r in range(0, len(out) - rowlen + 1, rowlen):
+            for i in range(bpp, rowlen):
+                out[r + i] = (out[r + i] + out[r + i - bpp]) & 0xFF
+        return bytes(out)
+    if predictor < 10:
+        raise ValueError(f"PDF: unknown predictor {predictor}")
+    # PNG: every row is [filter_tag][rowlen bytes]
+    if len(data) % (rowlen + 1):
+        raise ValueError(
+            f"PDF: predictor rows of {rowlen + 1} don't tile "
+            f"{len(data)} bytes")
+    out = bytearray()
+    prev = bytearray(rowlen)
+    for r in range(0, len(data), rowlen + 1):
+        tag = data[r]
+        row = bytearray(data[r + 1:r + 1 + rowlen])
+        if tag == 0:  # None
+            pass
+        elif tag == 1:  # Sub
+            for i in range(bpp, rowlen):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif tag == 2:  # Up
+            for i in range(rowlen):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif tag == 3:  # Average
+            for i in range(rowlen):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif tag == 4:  # Paeth
+            for i in range(rowlen):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"PDF: bad PNG filter tag {tag}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
 class PdfDocument:
-    """Parsed PDF: xref-table chain, object resolution, page walk."""
+    """Parsed PDF: xref chain (tables, streams, hybrids), object
+    resolution (in-file + ObjStm-compressed), page walk."""
 
     def __init__(self, data: bytes) -> None:
         self.data = data
         if not data.startswith(b"%PDF-"):
             raise ValueError("not a PDF (missing %PDF- header)")
-        self.xref: dict[int, int] = {}
+        # xref values: int byte offset, -1 = freed, or
+        # ("objstm", stream_obj_num, index) for type-2 entries
+        self.xref: dict[int, object] = {}
         self.trailer: dict = {}
-        self._load_xref_chain()
         self._cache: dict[int, object] = {}
+        self._objstm_cache: dict[int, tuple] = {}
+        self._load_xref_chain()
 
     def _load_xref_chain(self) -> None:
         tail = self.data[-2048:]
@@ -274,9 +431,9 @@ class PdfDocument:
     def _load_xref_section(self, at: int) -> int:
         d = self.data
         if not d.startswith(b"xref", at):
-            raise ValueError(
-                "PDF: cross-reference streams (PDF 1.5 compressed xref) "
-                "are not supported; classic xref tables only")
+            # PDF 1.5+: startxref points at an indirect object whose
+            # stream IS the cross-reference section (/Type /XRef)
+            return self._load_xref_stream(at)
         lex = _Lexer(d, at + 4)
         while True:
             lex._skip_ws()
@@ -285,6 +442,12 @@ class PdfDocument:
                 trailer = lex.parse_value()
                 for k, v in trailer.items():
                     self.trailer.setdefault(k, v)
+                # hybrid-reference file (7.5.8.4): the classic section
+                # hides its ObjStm-compressed entries behind /XRefStm;
+                # that stream section is consulted BEFORE /Prev (its
+                # entries are newer than the chained-to section's)
+                if "XRefStm" in trailer:
+                    self._load_xref_stream(int(trailer["XRefStm"]))
                 return int(trailer.get("Prev", 0))
             m = re.match(rb"(\d+)\s+(\d+)", d[lex.pos:lex.pos + 64])
             if not m:
@@ -303,13 +466,157 @@ class PdfDocument:
                     self.xref.setdefault(first + i, -1)
                 lex.pos += 20
 
+    def _load_xref_stream(self, at: int) -> int:
+        """Cross-reference STREAM section (ISO 32000-1 7.5.8): an
+        indirect stream object typed /XRef whose payload is fixed-width
+        binary rows (widths from /W, subsections from /Index), almost
+        always Flate + PNG-Up-predictor coded. Every dictionary entry
+        of an xref stream must be a DIRECT object (7.5.8.2), so no
+        resolution chicken-and-egg."""
+        d = self.data
+        m = re.match(rb"(\d+)\s+(\d+)\s+obj", d[at:at + 48])
+        if not m:
+            raise ValueError(
+                "PDF: startxref points at neither an xref table nor an "
+                "xref stream object")
+        lex = _Lexer(d, at + m.end())
+        sd = lex.parse_value()
+        if not isinstance(sd, dict) or sd.get("Type") != "XRef":
+            raise ValueError("PDF: object at startxref is not /Type /XRef")
+        if isinstance(sd.get("Length"), Ref):
+            raise ValueError(
+                "PDF: xref stream /Length must be a direct object "
+                "(ISO 32000-1 7.5.8.2)")
+        lex._skip_ws()
+        if not d.startswith(b"stream", lex.pos):
+            raise ValueError("PDF: /Type /XRef object has no stream")
+        raw = self._decode_stream(sd, lex, resolve=False)
+
+        w = [int(x) for x in sd["W"]]
+        if len(w) != 3 or any(x < 0 for x in w) or sum(w) == 0:
+            raise ValueError(f"PDF: bad xref stream /W {w!r}")
+        size = int(sd["Size"])
+        index = [int(x) for x in sd.get("Index", [0, size])]
+        if len(index) % 2:
+            raise ValueError("PDF: /Index must hold (first, count) pairs")
+        rowlen = sum(w)
+        total = sum(index[1::2])
+        if len(raw) < rowlen * total:
+            raise ValueError(
+                f"PDF: xref stream holds {len(raw)} bytes, needs "
+                f"{rowlen * total}")
+
+        pos = 0
+        for s in range(0, len(index), 2):
+            first, count = index[s], index[s + 1]
+            for i in range(count):
+                row = raw[pos:pos + rowlen]
+                pos += rowlen
+                o = 0
+                f1 = int.from_bytes(row[o:o + w[0]], "big") if w[0] else 1
+                o += w[0]
+                f2 = int.from_bytes(row[o:o + w[1]], "big")
+                o += w[1]
+                f3 = int.from_bytes(row[o:o + w[2]], "big")
+                num = first + i
+                if f1 == 0:  # free
+                    self.xref.setdefault(num, -1)
+                elif f1 == 1:  # in-file: f2 = byte offset
+                    self.xref.setdefault(num, f2)
+                elif f1 == 2:  # compressed: f2 = ObjStm num, f3 = index
+                    self.xref.setdefault(num, ("objstm", f2, f3))
+                # unknown types are references to null per 7.5.8.3 —
+                # leaving them absent gives exactly that behavior
+        for k, v in sd.items():
+            if k not in ("Type", "W", "Index", "Length", "Filter",
+                         "DecodeParms", "Prev"):
+                self.trailer.setdefault(k, v)
+        return int(sd.get("Prev", 0))
+
+    def _decode_stream(self, sdict: dict, lex: "_Lexer",
+                       resolve: bool = True) -> bytes:
+        """Decode the stream whose keyword starts at ``lex.pos``:
+        /Length framing, /Filter (name or array), /DecodeParms
+        predictors. ``resolve=False`` forbids indirect dict entries
+        (required while loading xref streams, before objects resolve)."""
+        res = self.resolve if resolve else (lambda v: v)
+        p = lex.pos + 6
+        if self.data[p:p + 2] == b"\r\n":
+            p += 2
+        elif self.data[p:p + 1] == b"\n":
+            p += 1
+        n = res(sdict.get("Length"))
+        raw = self.data[p:p + int(n)]
+        filt = res(sdict.get("Filter"))
+        filters = filt if isinstance(filt, list) else (
+            [] if filt is None else [filt])
+        parms = res(sdict.get("DecodeParms"))
+        parms_list = parms if isinstance(parms, list) else [parms]
+        for i, f in enumerate(filters):
+            f = res(f)
+            if f == "FlateDecode":
+                raw = zlib.decompress(raw)
+            else:
+                raise ValueError(f"PDF: unsupported filter {f!r}")
+            pr = res(parms_list[i]) if i < len(parms_list) else None
+            if isinstance(pr, dict) and pr.get("Predictor"):
+                raw = _unpredict(
+                    raw, int(res(pr["Predictor"])),
+                    int(res(pr.get("Columns", 1))),
+                    int(res(pr.get("Colors", 1))),
+                    int(res(pr.get("BitsPerComponent", 8))))
+        return raw
+
+    def _objstm(self, stm_num: int):
+        """(header pairs [(objnum, offset)], payload, first) of object
+        stream ``stm_num`` — parsed once and cached: one inflate serves
+        every compressed object it holds."""
+        hit = self._objstm_cache.get(stm_num)
+        if hit is not None:
+            return hit
+        stm = self.obj(stm_num)
+        if not isinstance(stm, dict) or "__stream__" not in stm:
+            raise ValueError(f"PDF: object {stm_num} is not a stream")
+        sd = stm["__dict__"]
+        if sd.get("Type") != "ObjStm":
+            raise ValueError(
+                f"PDF: object {stm_num} is not /Type /ObjStm")
+        payload = stm["__stream__"]
+        n = int(self.resolve(sd["N"]))
+        first = int(self.resolve(sd["First"]))
+        pairs: list[tuple[int, int]] = []
+        hl = _Lexer(payload, 0)
+        for _ in range(n):
+            onum = hl.parse_value()
+            off = hl.parse_value()
+            pairs.append((int(onum), int(off)))
+        out = (pairs, payload, first)
+        self._objstm_cache[stm_num] = out
+        return out
+
     def obj(self, num: int):
         if num in self._cache:
             return self._cache[num]
         at = self.xref.get(num)
-        if at is None or at < 0:
+        if at is None or (isinstance(at, int) and at < 0):
             raise ValueError(f"PDF: object {num} is "
                              f"{'freed' if at is not None else 'absent'}")
+        if isinstance(at, tuple):  # ("objstm", stm_num, idx): type-2
+            _, stm_num, idx = at
+            pairs, payload, first = self._objstm(stm_num)
+            if not (0 <= idx < len(pairs)) or pairs[idx][0] != num:
+                # tolerate writers with off-by-one indices: the header
+                # pairs are authoritative (7.5.7 note), search them
+                match = [o for o, _ in enumerate(pairs)
+                         if pairs[o][0] == num]
+                if not match:
+                    raise ValueError(
+                        f"PDF: object {num} not in ObjStm {stm_num}")
+                idx = match[0]
+            lex = _Lexer(payload, first + pairs[idx][1])
+            val = lex.parse_value()
+            self._cache[num] = val  # streams are illegal inside ObjStm
+            return val
         m = re.match(rb"(\d+)\s+(\d+)\s+obj", self.data[at:at + 48])
         if not m or int(m.group(1)) != num:
             raise ValueError(f"PDF: xref offset for {num} is wrong")
@@ -317,18 +624,7 @@ class PdfDocument:
         val = lex.parse_value()
         lex._skip_ws()
         if self.data.startswith(b"stream", lex.pos):
-            p = lex.pos + 6
-            if self.data[p:p + 2] == b"\r\n":
-                p += 2
-            elif self.data[p:p + 1] == b"\n":
-                p += 1
-            n = self.resolve(val.get("Length"))
-            raw = self.data[p:p + int(n)]
-            filt = self.resolve(val.get("Filter"))
-            if filt == "FlateDecode":
-                raw = zlib.decompress(raw)
-            elif filt is not None:
-                raise ValueError(f"PDF: unsupported filter {filt!r}")
+            raw = self._decode_stream(val, lex)
             val = {"__dict__": val, "__stream__": raw}
         self._cache[num] = val
         return val

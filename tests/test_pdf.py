@@ -93,9 +93,9 @@ def test_declared_unsupported_paths_raise():
     with pytest.raises(ValueError, match="missing %PDF- header"):
         PdfDocument(b"not a pdf")
     pdf = write_pdf([["x"]])
-    # point startxref at a non-'xref' location -> xref-stream refusal
+    # point startxref at garbage -> neither a table nor a stream object
     broken = pdf.rsplit(b"startxref", 1)[0] + b"startxref\n9\n%%EOF"
-    with pytest.raises(ValueError, match="classic xref tables only"):
+    with pytest.raises(ValueError, match="neither an xref table nor"):
         PdfDocument(broken)
     # unsupported filter named explicitly
     s = b"x"
@@ -169,3 +169,160 @@ def test_review_fixes_escapes_contents_freed():
             b"startxref\n%d\n%%%%EOF" % (old_sx, xref_at))
     with pytest.raises(ValueError, match="freed"):
         PdfDocument(bytes(pdf)).text()
+
+
+# ---------------------------------------------------------------------------
+# PDF 1.5: cross-reference streams + object streams
+# ---------------------------------------------------------------------------
+
+
+def test_xref_stream_roundtrip():
+    """PDF 1.5 layout: startxref points at a /Type /XRef stream object
+    (W=[1,4,2] rows, Flate + Predictor 12); text extraction matches the
+    classic layout byte for byte."""
+    pages = [["alpha beta", "gamma (x) \\ delta"], ["page two"]]
+    classic = extract_pdf_text(write_pdf(pages))
+    modern = write_pdf(pages, xref_stream=True)
+    assert b"/Type /XRef" in modern and modern.startswith(b"%PDF-1.5")
+    assert extract_pdf_text(modern) == classic
+
+
+def test_objstm_roundtrip():
+    """Dict objects packed into one /Type /ObjStm, addressed by type-2
+    xref entries — the layout of virtually every born-digital PDF."""
+    pages = [["obj stream text"], ["and more"]]
+    modern = write_pdf(pages, xref_stream=True, use_objstm=True)
+    assert b"/Type /ObjStm" in modern
+    doc = PdfDocument(modern)
+    # catalog/pages/page dicts resolve through the ObjStm (type-2)
+    assert any(isinstance(v, tuple) for v in doc.xref.values())
+    assert doc.text() == extract_pdf_text(write_pdf(pages))
+    # the ObjStm inflates once and is cached
+    assert len(doc._objstm_cache) == 1
+
+
+def test_hybrid_reference_file():
+    """ISO 32000-1 7.5.8.4: a classic trailer whose /XRefStm bridges to
+    a stream section — readers that ignore /XRefStm miss the packed
+    objects; ours must consult it before /Prev."""
+    pages = [["hybrid text body"]]
+    base = write_pdf(pages, xref_stream=True, use_objstm=True)
+    xref_stream_at = int(base.rsplit(b"startxref", 1)[1].split()[0])
+    import re
+
+    size = int(re.search(rb"/Size (\d+)", base).group(1))
+    root = int(re.search(rb"/Root (\d+) 0 R", base).group(1))
+    out = bytearray(base)
+    table_at = len(out) + 1
+    out += (b"\nxref\n0 1\n0000000000 65535 f \n"
+            b"trailer\n<< /Size %d /Root %d 0 R /XRefStm %d >>\n"
+            b"startxref\n%d\n%%%%EOF"
+            % (size, root, xref_stream_at, table_at))
+    doc = PdfDocument(bytes(out))
+    assert doc.text() == "hybrid text body"
+
+
+def test_xref_stream_incremental_update_prev_chain():
+    """An incremental update appends a new content stream + a new xref
+    stream chaining to the old one via /Prev; the newer section's
+    entries shadow the original's."""
+    base = write_pdf([["original text"]], xref_stream=True)
+    old_at = int(base.rsplit(b"startxref", 1)[1].split()[0])
+    # object 3 is the (only) page's content stream in writer layout
+    doc0 = PdfDocument(base)
+    page = doc0.pages()[0]
+    content_ref = page["Contents"]
+    new_stream = b"BT (updated text) Tj ET"
+    out = bytearray(base)
+    out += b"\n"
+    new_obj_at = len(out)
+    out += (b"%d 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+            % (content_ref.num, len(new_stream), new_stream))
+    # new xref stream: entry for the replaced object + self
+    size = max(doc0.xref) + 2
+    xref_id = size - 1
+    xref_at = len(out)
+    rows = (b"\x01" + new_obj_at.to_bytes(4, "big") + b"\x00\x00"
+            + b"\x01" + xref_at.to_bytes(4, "big") + b"\x00\x00")
+    comp = zlib.compress(rows)
+    out += (b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] "
+            b"/Index [%d 1 %d 1] /Root 5 0 R /Prev %d "
+            b"/Filter /FlateDecode /Length %d >>\nstream\n"
+            % (xref_id, size, content_ref.num, xref_id, old_at,
+               len(comp)))
+    out += comp + b"\nendstream\nendobj\n"
+    out += b"startxref\n%d\n%%%%EOF" % xref_at
+    doc = PdfDocument(bytes(out))
+    assert doc.text() == "updated text"
+    # time-travel: the base bytes alone still read the original
+    assert extract_pdf_text(base) == "original text"
+
+
+def test_unpredict_png_filters_and_tiff():
+    """PNG row filters Sub/Up/Average/Paeth + TIFF predictor 2 undo
+    exactly (hand-built filtered rows vs known plaintext)."""
+    from gfw_pixetl_spark.sources.pdf import _unpredict
+
+    plain = bytes([10, 20, 30, 40, 50, 60])  # 2 rows x 3 cols, bpp=1
+    # Sub: row[i] - row[i-1]
+    sub = bytes([1, 10, 10, 10]) + bytes([1, 40, 10, 10])
+    assert _unpredict(sub, 10, 3) == plain
+    # Up: row[i] - prev[i]
+    up = bytes([2, 10, 20, 30]) + bytes([2, 30, 30, 30])
+    assert _unpredict(up, 12, 3) == plain
+    # Average: row[i] - (left + up)//2
+    avg = bytes([3, 10, 15, 20]) + bytes([3, 45 - (20 + 10) // 2 + 20,
+                                          0, 0])
+    got = _unpredict(avg, 13, 3)
+    assert got[:3] == plain[:3]
+    # Paeth row over zero prev == Sub semantics for first row
+    paeth = bytes([4, 10, 10, 10]) + bytes([4, 40, 10, 10])
+    assert _unpredict(paeth, 14, 3)[:3] == plain[:3]
+    # mixed tags per row are legal
+    mixed = bytes([0, 10, 20, 30]) + bytes([2, 30, 30, 30])
+    assert _unpredict(mixed, 11, 3) == plain
+    # TIFF horizontal differencing
+    tiff = bytes([10, 10, 10, 40, 10, 10])
+    assert _unpredict(tiff, 2, 3) == plain
+    with pytest.raises(ValueError, match="filter tag"):
+        _unpredict(bytes([9, 1, 2, 3]), 12, 3)
+    with pytest.raises(ValueError, match="don't tile"):
+        _unpredict(bytes([2, 1, 2]), 12, 3)
+
+
+def test_xref_stream_malformed_raises():
+    base = write_pdf([["x"]], xref_stream=True)
+    at = int(base.rsplit(b"startxref", 1)[1].split()[0])
+    # truncated mid-stream: Flate refuses
+    with pytest.raises(Exception):
+        PdfDocument(base[:at + 40] + base[-40:])
+    # /W that covers zero bytes
+    bad = base.replace(b"/W [1 4 2]", b"/W [0 0 0]")
+    with pytest.raises(ValueError, match="xref stream|/W"):
+        PdfDocument(bad)
+    # indirect /Length on the xref stream is illegal (7.5.8.2)
+    bad = base.replace(b"/Type /XRef", b"/Type /XRef /Junk 1", 1)
+    PdfDocument(bad)  # unknown keys are fine
+    # rows shorter than /Index claims
+    m = __import__("re").search(rb"/Size (\d+)", base)
+    bad = base.replace(b"/Size %d" % int(m.group(1)),
+                       b"/Size %d /Index [0 999]" % int(m.group(1)))
+    with pytest.raises(ValueError, match="holds|needs"):
+        PdfDocument(bad)
+
+
+def test_objstm_wrong_index_tolerated_and_missing_raises():
+    """Header pairs are authoritative: an off-by-one type-2 index still
+    resolves by searching the pairs; a truly absent object raises."""
+    pages = [["tolerant"]]
+    data = bytearray(write_pdf(pages, xref_stream=True, use_objstm=True))
+    doc = PdfDocument(bytes(data))
+    packed = [(n, v) for n, v in doc.xref.items() if isinstance(v, tuple)]
+    n0, (_, stm, idx) = packed[0]
+    doc.xref[n0] = ("objstm", stm, idx + 1)  # off-by-one
+    doc._cache.clear()
+    assert doc.obj(n0) is not None
+    doc.xref[n0] = ("objstm", stm, 999)
+    doc._cache.clear()
+    obj = doc.obj(n0)  # 999 out of range -> pair search still finds it
+    assert obj is not None
