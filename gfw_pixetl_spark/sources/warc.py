@@ -171,8 +171,15 @@ def _split_records(raw: bytes):
 
 
 def iter_warc(data: bytes):
-    """Yield (headers dict, payload bytes) per record; accepts raw WARC
-    or multi-member gzip (sniffed by magic)."""
+    """Yield (headers dict, payload bytes) per record; accepts raw
+    WARC, multi-member gzip, or multi-frame zstd (`.warc.zst`, the
+    modern Common-Crawl-adjacent layout) — all sniffed by magic."""
+    if data[:4] == b"\x28\xb5\x2f\xfd" or (
+            len(data) >= 4 and data[1:4] == b"\x2a\x4d\x18"
+            and 0x50 <= data[0] <= 0x5F):
+        from .zstd import decompress as _zstd_decompress
+
+        data = _zstd_decompress(data)
     if data[:2] == b"\x1f\x8b":
         view = memoryview(data)
         raw = bytearray()

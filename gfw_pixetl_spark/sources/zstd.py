@@ -1,0 +1,792 @@
+"""Zstandard decoder (RFC 8878, public spec) + seekable-format index —
+the compression modern LLM corpus shards actually ship (`.jsonl.zst`,
+`.warc.zst`), where gzip stops at yesterday's Common Crawl.
+
+Pure-Python, same discipline as the FLAC/CCITT codecs in this tree:
+every structure is decoded from the published spec, nothing is
+shelled out. Implemented:
+
+* frames: magic, frame-header descriptor (FCS field sizes,
+  single-segment, content checksum), skippable frames,
+* blocks: raw / RLE / compressed,
+* literals: raw / RLE / Huffman-compressed / treeless (table reuse),
+  1-stream and 4-stream layouts with the jump table,
+* Huffman: direct 4-bit weights AND FSE-compressed weights (two
+  alternating states over a backward bitstream), canonical table
+  build with the implied last weight,
+* FSE: table description (variable-bit probability parse, -1
+  less-than-one probabilities, zero-repeat flags), spread + state
+  table build, predefined LL/ML/OF distributions,
+* sequences: predefined / RLE / FSE-compressed / repeat table modes,
+  backward-bitstream state machine (init LL->OF->ML, bits read
+  OF->ML->LL, update LL->ML->OF), offset codes with the three
+  repeat-offset slots and the literals-length-0 twist,
+* sequence execution with overlap-safe match copies,
+* XXH64 (for the optional 4-byte content checksum, verified when
+  present).
+
+NOT implemented, raising clearly: external dictionaries (Dictionary_ID
+!= 0) and window sizes beyond the buffer (every frame is decoded whole
+— the ingest path decodes per-record frames, so streaming windows are
+unnecessary).
+
+Scale shape: `frame_index` walks frames WITHOUT decoding (block
+headers carry their sizes), giving the (offset, size) random-access
+index an object-store ingest persists — one frame = one ranged GET +
+one decode, the exact analog of ``warc.member_index``. The seekable
+format (skippable frame 0x184D2A5E with the 0x8F92EAB1 footer — the
+facebook/zstd contrib spec) is read and written so per-record frames
+round-trip with a standard seek table. q382 value-checks a
+.jsonl.zst shard end to end; fixtures in tests are compressed by
+libzstd (via pyarrow) so the decoder is validated against the
+reference encoder, not against itself.
+"""
+
+from __future__ import annotations
+
+import struct
+
+ZSTD_MAGIC = 0xFD2FB528
+SKIPPABLE_LO = 0x184D2A50
+SKIPPABLE_HI = 0x184D2A5F
+SEEKABLE_MAGIC = 0x184D2A5E
+SEEK_FOOTER_MAGIC = 0x8F92EAB1
+
+# --------------------------------------------------------------------------
+# bitstreams
+# --------------------------------------------------------------------------
+
+
+class _RBits:
+    """Backward bitstream (RFC 8878 §3.1.1.3.2.1): values are packed
+    little-endian; reading starts just below the highest set bit of the
+    LAST byte (the padding sentinel) and walks down. Reads past the
+    start return zero bits with ``pos`` gone negative — callers use
+    that as the exhaustion signal, exactly like the reference decoder's
+    offset check."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes) -> None:
+        if not data or data[-1] == 0:
+            raise ValueError("zstd: corrupt bitstream (no sentinel bit)")
+        self.data = data
+        self.pos = (len(data) - 1) * 8 + data[-1].bit_length() - 1
+
+    def _extract(self, pos: int, n: int) -> int:
+        if n <= 0:
+            return 0
+        if pos < 0:
+            m = pos + n
+            if m <= 0:
+                return 0
+            return self._extract(0, m) << (n - m)
+        lo, hi = pos >> 3, (pos + n - 1) >> 3
+        chunk = int.from_bytes(self.data[lo:hi + 1], "little")
+        return (chunk >> (pos & 7)) & ((1 << n) - 1)
+
+    def read(self, n: int) -> int:
+        self.pos -= n
+        return self._extract(self.pos, n)
+
+    def peek(self, n: int) -> int:
+        return self._extract(self.pos - n, n)
+
+    def skip(self, n: int) -> None:
+        self.pos -= n
+
+
+class _FBits:
+    """Forward little-endian bitstream (FSE table descriptions)."""
+
+    __slots__ = ("data", "pos")
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        if n <= 0:
+            return 0
+        lo, hi = self.pos >> 3, (self.pos + n - 1) >> 3
+        if hi >= len(self.data):
+            raise ValueError("zstd: FSE description overruns its buffer")
+        chunk = int.from_bytes(self.data[lo:hi + 1], "little")
+        v = (chunk >> (self.pos & 7)) & ((1 << n) - 1)
+        self.pos += n
+        return v
+
+    def rewind(self, n: int) -> None:
+        self.pos -= n
+
+    def byte_pos(self) -> int:
+        return (self.pos + 7) >> 3
+
+
+# --------------------------------------------------------------------------
+# FSE
+# --------------------------------------------------------------------------
+
+
+def _fse_read_distribution(fb: _FBits, max_accuracy: int,
+                           max_symbol: int):
+    """RFC 8878 §4.1.1: variable-bit probability list. Returns
+    (probs list incl. -1 entries, accuracy_log)."""
+    accuracy_log = fb.read(4) + 5
+    if accuracy_log > max_accuracy:
+        raise ValueError(
+            f"zstd: FSE accuracy {accuracy_log} > max {max_accuracy}")
+    remaining = (1 << accuracy_log) + 1
+    probs: list[int] = []
+    while remaining > 1:
+        if len(probs) > max_symbol:
+            raise ValueError("zstd: FSE distribution has too many symbols")
+        nbits = remaining.bit_length()
+        v = fb.read(nbits)
+        lower_mask = (1 << (nbits - 1)) - 1
+        threshold = (1 << nbits) - 1 - remaining
+        value = v & lower_mask
+        if value < threshold:
+            fb.rewind(1)
+        else:
+            value = v
+            if value > lower_mask:
+                value -= threshold
+        prob = value - 1
+        remaining -= -prob if prob < 0 else prob
+        probs.append(prob)
+        if prob == 0:
+            rep = fb.read(2)
+            probs.extend([0] * rep)
+            while rep == 3:
+                rep = fb.read(2)
+                probs.extend([0] * rep)
+    if remaining != 1:
+        raise ValueError("zstd: FSE probabilities overshoot table size")
+    return probs, accuracy_log
+
+
+def _fse_build(probs: list[int], accuracy_log: int):
+    """Decode table: state -> (symbol, nb_bits, baseline). Spread per
+    §4.1.1 (step (size>>1)+(size>>3)+3; less-than-one symbols pinned at
+    the table top with full-accuracy reads)."""
+    size = 1 << accuracy_log
+    syms = [0] * size
+    high = size - 1
+    for s, p in enumerate(probs):
+        if p == -1:
+            syms[high] = s
+            high -= 1
+    pos = 0
+    step = (size >> 1) + (size >> 3) + 3
+    mask = size - 1
+    for s, p in enumerate(probs):
+        if p <= 0:
+            continue
+        for _ in range(p):
+            syms[pos] = s
+            pos = (pos + step) & mask
+            while pos > high:
+                pos = (pos + step) & mask
+    if pos != 0:
+        raise ValueError("zstd: FSE spread did not return to zero")
+    table: list[tuple[int, int, int]] = [None] * size  # type: ignore
+    counter = [0] * len(probs)
+    for state in range(high + 1):
+        s = syms[state]
+        nxt = probs[s] + counter[s]
+        counter[s] += 1
+        nb = accuracy_log - (nxt.bit_length() - 1)
+        table[state] = (s, nb, (nxt << nb) - size)
+    for state in range(high + 1, size):
+        table[state] = (syms[state], accuracy_log, 0)
+    return table
+
+
+def _fse_rle_table(symbol: int):
+    """Degenerate table for RLE mode: 0-bit state, always `symbol`."""
+    return [(symbol, 0, 0)]
+
+
+# predefined distributions (RFC 8878 §3.1.1.3.2.2)
+_LL_DEFAULT = ([4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1,
+                2, 2, 2, 2, 2, 2, 2, 2, 2, 3, 2, 1, 1, 1, 1, 1,
+                -1, -1, -1, -1], 6)
+_ML_DEFAULT = ([1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+                1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+                1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1, -1,
+                -1, -1, -1, -1, -1], 6)
+_OF_DEFAULT = ([1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1,
+                1, 1, 1, 1, 1, 1, 1, 1, -1, -1, -1, -1, -1], 5)
+
+_LL_BITS = [0] * 16 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10,
+                       11, 12, 13, 14, 15, 16]
+_LL_BASE = list(range(16)) + [16, 18, 20, 22, 24, 28, 32, 40, 48, 64,
+                              128, 256, 512, 1024, 2048, 4096, 8192,
+                              16384, 32768, 65536]
+_ML_BITS = [0] * 32 + [1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10,
+                       11, 12, 13, 14, 15, 16]
+_ML_BASE = [i + 3 for i in range(32)] + [
+    35, 37, 39, 41, 43, 47, 51, 59, 67, 83, 99, 131, 259, 515, 1027,
+    2051, 4099, 8195, 16387, 32771, 65539]
+
+
+# --------------------------------------------------------------------------
+# Huffman
+# --------------------------------------------------------------------------
+
+
+def _huf_read_weights(data: bytes):
+    """§4.2.1: header byte >= 128 -> direct 4-bit weights (two per
+    byte, high nibble first); < 128 -> FSE-compressed weights over a
+    backward bitstream with two alternating states. Returns
+    (weights_without_last, bytes_consumed)."""
+    if not data:
+        raise ValueError("zstd: empty Huffman description")
+    h = data[0]
+    if h >= 128:
+        n = h - 127
+        nbytes = (n + 1) // 2
+        if 1 + nbytes > len(data):
+            raise ValueError("zstd: truncated Huffman weights")
+        weights = []
+        for i in range(n):
+            b = data[1 + i // 2]
+            weights.append((b >> 4) if i % 2 == 0 else (b & 0xF))
+        return weights, 1 + nbytes
+    comp = data[1:1 + h]
+    if len(comp) != h:
+        raise ValueError("zstd: truncated FSE-compressed weights")
+    fb = _FBits(comp)
+    probs, al = _fse_read_distribution(fb, 6, 255)
+    table = _fse_build(probs, al)
+    rb = _RBits(comp[fb.byte_pos():])
+    s1 = rb.read(al)
+    s2 = rb.read(al)
+    weights = []
+    while True:
+        if len(weights) > 255:
+            raise ValueError("zstd: runaway Huffman weight stream")
+        sym, nb, base = table[s1]
+        weights.append(sym)
+        s1 = base + rb.read(nb)
+        if rb.pos < 0:
+            weights.append(table[s2][0])
+            break
+        sym, nb, base = table[s2]
+        weights.append(sym)
+        s2 = base + rb.read(nb)
+        if rb.pos < 0:
+            weights.append(table[s1][0])
+            break
+    return weights, 1 + h
+
+
+def _huf_build(weights: list[int]):
+    """Canonical table from explicit weights + the implied last weight
+    that completes the 2^(w-1) sum to a power of two (§4.2.1.3).
+    Returns (table[2^max_bits] of (symbol, nb_bits), max_bits)."""
+    total = sum((1 << (w - 1)) for w in weights if w > 0)
+    if total == 0:
+        raise ValueError("zstd: Huffman weights all zero")
+    target = 1 << total.bit_length()
+    left = target - total
+    if left & (left - 1):
+        raise ValueError("zstd: Huffman weights don't complete a power "
+                         "of two")
+    full = weights + [left.bit_length()]
+    max_bits = target.bit_length() - 1
+    if max_bits > 11:
+        raise ValueError(f"zstd: Huffman max bits {max_bits} > 11")
+    table: list[tuple[int, int]] = [None] * target  # type: ignore
+    pos = 0
+    for w in range(1, max_bits + 1):
+        span = 1 << (w - 1)
+        nb = max_bits + 1 - w
+        for sym, ww in enumerate(full):
+            if ww == w:
+                for k in range(pos, pos + span):
+                    table[k] = (sym, nb)
+                pos += span
+    if pos != target:
+        raise ValueError("zstd: Huffman table fill mismatch")
+    return table, max_bits
+
+
+def _huf_decode_stream(stream: bytes, table, max_bits: int,
+                       n_out: int) -> bytearray:
+    rb = _RBits(stream)
+    out = bytearray(n_out)
+    for i in range(n_out):
+        sym, nb = table[rb.peek(max_bits)]
+        rb.skip(nb)
+        out[i] = sym
+    if rb.pos < 0:
+        raise ValueError("zstd: Huffman stream exhausted early")
+    return out
+
+
+# --------------------------------------------------------------------------
+# literals + sequences sections
+# --------------------------------------------------------------------------
+
+
+def _decode_literals(block: bytes, frame_state: dict):
+    """Returns (literals bytes, bytes_consumed_from_block)."""
+    b0 = block[0]
+    lb_type = b0 & 3
+    sf = (b0 >> 2) & 3
+    if lb_type in (0, 1):  # raw / RLE
+        if sf in (0, 2):
+            regen, hdr = b0 >> 3, 1
+        elif sf == 1:
+            regen, hdr = (b0 >> 4) + (block[1] << 4), 2
+        else:
+            regen = (b0 >> 4) + (block[1] << 4) + (block[2] << 12)
+            hdr = 3
+        if lb_type == 0:
+            lits = block[hdr:hdr + regen]
+            if len(lits) != regen:
+                raise ValueError("zstd: truncated raw literals")
+            return bytes(lits), hdr + regen
+        return bytes([block[hdr]]) * regen, hdr + 1
+    # compressed (2) / treeless (3)
+    if sf == 0:
+        hdr, bits, streams = 3, 10, 1
+    elif sf == 1:
+        hdr, bits, streams = 3, 10, 4
+    elif sf == 2:
+        hdr, bits, streams = 4, 14, 4
+    else:
+        hdr, bits, streams = 5, 18, 4
+    full = int.from_bytes(block[:hdr], "little")
+    regen = (full >> 4) & ((1 << bits) - 1)
+    comp = (full >> (4 + bits)) & ((1 << bits) - 1)
+    payload = block[hdr:hdr + comp]
+    if len(payload) != comp:
+        raise ValueError("zstd: truncated compressed literals")
+    if lb_type == 2:
+        weights, used = _huf_read_weights(payload)
+        table, max_bits = _huf_build(weights)
+        frame_state["huf"] = (table, max_bits)
+        payload = payload[used:]
+    else:
+        if "huf" not in frame_state:
+            raise ValueError(
+                "zstd: treeless literals with no previous Huffman table")
+        table, max_bits = frame_state["huf"]
+    if streams == 1:
+        lits = _huf_decode_stream(bytes(payload), table, max_bits, regen)
+    else:
+        if len(payload) < 6:
+            raise ValueError("zstd: missing 4-stream jump table")
+        s1, s2, s3 = struct.unpack("<HHH", payload[:6])
+        rest = payload[6:]
+        s4 = len(rest) - s1 - s2 - s3
+        if s4 <= 0:
+            raise ValueError("zstd: 4-stream jump table overruns payload")
+        per = (regen + 3) // 4
+        last = regen - 3 * per
+        if last < 0:
+            raise ValueError("zstd: regenerated size below stream split")
+        lits = bytearray()
+        offs = 0
+        for size, n_out in ((s1, per), (s2, per), (s3, per), (s4, last)):
+            lits += _huf_decode_stream(
+                bytes(rest[offs:offs + size]), table, max_bits, n_out)
+            offs += size
+    return bytes(lits), hdr + comp
+
+
+def _seq_table(mode: int, fb_data: bytes, pos: int, kind: str,
+               frame_state: dict):
+    """One of the three sequence tables by mode; returns
+    ((table, accuracy_log), new_pos)."""
+    defaults = {"ll": _LL_DEFAULT, "of": _OF_DEFAULT, "ml": _ML_DEFAULT}
+    max_al = {"ll": 9, "of": 8, "ml": 9}[kind]
+    if mode == 0:  # predefined
+        probs, al = defaults[kind]
+        return (_fse_build(probs, al), al), pos
+    if mode == 1:  # RLE: one byte symbol
+        return (_fse_rle_table(fb_data[pos]), 0), pos + 1
+    if mode == 2:  # FSE-compressed
+        fb = _FBits(fb_data[pos:])
+        probs, al = _fse_read_distribution(fb, max_al, 255)
+        return (_fse_build(probs, al), al), pos + fb.byte_pos()
+    prev = frame_state.get(f"seq_{kind}")  # mode 3: repeat
+    if prev is None:
+        raise ValueError(f"zstd: repeat {kind} table with no previous")
+    return prev, pos
+
+
+def _decode_block(block: bytes, out: bytearray,
+                  frame_state: dict) -> None:
+    """Compressed block: literals section, sequences section, sequence
+    execution appending to the frame output ``out`` (match offsets may
+    reach back across blocks within the frame)."""
+    lits, consumed = _decode_literals(block, frame_state)
+    rest = block[consumed:]
+    if not rest:
+        raise ValueError("zstd: block missing sequences section")
+    b0 = rest[0]
+    if b0 == 0:
+        out += lits
+        return
+    if b0 < 128:
+        nseq, p = b0, 1
+    elif b0 < 255:
+        nseq, p = ((b0 - 128) << 8) + rest[1], 2
+    else:
+        nseq, p = rest[1] + (rest[2] << 8) + 0x7F00, 3
+    modes = rest[p]
+    p += 1
+    if modes & 3:
+        raise ValueError("zstd: reserved sequence-mode bits set")
+    (ll_t, ll_al), p = _seq_table((modes >> 6) & 3, rest, p, "ll",
+                                  frame_state)
+    (of_t, of_al), p = _seq_table((modes >> 4) & 3, rest, p, "of",
+                                  frame_state)
+    (ml_t, ml_al), p = _seq_table((modes >> 2) & 3, rest, p, "ml",
+                                  frame_state)
+    frame_state["seq_ll"] = (ll_t, ll_al)
+    frame_state["seq_of"] = (of_t, of_al)
+    frame_state["seq_ml"] = (ml_t, ml_al)
+
+    rb = _RBits(bytes(rest[p:]))
+    ll_state = rb.read(ll_al)
+    of_state = rb.read(of_al)
+    ml_state = rb.read(ml_al)
+    rep = frame_state["rep"]
+    lit_pos = 0
+    for i in range(nseq):
+        of_code = of_t[of_state][0]
+        if of_code > 31:
+            raise ValueError("zstd: offset code > 31")
+        offset_value = (1 << of_code) + rb.read(of_code)
+        ml_code = ml_t[ml_state][0]
+        ml = _ML_BASE[ml_code] + rb.read(_ML_BITS[ml_code])
+        ll_code = ll_t[ll_state][0]
+        ll = _LL_BASE[ll_code] + rb.read(_LL_BITS[ll_code])
+        if rb.pos < 0:
+            raise ValueError("zstd: sequence bitstream exhausted")
+
+        if offset_value > 3:
+            offset = offset_value - 3
+            rep[2], rep[1], rep[0] = rep[1], rep[0], offset
+        else:
+            idx = offset_value - 1 + (1 if ll == 0 else 0)
+            if idx == 0:
+                offset = rep[0]
+            elif idx == 1:
+                offset = rep[1]
+                rep[1], rep[0] = rep[0], offset
+            elif idx == 2:
+                offset = rep[2]
+                rep[2], rep[1], rep[0] = rep[1], rep[0], offset
+            else:  # offset_value 3 with ll == 0
+                offset = rep[0] - 1
+                if offset == 0:
+                    raise ValueError("zstd: repeat offset underflow")
+                rep[2], rep[1], rep[0] = rep[1], rep[0], offset
+
+        out += lits[lit_pos:lit_pos + ll]
+        lit_pos += ll
+        if offset > len(out):
+            raise ValueError(
+                f"zstd: match offset {offset} reaches before frame start")
+        if offset >= ml:
+            start = len(out) - offset
+            out += out[start:start + ml]
+        else:  # overlap: the RLE-extend loop
+            start = len(out) - offset
+            for _ in range(ml):
+                out.append(out[start])
+                start += 1
+        if i + 1 < nseq:
+            s, nb, base = ll_t[ll_state]
+            ll_state = base + rb.read(nb)
+            s, nb, base = ml_t[ml_state]
+            ml_state = base + rb.read(nb)
+            s, nb, base = of_t[of_state]
+            of_state = base + rb.read(nb)
+    if lit_pos > len(lits):
+        raise ValueError("zstd: literals overconsumed")
+    out += lits[lit_pos:]
+
+
+# --------------------------------------------------------------------------
+# frames
+# --------------------------------------------------------------------------
+
+
+def _parse_frame_header(data: bytes, pos: int):
+    """Returns (header dict, pos after header)."""
+    desc = data[pos]
+    pos += 1
+    fcs_flag = desc >> 6
+    single = (desc >> 5) & 1
+    checksum = (desc >> 2) & 1
+    did_flag = desc & 3
+    if (desc >> 3) & 1:
+        raise ValueError("zstd: reserved frame-header bit set")
+    if not single:
+        pos += 1  # window descriptor: whole-buffer decode ignores it
+    did_len = (0, 1, 2, 4)[did_flag]
+    if did_len:
+        did = int.from_bytes(data[pos:pos + did_len], "little")
+        if did:
+            raise ValueError(
+                "zstd: external dictionaries are not supported "
+                "(module docstring)")
+        pos += did_len
+    fcs_len = (0, 2, 4, 8)[fcs_flag]
+    if fcs_flag == 0 and single:
+        fcs_len = 1
+    fcs = None
+    if fcs_len:
+        fcs = int.from_bytes(data[pos:pos + fcs_len], "little")
+        if fcs_len == 2:
+            fcs += 256
+        pos += fcs_len
+    return {"checksum": bool(checksum), "content_size": fcs}, pos
+
+
+def _walk_blocks(data: bytes, pos: int, out: bytearray | None,
+                 frame_state: dict | None) -> int:
+    """Walk (and optionally decode) blocks until the last-block flag;
+    returns position after the final block."""
+    while True:
+        if pos + 3 > len(data):
+            raise ValueError("zstd: truncated block header")
+        h = int.from_bytes(data[pos:pos + 3], "little")
+        pos += 3
+        last, btype, bsize = h & 1, (h >> 1) & 3, h >> 3
+        if btype == 3:
+            raise ValueError("zstd: reserved block type")
+        span = 1 if btype == 1 else bsize
+        if pos + span > len(data):
+            raise ValueError("zstd: truncated block body")
+        if out is not None:
+            if btype == 0:
+                out += data[pos:pos + bsize]
+            elif btype == 1:
+                out += bytes([data[pos]]) * bsize
+            else:
+                _decode_block(data[pos:pos + bsize], out, frame_state)
+        pos += span
+        if last:
+            return pos
+
+
+def decompress(data: bytes, verify_checksum: bool = True) -> bytes:
+    """Decode a concatenation of zstd frames (skippable frames are
+    skipped); the content of all data frames, in order."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if pos + 4 > n:
+            raise ValueError("zstd: truncated frame magic")
+        magic = int.from_bytes(data[pos:pos + 4], "little")
+        pos += 4
+        if SKIPPABLE_LO <= magic <= SKIPPABLE_HI:
+            size = int.from_bytes(data[pos:pos + 4], "little")
+            pos += 4 + size
+            continue
+        if magic != ZSTD_MAGIC:
+            raise ValueError(f"zstd: bad magic 0x{magic:08x} at "
+                             f"{pos - 4}")
+        hdr, pos = _parse_frame_header(data, pos)
+        frame_start = len(out)
+        frame_state = {"rep": [1, 4, 8]}
+        pos = _walk_blocks(data, pos, out, frame_state)
+        if hdr["content_size"] is not None and (
+                len(out) - frame_start != hdr["content_size"]):
+            raise ValueError(
+                f"zstd: frame decoded {len(out) - frame_start} bytes, "
+                f"header promised {hdr['content_size']}")
+        if hdr["checksum"]:
+            want = int.from_bytes(data[pos:pos + 4], "little")
+            pos += 4
+            if verify_checksum:
+                got = xxh64(bytes(out[frame_start:])) & 0xFFFFFFFF
+                if got != want:
+                    raise ValueError("zstd: content checksum mismatch")
+    return bytes(out)
+
+
+def frame_index(data: bytes) -> list[tuple[int, int, int | None]]:
+    """(offset, compressed_size, content_size_or_None) per data frame
+    WITHOUT decoding — block headers carry their sizes, so the walk is
+    O(blocks). This is the random-access index a columnar ingest
+    persists next to a `.zst` shard: one frame = one ranged GET + one
+    decode (``warc.member_index``'s analog at the compression layer).
+    Skippable frames are walked over and not listed."""
+    out = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        start = pos
+        magic = int.from_bytes(data[pos:pos + 4], "little")
+        pos += 4
+        if SKIPPABLE_LO <= magic <= SKIPPABLE_HI:
+            size = int.from_bytes(data[pos:pos + 4], "little")
+            pos += 4 + size
+            continue
+        if magic != ZSTD_MAGIC:
+            raise ValueError(f"zstd: bad magic at offset {start}")
+        hdr, pos = _parse_frame_header(data, pos)
+        pos = _walk_blocks(data, pos, None, None)
+        if hdr["checksum"]:
+            pos += 4
+        out.append((start, pos - start, hdr["content_size"]))
+    return out
+
+
+# --------------------------------------------------------------------------
+# raw-block encoder (fixtures without libzstd) + seekable format
+# --------------------------------------------------------------------------
+
+
+def compress_raw(content: bytes, checksum: bool = False) -> bytes:
+    """A spec-valid zstd frame that stores ``content`` in RAW blocks
+    (no entropy coding — compression is a quality choice, framing is
+    the contract). Lets fixtures and tests run even where no native
+    encoder exists; decodable by any zstd implementation.
+    ``checksum`` appends the XXH64-low32 content checksum."""
+    out = bytearray(struct.pack("<I", ZSTD_MAGIC))
+    # single-segment, FCS flag by size, optional checksum bit
+    ck = 0x04 if checksum else 0
+    if len(content) < 256 and len(content) > 0:
+        out += bytes([0x20 | ck]) + bytes([len(content)])
+    else:
+        out += bytes([0xA0 | ck]) + struct.pack("<I", len(content))
+    if not content:
+        out += (1).to_bytes(3, "little")  # last, raw, size 0
+    else:
+        max_block = 128 << 10
+        for i in range(0, len(content), max_block):
+            chunk = content[i:i + max_block]
+            last = 1 if i + max_block >= len(content) else 0
+            out += ((len(chunk) << 3) | last).to_bytes(3, "little")
+            out += chunk
+    if checksum:
+        out += struct.pack("<I", xxh64(content) & 0xFFFFFFFF)
+    return bytes(out)
+
+
+def write_seekable(frames: list[bytes],
+                   content_sizes: list[int]) -> bytes:
+    """Concatenate per-record zstd frames and append the seekable-
+    format seek table (skippable frame 0x184D2A5E: per-frame
+    (compressed_size, decompressed_size) LE pairs + footer
+    [num_frames u32][descriptor u8][magic 0x8F92EAB1]) — the
+    facebook/zstd contrib format every seekable-zstd reader speaks."""
+    body = b"".join(frames)
+    entries = b"".join(
+        struct.pack("<II", len(f), c)
+        for f, c in zip(frames, content_sizes))
+    footer = struct.pack("<IBI", len(frames), 0, SEEK_FOOTER_MAGIC)
+    table = entries + footer
+    skippable = struct.pack("<II", SEEKABLE_MAGIC, len(table)) + table
+    return body + skippable
+
+
+def read_seek_table(data: bytes) -> list[tuple[int, int, int]]:
+    """(offset, compressed_size, decompressed_size) per frame from the
+    trailing seek table. The table is found from the END (footer magic
+    + entry arithmetic), so readers never scan the body — the point of
+    the format."""
+    if len(data) < 17:
+        raise ValueError("zstd-seekable: too short for a seek table")
+    nf, desc, magic = struct.unpack("<IBI", data[-9:])
+    if magic != SEEK_FOOTER_MAGIC:
+        raise ValueError("zstd-seekable: footer magic missing")
+    if desc & 0x7C:
+        raise ValueError("zstd-seekable: reserved descriptor bits set")
+    entry = 12 if (desc & 0x80) else 8  # bit 7: per-frame checksums
+    table_len = nf * entry + 9
+    head = len(data) - table_len - 8
+    if head < 0:
+        raise ValueError("zstd-seekable: seek table overruns file")
+    smagic, ssize = struct.unpack("<II", data[head:head + 8])
+    if smagic != SEEKABLE_MAGIC or ssize != table_len:
+        raise ValueError("zstd-seekable: skippable envelope mismatch")
+    out = []
+    off = 0
+    p = head + 8
+    for _ in range(nf):
+        c_size, d_size = struct.unpack("<II", data[p:p + 8])
+        p += entry
+        out.append((off, c_size, d_size))
+        off += c_size
+    return out
+
+
+# --------------------------------------------------------------------------
+# XXH64 (for frame content checksums)
+# --------------------------------------------------------------------------
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def xxh64(data: bytes, seed: int = 0) -> int:
+    """XXH64 (public xxHash spec) — zstd's frame checksum keeps its
+    low 32 bits."""
+    n = len(data)
+    i = 0
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        while i + 32 <= n:
+            for j, v in enumerate((v1, v2, v3, v4)):
+                lane = int.from_bytes(data[i + 8 * j:i + 8 * j + 8],
+                                      "little")
+                v = (v + lane * _P2) & _M64
+                v = (_rotl(v, 31) * _P1) & _M64
+                if j == 0:
+                    v1 = v
+                elif j == 1:
+                    v2 = v
+                elif j == 2:
+                    v3 = v
+                else:
+                    v4 = v
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12)
+             + _rotl(v4, 18)) & _M64
+        for v in (v1, v2, v3, v4):
+            v = (_rotl((v * _P2) & _M64, 31) * _P1) & _M64
+            h = (((h ^ v) * _P1) + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        lane = int.from_bytes(data[i:i + 8], "little")
+        k = (_rotl((lane * _P2) & _M64, 31) * _P1) & _M64
+        h = ((_rotl(h ^ k, 27) * _P1) + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        lane = int.from_bytes(data[i:i + 4], "little")
+        h = ((_rotl(h ^ ((lane * _P1) & _M64), 23) * _P2) + _P3) & _M64
+        i += 4
+    while i < n:
+        h = ((_rotl(h ^ ((data[i] * _P5) & _M64), 11)) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h

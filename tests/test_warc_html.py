@@ -182,3 +182,49 @@ def test_member_end_truncated_raises():
           "payload": http_response_bytes(b"hello")}], gzip_members=True)
     with pytest.raises(ValueError, match="truncated gzip"):
         member_index(full[:-4])
+
+
+def test_warc_zst_roundtrip():
+    """.warc.zst: per-record zstd frames (the modern shard layout) feed
+    the same record parser; frames are independently decodable via the
+    seek-table/frame-index path."""
+    import pyarrow as pa
+
+    from gfw_pixetl_spark.sources.zstd import decompress, frame_index
+
+    recs = [{"uri": f"http://e.com/{i}",
+             "payload": http_response_bytes(f"body {i}".encode())}
+            for i in range(5)]
+    plain = write_warc(recs, gzip_members=False)
+    codec = pa.Codec("zstd")
+    zst = bytes(codec.compress(plain))
+    got = list(iter_warc(zst))
+    want = list(iter_warc(plain))
+    assert got == want and len(got) == 6  # warcinfo + 5 responses
+    # per-record frames concatenate into a multi-frame .warc.zst
+    # whose frame_index gives record-granular ranged access
+    frames = b"".join(
+        bytes(codec.compress(r)) for r in
+        (plain[s:e] for s, e in _record_spans(plain)))
+    assert list(iter_warc(frames)) == want
+    fi = frame_index(frames)
+    assert len(fi) == 6
+    first = decompress(frames[fi[1][0]:fi[1][0] + fi[1][1]])
+    assert b"http://e.com/0" in first
+
+
+def _record_spans(plain: bytes):
+    spans = []
+    pos = 0
+    while pos < len(plain):
+        hdr_end = plain.index(b"\r\n\r\n", pos)
+        head = plain[pos:hdr_end].decode("latin-1")
+        n = int([x for x in head.split("\r\n")
+                 if x.lower().startswith("content-length")][0]
+                .split(":")[1])
+        end = hdr_end + 4 + n
+        while plain[end:end + 2] == b"\r\n":
+            end += 2
+        spans.append((pos, end))
+        pos = end
+    return spans
