@@ -375,6 +375,7 @@ BENCH_QUERIES = [
     "q380_srt_cues",
     "q381_pdf_xref_stream",
     "q382_zstd_jsonl",
+    "q383_unigram_train",
 ]
 
 

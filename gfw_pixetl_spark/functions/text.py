@@ -716,3 +716,119 @@ def bpe_train(df: DataFrame, text_col: str = "text",
         out.append((it, b.p1, b.p2, int(b.n), int(total)))
     return spark.createDataFrame(
         out, "it int, p1 string, p2 string, n bigint, total_tokens bigint")
+
+
+def unigram_train(df: DataFrame, text_col: str = "text",
+                  n_seed: int = 40, rounds: int = 2,
+                  max_word: int = 8, max_piece: int = 4) -> DataFrame:
+    """SentencePiece-style unigram-LM tokenizer training as distributed
+    hard-EM (Viterbi E-step + count M-step) — the third major tokenizer
+    family next to BPE (``bpe_train``) and WordPiece (q329).
+
+    The Viterbi objective is the log-prob objective made INTEGER so the
+    EM replays exactly in the SQL oracle: segmentations are ranked by
+    (fewest pieces, then highest total piece frequency, then smallest
+    segmentation string) — the dominant term of the unigram log-prob
+    (each extra piece costs ~log(total) >> per-piece frequency deltas)
+    with deterministic total tie-breaks instead of float logs, which
+    would hash-drift across engines' libm.
+
+    Scale shape (the q272/q160 discipline): EM runs on the
+    WORD-FREQUENCY table — one fact-scale word count, then every round
+    touches only value-domain rows. The piece inventory is bounded
+    (alphabet + ``n_seed``) and rides into the E-step kernel as closure
+    metadata; each round is one Arrow kernel pass over the word table
+    plus one hash agg, and the only collects are inventory-sized.
+
+    Seeding: all substrings of length 1..max_piece by weighted corpus
+    frequency; the alphabet is always kept (every word must stay
+    segmentable — the SentencePiece invariant); the top ``n_seed``
+    multi-char pieces enter round 1. A multi-char piece whose count
+    drops to zero is pruned at the end of the round.
+
+    Returns (round, piece, cnt): the surviving inventory after each
+    round's E-step with its usage counts.
+    """
+    spark = df.sparkSession
+    word_tbl = (
+        df.select(F.explode(words(text_col)).alias("w"))
+        .filter(F.col("w").rlike(BPE_WORD_FILTER) & (F.length("w") >= 2))
+        .groupBy(F.substring(F.lower("w"), 1, max_word).alias("word"))
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint()
+    )
+    n = F.length("word")
+    sub_parts = [
+        word_tbl.filter(n >= ln).select(
+            "cnt",
+            F.explode(F.expr(
+                f"transform(sequence(1, length(word) - {ln} + 1), "
+                f"i -> substring(word, i, {ln}))")).alias("piece"),
+        )
+        for ln in range(1, max_piece + 1)
+    ]
+    subs = sub_parts[0]
+    for p in sub_parts[1:]:
+        subs = subs.unionByName(p)
+    freq = subs.groupBy("piece").agg(F.sum("cnt").alias("freq"))
+    chars = {r["piece"]: int(r["freq"])
+             for r in freq.filter(F.length("piece") == 1).collect()}
+    multi = {r["piece"]: int(r["freq"])
+             for r in freq.filter(F.length("piece") > 1)
+             .orderBy(F.col("freq").desc(), F.col("piece").asc())
+             .limit(n_seed).collect()}  # bounded: inventory metadata
+
+    def run_estep(inventory: dict) -> dict:
+        """One Viterbi pass over the word table; returns piece counts."""
+        inv = dict(inventory)
+
+        def kernel(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                segs = []
+                for word in pdf["word"]:
+                    dp = [None] * (len(word) + 1)
+                    dp[0] = (0, 0, "")
+                    for j in range(1, len(word) + 1):
+                        best = None
+                        for ln in range(1, min(max_piece, j) + 1):
+                            prev = dp[j - ln]
+                            if prev is None:
+                                continue
+                            pc = word[j - ln:j]
+                            w = inv.get(pc)
+                            if w is None:
+                                continue
+                            cand = (prev[0] + 1, prev[1] - w,
+                                    prev[2] + "|" + pc)
+                            if best is None or cand < best:
+                                best = cand
+                        dp[j] = best
+                    segs.append(dp[len(word)][2])
+                yield pd.DataFrame({"word": pdf["word"],
+                                    "cnt": pdf["cnt"], "seg": segs})
+
+        seg_df = word_tbl.mapInPandas(
+            kernel, "word string, cnt long, seg string")
+        counts = (
+            seg_df.select(
+                "cnt",
+                F.explode(F.filter(F.split("seg", r"\|"),
+                                   lambda x: x != "")).alias("piece"))
+            .groupBy("piece").agg(F.sum("cnt").alias("cnt"))
+            .collect())  # bounded: <= |inventory| rows
+        return {r["piece"]: int(r["cnt"]) for r in counts}
+
+    out_rows = []
+    inv_multi = dict(multi)
+    inv_chars = dict(chars)
+    for rnd in range(1, rounds + 1):
+        counts = run_estep({**inv_chars, **inv_multi})
+        inv_chars = {p: counts.get(p, 0) for p in inv_chars}
+        inv_multi = {p: counts[p] for p in inv_multi if counts.get(p, 0)}
+        out_rows += [(rnd, p, c) for p, c in inv_chars.items()]
+        out_rows += [(rnd, p, c) for p, c in inv_multi.items()]
+    return (spark.createDataFrame(
+        out_rows, "round int, piece string, cnt bigint")
+        .orderBy("round", "piece"))

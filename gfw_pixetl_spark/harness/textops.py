@@ -3085,6 +3085,116 @@ def q382(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q383 — UNIGRAM-LM TOKENIZER TRAINING (SentencePiece-style hard-EM):
+# the third tokenizer family next to BPE (q272) and WordPiece (q329).
+# Distributed EM on the word-frequency table: Viterbi E-step as an
+# Arrow kernel (inventory rides as bounded closure metadata), count
+# M-step as one hash agg per round, alphabet always kept, zero-count
+# multi-char pieces pruned per round. The Viterbi objective is integer
+# (fewest pieces, then max total piece frequency, then smallest
+# segmentation string) so the oracle — which brute-force ENUMERATES
+# every segmentation of every (8-char-truncated) word with a recursive
+# CTE and picks the same argmin — must agree on every count exactly,
+# with no float-log drift. Closes VERDICT r5 gap #4.
+# --------------------------------------------------------------------------
+_UNI_SEED = 40
+
+
+def _unigram_oracle() -> str:
+    viterbi_pick = ("row_number() OVER (PARTITION BY word "
+                    "ORDER BY np ASC, fs DESC, seg ASC)")
+    return f"""
+    WITH RECURSIVE w0 AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        SELECT substr(lower(w), 1, 8) AS word
+        FROM (SELECT unnest({SQL_WORDS}) AS w FROM documents)
+        WHERE regexp_full_match(w, '[A-Za-z]+') AND len(w) >= 2
+      ) GROUP BY word
+    ),
+    subs AS MATERIALIZED (
+      SELECT piece, SUM(cnt) AS freq FROM (
+        SELECT substr(word, g.i, l.l) AS piece, cnt
+        FROM w0, (VALUES (1),(2),(3),(4)) l(l),
+             LATERAL (SELECT unnest(generate_series(
+                        1, len(word) - l.l + 1)) AS i) g
+        WHERE len(word) >= l.l
+      ) GROUP BY piece
+    ),
+    p1 AS MATERIALIZED (
+      SELECT piece, freq FROM subs WHERE len(piece) = 1
+      UNION ALL
+      SELECT piece, freq FROM (
+        SELECT piece, freq FROM subs WHERE len(piece) > 1
+        ORDER BY freq DESC, piece ASC LIMIT {_UNI_SEED})
+    ),
+    paths1 AS (
+      SELECT word, cnt, 0 AS pos, 0 AS np,
+             CAST(0 AS BIGINT) AS fs, '' AS seg FROM w0
+      UNION ALL
+      SELECT t.word, t.cnt, t.pos + len(p.piece), t.np + 1,
+             t.fs + p.freq, t.seg || '|' || p.piece
+      FROM paths1 t JOIN p1 p
+        ON substr(t.word, t.pos + 1, len(p.piece)) = p.piece
+      WHERE t.pos < len(t.word)
+    ),
+    seg1 AS MATERIALIZED (
+      SELECT word, cnt, seg FROM (
+        SELECT word, cnt, seg, {viterbi_pick} AS rn
+        FROM paths1 WHERE pos = len(word)) WHERE rn = 1
+    ),
+    c1 AS MATERIALIZED (
+      SELECT piece, CAST(SUM(cnt) AS BIGINT) AS cnt FROM (
+        SELECT unnest(list_filter(string_split(seg, '|'),
+                                  x -> x != '')) AS piece, cnt
+        FROM seg1) GROUP BY piece
+    ),
+    p2 AS MATERIALIZED (
+      SELECT p.piece, COALESCE(c.cnt, 0) AS freq
+      FROM p1 p LEFT JOIN c1 c USING (piece)
+      WHERE len(p.piece) = 1 OR COALESCE(c.cnt, 0) > 0
+    ),
+    paths2 AS (
+      SELECT word, cnt, 0 AS pos, 0 AS np,
+             CAST(0 AS BIGINT) AS fs, '' AS seg FROM w0
+      UNION ALL
+      SELECT t.word, t.cnt, t.pos + len(p.piece), t.np + 1,
+             t.fs + p.freq, t.seg || '|' || p.piece
+      FROM paths2 t JOIN p2 p
+        ON substr(t.word, t.pos + 1, len(p.piece)) = p.piece
+      WHERE t.pos < len(t.word)
+    ),
+    seg2 AS MATERIALIZED (
+      SELECT word, cnt, seg FROM (
+        SELECT word, cnt, seg, {viterbi_pick} AS rn
+        FROM paths2 WHERE pos = len(word)) WHERE rn = 1
+    ),
+    c2 AS MATERIALIZED (
+      SELECT piece, CAST(SUM(cnt) AS BIGINT) AS cnt FROM (
+        SELECT unnest(list_filter(string_split(seg, '|'),
+                                  x -> x != '')) AS piece, cnt
+        FROM seg2) GROUP BY piece
+    )
+    SELECT * FROM (
+      SELECT CAST(1 AS INT) AS round, p.piece,
+             CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+      FROM p1 p LEFT JOIN c1 c USING (piece)
+      WHERE len(p.piece) = 1 OR COALESCE(c.cnt, 0) > 0
+      UNION ALL
+      SELECT CAST(2 AS INT) AS round, p.piece,
+             CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+      FROM p2 p LEFT JOIN c2 c USING (piece)
+      WHERE len(p.piece) = 1 OR COALESCE(c.cnt, 0) > 0
+    ) ORDER BY round, piece
+    """
+
+
+@register("q383_unigram_train", oracle=_unigram_oracle())
+def q383(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.unigram_train(
+        load(spark, sf_dir, "documents"), n_seed=_UNI_SEED, rounds=2)
+
+
+# --------------------------------------------------------------------------
 # q371 — WARC INGEST (ISO 28500 / Common Crawl layout): each doc rides
 # as an HTTP response record inside a per-record-gzip-member WARC
 # (sources/warc.py). The kernel runs the REAL chain — gzip member

@@ -511,3 +511,32 @@ def test_sq8_codes_bounded_and_scale_recovers(spark):
         assert all(-127 <= c <= 127 for c in code)
         assert max(abs(c) for c in code) == 127  # max-abs element saturates
     assert out[0][0] == [64, -127, 32, 127]  # exact quarters of 127+0.5 floor
+
+
+def test_unigram_train(spark):
+    """Unigram-LM hard-EM: alphabet always survives, multi-char pieces
+    reflect Viterbi usage (fewest-pieces objective picks the longest
+    covering pieces), zero-count multis are pruned, counts are exact."""
+    from gfw_pixetl_spark.functions.text import unigram_train
+
+    df = spark.createDataFrame(
+        [("the cat sat on the mat the cat",),
+         ("the mat the cat the hat",),
+         ("cat hat mat bat",)], "text string")
+    out = unigram_train(df, n_seed=6, rounds=2, max_piece=3)
+    rows = out.collect()
+    r2 = {r.piece: r.cnt for r in rows if r.round == 2}
+    # 'the'/'cat'/'mat'/'hat' are 3-char words: a single piece wins the
+    # fewest-pieces objective outright
+    assert r2.get("the", 0) >= 5
+    assert r2.get("cat", 0) >= 4
+    # alphabet present even at zero usage
+    for ch in "thecasonmb":
+        assert ch in r2
+    # single-piece segmentation means the chars of 'the' go unused
+    # ('h' stays used: 'hat' segments as h + at)
+    assert r2["t"] == 0 and r2["e"] == 0 and r2["h"] == 2
+    # rounds are monotone in inventory: round-2 multis are a subset
+    r1_multi = {r.piece for r in rows if r.round == 1 and len(r.piece) > 1}
+    r2_multi = {r.piece for r in rows if r.round == 2 and len(r.piece) > 1}
+    assert r2_multi <= r1_multi
