@@ -475,6 +475,31 @@ def main() -> None:
             print(f"bench scale_stress_vector FAILED: {e}", file=sys.stderr)
             stress_vec = {"sec": -1.0, "golden": False}
 
+    # At-size CRAWL-curation composition stress (>=100 MB of WARC
+    # shards through ingest -> filters -> dedup -> store probe ->
+    # snapshot append, r5 verdict #4): closed-form survivor golden.
+    stress_crawl = None
+    if os.environ.get("SPARK_GRAFT_BENCH_STRESS", "1") != "0":
+        import tempfile
+
+        from gfw_pixetl_spark.harness import scale_stress_crawl
+
+        try:
+            t0 = time.perf_counter()
+            facts = scale_stress_crawl.run(spark, tempfile.mkdtemp())
+            problems = scale_stress_crawl.verify_outputs(facts)
+            stress_crawl = {
+                "sec": round(time.perf_counter() - t0, 3),
+                "sec_full_pipeline": facts["sec_full_pipeline"],
+                "warc_mb": facts["warc_bytes_uncompressed"] // 2**20,
+                "survivors": facts["snapshot_rows"],
+                "max_batch_mb": round(facts["max_batch_bytes"] / 2**20, 1),
+                "golden": not problems,
+            }
+        except Exception as e:  # noqa: BLE001
+            print(f"bench scale_stress_crawl FAILED: {e}", file=sys.stderr)
+            stress_crawl = {"sec": -1.0, "golden": False}
+
     # Full per-query medians go to a file (the driver's tail capture is
     # ~2 KB; a 169-entry map overflows it — r2 verdict #2). The LAST stdout
     # line is a compact summary the driver can always parse.
@@ -488,6 +513,7 @@ def main() -> None:
         "aggregation": "median_per_query",
         "scale_stress": stress,
         "scale_stress_vector": stress_vec,
+        "scale_stress_crawl": stress_crawl,
     }
     repo = Path(__file__).resolve().parent
     detail_path = repo / "BENCH_DETAIL.json"
@@ -522,6 +548,7 @@ def main() -> None:
                 "aggregation": "median_per_query",
                 "scale_stress": stress,
                 "scale_stress_vector": stress_vec,
+        "scale_stress_crawl": stress_crawl,
                 "detail": str(detail_path),
             }
         )
