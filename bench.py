@@ -376,6 +376,7 @@ BENCH_QUERIES = [
     "q381_pdf_xref_stream",
     "q382_zstd_jsonl",
     "q383_unigram_train",
+    "q384_exif_orientation",
 ]
 
 

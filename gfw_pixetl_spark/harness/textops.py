@@ -3195,6 +3195,124 @@ def q383(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q384 — EXIF ORIENTATION NORMALIZATION + GPS EXTRACTION: tag 274 is
+# the #1 cause of silently-rotated training images (pixels stored as
+# the sensor saw them, the tag says how to display them), and the GPS
+# IFD (RATIONAL dms triplets + hemisphere refs) is what geo-dedup
+# joins on. Each doc gets a JPEG carrying a full EXIF block
+# (orientation (doc_id % 8) + 1, GPS IFD) plus a LOSSLESS PNG payload
+# of analytically-known pixels; the kernel parses the EXIF, decodes
+# the PNG, applies the orientation transform and reports display dims
+# + both display corners + signed decimal GPS — every value replayed
+# in closed form by the oracle, so a wrong rot90 direction or a
+# swapped dms term cannot hide. Closes VERDICT r5 brief item #6.
+# --------------------------------------------------------------------------
+EXIF_ORIENT_SCHEMA = ("doc_id long, orientation int, out_h int, "
+                      "out_w int, c00 int, c_end int, "
+                      "lat double, lon double")
+_XH, _XW = 24, 16  # stored dims; distinct so transposes are visible
+
+
+@register(
+    "q384_exif_orientation",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, CAST(doc_id % 8 + 1 AS INT) AS o FROM documents
+    )
+    SELECT doc_id, o AS orientation,
+           CAST(CASE WHEN o <= 4 THEN {_XH} ELSE {_XW} END AS INT)
+             AS out_h,
+           CAST(CASE WHEN o <= 4 THEN {_XW} ELSE {_XH} END AS INT)
+             AS out_w,
+           CAST(CASE o
+             WHEN 1 THEN (doc_id) % 251
+             WHEN 2 THEN (7 * ({_XW} - 1) + doc_id) % 251
+             WHEN 3 THEN (31 * ({_XH} - 1) + 7 * ({_XW} - 1) + doc_id)
+                         % 251
+             WHEN 4 THEN (31 * ({_XH} - 1) + doc_id) % 251
+             WHEN 5 THEN (doc_id) % 251
+             WHEN 6 THEN (31 * ({_XH} - 1) + doc_id) % 251
+             WHEN 7 THEN (31 * ({_XH} - 1) + 7 * ({_XW} - 1) + doc_id)
+                         % 251
+             WHEN 8 THEN (7 * ({_XW} - 1) + doc_id) % 251
+           END AS INT) AS c00,
+           CAST(CASE o
+             WHEN 1 THEN (31 * ({_XH} - 1) + 7 * ({_XW} - 1) + doc_id)
+                         % 251
+             WHEN 2 THEN (31 * ({_XH} - 1) + doc_id) % 251
+             WHEN 3 THEN (doc_id) % 251
+             WHEN 4 THEN (7 * ({_XW} - 1) + doc_id) % 251
+             WHEN 5 THEN (31 * ({_XH} - 1) + 7 * ({_XW} - 1) + doc_id)
+                         % 251
+             WHEN 6 THEN (7 * ({_XW} - 1) + doc_id) % 251
+             WHEN 7 THEN (doc_id) % 251
+             WHEN 8 THEN (31 * ({_XH} - 1) + doc_id) % 251
+           END AS INT) AS c_end,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1.0 ELSE -1.0 END
+             * (doc_id % 90 + 0.5) AS DOUBLE) AS lat,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN -1.0 ELSE 1.0 END
+             * (doc_id % 180 + 0.25) AS DOUBLE) AS lon
+    FROM base
+    """,
+)
+def q384(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.partitioning import ensure_min_partitions
+
+    docs = ensure_min_partitions(
+        load(spark, sf_dir, "documents").select("doc_id"))
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..sources.exif import (
+            TAG_ORIENTATION, apply_orientation, build_exif, gps_decimal,
+            insert_exif, parse_exif,
+        )
+        from ..sources.jpeg import encode_jpeg
+        from ..sources.png import decode_png, encode_png
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "orientation", "out_h",
+                                   "out_w", "c00", "c_end",
+                                   "lat", "lon")}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                o = i % 8 + 1
+                # the camera file: JPEG carrying the EXIF block
+                lat_d, lon_d = i % 90, i % 180
+                exif = build_exif(
+                    make="StressCam", orientation=o,
+                    gps=("N" if i % 2 == 0 else "S",
+                         ((lat_d, 1), (30, 1), (0, 1)),
+                         "W" if i % 3 == 0 else "E",
+                         ((lon_d, 1), (15, 1), (0, 1))))
+                carrier = insert_exif(
+                    encode_jpeg(np.zeros((8, 8), np.uint8)), exif)
+                # the lossless pixel payload (sidecar PNG)
+                rr = np.arange(_XH, dtype=np.int64)[:, None]
+                cc = np.arange(_XW, dtype=np.int64)[None, :]
+                img = ((31 * rr + 7 * cc + i) % 251).astype(np.uint8)
+                payload = encode_png(img)
+
+                tags = parse_exif(carrier)
+                norm = apply_orientation(decode_png(payload),
+                                         int(tags[TAG_ORIENTATION]))
+                la, lo = gps_decimal(tags)
+                out["doc_id"].append(i)
+                out["orientation"].append(int(tags[TAG_ORIENTATION]))
+                out["out_h"].append(norm.shape[0])
+                out["out_w"].append(norm.shape[1])
+                out["c00"].append(int(norm[0, 0]))
+                out["c_end"].append(int(norm[-1, -1]))
+                out["lat"].append(la)
+                out["lon"].append(lo)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(kernel, EXIF_ORIENT_SCHEMA)
+
+
+# --------------------------------------------------------------------------
 # q371 — WARC INGEST (ISO 28500 / Common Crawl layout): each doc rides
 # as an HTTP response record inside a per-record-gzip-member WARC
 # (sources/warc.py). The kernel runs the REAL chain — gzip member
@@ -3206,7 +3324,8 @@ def q383(spark: SparkSession, sf_dir: str) -> DataFrame:
 # inflate, exactly what member_index enables.
 # --------------------------------------------------------------------------
 WARC_SCHEMA = ("doc_id long, n_members int, status int, ctype string, "
-               "body_bytes int, body_sig int")
+               "body_bytes int, body_sig int, n_parsed int, "
+               "n_bad_members int")
 
 
 @register(
@@ -3218,7 +3337,9 @@ WARC_SCHEMA = ("doc_id long, n_members int, status int, ctype string, "
            'text/html' AS ctype,
            CAST(length('<p>' || text || '</p>') AS INT) AS body_bytes,
            ('0x' || substr(md5('<p>' || text || '</p>'), 1, 4))::INT
-               AS body_sig
+               AS body_sig,
+           CAST(2 AS INT) AS n_parsed,
+           CAST(1 AS INT) AS n_bad_members
     FROM documents
     """,
 )
@@ -3227,7 +3348,7 @@ def q371(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..functions.partitioning import ensure_min_partitions
     from ..sources.warc import (
-        http_response_bytes, iter_warc, member_index, parse_http_response,
+        http_response_bytes, member_index, parse_http_response, scan_warc,
         write_warc,
     )
 
@@ -3239,7 +3360,8 @@ def q371(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in batches:
             out = {k: [] for k in ("doc_id", "n_members", "status",
-                                   "ctype", "body_bytes", "body_sig")}
+                                   "ctype", "body_bytes", "body_sig",
+                                   "n_parsed", "n_bad_members")}
             for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
                 body = f"<p>{t}</p>".encode()
                 status = 404 if doc_id % 4 == 1 else 200
@@ -3249,8 +3371,14 @@ def q371(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "payload": http_response_bytes(body, status=status),
                 }])
                 n_members = len(member_index(warc))
+                # real archives carry damage: append a TRUNCATED gzip
+                # member so the lenient scan's skip-and-count contract
+                # is exercised on every doc (counters are analytic: the
+                # 2 intact records parse, the stub counts as 1 bad)
+                damaged = warc + b"\x1f\x8b\x08" + b"\x00" * 5
+                records, counters = scan_warc(damaged)
                 got = None
-                for headers, payload in iter_warc(warc):
+                for headers, payload in records:
                     if headers.get("WARC-Type") == "response":
                         got = parse_http_response(payload)
                 st, hh, bb = got
@@ -3261,6 +3389,8 @@ def q371(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["body_bytes"].append(len(bb))
                 out["body_sig"].append(
                     int(_hashlib.md5(bb).hexdigest()[:4], 16))
+                out["n_parsed"].append(counters["n_records"])
+                out["n_bad_members"].append(counters["bad_gzip_members"])
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(kernel, WARC_SCHEMA)

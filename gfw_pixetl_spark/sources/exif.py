@@ -24,7 +24,21 @@ TAG_MODEL = 272
 TAG_ORIENTATION = 274
 TAG_DATETIME = 306
 TAG_EXIF_IFD = 34665
+TAG_GPS_IFD = 34853
 TAG_ISO = 34855
+# GPS IFD tags (EXIF 2.3 §4.6.6); values land in the same flat dict
+# offset by _GPS_NS so they can't collide with IFD0/Exif tag numbers
+GPS_LAT_REF = 1
+GPS_LAT = 2
+GPS_LON_REF = 3
+GPS_LON = 4
+_GPS_NS = 0x10000
+
+
+def gps_tag(t: int) -> int:
+    """Namespaced key of GPS tag ``t`` in ``parse_exif``'s output."""
+    return _GPS_NS + t
+
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 
@@ -32,16 +46,24 @@ _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
 def build_exif(
     make: str = "", model: str = "", orientation: int = 1,
     datetime: str = "", iso: int | None = None,
+    gps: tuple | None = None,
     byte_order: str = "II",
 ) -> bytes:
     """APP1 payload: 'Exif\\0\\0' + TIFF header + IFD0 (+ ExifIFD when
-    iso is given). Both byte orders supported."""
+    iso is given, + GPS IFD when ``gps`` is given). Both byte orders
+    supported. ``gps`` = (lat_ref, lat_dms, lon_ref, lon_dms) with each
+    dms a 3-tuple of (numerator, denominator) RATIONALs — the EXIF 2.3
+    GPS layout every camera writes."""
     en = "<" if byte_order == "II" else ">"
 
     def entry(tag, ftype, values, extra_at):
         if ftype == 2:  # ASCII, NUL-terminated
             data = values.encode("ascii") + b"\x00"
             n = len(data)
+        elif ftype == 5:  # RATIONAL: 2 x u32 per value
+            data = b"".join(struct.pack(en + "II", num, den)
+                            for num, den in values)
+            n = len(values)
         else:
             data = b"".join(struct.pack(
                 en + {3: "H", 4: "I"}[ftype], v) for v in values)
@@ -62,14 +84,26 @@ def build_exif(
         entries0.append((TAG_DATETIME, 2, datetime))
 
     exif_entries = [(TAG_ISO, 3, [iso])] if iso is not None else []
+    gps_entries = []
+    if gps is not None:
+        lat_ref, lat_dms, lon_ref, lon_dms = gps
+        gps_entries = [
+            (GPS_LAT_REF, 2, lat_ref),
+            (GPS_LAT, 5, list(lat_dms)),
+            (GPS_LON_REF, 2, lon_ref),
+            (GPS_LON, 5, list(lon_dms)),
+        ]
 
-    # layout: header(8) + IFD0 + [ExifIFD] + value area
-    n0 = len(entries0) + (1 if exif_entries else 0)
+    # layout: header(8) + IFD0 + [ExifIFD] + [GPSIFD] + value area
+    n0 = (len(entries0) + (1 if exif_entries else 0)
+          + (1 if gps_entries else 0))
     ifd0_at = 8
     ifd0_size = 2 + 12 * n0 + 4
     exif_at = ifd0_at + ifd0_size
     exif_size = (2 + 12 * len(exif_entries) + 4) if exif_entries else 0
-    extra_at = exif_at + exif_size
+    gps_at = exif_at + exif_size
+    gps_size = (2 + 12 * len(gps_entries) + 4) if gps_entries else 0
+    extra_at = gps_at + gps_size
 
     def render(entries, extra_at, extra_parts):
         body = b""
@@ -81,18 +115,24 @@ def build_exif(
         return body, extra_at
 
     extras: list[bytes] = []
-    all0 = list(entries0)
-    body0, extra_at = render(all0, extra_at, extras)
+    body0, extra_at = render(list(entries0), extra_at, extras)
     if exif_entries:
         body0 += struct.pack(en + "HHII", TAG_EXIF_IFD, 4, 1, exif_at)
+    if gps_entries:
+        body0 += struct.pack(en + "HHII", TAG_GPS_IFD, 4, 1, gps_at)
     ifd0 = struct.pack(en + "H", n0) + body0 + struct.pack(en + "I", 0)
     exif_ifd = b""
     if exif_entries:
         bodyx, extra_at = render(exif_entries, extra_at, extras)
         exif_ifd = (struct.pack(en + "H", len(exif_entries)) + bodyx
                     + struct.pack(en + "I", 0))
+    gps_ifd = b""
+    if gps_entries:
+        bodyg, extra_at = render(gps_entries, extra_at, extras)
+        gps_ifd = (struct.pack(en + "H", len(gps_entries)) + bodyg
+                   + struct.pack(en + "I", 0))
     tiff = (byte_order.encode() + struct.pack(en + "HI", 42, ifd0_at)
-            + ifd0 + exif_ifd + b"".join(extras))
+            + ifd0 + exif_ifd + gps_ifd + b"".join(extras))
     return b"Exif\x00\x00" + tiff
 
 
@@ -105,7 +145,8 @@ def insert_exif(jpeg: bytes, exif_payload: bytes) -> bytes:
     return jpeg[:2] + seg + jpeg[2:]
 
 
-def _read_ifd(tiff: bytes, en: str, at: int, out: dict) -> None:
+def _read_ifd(tiff: bytes, en: str, at: int, out: dict,
+              ns: int = 0) -> None:
     (n,) = struct.unpack_from(en + "H", tiff, at)
     for i in range(n):
         tag, ftype, cnt = struct.unpack_from(
@@ -123,9 +164,13 @@ def _read_ifd(tiff: bytes, en: str, at: int, out: dict) -> None:
         elif ftype == 4:
             vals = struct.unpack_from(en + f"{cnt}I", tiff, voff)
             val = vals[0] if cnt == 1 else list(vals)
+        elif ftype == 5:  # RATIONAL: (numerator, denominator) pairs
+            raw = struct.unpack_from(en + f"{2 * cnt}I", tiff, voff)
+            pairs = [(raw[2 * k], raw[2 * k + 1]) for k in range(cnt)]
+            val = pairs[0] if cnt == 1 else pairs
         else:
             val = tiff[voff:voff + size]
-        out[tag] = val
+        out[ns + tag] = val
 
 
 def parse_exif(jpeg: bytes) -> dict:
@@ -168,6 +213,55 @@ def parse_exif(jpeg: bytes) -> dict:
             _read_ifd(tiff, en, ifd0, out)
             if TAG_EXIF_IFD in out:
                 _read_ifd(tiff, en, int(out[TAG_EXIF_IFD]), out)
+            if TAG_GPS_IFD in out:
+                # GPS tag numbers restart at 1 (EXIF 2.3 §4.6.6):
+                # namespace them so they can't shadow IFD0 tags
+                _read_ifd(tiff, en, int(out[TAG_GPS_IFD]), out,
+                          ns=_GPS_NS)
             return out
         pos += seg_len
     return {}
+
+
+def gps_decimal(tags: dict) -> tuple[float, float] | None:
+    """(lat, lon) in signed decimal degrees from a parsed tag dict, or
+    None when no GPS IFD was present. S/W references negate."""
+    lat = tags.get(gps_tag(GPS_LAT))
+    lon = tags.get(gps_tag(GPS_LON))
+    if lat is None or lon is None:
+        return None
+
+    def dms(v):
+        return sum((num / den) / 60 ** k
+                   for k, (num, den) in enumerate(v))
+
+    la = dms(lat) * (-1 if tags.get(gps_tag(GPS_LAT_REF)) == "S" else 1)
+    lo = dms(lon) * (-1 if tags.get(gps_tag(GPS_LON_REF)) == "W" else 1)
+    return la, lo
+
+
+def apply_orientation(img, orientation: int):
+    """Normalize a decoded image to display orientation per EXIF tag
+    274 — the #1 cause of silently-rotated training images: the pixels
+    are stored as the sensor saw them and the tag says how to show
+    them. Returns a numpy array (H', W') with dims swapped for the
+    transposed orientations 5-8."""
+    import numpy as np
+
+    if orientation == 1:
+        return img
+    if orientation == 2:
+        return np.fliplr(img)
+    if orientation == 3:
+        return img[::-1, ::-1]
+    if orientation == 4:
+        return np.flipud(img)
+    if orientation == 5:
+        return np.swapaxes(img, 0, 1)
+    if orientation == 6:  # rotate 90 CW for display
+        return np.rot90(img, k=-1)
+    if orientation == 7:  # transverse: transpose + rotate 180
+        return np.swapaxes(img, 0, 1)[::-1, ::-1]
+    if orientation == 8:
+        return np.rot90(img, k=1)
+    raise ValueError(f"EXIF orientation {orientation} out of range")

@@ -190,6 +190,103 @@ def iter_warc(data: bytes):
     yield from _split_records(data)
 
 
+def scan_warc(data: bytes) -> tuple[list[tuple[dict, bytes]], dict]:
+    """LENIENT archive walk for real-world crawls: where ``iter_warc``
+    raises on the first malformed byte, ``scan_warc`` skips damage and
+    counts it — the ingest contract at corpus scale is
+    skip-and-count, never crash-the-shard. Returns
+    (records, counters) with counters:
+
+    * ``n_records`` — well-formed records yielded,
+    * ``bad_gzip_members`` — members that failed to inflate (decoder
+      resyncs by scanning for the next deflate-mode gzip magic),
+    * ``bad_records`` — framing damage at the record layer: missing or
+      non-numeric Content-Length, no header terminator, version-line
+      garbage (resync scans for the next ``WARC/`` sentinel), or a
+      payload truncated by EOF,
+    * ``junk_bytes`` — bytes skipped while resyncing.
+
+    Header parsing also tolerates LF-only terminators and mixed
+    CRLF/LF header lines (splitlines), which real archives exhibit.
+    A failed gzip member contributes NO partial plaintext (the member
+    inflates into a scratch buffer first), so one bad member never
+    corrupts the framing of its neighbors."""
+    counters = {"n_records": 0, "bad_gzip_members": 0,
+                "bad_records": 0, "junk_bytes": 0}
+    if data[:4] == b"\x28\xb5\x2f\xfd":
+        from .zstd import decompress as _zstd_decompress
+
+        data = _zstd_decompress(data)
+    if data[:2] == b"\x1f\x8b":
+        view = memoryview(data)
+        raw = bytearray()
+        pos = 0
+        while pos < len(data):
+            if data[pos:pos + 2] != b"\x1f\x8b":
+                nxt = data.find(b"\x1f\x8b\x08", pos)
+                counters["junk_bytes"] += (
+                    len(data) - pos if nxt < 0 else nxt - pos)
+                if nxt < 0:
+                    break
+                pos = nxt
+                continue
+            scratch = bytearray()
+            try:
+                pos = _member_end(view, pos, sink=scratch)
+                raw += scratch
+            except Exception:  # truncated or corrupt member
+                counters["bad_gzip_members"] += 1
+                nxt = data.find(b"\x1f\x8b\x08", pos + 2)
+                if nxt < 0:
+                    break
+                counters["junk_bytes"] += nxt - pos
+                pos = nxt
+        data = bytes(raw)
+
+    out: list[tuple[dict, bytes]] = []
+    pos, n = 0, len(data)
+    while pos < n:
+        if data[pos:pos + 5] != b"WARC/":
+            nxt = data.find(b"WARC/", pos + 1)
+            counters["bad_records"] += 1
+            counters["junk_bytes"] += n - pos if nxt < 0 else nxt - pos
+            if nxt < 0:
+                break
+            pos = nxt
+            continue
+        crlf_at = data.find(CRLF + CRLF, pos)
+        lf_at = data.find(b"\n\n", pos)
+        if crlf_at < 0 and lf_at < 0:
+            counters["bad_records"] += 1
+            counters["junk_bytes"] += n - pos
+            break
+        if crlf_at >= 0 and (lf_at < 0 or crlf_at <= lf_at):
+            hdr_end, sep = crlf_at, 4
+        else:
+            hdr_end, sep = lf_at, 2
+        head = data[pos:hdr_end].decode("utf-8", "replace").splitlines()
+        headers = {}
+        for line in head[1:]:
+            k, _, v = line.partition(":")
+            headers[k.strip()] = v.strip()
+        clen = headers.get("Content-Length", "")
+        if not clen.isdigit():
+            counters["bad_records"] += 1
+            pos = hdr_end + sep  # resync from the payload bytes
+            continue
+        body_start = hdr_end + sep
+        body = data[body_start:body_start + int(clen)]
+        if len(body) != int(clen):
+            counters["bad_records"] += 1  # truncated by EOF
+            break
+        out.append((headers, body))
+        counters["n_records"] += 1
+        pos = body_start + int(clen)
+        while data[pos:pos + 2] == CRLF or data[pos:pos + 1] == b"\n":
+            pos += 2 if data[pos:pos + 2] == CRLF else 1
+    return out, counters
+
+
 def parse_http_response(payload: bytes) -> tuple[int, dict, bytes]:
     """(status, headers, body) of an HTTP/1.1 response payload."""
     hdr_end = payload.index(CRLF + CRLF)

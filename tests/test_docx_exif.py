@@ -144,3 +144,60 @@ def test_exif_fill_bytes_and_standalone_markers():
     # a stuffed data byte where a marker should be is still an error
     with pytest.raises(ValueError, match="stuffed"):
         parse_exif(b"\xff\xd8\xff\x00rest")
+
+
+def test_exif_gps_roundtrip():
+    """GPS IFD: RATIONAL dms triplets + hemisphere refs round-trip and
+    convert to signed decimal degrees."""
+    from gfw_pixetl_spark.sources.exif import (
+        GPS_LAT, GPS_LON, gps_decimal, gps_tag,
+    )
+
+    jpeg = encode_jpeg(np.zeros((8, 8), np.uint8))
+    for bo in ("II", "MM"):
+        exif = build_exif(
+            make="GpsCam", orientation=1,
+            gps=("S", ((12, 1), (30, 1), (900, 100)),
+                 "W", ((45, 1), (0, 1), (36, 2))),
+            byte_order=bo)
+        tags = parse_exif(insert_exif(jpeg, exif))
+        assert tags[gps_tag(GPS_LAT)] == [(12, 1), (30, 1), (900, 100)]
+        assert tags[gps_tag(GPS_LON)] == [(45, 1), (0, 1), (36, 2)]
+        la, lo = gps_decimal(tags)
+        assert la == -(12 + 30 / 60 + 9 / 3600)
+        assert lo == -(45 + 18 / 3600)
+    # no GPS IFD -> None, and IFD0 tags unharmed
+    tags = parse_exif(insert_exif(jpeg, build_exif(orientation=3)))
+    from gfw_pixetl_spark.sources.exif import gps_decimal as gd
+    assert gd(tags) is None and tags[TAG_ORIENTATION] == 3
+
+
+def test_apply_orientation_all_eight():
+    """Tag-274 normalization: every orientation maps the stored corner
+    pixels to the documented display positions (EXIF 2.32 table 5)."""
+    from gfw_pixetl_spark.sources.exif import apply_orientation
+
+    H, W = 6, 4
+    img = (np.arange(H * W, dtype=np.int64).reshape(H, W)).astype(
+        np.uint8)
+    P = lambda r, c: int(img[r, c])  # noqa: E731
+    want_00 = {1: P(0, 0), 2: P(0, W - 1), 3: P(H - 1, W - 1),
+               4: P(H - 1, 0), 5: P(0, 0), 6: P(H - 1, 0),
+               7: P(H - 1, W - 1), 8: P(0, W - 1)}
+    want_end = {1: P(H - 1, W - 1), 2: P(H - 1, 0), 3: P(0, 0),
+                4: P(0, W - 1), 5: P(H - 1, W - 1), 6: P(0, W - 1),
+                7: P(0, 0), 8: P(H - 1, 0)}
+    for o in range(1, 9):
+        got = apply_orientation(img, o)
+        assert got.shape == ((H, W) if o <= 4 else (W, H)), o
+        assert int(got[0, 0]) == want_00[o], o
+        assert int(got[-1, -1]) == want_end[o], o
+        # normalization is a bijection on pixels
+        assert sorted(got.ravel().tolist()) == sorted(
+            img.ravel().tolist())
+    with pytest.raises(ValueError, match="orientation"):
+        apply_orientation(img, 9)
+    # double-apply of the involutive orientations is identity
+    for o in (2, 3, 4, 5, 7):
+        twice = apply_orientation(apply_orientation(img, o), o)
+        assert np.array_equal(twice, img), o

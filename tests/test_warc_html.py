@@ -228,3 +228,99 @@ def _record_spans(plain: bytes):
         spans.append((pos, end))
         pos = end
     return spans
+
+
+def _archive(n=8, gz=True):
+    from gfw_pixetl_spark.sources.warc import write_warc
+
+    return write_warc([
+        {"uri": f"http://e.com/{i}",
+         "payload": http_response_bytes(f"body {i} {'y' * (i % 23)}"
+                                        .encode())}
+        for i in range(n)
+    ], gzip_members=gz)
+
+
+def test_scan_warc_clean_matches_strict():
+    from gfw_pixetl_spark.sources.warc import iter_warc, scan_warc
+
+    for gz in (True, False):
+        a = _archive(gz=gz)
+        recs, counters = scan_warc(a)
+        assert recs == list(iter_warc(a))
+        assert counters["n_records"] == 9
+        assert counters["bad_gzip_members"] == 0
+        assert counters["bad_records"] == 0
+
+
+def test_scan_warc_corruption_semantics():
+    """Skip-and-count, never crash: truncation mid-member, garbage
+    between members, a corrupted member body, missing Content-Length,
+    LF-only header damage — intact records always survive."""
+    from gfw_pixetl_spark.sources.warc import member_index, scan_warc
+
+    a = _archive()
+    idx = member_index(a)
+
+    # (1) truncate mid-member: records before the cut survive
+    cut = idx[4][0] + idx[4][1] // 2
+    recs, c = scan_warc(a[:cut])
+    assert c["n_records"] == 4 and c["bad_gzip_members"] == 1
+    assert recs[1][0]["WARC-Target-URI"] == "http://e.com/0"
+
+    # (2) garbage BETWEEN members: resync finds the next member
+    o, s = idx[3]
+    injected = a[:o] + b"\x00GARBAGE\x00" * 3 + a[o:]
+    recs, c = scan_warc(injected)
+    assert c["n_records"] == 9
+    assert c["junk_bytes"] == 27
+
+    # (3) corrupt a member's deflate body: that record lost, rest kept
+    o, s = idx[5]
+    dam = bytearray(a)
+    for k in range(o + 12, o + s - 9):
+        dam[k] ^= 0x5A
+    recs, c = scan_warc(bytes(dam))
+    assert c["bad_gzip_members"] >= 1
+    assert c["n_records"] + c["bad_records"] <= 9
+    uris = [h.get("WARC-Target-URI") for h, _ in recs]
+    assert "http://e.com/0" in uris  # neighbors unharmed
+
+    # (4) missing Content-Length (uncompressed layer)
+    plain = _archive(n=2, gz=False)
+    import re
+
+    no_len = re.sub(rb"Content-Length: \d+\r\n", b"", plain, count=1)
+    recs, c = scan_warc(no_len)
+    assert c["bad_records"] >= 1
+    assert c["n_records"] >= 1  # later records recovered by resync
+
+    # (5) LF-only header terminator still parses
+    lf_dam = plain.replace(b"\r\n\r\n", b"\n\n", 1)
+    recs, c = scan_warc(lf_dam)
+    assert c["n_records"] == 3
+
+
+def test_scan_warc_random_corruption_never_crashes():
+    """Property sweep: random byte flips / deletions / insertions at
+    random offsets — scan_warc must always return, and counters must
+    account for every record (found + lost <= written)."""
+    import random
+
+    from gfw_pixetl_spark.sources.warc import scan_warc
+
+    rnd = random.Random(99)
+    a = _archive(n=12)
+    for trial in range(60):
+        b = bytearray(a)
+        kind = trial % 3
+        off = rnd.randrange(1, len(b) - 2)
+        if kind == 0:
+            b[off] ^= 1 << rnd.randrange(8)
+        elif kind == 1:
+            del b[off:off + rnd.randrange(1, 40)]
+        else:
+            b[off:off] = bytes(rnd.randrange(256)
+                               for _ in range(rnd.randrange(1, 20)))
+        recs, c = scan_warc(bytes(b))  # must not raise
+        assert c["n_records"] == len(recs) <= 13
