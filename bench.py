@@ -377,6 +377,7 @@ BENCH_QUERIES = [
     "q382_zstd_jsonl",
     "q383_unigram_train",
     "q384_exif_orientation",
+    "q385_ntv2_datum_shift",
 ]
 
 

@@ -3313,6 +3313,93 @@ def q384(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q385 — NTv2 DATUM-SHIFT GRIDS (.gsb): grid-based datum
+# transformation (NAD27->NAD83-style), the last named residual in the
+# CRS matrix (README: "NTv2 raises NotImplementedError"). A two-level
+# grid file (1-degree parent, 0.5-degree child refining its interior
+# — children shadow parents, the NTv2 rule) is written by our own
+# spec-valid writer, parsed back, and applied to per-order points with
+# bilinear interpolation. Node values are DYADIC rationals of the
+# coordinates, so float32 storage, f64 interpolation, and the oracle's
+# closed-form replay are all bit-exact — a wrong row order, sign quirk
+# (NTv2 longitudes are positive WEST) or swapped subgrid cannot hide.
+# --------------------------------------------------------------------------
+NTV2_SCHEMA = ("o_orderkey long, lat double, lon double, "
+               "subgrid string, lat_out double, lon_out double")
+
+
+def _ntv2_fixture_gsb() -> bytes:
+    import numpy as np
+
+    from ..sources.ntv2 import write_gsb
+
+    def mk(s_lat, n_lat, e_w, w_w, inc):
+        lats = np.arange(s_lat, n_lat + 1e-9, inc)
+        lonw = np.arange(e_w, w_w + 1e-9, inc)
+        lg, wg = np.meshgrid(lats, lonw, indexing="ij")
+        return dict(
+            s_lat=s_lat * 3600, n_lat=n_lat * 3600,
+            e_long=e_w * 3600, w_long=w_w * 3600,
+            lat_inc=inc * 3600, long_inc=inc * 3600,
+            lat_shift=1.0 + lg / 512 + wg / 1024,
+            lon_shift=0.5 + lg / 1024 - wg / 2048,
+        )
+    parent = mk(20, 50, 60, 130, 1.0)
+    parent.update(name="PARENT0", parent="NONE")
+    child = mk(30, 40, 80, 100, 0.5)
+    child.update(name="CHILD0", parent="PARENT0")
+    return write_gsb([parent, child])
+
+
+@register(
+    "q385_ntv2_datum_shift",
+    oracle="""
+    WITH pts AS (
+      SELECT o_orderkey,
+             CAST(22.25 + (o_orderkey % 108) * 0.25 AS DOUBLE) AS lat,
+             CAST(-(62.25 + (o_orderkey % 256) * 0.25) AS DOUBLE) AS lon
+      FROM orders
+    )
+    SELECT o_orderkey, lat, lon,
+           CASE WHEN lat BETWEEN 30 AND 40 AND -lon BETWEEN 80 AND 100
+                THEN 'CHILD0' ELSE 'PARENT0' END AS subgrid,
+           lat + (1.0 + lat / 512 + (-lon) / 1024) / 3600.0 AS lat_out,
+           lon - (0.5 + lat / 1024 - (-lon) / 2048) / 3600.0 AS lon_out
+    FROM pts
+    """,
+)
+def q385(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.partitioning import ensure_min_partitions
+
+    gsb = _ntv2_fixture_gsb()  # reference metadata: rides in closure
+    pts = ensure_min_partitions(
+        load(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            (22.25 + (F.col("o_orderkey") % 108) * 0.25)
+            .cast("double").alias("lat"),
+            (-(62.25 + (F.col("o_orderkey") % 256) * 0.25))
+            .cast("double").alias("lon")))
+
+    def kernel(batches):
+        import pandas as pd
+
+        from ..sources.ntv2 import apply_shift, parse_gsb
+
+        grids = parse_gsb(gsb)
+        for pdf in batches:
+            la, lo, nm = apply_shift(grids, pdf["lat"].to_numpy(),
+                                     pdf["lon"].to_numpy())
+            yield pd.DataFrame({
+                "o_orderkey": pdf["o_orderkey"],
+                "lat": pdf["lat"], "lon": pdf["lon"],
+                "subgrid": [str(x) for x in nm],
+                "lat_out": la, "lon_out": lo,
+            })
+
+    return pts.mapInPandas(kernel, NTV2_SCHEMA)
+
+
+# --------------------------------------------------------------------------
 # q371 — WARC INGEST (ISO 28500 / Common Crawl layout): each doc rides
 # as an HTTP response record inside a per-record-gzip-member WARC
 # (sources/warc.py). The kernel runs the REAL chain — gzip member
