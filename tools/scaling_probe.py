@@ -37,6 +37,10 @@ DEFAULT_QUERIES = [
     "q362_bucketed_incremental_dedup",  # storage-partitioned probe
     "q371_warc_ingest",      # per-doc container kernel (linear claim)
     "q373_pdf_extract",      # per-doc parser kernel (linear claim)
+    "q381_pdf_xref_stream",  # PDF 1.5 xref-stream/ObjStm kernel
+    "q382_zstd_jsonl",       # zstd decode kernel (linear claim)
+    "q383_unigram_train",    # EM on the word table (vocab-bound claim)
+    "q385_ntv2_datum_shift", # broadcast-grid vectorized shift
 ]
 
 SF_DIRS = [
