@@ -378,6 +378,7 @@ BENCH_QUERIES = [
     "q383_unigram_train",
     "q384_exif_orientation",
     "q385_ntv2_datum_shift",
+    "q386_mp3_audit",
 ]
 
 

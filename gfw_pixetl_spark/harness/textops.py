@@ -3400,6 +3400,94 @@ def q385(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q386 — MP3 CONTAINER AUDIT (ISO 11172-3 frame headers + ID3 tags):
+# duration/bitrate-layout/tag metadata WITHOUT audio decode — the
+# raster_meta discipline applied to the audio modality (compressed
+# decode stays honestly gated; PCM/FLAC decode live in wav.py/flac.py).
+# Even docs are VBR (frame k cycles all 14 bitrate indices, alternating
+# padding), odd docs CBR; the kernel walks every frame header with the
+# real bitrate/samplerate tables and the oracle replays counts, exact
+# sample totals, duration and layout analytically.
+# --------------------------------------------------------------------------
+MP3_SCHEMA = ("doc_id long, n_frames int, samples long, "
+              "duration_ms double, samplerate int, layout string, "
+              "max_kbps int, title string, has_v1 boolean")
+
+_MP3_KBPS_CASE = "CASE doc_id % 14 " + " ".join(
+    f"WHEN {i - 1} THEN {k}" for i, k in enumerate(
+        (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+         320), start=1)) + " END"
+
+
+@register(
+    "q386_mp3_audit",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, CAST(40 + doc_id % 20 AS INT) AS nf,
+             CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                  ELSE 32000 END AS INT) AS sr
+      FROM documents
+    )
+    SELECT doc_id, nf AS n_frames,
+           CAST(nf AS BIGINT) * 1152 AS samples,
+           CAST(nf AS BIGINT) * 1152 * 1000.0 / sr AS duration_ms,
+           sr AS samplerate,
+           CASE WHEN doc_id % 2 = 0 THEN 'vbr' ELSE 'cbr' END AS layout,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 320
+                ELSE {_MP3_KBPS_CASE} END AS INT) AS max_kbps,
+           'Track ' || CAST(doc_id AS VARCHAR) AS title,
+           doc_id % 3 = 0 AS has_v1
+    FROM base
+    """,
+)
+def q386(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.partitioning import ensure_min_partitions
+
+    docs = ensure_min_partitions(
+        load(spark, sf_dir, "documents").select("doc_id"))
+
+    def kernel(batches):
+        import pandas as pd
+
+        from ..sources.mp3 import audit_mp3, write_id3v1, write_mp3
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "n_frames", "samples",
+                                   "duration_ms", "samplerate",
+                                   "layout", "max_kbps", "title",
+                                   "has_v1")}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                nf = 40 + i % 20
+                si = i % 3
+                if i % 2 == 0:  # VBR: cycle every bitrate index
+                    specs = [((k % 14) + 1, si, k % 2)
+                             for k in range(nf)]
+                else:           # CBR
+                    specs = [((i % 14) + 1, si, 0)] * nf
+                blob = write_mp3(
+                    specs,
+                    id3v2={"TIT2": f"Track {i}",
+                           "TPE1": f"Artist {i % 7}"},
+                    id3v1=(write_id3v1(title=f"Track {i}")
+                           if i % 3 == 0 else None))
+                a = audit_mp3(blob)
+                out["doc_id"].append(i)
+                out["n_frames"].append(a["n_frames"])
+                out["samples"].append(a["samples"])
+                out["duration_ms"].append(
+                    a["samples"] * 1000.0 / a["samplerate"])
+                out["samplerate"].append(a["samplerate"])
+                out["layout"].append(a["layout"])
+                out["max_kbps"].append(max(a["bitrates_kbps"]))
+                out["title"].append(a["id3v2"].get("TIT2", ""))
+                out["has_v1"].append(bool(a["id3v1"]))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(kernel, MP3_SCHEMA)
+
+
+# --------------------------------------------------------------------------
 # q371 — WARC INGEST (ISO 28500 / Common Crawl layout): each doc rides
 # as an HTTP response record inside a per-record-gzip-member WARC
 # (sources/warc.py). The kernel runs the REAL chain — gzip member

@@ -1,0 +1,228 @@
+"""MP3 container audit — MPEG audio FRAME HEADERS + ID3v1/ID3v2 tags
+(public specs: ISO 11172-3 frame framing, id3.org tag layout).
+
+A multimodal corpus audit needs duration, bitrate layout (CBR vs VBR),
+sample rate and tag metadata WITHOUT decoding audio — the exact
+raster_meta discipline (headers only, never payload). Audio DECODE for
+compressed codecs stays honestly gated (``functions/multimodal.py``:
+pure-Python MP3 synthesis filterbanks are out of scope; PCM/FLAC decode
+live in ``sources/wav.py`` / ``sources/flac.py``).
+
+Implemented:
+
+* ``write_mp3`` — fixture writer: valid MPEG-1 Layer III frame headers
+  (bitrate/samplerate index bits, padding-aware frame lengths) over
+  opaque payload bytes, optional ID3v2.3 text frames in front and an
+  ID3v1 trailer,
+* ``parse_id3v2`` — ID3v2.3/2.4 header + text frames (latin-1/utf-8/
+  utf-16 encodings, syncsafe sizes, v2.4 syncsafe frame sizes),
+* ``parse_id3v1`` — the 128-byte "TAG" trailer,
+* ``audit_mp3`` — frame-header walk: per-frame byte offsets/lengths
+  from the bitrate/samplerate tables (Layer I/II/III, MPEG-1/2),
+  frame count, exact sample count, duration, CBR/VBR classification,
+  junk-byte resync (skip-and-count, the ``scan_warc`` contract).
+
+Per-file work runs in Arrow ``mapInPandas`` kernels; q386 value-checks
+the audit against an analytic oracle.
+"""
+
+from __future__ import annotations
+
+import struct
+
+# MPEG-1 Layer III bitrates (kbps) by header index 1..14
+BITRATES_V1_L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192,
+                  224, 256, 320)
+BITRATES_V1_L2 = (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                  256, 320, 384)
+BITRATES_V1_L1 = (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320,
+                  352, 384, 416, 448)
+BITRATES_V2_L3 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128,
+                  144, 160)
+SAMPLERATES_V1 = (44100, 48000, 32000)
+SAMPLERATES_V2 = (22050, 24000, 16000)
+
+
+def _syncsafe(n: int) -> bytes:
+    return bytes(((n >> s) & 0x7F) for s in (21, 14, 7, 0))
+
+
+def _unsyncsafe(b: bytes) -> int:
+    return ((b[0] & 0x7F) << 21 | (b[1] & 0x7F) << 14
+            | (b[2] & 0x7F) << 7 | (b[3] & 0x7F))
+
+
+def write_id3v2(frames: dict[str, str]) -> bytes:
+    """ID3v2.3 tag with latin-1 text frames ({'TIT2': title, ...})."""
+    body = b""
+    for fid, text in frames.items():
+        payload = b"\x00" + text.encode("latin-1")
+        body += fid.encode("ascii") + struct.pack(">I", len(payload)) \
+            + b"\x00\x00" + payload
+    return b"ID3\x03\x00\x00" + _syncsafe(len(body)) + body
+
+
+def write_id3v1(title: str = "", artist: str = "",
+                album: str = "", year: str = "",
+                genre: int = 255) -> bytes:
+    def f(s, n):
+        return s.encode("latin-1")[:n].ljust(n, b"\x00")
+
+    return (b"TAG" + f(title, 30) + f(artist, 30) + f(album, 30)
+            + f(year, 4) + f("", 30) + bytes([genre]))
+
+
+def frame_header(bitrate_idx: int, samplerate_idx: int,
+                 padding: int = 0) -> bytes:
+    """MPEG-1 Layer III header: sync, V1, L3, no CRC, joint stereo."""
+    if not (1 <= bitrate_idx <= 14 and 0 <= samplerate_idx <= 2):
+        raise ValueError("mp3: header index out of range")
+    return bytes([0xFF, 0xFB,
+                  (bitrate_idx << 4) | (samplerate_idx << 2)
+                  | (padding << 1), 0x40])
+
+
+def frame_length(bitrate_idx: int, samplerate_idx: int,
+                 padding: int = 0) -> int:
+    """MPEG-1 Layer III: floor(144000 * kbps / Hz) + padding."""
+    return (144000 * BITRATES_V1_L3[bitrate_idx]
+            // SAMPLERATES_V1[samplerate_idx]) + padding
+
+
+def write_mp3(frame_specs: list[tuple[int, int, int]],
+              id3v2: dict[str, str] | None = None,
+              id3v1: bytes | None = None) -> bytes:
+    """Fixture writer: frames from (bitrate_idx, samplerate_idx,
+    padding) triples; payload bytes are an opaque deterministic fill
+    (this module audits HEADERS — decode is out of scope, stated)."""
+    out = bytearray()
+    if id3v2:
+        out += write_id3v2(id3v2)
+    for k, (bi, si, pad) in enumerate(frame_specs):
+        hdr = frame_header(bi, si, pad)
+        n = frame_length(bi, si, pad)
+        out += hdr + bytes((k + j) % 251 for j in range(n - 4))
+    if id3v1 is not None:
+        out += id3v1
+    return bytes(out)
+
+
+def parse_id3v2(data: bytes) -> tuple[dict[str, str], int]:
+    """(text frames, total tag bytes). Returns ({}, 0) without a tag."""
+    if data[:3] != b"ID3":
+        return {}, 0
+    ver = data[3]
+    size = _unsyncsafe(data[6:10])
+    end = 10 + size
+    out: dict[str, str] = {}
+    pos = 10
+    while pos + 10 <= end:
+        fid = data[pos:pos + 4]
+        if not fid.strip(b"\x00"):
+            break  # padding
+        raw = data[pos + 4:pos + 8]
+        n = _unsyncsafe(raw) if ver >= 4 else struct.unpack(">I", raw)[0]
+        payload = data[pos + 10:pos + 10 + n]
+        if fid.startswith(b"T") and payload:
+            enc = payload[0]
+            body = payload[1:]
+            if enc == 0:
+                text = body.decode("latin-1", "replace")
+            elif enc == 1:
+                text = body.decode("utf-16", "replace")
+            elif enc == 2:
+                text = body.decode("utf-16-be", "replace")
+            else:
+                text = body.decode("utf-8", "replace")
+            out[fid.decode("ascii", "replace")] = text.rstrip("\x00")
+        pos += 10 + n
+    return out, end
+
+
+def parse_id3v1(data: bytes) -> dict[str, str]:
+    if len(data) < 128 or data[-128:-125] != b"TAG":
+        return {}
+    t = data[-128:]
+
+    def f(a, b):
+        return t[a:b].split(b"\x00")[0].decode("latin-1", "replace")
+
+    return {"title": f(3, 33), "artist": f(33, 63), "album": f(63, 93),
+            "year": f(93, 97)}
+
+
+def audit_mp3(data: bytes) -> dict:
+    """Header-walk audit: frames, samples, duration, bitrate layout.
+    Junk between frames is resynced over and counted (skip-and-count,
+    never crash — the scan_warc contract)."""
+    tags, pos = parse_id3v2(data)
+    v1 = parse_id3v1(data)
+    end = len(data) - (128 if v1 else 0)
+    n_frames = 0
+    samples = 0
+    junk = 0
+    bitrates: set[int] = set()
+    sr_out = 0
+    sec = 0.0
+    while pos < end:
+        b0 = data[pos]
+        b1 = data[pos + 1] if pos + 1 < end else 0
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            junk += 1
+            pos += 1
+            continue
+        version = (b1 >> 3) & 3   # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer = (b1 >> 1) & 3     # 1=L3, 2=L2, 3=L1
+        if version == 1 or layer == 0:
+            junk += 1
+            pos += 1
+            continue
+        b2 = data[pos + 2] if pos + 2 < end else 0
+        bi = b2 >> 4
+        si = (b2 >> 2) & 3
+        pad = (b2 >> 1) & 1
+        if bi in (0, 15) or si == 3:
+            junk += 1
+            pos += 1
+            continue
+        if version == 3:  # MPEG-1
+            sr = SAMPLERATES_V1[si]
+            if layer == 1:      # Layer III
+                kbps = BITRATES_V1_L3[bi]
+                flen = 144000 * kbps // sr + pad
+                spf = 1152
+            elif layer == 2:    # Layer II
+                kbps = BITRATES_V1_L2[bi]
+                flen = 144000 * kbps // sr + pad
+                spf = 1152
+            else:               # Layer I
+                kbps = BITRATES_V1_L1[bi]
+                flen = (12000 * kbps // sr + pad) * 4
+                spf = 384
+        else:  # MPEG-2 / 2.5, Layer III only in the audit
+            sr = SAMPLERATES_V2[si] // (2 if version == 0 else 1)
+            kbps = BITRATES_V2_L3[bi]
+            flen = 72000 * kbps // sr + pad
+            spf = 576
+        if flen < 4 or pos + flen > end:
+            junk += 1
+            pos += 1
+            continue
+        n_frames += 1
+        samples += spf
+        sec += spf / sr
+        bitrates.add(kbps)
+        sr_out = sr
+        pos += flen
+    return {
+        "n_frames": n_frames,
+        "samples": samples,
+        "duration_sec": sec,
+        "samplerate": sr_out,
+        "layout": ("none" if not bitrates
+                   else "cbr" if len(bitrates) == 1 else "vbr"),
+        "bitrates_kbps": sorted(bitrates),
+        "junk_bytes": junk,
+        "id3v2": tags,
+        "id3v1": v1,
+    }
