@@ -340,8 +340,12 @@ def _decode_literals(block: bytes, frame_state: dict):
         if sf in (0, 2):
             regen, hdr = b0 >> 3, 1
         elif sf == 1:
+            if len(block) < 2:
+                raise ValueError("zstd: truncated literals header")
             regen, hdr = (b0 >> 4) + (block[1] << 4), 2
         else:
+            if len(block) < 3:
+                raise ValueError("zstd: truncated literals header")
             regen = (b0 >> 4) + (block[1] << 4) + (block[2] << 12)
             hdr = 3
         if lb_type == 0:
@@ -349,6 +353,8 @@ def _decode_literals(block: bytes, frame_state: dict):
             if len(lits) != regen:
                 raise ValueError("zstd: truncated raw literals")
             return bytes(lits), hdr + regen
+        if len(block) <= hdr:
+            raise ValueError("zstd: truncated RLE literal byte")
         return bytes([block[hdr]]) * regen, hdr + 1
     # compressed (2) / treeless (3)
     if sf == 0:

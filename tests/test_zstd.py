@@ -186,3 +186,19 @@ def test_property_random_roundtrips():
         for c in (c1, c19):
             comp = bytes(c.compress(raw))
             assert decompress(comp) == raw, (trial, kind, n)
+
+
+def test_truncated_literal_headers_raise_valueerror():
+    """Hostile blocks fail with the uniform ValueError surface, never
+    IndexError: RLE byte missing, multi-byte size headers cut short."""
+    # frame header + compressed block whose content is a bare RLE
+    # literals header (type=1, sf=0) with no literal byte
+    def frame_with_block(block):
+        hdr = struct.pack("<I", 0xFD2FB528) + bytes([0x20, 0])
+        return hdr + ((len(block) << 3) | (2 << 1) | 1).to_bytes(
+            3, "little") + block
+
+    with pytest.raises(ValueError, match="RLE literal"):
+        decompress(frame_with_block(bytes([0x09])))  # RLE, regen 1
+    with pytest.raises(ValueError, match="literals header"):
+        decompress(frame_with_block(bytes([0x04])))  # sf=1 needs 2 bytes
