@@ -214,9 +214,43 @@ def scan_warc(data: bytes) -> tuple[list[tuple[dict, bytes]], dict]:
     counters = {"n_records": 0, "bad_gzip_members": 0,
                 "bad_records": 0, "junk_bytes": 0}
     if data[:4] == b"\x28\xb5\x2f\xfd":
+        # lenient zstd layer: decode frame by frame (frame_end is an
+        # O(blocks) no-decode walk), resync on the next frame magic
+        # after damage — a corrupt frame costs its own records, never
+        # the shard; same contract as the gzip layer below
         from .zstd import decompress as _zstd_decompress
+        from .zstd import frame_end as _zstd_frame_end
 
-        data = _zstd_decompress(data)
+        raw = bytearray()
+        pos = 0
+        magic = b"\x28\xb5\x2f\xfd"
+        while pos < len(data):
+            is_skippable = (len(data) - pos >= 4
+                            and data[pos + 1:pos + 4] == b"\x2a\x4d\x18"
+                            and 0x50 <= data[pos] <= 0x5F)
+            if data[pos:pos + 4] != magic and not is_skippable:
+                nxt = data.find(magic, pos + 1)
+                counters["bad_gzip_members"] += 1
+                counters["junk_bytes"] += (
+                    len(data) - pos if nxt < 0 else nxt - pos)
+                if nxt < 0:
+                    break
+                pos = nxt
+                continue
+            try:
+                end = _zstd_frame_end(data, pos)
+                if not is_skippable:
+                    raw += _zstd_decompress(data[pos:end])
+                pos = end
+            except Exception:
+                counters["bad_gzip_members"] += 1
+                nxt = data.find(magic, pos + 4)
+                counters["junk_bytes"] += (
+                    len(data) - pos if nxt < 0 else nxt - pos)
+                if nxt < 0:
+                    break
+                pos = nxt
+        data = bytes(raw)
     if data[:2] == b"\x1f\x8b":
         view = memoryview(data)
         raw = bytearray()

@@ -621,6 +621,25 @@ def decompress(data: bytes, verify_checksum: bool = True) -> bytes:
     return bytes(out)
 
 
+def frame_end(data: bytes, pos: int) -> int:
+    """End offset of the SINGLE frame starting at ``pos`` (data frame
+    or skippable) without decoding — the O(blocks) walk lenient
+    consumers use to resync one frame at a time."""
+    magic = int.from_bytes(data[pos:pos + 4], "little")
+    p = pos + 4
+    if SKIPPABLE_LO <= magic <= SKIPPABLE_HI:
+        return p + 4 + int.from_bytes(data[p:p + 4], "little")
+    if magic != ZSTD_MAGIC:
+        raise ValueError(f"zstd: bad magic at offset {pos}")
+    hdr, p = _parse_frame_header(data, p)
+    p = _walk_blocks(data, p, None, None)
+    if hdr["checksum"]:
+        p += 4
+    if p > len(data):
+        raise ValueError("zstd: frame overruns buffer")
+    return p
+
+
 def frame_index(data: bytes) -> list[tuple[int, int, int | None]]:
     """(offset, compressed_size, content_size_or_None) per data frame
     WITHOUT decoding — block headers carry their sizes, so the walk is

@@ -324,3 +324,37 @@ def test_scan_warc_random_corruption_never_crashes():
                                for _ in range(rnd.randrange(1, 20)))
         recs, c = scan_warc(bytes(b))  # must not raise
         assert c["n_records"] == len(recs) <= 13
+
+
+def test_scan_warc_zst_layer_damage():
+    """.warc.zst shard with a corrupt frame: that frame's records are
+    lost and counted; every other frame's records survive."""
+    import pyarrow as pa
+
+    from gfw_pixetl_spark.sources.warc import scan_warc
+    from gfw_pixetl_spark.sources.zstd import frame_index
+
+    codec = pa.Codec("zstd")
+    plain = write_warc(
+        [{"uri": f"http://e.com/{i}",
+          "payload": http_response_bytes(f"body {i}".encode())}
+         for i in range(5)], gzip_members=False)
+    frames = [bytes(codec.compress(plain[s:e]))
+              for s, e in _record_spans(plain)]
+    shard = b"".join(frames)
+    # clean shard: 6 records (warcinfo + 5), no damage
+    recs, c = scan_warc(shard)
+    assert c["n_records"] == 6 and c["bad_gzip_members"] == 0
+    # corrupt frame 2's body bytes
+    fi = frame_index(shard)
+    dam = bytearray(shard)
+    o, s = fi[2][0], fi[2][1]
+    for k in range(o + 10, o + s - 2):
+        dam[k] ^= 0xA5
+    recs, c = scan_warc(bytes(dam))
+    assert c["bad_gzip_members"] >= 1
+    uris = [h.get("WARC-Target-URI") for h, _ in recs]
+    assert "http://e.com/0" in uris and "http://e.com/4" in uris
+    # truncated final frame: earlier records intact
+    recs, c = scan_warc(shard[:-10])
+    assert c["n_records"] == 5 and c["bad_gzip_members"] == 1
