@@ -379,6 +379,8 @@ BENCH_QUERIES = [
     "q384_exif_orientation",
     "q385_ntv2_datum_shift",
     "q386_mp3_audit",
+    "q387_gif_frames",
+    "q388_unigram_apply",
 ]
 
 

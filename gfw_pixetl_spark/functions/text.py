@@ -832,3 +832,74 @@ def unigram_train(df: DataFrame, text_col: str = "text",
     return (spark.createDataFrame(
         out_rows, "round int, piece string, cnt bigint")
         .orderBy("round", "piece"))
+
+
+def unigram_apply(df: DataFrame, text_col: str = "text",
+                  n_seed: int = 40, rounds: int = 2,
+                  max_word: int = 8, max_piece: int = 4) -> DataFrame:
+    """Apply side of ``unigram_train``: train the same inventory, then
+    segment EVERY word occurrence and report per-document token
+    economics (words, Viterbi pieces, chars saved vs char-level).
+
+    Scale shape: segmentation runs ONCE over the distinct-word table
+    (value-domain-sized) under the final inventory; the per-occurrence
+    expansion is a broadcast-friendly equi-join of the exploded corpus
+    against that word->n_pieces map, then one hash agg by doc —
+    fact-scale data crosses exactly two shuffles (explode agg + join
+    agg), no per-occurrence Python.
+    """
+    spark = df.sparkSession
+    # retrain (the EM is vocab-bound; see unigram_train) to recover
+    # the final inventory: last round's chars + surviving multis
+    vocab = unigram_train(df, text_col, n_seed=n_seed, rounds=rounds,
+                          max_word=max_word, max_piece=max_piece)
+    final = {r["piece"]: int(r["cnt"])
+             for r in vocab.filter(F.col("round") == rounds).collect()}
+
+    word_occ = (
+        df.select("doc_id", F.explode(words(text_col)).alias("w"))
+        .filter(F.col("w").rlike(BPE_WORD_FILTER) & (F.length("w") >= 2))
+        .select("doc_id",
+                F.substring(F.lower("w"), 1, max_word).alias("word"))
+    )
+    word_tbl = word_occ.select("word").distinct()
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n_pieces = []
+            for word in pdf["word"]:
+                dp = [None] * (len(word) + 1)
+                dp[0] = (0, 0, "")
+                for j in range(1, len(word) + 1):
+                    best = None
+                    for ln in range(1, min(max_piece, j) + 1):
+                        prev = dp[j - ln]
+                        if prev is None:
+                            continue
+                        pc = word[j - ln:j]
+                        wgt = final.get(pc)
+                        if wgt is None:
+                            continue
+                        cand = (prev[0] + 1, prev[1] - wgt,
+                                prev[2] + "|" + pc)
+                        if best is None or cand < best:
+                            best = cand
+                    dp[j] = best
+                n_pieces.append(dp[len(word)][0])
+            yield pd.DataFrame({"word": pdf["word"],
+                                "n_pieces": n_pieces})
+
+    seg = word_tbl.mapInPandas(kernel, "word string, n_pieces int")
+    return (
+        word_occ.join(F.broadcast(seg), "word")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_words"),
+             F.sum("n_pieces").alias("n_pieces"),
+             F.sum(F.length("word")).alias("n_chars"))
+        .select("doc_id", "n_words", "n_pieces", "n_chars",
+                (F.col("n_chars") - F.col("n_pieces"))
+                .alias("chars_saved"))
+        .orderBy("doc_id")
+    )

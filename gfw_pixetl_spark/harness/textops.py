@@ -3100,7 +3100,7 @@ def q382(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UNI_SEED = 40
 
 
-def _unigram_oracle() -> str:
+def _unigram_cte_prefix() -> str:
     viterbi_pick = ("row_number() OVER (PARTITION BY word "
                     "ORDER BY np ASC, fs DESC, seg ASC)")
     return f"""
@@ -3174,6 +3174,13 @@ def _unigram_oracle() -> str:
                                   x -> x != '')) AS piece, cnt
         FROM seg2) GROUP BY piece
     )
+    SELECT 1 AS _prefix_end
+    """
+
+
+def _unigram_oracle() -> str:
+    return _unigram_cte_prefix().replace(
+        "SELECT 1 AS _prefix_end", """
     SELECT * FROM (
       SELECT CAST(1 AS INT) AS round, p.piece,
              CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
@@ -3185,12 +3192,73 @@ def _unigram_oracle() -> str:
       FROM p2 p LEFT JOIN c2 c USING (piece)
       WHERE len(p.piece) = 1 OR COALESCE(c.cnt, 0) > 0
     ) ORDER BY round, piece
+    """)
+
+
+def _unigram_apply_oracle() -> str:
+    """Training prefix + a THIRD Viterbi pass under the final
+    inventory, joined back to per-doc word occurrences."""
+    viterbi_pick = ("row_number() OVER (PARTITION BY word "
+                    "ORDER BY np ASC, fs DESC, seg ASC)")
+    tail = f"""
+    , p3 AS MATERIALIZED (
+      SELECT p.piece, COALESCE(c.cnt, 0) AS freq
+      FROM p2 p LEFT JOIN c2 c USING (piece)
+      WHERE len(p.piece) = 1 OR COALESCE(c.cnt, 0) > 0
+    ),
+    paths3 AS (
+      SELECT word, 0 AS pos, 0 AS np,
+             CAST(0 AS BIGINT) AS fs, '' AS seg FROM w0
+      UNION ALL
+      SELECT t.word, t.pos + len(p.piece), t.np + 1,
+             t.fs + p.freq, t.seg || '|' || p.piece
+      FROM paths3 t JOIN p3 p
+        ON substr(t.word, t.pos + 1, len(p.piece)) = p.piece
+      WHERE t.pos < len(t.word)
+    ),
+    seg3 AS MATERIALIZED (
+      SELECT word, np FROM (
+        SELECT word, np, {viterbi_pick} AS rn
+        FROM paths3 WHERE pos = len(word)) WHERE rn = 1
+    ),
+    occ AS (
+      SELECT doc_id, substr(lower(w), 1, 8) AS word
+      FROM (SELECT doc_id, unnest({SQL_WORDS}) AS w FROM documents)
+      WHERE regexp_full_match(w, '[A-Za-z]+') AND len(w) >= 2
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(np) AS BIGINT) AS n_pieces,
+           CAST(SUM(len(word)) AS BIGINT) AS n_chars,
+           CAST(SUM(len(word)) - SUM(np) AS BIGINT) AS chars_saved
+    FROM occ JOIN seg3 USING (word)
+    GROUP BY doc_id ORDER BY doc_id
     """
+    return _unigram_cte_prefix().replace(
+        "SELECT 1 AS _prefix_end", tail)
 
 
 @register("q383_unigram_train", oracle=_unigram_oracle())
 def q383(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.unigram_train(
+        load(spark, sf_dir, "documents"), n_seed=_UNI_SEED, rounds=2)
+
+
+# --------------------------------------------------------------------------
+# q388 — UNIGRAM-LM APPLY (the tokenize side of q383, completing the
+# train/apply symmetry BPE has with q272/q229): the trained inventory
+# segments every word OCCURRENCE. Scale shape: Viterbi runs once over
+# the distinct-word table; the corpus-side expansion is a broadcast
+# equi-join of exploded words against the word->n_pieces map + one
+# hash agg by doc. Oracle = the q383 training CTEs plus a third
+# recursive segmentation pass under the final inventory, joined back
+# to per-doc occurrences — token counts exact per document.
+# --------------------------------------------------------------------------
+
+
+@register("q388_unigram_apply", oracle=_unigram_apply_oracle())
+def q388(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.unigram_apply(
         load(spark, sf_dir, "documents"), n_seed=_UNI_SEED, rounds=2)
 
 
@@ -3485,6 +3553,92 @@ def q386(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(kernel, MP3_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# q387 — GIF ANIMATION DECODE (GIF89a, pure-Python LZW): the third
+# lossless image codec in the tree (PNG q220, TIFF family) and a web
+# crawl staple. Each doc renders a 2-frame animation — full base frame
+# + a smaller overlay frame with a TRANSPARENT index and a NETSCAPE
+# loop extension — through the real encoder, then the kernel decodes:
+# LZW (variable widths, CLEAR/EOI), graphic-control extensions, and
+# region COMPOSITING onto the logical screen. Probes read the
+# composited canvas where the overlay is opaque (p_over) and where its
+# transparent index punches through to the base frame (p_under), plus
+# an RGB palette lookup — all closed-form because GIF is lossless.
+# --------------------------------------------------------------------------
+GIF_SCHEMA = ("doc_id long, n_frames int, width int, height int, "
+              "loop int, delay_cs int, p_under int, p_over int, "
+              "rgb_r int")
+
+
+@register(
+    "q387_gif_frames",
+    oracle="""
+    SELECT doc_id, CAST(2 AS INT) AS n_frames,
+           CAST(32 AS INT) AS width, CAST(24 AS INT) AS height,
+           CAST(doc_id % 5 AS INT) AS loop,
+           CAST(10 + doc_id % 50 AS INT) AS delay_cs,
+           -- canvas[6,8]: overlay (0,0) = doc_id%16 == its transparent
+           -- index, so the BASE frame shows through: (6*5 + 8 + id)%16
+           CAST((38 + doc_id) % 16 AS INT) AS p_under,
+           -- canvas[7,9]: overlay (1,1) = (1 + 3 + id)%16, never equal
+           -- to the transparent index (offset 4 is not 0 mod 16)
+           CAST((4 + doc_id) % 16 AS INT) AS p_over,
+           CAST(((4 + doc_id) % 16) * 17 % 256 AS INT) AS rgb_r
+    FROM documents
+    """,
+)
+def q387(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.partitioning import ensure_min_partitions
+
+    docs = ensure_min_partitions(
+        load(spark, sf_dir, "documents").select("doc_id"))
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..sources.gif import decode_gif, encode_gif, gif_to_rgb
+
+        pal = np.array([[(i * 17) % 256, (i * 29) % 256,
+                         (i * 53) % 256] for i in range(16)], np.uint8)
+        rr24 = np.arange(24, dtype=np.int64)[:, None]
+        cc32 = np.arange(32, dtype=np.int64)[None, :]
+        rr12 = np.arange(12, dtype=np.int64)[:, None]
+        cc16 = np.arange(16, dtype=np.int64)[None, :]
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "n_frames", "width",
+                                   "height", "loop", "delay_cs",
+                                   "p_under", "p_over", "rgb_r")}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                base = ((rr24 * 5 + cc32 + i) % 16).astype(np.uint8)
+                over = ((rr12 + cc16 * 3 + i) % 16).astype(np.uint8)
+                gif = encode_gif(
+                    [{"pixels": base, "left": 0, "top": 0,
+                      "delay_cs": 4},
+                     {"pixels": over, "left": 8, "top": 6,
+                      "delay_cs": 10 + i % 50,
+                      "transparent": i % 16}],
+                    pal, loop=i % 5,
+                    interlace=(i % 2 == 0))
+                d = decode_gif(gif)
+                last = d["frames"][-1]
+                rgb = gif_to_rgb(last)
+                out["doc_id"].append(i)
+                out["n_frames"].append(len(d["frames"]))
+                out["width"].append(d["width"])
+                out["height"].append(d["height"])
+                out["loop"].append(d["loop"])
+                out["delay_cs"].append(last["delay_cs"])
+                out["p_under"].append(int(last["canvas"][6, 8]))
+                out["p_over"].append(int(last["canvas"][7, 9]))
+                out["rgb_r"].append(int(rgb[7, 9, 0]))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(kernel, GIF_SCHEMA)
 
 
 # --------------------------------------------------------------------------

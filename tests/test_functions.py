@@ -540,3 +540,24 @@ def test_unigram_train(spark):
     r1_multi = {r.piece for r in rows if r.round == 1 and len(r.piece) > 1}
     r2_multi = {r.piece for r in rows if r.round == 2 and len(r.piece) > 1}
     assert r2_multi <= r1_multi
+
+
+def test_unigram_apply(spark):
+    """Apply side: per-doc piece counts under the trained inventory;
+    single-piece words cost 1, char-fallback words cost their length."""
+    from gfw_pixetl_spark.functions.text import unigram_apply
+
+    df = spark.createDataFrame(
+        [(0, "the cat the cat xq"), (1, "the the the")],
+        "doc_id long, text string")
+    out = {r.doc_id: r for r in
+           unigram_apply(df, n_seed=4, rounds=2, max_piece=3).collect()}
+    # doc 1: 'the' trains as one piece -> 3 words, 3 pieces
+    assert out[1].n_words == 3 and out[1].n_pieces == 3
+    assert out[1].n_chars == 9 and out[1].chars_saved == 6
+    # doc 0: 'the' is a seed piece; 'cat' is NOT (the 4-slot seed is
+    # {he, th, the, at} by freq desc, piece asc) so cat = c + at;
+    # 'xq' falls back to chars. 1+2+1+2+2 = 8
+    assert out[0].n_words == 5
+    assert out[0].n_pieces == 8
+    assert out[0].chars_saved == 14 - 8
