@@ -237,3 +237,121 @@ def test_smoothing_kernels_stay_in_hull_property(seed):
         out = sample_grid(src, fx, fy, method)
         assert float(out.min()) >= float(src.min()) - 1e-9
         assert float(out.max()) <= float(src.max()) + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# round-6 codecs: zstd (vs libzstd), GIF LZW, NTv2, WARC damage
+# ---------------------------------------------------------------------------
+
+
+@st.composite
+def _byte_buffers(draw, max_len=8000):
+    kind = draw(st.integers(0, 3))
+    seed = draw(st.integers(0, 2**31 - 1))
+    n = draw(st.integers(0, max_len))
+    rng = np.random.default_rng(seed)
+    if kind == 0:   # incompressible
+        return rng.integers(0, 256, n).astype(np.uint8).tobytes()
+    if kind == 1:   # long repeats
+        unit = rng.integers(0, 256, max(1, n // 50 + 1)).astype(
+            np.uint8).tobytes()
+        return (unit * (n // max(1, len(unit)) + 1))[:n]
+    if kind == 2:   # tiny alphabet (Huffman + sequences)
+        return rng.integers(97, 101, n).astype(np.uint8).tobytes()
+    return bytes(n)  # all zeros (RLE blocks)
+
+
+@given(raw=_byte_buffers(), level=st.sampled_from([1, 3, 9, 19]))
+@settings(**_SETTINGS)
+def test_zstd_decode_matches_libzstd_property(raw, level):
+    import pyarrow as pa
+
+    from gfw_pixetl_spark.sources.zstd import decompress
+
+    assert decompress(bytes(pa.Codec("zstd", level).compress(raw))) == raw
+
+
+@given(data=st.data())
+@settings(**_SETTINGS)
+def test_gif_lzw_roundtrip_property(data):
+    from gfw_pixetl_spark.sources.gif import lzw_decode, lzw_encode
+
+    mcs = data.draw(st.integers(2, 8))
+    n = data.draw(st.integers(1, 12000))
+    seed = data.draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    idx = rng.integers(0, 1 << mcs, n).astype(np.uint8)
+    assert np.array_equal(lzw_decode(lzw_encode(idx, mcs), mcs, n), idx)
+
+
+@given(data=st.data())
+@settings(**_SETTINGS)
+def test_gif_container_roundtrip_property(data):
+    from gfw_pixetl_spark.sources.gif import decode_gif, encode_gif
+
+    h = data.draw(st.integers(1, 48))
+    w = data.draw(st.integers(1, 48))
+    depth = data.draw(st.sampled_from([2, 4, 16, 64]))
+    inter = data.draw(st.booleans())
+    seed = data.draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, depth, (h, w)).astype(np.uint8)
+    pal = rng.integers(0, 256, (depth, 3)).astype(np.uint8)
+    d = decode_gif(encode_gif(
+        [{"pixels": px, "left": 0, "top": 0}], pal, interlace=inter))
+    np.testing.assert_array_equal(d["frames"][0]["pixels"], px)
+    np.testing.assert_array_equal(d["frames"][0]["palette"], pal)
+
+
+@given(data=st.data())
+@settings(**_SETTINGS)
+def test_ntv2_interior_points_bounded_property(data):
+    """Shift application stays within the node-value hull (bilinear
+    interpolation cannot extrapolate) for random grids and points."""
+    from gfw_pixetl_spark.sources.ntv2 import apply_shift, parse_gsb, write_gsb
+
+    seed = data.draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    lat_shift = rng.uniform(-5, 5, (11, 11))
+    lon_shift = rng.uniform(-5, 5, (11, 11))
+    g = dict(name="G", parent="NONE",
+             s_lat=20 * 3600, n_lat=30 * 3600,
+             e_long=60 * 3600, w_long=70 * 3600,
+             lat_inc=3600, long_inc=3600,
+             lat_shift=lat_shift, lon_shift=lon_shift)
+    grids = parse_gsb(write_gsb([g]))
+    n = data.draw(st.integers(1, 40))
+    lat = rng.uniform(20.01, 29.99, n)
+    lon = -rng.uniform(60.01, 69.99, n)
+    la2, lo2, nm = apply_shift(grids, lat, lon)
+    assert (nm == "G").all()
+    dlat_sec = (la2 - lat) * 3600
+    dlon_sec = (lon - lo2) * 3600
+    lo32, hi32 = (np.float32(lat_shift.min()), np.float32(lat_shift.max()))
+    assert (dlat_sec >= lo32 - 1e-6).all() and (dlat_sec <= hi32 + 1e-6).all()
+    assert (dlon_sec >= np.float32(lon_shift.min()) - 1e-6).all()
+    assert (dlon_sec <= np.float32(lon_shift.max()) + 1e-6).all()
+
+
+@given(data=st.data())
+@settings(**_SETTINGS)
+def test_scan_warc_survives_any_single_corruption_property(data):
+    from gfw_pixetl_spark.sources.warc import (
+        http_response_bytes, scan_warc, write_warc,
+    )
+
+    recs = [{"uri": f"http://e.com/{i}",
+             "payload": http_response_bytes(f"b{i}".encode() * 9)}
+            for i in range(6)]
+    a = write_warc(recs, gzip_members=data.draw(st.booleans()))
+    b = bytearray(a)
+    off = data.draw(st.integers(0, len(b) - 2))
+    op = data.draw(st.integers(0, 2))
+    if op == 0:
+        b[off] ^= 1 << data.draw(st.integers(0, 7))
+    elif op == 1:
+        del b[off:off + data.draw(st.integers(1, 25))]
+    else:
+        b[off:off] = bytes(data.draw(st.integers(1, 12)))
+    out, counters = scan_warc(bytes(b))  # must never raise
+    assert counters["n_records"] == len(out) <= 7
