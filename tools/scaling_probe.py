@@ -41,6 +41,8 @@ DEFAULT_QUERIES = [
     "q382_zstd_jsonl",       # zstd decode kernel (linear claim)
     "q383_unigram_train",    # EM on the word table (vocab-bound claim)
     "q385_ntv2_datum_shift", # broadcast-grid vectorized shift
+    "q387_gif_frames",       # GIF LZW codec kernel (linear claim)
+    "q388_unigram_apply",    # distinct-word Viterbi + broadcast join
 ]
 
 SF_DIRS = [
