@@ -207,8 +207,8 @@ def encode_gif(frames: list[dict], palette: np.ndarray,
         trans = f.get("transparent")
         flags = 0x01 if trans is not None else 0
         out += b"\x21\xf9" + _sub_blocks(struct.pack(
-            "<BHB", (1 << 2) | flags, f.get("delay_cs", 4),
-            trans or 0))
+            "<BHB", (f.get("disposal", 1) << 2) | flags,
+            f.get("delay_cs", 4), trans or 0))
         out += b"\x2c" + struct.pack(
             "<HHHH", f["left"], f["top"], w, h)
         out += bytes([0x40 if interlace else 0x00])
@@ -271,6 +271,10 @@ def decode_gif(data: bytes) -> dict:
             pal = np.frombuffer(
                 data, np.uint8, n * 3, pos).reshape(n, 3).copy()
             pos += n * 3
+        if left + fw > w or top + fh > h:
+            raise ValueError(
+                f"GIF: frame rect {fw}x{fh}+{left}+{top} exceeds the "
+                f"{w}x{h} logical screen")
         min_code = data[pos]
         pos += 1
         lzw, pos = _read_sub_blocks(data, pos)
@@ -280,6 +284,9 @@ def decode_gif(data: bytes) -> dict:
             dest[_interlace_order(fh)] = px
             px = dest
         trans = gce.get("transparent")
+        # disposal 3 = restore-to-previous: the canvas reverts to its
+        # pre-draw state AFTER this frame displays, so snapshot first.
+        prev = canvas.copy() if gce.get("disposal") == 3 else None
         region = canvas[top:top + fh, left:left + fw]
         if trans is not None:
             m = px != trans
@@ -295,6 +302,8 @@ def decode_gif(data: bytes) -> dict:
         })
         if gce.get("disposal") == 2:  # restore to background
             canvas[top:top + fh, left:left + fw] = bg
+        elif prev is not None:  # disposal 3: restore to previous
+            canvas[:] = prev
         gce = {}
     return {"width": w, "height": h, "palette": palette,
             "loop": loop, "frames": frames}

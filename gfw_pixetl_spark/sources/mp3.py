@@ -113,7 +113,9 @@ def parse_id3v2(data: bytes) -> tuple[dict[str, str], int]:
         return {}, 0
     ver = data[3]
     size = _unsyncsafe(data[6:10])
-    end = 10 + size
+    # Clamp to the buffer: a corrupt syncsafe size must not classify
+    # the whole file as tag (the returned end is the audio scan start).
+    end = min(10 + size, len(data))
     out: dict[str, str] = {}
     pos = 10
     while pos + 10 <= end:
@@ -200,6 +202,10 @@ def audit_mp3(data: bytes) -> dict:
                 flen = (12000 * kbps // sr + pad) * 4
                 spf = 384
         else:  # MPEG-2 / 2.5, Layer III only in the audit
+            if layer != 1:  # Layer I/II frame-length math differs: junk
+                junk += 1
+                pos += 1
+                continue
             sr = SAMPLERATES_V2[si] // (2 if version == 0 else 1)
             kbps = BITRATES_V2_L3[bi]
             flen = 72000 * kbps // sr + pad

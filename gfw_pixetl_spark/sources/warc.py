@@ -213,7 +213,11 @@ def scan_warc(data: bytes) -> tuple[list[tuple[dict, bytes]], dict]:
     corrupts the framing of its neighbors."""
     counters = {"n_records": 0, "bad_gzip_members": 0,
                 "bad_records": 0, "junk_bytes": 0}
-    if data[:4] == b"\x28\xb5\x2f\xfd":
+    # Same skippable-aware sniff as iter_warc: a .zst shard may open
+    # with a skippable frame (e.g. the seekable-format envelope).
+    if data[:4] == b"\x28\xb5\x2f\xfd" or (
+            len(data) >= 4 and data[1:4] == b"\x2a\x4d\x18"
+            and 0x50 <= data[0] <= 0x5F):
         # lenient zstd layer: decode frame by frame (frame_end is an
         # O(blocks) no-decode walk), resync on the next frame magic
         # after damage — a corrupt frame costs its own records, never
@@ -272,6 +276,7 @@ def scan_warc(data: bytes) -> tuple[list[tuple[dict, bytes]], dict]:
                 counters["bad_gzip_members"] += 1
                 nxt = data.find(b"\x1f\x8b\x08", pos + 2)
                 if nxt < 0:
+                    counters["junk_bytes"] += len(data) - pos
                     break
                 counters["junk_bytes"] += nxt - pos
                 pos = nxt

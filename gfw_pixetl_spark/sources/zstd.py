@@ -596,7 +596,11 @@ def decompress(data: bytes, verify_checksum: bool = True) -> bytes:
         magic = int.from_bytes(data[pos:pos + 4], "little")
         pos += 4
         if SKIPPABLE_LO <= magic <= SKIPPABLE_HI:
+            if pos + 4 > n:
+                raise ValueError("zstd: truncated skippable frame")
             size = int.from_bytes(data[pos:pos + 4], "little")
+            if pos + 4 + size > n:
+                raise ValueError("zstd: truncated skippable frame")
             pos += 4 + size
             continue
         if magic != ZSTD_MAGIC:
@@ -628,7 +632,12 @@ def frame_end(data: bytes, pos: int) -> int:
     magic = int.from_bytes(data[pos:pos + 4], "little")
     p = pos + 4
     if SKIPPABLE_LO <= magic <= SKIPPABLE_HI:
-        return p + 4 + int.from_bytes(data[p:p + 4], "little")
+        if p + 4 > len(data):
+            raise ValueError("zstd: truncated skippable frame")
+        end = p + 4 + int.from_bytes(data[p:p + 4], "little")
+        if end > len(data):
+            raise ValueError("zstd: truncated skippable frame")
+        return end
     if magic != ZSTD_MAGIC:
         raise ValueError(f"zstd: bad magic at offset {pos}")
     hdr, p = _parse_frame_header(data, p)
@@ -655,7 +664,11 @@ def frame_index(data: bytes) -> list[tuple[int, int, int | None]]:
         magic = int.from_bytes(data[pos:pos + 4], "little")
         pos += 4
         if SKIPPABLE_LO <= magic <= SKIPPABLE_HI:
+            if pos + 4 > n:
+                raise ValueError("zstd: truncated skippable frame")
             size = int.from_bytes(data[pos:pos + 4], "little")
+            if pos + 4 + size > n:
+                raise ValueError("zstd: truncated skippable frame")
             pos += 4 + size
             continue
         if magic != ZSTD_MAGIC:

@@ -80,7 +80,16 @@ class SnapshotTableSink:
         m = read_manifest(self.table_dir, head)
         hwms = m.get("batch_hwms")
         if hwms is not None:
-            return int(hwms.get(self.app_id, -1))
+            if self.app_id in hwms:
+                return int(hwms[self.app_id])
+            # Per-writer marks exist but none for THIS sink: the table
+            # may still hold pre-upgrade (untagged) commits that ARE
+            # this sink's history — a pre-upgrade writer resuming after
+            # some other new-identity sink committed once must not see
+            # -1 and re-append. Scan (untagged commits count there);
+            # the legacy global max_batch_id cannot be used here — it
+            # absorbs the OTHER sinks' tagged batch ids.
+            return max(self.committed_batch_ids(), default=-1)
         if m.get("max_batch_id") is not None:
             return int(m["max_batch_id"])
         return max(self.committed_batch_ids(), default=-1)

@@ -5,6 +5,8 @@ extension surface, and hostile-input errors."""
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -82,3 +84,35 @@ def test_truncation_and_bad_codes_raise():
         decode_gif(gif[:-8])
     with pytest.raises(ValueError, match="out of table|pixels|EOI"):
         lzw_decode(b"\xff\xff\xff", 2, 64)
+
+
+def test_disposal_3_restores_previous_canvas():
+    """ADVICE r6: restore-to-previous — the canvas reverts to its
+    pre-draw state after the frame displays."""
+    base = np.full((10, 10), 1, np.uint8)
+    overlay = np.full((4, 4), 5, np.uint8)
+    final = np.full((3, 3), 7, np.uint8)
+    gif = encode_gif(
+        [{"pixels": base, "left": 0, "top": 0},
+         {"pixels": overlay, "left": 2, "top": 2, "disposal": 3},
+         {"pixels": final, "left": 0, "top": 0}],
+        _pal())
+    d = decode_gif(gif)
+    # frame 1 displays the overlay
+    assert np.array_equal(d["frames"][1]["canvas"][2:6, 2:6], overlay)
+    # frame 2 composites onto the RESTORED canvas: the overlay is gone
+    c2 = d["frames"][2]["canvas"]
+    assert np.array_equal(c2[0:3, 0:3], final)
+    assert (c2[3:6, 3:6] == 1).all()   # inside overlay rect, restored
+    assert (c2[6:, :] == 1).all()
+
+
+def test_frame_rect_exceeding_screen_raises():
+    """ADVICE r6: an image descriptor past the logical screen must be a
+    ValueError, not a numpy shape/IndexError."""
+    f = (np.arange(100).reshape(10, 10) % 16).astype(np.uint8)
+    gif = bytearray(encode_gif([{"pixels": f, "left": 0, "top": 0}],
+                               _pal(), loop=None))
+    gif[6:8] = struct.pack("<H", 8)  # shrink screen width under the frame
+    with pytest.raises(ValueError, match="logical screen"):
+        decode_gif(bytes(gif))

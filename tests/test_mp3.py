@@ -91,3 +91,30 @@ def test_writer_rejects_bad_indices():
         frame_header(15, 0)
     with pytest.raises(ValueError, match="index"):
         frame_header(5, 3)
+
+
+def test_mpeg2_layer2_is_junk_not_mismeasured():
+    """ADVICE r6: MPEG-2 Layer I/II headers must not be measured with
+    the Layer III formula (mis-measure -> cascading junk resyncs)."""
+    # MPEG-2 (version bits 10 -> b1 0xF5 has layer bits 10 = Layer II)
+    h22 = bytes([0xFF, 0xF5, (8 << 4) | (1 << 2), 0x40])
+    a = audit_mp3((h22 + bytes(200)) * 3)
+    assert a["n_frames"] == 0
+    assert a["junk_bytes"] == 3 * 204
+    # MPEG-2 Layer I (layer bits 11 -> b1 0xF7): also junk in the audit
+    h21 = bytes([0xFF, 0xF7, (8 << 4) | (1 << 2), 0x40])
+    assert audit_mp3(h21 + bytes(100))["n_frames"] == 0
+    # sanity: MPEG-2 Layer III still parses
+    h23 = bytes([0xFF, 0xF3, (8 << 4) | (1 << 2), 0x40])
+    flen = 72000 * 64 // 24000
+    assert audit_mp3((h23 + bytes(flen - 4)) * 2)["n_frames"] == 2
+
+
+def test_id3v2_corrupt_size_clamped():
+    """ADVICE r6: a corrupt syncsafe size larger than the buffer is
+    clamped — parse never reports tag bytes beyond EOF."""
+    tag = b"ID3\x04\x00\x00" + b"\x7f\x7f\x7f\x7f" + b"TIT2"
+    frames, end = parse_id3v2(tag)
+    assert end == len(tag)
+    a = audit_mp3(tag)
+    assert a["n_frames"] == 0 and a["layout"] == "none"

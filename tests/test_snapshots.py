@@ -698,3 +698,38 @@ def test_decimal_partition_values_never_misprune(spark, tmp_path):
     files_with_010 = [f for f, v in m["file_parts"].items()
                       if v.rstrip("0").rstrip(".") in ("0.1",)]
     assert set(files_with_010) <= set(kept)
+
+
+def test_pre_upgrade_untagged_writer_resumes_after_new_sink(spark, tmp_path):
+    """ADVICE r6: a pre-upgrade (untagged) writer that resumes after a
+    different new-identity sink has committed once must not see -1 from
+    batch_hwms (which lacks its app_id) and re-append already-committed
+    batches — the untagged-commit scan is the fallback."""
+    from gfw_pixetl_spark.sources.snapshots import (
+        read_snapshot, snapshot_append,
+    )
+    from gfw_pixetl_spark.streaming.snapshot_sink import SnapshotTableSink
+
+    d = str(tmp_path / "tab")
+    # pre-upgrade commits: batch_id recorded, NO txn_app_id
+    snapshot_append(spark.createDataFrame([(1,)], "id long"), d,
+                    extra={"batch_id": 0})
+    snapshot_append(spark.createDataFrame([(2,)], "id long"), d,
+                    extra={"batch_id": 1})
+    # a new-identity sink commits once -> HEAD manifest gains batch_hwms
+    # (on a table with untagged history the legacy max_batch_id governs
+    # the new sink too — single-writer-by-contract — so its first
+    # accepted batch id must exceed the legacy mark)
+    other = SnapshotTableSink(d, str(tmp_path / "ckpt_other"))
+    other.process_batch(spark.createDataFrame([(10,)], "id long"), 5)
+    # the pre-upgrade writer resumes, now upgraded to a tagged identity
+    legacy = SnapshotTableSink(d, str(tmp_path / "ckpt_legacy"))
+    assert legacy.batch_high_water_mark() == 1  # untagged history, not -1
+    legacy.process_batch(spark.createDataFrame([(1,)], "id long"), 0)
+    legacy.process_batch(spark.createDataFrame([(2,)], "id long"), 1)
+    legacy.process_batch(spark.createDataFrame([(3,)], "id long"), 2)
+    got = sorted(r.id for r in read_snapshot(spark, d).collect())
+    assert got == [1, 2, 3, 10]  # replays were no-ops, batch 2 landed
+    # and the fresh-identity sink still starts at -1 on a tagged table
+    fresh = SnapshotTableSink(d, str(tmp_path / "ckpt_fresh"))
+    assert fresh.batch_high_water_mark() == 1  # untagged commits count

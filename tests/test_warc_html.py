@@ -358,3 +358,37 @@ def test_scan_warc_zst_layer_damage():
     # truncated final frame: earlier records intact
     recs, c = scan_warc(shard[:-10])
     assert c["n_records"] == 5 and c["bad_gzip_members"] == 1
+
+
+def test_scan_warc_tail_truncation_counts_junk():
+    """ADVICE r6: a corrupt gzip member with no later resync magic must
+    count the remaining tail as junk_bytes (parity with the zstd
+    layer), not drop it from the accounting."""
+    from gfw_pixetl_spark.sources.warc import member_index, scan_warc
+
+    a = _archive()
+    idx = member_index(a)
+    cut = idx[-1][0] + idx[-1][1] // 2
+    recs, c = scan_warc(a[:cut])
+    assert c["bad_gzip_members"] == 1
+    assert c["junk_bytes"] == cut - idx[-1][0]
+
+
+def test_scan_warc_zst_leading_skippable_frame():
+    """ADVICE r6: scan_warc's zstd sniff must accept a shard that opens
+    with a skippable frame (seekable-format envelope), like iter_warc."""
+    import struct as _struct
+
+    from gfw_pixetl_spark.sources.warc import scan_warc, write_warc
+    from gfw_pixetl_spark.sources.zstd import compress_raw
+
+    plain = write_warc(
+        [{"uri": "http://e.com/a",
+          "payload": http_response_bytes(b"hello")}],
+        gzip_members=False)
+    shard = (_struct.pack("<II", 0x184D2A50, 4) + b"meta"
+             + compress_raw(plain))
+    recs, c = scan_warc(shard)
+    assert c["n_records"] == 2  # warcinfo + the response
+    assert c["bad_gzip_members"] == 0 and c["junk_bytes"] == 0
+    assert recs[1][0]["WARC-Target-URI"] == "http://e.com/a"

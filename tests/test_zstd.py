@@ -202,3 +202,26 @@ def test_truncated_literal_headers_raise_valueerror():
         decompress(frame_with_block(bytes([0x09])))  # RLE, regen 1
     with pytest.raises(ValueError, match="literals header"):
         decompress(frame_with_block(bytes([0x04])))  # sf=1 needs 2 bytes
+
+
+def test_truncated_skippable_frame_raises():
+    """ADVICE r6: a truncated skippable frame must raise like every
+    other truncation path, not silently end the walk with partial
+    output."""
+    sk = struct.pack("<II", 0x184D2A50, 8) + b"payload!"
+    assert decompress(sk + compress_raw(b"hi")) == b"hi"
+    from gfw_pixetl_spark.sources.zstd import frame_end
+
+    for bad in (
+        sk[:6],                                         # short size read
+        struct.pack("<II", 0x184D2A50, 100) + b"xx",    # span overruns
+        compress_raw(b"ok") + sk[:10],                  # truncated tail
+    ):
+        with pytest.raises(ValueError, match="skippable"):
+            decompress(bad)
+        with pytest.raises(ValueError, match="skippable"):
+            frame_index(bad)
+    with pytest.raises(ValueError, match="skippable"):
+        frame_end(sk[:6], 0)
+    with pytest.raises(ValueError, match="skippable"):
+        frame_end(struct.pack("<II", 0x184D2A50, 100) + b"xx", 0)
