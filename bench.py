@@ -381,6 +381,7 @@ BENCH_QUERIES = [
     "q386_mp3_audit",
     "q387_gif_frames",
     "q388_unigram_apply",
+    "q389_tfrecord_shards",
 ]
 
 

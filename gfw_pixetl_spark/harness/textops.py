@@ -6922,3 +6922,97 @@ def q355(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         spark.sparkContext.parallelize(picks, 1),
         "pick bigint, doc_id bigint, gain bigint").orderBy("pick")
+
+
+# --------------------------------------------------------------------------
+# q389 — TFRECORD SHARD EXPORT/INGEST (sources/tfrecord.py): the format
+# trainers actually read. Each doc is serialized as tf.train.Example
+# protobuf (BytesList text, Int64List ids, FloatList embedding probe)
+# into a CRC32C-framed TFRecord shard via the real encoder, then walked
+# back through the FULL chain: record_index (the ranged-GET index, no
+# payload hashing), strict iter_tfrecord, protobuf decode — plus an
+# injected 4-byte junk run + trailing record so the lenient
+# scan_tfrecord's skip-and-count contract runs on every doc. All facts
+# are analytic: framing counts are fixed by construction, text round-
+# trips to an md5 probe, int64 features sum exactly, and the float
+# probe is dyadic ((doc_id%4096)/2 is exact in float32) so even the
+# FloatList leg replays bit-identically in SQL.
+# --------------------------------------------------------------------------
+TFREC_SCHEMA = ("doc_id long, n_index int, n_records int, n_bad int, "
+                "junk_bytes int, body_bytes int, text_sig int, "
+                "ids_sum long, emb0 double")
+
+
+@register(
+    "q389_tfrecord_shards",
+    oracle="""
+    SELECT doc_id, CAST(2 AS INT) AS n_index,
+           CAST(3 AS INT) AS n_records,
+           CAST(1 AS INT) AS n_bad,
+           CAST(4 AS INT) AS junk_bytes,
+           CAST(length(text) AS INT) AS body_bytes,
+           ('0x' || substr(md5(text), 1, 4))::INT AS text_sig,
+           CAST(doc_id + length(text) + doc_id % 7 + 1 AS BIGINT)
+               AS ids_sum,
+           CAST(doc_id % 4096 AS DOUBLE) / 2 AS emb0
+    FROM documents
+    """,
+)
+def q389(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.partitioning import ensure_min_partitions
+
+    docs = ensure_min_partitions(
+        load(spark, sf_dir, "documents").select("doc_id", "text"))
+
+    def kernel(batches):
+        import hashlib as _hashlib
+
+        import pandas as pd
+
+        from ..sources.tfrecord import (
+            decode_example, encode_example, iter_tfrecord, record_index,
+            scan_tfrecord, write_tfrecord,
+        )
+
+        cols = ("doc_id", "n_index", "n_records", "n_bad", "junk_bytes",
+                "body_bytes", "text_sig", "ids_sum", "emb0")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                body = str(t).encode()
+                ex1 = encode_example({
+                    "text": [body],
+                    "ids": [i, len(body)],
+                    "emb": [(i % 4096) / 2.0],
+                })
+                ex2 = encode_example({"meta": [b"shard"],
+                                      "ids": [i % 7]})
+                shard = write_tfrecord([ex1, ex2])
+                idx = record_index(shard)
+                # real shards arrive damaged: a junk run between
+                # records plus a trailing record exercises resync
+                tail = write_tfrecord([encode_example({"ids": [1]})])
+                records, c = scan_tfrecord(
+                    shard + b"\xde\xad\xbe\xef" + tail)
+                decoded = [decode_example(r) for r in records]
+                strict = [decode_example(r)
+                          for r in iter_tfrecord(shard)]
+                assert [d.get("ids") for d in strict] == \
+                    [d.get("ids") for d in decoded[:2]]
+                text_back = decoded[0]["text"][0]
+                ids_sum = sum(v for d in decoded
+                              for v in d.get("ids", []))
+                out["doc_id"].append(i)
+                out["n_index"].append(len(idx))
+                out["n_records"].append(c["n_records"])
+                out["n_bad"].append(c["bad_records"])
+                out["junk_bytes"].append(c["junk_bytes"])
+                out["body_bytes"].append(len(text_back))
+                out["text_sig"].append(
+                    int(_hashlib.md5(text_back).hexdigest()[:4], 16))
+                out["ids_sum"].append(ids_sum)
+                out["emb0"].append(float(decoded[0]["emb"][0]))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(kernel, TFREC_SCHEMA)
