@@ -382,6 +382,7 @@ BENCH_QUERIES = [
     "q387_gif_frames",
     "q388_unigram_apply",
     "q389_tfrecord_shards",
+    "q390_avro_roundtrip",
 ]
 
 

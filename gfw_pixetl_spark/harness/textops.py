@@ -7016,3 +7016,53 @@ def q389(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(kernel, TFREC_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# q390 — AVRO CONTAINER ROUND-TRIP (sources/avro.py): the corpus is
+# exported to real Avro object container files (deflate codec, one
+# shard per partition written executor-side — no driver funnel),
+# re-read through the binaryFile -> per-file decode kernel, and
+# aggregated — value-checked against the parquet truth, so the whole
+# export -> ingest path is proven lossless through zigzag varints,
+# nullable-union branches (parquet columns are nullable, so every
+# field rides a ["null", T] union) and raw-DEFLATE blocks. The q201/
+# q205 interchange-gate pattern at the third format the Hadoop/Kafka
+# world actually ships.
+# --------------------------------------------------------------------------
+def _avro_dir(spark: SparkSession, sf_dir: str) -> str:
+    def build(d: str) -> None:
+        from ..sources.avro import write_avro_shards
+
+        write_avro_shards(
+            load(spark, sf_dir, "documents"), d, n_shards=8,
+            codec="deflate").collect()
+
+    return _derived_dir(sf_dir, "avro", build)
+
+
+@register(
+    "q390_avro_roundtrip",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_consistent
+    FROM documents GROUP BY lang
+    """,
+)
+def q390(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.avro import read_avro
+
+    df = read_avro(
+        spark, _avro_dir(spark, sf_dir) + "/*.avro",
+        "doc_id long, text string, lang string, n_chars long")
+    return df.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+        F.sum(F.when(F.length("text") == F.col("n_chars"), 1).otherwise(0))
+        .cast("bigint").alias("n_consistent"),
+    )

@@ -1,0 +1,178 @@
+"""Avro object container codec (sources/avro.py): spec-pinned byte
+encodings (the zigzag examples and record encoding published in the
+Avro 1.11 spec), container round trips under both codecs, block_index
+bounds, lenient scan damage semantics, the Spark shard write/read path,
+and a hypothesis round-trip property."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from gfw_pixetl_spark.sources.avro import (
+    block_index, decode_value, encode_value, iter_container, read_header,
+    read_long, scan_container, write_container, write_long,
+)
+
+REC = {"type": "record", "name": "doc", "fields": [
+    {"name": "doc_id", "type": "long"},
+    {"name": "text", "type": "string"},
+    {"name": "lang", "type": ["null", "string"]},
+    {"name": "score", "type": "double"},
+    {"name": "tags", "type": {"type": "array", "items": "string"}},
+    {"name": "props", "type": {"type": "map", "values": "long"}},
+    {"name": "kind", "type": {"type": "enum", "name": "k",
+                              "symbols": ["A", "B"]}},
+    {"name": "sig", "type": {"type": "fixed", "name": "s4", "size": 4}},
+    {"name": "blob", "type": "bytes"},
+    {"name": "flag", "type": "boolean"},
+]}
+
+
+def _recs(n=137):
+    return [
+        {"doc_id": i, "text": f"héllo {i}",
+         "lang": None if i % 3 == 0 else "en",
+         "score": i / 4.0, "tags": [f"t{j}" for j in range(i % 4)],
+         "props": {"a": i, "b": -i}, "kind": "A" if i % 2 else "B",
+         "sig": bytes([i % 256] * 4), "blob": bytes(range(i % 10)),
+         "flag": i % 2 == 0}
+        for i in range(n)
+    ]
+
+
+def test_zigzag_spec_vectors():
+    # spec §binary encoding: 0->00 -1->01 1->02 -2->03 2->04 64->80 01
+    for n, want in [(0, b"\x00"), (-1, b"\x01"), (1, b"\x02"),
+                    (-2, b"\x03"), (2, b"\x04"), (64, b"\x80\x01"),
+                    (-64, b"\x7f"), (63, b"\x7e")]:
+        out = bytearray()
+        write_long(out, n)
+        assert bytes(out) == want, (n, bytes(out))
+        v, pos = read_long(bytes(out), 0)
+        assert (v, pos) == (n, len(want))
+    for n in (2**63 - 1, -(2**63), 10**15, -(10**15)):
+        out = bytearray()
+        write_long(out, n)
+        assert read_long(bytes(out), 0)[0] == n
+
+
+def test_spec_record_example():
+    # the spec's worked example: record {a: long, b: string} with
+    # {a: 27, b: "foo"} encodes as 36 06 66 6f 6f
+    sch = {"type": "record", "name": "test", "fields": [
+        {"name": "a", "type": "long"}, {"name": "b", "type": "string"}]}
+    out = bytearray()
+    encode_value(sch, {"a": 27, "b": "foo"}, out)
+    assert bytes(out) == b"\x36\x06\x66\x6f\x6f"
+    v, pos = decode_value(sch, bytes(out), 0)
+    assert v == {"a": 27, "b": "foo"} and pos == 5
+
+
+def test_spec_array_example():
+    # spec: array<long> [3, 27] -> 04 06 36 00
+    sch = {"type": "array", "items": "long"}
+    out = bytearray()
+    encode_value(sch, [3, 27], out)
+    assert bytes(out) == b"\x04\x06\x36\x00"
+    # reader also accepts the negative-count (block-size-prefixed) form
+    v, _ = decode_value(sch, b"\x03\x04\x06\x36\x00", 0)
+    assert v == [3, 27]
+
+
+def test_container_roundtrip_both_codecs():
+    recs = _recs()
+    for codec in ("null", "deflate"):
+        blob = write_container(recs, REC, codec=codec,
+                               objects_per_block=50)
+        assert list(iter_container(blob)) == recs
+        idx = block_index(blob)
+        assert [c for _, _, c in idx] == [50, 50, 37]
+        assert idx[-1][0] + idx[-1][1] == len(blob)
+        got, c = scan_container(blob)
+        assert got == recs
+        assert c == {"n_records": 137, "bad_blocks": 0, "junk_bytes": 0}
+        schema, meta, sync, _ = read_header(blob)
+        assert meta["avro.codec"].decode() == codec
+    # deterministic bytes: same records -> same shard bytes
+    assert (write_container(recs, REC, codec="deflate")
+            == write_container(recs, REC, codec="deflate"))
+
+
+def test_scan_skips_damaged_block_only():
+    recs = _recs()
+    blob = write_container(recs, REC, codec="deflate",
+                           objects_per_block=50)
+    idx = block_index(blob)
+    dam = bytearray(blob)
+    dam[idx[1][0] + 5] ^= 0xFF
+    got, c = scan_container(bytes(dam))
+    assert got == recs[:50] + recs[100:]
+    assert c["bad_blocks"] == 1 and c["n_records"] == 87
+    assert c["junk_bytes"] == idx[1][1]
+    with pytest.raises(ValueError):
+        list(iter_container(bytes(dam)))
+    # tail truncation mid-block
+    got, c = scan_container(blob[:idx[2][0] + 7])
+    assert got == recs[:100]
+    assert c["bad_blocks"] == 1 and c["junk_bytes"] == 7
+    # not a container at all
+    got, c = scan_container(b"Obj\x02nope")
+    assert got == [] and c["bad_blocks"] == 1
+
+
+def test_hostile_inputs_raise_cleanly():
+    recs = _recs(5)
+    blob = write_container(recs, REC)
+    for cut in (2, 10, len(blob) // 2, len(blob) - 3):
+        with pytest.raises(ValueError):
+            list(iter_container(blob[:cut]))
+    with pytest.raises(ValueError, match="magic"):
+        read_header(b"NOPE" + blob[4:])
+    with pytest.raises(ValueError, match="codec"):
+        write_container(recs, REC, codec="snappy")
+    with pytest.raises(ValueError, match="union"):
+        out = bytearray()
+        encode_value(["null", "string"], 3.5, out)
+
+
+def test_spark_shard_write_read(spark, tmp_path):
+    from gfw_pixetl_spark.sources.avro import read_avro, write_avro_shards
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}", None if i % 5 == 0 else f"s{i % 3}")
+         for i in range(200)],
+        "doc_id long, text string, src string")
+    out = str(tmp_path / "shards")
+    statuses = write_avro_shards(df, out, n_shards=4).collect()
+    assert sum(r.n_records for r in statuses) == 200
+    assert len({r.path for r in statuses}) >= 1
+    back = read_avro(spark, out + "/*.avro",
+                     "doc_id long, text string, src string")
+    rows = {r.doc_id: (r.text, r.src) for r in back.collect()}
+    assert len(rows) == 200
+    assert rows[0] == ("text 0", None)
+    assert rows[7] == ("text 7", "s1")
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(-(2**63), 2**63 - 1),
+              st.text(max_size=30),
+              st.one_of(st.none(), st.floats(allow_nan=False,
+                                             allow_infinity=False,
+                                             width=64)),
+              st.lists(st.integers(-1000, 1000), max_size=4)),
+    max_size=40))
+def test_property_container_roundtrip(rows):
+    sch = {"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "b", "type": "string"},
+        {"name": "c", "type": ["null", "double"]},
+        {"name": "d", "type": {"type": "array", "items": "long"}}]}
+    recs = [{"a": a, "b": b, "c": c, "d": d} for a, b, c, d in rows]
+    for codec in ("null", "deflate"):
+        blob = write_container(recs, sch, codec=codec,
+                               objects_per_block=7)
+        assert list(iter_container(blob)) == recs
