@@ -383,6 +383,7 @@ BENCH_QUERIES = [
     "q388_unigram_apply",
     "q389_tfrecord_shards",
     "q390_avro_roundtrip",
+    "q391_lz4_jsonl",
 ]
 
 

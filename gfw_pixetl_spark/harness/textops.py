@@ -7066,3 +7066,102 @@ def q390(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.length("text") == F.col("n_chars"), 1).otherwise(0))
         .cast("bigint").alias("n_consistent"),
     )
+
+
+# --------------------------------------------------------------------------
+# q391 — .jsonl.lz4 INGEST (LZ4 frame format, sources/lz4.py): the fast
+# companion to q382's zstd path — Kafka archives and Hadoop-era corpus
+# shards ship LZ4. Each doc's JSON line is split across TWO independent
+# frames behind a leading skippable frame (the seekable-envelope
+# layout); the kernel walks each frame's block_index and reassembles
+# the line from RANGED block reads (one block = one ranged GET at
+# scale), cross-checks the whole-shard sequential decode, and — when
+# pyarrow's bundled liblz4 is present — verifies the real library
+# decodes our writer's frames to the same bytes. Facts are analytic:
+# frame/block counts are fixed by construction, text round-trips.
+# --------------------------------------------------------------------------
+LZ4_SCHEMA = ("doc_id long, n_frames int, n_blocks int, text string, "
+              "n_chars int, ranged_ok boolean")
+
+
+@register(
+    "q391_lz4_jsonl",
+    oracle="""
+    SELECT doc_id, CAST(2 AS INT) AS n_frames,
+           CAST(2 AS INT) AS n_blocks, text,
+           CAST(length(text) AS INT) AS n_chars,
+           TRUE AS ranged_ok
+    FROM documents
+    """,
+)
+def q391(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.partitioning import ensure_min_partitions
+
+    docs = ensure_min_partitions(
+        load(spark, sf_dir, "documents").select("doc_id", "text"))
+
+    def kernel(batches):
+        import json as _json
+        import struct as _struct
+
+        import pandas as pd
+
+        from ..sources.lz4 import (
+            block_index, compress_frame, decompress, decompress_block,
+        )
+
+        try:  # real liblz4 cross-check when available
+            import pyarrow as pa
+
+            lib = pa.Codec("lz4")
+        except Exception:
+            lib = None
+
+        for pdf_batch in batches:
+            out = {k: [] for k in ("doc_id", "n_frames", "n_blocks",
+                                   "text", "n_chars", "ranged_ok")}
+            for doc_id, t in zip(pdf_batch["doc_id"], pdf_batch["text"]):
+                line = _json.dumps({"id": int(doc_id), "text": t},
+                                   ensure_ascii=False).encode()
+                half = len(line) // 2
+                parts = [line[:half], line[half:]]
+                frames = [compress_frame(p, block_checksums=True)
+                          for p in parts]
+                shard = (_struct.pack("<II", 0x184D2A50, 4) + b"meta"
+                         + frames[0] + frames[1])
+                # ranged path: per-frame block walk, payload slices only
+                pieces = []
+                n_blocks = 0
+                ok = True
+                off = 12  # past the skippable envelope
+                for part in parts:
+                    fr = shard[off:]
+                    idx = block_index(fr)
+                    n_blocks += len(idx)
+                    buf = bytearray()
+                    for boff, bsize, comp in idx:
+                        blob = fr[boff:boff + bsize]
+                        buf += (decompress_block(blob) if comp
+                                else blob)
+                    pieces.append(bytes(buf))
+                    ok = ok and bytes(buf) == part
+                    if lib is not None:
+                        ok = ok and bytes(
+                            lib.decompress(fr[:idx[-1][0] + idx[-1][1]
+                                              + 12], len(part))) == part
+                    # past: last payload + its block checksum (4) +
+                    # EndMark (4) + content checksum (4)
+                    off += idx[-1][0] + idx[-1][1] + 12
+                # sequential path must agree
+                ok = ok and decompress(shard) == line
+                rec = _json.loads(b"".join(pieces))
+                ok = ok and rec["id"] == int(doc_id)
+                out["doc_id"].append(int(doc_id))
+                out["n_frames"].append(2)
+                out["n_blocks"].append(n_blocks)
+                out["text"].append(rec["text"])
+                out["n_chars"].append(len(rec["text"]))
+                out["ranged_ok"].append(bool(ok))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(kernel, LZ4_SCHEMA)
