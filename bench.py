@@ -384,6 +384,8 @@ BENCH_QUERIES = [
     "q389_tfrecord_shards",
     "q390_avro_roundtrip",
     "q391_lz4_jsonl",
+    "q392_kcore",
+    "q393_label_propagation",
 ]
 
 

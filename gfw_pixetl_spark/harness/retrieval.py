@@ -999,3 +999,159 @@ def q343(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_common").cast("bigint").alias("n_common"),
                 F.round("aa", 6).alias("adamic_adar"))
     )
+
+
+# --------------------------------------------------------------------------
+# q392 — K-CORE DECOMPOSITION (k=3) by iterative peeling on a SPARSE
+# co-supply graph (rk<=2 per part, part sample mod 7 — the q327 graph
+# is 7-regular-ish and never peels; this one sheds its tree fringe in
+# 1-3 rounds at every tested SF). The Spark side peels to FIXPOINT:
+# each round is one degree agg + one broadcast anti-join on the weak
+# set; the loop's only driver-side value is a 1-row emptiness probe
+# (the bounded-argmax loop pattern, SCALING.md §5), and the edge set is
+# localCheckpoint'd per round to cut lineage growth. The oracle unrolls
+# 10 peel rounds as chained CTEs — 3x the observed convergence at
+# sf0.1, and a converged peel is idempotent so extra rounds are no-ops.
+# Output: every k-core member with its WITHIN-CORE degree.
+# --------------------------------------------------------------------------
+_SPARSE_EDGES_SQL = """
+      WITH ranked2 AS MATERIALIZED (
+        SELECT l_partkey, l_suppkey FROM (
+          SELECT l_partkey, l_suppkey,
+                 row_number() OVER (PARTITION BY l_partkey
+                                    ORDER BY l_suppkey) AS rk
+          FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+                WHERE l_partkey % 7 = 0))
+        WHERE rk <= 2
+      )
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM ranked2 a JOIN ranked2 b
+        ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+"""
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 10
+
+
+def _kcore_oracle() -> str:
+    parts = [f"WITH se AS MATERIALIZED (\n{_SPARSE_EDGES_SQL}\n)",
+             "e0 AS MATERIALIZED (SELECT u, v FROM se)"]
+    for r in range(_KCORE_ROUNDS):
+        parts.append(f"""
+    d{r} AS MATERIALIZED (SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM e{r}
+        UNION ALL SELECT v AS node FROM e{r}) GROUP BY node),
+    w{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE d < {_KCORE_K}),
+    e{r + 1} AS MATERIALIZED (SELECT u, v FROM e{r}
+        WHERE u NOT IN (SELECT node FROM w{r})
+          AND v NOT IN (SELECT node FROM w{r}))""")
+    final = _KCORE_ROUNDS
+    return (",\n".join(parts) + f""",
+    dfin AS (SELECT node, COUNT(*) AS d FROM (
+        SELECT u AS node FROM e{final}
+        UNION ALL SELECT v AS node FROM e{final}) GROUP BY node)
+    SELECT CAST(node AS BIGINT) AS suppkey,
+           CAST(d AS BIGINT) AS core_degree
+    FROM dfin WHERE d >= {_KCORE_K} ORDER BY suppkey""")
+
+
+def _sparse_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    ps = (li.filter(F.col("l_partkey") % 7 == 0)
+          .select("l_partkey", "l_suppkey").distinct())
+    wr = Window.partitionBy("l_partkey").orderBy("l_suppkey")
+    a = (ps.withColumn("rk", F.row_number().over(wr))
+         .filter(F.col("rk") <= 2).drop("rk"))
+    b = a.select("l_partkey", F.col("l_suppkey").alias("s2"))
+    return (a.join(b, "l_partkey")
+            .filter(F.col("l_suppkey") < F.col("s2"))
+            .select(F.col("l_suppkey").alias("u"),
+                    F.col("s2").alias("v"))
+            .distinct())
+
+
+@register("q392_kcore", oracle=_kcore_oracle())
+def q392(spark: SparkSession, sf_dir: str) -> DataFrame:
+    alive = _sparse_edges(spark, sf_dir).localCheckpoint(eager=False)
+    for _ in range(64):  # safety bound far above any observed peel
+        deg = (alive.select(F.col("u").alias("node"))
+               .unionAll(alive.select(F.col("v").alias("node")))
+               .groupBy("node").agg(F.count("*").alias("d")))
+        weak = deg.filter(F.col("d") < _KCORE_K).select("node")
+        if not weak.limit(1).count():  # bounded: 1-row probe
+            break
+        # the weak set shrinks monotonically — broadcast anti-joins
+        alive = (alive
+                 .join(F.broadcast(weak.withColumnRenamed("node", "u")),
+                       "u", "left_anti")
+                 .join(F.broadcast(weak.withColumnRenamed("node", "v")),
+                       "v", "left_anti")
+                 .localCheckpoint(eager=False))
+    deg = (alive.select(F.col("u").alias("node"))
+           .unionAll(alive.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("d")))
+    return (deg.filter(F.col("d") >= _KCORE_K)
+            .select(F.col("node").cast("bigint").alias("suppkey"),
+                    F.col("d").cast("bigint").alias("core_degree"))
+            .orderBy("suppkey"))
+
+
+# --------------------------------------------------------------------------
+# q393 — LABEL PROPAGATION COMMUNITIES (Raghavan 2007), synchronous and
+# fully deterministic: labels start as node ids; each of 4 fixed rounds
+# every node adopts its neighbors' PLURALITY label (ties -> smallest
+# label; isolated nodes cannot occur — all nodes come from edges).
+# Synchronous updates + a total tie order make LPA reproducible (the
+# async coin-flip variant is not), so the oracle replays the identical
+# 4 rounds as chained CTEs and must agree on every final label. One
+# shuffle per round (neighbor-label hash agg) — the scale shape of
+# every bulk-synchronous graph step in this tree (q335 Bellman-Ford,
+# q320 frontier closure).
+# --------------------------------------------------------------------------
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle() -> str:
+    parts = [f"WITH se AS MATERIALIZED (\n{_SPARSE_EDGES_SQL}\n)",
+             """nbr AS MATERIALIZED (
+        SELECT u AS node, v AS nb FROM se
+        UNION ALL SELECT v AS node, u AS nb FROM se)""",
+             """l0 AS MATERIALIZED (SELECT DISTINCT node, node AS lbl FROM nbr)"""]
+    for r in range(_LPA_ROUNDS):
+        parts.append(f"""
+    c{r} AS MATERIALIZED (SELECT nbr.node, l{r}.lbl, COUNT(*) AS c
+        FROM nbr JOIN l{r} ON l{r}.node = nbr.nb
+        GROUP BY nbr.node, l{r}.lbl),
+    l{r + 1} AS MATERIALIZED (SELECT node, lbl FROM (
+        SELECT node, lbl, row_number() OVER (PARTITION BY node
+            ORDER BY c DESC, lbl ASC) AS rn FROM c{r}) WHERE rn = 1)""")
+    return (",\n".join(parts) + f"""
+    SELECT CAST(node AS BIGINT) AS suppkey,
+           CAST(lbl AS BIGINT) AS community
+    FROM l{_LPA_ROUNDS} ORDER BY suppkey""")
+
+
+@register("q393_label_propagation", oracle=_lpa_oracle())
+def q393(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = _sparse_edges(spark, sf_dir)
+    nbr = (e.select(F.col("u").alias("node"), F.col("v").alias("nb"))
+           .unionAll(e.select(F.col("v").alias("node"),
+                              F.col("u").alias("nb")))
+           .localCheckpoint(eager=False))
+    labels = nbr.select("node").distinct().select(
+        "node", F.col("node").alias("lbl"))
+    pick = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("lbl").asc())
+    for _ in range(_LPA_ROUNDS):
+        counts = (nbr.join(labels.withColumnRenamed("node", "nb"), "nb")
+                  .groupBy("node", "lbl").agg(F.count("*").alias("c")))
+        labels = (counts.withColumn("rn", F.row_number().over(pick))
+                  .filter(F.col("rn") == 1).select("node", "lbl")
+                  .localCheckpoint(eager=False))
+    return labels.select(
+        F.col("node").cast("bigint").alias("suppkey"),
+        F.col("lbl").cast("bigint").alias("community")).orderBy("suppkey")
