@@ -3043,7 +3043,8 @@ def q382(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         from ..sources.zstd import (
-            compress_raw, decompress, read_seek_table, write_seekable,
+            compress, compress_raw, decompress, read_seek_table,
+            write_seekable,
         )
 
         try:  # real entropy-coded frames when libzstd is available
@@ -3055,6 +3056,11 @@ def q382(spark: SparkSession, sf_dir: str) -> DataFrame:
                 return bytes(codec.compress(b))
         except Exception:  # raw-block frames: same framing contract
             enc = compress_raw
+        # frame 1: libzstd-encoded (decoder exercised against the
+        # reference encoder); frame 2: OUR compressor (round 7 —
+        # LZ77 + predefined-FSE sequences), so both directions of the
+        # codec meet in one shard
+        encoders = [enc, compress]
 
         for pdf_batch in batches:
             out = {k: [] for k in ("doc_id", "n_frames", "text",
@@ -3064,8 +3070,9 @@ def q382(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ensure_ascii=False).encode()
                 half = len(line) // 2
                 parts = [line[:half], line[half:]]
-                shard = write_seekable([enc(p) for p in parts],
-                                       [len(p) for p in parts])
+                shard = write_seekable(
+                    [e(p) for e, p in zip(encoders, parts)],
+                    [len(p) for p in parts])
                 table = read_seek_table(shard)
                 pieces = []
                 ok = len(table) == 2

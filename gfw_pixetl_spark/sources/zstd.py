@@ -828,3 +828,261 @@ def xxh64(data: bytes, seed: int = 0) -> int:
     h = (h * _P3) & _M64
     h ^= h >> 32
     return h
+
+
+# --------------------------------------------------------------------------
+# compressor: LZ77 greedy matching + predefined-FSE sequence encoding
+# (round 7). Emits spec-valid COMPRESSED blocks — raw/RLE literals,
+# sequences in Predefined_Mode for all three codes — so output is
+# decodable by any conformant zstd (validated against libzstd in the
+# suite). Huffman literal compression and custom FSE tables are decode-
+# only: at match-heavy ratios the sequence layer carries most of the
+# win, and predefined mode keeps the encoder dependency-free of the
+# table-serialization machinery. Falls back to RAW blocks when the
+# compressed form would not be smaller (the spec's quality escape).
+# --------------------------------------------------------------------------
+
+
+def _fse_build_ctable(probs: list[int], accuracy_log: int):
+    """Encode table (FSE_buildCTable shape): returns (state_table,
+    per-symbol (delta_nb_bits, delta_find_state)) for the SAME spread
+    `_fse_build` uses, so encoder states walk exactly the decoder's
+    table."""
+    size = 1 << accuracy_log
+    syms = [0] * size
+    high = size - 1
+    for s, p in enumerate(probs):
+        if p == -1:
+            syms[high] = s
+            high -= 1
+    pos = 0
+    step = (size >> 1) + (size >> 3) + 3
+    mask = size - 1
+    for s, p in enumerate(probs):
+        if p <= 0:
+            continue
+        for _ in range(p):
+            syms[pos] = s
+            pos = (pos + step) & mask
+            while pos > high:
+                pos = (pos + step) & mask
+    counts = [1 if p == -1 else max(p, 0) for p in probs]
+    cumul = [0]
+    for c in counts:
+        cumul.append(cumul[-1] + c)
+    cursor = cumul[:-1]
+    cursor = list(cursor)
+    state_table = [0] * size
+    for u in range(size):
+        s = syms[u]
+        state_table[cursor[s]] = size + u
+        cursor[s] += 1
+    tt = []
+    total = 0
+    for s, p in enumerate(probs):
+        c = counts[s]
+        if c == 0:
+            tt.append((((accuracy_log + 1) << 16) - size, 0))
+        elif c == 1:
+            tt.append(((accuracy_log << 16) - size, total - 1))
+            total += 1
+        else:
+            max_bits = accuracy_log - ((c - 1).bit_length() - 1)
+            tt.append(((max_bits << 16) - (c << max_bits), total - c))
+            total += c
+    return state_table, tt
+
+
+class _CState:
+    """FSE encoder state (FSE_initCState2 / FSE_encodeSymbol /
+    FSE_flushCState)."""
+
+    __slots__ = ("value", "table", "tt", "log")
+
+    def __init__(self, state_table, tt, accuracy_log, first_symbol):
+        self.table = state_table
+        self.tt = tt
+        self.log = accuracy_log
+        dnb, dfs = tt[first_symbol]
+        nb = (dnb + (1 << 15)) >> 16
+        v = (nb << 16) - dnb
+        self.value = state_table[(v >> nb) + dfs]
+
+    def encode(self, wb: "_WBits", symbol: int) -> None:
+        dnb, dfs = self.tt[symbol]
+        nb = (self.value + dnb) >> 16
+        wb.add(self.value, nb)
+        self.value = self.table[(self.value >> nb) + dfs]
+
+    def flush(self, wb: "_WBits") -> None:
+        wb.add(self.value, self.log)
+
+
+class _WBits:
+    """Forward bit writer matching the backward reader `_RBits`: bits
+    pack little-endian, the final byte carries the 1-sentinel."""
+
+    __slots__ = ("acc", "n")
+
+    def __init__(self) -> None:
+        self.acc = 0
+        self.n = 0
+
+    def add(self, value: int, nbits: int) -> None:
+        if nbits:
+            self.acc |= (value & ((1 << nbits) - 1)) << self.n
+            self.n += nbits
+
+    def close(self) -> bytes:
+        self.acc |= 1 << self.n
+        self.n += 1
+        return self.acc.to_bytes((self.n + 7) >> 3, "little")
+
+
+def _ll_code(ll: int) -> int:
+    if ll < 16:
+        return ll
+    import bisect
+
+    return bisect.bisect_right(_LL_BASE, ll) - 1
+
+
+def _ml_code(ml: int) -> int:
+    if ml <= 34:
+        return ml - 3
+    import bisect
+
+    return bisect.bisect_right(_ML_BASE, ml) - 1
+
+
+def _find_sequences(data: bytes) -> tuple[list[tuple[int, int, int]], bytes]:
+    """Greedy LZ77: (literal_len, offset, match_len) triples + the
+    concatenated literals. Min match 4 (hash width), matches never
+    cover the final byte so the last-sequence literals are non-trivial
+    only when needed."""
+    n = len(data)
+    seqs: list[tuple[int, int, int]] = []
+    lits = bytearray()
+    if n < 13:
+        lits += data
+        return seqs, bytes(lits)
+    table: dict[bytes, int] = {}
+    anchor = 0
+    pos = 0
+    limit = n - 8
+    while pos <= limit:
+        key = data[pos:pos + 4]
+        cand = table.get(key)
+        table[key] = pos
+        if cand is None or data[cand:cand + 4] != key:
+            pos += 1
+            continue
+        mlen = 4
+        max_m = n - pos
+        while mlen < max_m and data[cand + mlen] == data[pos + mlen]:
+            mlen += 1
+        lits += data[anchor:pos]
+        seqs.append((pos - anchor, pos - cand, mlen))
+        pos += mlen
+        anchor = pos
+    lits += data[anchor:]
+    return seqs, bytes(lits)
+
+
+def _literals_header(lits: bytes) -> bytes:
+    """Raw literals section header (RLE when all bytes equal)."""
+    n = len(lits)
+    rle = n > 1 and lits.count(lits[0]) == n
+    t = 1 if rle else 0
+    if n <= 31:
+        head = bytes([t | (n << 3)])
+    elif n <= 4095:
+        head = bytes([t | 4 | ((n & 0xF) << 4), n >> 4])
+    else:
+        head = bytes([t | 12 | ((n & 0xF) << 4), (n >> 4) & 0xFF,
+                      n >> 12])
+    return head + (lits[:1] if rle else lits)
+
+
+def _encode_block(data: bytes) -> bytes | None:
+    """One compressed block's payload, or None when raw is smaller."""
+    seqs, lits = _find_sequences(data)
+    if not seqs:
+        return None
+    body = bytearray(_literals_header(lits))
+    nseq = len(seqs)
+    if nseq < 128:
+        body.append(nseq)
+    elif nseq < 0x7F00:
+        body += bytes([128 + (nseq >> 8), nseq & 0xFF])
+    else:
+        body += bytes([255, (nseq - 0x7F00) & 0xFF,
+                       (nseq - 0x7F00) >> 8])
+    body.append(0)  # modes: predefined for LL, OF and ML
+    ll_probs, ll_al = _LL_DEFAULT
+    of_probs, of_al = _OF_DEFAULT
+    ml_probs, ml_al = _ML_DEFAULT
+    ll_ct = _fse_build_ctable(ll_probs, ll_al)
+    of_ct = _fse_build_ctable(of_probs, of_al)
+    ml_ct = _fse_build_ctable(ml_probs, ml_al)
+
+    codes = []
+    for ll, offset, mlen in seqs:
+        lc = _ll_code(ll)
+        mc = _ml_code(mlen)
+        ov = offset + 3  # no repeat-offset slots: always offset_value
+        oc = ov.bit_length() - 1
+        codes.append((lc, ll - _LL_BASE[lc], _LL_BITS[lc],
+                      mc, mlen - _ML_BASE[mc], _ML_BITS[mc],
+                      oc, ov - (1 << oc)))
+
+    wb = _WBits()
+    last = codes[-1]
+    ml_st = _CState(*ml_ct, ml_al, last[3])
+    of_st = _CState(*of_ct, of_al, last[6])
+    ll_st = _CState(*ll_ct, ll_al, last[0])
+    wb.add(last[1], last[2])   # LL extra
+    wb.add(last[4], last[5])   # ML extra
+    wb.add(last[7], last[6])   # OF extra (nb bits = code)
+    for lc, llx, llb, mc, mlx, mlb, oc, ofx in reversed(codes[:-1]):
+        of_st.encode(wb, oc)
+        ml_st.encode(wb, mc)
+        ll_st.encode(wb, lc)
+        wb.add(llx, llb)
+        wb.add(mlx, mlb)
+        wb.add(ofx, oc)
+    ml_st.flush(wb)
+    of_st.flush(wb)
+    ll_st.flush(wb)
+    body += wb.close()
+    return bytes(body) if len(body) < len(data) else None
+
+
+def compress(content: bytes, checksum: bool = False) -> bytes:
+    """A spec-valid zstd frame with real COMPRESSED blocks (greedy
+    LZ77 + predefined-FSE sequences, raw/RLE literals); blocks that do
+    not shrink are stored raw. Single-segment with content size, so
+    any decoder window-checks trivially."""
+    out = bytearray(struct.pack("<I", ZSTD_MAGIC))
+    ck = 0x04 if checksum else 0
+    if 0 < len(content) < 256:
+        out += bytes([0x20 | ck, len(content)])
+    else:
+        out += bytes([0xA0 | ck]) + struct.pack("<I", len(content))
+    if not content:
+        out += (1).to_bytes(3, "little")
+    else:
+        max_block = 128 << 10
+        for i in range(0, len(content), max_block):
+            chunk = content[i:i + max_block]
+            last = 1 if i + max_block >= len(content) else 0
+            enc = _encode_block(chunk)
+            if enc is None:  # raw block
+                out += ((len(chunk) << 3) | last).to_bytes(3, "little")
+                out += chunk
+            else:  # compressed block (type 2)
+                out += ((len(enc) << 3) | 4 | last).to_bytes(3, "little")
+                out += enc
+    if checksum:
+        out += struct.pack("<I", xxh64(content) & 0xFFFFFFFF)
+    return bytes(out)

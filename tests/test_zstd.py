@@ -12,9 +12,11 @@ import random
 import struct
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from gfw_pixetl_spark.sources.zstd import (
-    SEEK_FOOTER_MAGIC, compress_raw, decompress, frame_index,
+    SEEK_FOOTER_MAGIC, compress, compress_raw, decompress, frame_index,
     read_seek_table, write_seekable, xxh64,
 )
 
@@ -225,3 +227,37 @@ def test_truncated_skippable_frame_raises():
         frame_end(sk[:6], 0)
     with pytest.raises(ValueError, match="skippable"):
         frame_end(struct.pack("<II", 0x184D2A50, 100) + b"xx", 0)
+
+
+def test_compress_roundtrip_and_libzstd_decodes_ours():
+    """Round-7 encoder: greedy LZ77 + predefined-FSE sequences. Every
+    case must round-trip through OUR decoder AND through libzstd."""
+    lib = _libzstd()
+    for i, c in enumerate(_cases()):
+        fr = compress(c, checksum=True)
+        assert decompress(fr) == c, i
+        assert bytes(lib.decompress(fr, len(c))) == c, i
+    # repetitive text actually compresses (the sequence layer works)
+    text = b"hello hello hello hello world " * 200
+    fr = compress(text)
+    assert len(fr) < len(text) // 10
+    # frame_index sees the compressed frame like any other
+    assert frame_index(fr)[0][2] == len(text)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(max_size=5000), st.booleans())
+def test_property_compress_roundtrip(data, ck):
+    fr = compress(data, checksum=ck)
+    assert decompress(fr) == data
+    assert bytes(_libzstd().decompress(fr, len(data))) == data
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.sampled_from([b"abab", b"xyz", b"q", b" "]),
+                min_size=0, max_size=400))
+def test_property_compress_matchy_inputs(parts):
+    data = b"".join(parts)
+    fr = compress(data)
+    assert decompress(fr) == data
+    assert bytes(_libzstd().decompress(fr, len(data))) == data
