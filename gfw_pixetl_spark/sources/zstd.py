@@ -8,6 +8,8 @@ shelled out. Implemented:
 
 * frames: magic, frame-header descriptor (FCS field sizes,
   single-segment, content checksum), skippable frames,
+* a COMPRESSOR (`compress`): greedy LZ77 + predefined-FSE sequences +
+  package-merge Huffman literals — libzstd-decodable real compression,
 * blocks: raw / RLE / compressed,
 * literals: raw / RLE / Huffman-compressed / treeless (table reuse),
   1-stream and 4-stream layouts with the jump table,
@@ -832,14 +834,16 @@ def xxh64(data: bytes, seed: int = 0) -> int:
 
 # --------------------------------------------------------------------------
 # compressor: LZ77 greedy matching + predefined-FSE sequence encoding
-# (round 7). Emits spec-valid COMPRESSED blocks — raw/RLE literals,
+# + Huffman-coded literals (round 7). Emits spec-valid COMPRESSED
+# blocks — literals raw / RLE / Huffman (whichever is smallest),
 # sequences in Predefined_Mode for all three codes — so output is
 # decodable by any conformant zstd (validated against libzstd in the
-# suite). Huffman literal compression and custom FSE tables are decode-
-# only: at match-heavy ratios the sequence layer carries most of the
-# win, and predefined mode keeps the encoder dependency-free of the
-# table-serialization machinery. Falls back to RAW blocks when the
-# compressed form would not be smaller (the spec's quality escape).
+# suite). Custom FSE sequence tables stay decode-only: predefined mode
+# keeps the encoder free of the table-serialization machinery while
+# the sequence layer carries most of the match-heavy win. Falls back
+# to RAW blocks when the compressed form would not be smaller (the
+# spec's quality escape). Measured within ~2x of libzstd -3 on
+# entropy-bound text and equal on match-bound input.
 # --------------------------------------------------------------------------
 
 
@@ -1007,9 +1011,12 @@ def _literals_header(lits: bytes) -> bytes:
 def _encode_block(data: bytes) -> bytes | None:
     """One compressed block's payload, or None when raw is smaller."""
     seqs, lits = _find_sequences(data)
+    lit_sec = _huf_encode_literals(lits) or _literals_header(lits)
     if not seqs:
-        return None
-    body = bytearray(_literals_header(lits))
+        # literals-only block: worthwhile iff Huffman shrank them
+        body = bytes(lit_sec) + b"\x00"  # nbSeq = 0
+        return body if len(body) < len(data) else None
+    body = bytearray(lit_sec)
     nseq = len(seqs)
     if nseq < 128:
         body.append(nseq)
@@ -1086,3 +1093,110 @@ def compress(content: bytes, checksum: bool = False) -> bytes:
     if checksum:
         out += struct.pack("<I", xxh64(content) & 0xFFFFFFFF)
     return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Huffman literals encoding (round 7b): canonical length-limited codes
+# via package-merge (Larmore-Hirschberg), direct-4-bit-weight headers,
+# 1-stream or 4-stream layouts — the entropy layer on top of the LZ77
+# sequence layer. Falls back silently (return None) when Huffman
+# cannot help: fewer than 2 distinct bytes (RLE wins), alphabet past
+# symbol 128 (direct-weight header limit; FSE-compressed weights are
+# decode-only), or no size win.
+# --------------------------------------------------------------------------
+
+
+def _pm_lengths(counts: dict[int, int], max_len: int) -> dict[int, int]:
+    """Optimal length-limited code lengths (package-merge). Kraft sum
+    is exactly 1 by construction — required for the zstd weight scheme
+    (sum of 2^(w-1) must complete a power of two)."""
+    leaves = sorted((c, (s,)) for s, c in counts.items())
+    lst: list[tuple[int, tuple]] = []
+    for _ in range(max_len - 1):
+        merged = sorted(lst + leaves)
+        lst = [(merged[i][0] + merged[i + 1][0],
+                merged[i][1] + merged[i + 1][1])
+               for i in range(0, len(merged) - 1, 2)]
+    merged = sorted(lst + leaves)
+    lengths = {s: 0 for s in counts}
+    for _, syms in merged[:2 * (len(leaves) - 1)]:
+        for s in syms:
+            lengths[s] += 1
+    return lengths
+
+
+def _huf_encode_literals(lits: bytes) -> bytes | None:
+    """Compressed-literals section (type 2) or None when not smaller.
+    Mirrors `_huf_build`'s canonical order exactly: weight-ascending,
+    symbol-ascending, codes are table positions shifted to nb bits."""
+    from collections import Counter
+
+    counts = Counter(lits)
+    if len(counts) < 2:
+        return None
+    last = max(counts)
+    if last > 128:
+        return None  # direct-weight header carries at most 128 weights
+    lengths = _pm_lengths(dict(counts), 11)
+    max_bits = max(lengths.values())
+    full = [0] * (last + 1)
+    for s, ln in lengths.items():
+        full[s] = max_bits + 1 - ln
+    codes: dict[int, tuple[int, int]] = {}
+    pos = 0
+    for wt in range(1, max_bits + 1):
+        span = 1 << (wt - 1)
+        nb = max_bits + 1 - wt
+        for sym in range(last + 1):
+            if full[sym] == wt:
+                codes[sym] = (pos >> (wt - 1), nb)
+                pos += span
+    if pos != 1 << max_bits:
+        return None  # defensive: lengths failed Kraft completeness
+    nw = last  # weights transmitted for symbols 0..last-1, last implied
+    head = bytearray([127 + nw])
+    for i in range(0, nw, 2):
+        hi = full[i] << 4
+        lo = full[i + 1] if i + 1 < nw else 0
+        head.append(hi | lo)
+
+    def enc_stream(chunk: bytes) -> bytes:
+        wb = _WBits()
+        for b in reversed(chunk):
+            c, nb = codes[b]
+            wb.add(c, nb)
+        return wb.close()
+
+    regen = len(lits)
+    if regen <= 1023:
+        payload = bytes(head) + enc_stream(lits)
+        comp = len(payload)
+        if comp > 1023:
+            return None
+        hdr = (2 | (0 << 2) | (regen << 4)
+               | (comp << 14)).to_bytes(3, "little")
+        section = hdr + payload
+    else:
+        per = (regen + 3) // 4
+        chunks = [lits[0:per], lits[per:2 * per],
+                  lits[2 * per:3 * per], lits[3 * per:]]
+        if not chunks[3]:
+            return None  # 4-stream layout needs a non-empty last part
+        streams = [enc_stream(ch) for ch in chunks]
+        if max(len(s) for s in streams[:3]) > 0xFFFF:
+            return None
+        payload = (bytes(head)
+                   + struct.pack("<HHH", *(len(s) for s in streams[:3]))
+                   + b"".join(streams))
+        comp = len(payload)
+        if regen <= 16383 and comp <= 16383:
+            hdr = (2 | (2 << 2) | (regen << 4)
+                   | (comp << 18)).to_bytes(4, "little")
+        elif regen <= 262143 and comp <= 262143:
+            hdr = (2 | (3 << 2) | (regen << 4)
+                   | (comp << 22)).to_bytes(5, "little")
+        else:
+            return None
+        section = hdr + payload
+    raw_len = len(_literals_header(lits))
+    return section if len(section) < raw_len else None

@@ -261,3 +261,42 @@ def test_property_compress_matchy_inputs(parts):
     fr = compress(data)
     assert decompress(fr) == data
     assert bytes(_libzstd().decompress(fr, len(data))) == data
+
+
+def test_huffman_literals_layer():
+    """Entropy-bound inputs engage the Huffman literals path (both
+    1-stream and 4-stream layouts) and stay libzstd-decodable."""
+    import random as _r
+
+    rnd = _r.Random(11)
+    lib = _libzstd()
+    small = bytes(rnd.choices(b"abcdefgh ", k=600))     # 1-stream
+    big = bytes(rnd.choices(b"abcdefgh ", k=60000))     # 4-stream
+    for c in (small, big):
+        fr = compress(c)
+        assert decompress(fr) == c
+        assert bytes(lib.decompress(fr, len(c))) == c
+    # entropy coding actually bites: skewed single bytes can't match
+    skew = bytes(rnd.choices(range(8),
+                             weights=[100, 50, 20, 10, 5, 2, 1, 1],
+                             k=40000))
+    fr = compress(skew)
+    assert len(fr) < 0.7 * len(skew)
+    assert decompress(fr) == skew
+    assert bytes(lib.decompress(fr, len(skew))) == skew
+    # alphabet past symbol 128: Huffman gated off, still round-trips
+    hi = bytes(rnd.choices(range(120, 256), k=5000))
+    fr = compress(hi)
+    assert decompress(fr) == hi
+    assert bytes(lib.decompress(fr, len(hi))) == hi
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.dictionaries(st.integers(0, 128), st.integers(1, 10000),
+                       min_size=2, max_size=80))
+def test_property_package_merge_kraft(counts):
+    from gfw_pixetl_spark.sources.zstd import _pm_lengths
+
+    lens = _pm_lengths(counts, 11)
+    assert max(lens.values()) <= 11
+    assert sum(1 << (11 - l) for l in lens.values()) == 1 << 11

@@ -43,6 +43,10 @@ DEFAULT_QUERIES = [
     "q385_ntv2_datum_shift", # broadcast-grid vectorized shift
     "q387_gif_frames",       # GIF LZW codec kernel (linear claim)
     "q388_unigram_apply",    # distinct-word Viterbi + broadcast join
+    "q389_tfrecord_shards",  # TFRecord+protobuf kernel (linear claim)
+    "q390_avro_roundtrip",   # Avro container export->ingest gate
+    "q391_lz4_jsonl",        # LZ4 frame kernel (linear claim)
+    "q392_kcore",            # fixpoint peel (rounds bounded claim)
 ]
 
 SF_DIRS = [
