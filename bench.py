@@ -510,6 +510,35 @@ def main() -> None:
             print(f"bench scale_stress_crawl FAILED: {e}", file=sys.stderr)
             stress_crawl = {"sec": -1.0, "golden": False}
 
+    # At-size TRAINER-EXPORT stress (round 7): >=100 MB of TFRecord
+    # shards (tf.train.Example + CRC32C framing, damage injection) plus
+    # a .jsonl.zst leg through the in-tree zstd COMPRESSOR; closed-form
+    # accounting golden.
+    stress_export = None
+    if os.environ.get("SPARK_GRAFT_BENCH_STRESS", "1") != "0":
+        import tempfile
+
+        from gfw_pixetl_spark.harness import scale_stress_export
+
+        try:
+            t0 = time.perf_counter()
+            facts = scale_stress_export.run(spark, tempfile.mkdtemp())
+            problems = scale_stress_export.verify_outputs(facts)
+            stress_export = {
+                "sec": round(time.perf_counter() - t0, 3),
+                "sec_full_pipeline": facts["sec_full_pipeline"],
+                "tfrecord_mb": facts["export_bytes"] // 2**20,
+                "zstd_ratio": round(facts["zstd_comp_bytes"]
+                                    / facts["zstd_raw_bytes"], 3),
+                "max_batch_mb": round(facts["max_shard_bytes"] / 2**20,
+                                      1),
+                "golden": not problems,
+            }
+        except Exception as e:  # noqa: BLE001
+            print(f"bench scale_stress_export FAILED: {e}",
+                  file=sys.stderr)
+            stress_export = {"sec": -1.0, "golden": False}
+
     # Full per-query medians go to a file (the driver's tail capture is
     # ~2 KB; a 169-entry map overflows it — r2 verdict #2). The LAST stdout
     # line is a compact summary the driver can always parse.
@@ -524,6 +553,7 @@ def main() -> None:
         "scale_stress": stress,
         "scale_stress_vector": stress_vec,
         "scale_stress_crawl": stress_crawl,
+        "scale_stress_export": stress_export,
     }
     repo = Path(__file__).resolve().parent
     detail_path = repo / "BENCH_DETAIL.json"
@@ -558,7 +588,8 @@ def main() -> None:
                 "aggregation": "median_per_query",
                 "scale_stress": stress,
                 "scale_stress_vector": stress_vec,
-        "scale_stress_crawl": stress_crawl,
+                "scale_stress_crawl": stress_crawl,
+                "scale_stress_export": stress_export,
                 "detail": str(detail_path),
             }
         )
