@@ -386,6 +386,7 @@ BENCH_QUERIES = [
     "q391_lz4_jsonl",
     "q392_kcore",
     "q393_label_propagation",
+    "q394_seqfile_ingest",
 ]
 
 

@@ -7172,3 +7172,91 @@ def q391(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(kernel, LZ4_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# q394 — HADOOP SEQUENCEFILE INGEST (sources/sequencefile.py): the
+# MapReduce-era key/value container still sitting across every data
+# lake. Each doc rides as two BytesWritable records (id key -> text
+# value; meta key -> length value) in a RECORD-compressed (DefaultCodec
+# zlib) SequenceFile; the kernel walks the real chain — header parse,
+# record_index offsets, strict iteration, VInt class-name decode — and
+# a second copy with an injected mid-file flip exercises the lenient
+# scan's sync-marker resync. Facts are analytic (the q371/q389 shape).
+# --------------------------------------------------------------------------
+SEQ_SCHEMA = ("doc_id long, n_records int, n_index int, compressed "
+              "boolean, key_class string, text_sig int, len_back int, "
+              "scan_ok boolean")
+
+
+@register(
+    "q394_seqfile_ingest",
+    oracle="""
+    SELECT doc_id, CAST(2 AS INT) AS n_records,
+           CAST(2 AS INT) AS n_index,
+           TRUE AS compressed,
+           'org.apache.hadoop.io.BytesWritable' AS key_class,
+           ('0x' || substr(md5(text), 1, 4))::INT AS text_sig,
+           CAST(length(text) AS INT) AS len_back,
+           TRUE AS scan_ok
+    FROM documents
+    """,
+)
+def q394(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.partitioning import ensure_min_partitions
+
+    docs = ensure_min_partitions(
+        load(spark, sf_dir, "documents").select("doc_id", "text"))
+
+    def kernel(batches):
+        import hashlib as _hl
+        import struct as _struct
+
+        import pandas as pd
+
+        from ..sources.sequencefile import (
+            iter_seqfile, read_header, record_index, scan_seqfile,
+            write_seqfile,
+        )
+
+        cols = ("doc_id", "n_records", "n_index", "compressed",
+                "key_class", "text_sig", "len_back", "scan_ok")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                body = str(t).encode()
+                recs = [
+                    (_struct.pack(">q", i), body),
+                    (b"meta", _struct.pack(">q", len(body))),
+                ]
+                blob = write_seqfile(recs, compressed=True,
+                                     metadata={"doc": str(i)},
+                                     sync_interval=1)
+                kc, _vc, comp, meta, _sync, _p = read_header(blob)
+                idx = record_index(blob)
+                back = list(iter_seqfile(blob))
+                text_back = back[0][1]
+                (len_back,) = _struct.unpack(">q", back[1][1])
+                # damage leg: flip one byte inside the FIRST record's
+                # deflate VALUE; the sync escape between records (the
+                # per-record sync_interval) lets the scan keep record 2
+                dam = bytearray(blob)
+                dam[idx[0][0] + 8 + 12 + 2] ^= 0xFF
+                got, c = scan_seqfile(bytes(dam))
+                ok = (meta == {"doc": str(i)}
+                      and back[0][0] == _struct.pack(">q", i)
+                      and c["bad_records"] >= 1
+                      and any(k == b"meta" for k, _v in got))
+                out["doc_id"].append(i)
+                out["n_records"].append(len(back))
+                out["n_index"].append(len(idx))
+                out["compressed"].append(bool(comp))
+                out["key_class"].append(kc)
+                out["text_sig"].append(
+                    int(_hl.md5(text_back).hexdigest()[:4], 16))
+                out["len_back"].append(int(len_back))
+                out["scan_ok"].append(bool(ok))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(kernel, SEQ_SCHEMA)
