@@ -387,6 +387,7 @@ BENCH_QUERIES = [
     "q392_kcore",
     "q393_label_propagation",
     "q394_seqfile_ingest",
+    "q395_avro_evolution",
 ]
 
 

@@ -7260,3 +7260,117 @@ def q394(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(kernel, SEQ_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# q395 — AVRO SCHEMA-EVOLUTION READ (spec "Schema Resolution"): a store
+# written over years of pipeline versions holds containers under
+# DIFFERENT writer schemas; the reader resolves all of them to one
+# reader schema — fields matched by name, added columns filled from
+# declared defaults, int->long promotion applied. This is q184's
+# mergeSchema contract at the Avro layer: even rows were exported
+# under the OLD schema (no lang, no n_chars), odd rows under the NEW
+# one; the reader sees a single table where old rows carry the
+# defaults (null lang -> 'none' key, n_chars -1), all value-checked
+# against the parquet truth.
+# --------------------------------------------------------------------------
+def _avroevo_dir(spark: SparkSession, sf_dir: str) -> str:
+    old_schema = {"type": "record", "name": "doc", "fields": [
+        {"name": "doc_id", "type": "int"},      # reader promotes: long
+        {"name": "text", "type": "string"}]}
+    new_schema = {"type": "record", "name": "doc", "fields": [
+        {"name": "doc_id", "type": "long"},
+        {"name": "text", "type": "string"},
+        {"name": "lang", "type": ["null", "string"]},
+        {"name": "n_chars", "type": "long"}]}
+
+    def build(d: str) -> None:
+        import os as _os
+
+        _os.makedirs(d, exist_ok=True)
+        docs = load(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang", "n_chars")
+
+        def writer(batches):
+            import pandas as pd
+
+            from ..sources.avro import write_container
+
+            for pdf in batches:
+                rows = pdf.to_dict("records")
+                if not rows:
+                    continue
+                lo = min(int(r["doc_id"]) for r in rows)
+                old = [{"doc_id": int(r["doc_id"]), "text": r["text"]}
+                       for r in rows if r["doc_id"] % 2 == 0]
+                new = [{"doc_id": int(r["doc_id"]), "text": r["text"],
+                        "lang": r["lang"], "n_chars": int(r["n_chars"])}
+                       for r in rows if r["doc_id"] % 2 == 1]
+                n = 0
+                if old:
+                    with open(_os.path.join(
+                            d, f"old-{lo:08d}.avro"), "wb") as f:
+                        f.write(write_container(old, old_schema))
+                    n += len(old)
+                if new:
+                    with open(_os.path.join(
+                            d, f"new-{lo:08d}.avro"), "wb") as f:
+                        f.write(write_container(new, new_schema))
+                    n += len(new)
+                yield pd.DataFrame({"n": [n]})
+
+        docs.repartition(8, "doc_id").mapInPandas(
+            writer, "n long").collect()
+
+    return _derived_dir(sf_dir, "avroevo", build), new_schema
+
+
+@register(
+    "q395_avro_evolution",
+    oracle="""
+    SELECT CASE WHEN doc_id % 2 = 0 THEN 'none' ELSE lang END
+               AS lang_key,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN -1 ELSE n_chars END)
+                AS BIGINT) AS chars_sum
+    FROM documents GROUP BY 1
+    """,
+)
+def q395(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d, reader_schema = _avroevo_dir(spark, sf_dir)
+    # the reader schema ADDS columns with defaults over the old writer
+    reader_schema = {
+        "type": "record", "name": "doc", "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "text", "type": "string"},
+            {"name": "lang", "type": ["null", "string"],
+             "default": None},
+            {"name": "n_chars", "type": "long", "default": -1}]}
+
+    import pandas as pd
+
+    def kernel(batches):
+        from ..sources.avro import iter_container_resolved
+
+        for pdf in batches:
+            for blob in pdf["content"]:
+                cols = {"doc_id": [], "lang": [], "n_chars": []}
+                for rec in iter_container_resolved(bytes(blob),
+                                                   reader_schema):
+                    cols["doc_id"].append(rec["doc_id"])
+                    cols["lang"].append(rec["lang"])
+                    cols["n_chars"].append(rec["n_chars"])
+                yield pd.DataFrame(cols)
+
+    rows = (spark.read.format("binaryFile").load(d + "/*.avro")
+            .select("content")
+            .mapInPandas(kernel,
+                         "doc_id long, lang string, n_chars long"))
+    return rows.groupBy(
+        F.coalesce(F.col("lang"), F.lit("none")).alias("lang_key")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+        F.sum("n_chars").cast("bigint").alias("chars_sum"),
+    )

@@ -505,3 +505,136 @@ def read_avro(spark, path_glob: str, spark_schema: str):
                 yield pd.DataFrame(cols)
 
     return files.select("content").mapInPandas(kernel, spark_schema)
+
+
+# --------------------------------------------------------------------------
+# schema resolution (round 7): reading old containers under a NEWER
+# reader schema — the mergeSchema contract at the Avro layer (spec
+# "Schema Resolution"). Records match fields by NAME: writer fields
+# absent from the reader are dropped, reader fields absent from the
+# writer take their declared default, and primitive promotions
+# (int->long/float/double, long->float/double, float->double,
+# string<->bytes) apply. A 100 TB store written over years of pipeline
+# versions depends on this exactly like the parquet path (q184).
+# --------------------------------------------------------------------------
+
+_PROMOTIONS = {
+    "int": {"long", "float", "double"},
+    "long": {"float", "double"},
+    "float": {"double"},
+    "string": {"bytes"},
+    "bytes": {"string"},
+}
+
+
+def _type_name(schema) -> str:
+    if isinstance(schema, list):
+        return "union"
+    return schema if isinstance(schema, str) else schema["type"]
+
+
+def _promote(value, frm: str, to: str):
+    if to in ("float", "double") and frm in ("int", "long"):
+        return float(value)
+    if to == "bytes" and frm == "string":
+        return value.encode("utf-8") if isinstance(value, str) else value
+    if to == "string" and frm == "bytes":
+        return value.decode("utf-8") if isinstance(value, bytes) else value
+    return value
+
+
+def adapt_value(value, writer, reader):
+    """Resolve a decoded value from ``writer`` schema to ``reader``
+    schema per the spec's resolution rules; ValueError when the
+    schemas cannot resolve."""
+    wt, rt = _type_name(writer), _type_name(reader)
+    if rt == "union":
+        if wt == "union":
+            # the decoded value already picked a branch; re-resolve it
+            # against the first reader branch that accepts it
+            for br in reader:
+                try:
+                    return adapt_value(value, _branch_of(writer, value),
+                                       br)
+                except ValueError:
+                    continue
+            raise ValueError("avro: no reader union branch resolves")
+        for br in reader:
+            try:
+                return adapt_value(value, writer, br)
+            except ValueError:
+                continue
+        raise ValueError("avro: value fits no reader union branch")
+    if wt == "union":
+        return adapt_value(value, _branch_of(writer, value), reader)
+    if wt == rt:
+        if rt == "record":
+            out = {}
+            wf = {f["name"]: f for f in writer["fields"]}
+            for f in reader["fields"]:
+                name = f["name"]
+                if name in wf:
+                    out[name] = adapt_value(value[name],
+                                            wf[name]["type"], f["type"])
+                elif "default" in f:
+                    out[name] = _default_for(f["type"], f["default"])
+                else:
+                    raise ValueError(
+                        f"avro: reader field {name!r} has no writer "
+                        f"value and no default")
+            return out
+        if rt == "array":
+            return [adapt_value(v, writer["items"], reader["items"])
+                    for v in value]
+        if rt == "map":
+            return {k: adapt_value(v, writer["values"],
+                                   reader["values"])
+                    for k, v in value.items()}
+        if rt == "enum":
+            if value not in reader["symbols"]:
+                raise ValueError(f"avro: enum symbol {value!r} not in "
+                                 f"reader")
+            return value
+        return value
+    if rt in _PROMOTIONS.get(wt, ()):
+        return _promote(value, wt, rt)
+    raise ValueError(f"avro: cannot resolve writer {wt} to reader {rt}")
+
+
+def _branch_of(union: list, value):
+    """The union branch a DECODED value belongs to (types are
+    unambiguous post-decode for the supported kinds)."""
+    kinds = _value_kinds(value)
+    for want in kinds:
+        for br in union:
+            if _type_name(br) == want:
+                return br
+    # fall back: complex kinds (record vs map share dict)
+    for br in union:
+        if not isinstance(br, str):
+            return br
+    raise ValueError("avro: decoded value matches no union branch")
+
+
+def _default_for(schema, default):
+    """JSON default -> Python value (spec: bytes defaults are
+    latin-1-escaped strings; union defaults belong to the FIRST
+    branch)."""
+    t = _type_name(schema)
+    if t == "union":
+        return _default_for(schema[0], default)
+    if t == "bytes" and isinstance(default, str):
+        return default.encode("latin-1")
+    if t == "fixed" and isinstance(default, str):
+        return default.encode("latin-1")
+    if t in ("float", "double") and default is not None:
+        return float(default)
+    return default
+
+
+def iter_container_resolved(data: bytes, reader_schema: dict):
+    """Yield records resolved to ``reader_schema`` regardless of which
+    writer-schema version produced the container."""
+    schema, meta, sync, pos = read_header(data)
+    for rec in iter_container(data):
+        yield adapt_value(rec, schema, reader_schema)

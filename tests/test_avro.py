@@ -176,3 +176,39 @@ def test_property_container_roundtrip(rows):
         blob = write_container(recs, sch, codec=codec,
                                objects_per_block=7)
         assert list(iter_container(blob)) == recs
+
+
+def test_schema_resolution_old_under_new():
+    from gfw_pixetl_spark.sources.avro import (
+        adapt_value, iter_container_resolved,
+    )
+
+    old = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "int"},
+        {"name": "text", "type": "string"},
+        {"name": "legacy", "type": "string"}]}
+    new = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "text", "type": ["null", "string"]},
+        {"name": "lang", "type": "string", "default": "und"},
+        {"name": "score", "type": "double", "default": 0.5}]}
+    blob = write_container([{"id": 1, "text": "a", "legacy": "x"}], old)
+    assert list(iter_container_resolved(blob, new)) == [
+        {"id": 1, "text": "a", "lang": "und", "score": 0.5}]
+    # new containers under the same reader: identity
+    blob2 = write_container(
+        [{"id": 9, "text": None, "lang": "en", "score": 1.0}], new)
+    assert list(iter_container_resolved(blob2, new)) == [
+        {"id": 9, "text": None, "lang": "en", "score": 1.0}]
+    # added field without default: clear refusal
+    bad = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "must", "type": "string"}]}
+    with pytest.raises(ValueError, match="no writer value"):
+        list(iter_container_resolved(blob, bad))
+    # primitive promotions both spec directions
+    assert adapt_value(7, "int", "double") == 7.0
+    assert adapt_value("é", "string", "bytes") == "é".encode()
+    assert adapt_value(b"ok", "bytes", "string") == "ok"
+    with pytest.raises(ValueError, match="cannot resolve"):
+        adapt_value(1.5, "double", "long")  # narrowing never allowed
