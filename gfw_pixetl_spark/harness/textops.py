@@ -7396,3 +7396,103 @@ def q395(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").cast("bigint").alias("id_sum"),
         F.sum("n_chars").cast("bigint").alias("chars_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# q396 — STREAMING TFRECORD INGEST: the arrival path for trainer-format
+# shards. The corpus is exported once to TFRecord shards (q389's
+# format), then a Structured Streaming binaryFile source drains them in
+# MULTIPLE micro-batches (maxFilesPerTrigger=3), each batch decoded by
+# the Arrow kernel (scan_tfrecord + protobuf decode) and appended
+# through the idempotent SnapshotTableSink (batch-id replay marks, the
+# q239 contract). The final table equals the batch truth — the oracle;
+# replay idempotency itself is unit-proven in test_snapshots.
+# --------------------------------------------------------------------------
+def _tfrec_dir(spark: SparkSession, sf_dir: str) -> str:
+    def build(d: str) -> None:
+        import os as _os
+
+        _os.makedirs(d, exist_ok=True)
+        docs = load(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars")
+
+        def writer(batches):
+            import pandas as pd
+
+            from ..sources.tfrecord import encode_example, write_tfrecord
+
+            for pdf in batches:
+                rows = pdf.to_dict("records")
+                if not rows:
+                    continue
+                recs = [encode_example({
+                    "doc_id": [int(r["doc_id"])],
+                    "lang": [str(r["lang"]).encode()],
+                    "n_chars": [int(r["n_chars"])],
+                }) for r in rows]
+                lo = min(int(r["doc_id"]) for r in rows)
+                path = _os.path.join(d, f"docs-{lo:08d}.tfrecord")
+                with open(path, "wb") as f:
+                    f.write(write_tfrecord(recs))
+                yield pd.DataFrame({"n": [len(recs)]})
+
+        docs.repartition(8, "doc_id").mapInPandas(
+            writer, "n long").collect()
+
+    return _derived_dir(sf_dir, "tfrec", build)
+
+
+@register(
+    "q396_stream_tfrecord_ingest",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+    FROM documents GROUP BY lang
+    """,
+)
+def q396(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..sources.snapshots import read_snapshot
+    from ..streaming.snapshot_sink import SnapshotTableSink
+
+    shard_dir = _tfrec_dir(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="q396_")
+
+    import pandas as pd
+
+    def kernel(batches):
+        from ..sources.tfrecord import decode_example, scan_tfrecord
+
+        for pdf in batches:
+            cols = {"doc_id": [], "lang": [], "n_chars": []}
+            for blob in pdf["content"]:
+                records, _c = scan_tfrecord(bytes(blob))
+                for r in records:
+                    d = decode_example(r)
+                    cols["doc_id"].append(d["doc_id"][0])
+                    cols["lang"].append(
+                        d["lang"][0].decode("utf-8"))
+                    cols["n_chars"].append(d["n_chars"][0])
+            yield pd.DataFrame(cols)
+
+    bin_schema = ("path string, modificationTime timestamp, "
+                  "length long, content binary")
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(bin_schema)
+        .option("pathGlobFilter", "*.tfrecord")
+        .option("maxFilesPerTrigger", 3)  # force several micro-batches
+        .load(shard_dir)
+        .select("content")
+        .mapInPandas(kernel, "doc_id long, lang string, n_chars long")
+    )
+    sink = SnapshotTableSink(f"{work}/table", f"{work}/ckpt")
+    sink.run_available_now(stream)
+    return read_snapshot(spark, f"{work}/table").groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+        F.sum("n_chars").cast("bigint").alias("chars_sum"),
+    )
