@@ -388,6 +388,8 @@ BENCH_QUERIES = [
     "q393_label_propagation",
     "q394_seqfile_ingest",
     "q395_avro_evolution",
+    "q397_avi_mjpeg_frames",
+    "q398_adpcm_decode",
 ]
 
 

@@ -264,11 +264,11 @@ def video_payload(text: str, n_frames: int = 24, size: int = 4) -> bytes:
 def _video_index(payload: bytes) -> list[tuple[int, int]]:
     """Parse the container's sample index -> [(start, end)] per frame.
 
-    Two real layouts: ISO-BMFF (sniffed by the ftyp box at offset 4;
+    Three real layouts: ISO-BMFF (sniffed by the ftyp box at offset 4;
     the full moov/trak/mdia/minf/stbl walk in ``sources/bmff.py`` per
-    ISO/IEC 14496-12) and the legacy GPXV flat offset index. Either
-    way the result is byte ranges — frame extraction never decodes
-    unsampled frames."""
+    ISO/IEC 14496-12), RIFF/AVI (idx1 index via ``sources/avi.py``),
+    and the legacy GPXV flat offset index. Either way the result is
+    byte ranges — frame extraction never decodes unsampled frames."""
     import struct
 
     if payload[4:8] == b"ftyp":
@@ -276,6 +276,10 @@ def _video_index(payload: bytes) -> list[tuple[int, int]]:
 
         tab = sample_ranges(payload)
         return [(off, off + size) for off, size, _dts in tab["samples"]]
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from ..sources.avi import frame_ranges
+
+        return frame_ranges(payload)
     if payload[:4] != VIDEO_MAGIC:
         raise ValueError("neither ISO-BMFF nor GPXV frame container")
     (n,) = struct.unpack("<I", payload[4:8])
@@ -311,6 +315,19 @@ def mp4_payload(text: str, n_frames: int = 24, size: int = 4) -> bytes:
         left -= take
     return encode_mp4(frames, fourcc="png ", width=size, height=size,
                       chunk_plan=plan)
+
+
+def avi_payload(text: str, n_frames: int = 24) -> bytes:
+    """Deterministic REAL AVI/MJPEG payload: ``n_frames`` standalone
+    baseline JFIFs muxed into a spec-valid RIFF AVI ('MJPG' vids stream,
+    idx1 index — ``sources/avi.py``). Frame k is the DC-only-exact 16x16
+    JPEG of ``jpeg_payload`` built from md5(text || ':' || k), so a SQL
+    oracle replays the decoded block values of exactly the sampled
+    frames — the MJPEG twin of ``mp4_payload``/q360."""
+    from ..sources.avi import encode_avi
+
+    frames = [jpeg_payload(f"{text}:{k}") for k in range(n_frames)]
+    return encode_avi(frames, width=16, height=16, fps=30)
 
 
 FRAME_SCHEMA = "doc_id long, frame_idx int, payload binary"
@@ -728,6 +745,62 @@ def decode_flac_samples(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 MULAW_SCHEMA = ("doc_id long, n_samples int, s_sum long, s_min int, "
                 "s_max int")
+
+
+def adpcm_payload(text: str) -> bytes:
+    """Deterministic REAL IMA ADPCM WAV payload (format 0x11): one
+    20-byte block whose header sample is 0 (step index 0) and whose 16
+    nibble bytes are the md5 digest of ``text`` — low nibble first, per
+    the WAV-0x11 registration. The decode DP (sources/wav.py bit-shift
+    reconstruction) is all-integer, so a SQL oracle replays it as a
+    32-step recursive scan over the digest nibbles."""
+    import struct
+
+    digest = hashlib.md5(text.encode("utf-8")).digest()
+    block = struct.pack("<hBB", 0, 0, 0) + digest  # 4 + 16 = 20 bytes
+    spb = 33  # 1 header sample + 32 nibbles
+    fmt_body = struct.pack("<HHIIHHHH", 0x11, 1, 8000,
+                           8000 * 20 // spb, 20, 4, 2, spb)
+    chunks = (b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+              + b"fact" + struct.pack("<II", 4, spb)
+              + b"data" + struct.pack("<I", len(block)) + block)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+ADPCM_SCHEMA = ("doc_id long, rate int, n_samples int, "
+                "s8 int, s16 int, s32 int, s_sum long")
+
+
+def decode_adpcm_samples(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """REAL IMA ADPCM decode path: each doc's payload is a spec-valid
+    WAV-0x11 stream (``adpcm_payload``), the kernel runs the full RIFF
+    walk + block-header parse + the 89-entry step-table DP
+    (sources/wav.py, bit-exact vs audioop's DVI/IMA implementation) and
+    emits probe samples + the exact integer sample sum. q398
+    value-checks these against a recursive-CTE replay of the same DP."""
+    from .partitioning import ensure_min_partitions
+
+    df = ensure_min_partitions(df)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..sources.wav import decode_wav
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "rate", "n_samples",
+                                   "s8", "s16", "s32", "s_sum")}
+            for doc_id, t in zip(pdf["doc_id"], pdf[text_col]):
+                samples, rate = decode_wav(adpcm_payload(t))
+                x = samples[:, 0].astype(int)
+                out["doc_id"].append(doc_id)
+                out["rate"].append(rate)
+                out["n_samples"].append(len(x))
+                out["s8"].append(int(x[8]))
+                out["s16"].append(int(x[16]))
+                out["s32"].append(int(x[32]))
+                out["s_sum"].append(int(x.sum()))
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", text_col).mapInPandas(kernel, ADPCM_SCHEMA)
 
 
 def decode_mulaw_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

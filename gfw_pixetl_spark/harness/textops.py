@@ -566,6 +566,44 @@ def q360(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q397 — REAL AVI/MJPEG frame sampling: each doc carries a spec-valid
+# RIFF AVI (hdrl/avih/strl + movi + idx1 per the Microsoft AVI RIFF
+# reference, sources/avi.py) whose 'MJPG' stream holds 24 standalone
+# baseline JFIFs. sample_frames resolves frames 0/10/20 to byte ranges
+# through the container's OWN idx1 index (header + index reads only — at
+# 100 TB, ranged GETs of O(frames picked) bytes per video), then the
+# probe runs the full T.81 JPEG decode on each sampled frame. Frame k is
+# the DC-only-exact 16x16 construction from md5(text || ':' || k), so
+# the oracle replays the decoded 8x8 block values from the digest hex —
+# the MJPEG/AVI twin of q360's mp4 path.
+# --------------------------------------------------------------------------
+@register(
+    "q397_avi_mjpeg_frames",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(f.frame_idx AS BIGINT) AS frame_idx,
+           CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+           ('0x' || substr(md5(d.text || ':' || f.frame_idx), 1, 2))::INT
+               AS p00,
+           ('0x' || substr(md5(d.text || ':' || f.frame_idx), 3, 2))::INT
+               AS p08,
+           ('0x' || substr(md5(d.text || ':' || f.frame_idx), 7, 2))::INT
+               AS p88
+    FROM documents d
+    CROSS JOIN (SELECT unnest([0, 10, 20]) AS frame_idx) f
+    """,
+)
+def q397(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import avi_payload, decode_pixel_probe
+
+    vids = _media_payloads(spark, sf_dir, avi_payload)
+    frames = sample_frames(vids, every_nth=10, n_frames=3)
+    return decode_pixel_probe(
+        frames, [(0, 0), (0, 8), (8, 8)], id_cols=("doc_id", "frame_idx")
+    )
+
+
+# --------------------------------------------------------------------------
 # q96 — winsorization: clip n_chars to the per-lang [p05, p95] band
 # (exact linear-interpolated percentiles). The percentile dim is
 # languages-sized, so it broadcasts back onto the corpus — the doc

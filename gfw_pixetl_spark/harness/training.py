@@ -880,6 +880,77 @@ def q235(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q398 — REAL IMA ADPCM decode (WAV format 0x11, sources/wav.py): the
+# payload is a spec-valid ADPCM WAV whose single block's nibble bytes
+# are the md5 digest (header sample 0, step index 0). The kernel runs
+# the RIFF walk + block-header parse + the 89-entry step-table DP
+# (bit-exact vs audioop's DVI/IMA implementation, test_wav_adpcm.py);
+# the oracle replays the SAME all-integer DP as a 32-step recursive CTE
+# over the digest nibbles — quantizer state machine and all. ADPCM is
+# the telephony/game-audio legacy format a speech corpus sweep still
+# hits; 4:1 compression with per-block random access (each block header
+# restates the full decoder state, so blocks are independent decode
+# units = Arrow kernel parallelism at 100 TB).
+# --------------------------------------------------------------------------
+_IMA_STEPS_SQL = (
+    "[7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, "
+    "37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, "
+    "157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, "
+    "544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, "
+    "1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, "
+    "4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, "
+    "12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086, "
+    "29794, 32767]"
+)
+
+
+@register(
+    "q398_adpcm_decode",
+    oracle=f"""
+    WITH RECURSIVE dec(doc_id, h, n, pred, idx, acc) AS (
+      SELECT doc_id, md5(text), 0, 0, 0, 0 FROM documents
+      UNION ALL
+      SELECT doc_id, h, n + 1, np, ni, acc + np FROM (
+        SELECT doc_id, h, n, acc,
+          GREATEST(-32768, LEAST(32767,
+            pred + CASE WHEN nib >= 8 THEN -dif ELSE dif END)) AS np,
+          GREATEST(0, LEAST(88, idx + CASE (nib % 8)
+            WHEN 4 THEN 2 WHEN 5 THEN 4 WHEN 6 THEN 6 WHEN 7 THEN 8
+            ELSE -1 END)) AS ni
+        FROM (
+          SELECT doc_id, h, n, pred, idx, acc, nib,
+            (st // 8) + CASE WHEN nib % 2 = 1 THEN st // 4 ELSE 0 END
+                  + CASE WHEN (nib // 2) % 2 = 1 THEN st // 2 ELSE 0 END
+                  + CASE WHEN (nib // 4) % 2 = 1 THEN st ELSE 0 END AS dif
+          FROM (
+            SELECT doc_id, h, n, pred, idx, acc,
+              CASE WHEN n % 2 = 0 THEN byte % 16 ELSE byte // 16 END
+                  AS nib,
+              {_IMA_STEPS_SQL}[idx + 1] AS st
+            FROM (
+              SELECT doc_id, h, n, pred, idx, acc,
+                ('0x' || substr(h, (n // 2) * 2 + 1, 2))::INT AS byte
+              FROM dec WHERE n < 32
+            )
+          )
+        )
+      )
+    )
+    SELECT doc_id, CAST(8000 AS INT) AS rate, CAST(33 AS INT) AS n_samples,
+           CAST(MAX(CASE WHEN n = 8 THEN pred END) AS INT) AS s8,
+           CAST(MAX(CASE WHEN n = 16 THEN pred END) AS INT) AS s16,
+           CAST(MAX(CASE WHEN n = 32 THEN pred END) AS INT) AS s32,
+           CAST(MAX(CASE WHEN n = 32 THEN acc END) AS BIGINT) AS s_sum
+    FROM dec GROUP BY doc_id
+    """,
+)
+def q398(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import decode_adpcm_samples
+
+    return decode_adpcm_samples(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
 # q126 — streaming CDC upsert materialization: the events feed becomes a
 # change stream (key=user_id, version=event_id, op=D on error events),
 # drained through the exactly-once KeyedUpsertSink (foreachBatch merge
