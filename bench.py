@@ -390,6 +390,8 @@ BENCH_QUERIES = [
     "q395_avro_evolution",
     "q397_avi_mjpeg_frames",
     "q398_adpcm_decode",
+    "q399_bz2_xz_jsonl",
+    "q400_orc_roundtrip",
 ]
 
 

@@ -1950,6 +1950,63 @@ def q201(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q400 — ORC interchange gate (the q201/q205 pattern for the columnar
+# warehouse format): export the corpus to zlib ORC through Spark's
+# native vectorized writer, re-read with a declared schema and a
+# predicate that reaches the ORC reader's row-group statistics
+# (PushedFilters in the scan — min/max stripe skipping at 100 TB), and
+# value-check the aggregate against the parquet truth. Hive/Trino
+# estates hand data over as ORC; this proves the hop lossless in both
+# type fidelity and row coverage.
+# --------------------------------------------------------------------------
+def _orc_dir(spark: SparkSession, sf_dir: str) -> str:
+    def build(d: str) -> None:
+        (load(spark, sf_dir, "documents")
+         .repartition(4)
+         .write.option("compression", "zlib").orc(d))
+
+    return _derived_dir(sf_dir, "orc", build)
+
+
+@register(
+    "q400_orc_roundtrip",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_consistent
+    FROM documents WHERE n_chars >= 200 GROUP BY lang
+    """,
+)
+def q400(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ])
+    df = spark.read.schema(schema).orc(_orc_dir(spark, sf_dir))
+    return (
+        df.filter(F.col("n_chars") >= 200)  # pushed to the ORC scan
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("doc_id").cast("bigint").alias("id_sum"),
+            F.sum(F.when(F.length("text") == F.col("n_chars"), 1)
+                  .otherwise(0)).cast("bigint").alias("n_consistent"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # q205 — CSV ingestion in the oracle gate (the q201 twin for the other
 # interchange format): export with quoting, re-read through the
 # declared-schema reader, aggregate — lossless through commas, quotes,
@@ -7320,6 +7377,147 @@ def q394(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(kernel, SEQ_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# q399 — MULTI-STREAM .jsonl.bz2 / .jsonl.xz SHARD INGEST: the two
+# stdlib-backed corpus compressions q382 (zstd) and q391 (lz4) don't
+# cover. Shards are written as FOUR independent compressed streams
+# concatenated per file — the seekable layout (pbzip2 / xz --block-list
+# shape) that makes a 100 TB archive splittable: a reader can start at
+# any stream boundary. The kernel walks stream boundaries with the
+# incremental decompressor (eof + unused_data), re-decodes every stream
+# STANDALONE from its byte slice to prove random access, and the two
+# codec legs are cross-checked row-by-row (a doc only counts if bz2 and
+# xz agree) in ONE aggregation pass — no self-join, no second decode.
+# --------------------------------------------------------------------------
+def _bzxz_dir(spark: SparkSession, sf_dir: str) -> str:
+    def build(d: str) -> None:
+        import os as _os
+
+        _os.makedirs(d, exist_ok=True)
+        docs = (load(spark, sf_dir, "documents")
+                .select("doc_id", "text", "lang")
+                .withColumn("shard", (F.col("doc_id") % 8).cast("int")))
+
+        def writer(key, pdf):
+            import bz2 as _bz2
+            import json as _json
+            import lzma as _lzma
+
+            import pandas as pd
+
+            shard = int(key[0])
+            pdf = pdf.sort_values("doc_id")
+            lines = [
+                _json.dumps({"id": int(i), "text": t, "lang": g},
+                            ensure_ascii=False)
+                for i, t, g in zip(pdf["doc_id"], pdf["text"], pdf["lang"])
+            ]
+            n = len(lines)
+            cut = [0, (n + 3) // 4, (n + 1) // 2, (3 * n + 3) // 4, n]
+            groups = [
+                ("\n".join(lines[cut[k]:cut[k + 1]]) + "\n").encode()
+                if lines[cut[k]:cut[k + 1]] else b""
+                for k in range(4)
+            ]
+            bz = b"".join(_bz2.compress(g) for g in groups if g)
+            xz = b"".join(
+                _lzma.compress(g, format=_lzma.FORMAT_XZ)
+                for g in groups if g)
+            with open(f"{d}/part-{shard:02d}.jsonl.bz2", "wb") as f:
+                f.write(bz)
+            with open(f"{d}/part-{shard:02d}.jsonl.xz", "wb") as f:
+                f.write(xz)
+            return pd.DataFrame({"shard": [shard], "n": [n]})
+
+        docs.groupBy("shard").applyInPandas(
+            writer, "shard int, n long").collect()
+
+    return _derived_dir(sf_dir, "bzxz", build)
+
+
+@register(
+    "q399_bz2_xz_jsonl",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q399(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _bzxz_dir(spark, sf_dir)
+
+    def kernel(batches):
+        import bz2 as _bz2
+        import json as _json
+        import lzma as _lzma
+
+        import pandas as pd
+
+        def segments(data, mk):
+            """Walk concatenated-stream boundaries via the incremental
+            decompressor's eof/unused_data contract."""
+            segs, pos = [], 0
+            while pos < len(data):
+                dec = mk()
+                out = dec.decompress(data[pos:])
+                if not dec.eof:
+                    raise ValueError("truncated compressed stream")
+                end = len(data) - len(dec.unused_data)
+                segs.append((pos, end, out))
+                pos = end
+            return segs
+
+        for pdf in batches:
+            rows = {"doc_id": [], "lang": [], "text": [], "src": []}
+            for path, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                if path.endswith(".bz2"):
+                    src = "bz2"
+                    segs = segments(data, _bz2.BZ2Decompressor)
+                    standalone = _bz2.decompress
+                else:
+                    src = "xz"
+                    segs = segments(
+                        data,
+                        lambda: _lzma.LZMADecompressor(_lzma.FORMAT_XZ))
+                    standalone = (
+                        lambda b: _lzma.decompress(b, _lzma.FORMAT_XZ))
+                if not 1 <= len(segs) <= 4:  # tiny shards may drop groups
+                    raise ValueError(
+                        f"{path}: expected 1-4 streams, got {len(segs)}")
+                for s, e, plain in segs:
+                    # random access: the byte slice decodes on its own
+                    if standalone(data[s:e]) != plain:
+                        raise ValueError(f"{path}: stream slice mismatch")
+                    for line in plain.decode("utf-8").splitlines():
+                        rec = _json.loads(line)
+                        rows["doc_id"].append(int(rec["id"]))
+                        rows["lang"].append(rec["lang"])
+                        rows["text"].append(rec["text"])
+                        rows["src"].append(src)
+            yield pd.DataFrame(rows)
+
+    rows = (
+        spark.read.format("binaryFile").load(d + "/part-*")
+        .select("path", "content")
+        .mapInPandas(kernel, "doc_id long, lang string, text string, "
+                             "src string")
+    )
+    per_doc = rows.groupBy("doc_id", "lang", "text").agg(
+        F.count("*").alias("n_copies"),
+        F.countDistinct("src").alias("n_srcs"),
+    )
+    agreed = per_doc.filter((F.col("n_copies") == 2)
+                            & (F.col("n_srcs") == 2))
+    return agreed.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+    )
 
 
 # --------------------------------------------------------------------------
