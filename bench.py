@@ -391,7 +391,8 @@ BENCH_QUERIES = [
     "q397_avi_mjpeg_frames",
     "q398_adpcm_decode",
     "q399_bz2_xz_jsonl",
-    "q400_orc_roundtrip",
+    "q401_chat_sft_render",
+    "q402_preference_pairs",
 ]
 
 

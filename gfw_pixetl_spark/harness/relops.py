@@ -880,3 +880,145 @@ def q334(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.countDistinct("d").cast("bigint").alias("n_dates"))
         .orderBy("status")
     )
+
+
+# --------------------------------------------------------------------------
+# q401 — CHAT-TEMPLATE SFT RENDER: the events stream becomes per-user
+# conversations (turn order = event_id, roles alternating user/
+# assistant), rendered through a ChatML-shaped template, with the two
+# numbers an SFT pipeline needs per conversation: the loss-maskable
+# character count (assistant turns only — the spans that receive loss)
+# and the rendered length after last-8-turn history truncation. Exact
+# rendering is value-checked by md5 fingerprints of both the full and
+# the truncated render, so the template concatenation itself is proven
+# identical, not just its lengths. All pure column work: one window
+# rank + one groupBy per user — conversations shuffle once, the render
+# is whole-stage-codegen'd string algebra, no UDF.
+# --------------------------------------------------------------------------
+@register(
+    "q401_chat_sft_render",
+    oracle="""
+    WITH t AS (
+      SELECT user_id, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id)
+                 - 1 AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_turns,
+             event_type || '#' || event_id AS content
+      FROM events
+    ), p AS (
+      SELECT user_id, rn, n_turns,
+             '<|' || CASE WHEN rn % 2 = 0 THEN 'user' ELSE 'assistant'
+                     END || '|>' || content || '<|end|>' AS piece,
+             CASE WHEN rn % 2 = 1 THEN length(content) ELSE 0
+                 END AS a_chars
+      FROM t
+    )
+    SELECT user_id,
+           CAST(MAX(n_turns) AS INT) AS n_turns,
+           CAST(SUM(CASE WHEN rn % 2 = 1 THEN 1 ELSE 0 END) AS INT)
+               AS n_assistant,
+           CAST(SUM(a_chars) AS BIGINT) AS loss_chars,
+           md5(string_agg(piece, '' ORDER BY rn)) AS render_md5,
+           md5(string_agg(CASE WHEN rn >= n_turns - 8 THEN piece END,
+                          '' ORDER BY rn)) AS tail_md5
+    FROM p GROUP BY user_id
+    """,
+)
+def q401(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    t = ev.select(
+        "user_id", "event_id",
+        (F.row_number().over(w) - 1).alias("rn"),
+        F.count("*").over(Window.partitionBy("user_id")).alias("n_turns"),
+        F.concat_ws("#", "event_type", "event_id").alias("content"),
+    )
+    role = F.when(F.col("rn") % 2 == 0, "user").otherwise("assistant")
+    p = t.select(
+        "user_id", "rn", "n_turns",
+        F.concat(F.lit("<|"), role, F.lit("|>"), F.col("content"),
+                 F.lit("<|end|>")).alias("piece"),
+        F.when(F.col("rn") % 2 == 1, F.length("content"))
+        .otherwise(0).alias("a_chars"),
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("rn", "piece"))),
+        lambda x: x["piece"],
+    )
+    tail_ordered = F.transform(
+        F.array_sort(F.collect_list(
+            F.when(F.col("rn") >= F.col("n_turns") - 8,
+                   F.struct("rn", "piece")))),
+        lambda x: x["piece"],
+    )
+    return p.groupBy("user_id").agg(
+        F.max("n_turns").cast("int").alias("n_turns"),
+        F.sum(F.when(F.col("rn") % 2 == 1, 1).otherwise(0)).cast("int")
+        .alias("n_assistant"),
+        F.sum("a_chars").cast("bigint").alias("loss_chars"),
+        F.md5(F.array_join(ordered, "").cast("binary"))
+        .alias("render_md5"),
+        F.md5(F.array_join(tail_ordered, "").cast("binary"))
+        .alias("tail_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q402 — DPO PREFERENCE-PAIR CONSTRUCTION: per user, among purchase
+# events, pair the highest-value response (chosen) with the lowest
+# (rejected) — deterministic tie-breaks by event_id on both legs, users
+# with a single candidate (no contrast) dropped, margin carried for
+# downstream filtering (DPO data curation drops low-margin pairs). Two
+# window ranks over one shuffle; the pair table is users-sized.
+# --------------------------------------------------------------------------
+@register(
+    "q402_preference_pairs",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY value DESC, event_id ASC) AS rc,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY value ASC, event_id DESC) AS rr,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_cand
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.user_id,
+           a.event_id AS chosen_id,
+           b.event_id AS rejected_id,
+           round(a.value - b.value, 2) AS margin,
+           CAST(a.n_cand AS INT) AS n_candidates
+    FROM c a JOIN c b USING (user_id)
+    WHERE a.rc = 1 AND b.rr = 1 AND a.n_cand >= 2
+          AND a.event_id <> b.event_id
+    """,
+)
+def q402(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase")
+    wc = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc())
+    wr = Window.partitionBy("user_id").orderBy(
+        F.col("value").asc(), F.col("event_id").desc())
+    c = ev.select(
+        "user_id", "event_id", "value",
+        F.row_number().over(wc).alias("rc"),
+        F.row_number().over(wr).alias("rr"),
+        F.count("*").over(Window.partitionBy("user_id")).alias("n_cand"),
+    )
+    chosen = c.filter(F.col("rc") == 1).select(
+        "user_id", F.col("event_id").alias("chosen_id"),
+        F.col("value").alias("cv"), "n_cand")
+    rejected = c.filter(F.col("rr") == 1).select(
+        "user_id", F.col("event_id").alias("rejected_id"),
+        F.col("value").alias("rv"))
+    return (
+        chosen.join(rejected, "user_id")
+        .filter((F.col("n_cand") >= 2)
+                & (F.col("chosen_id") != F.col("rejected_id")))
+        .select(
+            "user_id", "chosen_id", "rejected_id",
+            F.round(F.col("cv") - F.col("rv"), 2).alias("margin"),
+            F.col("n_cand").cast("int").alias("n_candidates"),
+        )
+    )

@@ -1950,63 +1950,6 @@ def q201(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q400 — ORC interchange gate (the q201/q205 pattern for the columnar
-# warehouse format): export the corpus to zlib ORC through Spark's
-# native vectorized writer, re-read with a declared schema and a
-# predicate that reaches the ORC reader's row-group statistics
-# (PushedFilters in the scan — min/max stripe skipping at 100 TB), and
-# value-check the aggregate against the parquet truth. Hive/Trino
-# estates hand data over as ORC; this proves the hop lossless in both
-# type fidelity and row coverage.
-# --------------------------------------------------------------------------
-def _orc_dir(spark: SparkSession, sf_dir: str) -> str:
-    def build(d: str) -> None:
-        (load(spark, sf_dir, "documents")
-         .repartition(4)
-         .write.option("compression", "zlib").orc(d))
-
-    return _derived_dir(sf_dir, "orc", build)
-
-
-@register(
-    "q400_orc_roundtrip",
-    oracle="""
-    SELECT lang,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
-           CAST(SUM(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_consistent
-    FROM documents WHERE n_chars >= 200 GROUP BY lang
-    """,
-)
-def q400(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.types import (
-        LongType, StringType, StructField, StructType,
-    )
-
-    schema = StructType([
-        StructField("doc_id", LongType()),
-        StructField("text", StringType()),
-        StructField("lang", StringType()),
-        StructField("source", StringType()),
-        StructField("n_chars", LongType()),
-    ])
-    df = spark.read.schema(schema).orc(_orc_dir(spark, sf_dir))
-    return (
-        df.filter(F.col("n_chars") >= 200)  # pushed to the ORC scan
-        .groupBy("lang")
-        .agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.sum("n_chars").cast("bigint").alias("total_chars"),
-            F.sum("doc_id").cast("bigint").alias("id_sum"),
-            F.sum(F.when(F.length("text") == F.col("n_chars"), 1)
-                  .otherwise(0)).cast("bigint").alias("n_consistent"),
-        )
-    )
-
-
-# --------------------------------------------------------------------------
 # q205 — CSV ingestion in the oracle gate (the q201 twin for the other
 # interchange format): export with quoting, re-read through the
 # declared-schema reader, aggregate — lossless through commas, quotes,
