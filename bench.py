@@ -393,6 +393,7 @@ BENCH_QUERIES = [
     "q399_bz2_xz_jsonl",
     "q401_chat_sft_render",
     "q402_preference_pairs",
+    "q403_webp_decode",
 ]
 
 

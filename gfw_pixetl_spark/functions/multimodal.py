@@ -49,10 +49,11 @@ except ImportError:
 
 
 def decode_image(payload: bytes):
-    """Full image decode: PNG decodes natively via ``sources/png.py``
-    and baseline JPEG via ``sources/jpeg.py`` (both return
-    (h, w, channels) uint8 — PNG may also be uint16); other container
-    formats need a codec library and stay gated."""
+    """Full image decode: PNG via ``sources/png.py``, baseline +
+    progressive JPEG via ``sources/jpeg.py``, lossless WebP (VP8L) via
+    ``sources/webp.py``, GIF first-frame canvas via ``sources/gif.py``
+    (all return (h, w, channels) uint8 — PNG may also be uint16); other
+    container formats need a codec library and stay gated."""
     if bytes(payload[:8]) == b"\x89PNG\r\n\x1a\n":
         from ..sources.png import decode_png
 
@@ -61,6 +62,18 @@ def decode_image(payload: bytes):
         from ..sources.jpeg import decode_jpeg
 
         return decode_jpeg(bytes(payload))
+    if bytes(payload[:4]) == b"RIFF" and bytes(payload[8:12]) == b"WEBP":
+        from ..sources.webp import decode_webp
+
+        return decode_webp(bytes(payload))
+    if bytes(payload[:6]) in (b"GIF87a", b"GIF89a"):
+        import numpy as np
+
+        from ..sources.gif import decode_gif
+
+        g = decode_gif(bytes(payload))
+        pal = np.asarray(g["palette"], np.uint8)
+        return pal[g["frames"][0]["canvas"]]
     if not HAVE_PIL:
         raise NotImplementedError(
             "only PNG and baseline JPEG decode natively (sources/png.py, "
@@ -315,6 +328,24 @@ def mp4_payload(text: str, n_frames: int = 24, size: int = 4) -> bytes:
         left -= take
     return encode_mp4(frames, fourcc="png ", width=size, height=size,
                       chunk_plan=plan)
+
+
+def webp_payload(text: str, size: int = 4) -> bytes:
+    """Deterministic REAL WebP payload: the md5 digest of ``text`` as a
+    size x size grayscale image in a lossless VP8L stream (RIFF/WEBP
+    container, subtract-green transform, color cache, LZ77 —
+    ``sources/webp.py``). Pixels are digest bytes, so a SQL oracle
+    replays them from ``md5(text)`` hex — the WebP analog of
+    ``png_payload``/``jpeg_payload``."""
+    import numpy as np
+
+    from ..sources.webp import encode_webp
+
+    digest = hashlib.md5(text.encode("utf-8")).digest()
+    need = size * size
+    raw = (digest * ((need // len(digest)) + 1))[:need]
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(size, size)
+    return encode_webp(arr)
 
 
 def avi_payload(text: str, n_frames: int = 24) -> bytes:

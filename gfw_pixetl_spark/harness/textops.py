@@ -604,6 +604,40 @@ def q397(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q403 — REAL WebP LOSSLESS decode (sources/webp.py, the public VP8L
+# bitstream spec): each doc's payload is a spec-valid RIFF/WEBP file
+# whose VP8L stream genuinely uses the format's machinery — subtract-
+# green transform, color cache (the 0x1e35a7bd multiplicative hash),
+# LZ77 backrefs through the 2D distance map, canonical prefix codes via
+# the 19-symbol code-length code. The kernel runs the full decode
+# (container walk, prefix-code build, pixel loop, inverse transforms)
+# and the oracle replays the digest-byte pixels from md5(text) hex —
+# the WebP analog of q153 (PNG) / q211 (JPEG) / q387 (GIF). Modern
+# crawls are full of WebP; without this path the multimodal column
+# gates on a codec library.
+# --------------------------------------------------------------------------
+@register(
+    "q403_webp_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+           ('0x' || substr(md5(text), 1, 2))::INT AS p00,
+           ('0x' || substr(md5(text), 11, 2))::INT AS p11,
+           ('0x' || substr(md5(text), 21, 2))::INT AS p22,
+           ('0x' || substr(md5(text), 31, 2))::INT AS p33
+    FROM documents
+    """,
+)
+def q403(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.multimodal import decode_pixel_probe, webp_payload
+
+    pics = _media_payloads(spark, sf_dir, webp_payload)
+    return decode_pixel_probe(
+        pics, [(0, 0), (1, 1), (2, 2), (3, 3)], id_cols=("doc_id",)
+    )
+
+
+# --------------------------------------------------------------------------
 # q96 — winsorization: clip n_chars to the per-lang [p05, p95] band
 # (exact linear-interpolated percentiles). The percentile dim is
 # languages-sized, so it broadcasts back onto the corpus — the doc
