@@ -394,6 +394,8 @@ BENCH_QUERIES = [
     "q401_chat_sft_render",
     "q402_preference_pairs",
     "q403_webp_decode",
+    "q404_bleu",
+    "q405_rouge",
 ]
 
 

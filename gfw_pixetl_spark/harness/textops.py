@@ -7709,3 +7709,170 @@ def q396(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").cast("bigint").alias("id_sum"),
         F.sum("n_chars").cast("bigint").alias("chars_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# q404 / q405 — translation-eval metrics over (candidate, reference)
+# pairs: BLEU-2 (clipped n-gram precision, geometric mean) and
+# ROUGE-1/2 (overlap precision/recall/F1). The candidate is a
+# deterministic corruption of the reference built IN COLUMN EXPRESSIONS
+# on both engines (drop every 5th word, append a leading-word run —
+# longer than the reference, so BLEU's brevity penalty is exactly 1 and
+# the whole metric is +,-,*,/,sqrt arithmetic: no exp/ln, no
+# cross-engine libm drift). Clipped counts run as explode ->
+# groupBy(doc_id, gram) -> join -> sum(min) — whole-stage-codegen'd and
+# partitioned by (doc, gram), the shape that survives a 100 TB corpus
+# (the in-row HOF alternative is O(n_distinct x n_words) interpreted
+# lambda work per doc — the q177 lesson).
+# --------------------------------------------------------------------------
+_EVAL_CAND_SQL = f"""
+      SELECT doc_id, {SQL_WORDS} AS ref,
+             list_concat(
+               list_select({SQL_WORDS},
+                 list_filter(generate_series(1, len({SQL_WORDS})),
+                             i -> i % 5 <> 0)),
+               ({SQL_WORDS})[1 : len({SQL_WORDS}) // 4 + 2]) AS cand
+      FROM documents
+"""
+
+_EVAL_GRAMS_SQL = """
+    , uni AS (
+      SELECT doc_id, len(cand) AS c, len(ref) AS r FROM pairs
+    ), cu AS (
+      SELECT doc_id, unnest(cand) AS g FROM pairs
+    ), ru AS (
+      SELECT doc_id, unnest(ref) AS g FROM pairs
+    ), cb AS (
+      SELECT doc_id, unnest(list_transform(
+        generate_series(1, len(cand) - 1),
+        i -> cand[i] || ' ' || cand[i + 1])) AS g FROM pairs
+    ), rb AS (
+      SELECT doc_id, unnest(list_transform(
+        generate_series(1, len(ref) - 1),
+        i -> ref[i] || ' ' || ref[i + 1])) AS g FROM pairs
+    ), clip1 AS (
+      SELECT a.doc_id, SUM(LEAST(a.n, b.n)) AS ov FROM
+        (SELECT doc_id, g, COUNT(*) AS n FROM cu GROUP BY 1, 2) a
+        JOIN (SELECT doc_id, g, COUNT(*) AS n FROM ru GROUP BY 1, 2) b
+        USING (doc_id, g)
+      GROUP BY 1
+    ), clip2 AS (
+      SELECT a.doc_id, SUM(LEAST(a.n, b.n)) AS ov FROM
+        (SELECT doc_id, g, COUNT(*) AS n FROM cb GROUP BY 1, 2) a
+        JOIN (SELECT doc_id, g, COUNT(*) AS n FROM rb GROUP BY 1, 2) b
+        USING (doc_id, g)
+      GROUP BY 1
+    )
+"""
+
+
+def _eval_pairs(spark: SparkSession, sf_dir: str):
+    """(doc_id, ref array, cand array) with the deterministic corruption."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda w: w != "")
+    ref = docs.select("doc_id", words.alias("ref"))
+    kept = F.filter(F.col("ref"), lambda w, i: (i + 1) % 5 != 0)
+    extra = F.slice(F.col("ref"), 1,
+                    F.floor(F.size("ref") / 4).cast("int") + 2)
+    return ref.select("doc_id", "ref",
+                      F.concat(kept, extra).alias("cand"))
+
+
+def _bigrams(col):
+    return F.when(
+        F.size(col) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(col) - 1),
+            lambda i: F.concat(F.element_at(col, i), F.lit(" "),
+                               F.element_at(col, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _clipped_overlap(pairs, gram_fn, out_name):
+    cu = pairs.select("doc_id", F.explode(gram_fn("cand")).alias("g")) \
+        .groupBy("doc_id", "g").count().withColumnRenamed("count", "nc")
+    ru = pairs.select("doc_id", F.explode(gram_fn("ref")).alias("g")) \
+        .groupBy("doc_id", "g").count().withColumnRenamed("count", "nr")
+    return (cu.join(ru, ["doc_id", "g"])
+            .groupBy("doc_id")
+            .agg(F.sum(F.least("nc", "nr")).alias(out_name)))
+
+
+@register(
+    "q404_bleu",
+    oracle=f"""
+    WITH pairs AS ({_EVAL_CAND_SQL})
+    {_EVAL_GRAMS_SQL}
+    SELECT u.doc_id,
+           CAST(u.c AS INT) AS c, CAST(u.r AS INT) AS r,
+           CAST(COALESCE(c1.ov, 0) AS BIGINT) AS clip1,
+           CAST(COALESCE(c2.ov, 0) AS BIGINT) AS clip2,
+           round(COALESCE(c1.ov, 0) / u.c, 6) AS p1,
+           round(COALESCE(c2.ov, 0) / (u.c - 1), 6) AS p2,
+           round(sqrt((COALESCE(c1.ov, 0) / u.c)
+                      * (COALESCE(c2.ov, 0) / (u.c - 1))), 6) AS bleu2
+    FROM uni u
+    LEFT JOIN clip1 c1 USING (doc_id) LEFT JOIN clip2 c2 USING (doc_id)
+    WHERE u.r >= 3
+    """,
+)
+def q404(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _eval_pairs(spark, sf_dir).filter(F.size("ref") >= 3)
+    pairs = pairs.localCheckpoint()  # four gram legs reuse one build
+    sizes = pairs.select(
+        "doc_id", F.size("cand").alias("c"), F.size("ref").alias("r"))
+    c1 = _clipped_overlap(pairs, lambda c: F.col(c), "ov1")
+    c2 = _clipped_overlap(pairs, lambda c: _bigrams(F.col(c)), "ov2")
+    j = (sizes.join(c1, "doc_id", "left").join(c2, "doc_id", "left")
+         .fillna(0, ["ov1", "ov2"]))
+    p1 = F.col("ov1") / F.col("c")
+    p2 = F.col("ov2") / (F.col("c") - 1)
+    return j.select(
+        "doc_id", F.col("c").cast("int").alias("c"),
+        F.col("r").cast("int").alias("r"),
+        F.col("ov1").cast("bigint").alias("clip1"),
+        F.col("ov2").cast("bigint").alias("clip2"),
+        F.round(p1, 6).alias("p1"), F.round(p2, 6).alias("p2"),
+        F.round(F.sqrt(p1 * p2), 6).alias("bleu2"),
+    )
+
+
+@register(
+    "q405_rouge",
+    oracle=f"""
+    WITH pairs AS ({_EVAL_CAND_SQL})
+    {_EVAL_GRAMS_SQL}
+    SELECT u.doc_id,
+           round(COALESCE(c1.ov, 0) / u.r, 6) AS rouge1_r,
+           round(COALESCE(c1.ov, 0) / u.c, 6) AS rouge1_p,
+           round(2.0 * COALESCE(c1.ov, 0) / (u.r + u.c), 6) AS rouge1_f,
+           round(COALESCE(c2.ov, 0) / (u.r - 1), 6) AS rouge2_r,
+           round(COALESCE(c2.ov, 0) / (u.c - 1), 6) AS rouge2_p,
+           round(2.0 * COALESCE(c2.ov, 0) / (u.r + u.c - 2), 6)
+               AS rouge2_f
+    FROM uni u
+    LEFT JOIN clip1 c1 USING (doc_id) LEFT JOIN clip2 c2 USING (doc_id)
+    WHERE u.r >= 3
+    """,
+)
+def q405(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _eval_pairs(spark, sf_dir).filter(F.size("ref") >= 3)
+    pairs = pairs.localCheckpoint()
+    sizes = pairs.select(
+        "doc_id", F.size("cand").alias("c"), F.size("ref").alias("r"))
+    c1 = _clipped_overlap(pairs, lambda c: F.col(c), "ov1")
+    c2 = _clipped_overlap(pairs, lambda c: _bigrams(F.col(c)), "ov2")
+    j = (sizes.join(c1, "doc_id", "left").join(c2, "doc_id", "left")
+         .fillna(0, ["ov1", "ov2"]))
+    ov1, ov2 = F.col("ov1"), F.col("ov2")
+    c, r = F.col("c"), F.col("r")
+    return j.select(
+        "doc_id",
+        F.round(ov1 / r, 6).alias("rouge1_r"),
+        F.round(ov1 / c, 6).alias("rouge1_p"),
+        F.round(2.0 * ov1 / (r + c), 6).alias("rouge1_f"),
+        F.round(ov2 / (r - 1), 6).alias("rouge2_r"),
+        F.round(ov2 / (c - 1), 6).alias("rouge2_p"),
+        F.round(2.0 * ov2 / (r + c - 2), 6).alias("rouge2_f"),
+    )
