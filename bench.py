@@ -396,6 +396,8 @@ BENCH_QUERIES = [
     "q403_webp_decode",
     "q404_bleu",
     "q405_rouge",
+    "q406_kmv_set_ops",
+    "q407_mbox_ingest",
 ]
 
 

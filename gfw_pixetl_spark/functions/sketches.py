@@ -441,3 +441,144 @@ def kmv_distinct_sql(
              AS approx_distinct
     FROM per
     """
+
+
+def kmv_set_ops(
+    df: DataFrame,
+    set_col: str,
+    value_col: str,
+    set_a: str,
+    set_b: str,
+    k: int = 256,
+) -> DataFrame:
+    """One-row KMV SET-OPERATION readout for two sets: per-set distinct
+    estimates, union estimate (merge-and-retrim), intersection estimate
+    (the Jaccard-over-K rule: rho = |K n A n B| / |K| scaled by the
+    union estimate), plus the exact intersection for error accounting.
+
+    Everything after the two bottom-k selections is <= 2k rows, so the
+    set algebra itself is constant-sized no matter the input: at 100 TB
+    the sketches are what moves, never the value sets. Deterministic
+    (the sketch is the k smallest md5 hashes), so oracles replay it
+    bit-for-bit — the property HLL set ops lack.
+    """
+    from pyspark.sql.window import Window
+
+    k1 = float((k - 1) * (1 << HASH_BITS))
+    h = md5_int64(F.col(value_col).cast("string"))
+    tagged = df.filter(F.col(set_col).isin([set_a, set_b])).select(
+        F.when(F.col(set_col) == set_a, "a").otherwise("b").alias("s"),
+        F.col(value_col).alias("v"), h.alias("h"))
+    dh = tagged.select("s", "h").distinct()
+    lvl1 = Window.partitionBy(
+        "s", F.pmod(F.col("h"), F.lit(KMV_SALT_BUCKETS))).orderBy("h")
+    lvl2 = Window.partitionBy("s").orderBy("h")
+    bottom = (
+        dh.withColumn("r1", F.row_number().over(lvl1))
+        .filter(F.col("r1") <= k)
+        .withColumn("r2", F.row_number().over(lvl2))
+        .filter(F.col("r2") <= k)
+        .select("s", "h")
+    ).localCheckpoint()  # <= 2k rows, reused by four tiny legs
+
+    est = F.when(F.col("n_k") < k, F.col("n_k").cast("double")).otherwise(
+        F.lit(k1) / F.col("h_k").cast("double"))
+    per = (bottom.groupBy("s")
+           .agg(F.count("*").alias("n_k"), F.max("h").alias("h_k"))
+           .select("s", est.alias("est")))
+    ests = per.groupBy().agg(
+        F.max(F.when(F.col("s") == "a", F.col("est"))).alias("est_a"),
+        F.max(F.when(F.col("s") == "b", F.col("est"))).alias("est_b"))
+
+    ku = (bottom.select("h").distinct().orderBy("h").limit(k)
+          .localCheckpoint())  # bottom-k of the union (TakeOrdered)
+    usum = ku.agg(F.count("*").alias("m_u"), F.max("h").alias("t"))
+    both = (bottom.filter(F.col("s") == "a").select("h")
+            .join(bottom.filter(F.col("s") == "b").select("h"), "h")
+            .join(ku, "h"))
+    isum = both.agg(F.count("*").alias("m_i"))
+
+    exact = (tagged.groupBy("v")
+             .agg(F.max(F.when(F.col("s") == "a", 1).otherwise(0))
+                  .alias("ina"),
+                  F.max(F.when(F.col("s") == "b", 1).otherwise(0))
+                  .alias("inb"))
+             .filter((F.col("ina") == 1) & (F.col("inb") == 1))
+             .agg(F.count("*").alias("exact_inter")))
+
+    union_est = F.when(F.col("m_u") < k, F.col("m_u").cast("double")) \
+        .otherwise(F.lit(k1) / F.col("t").cast("double"))
+    row = (ests.crossJoin(usum).crossJoin(isum).crossJoin(exact))
+    jac = F.col("m_i").cast("double") / F.col("m_u").cast("double")
+    return row.select(
+        F.lit(k).cast("int").alias("k"),
+        F.round("est_a").cast("bigint").alias("est_a"),
+        F.round("est_b").cast("bigint").alias("est_b"),
+        F.round(union_est).cast("bigint").alias("est_union"),
+        F.round(jac * union_est).cast("bigint").alias("est_inter"),
+        F.round(jac, 6).alias("jaccard_est"),
+        F.col("exact_inter").cast("bigint").alias("exact_inter"),
+    )
+
+
+def kmv_set_ops_sql(
+    table_expr: str,
+    set_expr_a: str,
+    set_expr_b: str,
+    value_expr: str,
+    k: int = 256,
+) -> str:
+    """DuckDB twin of :func:`kmv_set_ops` (same hashes, same rules).
+    ``set_expr_a``/``set_expr_b`` are boolean SQL predicates."""
+    k1 = float((k - 1) * (1 << HASH_BITS))
+    h = md5_int64_sql(f"CAST({value_expr} AS VARCHAR)")
+    return f"""
+    WITH tagged AS (
+      SELECT CASE WHEN {set_expr_a} THEN 'a' ELSE 'b' END AS s,
+             {value_expr} AS v, {h} AS h
+      FROM {table_expr} WHERE ({set_expr_a}) OR ({set_expr_b})
+    ), dh AS (
+      SELECT DISTINCT s, h FROM tagged
+    ), bottom AS (
+      SELECT s, h FROM (
+        SELECT s, h, row_number() OVER (PARTITION BY s ORDER BY h) AS r
+        FROM dh) WHERE r <= {k}
+    ), per AS (
+      SELECT s, COUNT(*) AS n_k, MAX(h) AS h_k FROM bottom GROUP BY s
+    ), ests AS (
+      SELECT
+        MAX(CASE WHEN s = 'a' THEN est END) AS est_a,
+        MAX(CASE WHEN s = 'b' THEN est END) AS est_b
+      FROM (SELECT s, CASE WHEN n_k < {k} THEN CAST(n_k AS DOUBLE)
+                 ELSE CAST({k1!r} AS DOUBLE) / CAST(h_k AS DOUBLE) END
+                 AS est FROM per)
+    ), ku AS (
+      SELECT h FROM (
+        SELECT h, row_number() OVER (ORDER BY h) AS r
+        FROM (SELECT DISTINCT h FROM bottom)) WHERE r <= {k}
+    ), usum AS (
+      SELECT COUNT(*) AS m_u, MAX(h) AS t FROM ku
+    ), isum AS (
+      SELECT COUNT(*) AS m_i FROM ku
+      WHERE h IN (SELECT h FROM bottom WHERE s = 'a')
+        AND h IN (SELECT h FROM bottom WHERE s = 'b')
+    ), exact AS (
+      SELECT COUNT(*) AS exact_inter FROM (
+        SELECT v FROM tagged GROUP BY v
+        HAVING MAX(CASE WHEN s = 'a' THEN 1 ELSE 0 END) = 1
+           AND MAX(CASE WHEN s = 'b' THEN 1 ELSE 0 END) = 1)
+    )
+    SELECT CAST({k} AS INT) AS k,
+           CAST(round(est_a) AS BIGINT) AS est_a,
+           CAST(round(est_b) AS BIGINT) AS est_b,
+           CAST(round(u_est) AS BIGINT) AS est_union,
+           CAST(round((CAST(m_i AS DOUBLE) / CAST(m_u AS DOUBLE)) * u_est)
+                AS BIGINT) AS est_inter,
+           round(CAST(m_i AS DOUBLE) / CAST(m_u AS DOUBLE), 6)
+               AS jaccard_est,
+           CAST(exact_inter AS BIGINT) AS exact_inter
+    FROM ests, isum, exact,
+         (SELECT m_u, CASE WHEN m_u < {k} THEN CAST(m_u AS DOUBLE)
+                 ELSE CAST({k1!r} AS DOUBLE) / CAST(t AS DOUBLE) END
+                 AS u_est FROM usum)
+    """

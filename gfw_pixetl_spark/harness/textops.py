@@ -7876,3 +7876,96 @@ def q405(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ov2 / (c - 1), 6).alias("rouge2_p"),
         F.round(2.0 * ov2 / (r + c - 2), 6).alias("rouge2_f"),
     )
+
+
+# --------------------------------------------------------------------------
+# q407 — MBOX / MIME EMAIL INGEST (sources/mbox.py; RFC 4155 + 5322 +
+# 2045/2046/2047): mailing-list archives are a standing LLM-corpus
+# source. Each doc becomes a REAL two-part MIME message — RFC 2047
+# B-encoded subject, quoted-printable text/plain body, base64
+# application/octet-stream attachment — wrapped in an mbox with a
+# second plain message whose body STARTS with 'From ' (the mboxo
+# quoting trap). The kernel splits the mbox, unquotes, parses headers
+# (folding, case-insensitivity), walks the multipart boundaries, and
+# decodes both transfer encodings; every extracted value is replayed
+# analytically by the oracle. The codec is cross-validated against
+# CPython's `email` package in tests/test_mbox.py — an independent
+# implementation of the same RFCs, the audioop discipline.
+# --------------------------------------------------------------------------
+MBOX_SCHEMA = ("doc_id long, n_messages int, n_parts int, "
+               "subject_back string, body_len int, body_ok boolean, "
+               "att_sig int, quoted_ok boolean")
+
+
+@register(
+    "q407_mbox_ingest",
+    oracle="""
+    SELECT doc_id, CAST(2 AS INT) AS n_messages,
+           CAST(3 AS INT) AS n_parts,
+           substr(text, 1, 12) AS subject_back,
+           CAST(length(text) AS INT) AS body_len,
+           TRUE AS body_ok,
+           ('0x' || substr(md5(text), 1, 4))::INT AS att_sig,
+           TRUE AS quoted_ok
+    FROM documents
+    """,
+)
+def q407(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.partitioning import ensure_min_partitions
+
+    docs = ensure_min_partitions(
+        load(spark, sf_dir, "documents").select("doc_id", "text"))
+
+    def kernel(batches):
+        import base64 as _b64
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from ..sources.mbox import (
+            encode_word, iter_mbox, parse_message, qp_encode, write_mbox,
+        )
+
+        cols = ("doc_id", "n_messages", "n_parts", "subject_back",
+                "body_len", "body_ok", "att_sig", "quoted_ok")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                t = str(t)
+                digest = _hl.md5(t.encode()).digest()
+                subject = encode_word(t[:12], "utf-8", "B")
+                body_qp = qp_encode(t.encode("utf-8"))
+                att = _b64.encodebytes(digest)
+                m1 = (f"From: a@x\r\nSubject: {subject}\r\n"
+                      f"MIME-Version: 1.0\r\n"
+                      f'Content-Type: multipart/mixed; boundary="B1"\r\n'
+                      f"\r\n--B1\r\n"
+                      f"Content-Type: text/plain; charset=utf-8\r\n"
+                      f"Content-Transfer-Encoding: quoted-printable\r\n"
+                      f"\r\n").encode() + body_qp + (
+                    b"\r\n--B1\r\n"
+                    b"Content-Type: application/octet-stream\r\n"
+                    b"Content-Transfer-Encoding: base64\r\n"
+                    b"\r\n") + att + b"--B1--\r\n"
+                m2 = b"Subject: plain\r\n\r\nFrom the top\nFrom here\n"
+                msgs = iter_mbox(write_mbox([m1, m2]))
+                p1 = parse_message(msgs[0])
+                p2 = parse_message(msgs[1])
+                body = p1["parts"][0]["payload"].decode("utf-8")
+                out["doc_id"].append(int(doc_id))
+                out["n_messages"].append(len(msgs))
+                out["n_parts"].append(len(p1["parts"])
+                                      + len(p2["parts"]))
+                out["subject_back"].append(p1["subject"])
+                out["body_len"].append(len(body))
+                out["body_ok"].append(body == t)
+                # the attachment carries md5(text): its first two bytes
+                # are the oracle's substr(md5(text), 1, 4)
+                out["att_sig"].append(
+                    int(p1["parts"][1]["payload"][:2].hex(), 16))
+                out["quoted_ok"].append(
+                    p2["parts"][0]["payload"]
+                    == b"From the top\nFrom here\n")
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(kernel, MBOX_SCHEMA)

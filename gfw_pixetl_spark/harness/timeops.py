@@ -15,6 +15,8 @@ from ..functions.sampling import weighted_reservoir_sample
 from ..functions.sketches import (
     cms_heavy_hitters_sql, cms_probe, count_min_sketch,
     hll_distinct, hll_distinct_sql, kmv_distinct, kmv_distinct_sql,
+    kmv_set_ops,
+    kmv_set_ops_sql,
 )
 from ..functions.timeseries import acf_integer, gapfill_locf
 from . import load, register
@@ -1249,3 +1251,28 @@ def q289(spark: SparkSession, sf_dir: str) -> DataFrame:
         sae1.cast("bigint").alias("sae_naive1"),
         F.round(sae7.cast("double") / sae1.cast("double"), 6).alias("mase"),
     )
+
+
+# --------------------------------------------------------------------------
+# q406 — KMV SKETCH SET OPERATIONS (the q273/q280 family's third leg):
+# distinct-customer estimates for two order-status sets PLUS their
+# union and INTERSECTION from 256-hash sketches — the audience-overlap
+# question ("how many customers have both open and fulfilled orders")
+# answered without ever materializing either value set. Union =
+# merge-and-retrim; intersection = the Jaccard-over-K rule
+# (rho = |K n A n B| / |K|, scaled by the union estimate). After the
+# two bottom-k selections everything is <= 2k rows — at 100 TB only
+# sketches move. Deterministic (k smallest md5 hashes), so the oracle
+# replays every estimate bit-for-bit, and the exact intersection rides
+# along for error accounting.
+# --------------------------------------------------------------------------
+@register(
+    "q406_kmv_set_ops",
+    oracle=kmv_set_ops_sql(
+        "orders", "o_orderstatus = 'F'", "o_orderstatus = 'O'",
+        "o_custkey", k=256),
+)
+def q406(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return kmv_set_ops(orders, "o_orderstatus", "o_custkey",
+                       set_a="F", set_b="O", k=256)

@@ -80,11 +80,14 @@ def test_png_payload_decodes_to_digest_bytes():
 
 
 def test_decode_image_gates_unsupported_formats():
-    # JPEG now decodes natively (sources/jpeg.py); GIF/WebP remain gated
+    # PNG/JPEG/WebP/GIF decode natively; other containers stay gated,
+    # and malformed payloads of supported formats raise from the codec.
     with pytest.raises(NotImplementedError, match="PNG"):
+        decode_image(b"BM fake bmp bytes")
+    with pytest.raises(ValueError):
         decode_image(b"GIF89a fake gif bytes")
-    with pytest.raises(NotImplementedError, match="JPEG"):
-        decode_image(b"RIFF....WEBP fake webp bytes")
+    with pytest.raises(ValueError):
+        decode_image(b"RIFF\x10\x00\x00\x00WEBP fake webp bytes")
 
 
 def _png_chunk(tag: bytes, body: bytes) -> bytes:

@@ -47,6 +47,10 @@ DEFAULT_QUERIES = [
     "q390_avro_roundtrip",   # Avro container export->ingest gate
     "q391_lz4_jsonl",        # LZ4 frame kernel (linear claim)
     "q392_kcore",            # fixpoint peel (rounds bounded claim)
+    "q397_avi_mjpeg_frames",  # AVI index walk + JPEG decode kernel
+    "q399_bz2_xz_jsonl",     # multi-stream decompressor walk
+    "q403_webp_decode",      # VP8L decode kernel (linear claim)
+    "q404_bleu",             # (doc, gram)-keyed clipped-count joins
 ]
 
 SF_DIRS = [
