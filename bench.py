@@ -398,6 +398,7 @@ BENCH_QUERIES = [
     "q405_rouge",
     "q406_kmv_set_ops",
     "q407_mbox_ingest",
+    "q408_pdf_encrypted",
 ]
 
 

@@ -7969,3 +7969,76 @@ def q407(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(kernel, MBOX_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# q408 — ENCRYPTED PDF text extraction (ISO 32000-1 7.6.3 standard
+# security handler, sources/pdf.py + sources/crypto.py): the last PDF
+# gate closed. Each doc's payload is a REAL encrypted PDF — odd docs
+# RC4-128 (/V 2 /R 3) in the classic-xref layout, even docs AES-128-CBC
+# (/V 4 /AESV2) in the PDF 1.5 xref-stream + ObjStm layout, so the
+# per-object-key derivation (Algorithm 1 incl. the sAlT suffix), the
+# /U authentication (Algorithms 2/4/5), CBC IV/padding handling, AND
+# the encrypted-ObjStm path all run per document. Ciphers are the
+# FIPS-197 vector-pinned pure-Python AES + RC4. Empty user password =
+# the auto-open corpus case; the oracle replays the extracted text
+# analytically. At 100 TB this is the same per-doc Arrow-kernel shape
+# as q373/q381 — decryption adds CPU, not shuffle.
+# --------------------------------------------------------------------------
+@register(
+    "q408_pdf_encrypted",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               'Classified ' || CAST(doc_id % 50 AS VARCHAR) || ' '
+                 || substr(text, 1, 48),
+               '\\s+', ' ', 'g')) AS full_text
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'aes' ELSE 'rc4' END AS cipher,
+           CAST(1 AS INT) AS n_pages,
+           full_text AS text,
+           CAST(length(full_text) AS INT) AS n_chars,
+           TRUE AS hidden_ok
+    FROM p
+    """,
+)
+def q408(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.partitioning import ensure_min_partitions
+
+    docs = ensure_min_partitions(
+        load(spark, sf_dir, "documents").select("doc_id", "text"))
+
+    def kernel(batches):
+        import pandas as pd
+
+        from ..sources.pdf import PdfDocument, write_pdf
+
+        cols = ("doc_id", "cipher", "n_pages", "text", "n_chars",
+                "hidden_ok")
+        for pdf_batch in batches:
+            out = {k: [] for k in cols}
+            for doc_id, t in zip(pdf_batch["doc_id"], pdf_batch["text"]):
+                aes = doc_id % 2 == 0
+                lines = [f"Classified {doc_id % 50}", t[:48]]
+                payload = write_pdf(
+                    [lines], encrypt="aes" if aes else "rc4",
+                    xref_stream=aes, use_objstm=aes)
+                doc = PdfDocument(payload)
+                text = doc.text()
+                # the plaintext must not appear in the ciphertext file
+                hidden = lines[1].encode("latin-1") not in payload \
+                    if len(lines[1]) >= 8 else True
+                out["doc_id"].append(doc_id)
+                out["cipher"].append("aes" if aes else "rc4")
+                out["n_pages"].append(len(doc.pages()))
+                out["text"].append(text)
+                out["n_chars"].append(len(text))
+                out["hidden_ok"].append(bool(hidden))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        kernel, "doc_id long, cipher string, n_pages int, text string, "
+                "n_chars int, hidden_ok boolean")

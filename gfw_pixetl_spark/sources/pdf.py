@@ -24,7 +24,20 @@ Scope (stated, not padded):
   (\\n \\r \\t \\b \\f \\( \\) \\\\ \\ddd octal + line continuations),
   hex strings `<...>`, and `Td/TD/T*` treated as word boundaries.
 
-NOT implemented — and raising clearly, never mis-parsing: encryption
+* ENCRYPTION via the standard security handler (ISO 32000-1 7.6.3):
+  /V 1-2 RC4 (R 2-3) and /V 4 /AESV2 AES-128-CBC crypt filters, the
+  empty-user-password auto-open that covers the overwhelming majority
+  of encrypted corpus PDFs — Algorithm 2 file-key derivation, /U
+  verification (Algorithms 4/5), per-object keys (Algorithm 1, the
+  sAlT suffix for AES), stream decryption BEFORE filters; xref streams
+  stay unencrypted per spec, ObjStm payloads decrypt like any stream.
+  Ciphers come from ``sources/crypto.py`` (FIPS-197 vector-pinned).
+
+NOT implemented — and raising clearly, never mis-parsing: /V 5 R 6
+AES-256 (the SHA-2 hardened handler), non-empty-password documents
+(the key derivation is there; we simply don't guess passwords),
+encrypted STRING objects outside content streams (text extraction
+never reads them — content-stream strings decrypt with their stream),
 and non-Flate filters (DCT/JBIG2/CCITT image streams are not text).
 
 Includes a writer for spec-valid fixtures in BOTH layouts — classic
@@ -39,6 +52,93 @@ from __future__ import annotations
 
 import re
 import zlib
+
+# ---------------------------------------------------------------------------
+# Standard security handler (ISO 32000-1 7.6.3)
+# ---------------------------------------------------------------------------
+
+_PW_PAD = bytes.fromhex(
+    "28bf4e5e4e758a4164004e56fffa01082e2e00b6d0683e802f0ca9fe6453697a")
+
+
+def _md5(data: bytes) -> bytes:
+    import hashlib
+
+    return hashlib.md5(data).digest()
+
+
+def _std_file_key(user_pw: bytes, o_entry: bytes, p: int, id0: bytes,
+                  r: int, key_len: int) -> bytes:
+    """Algorithm 2: the file encryption key."""
+    h = _md5((user_pw + _PW_PAD)[:32] + o_entry[:32]
+             + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0)
+    if r >= 3:
+        for _ in range(50):
+            h = _md5(h[:key_len])
+    return h[:key_len]
+
+
+def _std_owner_entry(owner_pw: bytes, user_pw: bytes, r: int,
+                     key_len: int) -> bytes:
+    """Algorithm 3: the /O value (owner password defaults to user's)."""
+    from .crypto import rc4
+
+    h = _md5((owner_pw or user_pw) + _PW_PAD[:32 - len(owner_pw or
+                                                       user_pw)])
+    if r >= 3:
+        for _ in range(50):
+            h = _md5(h[:key_len])
+    key = h[:key_len]
+    o = rc4(key, (user_pw + _PW_PAD)[:32])
+    if r >= 3:
+        for i in range(1, 20):
+            o = rc4(bytes(b ^ i for b in key), o)
+    return o
+
+
+def _std_user_entry(file_key: bytes, id0: bytes, r: int) -> bytes:
+    """Algorithms 4/5: the /U value."""
+    from .crypto import rc4
+
+    if r == 2:
+        return rc4(file_key, _PW_PAD)
+    u = rc4(file_key, _md5(_PW_PAD + id0))
+    for i in range(1, 20):
+        u = rc4(bytes(b ^ i for b in file_key), u)
+    return u + b"\x00" * 16
+
+
+def _object_key(file_key: bytes, num: int, gen: int,
+                aes: bool) -> bytes:
+    """Algorithm 1: the per-object key."""
+    salt = b"sAlT" if aes else b""
+    h = _md5(file_key + num.to_bytes(3, "little")
+             + gen.to_bytes(2, "little") + salt)
+    return h[:min(len(file_key) + 5, 16)]
+
+
+def _encrypt_stream(data: bytes, file_key: bytes, num: int, gen: int,
+                    aes: bool) -> bytes:
+    from .crypto import aes_cbc_encrypt, rc4
+
+    key = _object_key(file_key, num, gen, aes)
+    if not aes:
+        return rc4(key, data)
+    iv = _md5(key + b"iv")[:16]  # deterministic fixtures; spec reads
+    return iv + aes_cbc_encrypt(key, iv, data)  # the IV from the data
+
+
+def _decrypt_stream(data: bytes, file_key: bytes, num: int, gen: int,
+                    aes: bool) -> bytes:
+    from .crypto import aes_cbc_decrypt, rc4
+
+    key = _object_key(file_key, num, gen, aes)
+    if not aes:
+        return rc4(key, data)
+    if len(data) < 16:
+        raise ValueError("PDF: AESV2 stream shorter than its IV")
+    return aes_cbc_decrypt(key, data[:16], data[16:])
+
 
 # ---------------------------------------------------------------------------
 # Writer (fixtures)
@@ -56,7 +156,9 @@ def _esc(s: str) -> str:
 
 def write_pdf(pages: list[list[str]], compress: bool = True,
               xref_stream: bool = False,
-              use_objstm: bool = False) -> bytes:
+              use_objstm: bool = False,
+              encrypt: str | None = None,
+              user_password: str = "") -> bytes:
     """Write one text line list per page as a spec-valid PDF file:
     catalog, pages tree, Helvetica, one content stream per page
     (optionally FlateDecode).
@@ -71,11 +173,34 @@ def write_pdf(pages: list[list[str]], compress: bool = True,
     if use_objstm and not xref_stream:
         raise ValueError("ObjStm entries need an xref stream (type 2 "
                          "entries have no classic-table encoding)")
+    if encrypt not in (None, "rc4", "aes"):
+        raise ValueError("encrypt must be None, 'rc4', or 'aes'")
     objs: list[bytes] = []
 
     def add(body: bytes) -> int:
         objs.append(body)
         return len(objs)  # 1-based object number
+
+    # --- standard security handler setup (before any stream is added,
+    # since stream payloads encrypt with their object number) ---
+    file_key = None
+    enc_aes = encrypt == "aes"
+    perms = -4  # all permission bits granted (high bits set)
+    if encrypt:
+        import hashlib
+
+        id0 = hashlib.md5(
+            b"gfw-pdf-id:" + repr(pages).encode("utf-8")).digest()
+        r = 4 if enc_aes else 3
+        upw = user_password.encode("latin-1")
+        o_entry = _std_owner_entry(b"", upw, r, 16)
+        file_key = _std_file_key(upw, o_entry, perms, id0, r, 16)
+        u_entry = _std_user_entry(file_key, id0, r)
+
+    def enc_stream(data: bytes, num: int) -> bytes:
+        if file_key is None:
+            return data
+        return _encrypt_stream(data, file_key, num, 0, enc_aes)
 
     font = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     content_ids = []
@@ -89,6 +214,8 @@ def write_pdf(pages: list[list[str]], compress: bool = True,
         stream = "\n".join(ops).encode("latin-1")
         if compress:
             stream = zlib.compress(stream)
+        stream = enc_stream(stream, len(objs) + 1)
+        if compress:
             head = b"<< /Filter /FlateDecode /Length %d >>" % len(stream)
         else:
             head = b"<< /Length %d >>" % len(stream)
@@ -109,6 +236,26 @@ def write_pdf(pages: list[list[str]], compress: bool = True,
     assert real_pages_id == pages_id
     catalog = add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_id)
 
+    enc_id = None
+    enc_extra = b""
+    if encrypt:
+        o_hex = o_entry.hex().encode()
+        u_hex = u_entry.hex().encode()
+        if enc_aes:
+            enc_body = (
+                b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+                b"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
+                b"/Length 16 >> >> /StmF /StdCF /StrF /StdCF "
+                b"/P %d /O <%s> /U <%s> >>" % (perms, o_hex, u_hex))
+        else:
+            enc_body = (
+                b"<< /Filter /Standard /V 2 /R 3 /Length 128 "
+                b"/P %d /O <%s> /U <%s> >>" % (perms, o_hex, u_hex))
+        enc_id = add(enc_body)
+        id_hex = id0.hex().encode()
+        enc_extra = (b" /Encrypt %d 0 R /ID [<%s> <%s>]"
+                     % (enc_id, id_hex, id_hex))
+
     if not xref_stream:
         out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
         offsets = [0]
@@ -120,9 +267,9 @@ def write_pdf(pages: list[list[str]], compress: bool = True,
         out += b"0000000000 65535 f \n"
         for off in offsets[1:]:
             out += b"%010d 00000 n \n" % off
-        out += (b"trailer\n<< /Size %d /Root %d 0 R >>\n"
+        out += (b"trailer\n<< /Size %d /Root %d 0 R%s >>\n"
                 b"startxref\n%d\n%%%%EOF" % (len(objs) + 1, catalog,
-                                             xref_at))
+                                             enc_extra, xref_at))
         return bytes(out)
 
     # ---- PDF 1.5 layout: xref STREAM, optionally ObjStm-packed ----
@@ -130,9 +277,11 @@ def write_pdf(pages: list[list[str]], compress: bool = True,
     stream_ids = set(content_ids)
     objstm_id = len(objs) + 1
     xref_id = objstm_id + (1 if use_objstm else 0)
-    # streams are illegal inside an ObjStm (7.5.7): content streams
-    # stay top-level; every dict object gets packed when asked
-    packed = ([i for i in range(1, len(objs) + 1) if i not in stream_ids]
+    # streams are illegal inside an ObjStm (7.5.7), and so is the
+    # encryption dictionary: content streams and /Encrypt stay
+    # top-level; every other dict object gets packed when asked
+    packed = ([i for i in range(1, len(objs) + 1)
+               if i not in stream_ids and i != enc_id]
               if use_objstm else [])
     packed_set = set(packed)
 
@@ -153,7 +302,8 @@ def write_pdf(pages: list[list[str]], compress: bool = True,
             cur += len(objs[i - 1]) + 1
         header = " ".join(f"{n} {o}" for n, o in pair_offs).encode() + b"\n"
         comp = zlib.compress(header + b"\n".join(parts))
-        entries[objstm_id] = ("in", len(out))
+        comp = enc_stream(comp, objstm_id)  # ObjStm encrypts like any
+        entries[objstm_id] = ("in", len(out))  # stream; XRef never does
         out += (b"%d 0 obj\n<< /Type /ObjStm /N %d /First %d "
                 b"/Filter /FlateDecode /Length %d >>\nstream\n"
                 % (objstm_id, len(packed), len(header), len(comp)))
@@ -182,10 +332,11 @@ def write_pdf(pages: list[list[str]], compress: bool = True,
                                     for i in range(rowlen))
         prev = row
     comp = zlib.compress(bytes(filtered))
-    out += (b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root %d 0 R "
+    out += (b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 4 2] /Root %d 0 R%s "
             b"/Filter /FlateDecode "
             b"/DecodeParms << /Predictor 12 /Columns 7 >> /Length %d >>"
-            b"\nstream\n" % (xref_id, size, catalog, len(comp)))
+            b"\nstream\n" % (xref_id, size, catalog, enc_extra,
+                             len(comp)))
     out += comp + b"\nendstream\nendobj\n"
     out += b"startxref\n%d\n%%%%EOF" % xref_at
     return bytes(out)
@@ -403,7 +554,7 @@ class PdfDocument:
     """Parsed PDF: xref chain (tables, streams, hybrids), object
     resolution (in-file + ObjStm-compressed), page walk."""
 
-    def __init__(self, data: bytes) -> None:
+    def __init__(self, data: bytes, password: str = "") -> None:
         self.data = data
         if not data.startswith(b"%PDF-"):
             raise ValueError("not a PDF (missing %PDF- header)")
@@ -413,7 +564,54 @@ class PdfDocument:
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, tuple] = {}
+        self._crypt: tuple | None = None  # (file_key, aes) when set
         self._load_xref_chain()
+        if "Encrypt" in self.trailer:
+            self._setup_crypt(password)
+
+    def _setup_crypt(self, password: str = "") -> None:
+        """Standard security handler: derive the file key (Algorithm 2)
+        and authenticate it against /U (Algorithms 4/5/6)."""
+        enc = self.resolve(self.trailer["Encrypt"])
+        if enc.get("Filter") != "Standard":
+            raise NotImplementedError(
+                f"PDF: only the Standard security handler is supported "
+                f"(got {enc.get('Filter')!r})")
+        v = int(self.resolve(enc.get("V", 0)))
+        r = int(self.resolve(enc.get("R", 2)))
+        if v not in (1, 2, 4):
+            raise NotImplementedError(
+                f"PDF: encryption /V {v} unsupported (V 5 / R 6 AES-256 "
+                "uses the SHA-2 handler — out of scope, module "
+                "docstring)")
+        aes = False
+        if v == 4:
+            cf = self.resolve(enc.get("CF", {})) or {}
+            stdcf = self.resolve(cf.get("StdCF", {})) or {}
+            cfm = self.resolve(stdcf.get("CFM"))
+            if cfm == "AESV2":
+                aes = True
+            elif cfm not in ("V2", None):
+                raise NotImplementedError(
+                    f"PDF: crypt filter method {cfm!r} unsupported")
+        key_len = int(self.resolve(enc.get("Length", 40))) // 8
+        if v == 1:
+            key_len = 5
+        o_entry = enc["O"]
+        u_entry = enc["U"]
+        p = int(self.resolve(enc["P"]))
+        ids = self.resolve(self.trailer.get("ID"))
+        id0 = ids[0] if ids else b""
+        key = _std_file_key(password.encode("latin-1"), o_entry, p,
+                            id0, r, key_len)
+        expect = _std_user_entry(key, id0, r)
+        ok = (expect[:16] == u_entry[:16]) if r >= 3 else \
+            (expect == u_entry[:32])
+        if not ok:
+            raise ValueError(
+                "PDF: encrypted with a non-empty user password — "
+                "cannot open without it")
+        self._crypt = (key, aes)
 
     def _load_xref_chain(self) -> None:
         tail = self.data[-2048:]
@@ -534,11 +732,14 @@ class PdfDocument:
         return int(sd.get("Prev", 0))
 
     def _decode_stream(self, sdict: dict, lex: "_Lexer",
-                       resolve: bool = True) -> bytes:
+                       resolve: bool = True,
+                       obj_num: int | None = None) -> bytes:
         """Decode the stream whose keyword starts at ``lex.pos``:
-        /Length framing, /Filter (name or array), /DecodeParms
-        predictors. ``resolve=False`` forbids indirect dict entries
-        (required while loading xref streams, before objects resolve)."""
+        /Length framing, decryption (before filters, per 7.6.2),
+        /Filter (name or array), /DecodeParms predictors.
+        ``resolve=False`` forbids indirect dict entries (required while
+        loading xref streams, before objects resolve); xref streams are
+        never encrypted (7.5.8.2), so their obj_num stays None."""
         res = self.resolve if resolve else (lambda v: v)
         p = lex.pos + 6
         if self.data[p:p + 2] == b"\r\n":
@@ -547,6 +748,10 @@ class PdfDocument:
             p += 1
         n = res(sdict.get("Length"))
         raw = self.data[p:p + int(n)]
+        if (self._crypt is not None and obj_num is not None
+                and res(sdict.get("Type")) != "XRef"):
+            key, aes = self._crypt
+            raw = _decrypt_stream(raw, key, obj_num, 0, aes)
         filt = res(sdict.get("Filter"))
         filters = filt if isinstance(filt, list) else (
             [] if filt is None else [filt])
@@ -624,7 +829,7 @@ class PdfDocument:
         val = lex.parse_value()
         lex._skip_ws()
         if self.data.startswith(b"stream", lex.pos):
-            raw = self._decode_stream(val, lex)
+            raw = self._decode_stream(val, lex, obj_num=num)
             val = {"__dict__": val, "__stream__": raw}
         self._cache[num] = val
         return val
@@ -736,7 +941,8 @@ def extract_content_text(stream: bytes) -> str:
     return text
 
 
-def extract_pdf_text(data: bytes) -> str:
+def extract_pdf_text(data: bytes, password: str = "") -> str:
     """Whole-document text: pages joined with newlines, per-page text
-    whitespace-normalized."""
-    return PdfDocument(data).text()
+    whitespace-normalized. ``password`` authenticates encrypted
+    documents (the empty default opens the common corpus case)."""
+    return PdfDocument(data, password=password).text()
