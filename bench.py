@@ -399,6 +399,7 @@ BENCH_QUERIES = [
     "q406_kmv_set_ops",
     "q407_mbox_ingest",
     "q408_pdf_encrypted",
+    "q409_binary_quantization",
 ]
 
 

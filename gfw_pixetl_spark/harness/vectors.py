@@ -1232,3 +1232,116 @@ def q313(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n")
         .orderBy("true_label", "pred_label")
     )
+
+
+# --------------------------------------------------------------------------
+# q409 — BINARY QUANTIZATION + Hamming rerank (the fourth leg of the
+# vector-compression family: PQ q174, Matryoshka q176, SQ8 q253): each
+# vector compresses to its SIGN BITS (64 dims -> 64 bits = 32x smaller;
+# exact — no float threshold arithmetic, the corpus is zero-centered),
+# candidates rank by Hamming AGREEMENT (integer-exact, bit-stable on
+# any partitioning), the top-20 coarse set reranks with the true float
+# cosine, and recall@5 is scored against the engine's own exact
+# brute-force top-5. This is the production vector-DB fast path:
+# at 100 TB the coarse pass streams 1-bit codes (32x less IO than
+# floats), and only 20 full vectors per query are ever touched again.
+# --------------------------------------------------------------------------
+@register(
+    "q409_binary_quantization",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), b AS (
+      SELECT vec_id, v,
+             list_transform(v, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END)
+                 AS bits
+      FROM e
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv, bits AS qb
+      FROM b WHERE vec_id < 10
+    ), coarse AS (
+      SELECT query_id, vec_id, v, qv FROM (
+        SELECT q.query_id, c.vec_id, c.v, q.qv,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY list_sum(list_transform(
+                     generate_series(1, len(q.qb)),
+                     i -> CASE WHEN q.qb[i] = c.bits[i]
+                          THEN 1 ELSE 0 END)) DESC,
+                 c.vec_id ASC) AS rk
+        FROM b c, q WHERE c.vec_id != q.query_id
+      ) WHERE rk <= 20
+    ), rerank AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                 ORDER BY {_sql_cos('qv', 'v')} DESC, vec_id ASC) AS rk2
+        FROM coarse
+      ) WHERE rk2 <= 5
+    ), exact_r AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY {_sql_cos('q.qv', 'c.v')} DESC,
+                 c.vec_id ASC) AS rank
+        FROM e c, q WHERE c.vec_id != q.query_id
+      ) WHERE rank <= 5
+    )
+    SELECT e.query_id,
+           CAST(COUNT(*) AS BIGINT) AS k_exact,
+           CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0
+                END) AS BIGINT) AS k_hit,
+           round(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0
+                 END) / COUNT(*), 6) AS recall_at_5
+    FROM exact_r e LEFT JOIN rerank a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def q409(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.partitioning import ensure_min_partitions
+
+    emb = load(spark, sf_dir, "embeddings")
+    bits = F.transform(
+        "embedding", lambda x: F.when(x > 0, 1).otherwise(0))
+    b = ensure_min_partitions(
+        emb.select("vec_id", "embedding", bits.alias("bits")))
+    q = (b.filter(F.col("vec_id") < 10)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("qv"),
+                 F.col("bits").alias("qb")))
+    agree = F.aggregate(
+        F.zip_with("qb", "bits",
+                   lambda a, c: F.when(a == c, 1).otherwise(0)),
+        F.lit(0), lambda acc, x: acc + x)
+    scored = (b.crossJoin(F.broadcast(q))
+              .filter(F.col("vec_id") != F.col("query_id"))
+              .select("query_id", "vec_id", "embedding", "qv",
+                      agree.alias("ham")))
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("ham").desc(), F.col("vec_id").asc())
+    coarse = (scored.withColumn("rk", F.row_number().over(wc))
+              .filter(F.col("rk") <= 20))
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cs").desc(), F.col("vec_id").asc())
+    rerank = (coarse
+              .select("query_id", "vec_id",
+                      S.cosine(F.col("qv"), F.col("embedding"))
+                      .alias("cs"))
+              .withColumn("rk2", F.row_number().over(wr))
+              .filter(F.col("rk2") <= 5)
+              .select("query_id", F.col("vec_id").alias("an")))
+    exact = S.brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 10), k=5
+    ).select("query_id", "neighbor_id")
+    joined = exact.join(
+        rerank, (exact.query_id == rerank.query_id)
+        & (exact.neighbor_id == rerank.an), "left") \
+        .select(exact.query_id, exact.neighbor_id, rerank.an)
+    hit = F.when(F.col("an").isNotNull(), 1).otherwise(0)
+    return joined.groupBy("query_id").agg(
+        F.count("*").cast("bigint").alias("k_exact"),
+        F.sum(hit).cast("bigint").alias("k_hit"),
+        F.round(F.sum(hit) / F.count("*"), 6).alias("recall_at_5"),
+    )
