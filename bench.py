@@ -400,6 +400,9 @@ BENCH_QUERIES = [
     "q407_mbox_ingest",
     "q408_pdf_encrypted",
     "q409_binary_quantization",
+    "q410_hilbert_layout",
+    "q411_kneser_ney",
+    "q412_integral_image",
 ]
 
 
@@ -553,6 +556,32 @@ def main() -> None:
                   file=sys.stderr)
             stress_export = {"sec": -1.0, "golden": False}
 
+    # At-size VIDEO-MODALITY stress (round 7 cont.): ~100+ MB of real
+    # AVI/MJPEG, frame sampling through the container's OWN index with
+    # byte accounting (the ranged-GET contract), full JPEG decode of
+    # sampled frames, closed-form pixel golden.
+    stress_video = None
+    if os.environ.get("SPARK_GRAFT_BENCH_STRESS", "1") != "0":
+        import tempfile
+
+        from gfw_pixetl_spark.harness import scale_stress_video
+
+        try:
+            t0 = time.perf_counter()
+            facts = scale_stress_video.run(spark, tempfile.mkdtemp())
+            problems = scale_stress_video.verify_outputs(facts)
+            stress_video = {
+                "sec": round(time.perf_counter() - t0, 3),
+                "sec_full_pipeline": facts["sec_full_pipeline"],
+                "video_mb": facts["total_bytes"] // 2**20,
+                "io_fraction": facts["io_fraction"],
+                "golden": not problems,
+            }
+        except Exception as e:  # noqa: BLE001
+            print(f"bench scale_stress_video FAILED: {e}",
+                  file=sys.stderr)
+            stress_video = {"sec": -1.0, "golden": False}
+
     # Full per-query medians go to a file (the driver's tail capture is
     # ~2 KB; a 169-entry map overflows it — r2 verdict #2). The LAST stdout
     # line is a compact summary the driver can always parse.
@@ -567,6 +596,7 @@ def main() -> None:
         "scale_stress": stress,
         "scale_stress_vector": stress_vec,
         "scale_stress_crawl": stress_crawl,
+        "scale_stress_video": stress_video,
         "scale_stress_export": stress_export,
     }
     repo = Path(__file__).resolve().parent
@@ -603,6 +633,7 @@ def main() -> None:
                 "scale_stress": stress,
                 "scale_stress_vector": stress_vec,
                 "scale_stress_crawl": stress_crawl,
+                "scale_stress_video": stress_video,
                 "scale_stress_export": stress_export,
                 "detail": str(detail_path),
             }

@@ -70,3 +70,79 @@ def morton_key_sql(x_expr: str, y_expr: str, bits: int = 16) -> str:
             f" + ((({y_expr}) >> {b}) & 1) * {2 ** (2 * b + 1)}"
         )
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def hilbert_key_py(x: int, y: int, bits: int) -> int:
+    """Reference Hilbert xy->d (the classic iterative rotate-and-fold;
+    e.g. Hamilton's compact algorithm as given on the curve's standard
+    write-ups). Kept in pure Python so the column/SQL twins below are
+    testable against an independent statement of the same recurrence."""
+    d = 0
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = (x >> i) & 1
+        ry = (y >> i) & 1
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+    return d
+
+
+def hilbert_key(df, x_col: str, y_col: str, bits: int,
+                out: str = "hkey"):
+    """Hilbert-curve key as chained column expressions (one
+    ``withColumns`` level per curve order — whole-stage codegen, no
+    UDF). Hilbert beats Morton for range locality: consecutive keys
+    are ALWAYS grid-adjacent (no Z-shape jumps), so range-bucketed
+    shards have tighter spatial footprints — the layout lever behind
+    Delta OPTIMIZE's Hilbert mode."""
+    from pyspark.sql import functions as F
+
+    df = df.withColumns({
+        "_hx": F.col(x_col).cast("bigint"),
+        "_hy": F.col(y_col).cast("bigint"),
+        out: F.lit(0).cast("bigint"),
+    })
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = F.shiftright(F.col("_hx"), i).bitwiseAND(1)
+        ry = F.shiftright(F.col("_hy"), i).bitwiseAND(1)
+        quad = (rx * 3).bitwiseXOR(ry).cast("bigint")
+        nx = F.when(ry == 1, F.col("_hx")).otherwise(
+            F.when(rx == 1, F.lit(s - 1) - F.col("_hy"))
+            .otherwise(F.col("_hy")))
+        ny = F.when(ry == 1, F.col("_hy")).otherwise(
+            F.when(rx == 1, F.lit(s - 1) - F.col("_hx"))
+            .otherwise(F.col("_hx")))
+        df = df.withColumns({
+            out: F.col(out) + F.lit(s * s) * quad,
+            "_hx": nx,
+            "_hy": ny,
+        })
+    return df.drop("_hx", "_hy")
+
+
+def hilbert_key_sql(x_expr: str, y_expr: str, bits: int,
+                    src: str) -> str:
+    """DuckDB twin of :func:`hilbert_key`: a chain of CTE levels (one
+    per curve order) ending in relation ``h0`` with columns (.., hkey).
+    ``src`` must expose ``{x_expr}``/``{y_expr}`` plus any carried
+    columns as ``*``."""
+    lines = [f"h{bits} AS (SELECT *, CAST({x_expr} AS BIGINT) AS _hx, "
+             f"CAST({y_expr} AS BIGINT) AS _hy, "
+             f"CAST(0 AS BIGINT) AS hkey FROM {src})"]
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = f"((_hx >> {i}) & 1)"
+        ry = f"((_hy >> {i}) & 1)"
+        lines.append(
+            f"h{i} AS (SELECT * REPLACE ("
+            f"hkey + {s * s} * xor({rx} * 3, {ry}) AS hkey, "
+            f"CASE WHEN {ry} = 1 THEN _hx WHEN {rx} = 1 "
+            f"THEN {s - 1} - _hy ELSE _hy END AS _hx, "
+            f"CASE WHEN {ry} = 1 THEN _hy WHEN {rx} = 1 "
+            f"THEN {s - 1} - _hx ELSE _hx END AS _hy) FROM h{i + 1})")
+    return ",\n    ".join(lines)

@@ -8042,3 +8042,107 @@ def q408(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         kernel, "doc_id long, cipher string, n_pages int, text string, "
                 "n_chars int, hidden_ok boolean")
+
+
+# --------------------------------------------------------------------------
+# q411 — INTERPOLATED KNESER-NEY bigram smoothing (the LM-smoothing
+# family's third leg next to Good-Turing q356 and stupid backoff
+# q308): absolute discount D = 0.75 (dyadic-exact), continuation
+# probabilities from DISTINCT-context counts — the insight that made
+# KN the default n-gram smoother. Model tables come from the odd docs;
+# the even docs are scored so unseen contexts genuinely take the
+# continuation-only branch. The continuation distribution carries the
+# q308 add-0.5 floor so every branch stays strictly positive:
+#   P(w2|w1) = max(c12 - D, 0)/c1 + (D * N1+(w1,.)/c1) * Pc(w2)
+#   Pc(w2)   = (N1+(., w2) + 0.5) / (n_bigram_types + 0.5 * V)
+# Scale shape: corpus aggregates joined back by n-gram key (LEFT
+# equi-joins, big side shuffled once) — identical to q308's plan.
+# --------------------------------------------------------------------------
+@register(
+    "q411_kneser_ney",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {SQL_WORDS} AS ws FROM documents
+    ), bi AS (
+      SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM (
+        SELECT doc_id,
+               unnest(list_zip(list_slice(ws, 1, len(ws) - 1),
+                               list_slice(ws, 2, len(ws)))) AS p
+        FROM w WHERE len(ws) >= 2)
+    ), train2 AS (
+      SELECT w1, w2, COUNT(*) AS c12 FROM bi
+      WHERE doc_id % 2 = 1 GROUP BY 1, 2
+    ), ctx AS (
+      SELECT w1, SUM(c12) AS c1, COUNT(*) AS fwd_types
+      FROM train2 GROUP BY 1
+    ), cont AS (
+      SELECT w2, COUNT(*) AS cont_types FROM train2 GROUP BY 1
+    ), scal AS (
+      SELECT COUNT(*) AS n_types,
+             (SELECT COUNT(DISTINCT w) FROM (
+                SELECT unnest(ws) AS w FROM w WHERE doc_id % 2 = 1))
+                 AS v
+      FROM train2
+    ), held AS (
+      SELECT b.doc_id, t.c12, x.c1, x.fwd_types, n.cont_types
+      FROM bi b
+      LEFT JOIN train2 t USING (w1, w2)
+      LEFT JOIN ctx x USING (w1)
+      LEFT JOIN cont n ON n.w2 = b.w2
+      WHERE b.doc_id % 2 = 0
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN c1 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unseen_ctx,
+           round(AVG(-log2(
+             CASE WHEN c1 IS NOT NULL THEN
+               GREATEST(COALESCE(c12, 0) - 0.75, 0) / c1
+               + (0.75 * fwd_types / c1)
+                 * ((COALESCE(cont_types, 0) + 0.5)
+                    / (n_types + 0.5 * v))
+             ELSE (COALESCE(cont_types, 0) + 0.5)
+                  / (n_types + 0.5 * v)
+             END)), 6) AS mean_logscore
+    FROM held, scal GROUP BY doc_id
+    """,
+)
+def q411(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ws = T.words("text")
+    n = F.size(ws)
+    bi = (
+        docs.filter(n >= 2)
+        .select("doc_id", F.explode(F.arrays_zip(
+            F.slice(ws, F.lit(1), n - 1).alias("w1"),
+            F.slice(ws, F.lit(2), n - 1).alias("w2"))).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    train = bi.filter(F.col("doc_id") % 2 == 1)
+    train2 = train.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    train2 = train2.localCheckpoint()  # feeds ctx, cont, scal, and the
+    ctx = train2.groupBy("w1").agg(    # held join: build once
+        F.sum("c12").alias("c1"), F.count("*").alias("fwd_types"))
+    cont = train2.groupBy("w2").agg(F.count("*").alias("cont_types"))
+    # vocabulary: distinct UNIGRAMS of the training docs
+    uni = (docs.filter(F.col("doc_id") % 2 == 1)
+           .select(F.explode(ws).alias("w"))
+           .agg(F.countDistinct("w").alias("v")))
+    scal = train2.agg(F.count("*").alias("n_types")).crossJoin(uni)
+    held = (bi.filter(F.col("doc_id") % 2 == 0)
+            .join(train2, ["w1", "w2"], "left")
+            .join(ctx, "w1", "left")
+            .join(cont, "w2", "left")
+            .crossJoin(F.broadcast(scal)))
+    pc = ((F.coalesce("cont_types", F.lit(0)) + 0.5)
+          / (F.col("n_types") + 0.5 * F.col("v")))
+    seen = (F.greatest(F.coalesce("c12", F.lit(0)) - 0.75, F.lit(0.0))
+            / F.col("c1")
+            + (0.75 * F.col("fwd_types") / F.col("c1")) * pc)
+    p = F.when(F.col("c1").isNotNull(), seen).otherwise(pc)
+    return held.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        F.sum(F.when(F.col("c1").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_unseen_ctx"),
+        F.round(F.avg(-F.log2(p)), 6).alias("mean_logscore"),
+    )

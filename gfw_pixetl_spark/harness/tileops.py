@@ -1287,6 +1287,58 @@ def q183(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# q410 — HILBERT-CURVE tile layout (q183's stronger sibling, the curve
+# behind Delta OPTIMIZE's Hilbert mode): consecutive Hilbert keys are
+# ALWAYS grid-adjacent — no Z-shape jumps — so range-bucketed shards
+# have tighter spatial footprints than Morton's. The key is computed
+# as chained column expressions (one withColumns level per curve
+# order: rotate-and-fold, no UDF, whole-stage codegen); the oracle
+# replays the identical recurrence as a CTE chain. Output adds each
+# shard's bounding-box AREA — the locality figure of merit a layout
+# optimizer actually compares. Shard size 50 is deliberately UNALIGNED
+# to the curve's quadrants: at aligned power-of-4 sizes both curves
+# bucket perfectly, at real-world sizes Hilbert's no-jump property
+# wins (864 vs 1356 total bbox area here; unit-test-asserted).
+# --------------------------------------------------------------------------
+from ..functions.partitioning import hilbert_key, hilbert_key_sql  # noqa: E402
+
+
+@register(
+    "q410_hilbert_layout",
+    oracle=f"""
+    WITH {hilbert_key_sql(
+        'gx', 'gy', 6,
+        '(SELECT CAST(i % 36 AS INT) AS gx, CAST(i // 36 AS INT) AS gy '
+        'FROM range(648) t(i))')}
+    SELECT CAST(hkey // 50 AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_tiles,
+           CAST(MIN(hkey) AS BIGINT) AS min_key,
+           CAST(MAX(hkey) AS BIGINT) AS max_key,
+           CAST((MAX(gx) - MIN(gx) + 1) * (MAX(gy) - MIN(gy) + 1)
+                AS BIGINT) AS bbox_area
+    FROM h0 GROUP BY 1
+    """,
+)
+def q410(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.range(648).select(
+        (F.col("id") % 36).cast("int").alias("gx"),
+        (F.col("id") / 36).cast("int").alias("gy"),
+    )
+    keyed = hilbert_key(df, "gx", "gy", bits=6)
+    return (
+        keyed.groupBy((F.col("hkey") / 50).cast("bigint").alias("shard"))
+        .agg(
+            F.count("*").alias("n_tiles"),
+            F.min("hkey").alias("min_key"),
+            F.max("hkey").alias("max_key"),
+            ((F.max("gx") - F.min("gx") + 1)
+             * (F.max("gy") - F.min("gy") + 1)).cast("bigint")
+            .alias("bbox_area"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # q185 — gdaldem terrain indices (TPI / TRI / roughness), the trig-free
 # trio whose every step is IEEE-exact: TPI's /8 is a power of two, TRI
 # is sqrt of an integer, roughness is integer — so the oracle replays
@@ -2622,3 +2674,75 @@ def q320(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("acc").cast("bigint").alias("acc"), "n_px")
         .orderBy("acc")
     )
+
+
+# --------------------------------------------------------------------------
+# q412 — DISTRIBUTED INTEGRAL IMAGE (summed-area table) + box filter:
+# the 2D prefix sum behind O(1) box convolutions, ViT patch pooling,
+# and Haar features. Computed SEPARABLY as two partitioned window
+# scans — cumsum along each row (partitioned by row), then cumsum down
+# each column (partitioned by column) — so no task ever sees more than
+# one row/column and the shuffle is two keyed exchanges (at a 10^6-px
+# dimension you bucket each scan, SCALING.md §5; the shape is the
+# same). Box sums then read the 4 corners. THE ORACLE IS A DIFFERENT
+# MECHANISM: it aggregates each 16x16 block directly (GROUP BY
+# r//16, c//16) — the integral-image corner arithmetic must agree with
+# the direct integer aggregation exactly, which is the whole point of
+# a summed-area table.
+# --------------------------------------------------------------------------
+@register(
+    "q412_integral_image",
+    oracle="""
+    WITH px AS (
+      SELECT CAST(i // 256 AS INT) AS r, CAST(i % 256 AS INT) AS c,
+             CAST((i // 256) * 5 + (i % 256) * 3 AS BIGINT) % 13 AS v
+      FROM range(65536) t(i)
+    )
+    SELECT CAST(r // 16 AS INT) AS block_r,
+           CAST(c // 16 AS INT) AS block_c,
+           CAST(SUM(v) AS BIGINT) AS box_sum
+    FROM px GROUP BY 1, 2
+    """,
+)
+def q412(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    px = spark.range(256 * 256).select(
+        (F.col("id") / 256).cast("int").alias("r"),
+        (F.col("id") % 256).cast("int").alias("c"),
+        (((F.col("id") / 256).cast("bigint") * 5
+          + (F.col("id") % 256).cast("bigint") * 3) % 13).alias("v"),
+    )
+    row_w = (Window.partitionBy("r").orderBy("c")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    col_w = (Window.partitionBy("c").orderBy("r")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    ii = (px.withColumn("rowsum", F.sum("v").over(row_w))
+          .withColumn("ii", F.sum("rowsum").over(col_w))
+          .select("r", "c", "ii"))
+    # box sum of block (br, bc) = I(r2,c2) - I(r1-1,c2) - I(r2,c1-1)
+    # + I(r1-1,c1-1); out-of-image corners contribute 0
+    blocks = spark.range(16 * 16).select(
+        (F.col("id") / 16).cast("int").alias("block_r"),
+        (F.col("id") % 16).cast("int").alias("block_c"))
+
+    def corner(rexpr, cexpr, name):
+        return (blocks.select("block_r", "block_c",
+                              rexpr.cast("int").alias("r"),
+                              cexpr.cast("int").alias("c"))
+                .join(ii, ["r", "c"], "left")
+                .select("block_r", "block_c",
+                        F.coalesce("ii", F.lit(0)).alias(name)))
+
+    r1, c1 = F.col("block_r") * 16, F.col("block_c") * 16
+    out = (corner(r1 + 15, c1 + 15, "s_br")
+           .join(corner(r1 - 1, c1 + 15, "s_tr"),
+                 ["block_r", "block_c"])
+           .join(corner(r1 + 15, c1 - 1, "s_bl"),
+                 ["block_r", "block_c"])
+           .join(corner(r1 - 1, c1 - 1, "s_tl"),
+                 ["block_r", "block_c"]))
+    return out.select(
+        "block_r", "block_c",
+        (F.col("s_br") - F.col("s_tr") - F.col("s_bl")
+         + F.col("s_tl")).cast("bigint").alias("box_sum"))

@@ -251,3 +251,69 @@ def _ranges_from_movi(data: bytes, movi_pos: int, movi_end: int) -> dict:
 def frame_ranges(data: bytes, stream: int = 0) -> list[tuple[int, int]]:
     """Byte ranges of stream ``stream``'s frames — the sampling hook."""
     return parse_avi(data)["streams"].get(stream, [])
+
+
+class RangedAviReader:
+    """Index-only AVI access over a seekable file object — the ranged-
+    GET path: resolve frame byte ranges by reading ONLY the RIFF
+    header, the hdrl region, the idx1 index at the tail, and one
+    4-byte base probe; then fetch sampled frames by range. Tracks
+    ``bytes_read`` so at-size runs can assert the IO fraction
+    (``scale_stress_video``: a 3-of-N frame sample must touch a few
+    percent of the file, exactly what a 1000-executor cluster pays
+    against an object store)."""
+
+    def __init__(self, f, file_size: int):
+        self.f = f
+        self.size = file_size
+        self.bytes_read = 0
+
+    def _read_at(self, pos: int, n: int) -> bytes:
+        self.f.seek(pos)
+        out = self.f.read(n)
+        self.bytes_read += len(out)
+        return out
+
+    def frame_ranges(self, stream: int = 0) -> list[tuple[int, int]]:
+        head = self._read_at(0, 12)
+        if head[:4] != b"RIFF" or head[8:12] != b"AVI ":
+            raise ValueError("not a RIFF/AVI stream")
+        # hdrl comes first: read its declared extent to find movi
+        lh = self._read_at(12, 8)
+        (hdrl_size,) = struct.unpack("<I", lh[4:8])
+        movi_hdr_at = 12 + 8 + hdrl_size + (hdrl_size % 2)
+        mh = self._read_at(movi_hdr_at, 12)
+        if mh[:4] != b"LIST" or mh[8:12] != b"movi":
+            raise ValueError("AVI: movi list not after hdrl")
+        movi_pos = movi_hdr_at + 8
+        (movi_size,) = struct.unpack("<I", mh[4:8])
+        idx_at = movi_pos + movi_size + (movi_size % 2)
+        ih = self._read_at(idx_at, 8)
+        if ih[:4] != b"idx1":
+            raise ValueError("AVI: no idx1 at the expected tail "
+                             "position (ranged path needs the index)")
+        (idx_size,) = struct.unpack("<I", ih[4:8])
+        idx = self._read_at(idx_at + 8, idx_size)
+        # base probe: one 4-byte ranged read
+        ckid0, _f, off0, _s = struct.unpack("<4sIII", idx[:16])
+        base = movi_pos
+        if self._read_at(movi_pos + off0, 4) != ckid0:
+            if self._read_at(off0, 4) == ckid0:
+                base = 0
+            else:
+                raise ValueError("idx1 offsets resolve under neither "
+                                 "base convention")
+        out = []
+        for i in range(0, len(idx) - 15, 16):
+            ckid, _flags, off, size = struct.unpack(
+                "<4sIII", idx[i:i + 16])
+            sno = _stream_no(ckid)
+            if sno == stream:
+                start = base + off + 8
+                if start + size > self.size:
+                    raise ValueError("idx1 entry exceeds file")
+                out.append((start, start + size))
+        return out
+
+    def read_frame(self, rng: tuple[int, int]) -> bytes:
+        return self._read_at(rng[0], rng[1] - rng[0])
