@@ -403,6 +403,7 @@ BENCH_QUERIES = [
     "q410_hilbert_layout",
     "q411_kneser_ney",
     "q412_integral_image",
+    "q413_idna_hosts",
 ]
 
 

@@ -8146,3 +8146,91 @@ def q411(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint").alias("n_unseen_ctx"),
         F.round(F.avg(-F.log2(p)), 6).alias("mean_logscore"),
     )
+
+
+# --------------------------------------------------------------------------
+# q413 — IDNA / PUNYCODE host handling (RFC 3492 + the xn-- ACE
+# convention, functions/punycode.py): international domains arrive in
+# crawls as ACE labels; blocklists, homoglyph audits (q295), and host
+# canonicalization (q251) need the Unicode form. Each doc derives an
+# 8-char host label from its md5 nibbles over a 16-char alphabet (8
+# ASCII, 8 non-ASCII), the kernel runs encode -> ACE -> decode and
+# RAISES on any round-trip mismatch; the oracle reconstructs the
+# Unicode host and its codepoint sum analytically from the same
+# nibbles (chr() arithmetic — the ACE form itself is exactly what SQL
+# cannot produce, which is why the codec exists). The codec is pinned
+# to the RFC 7.1 vectors and cross-validated against CPython's
+# punycode codec in tests/test_punycode.py.
+# --------------------------------------------------------------------------
+_IDNA_CPS = [ord(c) for c in "abcdefgh" + "éüñßαβ中水"]
+_IDNA_CHR_SQL = ("CASE " + " ".join(
+    f"WHEN {i} THEN chr({cp})" for i, cp in enumerate(_IDNA_CPS))
+    + " END")
+
+
+@register(
+    "q413_idna_hosts",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, md5(text) AS h FROM documents
+    ), lbl AS (
+      SELECT doc_id,
+             list_aggregate(list_transform(generate_series(1, 8),
+               i -> CASE ('0x' || substr(h, i, 1))::INT
+                    {_IDNA_CHR_SQL[5:]}), 'string_agg', '') AS label,
+             list_sum(list_transform(generate_series(1, 8),
+               i -> [{", ".join(str(c) for c in _IDNA_CPS)}]
+                    [('0x' || substr(h, i, 1))::INT + 1])) AS lbl_cp,
+             list_max(list_transform(generate_series(1, 8),
+               i -> ('0x' || substr(h, i, 1))::INT)) AS max_nib
+      FROM n
+    )
+    SELECT doc_id,
+           label || '.example.com' AS host,
+           CAST(3 AS INT) AS n_labels,
+           CAST(lbl_cp + 1159 AS BIGINT) AS cp_sum,
+           max_nib >= 8 AS is_ace
+    FROM lbl
+    """,
+)
+def q413(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.partitioning import ensure_min_partitions
+
+    docs = ensure_min_partitions(
+        load(spark, sf_dir, "documents").select("doc_id", "text"))
+
+    def kernel(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from ..functions.punycode import (
+            idna_decode_host, idna_encode_host,
+        )
+
+        alphabet = [chr(c) for c in _IDNA_CPS]
+        cols = ("doc_id", "host", "n_labels", "cp_sum", "is_ace")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                hexd = _hl.md5(str(t).encode()).hexdigest()
+                label = "".join(alphabet[int(c, 16)] for c in hexd[:8])
+                host = label + ".example.com"
+                ace = idna_encode_host(host)
+                back = idna_decode_host(ace)
+                if back != host:
+                    raise ValueError(f"IDNA round trip broke: {host!r} "
+                                     f"-> {ace!r} -> {back!r}")
+                has_uni = any(ord(c) >= 128 for c in label)
+                if has_uni != ace.startswith("xn--"):
+                    raise ValueError(f"ACE prefix inconsistent: {ace!r}")
+                out["doc_id"].append(int(doc_id))
+                out["host"].append(host)
+                out["n_labels"].append(len(host.split(".")))
+                out["cp_sum"].append(sum(ord(c) for c in host))
+                out["is_ace"].append(has_uni)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(
+        kernel, "doc_id long, host string, n_labels int, cp_sum long, "
+                "is_ace boolean")
