@@ -25,20 +25,25 @@ Scope (stated, not padded):
   hex strings `<...>`, and `Td/TD/T*` treated as word boundaries.
 
 * ENCRYPTION via the standard security handler (ISO 32000-1 7.6.3):
-  /V 1-2 RC4 (R 2-3) and /V 4 /AESV2 AES-128-CBC crypt filters, the
-  empty-user-password auto-open that covers the overwhelming majority
-  of encrypted corpus PDFs — Algorithm 2 file-key derivation, /U
-  verification (Algorithms 4/5), per-object keys (Algorithm 1, the
-  sAlT suffix for AES), stream decryption BEFORE filters; xref streams
+  /V 1-2 RC4 (R 2-3), /V 4 /AESV2 AES-128-CBC, AND /V 5 /AESV3
+  AES-256 (R 6 per ISO 32000-2 Algorithm 2.B — the iterated
+  SHA-256/384/512 + AES-CBC password KDF — with deprecated R 5 as its
+  single-round case); the empty-user-password auto-open that covers
+  the overwhelming majority of encrypted corpus PDFs, plus explicit
+  passwords via both the user and owner validation paths. Legacy
+  revisions: Algorithm 2 file keys, /U verification (Algorithms 4/5),
+  per-object keys (Algorithm 1, the sAlT suffix); R 6 uses the file
+  key directly. Stream decryption runs BEFORE filters; xref streams
   stay unencrypted per spec, ObjStm payloads decrypt like any stream.
-  Ciphers come from ``sources/crypto.py`` (FIPS-197 vector-pinned).
+  Ciphers come from ``sources/crypto.py`` (FIPS-197 vector-pinned,
+  T-table fast path cross-checked against the byte-wise reference).
 
-NOT implemented — and raising clearly, never mis-parsing: /V 5 R 6
-AES-256 (the SHA-2 hardened handler), non-empty-password documents
-(the key derivation is there; we simply don't guess passwords),
-encrypted STRING objects outside content streams (text extraction
-never reads them — content-stream strings decrypt with their stream),
-and non-Flate filters (DCT/JBIG2/CCITT image streams are not text).
+NOT implemented — and raising clearly, never mis-parsing:
+non-empty-password documents without the password (the derivation is
+there; we don't guess), encrypted STRING objects outside content
+streams (text extraction never reads them — content-stream strings
+decrypt with their stream), and non-Flate filters (DCT/JBIG2/CCITT
+image streams are not text).
 
 Includes a writer for spec-valid fixtures in BOTH layouts — classic
 xref tables, and PDF 1.5 xref streams with objects packed into an
@@ -121,6 +126,9 @@ def _encrypt_stream(data: bytes, file_key: bytes, num: int, gen: int,
                     aes: bool) -> bytes:
     from .crypto import aes_cbc_encrypt, rc4
 
+    if len(file_key) == 32:  # R6/AESV3: the file key is used directly
+        iv = _md5(file_key + num.to_bytes(3, "little") + b"iv")[:16]
+        return iv + aes_cbc_encrypt(file_key, iv, data)
     key = _object_key(file_key, num, gen, aes)
     if not aes:
         return rc4(key, data)
@@ -132,12 +140,57 @@ def _decrypt_stream(data: bytes, file_key: bytes, num: int, gen: int,
                     aes: bool) -> bytes:
     from .crypto import aes_cbc_decrypt, rc4
 
+    if len(file_key) == 32:  # R6/AESV3: no per-object key derivation
+        if len(data) < 16:
+            raise ValueError("PDF: AESV3 stream shorter than its IV")
+        return aes_cbc_decrypt(file_key, data[:16], data[16:])
     key = _object_key(file_key, num, gen, aes)
     if not aes:
         return rc4(key, data)
     if len(data) < 16:
         raise ValueError("PDF: AESV2 stream shorter than its IV")
     return aes_cbc_decrypt(key, data[:16], data[16:])
+
+
+def _r6_hash(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B (the R6 hardened hash): an iterated
+    SHA-256/384/512 chain keyed by AES-128-CBC of the previous digest.
+    R5 (the deprecated AESV3 revision) is the single-round form."""
+    import hashlib
+
+    from .crypto import aes_cbc_encrypt_nopad
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = aes_cbc_encrypt_nopad(k[:16], k[16:32], k1)
+        mod = sum(e[:16]) % 3
+        k = (hashlib.sha256 if mod == 0
+             else hashlib.sha384 if mod == 1
+             else hashlib.sha512)(e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def _r6_entries(user_pw: bytes, file_key: bytes,
+                seed: bytes) -> tuple[bytes, bytes, bytes, bytes]:
+    """(/U, /UE, /O, /OE) for an R6 document; salts are derived
+    deterministically from ``seed`` so fixtures are reproducible."""
+    from .crypto import aes_cbc_encrypt_nopad
+
+    uvs = _md5(seed + b"uvs")[:8]
+    uks = _md5(seed + b"uks")[:8]
+    u = _r6_hash(user_pw, uvs) + uvs + uks
+    ue = aes_cbc_encrypt_nopad(_r6_hash(user_pw, uks), bytes(16),
+                               file_key)
+    ovs = _md5(seed + b"ovs")[:8]
+    oks = _md5(seed + b"oks")[:8]
+    o = _r6_hash(user_pw, ovs, u) + ovs + oks  # owner pw = user pw
+    oe = aes_cbc_encrypt_nopad(_r6_hash(user_pw, oks, u), bytes(16),
+                               file_key)
+    return u, ue, o, oe
 
 
 # ---------------------------------------------------------------------------
@@ -173,8 +226,9 @@ def write_pdf(pages: list[list[str]], compress: bool = True,
     if use_objstm and not xref_stream:
         raise ValueError("ObjStm entries need an xref stream (type 2 "
                          "entries have no classic-table encoding)")
-    if encrypt not in (None, "rc4", "aes"):
-        raise ValueError("encrypt must be None, 'rc4', or 'aes'")
+    if encrypt not in (None, "rc4", "aes", "aes256"):
+        raise ValueError(
+            "encrypt must be None, 'rc4', 'aes', or 'aes256'")
     objs: list[bytes] = []
 
     def add(body: bytes) -> int:
@@ -184,18 +238,26 @@ def write_pdf(pages: list[list[str]], compress: bool = True,
     # --- standard security handler setup (before any stream is added,
     # since stream payloads encrypt with their object number) ---
     file_key = None
-    enc_aes = encrypt == "aes"
+    enc_aes = encrypt in ("aes", "aes256")
+    r6 = encrypt == "aes256"
     perms = -4  # all permission bits granted (high bits set)
     if encrypt:
         import hashlib
 
         id0 = hashlib.md5(
             b"gfw-pdf-id:" + repr(pages).encode("utf-8")).digest()
-        r = 4 if enc_aes else 3
-        upw = user_password.encode("latin-1")
-        o_entry = _std_owner_entry(b"", upw, r, 16)
-        file_key = _std_file_key(upw, o_entry, perms, id0, r, 16)
-        u_entry = _std_user_entry(file_key, id0, r)
+        if r6:
+            upw = user_password.encode("utf-8")[:127]
+            file_key = (hashlib.md5(id0 + b"fk1").digest()
+                        + hashlib.md5(id0 + b"fk2").digest())
+            u_entry, ue_entry, o_entry, oe_entry = _r6_entries(
+                upw, file_key, id0)
+        else:
+            r = 4 if enc_aes else 3
+            upw = user_password.encode("latin-1")
+            o_entry = _std_owner_entry(b"", upw, r, 16)
+            file_key = _std_file_key(upw, o_entry, perms, id0, r, 16)
+            u_entry = _std_user_entry(file_key, id0, r)
 
     def enc_stream(data: bytes, num: int) -> bytes:
         if file_key is None:
@@ -241,7 +303,23 @@ def write_pdf(pages: list[list[str]], compress: bool = True,
     if encrypt:
         o_hex = o_entry.hex().encode()
         u_hex = u_entry.hex().encode()
-        if enc_aes:
+        if r6:
+            from .crypto import _encrypt_block, _expand_key
+
+            # /Perms (Algorithm 10): AES-256-ECB of P + pad + 'Tadb'
+            pblk = ((perms & 0xFFFFFFFF).to_bytes(4, "little")
+                    + b"\xff\xff\xff\xffTadb"
+                    + _md5(id0 + b"pr")[:4])
+            perms_blob = _encrypt_block(pblk, _expand_key(file_key))
+            enc_body = (
+                b"<< /Filter /Standard /V 5 /R 6 /Length 256 "
+                b"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen "
+                b"/Length 32 >> >> /StmF /StdCF /StrF /StdCF "
+                b"/P %d /U <%s> /UE <%s> /O <%s> /OE <%s> "
+                b"/Perms <%s> >>"
+                % (perms, u_hex, ue_entry.hex().encode(), o_hex,
+                   oe_entry.hex().encode(), perms_blob.hex().encode()))
+        elif enc_aes:
             enc_body = (
                 b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
                 b"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
@@ -579,11 +657,11 @@ class PdfDocument:
                 f"(got {enc.get('Filter')!r})")
         v = int(self.resolve(enc.get("V", 0)))
         r = int(self.resolve(enc.get("R", 2)))
+        if v == 5:
+            return self._setup_crypt_v5(enc, r, password)
         if v not in (1, 2, 4):
             raise NotImplementedError(
-                f"PDF: encryption /V {v} unsupported (V 5 / R 6 AES-256 "
-                "uses the SHA-2 handler — out of scope, module "
-                "docstring)")
+                f"PDF: encryption /V {v} unsupported")
         aes = False
         if v == 4:
             cf = self.resolve(enc.get("CF", {})) or {}
@@ -612,6 +690,40 @@ class PdfDocument:
                 "PDF: encrypted with a non-empty user password — "
                 "cannot open without it")
         self._crypt = (key, aes)
+
+    def _setup_crypt_v5(self, enc: dict, r: int, password: str) -> None:
+        """AES-256 handler (/V 5): R 6 per ISO 32000-2 Algorithm 2.B,
+        R 5 (the deprecated single-round AESV3 revision) as its
+        degenerate case. The 32-byte file key decrypts streams
+        directly — no per-object key derivation in this revision."""
+        import hashlib
+
+        from .crypto import aes_cbc_decrypt_nopad
+
+        if r not in (5, 6):
+            raise NotImplementedError(f"PDF: /V 5 with /R {r}")
+
+        def h(pw: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+            if r == 6:
+                return _r6_hash(pw, salt, udata)
+            return hashlib.sha256(pw + salt + udata).digest()
+
+        u = enc["U"]
+        ue = enc["UE"]
+        o = enc.get("O")
+        oe = enc.get("OE")
+        pw = password.encode("utf-8")[:127]
+        if h(pw, u[32:40]) == u[:32]:  # user password validates
+            key = aes_cbc_decrypt_nopad(h(pw, u[40:48]), bytes(16), ue)
+        elif o is not None and oe is not None \
+                and h(pw, o[32:40], u[:48]) == o[:32]:
+            key = aes_cbc_decrypt_nopad(h(pw, o[40:48], u[:48]),
+                                        bytes(16), oe)
+        else:
+            raise ValueError(
+                "PDF: encrypted with a non-empty user password — "
+                "cannot open without it")
+        self._crypt = (key, True)
 
     def _load_xref_chain(self) -> None:
         tail = self.data[-2048:]

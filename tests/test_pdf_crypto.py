@@ -104,13 +104,46 @@ def test_password_protected():
         data, password="hunter2")
 
 
-def test_v5_gated():
-    data = bytearray(write_pdf(PAGES, encrypt="aes"))
-    # forge /V 4 -> /V 5 in the encryption dict
-    i = data.index(b"/V 4")
-    data[i:i + 4] = b"/V 5"
-    with pytest.raises(NotImplementedError, match="AES-256"):
+def test_aes256_r6_round_trip():
+    plain = extract_pdf_text(write_pdf(PAGES))
+    data = write_pdf(PAGES, encrypt="aes256", xref_stream=True,
+                     use_objstm=True)
+    assert extract_pdf_text(data) == plain
+    assert b"Hello encrypted" not in data
+    assert b"/CFM /AESV3" in data and b"/R 6" in data
+
+
+def test_aes256_r6_password():
+    data = write_pdf(PAGES, encrypt="aes256", user_password="pw9")
+    with pytest.raises(ValueError, match="password"):
+        extract_pdf_text(data)
+    assert "Hello encrypted world" in extract_pdf_text(
+        data, password="pw9")
+
+
+def test_v5_unknown_revision_gated():
+    data = bytearray(write_pdf(PAGES, encrypt="aes256"))
+    i = data.index(b"/R 6")
+    data[i:i + 4] = b"/R 7"
+    with pytest.raises(NotImplementedError, match="/V 5"):
         PdfDocument(bytes(data))
+
+
+def test_fast_aes_matches_bytewise_reference():
+    import os
+
+    from gfw_pixetl_spark.sources.crypto import (
+        _decrypt_block_slow, _encrypt_block_slow,
+    )
+
+    for klen in (16, 24, 32):
+        for _ in range(20):
+            key, blk = os.urandom(klen), os.urandom(16)
+            rk = _expand_key(key)
+            assert _encrypt_block(blk, rk) == \
+                _encrypt_block_slow(blk, rk)
+            assert _decrypt_block(blk, rk) == \
+                _decrypt_block_slow(blk, rk)
 
 
 def test_tampered_u_entry_rejected():
