@@ -404,6 +404,8 @@ BENCH_QUERIES = [
     "q411_kneser_ney",
     "q412_integral_image",
     "q413_idna_hosts",
+    "q414_arrow_ipc",
+    "q415_safetensors",
 ]
 
 

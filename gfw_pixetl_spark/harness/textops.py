@@ -8234,3 +8234,184 @@ def q413(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         kernel, "doc_id long, host string, n_labels int, cp_sum long, "
                 "is_ace boolean")
+
+
+# --------------------------------------------------------------------------
+# q414 — ARROW IPC (Feather V2) SHARD INGEST: Hugging Face datasets
+# materialize as Arrow files — the de-facto training-data interchange
+# format next to parquet. Shards are written executor-side through
+# pyarrow's IPC writer with small record batches (so batch iteration
+# is real, asserted in-kernel), re-read through the IPC reader inside
+# an Arrow kernel, and the aggregate is value-checked against the
+# parquet truth — the q390 Avro gate for the Arrow-native path. At
+# 100 TB the IPC format's random-access footer (batch offsets) is the
+# ranged-read contract; here every file carries >= 2 batches.
+# --------------------------------------------------------------------------
+def _arrow_dir(spark: SparkSession, sf_dir: str) -> str:
+    def build(d: str) -> None:
+        import os as _os
+
+        _os.makedirs(d, exist_ok=True)
+        docs = (load(spark, sf_dir, "documents")
+                .select("doc_id", "text", "lang", "n_chars")
+                .withColumn("shard", (F.col("doc_id") % 8).cast("int")))
+
+        def writer(key, pdf):
+            import pandas as pd
+            import pyarrow as pa
+            import pyarrow.ipc as ipc
+
+            shard = int(key[0])
+            pdf = pdf.sort_values("doc_id").drop(columns=["shard"])
+            table = pa.Table.from_pandas(pdf, preserve_index=False)
+            path = f"{d}/part-{shard:02d}.arrow"
+            with ipc.new_file(path, table.schema) as w:
+                w.write_table(table, max_chunksize=max(
+                    1, len(pdf) // 3))
+            return pd.DataFrame({"shard": [shard], "n": [len(pdf)]})
+
+        docs.groupBy("shard").applyInPandas(
+            writer, "shard int, n long").collect()
+
+    return _derived_dir(sf_dir, "arrowipc", build)
+
+
+@register(
+    "q414_arrow_ipc",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(CASE WHEN length(text) = n_chars THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_consistent
+    FROM documents GROUP BY lang
+    """,
+)
+def q414(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _arrow_dir(spark, sf_dir)
+
+    def kernel(batches):
+        import io as _io
+
+        import pyarrow.ipc as ipc
+
+        for pdf in batches:
+            for blob in pdf["content"]:
+                r = ipc.open_file(_io.BytesIO(bytes(blob)))
+                if r.num_record_batches < 2:
+                    raise ValueError(
+                        "arrow shard lost its multi-batch layout")
+                yield r.read_all().to_pandas()
+
+    rows = (spark.read.format("binaryFile").load(d + "/part-*.arrow")
+            .select("content")
+            .mapInPandas(kernel, "doc_id long, text string, "
+                                 "lang string, n_chars long"))
+    return rows.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+        F.sum(F.when(F.length("text") == F.col("n_chars"), 1)
+              .otherwise(0)).cast("bigint").alias("n_consistent"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q415 — SAFETENSORS SHARD ROUND TRIP (sources/safetensors.py, the
+# Hugging Face tensor format): embedding shards written as real
+# safetensors files (float32 matrix + int64 ids + int32 labels, with
+# an md5 digest of the tensor payload carried in __metadata__), read
+# back through the strict parser (offset/shape/coverage validation),
+# digest recomputed from the PARSED tensors — bytes proven identical
+# end to end, which is what a weights/activations hand-off needs.
+# Facts are exact integers (id/label sums); the oracle replays them
+# from the embeddings table.
+# --------------------------------------------------------------------------
+def _safetensors_dir(spark: SparkSession, sf_dir: str) -> str:
+    def build(d: str) -> None:
+        import os as _os
+
+        _os.makedirs(d, exist_ok=True)
+        emb = (load(spark, sf_dir, "embeddings")
+               .withColumn("shard", (F.col("vec_id") % 8).cast("int")))
+
+        def writer(key, pdf):
+            import hashlib as _hl
+
+            import numpy as np
+            import pandas as pd
+
+            from ..sources.safetensors import write_safetensors
+
+            shard = int(key[0])
+            pdf = pdf.sort_values("vec_id")
+            tensors = {
+                "embeddings": np.stack(
+                    pdf["embedding"].to_numpy()).astype(np.float32),
+                "vec_ids": pdf["vec_id"].to_numpy(np.int64),
+                "labels": pdf["label"].to_numpy(np.int32),
+            }
+            digest = _hl.md5(
+                b"".join(tensors[k].tobytes() for k in sorted(tensors))
+            ).hexdigest()
+            blob = write_safetensors(
+                tensors, {"shard": str(shard), "digest": digest})
+            with open(f"{d}/model-{shard:02d}.safetensors", "wb") as f:
+                f.write(blob)
+            return pd.DataFrame({"shard": [shard], "n": [len(pdf)]})
+
+        emb.groupBy("shard").applyInPandas(
+            writer, "shard int, n long").collect()
+
+    return _derived_dir(sf_dir, "safetensors", build)
+
+
+@register(
+    "q415_safetensors",
+    oracle="""
+    SELECT CAST(vec_id % 8 AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(64 AS INT) AS dim,
+           CAST(SUM(vec_id) AS BIGINT) AS id_sum,
+           CAST(SUM(label) AS BIGINT) AS label_sum,
+           TRUE AS digest_ok
+    FROM embeddings GROUP BY 1
+    """,
+)
+def q415(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _safetensors_dir(spark, sf_dir)
+
+    def kernel(batches):
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from ..sources.safetensors import read_safetensors
+
+        cols = ("shard", "n_rows", "dim", "id_sum", "label_sum",
+                "digest_ok")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for blob in pdf["content"]:
+                tensors, meta = read_safetensors(bytes(blob))
+                redigest = _hl.md5(
+                    b"".join(tensors[k].tobytes()
+                             for k in sorted(tensors))
+                ).hexdigest()
+                emb = tensors["embeddings"]
+                out["shard"].append(int(meta["shard"]))
+                out["n_rows"].append(emb.shape[0])
+                out["dim"].append(emb.shape[1])
+                out["id_sum"].append(int(tensors["vec_ids"].sum()))
+                out["label_sum"].append(
+                    int(tensors["labels"].sum(dtype="int64")))
+                out["digest_ok"].append(redigest == meta["digest"])
+            yield pd.DataFrame(out)
+
+    return (spark.read.format("binaryFile")
+            .load(d + "/model-*.safetensors")
+            .select("content")
+            .mapInPandas(kernel, "shard int, n_rows long, dim int, "
+                                 "id_sum long, label_sum long, "
+                                 "digest_ok boolean"))
