@@ -67,18 +67,17 @@ def decode_image(payload: bytes):
 
         return decode_webp(bytes(payload))
     if bytes(payload[:6]) in (b"GIF87a", b"GIF89a"):
-        import numpy as np
+        from ..sources.gif import decode_gif, gif_to_rgb
 
-        from ..sources.gif import decode_gif
-
-        g = decode_gif(bytes(payload))
-        pal = np.asarray(g["palette"], np.uint8)
-        return pal[g["frames"][0]["canvas"]]
+        # gif_to_rgb uses the frame's EFFECTIVE palette (local color
+        # tables override the global one, which may be absent entirely)
+        return gif_to_rgb(decode_gif(bytes(payload))["frames"][0])
     if not HAVE_PIL:
         raise NotImplementedError(
-            "only PNG and baseline JPEG decode natively (sources/png.py, "
-            "sources/jpeg.py); other formats need PIL/ffmpeg, absent in "
-            "this container."
+            "PNG, JPEG (baseline+progressive), lossless WebP, and GIF "
+            "decode natively (sources/png.py, jpeg.py, webp.py, "
+            "gif.py); other formats need PIL/ffmpeg, absent in this "
+            "container."
         )
     raise NotImplementedError("wire PIL decode here when available")
 

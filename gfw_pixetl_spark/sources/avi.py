@@ -278,20 +278,31 @@ class RangedAviReader:
         head = self._read_at(0, 12)
         if head[:4] != b"RIFF" or head[8:12] != b"AVI ":
             raise ValueError("not a RIFF/AVI stream")
-        # hdrl comes first: read its declared extent to find movi
-        lh = self._read_at(12, 8)
-        (hdrl_size,) = struct.unpack("<I", lh[4:8])
-        movi_hdr_at = 12 + 8 + hdrl_size + (hdrl_size % 2)
-        mh = self._read_at(movi_hdr_at, 12)
-        if mh[:4] != b"LIST" or mh[8:12] != b"movi":
-            raise ValueError("AVI: movi list not after hdrl")
-        movi_pos = movi_hdr_at + 8
+        # walk top-level chunk headers (12 bytes each) until the movi
+        # LIST: skips JUNK alignment padding and other non-movi chunks
+        # (the classic VfW CD-ROM-aligned layout) without reading their
+        # bodies
+        pos = 12
+        while True:
+            mh = self._read_at(pos, 12)
+            if len(mh) < 12:
+                raise ValueError("AVI: no movi list before EOF")
+            (size,) = struct.unpack("<I", mh[4:8])
+            if mh[:4] == b"LIST" and mh[8:12] == b"movi":
+                break
+            pos += 8 + size + (size % 2)
+        movi_pos = pos + 8
         (movi_size,) = struct.unpack("<I", mh[4:8])
         idx_at = movi_pos + movi_size + (movi_size % 2)
-        ih = self._read_at(idx_at, 8)
-        if ih[:4] != b"idx1":
-            raise ValueError("AVI: no idx1 at the expected tail "
-                             "position (ranged path needs the index)")
+        while True:  # skip any padding between movi and idx1 too
+            ih = self._read_at(idx_at, 8)
+            if len(ih) < 8:
+                raise ValueError("AVI: no idx1 after movi (ranged "
+                                 "path needs the index)")
+            if ih[:4] == b"idx1":
+                break
+            (skip,) = struct.unpack("<I", ih[4:8])
+            idx_at += 8 + skip + (skip % 2)
         (idx_size,) = struct.unpack("<I", ih[4:8])
         idx = self._read_at(idx_at + 8, idx_size)
         # base probe: one 4-byte ranged read

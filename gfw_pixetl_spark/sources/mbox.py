@@ -209,18 +209,21 @@ def _walk_part(headers, body: bytes, out: list[dict]) -> None:
         boundary = params.get("boundary")
         if not boundary:
             raise ValueError("multipart without boundary parameter")
-        delim = b"--" + boundary.encode("ascii")
-        chunks = body.split(delim)
+        # RFC 2046 5.1.1: the delimiter only counts at a line start
+        # (preceded by CRLF); a body line merely CONTAINING the
+        # delimiter substring must not split the part
+        delim = re.compile(
+            rb"(?:\r\n|\n|\A)--" + re.escape(boundary.encode("ascii")))
+        chunks = delim.split(body)
         # chunks[0] is the preamble; a chunk starting with '--' is the
         # closing delimiter
         for chunk in chunks[1:]:
             if chunk[:2] == b"--":
                 break
-            sub = chunk.lstrip(b"\r\n")
-            if sub.endswith(b"\r\n"):
-                sub = sub[:-2]
-            elif sub.endswith(b"\n"):
-                sub = sub[:-1]
+            # the delimiter regex consumed the CRLF that precedes each
+            # boundary, so the chunk is exactly: transport padding +
+            # CRLF + part headers + body (body newlines stay intact)
+            sub = chunk.lstrip(b" \t").lstrip(b"\r\n")
             sub_headers, sub_body = _split_headers(sub)
             _walk_part(sub_headers, sub_body, out)
         return

@@ -85,11 +85,11 @@ def _std_file_key(user_pw: bytes, o_entry: bytes, p: int, id0: bytes,
 
 def _std_owner_entry(owner_pw: bytes, user_pw: bytes, r: int,
                      key_len: int) -> bytes:
-    """Algorithm 3: the /O value (owner password defaults to user's)."""
+    """Algorithm 3: the /O value (owner password defaults to user's).
+    Passwords pad-then-TRUNCATE to exactly 32 bytes per the spec."""
     from .crypto import rc4
 
-    h = _md5((owner_pw or user_pw) + _PW_PAD[:32 - len(owner_pw or
-                                                       user_pw)])
+    h = _md5(((owner_pw or user_pw) + _PW_PAD)[:32])
     if r >= 3:
         for _ in range(50):
             h = _md5(h[:key_len])

@@ -434,7 +434,7 @@ def _select(l: int, t: int, tl: int) -> int:
         p = ((l >> sh) & 0xFF) + ((t >> sh) & 0xFF) - ((tl >> sh) & 0xFF)
         pl += abs(p - ((l >> sh) & 0xFF))
         pt += abs(p - ((t >> sh) & 0xFF))
-    return l if pl <= pt else t
+    return l if pl < pt else t  # ties go to TOP (spec + libwebp)
 
 
 def _predict(mode: int, l: int, t: int, tl: int, tr: int) -> int:

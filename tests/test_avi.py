@@ -136,3 +136,29 @@ def test_avi_payload_decodes_via_jpeg():
     assert int(img[0, 8, 0]) == digest[1]
     assert int(img[8, 0, 0]) == digest[2]
     assert int(img[8, 8, 0]) == digest[3]
+
+
+def test_ranged_reader_skips_junk_padding():
+    """The classic VfW layout inserts JUNK alignment chunks between
+    hdrl/movi and movi/idx1; the ranged reader must skip them like the
+    full parse does (round-7 review finding)."""
+    import io
+
+    from gfw_pixetl_spark.sources.avi import RangedAviReader
+
+    base = encode_avi(FRAMES, 8, 8)
+    # splice JUNK before movi and before idx1
+    pos = 12
+    while base[pos:pos + 4] != b"LIST" or base[pos + 8:pos + 12] != b"movi":
+        (sz,) = struct.unpack("<I", base[pos + 4:pos + 8])
+        pos += 8 + sz + (sz % 2)
+    (movi_sz,) = struct.unpack("<I", base[pos + 4:pos + 8])
+    movi_end = pos + 8 + movi_sz + (movi_sz % 2)
+    junk = b"JUNK" + struct.pack("<I", 6) + b"\0" * 6
+    data = base[12:pos] + junk + base[pos:movi_end] + junk \
+        + base[movi_end:]
+    data = b"RIFF" + struct.pack("<I", 4 + len(data)) + b"AVI " + data
+    r = RangedAviReader(io.BytesIO(data), len(data))
+    rng = r.frame_ranges()
+    assert [data[s:e] for s, e in rng] == FRAMES
+    assert rng == frame_ranges(data)  # full parse agrees

@@ -138,3 +138,29 @@ def test_mbox_errors_and_edges():
     with pytest.raises(ValueError):
         parse_message(
             b"Content-Transfer-Encoding: uuencode\r\n\r\nbody")
+
+
+def test_boundary_substring_inside_body_does_not_split():
+    """RFC 2046: the delimiter only counts at a line START; a body line
+    containing '--BOUNDARY' mid-line must stay one part (round-7
+    review finding)."""
+    body = b"see the flag --XY in the middle of this line\r\nmore"
+    msg = (b'Content-Type: multipart/mixed; boundary="XY"\r\n\r\n'
+           b"--XY\r\nContent-Type: text/plain\r\n\r\n" + body
+           + b"\r\n--XY--\r\n")
+    m = parse_message(msg)
+    em = email.message_from_bytes(msg)
+    assert len(m["parts"]) == 1
+    assert m["parts"][0]["payload"] == \
+        em.get_payload(0).get_payload(decode=True)
+
+
+def test_trailing_body_newlines_preserved():
+    body = b"line one\nline two\n\n"
+    msg = (b'Content-Type: multipart/mixed; boundary="ZZ"\r\n\r\n'
+           b"--ZZ\r\nContent-Type: text/plain\r\n\r\n" + body
+           + b"\r\n--ZZ--\r\n")
+    m = parse_message(msg)
+    em = email.message_from_bytes(msg)
+    assert m["parts"][0]["payload"] == \
+        em.get_payload(0).get_payload(decode=True) == body

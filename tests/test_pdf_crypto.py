@@ -152,3 +152,17 @@ def test_tampered_u_entry_rejected():
     data[i] = ord("0") if data[i] != ord("0") else ord("1")
     with pytest.raises(ValueError, match="password"):
         PdfDocument(bytes(data))
+
+
+def test_long_password_truncates_to_32_bytes():
+    """Algorithm 3 pads-then-truncates to exactly 32 bytes; a >32-byte
+    password must produce the same document as its 32-byte prefix
+    (round-7 review finding)."""
+    long_pw = "x" * 40
+    d1 = write_pdf(PAGES, encrypt="rc4", user_password=long_pw)
+    d2 = write_pdf(PAGES, encrypt="rc4", user_password="x" * 32)
+    assert d1 == d2
+    assert "Hello encrypted world" in extract_pdf_text(
+        d1, password=long_pw)
+    assert "Hello encrypted world" in extract_pdf_text(
+        d1, password="x" * 32)

@@ -138,3 +138,22 @@ def test_palette_decode():
             + _png_chunk(b"IEND", b""))
     dec = decode_png(data)
     np.testing.assert_array_equal(dec, plte[idx])
+
+
+def test_decode_image_gif_local_palette():
+    """decode_image's GIF branch must use the frame's EFFECTIVE palette
+    (a local color table may override — or entirely replace — the
+    global one; round-7 review finding)."""
+    import numpy as np
+
+    from gfw_pixetl_spark.sources import gif as G
+
+    idx = np.array([[0, 1], [1, 0]], np.uint8)
+    pal = np.array([(9, 8, 7), (1, 2, 3)], np.uint8)
+    data = G.encode_gif(
+        [{"left": 0, "top": 0, "pixels": idx, "delay_cs": 0,
+          "transparent": None}], pal)
+    out = decode_image(data)
+    assert out.shape == (2, 2, 3)
+    assert tuple(out[0, 0]) == (9, 8, 7)
+    assert tuple(out[0, 1]) == (1, 2, 3)

@@ -296,3 +296,14 @@ def test_prefix_value_codes():
         bw2 = W.BitWriter()
         bw2.write(extra, nbits)
         assert W._prefix_value(code, W.BitReader(bw2.bytes())) == v
+
+
+def test_select_ties_go_to_top():
+    """Predictor 11 tie-break: the spec (and libwebp) predict TOP when
+    pL == pT (round-7 review finding — ties previously went LEFT)."""
+    L = 0xFF000002  # per-channel L=2, T=0, TL=1 -> p=1, pL=pT=1
+    T = 0xFF000000
+    TL = 0xFF000001
+    assert W._select(L, T, TL) == T
+    # strict inequality still picks LEFT
+    assert W._select(0xFF000001, 0xFF000009, 0xFF000008) == 0xFF000001
