@@ -406,6 +406,7 @@ BENCH_QUERIES = [
     "q413_idna_hosts",
     "q414_arrow_ipc",
     "q415_safetensors",
+    "q416_kafka_segment",
 ]
 
 

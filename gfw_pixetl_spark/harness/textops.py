@@ -8415,3 +8415,92 @@ def q415(spark: SparkSession, sf_dir: str) -> DataFrame:
             .mapInPandas(kernel, "shard int, n_rows long, dim int, "
                                  "id_sum long, label_sum long, "
                                  "digest_ok boolean"))
+
+
+# --------------------------------------------------------------------------
+# q416 — KAFKA LOG-SEGMENT INGEST (RecordBatch magic v2,
+# sources/kafkalog.py): event streams are archived to object stores as
+# raw broker segment files; replaying them without a broker is how an
+# offline pipeline backfills. Each doc rides as a two-batch segment
+# (text record with a lang header + a meta record), walked strictly
+# (CRC32C-gated batch parse, zigzag varint records, null key/value
+# forms, lastOffsetDelta consistency) — and a damaged COPY exercises
+# scan_segment's magic+CRC resync, which must keep the second batch
+# and charge the first. Facts are analytic (the q394 SequenceFile
+# shape for the other big data-bus format).
+# --------------------------------------------------------------------------
+KAFKA_SCHEMA = ("doc_id long, n_records int, n_batches int, "
+                "offset0 long, text_sig int, lang_back string, "
+                "len_back int, scan_ok boolean")
+
+
+@register(
+    "q416_kafka_segment",
+    oracle="""
+    SELECT doc_id, CAST(2 AS INT) AS n_records,
+           CAST(2 AS INT) AS n_batches,
+           CAST(doc_id * 10 AS BIGINT) AS offset0,
+           ('0x' || substr(md5(text), 1, 4))::INT AS text_sig,
+           lang AS lang_back,
+           CAST(length(text) AS INT) AS len_back,
+           TRUE AS scan_ok
+    FROM documents
+    """,
+)
+def q416(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.partitioning import ensure_min_partitions
+
+    docs = ensure_min_partitions(
+        load(spark, sf_dir, "documents").select("doc_id", "text",
+                                                "lang"))
+
+    def kernel(batches):
+        import hashlib as _hl
+        import struct as _struct
+
+        import pandas as pd
+
+        from ..sources.kafkalog import (
+            iter_segment, scan_segment, write_segment,
+        )
+
+        cols = ("doc_id", "n_records", "n_batches", "offset0",
+                "text_sig", "lang_back", "len_back", "scan_ok")
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for doc_id, t, lang in zip(pdf["doc_id"], pdf["text"],
+                                       pdf["lang"]):
+                i = int(doc_id)
+                body = str(t).encode()
+                recs = [
+                    (_struct.pack(">q", i), body,
+                     [(b"lang", str(lang).encode())]),
+                    (b"meta", _struct.pack(">q", len(body)), []),
+                ]
+                seg = write_segment(recs, base_offset=i * 10,
+                                    batch_size=1)  # 2 batches
+                back = iter_segment(seg)
+                (_, bl) = _struct.unpack(">qi", seg[:12])
+                dam = bytearray(seg)
+                dam[40] ^= 0xFF  # inside batch 1's header/payload
+                got, c = scan_segment(bytes(dam))
+                (len_back,) = _struct.unpack(">q", back[1]["value"])
+                ok = (len(back) == 2
+                      and back[0]["headers"][0][0] == b"lang"
+                      and back[1]["key"] == b"meta"
+                      and c["bad_batches"] >= 1
+                      and any(r["key"] == b"meta" for r in got))
+                out["doc_id"].append(i)
+                out["n_records"].append(len(back))
+                out["n_batches"].append(
+                    1 + (1 if len(seg) > bl + 12 else 0))
+                out["offset0"].append(int(back[0]["offset"]))
+                out["text_sig"].append(int(_hl.md5(
+                    back[0]["value"]).hexdigest()[:4], 16))
+                out["lang_back"].append(
+                    back[0]["headers"][0][1].decode())
+                out["len_back"].append(int(len_back))
+                out["scan_ok"].append(bool(ok))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(kernel, KAFKA_SCHEMA)
