@@ -84,11 +84,12 @@ def _sample_and_decode(spark, gen_df):
                 with open(path, "rb") as f:
                     r = RangedAviReader(f, int(n_bytes))
                     ranges = r.frame_ranges()
-                    # closed-form read budget: RIFF head (12) + hdrl
-                    # header (8) + movi header (12) + idx1 header (8)
-                    # + the index itself + the 4-byte base probe +
-                    # exactly the sampled frame bytes
-                    expected = (12 + 8 + 12 + 8 + 16 * len(ranges) + 4
+                    # closed-form read budget: RIFF head (12) + one
+                    # 12-byte chunk probe for hdrl + one for movi (the
+                    # JUNK-skipping walk) + idx1 header (8) + the index
+                    # itself + the 4-byte base probe + exactly the
+                    # sampled frame bytes
+                    expected = (12 + 12 + 12 + 8 + 16 * len(ranges) + 4
                                 + sum(ranges[s * SAMPLE_EVERY][1]
                                       - ranges[s * SAMPLE_EVERY][0]
                                       for s in range(N_SAMPLED)))
