@@ -8504,3 +8504,109 @@ def q416(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(kernel, KAFKA_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# q417 — STREAMING KAFKA-SEGMENT INGEST (q396's pattern for the data-
+# bus format): the corpus is exported once as RecordBatch-v2 segment
+# files (sources/kafkalog.py — each doc a record: key = doc_id BE,
+# value = n_chars BE, lang in a record header), then a Structured
+# Streaming binaryFile source drains them in several micro-batches,
+# each decoded by the strict CRC-gated walk and appended through the
+# idempotent SnapshotTableSink. Final table == batch truth. This is
+# the broker-less backfill path an offline trainer runs against
+# archived topics.
+# --------------------------------------------------------------------------
+def _kafkaseg_dir(spark: SparkSession, sf_dir: str) -> str:
+    def build(d: str) -> None:
+        import os as _os
+
+        _os.makedirs(d, exist_ok=True)
+        docs = load(spark, sf_dir, "documents").select(
+            "doc_id", "lang", "n_chars")
+
+        def writer(batches):
+            import struct as _struct
+
+            import pandas as pd
+
+            from ..sources.kafkalog import write_segment
+
+            for pdf in batches:
+                rows = pdf.to_dict("records")
+                if not rows:
+                    continue
+                recs = [(
+                    _struct.pack(">q", int(r["doc_id"])),
+                    _struct.pack(">q", int(r["n_chars"])),
+                    [(b"lang", str(r["lang"]).encode())],
+                ) for r in rows]
+                lo = min(int(r["doc_id"]) for r in rows)
+                path = _os.path.join(d, f"topic-{lo:08d}.kafkaseg")
+                with open(path, "wb") as f:
+                    f.write(write_segment(recs, base_offset=lo,
+                                          batch_size=100))
+                yield pd.DataFrame({"n": [len(recs)]})
+
+        docs.repartition(8, "doc_id").mapInPandas(
+            writer, "n long").collect()
+
+    return _derived_dir(sf_dir, "kafkaseg", build)
+
+
+@register(
+    "q417_stream_kafka_ingest",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+    FROM documents GROUP BY lang
+    """,
+)
+def q417(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    import pandas as pd
+
+    from ..sources.snapshots import read_snapshot
+    from ..streaming.snapshot_sink import SnapshotTableSink
+
+    shard_dir = _kafkaseg_dir(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="q417_")
+
+    def kernel(batches):
+        import struct as _struct
+
+        from ..sources.kafkalog import iter_segment
+
+        for pdf in batches:
+            cols = {"doc_id": [], "lang": [], "n_chars": []}
+            for blob in pdf["content"]:
+                for r in iter_segment(bytes(blob)):
+                    (doc_id,) = _struct.unpack(">q", r["key"])
+                    (n_chars,) = _struct.unpack(">q", r["value"])
+                    cols["doc_id"].append(doc_id)
+                    cols["lang"].append(
+                        dict(r["headers"])[b"lang"].decode())
+                    cols["n_chars"].append(n_chars)
+            yield pd.DataFrame(cols)
+
+    bin_schema = ("path string, modificationTime timestamp, "
+                  "length long, content binary")
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(bin_schema)
+        .option("pathGlobFilter", "*.kafkaseg")
+        .option("maxFilesPerTrigger", 3)
+        .load(shard_dir)
+        .select("content")
+        .mapInPandas(kernel, "doc_id long, lang string, n_chars long")
+    )
+    sink = SnapshotTableSink(f"{work}/table", f"{work}/ckpt")
+    sink.run_available_now(stream)
+    return read_snapshot(spark, f"{work}/table").groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+        F.sum("n_chars").cast("bigint").alias("chars_sum"),
+    )
