@@ -8431,7 +8431,7 @@ def q415(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 KAFKA_SCHEMA = ("doc_id long, n_records int, n_batches int, "
                 "offset0 long, text_sig int, lang_back string, "
-                "len_back int, scan_ok boolean")
+                "len_back int, scan_ok boolean, codec_ok boolean")
 
 
 @register(
@@ -8443,7 +8443,8 @@ KAFKA_SCHEMA = ("doc_id long, n_records int, n_batches int, "
            ('0x' || substr(md5(text), 1, 4))::INT AS text_sig,
            lang AS lang_back,
            CAST(length(text) AS INT) AS len_back,
-           TRUE AS scan_ok
+           TRUE AS scan_ok,
+           TRUE AS codec_ok
     FROM documents
     """,
 )
@@ -8465,7 +8466,8 @@ def q416(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         cols = ("doc_id", "n_records", "n_batches", "offset0",
-                "text_sig", "lang_back", "len_back", "scan_ok")
+                "text_sig", "lang_back", "len_back", "scan_ok",
+                "codec_ok")
         for pdf in batches:
             out = {k: [] for k in cols}
             for doc_id, t, lang in zip(pdf["doc_id"], pdf["text"],
@@ -8480,6 +8482,17 @@ def q416(spark: SparkSession, sf_dir: str) -> DataFrame:
                 seg = write_segment(recs, base_offset=i * 10,
                                     batch_size=1)  # 2 batches
                 back = iter_segment(seg)
+                # compressed leg: a snappy segment of the SAME records
+                # must decode to identical (key, value, headers)
+                zseg = write_segment(recs, base_offset=i * 10,
+                                     batch_size=1, compression="snappy")
+                zback = iter_segment(zseg)
+                codec_ok = (
+                    [(r["key"], r["value"], r["headers"])
+                     for r in zback]
+                    == [(r["key"], r["value"], r["headers"])
+                        for r in back]
+                    and (zseg[22] & 7) == 2)  # attributes: snappy
                 (_, bl) = _struct.unpack(">qi", seg[:12])
                 dam = bytearray(seg)
                 dam[40] ^= 0xFF  # inside batch 1's header/payload
@@ -8501,6 +8514,7 @@ def q416(spark: SparkSession, sf_dir: str) -> DataFrame:
                     back[0]["headers"][0][1].decode())
                 out["len_back"].append(int(len_back))
                 out["scan_ok"].append(bool(ok))
+                out["codec_ok"].append(bool(codec_ok))
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(kernel, KAFKA_SCHEMA)

@@ -12,10 +12,12 @@ Format (all multi-byte batch-header fields big-endian):
     baseSequence int32 | recordsCount int32 | records...
 
 Records use zigzag varints (length, timestampDelta, offsetDelta,
-key/value/header lengths with -1 for null). Compression attributes
-other than 'none' are refused clearly (the segment would need the
-codec in question); CRC32C comes from ``sources/tfrecord.py`` (RFC
-3720-vectored). ``scan_segment`` is the lenient walk: a corrupt batch
+key/value/header lengths with -1 for null). All four Kafka
+compression codecs decode with in-tree code — gzip (zlib), snappy
+(``sources/snappy.py``), lz4 frames (``sources/lz4.py``), zstd
+(``sources/zstd.py``); reserved codec ids and xerial-framed legacy
+snappy are refused clearly. CRC32C comes from ``sources/tfrecord.py``
+(RFC 3720-vectored). ``scan_segment`` is the lenient walk: a corrupt batch
 is skipped by scanning for the next position whose magic byte and
 CRC both validate — the same skip-and-count contract as scan_warc /
 scan_tfrecord.
@@ -89,21 +91,74 @@ def _encode_record(offset_delta: int, ts_delta: int,
     return bytes(out) + bytes(body)
 
 
+_CODECS = {None: 0, "gzip": 1, "snappy": 2, "lz4": 3, "zstd": 4}
+
+
+def _compress_records(recs: bytes, codec: str | None) -> bytes:
+    if codec is None:
+        return recs
+    if codec == "gzip":
+        import gzip
+
+        return gzip.compress(recs, mtime=0)
+    if codec == "snappy":
+        from .snappy import compress
+
+        return compress(recs)
+    if codec == "lz4":
+        from .lz4 import compress_frame
+
+        return compress_frame(recs)
+    if codec == "zstd":
+        from .zstd import compress
+
+        return compress(recs)
+    raise ValueError(f"kafka: unknown codec {codec!r}")
+
+
+def _decompress_records(blob: bytes, codec_id: int) -> bytes:
+    if codec_id == 1:
+        import gzip
+
+        return gzip.decompress(blob)
+    if codec_id == 2:
+        if blob[:8] == b"\x82SNAPPY\x00":
+            raise ValueError(
+                "kafka: xerial-framed snappy (legacy message format) "
+                "is not the v2 raw-block layout")
+        from .snappy import decompress
+
+        return decompress(blob)
+    if codec_id == 3:
+        from .lz4 import decompress
+
+        return decompress(blob)
+    if codec_id == 4:
+        from .zstd import decompress
+
+        return decompress(blob)
+    raise ValueError(f"kafka: reserved compression codec {codec_id}")
+
+
 def write_segment(records: list[tuple], base_offset: int = 0,
                   base_ts: int = 1_700_000_000_000,
-                  batch_size: int = 500) -> bytes:
+                  batch_size: int = 500,
+                  compression: str | None = None) -> bytes:
     """Records are (key bytes|None, value bytes|None, headers list);
     offsets are consecutive from ``base_offset``, timestamps ascend by
-    one ms per record. Emits one v2 batch per ``batch_size`` chunk."""
+    one ms per record. Emits one v2 batch per ``batch_size`` chunk,
+    optionally compressing each batch's records section with any of
+    Kafka's four codecs (gzip/snappy/lz4/zstd — all in-tree)."""
     out = bytearray()
     for start in range(0, len(records), batch_size):
         chunk = records[start:start + batch_size]
         recs = b"".join(
             _encode_record(i, i, k, v, h)
             for i, (k, v, h) in enumerate(chunk))
+        recs = _compress_records(recs, compression)
         after_crc = struct.pack(
             ">hiqqqhii",
-            0,                         # attributes: no compression
+            _CODECS[compression],      # attributes: compression bits
             len(chunk) - 1,            # lastOffsetDelta
             base_ts + start,           # baseTimestamp
             base_ts + start + len(chunk) - 1,
@@ -135,34 +190,36 @@ def _parse_batch(data: bytes, pos: int) -> tuple[list[dict], int]:
         raise ValueError("kafka: batch CRC32C mismatch")
     (attributes, last_delta, base_ts, _max_ts, _pid, _pepoch, _bseq,
      n_records) = struct.unpack(">hiqqqhii", data[pos + 21:pos + 61])
-    if attributes & 0x07:
-        raise ValueError(
-            f"kafka: compressed batch (codec {attributes & 7}) — only "
-            "uncompressed segments are supported")
-    p = pos + 61
+    codec_id = attributes & 0x07
+    if codec_id:
+        buf = _decompress_records(data[pos + 61:end], codec_id)
+        p, bend = 0, len(buf)
+    else:
+        buf = data
+        p, bend = pos + 61, end
     records = []
     for _ in range(n_records):
-        rlen, p = _zz_read(data, p)
+        rlen, p = _zz_read(buf, p)
         rend = p + rlen
-        if rend > end:
+        if rend > bend:
             raise ValueError("kafka: record overruns its batch")
         p += 1  # record attributes
-        ts_delta, p = _zz_read(data, p)
-        off_delta, p = _zz_read(data, p)
-        klen, p = _zz_read(data, p)
-        key = None if klen < 0 else data[p:p + klen]
+        ts_delta, p = _zz_read(buf, p)
+        off_delta, p = _zz_read(buf, p)
+        klen, p = _zz_read(buf, p)
+        key = None if klen < 0 else buf[p:p + klen]
         p += max(klen, 0)
-        vlen, p = _zz_read(data, p)
-        value = None if vlen < 0 else data[p:p + vlen]
+        vlen, p = _zz_read(buf, p)
+        value = None if vlen < 0 else buf[p:p + vlen]
         p += max(vlen, 0)
-        nh, p = _zz_read(data, p)
+        nh, p = _zz_read(buf, p)
         headers = []
         for _ in range(nh):
-            hklen, p = _zz_read(data, p)
-            hk = data[p:p + hklen]
+            hklen, p = _zz_read(buf, p)
+            hk = buf[p:p + hklen]
             p += hklen
-            hvlen, p = _zz_read(data, p)
-            hv = None if hvlen < 0 else data[p:p + hvlen]
+            hvlen, p = _zz_read(buf, p)
+            hv = None if hvlen < 0 else buf[p:p + hvlen]
             p += max(hvlen, 0)
             headers.append((hk, hv))
         if p != rend:
@@ -174,7 +231,7 @@ def _parse_batch(data: bytes, pos: int) -> tuple[list[dict], int]:
         })
     if records and records[-1]["offset"] != base_offset + last_delta:
         raise ValueError("kafka: lastOffsetDelta inconsistent")
-    if p != end:
+    if p != bend:
         raise ValueError("kafka: trailing bytes inside batch")
     return records, end
 

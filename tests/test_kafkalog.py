@@ -62,17 +62,38 @@ def test_leading_junk_resync_exact_accounting():
     assert len(got) == 1 and c["junk_bytes"] == 16
 
 
-def test_compressed_batch_refused():
+def test_all_four_codecs_round_trip():
+    recs = [(str(i).encode(), f"value-{i} ".encode() * 10,
+             [(b"lang", b"en")]) for i in range(20)]
+    plain = write_segment(recs, batch_size=7)
+    for codec in ("gzip", "snappy", "lz4", "zstd"):
+        seg = write_segment(recs, batch_size=7, compression=codec)
+        assert len(seg) < len(plain)  # each codec genuinely compresses
+        back = iter_segment(seg)
+        assert [(r["key"], r["value"], r["headers"]) for r in back] \
+            == recs
+
+
+def test_reserved_codec_refused():
     seg = bytearray(write_segment([(b"k", b"v", [])]))
-    # set a compression codec bit in attributes, refresh the CRC
     from gfw_pixetl_spark.sources.tfrecord import crc32c
 
-    seg[22] |= 1  # attributes low byte (gzip)
+    seg[22] |= 5  # attributes low byte: reserved codec id
     (_, bl) = struct.unpack(">qi", bytes(seg[:12]))
     end = 12 + bl
     struct.pack_into(">I", seg, 17, crc32c(bytes(seg[21:end])))
-    with pytest.raises(ValueError, match="compressed"):
+    with pytest.raises(ValueError, match="reserved"):
         iter_segment(bytes(seg))
+
+
+def test_damaged_compressed_batch_resyncs():
+    recs = [(str(i).encode(), b"v" * 40, []) for i in range(20)]
+    seg = write_segment(recs, batch_size=7, compression="snappy")
+    (_, bl) = struct.unpack(">qi", seg[:12])
+    dam = bytearray(seg)
+    dam[12 + bl + 70] ^= 0xFF
+    got, c = scan_segment(bytes(dam))
+    assert len(got) == 13 and c["bad_batches"] == 1
 
 
 def test_truncation_raises():
