@@ -407,6 +407,9 @@ BENCH_QUERIES = [
     "q414_arrow_ipc",
     "q415_safetensors",
     "q416_kafka_segment",
+    "q418_content_encoding_br",
+    "q419_cdx_lookup",
+    "q420_wet_wat",
 ]
 
 

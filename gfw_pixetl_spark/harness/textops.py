@@ -8624,3 +8624,359 @@ def q417(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("doc_id").cast("bigint").alias("id_sum"),
         F.sum("n_chars").cast("bigint").alias("chars_sum"),
     )
+
+
+# --------------------------------------------------------------------------
+# q418 — Content-Encoding DECODE AT THE CRAWL BOUNDARY (brotli/gzip/
+# identity): WARC captures preserve the server's wire encoding, and
+# the fastest-growing slice of the modern web ships
+# ``Content-Encoding: br``. Each doc becomes an HTTP response record
+# whose body is encoded per doc_id (br via libbrotli when available —
+# exercising sources/brotli.py against the reference encoder's real
+# dictionary/context-map output — else via our own store-mode writer;
+# gzip; identity), wrapped in a per-member-gzip WARC. The kernel runs
+# the REAL chain: member walk -> HTTP split -> Content-Encoding
+# dispatch (sources/brotli.py::decode_content_encoding) -> byte-exact
+# body check; a second flag round-trips OUR store-mode brotli through
+# libbrotli's decoder so both directions of the codec meet in one
+# record. At 100 TB each record is one ranged GET + one inflate + one
+# br decode — per-record parallel, no cross-record state.
+# --------------------------------------------------------------------------
+BR_SCHEMA = ("doc_id long, encoding string, body_bytes int, "
+             "body_sig int, decoded_ok boolean, store_ok boolean")
+
+
+@register(
+    "q418_content_encoding_br",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'br'
+                WHEN doc_id % 3 = 1 THEN 'gzip'
+                ELSE 'identity' END AS encoding,
+           CAST(length('<p>' || text || '</p>') AS INT) AS body_bytes,
+           ('0x' || substr(md5('<p>' || text || '</p>'), 1, 4))::INT
+               AS body_sig,
+           TRUE AS decoded_ok,
+           TRUE AS store_ok
+    FROM documents
+    """,
+)
+def q418(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.partitioning import ensure_min_partitions
+
+    docs = ensure_min_partitions(
+        load(spark, sf_dir, "documents").select("doc_id", "text"))
+
+    def kernel(batches):
+        import gzip as _gzip
+        import hashlib as _hashlib
+
+        import pandas as pd
+
+        from ..sources.brotli import (
+            compress_store, decode_content_encoding, decompress,
+        )
+        from ..sources.warc import (
+            http_response_bytes, iter_warc, parse_http_response,
+            write_warc,
+        )
+
+        try:  # real entropy-coded br (dictionary + context maps)
+            import pyarrow as pa
+
+            _codec = pa.Codec("brotli", compression_level=5)
+
+            def br_enc(b: bytes) -> bytes:
+                return bytes(_codec.compress(b))
+
+            def br_dec_ref(b: bytes, n: int) -> bytes:
+                return bytes(pa.Codec("brotli").decompress(b, n))
+        except Exception:  # store-mode frames: same framing contract
+            br_enc = compress_store
+            br_dec_ref = lambda b, n: decompress(b)  # noqa: E731
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "encoding", "body_bytes",
+                                   "body_sig", "decoded_ok", "store_ok")}
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                body = f"<p>{t}</p>".encode()
+                enc_name = ("br", "gzip", "identity")[doc_id % 3]
+                wire = {"br": br_enc,
+                        "gzip": _gzip.compress,
+                        "identity": lambda b: b}[enc_name](body)
+                warc = write_warc([{
+                    "type": "response",
+                    "uri": f"https://example.org/{doc_id}",
+                    "payload": http_response_bytes(
+                        wire, extra_headers={"Content-Encoding": enc_name}),
+                }])
+                decoded = None
+                for headers, payload in iter_warc(warc):
+                    if headers.get("WARC-Type") == "response":
+                        _, hh, wire_body = parse_http_response(payload)
+                        decoded = decode_content_encoding(
+                            wire_body, hh.get("content-encoding", ""))
+                # our store-mode brotli decoded by the REFERENCE decoder
+                store_ok = br_dec_ref(compress_store(body),
+                                      len(body)) == body
+                out["doc_id"].append(doc_id)
+                out["encoding"].append(enc_name)
+                out["body_bytes"].append(len(body))
+                out["body_sig"].append(
+                    int(_hashlib.md5(body).hexdigest()[:4], 16))
+                out["decoded_ok"].append(decoded == body)
+                out["store_ok"].append(bool(store_ok))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(kernel, BR_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# q419 — CDX INDEX LOOKUP (the Common Crawl capture index as a TABLE):
+# the corpus is sharded once into per-member-gzip WARC files, each with
+# a sorted CDXJ sidecar (sources/commoncrawl.py: SURT keys, per-record
+# offset/length, sha1 payload digests). The query is the 100 TB lookup
+# shape: the index is read as a DataFrame (pure column-expression
+# parsing of `key ts {json}` lines), the request keys are constructed
+# ANALYTICALLY (concat on doc_id — the join succeeding for every doc
+# proves the Python surt() and the analytic key agree) and BROADCAST
+# against the index, and only the matched rows pay a ranged read:
+# seek(offset) + read(length) + one inflate + a digest check. At crawl
+# scale the index is billions of rows and this plan never scans a
+# payload byte for an unmatched capture.
+# --------------------------------------------------------------------------
+CDX_SCHEMA = ("doc_id long, surt_key string, status int, mime string, "
+              "body_bytes int, digest_ok boolean")
+
+
+def _ccwarc_dir(spark: SparkSession, sf_dir: str) -> str:
+    def build(d: str) -> None:
+        import os as _os
+
+        _os.makedirs(d, exist_ok=True)
+        docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+        def writer(batches):
+            import pandas as pd
+
+            from ..sources.commoncrawl import build_cdxj
+            from ..sources.warc import http_response_bytes, write_warc
+
+            for pdf in batches:
+                rows = pdf.to_dict("records")
+                if not rows:
+                    continue
+                recs = [{
+                    "type": "response",
+                    "uri": (f"https://www.Example.org/doc/"
+                            f"{int(r['doc_id'])}?b=2&a=1"),
+                    "payload": http_response_bytes(
+                        f"<p>{r['text']}</p>".encode()),
+                } for r in rows]
+                lo = min(int(r["doc_id"]) for r in rows)
+                name = f"shard-{lo:08d}.warc.gz"
+                blob = write_warc(recs)
+                with open(_os.path.join(d, name), "wb") as f:
+                    f.write(blob)
+                lines = build_cdxj(blob, name)
+                with open(_os.path.join(d, name.replace(
+                        ".warc.gz", ".cdxj")), "w") as f:
+                    f.write("\n".join(lines) + "\n")
+                yield pd.DataFrame({"n": [len(recs)]})
+
+        docs.repartition(8, "doc_id").mapInPandas(
+            writer, "n long").collect()
+
+    return _derived_dir(sf_dir, "ccwarc", build)
+
+
+@register(
+    "q419_cdx_lookup",
+    oracle="""
+    SELECT doc_id,
+           'org,example)/doc/' || CAST(doc_id AS VARCHAR) || '?a=1&b=2'
+               AS surt_key,
+           CAST(200 AS INT) AS status,
+           'text/html' AS mime,
+           CAST(length('<p>' || text || '</p>') AS INT) AS body_bytes,
+           TRUE AS digest_ok
+    FROM documents
+    """,
+)
+def q419(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shard_dir = _ccwarc_dir(spark, sf_dir)
+
+    # the index as a table: one row per capture, parsed with column
+    # expressions only (split + get_json_object — codegen'd, no UDF)
+    cdx = (
+        spark.read.text(f"{shard_dir}/*.cdxj")
+        .withColumn("key", F.split("value", " ", 3).getItem(0))
+        .withColumn("blob", F.split("value", " ", 3).getItem(2))
+        .select(
+            "key",
+            F.get_json_object("blob", "$.status").cast("int")
+             .alias("status"),
+            F.get_json_object("blob", "$.mime").alias("mime"),
+            F.get_json_object("blob", "$.digest").alias("digest"),
+            F.get_json_object("blob", "$.offset").cast("long")
+             .alias("offset"),
+            F.get_json_object("blob", "$.length").cast("long")
+             .alias("length"),
+            F.get_json_object("blob", "$.filename").alias("filename"),
+        )
+    )
+
+    # analytic request keys, broadcast against the big index side
+    keys = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("org,example)/doc/"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("?a=1&b=2")).alias("surt_key"),
+    )
+    hits = cdx.join(F.broadcast(keys), cdx.key == keys.surt_key)
+
+    def fetch(batches):
+        import os as _os
+
+        import pandas as pd
+
+        from ..sources.commoncrawl import payload_digest, ranged_fetch
+        from ..sources.warc import parse_http_response
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "surt_key", "status",
+                                   "mime", "body_bytes", "digest_ok")}
+            for r in pdf.to_dict("records"):
+                path = _os.path.join(shard_dir, r["filename"])
+                with open(path, "rb") as f:       # the ranged GET
+                    f.seek(int(r["offset"]))
+                    member = f.read(int(r["length"]))
+                _headers, payload = ranged_fetch(member, 0, len(member))
+                st, _hh, body = parse_http_response(payload)
+                out["doc_id"].append(r["doc_id"])
+                out["surt_key"].append(r["surt_key"])
+                out["status"].append(st)
+                out["mime"].append(r["mime"])
+                out["body_bytes"].append(len(body))
+                out["digest_ok"].append(
+                    payload_digest(payload) == r["digest"]
+                    and st == int(r["status"]))
+            yield pd.DataFrame(out)
+
+    return hits.mapInPandas(fetch, CDX_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# q420 — WET/WAT DERIVATION (what text pipelines actually read): each
+# doc's HTML response becomes (a) a WET conversion record carrying the
+# extracted plain text and (b) a WAT metadata record carrying the JSON
+# envelope (status, HTTP headers, title, outlinks). The kernel runs
+# the full chain — render, WARC-wrap, extract, WET/WAT write, re-read
+# through the ordinary WARC reader, JSON re-parse — and the oracle
+# replays the visible text and link count ANALYTICALLY from the same
+# fields (q372's discipline: a parser bug cannot hide on both sides).
+# --------------------------------------------------------------------------
+WETWAT_SCHEMA = ("doc_id long, wet_text string, wet_chars int, "
+                 "title string, n_links int, refers_ok boolean")
+
+
+@register(
+    "q420_wet_wat",
+    oracle="""
+    SELECT doc_id,
+           'Doc ' || CAST(doc_id % 100 AS VARCHAR) || ' Heading ' || text
+               || ' next more' AS wet_text,
+           CAST(length('Doc ' || CAST(doc_id % 100 AS VARCHAR)
+                || ' Heading ' || text || ' next more') AS INT)
+               AS wet_chars,
+           'Doc ' || CAST(doc_id % 100 AS VARCHAR) AS title,
+           CAST(2 AS INT) AS n_links,
+           TRUE AS refers_ok
+    FROM documents
+    """,
+)
+def q420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.partitioning import ensure_min_partitions
+
+    docs = ensure_min_partitions(
+        load(spark, sf_dir, "documents").select("doc_id", "text"))
+
+    def kernel(batches):
+        import gzip as _gzip
+        import io as _io
+        import json as _json
+
+        import pandas as pd
+
+        from ..functions.html import extract_text
+        from ..sources.commoncrawl import (
+            wat_envelope, wat_record, wet_record,
+        )
+        from ..sources.warc import (
+            http_response_bytes, iter_warc, parse_http_response,
+            write_warc,
+        )
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "wet_text", "wet_chars",
+                                   "title", "n_links", "refers_ok")}
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                title = f"Doc {doc_id % 100}"
+                links = [f"https://example.org/{doc_id + 1}",
+                         f"https://example.org/{doc_id + 2}"]
+                html = (f"<html><head><title>{title}</title></head>"
+                        f"<body><h1>Heading</h1><p>{t}</p>"
+                        f'<a href="{links[0]}">next</a> '
+                        f'<a href="{links[1]}">more</a>'
+                        f"<script>skip();</script></body></html>")
+                warc = write_warc([{
+                    "type": "response",
+                    "uri": f"https://example.org/{doc_id}",
+                    "payload": http_response_bytes(html.encode()),
+                }])
+                # derive WET + WAT from the response record
+                wet_chunks, wat_chunks = [], []
+                for headers, payload in iter_warc(warc):
+                    if headers.get("WARC-Type") != "response":
+                        continue
+                    st, hh, body = parse_http_response(payload)
+                    text, _n, _lc = extract_text(
+                        body.decode("utf-8", "replace"))
+                    rid = headers["WARC-Record-ID"]
+                    uri = headers["WARC-Target-URI"]
+                    wet_chunks.append(wet_record(uri, text,
+                                                 refers_to=rid, seq=1))
+                    wat_chunks.append(wat_record(
+                        uri, wat_envelope(headers, st, hh, title, links),
+                        refers_to=rid, seq=1))
+                    orig_id = rid
+                gz = _io.BytesIO()
+                for chunk in wet_chunks + wat_chunks:
+                    buf = _io.BytesIO()
+                    with _gzip.GzipFile(fileobj=buf, mode="wb",
+                                        mtime=0) as g:
+                        g.write(chunk)
+                    gz.write(buf.getvalue())
+                # consume back through the ordinary WARC reader
+                wet_text = wat_title = ""
+                n_links = -1
+                refers = set()
+                for headers, payload in iter_warc(gz.getvalue()):
+                    refers.add(headers.get("WARC-Refers-To"))
+                    if headers.get("WARC-Type") == "conversion":
+                        wet_text = payload.decode()
+                    elif headers.get("WARC-Type") == "metadata":
+                        env = _json.loads(payload)["Envelope"]
+                        meta = env["Payload-Metadata"][
+                            "HTTP-Response-Metadata"]
+                        wat_title = meta["HTML-Metadata"]["Head"]["Title"]
+                        n_links = len(meta["HTML-Metadata"]["Links"])
+                out["doc_id"].append(doc_id)
+                out["wet_text"].append(wet_text)
+                out["wet_chars"].append(len(wet_text))
+                out["title"].append(wat_title)
+                out["n_links"].append(n_links)
+                out["refers_ok"].append(refers == {orig_id})
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(kernel, WETWAT_SCHEMA)

@@ -60,12 +60,17 @@ def _record_bytes(rtype: str, headers: dict, payload: bytes,
 
 
 def http_response_bytes(body: bytes, status: int = 200,
-                        content_type: str = "text/html") -> bytes:
-    """A minimal valid HTTP/1.1 response payload for a response record."""
+                        content_type: str = "text/html",
+                        extra_headers: dict | None = None) -> bytes:
+    """A minimal valid HTTP/1.1 response payload for a response record.
+    ``extra_headers`` adds e.g. ``Content-Encoding`` for compressed
+    bodies (``body`` is the already-encoded bytes)."""
     reason = {200: "OK", 404: "Not Found", 301: "Moved Permanently",
               503: "Service Unavailable"}.get(status, "OK")
+    extras = "".join(f"{k}: {v}\r\n"
+                     for k, v in (extra_headers or {}).items())
     return (f"HTTP/1.1 {status} {reason}\r\n"
-            f"Content-Type: {content_type}\r\n"
+            f"Content-Type: {content_type}\r\n{extras}"
             f"Content-Length: {len(body)}\r\n\r\n").encode() + body
 
 
