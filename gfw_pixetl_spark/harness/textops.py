@@ -8633,14 +8633,14 @@ def q417(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ``Content-Encoding: br``. Each doc becomes an HTTP response record
 # whose body is encoded per doc_id (br via libbrotli when available —
 # exercising sources/brotli.py against the reference encoder's real
-# dictionary/context-map output — else via our own store-mode writer;
-# gzip; identity), wrapped in a per-member-gzip WARC. The kernel runs
-# the REAL chain: member walk -> HTTP split -> Content-Encoding
-# dispatch (sources/brotli.py::decode_content_encoding) -> byte-exact
-# body check; a second flag round-trips OUR store-mode brotli through
-# libbrotli's decoder so both directions of the codec meet in one
-# record. At 100 TB each record is one ranged GET + one inflate + one
-# br decode — per-record parallel, no cross-record state.
+# dictionary/context-map output — else via our own compressor; gzip;
+# identity), wrapped in a per-member-gzip WARC. The kernel runs the
+# REAL chain: member walk -> HTTP split -> Content-Encoding dispatch
+# (sources/brotli.py::decode_content_encoding) -> byte-exact body
+# check; a second flag round-trips OUR entropy-coded brotli COMPRESSOR
+# through libbrotli's decoder so both directions of the codec meet in
+# one record. At 100 TB each record is one ranged GET + one inflate +
+# one br decode — per-record parallel, no cross-record state.
 # --------------------------------------------------------------------------
 BR_SCHEMA = ("doc_id long, encoding string, body_bytes int, "
              "body_sig int, decoded_ok boolean, store_ok boolean")
@@ -8674,7 +8674,7 @@ def q418(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         from ..sources.brotli import (
-            compress_store, decode_content_encoding, decompress,
+            compress, decode_content_encoding, decompress,
         )
         from ..sources.warc import (
             http_response_bytes, iter_warc, parse_http_response,
@@ -8691,8 +8691,8 @@ def q418(spark: SparkSession, sf_dir: str) -> DataFrame:
 
             def br_dec_ref(b: bytes, n: int) -> bytes:
                 return bytes(pa.Codec("brotli").decompress(b, n))
-        except Exception:  # store-mode frames: same framing contract
-            br_enc = compress_store
+        except Exception:  # our own entropy coder: same contract
+            br_enc = compress
             br_dec_ref = lambda b, n: decompress(b)  # noqa: E731
 
         for pdf in batches:
@@ -8716,9 +8716,10 @@ def q418(spark: SparkSession, sf_dir: str) -> DataFrame:
                         _, hh, wire_body = parse_http_response(payload)
                         decoded = decode_content_encoding(
                             wire_body, hh.get("content-encoding", ""))
-                # our store-mode brotli decoded by the REFERENCE decoder
-                store_ok = br_dec_ref(compress_store(body),
-                                      len(body)) == body
+                # OUR entropy-coded brotli (greedy LZ77 + canonical
+                # prefix codes) decoded by the REFERENCE decoder —
+                # both directions of the codec meet in one record
+                store_ok = br_dec_ref(compress(body), len(body)) == body
                 out["doc_id"].append(doc_id)
                 out["encoding"].append(enc_name)
                 out["body_bytes"].append(len(body))

@@ -32,12 +32,16 @@ against invariants stated in the RFC (sizes, word counts, the
 closed-form LSB6/MSB6 context quadrants) — the repo needs no brotli
 library at runtime.
 
-A ``compress_store`` encoder emits valid brotli streams from
-uncompressed meta-blocks (the RFC's store mode) so fixtures round-trip
-without an external encoder; tests additionally cross-validate
-``decompress`` against libbrotli's real entropy-coded output (via
-``pyarrow.Codec('brotli')``) at every quality level, which exercises
-the dictionary, transform, and context-map paths this file implements.
+The write side is real too: ``compress`` is an entropy-coded
+COMPRESSOR (greedy hash-4 LZ77 + canonical prefix codes written in
+both the simple and the complex code-length-coded header forms, with
+the 16/17 repeat accumulation, per-window meta-block chunking, and a
+raw-block fallback for incompressible data) whose every stream is
+decodable by libbrotli; ``compress_store`` is the uncompressed-
+meta-block fast path.  Tests cross-validate ``decompress`` against
+libbrotli's output at every quality level and window size (which
+exercises the dictionary, transform, and context-map paths this file
+implements), and ``compress`` against libbrotli's decoder.
 
 Scale shape: one document = one ``.br`` payload = one independent
 decode inside an Arrow kernel — the same per-record parallelism as
@@ -685,6 +689,12 @@ class _BitWriter:
             self.acc >>= 8
             self.n -= 8
 
+    def write_code(self, code: int, length: int) -> None:
+        """Emit a prefix-code word: bits go out MSB-of-code first,
+        matching the decoder's ``code = code<<1 | next_bit`` walk."""
+        for i in range(length - 1, -1, -1):
+            self.write((code >> i) & 1, 1)
+
     def align(self) -> None:
         if self.n:
             self.buf.append(self.acc & 0xFF)
@@ -761,3 +771,368 @@ def decode_content_encoding(body: bytes, encoding: str) -> bytes:
         from .zstd import decompress as zstd_decompress
         return zstd_decompress(body)
     raise ValueError(f"unsupported Content-Encoding: {encoding!r}")
+
+
+# --------------------------------------------------------------------------
+# compressor: greedy LZ77 + canonical prefix codes — real entropy-coded
+# brotli, decodable by libbrotli (the encode-side twin of the zstd
+# compressor in sources/zstd.py)
+# --------------------------------------------------------------------------
+
+
+def _pm_lengths(counts: dict[int, int], max_len: int) -> dict[int, int]:
+    """Optimal length-limited code lengths (package-merge,
+    Larmore-Hirschberg). Kraft-complete by construction — the decoder's
+    32768-space accounting requires exactness."""
+    leaves = sorted((c, (s,)) for s, c in counts.items())
+    lst: list[tuple[int, tuple]] = []
+    for _ in range(max_len - 1):
+        merged = sorted(lst + leaves)
+        lst = [(merged[i][0] + merged[i + 1][0],
+                merged[i][1] + merged[i + 1][1])
+               for i in range(0, len(merged) - 1, 2)]
+    merged = sorted(lst + leaves)
+    lengths = {s: 0 for s in counts}
+    for _, syms in merged[:2 * (len(leaves) - 1)]:
+        for s in syms:
+            lengths[s] += 1
+    return lengths
+
+
+def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), the same (length, symbol)-ordered
+    assignment the decoder's ``_PrefixCode`` builds."""
+    by_len: dict[int, list[int]] = {}
+    for sym, ln in lengths.items():
+        if ln:
+            by_len.setdefault(ln, []).append(sym)
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    for ln in range(min(by_len), max(by_len) + 1):
+        for sym in sorted(by_len.get(ln, ())):
+            out[sym] = (code, ln)
+            code += 1
+        code <<= 1
+    return out
+
+
+def _zero_run_codes(total: int) -> list[tuple[int, int]]:
+    """(extra_bits_value, n_extra_bits) per 17-code so the decoder's
+    non-linear repeat accumulation lands on exactly ``total`` zeros
+    (total >= 3).  Solved backwards: rep_k = ((rep_{k-1}-2) << 3) + 3
+    + extra."""
+    steps: list[tuple[int, int]] = []
+    t = total
+    while t > 10:
+        e = (t - 3) & 7
+        steps.append((e, 3))
+        t = ((t - 3) >> 3) + 2
+    steps.append((t - 3, 3))
+    steps.reverse()
+    return steps
+
+
+def _prev_run_codes(total: int) -> list[tuple[int, int]]:
+    """Same accumulation for 16-codes (2 extra bits, repeat factor 4)."""
+    steps: list[tuple[int, int]] = []
+    t = total
+    while t > 6:
+        e = (t - 3) & 3
+        steps.append((e, 2))
+        t = ((t - 3) >> 2) + 2
+    steps.append((t - 3, 2))
+    steps.reverse()
+    return steps
+
+
+# fixed code for code-length-code lengths (value -> (code, bits)),
+# canonical over _CLC_LENGTHS
+_CLC_WRITE = {0: (0b00, 2), 3: (0b01, 2), 4: (0b10, 2),
+              2: (0b110, 3), 1: (0b1110, 4), 5: (0b1111, 4)}
+
+
+def _write_prefix_code(w: _BitWriter, counts: dict[int, int],
+                       alphabet_size: int) -> dict[int, tuple[int, int]]:
+    """Write one prefix-code header (simple or complex form) for the
+    observed symbol ``counts``; returns symbol -> (code, len) for the
+    data phase.  Mirrors section 3.4/3.5 of the RFC."""
+    if not counts:
+        counts = {0: 1}
+    if len(counts) == 1:
+        sym = next(iter(counts))
+        w.write(1, 2)               # simple
+        w.write(0, 2)               # NSYM - 1 = 0
+        w.write(sym, _alphabet_bits(alphabet_size))
+        return {sym: (0, 0)}
+    if len(counts) <= 4:
+        if len(counts) == 4:
+            pm = _pm_lengths(counts, 15)
+            tree_select = 0 if max(pm.values()) == 2 else 1
+            lens = (2, 2, 2, 2) if tree_select == 0 else (1, 2, 3, 3)
+        else:
+            lens = {2: (1, 1), 3: (1, 2, 2)}[len(counts)]
+            tree_select = None
+        # most-frequent symbols get the shorter lengths; the stream
+        # lists symbols so the i-th gets lens[i], sorted within equal
+        # lengths (the decoder's canonical build sorts by symbol there,
+        # so sorted listing keeps writer and reader assignments equal)
+        by_freq = sorted(counts, key=lambda s: (-counts[s], s))
+        assignment = dict(zip(by_freq, lens))
+        listed = sorted(counts, key=lambda s: (assignment[s], s))
+        w.write(1, 2)
+        w.write(len(listed) - 1, 2)
+        width = _alphabet_bits(alphabet_size)
+        for s in listed:
+            w.write(s, width)
+        if tree_select is not None:
+            w.write(tree_select, 1)
+        return _canonical_codes(assignment)
+
+    # complex form
+    lengths = _pm_lengths(counts, 15)
+    arr = [0] * alphabet_size
+    for s, ln in lengths.items():
+        arr[s] = ln
+    last = max(s for s, ln in enumerate(arr) if ln)
+
+    # build the code-length symbol stream (with 16/17 runs)
+    stream: list[tuple[int, int, int]] = []  # (clc_sym, extra, nbits)
+    i = 0
+    while i <= last:
+        ln = arr[i]
+        j = i
+        while j <= last and arr[j] == ln:
+            j += 1
+        run = j - i
+        if ln == 0:
+            if run >= 3:
+                for e, nb in _zero_run_codes(run):
+                    stream.append((_REPEAT_ZERO, e, nb))
+            else:
+                stream.extend((0, 0, 0) for _ in range(run))
+        else:
+            stream.append((ln, 0, 0))
+            rest = run - 1
+            while rest:
+                if rest >= 3:
+                    for e, nb in _prev_run_codes(rest):
+                        stream.append((_REPEAT_PREVIOUS, e, nb))
+                    rest = 0
+                else:
+                    stream.append((ln, 0, 0))
+                    rest -= 1
+        i = j
+
+    clc_counts: dict[int, int] = {}
+    for sym, _e, _nb in stream:
+        clc_counts[sym] = clc_counts.get(sym, 0) + 1
+    if len(clc_counts) == 1:
+        clc_lengths = {next(iter(clc_counts)): 1}
+    else:
+        clc_lengths = _pm_lengths(clc_counts, 5)
+    clc_codes = _canonical_codes(clc_lengths) if len(clc_counts) > 1 \
+        else {next(iter(clc_counts)): (0, 0)}
+
+    w.write(0, 2)  # HSKIP = 0 -> complex form
+    space = 0
+    single = len(clc_counts) == 1
+    for sym in _CLC_ORDER:
+        ln = clc_lengths.get(sym, 0)
+        code, nbits = _CLC_WRITE[ln]
+        w.write_code(code, nbits)
+        if ln:
+            space += 32 >> ln
+            if space >= 32 and not single:
+                break
+
+    for sym, extra, nbits in stream:
+        c, ln = clc_codes[sym]
+        w.write_code(c, ln)
+        if nbits:
+            w.write(extra, nbits)
+    return _canonical_codes(lengths)
+
+
+def _insert_code(n: int) -> int:
+    for i in range(len(_INSERT_BASE) - 1, -1, -1):
+        if n >= _INSERT_BASE[i]:
+            return i
+    return 0
+
+
+def _copy_code(n: int) -> int:
+    for i in range(len(_COPY_BASE) - 1, -1, -1):
+        if n >= _COPY_BASE[i]:
+            return i
+    return 0
+
+
+# explicit-distance cells: (insert_hi, copy_hi) -> cell index
+_CELL_OF = {( _CMD_INSERT[c], _CMD_COPY[c]): c for c in range(10, 1, -1)}
+
+
+def _dist_code(distance: int) -> tuple[int, int, int]:
+    """(dcode, extra, n_extra_bits) for NPOSTFIX=0, NDIRECT=0."""
+    n = max(1, (distance + 3).bit_length() - 2)
+    t = distance - ((1 << (n + 1)) - 3)
+    if t < (1 << n):
+        half, extra = 0, t
+    else:
+        half, extra = 1, t - (1 << n)
+    return 16 + 2 * (n - 1) + half, extra, n
+
+
+def _find_matches(data: bytes,
+                  max_distance: int) -> list[tuple[int, int, int]]:
+    """Greedy hash-4 LZ77: (literal_len, copy_len, distance) commands
+    covering ``data``; a trailing literal-only tail is returned as a
+    final command with copy_len 0.  Distances beyond ``max_distance``
+    (the window) would decode as static-dictionary references, so such
+    candidates are skipped."""
+    n = len(data)
+    cmds: list[tuple[int, int, int]] = []
+    table: dict[bytes, int] = {}
+    anchor = 0
+    pos = 0
+    limit = n - 4
+    while pos <= limit:
+        key = data[pos:pos + 4]
+        cand = table.get(key)
+        table[key] = pos
+        if cand is None or pos - cand > max_distance:
+            pos += 1
+            continue
+        mlen = 4
+        max_m = n - pos
+        while mlen < max_m and data[cand + mlen] == data[pos + mlen]:
+            mlen += 1
+        cmds.append((pos - anchor, mlen, pos - cand))
+        pos += mlen
+        anchor = pos
+    if anchor < n or not cmds:
+        cmds.append((n - anchor, 0, 0))
+    return cmds
+
+
+_CHUNK = 1 << 22
+
+
+def compress(data: bytes, wbits: int = 22) -> bytes:
+    """Real entropy-coded brotli: greedy LZ77 commands over canonical
+    prefix codes (one literal / insert-copy / distance code per
+    meta-block, trivial context maps).  Every stream is decodable by
+    libbrotli; incompressible chunks fall back to uncompressed
+    meta-blocks.  The full command/distance vocabulary of the decoder
+    is NOT used (no context modeling, no static-dictionary references,
+    no distance ring codes) — this is the honest write-side subset,
+    exactly like zstd.py's predefined-FSE compressor."""
+    if not 10 <= wbits <= 24:
+        raise ValueError("brotli: WBITS must be in 10..24")
+    w = _BitWriter()
+    if wbits == 16:
+        w.write(0, 1)
+    elif wbits >= 18:
+        w.write(1, 1)
+        w.write(wbits - 17, 3)
+    elif wbits == 17:
+        w.write(1, 1)
+        w.write(0, 3)
+        w.write(0, 3)
+    else:
+        w.write(1, 1)
+        w.write(0, 3)
+        w.write(wbits - 8, 3)
+
+    # chunks never exceed the window, so every in-chunk distance is a
+    # plain backward reference (never a dictionary address)
+    window = (1 << wbits) - 16
+    chunk_size = min(_CHUNK, window)
+    for start in range(0, len(data), chunk_size):
+        chunk = data[start:start + chunk_size]
+        body = _encode_meta_block(chunk, window)
+        w.write(0, 1)                       # ISLAST = 0
+        nib_val = len(chunk) - 1
+        nibbles = max(4, (max(nib_val, 1).bit_length() + 3) // 4)
+        w.write(nibbles - 4, 2)
+        w.write(nib_val, 4 * nibbles)
+        if body is None:                    # incompressible
+            w.write(1, 1)                   # ISUNCOMPRESSED
+            w.align()
+            w.raw(chunk)
+        else:
+            w.write(0, 1)
+            buf, nbits = body
+            full, rem = divmod(nbits, 8)
+            for b in buf[:full]:
+                w.write(b, 8)
+            if rem:
+                w.write(buf[full] & ((1 << rem) - 1), rem)
+    w.write(1, 1)                           # ISLAST
+    w.write(1, 1)                           # ISLASTEMPTY
+    return w.getvalue()
+
+
+def _encode_meta_block(chunk: bytes,
+                       max_distance: int) -> tuple[bytes, int] | None:
+    """Compressed meta-block payload bits (buffer, nbits) after the
+    MLEN/ISUNCOMPRESSED header, or None when raw is smaller."""
+    cmds = _find_matches(chunk, max_distance)
+
+    lit_counts: dict[int, int] = {}
+    cmd_counts: dict[int, int] = {}
+    dist_counts: dict[int, int] = {}
+    encoded = []
+    pos = 0
+    for idx, (ins, cpy, dist) in enumerate(cmds):
+        trailing = cpy == 0
+        ic = _insert_code(ins)
+        cc = _copy_code(2 if trailing else cpy)
+        cell = _CELL_OF[(ic & ~7, cc & ~7)]
+        sym = (cell << 6) | ((ic & 7) << 3) | (cc & 7)
+        cmd_counts[sym] = cmd_counts.get(sym, 0) + 1
+        lits = chunk[pos:pos + ins]
+        for b in lits:
+            lit_counts[b] = lit_counts.get(b, 0) + 1
+        if trailing:
+            dinfo = None
+        else:
+            dinfo = _dist_code(dist)
+            dist_counts[dinfo[0]] = dist_counts.get(dinfo[0], 0) + 1
+        encoded.append((sym, ic, cc, ins, (2 if trailing else cpy),
+                        lits, dinfo))
+        pos += ins + cpy
+
+    w = _BitWriter()
+    # block types: 1 literal, 1 insert-copy, 1 distance
+    for _ in range(3):
+        w.write(0, 1)                       # NBLTYPES = 1
+    w.write(0, 2)                           # NPOSTFIX = 0
+    w.write(0, 4)                           # NDIRECT = 0
+    w.write(0, 2)                           # context mode LSB6
+    w.write(0, 1)                           # NTREESL = 1
+    w.write(0, 1)                           # NTREESD = 1
+    lit_codes = _write_prefix_code(w, lit_counts, 256)
+    cmd_codes = _write_prefix_code(w, cmd_counts, 704)
+    dist_codes = _write_prefix_code(w, dist_counts, 64)
+
+    for sym, ic, cc, ins, cpy, lits, dinfo in encoded:
+        c, ln = cmd_codes[sym]
+        w.write_code(c, ln)
+        if _INSERT_EXTRA[ic]:
+            w.write(ins - _INSERT_BASE[ic], _INSERT_EXTRA[ic])
+        if _COPY_EXTRA[cc]:
+            w.write(cpy - _COPY_BASE[cc], _COPY_EXTRA[cc])
+        for b in lits:
+            lc, ll = lit_codes[b]
+            w.write_code(lc, ll)
+        if dinfo is not None:
+            dcode, extra, nbits = dinfo
+            dc, dl = dist_codes[dcode]
+            w.write_code(dc, dl)
+            w.write(extra, nbits)
+
+    total_bits = len(w.buf) * 8 + w.n
+    if total_bits >= len(chunk) * 8:
+        return None
+    tail = bytes([w.acc & 0xFF]) if w.n else b""
+    return bytes(w.buf) + tail, total_bits

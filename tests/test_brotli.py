@@ -227,3 +227,71 @@ def test_dictionary_shaped_text_property(parts):
     assert decompress(bytes(_libbrotli(11).compress(data))) == data
     enc = compress_store(data)
     assert decompress(enc) == data
+
+
+# --------------------------------------------------------------------------
+# compressor (entropy-coded): every stream must decode under BOTH our
+# decoder and libbrotli (the reference decoder)
+# --------------------------------------------------------------------------
+
+
+def _both_decode(enc: bytes, expected: bytes) -> None:
+    assert decompress(enc) == expected
+    assert bytes(_libbrotli().decompress(enc, len(expected))) == expected
+
+
+def test_compress_cases_decode_under_libbrotli():
+    from gfw_pixetl_spark.sources.brotli import compress
+
+    rnd = random.Random(3)
+    cases = [
+        b"", b"a", b"ab", b"hello world",
+        _DICT_TEXT, _DICT_TEXT * 100,
+        b"ab" * 5000,
+        bytes(range(256)) * 20,
+        rnd.randbytes(8000),             # incompressible -> raw block
+        rnd.randbytes(64) * 200,         # long matches
+        ("日本語テキスト testing " * 500).encode(),
+        b"x" * 100000,
+    ]
+    for raw in cases:
+        _both_decode(compress(raw), raw)
+
+
+@pytest.mark.parametrize("wbits", [10, 16, 17, 18, 22, 24])
+def test_compress_window_bound_respected(wbits):
+    """Matches farther back than the window would decode as dictionary
+    references; every window size must round-trip under the reference
+    decoder (the regression that capped chunk size by the window)."""
+    from gfw_pixetl_spark.sources.brotli import compress
+
+    rnd = random.Random(5)
+    raw = (rnd.randbytes(500) * 40 + _DICT_TEXT * 50)[:30000]
+    _both_decode(compress(raw, wbits=wbits), raw)
+
+
+def test_compress_multi_meta_block():
+    from gfw_pixetl_spark.sources.brotli import compress
+
+    rnd = random.Random(11)
+    raw = (b" ".join(rnd.choice([b"alpha", b"beta", b"gamma", b"x"])
+                     for _ in range(300000)))  # > one window at wbits 20
+    enc = compress(raw, wbits=20)
+    _both_decode(enc, raw)
+    assert len(enc) < len(raw) // 3
+
+
+def test_compress_beats_raw_on_text():
+    from gfw_pixetl_spark.sources.brotli import compress
+
+    raw = _DICT_TEXT * 500
+    enc = compress(raw)
+    assert len(enc) < len(raw) // 10
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.binary(max_size=3000))
+def test_compress_roundtrip_property(data):
+    from gfw_pixetl_spark.sources.brotli import compress
+
+    _both_decode(compress(data), data)
