@@ -410,6 +410,8 @@ BENCH_QUERIES = [
     "q418_content_encoding_br",
     "q419_cdx_lookup",
     "q420_wet_wat",
+    "q421_delta_log",
+    "q422_iceberg_interop",
 ]
 
 

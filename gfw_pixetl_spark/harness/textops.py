@@ -8981,3 +8981,257 @@ def q420(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(kernel, WETWAT_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# q421 — DELTA LAKE LOG INTEROP (sources/deltalog.py, the delta.io
+# protocol layout): the corpus is written ONCE as a lang-partitioned
+# Delta table — data files hold (doc_id, text, n_chars) only, the
+# partition column lives in the log's add-action partitionValues, per
+# the protocol. The history then exercises the replay semantics a
+# real lakehouse reader needs: v1 DELETEs the 'de' partition, a
+# parquet CHECKPOINT is cut at v1 (+_last_checkpoint), and v2
+# RESURRECTS the even-doc_id 'de' file — so the HEAD read must start
+# from the checkpoint, replay only v2 (O(delta), asserted by the unit
+# suite), and apply last-writer-wins per path; the v0 read must time-
+# travel BELOW the checkpoint. Planning is log-only; partition columns
+# attach as literals per file group.
+# --------------------------------------------------------------------------
+DELTA_SCHEMA = ("lang string, n_head long, n_v0 long, chars_head long, "
+                "files_en int")
+
+
+def _delta_table_dir(spark: SparkSession, sf_dir: str) -> str:
+    def build(d: str) -> None:
+        import os as _os
+
+        from ..sources.deltalog import (
+            add_action, delta_commit, delta_metadata, remove_action,
+            write_checkpoint,
+        )
+
+        _os.makedirs(d, exist_ok=True)
+        docs = load(spark, sf_dir, "documents").select(
+            "doc_id", "text", "n_chars", "lang")
+
+        def writer(batches):
+            import pandas as pd
+            import pyarrow as _pa
+            import pyarrow.parquet as _pq
+
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                facts = {k: [] for k in ("path", "lang", "shard",
+                                         "size", "n", "lo", "hi")}
+                for (lang, shard), grp in pdf.groupby(
+                        ["lang", "shard"]):
+                    grp = grp.sort_values("doc_id")
+                    rel = f"part-{lang}-{int(shard)}.parquet"
+                    tbl = _pa.Table.from_pandas(
+                        grp[["doc_id", "text", "n_chars"]],
+                        preserve_index=False)
+                    _pq.write_table(tbl, _os.path.join(d, rel))
+                    facts["path"].append(rel)
+                    facts["lang"].append(lang)
+                    facts["shard"].append(int(shard))
+                    facts["size"].append(
+                        _os.path.getsize(_os.path.join(d, rel)))
+                    facts["n"].append(len(grp))
+                    facts["lo"].append(int(grp["doc_id"].min()))
+                    facts["hi"].append(int(grp["doc_id"].max()))
+                yield pd.DataFrame(facts)
+
+        facts = (docs.withColumn("shard", (F.col("doc_id") % 2)
+                                 .cast("int"))
+                 .repartition("lang", "shard")
+                 .mapInPandas(writer, "path string, lang string, "
+                              "shard int, size long, n long, lo long, "
+                              "hi long")
+                 .collect())   # bounded: one row per (lang, shard)
+
+        meta = delta_metadata(
+            [("doc_id", "long"), ("text", "string"),
+             ("n_chars", "long"), ("lang", "string")], ["lang"])
+        adds = [{"add": add_action(
+            r["path"], {"lang": r["lang"]}, r["size"], r["n"],
+            {"doc_id": r["lo"]}, {"doc_id": r["hi"]})} for r in
+            sorted(facts, key=lambda r: r["path"])]
+        delta_commit(d, 0, [{"metaData": meta}] + adds)
+        de_paths = sorted(r["path"] for r in facts
+                          if r["lang"] == "de")
+        delta_commit(d, 1, [{"remove": remove_action(p)}
+                            for p in de_paths], operation="DELETE")
+        write_checkpoint(d, 1)
+        resurrect = [{"add": a["add"]} for a in adds
+                     if a["add"]["path"] == f"part-de-0.parquet"]
+        delta_commit(d, 2, resurrect, operation="WRITE")
+
+    return _derived_dir(sf_dir, "deltatbl", build)
+
+
+@register(
+    "q421_delta_log",
+    oracle="""
+    SELECT lang,
+           CAST(SUM(CASE WHEN lang <> 'de' OR doc_id % 2 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_head,
+           CAST(COUNT(*) AS BIGINT) AS n_v0,
+           CAST(SUM(CASE WHEN lang <> 'de' OR doc_id % 2 = 0
+                         THEN n_chars ELSE 0 END) AS BIGINT)
+               AS chars_head,
+           CAST(2 AS INT) AS files_en
+    FROM documents GROUP BY lang
+    """,
+)
+def q421(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.deltalog import (
+        delta_snapshot, prune_adds, read_delta,
+    )
+
+    d = _delta_table_dir(spark, sf_dir)
+    head = read_delta(spark, d).groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_head"),
+        F.sum("n_chars").cast("bigint").alias("chars_head"))
+    v0 = read_delta(spark, d, version=0).groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_v0"))
+    # log-only partition pruning: the 'en' leg plans exactly 2 files
+    files_en = len(prune_adds(delta_snapshot(d),
+                              partition_filter={"lang": "en"}))
+    return (v0.join(head, "lang", "left")
+            .select("lang",
+                    F.coalesce("n_head", F.lit(0)).alias("n_head"),
+                    "n_v0",
+                    F.coalesce("chars_head", F.lit(0))
+                     .alias("chars_head"),
+                    F.lit(files_en).cast("int").alias("files_en")))
+
+
+# --------------------------------------------------------------------------
+# q422 — ICEBERG FORMAT-V2 INTEROP (sources/iceberg.py): the second
+# lakehouse format, structurally different from Delta — every snapshot
+# references a COMPLETE manifest set (no log replay; time travel =
+# read the old snapshot's manifest list), manifests are REAL Avro
+# object containers written by the in-tree codec, and planning prunes
+# at TWO levels (manifest partition summaries skip whole manifests
+# before any file entry is read). History: snap1 = en+de+es+fr+zh
+# appends (one manifest per commit wave), snap2 DELETEs 'de' by
+# carrying only the surviving manifests, snap3 appends a replacement
+# de file (even doc_ids). Identity partition columns stay IN the
+# parquet files per the spec, so the Spark read is a plain pruned
+# multi-path scan.
+# --------------------------------------------------------------------------
+ICE_SCHEMA = ("lang string, n_head long, n_snap1 long, "
+              "chars_head long, manifests_scanned_en int")
+
+
+def _iceberg_dir(spark: SparkSession, sf_dir: str) -> str:
+    def build(d: str) -> None:
+        import os as _os
+
+        from ..sources.iceberg import IcebergTable
+
+        _os.makedirs(_os.path.join(d, "data"), exist_ok=True)
+        docs = load(spark, sf_dir, "documents").select(
+            "doc_id", "text", "n_chars", "lang")
+
+        def writer(batches):
+            import pandas as pd
+            import pyarrow as _pa
+            import pyarrow.parquet as _pq
+
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                facts = {k: [] for k in ("path", "lang", "shard",
+                                         "size", "n")}
+                for (lang, shard), grp in pdf.groupby(
+                        ["lang", "shard"]):
+                    grp = grp.sort_values("doc_id")
+                    rel = f"data/{lang}-{int(shard)}.parquet"
+                    tbl = _pa.Table.from_pandas(
+                        grp[["doc_id", "text", "n_chars", "lang"]],
+                        preserve_index=False)
+                    _pq.write_table(tbl, _os.path.join(d, rel))
+                    facts["path"].append(rel)
+                    facts["size"].append(
+                        _os.path.getsize(_os.path.join(d, rel)))
+                    facts["lang"].append(lang)
+                    facts["shard"].append(int(shard))
+                    facts["n"].append(len(grp))
+                yield pd.DataFrame(facts)
+
+        facts = (docs.withColumn("shard", (F.col("doc_id") % 2)
+                                 .cast("int"))
+                 .repartition("lang", "shard")
+                 .mapInPandas(writer, "path string, lang string, "
+                              "shard int, size long, n long")
+                 .collect())   # bounded: one row per (lang, shard)
+
+        table = IcebergTable(
+            d, [("doc_id", "long"), ("text", "string"),
+                ("n_chars", "long"), ("lang", "string")], ["lang"])
+        # one manifest per lang (commit waves), ordered for determinism
+        langs = sorted({r["lang"] for r in facts})
+        for lang in langs:
+            table.commit([{
+                "path": r["path"], "partition": {"lang": r["lang"]},
+                "record_count": r["n"], "size": r["size"],
+            } for r in sorted(facts, key=lambda r: r["path"])
+                if r["lang"] == lang])
+        # snap N+1: DELETE 'de' by carrying only surviving manifests
+        meta = table._current_metadata()
+        rows = table._manifest_rows(meta, meta["current-snapshot-id"])
+        keep = [m["manifest_path"] for m in rows
+                if m["partitions"][0]["lower_bound"] != b"de"]
+        table.commit([], operation="delete", carry_manifests=keep)
+        # snap N+2: append the replacement de shard (even doc_ids)
+        de0 = [r for r in facts
+               if r["lang"] == "de" and r["shard"] == 0]
+        table.commit([{
+            "path": r["path"], "partition": {"lang": "de"},
+            "record_count": r["n"], "size": r["size"],
+        } for r in de0])
+
+    return _derived_dir(sf_dir, "icebergtbl", build)
+
+
+@register(
+    "q422_iceberg_interop",
+    oracle="""
+    SELECT lang,
+           CAST(SUM(CASE WHEN lang <> 'de' OR doc_id % 2 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_head,
+           CAST(COUNT(*) AS BIGINT) AS n_snap1,
+           CAST(SUM(CASE WHEN lang <> 'de' OR doc_id % 2 = 0
+                         THEN n_chars ELSE 0 END) AS BIGINT)
+               AS chars_head,
+           CAST(1 AS INT) AS manifests_scanned_en
+    FROM documents GROUP BY lang
+    """,
+)
+def q422(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.iceberg import IcebergTable, read_iceberg
+
+    d = _iceberg_dir(spark, sf_dir)
+    table = IcebergTable(d)
+    meta = table._current_metadata()
+    n_langs = len(meta["snapshots"]) - 2   # one append per lang
+    snap_full = meta["snapshots"][n_langs - 1]["snapshot-id"]
+
+    head = read_iceberg(spark, d).groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_head"),
+        F.sum("n_chars").cast("bigint").alias("chars_head"))
+    full = read_iceberg(spark, d, snapshot_id=snap_full).groupBy(
+        "lang").agg(F.count("*").cast("bigint").alias("n_snap1"))
+    # manifest-level pruning: the en filter must open exactly ONE
+    # manifest out of the full set
+    en_plan = table.plan(partition_filter={"lang": "en"})
+    return (full.join(head, "lang", "left")
+            .select("lang",
+                    F.coalesce("n_head", F.lit(0)).alias("n_head"),
+                    "n_snap1",
+                    F.coalesce("chars_head", F.lit(0))
+                     .alias("chars_head"),
+                    F.lit(en_plan["manifests_scanned"]).cast("int")
+                     .alias("manifests_scanned_en")))

@@ -1,0 +1,113 @@
+"""Iceberg format-v2 interop (sources/iceberg.py): metadata JSON tree,
+Avro manifest lists + manifests (written/read by the in-tree Avro
+codec), snapshot isolation, time travel, manifest-level and file-level
+partition pruning, delete-by-dropping-manifests."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+
+from gfw_pixetl_spark.sources.avro import iter_container
+from gfw_pixetl_spark.sources.iceberg import IcebergTable
+
+SCHEMA = [("doc_id", "long"), ("n_chars", "long"), ("lang", "string")]
+
+
+def _table(tmp_path) -> IcebergTable:
+    return IcebergTable(str(tmp_path / "tbl"), SCHEMA, ["lang"])
+
+
+def _files(lang, n, base):
+    return [{"path": f"data/{lang}-{i}.parquet",
+             "partition": {"lang": lang}, "record_count": n,
+             "size": 1000 + i} for i in range(base, base + 2)]
+
+
+def test_commit_plan_and_time_travel(tmp_path):
+    t = _table(tmp_path)
+    s1 = t.commit(_files("en", 10, 0) + _files("de", 5, 0))
+    s2 = t.commit(_files("fr", 7, 0))
+
+    head = t.plan()
+    assert head["snapshot_id"] == s2
+    assert len(head["files"]) == 6
+    assert head["manifests_total"] == 2   # one per commit, carried
+
+    old = t.plan(snapshot_id=s1)
+    assert len(old["files"]) == 4
+    assert {f["partition"]["lang"] for f in old["files"]} == {
+        "en", "de"}
+
+
+def test_delete_by_dropping_manifests(tmp_path):
+    t = _table(tmp_path)
+    s1 = t.commit(_files("en", 10, 0))
+    t.commit(_files("de", 5, 0))
+    meta = t._current_metadata()
+    # drop the de manifest: carry only manifests whose files are en
+    rows = t._manifest_rows(meta, meta["current-snapshot-id"])
+    keep = []
+    for m in rows:
+        entries = list(iter_container(
+            (Path(t.dir) / m["manifest_path"]).read_bytes()))
+        if all(e["data_file"]["partition"]["lang"] == "en"
+               for e in entries):
+            keep.append(m["manifest_path"])
+    s3 = t.commit([], operation="delete", carry_manifests=keep)
+    head = t.plan()
+    assert head["snapshot_id"] == s3
+    assert {f["partition"]["lang"] for f in head["files"]} == {"en"}
+    # the deleted partition is still visible via time travel
+    assert {f["partition"]["lang"]
+            for f in t.plan(snapshot_id=s1)["files"]} == {"en"}
+
+
+def test_manifest_level_pruning(tmp_path):
+    t = _table(tmp_path)
+    t.commit(_files("aa", 1, 0))
+    t.commit(_files("zz", 1, 0))
+    plan = t.plan(partition_filter={"lang": "aa"})
+    assert plan["manifests_total"] == 2
+    assert plan["manifests_scanned"] == 1    # zz manifest never opened
+    assert len(plan["files"]) == 2
+    assert all(f["partition"]["lang"] == "aa" for f in plan["files"])
+
+
+def test_file_level_pruning_within_manifest(tmp_path):
+    t = _table(tmp_path)
+    t.commit(_files("en", 1, 0) + _files("de", 1, 0))
+    plan = t.plan(partition_filter={"lang": "de"})
+    assert plan["manifests_scanned"] == 1
+    assert {f["file_path"] for f in plan["files"]} == {
+        "data/de-0.parquet", "data/de-1.parquet"}
+
+
+def test_metadata_shape_is_v2(tmp_path):
+    t = _table(tmp_path)
+    t.commit(_files("en", 3, 0))
+    mdir = Path(t.dir) / "metadata"
+    v = int((mdir / "version-hint.text").read_text())
+    meta = json.loads((mdir / f"v{v}.metadata.json").read_text())
+    assert meta["format-version"] == 2
+    fields = meta["schemas"][0]["fields"]
+    assert [f["id"] for f in fields] == [1, 2, 3]
+    spec = meta["partition-specs"][0]["fields"][0]
+    assert spec["transform"] == "identity"
+    assert spec["source-id"] == 3            # lang is the 3rd column
+    assert spec["field-id"] == 1000
+    assert meta["snapshots"][0]["summary"]["operation"] == "append"
+    # manifest list is a REAL Avro container with the spec's counters
+    snap = meta["snapshots"][0]
+    rows = list(iter_container(
+        (Path(t.dir) / snap["manifest-list"]).read_bytes()))
+    assert rows[0]["added_files_count"] == 2
+    assert rows[0]["added_rows_count"] == 6
+    assert rows[0]["partitions"][0]["lower_bound"] == b"en"
+
+
+def test_plan_missing_table_raises(tmp_path):
+    with pytest.raises(ValueError):
+        IcebergTable(str(tmp_path / "nope")).plan()
