@@ -412,6 +412,7 @@ BENCH_QUERIES = [
     "q420_wet_wat",
     "q421_delta_log",
     "q422_iceberg_interop",
+    "q423_http_decode_chain",
 ]
 
 

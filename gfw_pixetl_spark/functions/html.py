@@ -129,3 +129,32 @@ def html_extract(df: DataFrame, html_col: str = "html") -> DataFrame:
             })
 
     return df.select("doc_id", html_col).mapInPandas(kernel, HTML_SCHEMA)
+
+
+def sniff_charset(body: bytes, content_type: str = "") -> str:
+    """Charset of an HTML payload, in the precedence real browsers and
+    crawlers apply (WHATWG encoding sniffing, abridged): byte-order
+    mark first, then the Content-Type header's charset parameter, then
+    a ``<meta charset>`` / ``<meta http-equiv>`` declaration scanned in
+    the first 1024 bytes, else UTF-8."""
+    if body.startswith(b"\xef\xbb\xbf"):
+        return "utf-8-sig"
+    if body.startswith(b"\xff\xfe"):
+        return "utf-16-le"
+    if body.startswith(b"\xfe\xff"):
+        return "utf-16-be"
+    m = re.search(r"charset\s*=\s*[\"']?([\w.-]+)", content_type,
+                  re.IGNORECASE)
+    if m:
+        return m.group(1).lower()
+    head = body[:1024].decode("latin-1", "replace")
+    m = re.search(r"<meta\s+charset\s*=\s*[\"']?([\w.-]+)", head,
+                  re.IGNORECASE)
+    if m:
+        return m.group(1).lower()
+    m = re.search(
+        r"<meta[^>]+http-equiv\s*=\s*[\"']?content-type[\"']?[^>]*"
+        r"charset=([\w.-]+)", head, re.IGNORECASE)
+    if m:
+        return m.group(1).lower()
+    return "utf-8"

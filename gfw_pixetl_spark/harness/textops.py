@@ -9235,3 +9235,103 @@ def q422(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("chars_head"),
                     F.lit(en_plan["manifests_scanned"]).cast("int")
                      .alias("manifests_scanned_en")))
+
+
+# --------------------------------------------------------------------------
+# q423 — HTTP PAYLOAD DECODE CHAIN (transfer-encoding + charset): the
+# two decode steps between a WARC response payload and text that q418
+# (content-encoding) doesn't cover. Per doc: the page is encoded
+# UTF-16-LE with a BOM (even doc_ids) or UTF-8 with a <meta charset>
+# declaration (odd), and every third response is wrapped in RFC 9112
+# chunked transfer coding (100-byte chunks + a trailer). The kernel
+# runs the real chain — WARC parse -> HTTP split -> dechunk ->
+# WHATWG-order charset sniff (BOM > header > meta) -> decode -> HTML
+# text extraction — and the oracle replays the visible text
+# analytically (q372's discipline).
+# --------------------------------------------------------------------------
+HTTPDEC_SCHEMA = ("doc_id long, charset string, chunked boolean, "
+                  "text string, n_chars int")
+
+
+@register(
+    "q423_http_decode_chain",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'utf-16-le'
+                ELSE 'utf-8' END AS charset,
+           doc_id % 3 = 0 AS chunked,
+           'Doc ' || CAST(doc_id % 100 AS VARCHAR) || ' ' || text
+               AS text,
+           CAST(length('Doc ' || CAST(doc_id % 100 AS VARCHAR)
+                || ' ' || text) AS INT) AS n_chars
+    FROM documents
+    """,
+)
+def q423(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.partitioning import ensure_min_partitions
+
+    docs = ensure_min_partitions(
+        load(spark, sf_dir, "documents").select("doc_id", "text"))
+
+    def kernel(batches):
+        import pandas as pd
+
+        from ..functions.html import extract_text, sniff_charset
+        from ..sources.warc import (
+            decode_chunked, http_response_bytes, iter_warc,
+            parse_http_response, write_warc,
+        )
+
+        def chunkify(b: bytes) -> bytes:
+            out = bytearray()
+            for i in range(0, len(b), 100):
+                piece = b[i:i + 100]
+                out += f"{len(piece):x}".encode() + b"\r\n"
+                out += piece + b"\r\n"
+            out += b"0\r\nx-trailer: t\r\n\r\n"
+            return bytes(out)
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "charset", "chunked",
+                                   "text", "n_chars")}
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                title = f"Doc {doc_id % 100}"
+                if doc_id % 2 == 0:
+                    html = (f"<html><head><title>{title}</title>"
+                            f"</head><body><p>{t}</p></body></html>")
+                    body = b"\xff\xfe" + html.encode("utf-16-le")
+                    ctype = "text/html"
+                else:
+                    html = (f"<html><head><meta charset=\"utf-8\">"
+                            f"<title>{title}</title></head>"
+                            f"<body><p>{t}</p></body></html>")
+                    body = html.encode("utf-8")
+                    ctype = "text/html"
+                chunked = doc_id % 3 == 0
+                wire = chunkify(body) if chunked else body
+                extra = ({"Transfer-Encoding": "chunked"}
+                         if chunked else None)
+                warc = write_warc([{
+                    "type": "response",
+                    "uri": f"https://example.org/{doc_id}",
+                    "payload": http_response_bytes(
+                        wire, content_type=ctype, extra_headers=extra),
+                }])
+                for headers, payload in iter_warc(warc):
+                    if headers.get("WARC-Type") != "response":
+                        continue
+                    _st, hh, raw = parse_http_response(payload)
+                    if "chunked" in hh.get("transfer-encoding", ""):
+                        raw = decode_chunked(raw)
+                    charset = sniff_charset(
+                        raw, hh.get("content-type", ""))
+                    decoded = raw.decode(charset).lstrip("﻿")
+                    text, n, _lc = extract_text(decoded)
+                out["doc_id"].append(doc_id)
+                out["charset"].append(charset)
+                out["chunked"].append(bool(chunked))
+                out["text"].append(text)
+                out["n_chars"].append(n)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(kernel, HTTPDEC_SCHEMA)

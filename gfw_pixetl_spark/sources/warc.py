@@ -344,3 +344,29 @@ def parse_http_response(payload: bytes) -> tuple[int, dict, bytes]:
         k, _, v = line.partition(":")
         headers[k.strip().lower()] = v.strip()
     return status, headers, payload[hdr_end + 4:]
+
+
+def decode_chunked(body: bytes) -> bytes:
+    """Decode an HTTP/1.1 ``Transfer-Encoding: chunked`` payload
+    (RFC 9112 section 7.1): hex chunk-size lines (chunk extensions
+    after ';' ignored), CRLF-framed chunk data, the 0-size terminator,
+    and an optional trailer section (ignored).  Crawl captures often
+    preserve the raw transfer bytes, so dechunking sits between the
+    WARC payload and the Content-Encoding decode."""
+    out = bytearray()
+    pos = 0
+    while True:
+        eol = body.index(CRLF, pos)
+        size_token = body[pos:eol].split(b";", 1)[0].strip()
+        size = int(size_token, 16)
+        pos = eol + 2
+        if size == 0:
+            break  # trailer section (if any) is ignored
+        if pos + size > len(body):
+            raise ValueError("chunked: truncated chunk data")
+        out += body[pos:pos + size]
+        pos += size
+        if body[pos:pos + 2] != CRLF:
+            raise ValueError("chunked: missing chunk-data CRLF")
+        pos += 2
+    return bytes(out)

@@ -392,3 +392,46 @@ def test_scan_warc_zst_leading_skippable_frame():
     assert c["n_records"] == 2  # warcinfo + the response
     assert c["bad_gzip_members"] == 0 and c["junk_bytes"] == 0
     assert recs[1][0]["WARC-Target-URI"] == "http://e.com/a"
+
+
+# --------------------------------------------------------------------------
+# HTTP payload decode chain: chunked transfer coding + charset sniffing
+# --------------------------------------------------------------------------
+
+
+def test_decode_chunked_rfc9112():
+    from gfw_pixetl_spark.sources.warc import decode_chunked
+
+    wire = (b"4\r\nWiki\r\n6\r\npedia \r\nE\r\nin \r\n\r\nchunks.\r\n"
+            b"0\r\n\r\n")
+    assert decode_chunked(wire) == b"Wikipedia in \r\n\r\nchunks."
+    # chunk extensions are ignored; trailer headers are ignored
+    ext = b"5;name=val\r\nhello\r\n0\r\nx-checksum: 1\r\n\r\n"
+    assert decode_chunked(ext) == b"hello"
+    with pytest.raises(ValueError):
+        decode_chunked(b"5\r\nhel")        # truncated chunk data
+    with pytest.raises(ValueError):
+        decode_chunked(b"3\r\nabcXX0\r\n\r\n")  # missing CRLF
+
+
+def test_sniff_charset_precedence():
+    from gfw_pixetl_spark.functions.html import sniff_charset
+
+    # BOM beats everything
+    assert sniff_charset(b"\xff\xfex", "text/html; charset=utf-8") == \
+        "utf-16-le"
+    assert sniff_charset(b"\xfe\xffx") == "utf-16-be"
+    assert sniff_charset(b"\xef\xbb\xbfx") == "utf-8-sig"
+    # header beats meta
+    body = b'<meta charset="windows-1252"><p>x</p>'
+    assert sniff_charset(body, "text/html; charset=ISO-8859-1") == \
+        "iso-8859-1"
+    assert sniff_charset(body) == "windows-1252"
+    # http-equiv form
+    assert sniff_charset(
+        b'<meta http-equiv="Content-Type" '
+        b'content="text/html; charset=gb2312">') == "gb2312"
+    # meta beyond the first 1024 bytes is NOT consulted (WHATWG limit)
+    late = b" " * 1100 + b'<meta charset="koi8-r">'
+    assert sniff_charset(late) == "utf-8"
+    assert sniff_charset(b"<html>") == "utf-8"
