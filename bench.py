@@ -413,6 +413,7 @@ BENCH_QUERIES = [
     "q421_delta_log",
     "q422_iceberg_interop",
     "q423_http_decode_chain",
+    "q424_zstd_dict_frames",
 ]
 
 

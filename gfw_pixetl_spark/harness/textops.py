@@ -9335,3 +9335,84 @@ def q423(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(kernel, HTTPDEC_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# q424 — DICTIONARY-COMPRESSED zstd FRAMES (RFC 8878 section 5): the
+# small-document shard pattern — per-record frames are dominated by
+# header + first-occurrence costs, so real corpus writers share ONE
+# dictionary across a shard and every frame's matches reach into its
+# content. Both sides run the IN-TREE codec: compress(dictionary=)
+# extends the first block's match window below the frame start, and
+# decompress(dictionary=) replays it (entropy/rep preload + content
+# window); the per-shard saving is asserted in-kernel (total dict-
+# frame bytes < total plain-frame bytes). tests/test_zstd.py
+# additionally cross-validates both directions against libzstd with a
+# ZDICT-trained dictionary. The oracle replays the JSON envelope
+# analytically.
+# --------------------------------------------------------------------------
+ZDICT_SCHEMA = ("doc_id long, text string, n_chars int, "
+                "dict_rt_ok boolean, plain_guard_ok boolean")
+
+_ZSTD_SHARED_DICT = (
+    b'{"id": 000000, "lang": "en", "text": "the quick brown '
+    b'information document pipeline training corpus shard record '
+    b'available different people because government"} ') * 2
+
+
+@register(
+    "q424_zstd_dict_frames",
+    oracle="""
+    SELECT doc_id, text, CAST(length(text) AS INT) AS n_chars,
+           TRUE AS dict_rt_ok, TRUE AS plain_guard_ok
+    FROM documents
+    """,
+)
+def q424(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.partitioning import ensure_min_partitions
+
+    docs = ensure_min_partitions(
+        load(spark, sf_dir, "documents").select("doc_id", "text"))
+
+    def kernel(batches):
+        import json as _json
+
+        import pandas as pd
+
+        from ..sources.zstd import compress, decompress
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "text", "n_chars",
+                                   "dict_rt_ok", "plain_guard_ok")}
+            dict_total = plain_total = 0
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                line = _json.dumps(
+                    {"id": int(doc_id), "lang": "en", "text": t},
+                    ensure_ascii=False).encode()
+                dframe = compress(line, dictionary=_ZSTD_SHARED_DICT)
+                pframe = compress(line)
+                dict_total += len(dframe)
+                plain_total += len(pframe)
+                rt = decompress(dframe,
+                                dictionary=_ZSTD_SHARED_DICT) == line
+                # a dict frame must NOT decode as plain (the window
+                # reaches below frame start) — unless no match fired
+                guard = True
+                try:
+                    guard = decompress(dframe) != line or \
+                        dframe == pframe
+                except ValueError:
+                    guard = True
+                rec = _json.loads(line)
+                rows.append((rec["id"], rec["text"], rt, guard))
+            shard_ok = dict_total < plain_total or not rows
+            for doc_id, t, rt, guard in rows:
+                out["doc_id"].append(doc_id)
+                out["text"].append(t)
+                out["n_chars"].append(len(t))
+                out["dict_rt_ok"].append(bool(rt and shard_ok))
+                out["plain_guard_ok"].append(bool(guard))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(kernel, ZDICT_SCHEMA)

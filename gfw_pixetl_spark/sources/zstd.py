@@ -27,10 +27,20 @@ shelled out. Implemented:
 * XXH64 (for the optional 4-byte content checksum, verified when
   present).
 
-NOT implemented, raising clearly: external dictionaries (Dictionary_ID
-!= 0) and window sizes beyond the buffer (every frame is decoded whole
-— the ingest path decodes per-record frames, so streaming windows are
-unnecessary).
+* external DICTIONARIES (RFC 8878 section 5): ``parse_dictionary``
+  reads structured dictionaries (magic + id, Huffman/FSE entropy
+  tables, repeat offsets, content) and raw-content blobs;
+  ``decompress(dictionary=...)`` preloads the entropy state, seeds
+  the repeat offsets, and extends the match window with the content;
+  ``compress(dictionary=...)`` matches against the content and
+  records the id in the frame header — the small-document shard
+  pattern where one shared dictionary amortizes per-record headers.
+  Cross-validated against libzstd in BOTH directions, including
+  ZDICT-trained dictionaries.
+
+NOT implemented, raising clearly: window sizes beyond the buffer
+(every frame is decoded whole — the ingest path decodes per-record
+frames, so streaming windows are unnecessary).
 
 Scale shape: `frame_index` walks frames WITHOUT decoding (block
 headers carry their sizes), giving the (offset, size) random-access
@@ -49,6 +59,7 @@ from __future__ import annotations
 import struct
 
 ZSTD_MAGIC = 0xFD2FB528
+DICT_MAGIC = 0xEC30A437
 SKIPPABLE_LO = 0x184D2A50
 SKIPPABLE_HI = 0x184D2A5F
 SEEKABLE_MAGIC = 0x184D2A5E
@@ -539,13 +550,10 @@ def _parse_frame_header(data: bytes, pos: int):
         raise ValueError("zstd: reserved frame-header bit set")
     if not single:
         pos += 1  # window descriptor: whole-buffer decode ignores it
+    did = 0
     did_len = (0, 1, 2, 4)[did_flag]
     if did_len:
         did = int.from_bytes(data[pos:pos + did_len], "little")
-        if did:
-            raise ValueError(
-                "zstd: external dictionaries are not supported "
-                "(module docstring)")
         pos += did_len
     fcs_len = (0, 2, 4, 8)[fcs_flag]
     if fcs_flag == 0 and single:
@@ -556,7 +564,8 @@ def _parse_frame_header(data: bytes, pos: int):
         if fcs_len == 2:
             fcs += 256
         pos += fcs_len
-    return {"checksum": bool(checksum), "content_size": fcs}, pos
+    return {"checksum": bool(checksum), "content_size": fcs,
+            "dict_id": did}, pos
 
 
 def _walk_blocks(data: bytes, pos: int, out: bytearray | None,
@@ -586,9 +595,20 @@ def _walk_blocks(data: bytes, pos: int, out: bytearray | None,
             return pos
 
 
-def decompress(data: bytes, verify_checksum: bool = True) -> bytes:
+def decompress(data: bytes, verify_checksum: bool = True,
+               dictionary: bytes | dict | None = None) -> bytes:
     """Decode a concatenation of zstd frames (skippable frames are
-    skipped); the content of all data frames, in order."""
+    skipped); the content of all data frames, in order.
+
+    ``dictionary`` (RFC 8878 section 5) may be a raw blob (magic-
+    prefixed structured dictionary or raw-content dictionary) or a
+    ``parse_dictionary`` result: its entropy tables preload the
+    frame's Huffman/FSE repeat state, its repeat offsets seed the
+    offset history, and its CONTENT extends the match window below
+    the frame start — the small-document shard pattern where one
+    shared dictionary amortizes the per-record headers."""
+    d = (parse_dictionary(dictionary)
+         if isinstance(dictionary, (bytes, bytearray)) else dictionary)
     out = bytearray()
     pos = 0
     n = len(data)
@@ -609,22 +629,80 @@ def decompress(data: bytes, verify_checksum: bool = True) -> bytes:
             raise ValueError(f"zstd: bad magic 0x{magic:08x} at "
                              f"{pos - 4}")
         hdr, pos = _parse_frame_header(data, pos)
-        frame_start = len(out)
-        frame_state = {"rep": [1, 4, 8]}
-        pos = _walk_blocks(data, pos, out, frame_state)
-        if hdr["content_size"] is not None and (
-                len(out) - frame_start != hdr["content_size"]):
+        if hdr["dict_id"] and d is None:
             raise ValueError(
-                f"zstd: frame decoded {len(out) - frame_start} bytes, "
+                f"zstd: frame requires dictionary {hdr['dict_id']} "
+                "(pass dictionary=)")
+        if hdr["dict_id"] and d["id"] and hdr["dict_id"] != d["id"]:
+            raise ValueError(
+                f"zstd: frame wants dictionary {hdr['dict_id']}, "
+                f"got {d['id']}")
+        if d is not None:
+            fout = bytearray(d["content"])
+            base = len(fout)
+            frame_state = {"rep": list(d["rep"])}
+            if d["huf"] is not None:
+                frame_state["huf"] = d["huf"]
+            for kind in ("ll", "of", "ml"):
+                if d.get(f"seq_{kind}") is not None:
+                    frame_state[f"seq_{kind}"] = d[f"seq_{kind}"]
+            pos = _walk_blocks(data, pos, fout, frame_state)
+            produced = fout[base:]
+        else:
+            fout = out
+            base = len(out)
+            frame_state = {"rep": [1, 4, 8]}
+            pos = _walk_blocks(data, pos, fout, frame_state)
+            produced = fout[base:]
+        if hdr["content_size"] is not None and (
+                len(produced) != hdr["content_size"]):
+            raise ValueError(
+                f"zstd: frame decoded {len(produced)} bytes, "
                 f"header promised {hdr['content_size']}")
         if hdr["checksum"]:
             want = int.from_bytes(data[pos:pos + 4], "little")
             pos += 4
             if verify_checksum:
-                got = xxh64(bytes(out[frame_start:])) & 0xFFFFFFFF
+                got = xxh64(bytes(produced)) & 0xFFFFFFFF
                 if got != want:
                     raise ValueError("zstd: content checksum mismatch")
+        if d is not None:
+            out += produced
     return bytes(out)
+
+
+def parse_dictionary(blob: bytes) -> dict:
+    """Parse an RFC 8878 section-5 dictionary: magic + id, entropy
+    tables (Huffman literals table, then FSE tables for offsets /
+    match lengths / literals lengths), three repeat offsets, content.
+    A blob without the magic is a RAW-CONTENT dictionary (id 0, no
+    entropy preload, default repeat offsets)."""
+    if len(blob) < 8 or int.from_bytes(blob[:4], "little") != DICT_MAGIC:
+        return {"id": 0, "content": bytes(blob), "huf": None,
+                "seq_ll": None, "seq_of": None, "seq_ml": None,
+                "rep": [1, 4, 8]}
+    dict_id = int.from_bytes(blob[4:8], "little")
+    pos = 8
+    weights, used = _huf_read_weights(blob[pos:])
+    huf = _huf_build(weights)
+    pos += used
+    tables = {}
+    for kind, max_al in (("of", 8), ("ml", 9), ("ll", 9)):
+        fb = _FBits(blob[pos:])
+        probs, al = _fse_read_distribution(fb, max_al, 255)
+        tables[kind] = (_fse_build(probs, al), al)
+        pos += fb.byte_pos()
+    rep = [int.from_bytes(blob[pos + 4 * i:pos + 4 * i + 4], "little")
+           for i in range(3)]
+    pos += 12
+    content = bytes(blob[pos:])
+    for r in rep:
+        if not 0 < r <= len(content):
+            raise ValueError(f"zstd: dictionary repeat offset {r} "
+                             "outside content")
+    return {"id": dict_id, "content": content, "huf": huf,
+            "seq_ll": tables["ll"], "seq_of": tables["of"],
+            "seq_ml": tables["ml"], "rep": rep}
 
 
 def frame_end(data: bytes, pos: int) -> int:
@@ -959,11 +1037,18 @@ def _ml_code(ml: int) -> int:
     return bisect.bisect_right(_ML_BASE, ml) - 1
 
 
-def _find_sequences(data: bytes) -> tuple[list[tuple[int, int, int]], bytes]:
+def _find_sequences(data: bytes, prefix: bytes = b""
+                    ) -> tuple[list[tuple[int, int, int]], bytes]:
     """Greedy LZ77: (literal_len, offset, match_len) triples + the
     concatenated literals. Min match 4 (hash width), matches never
     cover the final byte so the last-sequence literals are non-trivial
-    only when needed."""
+    only when needed.  ``prefix`` (dictionary content) extends the
+    match window below position 0: matches may start in it, literals
+    never come from it."""
+    if prefix:
+        combined = prefix + data
+        seqs, lits = _find_sequences_prefixed(combined, len(prefix))
+        return seqs, lits
     n = len(data)
     seqs: list[tuple[int, int, int]] = []
     lits = bytearray()
@@ -993,6 +1078,39 @@ def _find_sequences(data: bytes) -> tuple[list[tuple[int, int, int]], bytes]:
     return seqs, bytes(lits)
 
 
+def _find_sequences_prefixed(combined: bytes, start: int
+                             ) -> tuple[list[tuple[int, int, int]], bytes]:
+    """The prefixed variant: hash the dictionary span first, then scan
+    the data span with the same greedy rule; offsets may reach into
+    the prefix (the decoder's window holds the dictionary content)."""
+    n = len(combined)
+    seqs: list[tuple[int, int, int]] = []
+    lits = bytearray()
+    table: dict[bytes, int] = {}
+    for p in range(max(0, start - 3)):
+        table[combined[p:p + 4]] = p
+    anchor = start
+    pos = start
+    limit = n - 8
+    while pos <= limit:
+        key = combined[pos:pos + 4]
+        cand = table.get(key)
+        table[key] = pos
+        if cand is None or combined[cand:cand + 4] != key:
+            pos += 1
+            continue
+        mlen = 4
+        max_m = n - pos
+        while mlen < max_m and combined[cand + mlen] == combined[pos + mlen]:
+            mlen += 1
+        lits += combined[anchor:pos]
+        seqs.append((pos - anchor, pos - cand, mlen))
+        pos += mlen
+        anchor = pos
+    lits += combined[anchor:]
+    return seqs, bytes(lits)
+
+
 def _literals_header(lits: bytes) -> bytes:
     """Raw literals section header (RLE when all bytes equal)."""
     n = len(lits)
@@ -1008,9 +1126,9 @@ def _literals_header(lits: bytes) -> bytes:
     return head + (lits[:1] if rle else lits)
 
 
-def _encode_block(data: bytes) -> bytes | None:
+def _encode_block(data: bytes, prefix: bytes = b"") -> bytes | None:
     """One compressed block's payload, or None when raw is smaller."""
-    seqs, lits = _find_sequences(data)
+    seqs, lits = _find_sequences(data, prefix)
     lit_sec = _huf_encode_literals(lits) or _literals_header(lits)
     if not seqs:
         # literals-only block: worthwhile iff Huffman shrank them
@@ -1065,17 +1183,36 @@ def _encode_block(data: bytes) -> bytes | None:
     return bytes(body) if len(body) < len(data) else None
 
 
-def compress(content: bytes, checksum: bool = False) -> bytes:
+def compress(content: bytes, checksum: bool = False,
+             dictionary: bytes | dict | None = None) -> bytes:
     """A spec-valid zstd frame with real COMPRESSED blocks (greedy
     LZ77 + predefined-FSE sequences, raw/RLE literals); blocks that do
     not shrink are stored raw. Single-segment with content size, so
-    any decoder window-checks trivially."""
+    any decoder window-checks trivially.
+
+    ``dictionary`` extends the first block's match window with the
+    dictionary CONTENT (the sequences then reach below the frame
+    start, exactly what ``decompress(dictionary=...)`` replays) and
+    records the dictionary id in the frame header when non-zero.
+    Entropy tables stay predefined/own-Huffman, which the spec allows
+    regardless of the dictionary's tables."""
+    d = (parse_dictionary(dictionary)
+         if isinstance(dictionary, (bytes, bytearray)) else dictionary)
+    dict_content = d["content"] if d else b""
+    did = d["id"] if d else 0
+    did_flag = 0 if not did else (1 if did < 256 else
+                                  2 if did < 65536 else 3)
     out = bytearray(struct.pack("<I", ZSTD_MAGIC))
     ck = 0x04 if checksum else 0
     if 0 < len(content) < 256:
-        out += bytes([0x20 | ck, len(content)])
+        out += bytes([0x20 | ck | did_flag, len(content)])
+        fcs = out.pop()                      # did precedes fcs
+        out += did.to_bytes((0, 1, 2, 4)[did_flag], "little")
+        out.append(fcs)
     else:
-        out += bytes([0xA0 | ck]) + struct.pack("<I", len(content))
+        out += bytes([0xA0 | ck | did_flag])
+        out += did.to_bytes((0, 1, 2, 4)[did_flag], "little")
+        out += struct.pack("<I", len(content))
     if not content:
         out += (1).to_bytes(3, "little")
     else:
@@ -1083,7 +1220,8 @@ def compress(content: bytes, checksum: bool = False) -> bytes:
         for i in range(0, len(content), max_block):
             chunk = content[i:i + max_block]
             last = 1 if i + max_block >= len(content) else 0
-            enc = _encode_block(chunk)
+            enc = _encode_block(chunk,
+                                prefix=dict_content if i == 0 else b"")
             if enc is None:  # raw block
                 out += ((len(chunk) << 3) | last).to_bytes(3, "little")
                 out += chunk

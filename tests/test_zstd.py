@@ -144,9 +144,9 @@ def test_corruption_surface():
     raw_frame[6] |= 0x06  # block-type bits -> 3 (reserved)
     with pytest.raises(ValueError, match="reserved block type"):
         decompress(bytes(raw_frame))
-    # dictionaries are declared out of scope
+    # a dict-id frame demands its dictionary at decode time
     dict_frame = struct.pack("<I", 0xFD2FB528) + bytes([0x21, 7, 42])
-    with pytest.raises(ValueError, match="dictionaries"):
+    with pytest.raises(ValueError, match="requires dictionary"):
         decompress(dict_frame)
 
 
@@ -300,3 +300,135 @@ def test_property_package_merge_kraft(counts):
     lens = _pm_lengths(counts, 11)
     assert max(lens.values()) <= 11
     assert sum(1 << (11 - l) for l in lens.values()) == 1 << 11
+
+
+# --------------------------------------------------------------------------
+# external dictionaries (RFC 8878 section 5)
+# --------------------------------------------------------------------------
+
+
+def _libzstd_ctypes():
+    import ctypes
+    import glob
+
+    for pat in ("/usr/lib/*/libzstd.so.1*", "/usr/lib/libzstd.so.1*",
+                "/root/miniconda/lib/libzstd.so.1*"):
+        for path in sorted(glob.glob(pat)):
+            try:
+                lib = ctypes.CDLL(path)
+                lib.ZSTD_compress_usingDict
+                lib.ZDICT_trainFromBuffer
+            except (OSError, AttributeError):
+                continue
+            lib.ZSTD_compressBound.restype = ctypes.c_size_t
+            lib.ZSTD_isError.restype = ctypes.c_uint
+            lib.ZDICT_trainFromBuffer.restype = ctypes.c_size_t
+            lib.ZDICT_isError.restype = ctypes.c_uint
+            lib.ZSTD_createCCtx.restype = ctypes.c_void_p
+            lib.ZSTD_createDCtx.restype = ctypes.c_void_p
+            lib.ZSTD_compress_usingDict.restype = ctypes.c_size_t
+            lib.ZSTD_decompress_usingDict.restype = ctypes.c_size_t
+            return lib, ctypes
+    return None, None
+
+
+def _dict_samples():
+    rnd = random.Random(4)
+    words = ["the", "quick", "brown", "information", "document",
+             "pipeline", "training", "corpus", "shard", "record"]
+    return [(" ".join(rnd.choice(words) for _ in range(40)) +
+             f" id={i}").encode() for i in range(120)]
+
+
+RAW_DICT = (b'{"id": 000000, "text": "the quick brown information '
+            b'document pipeline training corpus shard record"} ') * 3
+
+
+def test_dictionary_roundtrip_own_codec():
+    from gfw_pixetl_spark.sources.zstd import parse_dictionary
+
+    pd = parse_dictionary(RAW_DICT)
+    assert pd["id"] == 0 and pd["huf"] is None
+    for s in _dict_samples()[:30]:
+        frame = compress(s, dictionary=RAW_DICT)
+        assert decompress(frame, dictionary=RAW_DICT) == s
+        # dictionary matching must actually fire on template-shaped text
+    tpl = b'{"id": 17, "text": "the quick brown information corpus"}'
+    assert len(compress(tpl, dictionary=RAW_DICT)) < len(compress(tpl))
+
+
+def test_dictionary_cross_validated_against_libzstd():
+    lib, ctypes = _libzstd_ctypes()
+    if lib is None:
+        pytest.skip("libzstd dictionary API not on this machine")
+    from gfw_pixetl_spark.sources.zstd import parse_dictionary
+
+    samples = _dict_samples()
+    buf = b"".join(samples)
+    sizes = (ctypes.c_size_t * len(samples))(*[len(s) for s in samples])
+    dbuf = ctypes.create_string_buffer(4096)
+    dn = lib.ZDICT_trainFromBuffer(dbuf, 4096, buf, sizes, len(samples))
+    assert not lib.ZDICT_isError(dn)
+    trained = dbuf.raw[:dn]
+    pd = parse_dictionary(trained)
+    assert pd["id"] != 0 and pd["huf"] is not None
+
+    cctx = ctypes.c_void_p(lib.ZSTD_createCCtx())
+    dctx = ctypes.c_void_p(lib.ZSTD_createDCtx())
+
+    def zc(src, d, level):
+        cap = lib.ZSTD_compressBound(len(src))
+        ob = ctypes.create_string_buffer(cap)
+        n = lib.ZSTD_compress_usingDict(
+            cctx, ob, ctypes.c_size_t(cap), src,
+            ctypes.c_size_t(len(src)), d, ctypes.c_size_t(len(d)),
+            level)
+        assert not lib.ZSTD_isError(n)
+        return ob.raw[:n]
+
+    def zd(frame, d, cap):
+        ob = ctypes.create_string_buffer(cap + 16)
+        n = lib.ZSTD_decompress_usingDict(
+            dctx, ob, ctypes.c_size_t(cap + 16), frame,
+            ctypes.c_size_t(len(frame)), d, ctypes.c_size_t(len(d)))
+        assert not lib.ZSTD_isError(n)
+        return ob.raw[:n]
+
+    # libzstd encode (trained dict: entropy preload + treeless
+    # literals + repeat tables) -> our decode, several levels
+    for level in (1, 3, 9, 19):
+        for s in samples[:25]:
+            assert decompress(zc(s, trained, level),
+                              dictionary=trained) == s
+    # raw-content dict: libzstd -> ours
+    for s in samples[:15]:
+        assert decompress(zc(s, RAW_DICT, 3), dictionary=RAW_DICT) == s
+    # OUR encode -> libzstd decode (raw and trained dicts)
+    for s in samples[:15]:
+        assert zd(compress(s, dictionary=RAW_DICT), RAW_DICT,
+                  len(s)) == s
+        assert zd(compress(s, dictionary=trained), trained,
+                  len(s)) == s
+
+
+def test_dictionary_error_surface():
+    import pytest as _pytest
+
+    from gfw_pixetl_spark.sources.zstd import parse_dictionary
+
+    # magic present but garbage/truncated tables -> parse must raise
+    with _pytest.raises(ValueError):
+        parse_dictionary(b"\x37\xa4\x30\xec" + b"\x01\x00\x00\x00")
+    with _pytest.raises(ValueError):
+        parse_dictionary(b"\x37\xa4\x30\xec" + b"\0" * 400)
+    # frame with a dict id requires the dictionary at decode time
+    fake = {"id": 77, "content": b"shared content " * 20,
+            "huf": None, "seq_ll": None, "seq_of": None,
+            "seq_ml": None, "rep": [1, 4, 8]}
+    f = compress(b"shared content shared content tail", dictionary=fake)
+    with _pytest.raises(ValueError):
+        decompress(f)
+    with _pytest.raises(ValueError):
+        decompress(f, dictionary={**fake, "id": 78})
+    assert decompress(f, dictionary=fake) == \
+        b"shared content shared content tail"
