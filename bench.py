@@ -414,6 +414,7 @@ BENCH_QUERIES = [
     "q422_iceberg_interop",
     "q423_http_decode_chain",
     "q424_zstd_dict_frames",
+    "q425_dict_training",
 ]
 
 

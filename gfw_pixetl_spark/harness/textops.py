@@ -9416,3 +9416,92 @@ def q424(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(kernel, ZDICT_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# q425 — DISTRIBUTED DICTIONARY TRAINING (the ZDICT-shaped corpus op):
+# a shared compression dictionary is TRAINED from the corpus itself —
+# overlapping 16-char shingles (stride 8) explode as pure column
+# expressions, one hash aggregation counts them, and the top 64 by
+# (count desc, shingle) concatenate into the dictionary content. The
+# cross-engine check is the md5 of that exact concatenation (both
+# engines must agree on every count, tie-break, and byte), and the
+# kernel then USES the trained dictionary through the in-tree zstd
+# codec (q424's path) with a per-shard saving assertion. At 100 TB the
+# shingle count is one map-side-combined groupBy + a 64-row TakeOrdered
+# — the classic top-k plan, no global sort.
+# --------------------------------------------------------------------------
+ZTRAIN_SCHEMA = ("doc_id long, n_chars int, dict_sig string, "
+                 "rt_ok boolean")
+
+
+@register(
+    "q425_dict_training",
+    oracle="""
+    WITH sh AS (
+      SELECT substr(text, i, 16) AS shingle
+      FROM documents, LATERAL (
+        SELECT unnest(generate_series(
+          1, greatest(length(text) - 15, 0), 8)) AS i)
+      WHERE length(text) >= 16
+    ), top AS (
+      SELECT shingle, COUNT(*) AS cnt FROM sh GROUP BY shingle
+      ORDER BY cnt DESC, shingle LIMIT 64
+    )
+    SELECT d.doc_id, CAST(length(d.text) AS INT) AS n_chars,
+           (SELECT md5(string_agg(shingle, '' ORDER BY cnt DESC,
+                                  shingle)) FROM top) AS dict_sig,
+           TRUE AS rt_ok
+    FROM documents d
+    """,
+)
+def q425(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib as _hashlib
+
+    from ..functions.partitioning import ensure_min_partitions
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    shingles = (
+        docs.filter(F.length("text") >= 16)
+        .select(F.explode(F.expr(
+            "transform(sequence(1, greatest(length(text) - 15, 1), 8),"
+            " i -> substr(text, i, 16))")).alias("shingle"))
+        .groupBy("shingle").count()
+        .orderBy(F.col("count").desc(), F.col("shingle"))
+        .limit(64)
+        .collect())                      # bounded: exactly 64 rows
+    content = "".join(r["shingle"] for r in shingles).encode()
+    dict_sig = _hashlib.md5(content).hexdigest()
+
+    work = ensure_min_partitions(docs)
+
+    def kernel(batches):
+        import json as _json
+
+        import pandas as pd
+
+        from ..sources.zstd import compress, decompress
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "n_chars", "rt_ok")}
+            dict_total = plain_total = 0
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                line = _json.dumps({"id": int(doc_id), "text": t},
+                                   ensure_ascii=False).encode()
+                dframe = compress(line, dictionary=content)
+                plain_total += len(compress(line))
+                dict_total += len(dframe)
+                rows.append((doc_id, len(t), decompress(
+                    dframe, dictionary=content) == line))
+            shard_ok = dict_total < plain_total or not rows
+            for doc_id, n, rt in rows:
+                out["doc_id"].append(doc_id)
+                out["n_chars"].append(n)
+                out["rt_ok"].append(bool(rt and shard_ok))
+            yield pd.DataFrame(out)
+
+    return (work.mapInPandas(kernel, "doc_id long, n_chars int, "
+                             "rt_ok boolean")
+            .select("doc_id", "n_chars",
+                    F.lit(dict_sig).alias("dict_sig"), "rt_ok"))
