@@ -415,6 +415,7 @@ BENCH_QUERIES = [
     "q423_http_decode_chain",
     "q424_zstd_dict_frames",
     "q425_dict_training",
+    "q426_delta_optimize",
 ]
 
 

@@ -9505,3 +9505,152 @@ def q425(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "rt_ok boolean")
             .select("doc_id", "n_chars",
                     F.lit(dict_sig).alias("dict_sig"), "rt_ok"))
+
+
+# --------------------------------------------------------------------------
+# q426 — DELTA OPTIMIZE / CLUSTERING (the small-file + data-layout op):
+# the table starts WORST-CASE clustered — 8 files by doc_id % 8, so
+# every file's (min, max) doc_id stats span the whole id range and a
+# range filter prunes NOTHING (files_before_hit = number of residues
+# present in the probed range, replayed analytically by the oracle).
+# OPTIMIZE rewrites the same rows into 8 doc_id-clustered files in ONE
+# commit (8 removes + 8 adds, atomic for readers); afterwards the same
+# filter's stats-range prune plans EXACTLY ONE file. The read-back of
+# the optimized table under the filter must agree with the corpus
+# (count + id sum) — proving the rewrite moved bytes, not just stats.
+# This is delta OPTIMIZE/ZORDER's scaling contract: pruning power is a
+# function of LAYOUT, and the log records enough (per-file min/max) to
+# plan it without opening a file.
+# --------------------------------------------------------------------------
+DOPT_SCHEMA = ("n_total long, n_hit long, sum_hit long, "
+               "files_before_hit int, files_after_hit int, "
+               "total_files int")
+
+
+def _deltaz_dir(spark: SparkSession, sf_dir: str) -> str:
+    def build(d: str) -> None:
+        import math as _math
+        import os as _os
+
+        from ..sources.deltalog import (
+            add_action, delta_commit, delta_metadata, remove_action,
+        )
+
+        _os.makedirs(d, exist_ok=True)
+        docs = load(spark, sf_dir, "documents").select(
+            "doc_id", "n_chars")
+
+        def writer(col):
+            def _w(batches):
+                import pandas as pd
+                import pyarrow as _pa
+                import pyarrow.parquet as _pq
+
+                for pdf in batches:
+                    if pdf.empty:
+                        continue
+                    facts = {k: [] for k in ("path", "size", "n",
+                                             "lo", "hi")}
+                    for key, grp in pdf.groupby(col):
+                        grp = grp.sort_values("doc_id")
+                        rel = f"{col}-{int(key)}.parquet"
+                        _pq.write_table(_pa.Table.from_pandas(
+                            grp[["doc_id", "n_chars"]],
+                            preserve_index=False),
+                            _os.path.join(d, rel))
+                        facts["path"].append(rel)
+                        facts["size"].append(_os.path.getsize(
+                            _os.path.join(d, rel)))
+                        facts["n"].append(len(grp))
+                        facts["lo"].append(int(grp["doc_id"].min()))
+                        facts["hi"].append(int(grp["doc_id"].max()))
+                    yield pd.DataFrame(facts)
+            return _w
+
+        fact_schema = "path string, size long, n long, lo long, hi long"
+        # v0: worst-case layout, 8 files by residue
+        v0 = (docs.withColumn("res", (F.col("doc_id") % 8).cast("int"))
+              .repartition("res")
+              .mapInPandas(writer("res"), fact_schema).collect())
+        meta = delta_metadata(
+            [("doc_id", "long"), ("n_chars", "long")], [])
+        delta_commit(d, 0, [{"metaData": meta}] + [
+            {"add": add_action(r["path"], {}, r["size"], r["n"],
+                               {"doc_id": r["lo"]},
+                               {"doc_id": r["hi"]})}
+            for r in sorted(v0, key=lambda r: r["path"])])
+
+        # OPTIMIZE: rewrite into 8 doc_id-clustered chunks, the exact
+        # ceil(n/8) chunking the oracle replays
+        n = docs.count()
+        c = _math.ceil(n / 8)
+        # ceil-exact chunking so the oracle can replay the boundaries;
+        # a production OPTIMIZE would repartitionByRange instead of a
+        # global row_number (this runs once, in the one-time layout
+        # job, not in the read path)
+        w = Window.orderBy("doc_id")
+        chunked = docs.withColumn(
+            "chunk", ((F.row_number().over(w) - 1) / c)
+            .cast("int"))
+        v1 = (chunked.repartition("chunk")
+              .mapInPandas(writer("chunk"), fact_schema).collect())
+        delta_commit(d, 1, [
+            {"remove": remove_action(r["path"])} for r in v0] + [
+            {"add": add_action(r["path"], {}, r["size"], r["n"],
+                               {"doc_id": r["lo"]},
+                               {"doc_id": r["hi"]})}
+            for r in sorted(v1, key=lambda r: r["path"])],
+            operation="OPTIMIZE")
+
+    return _derived_dir(sf_dir, "deltaz", build)
+
+
+@register(
+    "q426_delta_optimize",
+    oracle="""
+    WITH ranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY doc_id) AS rn,
+             COUNT(*) OVER () AS n
+      FROM documents
+    ), c1 AS (
+      SELECT doc_id, n FROM ranked
+      WHERE rn <= CAST(ceil(n / 8.0) AS BIGINT)
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_total,
+           CAST(COUNT(*) AS BIGINT) AS n_hit,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_hit,
+           CAST(COUNT(DISTINCT doc_id % 8) AS INT) AS files_before_hit,
+           CAST(1 AS INT) AS files_after_hit,
+           CAST(8 AS INT) AS total_files
+    FROM c1
+    """,
+)
+def q426(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+
+    from ..sources.deltalog import (
+        delta_snapshot, prune_adds, read_delta,
+    )
+
+    d = _deltaz_dir(spark, sf_dir)
+    head = delta_snapshot(d)
+    v0 = delta_snapshot(d, version=0)
+    # the probe range = the first optimized chunk's exact id span
+    chunk1 = min(head["adds"].values(),
+                 key=lambda a: json.loads(a["stats"])["minValues"]
+                 ["doc_id"])
+    st = json.loads(chunk1["stats"])
+    lo, hi = st["minValues"]["doc_id"], st["maxValues"]["doc_id"]
+    before = len(prune_adds(v0, column_ranges={"doc_id": (lo, hi)}))
+    after = len(prune_adds(head, column_ranges={"doc_id": (lo, hi)}))
+    hit = (read_delta(spark, d)
+           .filter((F.col("doc_id") >= lo) & (F.col("doc_id") <= hi)))
+    total = read_delta(spark, d).count()
+    return hit.agg(
+        F.lit(total).cast("bigint").alias("n_total"),
+        F.count("*").cast("bigint").alias("n_hit"),
+        F.sum("doc_id").cast("bigint").alias("sum_hit"),
+        F.lit(before).cast("int").alias("files_before_hit"),
+        F.lit(after).cast("int").alias("files_after_hit"),
+        F.lit(len(head["adds"])).cast("int").alias("total_files"))
