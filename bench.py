@@ -595,6 +595,34 @@ def main() -> None:
                   file=sys.stderr)
             stress_video = {"sec": -1.0, "golden": False}
 
+    # At-size LAKEHOUSE-LOG stress (round 7 cont.): ~115 MB of
+    # partitioned parquet through the Delta interop — 14 commits, a
+    # parquet checkpoint, a partition DELETE, then checkpointed-HEAD
+    # planning with log-only pruning and v0 time travel; closed-form
+    # count/id-sum goldens.
+    stress_lakehouse = None
+    if os.environ.get("SPARK_GRAFT_BENCH_STRESS", "1") != "0":
+        import tempfile
+
+        from gfw_pixetl_spark.harness import scale_stress_lakehouse
+
+        try:
+            t0 = time.perf_counter()
+            facts = scale_stress_lakehouse.run(spark, tempfile.mkdtemp())
+            problems = scale_stress_lakehouse.verify_outputs(facts)
+            stress_lakehouse = {
+                "sec": round(time.perf_counter() - t0, 3),
+                "sec_full_pipeline": facts["sec_full_pipeline"],
+                "data_mb": facts["data_bytes"] // 2**20,
+                "head_files": facts["head_files"],
+                "pruned_files": facts["pruned_files"],
+                "golden": not problems,
+            }
+        except Exception as e:  # noqa: BLE001
+            print(f"bench scale_stress_lakehouse FAILED: {e}",
+                  file=sys.stderr)
+            stress_lakehouse = {"sec": -1.0, "golden": False}
+
     # Full per-query medians go to a file (the driver's tail capture is
     # ~2 KB; a 169-entry map overflows it — r2 verdict #2). The LAST stdout
     # line is a compact summary the driver can always parse.
@@ -611,6 +639,7 @@ def main() -> None:
         "scale_stress_crawl": stress_crawl,
         "scale_stress_video": stress_video,
         "scale_stress_export": stress_export,
+        "scale_stress_lakehouse": stress_lakehouse,
     }
     repo = Path(__file__).resolve().parent
     detail_path = repo / "BENCH_DETAIL.json"
@@ -648,6 +677,7 @@ def main() -> None:
                 "scale_stress_crawl": stress_crawl,
                 "scale_stress_video": stress_video,
                 "scale_stress_export": stress_export,
+                "scale_stress_lakehouse": stress_lakehouse,
                 "detail": str(detail_path),
             }
         )

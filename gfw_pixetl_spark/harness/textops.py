@@ -9019,9 +9019,11 @@ def _delta_table_dir(spark: SparkSession, sf_dir: str) -> str:
             import pyarrow as _pa
             import pyarrow.parquet as _pq
 
-            for pdf in batches:
-                if pdf.empty:
-                    continue
+            # a partition arrives as many Arrow batches; each (lang,
+            # shard) file must be written once, so concatenate first
+            pdfs = [b for b in batches if not b.empty]
+            if pdfs:
+                pdf = pd.concat(pdfs, ignore_index=True)
                 facts = {k: [] for k in ("path", "lang", "shard",
                                          "size", "n", "lo", "hi")}
                 for (lang, shard), grp in pdf.groupby(
@@ -9140,9 +9142,9 @@ def _iceberg_dir(spark: SparkSession, sf_dir: str) -> str:
             import pyarrow as _pa
             import pyarrow.parquet as _pq
 
-            for pdf in batches:
-                if pdf.empty:
-                    continue
+            pdfs = [b for b in batches if not b.empty]
+            if pdfs:
+                pdf = pd.concat(pdfs, ignore_index=True)
                 facts = {k: [] for k in ("path", "lang", "shard",
                                          "size", "n")}
                 for (lang, shard), grp in pdf.groupby(
@@ -9546,9 +9548,9 @@ def _deltaz_dir(spark: SparkSession, sf_dir: str) -> str:
                 import pyarrow as _pa
                 import pyarrow.parquet as _pq
 
-                for pdf in batches:
-                    if pdf.empty:
-                        continue
+                pdfs = [b for b in batches if not b.empty]
+                if pdfs:
+                    pdf = pd.concat(pdfs, ignore_index=True)
                     facts = {k: [] for k in ("path", "size", "n",
                                              "lo", "hi")}
                     for key, grp in pdf.groupby(col):
