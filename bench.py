@@ -416,6 +416,7 @@ BENCH_QUERIES = [
     "q424_zstd_dict_frames",
     "q425_dict_training",
     "q426_delta_optimize",
+    "q427_iceberg_mor_deletes",
 ]
 
 

@@ -9656,3 +9656,155 @@ def q426(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(before).cast("int").alias("files_before_hit"),
         F.lit(after).cast("int").alias("files_after_hit"),
         F.lit(len(head["adds"])).cast("int").alias("total_files"))
+
+
+# --------------------------------------------------------------------------
+# q427 — ICEBERG V2 DELETE FILES (merge-on-read): the row-level delete
+# machinery real Iceberg tables use. History: per-lang appends (seq
+# 1-5), a GLOBAL EQUALITY delete file removing every doc_id % 10 == 3
+# key (seq 6), a re-insert of the % 20 == 3 half of those keys (seq 7
+# — they must SURVIVE, because equality deletes only apply to data
+# files with data_seq < delete_seq), and a POSITIONAL delete file
+# removing the first 5 row positions of the even-en data file (seq 8;
+# row positions come from the parquet scan's own _metadata.row_index).
+# The oracle replays the survivor set analytically: a sequence-rule
+# bug, a mis-applied position, or a partition/delete interaction error
+# all change the per-lang counts and id sums.
+# --------------------------------------------------------------------------
+IMOR_SCHEMA = ("lang string, n_docs long, id_sum long, chars_sum long")
+
+
+def _iceberg_mor_dir(spark: SparkSession, sf_dir: str) -> str:
+    def build(d: str) -> None:
+        import os as _os
+
+        from ..sources.iceberg import IcebergTable
+
+        _os.makedirs(_os.path.join(d, "data"), exist_ok=True)
+        docs = load(spark, sf_dir, "documents").select(
+            "doc_id", "n_chars", "lang")
+
+        def writer(tag):
+            def _w(batches):
+                import pandas as pd
+                import pyarrow as _pa
+                import pyarrow.parquet as _pq
+
+                pdfs = [b for b in batches if not b.empty]
+                if pdfs:
+                    pdf = pd.concat(pdfs, ignore_index=True)
+                    facts = {k: [] for k in ("path", "lang", "size",
+                                             "n")}
+                    for (lang, shard), grp in pdf.groupby(
+                            ["lang", "shard"]):
+                        grp = grp.sort_values("doc_id")
+                        rel = f"data/{tag}-{lang}-{int(shard)}.parquet"
+                        _pq.write_table(_pa.Table.from_pandas(
+                            grp[["doc_id", "n_chars", "lang"]],
+                            preserve_index=False),
+                            _os.path.join(d, rel))
+                        facts["path"].append(rel)
+                        facts["lang"].append(lang)
+                        facts["size"].append(_os.path.getsize(
+                            _os.path.join(d, rel)))
+                        facts["n"].append(len(grp))
+                    yield pd.DataFrame(facts)
+            return _w
+
+        fact_schema = "path string, lang string, size long, n long"
+        base = (docs.withColumn("shard", (F.col("doc_id") % 2)
+                                .cast("int"))
+                .repartition("lang", "shard")
+                .mapInPandas(writer("b"), fact_schema).collect())
+        table = IcebergTable(
+            d, [("doc_id", "long"), ("n_chars", "long"),
+                ("lang", "string")], ["lang"])
+        for lang in sorted({r["lang"] for r in base}):   # seq 1..5
+            table.commit([{
+                "path": r["path"], "partition": {"lang": r["lang"]},
+                "record_count": r["n"], "size": r["size"],
+            } for r in sorted(base, key=lambda r: r["path"])
+                if r["lang"] == lang])
+
+        # seq 6: GLOBAL equality delete of doc_id % 10 == 3
+        def del_writer(batches):
+            import pandas as pd
+            import pyarrow as _pa
+            import pyarrow.parquet as _pq
+
+            pdfs = [b for b in batches if not b.empty]
+            if pdfs:
+                pdf = pd.concat(pdfs, ignore_index=True).sort_values(
+                    "doc_id")
+                rel = "data/eq-delete.parquet"
+                _pq.write_table(_pa.Table.from_pandas(
+                    pdf[["doc_id"]], preserve_index=False),
+                    _os.path.join(d, rel))
+                yield pd.DataFrame({
+                    "path": [rel],
+                    "size": [_os.path.getsize(_os.path.join(d, rel))],
+                    "n": [len(pdf)]})
+
+        eq = (docs.filter(F.col("doc_id") % 10 == 3).select("doc_id")
+              .repartition(1)
+              .mapInPandas(del_writer, "path string, size long, n long")
+              .collect())[0]
+        table.commit([{"path": eq["path"], "partition": {"lang": None},
+                       "record_count": eq["n"], "size": eq["size"],
+                       "content": 2, "equality_ids": [1]}],
+                     operation="delete")
+
+        # seq 7: re-insert the % 20 == 3 half — these must survive
+        re_rows = (docs.filter(F.col("doc_id") % 20 == 3)
+                   .withColumn("shard", F.lit(9))
+                   .repartition("lang")
+                   .mapInPandas(writer("r"), fact_schema).collect())
+        table.commit([{
+            "path": r["path"], "partition": {"lang": r["lang"]},
+            "record_count": r["n"], "size": r["size"],
+        } for r in sorted(re_rows, key=lambda r: r["path"])])
+
+        # seq 8: positional delete of the first 5 rows of the even-en
+        # base file (its rows are doc_id-sorted by construction)
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        rel = "data/pos-delete.parquet"
+        _pq.write_table(_pa.table({
+            "file_path": _pa.array(["data/b-en-0.parquet"] * 5),
+            "pos": _pa.array(list(range(5)), _pa.int64())}),
+            _os.path.join(d, rel))
+        table.commit([{"path": rel, "partition": {"lang": None},
+                       "record_count": 5,
+                       "size": _os.path.getsize(_os.path.join(d, rel)),
+                       "content": 1}], operation="delete")
+
+    return _derived_dir(sf_dir, "icebergmor", build)
+
+
+@register(
+    "q427_iceberg_mor_deletes",
+    oracle="""
+    WITH en5 AS (
+      SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn
+        FROM documents WHERE lang = 'en' AND doc_id % 2 = 0)
+      WHERE rn <= 5
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_sum
+    FROM documents
+    WHERE NOT (doc_id % 10 = 3 AND doc_id % 20 <> 3)
+      AND doc_id NOT IN (SELECT doc_id FROM en5)
+    GROUP BY lang
+    """,
+)
+def q427(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.iceberg import read_iceberg
+
+    d = _iceberg_mor_dir(spark, sf_dir)
+    return read_iceberg(spark, d).groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("id_sum"),
+        F.sum("n_chars").cast("bigint").alias("chars_sum"))

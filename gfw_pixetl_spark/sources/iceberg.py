@@ -90,6 +90,8 @@ def _manifest_entry_schema(partition_fields: list[str]) -> dict:
         {"name": "partition", "type": part},
         {"name": "record_count", "type": "long"},
         {"name": "file_size_in_bytes", "type": "long"},
+        {"name": "equality_ids",
+         "type": ["null", {"type": "array", "items": "int"}]},
     ]}
     return {"type": "record", "name": "manifest_entry", "fields": [
         {"name": "status", "type": "int"},
@@ -135,11 +137,15 @@ class IcebergTable:
                carry_manifests: list[str] | None = None) -> int:
         """Create a new snapshot: write one manifest holding
         ``data_files`` ({path, partition: {col: val}, record_count,
-        size}), a manifest list referencing it plus every
-        ``carry_manifests`` path (default: all manifests of the
-        current snapshot), and the next metadata JSON.  Returns the
-        new snapshot id.  A delete is a commit that drops manifests
-        (carry only the survivors, pass no new files)."""
+        size, and optionally content: 1 (positional delete file) or
+        2 (equality delete file, with equality_ids)}), a manifest
+        list referencing it plus every ``carry_manifests`` path
+        (default: all manifests of the current snapshot), and the
+        next metadata JSON.  Returns the new snapshot id.  A
+        manifest holding delete files is marked content=1 in the
+        manifest list, per the spec.  Dropping whole manifests (carry
+        only the survivors, pass no new files) is the other delete
+        form."""
         meta = self._current_metadata()
         if meta is None:
             if self.schema_fields is None:
@@ -173,13 +179,17 @@ class IcebergTable:
                 "sequence_number": seq,
                 "file_sequence_number": seq,
                 "data_file": {
-                    "content": 0,
+                    "content": int(f.get("content", 0)),
                     "file_path": f["path"],
                     "file_format": "PARQUET",
-                    "partition": {k: str(v) for k, v in
+                    "partition": {k: (str(v) if v is not None
+                                      else None) for k, v in
                                   f.get("partition", {}).items()},
                     "record_count": int(f["record_count"]),
                     "file_size_in_bytes": int(f["size"]),
+                    "equality_ids": (list(f["equality_ids"])
+                                     if f.get("equality_ids")
+                                     else None),
                 },
             } for f in data_files]
             mrel = f"metadata/manifest-{snap_id}-{seq}.avro"
@@ -188,11 +198,13 @@ class IcebergTable:
             parts = [sorted(str(f.get("partition", {}).get(c))
                             for f in data_files)
                      for c in self.partition_fields]
+            is_delete_manifest = any(f.get("content", 0) != 0
+                                     for f in data_files)
             rows.append({
                 "manifest_path": mrel,
                 "manifest_length": len(blob),
                 "partition_spec_id": 0,
-                "content": 0,
+                "content": 1 if is_delete_manifest else 0,
                 "sequence_number": seq,
                 "min_sequence_number": seq,
                 "added_snapshot_id": snap_id,
@@ -291,9 +303,10 @@ class IcebergTable:
                        meta["partition-specs"][0]["fields"]]
         rows = self._manifest_rows(meta, sid)
         files = []
+        deletes = []
         scanned = 0
         for m in rows:
-            if partition_filter:
+            if partition_filter and m["content"] == 0:
                 skip = False
                 for i, c in enumerate(part_fields):
                     if c in partition_filter and i < len(
@@ -314,26 +327,85 @@ class IcebergTable:
                 if e["status"] == DELETED:
                     continue
                 df = e["data_file"]
+                if df["content"] != 0:
+                    deletes.append({**df,
+                                    "sequence_number":
+                                    e["sequence_number"]})
+                    continue
                 pv = df["partition"]
                 if partition_filter and any(
                         pv.get(k) != str(v) for k, v in
                         partition_filter.items()):
                     continue
-                files.append(df)
-        return {"files": files, "manifests_total": len(rows),
+                files.append({**df, "sequence_number":
+                              e["sequence_number"]})
+        return {"files": files, "deletes": deletes,
+                "manifests_total": len(rows),
                 "manifests_scanned": scanned, "snapshot_id": sid,
-                "partition_fields": part_fields}
+                "partition_fields": part_fields,
+                "schema_fields": [(f["name"], f["id"]) for f in
+                                  meta["schemas"][0]["fields"]]}
 
 
 def read_iceberg(spark, table_dir: str, snapshot_id: int | None = None,
                  partition_filter: dict | None = None):
-    """DataFrame over the live files of one snapshot (identity
-    partition columns live IN the parquet files, per the spec, so
-    this is a plain multi-path parquet read of the pruned list)."""
+    """DataFrame over the live rows of one snapshot: a plain
+    multi-path parquet read of the pruned data-file list (identity
+    partition columns live IN the files, per the spec), with v2
+    MERGE-ON-READ delete application when the snapshot carries delete
+    files — equality deletes anti-join rows of data files with
+    data_seq < delete_seq on the key columns; positional deletes
+    anti-join (file, row position) for data_seq <= delete_seq, the
+    row position coming from the parquet scan's own
+    ``_metadata.row_index``."""
+    from pyspark.sql import functions as F
+
     plan = IcebergTable(table_dir).plan(snapshot_id=snapshot_id,
                                         partition_filter=partition_filter)
     if not plan["files"]:
         raise ValueError("iceberg: no files survive pruning")
-    return spark.read.parquet(
-        *sorted(os.path.join(table_dir, f["file_path"])
-                for f in plan["files"]))
+    paths = sorted(os.path.join(table_dir, f["file_path"])
+                   for f in plan["files"])
+    df = spark.read.parquet(*paths)
+    if not plan["deletes"]:
+        return df
+
+    data_cols = df.columns
+    # row identity for delete application: the file's basename is
+    # unique within the table (writer-controlled), the row index
+    # comes from the scan itself
+    base = df.select(
+        "*",
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+         .alias("_file"),
+        F.col("_metadata.row_index").alias("_pos"))
+    seq_rows = [(f["file_path"].rsplit("/", 1)[-1],
+                 int(f["sequence_number"])) for f in plan["files"]]
+    seq_df = spark.createDataFrame(seq_rows, "_file string, _seq long")
+    base = base.join(F.broadcast(seq_df), "_file")
+
+    id_to_name = {fid: name for name, fid in plan["schema_fields"]}
+    for d in plan["deletes"]:
+        dpath = os.path.join(table_dir, d["file_path"])
+        dseq = int(d["sequence_number"])
+        if d["content"] == 2:          # equality delete
+            keys = [id_to_name[i] for i in (d["equality_ids"] or [])]
+            dels = spark.read.parquet(dpath).select(
+                *[F.col(k).alias(f"_d_{k}") for k in keys])
+            cond = F.lit(True)
+            for k in keys:
+                cond = cond & (F.col(k) == F.col(f"_d_{k}"))
+            base = base.join(
+                F.broadcast(dels.withColumn("_d_seq", F.lit(dseq))),
+                cond & (F.col("_seq") < F.col("_d_seq")), "left_anti")
+        else:                          # positional delete
+            dels = (spark.read.parquet(dpath)
+                    .select(F.element_at(F.split("file_path", "/"), -1)
+                            .alias("_d_file"),
+                            F.col("pos").alias("_d_pos")))
+            base = base.join(
+                F.broadcast(dels.withColumn("_d_seq", F.lit(dseq))),
+                (F.col("_file") == F.col("_d_file")) &
+                (F.col("_pos") == F.col("_d_pos")) &
+                (F.col("_seq") <= F.col("_d_seq")), "left_anti")
+    return base.select(*data_cols)

@@ -111,3 +111,86 @@ def test_metadata_shape_is_v2(tmp_path):
 def test_plan_missing_table_raises(tmp_path):
     with pytest.raises(ValueError):
         IcebergTable(str(tmp_path / "nope")).plan()
+
+
+# --------------------------------------------------------------------------
+# v2 delete files (merge-on-read)
+# --------------------------------------------------------------------------
+
+
+def _pq_write(path, cols):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table(cols), path)
+    import os
+
+    return os.path.getsize(path)
+
+
+def test_delete_files_plan_separation(tmp_path):
+    import os
+
+    t = _table(tmp_path)
+    os.makedirs(t.dir + "/data")
+    size = _pq_write(t.dir + "/data/d0.parquet",
+                     {"doc_id": [1, 2], "n_chars": [5, 6],
+                      "lang": ["en", "en"]})
+    t.commit([{"path": "data/d0.parquet", "partition": {"lang": "en"},
+               "record_count": 2, "size": size}])
+    dsize = _pq_write(t.dir + "/data/eq.parquet", {"doc_id": [2]})
+    t.commit([{"path": "data/eq.parquet", "partition": {"lang": None},
+               "record_count": 1, "size": dsize, "content": 2,
+               "equality_ids": [1]}], operation="delete")
+    plan = t.plan()
+    assert len(plan["files"]) == 1
+    assert len(plan["deletes"]) == 1
+    d = plan["deletes"][0]
+    assert d["content"] == 2 and d["equality_ids"] == [1]
+    assert d["sequence_number"] == 2
+    # delete files survive a partition filter (they may apply anywhere)
+    plan_en = t.plan(partition_filter={"lang": "en"})
+    assert len(plan_en["deletes"]) == 1
+
+
+def test_merge_on_read_sequence_rules(tmp_path, spark):
+    import os
+
+    t = _table(tmp_path)
+    os.makedirs(t.dir + "/data")
+
+    def data_file(name, ids, lang):
+        size = _pq_write(t.dir + "/" + name, {
+            "doc_id": ids, "n_chars": [len(str(i)) for i in ids],
+            "lang": [lang] * len(ids)})
+        return {"path": name, "partition": {"lang": lang},
+                "record_count": len(ids), "size": size}
+
+    from gfw_pixetl_spark.sources.iceberg import read_iceberg
+
+    t.commit([data_file("data/en.parquet", list(range(10)), "en")])
+    t.commit([data_file("data/de.parquet", list(range(10, 15)), "de")])
+    dsize = _pq_write(t.dir + "/data/eq.parquet", {"doc_id": [3, 12]})
+    t.commit([{"path": "data/eq.parquet", "partition": {"lang": None},
+               "record_count": 2, "size": dsize, "content": 2,
+               "equality_ids": [1]}], operation="delete")
+    t.commit([data_file("data/en2.parquet", [3], "en")])  # re-insert
+    psize = _pq_write(t.dir + "/data/pos.parquet", {
+        "file_path": ["data/en.parquet"] * 2, "pos": [0, 1]})
+    t.commit([{"path": "data/pos.parquet", "partition": {"lang": None},
+               "record_count": 2, "size": psize, "content": 1}],
+             operation="delete")
+
+    got = sorted(r["doc_id"]
+                 for r in read_iceberg(spark, t.dir).collect())
+    # 0,1 positionally deleted; 12 equality-deleted; 3 deleted then
+    # RE-INSERTED at a later sequence, so it survives
+    assert got == [2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 13, 14]
+    # time travel to before any delete sees everything
+    before = sorted(r["doc_id"] for r in read_iceberg(
+        spark, t.dir, snapshot_id=2).collect())
+    assert before == list(range(15))
+    # partition filter composes with delete application
+    en = sorted(r["doc_id"] for r in read_iceberg(
+        spark, t.dir, partition_filter={"lang": "en"}).collect())
+    assert en == [2, 3, 4, 5, 6, 7, 8, 9]
