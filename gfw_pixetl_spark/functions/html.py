@@ -139,10 +139,11 @@ def sniff_charset(body: bytes, content_type: str = "") -> str:
     the first 1024 bytes, else UTF-8."""
     if body.startswith(b"\xef\xbb\xbf"):
         return "utf-8-sig"
-    if body.startswith(b"\xff\xfe"):
-        return "utf-16-le"
-    if body.startswith(b"\xfe\xff"):
-        return "utf-16-be"
+    if body.startswith(b"\xff\xfe") or body.startswith(b"\xfe\xff"):
+        # the BOM-consuming codec: endianness from the BOM itself,
+        # and the U+FEFF never leaks into the decoded text (same
+        # contract as utf-8-sig above)
+        return "utf-16"
     m = re.search(r"charset\s*=\s*[\"']?([\w.-]+)", content_type,
                   re.IGNORECASE)
     if m:

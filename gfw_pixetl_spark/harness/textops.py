@@ -3794,7 +3794,9 @@ def q371(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["n_members"].append(n_members)
                 out["status"].append(st)
                 out["ctype"].append(hh["content-type"])
-                out["body_bytes"].append(len(bb))
+                # characters, matching the oracle's length() semantics
+                out["body_bytes"].append(
+                    len(bb.decode("utf-8", "strict")))
                 out["body_sig"].append(
                     int(_hashlib.md5(bb).hexdigest()[:4], 16))
                 out["n_parsed"].append(counters["n_records"])
@@ -8722,7 +8724,10 @@ def q418(spark: SparkSession, sf_dir: str) -> DataFrame:
                 store_ok = br_dec_ref(compress(body), len(body)) == body
                 out["doc_id"].append(doc_id)
                 out["encoding"].append(enc_name)
-                out["body_bytes"].append(len(body))
+                # characters, matching the oracle's length() semantics
+                # (bytes == chars only while the corpus is ASCII)
+                out["body_bytes"].append(
+                    len(body.decode("utf-8", "strict")))
                 out["body_sig"].append(
                     int(_hashlib.md5(body).hexdigest()[:4], 16))
                 out["decoded_ok"].append(decoded == body)
@@ -8858,7 +8863,9 @@ def q419(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["surt_key"].append(r["surt_key"])
                 out["status"].append(st)
                 out["mime"].append(r["mime"])
-                out["body_bytes"].append(len(body))
+                # characters, matching the oracle's length() semantics
+                out["body_bytes"].append(
+                    len(body.decode("utf-8", "strict")))
                 out["digest_ok"].append(
                     payload_digest(payload) == r["digest"]
                     and st == int(r["status"]))
@@ -9259,7 +9266,7 @@ HTTPDEC_SCHEMA = ("doc_id long, charset string, chunked boolean, "
     "q423_http_decode_chain",
     oracle="""
     SELECT doc_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'utf-16-le'
+           CASE WHEN doc_id % 2 = 0 THEN 'utf-16'
                 ELSE 'utf-8' END AS charset,
            doc_id % 3 = 0 AS chunked,
            'Doc ' || CAST(doc_id % 100 AS VARCHAR) || ' ' || text

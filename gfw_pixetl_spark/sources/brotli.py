@@ -527,8 +527,6 @@ def decompress(data: bytes, max_output: int | None = None) -> bytes:
         if not islast and bits.read_bit():  # ISUNCOMPRESSED
             bits.align()
             out += bits.take_bytes(mlen)
-            if islast:
-                break
             continue
 
         # --- compressed meta-block header (section 9.2) ---
@@ -710,10 +708,9 @@ class _BitWriter:
         return bytes(self.buf)
 
 
-def compress_store(data: bytes, wbits: int = 22) -> bytes:
-    """Encode ``data`` as a valid brotli stream of uncompressed
-    meta-blocks (no entropy coding) — the analog of zstd's raw blocks.
-    Decodable by any RFC 7932 decoder including libbrotli."""
+def _stream_header(wbits: int) -> _BitWriter:
+    """A writer primed with the WBITS stream header (section 9.1) —
+    shared by the store-mode and entropy-coded encoders."""
     if not 10 <= wbits <= 24:
         raise ValueError("brotli: WBITS must be in 10..24")
     w = _BitWriter()
@@ -730,6 +727,14 @@ def compress_store(data: bytes, wbits: int = 22) -> bytes:
         w.write(1, 1)
         w.write(0, 3)
         w.write(wbits - 8, 3)
+    return w
+
+
+def compress_store(data: bytes, wbits: int = 22) -> bytes:
+    """Encode ``data`` as a valid brotli stream of uncompressed
+    meta-blocks (no entropy coding) — the analog of zstd's raw blocks.
+    Decodable by any RFC 7932 decoder including libbrotli."""
+    w = _stream_header(wbits)
     pos = 0
     while pos < len(data):
         chunk = data[pos:pos + (1 << 24)]
@@ -780,23 +785,10 @@ def decode_content_encoding(body: bytes, encoding: str) -> bytes:
 # --------------------------------------------------------------------------
 
 
-def _pm_lengths(counts: dict[int, int], max_len: int) -> dict[int, int]:
-    """Optimal length-limited code lengths (package-merge,
-    Larmore-Hirschberg). Kraft-complete by construction — the decoder's
-    32768-space accounting requires exactness."""
-    leaves = sorted((c, (s,)) for s, c in counts.items())
-    lst: list[tuple[int, tuple]] = []
-    for _ in range(max_len - 1):
-        merged = sorted(lst + leaves)
-        lst = [(merged[i][0] + merged[i + 1][0],
-                merged[i][1] + merged[i + 1][1])
-               for i in range(0, len(merged) - 1, 2)]
-    merged = sorted(lst + leaves)
-    lengths = {s: 0 for s in counts}
-    for _, syms in merged[:2 * (len(leaves) - 1)]:
-        for s in syms:
-            lengths[s] += 1
-    return lengths
+# package-merge length-limited Huffman, shared with the zstd encoder
+# (Kraft-complete by construction — the decoder's 32768-space
+# accounting requires exactness)
+from .zstd import _pm_lengths  # noqa: E402
 
 
 def _canonical_codes(lengths: dict[int, int]) -> dict[int, tuple[int, int]]:
@@ -1026,22 +1018,7 @@ def compress(data: bytes, wbits: int = 22) -> bytes:
     is NOT used (no context modeling, no static-dictionary references,
     no distance ring codes) — this is the honest write-side subset,
     exactly like zstd.py's predefined-FSE compressor."""
-    if not 10 <= wbits <= 24:
-        raise ValueError("brotli: WBITS must be in 10..24")
-    w = _BitWriter()
-    if wbits == 16:
-        w.write(0, 1)
-    elif wbits >= 18:
-        w.write(1, 1)
-        w.write(wbits - 17, 3)
-    elif wbits == 17:
-        w.write(1, 1)
-        w.write(0, 3)
-        w.write(0, 3)
-    else:
-        w.write(1, 1)
-        w.write(0, 3)
-        w.write(wbits - 8, 3)
+    w = _stream_header(wbits)
 
     # chunks never exceed the window, so every in-chunk distance is a
     # plain backward reference (never a dictionary address)

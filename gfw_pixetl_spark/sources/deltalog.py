@@ -142,9 +142,9 @@ def write_checkpoint(table_dir: str, version: int) -> None:
 
     state = delta_snapshot(table_dir, version=version,
                            allow_checkpoint=False)
-    # parquet cannot hold empty structs; the always-empty map fields
-    # (format.options, configuration) are dropped here and restored as
-    # defaults on load
+    # parquet cannot hold empty structs; the empty map fields
+    # (format.options, configuration, and an unpartitioned table's
+    # partitionValues) are dropped here and restored on load
     meta = {k: v for k, v in state["metadata"].items()
             if k != "configuration"}
     meta["format"] = {"provider": state["metadata"]["format"]
@@ -152,6 +152,9 @@ def write_checkpoint(table_dir: str, version: int) -> None:
     rows = [{"add": None, "metaData": None, "protocol": PROTOCOL},
             {"add": None, "metaData": meta, "protocol": None}]
     for a in state["adds"].values():
+        a = dict(a)
+        if not a.get("partitionValues"):
+            a.pop("partitionValues", None)
         rows.append({"add": a, "metaData": None, "protocol": None})
     table = pa.Table.from_pylist(rows)
     out = _log_dir(table_dir) / f"{version:020d}.checkpoint.parquet"
@@ -186,12 +189,17 @@ def delta_snapshot(table_dir: str, version: int | None = None,
     meta: list = [None]
     start = 0
     if allow_checkpoint:
-        lc = _log_dir(table_dir) / "_last_checkpoint"
-        if lc.exists():
-            cp_version = json.loads(lc.read_text())["version"]
-            if cp_version <= head:
-                _load_checkpoint(table_dir, cp_version, adds, meta)
-                start = cp_version + 1
+        # newest checkpoint AT OR BELOW the requested version — a
+        # historical read must not fall back to full-history replay
+        # just because _last_checkpoint is newer than it
+        cps = sorted(int(n.split(".")[0]) for n in
+                     os.listdir(_log_dir(table_dir))
+                     if n.endswith(".checkpoint.parquet"))
+        eligible = [v for v in cps if v <= head]
+        if eligible:
+            cp_version = eligible[-1]
+            _load_checkpoint(table_dir, cp_version, adds, meta)
+            start = cp_version + 1
     for v in versions:
         if start <= v <= head:
             _replay(adds, meta,
@@ -208,7 +216,9 @@ def _load_checkpoint(table_dir: str, version: int, adds: dict,
     path = _log_dir(table_dir) / f"{version:020d}.checkpoint.parquet"
     for row in pq.read_table(path).to_pylist():
         if row.get("add"):
-            adds[row["add"]["path"]] = row["add"]
+            a = dict(row["add"])
+            a.setdefault("partitionValues", {})
+            adds[a["path"]] = a
         elif row.get("metaData"):
             m = dict(row["metaData"])
             m.setdefault("configuration", {})
@@ -257,6 +267,10 @@ def read_delta(spark, table_dir: str, version: int | None = None,
 
     state = delta_snapshot(table_dir, version=version)
     part_cols = state["metadata"]["partitionColumns"]
+    # partition values live in the log as strings; the declared
+    # schema gives each its real type back
+    schema_types = {f["name"]: f["type"] for f in json.loads(
+        state["metadata"]["schemaString"])["fields"]}
     adds = prune_adds(state, partition_filter=partition_filter)
     if not adds:
         raise ValueError("delta: no files survive pruning")
@@ -266,9 +280,13 @@ def read_delta(spark, table_dir: str, version: int | None = None,
         groups.setdefault(key, []).append(
             os.path.join(table_dir, a["path"]))
     legs = []
-    for key, paths in sorted(groups.items()):
+    for key, paths in sorted(groups.items(),
+                             key=lambda kv: tuple(
+                                 "" if v is None else v
+                                 for v in kv[0])):
         df = spark.read.parquet(*sorted(paths))
         for col, val in zip(part_cols, key):
-            df = df.withColumn(col, F.lit(val))
+            typ = schema_types.get(col, "string")
+            df = df.withColumn(col, F.lit(val).cast(typ))
         legs.append(df)
     return reduce(lambda x, y: x.unionByName(y), legs)

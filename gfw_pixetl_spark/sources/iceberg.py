@@ -195,9 +195,19 @@ class IcebergTable:
             mrel = f"metadata/manifest-{snap_id}-{seq}.avro"
             blob = write_container(entries, entry_schema)
             (Path(self.dir) / mrel).write_bytes(blob)
-            parts = [sorted(str(f.get("partition", {}).get(c))
-                            for f in data_files)
-                     for c in self.partition_fields]
+            parts = []
+            for c in self.partition_fields:
+                vals = [f.get("partition", {}).get(c)
+                        for f in data_files]
+                non_null = sorted(str(v) for v in vals
+                                  if v is not None)
+                parts.append({
+                    "contains_null": any(v is None for v in vals),
+                    "lower": non_null[0].encode() if non_null
+                    else None,
+                    "upper": non_null[-1].encode() if non_null
+                    else None,
+                })
             is_delete_manifest = any(f.get("content", 0) != 0
                                      for f in data_files)
             rows.append({
@@ -216,10 +226,10 @@ class IcebergTable:
                 "existing_rows_count": 0,
                 "deleted_rows_count": 0,
                 "partitions": [
-                    {"contains_null": False,
-                     "lower_bound": vals[0].encode(),
-                     "upper_bound": vals[-1].encode()}
-                    for vals in parts],
+                    {"contains_null": p["contains_null"],
+                     "lower_bound": p["lower"],
+                     "upper_bound": p["upper"]}
+                    for p in parts],
             })
         if carry_manifests is None:
             rows.extend(prev_manifests)
@@ -334,8 +344,9 @@ class IcebergTable:
                     continue
                 pv = df["partition"]
                 if partition_filter and any(
-                        pv.get(k) != str(v) for k, v in
-                        partition_filter.items()):
+                        pv.get(k) != (str(v) if v is not None
+                                      else None)
+                        for k, v in partition_filter.items()):
                     continue
                 files.append({**df, "sequence_number":
                               e["sequence_number"]})

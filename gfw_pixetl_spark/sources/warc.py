@@ -358,6 +358,12 @@ def decode_chunked(body: bytes) -> bytes:
     while True:
         eol = body.index(CRLF, pos)
         size_token = body[pos:eol].split(b";", 1)[0].strip()
+        # RFC 9112 chunk-size is 1*HEXDIG — int(x, 16) alone would
+        # also accept "0x", "+", "_" and negative tokens
+        if not size_token or any(c not in b"0123456789abcdefABCDEF"
+                                 for c in size_token):
+            raise ValueError(f"chunked: bad chunk size "
+                             f"{size_token!r}")
         size = int(size_token, 16)
         pos = eol + 2
         if size == 0:

@@ -117,3 +117,63 @@ def test_future_reader_protocol_rejected(tmp_path):
                         {"metaData": META}])
     with pytest.raises(ValueError):
         delta_snapshot(t)
+
+
+def test_unpartitioned_checkpoint_roundtrip(tmp_path):
+    """Review finding: an unpartitioned table's empty partitionValues
+    inferred a zero-field struct that parquet cannot write — the
+    auto-checkpoint at v10 crashed the writer."""
+    t = str(tmp_path / "tbl")
+    meta = delta_metadata([("doc_id", "long")], [])
+    delta_commit(t, 0, [{"metaData": meta},
+                        {"add": add_action("f0.parquet", {}, 10, 3)}])
+    write_checkpoint(t, 0)
+    delta_commit(t, 1, [{"add": add_action("f1.parquet", {}, 10, 4)}])
+    head = delta_snapshot(t)
+    assert set(head["adds"]) == {"f0.parquet", "f1.parquet"}
+    assert head["adds"]["f0.parquet"]["partitionValues"] == {}
+
+
+def test_time_travel_below_newest_checkpoint_uses_older_one(tmp_path):
+    """Review finding: _last_checkpoint newer than the requested
+    version forced a full-history replay even when an older
+    checkpoint file was on disk."""
+    import os
+
+    t = str(tmp_path / "tbl")
+    delta_commit(t, 0, [{"metaData": META},
+                        _add("f0.parquet", "en", 1, 0, 9)])
+    delta_commit(t, 1, [_add("f1.parquet", "de", 1, 0, 9)])
+    write_checkpoint(t, 1)
+    delta_commit(t, 2, [_add("f2.parquet", "es", 1, 0, 9)])
+    delta_commit(t, 3, [{"remove": remove_action("f0.parquet")}])
+    write_checkpoint(t, 3)
+    # deleting the pre-v1 commit proves the v1 checkpoint is used for
+    # the version=2 read even though _last_checkpoint points at v3
+    os.remove(os.path.join(t, "_delta_log", f"{0:020d}.json"))
+    v2 = delta_snapshot(t, version=2)
+    assert set(v2["adds"]) == {"f0.parquet", "f1.parquet", "f2.parquet"}
+
+
+def test_read_delta_partition_literals_are_typed(tmp_path, spark):
+    """Review finding: partition columns came back as strings
+    regardless of the declared schema type."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = str(tmp_path / "tbl")
+    os.makedirs(t)
+    pq.write_table(pa.table({"doc_id": pa.array([1, 2], pa.int64())}),
+                   os.path.join(t, "f0.parquet"))
+    meta = delta_metadata([("doc_id", "long"), ("year", "integer")],
+                          ["year"])
+    delta_commit(t, 0, [{"metaData": meta},
+                        {"add": add_action("f0.parquet",
+                                           {"year": 2024}, 10, 2)}])
+    from gfw_pixetl_spark.sources.deltalog import read_delta
+
+    df = read_delta(spark, t)
+    assert dict(df.dtypes)["year"] == "int"
+    assert df.filter(df.year == 2024).count() == 2

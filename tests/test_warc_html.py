@@ -417,11 +417,14 @@ def test_decode_chunked_rfc9112():
 def test_sniff_charset_precedence():
     from gfw_pixetl_spark.functions.html import sniff_charset
 
-    # BOM beats everything
+    # BOM beats everything; both UTF-16 BOMs map to the
+    # BOM-consuming codec so U+FEFF never leaks into decoded text
     assert sniff_charset(b"\xff\xfex", "text/html; charset=utf-8") == \
-        "utf-16-le"
-    assert sniff_charset(b"\xfe\xffx") == "utf-16-be"
+        "utf-16"
+    assert sniff_charset(b"\xfe\xffx") == "utf-16"
     assert sniff_charset(b"\xef\xbb\xbfx") == "utf-8-sig"
+    body16 = "<p>ok</p>".encode("utf-16")      # BOM included
+    assert body16.decode(sniff_charset(body16)) == "<p>ok</p>"
     # header beats meta
     body = b'<meta charset="windows-1252"><p>x</p>'
     assert sniff_charset(body, "text/html; charset=ISO-8859-1") == \
