@@ -417,6 +417,9 @@ BENCH_QUERIES = [
     "q425_dict_training",
     "q426_delta_optimize",
     "q427_iceberg_mor_deletes",
+    "q428_proto_audit",
+    "q429_wikipedia_dump",
+    "q430_main_content",
 ]
 
 
@@ -650,7 +653,15 @@ def main() -> None:
     # r3 verdict #5). Round = 1 + the latest driver-recorded BENCH_r{N}.
     rounds = [int(p.stem.split("_r")[-1]) for p in repo.glob("BENCH_r*.json")
               if p.stem.split("_r")[-1].isdigit()]
-    rnd_path = repo / f"BENCH_DETAIL_r{(max(rounds) + 1 if rounds else 1):02d}.json"
+    rnd = max(rounds) + 1 if rounds else 1
+    rnd_path = repo / f"BENCH_DETAIL_r{rnd:02d}.json"
+    # never clobber an already-archived round (multiple bench runs can
+    # happen within one round; the earlier archive stays authoritative
+    # and later runs get a letter suffix)
+    suffix = ord("b")
+    while rnd_path.exists():
+        rnd_path = repo / f"BENCH_DETAIL_r{rnd:02d}{chr(suffix)}.json"
+        suffix += 1
     rnd_path.write_text(json.dumps(detail, indent=1) + "\n")
 
     slowest = sorted(

@@ -159,3 +159,97 @@ def sniff_charset(body: bytes, content_type: str = "") -> str:
     if m:
         return m.group(1).lower()
     return "utf-8"
+
+
+_BLOCK_TAGS = {"p", "div", "li", "h1", "h2", "h3", "h4", "h5", "h6",
+               "td", "th", "article", "section", "blockquote", "pre",
+               "header", "footer", "nav", "aside", "ul", "ol",
+               "table", "tr", "body", "main", "figure"}
+_BOILER_CONTAINERS = {"nav", "footer", "aside", "header"}
+
+
+def split_blocks(html: str) -> list[dict]:
+    """Block-level segmentation of a page: one dict per non-empty
+    block — {"text", "n_chars", "link_chars", "boiler"} — where
+    ``boiler`` marks blocks inside <nav>/<footer>/<aside>/<header>
+    containers.  The tag walker matches ``extract_text`` (dropped
+    subtrees, entity decode, whitespace collapse); block-level tags
+    additionally FLUSH the current block."""
+    blocks: list[dict] = []
+    buf: list[str] = []
+    link_chars = 0
+    link_depth = 0
+    boiler_depth = 0
+
+    def flush() -> None:
+        nonlocal buf, link_chars
+        text = re.sub(r"\s+", " ", "".join(buf)).strip()
+        if text:
+            blocks.append({"text": text, "n_chars": len(text),
+                           "link_chars": link_chars,
+                           "boiler": boiler_depth > 0})
+        buf = []
+        link_chars = 0
+
+    i, n = 0, len(html)
+    while i < n:
+        c = html[i]
+        if c == "<":
+            if html.startswith("<!--", i):
+                end = html.find("-->", i + 4)
+                i = n if end < 0 else end + 3
+                continue
+            end = html.find(">", i + 1)
+            if end < 0:
+                break
+            tag_body = html[i + 1:end].strip()
+            i = end + 1
+            closing = tag_body.startswith("/")
+            name = re.split(r"[\s/>]", tag_body.lstrip("/"), 1)[0].lower()
+            if not closing and name in _DROP:
+                if tag_body.endswith("/"):
+                    continue
+                m = re.search(rf"</{name}\b[^>]*>", html[i:],
+                              re.IGNORECASE)
+                i = n if m is None else i + m.end()
+                continue
+            if name in _BLOCK_TAGS:
+                flush()
+                if name in _BOILER_CONTAINERS:
+                    if closing:
+                        boiler_depth = max(0, boiler_depth - 1)
+                    elif not tag_body.endswith("/"):
+                        boiler_depth += 1
+            if name == "a":
+                if closing:
+                    link_depth = max(0, link_depth - 1)
+                elif not tag_body.endswith("/"):
+                    link_depth += 1
+            buf.append(" ")
+            continue
+        nxt = html.find("<", i)
+        if nxt < 0:
+            nxt = n
+        chunk = _decode_entities(html[i:nxt])
+        buf.append(chunk)
+        if link_depth > 0:
+            link_chars += len(re.sub(r"\s+", " ", chunk).strip())
+        i = nxt
+    flush()
+    return blocks
+
+
+def main_content(html: str, min_chars: int = 25,
+                 max_link_density: float = 0.5) -> tuple[str, int, int]:
+    """Readability-style main-content extraction: (main_text,
+    n_blocks, n_kept).  A block survives iff it is not inside a
+    boilerplate container, is at least ``min_chars`` long, and its
+    link density is at most ``max_link_density`` — the deterministic
+    core of the trafilatura/jusText heuristics (no ML scoring, so an
+    oracle can replay the decision per block)."""
+    blocks = split_blocks(html)
+    kept = [b for b in blocks
+            if not b["boiler"]
+            and b["n_chars"] >= min_chars
+            and b["link_chars"] <= max_link_density * b["n_chars"]]
+    return (" ".join(b["text"] for b in kept), len(blocks), len(kept))

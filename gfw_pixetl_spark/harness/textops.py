@@ -9815,3 +9815,252 @@ def q427(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("doc_id").cast("bigint").alias("id_sum"),
         F.sum("n_chars").cast("bigint").alias("chars_sum"))
+
+
+# --------------------------------------------------------------------------
+# q428 — SCHEMA-LESS PROTOBUF AUDIT (functions/protoaudit.py): the
+# triage step for unknown-provenance shards — walk real tf.train
+# .Example wire bytes WITHOUT the schema and recover the field tree.
+# The oracle states the EXPECTED tree from the .proto definition
+# (Example.features=1 -> map entry -> key=1/value=2 -> BytesList=1 /
+# Int64List=3 -> value=1) and the varint/length arithmetic of the
+# payload sizes; the engine must recover all of it from bytes alone.
+# Texts are padded to >=140 chars so the BytesList Feature's length
+# varint contains a non-UTF-8 continuation byte and the
+# message-vs-text classification is deterministic; the audit depth is
+# capped at the schema's real depth so a packed-varint payload that
+# HAPPENS to re-parse as a message (doc_id-dependent) cannot add
+# phantom paths — schema-less triage needs an explicit depth policy.
+# --------------------------------------------------------------------------
+PROTO_SCHEMA = ("doc_id long, paths string, n_entries int, "
+                "text_bytes int, ids_varint_bytes int")
+
+
+@register(
+    "q428_proto_audit",
+    oracle="""
+    SELECT doc_id,
+           '1,1.1,1.1.1,1.1.2,1.1.2.1,1.1.2.1.1,1.1.2.3,1.1.2.3.1'
+               AS paths,
+           CAST(2 AS INT) AS n_entries,
+           CAST(greatest(length(text), 140) AS INT) AS text_bytes,
+           CAST((CASE WHEN doc_id < 128 THEN 1
+                      WHEN doc_id < 16384 THEN 2
+                      WHEN doc_id < 2097152 THEN 3
+                      ELSE 4 END) +
+                (CASE WHEN n_chars < 128 THEN 1
+                      WHEN n_chars < 16384 THEN 2
+                      ELSE 3 END) AS INT) AS ids_varint_bytes
+    FROM documents
+    """,
+)
+def q428(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.partitioning import ensure_min_partitions
+
+    docs = ensure_min_partitions(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", "text", "n_chars"))
+
+    def kernel(batches):
+        import pandas as pd
+
+        from ..functions.protoaudit import field_paths
+        from ..sources.tfrecord import encode_example
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "paths", "n_entries",
+                                   "text_bytes", "ids_varint_bytes")}
+            for doc_id, t, n_chars in zip(pdf["doc_id"], pdf["text"],
+                                          pdf["n_chars"]):
+                padded = t + "x" * max(0, 140 - len(t))
+                blob = encode_example({
+                    "ids": [int(doc_id), int(n_chars)],
+                    "text": [padded.encode()]})
+                rows = {r["path"]: r
+                        for r in field_paths(blob, max_depth=4)}
+                out["doc_id"].append(doc_id)
+                out["paths"].append(",".join(sorted(rows)))
+                out["n_entries"].append(rows["1.1"]["count"])
+                out["text_bytes"].append(rows["1.1.2.1.1"]["bytes"])
+                out["ids_varint_bytes"].append(
+                    rows["1.1.2.3.1"]["bytes"])
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(kernel, PROTO_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# q429 — WIKIPEDIA DUMP INGEST (sources/mediawiki.py): the other
+# staple pretraining source next to Common Crawl. Docs are written as
+# multi-page MediaWiki XML dumps (50 pages per dump — the streaming
+# iterparse reader holds ONE page at a time regardless of dump size),
+# every fifth page a #REDIRECT. The kernel runs the real chain — dump
+# write, streaming page parse, WIKITEXT cleaning (nested templates,
+# File/Category blocks with caption links, piped links, refs,
+# headings, list markers, bold quotes) and link extraction — and the
+# oracle constructs the expected visible text and link facts
+# analytically from the same fields (q372's discipline: a grammar bug
+# cannot hide on both sides).
+# --------------------------------------------------------------------------
+WIKI_SCHEMA = ("doc_id long, title string, text string, n_links int, "
+               "first_link string, is_redirect boolean")
+
+
+@register(
+    "q429_wikipedia_dump",
+    oracle="""
+    SELECT doc_id,
+           'Doc ' || CAST(doc_id % 100 AS VARCHAR) AS title,
+           CASE WHEN doc_id % 5 = 0
+                THEN 'REDIRECT Doc ' || CAST((doc_id + 1) % 100
+                                             AS VARCHAR)
+                ELSE 'About Doc ' || CAST(doc_id % 100 AS VARCHAR)
+                     || ' is described. ' || text || ' next and Topic '
+                     || CAST(doc_id % 7 AS VARCHAR) || '. point'
+           END AS text,
+           CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 2 END AS INT)
+               AS n_links,
+           CASE WHEN doc_id % 5 = 0
+                THEN 'Doc ' || CAST((doc_id + 1) % 100 AS VARCHAR)
+                ELSE 'Doc ' || CAST((doc_id + 1) % 100 AS VARCHAR)
+           END AS first_link,
+           doc_id % 5 = 0 AS is_redirect
+    FROM documents
+    """,
+)
+def q429(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.partitioning import ensure_min_partitions
+
+    docs = ensure_min_partitions(
+        load(spark, sf_dir, "documents").select("doc_id", "text"))
+
+    def kernel(batches):
+        import pandas as pd
+
+        from ..sources.mediawiki import (
+            extract_links, iter_pages, wikitext_to_text, write_dump,
+        )
+
+        for pdf in batches:
+            rows = pdf.to_dict("records")
+            out = {k: [] for k in ("doc_id", "title", "text",
+                                   "n_links", "first_link",
+                                   "is_redirect")}
+            for lo in range(0, len(rows), 50):
+                chunk = rows[lo:lo + 50]
+                pages = []
+                for r in chunk:
+                    doc_id, t = int(r["doc_id"]), r["text"]
+                    title = f"Doc {doc_id % 100}"
+                    nxt = f"Doc {(doc_id + 1) % 100}"
+                    if doc_id % 5 == 0:
+                        body = f"#REDIRECT [[{nxt}]]"
+                        pages.append({"title": title, "id": doc_id,
+                                      "text": body, "redirect": nxt})
+                    else:
+                        body = (
+                            f"== About ==\n'''{title}''' is "
+                            f"described.<ref>src</ref>\n"
+                            f"{{{{infobox|k={doc_id}}}}}\n"
+                            f"{t} [[{nxt}|next]] and "
+                            f"[[Topic {doc_id % 7}]].\n"
+                            f"[[File:x.jpg|thumb|cap [[inner]]]]\n"
+                            f"[[Category:Synth]]\n* point")
+                        pages.append({"title": title, "id": doc_id,
+                                      "text": body})
+                for page in iter_pages(write_dump(pages)):
+                    links = extract_links(page["text"])
+                    out["doc_id"].append(page["id"])
+                    out["title"].append(page["title"])
+                    out["text"].append(wikitext_to_text(page["text"]))
+                    out["n_links"].append(len(links))
+                    out["first_link"].append(links[0] if links else "")
+                    out["is_redirect"].append(
+                        page["redirect"] is not None)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(kernel, WIKI_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# q430 — MAIN-CONTENT EXTRACTION (functions/html.py::main_content):
+# the readability/trafilatura step reduced to its deterministic core —
+# block segmentation, boilerplate-container drops (<nav>/<header>/
+# <aside>/<footer>), a length floor, and the link-density ceiling.
+# Each doc renders as a full page: nav + banner + N content paragraphs
+# (the doc text split in two) + a link-farm paragraph + sidebar +
+# footer. The oracle replays the block decisions analytically: kept
+# text = the two content paragraphs joined, kept count = 2, total
+# blocks = 7 — any drift in segmentation, container tracking, or the
+# density rule shows up as a value mismatch.
+# --------------------------------------------------------------------------
+MAINC_SCHEMA = ("doc_id long, main_text string, n_blocks int, "
+                "n_kept int, boiler_frac double")
+
+
+@register(
+    "q430_main_content",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             substr(text, 1, CAST(floor(length(text) / 2) AS INT))
+                 AS p1,
+             substr(text, CAST(floor(length(text) / 2) AS INT) + 1)
+                 AS p2
+      FROM documents
+    )
+    SELECT doc_id,
+           'Intro paragraph for doc ' || CAST(doc_id % 100 AS VARCHAR)
+             || ' with enough substance to pass the length floor. '
+             || 'Body part one: ' || trim(p1)
+             || ' Body part two: ' || trim(p2) AS main_text,
+           CAST(7 AS INT) AS n_blocks,
+           CAST(3 AS INT) AS n_kept,
+           round(3.0 / 7, 6) AS boiler_frac
+    FROM p
+    """,
+)
+def q430(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.partitioning import ensure_min_partitions
+
+    docs = ensure_min_partitions(
+        load(spark, sf_dir, "documents").select("doc_id", "text"))
+
+    def kernel(batches):
+        import pandas as pd
+
+        from ..functions.html import main_content, split_blocks
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "main_text", "n_blocks",
+                                   "n_kept", "boiler_frac")}
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                half = len(t) // 2
+                p1, p2 = t[:half].strip(), t[half:].strip()
+                page = (
+                    "<html><body>"
+                    '<nav><a href="/">Home page</a> '
+                    '<a href="/about">About this site</a></nav>'
+                    f"<header><h1>Doc {doc_id % 100} banner</h1>"
+                    "</header>"
+                    f"<p>Intro paragraph for doc {doc_id % 100} with "
+                    "enough substance to pass the length floor.</p>"
+                    f"<p>Body part one: {p1}</p>"
+                    f"<p>Body part two: {p2}</p>"
+                    '<p>More <a href="/x">linked words here</a> '
+                    '<a href="/y">and here dominating</a> end</p>'
+                    "<footer>Copyright notice long enough to count "
+                    "as a block.</footer>"
+                    "</body></html>")
+                text, n_blocks, n_kept = main_content(page)
+                blocks = split_blocks(page)
+                boiler = sum(1 for b in blocks if b["boiler"])
+                out["doc_id"].append(doc_id)
+                out["main_text"].append(text)
+                out["n_blocks"].append(n_blocks)
+                out["n_kept"].append(n_kept)
+                out["boiler_frac"].append(
+                    round(boiler / n_blocks, 6))
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(kernel, MAINC_SCHEMA)

@@ -438,3 +438,42 @@ def test_sniff_charset_precedence():
     late = b" " * 1100 + b'<meta charset="koi8-r">'
     assert sniff_charset(late) == "utf-8"
     assert sniff_charset(b"<html>") == "utf-8"
+
+
+def test_split_blocks_and_main_content():
+    from gfw_pixetl_spark.functions.html import main_content, split_blocks
+
+    page = (
+        "<html><body>"
+        "<nav><a href=/>Home</a> <a href=/a>About us page</a></nav>"
+        "<header><h1>Banner</h1></header>"
+        "<p>This is the first real paragraph of the article body.</p>"
+        "<p>Tiny.</p>"
+        "<p>See <a href=x>more</a> <a href=y>of these link words</a>"
+        " now</p>"
+        "<aside><p>Sidebar promo block with plenty of characters"
+        " inside.</p></aside>"
+        "<footer>Copyright notice long enough to pass length.</footer>"
+        "</body></html>")
+    blocks = split_blocks(page)
+    boiler = [b["text"] for b in blocks if b["boiler"]]
+    assert any("Home" in t for t in boiler)
+    assert any("Sidebar" in t for t in boiler)
+    assert any("Copyright" in t for t in boiler)
+    text, n, kept = main_content(page)
+    assert kept == 1
+    assert text == "This is the first real paragraph of the article body."
+    # link-density rule: the linky paragraph is dropped even though
+    # it is long enough
+    assert "link words" not in text
+
+
+def test_main_content_nested_boiler_and_selfclosed():
+    from gfw_pixetl_spark.functions.html import main_content
+
+    page = ("<body><nav><div><p>Deeply nested navigation paragraph "
+            "with length.</p></div></nav>"
+            "<p>Real content paragraph that is long enough to keep."
+            "</p><hr/></body>")
+    text, _n, kept = main_content(page)
+    assert kept == 1 and text.startswith("Real content")
