@@ -420,6 +420,7 @@ BENCH_QUERIES = [
     "q428_proto_audit",
     "q429_wikipedia_dump",
     "q430_main_content",
+    "q431_optout_governance",
 ]
 
 

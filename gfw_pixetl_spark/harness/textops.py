@@ -10064,3 +10064,100 @@ def q430(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(kernel, MAINC_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# q431 — OPT-OUT GOVERNANCE GATE (the compliance step a responsible
+# training pipeline runs before ingesting a page): three opt-out
+# signals with the ecosystem's precedence — robots.txt disallow
+# (checked FIRST: if the fetch itself was disallowed nothing else
+# matters), then the X-Robots-Tag response header, then the HTML
+# <meta name=robots> directive (noai/noindex in either). Each doc
+# carries exactly one signal class by construction; the kernel runs
+# the real chain — RFC 9309 matcher (functions/robots.py), HTTP
+# header parse, meta-tag scan — and the oracle replays the verdict
+# table analytically.
+# --------------------------------------------------------------------------
+GOV_SCHEMA = "doc_id long, path string, verdict string, kept boolean"
+
+_GOV_ROBOTS = ("User-agent: *\n"
+               "Disallow: /private/\n")
+
+
+@register(
+    "q431_optout_governance",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 4
+             WHEN 2 THEN '/private/doc/' || CAST(doc_id AS VARCHAR)
+             ELSE '/doc/' || CAST(doc_id AS VARCHAR) END AS path,
+           CASE doc_id % 4
+             WHEN 0 THEN 'header_noai'
+             WHEN 1 THEN 'meta_noai'
+             WHEN 2 THEN 'robots_txt'
+             ELSE 'kept' END AS verdict,
+           doc_id % 4 = 3 AS kept
+    FROM documents
+    """,
+)
+def q431(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.partitioning import ensure_min_partitions
+
+    docs = ensure_min_partitions(
+        load(spark, sf_dir, "documents").select("doc_id", "text"))
+
+    def kernel(batches):
+        import pandas as pd
+
+        from ..functions.robots import robots_allowed
+        from ..sources.warc import (
+            http_response_bytes, iter_warc, parse_http_response,
+            write_warc,
+        )
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "path", "verdict",
+                                   "kept")}
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                cls = doc_id % 4
+                path = (f"/private/doc/{doc_id}" if cls == 2
+                        else f"/doc/{doc_id}")
+                meta = ('<meta name="robots" content="noai, noimageai">'
+                        if cls == 1 else "")
+                html = (f"<html><head>{meta}</head>"
+                        f"<body><p>{t}</p></body></html>")
+                extra = ({"X-Robots-Tag": "noai"} if cls == 0 else None)
+                warc = write_warc([{
+                    "type": "response",
+                    "uri": f"https://example.org{path}",
+                    "payload": http_response_bytes(
+                        html.encode(), extra_headers=extra),
+                }])
+                verdict = "kept"
+                for headers, payload in iter_warc(warc):
+                    if headers.get("WARC-Type") != "response":
+                        continue
+                    _st, hh, body = parse_http_response(payload)
+                    if not robots_allowed(_GOV_ROBOTS, path):
+                        verdict = "robots_txt"
+                        continue
+                    xrt = hh.get("x-robots-tag", "").lower()
+                    if "noai" in xrt or "noindex" in xrt:
+                        verdict = "header_noai"
+                        continue
+                    page = body.decode("utf-8", "replace").lower()
+                    import re as _re
+
+                    m = _re.search(
+                        r'<meta\s+name=["\']?robots["\']?\s+'
+                        r'content=["\']?([^"\'>]*)', page)
+                    if m and ("noai" in m.group(1)
+                              or "noindex" in m.group(1)):
+                        verdict = "meta_noai"
+                out["doc_id"].append(doc_id)
+                out["path"].append(path)
+                out["verdict"].append(verdict)
+                out["kept"].append(verdict == "kept")
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(kernel, GOV_SCHEMA)
