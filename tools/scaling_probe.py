@@ -51,6 +51,12 @@ DEFAULT_QUERIES = [
     "q399_bz2_xz_jsonl",     # multi-stream decompressor walk
     "q403_webp_decode",      # VP8L decode kernel (linear claim)
     "q404_bleu",             # (doc, gram)-keyed clipped-count joins
+    "q418_content_encoding_br",  # brotli decode kernel (linear claim)
+    "q419_cdx_lookup",       # index-as-table join + ranged fetch
+    "q421_delta_log",        # log replay planning (O(delta) claim)
+    "q422_iceberg_interop",  # manifest planning (O(manifests) claim)
+    "q425_dict_training",    # shingle top-k (map-side combine claim)
+    "q429_wikipedia_dump",   # streaming XML + wikitext kernel
 ]
 
 SF_DIRS = [
