@@ -421,6 +421,7 @@ BENCH_QUERIES = [
     "q429_wikipedia_dump",
     "q430_main_content",
     "q431_optout_governance",
+    "q432_epub_ingest",
 ]
 
 

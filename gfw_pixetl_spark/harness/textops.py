@@ -10161,3 +10161,75 @@ def q431(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return docs.mapInPandas(kernel, GOV_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# q432 — EPUB INGEST (sources/epub.py): books are the highest-quality
+# long-form slice of a pretraining mix, and they ship as EPUB (OCF zip
+# + OPF package). Each doc becomes a two-chapter book (text split at
+# the floor midpoint) with a linear="no" cover the spine walk must
+# SKIP; the kernel runs the real chain — OCF mimetype check,
+# container.xml -> OPF, Dublin Core metadata, manifest/spine
+# resolution, spine-ordered XHTML extraction through the SAME HTML
+# extractor the crawl path uses — and the oracle replays title,
+# language, and the exact joined text analytically.
+# --------------------------------------------------------------------------
+EPUB_SCHEMA = ("doc_id long, title string, language string, "
+               "n_chapters int, text string")
+
+
+@register(
+    "q432_epub_ingest",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, lang,
+             trim(substr(text, 1, CAST(floor(length(text) / 2) AS INT)))
+                 AS p1,
+             trim(substr(text, CAST(floor(length(text) / 2) AS INT) + 1))
+                 AS p2
+      FROM documents
+    )
+    SELECT doc_id,
+           'Book ' || CAST(doc_id % 100 AS VARCHAR) AS title,
+           lang AS language,
+           CAST(2 AS INT) AS n_chapters,
+           'Part 1 Part 1 ' || p1 || ' Part 2 Part 2 ' || p2 AS text
+    FROM p
+    """,
+)
+def q432(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.partitioning import ensure_min_partitions
+
+    docs = ensure_min_partitions(
+        load(spark, sf_dir, "documents").select(
+            "doc_id", "text", "lang"))
+
+    def kernel(batches):
+        import pandas as pd
+
+        from ..sources.epub import epub_text, write_epub
+
+        for pdf in batches:
+            out = {k: [] for k in ("doc_id", "title", "language",
+                                   "n_chapters", "text")}
+            for doc_id, t, lang in zip(pdf["doc_id"], pdf["text"],
+                                       pdf["lang"]):
+                half = len(t) // 2
+                p1, p2 = t[:half].strip(), t[half:].strip()
+                book = write_epub(
+                    f"Book {doc_id % 100}", f"Author {doc_id % 10}",
+                    lang,
+                    [("Part 1", f"<p>{p1}</p>"),
+                     ("Part 2", f"<p>{p2}</p>")],
+                    extra_nonlinear="Cover art placeholder")
+                title, text, n = epub_text(book)
+                from ..sources.epub import read_epub
+
+                out["doc_id"].append(doc_id)
+                out["title"].append(title)
+                out["language"].append(read_epub(book)["language"])
+                out["n_chapters"].append(n)
+                out["text"].append(text)
+            yield pd.DataFrame(out)
+
+    return docs.mapInPandas(kernel, EPUB_SCHEMA)
