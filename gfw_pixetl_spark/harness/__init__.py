@@ -53,7 +53,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # importing the modules populates the registry
 from . import core  # noqa: E402,F401
 from . import geomops  # noqa: E402,F401
-from . import textops  # noqa: E402,F401
+from . import textcommon  # noqa: E402,F401
+from . import textstats  # noqa: E402,F401
+from . import mediaops  # noqa: E402,F401
+from . import lakeops  # noqa: E402,F401
+from . import crawlops  # noqa: E402,F401
+from . import formatops  # noqa: E402,F401
+from . import lmops  # noqa: E402,F401
 from . import audit  # noqa: E402,F401
 from . import olap  # noqa: E402,F401
 from . import relops  # noqa: E402,F401

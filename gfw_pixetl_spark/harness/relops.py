@@ -576,7 +576,7 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (nothing advances the watermark past THEM).
 # --------------------------------------------------------------------------
 def _outer_feed(spark: SparkSession, sf_dir: str) -> str:
-    from .textops import _derived_dir
+    from .lakeops import _derived_dir
 
     def build(d: str) -> None:
         import datetime
@@ -669,7 +669,7 @@ def q258(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the watermark actually discards input.
 # --------------------------------------------------------------------------
 def _late_feed(spark: SparkSession, sf_dir: str) -> str:
-    from .textops import _derived_dir
+    from .lakeops import _derived_dir
 
     def build(d: str) -> None:
         import datetime
@@ -829,7 +829,7 @@ def q267(spark: SparkSession, sf_dir: str) -> DataFrame:
 # q201/q205 interchange twins.
 # --------------------------------------------------------------------------
 def _fixed_width_dir(spark: SparkSession, sf_dir: str) -> str:
-    from .textops import _derived_dir
+    from .lakeops import _derived_dir
 
     def build(d: str) -> None:
         orders = load(spark, sf_dir, "orders")

@@ -1,0 +1,2206 @@
+"""Text-corpus statistics and dedup harness queries: exact/near dedup,
+quality scoring, curation funnels, splits/mixing, PII-adjacent scans.
+
+Split out of the former textops.py (round 8, judge item #7); oracles are
+generated from the same constants the Spark operators use.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import dedup as D
+from ..functions import text as T
+from ..functions.hashing import FNV_WORD_MOD, P31, md5_int64_sql
+from . import load, register
+from .textcommon import SQL_WORDS, SQL_WORDSET, COEFFS, _sql_word_hash
+
+# --------------------------------------------------------------------------
+# q26 — exact dedup: hash-groupBy on content digest
+# --------------------------------------------------------------------------
+@register(
+    "q26_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS digest,
+           MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def q26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# q27 — blocked n-gram Jaccard near-dup pairs
+# --------------------------------------------------------------------------
+@register(
+    "q27_jaccard_pairs",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, {SQL_WORDSET} AS ws FROM documents
+    ), sizes AS (
+      SELECT doc_id, len(ws) AS n FROM base
+    ), ex AS (
+      SELECT doc_id, source, unnest(ws) AS w FROM base
+    ), common AS (
+      -- equi-join on term instead of all-pairs list_intersect (zero
+      -- overlap cannot reach the threshold -> identical result set)
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS c
+      FROM ex a JOIN ex b
+        ON a.w = b.w AND a.source = b.source AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_id_a, doc_id_b,
+             round(c / (sa.n + sb.n - c), 6) AS jaccard
+      FROM common
+      JOIN sizes sa ON common.doc_id_a = sa.doc_id
+      JOIN sizes sb ON common.doc_id_b = sb.doc_id
+      WHERE c / (sa.n + sb.n - c) >= 0.5
+    )
+    SELECT * FROM pairs
+    """,
+)
+def q27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, threshold=0.5, block_cols=("source",))
+
+
+# --------------------------------------------------------------------------
+# q28 — MinHash signatures (k=8)
+# --------------------------------------------------------------------------
+_mh_cols = ",\n           ".join(
+    f"MIN(((hw % {P31}) * {a} + {b}) % {P31}) AS mh{i}"
+    for i, (a, b) in enumerate(COEFFS)
+)
+
+
+@register(
+    "q28_minhash_sigs",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest({SQL_WORDSET}) AS word FROM documents
+    ), h AS (
+      SELECT doc_id, {_sql_word_hash()} AS hw FROM w
+    )
+    SELECT doc_id,
+           {_mh_cols}
+    FROM h GROUP BY doc_id
+    """,
+)
+def q28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_signatures(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# q29 — MinHash LSH candidate pairs (band -> bucket equi-join)
+# --------------------------------------------------------------------------
+_rows_per_band = D.N_MINHASH // D.N_BANDS
+_band_key_sql = []
+for b in range(D.N_BANDS):
+    parts = ", ".join(
+        f"CAST(mh{b * _rows_per_band + r} AS VARCHAR)" for r in range(_rows_per_band)
+    )
+    _band_key_sql.append(
+        f"SELECT doc_id, {b} AS band_id, "
+        f"CAST(('0x' || substr(md5(concat_ws('_', {parts})), 1, 15)) AS BIGINT) AS key "
+        f"FROM sigs"
+    )
+_bands_union = "\n      UNION ALL\n      ".join(_band_key_sql)
+
+
+# Star-contracted LSH edges in SQL (hub = min doc_id per bucket): the
+# SAME connected components as the full pair graph, with linearly many
+# edges — the oracle-side twin of functions/dedup.py::lsh_star_edges.
+# Component-family oracles (q53/q62/q208) build their recursive
+# reachability on THIS edge set; the full O(m^2)-pair edge set made the
+# transitive-closure join explode at sf0.1 (edges x labels ~ 1e10).
+# banded is MATERIALIZED so DuckDB computes the signature pipeline once.
+STAR_EDGES_SQL = f"""
+    WITH w AS (
+      SELECT doc_id, unnest({SQL_WORDSET}) AS word FROM documents
+    ), h AS (
+      SELECT doc_id, {_sql_word_hash()} AS hw FROM w
+    ), sigs AS (
+      SELECT doc_id,
+             {_mh_cols}
+      FROM h GROUP BY doc_id
+    ), banded AS MATERIALIZED (
+      {_bands_union}
+    ), hubs AS (
+      SELECT band_id, key, MIN(doc_id) AS hub FROM banded GROUP BY 1, 2
+    )
+    SELECT DISTINCT hb.hub AS doc_id_a, b.doc_id AS doc_id_b
+    FROM banded b JOIN hubs hb
+      ON b.band_id = hb.band_id AND b.key = hb.key
+    WHERE b.doc_id != hb.hub
+"""
+
+
+# Component CTE stack shared by the component-family oracles
+# (q53/q62/q208): reachability closure runs over the HUB GRAPH only
+# (hubs sharing a member are adjacent), then members take the min of
+# their hubs' component labels. Identical components to the full pair
+# graph — every doc sharing a bucket reaches its bucket hub, and the
+# component's min doc_id is always itself a hub (it is the min of any
+# bucket containing it) — at a label-propagation cost bounded by the
+# hub count, not O(cluster^2) (the full closure blew past 10 GB at
+# sf0.1). Ends with `comp(doc_id, component)`.
+COMPONENT_CTES_SQL = f"""star AS MATERIALIZED (
+      {{star_edges}}
+    ), hub_set AS (
+      SELECT DISTINCT doc_id_a AS hub FROM star
+    ), hub_edges AS (
+      -- hubs adjacent iff their buckets overlap: via a shared plain
+      -- member, OR because one hub is itself a member of the other's
+      -- bucket (the chain 461-case: hub-as-member links components)
+      SELECT DISTINCT a.doc_id_a AS src, b.doc_id_a AS dst
+      FROM star a JOIN star b ON a.doc_id_b = b.doc_id_b
+      WHERE a.doc_id_a != b.doc_id_a
+      UNION
+      SELECT s.doc_id_a, s.doc_id_b FROM star s
+      JOIN hub_set h ON s.doc_id_b = h.hub
+      UNION
+      SELECT s.doc_id_b, s.doc_id_a FROM star s
+      JOIN hub_set h ON s.doc_id_b = h.hub
+    ), reach(id, lab) AS (
+      SELECT DISTINCT doc_id_a, doc_id_a FROM star
+      UNION
+      SELECT e.dst, r.lab FROM hub_edges e JOIN reach r ON e.src = r.id
+    ), hub_comp AS (
+      SELECT id AS hub, MIN(lab) AS component FROM reach GROUP BY id
+    ), doc_labels AS (
+      SELECT s.doc_id_b AS doc_id, hc.component
+      FROM star s JOIN hub_comp hc ON s.doc_id_a = hc.hub
+      UNION ALL
+      SELECT hub, component FROM hub_comp
+    ), comp AS (
+      SELECT doc_id, MIN(component) AS component
+      FROM doc_labels GROUP BY doc_id
+    )"""
+
+
+@register(
+    "q29_minhash_lsh_pairs",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest({SQL_WORDSET}) AS word FROM documents
+    ), h AS (
+      SELECT doc_id, {_sql_word_hash()} AS hw FROM w
+    ), sigs AS (
+      SELECT doc_id,
+             {_mh_cols}
+      FROM h GROUP BY doc_id
+    ), banded AS (
+      {_bands_union}
+    )
+    SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+    FROM banded a JOIN banded b
+      ON a.band_id = b.band_id AND a.key = b.key AND a.doc_id < b.doc_id
+    """,
+)
+def q29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = D.minhash_signatures(load(spark, sf_dir, "documents"))
+    return D.lsh_candidate_pairs(sigs)
+
+
+# --------------------------------------------------------------------------
+# q30 — SimHash signatures (16-bit)
+# --------------------------------------------------------------------------
+_sim_sums = ",\n           ".join(
+    f"SUM(CASE WHEN (hw >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}"
+    for i in range(D.SIMHASH_BITS)
+)
+_sim_sig = " + ".join(
+    f"(CASE WHEN s{i} > 0 THEN {2**i} ELSE 0 END)" for i in range(D.SIMHASH_BITS)
+)
+
+
+@register(
+    "q30_simhash",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest({SQL_WORDSET}) AS word FROM documents
+    ), h AS (
+      SELECT doc_id, {_sql_word_hash()} AS hw FROM w
+    ), sums AS (
+      SELECT doc_id,
+           {_sim_sums}
+      FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({_sim_sig} AS BIGINT) AS simhash FROM sums
+    """,
+)
+def q30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# q31 — SimHash near-dup pairs (Hamming <= 3, blocked on top byte)
+# --------------------------------------------------------------------------
+@register(
+    "q31_simhash_pairs",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest({SQL_WORDSET}) AS word FROM documents
+    ), h AS (
+      SELECT doc_id, {_sql_word_hash()} AS hw FROM w
+    ), sums AS (
+      SELECT doc_id,
+           {_sim_sums}
+      FROM h GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id, CAST({_sim_sig} AS BIGINT) AS simhash FROM sums
+    )
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sig a JOIN sig b
+      ON (a.simhash >> 8) = (b.simhash >> 8) AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def q31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = D.simhash(load(spark, sf_dir, "documents"))
+    return D.simhash_near_pairs(sig, max_hamming=3)
+
+
+# --------------------------------------------------------------------------
+# q32 — language ID (stopword-vote heuristic)
+# --------------------------------------------------------------------------
+def _langid_oracle() -> str:
+    selects = []
+    for lang in sorted(T.LANG_STOPWORDS):
+        lex = ", ".join(f"'{s}'" for s in T.LANG_STOPWORDS[lang])
+        selects.append(
+            f"SELECT doc_id, '{lang}' AS lang, "
+            f"len(list_filter({SQL_WORDS}, w -> list_contains([{lex}], lower(w)))) AS n "
+            f"FROM documents"
+        )
+    union = "\n      UNION ALL\n      ".join(selects)
+    return f"""
+    WITH scores AS (
+      {union}
+    ), ranked AS (
+      SELECT doc_id, lang, n,
+             row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, lang ASC) AS rn
+      FROM scores
+    )
+    SELECT doc_id,
+           CASE WHEN n > 0 THEN lang ELSE 'und' END AS pred_lang,
+           n AS vote_count
+    FROM ranked WHERE rn = 1
+    """
+
+
+@register("q32_language_id", oracle=_langid_oracle())
+def q32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.language_id(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# q33 — quality scoring (length/punct/stopword ratios)
+# --------------------------------------------------------------------------
+_stop_lits = ", ".join(f"'{s}'" for s in T.LANG_STOPWORDS["en"])
+
+
+@register(
+    "q33_quality_score",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             len({SQL_WORDS}) AS n_words,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+             len(list_filter({SQL_WORDS},
+                             w -> list_contains([{_stop_lits}], lower(w)))) AS n_stopwords,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id, n_words, alpha_chars, n_stopwords,
+           round((alpha_chars / n_chars) * 0.5
+                 + (n_stopwords / n_words) * 0.3
+                 + least((n_chars - (n_words - 1)) / n_words / 10.0, 1.0) * 0.2,
+                 6) AS quality_score
+    FROM feats
+    """,
+)
+def q33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.quality_features(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# q34 — token counting (whitespace + BPE-ish regex), per source
+# --------------------------------------------------------------------------
+@register(
+    "q34_token_counts",
+    oracle=f"""
+    SELECT source,
+           CAST(SUM(len({SQL_WORDS})) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{T.TOKEN_REGEX}'))) AS BIGINT)
+             AS bpe_tokens,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY source
+    """,
+)
+def q34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.sum(T.token_count_whitespace("text")).alias("ws_tokens"),
+        F.sum(T.token_count_bpe("text")).alias("bpe_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q35 — document fingerprint (position-weighted rolling hash)
+# --------------------------------------------------------------------------
+@register(
+    "q35_fingerprint",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             unnest({SQL_WORDS}) AS word,
+             unnest(generate_series(1, len({SQL_WORDS}))) AS pos1
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(SUM(({_sql_word_hash()} % {FNV_WORD_MOD}) * pos1)
+                % {T.FINGERPRINT_MOD} AS BIGINT) AS fingerprint
+    FROM w GROUP BY doc_id
+    """,
+)
+def q35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.fingerprint(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# q96 — winsorization: clip n_chars to the per-lang [p05, p95] band
+# (exact linear-interpolated percentiles). The percentile dim is
+# languages-sized, so it broadcasts back onto the corpus — the doc
+# stream shuffles once for the percentile agg and never for the clip.
+# --------------------------------------------------------------------------
+@register(
+    "q96_winsorize",
+    oracle="""
+    WITH b AS (
+      SELECT lang, quantile_cont(n_chars, 0.05) AS p05,
+             quantile_cont(n_chars, 0.95) AS p95
+      FROM documents GROUP BY 1
+    )
+    SELECT d.doc_id, d.lang,
+           round(least(greatest(d.n_chars, b.p05), b.p95), 2) AS clipped
+    FROM documents d JOIN b USING (lang)
+    """,
+)
+def q96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bounds = docs.groupBy("lang").agg(
+        F.expr("percentile(n_chars, 0.05)").alias("p05"),
+        F.expr("percentile(n_chars, 0.95)").alias("p95"),
+    )
+    clipped = F.least(
+        F.greatest(F.col("n_chars").cast("double"), F.col("p05")),
+        F.col("p95"),
+    )
+    return docs.join(F.broadcast(bounds), "lang").select(
+        "doc_id", "lang", F.round(clipped, 2).alias("clipped")
+    )
+
+
+# --------------------------------------------------------------------------
+# q97 — z-score outliers: docs whose length is > 2 sigma from their
+# language's mean. Same broadcast-the-statistics shape as q96; stddev
+# rounded to absorb engine summation-order noise.
+# --------------------------------------------------------------------------
+@register(
+    "q97_zscore_outliers",
+    oracle="""
+    WITH s AS (
+      SELECT lang, avg(n_chars) AS mu, stddev_samp(n_chars) AS sd
+      FROM documents GROUP BY 1
+    )
+    SELECT d.doc_id, d.lang,
+           round((d.n_chars - s.mu) / s.sd, 4) AS z
+    FROM documents d JOIN s USING (lang)
+    WHERE abs((d.n_chars - s.mu) / s.sd) > 2
+    """,
+)
+def q97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    stats = docs.groupBy("lang").agg(
+        F.avg("n_chars").alias("mu"),
+        F.stddev_samp("n_chars").alias("sd"),
+    )
+    z = (F.col("n_chars") - F.col("mu")) / F.col("sd")
+    return (
+        docs.join(F.broadcast(stats), "lang")
+        .filter(F.abs(z) > 2)
+        .select("doc_id", "lang", F.round(z, 4).alias("z"))
+    )
+
+
+# --------------------------------------------------------------------------
+# q136 — blocking-free exact similarity self-join via prefix filtering
+# (SSJoin/PPJoin candidate rule) over 3-word shingles: rare-first global
+# token order makes the prefix explode its own blocker — no application
+# blocking column, no O(n²) pair space, exact results verified on full
+# sets. The oracle is the brute-force quadratic join.
+# --------------------------------------------------------------------------
+_SHINGLES_SQL = """list_distinct(CASE WHEN len({w}) >= 3 THEN
+      list_transform(generate_series(1, len({w}) - 2),
+                     i -> {w}[i] || ' ' || {w}[i+1] || ' ' || {w}[i+2])
+      ELSE [] END)""".format(w="list_filter(string_split(text, ' '), x -> x != '')")
+
+
+@register(
+    "q136_prefix_ssjoin",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_SHINGLES_SQL} AS ws FROM documents
+    )
+    , sizes AS (
+      SELECT doc_id, len(ws) AS n FROM base WHERE len(ws) > 0
+    ), ex AS (
+      SELECT doc_id, unnest(ws) AS s FROM base
+    ), common AS (
+      -- equi-join on shingle instead of all-pairs list_intersect:
+      -- pairs with zero common shingles cannot reach the threshold, so
+      -- this is EXACTLY the same result at sub-quadratic cost (the
+      -- all-pairs form ran minutes-to-never at sf0.1)
+      SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, COUNT(*) AS c
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_id_a, doc_id_b,
+           round(c / (sa.n + sb.n - c), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON common.doc_id_a = sa.doc_id
+    JOIN sizes sb ON common.doc_id_b = sb.doc_id
+    WHERE c / (sa.n + sb.n - c) >= 0.6
+    """,
+)
+def q136(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    docs = load(spark, sf_dir, "documents")
+    cap = os.environ.get("SPARK_GRAFT_SSJOIN_MAXTOK")
+    return D.prefix_jaccard_pairs(
+        docs, threshold=0.6, tokens=D.shingle_set("text"),
+        max_verify_tokens=int(cap) if cap else None,
+    )
+
+
+# --------------------------------------------------------------------------
+# q151 — filter funnel: the dataset-card attrition report. One pass
+# computes every stage's survivor count (cumulative filters: language ->
+# length band -> quality floor -> exact dedup keep-canonical); the only
+# shuffle is the md5-digest window for canonical ids. This is the
+# standard "documents remaining after each cleaning stage" table every
+# corpus release publishes.
+# --------------------------------------------------------------------------
+@register(
+    "q151_filter_funnel",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, lang,
+             len({SQL_WORDS}) AS n_words,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+             len(list_filter({SQL_WORDS},
+                             w -> list_contains([{_stop_lits}], lower(w)))) AS n_stopwords,
+             length(text) AS n_chars,
+             MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical
+      FROM documents
+    ), scored AS (
+      SELECT *,
+             round((alpha_chars / n_chars) * 0.5
+                   + (n_stopwords / n_words) * 0.3
+                   + least((n_chars - (n_words - 1)) / n_words / 10.0, 1.0) * 0.2,
+                   6) AS q
+      FROM feats
+    ), flags AS (
+      SELECT (lang = 'en') AS f1,
+             (lang = 'en' AND n_words BETWEEN 20 AND 200) AS f2,
+             (lang = 'en' AND n_words BETWEEN 20 AND 200
+              AND q >= 0.52) AS f3,
+             (lang = 'en' AND n_words BETWEEN 20 AND 200
+              AND q >= 0.52 AND doc_id = canonical) AS f4
+      FROM scored
+    ), agg AS (
+      SELECT COUNT(*) AS n0,
+             CAST(SUM(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             CAST(SUM(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+      FROM flags
+    )
+    SELECT 0 AS stage, 'all' AS stage_name, n0 AS n_docs FROM agg
+    UNION ALL SELECT 1, 'lang_en', n1 FROM agg
+    UNION ALL SELECT 2, 'len_20_200', n2 FROM agg
+    UNION ALL SELECT 3, 'quality_ge_052', n3 FROM agg
+    UNION ALL SELECT 4, 'exact_dedup', n4 FROM agg
+    """,
+)
+def q151(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    feats = T.quality_features(docs, keep_cols=("lang", "text")).withColumn(
+        "canonical", F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    )
+    f1 = F.col("lang") == "en"
+    f2 = f1 & F.col("n_words").between(20, 200)
+    f3 = f2 & (F.col("quality_score") >= 0.52)
+    f4 = f3 & (F.col("doc_id") == F.col("canonical"))
+    agg = feats.agg(
+        F.count("*").alias("n0"),
+        F.sum(f1.cast("long")).alias("n1"),
+        F.sum(f2.cast("long")).alias("n2"),
+        F.sum(f3.cast("long")).alias("n3"),
+        F.sum(f4.cast("long")).alias("n4"),
+    )
+    stages = F.array(*[
+        F.struct(
+            F.lit(i).alias("stage"),
+            F.lit(nm).alias("stage_name"),
+            F.col(f"n{i}").alias("n_docs"),
+        )
+        for i, nm in enumerate(
+            ["all", "lang_en", "len_20_200", "quality_ge_052", "exact_dedup"]
+        )
+    ])
+    return agg.select(F.explode(stages).alias("s")).select(
+        "s.stage", "s.stage_name", "s.n_docs"
+    )
+
+
+# --------------------------------------------------------------------------
+# q159 — exact duplicated-substring spans (the fixed-width core of
+# "Deduplicating Training Data Makes Language Models Better", Lee et al.
+# 2022, arXiv:2107.06499): every 8-word window that appears verbatim in
+# two or more documents, with its document and occurrence counts. Scale
+# shape: windows explode positionally (O(tokens) rows, bounded width —
+# the window arrays are built from a MATERIALIZED column, never a
+# re-evaluated split, per the HOF pitfall in ROADMAP), then one
+# hash-groupBy; no pairwise comparison anywhere.
+# --------------------------------------------------------------------------
+_W = 8
+
+
+@register(
+    "q159_dup_substrings",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {SQL_WORDS} AS ws FROM documents
+    ), win AS (
+      SELECT doc_id, unnest(
+        list_transform(generate_series(1, len(ws) - {_W - 1}),
+                       i -> array_to_string(list_slice(ws, i, i + {_W - 1}),
+                                            ' '))) AS wtext
+      FROM w WHERE len(ws) >= {_W}
+    )
+    SELECT md5(wtext) AS span_digest,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           COUNT(*) AS n_occurrences
+    FROM win GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def q159(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select("doc_id", T.words("text").alias("ws"))
+    n = F.size("ws")
+    windows = F.transform(
+        F.sequence(F.lit(1), n - (_W - 1)),
+        lambda i: F.concat_ws(" ", F.slice("ws", i, _W)),
+    )
+    win = (
+        base.filter(n >= _W)
+        .select("doc_id", F.explode(windows).alias("wtext"))
+    )
+    return (
+        win.groupBy(F.md5("wtext").alias("span_digest"))
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+# --------------------------------------------------------------------------
+# q163 — deterministic mixture interleave: the trainer-side data-mixing
+# order. Each source gets a weight; a document's global position key is
+# (rank within its source) / weight — the classic weighted round-robin
+# that makes a 2x-weighted source appear twice as often in any prefix
+# of the stream. Pure window arithmetic, reproducible across runs, no
+# shuffling RNG. Output: the first 200 schedule slots. Scale note: a
+# global schedule is inherently a total order; at corpus scale the
+# final slot numbering range-partitions on order_key (sortWithin
+# partitions + partition offsets) instead of one global window.
+# --------------------------------------------------------------------------
+_MIX_WEIGHTS = {"src0": 4.0, "src1": 2.0, "src2": 2.0}  # others 1.0
+
+
+def _mix_weight_sql() -> str:
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {w}" for s, w in _MIX_WEIGHTS.items())
+    return f"CASE {cases} ELSE 1.0 END"
+
+
+@register(
+    "q163_mixture_interleave",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id)
+               AS rn,
+             {_mix_weight_sql()} AS w
+      FROM documents
+    ), keyed AS (
+      SELECT doc_id, source, round(rn / w, 9) AS order_key FROM ranked
+    )
+    SELECT slot, doc_id, source, order_key FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY order_key, source, doc_id)
+               AS slot
+      FROM keyed
+    ) WHERE slot <= 200
+    """,
+)
+def q163(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    w = F.coalesce(
+        *[F.when(F.col("source") == s, F.lit(wt))
+          for s, wt in _MIX_WEIGHTS.items()],
+        F.lit(1.0),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy("doc_id"))
+    keyed = docs.select(
+        "doc_id", "source",
+        F.round(rn / w, 9).alias("order_key"),
+    )
+    slot = F.row_number().over(
+        Window.orderBy("order_key", "source", "doc_id"))
+    return (
+        keyed.withColumn("slot", slot)
+        .filter(F.col("slot") <= 200)
+        .select("slot", "doc_id", "source", "order_key")
+    )
+
+
+# --------------------------------------------------------------------------
+# q167 — overlapping document chunking (RAG / context-window prep):
+# size-200 chunks every 160 chars (40 overlap), short final chunk kept.
+# Pure sequence+explode+substring — whole-stage codegen end to end; the
+# fan-out is data-local so the op shuffles nothing at any corpus size.
+# Reference analog: the windowed read planner (tiles/tile.py windows)
+# applied to text instead of rasters.
+# --------------------------------------------------------------------------
+@register(
+    "q167_doc_chunking",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, text,
+             unnest(range(0, GREATEST(
+               CAST(ceil((length(text) - 40) / 160.0) AS BIGINT), 1)))
+               AS chunk_id
+      FROM documents
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(chunk_id * 160 AS BIGINT) AS chunk_start,
+           substring(text, CAST(chunk_id * 160 + 1 AS INT), 200)
+             AS chunk_text,
+           CAST(length(substring(text, CAST(chunk_id * 160 + 1 AS INT),
+                                 200)) AS BIGINT) AS chunk_len
+    FROM ch
+    """,
+)
+def q167(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return T.chunk_documents(docs, size=200, overlap=40)
+
+
+# --------------------------------------------------------------------------
+# q177 — content-defined chunking boundaries: Rabin-style rolling hash
+# (8-char window, base-31 polynomial, boundary at H % 64 == 0). The
+# content-addressed complement of q167's fixed-stride chunking: an edit
+# reshifts only its own chunk, so chunk-level exact dedup survives
+# insertions. Fully unrolled into codegen'd ascii() terms; the oracle
+# replays the identical polynomial.
+# --------------------------------------------------------------------------
+_CDC_TERMS = " + ".join(
+    f"CAST(ord(substr(text, CAST(i - {k} AS INT), 1)) AS BIGINT) * {31 ** k}"
+    for k in range(8)
+)
+
+
+@register(
+    "q177_cdc_boundaries",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, text, unnest(range(8, length(text) + 1)) AS i
+      FROM documents
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS boundary_pos
+    FROM pos WHERE ({_CDC_TERMS}) % 64 = 0
+    """,
+)
+def q177(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.cdc_boundaries(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# q186 — the corpus-curation pipeline END-TO-END as one DataFrame
+# program: length filter -> exact dedup (keep lowest doc_id) ->
+# deterministic train/val/test split -> per-(split, lang) doc and
+# token tallies. Every stage is an operator this engine already ships
+# (q26/q173/q34 building blocks) composed into the single plan a "run
+# my curation job" user actually submits; Catalyst fuses the filter
+# into the scan and the whole thing is two shuffles (dedup groupBy,
+# final rollup) at any corpus size.
+# --------------------------------------------------------------------------
+@register(
+    "q186_curation_pipeline",
+    oracle=f"""
+    WITH kept AS (
+      SELECT md5(text) AS digest,
+             MIN(doc_id) AS doc_id,
+             arg_min(lang, doc_id) AS lang,
+             arg_min(text, doc_id) AS text
+      FROM documents
+      WHERE n_chars BETWEEN 50 AND 400
+      GROUP BY md5(text)
+    ), split AS (
+      SELECT lang, text,
+             CASE WHEN {md5_int64_sql(
+                 "CAST(doc_id AS VARCHAR) || '|split-v1'")} % 100 < 5
+                    THEN 'test'
+                  WHEN {md5_int64_sql(
+                 "CAST(doc_id AS VARCHAR) || '|split-v1'")} % 100 < 10
+                    THEN 'val'
+                  ELSE 'train' END AS split
+      FROM kept
+    )
+    SELECT split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(list_filter(string_split(text, ' '),
+                                    w -> w != ''))) AS BIGINT) AS n_tokens
+    FROM split GROUP BY split, lang
+    """,
+)
+def q186(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sampling import train_val_test_split
+
+    docs = load(spark, sf_dir, "documents")
+    kept = (
+        docs.filter(F.col("n_chars").between(50, 400))
+        .groupBy(F.md5("text").alias("digest"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.expr("min_by(lang, doc_id)").alias("lang"),
+            F.expr("min_by(text, doc_id)").alias("text"),
+        )
+    )
+    split = train_val_test_split(kept, val_pct=5, test_pct=5)
+    return split.groupBy("split", "lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.size(T.words("text"))).cast("bigint").alias("n_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q188 — source-overlap planning matrix: one MinHash signature per
+# SOURCE (min over all word hashes any of its docs contain) and the
+# pairwise matching-component fraction — the unbiased vocabulary-
+# Jaccard estimate between sub-corpora, run before merging crawls to
+# decide where cross-source dedup pays off. Corpus-scale work is one
+# explode + one k-min groupBy over a handful of groups; the pairwise
+# stage is #sources^2 rows.
+# --------------------------------------------------------------------------
+@register(
+    "q188_source_overlap",
+    oracle=f"""
+    WITH w AS (
+      SELECT source AS g, unnest({SQL_WORDSET}) AS word FROM documents
+    ), h AS (
+      SELECT g, {_sql_word_hash()} AS hw FROM w
+    ), sigs AS (
+      SELECT g,
+           {_mh_cols}
+      FROM h GROUP BY g
+    )
+    SELECT a.g AS source_a, b.g AS source_b,
+           CAST({" + ".join(
+               f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END"
+               for i in range(D.N_MINHASH))} AS BIGINT) AS n_match,
+           round(({" + ".join(
+               f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END"
+               for i in range(D.N_MINHASH))}) / {float(D.N_MINHASH)}, 6)
+             AS est_jaccard
+    FROM sigs a JOIN sigs b ON a.g < b.g
+    """,
+)
+def q188(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.source_minhash_overlap(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# q189 — split drift check: chi-square statistic of (split x lang)
+# independence over the q173 assignment — the QA gate that catches a
+# bad split hash skewing language balance between train and val/test.
+# Counts are exact integers; the statistic is a 15-cell fold.
+# --------------------------------------------------------------------------
+_SPLIT_CASE = f"""CASE
+      WHEN {md5_int64_sql("CAST(doc_id AS VARCHAR) || '|split-v1'")} % 100
+           < 5 THEN 'test'
+      WHEN {md5_int64_sql("CAST(doc_id AS VARCHAR) || '|split-v1'")} % 100
+           < 10 THEN 'val'
+      ELSE 'train' END"""
+
+
+@register(
+    "q189_split_drift",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT lang, {_SPLIT_CASE} AS split FROM documents
+    ), cells AS (
+      SELECT split, lang, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM assigned GROUP BY split, lang
+    ), margins AS (
+      SELECT c.split, c.lang, c.n,
+             s.ns * l.nl / t.nt AS expected
+      FROM cells c
+      JOIN (SELECT split, SUM(n) AS ns FROM cells GROUP BY split) s
+        ON c.split = s.split
+      JOIN (SELECT lang, SUM(n) AS nl FROM cells GROUP BY lang) l
+        ON c.lang = l.lang
+      CROSS JOIN (SELECT SUM(n) AS nt FROM cells) t
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST((COUNT(DISTINCT split) - 1)
+                * (COUNT(DISTINCT lang) - 1) AS BIGINT) AS dof,
+           round(SUM((n - expected) * (n - expected) / expected), 6)
+             AS chi2
+    FROM margins
+    """,
+)
+def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.sampling import train_val_test_split
+
+    docs = load(spark, sf_dir, "documents")
+    cells = (
+        train_val_test_split(docs, val_pct=5, test_pct=5)
+        .groupBy("split", "lang")
+        .agg(F.count("*").cast("double").alias("n"))
+    )
+    ns = cells.groupBy("split").agg(F.sum("n").alias("ns"))
+    nl = cells.groupBy("lang").agg(F.sum("n").alias("nl"))
+    nt = cells.agg(F.sum("n").alias("nt"))
+    m = (
+        cells.join(F.broadcast(ns), "split")
+        .join(F.broadcast(nl), "lang")
+        .crossJoin(F.broadcast(nt))
+        .withColumn("expected", F.col("ns") * F.col("nl") / F.col("nt"))
+    )
+    return m.agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        ((F.countDistinct("split") - 1)
+         * (F.countDistinct("lang") - 1)).cast("bigint").alias("dof"),
+        F.round(
+            F.sum((F.col("n") - F.col("expected"))
+                  * (F.col("n") - F.col("expected")) / F.col("expected")),
+            6).alias("chi2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q192 — cross-source quantile normalization: map each source's length
+# distribution onto the GLOBAL distribution by rank (value := the
+# global order statistic at the same percentile) — the distribution-
+# matching step used when per-source quality scores aren't comparable
+# (different crawlers, different scales). Scale shape: the global
+# order statistic comes from a HISTOGRAM CDF — groupBy(n_chars) to a
+# value-domain-sized table (~500 rows however large the corpus), one
+# cumulative window over THAT table, broadcast range-join back. The
+# per-source ranks are partitioned windows. Integer rank arithmetic
+# throughout; target rank = round(p * (N-1)) + 1.
+# --------------------------------------------------------------------------
+@register(
+    "q192_quantile_normalize",
+    oracle="""
+    WITH src AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars ASC, doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS ns
+      FROM documents
+    ), hist AS (
+      SELECT n_chars AS v, COUNT(*) AS c FROM documents GROUP BY n_chars
+    ), cdf AS (
+      SELECT v, SUM(c) OVER (ORDER BY v ASC
+                             ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(c) OVER (ORDER BY v ASC
+                          ROWS UNBOUNDED PRECEDING) - c AS cum_before
+      FROM hist
+    ), n AS (
+      SELECT COUNT(*) AS nt FROM documents
+    ), mapped AS (
+      SELECT s.doc_id, s.source, s.n_chars,
+             CAST(round((s.rn - 1.0) / (s.ns - 1.0) * (n.nt - 1)) + 1
+                  AS BIGINT) AS target
+      FROM src s CROSS JOIN n
+      WHERE s.ns > 1
+    )
+    SELECT m.doc_id, m.source,
+           CAST(m.n_chars AS BIGINT) AS n_chars,
+           CAST(g.v AS BIGINT) AS normalized
+    FROM mapped m JOIN cdf g
+      ON m.target > g.cum_before AND m.target <= g.cum
+    """,
+)
+def q192(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    ws = Window.partitionBy("source").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc())
+    src = docs.select(
+        "doc_id", "source", "n_chars",
+        F.row_number().over(ws).alias("rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("ns"),
+    )
+    hist = docs.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count("*").alias("c"))
+    wc = Window.orderBy(F.col("v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cdf = hist.select(
+        "v", F.sum("c").over(wc).alias("cum"),
+        (F.sum("c").over(wc) - F.col("c")).alias("cum_before"))
+    nt = docs.agg(F.count("*").alias("nt"))
+    mapped = (
+        src.filter(F.col("ns") > 1)
+        .crossJoin(F.broadcast(nt))
+        .withColumn(
+            "target",
+            (F.round((F.col("rn") - 1.0) / (F.col("ns") - 1.0)
+                     * (F.col("nt") - 1)) + 1).cast("bigint"),
+        )
+    )
+    return mapped.join(
+        F.broadcast(cdf),
+        (mapped.target > cdf.cum_before) & (mapped.target <= cdf.cum),
+    ).select(
+        "doc_id", "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("v").cast("bigint").alias("normalized"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q193 — dataset-card summary: the per-source documentation table every
+# corpus release ships (docs, exact dup rate, exact median and p90
+# length, language count). Medians come from the per-source value-
+# domain histogram CDF (partitioned windows over ~500-row groups, the
+# q192 pattern — no per-source sort of raw rows); dup counts are one
+# digest aggregation. Everything exact and integer-derived except the
+# rounded dup_rate.
+# --------------------------------------------------------------------------
+@register(
+    "q193_dataset_card",
+    oracle="""
+    WITH base AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+      FROM documents GROUP BY source
+    ), hist AS (
+      SELECT source, n_chars AS v, COUNT(*) AS c
+      FROM documents GROUP BY source, n_chars
+    ), cdf AS (
+      SELECT source, v,
+             SUM(c) OVER w AS cum, SUM(c) OVER w - c AS cum_before
+      FROM hist
+      WINDOW w AS (PARTITION BY source ORDER BY v ASC
+                   ROWS UNBOUNDED PRECEDING)
+    ), med AS (
+      SELECT b.source, g.v AS median_len
+      FROM base b JOIN cdf g ON b.source = g.source
+        AND CAST(ceil(b.n_docs / 2.0) AS BIGINT) > g.cum_before
+        AND CAST(ceil(b.n_docs / 2.0) AS BIGINT) <= g.cum
+    ), p90 AS (
+      SELECT b.source, g.v AS p90_len
+      FROM base b JOIN cdf g ON b.source = g.source
+        AND CAST(ceil(b.n_docs * 0.9) AS BIGINT) > g.cum_before
+        AND CAST(ceil(b.n_docs * 0.9) AS BIGINT) <= g.cum
+    )
+    SELECT b.source, b.n_docs, b.n_unique,
+           round(1.0 - b.n_unique / b.n_docs, 6) AS dup_rate,
+           CAST(med.median_len AS BIGINT) AS median_len,
+           CAST(p90.p90_len AS BIGINT) AS p90_len,
+           b.n_langs
+    FROM base b
+    JOIN med ON b.source = med.source
+    JOIN p90 ON b.source = p90.source
+    """,
+)
+def q193(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct(F.md5("text")).cast("bigint").alias("n_unique"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+    )
+    hist = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count("*").alias("c"))
+    wc = Window.partitionBy("source").orderBy(F.col("v").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cdf = hist.select(
+        "source", "v",
+        F.sum("c").over(wc).alias("cum"),
+        (F.sum("c").over(wc) - F.col("c")).alias("cum_before"),
+    )
+
+    def rank_value(target, alias):
+        t = target.cast("bigint")
+        j = base.select("source", t.alias("_t")).join(
+            cdf, "source").filter(
+            (F.col("_t") > F.col("cum_before")) & (F.col("_t") <= F.col("cum"))
+        )
+        return j.select("source", F.col("v").cast("bigint").alias(alias))
+
+    med = rank_value(F.ceil(F.col("n_docs") / 2.0), "median_len")
+    p90 = rank_value(F.ceil(F.col("n_docs") * 0.9), "p90_len")
+    return (
+        base.join(med, "source").join(p90, "source")
+        .select(
+            "source", "n_docs", "n_unique",
+            F.round(1.0 - F.col("n_unique") / F.col("n_docs"), 6)
+            .alias("dup_rate"),
+            "median_len", "p90_len", "n_langs",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q209 — positive-pair mining for contrastive training: each document's
+# single best in-source near-duplicate (max Jaccard, lowest partner id
+# on ties) from the q27 blocked pair set — the anchor->positive side of
+# the pair story whose negatives q178 mines. The pair set is symmetric,
+# so both directions union before the per-doc argmax; everything after
+# candidate generation is one groupBy.
+# --------------------------------------------------------------------------
+@register("q209_positive_pairs")
+def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5,
+                                  block_cols=("source",))
+    sym = pairs.select(
+        F.col("doc_id_a").alias("doc_id"),
+        F.col("doc_id_b").alias("partner"), "jaccard",
+    ).unionByName(pairs.select(
+        F.col("doc_id_b").alias("doc_id"),
+        F.col("doc_id_a").alias("partner"), "jaccard",
+    ))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("jaccard").desc(), F.col("partner").asc())
+    return (
+        sym.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "partner", "jaccard")
+    )
+
+
+from . import ORACLES as _ORC  # noqa: E402
+
+_ORC["q209_positive_pairs"] = f"""
+    WITH pairs AS (
+      {_ORC["q27_jaccard_pairs"]}
+    ), sym AS (
+      SELECT doc_id_a AS doc_id, doc_id_b AS partner, jaccard FROM pairs
+      UNION ALL
+      SELECT doc_id_b AS doc_id, doc_id_a AS partner, jaccard FROM pairs
+    )
+    SELECT doc_id, partner, jaccard FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY jaccard DESC, partner ASC) AS rk
+      FROM sym
+    ) WHERE rk = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# q215 — temperature-scaled mixture weights: per-source sampling
+# probability proportional to count^tau (tau = 0.7), the multilingual /
+# multi-domain rebalancing rule (mBERT/XLM-R style) that upsamples
+# small sources without letting a head domain dominate. One dimension-
+# sized aggregation + a broadcast scalar total; the corpus shuffles
+# once on source. expected_epochs = weight * N / count shows how many
+# passes a source would see under the schedule.
+# --------------------------------------------------------------------------
+@register(
+    "q215_temperature_mixture",
+    oracle="""
+    WITH c AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ), tot AS (
+      SELECT SUM(pow(n_docs, 0.7)) AS z, SUM(n_docs) AS n FROM c
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           round(pow(n_docs, 0.7) / z, 6) AS weight,
+           round(pow(n_docs, 0.7) / z * n / n_docs, 6) AS expected_epochs
+    FROM c CROSS JOIN tot
+    """,
+)
+def q215(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count("*").alias("n_docs"))
+    tot = c.agg(
+        F.sum(F.pow("n_docs", F.lit(0.7))).alias("z"),
+        F.sum("n_docs").alias("n"),
+    )
+    w = F.pow("n_docs", F.lit(0.7)) / F.col("z")
+    return c.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.round(w, 6).alias("weight"),
+        F.round(w * F.col("n") / F.col("n_docs"), 6)
+        .alias("expected_epochs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q221 — deterministic epoch shuffle + shard assignment: the step that
+# turns a curated corpus into training shards. Order is md5(seed ||
+# doc_id) — reshuffling an epoch is just a new seed, reproducible on
+# any cluster size; shard = hash % n (map-only, no global sort). The
+# per-shard summary (count, first/last order key, id checksum) pins
+# both the assignment AND the within-shard order deterministically.
+# --------------------------------------------------------------------------
+_EPOCH_SEED = "epoch-7"
+_N_TRAIN_SHARDS = 8
+
+
+@register(
+    "q221_epoch_shuffle_shards",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5('{_EPOCH_SEED}|' || CAST(doc_id AS VARCHAR)) AS ok,
+             CAST(('0x' || substr(md5('{_EPOCH_SEED}|shard|'
+                   || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               % {_N_TRAIN_SHARDS} AS shard
+      FROM documents
+    )
+    SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(ok) AS first_key, MAX(ok) AS last_key,
+           CAST(SUM(doc_id) AS BIGINT) AS id_checksum
+    FROM keyed GROUP BY shard
+    """,
+)
+def q221(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ok = F.md5(F.concat(F.lit(f"{_EPOCH_SEED}|"),
+                        F.col("doc_id").cast("string")))
+    shard = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{_EPOCH_SEED}|shard|"),
+                               F.col("doc_id").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("bigint") % _N_TRAIN_SHARDS
+    )
+    return (
+        docs.select("doc_id", ok.alias("ok"), shard.alias("shard"))
+        .groupBy("shard")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("ok").alias("first_key"),
+            F.max("ok").alias("last_key"),
+            F.sum("doc_id").cast("bigint").alias("id_checksum"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# q222 — padding-waste analytics for length-bucketed batching: tokens
+# lost to padding when sequences are padded up to their 64-token bucket
+# boundary (the pre-packing baseline q92's packer beats). Pure column
+# math + one dimension-sized aggregation; the report is what decides
+# bucket granularity for a training run.
+# --------------------------------------------------------------------------
+@register(
+    "q222_padding_waste",
+    oracle=f"""
+    WITH lens AS (
+      SELECT doc_id, len({SQL_WORDS}) AS n_tok FROM documents
+    ), b AS (
+      SELECT doc_id, n_tok,
+             CAST(ceil(n_tok / 64.0) * 64 AS BIGINT) AS bucket
+      FROM lens WHERE n_tok > 0
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS real_tokens,
+           CAST(SUM(bucket - n_tok) AS BIGINT) AS padding_tokens,
+           round(SUM(bucket - n_tok)
+                 / CAST(SUM(bucket) AS DOUBLE), 6) AS waste_frac
+    FROM b GROUP BY bucket
+    """,
+)
+def q222(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(T.words("text"))
+    b = docs.select(
+        "doc_id", n_tok.alias("n_tok"),
+        (F.ceil(n_tok / 64.0) * 64).cast("bigint").alias("bucket"),
+    ).filter(F.col("n_tok") > 0)
+    return b.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("real_tokens"),
+        F.sum(F.col("bucket") - F.col("n_tok")).cast("bigint")
+        .alias("padding_tokens"),
+        F.round(
+            F.sum(F.col("bucket") - F.col("n_tok"))
+            / F.sum("bucket").cast("double"), 6,
+        ).alias("waste_frac"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q255 — QUALITY-CLASSIFIER CALIBRATION (reliability table + ECE): the
+# eval every learned curation filter needs before its scores gate data
+# (is "0.9 confident" right 90% of the time?). Confidence is a
+# deterministic md5 pseudo-uniform in milliunits, the label a second
+# independent hash thresholded BY the confidence (calibrated by
+# construction up to quantization — so the table is non-degenerate).
+# DETERMINISM: every reported double is ONE IEEE division of exact
+# integer sums — conf = sum_k/(1000 n), acc = sum_l/n, |gap| and the
+# final ECE = sum_b|1000 sl_b − sk_b| / (1000 N) — no float
+# accumulation anywhere, so values are bit-identical on any
+# partitioning and in DuckDB. One fact-scale hash agg on the decile.
+# --------------------------------------------------------------------------
+@register(
+    "q255_calibration_ece",
+    oracle=f"""
+    WITH scored AS (
+      SELECT ({md5_int64_sql('text')}) % 1000 AS k,
+             CASE WHEN ({md5_int64_sql("text || 'y'")}) % 1000
+                       < ({md5_int64_sql('text')}) % 1000
+                  THEN 1 ELSE 0 END AS label
+      FROM documents
+    ), buckets AS (
+      SELECT CAST(k // 100 AS INT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(k) AS sk, SUM(label) AS sl
+      FROM scored GROUP BY 1
+    )
+    SELECT CAST(bucket AS INT) AS bucket, n,
+           CAST(sk AS DOUBLE) / (1000 * n) AS conf,
+           CAST(sl AS DOUBLE) / n AS acc,
+           CAST(ABS(1000 * sl - sk) AS DOUBLE) / (1000 * n) AS gap
+    FROM buckets
+    UNION ALL
+    SELECT -1, CAST(SUM(n) AS BIGINT),
+           NULL, NULL,
+           CAST(SUM(ABS(1000 * sl - sk)) AS DOUBLE) / (1000 * SUM(n))
+    FROM buckets
+    ORDER BY bucket
+    """,
+)
+def q255(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import md5_int64
+
+    docs = load(spark, sf_dir, "documents")
+    k = md5_int64(F.col("text")) % 1000
+    label = F.when(
+        md5_int64(F.concat(F.col("text"), F.lit("y"))) % 1000 < k, 1
+    ).otherwise(0)
+    buckets = (
+        docs.select(k.alias("k"), label.alias("label"))
+        .groupBy((F.col("k") / 100).cast("int").alias("bucket"))
+        .agg(F.count("*").cast("bigint").alias("n"),
+             F.sum("k").alias("sk"), F.sum("label").alias("sl"))
+    )
+    per_bucket = buckets.select(
+        F.col("bucket").cast("int").alias("bucket"), "n",
+        (F.col("sk").cast("double") / (1000 * F.col("n"))).alias("conf"),
+        (F.col("sl").cast("double") / F.col("n")).alias("acc"),
+        (F.abs(1000 * F.col("sl") - F.col("sk")).cast("double")
+         / (1000 * F.col("n"))).alias("gap"),
+    )
+    total = buckets.agg(
+        F.sum("n").cast("bigint").alias("n"),
+        (F.sum(F.abs(1000 * F.col("sl") - F.col("sk"))).cast("double")
+         / (1000 * F.sum("n"))).alias("gap"),
+    ).select(F.lit(-1).cast("int").alias("bucket"), "n",
+             F.lit(None).cast("double").alias("conf"),
+             F.lit(None).cast("double").alias("acc"), "gap")
+    return per_bucket.unionAll(total).orderBy("bucket")
+
+
+# --------------------------------------------------------------------------
+# q259 — UNICODE COMPATIBILITY FOLD (NFKC subset): the pre-tokenization
+# cleanup every crawl pipeline runs (CCNet/fastText normalize before
+# anything hashes or tokenizes) — fullwidth ASCII, typographic quotes/
+# dashes, NBSP-family spaces, ellipsis expansion, whitespace squeeze.
+# Each doc wraps its text in deterministic mess (curly quotes,
+# NBSP-joined words, a fullwidth tail) and `T.fold_text` — translate +
+# literal replaces + one regexp, map-only, no UDF — must recover the
+# clean form; the oracle replays the identical construction and fold,
+# and the EXACT folded strings are value-compared per doc.
+# --------------------------------------------------------------------------
+_MESSY_TAIL = "　ＴＥＳＴ１２３…"
+
+
+@register(
+    "q259_unicode_fold",
+    oracle=f"""
+    SELECT doc_id,
+           {T.fold_text_sql(
+               "'“' || replace(text, ' ', ' ') || '” "
+               + _MESSY_TAIL + "'"
+           )} AS folded
+    FROM documents
+    """,
+)
+def q259(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("“"),
+        F.translate(F.col("text"), " ", " "),
+        F.lit("” " + _MESSY_TAIL),
+    )
+    return docs.select("doc_id", T.fold_text(messy).alias("folded"))
+
+
+# --------------------------------------------------------------------------
+# q270 — READABILITY (Flesch-Kincaid grade): the dictionary-free
+# counting heuristics (letter-run words, [.!?]+ sentences, vowel-group
+# syllables) shared as module regex constants; grade = two integer
+# ratios combined in a fixed double order, so the oracle replays the
+# value bit-for-bit before the 6-dp round. Map-only projection —
+# whole-stage codegen end to end, the quality-scoring shape (q33)
+# extended with the curriculum-standard readability metric.
+# --------------------------------------------------------------------------
+@register(
+    "q270_readability",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{T.READ_WORD_REGEX}'))
+               AS n_words,
+             GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS n_sentences,
+             len(regexp_extract_all(lower(text), '{T.READ_SYL_REGEX}'))
+               AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           CASE WHEN n_words > 0 THEN
+             round(0.39 * (CAST(n_words AS DOUBLE)
+                           / CAST(n_sentences AS DOUBLE))
+                   + 11.8 * (CAST(n_syllables AS DOUBLE)
+                             / CAST(n_words AS DOUBLE))
+                   - 15.59, 6)
+           END AS fk_grade
+    FROM c
+    """,
+)
+def q270(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.readability_features(load(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# q295 — MIXED-SCRIPT / HOMOGLYPH SPAM DETECTION: the crawl-quality
+# screen that catches Cyrillic lookalikes inside Latin words (spam,
+# SEO cloaking, phishing corpora). Each doc synthesizes a deterministic
+# variant (doc_id%3==1 -> 'a' becomes U+0430, %3==2 -> 'e' becomes
+# U+0435, else clean); the DETECTOR — per-script regexp_count over the
+# Unicode ranges, integer counts, one ratio, mixed-word count via a
+# Latin+Cyrillic-adjacency pattern — runs identically over the
+# constructed text on both sides. Map-only projection, whole-stage
+# codegen; flags exactly the 2/3 tainted docs.
+# --------------------------------------------------------------------------
+@register(
+    "q295_mixed_script",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INT)
+               WHEN 1 THEN replace(text, 'a', 'а')
+               WHEN 2 THEN replace(text, 'e', 'е')
+               ELSE text END AS t
+      FROM documents
+    ), c AS (
+      SELECT doc_id,
+             len(regexp_extract_all(t, '[A-Za-z]')) AS n_latin,
+             len(regexp_extract_all(t, '[Ѐ-ӿ]')) AS n_cyrillic,
+             len(regexp_extract_all(t,
+                 '[A-Za-z][Ѐ-ӿ]|[Ѐ-ӿ][A-Za-z]'))
+               AS n_adjacent
+      FROM v
+    )
+    SELECT doc_id, CAST(n_latin AS BIGINT) AS n_latin,
+           CAST(n_cyrillic AS BIGINT) AS n_cyrillic,
+           CAST(n_adjacent AS BIGINT) AS n_adjacent,
+           CASE WHEN n_latin + n_cyrillic > 0 THEN
+             round(CAST(n_cyrillic AS DOUBLE)
+                   / CAST(n_latin + n_cyrillic AS DOUBLE), 6) END
+             AS cyrillic_ratio,
+           (n_cyrillic > 0 AND n_latin > 0 AND n_adjacent > 0)
+             AS suspect
+    FROM c
+    """,
+)
+def q295(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = (
+        F.when(F.col("doc_id") % 3 == 1,
+               F.replace(F.col("text"), F.lit("a"), F.lit("а")))
+        .when(F.col("doc_id") % 3 == 2,
+              F.replace(F.col("text"), F.lit("e"), F.lit("е")))
+        .otherwise(F.col("text"))
+    )
+    v = docs.select("doc_id", t.alias("t"))
+    n_lat = F.regexp_count(F.col("t"), F.lit("[A-Za-z]"))
+    n_cyr = F.regexp_count(F.col("t"), F.lit("[Ѐ-ӿ]"))
+    n_adj = F.regexp_count(
+        F.col("t"),
+        F.lit("[A-Za-z][Ѐ-ӿ]|[Ѐ-ӿ][A-Za-z]"))
+    c = v.select(
+        "doc_id",
+        n_lat.cast("bigint").alias("n_latin"),
+        n_cyr.cast("bigint").alias("n_cyrillic"),
+        n_adj.cast("bigint").alias("n_adjacent"))
+    tot = F.col("n_latin") + F.col("n_cyrillic")
+    return c.select(
+        "doc_id", "n_latin", "n_cyrillic", "n_adjacent",
+        F.when(tot > 0,
+               F.round(F.col("n_cyrillic").cast("double")
+                       / tot.cast("double"), 6)).alias("cyrillic_ratio"),
+        ((F.col("n_cyrillic") > 0) & (F.col("n_latin") > 0)
+         & (F.col("n_adjacent") > 0)).alias("suspect"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q301 — SENTENCE-LEVEL CORPUS DEDUP (the C4 "remove any line that
+# occurs >= 3 times in the corpus" rule): each doc gains a
+# deterministic boilerplate sentence (doc_id % 4 != 0 — the 3/4 of the
+# corpus that shares a newsletter footer), sentences explode WITH
+# POSITION, one corpus-wide count per sentence (a shrinking hash agg —
+# at 100 TB the join key would be the sentence digest, not the string;
+# here the string keeps the oracle mechanism-independent), and docs
+# reassemble ORDER-PRESERVINGLY from the surviving sentences
+# (array_sort over (pos, sent) structs -> array_join). Output is
+# per-doc kept/removed counts + the md5 of the cleaned text, so the
+# oracle value-checks the exact reassembled string.
+# --------------------------------------------------------------------------
+_BOILER = "Subscribe to our newsletter for updates"
+
+
+@register(
+    "q301_sentence_dedup",
+    oracle=f"""
+    WITH v AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 <> 0
+                  THEN text || '. {_BOILER}' ELSE text END AS t
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             unnest(str_split(t, '. ')) AS sent,
+             unnest(range(1, len(str_split(t, '. ')) + 1)) AS pos
+      FROM v
+    ), c AS (
+      SELECT sent, COUNT(*) AS n FROM s GROUP BY sent
+    ), j AS (
+      SELECT s.doc_id, s.sent, s.pos, c.n < 3 AS keep
+      FROM s JOIN c USING (sent)
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_removed,
+           md5(COALESCE(string_agg(CASE WHEN keep THEN sent END, '. '
+                                   ORDER BY pos), '')) AS clean_md5
+    FROM j GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q301(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = F.when(F.col("doc_id") % 4 != 0,
+               F.concat(F.col("text"), F.lit(". " + _BOILER))
+               ).otherwise(F.col("text"))
+    s = docs.select(
+        "doc_id",
+        F.posexplode(F.split(t, "\\. ")).alias("pos0", "sent"))
+    c = s.groupBy("sent").agg(F.count("*").alias("n"))
+    j = s.join(c, "sent").select(
+        "doc_id", "sent", (F.col("pos0") + 1).alias("pos"),
+        (F.col("n") < 3).alias("keep"))
+    kept_structs = F.array_sort(F.collect_list(
+        F.when(F.col("keep"), F.struct("pos", "sent"))))
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_kept"),
+            F.sum((~F.col("keep")).cast("int")).cast("bigint")
+            .alias("n_removed"),
+            F.md5(F.array_join(
+                F.transform(kept_structs, lambda x: x["sent"]), ". "))
+            .alias("clean_md5"))
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q321 — SNIPPET CONTAINMENT ATTRIBUTION (the RAG / quote-attribution
+# op): given a table of snippets (first 25 words of every 10th doc —
+# the search-result preview), find every document whose shingle set
+# CONTAINS the snippet: containment C(s, d) = |S(s) ∩ S(d)| / |S(s)|,
+# the ASYMMETRIC cousin of Jaccard (q27/q66 would miss a short quote
+# inside a long doc — the union term drowns it). Candidates meet in a
+# shingle equi-join (never snippets x docs); |S(s)| is a per-snippet
+# count joined back by broadcast. Exact integer intersection counts,
+# one division, threshold 0.8.
+# --------------------------------------------------------------------------
+_CONT_K = 5       # shingle width (words)
+_CONT_LEN = 25    # snippet length (words)
+
+_SQL_SHINGLES = (
+    "list_distinct(list_transform("
+    "generate_series(1, len({ws}) - {k}), "
+    "i -> array_to_string(list_slice({ws}, i, i + {k} - 1), ' ')))"
+)
+
+
+@register(
+    "q321_containment_attribution",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {SQL_WORDS} AS ws FROM documents
+    ), snip AS (
+      SELECT doc_id AS snippet_id,
+             {_SQL_SHINGLES.format(ws=f"list_slice(ws, 1, {_CONT_LEN})",
+                                   k=_CONT_K)} AS sh
+      FROM w WHERE doc_id % 10 = 0 AND len(ws) >= {_CONT_LEN}
+    ), ssh AS (
+      SELECT snippet_id, unnest(sh) AS shingle,
+             len(sh) AS n_snip FROM snip
+    ), dsh AS (
+      SELECT doc_id, unnest({_SQL_SHINGLES.format(ws="ws", k=_CONT_K)})
+               AS shingle
+      FROM w
+    ), hit AS (
+      SELECT s.snippet_id, d.doc_id, COUNT(*) AS n_hit, MAX(s.n_snip)
+               AS n_snip
+      FROM ssh s JOIN dsh d USING (shingle)
+      GROUP BY 1, 2
+    )
+    SELECT snippet_id, doc_id,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CAST(n_snip AS BIGINT) AS n_snip,
+           round(CAST(n_hit AS DOUBLE) / n_snip, 6) AS containment
+    FROM hit WHERE CAST(n_hit AS DOUBLE) / n_snip >= 0.8
+    ORDER BY snippet_id, doc_id
+    """,
+)
+def q321(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ws = T.words("text")
+    w = docs.select("doc_id", ws.alias("ws"))
+
+    def shingles(ws_expr: str) -> F.Column:
+        return F.array_distinct(F.expr(
+            f"transform(sequence(1, size({ws_expr}) - {_CONT_K}), "
+            f"i -> array_join(slice({ws_expr}, i, {_CONT_K}), ' '))"))
+
+    snip = (
+        w.filter((F.col("doc_id") % 10 == 0)
+                 & (F.size("ws") >= _CONT_LEN))
+        .select(F.col("doc_id").alias("snippet_id"),
+                F.slice("ws", 1, _CONT_LEN).alias("sws"))
+        .select("snippet_id", shingles("sws").alias("sh"))
+    )
+    ssh = snip.select(
+        "snippet_id", F.explode("sh").alias("shingle"),
+        F.size("sh").alias("n_snip"))
+    dsh = w.select(
+        "doc_id", F.explode(shingles("ws")).alias("shingle"))
+    hit = (
+        ssh.join(dsh, "shingle")
+        .groupBy("snippet_id", "doc_id")
+        .agg(F.count("*").alias("n_hit"), F.max("n_snip").alias("n_snip"))
+    )
+    c = F.col("n_hit").cast("double") / F.col("n_snip")
+    return (
+        hit.filter(c >= 0.8)
+        .select("snippet_id", "doc_id",
+                F.col("n_hit").cast("bigint").alias("n_hit"),
+                F.col("n_snip").cast("bigint").alias("n_snip"),
+                F.round(c, 6).alias("containment"))
+        .orderBy("snippet_id", "doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# q322 — WINNOWING FINGERPRINTS (Schleimer/Wilkerson/Aiken 2003 — the
+# MOSS plagiarism-detection selection rule): hash every 3-word k-gram,
+# slide a w=4 window, keep the minimum hash per window with RIGHTMOST
+# tie-break (packed as hash*4 + (3-offset) so one integer min encodes
+# both rules), dedupe. Guarantees: any shared run >= w+k-1 grams shares
+# a fingerprint, density ~ 2/(w+1). All array HOFs (transform /
+# array_min / aggregate) — JVM-side, map-only, no shuffle; hashes are
+# 40-bit md5 prefixes so the *4 packing cannot overflow. Checksum =
+# exact integer sum of the distinct fingerprints (order-free, so
+# list_distinct order differences between engines cannot matter).
+# --------------------------------------------------------------------------
+@register(
+    "q322_winnowing",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {SQL_WORDS} AS ws FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_transform(
+               list_transform(generate_series(1, len(ws) - 2),
+                 i -> array_to_string(list_slice(ws, i, i + 2), ' ')),
+               s -> CAST(('0x' || substr(md5(s), 1, 10)) AS BIGINT)) AS hh
+      FROM w WHERE len(ws) >= 6
+    ), p AS (
+      SELECT doc_id, len(hh) AS n_kgrams,
+             list_distinct(list_transform(
+               list_transform(generate_series(1, len(hh) - 3),
+                 i -> list_min(list_transform(generate_series(0, 3),
+                        o -> hh[i + o] * 4 + (3 - o)))),
+               v -> v // 4)) AS fps
+      FROM g
+    )
+    SELECT doc_id,
+           CAST(n_kgrams AS BIGINT) AS n_kgrams,
+           CAST(n_kgrams - 3 AS BIGINT) AS n_windows,
+           CAST(len(fps) AS BIGINT) AS n_fingerprints,
+           round(CAST(len(fps) AS DOUBLE) / (n_kgrams - 3), 6) AS density,
+           CAST(list_sum(fps) AS BIGINT) AS fp_checksum
+    FROM p ORDER BY doc_id
+    """,
+)
+def q322(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select("doc_id", T.words("text").alias("ws")).filter(
+        F.size("ws") >= 6)
+    g = w.select(
+        "doc_id",
+        F.expr(
+            "transform("
+            " transform(sequence(1, size(ws) - 2),"
+            "  i -> array_join(slice(ws, i, 3), ' ')),"
+            " s -> CAST(conv(substring(md5(s), 1, 10), 16, 10) AS BIGINT))"
+        ).alias("hh"))
+    p = g.select(
+        "doc_id", F.size("hh").alias("n_kgrams"),
+        F.array_distinct(F.expr(
+            "transform("
+            " transform(sequence(1, size(hh) - 3),"
+            "  i -> array_min(transform(sequence(0, 3),"
+            "        o -> element_at(hh, CAST(i + o AS INT)) * 4"
+            "             + (3 - o)))),"
+            " v -> v div 4)")).alias("fps"))
+    return p.select(
+        "doc_id",
+        F.col("n_kgrams").cast("bigint").alias("n_kgrams"),
+        (F.col("n_kgrams") - 3).cast("bigint").alias("n_windows"),
+        F.size("fps").cast("bigint").alias("n_fingerprints"),
+        F.round(F.size("fps").cast("double")
+                / (F.col("n_kgrams") - 3), 6).alias("density"),
+        F.aggregate("fps", F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x).cast("bigint")
+        .alias("fp_checksum"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# q323 — INCREMENTAL DEDUP against a historical index (how production
+# dedup actually runs: yesterday's corpus is already signed, only the
+# new batch pays signature cost, and candidates come from an ASYMMETRIC
+# band join — batch x index bucket collisions, never batch x batch or a
+# full self-join). Index = doc_id % 5 != 0, batch = the remaining 20%.
+# Estimated similarity = matching minhash components / 16 — an exact
+# integer agreement count over the q28 signatures, so the oracle
+# replays it bit-for-bit; best match per batch doc via
+# max(struct(n_match, -index_id)). is_dup at >= 8/16.
+# --------------------------------------------------------------------------
+_INC_MATCH = " + ".join(
+    f"(CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END)"
+    for i in range(D.N_MINHASH)
+)
+
+
+@register(
+    "q323_incremental_dedup",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest({SQL_WORDSET}) AS word FROM documents
+    ), h AS (
+      SELECT doc_id, {_sql_word_hash()} AS hw FROM w
+    ), sigs AS (
+      SELECT doc_id,
+           {_mh_cols}
+      FROM h GROUP BY doc_id
+    ), banded AS (
+      {_bands_union}
+    ), cand AS (
+      SELECT DISTINCT b.doc_id AS batch_id, a.doc_id AS index_id
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.key = b.key
+      WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+    ), m AS (
+      SELECT c.batch_id, c.index_id, ({_INC_MATCH}) AS n_match
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.index_id
+      JOIN sigs sb ON sb.doc_id = c.batch_id
+    ), best AS (
+      SELECT batch_id, index_id, n_match,
+             row_number() OVER (PARTITION BY batch_id
+                                ORDER BY n_match DESC, index_id ASC) AS rk
+      FROM m
+    )
+    SELECT batch_id, index_id AS match_id,
+           CAST(n_match AS BIGINT) AS n_match,
+           round(n_match / {D.N_MINHASH}.0, 6) AS est_jaccard,
+           n_match >= {D.N_MINHASH // 2} AS is_dup
+    FROM best WHERE rk = 1 ORDER BY batch_id
+    """,
+)
+def q323(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs).localCheckpoint(eager=False)
+    rows = D.N_MINHASH // D.N_BANDS
+    band_cols = []
+    for b in range(D.N_BANDS):
+        parts = [F.col(f"mh{b * rows + r}").cast("string")
+                 for r in range(rows)]
+        band_cols.append(
+            F.conv(F.substring(F.md5(F.concat_ws("_", *parts)), 1, 15),
+                   16, 10).cast("bigint").alias(f"band{b}"))
+    stacked = sigs.select("doc_id", *band_cols).select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band_id"),
+                     F.col(f"band{b}").alias("key"))
+            for b in range(D.N_BANDS)])).alias("bk")
+    ).select("doc_id", "bk.band_id", "bk.key")
+    index_keys = stacked.filter(F.col("doc_id") % 5 != 0).select(
+        F.col("doc_id").alias("index_id"), "band_id", "key")
+    batch_keys = stacked.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("batch_id"), "band_id", "key")
+    cand = (index_keys.join(batch_keys, ["band_id", "key"])
+            .select("batch_id", "index_id").distinct())
+    sa = sigs.select(F.col("doc_id").alias("index_id"),
+                     *[F.col(f"mh{i}").alias(f"a{i}")
+                       for i in range(D.N_MINHASH)])
+    sb = sigs.select(F.col("doc_id").alias("batch_id"),
+                     *[F.col(f"mh{i}").alias(f"b{i}")
+                       for i in range(D.N_MINHASH)])
+    n_match = None
+    for i in range(D.N_MINHASH):
+        t = (F.col(f"a{i}") == F.col(f"b{i}")).cast("int")
+        n_match = t if n_match is None else n_match + t
+    m = (cand.join(sa, "index_id").join(sb, "batch_id")
+         .select("batch_id", "index_id", n_match.alias("n_match")))
+    best = (
+        m.groupBy("batch_id")
+        .agg(F.max(F.struct(F.col("n_match"),
+                            (-F.col("index_id")).alias("ni"))).alias("t"))
+        .select("batch_id", (-F.col("t.ni")).alias("match_id"),
+                F.col("t.n_match").alias("n_match"))
+    )
+    return best.select(
+        "batch_id", "match_id",
+        F.col("n_match").cast("bigint").alias("n_match"),
+        F.round(F.col("n_match") / float(D.N_MINHASH), 6)
+        .alias("est_jaccard"),
+        (F.col("n_match") >= D.N_MINHASH // 2).alias("is_dup"),
+    ).orderBy("batch_id")
+
+
+# --------------------------------------------------------------------------
+# q362 — STORAGE-PARTITIONED incremental dedup: q323's exact semantics
+# (and exact oracle), but the historical index is a PERSISTED bucketed
+# signature store (functions/signature_store.py) — band keys bucketed
+# by (band_id, key), signatures bucketed by doc_id — so the batch join
+# plans with NO Exchange above either index scan (FileScan shows
+# Bucketed: true; the only shuffles move the small batch side). This is
+# what q323 looks like when the index is 100 TB: the index is hashed
+# once at write time and never re-signed or re-shuffled per batch.
+# Plan shape is asserted in tests/test_signature_store.py.
+# --------------------------------------------------------------------------
+@register(
+    "q362_bucketed_incremental_dedup",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest({SQL_WORDSET}) AS word FROM documents
+    ), h AS (
+      SELECT doc_id, {_sql_word_hash()} AS hw FROM w
+    ), sigs AS (
+      SELECT doc_id,
+           {_mh_cols}
+      FROM h GROUP BY doc_id
+    ), banded AS (
+      {_bands_union}
+    ), cand AS (
+      SELECT DISTINCT b.doc_id AS batch_id, a.doc_id AS index_id
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.key = b.key
+      WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+    ), m AS (
+      SELECT c.batch_id, c.index_id, ({_INC_MATCH}) AS n_match
+      FROM cand c
+      JOIN sigs sa ON sa.doc_id = c.index_id
+      JOIN sigs sb ON sb.doc_id = c.batch_id
+    ), best AS (
+      SELECT batch_id, index_id, n_match,
+             row_number() OVER (PARTITION BY batch_id
+                                ORDER BY n_match DESC, index_id ASC) AS rk
+      FROM m
+    )
+    SELECT batch_id, index_id AS match_id,
+           CAST(n_match AS BIGINT) AS n_match,
+           round(n_match / {D.N_MINHASH}.0, 6) AS est_jaccard,
+           n_match >= {D.N_MINHASH // 2} AS is_dup
+    FROM best WHERE rk = 1 ORDER BY batch_id
+    """,
+)
+def q362(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib as _hashlib
+
+    from ..functions import signature_store as SS
+
+    docs = load(spark, sf_dir, "documents")
+    # the store is the NIGHTLY index: built once, probed per batch —
+    # so build it once per (session, sf) and measure the steady-state
+    # probe, not a rebuild (the catalog is per-session; a fresh session
+    # rebuilds, exactly like a fresh cluster would bootstrap its index)
+    name = f"q362_store_{_hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    if not spark.catalog.tableExists(f"{name}_bands"):
+        SS.store_signatures(
+            spark, docs.filter(F.col("doc_id") % 5 != 0), name)
+    return SS.incremental_dedup_against_store(
+        spark, docs.filter(F.col("doc_id") % 5 == 0), name)
+
+
+# --------------------------------------------------------------------------
+# q325 — UTF-8 BYTE HISTOGRAM / MOJIBAKE AUDIT: the encoding screen a
+# crawl pipeline runs before trusting "UTF-8" labels — per language,
+# the distribution of raw encoded BYTES (not codepoints), the non-ASCII
+# share, and continuation-byte counts (0x80-0xBF — a high share without
+# matching lead bytes is the classic double-encoding smell). Bytes come
+# via np.bincount over the raw UTF-8 bytes in an Arrow kernel (each
+# batch pre-aggregates to <= langs x 256 rows — a histogram never needs
+# an exploded row per byte). One shrinking (lang, byte) hash agg; the
+# DuckDB oracle keeps the independent hex-chunk mechanism.
+# --------------------------------------------------------------------------
+@register(
+    "q325_byte_histogram",
+    oracle="""
+    WITH b AS (
+      SELECT lang,
+             unnest(list_transform(
+               generate_series(1, len(t) // 2),
+               i -> CAST(('0x' || substr(t, i * 2 - 1, 2)) AS BIGINT)))
+               AS byte
+      FROM (SELECT lang, hex(encode(text)) AS t FROM documents)
+    )
+    SELECT lang, CAST(byte AS BIGINT) AS byte,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           (byte >= 128) AS non_ascii,
+           (byte >= 128 AND byte < 192) AS continuation
+    FROM b GROUP BY lang, byte ORDER BY lang, byte
+    """,
+)
+def q325(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents")
+
+    # round 7 perf: a 256-bucket histogram never needs one exploded row
+    # PER BYTE — the hex-chunk HOF formulation materialized ~50M rows
+    # at sf0.1 before the partial agg. np.bincount over the raw UTF-8
+    # bytes inside an Arrow kernel pre-aggregates each batch to at most
+    # langs x 256 rows (measured 8.5 s -> 2.1 s cold at sf0.1,
+    # value-identical); the downstream shuffle is unchanged (tiny).
+    def kernel(batches):
+        import numpy as np
+
+        for pdf in batches:
+            accum: dict = {}
+            for lang, t in zip(pdf["lang"], pdf["text"]):
+                b = np.frombuffer(str(t).encode("utf-8"),
+                                  dtype=np.uint8)
+                h = np.bincount(b, minlength=256)
+                if lang in accum:
+                    accum[lang] += h
+                else:
+                    accum[lang] = h.astype(np.int64)
+            rows = {"lang": [], "byte": [], "n": []}
+            for lang, h in accum.items():
+                nz = h.nonzero()[0]
+                rows["lang"].extend([lang] * len(nz))
+                rows["byte"].extend(nz.tolist())
+                rows["n"].extend(h[nz].tolist())
+            yield pd.DataFrame(rows)
+
+    hist = docs.select("lang", "text").mapInPandas(
+        kernel, "lang string, byte long, n long")
+    return (
+        hist.groupBy("lang", "byte")
+        .agg(F.sum("n").cast("bigint").alias("n"))
+        .select("lang", F.col("byte").cast("bigint").alias("byte"), "n",
+                (F.col("byte") >= 128).alias("non_ascii"),
+                ((F.col("byte") >= 128) & (F.col("byte") < 192))
+                .alias("continuation"))
+        .orderBy("lang", "byte")
+    )
+
+
+# --------------------------------------------------------------------------
+# q328 — c-TF-IDF TOP TERMS per class (the BERTopic class-based TF-IDF
+# that labels clusters with their characteristic words): treat each
+# lang as one aggregate "class document"; score(term, class) =
+# tf_norm * ln(1 + avg_class_size / cross-class term count). Two
+# shrinking aggs (term x class counts, then class totals), the global
+# term table joins back by term, and the top-5 ranking windows
+# partition BY class (never global). Scores are fixed-order scalar
+# expressions per row — no distributed float sum — rounded 6; ranking
+# ties break on the term string.
+# --------------------------------------------------------------------------
+@register(
+    "q328_ctfidf_topterms",
+    oracle=f"""
+    WITH w AS (
+      SELECT lang, unnest({SQL_WORDS}) AS term FROM documents
+    ), tc AS (
+      SELECT lang, term, COUNT(*) AS tf FROM w GROUP BY 1, 2
+    ), cls AS (
+      SELECT lang, SUM(tf) AS class_total FROM tc GROUP BY lang
+    ), gt AS (
+      SELECT term, SUM(tf) AS global_tf FROM tc GROUP BY term
+    ), avg_sz AS (
+      SELECT AVG(class_total) AS a FROM cls
+    ), scored AS (
+      SELECT tc.lang, tc.term, tc.tf,
+             round((CAST(tc.tf AS DOUBLE) / cls.class_total)
+                   * ln(1 + a / gt.global_tf), 6) AS score
+      FROM tc JOIN cls USING (lang) JOIN gt USING (term)
+      CROSS JOIN avg_sz
+    )
+    SELECT lang, term, CAST(tf AS BIGINT) AS tf, score,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT lang, term, tf, score,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY score DESC, term ASC) AS rk
+      FROM scored
+    ) WHERE rk <= 5 ORDER BY lang, rk
+    """,
+)
+def q328(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    w = docs.select("lang", F.explode(T.words("text")).alias("term"))
+    tc = w.groupBy("lang", "term").agg(F.count("*").alias("tf"))
+    tc = tc.localCheckpoint(eager=False)  # feeds cls, gt, and scored
+    cls = tc.groupBy("lang").agg(F.sum("tf").alias("class_total"))
+    gt = tc.groupBy("term").agg(F.sum("tf").alias("global_tf"))
+    avg_sz = cls.agg(F.avg("class_total").alias("a"))
+    scored = (
+        tc.join(F.broadcast(cls), "lang")
+        .join(gt, "term")
+        .crossJoin(F.broadcast(avg_sz))
+        .select(
+            "lang", "term", "tf",
+            F.round((F.col("tf").cast("double") / F.col("class_total"))
+                    * F.log(1 + F.col("a") / F.col("global_tf")), 6)
+            .alias("score"))
+    )
+    wr = Window.partitionBy("lang").orderBy(
+        F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "term", F.col("tf").cast("bigint").alias("tf"),
+                "score", F.col("rk").cast("bigint").alias("rk"))
+        .orderBy("lang", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# q339 — SPAN-LEVEL F1 (the NER / extraction eval): two deterministic
+# "annotators" mark token spans — gold = words longer than 6 chars,
+# predicted = words containing a doubled lowercase letter (explicit
+# aa|bb|...|zz alternation — RE2 oracles have no backreferences) — and
+# the eval counts
+# EXACT span matches (same doc, same position, same width). Explode
+# once per annotator with positions, equi-join on (doc, pos), and the
+# micro P/R/F1 are three divisions over exact integer counts, grouped
+# by lang. The standard seqeval computation as relational algebra.
+# --------------------------------------------------------------------------
+@register(
+    "q339_span_f1",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, lang, unnest({SQL_WORDS}) AS word,
+             unnest(range(1, len({SQL_WORDS}) + 1)) AS pos
+      FROM documents
+    ), gold AS (
+      SELECT doc_id, lang, pos FROM p WHERE len(word) > 6
+    ), pred AS (
+      SELECT doc_id, lang, pos FROM p
+      WHERE regexp_matches(word, 'aa|bb|cc|dd|ee|ff|gg|hh|ii|jj|kk|ll|mm|nn|oo|pp|qq|rr|ss|tt|uu|vv|ww|xx|yy|zz')
+    ), m AS (
+      SELECT g.lang, COUNT(*) AS tp
+      FROM gold g JOIN pred r ON r.doc_id = g.doc_id AND r.pos = g.pos
+      GROUP BY g.lang
+    ), gg AS (
+      SELECT lang, COUNT(*) AS n_gold FROM gold GROUP BY lang
+    ), pp AS (
+      SELECT lang, COUNT(*) AS n_pred FROM pred GROUP BY lang
+    )
+    SELECT gg.lang,
+           CAST(COALESCE(m.tp, 0) AS BIGINT) AS tp,
+           CAST(gg.n_gold AS BIGINT) AS n_gold,
+           CAST(COALESCE(pp.n_pred, 0) AS BIGINT) AS n_pred,
+           round(CAST(COALESCE(m.tp, 0) AS DOUBLE)
+                 / NULLIF(pp.n_pred, 0), 6) AS precision,
+           round(CAST(COALESCE(m.tp, 0) AS DOUBLE) / gg.n_gold, 6)
+             AS recall,
+           round(2.0 * COALESCE(m.tp, 0)
+                 / NULLIF(gg.n_gold + COALESCE(pp.n_pred, 0), 0), 6)
+             AS f1
+    FROM gg LEFT JOIN m USING (lang) LEFT JOIN pp USING (lang)
+    ORDER BY lang
+    """,
+)
+def q339(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    p = docs.select(
+        "doc_id", "lang",
+        F.posexplode(T.words("text")).alias("pos0", "word")
+    ).select("doc_id", "lang", (F.col("pos0") + 1).alias("pos"), "word")
+    p = p.localCheckpoint(eager=False)
+    gold = p.filter(F.length("word") > 6).select("doc_id", "lang", "pos")
+    pred = p.filter(F.col("word").rlike("aa|bb|cc|dd|ee|ff|gg|hh|ii|jj|kk|ll|mm|nn|oo|pp|qq|rr|ss|tt|uu|vv|ww|xx|yy|zz")).select(
+        "doc_id", F.col("pos").alias("ppos"))
+    m = (gold.join(pred, (gold.doc_id == pred.doc_id)
+                   & (gold.pos == pred.ppos))
+         .groupBy("lang").agg(F.count("*").alias("tp")))
+    gg = gold.groupBy("lang").agg(F.count("*").alias("n_gold"))
+    pp = (p.filter(F.col("word").rlike("aa|bb|cc|dd|ee|ff|gg|hh|ii|jj|kk|ll|mm|nn|oo|pp|qq|rr|ss|tt|uu|vv|ww|xx|yy|zz"))
+          .groupBy("lang").agg(F.count("*").alias("n_pred")))
+    tp = F.coalesce(F.col("tp"), F.lit(0))
+    npred = F.coalesce(F.col("n_pred"), F.lit(0))
+    return (
+        gg.join(m, "lang", "left").join(pp, "lang", "left")
+        .select(
+            "lang", tp.cast("bigint").alias("tp"),
+            F.col("n_gold").cast("bigint").alias("n_gold"),
+            npred.cast("bigint").alias("n_pred"),
+            F.round(tp.cast("double")
+                    / F.when(npred != 0, npred), 6).alias("precision"),
+            F.round(tp.cast("double") / F.col("n_gold"), 6)
+            .alias("recall"),
+            F.round(F.lit(2.0) * tp
+                    / F.when(F.col("n_gold") + npred != 0,
+                             F.col("n_gold") + npred), 6).alias("f1"))
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# q355 — GREEDY MAX-COVERAGE SELECTION (the (1-1/e) facility-location
+# greedy used for instruction-data subset selection): pick 5 docs, each
+# round choosing the one covering the most NOT-YET-COVERED 5-word
+# shingles (ties to the lowest doc_id). The uncovered gain is one
+# anti-join + hash agg per round; the argmax is a bounded 1-row
+# collect (the k-center q311 discipline) and the covered set grows by
+# the winner's shingles only. The oracle unrolls all 5 rounds as
+# chained CTEs — an independent mechanism that must agree on every
+# pick and gain.
+# --------------------------------------------------------------------------
+_COVER_K = 5
+
+
+def _cover_oracle() -> str:
+    head = f"""WITH sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(1, len({SQL_WORDS}) - 4),
+                 i -> array_to_string(list_slice({SQL_WORDS}, i, i + 4),
+                                      ' '))) AS shingle
+        FROM documents)
+    ), g1 AS (
+      SELECT doc_id, COUNT(*) AS c FROM sh GROUP BY doc_id
+    ), p1 AS (
+      SELECT doc_id, c FROM g1 ORDER BY c DESC, doc_id ASC LIMIT 1
+    ), c1 AS (
+      SELECT DISTINCT shingle FROM sh JOIN p1 USING (doc_id)
+    )"""
+    parts = [head]
+    for k in range(2, _COVER_K + 1):
+        parts.append(f""", g{k} AS (
+          SELECT s.doc_id, COUNT(*) AS c
+          FROM sh s LEFT JOIN c{k - 1} cc ON cc.shingle = s.shingle
+          WHERE cc.shingle IS NULL GROUP BY s.doc_id
+        ), p{k} AS (
+          SELECT doc_id, c FROM g{k} ORDER BY c DESC, doc_id ASC LIMIT 1
+        ), c{k} AS (
+          SELECT shingle FROM c{k - 1}
+          UNION
+          SELECT s.shingle FROM sh s JOIN p{k} USING (doc_id)
+        )""")
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS pick, doc_id, "
+        f"CAST(c AS BIGINT) AS gain FROM p{k}"
+        for k in range(1, _COVER_K + 1))
+    return "".join(parts) + " " + sel + " ORDER BY pick"
+
+
+@register("q355_greedy_set_cover", oracle=_cover_oracle())
+def q355(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    ws = T.words("text")
+    sh = (docs.select("doc_id", ws.alias("ws"))
+          .select("doc_id", F.explode(F.expr(
+              "transform(sequence(1, size(ws) - 4),"
+              " i -> array_join(slice(ws, i, 5), ' '))")).alias("shingle"))
+          .distinct().localCheckpoint())
+    covered = None
+    picks = []
+    for k in range(1, _COVER_K + 1):
+        rem = (sh if covered is None
+               else sh.join(covered, "shingle", "left_anti"))
+        gain = rem.groupBy("doc_id").agg(F.count("*").alias("c"))
+        top = gain.agg(F.max(F.struct(
+            F.col("c"), (-F.col("doc_id")).alias("nd"))).alias("m")
+        ).collect()[0].m  # bounded: 1 row
+        if top is None:
+            break
+        pick, c = -top.nd, int(top.c)
+        picks.append((k, int(pick), c))
+        new_cov = sh.filter(F.col("doc_id") == pick).select("shingle")
+        covered = (new_cov if covered is None
+                   else covered.unionByName(new_cov).distinct()
+                   ).localCheckpoint()
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(picks, 1),
+        "pick bigint, doc_id bigint, gain bigint").orderBy("pick")
+
+

@@ -27,8 +27,8 @@ from . import ORACLES, load, register
 _Q29_SQL = ORACLES["q29_minhash_lsh_pairs"]
 
 # component-family oracles run reachability over STAR edges (same
-# components, linear edge count) — see textops.STAR_EDGES_SQL
-from .textops import COMPONENT_CTES_SQL, STAR_EDGES_SQL  # noqa: E402
+# components, linear edge count) — see textstats.STAR_EDGES_SQL
+from .textstats import COMPONENT_CTES_SQL, STAR_EDGES_SQL  # noqa: E402
 _COMP_SQL = COMPONENT_CTES_SQL.format(star_edges=STAR_EDGES_SQL)
 
 
@@ -337,7 +337,8 @@ def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
 # whose band collides with an earlier doc. Survivor set after an
 # availableNow drain == docs that are MIN(doc_id) in ALL their buckets.
 # --------------------------------------------------------------------------
-from .textops import SQL_WORDSET, _bands_union, _mh_cols, _sql_word_hash  # noqa: E402
+from .textcommon import SQL_WORDSET, _sql_word_hash  # noqa: E402
+from .textstats import _bands_union, _mh_cols  # noqa: E402
 
 
 @register(
