@@ -422,6 +422,7 @@ BENCH_QUERIES = [
     "q430_main_content",
     "q431_optout_governance",
     "q432_epub_ingest",
+    "q433_pg_datasource_scan",
 ]
 
 

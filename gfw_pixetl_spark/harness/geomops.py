@@ -638,3 +638,140 @@ def q336(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_cross").cast("bigint").alias("n_self_intersections"),
         (F.col("n_cross") == 0).alias("is_simple"),
     ).orderBy("suppkey")
+
+
+# --------------------------------------------------------------------------
+# q433 — S6 live vector scan through a Spark 4 Python DataSource
+# (pyspark.sql.datasource): one input partition per tile envelope, the
+# probe-then-fetch flow and the EXACT pushdown SQL of sources/vector.py
+# executed inside a real PostgreSQL 15 server (PL/pgSQL ST_* polyfill,
+# sources/pg_live.py). Reference parity:
+# gfw_pixetl/tiles/vector_src_tile.py:87-156. Features are rectangles
+# generated closed-form from the part-table row count, so the DuckDB
+# oracle replays the probe (positive-area intersects), the clip, the
+# calc projection, and the ORDER BY paint order analytically.
+# last_val is taken by ARRIVAL order (max_by over a pre-shuffle
+# monotonic id, one tile per input partition), so a broken ORDER BY in
+# the source would hash-mismatch against the oracle's max(calc).
+# --------------------------------------------------------------------------
+_Q433_CAP = 1000
+_Q433_TILES = [
+    {"tile_id": f"t{r}{c}", "left": c * 10.0, "bottom": r * 10.0,
+     "right": c * 10.0 + 10.0, "top": r * 10.0 + 10.0}
+    for r in range(4) for c in range(4)
+]
+
+
+def _q433_ensure_features(srv: dict, n: int) -> str:
+    """Create + fill gfw.features_q433_<n> once per server lifetime.
+    Coordinates are float8 expressions; jsonb stores them shortest-
+    round-trip, so the doubles survive the wire exactly."""
+    from ..sources.pg_server import run_sql
+
+    table = f"features_q433_{n}"
+    run_sql(srv["sock"],
+            f"CREATE TABLE IF NOT EXISTS gfw.{table} "
+            "(gid INT, val float8, geom jsonb)")
+    if run_sql(srv["sock"], f"SELECT 1 FROM gfw.{table} LIMIT 1"):
+        return table
+    run_sql(srv["sock"], f"""
+      INSERT INTO gfw.{table}
+      SELECT i, (i*3 + 1)::float8,
+             jsonb_build_object('type', 'Polygon', 'coordinates',
+               jsonb_build_array(jsonb_build_array(
+                 jsonb_build_array(x0, y0),
+                 jsonb_build_array(x0 + w, y0),
+                 jsonb_build_array(x0 + w, y0 + h),
+                 jsonb_build_array(x0, y0 + h),
+                 jsonb_build_array(x0, y0))))
+      FROM (
+        SELECT i,
+               ((i*7) % 36)::float8
+                 + (i % 4)::float8 * (0.25)::float8 AS x0,
+               ((i*11) % 36)::float8
+                 + (i % 5)::float8 * (0.2)::float8 AS y0,
+               (2 + i % 7)::float8 AS w,
+               (2 + i % 5)::float8 AS h
+        FROM generate_series(0, {n - 1}) AS i
+      ) s
+    """)
+    return table
+
+
+_Q433_ORACLE = f"""
+    WITH feat AS (
+      SELECT i,
+             CAST((i*7) % 36 AS DOUBLE)
+               + CAST(i % 4 AS DOUBLE) * CAST(0.25 AS DOUBLE) AS x0,
+             CAST((i*11) % 36 AS DOUBLE)
+               + CAST(i % 5 AS DOUBLE) * CAST(0.2 AS DOUBLE) AS y0,
+             CAST(2 + i % 7 AS DOUBLE) AS w,
+             CAST(2 + i % 5 AS DOUBLE) AS h,
+             CAST(i*3 + 1 AS DOUBLE) * 2 + 1 AS calcval
+      FROM (SELECT range AS i FROM range({_Q433_CAP})
+            WHERE range < (SELECT least(count(*), {_Q433_CAP}) FROM part))
+    ), tiles AS (
+      SELECT 't' || r.range || c.range AS tile_id,
+             CAST(c.range * 10 AS DOUBLE) AS tl,
+             CAST(r.range * 10 AS DOUBLE) AS tb
+      FROM range(4) r, range(4) c
+    ), clipped AS (
+      SELECT tile_id, calcval,
+             least(x0 + w, tl + 10) - greatest(x0, tl) AS ix,
+             least(y0 + h, tb + 10) - greatest(y0, tb) AS iy
+      FROM feat, tiles
+      WHERE least(x0 + w, tl + 10) > greatest(x0, tl)
+        AND least(y0 + h, tb + 10) > greatest(y0, tb)
+    )
+    SELECT tile_id,
+           COUNT(*) AS n_feat,
+           ROUND(SUM(calcval), 2) AS sum_val,
+           MAX(calcval) AS last_val,
+           ROUND(SUM(ix * iy), 4) AS sum_area
+    FROM clipped GROUP BY tile_id ORDER BY tile_id
+"""
+
+
+@register("q433_pg_datasource_scan", oracle=_Q433_ORACLE)
+def q433(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+
+    from ..sources import pg_datasource, pg_server
+
+    srv = pg_server.ensure_server()
+    # bounded driver-side scalar: the feature count (<= 1000)
+    n = min(load(spark, sf_dir, "part").count(), _Q433_CAP)
+    table = _q433_ensure_features(srv, n)
+    pg_datasource.register(spark)
+    raw = (
+        spark.read.format(pg_datasource.FORMAT_NAME)
+        .option("sock", srv["sock"]).option("port", srv["port"])
+        .option("schema", "gfw").option("table", table)
+        .option("field", "val").option("calc", "val * 2 + 1")
+        .option("order", "asc")
+        .option("tiles", _json.dumps(_Q433_TILES))
+        .load()
+    )
+    g = F.from_json(
+        "geom",
+        "STRUCT<type: STRING, coordinates: ARRAY<ARRAY<ARRAY<DOUBLE>>>>",
+    )
+    ring = g["coordinates"][0]
+    xs = F.transform(ring, lambda p: p[0])
+    ys = F.transform(ring, lambda p: p[1])
+    rows = raw.select(
+        "tile_id", "val",
+        F.monotonically_increasing_id().alias("arrival"),
+        ((F.array_max(xs) - F.array_min(xs))
+         * (F.array_max(ys) - F.array_min(ys))).alias("area"),
+    )
+    return (
+        rows.groupBy("tile_id")
+        .agg(
+            F.count("*").alias("n_feat"),
+            F.round(F.sum("val"), 2).alias("sum_val"),
+            F.expr("max_by(val, arrival)").alias("last_val"),
+            F.round(F.sum("area"), 4).alias("sum_area"),
+        )
+        .orderBy("tile_id")
+    )
