@@ -423,6 +423,8 @@ BENCH_QUERIES = [
     "q431_optout_governance",
     "q432_epub_ingest",
     "q433_pg_datasource_scan",
+    "q434_bng_datum_warp",
+    "q435_projstring_warp",
 ]
 
 

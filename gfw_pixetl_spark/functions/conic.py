@@ -33,8 +33,22 @@ _ELLIPSOIDS = {
 }
 
 
-def _ab_e(ell: str) -> tuple[float, float, float]:
-    a, rf = _ELLIPSOIDS[ell]
+def _ab_e(ell) -> tuple[float, float, float]:
+    """(a, e^2, e) from a name here, the datum registry, or an (a, 1/f)
+    pair — the proj-string front door (functions/projstring.py) passes
+    pairs through for ellipsoids outside the named set."""
+    if isinstance(ell, str):
+        if ell in _ELLIPSOIDS:
+            a, rf = _ELLIPSOIDS[ell]
+        else:
+            from .datum import ELLIPSOIDS
+
+            a, rf = ELLIPSOIDS[ell]
+    else:
+        a, rf = ell
+    if rf == float("inf"):
+        raise NotImplementedError(
+            "conic projections need an ellipsoid, not a sphere")
     f = 1.0 / rf
     e2 = f * (2.0 - f)
     return a, e2, np.sqrt(e2)
@@ -102,8 +116,10 @@ def _phi_from_q(q, e, e2):
 
 # --- Lambert Conformal Conic, 2 standard parallels -----------------------
 
-def _lcc_setup(epsg: int):
-    ell, lat1, lat2, lat0, lon0, fe, fn = LCC_PARAMS[epsg]
+def _lcc_setup(crs):
+    """crs: EPSG code in LCC_PARAMS, or the param tuple itself."""
+    ell, lat1, lat2, lat0, lon0, fe, fn = (
+        LCC_PARAMS[crs] if isinstance(crs, int) else crs)
     a, e2, e = _ab_e(ell)
     p1, p2, p0 = map(np.radians, (lat1, lat2, lat0))
     m1, m2 = _m(p1, e2), _m(p2, e2)
@@ -114,8 +130,8 @@ def _lcc_setup(epsg: int):
     return a, e, n, big_f, rho0, np.radians(lon0), fe, fn
 
 
-def latlng_to_lcc(lng, lat, epsg: int):
-    a, e, n, big_f, rho0, lam0, fe, fn = _lcc_setup(epsg)
+def latlng_to_lcc(lng, lat, crs):
+    a, e, n, big_f, rho0, lam0, fe, fn = _lcc_setup(crs)
     phi = np.radians(np.asarray(lat, dtype="float64"))
     lam = np.radians(np.asarray(lng, dtype="float64")) - lam0
     lam = (lam + np.pi) % (2 * np.pi) - np.pi
@@ -124,8 +140,8 @@ def latlng_to_lcc(lng, lat, epsg: int):
     return fe + rho * np.sin(theta), fn + rho0 - rho * np.cos(theta)
 
 
-def lcc_to_latlng(x, y, epsg: int):
-    a, e, n, big_f, rho0, lam0, fe, fn = _lcc_setup(epsg)
+def lcc_to_latlng(x, y, crs):
+    a, e, n, big_f, rho0, lam0, fe, fn = _lcc_setup(crs)
     dx = np.asarray(x, dtype="float64") - fe
     dy = rho0 - (np.asarray(y, dtype="float64") - fn)
     rho = np.sign(n) * np.hypot(dx, dy)
@@ -137,8 +153,10 @@ def lcc_to_latlng(x, y, epsg: int):
 
 # --- Albers Equal-Area Conic, 2 standard parallels -----------------------
 
-def _albers_setup(epsg: int):
-    ell, lat1, lat2, lat0, lon0, fe, fn = ALBERS_PARAMS[epsg]
+def _albers_setup(crs):
+    """crs: EPSG code in ALBERS_PARAMS, or the param tuple itself."""
+    ell, lat1, lat2, lat0, lon0, fe, fn = (
+        ALBERS_PARAMS[crs] if isinstance(crs, int) else crs)
     a, e2, e = _ab_e(ell)
     p1, p2, p0 = map(np.radians, (lat1, lat2, lat0))
     m1, m2 = _m(p1, e2), _m(p2, e2)
@@ -149,8 +167,8 @@ def _albers_setup(epsg: int):
     return a, e, e2, n, big_c, rho0, np.radians(lon0), fe, fn
 
 
-def latlng_to_albers(lng, lat, epsg: int):
-    a, e, e2, n, big_c, rho0, lam0, fe, fn = _albers_setup(epsg)
+def latlng_to_albers(lng, lat, crs):
+    a, e, e2, n, big_c, rho0, lam0, fe, fn = _albers_setup(crs)
     phi = np.radians(np.asarray(lat, dtype="float64"))
     lam = np.radians(np.asarray(lng, dtype="float64")) - lam0
     lam = (lam + np.pi) % (2 * np.pi) - np.pi
@@ -159,8 +177,8 @@ def latlng_to_albers(lng, lat, epsg: int):
     return fe + rho * np.sin(theta), fn + rho0 - rho * np.cos(theta)
 
 
-def albers_to_latlng(x, y, epsg: int):
-    a, e, e2, n, big_c, rho0, lam0, fe, fn = _albers_setup(epsg)
+def albers_to_latlng(x, y, crs):
+    a, e, e2, n, big_c, rho0, lam0, fe, fn = _albers_setup(crs)
     dx = np.asarray(x, dtype="float64") - fe
     dy = rho0 - (np.asarray(y, dtype="float64") - fn)
     rho = np.sign(n) * np.hypot(dx, dy)
@@ -172,8 +190,10 @@ def albers_to_latlng(x, y, epsg: int):
 
 # --- Lambert Azimuthal Equal-Area (oblique, ellipsoidal) ------------------
 
-def _laea_setup(epsg: int):
-    ell, lat0, lon0, fe, fn = LAEA_PARAMS[epsg]
+def _laea_setup(crs):
+    """crs: EPSG code in LAEA_PARAMS, or the param tuple itself."""
+    ell, lat0, lon0, fe, fn = (
+        LAEA_PARAMS[crs] if isinstance(crs, int) else crs)
     a, e2, e = _ab_e(ell)
     p0 = np.radians(lat0)
     qp = _q(np.pi / 2, e, e2)
@@ -184,8 +204,8 @@ def _laea_setup(epsg: int):
     return a, e, e2, qp, beta0, rq, d, np.radians(lon0), fe, fn
 
 
-def latlng_to_laea(lng, lat, epsg: int):
-    a, e, e2, qp, beta0, rq, d, lam0, fe, fn = _laea_setup(epsg)
+def latlng_to_laea(lng, lat, crs):
+    a, e, e2, qp, beta0, rq, d, lam0, fe, fn = _laea_setup(crs)
     phi = np.radians(np.asarray(lat, dtype="float64"))
     lam = np.radians(np.asarray(lng, dtype="float64")) - lam0
     lam = (lam + np.pi) % (2 * np.pi) - np.pi
@@ -198,8 +218,8 @@ def latlng_to_laea(lng, lat, epsg: int):
     return x, y
 
 
-def laea_to_latlng(x, y, epsg: int):
-    a, e, e2, qp, beta0, rq, d, lam0, fe, fn = _laea_setup(epsg)
+def laea_to_latlng(x, y, crs):
+    a, e, e2, qp, beta0, rq, d, lam0, fe, fn = _laea_setup(crs)
     dx = (np.asarray(x, dtype="float64") - fe) / d
     dy = (np.asarray(y, dtype="float64") - fn) * d
     rho = np.hypot(dx, dy)

@@ -350,16 +350,26 @@ _UNSUPPORTED_CRS = (
     "(EPSG:326xx/327xx), polar stereographic (EPSG:3413/3031), UPS "
     "(EPSG:32661/32761), Lambert "
     "conformal conic (EPSG:2154/3347), Albers equal-area (EPSG:5070/"
-    "3577) and LAEA Europe (EPSG:3035); other CRS need pyproj/rasterio "
-    "(not in this runtime)"
+    "3577), LAEA Europe (EPSG:3035), national transverse-Mercator "
+    "grids (EPSG:27700/2180/2193, Helmert datum shift where the "
+    "registry defines one), and any '+proj=' string over the families "
+    "longlat/utm/tmerc/webmerc/lcc/aea/laea (functions/projstring.py); "
+    "other CRS need pyproj/rasterio (not in this runtime)"
 )
 
 
 def _to_geographic(xs, ys, crs: str):
     """crs coords -> (lng, lat)."""
-    from . import conic
+    from . import conic, datum, projstring, tmerc
 
+    if isinstance(crs, str) and crs.lstrip().startswith("+"):
+        return projstring.spec_to_geographic(
+            xs, ys, projstring.parse_proj(crs))
     code = _crs_code(crs)
+    if code in tmerc.TM_PARAMS:
+        tm = tmerc.TM_PARAMS[code]
+        lng, lat = tmerc.tm_inverse(xs, ys, tm)
+        return datum.to_wgs84_geodetic(lng, lat, tm.ell, tm.towgs84)
     if code == 4326:
         return xs, ys
     if code == 3857:
@@ -379,9 +389,17 @@ def _to_geographic(xs, ys, crs: str):
 
 def _from_geographic(lng, lat, crs: str):
     """(lng, lat) -> crs coords."""
-    from . import conic
+    from . import conic, datum, projstring, tmerc
 
+    if isinstance(crs, str) and crs.lstrip().startswith("+"):
+        return projstring.spec_from_geographic(
+            lng, lat, projstring.parse_proj(crs))
     code = _crs_code(crs)
+    if code in tmerc.TM_PARAMS:
+        tm = tmerc.TM_PARAMS[code]
+        lng2, lat2 = datum.from_wgs84_geodetic(lng, lat, tm.ell,
+                                               tm.towgs84)
+        return tmerc.tm_forward(lng2, lat2, tm)
     if code == 4326:
         return lng, lat
     if code == 3857:
@@ -405,11 +423,10 @@ def _project(xs, ys, src_crs: str, dst_crs: str):
     Any pair drawn from {EPSG:4326, EPSG:3857, WGS84 UTM zones} works —
     routed through geographic as the hub (exactly how PROJ pipelines
     compose transforms)."""
-    s, d = src_crs.upper(), dst_crs.upper()
-    if s == d:
+    if str(src_crs).strip().upper() == str(dst_crs).strip().upper():
         return xs, ys
-    lng, lat = _to_geographic(xs, ys, d)
-    return _from_geographic(lng, lat, s)
+    lng, lat = _to_geographic(xs, ys, dst_crs)
+    return _from_geographic(lng, lat, src_crs)
 
 
 @dataclass

@@ -15,6 +15,8 @@ Mapping:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -2746,3 +2748,244 @@ def q412(spark: SparkSession, sf_dir: str) -> DataFrame:
         "block_r", "block_c",
         (F.col("s_br") - F.col("s_tr") - F.col("s_bl")
          + F.col("s_tl")).cast("bigint").alias("box_sum"))
+
+
+# --------------------------------------------------------------------------
+# q434 — NATIONAL-GRID DATUM WARP (C4 beyond the UTM/conic hub): WGS84
+# points over Great Britain projected to EPSG:27700 (OSGB36 / British
+# National Grid) through the FULL analytic chain — WGS84 geodetic ->
+# ECEF -> exact-inverse 7-parameter Helmert (position vector, the
+# PROJ +towgs84 set) -> Airy-1830 geodetic (fixed-point) -> general
+# Karney-Krüger transverse Mercator with lat0=49N, k0=0.9996012717 and
+# the -100 km false northing (functions/datum.py, functions/tmerc.py;
+# reference inherits this via rasterio WarpedVRT,
+# gfw_pixetl/tiles/raster_src_tile.py:188-210). The oracle replays
+# every stage in SQL: the Helmert inverse-matrix entries and the
+# per-ellipsoid series coefficients are import-time literals from the
+# SAME public defining constants, the iterative geodetic conversion is
+# an unrolled recursive CTE, sinh/cosh/atanh/asinh expand to exp/ln.
+# Both sides round to 0.1 mm — a wrong sign convention, a skipped
+# rectifying-ordinate subtraction, or a negated-parameter (approximate)
+# Helmert reverse all shift results by meters and cannot hide.
+# --------------------------------------------------------------------------
+TM_WARP_SCHEMA = ("o_orderkey long, lat double, lon double, "
+                  "e_01mm long, n_01mm long")
+
+
+def _tm_series_literals(ell_name: str):
+    """(a, e2, e, k0*A_bar is caller's, alpha literals) for an ellipsoid."""
+    from ..functions.datum import resolve_ellipsoid
+    from ..functions.tmerc import tm_coefficients
+
+    a, f = resolve_ellipsoid(ell_name)
+    a_bar, alpha, _beta, e, e2 = tm_coefficients(a, f)
+    return a, e2, float(e), a_bar, alpha
+
+
+def _tm_series_sql(alpha, ea: float) -> str:
+    """TM forward series SQL over CTE ``geo(o_orderkey, lat, lon, phi,
+    lam)`` (geodetic radians on the target datum) -> CTE ``tmout`` with
+    xi/eta. Hyperbolics expand to exp; coefficients are literals."""
+    terms_xi = " + ".join(
+        f"{c!r} * sin({2 * j} * xip) * (exp({2 * j} * etap) "
+        f"+ exp(-{2 * j} * etap)) / 2.0"
+        for j, c in enumerate(alpha, start=1))
+    terms_eta = " + ".join(
+        f"{c!r} * cos({2 * j} * xip) * (exp({2 * j} * etap) "
+        f"- exp(-{2 * j} * etap)) / 2.0"
+        for j, c in enumerate(alpha, start=1))
+    return f"""
+    g1 AS (
+      SELECT o_orderkey, lat, lon, lam, tan(phi) AS tau FROM geo
+    ), g2 AS (
+      SELECT *, {ea!r} * 0.5 * ln(
+        (1.0 + {ea!r} * tau / sqrt(1.0 + tau * tau))
+        / (1.0 - {ea!r} * tau / sqrt(1.0 + tau * tau))) AS v
+      FROM g1
+    ), g3 AS (
+      SELECT *, (exp(v) - exp(-v)) / 2.0 AS sigma FROM g2
+    ), g4 AS (
+      SELECT *, tau * sqrt(1.0 + sigma * sigma)
+                - sigma * sqrt(1.0 + tau * tau) AS taup FROM g3
+    ), g5 AS (
+      SELECT *, atan2(taup, cos(lam)) AS xip,
+        ln(sin(lam) / sqrt(taup * taup + cos(lam) * cos(lam))
+           + sqrt(sin(lam) * sin(lam)
+                  / (taup * taup + cos(lam) * cos(lam)) + 1.0)) AS etap
+      FROM g4
+    ), tmout AS (
+      SELECT o_orderkey, lat, lon,
+             xip + {terms_xi} AS xi,
+             etap + {terms_eta} AS eta
+      FROM g5
+    )"""
+
+
+def _bng_oracle() -> str:
+    from ..functions.datum import _helmert_matrices, resolve_ellipsoid
+    from ..functions.tmerc import TM_PARAMS, _xi0, tm_coefficients
+
+    tm = TM_PARAMS[27700]
+    aw, fw = resolve_ellipsoid("WGS84")
+    e2w = fw * (2.0 - fw)
+    aa, e2a, ea, a_bar, alpha = _tm_series_literals("airy")
+    fa = 1.0 - (1.0 - e2a) ** 0.5  # airy flattening back from e2
+    _m, minv, t = _helmert_matrices(tuple(float(p) for p in tm.towgs84))
+    xi0 = _xi0(aa, fa, tm.lat0)
+    k0a = tm.k0 * a_bar
+    i = [[f"{minv[r][c]!r}" for c in range(3)] for r in range(3)]
+    tx, ty, tz = (f"{v!r}" for v in t)
+    return f"""
+    WITH RECURSIVE pts AS (
+      SELECT o_orderkey,
+             CAST(49.8 + (o_orderkey % 100) * 0.1 AS DOUBLE) AS lat,
+             CAST(-7.0 + (o_orderkey % 90) * 0.1 AS DOUBLE) AS lon
+      FROM orders
+    ), wx AS (
+      SELECT o_orderkey, lat, lon,
+             nu * cos(phi_w) * cos(lam_w) AS x,
+             nu * cos(phi_w) * sin(lam_w) AS y,
+             nu * (1.0 - {e2w!r}) * sin(phi_w) AS z
+      FROM (
+        SELECT o_orderkey, lat, lon,
+               {aw!r} / sqrt(1.0 - {e2w!r} * sin(radians(lat))
+                             * sin(radians(lat))) AS nu,
+               radians(lat) AS phi_w, radians(lon) AS lam_w
+        FROM pts
+      )
+    ), lx AS (
+      SELECT o_orderkey, lat, lon,
+        {i[0][0]} * (x - {tx}) + {i[0][1]} * (y - {ty})
+          + {i[0][2]} * (z - {tz}) AS xl,
+        {i[1][0]} * (x - {tx}) + {i[1][1]} * (y - {ty})
+          + {i[1][2]} * (z - {tz}) AS yl,
+        {i[2][0]} * (x - {tx}) + {i[2][1]} * (y - {ty})
+          + {i[2][2]} * (z - {tz}) AS zl
+      FROM wx
+    ), base AS (
+      SELECT o_orderkey, lat, lon, sqrt(xl * xl + yl * yl) AS p, zl,
+             atan2(yl, xl) AS lam_l
+      FROM lx
+    ), it(o_orderkey, lat, lon, p, zl, lam_l, phi, i) AS (
+      SELECT o_orderkey, lat, lon, p, zl, lam_l,
+             atan2(zl, p * (1.0 - {e2a!r})), 0
+      FROM base
+      UNION ALL
+      SELECT o_orderkey, lat, lon, p, zl, lam_l,
+             atan2(zl + {e2a!r} * ({aa!r} / sqrt(1.0 - {e2a!r}
+                   * sin(phi) * sin(phi))) * sin(phi), p),
+             i + 1
+      FROM it WHERE i < 35
+    ), geo AS (
+      SELECT o_orderkey, lat, lon, phi,
+             lam_l - ({math.radians(tm.lon0)!r}) AS lam
+      FROM it WHERE i = 35
+    ), {_tm_series_sql(alpha, ea)}
+    SELECT o_orderkey, lat, lon,
+           CAST(round(({tm.fe!r} + {k0a!r} * eta) * 10000.0) AS BIGINT)
+             AS e_01mm,
+           CAST(round(({tm.fn!r} + {k0a!r} * (xi - {xi0!r})) * 10000.0)
+             AS BIGINT) AS n_01mm
+    FROM tmout
+    """
+
+
+@register("q434_bng_datum_warp", oracle=_bng_oracle())
+def q434(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.partitioning import ensure_min_partitions
+
+    pts = ensure_min_partitions(
+        load(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            (49.8 + (F.col("o_orderkey") % 100) * 0.1)
+            .cast("double").alias("lat"),
+            (-7.0 + (F.col("o_orderkey") % 90) * 0.1)
+            .cast("double").alias("lon")))
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..functions.warp import _from_geographic
+
+        for pdf in batches:
+            e, n = _from_geographic(pdf["lon"].to_numpy(),
+                                    pdf["lat"].to_numpy(), "EPSG:27700")
+            yield pd.DataFrame({
+                "o_orderkey": pdf["o_orderkey"],
+                "lat": pdf["lat"], "lon": pdf["lon"],
+                "e_01mm": np.round(e * 10000.0).astype("int64"),
+                "n_01mm": np.round(n * 10000.0).astype("int64"),
+            })
+
+    return pts.mapInPandas(kernel, TM_WARP_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# q435 — PROJ-STRING FRONT DOOR (C4): the engine accepts a raw
+# '+proj=tmerc ...' string (functions/projstring.py) — here Poland
+# CS92 (EPSG:2180 written as its PROJ string, GRS80, k0=0.9993,
+# FN=-5300000, a null +towgs84 that must short-circuit the datum
+# bridge) — matching the reference's CRS-string grid front door
+# (gfw_pixetl/grids/grid_factory.py:14-26). Oracle: the same
+# Karney-Krüger forward series on GRS80 as import-time literals; no
+# ECEF chain, so a datum bridge that fails to no-op on a null shift
+# would break the hash.
+# --------------------------------------------------------------------------
+_PS_2180 = ("+proj=tmerc +lat_0=0 +lon_0=19 +k=0.9993 +x_0=500000 "
+            "+y_0=-5300000 +ellps=GRS80 +towgs84=0,0,0,0,0,0,0 "
+            "+units=m +no_defs")
+
+
+def _cs92_oracle() -> str:
+    _a, _e2, eg, a_bar, alpha = _tm_series_literals("GRS80")
+    k0a = 0.9993 * a_bar
+    return f"""
+    WITH pts AS (
+      SELECT o_orderkey,
+             CAST(49.1 + (o_orderkey % 60) * 0.1 AS DOUBLE) AS lat,
+             CAST(14.2 + (o_orderkey % 95) * 0.1 AS DOUBLE) AS lon
+      FROM orders
+    ), geo AS (
+      SELECT o_orderkey, lat, lon, radians(lat) AS phi,
+             radians(lon - 19.0) AS lam
+      FROM pts
+    ), {_tm_series_sql(alpha, eg)}
+    SELECT o_orderkey, lat, lon,
+           CAST(round((500000.0 + {k0a!r} * eta) * 10000.0) AS BIGINT)
+             AS e_01mm,
+           CAST(round((-5300000.0 + {k0a!r} * xi) * 10000.0) AS BIGINT)
+             AS n_01mm
+    FROM tmout
+    """
+
+
+@register("q435_projstring_warp", oracle=_cs92_oracle())
+def q435(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.partitioning import ensure_min_partitions
+
+    pts = ensure_min_partitions(
+        load(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            (49.1 + (F.col("o_orderkey") % 60) * 0.1)
+            .cast("double").alias("lat"),
+            (14.2 + (F.col("o_orderkey") % 95) * 0.1)
+            .cast("double").alias("lon")))
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..functions.warp import _from_geographic
+
+        for pdf in batches:
+            e, n = _from_geographic(pdf["lon"].to_numpy(),
+                                    pdf["lat"].to_numpy(), _PS_2180)
+            yield pd.DataFrame({
+                "o_orderkey": pdf["o_orderkey"],
+                "lat": pdf["lat"], "lon": pdf["lon"],
+                "e_01mm": np.round(e * 10000.0).astype("int64"),
+                "n_01mm": np.round(n * 10000.0).astype("int64"),
+            })
+
+    return pts.mapInPandas(kernel, TM_WARP_SCHEMA)
