@@ -33,6 +33,7 @@ from collections.abc import Iterator
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import col as F_col
 
 try:  # boto3 ships in this container; gate anyway for minimal installs
     import boto3
@@ -335,3 +336,167 @@ def open_cog(cfg: S3Config, bucket: str, key: str,
             rng *= 4
     tif.opener = lambda: _RangedFile(client, bucket, key)
     return tif
+
+
+# --- exactly-once manifest commit (S9+S10 composed) ------------------------
+# ``upload_tiles`` is at-least-once per task retry: a speculative or
+# re-executed task re-PUTs its tiles (harmless — same key, same bytes;
+# S3 last-writer-wins on identical content) and re-emits its status
+# rows (NOT harmless for the manifest: a naive collect would list the
+# tile twice, and a whole-job re-run would publish a second manifest
+# that double-counts). The functions below make the MANIFEST edge
+# exactly-once by composing the reference's manifest-on-all-success
+# policy (``gfw_pixetl/pipes/pipe.py:163-166``) with the snapshot
+# table's O_EXCL commit loop (``sources/snapshots.py::_commit``),
+# translated to the object store: versioned manifests under
+# ``{prefix}/_manifest/v{N}.json`` written with ``If-None-Match: *``
+# (S3 conditional PUT — the object-store O_CREAT|O_EXCL), a canonical
+# content digest so a re-run of the SAME success set recognizes its
+# earlier commit instead of minting a new version, and fixed-key
+# ``tiles.geojson``/``extent.geojson`` convenience copies derived from
+# the committed version (the versioned objects are the source of
+# truth; the copies are last-writer-wins pointers for readers that
+# expect the reference's key scheme).
+
+
+def _canonical_digest(doc) -> str:
+    import hashlib
+
+    return hashlib.sha256(
+        json.dumps(doc, sort_keys=True, separators=(",", ":")).encode()
+    ).hexdigest()
+
+
+def _latest_manifest_version(client, bucket: str, pre: str) -> int:
+    head = 0
+    token = None
+    while True:
+        kw = {"Bucket": bucket, "Prefix": f"{pre}/_manifest/v"}
+        if token:
+            kw["ContinuationToken"] = token
+        resp = client.list_objects_v2(**kw)
+        for obj in resp.get("Contents", []):
+            name = obj["Key"].rsplit("/", 1)[-1]
+            if name.startswith("v") and name.endswith(".json"):
+                try:
+                    head = max(head, int(name[1:-5]))
+                except ValueError:
+                    continue
+        if not resp.get("IsTruncated"):
+            return head
+        token = resp.get("NextContinuationToken")
+
+
+def commit_manifest_exactly_once(
+    manifest: dict,
+    cfg: S3Config,
+    bucket: str,
+    prefix: str,
+    job_id: str | None = None,
+    max_retries: int = 20,
+) -> tuple[int, bool]:
+    """CAS-commit a manifest version; returns ``(version, fresh)``.
+
+    ``fresh=False`` means the head version already carries this exact
+    content digest — the idempotent outcome of re-running a job whose
+    commit already landed (e.g. the driver died between commit and
+    report). A lost conditional PUT re-reads the new head and retries,
+    exactly like the local O_EXCL loop."""
+    client = cfg.client()
+    pre = prefix.rstrip("/")
+    digest = _canonical_digest(manifest)
+    for _ in range(max_retries):
+        head = _latest_manifest_version(client, bucket, pre)
+        if head:
+            cur = json.loads(
+                client.get_object(
+                    Bucket=bucket,
+                    Key=f"{pre}/_manifest/v{head:012d}.json",
+                )["Body"].read()
+            )
+            if cur.get("content_digest") == digest:
+                return head, False
+        version = head + 1
+        body = dict(manifest)
+        body["content_digest"] = digest
+        body["version"] = version
+        body["parent"] = head
+        if job_id is not None:
+            body["job_id"] = job_id
+        try:
+            client.put_object(
+                Bucket=bucket,
+                Key=f"{pre}/_manifest/v{version:012d}.json",
+                Body=json.dumps(body).encode(),
+                ContentType="application/json",
+                IfNoneMatch="*",
+            )
+        except Exception as e:  # botocore ClientError, gated below
+            code = getattr(e, "response", {}).get("Error", {}).get("Code")
+            if code in ("PreconditionFailed", "412", "ConditionalRequestConflict"):
+                continue  # lost the race: re-read head and retry
+            raise
+        # winner refreshes the reference-scheme convenience copies
+        for name in ("tiles", "extent"):
+            doc = manifest.get(name)
+            if doc is not None:
+                client.put_object(
+                    Bucket=bucket,
+                    Key=f"{pre}/{name}.geojson",
+                    Body=json.dumps(doc).encode(),
+                    ContentType="application/geo+json",
+                )
+        return version, True
+    raise RuntimeError(f"manifest commit lost {max_retries} races")
+
+
+def upload_exactly_once(
+    statuses: DataFrame,
+    manifest: dict,
+    cfg: S3Config,
+    bucket: str,
+    prefix: str,
+    job_id: str | None = None,
+    ext: str = ".tif",
+) -> dict:
+    """S9 upload + S10 manifest with exactly-once manifest semantics.
+
+    1. all-success gate BEFORE any upload (``pipes/pipe.py:163-166``):
+       a single failed tile aborts the publish;
+    2. executor-side tile PUTs (at-least-once, content-idempotent);
+    3. driver-side dedup of the status rows by key — task retries and
+       speculative duplicates collapse;
+    4. HEAD verification of every uploaded key+size (the success set
+       the manifest will claim is the set that is actually durable);
+    5. CAS manifest commit (idempotent across whole-job re-runs).
+    """
+    n_failed = (
+        statuses.filter(F_col("status").startswith("failed")).limit(1).count()
+    )
+    if n_failed:
+        raise RuntimeError(
+            "upload_exactly_once: failed tiles present — manifest is "
+            "only published on all-success (reference pipes/pipe.py:163)"
+        )
+    up = upload_tiles(statuses, cfg, bucket, prefix, ext=ext)
+    # bounded collect: one row per tile (+sidecar), after dedup
+    rows = up.dropDuplicates(["s3_key"]).collect()
+    client = cfg.client()
+    for r in rows:
+        head = _with_retries(
+            lambda k=r.s3_key: client.head_object(Bucket=bucket, Key=k)
+        )
+        if head["ContentLength"] != r.n_bytes:
+            raise RuntimeError(
+                f"upload verification failed for {r.s3_key}: "
+                f"expected {r.n_bytes} bytes, "
+                f"found {head['ContentLength']}"
+            )
+    doc = dict(manifest)
+    doc["uploads"] = sorted(
+        [r.tile_id, r.s3_key, int(r.n_bytes)] for r in rows
+    )
+    version, fresh = commit_manifest_exactly_once(
+        doc, cfg, bucket, prefix, job_id=job_id
+    )
+    return {"version": version, "fresh": fresh, "n_uploads": len(rows)}
