@@ -425,6 +425,7 @@ BENCH_QUERIES = [
     "q433_pg_datasource_scan",
     "q434_bng_datum_warp",
     "q435_projstring_warp",
+    "q436_h264_keyframe_index",
 ]
 
 

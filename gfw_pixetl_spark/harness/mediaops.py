@@ -958,3 +958,128 @@ def q261(spark: SparkSession, sf_dir: str) -> DataFrame:
     return transcode_png_jpeg(load(spark, sf_dir, "documents"))
 
 
+
+
+# --------------------------------------------------------------------------
+# q436 — H.264/AVC KEYFRAME INDEXING (sources/h264.py): the video-corpus
+# sampling need — find the IDR pictures so extraction lands on
+# self-contained frames, recover the TRUE coded resolution from the SPS
+# (container width/height fields are advisory), and census NAL traffic
+# — WITHOUT pixel decode (entropy-coded macroblock data stays honestly
+# opaque; decode gating documented in sources/mp3.py's Layer III note).
+# Each doc carries a spec-valid avc1 mp4: avcC record in the sample
+# entry, in-band SPS/PPS/SEI on every IDR, real Exp-Golomb slice
+# headers, frame cropping expressing non-multiple-of-16 dimensions, and
+# an stss box whose sync list the kernel CROSS-CHECKS against the
+# NAL-derived IDR positions — a container/bitstream disagreement fails
+# the boolean and the hash. Oracle: the GOP structure is closed-form in
+# doc_id, so every output column replays analytically.
+# --------------------------------------------------------------------------
+H264_SCHEMA = ("doc_id long, n_samples int, n_idr int, idr_pos_sum long, "
+               "width int, height int, profile int, level int, "
+               "n_sei int, stss_consistent boolean")
+
+
+def h264_mp4_payload(doc_id: int) -> bytes:
+    """Deterministic avc1 mp4: GOP size 4..8, 24..35 frames, cropped
+    dimensions, alternating Baseline/Main profile."""
+    from ..sources import h264
+    from ..sources.bmff import encode_mp4_tracks
+
+    nf = 24 + doc_id % 12
+    gop = 4 + doc_id % 5
+    w = 160 + 2 * (doc_id % 9)
+    h = 90 + 2 * (doc_id % 7)
+    profile = 66 if doc_id % 2 == 0 else 77
+    level = (30, 31, 40)[doc_id % 3]
+    sps = h264.build_sps(w, h, profile_idc=profile, level_idc=level)
+    pps = h264.build_pps()
+    avcc = h264.build_avcc([sps], [pps])
+    samples, sync = [], []
+    for i in range(nf):
+        idr = i % gop == 0
+        body = bytes([0xA5]) * (20 + (i * 7) % 50)
+        nals = []
+        if idr:
+            nals += [sps, pps, h264.build_sei()]
+            sync.append(i + 1)
+        nals.append(h264.build_slice(idr, i % 256, 8, body))
+        samples.append(h264.avcc_sample(nals))
+    return encode_mp4_tracks([{
+        "samples": samples, "handler": b"vide", "fourcc": "avc1",
+        "width": w, "height": h,
+        "entry_extra": h264.avc_fourcc_entry_extra(avcc),
+        "sync_samples": sync,
+    }])
+
+
+@register(
+    "q436_h264_keyframe_index",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(24 + doc_id % 12 AS INT) AS nf,
+             CAST(4 + doc_id % 5 AS INT) AS g
+      FROM documents
+    ), gops AS (
+      SELECT doc_id, nf, g, CAST((nf + g - 1) // g AS INT) AS n_idr
+      FROM base
+    )
+    SELECT doc_id, nf AS n_samples, n_idr,
+           CAST(n_idr + g * (CAST(n_idr AS BIGINT) * (n_idr - 1) / 2)
+                AS BIGINT) AS idr_pos_sum,
+           CAST(160 + 2 * (doc_id % 9) AS INT) AS width,
+           CAST(90 + 2 * (doc_id % 7) AS INT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 66 ELSE 77 END AS INT)
+             AS profile,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 30 WHEN 1 THEN 31
+                ELSE 40 END AS INT) AS level,
+           n_idr AS n_sei,
+           TRUE AS stss_consistent
+    FROM gops
+    """,
+)
+def q436(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.partitioning import ensure_min_partitions
+
+    docs = ensure_min_partitions(
+        load(spark, sf_dir, "documents").select("doc_id"))
+
+    def kernel(batches):
+        import pandas as pd
+        import struct as _struct
+
+        from ..sources import h264
+        from ..sources.bmff import sample_ranges
+
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                payload = h264_mp4_payload(int(doc_id))
+                idx = sample_ranges(payload)
+                ee = idx["entry_extra"]
+                size, four = _struct.unpack(">I4s", ee[:8])
+                assert four == b"avcC"
+                cfg = h264.parse_avcc(ee[8:size])
+                sps = h264.parse_sps(cfg["sps"][0])
+                idr_pos, n_sei = [], 0
+                for i, (off, sz, _dts) in enumerate(idx["samples"],
+                                                    start=1):
+                    info = h264.index_sample(payload[off:off + sz],
+                                             cfg["length_size"])
+                    if info["idr"]:
+                        idr_pos.append(i)
+                    if info["has_sei"]:
+                        n_sei += 1
+                out.append((
+                    int(doc_id), len(idx["samples"]), len(idr_pos),
+                    sum(idr_pos), sps.width, sps.height,
+                    sps.profile_idc, sps.level_idc, n_sei,
+                    idx["sync_samples"] == idr_pos,
+                ))
+            yield pd.DataFrame(out, columns=[
+                "doc_id", "n_samples", "n_idr", "idr_pos_sum", "width",
+                "height", "profile", "level", "n_sei",
+                "stss_consistent"])
+
+    return docs.mapInPandas(kernel, H264_SCHEMA)

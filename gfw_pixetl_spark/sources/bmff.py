@@ -106,11 +106,15 @@ def parse_stsd(buf: bytes, bs: int, be: int) -> list[dict]:
         if size < 16 or p + size > be:
             raise ValueError("bad stsd entry size")
         entry = {"format": fmt.decode("latin-1"), "width": None,
-                 "height": None}
+                 "height": None, "extra": b""}
         if size >= 8 + 28:  # enough bytes for the visual w/h fields
             w, h = struct.unpack(">HH", buf[p + 32:p + 36])
             if w and h:
                 entry["width"], entry["height"] = w, h
+        if size > 8 + 78:
+            # child boxes after the fixed VisualSampleEntry layout —
+            # codec configuration records (avcC, hvcC, esds) live here
+            entry["extra"] = buf[p + 8 + 78:p + size]
         out.append(entry)
         p += size
     return out
@@ -267,10 +271,20 @@ def sample_ranges(payload: bytes, handler: bytes = b"vide") -> dict:
             if f == b"mdhd":
                 ts = parse_mdhd_timescale(payload, bs)
         d0 = descs[0] if descs else {"format": "", "width": None,
-                                     "height": None}
+                                     "height": None, "extra": b""}
+        sync = None
+        if b"stss" in boxes:
+            sbs, sbe = boxes[b"stss"]
+            _v, p = _fullbox(payload, sbs)
+            (ns,) = struct.unpack(">I", payload[p:p + 4])
+            if p + 4 + 4 * ns > sbe:
+                raise ValueError("truncated stss")
+            sync = list(struct.unpack(f">{ns}I",
+                                      payload[p + 4:p + 4 + 4 * ns]))
         return {"format": d0["format"], "width": d0["width"],
                 "height": d0["height"], "timescale": ts,
-                "samples": samples}
+                "samples": samples, "entry_extra": d0.get("extra", b""),
+                "sync_samples": sync}
     raise ValueError(f"no {handler!r} track found")
 
 
@@ -303,7 +317,9 @@ def _rle_chunks(chunk_plan: list[int]) -> list[tuple[int, int, int]]:
 def _build_stbl(fourcc: str, handler: bytes, sizes: list[int],
                 chunk_plan: list[int], chunk_offs: list[int],
                 sample_delta: int, width: int, height: int,
-                force_co64: bool, sample_rate: int) -> bytes:
+                force_co64: bool, sample_rate: int,
+                entry_extra: bytes = b"",
+                sync_samples: list[int] | None = None) -> bytes:
     n = len(sizes)
     if handler == b"vide":
         entry = (
@@ -314,6 +330,7 @@ def _build_stbl(fourcc: str, handler: bytes, sizes: list[int],
             + struct.pack(">I", 0) + struct.pack(">H", 1)
             + b"\x00" * 32                               # compressorname
             + struct.pack(">Hh", 24, -1)                 # depth, pre_def
+            + entry_extra                  # codec config boxes (avcC...)
         )
     else:  # AudioSampleEntry (§12.2.3): mono 16-bit PCM description
         entry = (
@@ -337,7 +354,14 @@ def _build_stbl(fourcc: str, handler: bytes, sizes: list[int],
     else:
         co = _full(b"stco", 0, 0, struct.pack(">I", len(chunk_offs))
                    + struct.pack(f">{len(chunk_offs)}I", *chunk_offs))
-    return _box(b"stbl", stsd + stts + stsc + stsz + co)
+    stss = b""
+    if sync_samples is not None:
+        # sync-sample box (§8.6.2): 1-based sample numbers of keyframes;
+        # absence of the box means every sample is sync
+        stss = _full(b"stss", 0, 0, struct.pack(">I", len(sync_samples))
+                     + struct.pack(f">{len(sync_samples)}I",
+                                   *sync_samples))
+    return _box(b"stbl", stsd + stts + stsc + stsz + co + stss)
 
 
 _MATRIX = struct.pack(">9I", 0x00010000, 0, 0, 0, 0x00010000, 0,
@@ -348,12 +372,13 @@ def _build_trak(track_id: int, handler: bytes, fourcc: str,
                 sizes: list[int], chunk_plan: list[int],
                 chunk_offs: list[int], timescale: int, sample_delta: int,
                 width: int, height: int, force_co64: bool,
-                sample_rate: int) -> bytes:
+                sample_rate: int, entry_extra: bytes = b"",
+                sync_samples: list[int] | None = None) -> bytes:
     n = len(sizes)
     duration = n * sample_delta
     stbl = _build_stbl(fourcc, handler, sizes, chunk_plan, chunk_offs,
                        sample_delta, width, height, force_co64,
-                       sample_rate)
+                       sample_rate, entry_extra, sync_samples)
     if handler == b"vide":
         mhd = _full(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
         name = b"VideoHandler\x00"
@@ -411,7 +436,8 @@ def encode_mp4_tracks(tracks: list[dict],
             ti + 1, t.get("handler", b"vide"), t.get("fourcc", "png "),
             sizes, plan, chunk_offs, t.get("timescale", 1000), delta,
             t.get("width", 0), t.get("height", 0), force_co64,
-            t.get("sample_rate", 8000)))
+            t.get("sample_rate", 8000), t.get("entry_extra", b""),
+            t.get("sync_samples")))
         max_dur = max(max_dur, len(samples) * delta)
 
     mvhd = _full(b"mvhd", 0, 0, struct.pack(
