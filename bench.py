@@ -426,6 +426,7 @@ BENCH_QUERIES = [
     "q434_bng_datum_warp",
     "q435_projstring_warp",
     "q436_h264_keyframe_index",
+    "q437_colormap_symbology",
 ]
 
 

@@ -35,13 +35,17 @@ import numpy as np
 # 2x2 grid tiles of 8192 px (block 512) over a 20x20-degree source:
 # 16384 x 16384 px = 268 MB of uint8 pixels.
 GRID_WIDTH_DEG = 10
-GRID_COLS = 8192
+# 2x probe knob (tools/stress_probe.py): must be set BEFORE Spark starts
+# so executor-side re-imports of this module see the same constants.
+_SCALE = int(os.environ.get("SPARK_GRAFT_STRESS_SCALE", "1"))
+GRID_COLS = 8192 * _SCALE
 SRC_PIXELS = 2 * GRID_COLS
 # LatLng tiles are named by their TOP-left corner: 20N_* = lat 10..20
 TILE_IDS = ("20N_000E", "20N_010E", "10N_000E", "10N_010E")
 SOURCE_PATH = os.environ.get(
-    "SPARK_GRAFT_STRESS_SRC", "/tmp/gfw_scale_stress_src.tif")
-_MARKER = SOURCE_PATH + ".ok"
+    "SPARK_GRAFT_STRESS_SRC",
+    "/tmp/gfw_scale_stress_src.tif" if _SCALE == 1
+    else f"/tmp/gfw_scale_stress_src_x{_SCALE}.tif")
 
 
 def source_values(r0: int, r1: int, c0: int, c1: int) -> np.ndarray:
@@ -54,14 +58,20 @@ def source_values(r0: int, r1: int, c0: int, c1: int) -> np.ndarray:
             % 120 + 1).astype(np.uint8)
 
 
-def ensure_source(path: str = SOURCE_PATH) -> str:
+def ensure_source(path: str | None = None) -> str:
     """Build the 268 MB source COG once; a marker file keyed by the
-    generator parameters makes re-runs free."""
+    generator parameters makes re-runs free. ``path`` and its marker
+    resolve at CALL time from the module globals — a def-time default
+    froze the 1x path once and let a scaled run overwrite the 1x cache
+    while stamping the 2x marker (stale-cache poisoning the 2x probe
+    caught)."""
     from ..sources.geotiff import write_cog
 
+    path = path or SOURCE_PATH
+    marker = path + ".ok"
     key = f"{SRC_PIXELS}:v1"
-    if os.path.exists(path) and os.path.exists(_MARKER) \
-            and open(_MARKER).read() == key:
+    if os.path.exists(path) and os.path.exists(marker) \
+            and open(marker).read() == key:
         return path
     data = source_values(0, SRC_PIXELS, 0, SRC_PIXELS)
     xres = GRID_WIDTH_DEG / GRID_COLS
@@ -71,7 +81,7 @@ def ensure_source(path: str = SOURCE_PATH) -> str:
         crs="EPSG:4326", nodata=0, blockxsize=512,
         compress="DEFLATE", predictor=2, zlevel=1, overviews=False,
     )
-    with open(_MARKER, "w") as f:
+    with open(marker, "w") as f:
         f.write(key)
     return path
 

@@ -44,7 +44,8 @@ import time
 
 import numpy as np
 
-N_DOCS = 24_000
+_SCALE = int(__import__("os").environ.get("SPARK_GRAFT_STRESS_SCALE", "1"))
+N_DOCS = 24_000 * _SCALE
 WAVE = N_DOCS // 2
 N_SHARDS = 32
 N_HOSTS = 100

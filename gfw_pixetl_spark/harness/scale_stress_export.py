@@ -26,7 +26,8 @@ from __future__ import annotations
 import os
 import time
 
-N_DOCS = 120_000
+_SCALE = int(__import__("os").environ.get("SPARK_GRAFT_STRESS_SCALE", "1"))
+N_DOCS = 120_000 * _SCALE
 N_SHARDS = 32
 TOKENS = 64
 BODY_LEN = TOKENS * 14 + (TOKENS - 1)  # "w%08dx%04d" grid: 959 bytes

@@ -28,7 +28,8 @@ import math
 import os
 import time
 
-N_DOCS = 400_000
+_SCALE = int(__import__("os").environ.get("SPARK_GRAFT_STRESS_SCALE", "1"))
+N_DOCS = 400_000 * _SCALE
 N_PARTS = 8
 CHUNKS_PER_PART = 8          # 64 base files
 BODY_BLOCKS = 18             # 18 x 16-byte md5 blocks = 288 B/doc

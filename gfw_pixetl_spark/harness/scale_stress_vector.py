@@ -43,7 +43,8 @@ GRID_COLS = 4096
 TILE_ID = "10N_000E"  # lat 0..10, lng 0..10; origin top-left (0, 10)
 NI = NJ = 128          # lattice cells per axis
 CELL_PX = GRID_COLS // NI  # 32 px; each rectangle spans 2 cells (64 px)
-PTS_PER_EDGE = 104     # interpolated sawtooth vertices per edge
+_SCALE = int(__import__("os").environ.get("SPARK_GRAFT_STRESS_SCALE", "1"))
+PTS_PER_EDGE = 104 * _SCALE     # interpolated sawtooth vertices per edge
 SAW_EPS = 1e-9         # degrees; pixel centers are ~1.2e-3 deg away
 
 

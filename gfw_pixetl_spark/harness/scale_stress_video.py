@@ -26,7 +26,8 @@ import hashlib
 import os
 import time
 
-N_VIDEOS = 3_000
+_SCALE = int(__import__("os").environ.get("SPARK_GRAFT_STRESS_SCALE", "1"))
+N_VIDEOS = 3_000 * _SCALE
 FRAMES = 100
 SAMPLE_EVERY = 40  # frames 0, 40, 80
 N_SAMPLED = 3

@@ -2989,3 +2989,70 @@ def q435(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     return pts.mapInPandas(kernel, TM_WARP_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# q437 — COLORMAP SYMBOLOGY RENDERED (C6 beyond declaration): the
+# reference's LayerModel declares a symbology colormap
+# (gfw_pixetl/models/pydantic.py:20-33) but never renders it; here the
+# discrete colormap is actually WRITTEN as a paletted GeoTIFF
+# (PhotometricInterpretation=3 + TIFF 6.0 ColorMap tag 320,
+# sources/geotiff.py) and the pipeline then consumes the palette FROM
+# THE FILE: read_pixels returns palette indices, the color table read
+# back from tag 320 becomes a broadcast dimension, and the join
+# produces per-color pixel tallies. The oracle replays the synthetic
+# value grid AND the colormap formula analytically — a wrong palette
+# channel order, a 16-bit/8-bit scaling slip (the v*257 convention), or
+# an index/value mismatch all shift the counts or colors.
+# --------------------------------------------------------------------------
+def _palette_demo_file() -> str:
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from ..sources.geotiff import write_cog
+
+    d = os.path.join(tempfile.gettempdir(), "gfw_pixetl_spark_rt_demo")
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, "palette.tif")
+    if not os.path.exists(p):
+        ii, jj = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+        v = ((3 * jj + 5 * ii) % 13).astype("uint8")
+        cmap = {k: ((k * 19 + 7) % 256, (k * 37 + 11) % 256,
+                    (k * 53 + 29) % 256) for k in range(13)}
+        write_cog(p, v[None], transform=(0.0, 0.1, 10.0, 0.1),
+                  blockxsize=32, overviews=False, colormap=cmap)
+    return p
+
+
+@register(
+    "q437_colormap_symbology",
+    oracle="""
+    WITH px AS (
+      SELECT ((3 * j.c + 5 * i.r) % 13) AS v
+      FROM generate_series(0, 63) i(r), generate_series(0, 63) j(c)
+    )
+    SELECT CAST(v AS INT) AS pix_value,
+           CAST((v * 19 + 7) % 256 AS INT) AS red,
+           CAST((v * 37 + 11) % 256 AS INT) AS green,
+           CAST((v * 53 + 29) % 256 AS INT) AS blue,
+           CAST(COUNT(*) AS BIGINT) AS n_px
+    FROM px GROUP BY v
+    """,
+)
+def q437(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.geotiff import GeoTiff
+    from ..sources.raster_table import raster_catalog, read_pixels
+
+    path = _palette_demo_file()
+    colors = GeoTiff.open(path).profile["colormap"]
+    color_df = spark.createDataFrame(
+        [(int(k), r, g, b) for k, (r, g, b) in colors.items()],
+        "pix_value int, red int, green int, blue int")
+    px = read_pixels(raster_catalog(spark, [path]), window=32,
+                     parallelism=8)
+    return (px.select(F.col("value").cast("int").alias("pix_value"))
+            .join(F.broadcast(color_df), "pix_value")
+            .groupBy("pix_value", "red", "green", "blue")
+            .agg(F.count("*").alias("n_px")))

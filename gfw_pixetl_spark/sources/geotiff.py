@@ -54,6 +54,7 @@ T_TILE_WIDTH = 322
 T_TILE_LENGTH = 323
 T_TILE_OFFSETS = 324
 T_TILE_BYTE_COUNTS = 325
+T_COLOR_MAP = 320
 T_SAMPLE_FORMAT = 339
 T_MODEL_PIXEL_SCALE = 33550
 T_MODEL_TIEPOINT = 33922
@@ -347,6 +348,7 @@ def write_cog(
     metadata: dict[str, str] | None = None,
     zlevel: int = 6,
     bigtiff: bool | None = None,
+    colormap: dict[int, tuple[int, int, int]] | None = None,
 ) -> dict:
     """Write ``data`` (bands, rows, cols) as a tiled (CO)GeoTIFF.
 
@@ -408,6 +410,20 @@ def write_cog(
     phot = _PHOTOMETRIC.get(photometric.upper(), 1) if photometric else (
         _PHOTOMETRIC["RGB"] if bands == 3 and dt == "uint8"
         else _PHOTOMETRIC["MINISBLACK"])
+    if colormap is not None:
+        # paletted output (TIFF 6.0 §ColorMap, tag 320): the symbology
+        # rendering the reference DECLARES (models/pydantic.py:20-33,
+        # symbology.colormap) but never writes; 8-bit single band,
+        # 16-bit palette channels via the v*257 = v<<8|v convention
+        if bands != 1 or dt != "uint8":
+            raise ValueError("colormap requires single-band uint8 data")
+        bad = [k for k in colormap
+               if not 0 <= int(k) < (1 << bits)]
+        if bad:
+            raise ValueError(f"colormap keys out of range: {bad[:5]}")
+        phot = _PHOTOMETRIC["PALETTE"]
+    elif photometric and phot == _PHOTOMETRIC["PALETTE"]:
+        raise ValueError("photometric=PALETTE requires a colormap")
 
     # -- build pyramid ------------------------------------------------------
     plans = [_IFDPlan([data[b] for b in range(bands)], 0)]
@@ -476,6 +492,14 @@ def write_cog(
             (T_TILE_BYTE_COUNTS, FT_LONG, [len(t) for t in plan.tiles]),
             (T_SAMPLE_FORMAT, FT_SHORT, [sfmt] * bands),
         ]
+        if colormap is not None:
+            n_pal = 1 << bits
+            pal = [0] * (3 * n_pal)
+            for k, (r, g, b) in colormap.items():
+                pal[int(k)] = int(r) * 257
+                pal[n_pal + int(k)] = int(g) * 257
+                pal[2 * n_pal + int(k)] = int(b) * 257
+            ent.append((T_COLOR_MAP, FT_SHORT, pal))
         if plan.subfile_type == 0:  # geo tags on the full-res IFD
             ent.append((T_MODEL_PIXEL_SCALE, FT_DOUBLE, [sx, abs(sy), 0.0]))
             ent.append((T_MODEL_TIEPOINT, FT_DOUBLE,
@@ -634,6 +658,7 @@ class GeoTiff:
     predictor: int
     planar: int
     photometric: int
+    colormap: dict[int, tuple[int, int, int]] | None
     nbits: int | None
     levels: list[_Level]
     metadata: dict[str, str] = field(default_factory=dict)
@@ -774,9 +799,25 @@ class GeoTiff:
             predictor=main.get(T_PREDICTOR, [1])[0],
             planar=main.get(T_PLANAR_CONFIG, [1])[0],
             photometric=main.get(T_PHOTOMETRIC, [1])[0],
+            colormap=GeoTiff._decode_colormap(main.get(T_COLOR_MAP)),
             nbits=nbits, levels=levels, metadata=metadata,
             bits_per_sample=bits, _endian=en,
         )
+
+    @staticmethod
+    def _decode_colormap(vals) -> dict[int, tuple[int, int, int]] | None:
+        """Tag 320 -> {index: (r8, g8, b8)}: three channel-major runs of
+        2^bits 16-bit values; only non-black entries are kept (the
+        writer zero-fills unmapped indices)."""
+        if not vals:
+            return None
+        n = len(vals) // 3
+        out = {}
+        for i in range(n):
+            r, g, b = vals[i], vals[n + i], vals[2 * n + i]
+            if r or g or b:
+                out[i] = (r >> 8, g >> 8, b >> 8)
+        return out
 
     @staticmethod
     def _read_ifd(f, en: str, big: bool):
@@ -1011,6 +1052,7 @@ class GeoTiff:
             "overviews": sum(1 for l in self.levels if l.subfile_type == 1),
             "photometric": _PHOTOMETRIC_INV.get(self.photometric,
                                                 "MINISBLACK"),
+            **({"colormap": self.colormap} if self.colormap else {}),
         }
 
 

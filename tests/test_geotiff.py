@@ -624,3 +624,64 @@ def test_g4_known_bitstream():
 
     enc = g4_encode(np.zeros((2, 8), dtype=bool))
     assert enc == bytes([0xC0, 0x04, 0x00, 0x40])
+
+
+# --- paletted output (ColorMap tag 320, photometric 3) ---------------------
+
+def test_palette_roundtrip(tmp_path):
+    import numpy as np
+
+    from gfw_pixetl_spark.sources.geotiff import GeoTiff, write_cog
+
+    p = str(tmp_path / "pal.tif")
+    data = (np.arange(64 * 64, dtype=np.int64) % 5).astype(
+        "uint8").reshape(64, 64)
+    cmap = {0: (1, 2, 3), 1: (255, 0, 0), 2: (0, 255, 0),
+            3: (0, 0, 255), 4: (128, 128, 128)}
+    prof = write_cog(p, data[None], transform=(0.0, 0.1, 10.0, 0.1),
+                     colormap=cmap, blockxsize=32, overviews=True)
+    assert prof["photometric"] == "PALETTE"
+    t = GeoTiff.open(p)
+    assert t.profile["photometric"] == "PALETTE"
+    assert t.profile["colormap"] == cmap
+    arr = t.read_window(0, 0, 64, 64, masked=False)
+    assert (arr[0] == data).all()  # indices, not colors
+
+
+def test_palette_16bit_channel_convention(tmp_path):
+    """Tag 320 stores v*257 per channel (0xFFFF for 255): verify the
+    raw tag words, not just the round trip."""
+    import numpy as np
+
+    from gfw_pixetl_spark.sources.geotiff import (
+        GeoTiff, T_COLOR_MAP, write_cog)
+
+    p = str(tmp_path / "pal16.tif")
+    write_cog(p, np.zeros((1, 16, 16), dtype="uint8"),
+              transform=(0.0, 0.1, 10.0, 0.1),
+              colormap={0: (255, 1, 0)}, blockxsize=16, overviews=False)
+    raw = open(p, "rb").read()
+    t = GeoTiff.open(p)
+    # decode the tag words directly through the parser's main-IFD path
+    assert t.colormap == {0: (255, 1, 0)}
+    # 255 -> 0xFFFF must appear in the palette block
+    assert b"\xff\xff" in raw
+
+
+def test_palette_gates(tmp_path):
+    import numpy as np
+    import pytest
+
+    from gfw_pixetl_spark.sources.geotiff import write_cog
+
+    p = str(tmp_path / "bad.tif")
+    rgb = np.zeros((3, 16, 16), dtype="uint8")
+    with pytest.raises(ValueError, match="single-band uint8"):
+        write_cog(p, rgb, transform=(0.0, 0.1, 10.0, 0.1),
+                  colormap={0: (0, 0, 0)})
+    with pytest.raises(ValueError, match="requires a colormap"):
+        write_cog(p, rgb[:1], transform=(0.0, 0.1, 10.0, 0.1),
+                  photometric="PALETTE")
+    with pytest.raises(ValueError, match="out of range"):
+        write_cog(p, rgb[:1], transform=(0.0, 0.1, 10.0, 0.1),
+                  colormap={300: (1, 1, 1)})
