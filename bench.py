@@ -427,6 +427,7 @@ BENCH_QUERIES = [
     "q435_projstring_warp",
     "q436_h264_keyframe_index",
     "q437_colormap_symbology",
+    "q438_geodesic_distance",
 ]
 
 

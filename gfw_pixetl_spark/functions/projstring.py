@@ -155,9 +155,27 @@ def parse_proj(s: str) -> CRSSpec:
         params = (ell, f("lat_0", 0.0), f("lon_0", 0.0), f("x_0", 0.0),
                   f("y_0", 0.0))
         return CRSSpec("laea", params, ell, tow)
+    if proj == "stere":
+        # polar variants only (lat_0 = +-90), the hub's anchored code
+        # path: variant B via +lat_ts, variant A via +k/+k_0
+        lat0 = f("lat_0", 90.0)
+        if abs(lat0) != 90.0:
+            raise NotImplementedError(
+                "+proj=stere: only polar (lat_0=+-90) is supported")
+        if ell not in ("WGS84",) and not (
+                isinstance(ell, tuple) and ell[0] == 6378137.0):
+            raise NotImplementedError(
+                "+proj=stere: the polar hub is WGS84-only")
+        north = lat0 > 0
+        lat_ts = float(kv["lat_ts"]) if "lat_ts" in kv else None
+        params = (lat_ts if lat_ts is not None else None,
+                  f("lon_0", 0.0), north,
+                  k0 if lat_ts is None else None,
+                  f("x_0", 0.0), f("y_0", 0.0))
+        return CRSSpec("stere", params, ell, tow)
     raise NotImplementedError(
         f"+proj={proj}: supported families are longlat, utm, tmerc, "
-        "merc/webmerc, lcc, aea, laea")
+        "merc/webmerc, lcc, aea, laea, stere (polar)")
 
 
 def spec_to_geographic(xs, ys, spec: CRSSpec):
@@ -177,6 +195,10 @@ def spec_to_geographic(xs, ys, spec: CRSSpec):
         lng, lat = conic.albers_to_latlng(xs, ys, spec.payload)
     elif spec.family == "laea":
         lng, lat = conic.laea_to_latlng(xs, ys, spec.payload)
+    elif spec.family == "stere":
+        from .warp import polar_to_latlng
+
+        lng, lat = polar_to_latlng(xs, ys, spec.payload)
     else:  # pragma: no cover - parse_proj gates families
         raise NotImplementedError(spec.family)
     return to_wgs84_geodetic(lng, lat, spec.ell, spec.towgs84)
@@ -200,4 +222,8 @@ def spec_from_geographic(lng, lat, spec: CRSSpec):
         return conic.latlng_to_albers(lng, lat, spec.payload)
     if spec.family == "laea":
         return conic.latlng_to_laea(lng, lat, spec.payload)
+    if spec.family == "stere":
+        from .warp import latlng_to_polar
+
+        return latlng_to_polar(lng, lat, spec.payload)
     raise NotImplementedError(spec.family)  # pragma: no cover

@@ -281,8 +281,12 @@ def _polar_coef(lat_ts, k0) -> float:
         2.0 * k0 / np.sqrt((1 + _E) ** (1 + _E) * (1 - _E) ** (1 - _E)))
 
 
-def latlng_to_polar(lng, lat, epsg: int):
-    lat_ts, lon0, north, k0, fe, fn = _POLAR_PARAMS[epsg]
+def latlng_to_polar(lng, lat, crs):
+    """crs: EPSG code in _POLAR_PARAMS, or the param tuple itself
+    (lat_ts|None, lon0, north?, k0|None, fe, fn) — the proj-string
+    front door passes tuples for +proj=stere."""
+    lat_ts, lon0, north, k0, fe, fn = (
+        _POLAR_PARAMS[crs] if isinstance(crs, int) else crs)
     phi = np.radians(np.asarray(lat, dtype="float64"))
     lam = np.radians(np.asarray(lng, dtype="float64") - lon0)
     if not north:  # mirror the south pole onto the north-pole formulas
@@ -299,8 +303,9 @@ def latlng_to_polar(lng, lat, epsg: int):
     return x + fe, y + fn
 
 
-def polar_to_latlng(x, y, epsg: int):
-    lat_ts, lon0, north, k0, fe, fn = _POLAR_PARAMS[epsg]
+def polar_to_latlng(x, y, crs):
+    lat_ts, lon0, north, k0, fe, fn = (
+        _POLAR_PARAMS[crs] if isinstance(crs, int) else crs)
     xx = np.asarray(x, dtype="float64") - fe
     yy = np.asarray(y, dtype="float64") - fn
     if not north:

@@ -3056,3 +3056,191 @@ def q437(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(color_df), "pix_value")
             .groupBy("pix_value", "red", "green", "blue")
             .agg(F.count("*").alias("n_px")))
+
+
+# --------------------------------------------------------------------------
+# q438 — ELLIPSOIDAL GEODESIC DISTANCE (functions/geodesic.py): Vincenty
+# inverse over deterministic point pairs — the true-ground-distance
+# primitive spatial dedup radii and displacement joins need (haversine
+# is ~0.5% wrong; anchored on the published GDA/Vincenty test line in
+# tests/test_geodesic.py). The oracle replays the ENTIRE algorithm in
+# DuckDB: the lambda fixed-point as a 30-round recursive CTE with WGS84
+# literals, then the A/B series, delta-sigma and both azimuths — both
+# sides round to 0.1 mm / 1e-6 degree, so a series-coefficient slip or
+# an azimuth-convention error cannot hide.
+# --------------------------------------------------------------------------
+_V_A = 6378137.0
+_V_F = 1.0 / 298.257223563
+_V_B = _V_A * (1.0 - _V_F)
+
+GEODESIC_SCHEMA = ("o_orderkey long, lat1 double, lon1 double, "
+                   "lat2 double, lon2 double, dist_01mm long, "
+                   "azf_e6 long, azr_e6 long")
+
+
+def _vincenty_oracle() -> str:
+    f = _V_F
+    return f"""
+    WITH RECURSIVE pts AS (
+      SELECT o_orderkey,
+             CAST(-55.0 + (o_orderkey % 111) AS DOUBLE) AS lat1,
+             CAST(-170.0 + (o_orderkey % 340) AS DOUBLE) AS lon1,
+             CAST(-55.0 + (o_orderkey % 111) + 0.05
+                  + (o_orderkey % 7) * 0.08 AS DOUBLE) AS lat2,
+             CAST(-170.0 + (o_orderkey % 340) + 0.04
+                  + (o_orderkey % 11) * 0.06 AS DOUBLE) AS lon2
+      FROM orders
+    ), u AS (
+      SELECT o_orderkey, lat1, lon1, lat2, lon2,
+             atan((1.0 - {f!r}) * tan(radians(lat1))) AS u1,
+             atan((1.0 - {f!r}) * tan(radians(lat2))) AS u2,
+             radians(lon2 - lon1) AS bigl
+      FROM pts
+    ), it(o_orderkey, lat1, lon1, lat2, lon2, u1, u2, bigl, lam, i) AS (
+      SELECT o_orderkey, lat1, lon1, lat2, lon2, u1, u2, bigl, bigl, 0
+      FROM u
+      UNION ALL
+      SELECT o_orderkey, lat1, lon1, lat2, lon2, u1, u2, bigl,
+        bigl + (1.0 - (({f!r} / 16.0) * (1.0 - pow(
+            cos(u1) * cos(u2) * sin(lam) /
+            sqrt(pow(cos(u2) * sin(lam), 2)
+                 + pow(cos(u1) * sin(u2)
+                       - sin(u1) * cos(u2) * cos(lam), 2)), 2))
+          * (4.0 + {f!r} * (4.0 - 3.0 * (1.0 - pow(
+            cos(u1) * cos(u2) * sin(lam) /
+            sqrt(pow(cos(u2) * sin(lam), 2)
+                 + pow(cos(u1) * sin(u2)
+                       - sin(u1) * cos(u2) * cos(lam), 2)), 2))))))
+        * {f!r}
+        * (cos(u1) * cos(u2) * sin(lam) /
+           sqrt(pow(cos(u2) * sin(lam), 2)
+                + pow(cos(u1) * sin(u2)
+                      - sin(u1) * cos(u2) * cos(lam), 2)))
+        * (atan2(
+             sqrt(pow(cos(u2) * sin(lam), 2)
+                  + pow(cos(u1) * sin(u2)
+                        - sin(u1) * cos(u2) * cos(lam), 2)),
+             sin(u1) * sin(u2) + cos(u1) * cos(u2) * cos(lam))
+           + (({f!r} / 16.0) * (1.0 - pow(
+                cos(u1) * cos(u2) * sin(lam) /
+                sqrt(pow(cos(u2) * sin(lam), 2)
+                     + pow(cos(u1) * sin(u2)
+                           - sin(u1) * cos(u2) * cos(lam), 2)), 2))
+              * (4.0 + {f!r} * (4.0 - 3.0 * (1.0 - pow(
+                cos(u1) * cos(u2) * sin(lam) /
+                sqrt(pow(cos(u2) * sin(lam), 2)
+                     + pow(cos(u1) * sin(u2)
+                           - sin(u1) * cos(u2) * cos(lam), 2)), 2)))))
+             * sqrt(pow(cos(u2) * sin(lam), 2)
+                    + pow(cos(u1) * sin(u2)
+                          - sin(u1) * cos(u2) * cos(lam), 2))
+             * ((sin(u1) * sin(u2) + cos(u1) * cos(u2) * cos(lam))
+                - 2.0 * sin(u1) * sin(u2) / (1.0 - pow(
+                    cos(u1) * cos(u2) * sin(lam) /
+                    sqrt(pow(cos(u2) * sin(lam), 2)
+                         + pow(cos(u1) * sin(u2)
+                               - sin(u1) * cos(u2) * cos(lam), 2)), 2))
+                + (({f!r} / 16.0) * (1.0 - pow(
+                     cos(u1) * cos(u2) * sin(lam) /
+                     sqrt(pow(cos(u2) * sin(lam), 2)
+                          + pow(cos(u1) * sin(u2)
+                                - sin(u1) * cos(u2) * cos(lam), 2)), 2))
+                   * (4.0 + {f!r} * (4.0 - 3.0 * (1.0 - pow(
+                     cos(u1) * cos(u2) * sin(lam) /
+                     sqrt(pow(cos(u2) * sin(lam), 2)
+                          + pow(cos(u1) * sin(u2)
+                                - sin(u1) * cos(u2) * cos(lam), 2)), 2)))))
+                  * (sin(u1) * sin(u2) + cos(u1) * cos(u2) * cos(lam))
+                  * (-1.0 + 2.0 * pow(
+                      (sin(u1) * sin(u2) + cos(u1) * cos(u2) * cos(lam))
+                      - 2.0 * sin(u1) * sin(u2) / (1.0 - pow(
+                          cos(u1) * cos(u2) * sin(lam) /
+                          sqrt(pow(cos(u2) * sin(lam), 2)
+                               + pow(cos(u1) * sin(u2)
+                                     - sin(u1) * cos(u2) * cos(lam), 2)),
+                          2)), 2)))),
+        i + 1
+      FROM it WHERE i < 30
+    ), fin AS (
+      SELECT o_orderkey, lat1, lon1, lat2, lon2, u1, u2, lam
+      FROM it WHERE i = 30
+    ), g1 AS (
+      SELECT *,
+        sqrt(pow(cos(u2) * sin(lam), 2)
+             + pow(cos(u1) * sin(u2) - sin(u1) * cos(u2) * cos(lam), 2))
+          AS sin_s,
+        sin(u1) * sin(u2) + cos(u1) * cos(u2) * cos(lam) AS cos_s
+      FROM fin
+    ), g2 AS (
+      SELECT *, atan2(sin_s, cos_s) AS sigma,
+        1.0 - pow(cos(u1) * cos(u2) * sin(lam) / sin_s, 2) AS cos2a
+      FROM g1
+    ), g3 AS (
+      SELECT *,
+        cos_s - 2.0 * sin(u1) * sin(u2) / cos2a AS cos2sm,
+        cos2a * ({_V_A!r} * {_V_A!r} - {_V_B!r} * {_V_B!r})
+          / ({_V_B!r} * {_V_B!r}) AS u_sq
+      FROM g2
+    ), g4 AS (
+      SELECT *,
+        1.0 + u_sq / 16384.0 * (4096.0 + u_sq
+          * (-768.0 + u_sq * (320.0 - 175.0 * u_sq))) AS big_a,
+        u_sq / 1024.0 * (256.0 + u_sq
+          * (-128.0 + u_sq * (74.0 - 47.0 * u_sq))) AS big_b
+      FROM g3
+    ), g5 AS (
+      SELECT *,
+        big_b * sin_s * (cos2sm + big_b / 4.0 * (
+          cos_s * (-1.0 + 2.0 * cos2sm * cos2sm)
+          - big_b / 6.0 * cos2sm * (-3.0 + 4.0 * sin_s * sin_s)
+            * (-3.0 + 4.0 * cos2sm * cos2sm))) AS d_sigma
+      FROM g4
+    )
+    SELECT o_orderkey, lat1, lon1, lat2, lon2,
+      CAST(round({_V_B!r} * big_a * (sigma - d_sigma) * 10000.0)
+        AS BIGINT) AS dist_01mm,
+      CAST(round(fmod(degrees(atan2(cos(u2) * sin(lam),
+        cos(u1) * sin(u2) - sin(u1) * cos(u2) * cos(lam))) + 360.0,
+        360.0) * 1000000.0) AS BIGINT) AS azf_e6,
+      CAST(round(fmod(180.0 + degrees(atan2(cos(u1) * sin(lam),
+        -sin(u1) * cos(u2) + cos(u1) * sin(u2) * cos(lam))) + 360.0,
+        360.0) * 1000000.0) AS BIGINT) AS azr_e6
+    FROM g5
+    """
+
+
+@register("q438_geodesic_distance", oracle=_vincenty_oracle())
+def q438(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.partitioning import ensure_min_partitions
+
+    o = F.col("o_orderkey")
+    pts = ensure_min_partitions(
+        load(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            (-55.0 + (o % 111)).cast("double").alias("lat1"),
+            (-170.0 + (o % 340)).cast("double").alias("lon1"),
+            (-55.0 + (o % 111) + 0.05 + (o % 7) * 0.08)
+            .cast("double").alias("lat2"),
+            (-170.0 + (o % 340) + 0.04 + (o % 11) * 0.06)
+            .cast("double").alias("lon2")))
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..functions.geodesic import vincenty_inverse
+
+        for pdf in batches:
+            s, azf, azr = vincenty_inverse(
+                pdf["lon1"].to_numpy(), pdf["lat1"].to_numpy(),
+                pdf["lon2"].to_numpy(), pdf["lat2"].to_numpy())
+            yield pd.DataFrame({
+                "o_orderkey": pdf["o_orderkey"],
+                "lat1": pdf["lat1"], "lon1": pdf["lon1"],
+                "lat2": pdf["lat2"], "lon2": pdf["lon2"],
+                "dist_01mm": np.round(s * 10000.0).astype("int64"),
+                "azf_e6": np.round(azf * 1e6).astype("int64"),
+                "azr_e6": np.round(azr * 1e6).astype("int64"),
+            })
+
+    return pts.mapInPandas(kernel, GEODESIC_SCHEMA)
