@@ -428,6 +428,7 @@ BENCH_QUERIES = [
     "q436_h264_keyframe_index",
     "q437_colormap_symbology",
     "q438_geodesic_distance",
+    "q439_geodesic_neardup",
 ]
 
 

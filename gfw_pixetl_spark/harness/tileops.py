@@ -3244,3 +3244,121 @@ def q438(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     return pts.mapInPandas(kernel, GEODESIC_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# q439 — GEODESIC-RADIUS SPATIAL NEAR-DUP JOIN: "all point pairs within
+# 250 m ground distance" — the spatial twin of the text near-dup
+# family, in the scale-safe shape: grid-cell bucketing (cell + 8
+# neighbors as EQUI-join keys — never an all-pairs theta join) feeds a
+# vectorized Vincenty refine, so candidates are O(density x points),
+# not O(n^2). Fixture: 1000 station groups 2.2 km apart, members 16.7 m
+# apart along a meridian — cross-group pairs can never qualify (proof
+# by construction: min inter-group gap 1.6 km), so the oracle
+# enumerates in-group pairs directly and computes their TRUE geodesic
+# by a DIFFERENT public formulation: the meridian arc via the
+# Karney-Krüger rectifying series (members share a longitude). Two
+# independent algorithms (Vincenty vs Krüger) must agree to 0.1 mm on
+# every pair for the hash to match — a series-coefficient error in
+# EITHER implementation breaks it.
+# --------------------------------------------------------------------------
+_NEARDUP_R_M = 250.0
+_NEARDUP_CELL = 0.005  # deg; >= 250 m in both axes below lat 55
+
+
+def _meridian_arc_sql(lat_expr: str) -> str:
+    """Rectifying ordinate xi(lat) * A_bar on WGS84 (lam=0: cosh terms
+    vanish), as a SQL scalar expression over ``lat_expr`` degrees."""
+    _a, _e2, e, a_bar, alpha = _tm_series_literals("WGS84")
+    tau = f"tan(radians({lat_expr}))"
+    v = (f"{e!r} * 0.5 * ln((1.0 + {e!r} * {tau} / sqrt(1.0 + {tau} * {tau}))"
+         f" / (1.0 - {e!r} * {tau} / sqrt(1.0 + {tau} * {tau})))")
+    sigma = f"(exp({v}) - exp(-{v})) / 2.0"
+    taup = (f"({tau} * sqrt(1.0 + {sigma} * {sigma})"
+            f" - {sigma} * sqrt(1.0 + {tau} * {tau}))")
+    xip = f"atan({taup})"
+    series = " + ".join(f"{c!r} * sin({2 * j} * {xip})"
+                        for j, c in enumerate(alpha, start=1))
+    return f"{a_bar!r} * ({xip} + {series})"
+
+
+@register(
+    "q439_geodesic_neardup",
+    oracle=f"""
+    WITH pts AS (
+      SELECT o_orderkey,
+             CAST(35.0 + (o_orderkey % 1000) * 0.02
+                  + (o_orderkey // 1000) * 0.00015 AS DOUBLE) AS lat,
+             CAST(-90.0 + (o_orderkey % 1000) * 0.025 AS DOUBLE) AS lon,
+             o_orderkey % 1000 AS grp
+      FROM orders
+    ), pairs AS (
+      SELECT a.o_orderkey AS id_a, b.o_orderkey AS id_b,
+             a.lat AS lat_a, b.lat AS lat_b
+      FROM pts a JOIN pts b
+        ON a.grp = b.grp AND a.o_orderkey < b.o_orderkey
+    ), d AS (
+      SELECT id_a, id_b,
+             ({_meridian_arc_sql('lat_b')})
+             - ({_meridian_arc_sql('lat_a')}) AS dist_m
+      FROM pairs
+    )
+    SELECT id_a, id_b,
+           CAST(round(abs(dist_m) * 10000.0) AS BIGINT) AS dist_01mm
+    FROM d WHERE abs(dist_m) < {_NEARDUP_R_M!r}
+    """,
+)
+def q439(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.partitioning import ensure_min_partitions
+
+    o = F.col("o_orderkey")
+    pts = ensure_min_partitions(
+        load(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            (35.0 + (o % 1000) * 0.02 + (o / 1000).cast("long")
+             * 0.00015).cast("double").alias("lat"),
+            (-90.0 + (o % 1000) * 0.025).cast("double").alias("lon")))
+    cells = pts.select(
+        "*",
+        F.floor(F.col("lat") / _NEARDUP_CELL).alias("lat_c"),
+        F.floor(F.col("lon") / _NEARDUP_CELL).alias("lon_c"))
+    # candidate generation: a's cell, shifted over the 3x3 neighborhood,
+    # EQUI-joins b's cell — Catalyst extracts hash keys; never all-pairs
+    offs = spark.range(9).select(
+        (F.col("id") % 3 - 1).alias("dlat"),
+        (F.col("id") / 3).cast("long").alias("dlon0")).select(
+        "dlat", (F.col("dlon0") - 1).alias("dlon"))
+    a = cells.alias("a").crossJoin(F.broadcast(offs))
+    cand = a.join(
+        cells.alias("b"),
+        (F.col("a.lat_c") + F.col("dlat") == F.col("b.lat_c"))
+        & (F.col("a.lon_c") + F.col("dlon") == F.col("b.lon_c"))
+        & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+    ).select(
+        F.col("a.o_orderkey").alias("id_a"),
+        F.col("b.o_orderkey").alias("id_b"),
+        F.col("a.lon").alias("lon_a"), F.col("a.lat").alias("lat_a"),
+        F.col("b.lon").alias("lon_b"), F.col("b.lat").alias("lat_b"),
+    )
+
+    def refine(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..functions.geodesic import vincenty_inverse
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            s, _af, _ar = vincenty_inverse(
+                pdf["lon_a"].to_numpy(), pdf["lat_a"].to_numpy(),
+                pdf["lon_b"].to_numpy(), pdf["lat_b"].to_numpy())
+            keep = s < _NEARDUP_R_M
+            yield pd.DataFrame({
+                "id_a": pdf["id_a"][keep],
+                "id_b": pdf["id_b"][keep],
+                "dist_01mm": np.round(s[keep] * 10000.0).astype("int64"),
+            })
+
+    return cand.mapInPandas(
+        refine, "id_a long, id_b long, dist_01mm long")
