@@ -459,6 +459,28 @@ class RasterPipe:
         )
         return statuses.unionByName(skipped)
 
+    def publish(
+        self,
+        spark: SparkSession,
+        statuses: DataFrame,
+        cfg,
+        bucket: str,
+        prefix: str,
+        job_id: str | None = None,
+    ) -> dict:
+        """S9+S10 in one call with exactly-once manifest semantics: the
+        reference's all-success-then-manifest flow
+        (``pipes/pipe.py:163-166``) composed with the CAS commit
+        (``sources/object_store.py::upload_exactly_once``). Returns the
+        commit receipt {version, fresh, n_uploads}; a whole-job re-run
+        returns the SAME version with fresh=False instead of
+        double-counting tiles."""
+        from ..sources.object_store import upload_exactly_once
+
+        man = manifest(statuses, seed_tiles(spark, self.grid_obj))
+        return upload_exactly_once(
+            statuses, man, cfg, bucket, prefix, job_id=job_id)
+
 
 def manifest(statuses: DataFrame, tiles: DataFrame) -> dict:
     """S10: tiles.geojson + extent.geojson from the processed tile set.

@@ -156,3 +156,18 @@ def test_all_success_gate_blocks_manifest(spark, job, s3cfg):
     with pytest.raises(RuntimeError, match="all-success"):
         upload_exactly_once(bad, man, s3cfg, BUCKET, "gate/prefix")
     assert _manifest_versions(s3cfg, "gate/prefix") == before == []
+
+
+def test_pipe_publish_end_to_end(spark, job, s3cfg):
+    """The one-call S9+S10 flow: publish -> re-publish is idempotent."""
+    pipe, status, _man = job
+    out1 = pipe.publish(spark, status, s3cfg, BUCKET, "publish/prefix",
+                        job_id="pub-1")
+    assert out1["fresh"] is True and out1["n_uploads"] == 2
+    out2 = pipe.publish(spark, status, s3cfg, BUCKET, "publish/prefix",
+                        job_id="pub-1-retry")
+    assert out2["fresh"] is False
+    assert out2["version"] == out1["version"]
+    conv = json.loads(s3cfg.client().get_object(
+        Bucket=BUCKET, Key="publish/prefix/tiles.geojson")["Body"].read())
+    assert len(conv["features"]) == 2
