@@ -154,8 +154,10 @@ def test_warp_dispatch_includes_conic():
         lng2, lat2 = _to_geographic(x, y, crs)
         assert np.max(np.abs(lng2 - lng)) < 1e-9
         assert np.max(np.abs(lat2 - lat)) < 1e-9
+    # EPSG:27700 moved from unsupported to the TM hub in round 8
+    # (functions/tmerc.py); a genuinely unsupported CRS still gates
     with pytest.raises(NotImplementedError):
-        _to_geographic(lng, lat, "EPSG:27700")
+        _to_geographic(lng, lat, "EPSG:2056")  # Swiss oblique Mercator
 
 
 def test_warpreader_e2e_lambert93():
