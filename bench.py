@@ -429,6 +429,7 @@ BENCH_QUERIES = [
     "q437_colormap_symbology",
     "q438_geodesic_distance",
     "q439_geodesic_neardup",
+    "q440_geodesic_direct",
 ]
 
 

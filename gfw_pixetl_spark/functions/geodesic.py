@@ -90,3 +90,59 @@ def vincenty_inverse(lng1, lat1, lng2, lat2, ell="WGS84",
     az_r = 180.0 + np.degrees(
         np.arctan2(cu1 * sl, -su1 * cu2 + cu1 * su2 * cl))
     return s, az_f % 360.0, az_r % 360.0
+
+
+def vincenty_direct(lng1, lat1, azimuth_deg, distance_m, ell="WGS84",
+                    iterations: int = 30):
+    """Destination (lng2, lat2, back_azimuth_deg) from a start point, a
+    forward azimuth and a ground distance — Vincenty's direct solution
+    (1975, eq. 1-11), vectorized. The direct problem always converges
+    (the sigma iteration is a contraction for s < half the perimeter),
+    so no gate is needed. ``direct(inverse(P1, P2)) == P2`` closes to
+    sub-millimeter; tests assert it on the published GDA line."""
+    a, f = resolve_ellipsoid(ell)
+    b = a * (1.0 - f)
+    phi1 = np.radians(np.asarray(lat1, dtype="float64"))
+    alpha1 = np.radians(np.asarray(azimuth_deg, dtype="float64"))
+    s = np.asarray(distance_m, dtype="float64")
+    tan_u1 = (1.0 - f) * np.tan(phi1)
+    cu1 = 1.0 / np.sqrt(1.0 + tan_u1 * tan_u1)
+    su1 = tan_u1 * cu1
+    sigma1 = np.arctan2(tan_u1, np.cos(alpha1))
+    sin_a = cu1 * np.sin(alpha1)
+    cos2a = 1.0 - sin_a * sin_a
+    u_sq = cos2a * (a * a - b * b) / (b * b)
+    big_a = 1.0 + u_sq / 16384.0 * (
+        4096.0 + u_sq * (-768.0 + u_sq * (320.0 - 175.0 * u_sq)))
+    big_b = u_sq / 1024.0 * (
+        256.0 + u_sq * (-128.0 + u_sq * (74.0 - 47.0 * u_sq)))
+
+    sigma = s / (b * big_a)
+    cos2sm = np.cos(2.0 * sigma1 + sigma)
+    for _ in range(iterations):
+        cos2sm = np.cos(2.0 * sigma1 + sigma)
+        d_sigma = big_b * np.sin(sigma) * (
+            cos2sm + big_b / 4.0 * (
+                np.cos(sigma) * (-1.0 + 2.0 * cos2sm * cos2sm)
+                - big_b / 6.0 * cos2sm
+                * (-3.0 + 4.0 * np.sin(sigma) ** 2)
+                * (-3.0 + 4.0 * cos2sm * cos2sm)))
+        sigma = s / (b * big_a) + d_sigma
+
+    ss, cs = np.sin(sigma), np.cos(sigma)
+    ca1 = np.cos(alpha1)
+    phi2 = np.arctan2(
+        su1 * cs + cu1 * ss * ca1,
+        (1.0 - f) * np.sqrt(
+            sin_a * sin_a + (su1 * ss - cu1 * cs * ca1) ** 2))
+    lam = np.arctan2(ss * np.sin(alpha1), cu1 * cs - su1 * ss * ca1)
+    c = f / 16.0 * cos2a * (4.0 + f * (4.0 - 3.0 * cos2a))
+    big_l = lam - (1.0 - c) * f * sin_a * (
+        sigma + c * ss * (cos2sm + c * cs
+                          * (-1.0 + 2.0 * cos2sm * cos2sm)))
+    lng2 = np.asarray(lng1, dtype="float64") + np.degrees(big_l)
+    # back azimuth: bearing FROM the destination TO the start (the
+    # inverse solution's convention)
+    az_back = 180.0 + np.degrees(
+        np.arctan2(sin_a, -(su1 * ss - cu1 * cs * ca1)))
+    return lng2, np.degrees(phi2), az_back % 360.0

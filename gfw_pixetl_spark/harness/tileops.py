@@ -3362,3 +3362,139 @@ def q439(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return cand.mapInPandas(
         refine, "id_a long, id_b long, dist_01mm long")
+
+
+# --------------------------------------------------------------------------
+# q440 — VINCENTY DIRECT (destination from start + bearing + distance):
+# the waypoint/buffer-ring primitive paired with q438's inverse. The
+# oracle replays the direct solution in DuckDB — per-row constants
+# (reduced latitude, sigma1, sin_alpha, the A/B series) in plain CTEs,
+# the sigma fixed point as a 30-round recursive CTE, then phi2/lambda/L
+# and the back azimuth — both sides rounded to 1e-9 degree (~0.1 mm)
+# and 1e-6 degree of azimuth. tests/test_geodesic.py closes the loop
+# direct(inverse(P1,P2)) == P2 on the published GDA line.
+# --------------------------------------------------------------------------
+def _vincenty_direct_oracle() -> str:
+    f = _V_F
+    b = _V_B
+    return f"""
+    WITH RECURSIVE pts AS (
+      SELECT o_orderkey,
+             CAST(-60.0 + (o_orderkey % 121) AS DOUBLE) AS lat1,
+             CAST(-175.0 + (o_orderkey % 350) AS DOUBLE) AS lon1,
+             CAST((o_orderkey % 3600) * 0.1 AS DOUBLE) AS az,
+             CAST(100.0 + (o_orderkey % 997) * 500.0 AS DOUBLE) AS s
+      FROM orders
+    ), u AS (
+      SELECT o_orderkey, lat1, lon1, az, s,
+             (1.0 - {f!r}) * tan(radians(lat1)) AS tan_u1,
+             radians(az) AS a1
+      FROM pts
+    ), k AS (
+      SELECT *,
+             1.0 / sqrt(1.0 + tan_u1 * tan_u1) AS cu1,
+             tan_u1 / sqrt(1.0 + tan_u1 * tan_u1) AS su1,
+             atan2(tan_u1, cos(a1)) AS sigma1,
+             (1.0 / sqrt(1.0 + tan_u1 * tan_u1)) * sin(a1) AS sin_a
+      FROM u
+    ), k2 AS (
+      SELECT *, 1.0 - sin_a * sin_a AS cos2a FROM k
+    ), k3 AS (
+      SELECT *, cos2a * ({_V_A!r} * {_V_A!r} - {b!r} * {b!r})
+                / ({b!r} * {b!r}) AS u_sq
+      FROM k2
+    ), k4 AS (
+      SELECT *,
+        1.0 + u_sq / 16384.0 * (4096.0 + u_sq
+          * (-768.0 + u_sq * (320.0 - 175.0 * u_sq))) AS big_a,
+        u_sq / 1024.0 * (256.0 + u_sq
+          * (-128.0 + u_sq * (74.0 - 47.0 * u_sq))) AS big_b
+      FROM k3
+    ), base AS (
+      SELECT *, s / ({b!r} * big_a) AS s0 FROM k4
+    ), it(o_orderkey, lat1, lon1, az, a1, cu1, su1, sigma1, sin_a,
+          cos2a, big_b, s0, sigma, i) AS (
+      SELECT o_orderkey, lat1, lon1, az, a1, cu1, su1, sigma1, sin_a,
+             cos2a, big_b, s0, s0, 0
+      FROM base
+      UNION ALL
+      SELECT o_orderkey, lat1, lon1, az, a1, cu1, su1, sigma1, sin_a,
+             cos2a, big_b, s0,
+        s0 + big_b * sin(sigma) * (
+          cos(2.0 * sigma1 + sigma) + big_b / 4.0 * (
+            cos(sigma) * (-1.0 + 2.0 * cos(2.0 * sigma1 + sigma)
+                          * cos(2.0 * sigma1 + sigma))
+            - big_b / 6.0 * cos(2.0 * sigma1 + sigma)
+              * (-3.0 + 4.0 * sin(sigma) * sin(sigma))
+              * (-3.0 + 4.0 * cos(2.0 * sigma1 + sigma)
+                 * cos(2.0 * sigma1 + sigma)))),
+        i + 1
+      FROM it WHERE i < 30
+    ), fin AS (
+      SELECT o_orderkey, lat1, lon1, az, a1, cu1, su1, sigma1, sin_a,
+             cos2a, sigma
+      FROM it WHERE i = 30
+    ), g1 AS (
+      SELECT *, sin(sigma) AS ss, cos(sigma) AS cs, cos(a1) AS ca1,
+             cos(2.0 * sigma1 + sigma) AS cos2sm,
+             ({f!r} / 16.0) * cos2a
+               * (4.0 + {f!r} * (4.0 - 3.0 * cos2a)) AS c
+      FROM fin
+    ), g2 AS (
+      SELECT *,
+        atan2(su1 * cs + cu1 * ss * ca1,
+              (1.0 - {f!r}) * sqrt(sin_a * sin_a
+                + (su1 * ss - cu1 * cs * ca1)
+                  * (su1 * ss - cu1 * cs * ca1))) AS phi2,
+        atan2(ss * sin(a1), cu1 * cs - su1 * ss * ca1)
+          - (1.0 - c) * {f!r} * sin_a * (
+              sigma + c * ss * (cos2sm + c * cs
+                * (-1.0 + 2.0 * cos2sm * cos2sm))) AS big_l
+      FROM g1
+    )
+    SELECT o_orderkey, lat1, lon1, az, s,
+      CAST(round(degrees(phi2) * 1000000000.0) AS BIGINT) AS lat2_e9,
+      CAST(round((lon1 + degrees(big_l)) * 1000000000.0) AS BIGINT)
+        AS lon2_e9,
+      CAST(round(fmod(180.0 + degrees(atan2(sin_a,
+        -(su1 * ss - cu1 * cs * ca1))) + 360.0, 360.0)
+        * 1000000.0) AS BIGINT) AS azb_e6
+    FROM g2 JOIN pts USING (o_orderkey, lat1, lon1, az)
+    """
+
+
+@register("q440_geodesic_direct", oracle=_vincenty_direct_oracle())
+def q440(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.partitioning import ensure_min_partitions
+
+    o = F.col("o_orderkey")
+    pts = ensure_min_partitions(
+        load(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            (-60.0 + (o % 121)).cast("double").alias("lat1"),
+            (-175.0 + (o % 350)).cast("double").alias("lon1"),
+            ((o % 3600) * 0.1).cast("double").alias("az"),
+            (100.0 + (o % 997) * 500.0).cast("double").alias("s")))
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        from ..functions.geodesic import vincenty_direct
+
+        for pdf in batches:
+            lo2, la2, azb = vincenty_direct(
+                pdf["lon1"].to_numpy(), pdf["lat1"].to_numpy(),
+                pdf["az"].to_numpy(), pdf["s"].to_numpy())
+            yield pd.DataFrame({
+                "o_orderkey": pdf["o_orderkey"],
+                "lat1": pdf["lat1"], "lon1": pdf["lon1"],
+                "az": pdf["az"], "s": pdf["s"],
+                "lat2_e9": np.round(la2 * 1e9).astype("int64"),
+                "lon2_e9": np.round(lo2 * 1e9).astype("int64"),
+                "azb_e6": np.round(azb * 1e6).astype("int64"),
+            })
+
+    return pts.mapInPandas(
+        kernel, "o_orderkey long, lat1 double, lon1 double, az double, "
+                "s double, lat2_e9 long, lon2_e9 long, azb_e6 long")

@@ -108,3 +108,34 @@ def test_stere_oblique_gate():
     with pytest.raises(NotImplementedError, match="polar"):
         warp._from_geographic(np.array([0.0]), np.array([50.0]),
                               "+proj=stere +lat_0=52 +ellps=WGS84")
+
+
+# --- direct problem ---------------------------------------------------------
+
+def test_direct_closes_published_line():
+    from gfw_pixetl_spark.functions.geodesic import vincenty_direct
+
+    s, azf, azr = vincenty_inverse(
+        np.array([FP[1]]), np.array([FP[0]]),
+        np.array([BU[1]]), np.array([BU[0]]), "GRS80")
+    lo2, la2, back = vincenty_direct(
+        np.array([FP[1]]), np.array([FP[0]]), azf, s, "GRS80")
+    assert abs(lo2[0] - BU[1]) * 111320 < 1e-6
+    assert abs(la2[0] - BU[0]) * 111320 < 1e-6
+    assert abs(back[0] - azr[0]) < 1e-9
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    lat=st.floats(-70, 70), lon=st.floats(-179, 179),
+    az=st.floats(0, 360), dist=st.floats(10.0, 2e6),
+)
+def test_hypothesis_direct_inverse_roundtrip(lat, lon, az, dist):
+    from gfw_pixetl_spark.functions.geodesic import vincenty_direct
+
+    lo2, la2, _ = vincenty_direct(np.array([lon]), np.array([lat]),
+                                  np.array([az]), np.array([dist]))
+    s, a, _ = vincenty_inverse(np.array([lon]), np.array([lat]),
+                               lo2, la2)
+    assert abs(s[0] - dist) < 1e-4
+    assert min(abs(a[0] - az), 360 - abs(a[0] - az)) < 1e-7
