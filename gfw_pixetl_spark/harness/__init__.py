@@ -70,3 +70,4 @@ from . import timeops  # noqa: E402,F401
 from . import training  # noqa: E402,F401
 from . import vectorize  # noqa: E402,F401
 from . import vectors  # noqa: E402,F401
+from . import columnar  # noqa: E402,F401
