@@ -334,3 +334,258 @@ def q443(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "scenario string, n_groups long, n_kept long, "
               "kept_rows long, n_matches long")
+
+
+# --------------------------------------------------------------------------
+# q444 — ORC ROUND-TRIP through the in-tree codec (sources/orc.py):
+# documents is hash-repartitioned and each EXECUTOR task writes one
+# ORC shard with our writer (RLEv1 ints, PRESENT null streams, ZLIB
+# chunk framing), then a second distributed pass decodes the shards
+# with our reader and aggregates per language. Any bit wrong in
+# either direction — varint, zigzag, RLE run header, bool bit-RLE,
+# chunk frame, protobuf footer — breaks the value hash against the
+# oracle, which never sees ORC at all. The shard-per-task layout is
+# exactly how a 100 TB export fans out over an object store.
+# --------------------------------------------------------------------------
+_ORC_SHARDS = 8
+
+
+def _orc_docs_dir(spark: SparkSession, sf_dir: str) -> str:
+    def build(d: str) -> None:
+        import os
+        import uuid as _uuid
+
+        os.makedirs(d, exist_ok=True)
+        df = (load(spark, sf_dir, "documents")
+              .select("doc_id", "lang", "source", "n_chars")
+              .withColumn("src_opt", F.when(F.col("doc_id") % 7 != 0,
+                                            F.col("source")))
+              .withColumn("chars_d", F.col("n_chars") * 0.5)
+              .withColumn("even", F.col("doc_id") % 2 == 0)
+              .repartition(_ORC_SHARDS, "doc_id"))
+
+        def write_shard(batches: Iterator[pd.DataFrame]
+                        ) -> Iterator[pd.DataFrame]:
+            from ..sources import orc as o
+
+            parts = [b for b in batches if len(b)]
+            if not parts:
+                return
+            pdf = pd.concat(parts, ignore_index=True)
+            rows = list(zip(
+                (int(v) for v in pdf["doc_id"]),
+                pdf["lang"],
+                (None if v is None else str(v) for v in pdf["src_opt"]),
+                (float(v) for v in pdf["chars_d"]),
+                (int(v) for v in pdf["n_chars"]),
+                (bool(v) for v in pdf["even"]),
+            ))
+            cols = [o.OrcColumn("doc_id", o.K_LONG),
+                    o.OrcColumn("lang", o.K_STRING),
+                    o.OrcColumn("src_opt", o.K_STRING),
+                    o.OrcColumn("chars_d", o.K_DOUBLE),
+                    o.OrcColumn("n_chars", o.K_LONG),
+                    o.OrcColumn("even", o.K_BOOLEAN)]
+            path = os.path.join(d, f"shard-{_uuid.uuid4().hex}.orc")
+            info = o.write_orc(path, cols, rows, stripe_rows=4096)
+            yield pd.DataFrame({"path": [path],
+                                "n_rows": [info["n_rows"]]})
+
+        # bounded collect: one row per shard
+        df.mapInPandas(write_shard, "path string, n_rows long").collect()
+
+    return _derived_dir(sf_dir, "orcdocs", build)
+
+
+@register(
+    "q444_orc_roundtrip",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 7 != 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_src,
+           CAST(SUM(CAST(n_chars * 0.5 AS DECIMAL(18,1))) AS DOUBLE)
+             AS sum_chars_d,
+           CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_even,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM documents GROUP BY lang
+    """,
+)
+def q444(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+
+    d = _orc_docs_dir(spark, sf_dir)
+    files = sorted(_glob.glob(d + "/*.orc"))
+    paths = spark.createDataFrame([(p,) for p in files],
+                                  "path string").repartition(len(files))
+
+    def read_shard(batches: Iterator[pd.DataFrame]
+                   ) -> Iterator[pd.DataFrame]:
+        from ..sources import orc as o
+
+        for pdf in batches:
+            for path in pdf["path"]:
+                cols = o.read_orc(path)
+                yield pd.DataFrame({
+                    "doc_id": pd.Series(cols["doc_id"], dtype="int64"),
+                    "lang": cols["lang"],
+                    "src_opt": cols["src_opt"],
+                    "chars_d": pd.Series(cols["chars_d"], dtype="float64"),
+                    "even": pd.Series(
+                        [bool(v) for v in cols["even"]], dtype="bool"),
+                })
+
+    decoded = paths.mapInPandas(
+        read_shard,
+        "doc_id long, lang string, src_opt string, chars_d double, "
+        "even boolean")
+    return decoded.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.count("src_opt").alias("n_src"),
+        F.sum(F.col("chars_d").cast("decimal(18,1)")).cast("double")
+         .alias("sum_chars_d"),
+        F.sum(F.col("even").cast("long")).alias("n_even"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q445 — SPARK-NATIVE ORC -> OUR READER: Spark's own ORC writer emits
+# the v2 generation of the format (RLEv2 SHORT_REPEAT/DIRECT/DELTA
+# integer runs, DICTIONARY_V2 strings, zlib chunks) — none of which
+# our writer produces, so this is a genuinely independent bitstream
+# exercising the other half of the reader. Decoded rows are
+# aggregated per order priority and checked against the oracle's
+# recompute from the parquet source.
+# --------------------------------------------------------------------------
+def _orc_orders_dir(spark: SparkSession, sf_dir: str) -> str:
+    def build(d: str) -> None:
+        (load(spark, sf_dir, "orders")
+         .select("o_orderkey", "o_custkey", "o_totalprice",
+                 "o_orderpriority")
+         .repartition(4)
+         .write.mode("overwrite").orc(d))
+
+    return _derived_dir(sf_dir, "orcnative", build)
+
+
+@register(
+    "q445_orc_spark_native",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(SUM(o_custkey) AS BIGINT) AS sum_cust,
+           MIN(o_totalprice) + 0 AS min_price,
+           MAX(o_totalprice) + 0 AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q445(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+
+    d = _orc_orders_dir(spark, sf_dir)
+    files = sorted(_glob.glob(d + "/*.orc"))
+    paths = spark.createDataFrame([(p,) for p in files],
+                                  "path string").repartition(len(files))
+
+    def read_shard(batches: Iterator[pd.DataFrame]
+                   ) -> Iterator[pd.DataFrame]:
+        from ..sources import orc as o
+
+        for pdf in batches:
+            for path in pdf["path"]:
+                cols = o.read_orc(path)
+                yield pd.DataFrame({
+                    "o_orderkey": pd.Series(cols["o_orderkey"],
+                                            dtype="int64"),
+                    "o_custkey": pd.Series(cols["o_custkey"],
+                                           dtype="int64"),
+                    "o_totalprice": pd.Series(cols["o_totalprice"],
+                                              dtype="float64"),
+                    "o_orderpriority": cols["o_orderpriority"],
+                })
+
+    decoded = paths.mapInPandas(
+        read_shard,
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderpriority string")
+    return decoded.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.sum("o_orderkey").alias("sum_key"),
+        F.sum("o_custkey").alias("sum_cust"),
+        (F.min("o_totalprice") + 0).alias("min_price"),
+        (F.max("o_totalprice") + 0).alias("max_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# q446 — ORC STRIPE-STATS AUDIT: the ORC twin of q442's parquet zone
+# maps. A sorted copy of orders is written by OUR writer with 2000-row
+# stripes; the query then reads ONLY the footer + StripeStatistics
+# metadata (never a data stream) and emits each stripe's row count and
+# min/max/sum of the sort key — which the oracle reconstructs from the
+# rows with ROW_NUMBER bucketing. Proves the writer's protobuf stats,
+# the stripe framing, and the reader's metadata path are all exact at
+# the granularity an ORC predicate-pushdown planner uses.
+# --------------------------------------------------------------------------
+_ORC_STRIPE_ROWS = 2000
+
+
+def _orc_zoned_path(spark: SparkSession, sf_dir: str) -> str:
+    def build(d: str) -> None:
+        import os
+
+        import pyarrow.parquet as pq
+
+        from ..sources import orc as o
+
+        tbl = pq.read_table(f"{sf_dir}/orders.parquet",
+                            columns=["o_orderkey", "o_custkey"])
+        tbl = tbl.sort_by("o_orderkey")
+        rows = list(zip(tbl.column("o_orderkey").to_pylist(),
+                        tbl.column("o_custkey").to_pylist()))
+        os.makedirs(d, exist_ok=True)
+        o.write_orc(d + "/orders_zoned.orc",
+                    [o.OrcColumn("o_orderkey", o.K_LONG),
+                     o.OrcColumn("o_custkey", o.K_LONG)],
+                    rows, stripe_rows=_ORC_STRIPE_ROWS)
+
+    return _derived_dir(sf_dir, "orczoned", build) + "/orders_zoned.orc"
+
+
+_Q446_ORACLE = f"""
+    WITH ranked AS (
+      SELECT o_orderkey,
+             (ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1)
+               // {_ORC_STRIPE_ROWS} AS sid
+      FROM orders
+    )
+    SELECT CAST(sid AS INTEGER) AS stripe_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+    FROM ranked GROUP BY 1
+"""
+
+
+@register("q446_orc_stripe_stats", oracle=_Q446_ORACLE)
+def q446(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import orc as o
+
+    path = _orc_zoned_path(spark, sf_dir)
+    with open(path, "rb") as fh:
+        f = o.OrcFile(fh.read())
+    # metadata only: stripes[] row counts + StripeStatistics col 1
+    rows = []
+    for si, s in enumerate(f.stripes):
+        st = f.stripe_stats[si][1]  # column id 1 = o_orderkey
+        rows.append((si, s["numberOfRows"],
+                     st["min"], st["max"], st["sum"]))
+    return spark.createDataFrame(
+        rows, "stripe_id int, n_rows long, min_key long, max_key long, "
+              "sum_key long")
