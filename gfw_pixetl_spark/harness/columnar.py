@@ -589,3 +589,82 @@ def q446(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "stripe_id int, n_rows long, min_key long, max_key long, "
               "sum_key long")
+
+
+# --------------------------------------------------------------------------
+# q447 — ORC STRIPE-PRUNING EFFECTIVENESS, mirroring q443's parquet
+# planner: the footer-only plan (sources/orc.py::prune_stripes, a
+# tail-ranged read that never touches a data stream) decides which
+# stripes of the sorted file survive a range on the SORT KEY
+# (clustered zones: ~1 stripe per 2000 keys) and a floor on the
+# UNCLUSTERED o_custkey (every stripe's zone straddles it — prunes
+# nothing). True match counts come from Spark's own ORC scan of the
+# same file (native reader on our writer's output — interop is load-
+# bearing here too), and the oracle re-derives both the zone
+# arithmetic and the kept_rows >= n_matches guarantee.
+# --------------------------------------------------------------------------
+_OKEY_LO, _OKEY_HI = 100, 299
+_CUST_LO = 50
+
+
+_Q447_ORACLE = f"""
+    WITH ranked AS (
+      SELECT o_orderkey, o_custkey,
+             (ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1)
+               // {_ORC_STRIPE_ROWS} AS sid
+      FROM orders
+    ), zones AS (
+      SELECT sid, COUNT(*) AS n_rows,
+             MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+             MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust
+      FROM ranked GROUP BY sid
+    )
+    SELECT 'key_range' AS scenario,
+           CAST(COUNT(*) AS BIGINT) AS n_stripes,
+           CAST(SUM(CASE WHEN max_key >= {_OKEY_LO} AND min_key <= {_OKEY_HI}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN max_key >= {_OKEY_LO} AND min_key <= {_OKEY_HI}
+                         THEN n_rows ELSE 0 END) AS BIGINT) AS kept_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderkey BETWEEN {_OKEY_LO} AND {_OKEY_HI}) AS n_matches
+    FROM zones
+    UNION ALL
+    SELECT 'cust_floor',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN max_cust >= {_CUST_LO} THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(SUM(CASE WHEN max_cust >= {_CUST_LO} THEN n_rows ELSE 0 END)
+                AS BIGINT),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_custkey >= {_CUST_LO})
+    FROM zones
+"""
+
+
+@register("q447_orc_stripe_pruning", oracle=_Q447_ORACLE)
+def q447(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.orc import prune_stripes
+
+    path = _orc_zoned_path(spark, sf_dir)
+    key_plan = prune_stripes(path, "o_orderkey",
+                             lower=_OKEY_LO, upper=_OKEY_HI)
+    cust_plan = prune_stripes(path, "o_custkey", lower=_CUST_LO)
+
+    zoned = spark.read.orc(path)
+    matches = zoned.select(
+        F.sum(((F.col("o_orderkey") >= _OKEY_LO)
+               & (F.col("o_orderkey") <= _OKEY_HI)).cast("long"))
+        .alias("key_matches"),
+        F.sum((F.col("o_custkey") >= _CUST_LO).cast("long"))
+        .alias("cust_matches"),
+    ).collect()[0]  # bounded: one row of two counters
+
+    rows = [
+        ("key_range", key_plan["n_stripes"], key_plan["n_kept"],
+         key_plan["kept_rows"], int(matches["key_matches"])),
+        ("cust_floor", cust_plan["n_stripes"], cust_plan["n_kept"],
+         cust_plan["kept_rows"], int(matches["cust_matches"])),
+    ]
+    return spark.createDataFrame(
+        rows, "scenario string, n_stripes long, n_kept long, "
+              "kept_rows long, n_matches long")

@@ -724,7 +724,10 @@ class OrcFile:
             raise ValueError("not an ORC file (bad header magic)")
         self.data = data
         ps_len = data[-1]
-        ps = pb_decode(data[-1 - ps_len:-1])
+        try:
+            ps = pb_decode(data[-1 - ps_len:-1])
+        except (IndexError, struct.error) as exc:
+            raise ValueError("not an ORC file (corrupt postscript)") from exc
         self.compression = _one(ps, 2, C_NONE)
         magic = _one(ps, 8000, b"")
         if magic != MAGIC:
@@ -884,3 +887,77 @@ class OrcFile:
 def read_orc(path: str) -> dict[str, list]:
     with open(path, "rb") as f:
         return OrcFile(f.read()).read_all()
+
+
+# --------------------------------------------------------------------------
+# Footer-only planning (the ORC twin of parquetmeta.prune_row_groups)
+# --------------------------------------------------------------------------
+
+def read_tail_metadata(path: str, guess: int = 16384) -> dict[str, Any]:
+    """Decode stripes/types/stats from the file TAIL only.
+
+    Mirrors the two-ranged-GET parquet footer read
+    (``parquetmeta.read_metadata``): planning a million-object catalog
+    must never touch data streams. Reads the last ``guess`` bytes,
+    widening once if postscript+footer+metadata overhang it.
+    """
+    import os
+
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        take = min(guess, size)
+        f.seek(size - take)
+        tail = f.read(take)
+        ps_len = tail[-1]
+        ps = pb_decode(tail[-1 - ps_len:-1])
+        need = _one(ps, 1, 0) + _one(ps, 5, 0) + ps_len + 1
+        if need > take:
+            f.seek(size - need)
+            tail = f.read(need)
+    # OrcFile only touches [len(data) - need, len(data)) during
+    # metadata decode, so a zero-padded prefix stands in for the body.
+    shim = b"ORC" + b"\x00" * max(0, size - len(tail) - 3) + tail
+    meta = OrcFile(shim)
+    return {
+        "stripes": meta.stripes, "types": meta.types,
+        "stripe_stats": meta.stripe_stats, "num_rows": meta.num_rows,
+        "column_names": meta.column_names,
+        "compression": meta.compression, "tail_bytes": len(tail),
+    }
+
+
+def prune_stripes(path: str, column: str, lower: Any = None,
+                  upper: Any = None) -> dict[str, Any]:
+    """Zone-map stripe pruning for ``lower <= col <= upper``.
+
+    Returns the footer-only scan plan: which stripes MUST be read and
+    the row/byte bounds that implies. A stripe with missing stats is
+    conservatively kept, like every production ORC reader.
+    """
+    meta = read_tail_metadata(path)
+    try:
+        col_id = meta["column_names"].index(column) + 1
+    except ValueError:
+        raise KeyError(f"column {column!r} not in {path}") from None
+    kept, total_rows, kept_rows, kept_bytes = [], 0, 0, 0
+    for si, s in enumerate(meta["stripes"]):
+        total_rows += s["numberOfRows"]
+        st = (meta["stripe_stats"][si][col_id]
+              if si < len(meta["stripe_stats"]) else {})
+        mn, mx = st.get("min"), st.get("max")
+        keep = True
+        if mn is not None and mx is not None:
+            if lower is not None and mx < lower:
+                keep = False
+            if upper is not None and mn > upper:
+                keep = False
+        if keep:
+            kept.append(si)
+            kept_rows += s["numberOfRows"]
+            kept_bytes += s["dataLength"]
+    return {
+        "n_stripes": len(meta["stripes"]), "n_kept": len(kept),
+        "kept_stripe_ids": kept, "total_rows": total_rows,
+        "kept_rows": kept_rows, "kept_data_bytes": kept_bytes,
+        "tail_bytes": meta["tail_bytes"],
+    }

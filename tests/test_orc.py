@@ -206,3 +206,53 @@ def test_bad_magic():
         o.OrcFile(b"PAR1" + b"\x00" * 64)
     with pytest.raises(ValueError):
         o.OrcFile(b"ORCx" + os.urandom(64) + b"\x05")
+
+
+# --------------------------------------------------------- footer planning
+
+def test_prune_stripes(tmp_path):
+    rows = [(i, i * 3) for i in range(20000)]
+    p = str(tmp_path / "z.orc")
+    o.write_orc(p, [o.OrcColumn("k", o.K_LONG), o.OrcColumn("v", o.K_LONG)],
+                rows, stripe_rows=2000)
+    plan = o.prune_stripes(p, "k", lower=4100, upper=4500)
+    assert plan["n_stripes"] == 10
+    assert plan["kept_stripe_ids"] == [2]
+    assert plan["kept_rows"] == 2000
+    # boundary inclusive on both sides
+    edge = o.prune_stripes(p, "k", lower=1999, upper=2000)
+    assert edge["kept_stripe_ids"] == [0, 1]
+    # unbounded side keeps the tail
+    tail = o.prune_stripes(p, "v", lower=3 * 19999)
+    assert tail["kept_stripe_ids"] == [9]
+    with pytest.raises(KeyError):
+        o.prune_stripes(p, "nope")
+
+
+def test_read_tail_metadata_matches_full_decode(tmp_path):
+    rows = _sample_rows(30000)
+    p = str(tmp_path / "t.orc")
+    o.write_orc(p, _SAMPLE_COLS, rows)
+    full = o.OrcFile(open(p, "rb").read())
+    meta = o.read_tail_metadata(p, guess=64)  # force the widening path
+    assert meta["num_rows"] == full.num_rows == 30000
+    assert meta["stripes"] == full.stripes
+    assert meta["stripe_stats"] == full.stripe_stats
+    assert meta["column_names"] == full.column_names
+    assert meta["tail_bytes"] < os.path.getsize(p) // 2
+
+
+def test_prune_stripes_on_spark_written_file(spark, tmp_path):
+    # Spark's writer populates stripe stats too — the planner must
+    # work on the RLEv2 generation's metadata as well.
+    d = str(tmp_path / "sp")
+    (spark.range(0, 100000).selectExpr("id k", "id * 2 v")
+     .coalesce(1).sortWithinPartitions("k")
+     .write.option("orc.stripe.size", "65536").mode("overwrite").orc(d))
+    p = glob.glob(d + "/*.orc")[0]
+    plan = o.prune_stripes(p, "k", lower=10, upper=20)
+    assert plan["n_kept"] <= plan["n_stripes"]
+    assert plan["kept_rows"] >= 11
+    got = o.read_orc(p)
+    n_match = sum(1 for x in got["k"] if 10 <= x <= 20)
+    assert n_match == 11 and plan["kept_rows"] >= n_match
