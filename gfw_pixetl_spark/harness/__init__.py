@@ -64,6 +64,7 @@ from . import audit  # noqa: E402,F401
 from . import olap  # noqa: E402,F401
 from . import relops  # noqa: E402,F401
 from . import retrieval  # noqa: E402,F401
+from . import rowformats  # noqa: E402,F401
 from . import statops  # noqa: E402,F401
 from . import tileops  # noqa: E402,F401
 from . import timeops  # noqa: E402,F401
