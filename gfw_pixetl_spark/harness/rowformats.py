@@ -1,13 +1,14 @@
-"""Row-interchange format queries: Avro OCF ingest/export.
+"""Avro ingest/export queries beyond q390/q395: logical-type
+round-trip, the snappy/zstandard codecs, and array-block encoding.
 (Round 8, sixth session.)
 
 The 100 TB ingest story is row-major at the edges — Kafka topics,
-CDC feeds, and upstream exports arrive as Avro — and columnar inside.
-These queries run the in-tree pure-Python OCF codec
-(``sources/avro.py``) on EXECUTORS, shard-per-task, and verify every
-decoded value through the DuckDB oracle, which only ever sees the
-parquet source: a wrong zigzag, block frame, union index, logical
-type, or resolution rule shows up as a value mismatch.
+CDC feeds, upstream exports arrive as Avro — and columnar inside.
+These queries run the in-tree OCF codec (``sources/avro.py``) on
+EXECUTORS, shard-per-task, and verify every decoded value through
+the DuckDB oracle, which only ever sees the parquet source: a wrong
+zigzag, block frame, union index, CRC, or array block shows up as a
+value mismatch.
 """
 
 from __future__ import annotations
@@ -22,75 +23,33 @@ from . import load, register
 from .lakeops import _derived_dir
 
 # --------------------------------------------------------------------------
-# q448 — AVRO EVENTS ROUND-TRIP with logical types and a nullable
-# union: events become OCF shards (one per task — the Kafka-export
-# shape) carrying ts as timestamp-micros longs and event_type as
+# q448 — AVRO TIMESTAMP-MICROS ROUND-TRIP with a nullable union:
+# events become OCF shards (one per task — the Kafka-export shape)
+# carrying ts as timestamp-micros longs and event_type as
 # ["null","string"] (nulled for every 11th event id); a second
 # distributed pass decodes the shards, restores the timestamp, and
 # aggregates per type. The oracle replays the null-injection and the
-# micros truncation from the parquet source.
+# micros arithmetic from the parquet source. Complements q390 (flat
+# round-trip) with the logical-type path every event-log ingest hits.
 # --------------------------------------------------------------------------
 _AVRO_SHARDS = 8
-
-_EVENTS_SCHEMA_JSON = """
-{"type": "record", "name": "Event", "fields": [
-  {"name": "event_id", "type": "long"},
-  {"name": "ts", "type": {"type": "long",
-                          "logicalType": "timestamp-micros"}},
-  {"name": "user_id", "type": "long"},
-  {"name": "event_type", "type": ["null", "string"], "default": null},
-  {"name": "value", "type": "double"}
-]}
-"""
 
 
 def _avro_events_dir(spark: SparkSession, sf_dir: str) -> str:
     def build(d: str) -> None:
-        import os
-        import uuid as _uuid
+        from ..sources.avro import write_avro_shards
 
-        os.makedirs(d, exist_ok=True)
         df = (load(spark, sf_dir, "events")
               .select("event_id",
                       F.unix_micros("ts").alias("ts_us"),
                       "user_id",
                       F.when(F.col("event_id") % 11 != 0,
                              F.col("event_type")).alias("etype"),
-                      "value")
-              .repartition(_AVRO_SHARDS, "event_id"))
-
-        def write_shard(batches: Iterator[pd.DataFrame]
-                        ) -> Iterator[pd.DataFrame]:
-            from ..sources import avro as av
-
-            parts = [b for b in batches if len(b)]
-            if not parts:
-                return
-            pdf = pd.concat(parts, ignore_index=True)
-            rows = [
-                {"event_id": int(e), "ts": int(t), "user_id": int(u),
-                 "event_type": None if ty is None else str(ty),
-                 "value": float(v)}
-                for e, t, u, ty, v in zip(
-                    pdf["event_id"], pdf["ts_us"], pdf["user_id"],
-                    pdf["etype"], pdf["value"])
-            ]
-            path = os.path.join(d, f"shard-{_uuid.uuid4().hex}.avro")
-            info = av.write_avro(path, _EVENTS_SCHEMA_JSON, rows)
-            yield pd.DataFrame({"path": [path], "n": [info["n_rows"]]})
-
+                      "value"))
         # bounded collect: one row per shard
-        df.mapInPandas(write_shard, "path string, n long").collect()
+        write_avro_shards(df, d, n_shards=_AVRO_SHARDS).collect()
 
     return _derived_dir(sf_dir, "avroevents", build)
-
-
-def _avro_paths_df(spark: SparkSession, d: str) -> DataFrame:
-    import glob as _glob
-
-    files = sorted(_glob.glob(d + "/*.avro"))
-    return (spark.createDataFrame([(p,) for p in files], "path string")
-            .repartition(len(files)))
 
 
 @register(
@@ -107,27 +66,12 @@ def _avro_paths_df(spark: SparkSession, d: str) -> DataFrame:
     """,
 )
 def q448(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.avro import read_avro
+
     d = _avro_events_dir(spark, sf_dir)
-
-    def read_shard(batches: Iterator[pd.DataFrame]
-                   ) -> Iterator[pd.DataFrame]:
-        from ..sources import avro as av
-
-        for pdf in batches:
-            for path in pdf["path"]:
-                rows = av.read_avro(path)
-                yield pd.DataFrame({
-                    "ts_us": pd.Series([r["ts"] for r in rows],
-                                       dtype="int64"),
-                    "user_id": pd.Series([r["user_id"] for r in rows],
-                                         dtype="int64"),
-                    "etype": [r["event_type"] for r in rows],
-                    "value": pd.Series([r["value"] for r in rows],
-                                       dtype="float64"),
-                })
-
-    decoded = _avro_paths_df(spark, d).mapInPandas(
-        read_shard, "ts_us long, user_id long, etype string, value double")
+    decoded = read_avro(
+        spark, d + "/*.avro",
+        "ts_us long, user_id long, etype string, value double")
     return (decoded
             .withColumn("ts", F.timestamp_micros("ts_us"))
             .groupBy("etype").agg(
@@ -139,131 +83,79 @@ def q448(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# q449 — AVRO SCHEMA EVOLUTION, the rolling-upgrade shape a 100 TB
-# corpus lives with: shards written under schema v1 (customer) are
-# decoded under reader schema v2 — c_name REMOVED (writer field
-# skipped), c_nationkey PROMOTED int->long, c_acctbal PROMOTED
-# float->double, and a NEW field with a default. The oracle replays
-# the v2 projection straight from parquet; a resolution bug (wrong
-# skip width, missed promotion, default not applied) breaks values.
+# q449 — AVRO SNAPPY + ZSTANDARD CODECS: the same corpus slice written
+# under both block codecs the Kafka world actually ships (snappy with
+# its big-endian CRC32-of-uncompressed suffix, zstandard frames via
+# the in-tree compressors), decoded back and aggregated per codec —
+# the two result halves must be identical to each other AND to the
+# parquet truth. Complements q390, which covers null/deflate.
 # --------------------------------------------------------------------------
-_CUST_V1_JSON = """
-{"type": "record", "name": "Customer", "fields": [
-  {"name": "c_custkey", "type": "long"},
-  {"name": "c_name", "type": "string"},
-  {"name": "c_nationkey", "type": "int"},
-  {"name": "c_acctbal", "type": "float"},
-  {"name": "c_mktsegment", "type": "string"}
-]}
-"""
-
-_CUST_V2_JSON = """
-{"type": "record", "name": "Customer", "fields": [
-  {"name": "c_custkey", "type": "long"},
-  {"name": "c_nationkey", "type": "long"},
-  {"name": "c_acctbal", "type": "double"},
-  {"name": "c_mktsegment", "type": "string"},
-  {"name": "tier", "type": "string", "default": "standard"}
-]}
-"""
-
-
-def _avro_customer_dir(spark: SparkSession, sf_dir: str) -> str:
+def _avro_codec_dir(spark: SparkSession, sf_dir: str) -> str:
     def build(d: str) -> None:
         import os
-        import uuid as _uuid
 
-        os.makedirs(d, exist_ok=True)
-        df = (load(spark, sf_dir, "customer")
-              .select("c_custkey", "c_name", "c_nationkey",
-                      F.col("c_acctbal").cast("float").alias("bal_f"),
-                      "c_mktsegment")
-              .repartition(4, "c_custkey"))
+        from ..sources.avro import write_avro_shards
 
-        def write_shard(batches: Iterator[pd.DataFrame]
-                        ) -> Iterator[pd.DataFrame]:
-            from ..sources import avro as av
+        df = (load(spark, sf_dir, "documents")
+              .select("doc_id", "lang",
+                      F.when(F.col("doc_id") % 7 != 0,
+                             F.col("source")).alias("src"),
+                      "n_chars"))
+        for codec in ("snappy", "zstandard"):
+            sub = os.path.join(d, codec)
+            write_avro_shards(df, sub, n_shards=4, codec=codec).collect()
 
-            parts = [b for b in batches if len(b)]
-            if not parts:
-                return
-            pdf = pd.concat(parts, ignore_index=True)
-            rows = [
-                {"c_custkey": int(k), "c_name": str(n),
-                 "c_nationkey": int(nk), "c_acctbal": float(b),
-                 "c_mktsegment": str(m)}
-                for k, n, nk, b, m in zip(
-                    pdf["c_custkey"], pdf["c_name"], pdf["c_nationkey"],
-                    pdf["bal_f"], pdf["c_mktsegment"])
-            ]
-            path = os.path.join(d, f"shard-{_uuid.uuid4().hex}.avro")
-            av.write_avro(path, _CUST_V1_JSON, rows)
-            yield pd.DataFrame({"path": [path]})
-
-        df.mapInPandas(write_shard, "path string").collect()
-
-    return _derived_dir(sf_dir, "avrocust", build)
+    return _derived_dir(sf_dir, "avrocodec", build)
 
 
 @register(
-    "q449_avro_schema_evolution",
+    "q449_avro_codecs",
     oracle="""
-    SELECT c_mktsegment,
-           'standard' AS tier,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(c_custkey) AS BIGINT) AS sum_key,
-           CAST(SUM(c_nationkey) AS BIGINT) AS sum_nation,
-           round(SUM(CAST(CAST(c_acctbal AS FLOAT) AS DOUBLE)), 2) + 0.0
-             AS sum_bal
-    FROM customer GROUP BY c_mktsegment
+    SELECT c.codec, d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 7 != 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_src,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM documents d
+    CROSS JOIN (VALUES ('snappy'), ('zstandard')) c(codec)
+    GROUP BY c.codec, d.lang
     """,
 )
 def q449(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _avro_customer_dir(spark, sf_dir)
+    from ..sources.avro import read_avro
 
-    def read_shard(batches: Iterator[pd.DataFrame]
-                   ) -> Iterator[pd.DataFrame]:
-        from ..sources import avro as av
-
-        for pdf in batches:
-            for path in pdf["path"]:
-                rows = av.read_avro(path, reader_schema=_CUST_V2_JSON)
-                yield pd.DataFrame({
-                    "c_custkey": pd.Series(
-                        [r["c_custkey"] for r in rows], dtype="int64"),
-                    "c_nationkey": pd.Series(
-                        [r["c_nationkey"] for r in rows], dtype="int64"),
-                    "c_acctbal": pd.Series(
-                        [r["c_acctbal"] for r in rows], dtype="float64"),
-                    "c_mktsegment": [r["c_mktsegment"] for r in rows],
-                    "tier": [r["tier"] for r in rows],
-                })
-
-    decoded = _avro_paths_df(spark, d).mapInPandas(
-        read_shard,
-        "c_custkey long, c_nationkey long, c_acctbal double, "
-        "c_mktsegment string, tier string")
-    return decoded.groupBy("c_mktsegment", "tier").agg(
-        F.count("*").alias("n"),
-        F.sum("c_custkey").alias("sum_key"),
-        F.sum("c_nationkey").alias("sum_nation"),
-        (F.round(F.sum("c_acctbal"), 2) + 0.0).alias("sum_bal"))
+    d = _avro_codec_dir(spark, sf_dir)
+    parts = []
+    for codec in ("snappy", "zstandard"):
+        decoded = read_avro(
+            spark, f"{d}/{codec}/*.avro",
+            "doc_id long, lang string, src string, n_chars long")
+        parts.append(decoded.withColumn("codec", F.lit(codec)))
+    both = parts[0].unionByName(parts[1])
+    return both.groupBy("codec", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.count("src").alias("n_src"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"))
 
 
 # --------------------------------------------------------------------------
 # q450 — AVRO ARRAY BLOCKS: embeddings (array<float>) through the
-# block-encoded array path — the multimodal/vector-export shape. Each
-# vector survives as exact float32 bits (re-read as doubles on both
-# sides), checked via per-label counts, total dimension, and the sum
-# of self-dot-products.
+# block-encoded array path — the vector-export shape (schema_for is
+# flat-only, so the shard writer here carries an explicit record
+# schema with an array<float> field). Vectors survive as exact
+# float32 bits, re-read as doubles on both sides and checked via
+# per-label counts, total dimension, and self-dot-product sums.
 # --------------------------------------------------------------------------
-_EMB_SCHEMA_JSON = """
-{"type": "record", "name": "Emb", "fields": [
-  {"name": "vec_id", "type": "long"},
-  {"name": "label", "type": "int"},
-  {"name": "embedding", "type": {"type": "array", "items": "float"}}
-]}
-"""
+_EMB_SCHEMA = {
+    "type": "record", "name": "emb", "fields": [
+        {"name": "vec_id", "type": "long"},
+        {"name": "label", "type": "int"},
+        {"name": "embedding", "type": {"type": "array", "items": "float"}},
+    ]}
 
 
 def _avro_emb_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -272,27 +164,28 @@ def _avro_emb_dir(spark: SparkSession, sf_dir: str) -> str:
         import uuid as _uuid
 
         os.makedirs(d, exist_ok=True)
-        df = (load(spark, sf_dir, "embeddings")
-              .repartition(4, "vec_id"))
+        df = load(spark, sf_dir, "embeddings").repartition(4, "vec_id")
 
         def write_shard(batches: Iterator[pd.DataFrame]
                         ) -> Iterator[pd.DataFrame]:
-            from ..sources import avro as av
+            from ..sources.avro import write_container
 
             parts = [b for b in batches if len(b)]
             if not parts:
                 return
             pdf = pd.concat(parts, ignore_index=True)
-            rows = [
+            recs = [
                 {"vec_id": int(v), "label": int(lb),
                  "embedding": [float(x) for x in emb]}
                 for v, lb, emb in zip(pdf["vec_id"], pdf["label"],
                                       pdf["embedding"])
             ]
-            path = os.path.join(d, f"shard-{_uuid.uuid4().hex}.avro")
-            av.write_avro(path, _EMB_SCHEMA_JSON, rows)
+            path = os.path.join(d, f"part-{_uuid.uuid4().hex}.avro")
+            with open(path, "wb") as fh:
+                fh.write(write_container(recs, _EMB_SCHEMA))
             yield pd.DataFrame({"path": [path]})
 
+        # bounded collect: one row per shard
         df.mapInPandas(write_shard, "path string").collect()
 
     return _derived_dir(sf_dir, "avroemb", build)
@@ -312,22 +205,24 @@ def _avro_emb_dir(spark: SparkSession, sf_dir: str) -> str:
 )
 def q450(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _avro_emb_dir(spark, sf_dir)
+    files = spark.read.format("binaryFile").load(d + "/*.avro")
 
-    def read_shard(batches: Iterator[pd.DataFrame]
-                   ) -> Iterator[pd.DataFrame]:
-        from ..sources import avro as av
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..sources.avro import iter_container
 
         for pdf in batches:
-            for path in pdf["path"]:
-                rows = av.read_avro(path)
+            for blob in pdf["content"]:
+                labels, embs = [], []
+                for rec in iter_container(bytes(blob)):
+                    labels.append(rec["label"])
+                    embs.append(rec["embedding"])
                 yield pd.DataFrame({
-                    "label": pd.Series([r["label"] for r in rows],
-                                       dtype="int32"),
-                    "embedding": [r["embedding"] for r in rows],
+                    "label": pd.Series(labels, dtype="int32"),
+                    "embedding": embs,
                 })
 
-    decoded = _avro_paths_df(spark, d).mapInPandas(
-        read_shard, "label int, embedding array<double>")
+    decoded = files.select("content").mapInPandas(
+        kernel, "label int, embedding array<double>")
     dot = F.aggregate(
         F.zip_with("embedding", "embedding", lambda a, b: a * b),
         F.lit(0.0), lambda acc, x: acc + x)

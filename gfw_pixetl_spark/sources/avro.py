@@ -1,50 +1,553 @@
-"""Pure-Python Apache Avro Object Container File reader/writer.
+"""Apache Avro object container files — the row-interchange format of
+the Hadoop/Kafka world — implemented pure Python from the public spec
+(avro.apache.org/docs/1.11.1/specification): binary encoding (zigzag
+varints, length-prefixed bytes/strings, IEEE float/double LE), complex
+types (record, enum, array, map, union, fixed), and the object
+container layout (Obj\\x01 magic, metadata map with avro.schema /
+avro.codec, 16-byte sync marker, per-block object count + byte size,
+null and deflate codecs — deflate is RAW DEFLATE, RFC 1951, no zlib
+envelope).
 
-Avro is the row-major interchange format of the Kafka/Hadoop
-ecosystem — the natural ingest twin of the columnar ORC/parquet
-surface already in-tree. Everything here derives from the public
-Avro 1.11 specification (https://avro.apache.org/docs/1.11.1/
-specification/): the OCF layout (magic ``Obj\\x01``, file-metadata
-map carrying ``avro.schema``/``avro.codec``, a 16-byte sync marker,
-then blocks of ``count, byte_size, objects, sync``), the binary
-encoding (zigzag-varint ints/longs, little-endian IEEE floats,
-length-prefixed bytes/strings, fields in declaration order,
-index-prefixed unions, block-encoded arrays/maps), the null /
-deflate / snappy(+CRC32) / zstd codecs (decompressors and
-compressors from the in-tree codec modules), and full READER-SCHEMA
-RESOLUTION: field matching by name, reader defaults for missing
-writer fields, skipped writer fields, the int->long->float->double
-and string<->bytes promotions, and union branch resolution.
+Spark has no bundled Avro reader (spark-avro is an external jar), so a
+PySpark-native engine that ingests Kafka-archived or Sqoop-era corpora
+needs this path. Same discipline as the other codec sources
+(tfrecord/warc/zstd/flac): writer in-module so round trips are
+self-testable, strict reader raises ValueError on any damage, lenient
+``scan_avro`` skips damaged BLOCKS and counts them (the sync marker is
+the resync sentinel — exactly what it exists for), and hostile input
+never hangs or IndexErrors.
 
-Logical types (date, timestamp-millis/micros, decimal) are carried
-as annotations on the decoded schema; value conversion is the
-caller's concern (the harness converts timestamp-micros longs to
-Spark timestamps).
-
-Cross-validation: ``tests/test_avro.py`` round-trips our writer
-through the Java Avro library bundled with Spark (via py4j:
-``org.apache.avro.file.DataFileReader``) and decodes Java-written
-files, in addition to the q448+ oracle queries.
-
-The reference engine has no row-interchange sink (it writes GeoTIFF,
-``pipes/pipe.py``); this extends the ingest/export surface the same
-way sources/orc.py and sinks/webdataset.py do.
+Scale shape: container blocks are independently decodable after the
+header, so a 100 TB ingest plans one (file, block-range) split per
+task from ``block_index`` (the member_index/frame_index/record_index
+analog at the Avro layer); writes happen one shard per partition
+inside ``mapInPandas`` — no driver funnel.
 """
 
 from __future__ import annotations
 
-import hashlib
 import json
 import struct
 import zlib
-from typing import Any, Callable, Iterable
 
 MAGIC = b"Obj\x01"
 
-_PRIMITIVES = {"null", "boolean", "int", "long", "float", "double",
-               "bytes", "string"}
 
-_PROMOTIONS: dict[str, set[str]] = {
+# --------------------------------------------------------------------------
+# primitive binary encoding
+# --------------------------------------------------------------------------
+
+
+def write_long(out: bytearray, n: int) -> None:
+    """Zigzag + varint (spec: int and long share this encoding)."""
+    z = (n << 1) ^ (n >> 63)  # python ints: exact for the 64-bit range
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def read_long(data: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        if pos >= len(data):
+            raise ValueError("avro: truncated varint")
+        b = data[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return (result >> 1) ^ -(result & 1), pos
+        shift += 7
+        if shift > 69:
+            raise ValueError("avro: varint too long")
+
+
+def _write_bytes(out: bytearray, b: bytes) -> None:
+    write_long(out, len(b))
+    out += b
+
+
+def _read_bytes(data: bytes, pos: int) -> tuple[bytes, int]:
+    n, pos = read_long(data, pos)
+    if n < 0 or pos + n > len(data):
+        raise ValueError("avro: truncated bytes/string")
+    return data[pos:pos + n], pos + n
+
+
+# --------------------------------------------------------------------------
+# schema-driven value codec
+# --------------------------------------------------------------------------
+
+
+def _branch_name(schema) -> str:
+    if isinstance(schema, str):
+        return schema
+    return schema.get("name", schema["type"])
+
+
+def _union_index(branches: list, value) -> int:
+    """Pick the union branch for a Python value (the writer-side rule:
+    null -> 'null', bool -> 'boolean', int -> first int/long, float ->
+    first float/double, str -> 'string', bytes -> 'bytes', dict/list ->
+    first complex branch)."""
+
+    def kind(s):
+        return s if isinstance(s, str) else s["type"]
+
+    for want in _value_kinds(value):
+        for i, b in enumerate(branches):
+            if kind(b) == want:
+                return i
+    raise ValueError(f"avro: no union branch for {type(value).__name__}")
+
+
+def _value_kinds(value) -> list[str]:
+    if value is None:
+        return ["null"]
+    if isinstance(value, bool):
+        return ["boolean"]
+    if isinstance(value, int):
+        return ["long", "int"]
+    if isinstance(value, float):
+        return ["double", "float"]
+    if isinstance(value, str):
+        return ["string", "enum"]
+    if isinstance(value, bytes):
+        return ["bytes", "fixed"]
+    if isinstance(value, dict):
+        return ["record", "map"]
+    if isinstance(value, (list, tuple)):
+        return ["array"]
+    raise ValueError(f"avro: unsupported python type {type(value)}")
+
+
+def encode_value(schema, value, out: bytearray) -> None:
+    t = schema if isinstance(schema, str) else (
+        schema["type"] if isinstance(schema, dict) else None)
+    if isinstance(schema, list):  # union
+        i = _union_index(schema, value)
+        write_long(out, i)
+        encode_value(schema[i], value, out)
+        return
+    if t == "null":
+        if value is not None:
+            raise ValueError("avro: null schema with non-null value")
+        return
+    if t == "boolean":
+        out.append(1 if value else 0)
+        return
+    if t in ("int", "long"):
+        write_long(out, int(value))
+        return
+    if t == "float":
+        out += struct.pack("<f", value)
+        return
+    if t == "double":
+        out += struct.pack("<d", value)
+        return
+    if t == "bytes":
+        _write_bytes(out, bytes(value))
+        return
+    if t == "string":
+        _write_bytes(out, str(value).encode("utf-8"))
+        return
+    if t == "record":
+        for f in schema["fields"]:
+            encode_value(f["type"], value[f["name"]], out)
+        return
+    if t == "enum":
+        write_long(out, schema["symbols"].index(value))
+        return
+    if t == "fixed":
+        if len(value) != schema["size"]:
+            raise ValueError("avro: fixed size mismatch")
+        out += value
+        return
+    if t == "array":
+        if value:
+            write_long(out, len(value))
+            for v in value:
+                encode_value(schema["items"], v, out)
+        write_long(out, 0)
+        return
+    if t == "map":
+        if value:
+            write_long(out, len(value))
+            for k, v in value.items():
+                _write_bytes(out, k.encode("utf-8"))
+                encode_value(schema["values"], v, out)
+        write_long(out, 0)
+        return
+    raise ValueError(f"avro: unsupported schema {schema!r}")
+
+
+def decode_value(schema, data: bytes, pos: int):
+    t = schema if isinstance(schema, str) else (
+        schema["type"] if isinstance(schema, dict) else None)
+    if isinstance(schema, list):  # union
+        i, pos = read_long(data, pos)
+        if not 0 <= i < len(schema):
+            raise ValueError(f"avro: union index {i} out of range")
+        return decode_value(schema[i], data, pos)
+    if t == "null":
+        return None, pos
+    if t == "boolean":
+        if pos >= len(data):
+            raise ValueError("avro: truncated boolean")
+        return data[pos] != 0, pos + 1
+    if t in ("int", "long"):
+        return read_long(data, pos)
+    if t == "float":
+        if pos + 4 > len(data):
+            raise ValueError("avro: truncated float")
+        return struct.unpack_from("<f", data, pos)[0], pos + 4
+    if t == "double":
+        if pos + 8 > len(data):
+            raise ValueError("avro: truncated double")
+        return struct.unpack_from("<d", data, pos)[0], pos + 8
+    if t == "bytes":
+        return _read_bytes(data, pos)
+    if t == "string":
+        b, pos = _read_bytes(data, pos)
+        return b.decode("utf-8"), pos
+    if t == "record":
+        rec = {}
+        for f in schema["fields"]:
+            rec[f["name"]], pos = decode_value(f["type"], data, pos)
+        return rec, pos
+    if t == "enum":
+        i, pos = read_long(data, pos)
+        syms = schema["symbols"]
+        if not 0 <= i < len(syms):
+            raise ValueError(f"avro: enum index {i} out of range")
+        return syms[i], pos
+    if t == "fixed":
+        n = schema["size"]
+        if pos + n > len(data):
+            raise ValueError("avro: truncated fixed")
+        return data[pos:pos + n], pos + n
+    if t == "array":
+        out = []
+        while True:
+            n, pos = read_long(data, pos)
+            if n == 0:
+                return out, pos
+            if n < 0:  # block with byte-size prefix (spec: skippable)
+                _, pos = read_long(data, pos)
+                n = -n
+            for _ in range(n):
+                v, pos = decode_value(schema["items"], data, pos)
+                out.append(v)
+    if t == "map":
+        out = {}
+        while True:
+            n, pos = read_long(data, pos)
+            if n == 0:
+                return out, pos
+            if n < 0:
+                _, pos = read_long(data, pos)
+                n = -n
+            for _ in range(n):
+                k, pos = _read_bytes(data, pos)
+                v, pos = decode_value(schema["values"], data, pos)
+                out[k.decode("utf-8")] = v
+    raise ValueError(f"avro: unsupported schema {schema!r}")
+
+
+# --------------------------------------------------------------------------
+# object container files
+# --------------------------------------------------------------------------
+
+
+def write_container(records: list[dict], schema: dict,
+                    codec: str = "deflate", sync: bytes | None = None,
+                    objects_per_block: int = 1000) -> bytes:
+    """Serialize records under ``schema`` into a spec-valid container.
+    ``sync`` pins the 16-byte marker for reproducible shard bytes
+    (default: derived from the schema, deterministic)."""
+    if codec not in ("null", "deflate", "snappy", "zstandard"):
+        raise ValueError(f"avro: unsupported codec {codec!r}")
+    sjson = json.dumps(schema, sort_keys=True, separators=(",", ":"))
+    if sync is None:
+        import hashlib
+
+        sync = hashlib.md5(b"gfw-avro-sync:" + sjson.encode()).digest()
+    if len(sync) != 16:
+        raise ValueError("avro: sync marker must be 16 bytes")
+    out = bytearray(MAGIC)
+    meta = {"avro.schema": sjson.encode(), "avro.codec": codec.encode()}
+    write_long(out, len(meta))
+    for k in sorted(meta):
+        _write_bytes(out, k.encode())
+        _write_bytes(out, meta[k])
+    write_long(out, 0)
+    out += sync
+    for at in range(0, len(records), objects_per_block):
+        chunk = records[at:at + objects_per_block]
+        body = bytearray()
+        for rec in chunk:
+            encode_value(schema, rec, body)
+        blob = bytes(body)
+        if codec == "deflate":
+            co = zlib.compressobj(6, zlib.DEFLATED, -15)
+            blob = co.compress(blob) + co.flush()  # raw DEFLATE per spec
+        elif codec == "snappy":
+            from .snappy import compress as _snappy_c
+
+            # spec: snappy block + 4-byte big-endian CRC32 of the
+            # UNCOMPRESSED data
+            blob = (_snappy_c(blob)
+                    + struct.pack(">I", zlib.crc32(blob) & 0xFFFFFFFF))
+        elif codec == "zstandard":
+            from .zstd import compress as _zstd_c
+
+            blob = _zstd_c(blob)
+        write_long(out, len(chunk))
+        write_long(out, len(blob))
+        out += blob
+        out += sync
+    return bytes(out)
+
+
+def read_header(data: bytes) -> tuple[dict, dict, bytes, int]:
+    """(schema, meta, sync, first_block_pos); raises on damage."""
+    if data[:4] != MAGIC:
+        raise ValueError("avro: bad container magic")
+    pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        n, pos = read_long(data, pos)
+        if n == 0:
+            break
+        if n < 0:
+            _, pos = read_long(data, pos)
+            n = -n
+        for _ in range(n):
+            k, pos = _read_bytes(data, pos)
+            v, pos = _read_bytes(data, pos)
+            meta[k.decode("utf-8")] = v
+    sync = data[pos:pos + 16]
+    if len(sync) != 16:
+        raise ValueError("avro: truncated sync marker")
+    if "avro.schema" not in meta:
+        raise ValueError("avro: missing avro.schema in metadata")
+    schema = json.loads(meta["avro.schema"])
+    return schema, meta, sync, pos + 16
+
+
+def _inflate_block(blob: bytes, codec: str) -> bytes:
+    if codec == "deflate":
+        try:
+            return zlib.decompress(blob, -15)
+        except zlib.error as e:
+            raise ValueError(f"avro: corrupt deflate block ({e})") from None
+    if codec in ("null", ""):
+        return blob
+    if codec == "snappy":
+        from .snappy import decompress as _snappy_d
+
+        try:
+            raw = _snappy_d(blob[:-4])
+        except Exception as e:
+            raise ValueError(f"avro: corrupt snappy block ({e})") from None
+        want = struct.unpack(">I", blob[-4:])[0]
+        if zlib.crc32(raw) & 0xFFFFFFFF != want:
+            raise ValueError("avro: snappy block CRC mismatch")
+        return raw
+    if codec == "zstandard":
+        from .zstd import decompress as _zstd_d
+
+        try:
+            return _zstd_d(blob)
+        except Exception as e:
+            raise ValueError(f"avro: corrupt zstd block ({e})") from None
+    raise ValueError(f"avro: unsupported codec {codec!r}")
+
+
+def block_index(data: bytes) -> list[tuple[int, int, int]]:
+    """(offset, framed_size, n_objects) per block WITHOUT decoding the
+    payloads — the split-planning walk (one block-range = one task)."""
+    _, meta, sync, pos = read_header(data)
+    out = []
+    n = len(data)
+    while pos < n:
+        start = pos
+        cnt, pos = read_long(data, pos)
+        size, pos = read_long(data, pos)
+        if cnt < 0 or size < 0 or pos + size + 16 > n:
+            raise ValueError("avro: truncated block")
+        if data[pos + size:pos + size + 16] != sync:
+            raise ValueError("avro: sync marker mismatch")
+        pos += size + 16
+        out.append((start, pos - start, cnt))
+    return out
+
+
+def iter_container(data: bytes):
+    """Yield record dicts; strict (any damage raises ValueError)."""
+    schema, meta, sync, pos = read_header(data)
+    codec = meta.get("avro.codec", b"null").decode()
+    n = len(data)
+    while pos < n:
+        cnt, pos = read_long(data, pos)
+        size, pos = read_long(data, pos)
+        if cnt < 0 or size < 0 or pos + size + 16 > n:
+            raise ValueError("avro: truncated block")
+        body = _inflate_block(data[pos:pos + size], codec)
+        if data[pos + size:pos + size + 16] != sync:
+            raise ValueError("avro: sync marker mismatch")
+        pos += size + 16
+        bpos = 0
+        for _ in range(cnt):
+            rec, bpos = decode_value(schema, body, bpos)
+            yield rec
+        if bpos != len(body):
+            raise ValueError("avro: block has trailing bytes")
+
+
+def scan_container(data: bytes) -> tuple[list[dict], dict]:
+    """LENIENT walk: a damaged block costs its own records, never the
+    file — resync scans for the next sync marker (that is what the
+    16-byte marker exists for). Returns (records, counters)."""
+    counters = {"n_records": 0, "bad_blocks": 0, "junk_bytes": 0}
+    out: list[dict] = []
+    try:
+        schema, meta, sync, pos = read_header(data)
+    except ValueError:
+        counters["bad_blocks"] = 1
+        counters["junk_bytes"] = len(data)
+        return out, counters
+    codec = meta.get("avro.codec", b"null").decode()
+    n = len(data)
+    while pos < n:
+        start = pos
+        try:
+            cnt, p = read_long(data, pos)
+            size, p = read_long(data, p)
+            if cnt < 0 or size < 0 or p + size + 16 > n:
+                raise ValueError("truncated block")
+            if data[p + size:p + size + 16] != sync:
+                raise ValueError("sync mismatch")
+            body = _inflate_block(data[p:p + size], codec)
+            recs = []
+            bpos = 0
+            for _ in range(cnt):
+                rec, bpos = decode_value(schema, body, bpos)
+                recs.append(rec)
+        except (ValueError, zlib.error):
+            counters["bad_blocks"] += 1
+            nxt = data.find(sync, start + 1)
+            end = n if nxt < 0 else nxt + 16
+            counters["junk_bytes"] += end - start
+            pos = end
+            continue
+        out.extend(recs)
+        counters["n_records"] += cnt
+        pos = p + size + 16
+    return out, counters
+
+
+# --------------------------------------------------------------------------
+# Spark plumbing: shard-per-partition write, record-granular read
+# --------------------------------------------------------------------------
+
+_SPARK_TO_AVRO = {
+    "long": "long", "bigint": "long", "int": "int", "integer": "int",
+    "double": "double", "float": "float", "string": "string",
+    "binary": "bytes", "boolean": "boolean",
+}
+
+
+def schema_for(df) -> dict:
+    """Avro record schema mirroring a DataFrame's flat schema (nullable
+    columns become ["null", t] unions)."""
+    fields = []
+    for f in df.schema.fields:
+        t = _SPARK_TO_AVRO.get(f.dataType.simpleString())
+        if t is None:
+            raise ValueError(
+                f"avro: unmapped Spark type {f.dataType.simpleString()}")
+        fields.append({"name": f.name,
+                       "type": ["null", t] if f.nullable else t})
+    return {"type": "record", "name": "row", "fields": fields}
+
+
+def write_avro_shards(df, out_dir: str, n_shards: int,
+                      codec: str = "deflate"):
+    """One container file per shard, written executor-side (no driver
+    funnel): repartition by shard id, serialize each partition's rows
+    with the in-module writer. Returns [(path, n_records)]."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    schema = schema_for(df)
+    cols = [f.name for f in df.schema.fields]
+    os.makedirs(out_dir, exist_ok=True)
+
+    part = df.withColumn(
+        "_shard", F.abs(F.hash(*[F.col(c) for c in cols[:1]])) % n_shards
+    ).repartition(n_shards, "_shard")
+
+    def writer(batches):
+        rows_by_shard: dict[int, list[dict]] = {}
+        for pdf in batches:
+            for rec in pdf.to_dict("records"):
+                s = int(rec.pop("_shard"))
+                rows_by_shard.setdefault(s, []).append(
+                    {k: (v.item() if hasattr(v, "item") else v)
+                     for k, v in rec.items()})
+        out = {"path": [], "n_records": []}
+        for s, recs in sorted(rows_by_shard.items()):
+            path = os.path.join(out_dir, f"part-{s:05d}.avro")
+            with open(path, "wb") as fh:
+                fh.write(write_container(recs, schema, codec=codec))
+            out["path"].append(path)
+            out["n_records"].append(len(recs))
+        yield pd.DataFrame(out)
+
+    return part.mapInPandas(writer, "path string, n_records long")
+
+
+def read_avro(spark, path_glob: str, spark_schema: str):
+    """Distributed container read: binaryFile scan -> per-file decode
+    kernel. ``spark_schema`` is the DDL of the produced rows (column
+    order selects/reorders record fields)."""
+    import pandas as pd
+
+    files = spark.read.format("binaryFile").load(path_glob)
+    names = [c.strip().split()[0] for c in spark_schema.split(",")]
+
+    def kernel(batches):
+        for pdf in batches:
+            for blob in pdf["content"]:  # one output batch per file:
+                cols = {n: [] for n in names}  # bounds kernel memory
+                for rec in iter_container(bytes(blob)):
+                    for n in names:
+                        cols[n].append(rec.get(n))
+                yield pd.DataFrame(cols)
+
+    return files.select("content").mapInPandas(kernel, spark_schema)
+
+
+# --------------------------------------------------------------------------
+# schema resolution (round 7): reading old containers under a NEWER
+# reader schema — the mergeSchema contract at the Avro layer (spec
+# "Schema Resolution"). Records match fields by NAME: writer fields
+# absent from the reader are dropped, reader fields absent from the
+# writer take their declared default, and primitive promotions
+# (int->long/float/double, long->float/double, float->double,
+# string<->bytes) apply. A 100 TB store written over years of pipeline
+# versions depends on this exactly like the parquet path (q184).
+# --------------------------------------------------------------------------
+
+_PROMOTIONS = {
     "int": {"long", "float", "double"},
     "long": {"float", "double"},
     "float": {"double"},
@@ -53,542 +556,114 @@ _PROMOTIONS: dict[str, set[str]] = {
 }
 
 
-# --------------------------------------------------------------------------
-# Schema handling
-# --------------------------------------------------------------------------
-
-def parse_schema(schema: str | dict | list) -> Any:
-    """Parse a schema given as JSON text or already-decoded structure."""
-    if isinstance(schema, str):
-        try:
-            return json.loads(schema)
-        except json.JSONDecodeError:
-            if schema in _PRIMITIVES:
-                return schema
-            raise
-    return schema
-
-
-def _type_name(schema: Any) -> str:
-    if isinstance(schema, str):
-        return schema
+def _type_name(schema) -> str:
     if isinstance(schema, list):
         return "union"
-    return schema["type"]
+    return schema if isinstance(schema, str) else schema["type"]
 
 
-def _record_fields(schema: dict) -> list[dict]:
-    return schema["fields"]
+def _promote(value, frm: str, to: str):
+    if to in ("float", "double") and frm in ("int", "long"):
+        return float(value)
+    if to == "bytes" and frm == "string":
+        return value.encode("utf-8") if isinstance(value, str) else value
+    if to == "string" and frm == "bytes":
+        return value.decode("utf-8") if isinstance(value, bytes) else value
+    return value
 
 
-# --------------------------------------------------------------------------
-# Binary encoding
-# --------------------------------------------------------------------------
-
-def _zz(n: int) -> int:
-    return (n << 1) ^ (n >> 63) if n < 0 else n << 1
-
-
-def _unzz(n: int) -> int:
-    return (n >> 1) ^ -(n & 1)
-
-
-def enc_long(n: int) -> bytes:
-    n = _zz(n)
-    out = bytearray()
-    while True:
-        b = n & 0x7F
-        n >>= 7
-        if n:
-            out.append(b | 0x80)
-        else:
-            out.append(b)
-            return bytes(out)
-
-
-class Decoder:
-    __slots__ = ("data", "pos")
-
-    def __init__(self, data: bytes, pos: int = 0) -> None:
-        self.data = data
-        self.pos = pos
-
-    def long(self) -> int:
-        v = 0
-        shift = 0
-        d = self.data
-        while True:
-            b = d[self.pos]
-            self.pos += 1
-            v |= (b & 0x7F) << shift
-            if not b & 0x80:
-                return _unzz(v)
-            shift += 7
-
-    def raw(self, n: int) -> bytes:
-        b = self.data[self.pos:self.pos + n]
-        if len(b) != n:
-            raise ValueError("truncated avro data")
-        self.pos += n
-        return b
-
-    def eof(self) -> bool:
-        return self.pos >= len(self.data)
-
-
-def encode_value(schema: Any, v: Any, out: bytearray) -> None:
-    t = _type_name(schema)
-    if t == "null":
-        return
-    if t == "boolean":
-        out.append(1 if v else 0)
-    elif t in ("int", "long"):
-        out += enc_long(int(v))
-    elif t == "float":
-        out += struct.pack("<f", float(v))
-    elif t == "double":
-        out += struct.pack("<d", float(v))
-    elif t == "string":
-        b = v.encode("utf-8") if isinstance(v, str) else bytes(v)
-        out += enc_long(len(b)) + b
-    elif t == "bytes":
-        b = bytes(v)
-        out += enc_long(len(b)) + b
-    elif t == "union":
-        for i, branch in enumerate(schema):
-            if _matches(branch, v):
-                out += enc_long(i)
-                encode_value(branch, v, out)
-                return
-        raise ValueError(f"no union branch for {v!r} in {schema}")
-    elif t == "record":
-        for f in _record_fields(schema):
-            encode_value(f["type"], v[f["name"]], out)
-    elif t == "array":
-        items = list(v)
-        if items:
-            out += enc_long(len(items))
-            for it in items:
-                encode_value(schema["items"], it, out)
-        out += enc_long(0)
-    elif t == "map":
-        entries = dict(v)
-        if entries:
-            out += enc_long(len(entries))
-            for k, mv in entries.items():
-                encode_value("string", k, out)
-                encode_value(schema["values"], mv, out)
-        out += enc_long(0)
-    elif t == "enum":
-        out += enc_long(schema["symbols"].index(v))
-    elif t == "fixed":
-        b = bytes(v)
-        if len(b) != schema["size"]:
-            raise ValueError("fixed size mismatch")
-        out += b
-    else:
-        raise ValueError(f"unsupported schema type {t!r}")
-
-
-def _matches(schema: Any, v: Any) -> bool:
-    t = _type_name(schema)
-    if t == "null":
-        return v is None
-    if v is None:
-        return False
-    if t == "boolean":
-        return isinstance(v, bool)
-    if t in ("int", "long"):
-        return isinstance(v, int) and not isinstance(v, bool)
-    if t in ("float", "double"):
-        return isinstance(v, (int, float)) and not isinstance(v, bool)
-    if t == "string":
-        return isinstance(v, str)
-    if t in ("bytes", "fixed"):
-        return isinstance(v, (bytes, bytearray))
-    if t == "record":
-        return isinstance(v, dict)
-    if t == "array":
-        return isinstance(v, (list, tuple))
-    if t == "map":
-        return isinstance(v, dict)
-    if t == "enum":
-        return isinstance(v, str)
-    return False
-
-
-def decode_value(schema: Any, r: Decoder) -> Any:
-    t = _type_name(schema)
-    if t == "null":
-        return None
-    if t == "boolean":
-        return r.raw(1) != b"\x00"
-    if t in ("int", "long"):
-        return r.long()
-    if t == "float":
-        return struct.unpack("<f", r.raw(4))[0]
-    if t == "double":
-        return struct.unpack("<d", r.raw(8))[0]
-    if t == "string":
-        n = r.long()
-        return r.raw(n).decode("utf-8")
-    if t == "bytes":
-        n = r.long()
-        return r.raw(n)
-    if t == "union":
-        return decode_value(schema[r.long()], r)
-    if t == "record":
-        return {f["name"]: decode_value(f["type"], r)
-                for f in _record_fields(schema)}
-    if t == "array":
-        out = []
-        while True:
-            n = r.long()
-            if n == 0:
-                return out
-            if n < 0:  # block byte-size follows; count is |n|
-                r.long()
-                n = -n
-            for _ in range(n):
-                out.append(decode_value(schema["items"], r))
-    if t == "map":
-        out_m: dict[str, Any] = {}
-        while True:
-            n = r.long()
-            if n == 0:
-                return out_m
-            if n < 0:
-                r.long()
-                n = -n
-            for _ in range(n):
-                k = decode_value("string", r)
-                out_m[k] = decode_value(schema["values"], r)
-    if t == "enum":
-        return schema["symbols"][r.long()]
-    if t == "fixed":
-        return r.raw(schema["size"])
-    raise ValueError(f"unsupported schema type {t!r}")
-
-
-def skip_value(schema: Any, r: Decoder) -> None:
-    t = _type_name(schema)
-    if t == "null":
-        return
-    if t == "boolean":
-        r.raw(1)
-    elif t in ("int", "long"):
-        r.long()
-    elif t == "float":
-        r.raw(4)
-    elif t == "double":
-        r.raw(8)
-    elif t in ("string", "bytes"):
-        r.raw(r.long())
-    elif t == "union":
-        skip_value(schema[r.long()], r)
-    elif t == "record":
-        for f in _record_fields(schema):
-            skip_value(f["type"], r)
-    elif t in ("array", "map"):
-        while True:
-            n = r.long()
-            if n == 0:
-                return
-            if n < 0:
-                size = r.long()
-                r.raw(size)
-            else:
-                inner = (schema["items"] if t == "array"
-                         else schema["values"])
-                for _ in range(n):
-                    if t == "map":
-                        r.raw(r.long())
-                    skip_value(inner, r)
-    elif t == "enum":
-        r.long()
-    elif t == "fixed":
-        r.raw(schema["size"])
-    else:
-        raise ValueError(f"unsupported schema type {t!r}")
-
-
-# --------------------------------------------------------------------------
-# Schema resolution (reader != writer)
-# --------------------------------------------------------------------------
-
-def resolve(writer: Any, reader: Any) -> Callable[[Decoder], Any]:
-    """Compile a decode plan for data written as ``writer``, read as
-    ``reader`` — the spec's Schema Resolution rules."""
+def adapt_value(value, writer, reader):
+    """Resolve a decoded value from ``writer`` schema to ``reader``
+    schema per the spec's resolution rules; ValueError when the
+    schemas cannot resolve."""
     wt, rt = _type_name(writer), _type_name(reader)
-
-    if wt == "union" and rt == "union":
-        plans = [resolve(b, reader) for b in writer]
-        return lambda r: plans[r.long()](r)
-    if wt == "union":
-        plans = [resolve(b, reader) for b in writer]
-        return lambda r: plans[r.long()](r)
     if rt == "union":
-        for branch in reader:
+        if wt == "union":
+            # the decoded value already picked a branch; re-resolve it
+            # against the first reader branch that accepts it
+            for br in reader:
+                try:
+                    return adapt_value(value, _branch_of(writer, value),
+                                       br)
+                except ValueError:
+                    continue
+            raise ValueError("avro: no reader union branch resolves")
+        for br in reader:
             try:
-                return resolve(writer, branch)
+                return adapt_value(value, writer, br)
             except ValueError:
                 continue
-        raise ValueError(f"no reader union branch accepts writer {wt}")
-
-    if wt == rt and wt in _PRIMITIVES:
-        return lambda r: decode_value(writer, r)
-    if wt in _PROMOTIONS and rt in _PROMOTIONS[wt]:
-        if rt in ("long", "float", "double") and wt in ("int", "long"):
-            if rt == "long":
-                return lambda r: r.long()
-            return lambda r: float(r.long())
-        if wt == "float" and rt == "double":
-            return lambda r: struct.unpack("<f", r.raw(4))[0]
-        if wt == "string" and rt == "bytes":
-            return lambda r: r.raw(r.long())
-        if wt == "bytes" and rt == "string":
-            return lambda r: r.raw(r.long()).decode("utf-8")
-    if wt == "record" and rt == "record":
-        wfields = _record_fields(writer)
-        rfields = _record_fields(reader)
-        rnames = {f["name"]: f for f in rfields}
-        steps: list[tuple[str | None, Any]] = []
-        matched: set[str] = set()
-        for wf in wfields:
-            rf = rnames.get(wf["name"])
-            if rf is None:
-                steps.append((None, wf["type"]))  # skip
-            else:
-                matched.add(wf["name"])
-                steps.append((wf["name"], resolve(wf["type"], rf["type"])))
-        defaults: list[tuple[str, Any]] = []
-        for rf in rfields:
-            if rf["name"] not in matched:
-                if "default" not in rf:
-                    raise ValueError(
-                        f"reader field {rf['name']!r} missing and has "
-                        f"no default")
-                defaults.append((rf["name"],
-                                 _default_value(rf["type"], rf["default"])))
-
-        def read_record(r: Decoder) -> dict:
-            rec: dict[str, Any] = {}
-            for name, plan in steps:
-                if name is None:
-                    skip_value(plan, r)
+        raise ValueError("avro: value fits no reader union branch")
+    if wt == "union":
+        return adapt_value(value, _branch_of(writer, value), reader)
+    if wt == rt:
+        if rt == "record":
+            out = {}
+            wf = {f["name"]: f for f in writer["fields"]}
+            for f in reader["fields"]:
+                name = f["name"]
+                if name in wf:
+                    out[name] = adapt_value(value[name],
+                                            wf[name]["type"], f["type"])
+                elif "default" in f:
+                    out[name] = _default_for(f["type"], f["default"])
                 else:
-                    rec[name] = plan(r)
-            for name, dv in defaults:
-                rec[name] = dv
-            return rec
-
-        return read_record
-    if wt == "array" and rt == "array":
-        item_plan = resolve(writer["items"], reader["items"])
-
-        def read_array(r: Decoder) -> list:
-            out = []
-            while True:
-                n = r.long()
-                if n == 0:
-                    return out
-                if n < 0:
-                    r.long()
-                    n = -n
-                for _ in range(n):
-                    out.append(item_plan(r))
-
-        return read_array
-    if wt == "map" and rt == "map":
-        val_plan = resolve(writer["values"], reader["values"])
-
-        def read_map(r: Decoder) -> dict:
-            out: dict[str, Any] = {}
-            while True:
-                n = r.long()
-                if n == 0:
-                    return out
-                if n < 0:
-                    r.long()
-                    n = -n
-                for _ in range(n):
-                    k = r.raw(r.long()).decode("utf-8")
-                    out[k] = val_plan(r)
-
-        return read_map
-    if wt == "enum" and rt == "enum":
-        wsyms, rsyms = writer["symbols"], reader["symbols"]
-
-        def read_enum(r: Decoder) -> str:
-            s = wsyms[r.long()]
-            if s not in rsyms:
-                raise ValueError(f"enum symbol {s!r} not in reader schema")
-            return s
-
-        return read_enum
-    if wt == "fixed" and rt == "fixed" and writer["size"] == reader["size"]:
-        return lambda r: r.raw(writer["size"])
-    raise ValueError(f"cannot resolve writer {wt} as reader {rt}")
+                    raise ValueError(
+                        f"avro: reader field {name!r} has no writer "
+                        f"value and no default")
+            return out
+        if rt == "array":
+            return [adapt_value(v, writer["items"], reader["items"])
+                    for v in value]
+        if rt == "map":
+            return {k: adapt_value(v, writer["values"],
+                                   reader["values"])
+                    for k, v in value.items()}
+        if rt == "enum":
+            if value not in reader["symbols"]:
+                raise ValueError(f"avro: enum symbol {value!r} not in "
+                                 f"reader")
+            return value
+        return value
+    if rt in _PROMOTIONS.get(wt, ()):
+        return _promote(value, wt, rt)
+    raise ValueError(f"avro: cannot resolve writer {wt} to reader {rt}")
 
 
-def _default_value(schema: Any, dv: Any) -> Any:
+def _branch_of(union: list, value):
+    """The union branch a DECODED value belongs to (types are
+    unambiguous post-decode for the supported kinds)."""
+    kinds = _value_kinds(value)
+    for want in kinds:
+        for br in union:
+            if _type_name(br) == want:
+                return br
+    # fall back: complex kinds (record vs map share dict)
+    for br in union:
+        if not isinstance(br, str):
+            return br
+    raise ValueError("avro: decoded value matches no union branch")
+
+
+def _default_for(schema, default):
+    """JSON default -> Python value (spec: bytes defaults are
+    latin-1-escaped strings; union defaults belong to the FIRST
+    branch)."""
     t = _type_name(schema)
     if t == "union":
-        return _default_value(schema[0], dv)
-    if t == "bytes" and isinstance(dv, str):
-        return dv.encode("latin-1")  # spec: unicode-escaped byte string
-    if t == "float" or t == "double":
-        return float(dv) if dv is not None else None
-    return dv
+        return _default_for(schema[0], default)
+    if t == "bytes" and isinstance(default, str):
+        return default.encode("latin-1")
+    if t == "fixed" and isinstance(default, str):
+        return default.encode("latin-1")
+    if t in ("float", "double") and default is not None:
+        return float(default)
+    return default
 
 
-# --------------------------------------------------------------------------
-# Codecs
-# --------------------------------------------------------------------------
-
-def _compress(codec: str, data: bytes) -> bytes:
-    if codec == "null":
-        return data
-    if codec == "deflate":
-        c = zlib.compressobj(6, zlib.DEFLATED, -15)
-        return c.compress(data) + c.flush()
-    if codec == "snappy":
-        from .snappy import compress as sc
-
-        return sc(data) + struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
-    if codec == "zstandard":
-        from .zstd import compress as zc
-
-        return zc(data)
-    raise ValueError(f"unsupported avro codec {codec!r}")
-
-
-def _decompress(codec: str, data: bytes) -> bytes:
-    if codec == "null":
-        return data
-    if codec == "deflate":
-        return zlib.decompress(data, -15)
-    if codec == "snappy":
-        from .snappy import decompress as sd
-
-        raw = sd(data[:-4])
-        want = struct.unpack(">I", data[-4:])[0]
-        if zlib.crc32(raw) & 0xFFFFFFFF != want:
-            raise ValueError("avro snappy block CRC mismatch")
-        return raw
-    if codec == "zstandard":
-        from .zstd import decompress as zd
-
-        return zd(data)
-    raise ValueError(f"unsupported avro codec {codec!r}")
-
-
-# --------------------------------------------------------------------------
-# Object Container File
-# --------------------------------------------------------------------------
-
-def write_avro(path: str, schema: str | dict, rows: Iterable[dict],
-               codec: str = "deflate", block_rows: int = 4096
-               ) -> dict[str, Any]:
-    """Write an OCF; returns layout facts for audits."""
-    sc = parse_schema(schema)
-    schema_json = json.dumps(sc) if not isinstance(schema, str) else schema
-    # deterministic sync marker: content-addressed, not random — two
-    # writers of the same rows produce byte-identical files
-    sync = hashlib.md5(schema_json.encode()).digest()
-    out = bytearray(MAGIC)
-    meta = {"avro.schema": schema_json.encode(),
-            "avro.codec": codec.encode()}
-    out += enc_long(len(meta))
-    for k, v in meta.items():
-        kb = k.encode()
-        out += enc_long(len(kb)) + kb + enc_long(len(v)) + v
-    out += enc_long(0)
-    out += sync
-
-    n_rows = 0
-    n_blocks = 0
-    buf = bytearray()
-    count = 0
-
-    def flush() -> None:
-        nonlocal buf, count, n_blocks
-        if not count:
-            return
-        packed = _compress(codec, bytes(buf))
-        out.extend(enc_long(count))
-        out.extend(enc_long(len(packed)))
-        out.extend(packed)
-        out.extend(sync)
-        n_blocks += 1
-        buf = bytearray()
-        count = 0
-
-    for row in rows:
-        encode_value(sc, row, buf)
-        count += 1
-        n_rows += 1
-        if count >= block_rows:
-            flush()
-    flush()
-    with open(path, "wb") as f:
-        f.write(out)
-    return {"n_rows": n_rows, "n_blocks": n_blocks,
-            "file_bytes": len(out), "codec": codec}
-
-
-class AvroFile:
-    """Decoded OCF header: schema immediately, rows on demand."""
-
-    def __init__(self, data: bytes) -> None:
-        if not data.startswith(MAGIC):
-            raise ValueError("not an avro OCF (bad magic)")
-        r = Decoder(data, len(MAGIC))
-        self.meta: dict[str, bytes] = {}
-        while True:
-            n = r.long()
-            if n == 0:
-                break
-            if n < 0:
-                r.long()
-                n = -n
-            for _ in range(n):
-                k = r.raw(r.long()).decode("utf-8")
-                self.meta[k] = r.raw(r.long())
-        self.schema = parse_schema(self.meta["avro.schema"].decode("utf-8"))
-        self.codec = self.meta.get("avro.codec", b"null").decode("ascii")
-        self.sync = r.raw(16)
-        self._blocks_at = r.pos
-        self.data = data
-
-    def blocks(self) -> Iterable[tuple[int, bytes]]:
-        """Yield (row_count, decompressed_bytes) per block."""
-        r = Decoder(self.data, self._blocks_at)
-        while not r.eof():
-            count = r.long()
-            size = r.long()
-            packed = r.raw(size)
-            if r.raw(16) != self.sync:
-                raise ValueError("avro sync marker mismatch")
-            yield count, _decompress(self.codec, packed)
-
-    def read_all(self, reader_schema: str | dict | None = None
-                 ) -> list[dict]:
-        if reader_schema is None:
-            plan = lambda r: decode_value(self.schema, r)  # noqa: E731
-        else:
-            plan = resolve(self.schema, parse_schema(reader_schema))
-        rows: list[dict] = []
-        for count, raw in self.blocks():
-            br = Decoder(raw)
-            for _ in range(count):
-                rows.append(plan(br))
-            if not br.eof():
-                raise ValueError("avro block has trailing bytes")
-        return rows
-
-
-def read_avro(path: str, reader_schema: str | dict | None = None
-              ) -> list[dict]:
-    with open(path, "rb") as f:
-        return AvroFile(f.read()).read_all(reader_schema)
+def iter_container_resolved(data: bytes, reader_schema: dict):
+    """Yield records resolved to ``reader_schema`` regardless of which
+    writer-schema version produced the container."""
+    schema, meta, sync, pos = read_header(data)
+    for rec in iter_container(data):
+        yield adapt_value(rec, schema, reader_schema)
