@@ -1319,3 +1319,143 @@ def q427(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("chars_sum"))
 
 
+
+# --------------------------------------------------------------------------
+# q451 — HUDI COPY-ON-WRITE SNAPSHOT (sources/hudi.py): the third
+# lakehouse table format next to Delta (q218/q421, log replay) and
+# Iceberg (q422/q427, manifest sets) — Hudi's structure is the FILE
+# GROUP whose base file each commit atomically supersedes. The
+# fixture commits orders partitioned by priority (t1 = bulk insert),
+# then UPSERTS two partitions (t2: +100 on every 10th order key,
+# whole-slice COW rewrite). The snapshot plan comes from the TIMELINE
+# ALONE (no directory listing), must pick exactly one slice per file
+# group — t2's for the touched partitions, t1's elsewhere — and the
+# decoded rows must reproduce the update. The plan's chosen commit
+# per partition is emitted alongside the aggregates so a wrong slice
+# selection fails the hash even when row counts agree.
+# --------------------------------------------------------------------------
+_HUDI_TOUCHED = ("1-URGENT", "2-HIGH")
+
+
+def _hudi_dir(spark: SparkSession, sf_dir: str) -> str:
+    def build(d: str) -> None:
+        import pyarrow.parquet as pq
+
+        from ..sources import hudi as H
+
+        tbl = pq.read_table(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_totalprice",
+                     "o_orderpriority"])
+        pdf = tbl.to_pandas().sort_values("o_orderkey")
+        H.create_table(d, "orders_cow", partition_field="o_orderpriority",
+                       record_key_field="o_orderkey")
+        t1, t2 = H.instant_time(1), H.instant_time(2)
+        parts = {f"prio={p}": g.drop(columns=[])
+                 for p, g in pdf.groupby("o_orderpriority", sort=True)}
+        fids = H.commit_pandas(d, t1, parts, key_col="o_orderkey")
+        # t2: COW upsert of the touched partitions — +100 on every
+        # 10th key; copied rows keep t1 as their commit time (spec)
+        upserts = {}
+        row_ts = {}
+        for p in _HUDI_TOUCHED:
+            part = f"prio={p}"
+            g = parts[part].copy()
+            hit = g["o_orderkey"] % 10 == 0
+            g.loc[hit, "o_totalprice"] = g.loc[hit, "o_totalprice"] + 100
+            upserts[part] = g
+            row_ts[part] = hit.map({True: t2, False: t1})
+        H.commit_pandas(d, t2, upserts,
+                        file_ids={f"prio={p}": fids[f"prio={p}"]
+                                  for p in _HUDI_TOUCHED},
+                        key_col="o_orderkey", row_commit_ts=row_ts)
+
+    return _derived_dir(sf_dir, "hudicow", build)
+
+
+_Q451_ORACLE = f"""
+    SELECT o_orderpriority,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN '{{t2}}' ELSE '{{t1}}' END AS slice_commit,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           round(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                               AND o_orderkey % 10 = 0
+                          THEN o_totalprice + 100
+                          ELSE o_totalprice END), 2) + 0.0 AS sum_price
+    FROM orders GROUP BY 1
+"""
+
+
+@register("q451_hudi_snapshot", oracle=_Q451_ORACLE.format(
+    t1="20260101000001000", t2="20260101000002000"))
+def q451(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import hudi as H
+
+    d = _hudi_dir(spark, sf_dir)
+    # timeline-only plan: commit chosen per partition (no file stat)
+    plan = {s["partition"].split("=", 1)[1]: s["commit_ts"]
+            for s in H.snapshot_slices(d)}
+    plan_df = spark.createDataFrame(
+        list(plan.items()), "o_orderpriority string, slice_commit string")
+    rows = H.read_hudi(spark, d)
+    return (rows.groupBy("o_orderpriority").agg(
+                F.count("*").alias("n"),
+                F.sum("o_orderkey").alias("sum_key"),
+                (F.round(F.sum("o_totalprice"), 2) + 0.0)
+                .alias("sum_price"))
+            .join(F.broadcast(plan_df), "o_orderpriority")
+            .select("o_orderpriority", "slice_commit", "n", "sum_key",
+                    "sum_price"))
+
+
+# --------------------------------------------------------------------------
+# q452 — HUDI TIME TRAVEL + INCREMENTAL PULL: the same table read
+# three ways — 'asof' at t1 (pre-update values, the old slices), and
+# 'incr' over (t1, t2] (only the rows t2 actually CHANGED: the COW
+# rewrite copies unchanged rows with their t1 commit time preserved,
+# so the `_hoodie_commit_time > t1` row filter on the rewritten
+# slices recovers exact change capture — the spec contract
+# incremental consumers rely on). A wrong preserved-commit-time, a
+# wrong slice window, or a leaked unchanged row all break the hash.
+# --------------------------------------------------------------------------
+_Q452_ORACLE = """
+    SELECT 'asof' AS mode, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           round(SUM(o_totalprice), 2) + 0.0 AS sum_price
+    FROM orders GROUP BY 2
+    UNION ALL
+    SELECT 'incr', o_orderpriority,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(o_orderkey) AS BIGINT),
+           round(SUM(o_totalprice + 100), 2) + 0.0
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_orderkey % 10 = 0
+    GROUP BY 2
+"""
+
+
+@register("q452_hudi_incremental", oracle=_Q452_ORACLE)
+def q452(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources import hudi as H
+
+    d = _hudi_dir(spark, sf_dir)
+    t1 = H.instant_time(1)
+    asof = (H.read_hudi(spark, d, as_of=t1)
+            .groupBy("o_orderpriority").agg(
+                F.count("*").alias("n"),
+                F.sum("o_orderkey").alias("sum_key"),
+                (F.round(F.sum("o_totalprice"), 2) + 0.0)
+                .alias("sum_price"))
+            .withColumn("mode", F.lit("asof")))
+    incr = (H.read_hudi_incremental(spark, d, begin=t1)
+            .groupBy("o_orderpriority").agg(
+                F.count("*").alias("n"),
+                F.sum("o_orderkey").alias("sum_key"),
+                (F.round(F.sum("o_totalprice"), 2) + 0.0)
+                .alias("sum_price"))
+            .withColumn("mode", F.lit("incr")))
+    return asof.unionByName(incr).select(
+        "mode", "o_orderpriority", "n", "sum_key", "sum_price")
