@@ -430,6 +430,18 @@ BENCH_QUERIES = [
     "q438_geodesic_distance",
     "q439_geodesic_neardup",
     "q440_geodesic_direct",
+    "q441_parquet_footer_audit",
+    "q442_zone_map_audit",
+    "q443_rowgroup_pruning",
+    "q444_orc_roundtrip",
+    "q445_orc_spark_native",
+    # q446 excluded under rule (b): footer-only constant-size metadata
+    "q447_orc_stripe_pruning",
+    "q448_avro_roundtrip",
+    "q449_avro_codecs",
+    "q450_avro_array_blocks",
+    "q451_hudi_snapshot",
+    "q452_hudi_incremental",
 ]
 
 
