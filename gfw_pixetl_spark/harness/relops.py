@@ -1022,3 +1022,39 @@ def q402(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_cand").cast("int").alias("n_candidates"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# q453 — STREAMING RATE LIMITER (streaming/throttle.py): per-user
+# event admission — at most 3 events per user per event-time hour, in
+# (ts, event_id) order — the multi-tenant ingestion throttle. State
+# is {hour -> admitted count} per user (O(active hours), not
+# O(events)). Implemented twice over the same kernel: the always-on
+# applyInPandasWithState path, and Spark 4's
+# transformWithStateInPandas (typed MapState) which is
+# environment-blocked here (its Python state-server protocol needs
+# google.protobuf, absent from the container — gate documented in the
+# module; 'auto' falls back). The availableNow drain makes the
+# admitted set exactly ROW_NUMBER() <= 3 per (user, hour), which the
+# oracle replays row-for-row — a full row-set comparison, not an
+# aggregate.
+# --------------------------------------------------------------------------
+@register(
+    "q453_stream_rate_limit",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id,
+             CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id,
+                                             FLOOR(epoch(ts) / 3600)
+                                ORDER BY ts, event_id) AS seq
+      FROM events
+    )
+    SELECT user_id, event_id, hour, CAST(seq AS BIGINT) AS seq, value
+    FROM ranked WHERE seq <= 3
+    """,
+)
+def q453(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.throttle import run_rate_limit_once
+
+    return run_rate_limit_once(spark, f"{sf_dir}/events.parquet", limit=3)
