@@ -442,6 +442,9 @@ BENCH_QUERIES = [
     "q450_avro_array_blocks",
     "q451_hudi_snapshot",
     "q452_hudi_incremental",
+    # q453 excluded under rule (a): streaming micro-batch harness
+    "q454_dft_spectrum",
+    "q455_fm_index_search",
 ]
 
 

@@ -2170,3 +2170,149 @@ def q425(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.lit(dict_sig).alias("dict_sig"), "rt_ok"))
 
 
+
+
+# --------------------------------------------------------------------------
+# q455 — FM-INDEX BACKWARD SEARCH (Ferragina-Manzini 2000, the
+# compressed-index machinery behind bowtie/bwa and large-corpus
+# substring search): on top of q330's prefix-doubling suffix array,
+# each doc's BWT is derived (char preceding each suffix, in SA order,
+# sentinel-terminated), rank structures are materialized as column
+# ops — occ(c, i) by a cumulative window per (doc, char), the C table
+# by a cumulative char-order window — and the 3-char patterns are
+# matched right-to-left with the LF-mapping UNROLLED (3 steps, each a
+# pair of as-of occ lookups expressed as bounded aggregation joins:
+# lo' = C[c] + occ(c, lo-1) + 1, hi' = C[c] + occ(c, hi)). The match
+# count per (doc, pattern) is the final SA-interval width — equal to
+# the OVERLAPPING occurrence count, which the oracle recomputes by
+# direct trigram extraction, a completely independent mechanism. Runs
+# on a 1-in-5 doc sample, first 256 chars (the q330 contract).
+# --------------------------------------------------------------------------
+_FM_LEN = 256
+_FM_ROUNDS = 9  # 2^9 = 512 >= 257 (with sentinel)
+_FM_PATS = ["the", "and", "ing", "ion", " th", "he "]
+_FM_PLEN = 3
+
+
+@register(
+    "q455_fm_index_search",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, substr(text, 1, {_FM_LEN}) AS t
+      FROM documents WHERE doc_id % 5 = 0
+    ), pats AS (
+      SELECT unnest(ARRAY[{", ".join(repr(p) for p in _FM_PATS)}]) AS pat
+    ), suf AS (
+      SELECT doc_id, substr(t, i, {_FM_PLEN}) AS tri
+      FROM d, LATERAL unnest(generate_series(1, len(t) - {_FM_PLEN} + 1))
+               u(i)
+    ), hits AS (
+      SELECT pats.pat, suf.doc_id, COUNT(*) AS cnt
+      FROM suf JOIN pats ON suf.tri = pats.pat
+      GROUP BY 1, 2
+    )
+    SELECT pats.pat,
+           CAST(COALESCE(COUNT(hits.doc_id), 0) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(hits.cnt), 0) AS BIGINT) AS n_occ
+    FROM pats LEFT JOIN hits ON hits.pat = pats.pat
+    GROUP BY 1
+    """,
+)
+def q455(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0)
+    d = docs.select(
+        "doc_id",
+        F.concat(F.substring("text", 1, _FM_LEN),
+                 F.lit("\x01")).alias("t"))
+    chars = d.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            "transform(sequence(1, length(t)),"
+            " i -> ascii(substring(t, i, 1)))")).alias("pos0", "code")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"),
+             F.col("code").cast("bigint").alias("code"))
+    chars = chars.localCheckpoint()
+
+    # suffix array by prefix doubling (exactly the q330 recurrence,
+    # one extra round for the sentinel)
+    st = chars.select("doc_id", "pos", F.col("code").alias("r"))
+    wpos = Window.partitionBy("doc_id").orderBy("pos")
+    for k in range(_FM_ROUNDS):
+        step = 1 << k
+        wrank = Window.partitionBy("doc_id").orderBy(
+            F.col("r").asc(), F.col("r2").asc())
+        st = (st.withColumn("r2", F.coalesce(
+                F.lead("r", step).over(wpos), F.lit(0)))
+              .withColumn("r", F.dense_rank().over(wrank).cast("bigint"))
+              .drop("r2"))
+        if k in (3, 6):  # cut the 9-round lineage
+            st = st.localCheckpoint()
+
+    # BWT in SA order: the char BEFORE each suffix (sentinel wraps)
+    prev = chars.select("doc_id", (F.col("pos") + 1).alias("pos"),
+                        F.col("code").alias("prev_code"))
+    bwt = (st.join(prev, ["doc_id", "pos"], "left")
+           .select("doc_id", F.col("r").alias("i"),
+                   F.coalesce("prev_code", F.lit(1)).alias("c")))
+    bwt = bwt.localCheckpoint()
+
+    # rank structure: occ(c, i) at every i where bwt[i] = c
+    wocc = Window.partitionBy("doc_id", "c").orderBy("i")
+    occ = bwt.withColumn("occ", F.row_number().over(wocc))
+    occ = occ.localCheckpoint()
+    # C table as Cle(c) = # chars <= c
+    cnts = bwt.groupBy("doc_id", "c").agg(F.count("*").alias("cnt"))
+    wc = (Window.partitionBy("doc_id").orderBy("c")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    ctab = cnts.withColumn("cle", F.sum("cnt").over(wc))
+
+    pats = spark.createDataFrame([(p,) for p in _FM_PATS], "pat string")
+    states = (d.select("doc_id", F.length("t").alias("n1"))
+              .crossJoin(F.broadcast(pats))
+              .select("doc_id", "pat",
+                      F.lit(1).cast("bigint").alias("lo"),
+                      F.col("n1").cast("bigint").alias("hi")))
+
+    for s in range(_FM_PLEN):
+        cpos = _FM_PLEN - s  # pattern consumed right-to-left
+        states = states.withColumn(
+            "cc", F.ascii(F.substring("pat", cpos, 1)).cast("bigint"))
+        sv = states.alias("s")
+        ov = occ.alias("o")
+        clt = (states.join(ctab, "doc_id")
+               .filter(F.col("c") < F.col("cc"))
+               .groupBy("doc_id", "pat")
+               .agg(F.max_by("cle", "c").alias("c_lt")))
+        occ_lo = (sv.join(
+                      ov, (F.col("s.doc_id") == F.col("o.doc_id"))
+                      & (F.col("s.cc") == F.col("o.c"))
+                      & (F.col("o.i") <= F.col("s.lo") - 1))
+                  .groupBy(F.col("s.doc_id").alias("doc_id"),
+                           F.col("s.pat").alias("pat"))
+                  .agg(F.max("o.occ").alias("occ_lo")))
+        occ_hi = (sv.join(
+                      ov, (F.col("s.doc_id") == F.col("o.doc_id"))
+                      & (F.col("s.cc") == F.col("o.c"))
+                      & (F.col("o.i") <= F.col("s.hi")))
+                  .groupBy(F.col("s.doc_id").alias("doc_id"),
+                           F.col("s.pat").alias("pat"))
+                  .agg(F.max("o.occ").alias("occ_hi")))
+        states = (states
+                  .join(clt, ["doc_id", "pat"], "left")
+                  .join(occ_lo, ["doc_id", "pat"], "left")
+                  .join(occ_hi, ["doc_id", "pat"], "left")
+                  .select("doc_id", "pat",
+                          (F.coalesce("c_lt", F.lit(0))
+                           + F.coalesce("occ_lo", F.lit(0)) + 1)
+                          .cast("bigint").alias("lo"),
+                          (F.coalesce("c_lt", F.lit(0))
+                           + F.coalesce("occ_hi", F.lit(0)))
+                          .cast("bigint").alias("hi")))
+
+    per_doc = states.select(
+        "pat",
+        F.greatest(F.col("hi") - F.col("lo") + 1, F.lit(0)).alias("cnt"))
+    return per_doc.groupBy("pat").agg(
+        F.sum((F.col("cnt") > 0).cast("long")).alias("n_docs"),
+        F.sum("cnt").alias("n_occ"))

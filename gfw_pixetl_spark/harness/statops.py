@@ -20,6 +20,8 @@ aggregates, rounded to 6 dp on both engines.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -637,3 +639,64 @@ def q357(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("revenue_share"))
         .orderBy("abc_class", "xyz_class")
     )
+
+
+# --------------------------------------------------------------------------
+# q454 — DFT PERIODOGRAM of the daily-revenue series: the frequency-
+# domain seasonality readout next to the time-domain ACF (q274) and
+# weekday profile (q279). X_k = sum_t x_t e^(-2*pi*i*k*t/n) for the
+# first 8 non-zero frequencies over the MEAN-CENTERED series — the
+# distributed shape is a tiny broadcast cross join (series x 8 rows)
+# into one hash agg: O(n*K) work, one shuffle, no collect. The oracle
+# replays the same trigonometric sums in SQL; magnitudes are
+# normalized by n and rounded (libm vs JVM cos differ in the last
+# ulp; the 1e5-scale magnitudes survive round(.,2) with ~1e-7 sum
+# error).
+# --------------------------------------------------------------------------
+_DFT_K = 8
+
+
+@register(
+    "q454_dft_spectrum",
+    oracle=f"""
+    WITH day AS (
+      SELECT date_diff('day',
+                       (SELECT MIN(CAST(o_orderdate AS DATE)) FROM orders),
+                       CAST(o_orderdate AS DATE)) AS t,
+             SUM(o_totalprice) AS x
+      FROM orders GROUP BY 1
+    ), c AS (
+      SELECT COUNT(*) AS n, AVG(x) AS mu FROM day
+    ), terms AS (
+      SELECT k.k, day.t, day.x - c.mu AS xc,
+             2 * pi() * k.k * day.t / c.n AS ang, c.n AS n
+      FROM day, c,
+           (SELECT unnest(generate_series(1, {_DFT_K})) AS k) k
+    )
+    SELECT k,
+           round(sqrt(POWER(SUM(xc * cos(ang)), 2)
+                      + POWER(SUM(xc * sin(ang)), 2)) / MAX(n), 2)
+             + 0.0 AS magnitude
+    FROM terms GROUP BY k ORDER BY k
+    """,
+)
+def q454(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    day = (orders
+           .groupBy(F.to_date("o_orderdate").alias("d"))
+           .agg(F.sum("o_totalprice").alias("x")))
+    base = day.agg(F.min("d").alias("d0"), F.count("*").alias("n"),
+                   F.avg("x").alias("mu"))
+    ks = spark.range(1, _DFT_K + 1).select(F.col("id").alias("k"))
+    terms = (day.crossJoin(F.broadcast(base))
+             .withColumn("t", F.datediff("d", "d0"))
+             .withColumn("xc", F.col("x") - F.col("mu"))
+             .crossJoin(F.broadcast(ks))
+             .withColumn("ang", 2 * F.lit(math.pi) * F.col("k")
+                         * F.col("t") / F.col("n")))
+    return (terms.groupBy("k").agg(
+                (F.round(
+                    F.sqrt(F.pow(F.sum(F.col("xc") * F.cos("ang")), 2)
+                           + F.pow(F.sum(F.col("xc") * F.sin("ang")), 2))
+                    / F.max("n"), 2) + 0.0).alias("magnitude"))
+            .orderBy("k"))
