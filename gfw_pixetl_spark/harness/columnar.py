@@ -339,8 +339,9 @@ def q443(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q444 — ORC ROUND-TRIP through the in-tree codec (sources/orc.py):
 # documents is hash-repartitioned and each EXECUTOR task writes one
-# ORC shard with our writer (RLEv1 ints, PRESENT null streams, ZLIB
-# chunk framing), then a second distributed pass decodes the shards
+# ORC shard with our writer (RLEv2/DIRECT_V2 — the modern
+# generation: SHORT_REPEAT/DELTA/DIRECT integer runs — PRESENT null
+# streams, ZLIB chunk framing), then a second distributed pass decodes the shards
 # with our reader and aggregates per language. Any bit wrong in
 # either direction — varint, zigzag, RLE run header, bool bit-RLE,
 # chunk frame, protobuf footer — breaks the value hash against the
@@ -387,14 +388,15 @@ def _orc_docs_dir(spark: SparkSession, sf_dir: str) -> str:
                     o.OrcColumn("n_chars", o.K_LONG),
                     o.OrcColumn("even", o.K_BOOLEAN)]
             path = os.path.join(d, f"shard-{_uuid.uuid4().hex}.orc")
-            info = o.write_orc(path, cols, rows, stripe_rows=4096)
+            info = o.write_orc(path, cols, rows, stripe_rows=4096,
+                               rle_version=2)
             yield pd.DataFrame({"path": [path],
                                 "n_rows": [info["n_rows"]]})
 
         # bounded collect: one row per shard
         df.mapInPandas(write_shard, "path string, n_rows long").collect()
 
-    return _derived_dir(sf_dir, "orcdocs", build)
+    return _derived_dir(sf_dir, "orcdocs2", build)
 
 
 @register(

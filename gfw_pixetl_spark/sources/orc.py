@@ -490,6 +490,79 @@ def _closest_fixed_bits(width: int) -> int:
     return 64
 
 
+# ---- RLE v2 (writer) ------------------------------------------------------
+
+def _write_bitpacked(values: list[int], width: int) -> bytes:
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    for v in values:
+        acc = (acc << width) | (v & ((1 << width) - 1))
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def int_rle2_encode(values: list[int], signed: bool) -> bytes:
+    """ORC RLE v2 writer: SHORT_REPEAT for 3-10 constant runs, DELTA
+    (width 0) for fixed-delta runs up to 512, DIRECT bit-packed
+    literals otherwise — the sub-encodings every modern reader (and
+    the decoder above) handles; PATCHED_BASE is a reader-only concern
+    here, exactly as with pyarrow's writer."""
+    out = bytearray()
+    i = 0
+    n = len(values)
+    while i < n:
+        # fixed-delta run length
+        run = 1
+        if i + 1 < n:
+            delta = values[i + 1] - values[i]
+            run = 2
+            while (i + run < n and run < 512
+                   and values[i + run] - values[i + run - 1] == delta):
+                run += 1
+        else:
+            delta = 0
+        if run >= 3 and delta == 0 and run <= 10:
+            v = _zz_enc(values[i]) if signed else values[i]
+            w = max(1, (v.bit_length() + 7) // 8)
+            out.append((0 << 6) | ((w - 1) << 3) | (run - 3))
+            out += v.to_bytes(w, "big")
+            i += run
+            continue
+        if run >= 3:
+            # DELTA, width 0: base, delta-base, constant stride
+            out.append((3 << 6) | ((run - 1) >> 8 & 1))
+            out.append((run - 1) & 0xFF)
+            base = _zz_enc(values[i]) if signed else values[i]
+            out += _varint_enc(base)
+            out += _varint_enc(_zz_enc(delta))
+            i += run
+            continue
+        # DIRECT literals: until the next >=3 fixed-delta run, max 512
+        j = i
+        while j < n and j - i < 512:
+            if j + 2 < n:
+                d = values[j + 1] - values[j]
+                if values[j + 2] - values[j + 1] == d:
+                    break
+            j += 1
+        lits = values[i:j]
+        enc = [(_zz_enc(v) if signed else v) for v in lits]
+        width = _closest_fixed_bits(max(1, max(v.bit_length()
+                                               for v in enc)))
+        wcode = _FBS.index(width)
+        out.append((1 << 6) | (wcode << 1) | ((len(lits) - 1) >> 8 & 1))
+        out.append((len(lits) - 1) & 0xFF)
+        out += _write_bitpacked(enc, width)
+        i = j
+    return bytes(out)
+
+
 def int_rle_decode(data: bytes, n: int, signed: bool, version: int) -> list[int]:
     r = _Reader(data)
     if version == 1:
@@ -558,9 +631,11 @@ class OrcColumn:
         self.kind = kind
 
 
-def _encode_column(kind: int, values: list, compression: int
+def _encode_column(kind: int, values: list, compression: int,
+                   rle_version: int = 1
                    ) -> tuple[list[tuple[int, bytes]], bytes]:
     """Encode one column's stripe data. Returns ([(stream_kind, raw)], stats)."""
+    int_enc = int_rle1_encode if rle_version == 1 else int_rle2_encode
     has_null = any(v is None for v in values)
     streams: list[tuple[int, bytes]] = []
     if has_null:
@@ -568,7 +643,7 @@ def _encode_column(kind: int, values: list, compression: int
                         bool_rle_encode([v is not None for v in values])))
     present_vals = [v for v in values if v is not None]
     if kind in (K_LONG, K_INT, K_SHORT, K_DATE):
-        streams.append((S_DATA, int_rle1_encode(
+        streams.append((S_DATA, int_enc(
             [int(v) for v in present_vals], signed=True)))
         stats = _int_stats(values)
     elif kind == K_DOUBLE:
@@ -587,7 +662,7 @@ def _encode_column(kind: int, values: list, compression: int
         blobs = [v.encode() if isinstance(v, str) else bytes(v)
                  for v in present_vals]
         streams.append((S_DATA, b"".join(blobs)))
-        streams.append((S_LENGTH, int_rle1_encode(
+        streams.append((S_LENGTH, int_enc(
             [len(b) for b in blobs], signed=False)))
         stats = (_str_stats(values) if kind == K_STRING
                  else _generic_stats(values))
@@ -598,8 +673,15 @@ def _encode_column(kind: int, values: list, compression: int
 
 def write_orc(path: str, columns: list[OrcColumn],
               rows: list[tuple], stripe_rows: int = 10000,
-              compression: int = C_ZLIB) -> dict[str, Any]:
-    """Write a flat-struct ORC file; returns layout facts for audits."""
+              compression: int = C_ZLIB,
+              rle_version: int = 1) -> dict[str, Any]:
+    """Write a flat-struct ORC file; returns layout facts for audits.
+
+    ``rle_version=2`` emits the modern generation (DIRECT_V2 column
+    encodings with RLEv2 integer/length streams) that Spark and
+    pyarrow themselves write; 1 keeps the maximally-compatible RLEv1.
+    """
+    col_enc = E_DIRECT if rle_version == 1 else E_DIRECT_V2
     buf = bytearray(MAGIC)
     stripes_info = []
     all_stats: list[list[bytes]] = [[] for _ in range(len(columns) + 1)]
@@ -617,12 +699,19 @@ def write_orc(path: str, columns: list[OrcColumn],
         col_stats = [pb_field(1, 0, n) + pb_field(10, 0, 0)]  # root
         for ci, col in enumerate(columns):
             values = [r[ci] for r in chunk]
-            streams, stats = _encode_column(col.kind, values, compression)
+            streams, stats = _encode_column(col.kind, values, compression,
+                                            rle_version)
             for skind, raw in streams:
                 framed = compress_stream(raw, compression)
                 stream_specs.append((skind, ci + 1, len(framed)))
                 data += framed
-            encodings.append(pb_field(1, 0, E_DIRECT))
+            # v2 encoding applies only where an integer RLE stream
+            # exists; DOUBLE/FLOAT/BOOLEAN stay DIRECT (Java's reader
+            # rejects DIRECT_V2 there)
+            has_int_stream = col.kind in (
+                K_LONG, K_INT, K_SHORT, K_DATE, K_STRING, K_BINARY)
+            encodings.append(pb_field(
+                1, 0, col_enc if has_int_stream else E_DIRECT))
             col_stats.append(stats)
         # StripeFooter
         sf = b"".join(
