@@ -445,6 +445,8 @@ BENCH_QUERIES = [
     # q453 excluded under rule (a): streaming micro-batch harness
     "q454_dft_spectrum",
     "q455_fm_index_search",
+    "q456_bitemporal_asof",
+    "q457_join_card_estimate",
 ]
 
 

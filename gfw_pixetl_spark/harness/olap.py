@@ -3214,3 +3214,144 @@ def q369(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("authority_2").desc(), F.col("suppkey").asc())
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# q456 — BITEMPORAL AS-OF: the two-axis temporal query SCD2 (q105)
+# cannot answer — "what did we BELIEVE on transaction date T about the
+# price VALID on date V?". A deterministic bitemporal version table is
+# derived from part (three valid-time versions per part, each RECORDED
+# late by a per-part lag; every 7th part gets a later CORRECTION of
+# version 1), then the 2D point query picks, per part, the row with
+# the latest valid_from <= V among rows with txn_day <= T, breaking
+# ties by latest txn_day (the correction wins exactly when T is late
+# enough to have seen it). One ROW_NUMBER window over a part-
+# cardinality table — no fact-table scan. The oracle replays the
+# construction and the pick in SQL.
+# --------------------------------------------------------------------------
+_BT_T = 330   # belief date (days since base): sees v0..v2 recs, some lags
+_BT_V = 250   # validity date: v2 (valid_from 200) is the target version
+
+
+@register(
+    "q456_bitemporal_asof",
+    oracle=f"""
+    WITH versions AS (
+      SELECT p_partkey, p_brand, v.v * 100 AS valid_from,
+             v.v * 100 + p_partkey % 50 AS txn_day,
+             round(p_retailprice * (1 + v.v * 0.1), 2) AS price
+      FROM part, (SELECT unnest(generate_series(0, 2)) AS v) v
+      UNION ALL
+      SELECT p_partkey, p_brand, 100,
+             100 + p_partkey % 50 + 60,
+             round(p_retailprice * 1.1 + 5, 2)
+      FROM part WHERE p_partkey % 7 = 0
+    ), believed AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY p_partkey
+               ORDER BY valid_from DESC, txn_day DESC) AS rk
+      FROM versions
+      WHERE txn_day <= {_BT_T} AND valid_from <= {_BT_V}
+    )
+    SELECT p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(SUM(CASE WHEN valid_from = 200 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_on_v2,
+           CAST(round(SUM(CAST(price AS DECIMAL(18,2))), 2) AS DOUBLE)
+             + 0.0 AS sum_price
+    FROM believed WHERE rk = 1
+    GROUP BY p_brand
+    """,
+)
+def q456(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice")
+    vs = spark.range(0, 3).select(F.col("id").alias("v"))
+    versions = (part.crossJoin(F.broadcast(vs))
+                .select(
+                    "p_partkey", "p_brand",
+                    (F.col("v") * 100).alias("valid_from"),
+                    (F.col("v") * 100 + F.col("p_partkey") % 50)
+                    .alias("txn_day"),
+                    F.round(F.col("p_retailprice")
+                            * (1 + F.col("v") * 0.1), 2).alias("price")))
+    corrections = (part.filter(F.col("p_partkey") % 7 == 0)
+                   .select(
+                       "p_partkey", "p_brand",
+                       F.lit(100).alias("valid_from"),
+                       (F.lit(100) + F.col("p_partkey") % 50 + 60)
+                       .alias("txn_day"),
+                       F.round(F.col("p_retailprice") * 1.1 + 5, 2)
+                       .alias("price")))
+    bitemporal = versions.unionByName(corrections)
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("valid_from").desc(), F.col("txn_day").desc())
+    believed = (bitemporal
+                .filter((F.col("txn_day") <= _BT_T)
+                        & (F.col("valid_from") <= _BT_V))
+                .withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") == 1))
+    return believed.groupBy("p_brand").agg(
+        F.count("*").alias("n_parts"),
+        F.sum((F.col("valid_from") == 200).cast("long"))
+        .alias("n_on_v2"),
+        (F.round(F.sum(F.col("price").cast("decimal(18,2)")), 2) + 0.0)
+        .alias("sum_price"))
+
+
+# --------------------------------------------------------------------------
+# q457 — JOIN-CARDINALITY ESTIMATION AUDIT: the System R formula every
+# cost-based optimizer plans with — |R join S| ~= |R|*|S|/max(ndv_R,
+# ndv_S) — computed from exact per-key NDVs and compared against the
+# TRUE join cardinality for the three workhorse equi-joins of the
+# schema. The error column is the measurement a 100 TB operator reads
+# before trusting a plan: FK joins with uniform keys sit near 0%, and
+# skew shows up as signed error. All counts are exact integers; the
+# estimate uses integer floor division in both engines.
+# --------------------------------------------------------------------------
+_CARD_JOINS = [
+    ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+]
+
+
+@register(
+    "q457_join_card_estimate",
+    oracle=f"""
+    {" UNION ALL ".join(
+        f'''SELECT '{name}' AS join_name,
+               (SELECT COUNT(*) FROM {lt}) AS n_left,
+               (SELECT COUNT(*) FROM {rt}) AS n_right,
+               (SELECT COUNT(DISTINCT {lk}) FROM {lt}) AS ndv_left,
+               (SELECT COUNT(DISTINCT {rk}) FROM {rt}) AS ndv_right,
+               (SELECT COUNT(*) FROM {lt}) * (SELECT COUNT(*) FROM {rt})
+                 // GREATEST((SELECT COUNT(DISTINCT {lk}) FROM {lt}),
+                             (SELECT COUNT(DISTINCT {rk}) FROM {rt}))
+                 AS est,
+               (SELECT COUNT(*) FROM {lt} JOIN {rt}
+                  ON {lt}.{lk} = {rt}.{rk}) AS actual'''
+        for name, lt, lk, rt, rk in _CARD_JOINS)}
+    """,
+)
+def q457(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for name, lt, lk, rt, rk in _CARD_JOINS:
+        left = load(spark, sf_dir, lt)
+        right = load(spark, sf_dir, rt)
+        ls = left.agg(F.count("*").alias("n_left"),
+                      F.countDistinct(lk).alias("ndv_left"))
+        rs = right.agg(F.count("*").alias("n_right"),
+                       F.countDistinct(rk).alias("ndv_right"))
+        act = (left.join(right, left[lk] == right[rk])
+               .agg(F.count("*").alias("actual")))
+        leg = (ls.crossJoin(rs).crossJoin(act)
+               .select(
+                   F.lit(name).alias("join_name"),
+                   "n_left", "n_right", "ndv_left", "ndv_right",
+                   (F.col("n_left") * F.col("n_right")
+                    / F.greatest("ndv_left", "ndv_right"))
+                   .cast("bigint").alias("est"),
+                   "actual"))
+        out = leg if out is None else out.unionByName(leg)
+    return out
