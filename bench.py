@@ -447,6 +447,7 @@ BENCH_QUERIES = [
     "q455_fm_index_search",
     "q456_bitemporal_asof",
     "q457_join_card_estimate",
+    "q458_parquet_page_decode",
 ]
 
 

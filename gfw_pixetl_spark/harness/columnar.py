@@ -670,3 +670,95 @@ def q447(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "scenario string, n_stripes long, n_kept long, "
               "kept_rows long, n_matches long")
+
+
+# --------------------------------------------------------------------------
+# q458 — PARQUET DATA-PAGE DECODE (sources/parquetdata.py): with the
+# footer decoded in-tree since q441, this closes the read path — no
+# pyarrow on it at all. Three independent writers produce the same
+# orders slice (pyarrow v1 dictionary+snappy, pyarrow
+# data-page-v2/DELTA_BINARY_PACKED+zstd with dictionary off, DuckDB
+# COPY TO), one EXECUTOR task decodes each variant with the pure-
+# Python page walker (RLE/bit-packed hybrid levels, dictionary
+# indices, PLAIN, DELTA runs, per-page codec), and all three decoded
+# aggregates must equal one parquet-side oracle. An injected nullable
+# column exercises definition levels under every writer.
+# --------------------------------------------------------------------------
+_PQ_VARIANTS = ("pyarrow_v1", "pyarrow_v2", "duckdb")
+
+
+def _pq_variants_dir(spark: SparkSession, sf_dir: str) -> str:
+    def build(d: str) -> None:
+        import os
+
+        import duckdb as _duck
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(d, exist_ok=True)
+        con = _duck.connect()
+        tbl = con.sql(f"""
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   CASE WHEN o_orderkey % 9 = 0 THEN NULL
+                        ELSE o_orderstatus END AS status
+            FROM read_parquet('{sf_dir}/orders.parquet')
+            ORDER BY o_orderkey
+        """).arrow()
+        pq.write_table(tbl, f"{d}/pyarrow_v1.parquet",
+                       compression="snappy", row_group_size=50000)
+        pq.write_table(tbl, f"{d}/pyarrow_v2.parquet",
+                       compression="zstd", data_page_version="2.0",
+                       version="2.6", use_dictionary=False)
+        con.register("t", pa.Table.from_batches(tbl.to_batches()))
+        con.sql(f"COPY t TO '{d}/duckdb.parquet' (FORMAT PARQUET)")
+
+    return _derived_dir(sf_dir, "pqvariants", build)
+
+
+@register(
+    "q458_parquet_page_decode",
+    oracle=f"""
+    SELECT v.variant,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+           CAST(SUM(CASE WHEN o_orderkey % 9 = 0 THEN 0 ELSE 1 END)
+                AS BIGINT) AS n_status,
+           MIN(o_totalprice) + 0 AS min_price,
+           MAX(o_totalprice) + 0 AS max_price
+    FROM orders
+    CROSS JOIN (SELECT unnest(ARRAY[{", ".join(
+        repr(v) for v in _PQ_VARIANTS)}]) AS variant) v
+    GROUP BY v.variant
+    """,
+)
+def q458(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _pq_variants_dir(spark, sf_dir)
+    paths = spark.createDataFrame(
+        [(v, f"{d}/{v}.parquet") for v in _PQ_VARIANTS],
+        "variant string, path string").repartition(len(_PQ_VARIANTS))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..sources.parquetdata import read_parquet_rows
+
+        for pdf in batches:
+            for variant, path in zip(pdf["variant"], pdf["path"]):
+                cols = read_parquet_rows(
+                    path, columns=["o_orderkey", "o_totalprice", "status"])
+                yield pd.DataFrame({
+                    "variant": variant,
+                    "o_orderkey": pd.Series(cols["o_orderkey"],
+                                            dtype="int64"),
+                    "o_totalprice": pd.Series(cols["o_totalprice"],
+                                              dtype="float64"),
+                    "status": cols["status"],
+                })
+
+    decoded = paths.mapInPandas(
+        kernel, "variant string, o_orderkey long, o_totalprice double, "
+                "status string")
+    return decoded.groupBy("variant").agg(
+        F.count("*").alias("n"),
+        F.sum("o_orderkey").alias("sum_key"),
+        F.count("status").alias("n_status"),
+        (F.min("o_totalprice") + 0).alias("min_price"),
+        (F.max("o_totalprice") + 0).alias("max_price"))
