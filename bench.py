@@ -448,6 +448,7 @@ BENCH_QUERIES = [
     "q456_bitemporal_asof",
     "q457_join_card_estimate",
     "q458_parquet_page_decode",
+    "q459_parquet_write_back",
 ]
 
 

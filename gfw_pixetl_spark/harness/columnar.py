@@ -762,3 +762,79 @@ def q458(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("status").alias("n_status"),
         (F.min("o_totalprice") + 0).alias("min_price"),
         (F.max("o_totalprice") + 0).alias("max_price"))
+
+
+# --------------------------------------------------------------------------
+# q459 — PARQUET WRITE-BACK: the in-tree writer (thrift-compact
+# footer encoder, PLAIN v1 pages, RLE definition levels, per-column
+# statistics under TypeDefinedOrder) emits shard-per-task files that
+# SPARK'S OWN parquet-mr reader then consumes — the strongest interop
+# statement available: a foreign production reader validates every
+# byte of our footer and pages, and the aggregate must equal the
+# parquet-side oracle. An injected nullable column exercises the
+# level encoder under nulls; zstd pages exercise the in-tree
+# compressor on the write side.
+# --------------------------------------------------------------------------
+def _pqw_dir(spark: SparkSession, sf_dir: str) -> str:
+    def build(d: str) -> None:
+        import os
+        import uuid as _uuid
+
+        os.makedirs(d, exist_ok=True)
+        df = (load(spark, sf_dir, "lineitem")
+              .select("l_orderkey", "l_partkey", "l_quantity",
+                      F.when(F.col("l_orderkey") % 8 != 0,
+                             F.col("l_returnflag")).alias("rflag"))
+              .repartition(6, "l_orderkey"))
+
+        def write_shard(batches: Iterator[pd.DataFrame]
+                        ) -> Iterator[pd.DataFrame]:
+            from ..sources.parquetdata import PColumn, write_parquet
+
+            parts = [b for b in batches if len(b)]
+            if not parts:
+                return
+            pdf = pd.concat(parts, ignore_index=True)
+            rows = list(zip(
+                (int(v) for v in pdf["l_orderkey"]),
+                (int(v) for v in pdf["l_partkey"]),
+                (float(v) for v in pdf["l_quantity"]),
+                (None if v is None else str(v) for v in pdf["rflag"]),
+            ))
+            cols = [PColumn("l_orderkey", "INT64"),
+                    PColumn("l_partkey", "INT64"),
+                    PColumn("l_quantity", "DOUBLE"),
+                    PColumn("rflag", "BYTE_ARRAY", nullable=True)]
+            path = os.path.join(d, f"part-{_uuid.uuid4().hex}.parquet")
+            info = write_parquet(path, cols, rows, codec="ZSTD")
+            yield pd.DataFrame({"path": [path], "n": [info["n_rows"]]})
+
+        # bounded collect: one row per shard
+        df.mapInPandas(write_shard, "path string, n long").collect()
+
+    return _derived_dir(sf_dir, "pqwriter", build)
+
+
+@register(
+    "q459_parquet_write_back",
+    oracle="""
+    SELECT CASE WHEN l_orderkey % 8 = 0 THEN NULL ELSE l_returnflag END
+             AS rflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(l_orderkey) AS BIGINT) AS sum_order,
+           CAST(SUM(l_partkey) AS BIGINT) AS sum_part,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_qty
+    FROM lineitem GROUP BY 1
+    """,
+)
+def q459(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _pqw_dir(spark, sf_dir)
+    # Spark's parquet-mr reader consumes the in-tree writer's bytes
+    df = spark.read.parquet(d + "/*.parquet")
+    return df.groupBy("rflag").agg(
+        F.count("*").alias("n"),
+        F.sum("l_orderkey").alias("sum_order"),
+        F.sum("l_partkey").alias("sum_part"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+        .alias("sum_qty"))

@@ -131,3 +131,78 @@ def test_empty_file(tmp_path):
     pq.write_table(pa.Table.from_pandas(_frame().iloc[:0]), p)
     got = read_parquet_rows(p)
     assert all(v == [] for v in got.values())
+
+
+# --------------------------------------------------------------- writer
+
+from gfw_pixetl_spark.sources.parquetdata import (  # noqa: E402
+    PColumn,
+    write_parquet,
+)
+
+_W_ROWS = [(i,
+            None if i % 11 == 0 else i * 1.5,
+            None if i % 7 == 0 else f"val{i % 257}",
+            i % 3 == 0,
+            (i % 1000) - 500)
+           for i in range(30000)]
+_W_COLS = [
+    PColumn("a", "INT64"),
+    PColumn("b", "DOUBLE", nullable=True),
+    PColumn("s", "BYTE_ARRAY", nullable=True),
+    PColumn("f", "BOOLEAN"),
+    PColumn("i32", "INT32"),
+]
+_W_NAMES = ["a", "b", "s", "f", "i32"]
+
+
+@pytest.mark.parametrize("codec", ["UNCOMPRESSED", "SNAPPY", "GZIP",
+                                   "ZSTD"])
+def test_writer_three_readers(tmp_path, codec):
+    p = str(tmp_path / f"w_{codec}.parquet")
+    info = write_parquet(p, _W_COLS, _W_ROWS, row_group_rows=12000,
+                         codec=codec)
+    assert info["n_row_groups"] == 3
+    got = read_parquet_rows(p)
+    for ci, name in enumerate(_W_NAMES):
+        assert got[name] == [r[ci] for r in _W_ROWS], ("self", name)
+    t = pq.read_table(p)
+    for ci, name in enumerate(_W_NAMES):
+        assert t.column(name).to_pylist() == [r[ci] for r in _W_ROWS], \
+            ("pyarrow", name)
+    ref = duckdb.sql(f"SELECT a, s FROM read_parquet('{p}')").fetchall()
+    assert [r[0] for r in ref] == [r[0] for r in _W_ROWS]
+    assert [r[1] for r in ref] == [r[2] for r in _W_ROWS]
+
+
+def test_writer_spark_reads(spark, tmp_path):
+    p = str(tmp_path / "w.parquet")
+    write_parquet(p, _W_COLS, _W_ROWS, row_group_rows=12000,
+                  codec="SNAPPY")
+    back = spark.read.parquet(p).orderBy("a").collect()
+    assert [r.a for r in back] == [r[0] for r in _W_ROWS]
+    assert [r.s for r in back] == [r[2] for r in _W_ROWS]
+    assert [r.f for r in back] == [r[3] for r in _W_ROWS]
+
+
+def test_writer_stats_and_pruning(tmp_path):
+    from gfw_pixetl_spark.sources.parquetmeta import prune_row_groups
+
+    p = str(tmp_path / "z.parquet")
+    rows = [(i, i * 3.0, None, False, 0) for i in range(40000)]
+    write_parquet(p, _W_COLS, rows, row_group_rows=8000)
+    st = pq.ParquetFile(p).metadata.row_group(1).column(0).statistics
+    assert (st.min, st.max, st.null_count) == (8000, 15999, 0)
+    plan = prune_row_groups(p, "a", lower=8100, upper=8900)
+    assert plan["n_groups"] == 5 and plan["kept_group_ids"] == [1]
+
+
+def test_writer_empty_and_bad_codec(tmp_path):
+    p = str(tmp_path / "e.parquet")
+    write_parquet(p, _W_COLS, [])
+    assert pq.read_table(p).num_rows == 0
+    assert read_parquet_rows(p)["a"] == []
+    with pytest.raises(ValueError, match="codec"):
+        write_parquet(p, _W_COLS, _W_ROWS, codec="LZO")
+    with pytest.raises(ValueError, match="type"):
+        PColumn("x", "INT96")
