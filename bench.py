@@ -449,6 +449,8 @@ BENCH_QUERIES = [
     "q457_join_card_estimate",
     "q458_parquet_page_decode",
     "q459_parquet_write_back",
+    "q460_lakehouse_trio",
+    "q461_format_matrix",
 ]
 
 

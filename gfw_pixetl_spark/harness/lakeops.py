@@ -1459,3 +1459,125 @@ def q452(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("mode", F.lit("incr")))
     return asof.unionByName(incr).select(
         "mode", "o_orderpriority", "n", "sum_key", "sum_price")
+
+
+# --------------------------------------------------------------------------
+# q460 — LAKEHOUSE TRIO, ONE TRUTH: the same customer slice committed
+# to all three table formats in-tree — Delta (partition values in the
+# LOG, attached as literals on read), Iceberg format-v2 (identity
+# partition columns IN the files, manifest-set snapshots), Hudi COW
+# (file groups under .hoodie timeline) — then read back through each
+# format's own planner and aggregated per (format, segment). The
+# three result thirds must be identical to each other AND to the
+# parquet oracle: any divergence in log replay, manifest planning, or
+# slice selection shows up as a hash break. This is the portability
+# statement a migrating 100 TB shop actually needs.
+# --------------------------------------------------------------------------
+def _trio_dir(spark: SparkSession, sf_dir: str) -> str:
+    def build(d: str) -> None:
+        import os as _os
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        from ..sources import hudi as H
+        from ..sources.deltalog import (
+            add_action, delta_commit, delta_metadata,
+        )
+        from ..sources.iceberg import IcebergTable
+
+        cust = (load(spark, sf_dir, "customer")
+                .select("c_custkey", "c_mktsegment", "c_acctbal")
+                .toPandas().sort_values("c_custkey"))
+        # bounded: customer is the smallest fact-adjacent table; the
+        # build is a one-time fixture write (same driver-side shape as
+        # the q421/q422 builders)
+        segs = sorted(cust["c_mktsegment"].unique())
+
+        ddir, idir, hdir = (f"{d}/delta", f"{d}/iceberg", f"{d}/hudi")
+        for sub in (ddir, idir):
+            _os.makedirs(sub, exist_ok=True)
+
+        # --- Delta: partition col lives in the LOG, not the file
+        adds = []
+        for seg in segs:
+            grp = cust[cust["c_mktsegment"] == seg]
+            rel = f"part-{seg}.parquet"
+            _pq.write_table(
+                _pa.Table.from_pandas(grp[["c_custkey", "c_acctbal"]],
+                                      preserve_index=False),
+                f"{ddir}/{rel}")
+            adds.append({"add": add_action(
+                rel, {"c_mktsegment": seg},
+                _os.path.getsize(f"{ddir}/{rel}"), len(grp),
+                {"c_custkey": int(grp["c_custkey"].min())},
+                {"c_custkey": int(grp["c_custkey"].max())})})
+        meta = delta_metadata(
+            [("c_custkey", "long"), ("c_acctbal", "double"),
+             ("c_mktsegment", "string")], ["c_mktsegment"])
+        delta_commit(ddir, 0, [{"metaData": meta}] + adds)
+
+        # --- Iceberg: identity partition col IN the files
+        files = []
+        for seg in segs:
+            grp = cust[cust["c_mktsegment"] == seg]
+            rel = f"data/{seg}.parquet"
+            _os.makedirs(f"{idir}/data", exist_ok=True)
+            _pq.write_table(
+                _pa.Table.from_pandas(grp, preserve_index=False),
+                f"{idir}/{rel}")
+            files.append({"path": rel,
+                          "partition": {"c_mktsegment": seg},
+                          "record_count": len(grp),
+                          "size": _os.path.getsize(f"{idir}/{rel}")})
+        IcebergTable(idir, [("c_custkey", "long"),
+                            ("c_acctbal", "double"),
+                            ("c_mktsegment", "string")],
+                     ["c_mktsegment"]).commit(files)
+
+        # --- Hudi COW: file groups under the timeline
+        H.create_table(hdir, "cust_cow", partition_field="c_mktsegment",
+                       record_key_field="c_custkey")
+        H.commit_pandas(
+            hdir, H.instant_time(1),
+            {f"seg={seg}": cust[cust["c_mktsegment"] == seg]
+             for seg in segs},
+            key_col="c_custkey")
+
+    return _derived_dir(sf_dir, "lake3", build)
+
+
+@register(
+    "q460_lakehouse_trio",
+    oracle="""
+    SELECT f.fmt, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_key,
+           CAST(round(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2)
+                AS DOUBLE) + 0.0 AS sum_bal
+    FROM customer
+    CROSS JOIN (SELECT unnest(ARRAY['delta', 'hudi', 'iceberg'])
+                AS fmt) f
+    GROUP BY f.fmt, c_mktsegment
+    """,
+)
+def q460(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.deltalog import read_delta
+    from ..sources.hudi import read_hudi
+    from ..sources.iceberg import read_iceberg
+
+    d = _trio_dir(spark, sf_dir)
+    parts = []
+    for fmt, df in (
+            ("delta", read_delta(spark, f"{d}/delta")),
+            ("iceberg", read_iceberg(spark, f"{d}/iceberg")),
+            ("hudi", read_hudi(spark, f"{d}/hudi"))):
+        parts.append(df.select(
+            F.lit(fmt).alias("fmt"), "c_mktsegment", "c_custkey",
+            "c_acctbal"))
+    allf = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return allf.groupBy("fmt", "c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum("c_custkey").alias("sum_key"),
+        (F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+         .cast("double") + 0.0).alias("sum_bal"))

@@ -233,3 +233,136 @@ def q450(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count("*").alias("n_vecs"),
                 F.sum("dim").cast("long").alias("sum_dim"),
                 (F.round(F.sum("sq"), 3) + 0.0).alias("sum_sq")))
+
+
+# --------------------------------------------------------------------------
+# q461 — ANY-TO-ANY FORMAT MATRIX: one documents slice exported by
+# the three IN-TREE writers — ORC (RLEv2/DIRECT_V2 generation,
+# sources/orc.py), Avro OCF (deflate blocks, sources/avro.py),
+# parquet (PLAIN v1 pages + thrift footer, sources/parquetdata.py) —
+# then read back by the three IN-TREE readers, shard-per-task both
+# ways. Per-format aggregates must agree with each other and with
+# the parquet-side oracle: the full export->ingest portability loop
+# with no foreign library on any leg.
+# --------------------------------------------------------------------------
+def _matrix_dir(spark: SparkSession, sf_dir: str) -> str:
+    def build(d: str) -> None:
+        import os
+
+        os.makedirs(d, exist_ok=True)
+        df = (load(spark, sf_dir, "documents")
+              .select("doc_id", "lang",
+                      F.when(F.col("doc_id") % 6 != 0,
+                             F.col("source")).alias("src"),
+                      "n_chars")
+              .repartition(4, "doc_id"))
+
+        def write_shard(batches: Iterator[pd.DataFrame]
+                        ) -> Iterator[pd.DataFrame]:
+            import uuid as _uuid
+
+            from ..sources import orc as o
+            from ..sources.avro import write_container
+            from ..sources.parquetdata import PColumn, write_parquet
+
+            parts = [b for b in batches if len(b)]
+            if not parts:
+                return
+            pdf = pd.concat(parts, ignore_index=True)
+            tag = _uuid.uuid4().hex
+            rows = list(zip(
+                (int(v) for v in pdf["doc_id"]), pdf["lang"],
+                (None if v is None else str(v) for v in pdf["src"]),
+                (int(v) for v in pdf["n_chars"])))
+            o.write_orc(
+                os.path.join(d, f"{tag}.orc"),
+                [o.OrcColumn("doc_id", o.K_LONG),
+                 o.OrcColumn("lang", o.K_STRING),
+                 o.OrcColumn("src", o.K_STRING),
+                 o.OrcColumn("n_chars", o.K_LONG)],
+                rows, rle_version=2)
+            schema = {"type": "record", "name": "doc", "fields": [
+                {"name": "doc_id", "type": "long"},
+                {"name": "lang", "type": "string"},
+                {"name": "src", "type": ["null", "string"]},
+                {"name": "n_chars", "type": "long"}]}
+            recs = [dict(zip(("doc_id", "lang", "src", "n_chars"), r))
+                    for r in rows]
+            with open(os.path.join(d, f"{tag}.avro"), "wb") as fh:
+                fh.write(write_container(recs, schema))
+            write_parquet(
+                os.path.join(d, f"{tag}.parquet"),
+                [PColumn("doc_id", "INT64"),
+                 PColumn("lang", "BYTE_ARRAY"),
+                 PColumn("src", "BYTE_ARRAY", nullable=True),
+                 PColumn("n_chars", "INT64")],
+                rows, codec="SNAPPY")
+            yield pd.DataFrame({"tag": [tag]})
+
+        # bounded collect: one row per shard
+        df.mapInPandas(write_shard, "tag string").collect()
+
+    return _derived_dir(sf_dir, "fmtmatrix", build)
+
+
+@register(
+    "q461_format_matrix",
+    oracle="""
+    SELECT f.fmt, d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 6 != 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_src,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_id
+    FROM documents d
+    CROSS JOIN (SELECT unnest(ARRAY['avro', 'orc', 'parquet'])
+                AS fmt) f
+    GROUP BY f.fmt, d.lang
+    """,
+)
+def q461(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+
+    d = _matrix_dir(spark, sf_dir)
+    triples = []
+    for fmt in ("avro", "orc", "parquet"):
+        for p in sorted(_glob.glob(f"{d}/*.{fmt}")):
+            triples.append((fmt, p))
+    paths = (spark.createDataFrame(triples, "fmt string, path string")
+             .repartition(len(triples)))
+
+    def read_shard(batches: Iterator[pd.DataFrame]
+                   ) -> Iterator[pd.DataFrame]:
+        from ..sources import orc as o
+        from ..sources.avro import iter_container
+        from ..sources.parquetdata import read_parquet_rows
+
+        for pdf in batches:
+            for fmt, path in zip(pdf["fmt"], pdf["path"]):
+                if fmt == "orc":
+                    cols = o.read_orc(path)
+                elif fmt == "parquet":
+                    cols = read_parquet_rows(path)
+                else:
+                    with open(path, "rb") as fh:
+                        recs = list(iter_container(fh.read()))
+                    cols = {k: [r[k] for r in recs]
+                            for k in ("doc_id", "lang", "src",
+                                      "n_chars")}
+                yield pd.DataFrame({
+                    "fmt": fmt,
+                    "doc_id": pd.Series(cols["doc_id"], dtype="int64"),
+                    "lang": cols["lang"],
+                    "src": cols["src"],
+                    "n_chars": pd.Series(cols["n_chars"],
+                                         dtype="int64"),
+                })
+
+    decoded = paths.mapInPandas(
+        read_shard,
+        "fmt string, doc_id long, lang string, src string, n_chars long")
+    return decoded.groupBy("fmt", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.count("src").alias("n_src"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum("doc_id").alias("sum_id"))
