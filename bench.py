@@ -451,6 +451,7 @@ BENCH_QUERIES = [
     "q459_parquet_write_back",
     "q460_lakehouse_trio",
     "q461_format_matrix",
+    "q462_orc_temporal_decimal",
 ]
 
 

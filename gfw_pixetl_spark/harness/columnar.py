@@ -838,3 +838,91 @@ def q459(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l_partkey").alias("sum_part"),
         F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
         .alias("sum_qty"))
+
+
+# --------------------------------------------------------------------------
+# q462 — ORC TEMPORAL + DECIMAL TYPES: events exported to ORC by our
+# writer with a real TIMESTAMP column (seconds-from-2015 DATA +
+# trailing-zero-packed nanos SECONDARY, the epoch-boundary ceiling
+# convention of the Java writer) and the value as DECIMAL(18,2)
+# (unbounded zigzag-varint mantissas + per-value scale SECONDARY),
+# decoded back distributed and aggregated per event type. Exact
+# decimal sums — no float discipline needed, the round trip IS the
+# money-safe path. Oracle replays the 2-decimal quantization.
+# --------------------------------------------------------------------------
+@register(
+    "q462_orc_temporal_decimal",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(ts) AS min_ts,
+           MAX(ts) AS max_ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_val
+    FROM events GROUP BY event_type
+    """,
+)
+def q462(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+
+    def build(d: str) -> None:
+        import os
+        import uuid as _uuid
+        from decimal import Decimal
+
+        os.makedirs(d, exist_ok=True)
+        df = (load(spark, sf_dir, "events")
+              .select(F.unix_micros("ts").alias("ts_us"), "event_type",
+                      F.col("value").cast("decimal(18,2)").alias("val"))
+              .repartition(4, "event_type"))
+
+        def write_shard(batches: Iterator[pd.DataFrame]
+                        ) -> Iterator[pd.DataFrame]:
+            from ..sources import orc as o
+
+            parts = [b for b in batches if len(b)]
+            if not parts:
+                return
+            pdf = pd.concat(parts, ignore_index=True)
+            rows = [(int(t), str(e), Decimal(str(v)))
+                    for t, e, v in zip(pdf["ts_us"], pdf["event_type"],
+                                       pdf["val"])]
+            path = os.path.join(d, f"{_uuid.uuid4().hex}.orc")
+            o.write_orc(path, [o.OrcColumn("ts_us", o.K_TIMESTAMP),
+                               o.OrcColumn("etype", o.K_STRING),
+                               o.OrcColumn("val", o.K_DECIMAL, 18, 2)],
+                        rows, rle_version=2)
+            yield pd.DataFrame({"path": [path]})
+
+        # bounded collect: one row per shard
+        df.mapInPandas(write_shard, "path string").collect()
+
+    d = _derived_dir(sf_dir, "orctemporal", build)
+    files = sorted(_glob.glob(d + "/*.orc"))
+    paths = spark.createDataFrame([(p,) for p in files],
+                                  "path string").repartition(len(files))
+
+    def read_shard(batches: Iterator[pd.DataFrame]
+                   ) -> Iterator[pd.DataFrame]:
+        from ..sources import orc as o
+
+        for pdf in batches:
+            for path in pdf["path"]:
+                cols = o.read_orc(path)
+                yield pd.DataFrame({
+                    "ts_us": pd.Series(cols["ts_us"], dtype="int64"),
+                    "event_type": cols["etype"],
+                    # exact: decimal(18,2) scaled to integer cents
+                    "cents": pd.Series(
+                        [int(v.scaleb(2)) for v in cols["val"]],
+                        dtype="int64"),
+                })
+
+    decoded = paths.mapInPandas(
+        read_shard, "ts_us long, event_type string, cents long")
+    return (decoded
+            .withColumn("ts", F.timestamp_micros("ts_us"))
+            .groupBy("event_type").agg(
+                F.count("*").alias("n"),
+                F.min("ts").alias("min_ts"),
+                F.max("ts").alias("max_ts"),
+                (F.sum("cents") / 100.0).alias("sum_val")))

@@ -46,6 +46,8 @@ K_FLOAT = 5
 K_DOUBLE = 6
 K_STRING = 7
 K_BINARY = 8
+K_TIMESTAMP = 9
+K_DECIMAL = 14
 K_DATE = 15
 K_STRUCT = 12
 K_VARCHAR = 16
@@ -55,6 +57,7 @@ KIND_NAMES = {
     K_BOOLEAN: "boolean", K_BYTE: "tinyint", K_SHORT: "smallint",
     K_INT: "int", K_LONG: "bigint", K_FLOAT: "float", K_DOUBLE: "double",
     K_STRING: "string", K_BINARY: "binary", K_DATE: "date",
+    K_TIMESTAMP: "timestamp", K_DECIMAL: "decimal",
     K_STRUCT: "struct", K_VARCHAR: "string", K_CHAR: "string",
 }
 
@@ -63,6 +66,7 @@ S_PRESENT = 0
 S_DATA = 1
 S_LENGTH = 2
 S_DICTIONARY_DATA = 3
+S_SECONDARY = 5
 S_ROW_INDEX = 6
 
 # ColumnEncoding.Kind
@@ -625,14 +629,42 @@ def decode_int_stats(blob: bytes) -> dict[str, Any]:
 # Writer
 # --------------------------------------------------------------------------
 
+_TS_BASE = 1420070400  # 2015-01-01 00:00:00 UTC, the ORC timestamp epoch
+
+
 class OrcColumn:
-    def __init__(self, name: str, kind: int) -> None:
+    def __init__(self, name: str, kind: int, precision: int = 18,
+                 scale: int = 2) -> None:
         self.name = name
         self.kind = kind
+        self.precision = precision
+        self.scale = scale
+
+
+def _enc_nanos(nanos: int) -> int:
+    """ORC SECONDARY nanos: strip trailing decimal zeros, low 3 bits
+    encode how many (0 or count-1 for 2..8 removed)."""
+    if nanos == 0:
+        return 0
+    zeros = 0
+    while zeros < 7 and nanos % 10 == 0:
+        nanos //= 10
+        zeros += 1
+    if zeros >= 2:
+        return (nanos << 3) | (zeros - 1)
+    return (nanos * 10 ** zeros) << 3
+
+
+def _dec_nanos(v: int) -> int:
+    zeros = v & 7
+    nanos = v >> 3
+    if zeros:
+        nanos *= 10 ** (zeros + 1)
+    return nanos
 
 
 def _encode_column(kind: int, values: list, compression: int,
-                   rle_version: int = 1
+                   rle_version: int = 1, scale: int = 2
                    ) -> tuple[list[tuple[int, bytes]], bytes]:
     """Encode one column's stripe data. Returns ([(stream_kind, raw)], stats)."""
     int_enc = int_rle1_encode if rle_version == 1 else int_rle2_encode
@@ -657,6 +689,46 @@ def _encode_column(kind: int, values: list, compression: int,
     elif kind == K_BOOLEAN:
         streams.append((S_DATA, bool_rle_encode(
             [bool(v) for v in present_vals])))
+        stats = _generic_stats(values)
+    elif kind == K_TIMESTAMP:
+        # DATA: seconds relative to the 2015 base (signed RLE);
+        # SECONDARY: trailing-zero-packed nanos (unsigned RLE).
+        # Values are int micros since the unix epoch (floor split, so
+        # nanos is always non-negative — matching the Java writer).
+        secs = []
+        nanos = []
+        for v in present_vals:
+            us = int(v)
+            s_abs, us_rem = divmod(us, 1_000_000)
+            # ORC stores pre-unix-epoch instants with nonzero nanos
+            # as ceiling seconds (readers subtract the second back).
+            # The (-1s, 0) sliver is unrepresentable under that
+            # convention (ceil lands on 0, which readers treat as
+            # positive) — cross-implementation behavior diverges
+            # there (ORC-611); refuse rather than silently shift.
+            if s_abs < 0 and us_rem != 0:
+                if s_abs == -1:
+                    raise ValueError(
+                        "ORC timestamp in (-1s, 0) before the unix "
+                        "epoch is ambiguous across readers")
+                s_abs += 1
+            secs.append(s_abs - _TS_BASE)
+            nanos.append(_enc_nanos(us_rem * 1000))
+        streams.append((S_DATA, int_enc(secs, signed=True)))
+        streams.append((S_SECONDARY, int_enc(nanos, signed=False)))
+        stats = _generic_stats(values)
+    elif kind == K_DECIMAL:
+        # DATA: unbounded zigzag-varint mantissas (one varint per
+        # value, NOT run-length encoded); SECONDARY: per-value scale.
+        from decimal import Decimal
+
+        body = bytearray()
+        for v in present_vals:
+            q = Decimal(str(v)).scaleb(scale)
+            body += _varint_enc(_zz_enc(int(q)))
+        streams.append((S_DATA, bytes(body)))
+        streams.append((S_SECONDARY, int_enc(
+            [scale] * len(present_vals), signed=True)))
         stats = _generic_stats(values)
     elif kind in (K_STRING, K_BINARY):
         blobs = [v.encode() if isinstance(v, str) else bytes(v)
@@ -700,7 +772,7 @@ def write_orc(path: str, columns: list[OrcColumn],
         for ci, col in enumerate(columns):
             values = [r[ci] for r in chunk]
             streams, stats = _encode_column(col.kind, values, compression,
-                                            rle_version)
+                                            rle_version, col.scale)
             for skind, raw in streams:
                 framed = compress_stream(raw, compression)
                 stream_specs.append((skind, ci + 1, len(framed)))
@@ -709,7 +781,8 @@ def write_orc(path: str, columns: list[OrcColumn],
             # exists; DOUBLE/FLOAT/BOOLEAN stay DIRECT (Java's reader
             # rejects DIRECT_V2 there)
             has_int_stream = col.kind in (
-                K_LONG, K_INT, K_SHORT, K_DATE, K_STRING, K_BINARY)
+                K_LONG, K_INT, K_SHORT, K_DATE, K_STRING, K_BINARY,
+                K_TIMESTAMP, K_DECIMAL)
             encodings.append(pb_field(
                 1, 0, col_enc if has_int_stream else E_DIRECT))
             col_stats.append(stats)
@@ -740,7 +813,10 @@ def write_orc(path: str, columns: list[OrcColumn],
              + b"".join(pb_field(2, 0, i + 1) for i in range(len(columns)))
              + b"".join(pb_field(3, 2, c.name.encode()) for c in columns)]
     for c in columns:
-        types.append(pb_field(1, 0, c.kind))
+        t = pb_field(1, 0, c.kind)
+        if c.kind == K_DECIMAL:
+            t += pb_field(5, 0, c.precision) + pb_field(6, 0, c.scale)
+        types.append(t)
     # merge per-stripe stats into file stats (decode-merge for ints/strings)
     file_stats: list[bytes] = []
     for ci in range(len(columns) + 1):
@@ -852,6 +928,7 @@ class OrcFile:
                 "kind": _one(tf, 1, K_STRUCT),
                 "subtypes": subs,
                 "field_names": [b.decode() for b in tf.get(3, [])],
+                "precision": _one(tf, 5), "scale": _one(tf, 6),
             })
         self.file_stats = [decode_int_stats(b) for b in f.get(7, [])]
         meta_start = footer_end - footer_len - meta_len
@@ -912,7 +989,7 @@ class OrcFile:
             dict_size = (encodings[col_id]["dict_size"]
                          if col_id < len(encodings) else 0)
             values = self._decode_values(kind, enc, rle_ver, specs, nv,
-                                         dict_size)
+                                         dict_size, self.types[col_id])
             if present is not None:
                 it = iter(values)
                 values = [next(it) if p else None for p in present]
@@ -920,7 +997,8 @@ class OrcFile:
         return out
 
     def _decode_values(self, kind: int, enc: int, rle_ver: int,
-                       specs: dict, nv: int, dict_size: int = 0) -> list:
+                       specs: dict, nv: int, dict_size: int = 0,
+                       tinfo: dict | None = None) -> list:
         if kind in (K_LONG, K_INT, K_SHORT, K_BYTE, K_DATE):
             if kind == K_BYTE:
                 return list(byte_rle_decode(
@@ -935,6 +1013,35 @@ class OrcFile:
             return list(struct.unpack(f"<{nv}f", raw[:4 * nv]))
         if kind == K_BOOLEAN:
             return bool_rle_decode(self._stream_bytes(specs[S_DATA]), nv)
+        if kind == K_TIMESTAMP:
+            secs = int_rle_decode(
+                self._stream_bytes(specs[S_DATA]), nv, True, rle_ver)
+            nraw = int_rle_decode(
+                self._stream_bytes(specs[S_SECONDARY]), nv, False,
+                rle_ver)
+            out = []
+            for sct, nv_enc in zip(secs, nraw):
+                # pyarrow's C++ writer emits NEGATIVE nanos (as
+                # unsigned two's complement) at the epoch boundary;
+                # Python's floor-signed ops decode that shape directly
+                if nv_enc >= 1 << 63:
+                    nv_enc -= 1 << 64
+                nanos = _dec_nanos(nv_enc)
+                abs_s = sct + _TS_BASE
+                if nanos >= 0 and abs_s < 0 and nanos != 0:
+                    abs_s -= 1  # see writer note (ceiling convention)
+                out.append(abs_s * 1_000_000 + nanos // 1000)
+            return out
+        if kind == K_DECIMAL:
+            from decimal import Decimal
+
+            r = _Reader(self._stream_bytes(specs[S_DATA]))
+            mants = [_zz_dec(r.varint()) for _ in range(nv)]
+            scales = int_rle_decode(
+                self._stream_bytes(specs[S_SECONDARY]), nv, True,
+                rle_ver)
+            return [Decimal(m).scaleb(-sc)
+                    for m, sc in zip(mants, scales)]
         if kind in (K_STRING, K_BINARY, K_VARCHAR, K_CHAR):
             if enc in (E_DICTIONARY, E_DICTIONARY_V2):
                 dict_blob = self._stream_bytes(specs[S_DICTIONARY_DATA])

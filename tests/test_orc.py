@@ -296,3 +296,60 @@ def test_v2_writer_readers(spark, tmp_path):
     back = spark.read.orc(p).orderBy("a").collect()
     assert [r.a for r in back] == [r[0] for r in rows]
     assert [r.c for r in back] == [r[2] for r in rows]
+
+
+# -------------------------------------------------- timestamp / decimal
+
+def test_timestamp_roundtrip_and_interop(spark, tmp_path):
+    import datetime as dt
+
+    vals = [1600000000_123456, 1420070400_000000, 1400000000_500000,
+            -99_750_000, 1600000000_120000, 1600000000_000000, None,
+            -3_600_000_000, -2_000_001]
+    for v2 in (1, 2):
+        p = str(tmp_path / f"ts{v2}.orc")
+        o.write_orc(p, [o.OrcColumn("t", o.K_TIMESTAMP)],
+                    [(v,) for v in vals], rle_version=v2)
+        assert o.read_orc(p)["t"] == vals
+        pv = [None if x is None
+              else int(x.replace(tzinfo=dt.timezone.utc).timestamp()
+                       * 1_000_000)
+              for x in po.read_table(p).column("t").to_pylist()]
+        assert pv == vals
+    back = spark.read.orc(p).selectExpr("unix_micros(t) u").collect()
+    assert sorted(r.u for r in back if r.u is not None) == sorted(
+        v for v in vals if v is not None)
+    # the (-1s, 0) pre-epoch sliver is ambiguous across readers
+    with pytest.raises(ValueError, match="ambiguous"):
+        o.write_orc(str(tmp_path / "bad.orc"),
+                    [o.OrcColumn("t", o.K_TIMESTAMP)], [(-1,)])
+
+
+def test_timestamp_pyarrow_negative_nanos_shapes(tmp_path):
+    # pyarrow's C++ writer emits negative nanos (unsigned two's
+    # complement) at the epoch boundary — the reader must cope
+    vals = [-1, -999999, 999999, -1_000_001, 1600000000_123456, None]
+    p = str(tmp_path / "b.orc")
+    po.write_table(pa.table({"t": pa.array(vals, pa.timestamp("us"))}),
+                   p)
+    assert o.read_orc(p)["t"] == vals
+
+
+def test_decimal_roundtrip_and_interop(spark, tmp_path):
+    from decimal import Decimal
+
+    vals = [Decimal("12.34"), Decimal("-0.05"), Decimal("99999.99"),
+            None, Decimal("0.00")]
+    p = str(tmp_path / "d.orc")
+    o.write_orc(p, [o.OrcColumn("d", o.K_DECIMAL, 18, 2)],
+                [(v,) for v in vals])
+    assert o.read_orc(p)["d"] == vals
+    assert po.read_table(p).column("d").to_pylist() == vals
+    back = spark.read.orc(p).collect()
+    assert sorted(r.d for r in back if r.d is not None) == sorted(
+        v for v in vals if v is not None)
+    # pyarrow-written decimal128 -> our reader
+    p2 = str(tmp_path / "d2.orc")
+    po.write_table(
+        pa.table({"d": pa.array(vals, pa.decimal128(18, 2))}), p2)
+    assert o.read_orc(p2)["d"] == vals
