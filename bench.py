@@ -452,6 +452,7 @@ BENCH_QUERIES = [
     "q460_lakehouse_trio",
     "q461_format_matrix",
     "q462_orc_temporal_decimal",
+    "q463_avro_decimal_date",
 ]
 
 

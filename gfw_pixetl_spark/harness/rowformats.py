@@ -366,3 +366,115 @@ def q461(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("src").alias("n_src"),
         F.sum("n_chars").alias("sum_chars"),
         F.sum("doc_id").alias("sum_id"))
+
+
+# --------------------------------------------------------------------------
+# q463 — AVRO DECIMAL + DATE LOGICAL TYPES: the money/date edge of
+# the Kafka ingest path. Balances travel as decimal-on-bytes
+# (minimal-length big-endian two's complement of the cents, the spec
+# encoding Java's BigDecimal writer produces), dates as
+# days-since-epoch ints; both logicalType-annotated in the schema.
+# Decoded distributed and aggregated with EXACT integer cents — the
+# money-safe loop with no float anywhere. The oracle replays the
+# quantization and the synthetic signup-date rule.
+# --------------------------------------------------------------------------
+_AVRO_DEC_SCHEMA = """
+{"type": "record", "name": "Bal", "fields": [
+  {"name": "c_custkey", "type": "long"},
+  {"name": "c_mktsegment", "type": "string"},
+  {"name": "bal", "type": {"type": "bytes", "logicalType": "decimal",
+                           "precision": 18, "scale": 2}},
+  {"name": "signup", "type": {"type": "int", "logicalType": "date"}}
+]}
+"""
+
+
+def _avro_decimal_dir(spark: SparkSession, sf_dir: str) -> str:
+    def build(d: str) -> None:
+        import os
+        import uuid as _uuid
+
+        os.makedirs(d, exist_ok=True)
+        df = (load(spark, sf_dir, "customer")
+              .select("c_custkey", "c_mktsegment",
+                      F.col("c_acctbal").cast("decimal(18,2)")
+                      .alias("bal"),
+                      (F.col("c_custkey") % 9000).cast("int")
+                      .alias("signup"))
+              .repartition(4, "c_custkey"))
+
+        def write_shard(batches: Iterator[pd.DataFrame]
+                        ) -> Iterator[pd.DataFrame]:
+            from decimal import Decimal
+
+            from ..sources.avro import decimal_to_bytes, write_container
+
+            parts = [b for b in batches if len(b)]
+            if not parts:
+                return
+            pdf = pd.concat(parts, ignore_index=True)
+            recs = [
+                {"c_custkey": int(k), "c_mktsegment": str(m),
+                 "bal": decimal_to_bytes(Decimal(str(b)).scaleb(2)),
+                 "signup": int(sd)}
+                for k, m, b, sd in zip(pdf["c_custkey"],
+                                       pdf["c_mktsegment"], pdf["bal"],
+                                       pdf["signup"])]
+            import json as _json
+
+            path = os.path.join(d, f"{_uuid.uuid4().hex}.avro")
+            with open(path, "wb") as fh:
+                fh.write(write_container(
+                    recs, _json.loads(_AVRO_DEC_SCHEMA)))
+            yield pd.DataFrame({"path": [path]})
+
+        # bounded collect: one row per shard
+        df.mapInPandas(write_shard, "path string").collect()
+
+    return _derived_dir(sf_dir, "avrodec", build)
+
+
+@register(
+    "q463_avro_decimal_date",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(MIN(c_custkey % 9000) AS BIGINT) AS min_signup,
+           CAST(MAX(c_custkey % 9000) AS BIGINT) AS max_signup
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q463(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob as _glob
+
+    d = _avro_decimal_dir(spark, sf_dir)
+    files = sorted(_glob.glob(d + "/*.avro"))
+    paths = (spark.createDataFrame([(p,) for p in files], "path string")
+             .repartition(len(files)))
+
+    def read_shard(batches: Iterator[pd.DataFrame]
+                   ) -> Iterator[pd.DataFrame]:
+        from ..sources.avro import bytes_to_decimal_int, iter_container
+
+        for pdf in batches:
+            for path in pdf["path"]:
+                with open(path, "rb") as fh:
+                    recs = list(iter_container(fh.read()))
+                yield pd.DataFrame({
+                    "c_mktsegment": [r["c_mktsegment"] for r in recs],
+                    "cents": pd.Series(
+                        [bytes_to_decimal_int(r["bal"]) for r in recs],
+                        dtype="int64"),
+                    "signup": pd.Series([r["signup"] for r in recs],
+                                        dtype="int64"),
+                })
+
+    decoded = paths.mapInPandas(
+        read_shard, "c_mktsegment string, cents long, signup long")
+    return decoded.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("sum_cents"),
+        F.min("signup").alias("min_signup"),
+        F.max("signup").alias("max_signup"))

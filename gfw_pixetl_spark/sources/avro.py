@@ -667,3 +667,24 @@ def iter_container_resolved(data: bytes, reader_schema: dict):
     schema, meta, sync, pos = read_header(data)
     for rec in iter_container(data):
         yield adapt_value(rec, schema, reader_schema)
+
+
+# --------------------------------------------------------------------------
+# logical-type value helpers (spec "Logical Types"): the container
+# layer is structural; these convert at the edges. Decimal-on-bytes is
+# the minimal-length big-endian two's complement of the unscaled
+# integer; date is days since the unix epoch.
+# --------------------------------------------------------------------------
+
+def decimal_to_bytes(v) -> bytes:
+    """Unscaled int or Decimal-with-scale-applied -> avro decimal bytes."""
+    n = int(v)
+    # minimal signed length: smallest L with -(2^(8L-1)) <= n < 2^(8L-1)
+    # (BigInteger.toByteArray parity, checked against the JVM in tests)
+    length = ((n if n >= 0 else ~n).bit_length() // 8) + 1
+    return n.to_bytes(length, "big", signed=True)
+
+
+def bytes_to_decimal_int(b: bytes) -> int:
+    """Avro decimal bytes -> unscaled int."""
+    return int.from_bytes(b, "big", signed=True)

@@ -305,3 +305,19 @@ def test_our_reader_reads_java_container(spark, tmp_path):
     fw.close()
     with open(p, "rb") as fh:
         assert list(iter_container(fh.read())) == rows
+
+
+def test_decimal_bytes_match_java_biginteger(spark):
+    # the spec pins decimal bytes to BigInteger.toByteArray() of the
+    # unscaled value — check ours byte-for-byte via the JVM
+    from gfw_pixetl_spark.sources.avro import (
+        bytes_to_decimal_int, decimal_to_bytes,
+    )
+
+    jvm = spark._jvm
+    for n in (0, 1, -1, 127, 128, -128, -129, 255, 256, 10 ** 15,
+              -(10 ** 15)):
+        ours = decimal_to_bytes(n)
+        theirs = bytes(jvm.java.math.BigInteger(str(n)).toByteArray())
+        assert ours == theirs, (n, ours, theirs)
+        assert bytes_to_decimal_int(ours) == n
