@@ -453,6 +453,7 @@ BENCH_QUERIES = [
     "q461_format_matrix",
     "q462_orc_temporal_decimal",
     "q463_avro_decimal_date",
+    "q464_iceberg_rename",
 ]
 
 

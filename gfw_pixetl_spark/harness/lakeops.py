@@ -1581,3 +1581,81 @@ def q460(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c_custkey").alias("sum_key"),
         (F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
          .cast("double") + 0.0).alias("sum_bal"))
+
+
+# --------------------------------------------------------------------------
+# q464 — ICEBERG RENAME-SAFE SCHEMA EVOLUTION: THE feature field ids
+# exist for — columns are renamed in METADATA ONLY (update_schema
+# appends a new schema keeping every field's id) and no data file is
+# rewritten. The fixture commits odd-custkey files under the v0 names
+# (c_acctbal / c_mktsegment), renames both columns, then commits
+# even-custkey files under the NEW names — a mixed table. The read
+# must reconcile both generations through the schemas-history name
+# mapping (coalesce old-name/new-name per field id over a
+# schema-merged scan) and aggregate under the CURRENT names; a broken
+# mapping loses half the rows or nulls a column, breaking the hash.
+# --------------------------------------------------------------------------
+def _renamed_iceberg_dir(spark: SparkSession, sf_dir: str) -> str:
+    def build(d: str) -> None:
+        import os as _os
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        from ..sources.iceberg import IcebergTable
+
+        cust = (load(spark, sf_dir, "customer")
+                .select("c_custkey", "c_mktsegment", "c_acctbal")
+                .toPandas().sort_values("c_custkey"))
+        # bounded one-time fixture write (q422-builder shape)
+        _os.makedirs(f"{d}/data", exist_ok=True)
+        table = IcebergTable(
+            d, [("c_custkey", "long"), ("c_mktsegment", "string"),
+                ("c_acctbal", "double")], [])
+
+        def write_files(pdf, tag):
+            files = []
+            for half in (0, 1):
+                grp = pdf[pdf["c_custkey"] % 2 == half]
+                rel = f"data/{tag}-{half}.parquet"
+                _pq.write_table(
+                    _pa.Table.from_pandas(grp, preserve_index=False),
+                    f"{d}/{rel}")
+                files.append({"path": rel, "partition": {},
+                              "record_count": len(grp),
+                              "size": _os.path.getsize(f"{d}/{rel}")})
+            return files
+
+        odd = cust[cust["c_custkey"] % 3 != 0]
+        table.commit(write_files(odd, "v0"))
+        table.update_schema({"c_acctbal": "account_balance",
+                             "c_mktsegment": "segment"})
+        new = (cust[cust["c_custkey"] % 3 == 0]
+               .rename(columns={"c_acctbal": "account_balance",
+                                "c_mktsegment": "segment"}))
+        table.commit(write_files(new, "v1"))
+
+    return _derived_dir(sf_dir, "icerename", build)
+
+
+@register(
+    "q464_iceberg_rename",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(c_custkey) AS BIGINT) AS sum_key,
+           CAST(round(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2)
+                AS DOUBLE) + 0.0 AS sum_bal
+    FROM customer GROUP BY 1
+    """,
+)
+def q464(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.iceberg import read_iceberg
+
+    d = _renamed_iceberg_dir(spark, sf_dir)
+    df = read_iceberg(spark, d)
+    return df.groupBy("segment").agg(
+        F.count("*").alias("n"),
+        F.sum("c_custkey").alias("sum_key"),
+        (F.round(F.sum(F.col("account_balance").cast("decimal(18,2)")),
+                 2).cast("double") + 0.0).alias("sum_bal"))

@@ -165,9 +165,10 @@ class IcebergTable:
             self.partition_fields = [
                 f["name"] for f in
                 meta["partition-specs"][0]["fields"]]
+            cur = next(sc for sc in meta["schemas"]
+                       if sc["schema-id"] == meta["current-schema-id"])
             self.schema_fields = [
-                (f["name"], f["type"]) for f in
-                meta["schemas"][0]["fields"]]
+                (f["name"], f["type"]) for f in cur["fields"]]
 
         mdir = _meta_dir(self.dir)
         rows = []
@@ -258,14 +259,17 @@ class IcebergTable:
             "last-sequence-number": seq,
             "last-updated-ms": 0,
             "last-column-id": len(self.schema_fields),
-            "schemas": [{
+            # schema evolution is metadata-only: carry the full
+            # schemas history forward (update_schema appends to it)
+            "schemas": (meta["schemas"] if meta else [{
                 "schema-id": 0, "type": "struct",
                 "fields": [{"id": i + 1, "name": n, "required": False,
                             "type": t} for i, (n, t) in
                            enumerate(self.schema_fields)],
-            }],
-            "current-schema-id": 0,
-            "partition-specs": [{
+            }]),
+            "current-schema-id": (meta["current-schema-id"]
+                                  if meta else 0),
+            "partition-specs": (meta["partition-specs"] if meta else [{
                 "spec-id": 0,
                 "fields": [{"source-id":
                             [n for n, _ in self.schema_fields]
@@ -274,7 +278,7 @@ class IcebergTable:
                             "transform": "identity"}
                            for i, c in
                            enumerate(self.partition_fields)],
-            }],
+            }]),
             "default-spec-id": 0,
             "snapshots": snapshots,
             "current-snapshot-id": snap_id,
@@ -288,6 +292,41 @@ class IcebergTable:
         os.rename(tmp, mdir / f"v{version}.metadata.json")
         (mdir / "version-hint.text").write_text(str(version))
         return snap_id
+
+    def update_schema(self, renames: dict[str, str]) -> int:
+        """Metadata-only schema evolution: RENAME columns by stable
+        field id (the Iceberg contract — no data file is touched).
+        Appends a new schema to the history and makes it current;
+        files written before keep their old column names and are
+        reconciled at read time via the schemas-history name mapping
+        (the spec's fallback when parquet field ids are absent).
+        Returns the new schema id."""
+        meta = self._current_metadata()
+        if meta is None:
+            raise ValueError(f"iceberg: no table at {self.dir}")
+        cur = next(sc for sc in meta["schemas"]
+                   if sc["schema-id"] == meta["current-schema-id"])
+        unknown = set(renames) - {f["name"] for f in cur["fields"]}
+        if unknown:
+            raise KeyError(f"iceberg: no such columns {sorted(unknown)}")
+        new_id = max(sc["schema-id"] for sc in meta["schemas"]) + 1
+        new_schema = {
+            "schema-id": new_id, "type": "struct",
+            "fields": [{**f, "name": renames.get(f["name"], f["name"])}
+                       for f in cur["fields"]],
+        }
+        meta["schemas"] = meta["schemas"] + [new_schema]
+        meta["current-schema-id"] = new_id
+        version = meta["_version"] + 1
+        meta["_version"] = version
+        mdir = _meta_dir(self.dir)
+        tmp = mdir / f"v{version}.metadata.json.tmp"
+        tmp.write_text(json.dumps(meta, indent=1))
+        os.rename(tmp, mdir / f"v{version}.metadata.json")
+        (mdir / "version-hint.text").write_text(str(version))
+        self.schema_fields = [(f["name"], f["type"])
+                              for f in new_schema["fields"]]
+        return new_id
 
     # ---------------- read side ----------------
 
@@ -355,7 +394,12 @@ class IcebergTable:
                 "manifests_scanned": scanned, "snapshot_id": sid,
                 "partition_fields": part_fields,
                 "schema_fields": [(f["name"], f["id"]) for f in
-                                  meta["schemas"][0]["fields"]]}
+                                  next(sc for sc in meta["schemas"]
+                                       if sc["schema-id"] ==
+                                       meta["current-schema-id"])
+                                  ["fields"]],
+                "schemas": meta["schemas"],
+                "current_schema_id": meta["current-schema-id"]}
 
 
 def read_iceberg(spark, table_dir: str, snapshot_id: int | None = None,
@@ -377,7 +421,26 @@ def read_iceberg(spark, table_dir: str, snapshot_id: int | None = None,
         raise ValueError("iceberg: no files survive pruning")
     paths = sorted(os.path.join(table_dir, f["file_path"])
                    for f in plan["files"])
-    df = spark.read.parquet(*paths)
+    df = spark.read.option("mergeSchema", "true").parquet(*paths)
+    # schemas-history name mapping: a field id's historical names all
+    # funnel into its CURRENT name (rename-safe reads — files written
+    # under any prior schema reconcile without rewrite)
+    if len(plan.get("schemas", [])) > 1:
+        hist: dict[int, list[str]] = {}
+        for sc in sorted(plan["schemas"], key=lambda x: x["schema-id"]):
+            for f in sc["fields"]:
+                names = hist.setdefault(f["id"], [])
+                if f["name"] not in names:
+                    names.append(f["name"])
+        cols = []
+        for name, fid in plan["schema_fields"]:
+            cands = [n for n in reversed(hist[fid])
+                     if n in df.columns]
+            if not cands:
+                continue
+            expr = F.coalesce(*[F.col(c) for c in cands])                 if len(cands) > 1 else F.col(cands[0])
+            cols.append(expr.alias(name))
+        df = df.select(*cols)
     if not plan["deletes"]:
         return df
 

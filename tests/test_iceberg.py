@@ -194,3 +194,45 @@ def test_merge_on_read_sequence_rules(tmp_path, spark):
     en = sorted(r["doc_id"] for r in read_iceberg(
         spark, t.dir, partition_filter={"lang": "en"}).collect())
     assert en == [2, 3, 4, 5, 6, 7, 8, 9]
+
+
+def test_rename_schema_evolution(spark, tmp_path):
+    """Metadata-only rename by field id: files from before and after
+    the rename reconcile through the schemas-history name mapping."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from gfw_pixetl_spark.sources.iceberg import (
+        IcebergTable,
+        read_iceberg,
+    )
+
+    d = str(tmp_path / "t")
+    import os
+
+    os.makedirs(f"{d}/data", exist_ok=True)
+    t = IcebergTable(d, [("k", "long"), ("v", "double")], [])
+    old = pd.DataFrame({"k": [1, 2, 3], "v": [1.0, 2.0, 3.0]})
+    pq.write_table(pa.Table.from_pandas(old), f"{d}/data/a.parquet")
+    t.commit([{"path": "data/a.parquet", "partition": {},
+               "record_count": 3,
+               "size": os.path.getsize(f"{d}/data/a.parquet")}])
+    sid = t.update_schema({"v": "value"})
+    assert sid == 1
+    new = pd.DataFrame({"k": [4, 5], "value": [4.0, 5.0]})
+    pq.write_table(pa.Table.from_pandas(new), f"{d}/data/b.parquet")
+    t.commit([{"path": "data/b.parquet", "partition": {},
+               "record_count": 2,
+               "size": os.path.getsize(f"{d}/data/b.parquet")}])
+
+    got = {(r.k, r.value) for r in read_iceberg(spark, d).collect()}
+    assert got == {(1, 1.0), (2, 2.0), (3, 3.0), (4, 4.0), (5, 5.0)}
+    # unknown column refused; repeated rename chains resolve
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        t.update_schema({"nope": "x"})
+    t.update_schema({"value": "val2"})
+    got2 = {(r.k, r.val2) for r in read_iceberg(spark, d).collect()}
+    assert len(got2) == 5
