@@ -1524,37 +1524,48 @@ _SA_ROUNDS = 8  # 2^8 = 256 >= _SA_LEN
     """,
 )
 def q330(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A doc's suffixes never leave its row: the former prefix-doubling
+    # formulation (8 rounds of two doc-partitioned windows over the
+    # exploded suffix table = 1 shuffle + 16 sorts) spent its time
+    # re-sorting a table whose partition key was the doc anyway. One
+    # map-only pass now builds each doc's suffix ranks batch-side (the
+    # unit of parallelism — the corpus — is unchanged, and at 100 TB
+    # this is strictly better: ZERO exchanges before the final sort of
+    # the per-doc aggregate). Ranks are identical: suffixes of one doc
+    # are pairwise distinct (distinct lengths), and Python's code-point
+    # string order equals the UTF-8 byte order the oracle sorts by.
+    from ..functions.partitioning import ensure_min_partitions
+
     docs = load(spark, sf_dir, "documents")
-    d = docs.select("doc_id",
-                    F.substring("text", 1, _SA_LEN).alias("t"))
-    st = d.select(
-        "doc_id", F.length("t").alias("n"),
-        F.posexplode(F.expr(
-            "transform(sequence(1, length(t)),"
-            " i -> ascii(substring(t, i, 1)))")).alias("pos0", "r")
-    ).select("doc_id", "n", (F.col("pos0") + 1).alias("pos"),
-             F.col("r").cast("bigint").alias("r"))
-    st = st.localCheckpoint()
-    wpos = Window.partitionBy("doc_id").orderBy("pos")
-    for k in range(_SA_ROUNDS):
-        step = 1 << k
-        wrank = Window.partitionBy("doc_id").orderBy(
-            F.col("r").asc(), F.col("r2").asc())
-        st = (
-            st.withColumn("r2", F.coalesce(
-                F.lead("r", step).over(wpos), F.lit(0)))
-            .withColumn("r", F.dense_rank().over(wrank).cast("bigint"))
-            .drop("r2")
-        )
-        if k == 3:  # cut the 8-round lineage once mid-way
-            st = st.localCheckpoint()
-    return (
-        st.groupBy("doc_id")
-        .agg(F.max("n").cast("bigint").alias("n_suffixes"),
-             F.sum(F.col("pos") * F.col("r")).cast("bigint")
-             .alias("sa_checksum"))
-        .orderBy("doc_id")
+    d = ensure_min_partitions(
+        docs.select("doc_id", F.substring("text", 1, _SA_LEN).alias("t"))
     )
+
+    def _sa(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_id, out_n, out_ck = [], [], []
+            for doc_id, t in zip(pdf["doc_id"], pdf["t"]):
+                n = len(t)
+                if n == 0:
+                    continue  # no suffixes (oracle: empty generate_series)
+                order = sorted(range(n), key=lambda i: t[i:])
+                # order[r-1] = start of rank-r suffix; checksum sums
+                # (1-based pos) * rank over all suffixes
+                ck = sum((i + 1) * r for r, i in enumerate(order, 1))
+                out_id.append(doc_id)
+                out_n.append(n)
+                out_ck.append(ck)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(out_id, dtype="int64"),
+                "n_suffixes": pd.Series(out_n, dtype="int64"),
+                "sa_checksum": pd.Series(out_ck, dtype="int64"),
+            })
+
+    return d.mapInPandas(
+        _sa, "doc_id long, n_suffixes bigint, sa_checksum bigint"
+    ).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------
@@ -2219,100 +2230,66 @@ _FM_PLEN = 3
     """,
 )
 def q455(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The FM-index is PER DOC (each doc indexes its own <=257 chars), so
+    # the whole build+search is row-local: the former relational
+    # formulation (9 prefix-doubling window rounds + occ/C-table windows
+    # + 3 backward-search rounds of 3 joins each) paid ~15 shuffles for
+    # work that never crosses a doc boundary. One map-only kernel now
+    # runs the same algorithm — suffix array, BWT, C table, occ ranks,
+    # Ferragina-Manzini backward search — batch-side per doc, then a
+    # single tiny aggregation by pattern. At corpus scale this is the
+    # right shape outright: zero exchanges until the 6-row rollup.
+    from ..functions.partitioning import ensure_min_partitions
+
     docs = load(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 5 == 0)
-    d = docs.select(
+    d0 = ensure_min_partitions(docs.select(
         "doc_id",
         F.concat(F.substring("text", 1, _FM_LEN),
-                 F.lit("\x01")).alias("t"))
-    chars = d.select(
-        "doc_id",
-        F.posexplode(F.expr(
-            "transform(sequence(1, length(t)),"
-            " i -> ascii(substring(t, i, 1)))")).alias("pos0", "code")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"),
-             F.col("code").cast("bigint").alias("code"))
-    chars = chars.localCheckpoint()
+                 F.lit("\x01")).alias("t")))
+    pats = list(_FM_PATS)
 
-    # suffix array by prefix doubling (exactly the q330 recurrence,
-    # one extra round for the sentinel)
-    st = chars.select("doc_id", "pos", F.col("code").alias("r"))
-    wpos = Window.partitionBy("doc_id").orderBy("pos")
-    for k in range(_FM_ROUNDS):
-        step = 1 << k
-        wrank = Window.partitionBy("doc_id").orderBy(
-            F.col("r").asc(), F.col("r2").asc())
-        st = (st.withColumn("r2", F.coalesce(
-                F.lead("r", step).over(wpos), F.lit(0)))
-              .withColumn("r", F.dense_rank().over(wrank).cast("bigint"))
-              .drop("r2"))
-        if k in (3, 6):  # cut the 9-round lineage
-            st = st.localCheckpoint()
+    def _fm(batches):
+        import pandas as pd
 
-    # BWT in SA order: the char BEFORE each suffix (sentinel wraps)
-    prev = chars.select("doc_id", (F.col("pos") + 1).alias("pos"),
-                        F.col("code").alias("prev_code"))
-    bwt = (st.join(prev, ["doc_id", "pos"], "left")
-           .select("doc_id", F.col("r").alias("i"),
-                   F.coalesce("prev_code", F.lit(1)).alias("c")))
-    bwt = bwt.localCheckpoint()
+        def search(t, pat):
+            n = len(t)
+            sa = sorted(range(n), key=lambda i: t[i:])
+            bwt = [t[i - 1] if i > 0 else t[-1] for i in sa]
+            # C_le(c) = # chars <= c; occ(c, i) = # of c in bwt[:i]
+            from collections import Counter
 
-    # rank structure: occ(c, i) at every i where bwt[i] = c
-    wocc = Window.partitionBy("doc_id", "c").orderBy("i")
-    occ = bwt.withColumn("occ", F.row_number().over(wocc))
-    occ = occ.localCheckpoint()
-    # C table as Cle(c) = # chars <= c
-    cnts = bwt.groupBy("doc_id", "c").agg(F.count("*").alias("cnt"))
-    wc = (Window.partitionBy("doc_id").orderBy("c")
-          .rowsBetween(Window.unboundedPreceding, 0))
-    ctab = cnts.withColumn("cle", F.sum("cnt").over(wc))
+            cnt = Counter(t)
+            cle, acc = {}, 0
+            for c in sorted(cnt):
+                acc += cnt[c]
+                cle[c] = acc
+            lo, hi = 1, n  # 1-based inclusive [lo, hi] over SA rows
+            for c in reversed(pat):
+                c_lt = 0
+                for ch, le in cle.items():
+                    if ch < c:
+                        c_lt = max(c_lt, le)
+                occ_lo = sum(1 for x in bwt[: lo - 1] if x == c)
+                occ_hi = sum(1 for x in bwt[:hi] if x == c)
+                lo = c_lt + occ_lo + 1
+                hi = c_lt + occ_hi
+                if hi < lo:
+                    return 0
+            return hi - lo + 1
 
-    pats = spark.createDataFrame([(p,) for p in _FM_PATS], "pat string")
-    states = (d.select("doc_id", F.length("t").alias("n1"))
-              .crossJoin(F.broadcast(pats))
-              .select("doc_id", "pat",
-                      F.lit(1).cast("bigint").alias("lo"),
-                      F.col("n1").cast("bigint").alias("hi")))
+        for pdf in batches:
+            out_pat, out_cnt = [], []
+            for t in pdf["t"]:
+                for pat in pats:
+                    out_pat.append(pat)
+                    out_cnt.append(search(t, pat))
+            yield pd.DataFrame({
+                "pat": pd.Series(out_pat, dtype="object"),
+                "cnt": pd.Series(out_cnt, dtype="int64"),
+            })
 
-    for s in range(_FM_PLEN):
-        cpos = _FM_PLEN - s  # pattern consumed right-to-left
-        states = states.withColumn(
-            "cc", F.ascii(F.substring("pat", cpos, 1)).cast("bigint"))
-        sv = states.alias("s")
-        ov = occ.alias("o")
-        clt = (states.join(ctab, "doc_id")
-               .filter(F.col("c") < F.col("cc"))
-               .groupBy("doc_id", "pat")
-               .agg(F.max_by("cle", "c").alias("c_lt")))
-        occ_lo = (sv.join(
-                      ov, (F.col("s.doc_id") == F.col("o.doc_id"))
-                      & (F.col("s.cc") == F.col("o.c"))
-                      & (F.col("o.i") <= F.col("s.lo") - 1))
-                  .groupBy(F.col("s.doc_id").alias("doc_id"),
-                           F.col("s.pat").alias("pat"))
-                  .agg(F.max("o.occ").alias("occ_lo")))
-        occ_hi = (sv.join(
-                      ov, (F.col("s.doc_id") == F.col("o.doc_id"))
-                      & (F.col("s.cc") == F.col("o.c"))
-                      & (F.col("o.i") <= F.col("s.hi")))
-                  .groupBy(F.col("s.doc_id").alias("doc_id"),
-                           F.col("s.pat").alias("pat"))
-                  .agg(F.max("o.occ").alias("occ_hi")))
-        states = (states
-                  .join(clt, ["doc_id", "pat"], "left")
-                  .join(occ_lo, ["doc_id", "pat"], "left")
-                  .join(occ_hi, ["doc_id", "pat"], "left")
-                  .select("doc_id", "pat",
-                          (F.coalesce("c_lt", F.lit(0))
-                           + F.coalesce("occ_lo", F.lit(0)) + 1)
-                          .cast("bigint").alias("lo"),
-                          (F.coalesce("c_lt", F.lit(0))
-                           + F.coalesce("occ_hi", F.lit(0)))
-                          .cast("bigint").alias("hi")))
-
-    per_doc = states.select(
-        "pat",
-        F.greatest(F.col("hi") - F.col("lo") + 1, F.lit(0)).alias("cnt"))
+    per_doc = d0.mapInPandas(_fm, "pat string, cnt bigint")
     return per_doc.groupBy("pat").agg(
         F.sum((F.col("cnt") > 0).cast("long")).alias("n_docs"),
         F.sum("cnt").alias("n_occ"))

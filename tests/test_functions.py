@@ -468,6 +468,32 @@ def test_connected_components_local_contract_equivalence(spark):
     assert labels[40] == 0 and labels[219] == 200 and labels[300] == 300
 
 
+def test_connected_components_local_resolve_matches_loop(spark):
+    """The single-task terminal resolve (contracted forest under the
+    size gate) must produce byte-identical labels to the iterative
+    min-label loop (gate forced to 0 edges)."""
+    from gfw_pixetl_spark.functions.dedup import connected_components
+
+    pairs = (
+        [(i, i + 1) for i in range(0, 40)]
+        + [(100, 101), (102, 103)]
+        + [(200, x) for x in range(201, 220)]
+        + [(300, 300)]
+        + [(400, 401), (401, 402), (400, 402)]
+        + [(500 + i, 560 - i) for i in range(30)]    # zig-zag chain
+    )
+    edges = spark.createDataFrame(
+        pairs, "doc_id_a long, doc_id_b long").repartition(7)
+    fast = {(r.doc_id, r.component)
+            for r in connected_components(
+                edges, local_resolve_max_edges=10**9).collect()}
+    loop = {(r.doc_id, r.component)
+            for r in connected_components(
+                edges, local_resolve_max_edges=0).collect()}
+    assert fast == loop
+    assert dict(fast)[560] == 500
+
+
 def test_budget_select_matches_global_window(spark):
     """Bucketed distributed prefix sum == naive global cumsum, including
     cross-bucket boundaries and score ties (broken by id)."""
