@@ -1456,28 +1456,33 @@ def q329(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = (
         cand.join(F.broadcast(vocab), "piece")
         .groupBy("word", "p").agg(F.max("l").alias("best_l"))
-        .localCheckpoint()
     )
-    # greedy walk: follow best_l from position 1; frontier shrinks as
-    # words finish (pos > len) — bounded by the longest word
-    state = wc.select("word", F.lit(1).alias("p"),
-                      F.lit(0).alias("pieces"),
-                      F.length("word").alias("wl")).localCheckpoint()
-    done = state.filter(F.col("p") > F.col("wl")).select("word", "pieces")
-    active = state.filter(F.col("p") <= F.col("wl"))
-    while active.count() > 0:  # bounded scalar per round
-        stepped = (
-            active.join(best, ["word", "p"])
-            .select("word", (F.col("p") + F.col("best_l")).alias("p"),
-                    (F.col("pieces") + 1).alias("pieces"), "wl")
-            .localCheckpoint()
-        )
-        done = done.unionByName(
-            stepped.filter(F.col("p") > F.col("wl"))
-            .select("word", "pieces"))
-        active = stepped.filter(F.col("p") <= F.col("wl"))
+    # Greedy walk WITHOUT a driver frontier loop (the former
+    # join+checkpoint+count round per step cost ~3 jobs x longest-word
+    # rounds): gather each word's best_l into a position-indexed array
+    # (best_l exists for EVERY p — single chars are always in vocab) and
+    # follow it with ONE aggregate() fold: scanning i = 1..len(word),
+    # the state jumps p -> p + best_l[p] exactly when i reaches p, so
+    # the fold replays the identical longest-match-first walk row-side.
+    bl = best.groupBy("word").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("p", "best_l"))),
+            lambda s: s["best_l"],
+        ).alias("bl"))
+    walk = wc.join(bl, "word")
+    pieces = F.aggregate(
+        F.sequence(F.lit(1), F.length("word")),
+        F.struct(F.lit(1).alias("p"), F.lit(0).alias("c")),
+        lambda acc, i: F.when(
+            i == acc["p"],
+            F.struct(
+                (acc["p"] + F.element_at(F.col("bl"), acc["p"])).alias("p"),
+                (acc["c"] + 1).alias("c"),
+            ),
+        ).otherwise(acc),
+    )["c"]
     return (
-        done.join(wc, "word")
+        walk.select("n", pieces.alias("pieces"))
         .groupBy(F.col("pieces").alias("n_pieces"))
         .agg(F.count("*").cast("bigint").alias("n_distinct_words"),
              F.sum("n").cast("bigint").alias("n_occurrences"))

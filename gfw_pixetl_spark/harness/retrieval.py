@@ -701,35 +701,30 @@ def q335(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .cast("bigint")).alias("w"))
         .localCheckpoint()
     )
-    src0 = e.agg(F.min("src")).collect()[0][0]  # bounded: 1 scalar
-    dist = spark.createDataFrame(
-        spark.sparkContext.parallelize([(int(src0), 0)], 1),
-        "node bigint, cost bigint")
-    while True:
-        relax = (
-            dist.join(e, dist.node == e.src)
-            .select(F.col("dst").alias("node"),
-                    (F.col("cost") + F.col("w")).alias("cost"))
-        )
-        merged = (
-            dist.unionByName(relax)
-            .groupBy("node").agg(F.min("cost").alias("cost"))
-            .localCheckpoint()
-        )
-        # bounded scalars: node count + total cost shrink monotonically
-        changed = (
-            merged.join(dist.select(F.col("node"),
-                                    F.col("cost").alias("old")),
-                        "node", "left")
-            .filter(F.col("old").isNull() | (F.col("cost") < F.col("old")))
-            .count()
-        )
-        dist = merged
-        if changed == 0:
-            break
-    return dist.select(F.col("node").cast("bigint").alias("node"),
-                       F.col("cost").cast("bigint").alias("cost")
-                       ).orderBy("node")
+    # The aggregated lane table is VALUE-DOMAIN bounded (<= 25x24 nation
+    # pairs however large the fact tables), so the relaxation runs on a
+    # collected copy — the standard tiny-statistic discipline — instead
+    # of the former distributed fixpoint loop whose per-round
+    # join+checkpoint+changed-count cost ~3 jobs x diameter for a
+    # 625-row graph. The distributed work (the shrinking min-agg over
+    # lineitem) is unchanged; the fixpoint (exact integer Bellman-Ford)
+    # is identical.
+    lanes = [(int(r.src), int(r.dst), int(r.w)) for r in e.collect()]
+    src0 = min(s for s, _, _ in lanes)
+    dist = {src0: 0}
+    changed = True
+    while changed:
+        changed = False
+        for s, t, w in lanes:
+            if s in dist:
+                nc = dist[s] + w
+                if nc < dist.get(t, nc + 1):
+                    dist[t] = nc
+                    changed = True
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            sorted((int(n), int(c)) for n, c in dist.items()), 1),
+        "node bigint, cost bigint").orderBy("node")
 
 
 # --------------------------------------------------------------------------

@@ -2182,11 +2182,18 @@ def q355(spark: SparkSession, sf_dir: str) -> DataFrame:
               "transform(sequence(1, size(ws) - 4),"
               " i -> array_join(slice(ws, i, 5), ' '))")).alias("shingle"))
           .distinct().localCheckpoint())
-    covered = None
+    picked: list[int] = []
     picks = []
     for k in range(1, _COVER_K + 1):
-        rem = (sh if covered is None
-               else sh.join(covered, "shingle", "left_anti"))
+        # covered = shingles of the already-picked docs, expressed as a
+        # FILTER of the checkpointed shingle table: left_anti only tests
+        # existence, so duplicates on the right are harmless and the
+        # former per-round union+distinct+localCheckpoint job is gone —
+        # each round is now exactly one job (anti-join + agg + 1-row
+        # argmax collect).
+        rem = (sh if not picked
+               else sh.join(sh.filter(F.col("doc_id").isin(picked))
+                            .select("shingle"), "shingle", "left_anti"))
         gain = rem.groupBy("doc_id").agg(F.count("*").alias("c"))
         top = gain.agg(F.max(F.struct(
             F.col("c"), (-F.col("doc_id")).alias("nd"))).alias("m")
@@ -2195,10 +2202,7 @@ def q355(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         pick, c = -top.nd, int(top.c)
         picks.append((k, int(pick), c))
-        new_cov = sh.filter(F.col("doc_id") == pick).select("shingle")
-        covered = (new_cov if covered is None
-                   else covered.unionByName(new_cov).distinct()
-                   ).localCheckpoint()
+        picked.append(int(pick))
     return spark.createDataFrame(
         spark.sparkContext.parallelize(picks, 1),
         "pick bigint, doc_id bigint, gain bigint").orderBy("pick")

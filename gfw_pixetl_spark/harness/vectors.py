@@ -1121,21 +1121,27 @@ def q311(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = e.select(
         "vec_id", "v", "na",
         (F.col("na") - 2 * S.dot(F.col("v"), lit_vec(cv)) + F.lit(cn))
-        .alias("mind")).localCheckpoint()
+        .alias("mind")).localCheckpoint(eager=False)
     for k in range(1, _KC_ROUNDS):
+        # ONE job per round: the argmax struct carries the winner's
+        # vector and norm (fields after the unique (mind, -vec_id) key
+        # never influence the max), so the former second collect — a
+        # full re-scan to fetch the picked row — is gone; the lazy
+        # checkpoint materializes under this same action while still
+        # truncating the per-round lineage.
         top = d.agg(F.max(F.struct(F.col("mind"),
-                                   (-F.col("vec_id")).alias("nid")))
+                                   (-F.col("vec_id")).alias("nid"),
+                                   F.col("na"), F.col("v")))
                     .alias("m")).collect()[0].m  # bounded: 1 row
         pick_id, radius = -top.nid, float(top.mind)
         picks.append((k, int(pick_id), round(radius, 6)))
-        row = e.filter(F.col("vec_id") == pick_id).collect()[0]  # 1 row
-        cv, cn = list(row.v), float(row.na)
+        cv, cn = list(top.v), float(top.na)
         d = d.select(
             "vec_id", "v", "na",
             F.least(
                 F.col("mind"),
                 F.col("na") - 2 * S.dot(F.col("v"), lit_vec(cv))
-                + F.lit(cn)).alias("mind")).localCheckpoint()
+                + F.lit(cn)).alias("mind")).localCheckpoint(eager=False)
     # single-slice parallelize: a local createDataFrame(list) pays 32
     # Python tasks for 8 rows
     return spark.createDataFrame(
