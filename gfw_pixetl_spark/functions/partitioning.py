@@ -26,12 +26,31 @@ def shuffle_width(df: DataFrame) -> int:
     return int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
 
 
+# Partition-count memo keyed by (application id, semanticHash):
+# ``df.rdd`` forces full physical planning (~0.1 s of driver work per
+# call, measured), while ``semanticHash`` is analysis-only (~2 ms) and
+# identical plans over the engine's static inputs recur thousands of
+# times across a bench/oracle run. The memo only feeds the
+# repartition-or-not decision — either branch is semantically safe — so
+# a stale count can at worst cost parallelism, never correctness.
+_NPART_MEMO: dict[tuple[str, int], int] = {}
+
+
+def planned_num_partitions(df: DataFrame) -> int:
+    key = (df.sparkSession.sparkContext.applicationId, df.semanticHash())
+    hit = _NPART_MEMO.get(key)
+    if hit is None:
+        hit = df.rdd.getNumPartitions()
+        _NPART_MEMO[key] = hit
+    return hit
+
+
 def ensure_min_partitions(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Repartition iff current parallelism < ``min_parts`` (default: the
     session shuffle width). Explicit numPartitions pins the count so AQE
     does not re-coalesce the exchange back to one partition."""
     target = min_parts or shuffle_width(df)
-    if df.rdd.getNumPartitions() >= target:
+    if planned_num_partitions(df) >= target:
         return df
     return df.repartition(target)
 

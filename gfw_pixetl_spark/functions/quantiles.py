@@ -45,7 +45,9 @@ def exact_quantiles(
     vals = df.select(F.col(col).cast("double").alias("v")).where(
         F.col("v").isNotNull()
     )
-    n_parts = num_partitions or max(vals.rdd.getNumPartitions(), 1)
+    from .partitioning import planned_num_partitions
+
+    n_parts = num_partitions or max(planned_num_partitions(vals), 1)
     ranked = (
         vals.repartitionByRange(n_parts, "v")
         .sortWithinPartitions("v")
@@ -147,7 +149,9 @@ def weighted_quantiles(
     # size by the SCAN's partitioning, not per_v's (a shuffle output is
     # always spark.sql.shuffle.partitions wide — 32 near-empty selection
     # tasks at small inputs)
-    n_parts = num_partitions or max(vals.rdd.getNumPartitions(), 1)
+    from .partitioning import planned_num_partitions
+
+    n_parts = num_partitions or max(planned_num_partitions(vals), 1)
     ranked = (
         per_v.repartitionByRange(n_parts, "v")
         .sortWithinPartitions("v")
@@ -228,7 +232,9 @@ def grouped_exact_quantiles(
     vals = df.select(
         F.col(group_col).alias("g"), F.col(col).cast("double").alias("v")
     ).where(F.col("v").isNotNull() & F.col("g").isNotNull())
-    n_parts = num_partitions or max(vals.rdd.getNumPartitions(), 1)
+    from .partitioning import planned_num_partitions
+
+    n_parts = num_partitions or max(planned_num_partitions(vals), 1)
     ranked = (
         vals.repartitionByRange(n_parts, "g", "v")
         .sortWithinPartitions("g", "v")

@@ -35,6 +35,16 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Prefer shuffled-hash over sort-merge when the per-partition
+        # build side fits (guide: SHJ skips both sorts; SMJ remains the
+        # planner's fallback when sizes don't qualify), and let AQE
+        # rewrite SMJ -> SHJ at runtime when every post-shuffle partition
+        # is under the threshold. Join strategy never changes results.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         # --- Arrow for pandas_udf / mapInPandas kernels ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
