@@ -35,10 +35,17 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     Orientation by (degree, id) keeps the wedge join sub-quadratic on
     skewed graphs: hubs receive edges instead of fanning them out.
     """
+    # The edge table feeds the degree build (twice via the union),
+    # n_edges and the orientation; the degree table feeds the wedge
+    # count and both join sides; the oriented table feeds w1/w2/closure.
+    # Catalyst does no cross-subtree CSE, so without checkpoints the
+    # caller's edge derivation would execute up to 18 times.
+    edges = edges.localCheckpoint(eager=False)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node").agg(F.count("*").alias("deg"))
+        .localCheckpoint(eager=False)
     )
     wedges = deg.agg(
         F.sum(F.col("deg") * (F.col("deg") - 1) / 2).cast("bigint")
@@ -64,6 +71,7 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             ).alias("e")
         )
         .select("e.a", "e.b", "e.ka", "e.kb")
+        .localCheckpoint(eager=False)
     )
     w1 = oriented.select(
         F.col("a"), F.col("b").alias("x"),

@@ -379,7 +379,10 @@ def covariance_upper(
         ], ignore_index=True)
 
     partials = df.select(vec_col).mapInPandas(kernel, "i int, j int, v double")
-    sums = partials.groupBy("i", "j").agg(F.sum("v").alias("s"))
+    # n_row / means (twice) / pairs all filter this d^2-sized table —
+    # checkpoint so the gram kernel runs once, not four times
+    sums = partials.groupBy("i", "j").agg(F.sum("v").alias("s")) \
+        .localCheckpoint(eager=False)
     n_row = sums.filter((F.col("i") == 0) & (F.col("j") == 0)).select(
         F.col("s").alias("n"))
     means = sums.filter((F.col("j") == 0) & (F.col("i") > 0)).select(

@@ -143,7 +143,11 @@ def tfidf_top_terms(
     per-(doc,term) scoring join never shuffles the big side. The corpus
     size N is a 1-row broadcast cross join, not a driver-side collect.
     """
-    w = df.select("doc_id", F.explode(words(text_col)).alias("word"))
+    # tf and dfreq both consume the exploded term stream — checkpoint
+    # so the tokenizing explode runs once
+    w = df.select(
+        "doc_id", F.explode(words(text_col)).alias("word")
+    ).localCheckpoint(eager=False)
     tf = w.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     dfreq = w.groupBy("word").agg(F.countDistinct("doc_id").alias("dfreq"))
     n = df.agg(F.countDistinct("doc_id").alias("n_docs"))
@@ -861,6 +865,9 @@ def unigram_apply(df: DataFrame, text_col: str = "text",
         .filter(F.col("w").rlike(BPE_WORD_FILTER) & (F.length("w") >= 2))
         .select("doc_id",
                 F.substring(F.lower("w"), 1, max_word).alias("word"))
+        # feeds both the distinct-word table and the per-occurrence
+        # join; checkpoint so the explode+regex pass runs once
+        .localCheckpoint(eager=False)
     )
     word_tbl = word_occ.select("word").distinct()
 

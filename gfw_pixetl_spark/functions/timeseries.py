@@ -49,6 +49,9 @@ def gapfill_locf(
     ``<col>_locf``. Buckets before a series' first observation keep
     null LOCF — there is nothing to carry.
     """
+    # the bucketed input (usually a fact-scale aggregate) feeds the
+    # extent scan AND the dense join — checkpoint so it runs once
+    bucketed = bucketed.localCheckpoint(eager=False)
     ext = bucketed.groupBy(*series_cols).agg(
         F.min(bucket_col).alias("_mn"), F.max(bucket_col).alias("_mx")
     )
@@ -159,7 +162,8 @@ def acf_integer(
     s = daily.select(
         F.col(t_col).cast("bigint").alias("t"),
         F.col(x_col).cast("bigint").alias("x"),
-    )
+    ).localCheckpoint(eager=False)  # referenced five times below —
+    # without this the caller's daily aggregate executes per reference
     scal = s.agg(
         (F.max("t") + 1).alias("n"),
         F.sum("x").alias("s1"),

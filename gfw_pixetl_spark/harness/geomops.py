@@ -483,7 +483,10 @@ def q331(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("ia", "ib").localCheckpoint(eager=False))
     deg = pairs.groupBy(F.col("ia").alias("id")).agg(
         F.count("*").alias("nn"))
-    core = deg.filter(F.col("nn") >= _DB_MINPTS).select("id")
+    # core is joined four times below — checkpoint so the degree
+    # aggregation over the pair table runs once
+    core = deg.filter(F.col("nn") >= _DB_MINPTS).select("id") \
+        .localCheckpoint(eager=False)
     ce = (pairs.join(core.select(F.col("id").alias("ia")), "ia")
           .join(core.select(F.col("id").alias("ib")), "ib")
           .filter(F.col("ia") < F.col("ib")))
@@ -491,7 +494,8 @@ def q331(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id"), F.col("component").alias("cluster"))
     comp = (core.join(comp_edges, "id", "left")
             .select("id", F.coalesce("cluster", F.col("id"))
-                    .alias("cluster")))
+                    .alias("cluster"))
+            .localCheckpoint(eager=False))  # border + union both read it
     border = (
         pairs.filter(F.col("ia") != F.col("ib"))
         .join(comp.select(F.col("id").alias("ib"),

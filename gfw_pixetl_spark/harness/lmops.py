@@ -44,8 +44,9 @@ def q140(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(T.words("text")).alias("w")
-    )
-    freq = toks.groupBy("w").agg(F.count("*").alias("c"))
+    ).localCheckpoint(eager=False)  # freq build + scoring join
+    freq = toks.groupBy("w").agg(F.count("*").alias("c")) \
+        .localCheckpoint(eager=False)  # total + scoring join
     total = freq.agg(F.sum("c").alias("t"))
     return (
         toks.join(F.broadcast(freq), "w")
@@ -109,8 +110,12 @@ def q158(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("p"),
         )
         .select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        # model build + scoring join both read the bigram stream —
+        # checkpoint so the zip/explode pass runs once
+        .localCheckpoint(eager=False)
     )
-    bc = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    bc = bi.groupBy("w1", "w2").agg(F.count("*").alias("c12")) \
+        .localCheckpoint(eager=False)  # feeds lc AND the scoring join
     lc = bc.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vocab = (
         docs.select(F.explode(ws).alias("w")).agg(
@@ -218,9 +223,11 @@ def q191(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load(spark, sf_dir, "documents")
-    ws = docs.select(T.words("text").alias("w"))
+    ws = docs.select(T.words("text").alias("w")).localCheckpoint(
+        eager=False)  # unigram + bigram explodes both read it
     uni = ws.select(F.explode("w").alias("x"))
-    ucnt = uni.groupBy("x").agg(F.count("*").alias("cx"))
+    ucnt = uni.groupBy("x").agg(F.count("*").alias("cx")) \
+        .localCheckpoint(eager=False)  # joined as both ux and uy
     n = uni.agg(F.count("*").cast("double").alias("n"))
     pairs = ws.select(
         F.explode(
@@ -290,7 +297,8 @@ def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     b = docs.groupBy(
         "source", (F.col("n_chars") / 50).cast("long").alias("bucket")
-    ).agg(F.count("*").alias("n"))
+    ).agg(F.count("*").alias("n")).localCheckpoint(
+        eager=False)  # referenced four times (st, g, gt, final join)
     st = b.groupBy("source").agg(F.sum("n").alias("ns"))
     g = b.groupBy("bucket").agg(F.sum("n").alias("ng"))
     gt = b.agg(F.sum("n").alias("nt"))
@@ -343,7 +351,8 @@ def q206(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q207(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     w = docs.select(
-        "doc_id", "lang", F.explode(T.words("text")).alias("word"))
+        "doc_id", "lang", F.explode(T.words("text")).alias("word")
+    ).localCheckpoint(eager=False)  # vocab build + coverage join
     # top-k via orderBy+limit = TakeOrdered (per-partition partial top-k
     # merged on the driver) — a web-scale vocabulary never funnels
     # through a single-partition ranking window
@@ -405,6 +414,7 @@ def q216(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "c")
         .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)  # totals + entropy join
     )
     tot = freq.groupBy("doc_id").agg(
         F.sum("n").alias("total"),
@@ -924,6 +934,7 @@ def q282(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("lang", F.explode(T.words("text")).alias("w"))
         .filter(F.col("w") != "")
         .select("lang", F.lower("w").alias("w"))
+        .localCheckpoint(eager=False)  # vocab build + OOV join
     )
     vocab = (
         ex.groupBy("w").agg(F.count("*").alias("c"))
@@ -1049,7 +1060,8 @@ def q303(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = docs.select(
         F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w")
     ).filter(F.col("w") != "")
-    wc = w.groupBy("w").agg(F.count("*").alias("f"))
+    wc = w.groupBy("w").agg(F.count("*").alias("f")).localCheckpoint(
+        eager=False)  # totals + top-100 both read it
     tot = wc.agg(F.count("*").alias("vocab"), F.sum("f").alias("toks"))
     top = wc.orderBy(F.col("f").desc(), F.col("w").asc()).limit(100)
     wr = Window.orderBy(F.col("f").desc(), F.col("w").asc())
@@ -1158,6 +1170,7 @@ def q308(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(ws, F.lit(2), n - 2).alias("w2"),
             F.slice(ws, F.lit(3), n - 2).alias("w3"))).alias("p"))
         .select("doc_id", "p.w1", "p.w2", "p.w3")
+        .localCheckpoint(eager=False)  # trains t3 AND scores held-out
     )
     bi = (
         docs.filter(n >= 2)
@@ -1171,7 +1184,8 @@ def q308(spark: SparkSession, sf_dir: str) -> DataFrame:
     t3 = tri.filter(train).groupBy("w1", "w2", "w3").agg(
         F.count("*").alias("c123"))
     t2 = bi.filter(train).groupBy("w1", "w2").agg(
-        F.count("*").alias("c12"))
+        F.count("*").alias("c12")).localCheckpoint(
+        eager=False)  # joined under both (w1,w2) and (w2,w3)
     t1 = uni.filter(train).groupBy("w").agg(F.count("*").alias("c1"))
     nv = t1.agg(F.sum("c1").alias("n_tok"), F.count("*").alias("v"))
     held = (
@@ -1262,9 +1276,11 @@ def q310(spark: SparkSession, sf_dir: str) -> DataFrame:
         bi.groupBy("w1", "w2").agg(F.count("*").alias("c"))
         .orderBy(F.col("c").desc(), F.col("w1").asc(), F.col("w2").asc())
         .limit(1).select("w1", "w2")
+        .localCheckpoint(eager=False)  # 1 row; p1 and p2 both probe it
     )
     post = docs.select(
-        "doc_id", F.posexplode(ws).alias("pos0", "term"))
+        "doc_id", F.posexplode(ws).alias("pos0", "term")
+    ).localCheckpoint(eager=False)  # both position streams read it
     p1 = post.join(F.broadcast(phrase),
                    F.col("term") == F.col("w1")).select(
         "doc_id", F.col("pos0").alias("a_pos"), "w1", "w2")
@@ -1317,6 +1333,9 @@ def q316(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w").agg(F.count("*").alias("c"))
         .orderBy(F.col("c").desc(), F.col("w").asc())
         .limit(1).select(F.col("w").alias("needle"))
+        # 1 row; referenced twice through the needle_tri self-join —
+        # without this the corpus explode+agg+top-1 runs twice
+        .localCheckpoint(eager=False)
     )
     tris = F.expr(
         "transform(sequence(1, length(text) - 2),"
@@ -1431,7 +1450,8 @@ def q329(spark: SparkSession, sf_dir: str) -> DataFrame:
            .limit(_WP_TOP).select(F.col("word").alias("piece")))
     chars = wc.select(F.explode(F.expr(
         "transform(sequence(1, length(word)),"
-        " i -> substring(word, i, 1))")).alias("c")).distinct()
+        " i -> substring(word, i, 1))")).alias("c")).distinct() \
+        .localCheckpoint(eager=False)  # both vocab branches read it
     vocab = (
         top.unionByName(chars.select(F.col("c").alias("piece")))
         .unionByName(chars.select(F.concat(F.lit("##"), F.col("c"))
@@ -1681,7 +1701,8 @@ def q340(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.parallelize([(k,) for k in _HEAPS_KS], 1),
         "k bigint")
         .crossJoin(F.broadcast(max_doc))
-        .filter(F.col("k") <= F.col("mx")).select("k"))
+        .filter(F.col("k") <= F.col("mx")).select("k")
+        .localCheckpoint(eager=False))  # v and n both cross-join it
     v = (fo.crossJoin(F.broadcast(ck))
          .filter(F.col("first_doc") <= F.col("k"))
          .groupBy("k").agg(F.count("*").alias("v")))

@@ -174,7 +174,10 @@ def q103(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
         )
 
-    y95, y96 = buyers(1995), buyers(1996)
+    # each cohort table participates in all three set operations —
+    # checkpoint so each year's distinct scan runs once, not three times
+    y95 = buyers(1995).localCheckpoint(eager=False)
+    y96 = buyers(1996).localCheckpoint(eager=False)
     tag = lambda df, name: df.select(  # noqa: E731
         F.lit(name).alias("cohort"), "o_custkey"
     )
@@ -1296,7 +1299,7 @@ def q156(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.lit(1).cast("decimal(7,6)")
                - F.col("l_discount").cast("decimal(7,6)"))
         ).cast("double").alias("total_revenue")
-    )
+    ).localCheckpoint(eager=False)  # max probe + final join both read it
     top = rev.agg(F.max("total_revenue").alias("mx"))
     return (
         load(spark, sf_dir, "supplier")
@@ -1393,7 +1396,7 @@ def q225(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate")
          > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         .alias("late"),
-    )
+    ).localCheckpoint(eager=False)  # per-order agg + waiting filter
     per_order = joined.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
         F.countDistinct(
@@ -1512,6 +1515,7 @@ def q245(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name",
                 F.col("s_acctbal").cast("double").alias("s_acctbal"),
                 "n_name")
+        .localCheckpoint(eager=False)  # semi-join probe + final join
     )
     part = (
         load(spark, sf_dir, "part")
@@ -1653,6 +1657,7 @@ def q247(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
              .cast("double").alias("part_value"))
+        .localCheckpoint(eager=False)  # threshold + filter both read it
     )
     threshold = v.agg(
         (F.lit(2.0) * F.avg("part_value")).alias("thr"))
@@ -1714,7 +1719,8 @@ def q248(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p_partkey").alias("l_partkey"))
     )
     li = load(spark, sf_dir, "lineitem").join(
-        F.broadcast(cold), "l_partkey", "left_semi")
+        F.broadcast(cold), "l_partkey", "left_semi").localCheckpoint(
+        eager=False)  # both aggregations read the filtered slice
     supp_qty = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(F.col("l_quantity").cast("decimal(18,2)"))
         .cast("double").alias("supp_qty"))
@@ -2110,12 +2116,17 @@ def q312(spark: SparkSession, sf_dir: str) -> DataFrame:
         "u", (F.col("u") / 7).cast("bigint").alias("p")).filter(
         F.col("p") >= 1)
     anc = part.select("u", F.col("u").alias("a"))
-    frontier = edges.select("u", F.col("p").alias("a"))
+    # each round references the frontier twice (the anc union AND the
+    # next hop join); without per-round checkpoints the unrolled plan
+    # re-executes round k's join chain once per later round
+    frontier = edges.select("u", F.col("p").alias("a")).localCheckpoint(
+        eager=False)
     up = edges.select(F.col("u").alias("a"), F.col("p").alias("a2"))
     for _ in range(_TREE_ROUNDS):
         anc = anc.unionByName(frontier)
         frontier = (frontier.join(up, "a")
-                    .select("u", F.col("a2").alias("a")))
+                    .select("u", F.col("a2").alias("a"))
+                    .localCheckpoint(eager=False))
     return (
         anc.join(v, "u")
         .groupBy(F.col("a").alias("partkey"))
@@ -2635,18 +2646,22 @@ def q341(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.substring("p_brand", 1, 7).alias("item"))
          .distinct().localCheckpoint(eager=False))
     minsup = b.agg(F.greatest(
-        F.lit(2), (F.countDistinct("oid") / 10).cast("bigint")).alias("s"))
+        F.lit(2), (F.countDistinct("oid") / 10).cast("bigint")).alias("s")
+    ).localCheckpoint(eager=False)  # 1-row scalar, referenced at every level
     l1 = (b.groupBy("item").agg(F.count("*").alias("c"))
           .crossJoin(F.broadcast(minsup))
           .filter(F.col("c") >= F.col("s")).select("item"))
     bf = b.join(F.broadcast(l1), "item").localCheckpoint(eager=False)
     a = bf.select("oid", F.col("item").alias("i1"))
     c = bf.select(F.col("oid"), F.col("item").alias("i2"))
+    # l2 feeds both the output union and the L3 candidate generation —
+    # checkpoint so the within-basket self-join + count runs once.
     l2 = (a.join(c, "oid").filter(F.col("i1") < F.col("i2"))
           .groupBy("i1", "i2").agg(F.count("*").alias("support"))
           .crossJoin(F.broadcast(minsup))
           .filter(F.col("support") >= F.col("s"))
-          .select("i1", "i2", "support"))
+          .select("i1", "i2", "support")
+          .localCheckpoint(eager=False))
     # L3: orders containing an L2 pair, extended by a third frequent
     # item above the pair
     pair_orders = (
@@ -2724,7 +2739,8 @@ def q345(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = (per_g.crossJoin(F.broadcast(tot))
             .select(((F.col("st") - F.col("s")).cast("double")
                      / (F.col("nt") - F.col("n"))).alias("theta"),
-                    "ng", "st", "nt"))
+                    "ng", "st", "nt")
+            .localCheckpoint(eager=False))  # mean + SE pass both read it
     m = reps.agg(F.avg("theta").alias("theta_bar"))
     return (
         reps.crossJoin(F.broadcast(m))
@@ -2788,7 +2804,8 @@ def q346(spark: SparkSession, sf_dir: str) -> DataFrame:
     sd = F.sqrt((F.col("sxx").cast("double")
                  - F.col("sx").cast("double") * F.col("sx") / F.col("n"))
                 / F.col("n"))
-    d = s.select("seg", "n", sd.alias("sd"))
+    d = s.select("seg", "n", sd.alias("sd")).localCheckpoint(
+        eager=False)  # total-weight probe + allocation both read it
     tot = d.agg(F.sum(F.col("n") * F.col("sd")).alias("w"))
     return (
         d.crossJoin(F.broadcast(tot))
@@ -3134,7 +3151,8 @@ def q353(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q359(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     ym = (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
-    f = orders.groupBy("o_custkey").agg(F.min(ym).alias("ym0"))
+    f = orders.groupBy("o_custkey").agg(F.min(ym).alias("ym0")) \
+        .localCheckpoint(eager=False)  # sizes + cohort join both read it
     sizes = f.groupBy("ym0").agg(F.count("*").alias("n_members"))
     cell = (
         orders.join(f, "o_custkey")
@@ -3201,7 +3219,8 @@ def q369(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.select(F.col("o_orderkey").alias("ok"),
                       F.col("o_custkey").alias("c")), "ok"
     ).select("c", "s").localCheckpoint(eager=False)
-    a1 = e.groupBy("s").agg(F.count("*").alias("a1"))
+    a1 = e.groupBy("s").agg(F.count("*").alias("a1")).localCheckpoint(
+        eager=False)  # h1 build + final join both read it
     h1 = (e.join(F.broadcast(a1), "s")
           .groupBy("c").agg(F.sum("a1").alias("h1")))
     a2 = (e.join(F.broadcast(h1), "c")

@@ -525,7 +525,10 @@ def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    # referenced five times (count, both self-join sides, marginals) —
+    # checkpoint so the distinct runs once
+    baskets = (li.select("l_orderkey", "l_partkey").distinct()
+               .localCheckpoint(eager=False))
     n_orders = baskets.agg(
         F.countDistinct("l_orderkey").alias("n")
     )
@@ -542,7 +545,8 @@ def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("nab"))
         .filter(F.col("nab") >= 3)
     )
-    marg = baskets.groupBy("l_partkey").agg(F.count("*").alias("np"))
+    marg = (baskets.groupBy("l_partkey").agg(F.count("*").alias("np"))
+            .localCheckpoint(eager=False))  # joined as both ma and mb
     ma = marg.select(F.col("l_partkey").alias("pa"), F.col("np").alias("na"))
     mb = marg.select(F.col("l_partkey").alias("pb"), F.col("np").alias("nb"))
     return (

@@ -166,7 +166,7 @@ def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id",
         F.filter(F.split("text", " "), lambda w: w != "").alias("ws"),
-    )
+    ).localCheckpoint(eager=False)  # dl and tf both read it: split once
     dl = toks.select("doc_id", F.size("ws").alias("dl"))
     stats = dl.agg(
         F.count("*").alias("n"), F.avg("dl").alias("avgdl")
@@ -176,6 +176,7 @@ def q118(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("word").isin(*QUERY_TERMS))
         .groupBy("doc_id", "word")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)  # feeds df_ AND the score join
     )
     df_ = tf.groupBy("word").agg(F.count("*").alias("df"))
     idf = F.log(
@@ -790,10 +791,12 @@ def q337(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.col("u").alias("node"))
         .unionAll(e.select(F.col("v").alias("node")))
         .groupBy("node").agg(F.count("*").alias("d"))
+        .localCheckpoint(eager=False)  # joined as both du and dv
     )
     du = deg.select(F.col("node").alias("u"), F.col("d").alias("xu"))
     dv = deg.select(F.col("node").alias("v"), F.col("d").alias("xv"))
-    ej = e.join(du, "u").join(dv, "v")
+    ej = e.join(du, "u").join(dv, "v").localCheckpoint(
+        eager=False)  # both stub directions read it
     stubs = (ej.select(F.col("xu").alias("x"), F.col("xv").alias("y"))
              .unionAll(ej.select(F.col("xv").alias("x"),
                                  F.col("xu").alias("y"))))
@@ -903,6 +906,10 @@ def q342(spark: SparkSession, sf_dir: str) -> DataFrame:
             walk.join(nbr, (nbr.src == walk.cur)
                       & (nbr.idx == h % nbr.deg), "left")
             .select("start", F.coalesce("dst", "cur").alias("cur"))
+            # referenced by the output column AND the next step — the
+            # checkpoint keeps each hop's join from re-executing per
+            # later step
+            .localCheckpoint(eager=False)
         )
         walk = step
         outs.append(step.select("start",

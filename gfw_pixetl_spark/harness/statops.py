@@ -39,6 +39,9 @@ def _bucketed_cum(d: DataFrame, value_col: str, cnt_cols: list[str],
     window over the 64-row bucket-total table. ``d`` must have one row
     per distinct ``value_col`` (plus optional ``order_tail`` tie-break
     columns when values repeat across rows)."""
+    # d (usually a fact-scale aggregate) feeds the range scalar AND the
+    # bucketing; checkpoint so it is computed once per call
+    d = d.localCheckpoint(eager=False)
     rng = d.agg(F.min(value_col).alias("_lo"), F.max(value_col).alias("_hi"))
     b = (
         d.crossJoin(F.broadcast(rng))

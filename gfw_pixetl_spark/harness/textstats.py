@@ -1097,8 +1097,9 @@ def q209(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load(spark, sf_dir, "documents")
-    pairs = D.ngram_jaccard_pairs(docs, threshold=0.5,
-                                  block_cols=("source",))
+    pairs = D.ngram_jaccard_pairs(
+        docs, threshold=0.5, block_cols=("source",)
+    ).localCheckpoint(eager=False)  # both union directions reference it
     sym = pairs.select(
         F.col("doc_id_a").alias("doc_id"),
         F.col("doc_id_b").alias("partner"), "jaccard",
@@ -1797,7 +1798,8 @@ def q323(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.struct(F.lit(b).alias("band_id"),
                      F.col(f"band{b}").alias("key"))
             for b in range(D.N_BANDS)])).alias("bk")
-    ).select("doc_id", "bk.band_id", "bk.key")
+    ).select("doc_id", "bk.band_id", "bk.key").localCheckpoint(
+        eager=False)  # index + batch splits both read it; hash once
     index_keys = stacked.filter(F.col("doc_id") % 5 != 0).select(
         F.col("doc_id").alias("index_id"), "band_id", "key")
     batch_keys = stacked.filter(F.col("doc_id") % 5 == 0).select(

@@ -588,7 +588,10 @@ def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    l1 = up(l2)
+    # each level feeds the output union AND the next rollup — without
+    # checkpoints the fact-scale base aggregate executes three times
+    l2 = l2.localCheckpoint(eager=False)
+    l1 = up(l2).localCheckpoint(eager=False)
     l0 = up(l1)
     lvl = lambda df, z: df.select(  # noqa: E731
         F.lit(z).alias("zoom"), "x", "y", F.round("v", 6).alias("v")
@@ -1460,7 +1463,10 @@ def q187(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.raster_table import raster_catalog, read_pixels
 
     cat = raster_catalog(spark, [_ndvi_demo_file()])
-    px = read_pixels(cat, window=32, parallelism=8)
+    # red and nir bands filter the same decode — checkpoint so the
+    # raster kernel runs once
+    px = read_pixels(cat, window=32, parallelism=8).localCheckpoint(
+        eager=False)
     red = px.filter(F.col("band") == 1).select(
         "uri", "row", "col", F.col("value").alias("red"))
     nir = px.filter(F.col("band") == 2).select(
@@ -1936,8 +1942,10 @@ def q228(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.raster_table import raster_catalog, read_pixels
 
     cat = raster_catalog(spark, [_focal_demo_file()])
+    # four references (both sides of the h and v adjacency joins) —
+    # checkpoint so the raster kernel decodes once
     px = read_pixels(cat, window=48, parallelism=8).select(
-        "row", "col", "value")
+        "row", "col", "value").localCheckpoint(eager=False)
     lvl = F.lit(_CONTOUR_LEVEL)
     a, b = px.alias("a"), px.alias("b")
 
@@ -2013,9 +2021,12 @@ def q230(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.raster_table import raster_catalog, read_pixels
 
     cat = raster_catalog(spark, [_focal_demo_file()])
+    # histogram build + remap join both read px — decode once
     px = read_pixels(cat, window=48, parallelism=8).select(
-        "row", "col", F.col("value").cast("bigint").alias("v"))
-    hist = px.groupBy("v").agg(F.count("*").alias("n"))
+        "row", "col", F.col("value").cast("bigint").alias("v")
+    ).localCheckpoint(eager=False)
+    hist = px.groupBy("v").agg(F.count("*").alias("n")).localCheckpoint(
+        eager=False)  # total + remap both read the 13-row histogram
     # 13-value dimension: the running sum window is histogram-sized
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
     total = hist.agg(F.sum("n").alias("total"))
@@ -2195,12 +2206,15 @@ def q250(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.raster_table import raster_catalog, read_pixels
 
     cat = raster_catalog(spark, [_poly_demo_file()])
+    # zeros and targets both read px — checkpoint so the raster-decode
+    # kernel runs once
     px = read_pixels(cat, window=16, parallelism=8).select(
-        "row", "col", "value")
+        "row", "col", "value").localCheckpoint(eager=False)
     r = _PROX_R
     cell = [(F.col("row") / r).cast("int").alias("cell_r"),
             (F.col("col") / r).cast("int").alias("cell_c")]
-    zeros = px.filter(F.col("value") == 0).select("row", "col", *cell)
+    zeros = px.filter(F.col("value") == 0).select(
+        "row", "col", *cell).localCheckpoint(eager=False)
     off = F.array([F.lit(i) for i in (-1, 0, 1)])
     targets = (
         px.filter(F.col("value") == 1)
@@ -2220,7 +2234,8 @@ def q250(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("row", "col")
         .agg(F.min(d2).alias("d2"))
     )
-    reached = nearest.filter(F.col("d2") <= r * r)
+    reached = nearest.filter(F.col("d2") <= r * r).localCheckpoint(
+        eager=False)  # histogram + unreached count both read it
     hist = reached.groupBy("d2").agg(
         F.count("*").cast("bigint").alias("n_px")
     ).select(F.sqrt("d2").cast("double").alias("dist"), "n_px")
@@ -2319,8 +2334,11 @@ def q252(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.raster_table import raster_catalog, read_pixels
 
     cat = raster_catalog(spark, [_fill_demo_file()])
+    # holes and valid both read px — checkpoint so the raster-decode
+    # kernel runs once
     px = read_pixels(cat, window=16, parallelism=8).select(
-        "row", "col", F.col("value").cast("long").alias("v"))
+        "row", "col", F.col("value").cast("long").alias("v")
+    ).localCheckpoint(eager=False)
     r = _FILL_R
     cell = [(F.col("row") / r).cast("int").alias("cell_r"),
             (F.col("col") / r).cast("int").alias("cell_c")]
@@ -2663,8 +2681,12 @@ def q320(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = edges.select(F.col("p").alias("a"))  # distance-1 visits
     frontier = edges.select("u", F.col("p").alias("a"))
     for _ in range(_ACC_ROUNDS - 1):
+        # the frontier feeds the visit union AND the next hop — without
+        # a per-round checkpoint round k's join chain re-executes once
+        # per later round
         frontier = (frontier.join(up, "a")
-                    .select("u", F.col("a2").alias("a")))
+                    .select("u", F.col("a2").alias("a"))
+                    .localCheckpoint(eager=False))
         pairs = pairs.unionByName(frontier.select("a"))
     acc = pairs.groupBy(F.col("a").alias("u")).agg(
         F.count("*").alias("acc"))
@@ -2721,7 +2743,10 @@ def q412(spark: SparkSession, sf_dir: str) -> DataFrame:
              .rowsBetween(Window.unboundedPreceding, 0))
     ii = (px.withColumn("rowsum", F.sum("v").over(row_w))
           .withColumn("ii", F.sum("rowsum").over(col_w))
-          .select("r", "c", "ii"))
+          .select("r", "c", "ii")
+          # four corner lookups join against it — build the integral
+          # image once instead of once per corner
+          .localCheckpoint(eager=False))
     # box sum of block (br, bc) = I(r2,c2) - I(r1-1,c2) - I(r2,c1-1)
     # + I(r1-1,c1-1); out-of-image corners contribute 0
     blocks = spark.range(16 * 16).select(

@@ -338,7 +338,8 @@ def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     h = ev.groupBy(
         "event_type", F.hour("ts").alias("hod")
-    ).agg(F.count("*").alias("n"))
+    ).agg(F.count("*").alias("n")).localCheckpoint(
+        eager=False)  # totals + entropy join both read it
     tot = h.groupBy("event_type").agg(F.sum("n").alias("nt"))
     p = F.col("n") / F.col("nt").cast("double")
     return (
@@ -501,7 +502,9 @@ def q264(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "c_custkey")
     members = cust.join(F.broadcast(comp), "c_custkey", "left").select(
         "c_custkey", "c_acctbal",
-        F.coalesce("component", F.col("c_custkey")).alias("entity"))
+        F.coalesce("component", F.col("c_custkey")).alias("entity"),
+    ).localCheckpoint(eager=False)  # feeds the rollup AND the orders join
+    # — without this the fuzzy-pair + union-find chain executes twice
     orders = load(spark, sf_dir, "orders").join(
         F.broadcast(members.select("c_custkey", "entity")),
         F.col("o_custkey") == F.col("c_custkey"))
@@ -711,6 +714,7 @@ def q279(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.col("o_orderdate").cast("date"),
                        F.lit("1992-01-01").cast("date")).alias("t"))
         .agg(F.count("*").alias("x"))
+        .localCheckpoint(eager=False)  # window sum + join both read it
     )
     scal = daily.agg((F.max("t") + 1).alias("n"))
     offs = spark.range(-3, 4).select(F.col("id").alias("off"))
@@ -820,7 +824,8 @@ def q280(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "h")
         .localCheckpoint()  # sketches are tiny; plan both pair sides once
     )
-    types = sk.select("event_type").distinct()
+    types = sk.select("event_type").distinct().localCheckpoint(
+        eager=False)  # both pair sides read it
     pairs = (
         types.select(F.col("event_type").alias("type_a"))
         .join(types.select(F.col("event_type").alias("type_b")),
@@ -934,7 +939,8 @@ def q284(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "h")
         .localCheckpoint()
     )
-    types = sk.select("event_type").distinct()
+    types = sk.select("event_type").distinct().localCheckpoint(
+        eager=False)  # both pair sides read it
     pairs = (
         types.select(F.col("event_type").alias("type_a"))
         .join(types.select(F.col("event_type").alias("type_b")),
@@ -1161,6 +1167,7 @@ def q288(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.col("o_orderdate").cast("date"),
                        F.lit("1992-01-01").cast("date")).alias("t"))
         .agg(F.count("*").alias("x"))
+        .localCheckpoint(eager=False)  # scalar + cumsum both read it
     )
     scal = daily.agg(F.count("*").alias("n"), F.sum("x").alias("s"))
     w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)

@@ -1526,7 +1526,10 @@ def q262(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q263(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.multimodal import image_ahash
 
-    h = image_ahash(load(spark, sf_dir, "documents"))
+    # both LSH band sides reference h — checkpoint so the image-decode
+    # kernel runs once per image, not twice
+    h = image_ahash(load(spark, sf_dir, "documents")).localCheckpoint(
+        eager=False)
     band_id = F.explode(F.array(*[F.lit(i) for i in range(4)]))
     bands = h.select(
         "doc_id", "ahash", band_id.alias("band_id")

@@ -718,7 +718,8 @@ def q197(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.posexplode(F.col("embedding").cast("array<double>"))
         .alias("i0", "x"),
-    ).select("vec_id", (F.col("i0") + 1).alias("i"), "x")
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "x") \
+        .localCheckpoint(eager=False)  # moment build + scoring join
     m = e.groupBy("i").agg(
         F.avg("x").alias("mu"),
         (F.avg(F.col("x") * F.col("x"))
@@ -774,7 +775,7 @@ def q231(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(F.col("embedding")[i].cast("double")) / F.count("*"))
             for i in range(dim)
         ]).alias("c")
-    )
+    ).localCheckpoint(eager=False)  # both pair sides read the centroids
     a = cent.select(F.col("source").alias("source_a"),
                     F.col("c").alias("ca"))
     b = cent.select(F.col("source").alias("source_b"),
@@ -936,13 +937,17 @@ def q285(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = gram.filter(F.col("i") > 0)
     n = gram.filter((F.col("i") == 0) & (F.col("j") == 0)).select(
         F.col("g").alias("n"))
-    v1 = g.groupBy(F.col("i")).agg(F.sum("g").alias("s"))
+    # v1/v2 are d-row matvec results referenced 4x/3x below — lazily
+    # checkpoint so each matvec aggregation over the gram runs once
+    v1 = g.groupBy(F.col("i")).agg(F.sum("g").alias("s")).localCheckpoint(
+        eager=False)
     v2 = (
         g.join(F.broadcast(v1.select(F.col("i").alias("j"),
                                      F.col("s").alias("v1j"))), "j")
         .groupBy("i")
         .agg(F.sum(F.col("g").cast("decimal(19,0)")
                    * F.col("v1j").cast("decimal(19,0)")).alias("s"))
+        .localCheckpoint(eager=False)
     )
     r_num = (
         v1.select(F.col("i"), F.col("s").alias("a"))
