@@ -265,7 +265,8 @@ def domain_mix_weights(
     single partition, so the pattern survives any corpus size.
     """
     counts = df.groupBy(*domain_cols).agg(F.count("*").alias("n"))
-    counts = counts.withColumn("w", F.pow(F.col("n"), F.lit(alpha)))
+    counts = counts.withColumn("w", F.pow(F.col("n"), F.lit(alpha))) \
+        .localCheckpoint(eager=False)  # normalizer + output both read it
     total = counts.agg(F.sum("w").alias("w_total"))
     return (
         counts.crossJoin(F.broadcast(total))

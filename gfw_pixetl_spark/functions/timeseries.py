@@ -168,7 +168,7 @@ def acf_integer(
         (F.max("t") + 1).alias("n"),
         F.sum("x").alias("s1"),
         F.sum(F.col("x") * F.col("x")).alias("s2"),
-    )
+    ).localCheckpoint(eager=False)  # broadcast into two stages
     lags = s.sparkSession.range(1, max_lag + 1).select(
         F.col("id").cast("bigint").alias("lag"))
     parts = (

@@ -405,7 +405,8 @@ def q168(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import dedup as D
 
     docs = load(spark, sf_dir, "documents")
-    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    bench = docs.filter(F.col("doc_id") % 10 == 0).localCheckpoint(
+        eager=False)  # bloom build + exact-membership join
     bloom = D.bloom_build(bench, "text")
     probed = D.bloom_probe(docs.select("doc_id", "source", "text"), bloom)
     member = F.col("_m").isNotNull()
@@ -693,7 +694,7 @@ def q199(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"), F.avg("value").alias("mean"),
         (F.sum(F.col("value") * F.col("value"))
          - F.count("*") * F.avg("value") * F.avg("value")).alias("m2"),
-    )
+    ).localCheckpoint(eager=False)  # both half filters read it
     a = halves.filter(F.col("half") == 0).alias("a")
     b = halves.filter(F.col("half") == 1).alias("b")
     na, nb = F.col("a.n"), F.col("b.n")
@@ -777,6 +778,7 @@ def q275(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor(F.col("o_totalprice") * 100).cast("bigint")
                 .cast("string"), 1, 1).cast("int").alias("digit"))
         .groupBy("digit").agg(F.count("*").cast("bigint").alias("n"))
+        .localCheckpoint(eager=False)  # total probe + left join
     )
     tot = obs.agg(F.sum("n").alias("total"))
     # single-slice parallelize: a local createDataFrame(list) pays a
@@ -926,6 +928,7 @@ def q309(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_rows"),
              F.sum(F.col("h").cast("decimal(38,0)")).cast("string")
              .alias("digest"))
+        .localCheckpoint(eager=False)  # root rollup + output union
     )
     root = leaf.agg(
         F.lit(-1).cast("bigint").alias("bucket"),

@@ -504,7 +504,7 @@ def q331(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.lit(1).alias("_c")), "ia", "left_anti")
         .groupBy(F.col("ia").alias("id"))
         .agg(F.min("cluster").alias("cluster"))
-    )
+    ).localCheckpoint(eager=False)  # labelled + assigned both read it
     labelled = (comp.select("cluster", F.lit(1).alias("is_core"))
                 .unionByName(border.select(
                     "cluster", F.lit(0).alias("is_core"))))
@@ -617,6 +617,7 @@ def q336(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.pid").alias("pid"), F.col("a.vid").alias("sid"),
                 F.col("a.x").alias("ax"), F.col("a.y").alias("ay"),
                 F.col("bx"), F.col("by"))
+        .localCheckpoint(eager=False)  # both segment-pair sides read it
     )
     s, t = seg.alias("s"), seg.alias("t")
     pairs = s.join(

@@ -1186,7 +1186,8 @@ def q308(spark: SparkSession, sf_dir: str) -> DataFrame:
     t2 = bi.filter(train).groupBy("w1", "w2").agg(
         F.count("*").alias("c12")).localCheckpoint(
         eager=False)  # joined under both (w1,w2) and (w2,w3)
-    t1 = uni.filter(train).groupBy("w").agg(F.count("*").alias("c1"))
+    t1 = uni.filter(train).groupBy("w").agg(F.count("*").alias("c1")) \
+        .localCheckpoint(eager=False)  # vocab scalar + two backoff joins
     nv = t1.agg(F.sum("c1").alias("n_tok"), F.count("*").alias("v"))
     held = (
         tri.filter(F.col("doc_id") % 2 == 0)

@@ -1009,7 +1009,7 @@ def q402(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(wc).alias("rc"),
         F.row_number().over(wr).alias("rr"),
         F.count("*").over(Window.partitionBy("user_id")).alias("n_cand"),
-    )
+    ).localCheckpoint(eager=False)  # chosen + rejected both filter it
     chosen = c.filter(F.col("rc") == 1).select(
         "user_id", F.col("event_id").alias("chosen_id"),
         F.col("value").alias("cv"), "n_cand")

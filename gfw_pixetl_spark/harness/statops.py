@@ -52,6 +52,7 @@ def _bucketed_cum(d: DataFrame, value_col: str, cnt_cols: list[str],
                 ((F.col(value_col) - F.col("_lo")) * _NB
                  / (F.col("_hi") - F.col("_lo") + 1)).cast("int")))
         .drop("_lo", "_hi")
+        .localCheckpoint(eager=False)  # bucket totals + per-row cumsum
     )
     totals = b.groupBy("_b").agg(
         *[F.sum(c).alias(f"_t_{c}") for c in cnt_cols])
@@ -687,7 +688,8 @@ def q454(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     day = (orders
            .groupBy(F.to_date("o_orderdate").alias("d"))
-           .agg(F.sum("o_totalprice").alias("x")))
+           .agg(F.sum("o_totalprice").alias("x"))
+           .localCheckpoint(eager=False))  # scalar + term build
     base = day.agg(F.min("d").alias("d0"), F.count("*").alias("n"),
                    F.avg("x").alias("mu"))
     ks = spark.range(1, _DFT_K + 1).select(F.col("id").alias("k"))

@@ -893,6 +893,7 @@ def q189(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_val_test_split(docs, val_pct=5, test_pct=5)
         .groupBy("split", "lang")
         .agg(F.count("*").cast("double").alias("n"))
+        .localCheckpoint(eager=False)  # margins (x3) + expected join
     )
     ns = cells.groupBy("split").agg(F.sum("n").alias("ns"))
     nl = cells.groupBy("lang").agg(F.sum("n").alias("nl"))
@@ -1052,7 +1053,7 @@ def q193(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.countDistinct(F.md5("text")).cast("bigint").alias("n_unique"),
         F.countDistinct("lang").cast("bigint").alias("n_langs"),
-    )
+    ).localCheckpoint(eager=False)  # every rank_value probes it
     hist = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
         F.count("*").alias("c"))
     wc = Window.partitionBy("source").orderBy(F.col("v").asc()).rowsBetween(
@@ -1061,7 +1062,7 @@ def q193(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "v",
         F.sum("c").over(wc).alias("cum"),
         (F.sum("c").over(wc) - F.col("c")).alias("cum_before"),
-    )
+    ).localCheckpoint(eager=False)  # every rank_value joins it
 
     def rank_value(target, alias):
         t = target.cast("bigint")
@@ -1159,7 +1160,8 @@ _ORC["q209_positive_pairs"] = f"""
 )
 def q215(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "documents").groupBy("source").agg(
-        F.count("*").alias("n_docs"))
+        F.count("*").alias("n_docs")).localCheckpoint(
+        eager=False)  # totals + weight projection both read it
     tot = c.agg(
         F.sum(F.pow("n_docs", F.lit(0.7))).alias("z"),
         F.sum("n_docs").alias("n"),
@@ -1325,6 +1327,7 @@ def q255(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy((F.col("k") / 100).cast("int").alias("bucket"))
         .agg(F.count("*").cast("bigint").alias("n"),
              F.sum("k").alias("sk"), F.sum("label").alias("sl"))
+        .localCheckpoint(eager=False)  # per-bucket + total both read it
     )
     per_bucket = buckets.select(
         F.col("bucket").cast("int").alias("bucket"), "n",
@@ -1542,7 +1545,8 @@ def q301(spark: SparkSession, sf_dir: str) -> DataFrame:
                ).otherwise(F.col("text"))
     s = docs.select(
         "doc_id",
-        F.posexplode(F.split(t, "\\. ")).alias("pos0", "sent"))
+        F.posexplode(F.split(t, "\\. ")).alias("pos0", "sent")
+    ).localCheckpoint(eager=False)  # count build + keep join
     c = s.groupBy("sent").agg(F.count("*").alias("n"))
     j = s.join(c, "sent").select(
         "doc_id", "sent", (F.col("pos0") + 1).alias("pos"),
@@ -2019,7 +2023,8 @@ def q328(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = docs.select("lang", F.explode(T.words("text")).alias("term"))
     tc = w.groupBy("lang", "term").agg(F.count("*").alias("tf"))
     tc = tc.localCheckpoint(eager=False)  # feeds cls, gt, and scored
-    cls = tc.groupBy("lang").agg(F.sum("tf").alias("class_total"))
+    cls = tc.groupBy("lang").agg(F.sum("tf").alias("class_total")) \
+        .localCheckpoint(eager=False)  # avg-size probe + scored join
     gt = tc.groupBy("term").agg(F.sum("tf").alias("global_tf"))
     avg_sz = cls.agg(F.avg("class_total").alias("a"))
     scored = (

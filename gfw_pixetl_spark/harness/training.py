@@ -624,6 +624,7 @@ def q242(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "documents")
         .groupBy("lang", "source")
         .agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)  # keep + generalize both filter it
     )
     keep = g.filter(F.col("n") >= _K_ANON).select(
         "lang", "source", F.col("n").cast("bigint").alias("n_docs"))
@@ -1897,7 +1898,8 @@ def q305(spark: SparkSession, sf_dir: str) -> DataFrame:
               .otherwise(F.lit(0))).alias("x"),
         F.sum(F.when(F.col("o_orderdate") >= split, cents)
               .otherwise(F.lit(0))).alias("y"),
-    ).select((F.col("o_custkey") % 2).alias("arm"), "x", "y")
+    ).select((F.col("o_custkey") % 2).alias("arm"), "x", "y") \
+        .localCheckpoint(eager=False)  # pooled + per-arm aggs both read it
     d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
     pooled = per_c.agg(
         F.count("*").alias("n"),
