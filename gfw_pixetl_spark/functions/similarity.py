@@ -452,6 +452,29 @@ def pq_encode(
     return df.select(*out_cols)
 
 
+def _py_cosine(a: list, b: list) -> float:
+    """Driver-side replay of :func:`cosine`'s exact float arithmetic.
+
+    Mirrors the JVM evaluation order operation for operation: the dot
+    and both squared norms are left-to-right ``acc + x`` folds over
+    per-element double products (zip_with/transform), then
+    ``dot / (sqrt(na) * sqrt(nb))``. Python floats are IEEE doubles, so
+    the result is bit-identical to the column expression.
+    """
+    import math
+
+    s = 0.0
+    for x, y in zip(a, b):
+        s = s + x * y
+    na = 0.0
+    for x in a:
+        na = na + x * x
+    nb = 0.0
+    for y in b:
+        nb = nb + y * y
+    return s / (math.sqrt(na) * math.sqrt(nb))
+
+
 def mmr_select(
     corpus: DataFrame,
     query: DataFrame,
@@ -459,6 +482,7 @@ def mmr_select(
     lam: float = 0.7,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    local_bound: int | None = None,
 ) -> DataFrame:
     """Maximal Marginal Relevance selection (Carbonell & Goldstein 1998):
     greedily pick k items maximizing ``lam * rel - (1 - lam) * max-sim to
@@ -471,12 +495,57 @@ def mmr_select(
     the corpus-side plan is map + bounded-k join per step. Ties break by
     id for cross-engine determinism; only ids are emitted (argmax ids
     are stable across engines where raw float scores would not hash).
+
+    ``local_bound``: callers whose candidate slice is bounded by
+    CONSTRUCTION (a constant-valued predicate, e.g. ``vec_id < 200`` —
+    never a data-sized set) may pass that constant to collect the slice
+    once and replay the identical greedy walk driver-side — the
+    documented tiny-statistic discipline. One job instead of ~2 per
+    step; arithmetic is replayed bit-for-bit (:func:`_py_cosine`, same
+    ``lam * rel - (1 - lam) * ms`` doubles, same (score desc, id) tie
+    rule), so results are identical to the distributed loop
+    (tests/test_functions.py::test_mmr_local_bound_matches_loop).
     """
     from pyspark.sql import functions as F
 
     from .partitioning import ensure_min_partitions
 
+    spark = corpus.sparkSession
     q = query.select(F.col(vec_col).alias("qvec"))
+    if local_bound is not None:
+        rows = (
+            corpus.select(F.col(id_col).alias("vid"),
+                          F.col(vec_col).alias("vec"))
+            .crossJoin(F.broadcast(q))
+            .select("vid", "vec",
+                    cosine(F.col("vec"), F.col("qvec")).alias("rel"))
+            .collect()  # <= local_bound rows, bounded by construction
+        )
+        pool_l = [(int(r.vid), [float(x) for x in r.vec], float(r.rel))
+                  for r in rows]
+        chosen: list = []  # (vid, vec)
+        picked: set = set()
+        for _step in range(1, k + 1):
+            best = None
+            for vid, vec, rel in pool_l:
+                if vid in picked:
+                    continue
+                if chosen:
+                    ms = max(_py_cosine(vec, svec) for _, svec in chosen)
+                    score = lam * rel - (1.0 - lam) * ms
+                else:
+                    score = rel
+                key = (-score, vid)
+                if best is None or key < best[0]:
+                    best = (key, vid, vec)
+            if best is None:
+                break
+            chosen.append((best[1], best[2]))
+            picked.add(best[1])
+        return spark.createDataFrame(
+            [(i + 1, v) for i, (v, _) in enumerate(chosen)],
+            "step int, vec_id bigint")
+
     cands = ensure_min_partitions(
         corpus.select(F.col(id_col).alias("vid"),
                       F.col(vec_col).alias("vec"))
@@ -484,7 +553,6 @@ def mmr_select(
         "vid", "vec", cosine(F.col("vec"), F.col("qvec")).alias("rel")
     ).localCheckpoint(eager=False)
 
-    spark = corpus.sparkSession
     selected: list = []  # (step, vid, vec)
     for step in range(1, k + 1):
         pool = cands

@@ -725,7 +725,8 @@ def bpe_train(df: DataFrame, text_col: str = "text",
 
 def unigram_train(df: DataFrame, text_col: str = "text",
                   n_seed: int = 40, rounds: int = 2,
-                  max_word: int = 8, max_piece: int = 4) -> DataFrame:
+                  max_word: int = 8, max_piece: int = 4,
+                  word_counts: DataFrame | None = None) -> DataFrame:
     """SentencePiece-style unigram-LM tokenizer training as distributed
     hard-EM (Viterbi E-step + count M-step) — the third major tokenizer
     family next to BPE (``bpe_train``) and WordPiece (q329).
@@ -755,13 +756,21 @@ def unigram_train(df: DataFrame, text_col: str = "text",
     round's E-step with its usage counts.
     """
     spark = df.sparkSession
-    word_tbl = (
-        df.select(F.explode(words(text_col)).alias("w"))
-        .filter(F.col("w").rlike(BPE_WORD_FILTER) & (F.length("w") >= 2))
-        .groupBy(F.substring(F.lower("w"), 1, max_word).alias("word"))
-        .agg(F.count("*").alias("cnt"))
-        .localCheckpoint()
-    )
+    if word_counts is not None:
+        # caller-supplied (word, cnt) table with the same derivation
+        # (unigram_apply shares one corpus explode between train and
+        # the per-occurrence join) — caller is responsible for
+        # checkpointing it
+        word_tbl = word_counts
+    else:
+        word_tbl = (
+            df.select(F.explode(words(text_col)).alias("w"))
+            .filter(F.col("w").rlike(BPE_WORD_FILTER)
+                    & (F.length("w") >= 2))
+            .groupBy(F.substring(F.lower("w"), 1, max_word).alias("word"))
+            .agg(F.count("*").alias("cnt"))
+            .localCheckpoint()
+        )
     n = F.length("word")
     sub_parts = [
         word_tbl.filter(n >= ln).select(
@@ -775,7 +784,8 @@ def unigram_train(df: DataFrame, text_col: str = "text",
     subs = sub_parts[0]
     for p in sub_parts[1:]:
         subs = subs.unionByName(p)
-    freq = subs.groupBy("piece").agg(F.sum("cnt").alias("freq"))
+    freq = subs.groupBy("piece").agg(F.sum("cnt").alias("freq")) \
+        .localCheckpoint(eager=False)  # chars + top-n seed both read it
     chars = {r["piece"]: int(r["freq"])
              for r in freq.filter(F.length("piece") == 1).collect()}
     multi = {r["piece"]: int(r["freq"])
@@ -854,23 +864,30 @@ def unigram_apply(df: DataFrame, text_col: str = "text",
     agg), no per-occurrence Python.
     """
     spark = df.sparkSession
-    # retrain (the EM is vocab-bound; see unigram_train) to recover
-    # the final inventory: last round's chars + surviving multis
-    vocab = unigram_train(df, text_col, n_seed=n_seed, rounds=rounds,
-                          max_word=max_word, max_piece=max_piece)
-    final = {r["piece"]: int(r["cnt"])
-             for r in vocab.filter(F.col("round") == rounds).collect()}
-
     word_occ = (
         df.select("doc_id", F.explode(words(text_col)).alias("w"))
         .filter(F.col("w").rlike(BPE_WORD_FILTER) & (F.length("w") >= 2))
         .select("doc_id",
                 F.substring(F.lower("w"), 1, max_word).alias("word"))
-        # feeds both the distinct-word table and the per-occurrence
+        # feeds the train word-count table AND the per-occurrence
         # join; checkpoint so the explode+regex pass runs once
         .localCheckpoint(eager=False)
     )
-    word_tbl = word_occ.select("word").distinct()
+    word_counts = (
+        word_occ.groupBy("word").agg(F.count("*").alias("cnt"))
+        .localCheckpoint()  # train's rounds re-read it (multi-pass EM)
+    )
+    # retrain (the EM is vocab-bound; see unigram_train) to recover
+    # the final inventory: last round's chars + surviving multis —
+    # sharing the word counts derived from THIS corpus explode (same
+    # derivation unigram_train would build from df)
+    vocab = unigram_train(df, text_col, n_seed=n_seed, rounds=rounds,
+                          max_word=max_word, max_piece=max_piece,
+                          word_counts=word_counts)
+    final = {r["piece"]: int(r["cnt"])
+             for r in vocab.filter(F.col("round") == rounds).collect()}
+
+    word_tbl = word_counts.select("word")  # distinct by construction
 
     def kernel(batches):
         import pandas as pd

@@ -2198,9 +2198,13 @@ def q355(spark: SparkSession, sf_dir: str) -> DataFrame:
         # former per-round union+distinct+localCheckpoint job is gone —
         # each round is now exactly one job (anti-join + agg + 1-row
         # argmax collect).
+        # the right side is <= k docs' shingles (bounded by the picked
+        # docs' lengths, not the corpus) — broadcast it so the anti-join
+        # never shuffles the corpus-sized left side
         rem = (sh if not picked
-               else sh.join(sh.filter(F.col("doc_id").isin(picked))
-                            .select("shingle"), "shingle", "left_anti"))
+               else sh.join(F.broadcast(
+                   sh.filter(F.col("doc_id").isin(picked))
+                   .select("shingle")), "shingle", "left_anti"))
         gain = rem.groupBy("doc_id").agg(F.count("*").alias("c"))
         top = gain.agg(F.max(F.struct(
             F.col("c"), (-F.col("doc_id")).alias("nd"))).alias("m")

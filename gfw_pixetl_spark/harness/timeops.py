@@ -1063,11 +1063,11 @@ def q286(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # q287 — THEIL-SEN ROBUST SLOPE of the daily series: median of all
 # pairwise slopes (x_j - x_i)/(t_j - t_i). Each slope is ONE IEEE
-# division of exact integers (bit-identical both engines); the median
-# over the ~3M value-domain-bounded pair slopes runs through the
-# distributed range-partitioned selection (functions/quantiles.py) —
-# no single-reducer percentile — and the shared rank = p*(n-1)
-# interpolation rule makes it match quantile_cont to the last ulp.
+# division of exact integers (bit-identical both engines); the daily
+# series is value-domain-bounded (<= ~2.4k distinct dates at any
+# corpus size), so after the distributed daily agg the C(n,2) slope
+# median replays driver-side — the same rank = p*(n-1) interpolation
+# rule as quantile_cont, matched to the last ulp.
 # --------------------------------------------------------------------------
 @register(
     "q287_theil_sen",
@@ -1088,33 +1088,42 @@ def q286(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q287(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.quantiles import exact_quantiles
+    import math
+
+    import numpy as np
 
     orders = load(spark, sf_dir, "orders")
-    daily = (
+    # The daily series is VALUE-DOMAIN-bounded: one row per distinct
+    # order date (<= ~2.4k days of the 1992-1998 date domain) however
+    # large orders grows — the documented tiny-statistic discipline
+    # (q335's Bellman-Ford lane table is the precedent). The only
+    # data-sized work is the distributed daily count agg; the C(n,2)
+    # slope median then replays driver-side with bit-identical
+    # arithmetic: each slope is ONE IEEE double division of exact
+    # integers (same in numpy and the JVM), and the median uses the
+    # identical rank = p*(n-1), lo + (hi-lo)*frac lattice that
+    # functions/quantiles.py and DuckDB quantile_cont share.
+    rows = (
         orders.groupBy(
             F.datediff(F.col("o_orderdate").cast("date"),
                        F.lit("1992-01-01").cast("date")).alias("t"))
         .agg(F.count("*").alias("x"))
-        .localCheckpoint()
+        .collect()
     )
-    # the aggregated daily series lands in one partition; spread the
-    # probe side so the non-equi pair join (and the 3M-row selection
-    # downstream) parallelizes instead of running one task
-    a = daily.repartition(16).select(
-        F.col("t").alias("ta"), F.col("x").alias("xa"))
-    b = daily.select(F.col("t").alias("tb"), F.col("x").alias("xb"))
-    slopes = (
-        a.join(F.broadcast(b), F.col("tb") > F.col("ta"))
-        .select(((F.col("xb") - F.col("xa")).cast("double")
-                 / (F.col("tb") - F.col("ta")).cast("double"))
-                .alias("slope"))
-        .localCheckpoint()  # selection re-plans its input (multi-pass)
-    )
-    med = exact_quantiles(slopes, "slope", [0.5])[0]
-    # n_pairs = C(n_days, 2) from the tiny daily table — no extra pass
-    # over the 3M-row slope set
-    n_days = daily.count()
+    rows.sort(key=lambda r: r.t)
+    t = np.array([r.t for r in rows], dtype=np.int64)
+    x = np.array([r.x for r in rows], dtype=np.int64)
+    n_days = len(rows)
+    ii, jj = np.triu_indices(n_days, 1)  # j > i => t_j > t_i
+    slopes = (x[jj] - x[ii]).astype(np.float64) \
+        / (t[jj] - t[ii]).astype(np.float64)
+    slopes.sort()
+    n = slopes.shape[0]
+    rank = 0.5 * (n - 1)
+    lo_i, hi_i = math.floor(rank), math.ceil(rank)
+    lo_v, hi_v = float(slopes[lo_i]), float(slopes[hi_i])
+    frac = rank - lo_i
+    med = lo_v if frac == 0 else lo_v + (hi_v - lo_v) * frac
     return spark.createDataFrame(
         spark.sparkContext.parallelize(
             [(n_days * (n_days - 1) // 2, round(med, 6))], 1),

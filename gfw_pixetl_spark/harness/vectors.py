@@ -109,7 +109,9 @@ def q244(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     corpus = emb.filter((F.col("vec_id") != 0) & (F.col("vec_id") < 200))
     query = emb.filter(F.col("vec_id") == 0)
-    return S.mmr_select(corpus, query, k=3, lam=0.7)
+    # the candidate slice is <= 200 rows by CONSTRUCTION (constant
+    # vec_id < 200 predicate) — eligible for the driver-side replay
+    return S.mmr_select(corpus, query, k=3, lam=0.7, local_bound=200)
 
 
 # --------------------------------------------------------------------------

@@ -494,6 +494,32 @@ def test_connected_components_local_resolve_matches_loop(spark):
     assert dict(fast)[560] == 500
 
 
+def test_mmr_local_bound_matches_loop(spark):
+    """The bounded-candidate driver replay must pick the exact ids the
+    distributed greedy loop picks — including float-tie ordering and
+    the (score desc, id asc) tie rule."""
+    from gfw_pixetl_spark.functions.similarity import mmr_select
+
+    vecs = [
+        (i, [((i * 13 + j * 7) % 11 - 5) / 3.0 + (1.0 if j == i % 8
+                                                  else 0.0)
+             for j in range(8)])
+        for i in range(60)
+    ]
+    # exact duplicate of vec 3 under a larger id: forces a score tie
+    vecs.append((90, list(vecs[3][1])))
+    df = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<double>").repartition(5)
+    corpus = df.filter("vec_id != 0")
+    query = df.filter("vec_id = 0")
+    fast = [(r.step, r.vec_id) for r in mmr_select(
+        corpus, query, k=4, lam=0.7, local_bound=100).collect()]
+    loop = [(r.step, r.vec_id) for r in mmr_select(
+        corpus, query, k=4, lam=0.7).collect()]
+    assert fast == loop
+    assert len(fast) == 4
+
+
 def test_budget_select_matches_global_window(spark):
     """Bucketed distributed prefix sum == naive global cumsum, including
     cross-bucket boundaries and score ties (broken by id)."""
