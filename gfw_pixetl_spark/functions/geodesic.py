@@ -63,6 +63,14 @@ def vincenty_inverse(lng1, lat1, lng2, lat2, ell="WGS84",
         lam = big_l + (1.0 - c) * f * sin_a * (
             sigma + c * sin_s * (
                 cos2sm + c * cos_s * (-1.0 + 2.0 * cos2sm * cos2sm)))
+        if np.array_equal(lam, lam_prev):
+            # exact fixed point across the whole batch: a further round
+            # would recompute every quantity from the identical lambda,
+            # so breaking here is bit-for-bit identical to running all
+            # `iterations` rounds (typical convergence: 4-7 rounds —
+            # the remaining ~25 were pure recomputation). NaNs compare
+            # unequal, so any non-finite lane keeps iterating as before.
+            break
     # non-convergence shows as lambda still MOVING after the fixed
     # rounds (near-antipodal oscillation), not as |lambda| > pi
     if np.any(np.abs(lam - lam_prev) > 1e-11):

@@ -2640,47 +2640,63 @@ def q332(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q341(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     part = load(spark, sf_dir, "part")
-    b = (li.join(F.broadcast(part.select("p_partkey", "p_brand")),
-                 li.l_partkey == part.p_partkey)
-         .select(F.col("l_orderkey").alias("oid"),
-                 F.substring("p_brand", 1, 7).alias("item"))
-         .distinct().localCheckpoint(eager=False))
-    minsup = b.agg(F.greatest(
-        F.lit(2), (F.countDistinct("oid") / 10).cast("bigint")).alias("s")
-    ).localCheckpoint(eager=False)  # 1-row scalar, referenced at every level
-    l1 = (b.groupBy("item").agg(F.count("*").alias("c"))
-          .crossJoin(F.broadcast(minsup))
-          .filter(F.col("c") >= F.col("s")).select("item"))
-    bf = b.join(F.broadcast(l1), "item").localCheckpoint(eager=False)
-    a = bf.select("oid", F.col("item").alias("i1"))
-    c = bf.select(F.col("oid"), F.col("item").alias("i2"))
-    # l2 feeds both the output union and the L3 candidate generation —
-    # checkpoint so the within-basket self-join + count runs once.
-    l2 = (a.join(c, "oid").filter(F.col("i1") < F.col("i2"))
-          .groupBy("i1", "i2").agg(F.count("*").alias("support"))
-          .crossJoin(F.broadcast(minsup))
-          .filter(F.col("support") >= F.col("s"))
-          .select("i1", "i2", "support")
-          .localCheckpoint(eager=False))
-    # L3: orders containing an L2 pair, extended by a third frequent
-    # item above the pair
-    pair_orders = (
-        l2.select("i1", "i2")
-        .join(a.select(F.col("oid"), F.col("i1")), "i1")
-        .join(c.select(F.col("oid"), F.col("i2")), ["oid", "i2"])
+    # The item domain is tiny by construction (substr(p_brand, 1, 7) has
+    # 5 values), so each basket is a <= 5-item sorted array. Enumerating
+    # 2- and 3-combinations INSIDE the array (one explode) replaces the
+    # former three oid self-joins (each an Exchange of the full basket
+    # table): the only basket-scale shuffle left is the groupBy(oid)
+    # (collect_set dedups, standing in for the former DISTINCT pass),
+    # and the combo counts partial-aggregate map-side onto a <= 20-key
+    # domain, so the count Exchange ships ~nothing. Counting is
+    # identical: a basket containing {x, y(, z)} contributes exactly one
+    # (x<y(<z)) combination row, which is what COUNT(*) over the
+    # distinct-item self-joins counted. The former L1 pre-filter is
+    # dropped as a no-op on the OUTPUT by the apriori property itself:
+    # support(itemset) <= support(any member item), so every item of a
+    # reported (support >= s) pair/triple is frequent automatically.
+    baskets = (
+        li.join(F.broadcast(part.select("p_partkey", "p_brand")),
+                li.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("oid"),
+                F.substring("p_brand", 1, 7).alias("item"))
+        .groupBy("oid")
+        .agg(F.array_sort(F.collect_set("item")).alias("items"))
+        .localCheckpoint(eager=False)  # read by minsup + the combo pass
     )
-    d = bf.select("oid", F.col("item").alias("i3"))
-    l3 = (pair_orders.join(d, "oid")
-          .filter(F.col("i3") > F.col("i2"))
-          .groupBy("i1", "i2", "i3").agg(F.count("*").alias("support"))
-          .crossJoin(F.broadcast(minsup))
-          .filter(F.col("support") >= F.col("s"))
-          .select("i1", "i2", "i3", "support"))
-    out2 = l2.select(F.lit(2).alias("level"), "i1", "i2",
-                     F.lit(None).cast("string").alias("i3"),
-                     F.col("support").cast("bigint").alias("support"))
-    out3 = l3.select(F.lit(3).alias("level"), "i1", "i2", "i3",
-                     F.col("support").cast("bigint").alias("support"))
+    # 1-row scalar: baskets has one row per distinct oid
+    minsup = baskets.agg(F.greatest(
+        F.lit(2), (F.count("*") / 10).cast("bigint")).alias("s"))
+    combos = F.expr("""
+      concat(
+        flatten(transform(items, (x, i) ->
+          transform(slice(items, i + 2, greatest(size(items) - i - 1, 0)),
+                    y -> struct(2 AS level, x AS i1, y AS i2,
+                                CAST(NULL AS STRING) AS i3)))),
+        flatten(flatten(transform(items, (x, i) ->
+          transform(slice(items, i + 2, greatest(size(items) - i - 1, 0)),
+                    (y, j) ->
+            transform(slice(items, i + j + 3,
+                            greatest(size(items) - i - j - 2, 0)),
+                      z -> struct(3 AS level, x AS i1, y AS i2, z AS i3)))))))
+    """)
+    # frequent itemsets at both levels from ONE pass; the table is value-
+    # domain-sized (<= C(5,2) + C(5,3) rows) and is read twice below.
+    counts = (
+        baskets.select(F.explode(combos).alias("c"))
+        .groupBy("c.level", "c.i1", "c.i2", "c.i3")
+        .agg(F.count("*").alias("support"))
+        .crossJoin(F.broadcast(minsup))
+        .filter(F.col("support") >= F.col("s"))
+        .select("level", "i1", "i2", "i3",
+                F.col("support").cast("bigint").alias("support"))
+        .localCheckpoint(eager=False)
+    )
+    out2 = counts.filter(F.col("level") == 2)
+    # apriori gate: a level-3 itemset only reports when its (i1, i2)
+    # pair is itself frequent (the oracle's FROM l2 join)
+    out3 = counts.filter(F.col("level") == 3).join(
+        F.broadcast(out2.select("i1", "i2")), ["i1", "i2"]
+    ).select("level", "i1", "i2", "i3", "support")
     return out2.unionByName(out3).orderBy(
         "level", "i1", "i2", F.col("i3").asc_nulls_first())
 

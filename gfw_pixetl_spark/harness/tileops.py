@@ -3358,7 +3358,15 @@ def q439(spark: SparkSession, sf_dir: str) -> DataFrame:
         cells.alias("b"),
         (F.col("a.lat_c") + F.col("dlat") == F.col("b.lat_c"))
         & (F.col("a.lon_c") + F.col("dlon") == F.col("b.lon_c"))
-        & (F.col("a.o_orderkey") < F.col("b.o_orderkey")),
+        & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+        # rigorous meridian lower bound: any path between two latitudes
+        # is at least the meridian arc between them, and a WGS84 degree
+        # of latitude is > 110,574 m everywhere — so a pair with
+        # dlat * 110,000 > R + 10 has geodesic distance > R and can
+        # never survive the Vincenty refine. Pruning here keeps ~2/3 of
+        # the 3x3-cell candidates out of the Arrow kernel entirely.
+        & (F.abs(F.col("a.lat") - F.col("b.lat"))
+           < F.lit((_NEARDUP_R_M + 10.0) / 110000.0)),
     ).select(
         F.col("a.o_orderkey").alias("id_a"),
         F.col("b.o_orderkey").alias("id_b"),
