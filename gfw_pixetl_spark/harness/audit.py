@@ -928,7 +928,6 @@ def q309(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_rows"),
              F.sum(F.col("h").cast("decimal(38,0)")).cast("string")
              .alias("digest"))
-        .localCheckpoint(eager=False)  # root rollup + output union
     )
     root = leaf.agg(
         F.lit(-1).cast("bigint").alias("bucket"),

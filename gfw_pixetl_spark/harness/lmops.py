@@ -934,7 +934,6 @@ def q282(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("lang", F.explode(T.words("text")).alias("w"))
         .filter(F.col("w") != "")
         .select("lang", F.lower("w").alias("w"))
-        .localCheckpoint(eager=False)  # vocab build + OOV join
     )
     vocab = (
         ex.groupBy("w").agg(F.count("*").alias("c"))
@@ -1170,7 +1169,6 @@ def q308(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(ws, F.lit(2), n - 2).alias("w2"),
             F.slice(ws, F.lit(3), n - 2).alias("w3"))).alias("p"))
         .select("doc_id", "p.w1", "p.w2", "p.w3")
-        .localCheckpoint(eager=False)  # trains t3 AND scores held-out
     )
     bi = (
         docs.filter(n >= 2)
@@ -1184,10 +1182,8 @@ def q308(spark: SparkSession, sf_dir: str) -> DataFrame:
     t3 = tri.filter(train).groupBy("w1", "w2", "w3").agg(
         F.count("*").alias("c123"))
     t2 = bi.filter(train).groupBy("w1", "w2").agg(
-        F.count("*").alias("c12")).localCheckpoint(
-        eager=False)  # joined under both (w1,w2) and (w2,w3)
-    t1 = uni.filter(train).groupBy("w").agg(F.count("*").alias("c1")) \
-        .localCheckpoint(eager=False)  # vocab scalar + two backoff joins
+        F.count("*").alias("c12"))
+    t1 = uni.filter(train).groupBy("w").agg(F.count("*").alias("c1"))
     nv = t1.agg(F.sum("c1").alias("n_tok"), F.count("*").alias("v"))
     held = (
         tri.filter(F.col("doc_id") % 2 == 0)
@@ -1451,8 +1447,7 @@ def q329(spark: SparkSession, sf_dir: str) -> DataFrame:
            .limit(_WP_TOP).select(F.col("word").alias("piece")))
     chars = wc.select(F.explode(F.expr(
         "transform(sequence(1, length(word)),"
-        " i -> substring(word, i, 1))")).alias("c")).distinct() \
-        .localCheckpoint(eager=False)  # both vocab branches read it
+        " i -> substring(word, i, 1))")).alias("c")).distinct()
     vocab = (
         top.unionByName(chars.select(F.col("c").alias("piece")))
         .unionByName(chars.select(F.concat(F.lit("##"), F.col("c"))

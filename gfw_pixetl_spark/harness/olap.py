@@ -1515,7 +1515,6 @@ def q245(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name",
                 F.col("s_acctbal").cast("double").alias("s_acctbal"),
                 "n_name")
-        .localCheckpoint(eager=False)  # semi-join probe + final join
     )
     part = (
         load(spark, sf_dir, "part")
@@ -2116,17 +2115,12 @@ def q312(spark: SparkSession, sf_dir: str) -> DataFrame:
         "u", (F.col("u") / 7).cast("bigint").alias("p")).filter(
         F.col("p") >= 1)
     anc = part.select("u", F.col("u").alias("a"))
-    # each round references the frontier twice (the anc union AND the
-    # next hop join); without per-round checkpoints the unrolled plan
-    # re-executes round k's join chain once per later round
-    frontier = edges.select("u", F.col("p").alias("a")).localCheckpoint(
-        eager=False)
+    frontier = edges.select("u", F.col("p").alias("a"))
     up = edges.select(F.col("u").alias("a"), F.col("p").alias("a2"))
     for _ in range(_TREE_ROUNDS):
         anc = anc.unionByName(frontier)
         frontier = (frontier.join(up, "a")
-                    .select("u", F.col("a2").alias("a"))
-                    .localCheckpoint(eager=False))
+                    .select("u", F.col("a2").alias("a")))
     return (
         anc.join(v, "u")
         .groupBy(F.col("a").alias("partkey"))
@@ -2820,8 +2814,7 @@ def q346(spark: SparkSession, sf_dir: str) -> DataFrame:
     sd = F.sqrt((F.col("sxx").cast("double")
                  - F.col("sx").cast("double") * F.col("sx") / F.col("n"))
                 / F.col("n"))
-    d = s.select("seg", "n", sd.alias("sd")).localCheckpoint(
-        eager=False)  # total-weight probe + allocation both read it
+    d = s.select("seg", "n", sd.alias("sd"))
     tot = d.agg(F.sum(F.col("n") * F.col("sd")).alias("w"))
     return (
         d.crossJoin(F.broadcast(tot))

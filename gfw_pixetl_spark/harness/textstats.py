@@ -1053,7 +1053,7 @@ def q193(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.countDistinct(F.md5("text")).cast("bigint").alias("n_unique"),
         F.countDistinct("lang").cast("bigint").alias("n_langs"),
-    ).localCheckpoint(eager=False)  # every rank_value probes it
+    )
     hist = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
         F.count("*").alias("c"))
     wc = Window.partitionBy("source").orderBy(F.col("v").asc()).rowsBetween(
@@ -1062,7 +1062,7 @@ def q193(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "v",
         F.sum("c").over(wc).alias("cum"),
         (F.sum("c").over(wc) - F.col("c")).alias("cum_before"),
-    ).localCheckpoint(eager=False)  # every rank_value joins it
+    )
 
     def rank_value(target, alias):
         t = target.cast("bigint")

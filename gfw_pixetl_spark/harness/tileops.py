@@ -588,10 +588,7 @@ def q127(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    # each level feeds the output union AND the next rollup — without
-    # checkpoints the fact-scale base aggregate executes three times
-    l2 = l2.localCheckpoint(eager=False)
-    l1 = up(l2).localCheckpoint(eager=False)
+    l1 = up(l2)
     l0 = up(l1)
     lvl = lambda df, z: df.select(  # noqa: E731
         F.lit(z).alias("zoom"), "x", "y", F.round("v", 6).alias("v")
@@ -2743,10 +2740,7 @@ def q412(spark: SparkSession, sf_dir: str) -> DataFrame:
              .rowsBetween(Window.unboundedPreceding, 0))
     ii = (px.withColumn("rowsum", F.sum("v").over(row_w))
           .withColumn("ii", F.sum("rowsum").over(col_w))
-          .select("r", "c", "ii")
-          # four corner lookups join against it — build the integral
-          # image once instead of once per corner
-          .localCheckpoint(eager=False))
+          .select("r", "c", "ii"))
     # box sum of block (br, bc) = I(r2,c2) - I(r1-1,c2) - I(r2,c1-1)
     # + I(r1-1,c1-1); out-of-image corners contribute 0
     blocks = spark.range(16 * 16).select(

@@ -338,8 +338,7 @@ def q203(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     h = ev.groupBy(
         "event_type", F.hour("ts").alias("hod")
-    ).agg(F.count("*").alias("n")).localCheckpoint(
-        eager=False)  # totals + entropy join both read it
+    ).agg(F.count("*").alias("n"))
     tot = h.groupBy("event_type").agg(F.sum("n").alias("nt"))
     p = F.col("n") / F.col("nt").cast("double")
     return (
@@ -714,7 +713,6 @@ def q279(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.col("o_orderdate").cast("date"),
                        F.lit("1992-01-01").cast("date")).alias("t"))
         .agg(F.count("*").alias("x"))
-        .localCheckpoint(eager=False)  # window sum + join both read it
     )
     scal = daily.agg((F.max("t") + 1).alias("n"))
     offs = spark.range(-3, 4).select(F.col("id").alias("off"))

@@ -777,7 +777,7 @@ def q231(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(F.col("embedding")[i].cast("double")) / F.count("*"))
             for i in range(dim)
         ]).alias("c")
-    ).localCheckpoint(eager=False)  # both pair sides read the centroids
+    )
     a = cent.select(F.col("source").alias("source_a"),
                     F.col("c").alias("ca"))
     b = cent.select(F.col("source").alias("source_b"),

@@ -447,10 +447,7 @@ class RasterPipe:
         withf = tile_files(pruned, catalog)
         windows = plan_windows(withf, grid, self.blocks_per_window)
         payloads = self.transform_windows(windows)
-        # statuses feeds the skipped anti-join AND the final union —
-        # without a checkpoint the whole read+calc+COG-write chain
-        # executes twice per job
-        statuses = self.write_tiles(payloads).localCheckpoint(eager=False)
+        statuses = self.write_tiles(payloads)
         # F9: tiles that survived pruning but produced no data windows
         skipped = (
             pruned.select("tile_id")
