@@ -210,6 +210,7 @@ def grouped_exact_quantiles(
     col: str,
     ps: Sequence[float],
     num_partitions: int | None = None,
+    weight_col: str | None = None,
 ) -> "DataFrame":
     """Exact interpolated quantiles PER GROUP, one pass, any group
     cardinality.
@@ -224,27 +225,39 @@ def grouped_exact_quantiles(
     target ranks. Interpolation matches ``p*(n-1)`` lattice semantics
     (Spark percentile / DuckDB quantile_cont).
 
+    ``weight_col``: integer multiplicities. A row (g, v, w) stands for
+    w copies of v, so callers can pre-aggregate a fact table to its
+    (group, value) COUNTS — one map-side-combinable shuffle — and run
+    the selection over the much smaller counts table. Unit ranks are
+    exact integers, so results are bit-identical to expanding the
+    weights (tests/test_quantiles.py pins this).
+
     Returns a DataFrame ``[group, p, value]``.
     """
     import math
 
     spark = df.sparkSession
+    w_expr = (
+        F.col(weight_col).cast("long") if weight_col is not None else F.lit(1)
+    )
     vals = df.select(
-        F.col(group_col).alias("g"), F.col(col).cast("double").alias("v")
-    ).where(F.col("v").isNotNull() & F.col("g").isNotNull())
+        F.col(group_col).alias("g"),
+        F.col(col).cast("double").alias("v"),
+        w_expr.alias("w"),
+    ).where(F.col("v").isNotNull() & F.col("g").isNotNull() & (F.col("w") > 0))
     from .partitioning import planned_num_partitions
 
     n_parts = num_partitions or max(planned_num_partitions(vals), 1)
     ranked = (
         vals.repartitionByRange(n_parts, "g", "v")
         .sortWithinPartitions("g", "v")
-        .select("g", "v", F.spark_partition_id().alias("pid"))
+        .select("g", "v", "w", F.spark_partition_id().alias("pid"))
         .persist()
     )
     try:
-        # per-(partition, group) counts WITHOUT a reducer shuffle: each
-        # partition emits its own tiny count table (rows are already
-        # grouped-contiguous after the range sort)
+        # per-(partition, group) unit counts WITHOUT a reducer shuffle:
+        # each partition emits its own tiny count table (rows are
+        # already grouped-contiguous after the range sort)
         g_type_c = dict(ranked.dtypes)["g"]
 
         def count_kernel(batches: Iterable) -> Iterator:
@@ -256,7 +269,7 @@ def grouped_exact_quantiles(
                 if len(pdf) == 0:
                     continue
                 pid = int(pdf["pid"].iloc[0])
-                for g, c in pdf.groupby("g", sort=False).size().items():
+                for g, c in pdf.groupby("g", sort=False)["w"].sum().items():
                     acc[g] = acc.get(g, 0) + int(c)
             if pid is not None and acc:
                 yield pd.DataFrame(
@@ -299,7 +312,7 @@ def grouped_exact_quantiles(
         def pick(batches: Iterable) -> Iterator:
             import pandas as pd
 
-            base: dict = {}  # per-group running row count within this partition
+            base: dict = {}  # per-group running unit count within this partition
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
@@ -309,21 +322,26 @@ def grouped_exact_quantiles(
                     b = base.get(g)
                     if b is None:
                         b = offsets[(g, pid)]
-                    idx = np.arange(len(sub), dtype=np.int64) + b
+                    w = sub["w"].to_numpy()
+                    cum = np.cumsum(w) + b  # exclusive unit-index end per row
                     tl = targets_np.get(g)
                     if tl is not None:
-                        m = np.isin(idx, tl)
-                        if m.any():
+                        # row holding unit index t: first row whose
+                        # cumulative end exceeds t (rows span
+                        # [cum - w, cum) in unit space)
+                        inwin = tl[(tl >= b) & (tl < cum[-1])]
+                        if inwin.size:
+                            rows = np.searchsorted(cum, inwin, side="right")
                             outs.append(
                                 pd.DataFrame(
                                     {
-                                        "g": sub["g"].to_numpy()[m],
-                                        "gidx": idx[m],
-                                        "v": sub["v"].to_numpy()[m],
+                                        "g": sub["g"].to_numpy()[rows],
+                                        "gidx": inwin,
+                                        "v": sub["v"].to_numpy()[rows],
                                     }
                                 )
                             )
-                    base[g] = b + len(sub)
+                    base[g] = int(cum[-1])
                 if outs:
                     yield pd.concat(outs)
         g_type = dict(ranked.dtypes)["g"]

@@ -1330,37 +1330,31 @@ def q316(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w").agg(F.count("*").alias("c"))
         .orderBy(F.col("c").desc(), F.col("w").asc())
         .limit(1).select(F.col("w").alias("needle"))
-        # 1 row; referenced twice through the needle_tri self-join —
-        # without this the corpus explode+agg+top-1 runs twice
-        .localCheckpoint(eager=False)
     )
-    tris = F.expr(
-        "transform(sequence(1, length(text) - 2),"
-        " i -> substring(text, i, 3))")
-    doc_tri = docs.select("doc_id", F.explode_outer(tris).alias("tri"))
-    # n_tri counts DISTINCT needle trigrams (a needle with internal
-    # repeats must not demand more hits than exist)
-    needle_tri = needle.select(
-        "needle",
-        F.explode(F.array_distinct(F.expr(
-            "transform(sequence(1, length(needle) - 2),"
-            " i -> substring(needle, i, 3))"))).alias("tri"))
-    needle_tri = needle_tri.join(
-        needle_tri.groupBy("needle").agg(F.count("*").alias("n_tri")),
-        "needle")
-    # the broadcast needle join runs BEFORE the distinct, so only
-    # matching trigrams (a tiny fraction of the corpus) ever shuffle
-    cand = (
-        doc_tri.join(F.broadcast(needle_tri), "tri")
-        .select("doc_id", "needle", "tri", "n_tri").distinct()
-        .groupBy("doc_id", "needle")
-        .agg(F.count("*").alias("hit"), F.max("n_tri").alias("n_tri"))
-        .filter(F.col("hit") == F.col("n_tri"))
-    )
-    verified = (
-        cand.join(docs, "doc_id")
-        .filter(F.contains(F.col("text"), F.col("needle")))
-    )
+    # Trigram-index candidacy evaluated by PROBE instead of posting-list
+    # explode: a doc is a candidate iff it contains every distinct
+    # needle trigram — literally the index lookup's AND-of-postings —
+    # and with the needle fixed, "doc_id in posting(tri)" is exactly
+    # contains(text, tri). The former formulation exploded every
+    # character trigram of the corpus (~200x the corpus bytes through
+    # a shuffle) to rediscover what a handful of map-side substring
+    # probes answer; candidates, and therefore results, are identical.
+    # The needle is a 1-row driver statistic (the repo's documented
+    # bounded-collect discipline), so the probes compile to literals
+    # and the whole search is ONE codegen'd pass over the corpus.
+    nrow = needle.collect()  # bounded: top-1 word
+    if not nrow:
+        return docs.select(
+            "doc_id", F.lit(0).cast("bigint").alias("n_occurrences")
+        ).limit(0)
+    ndl = nrow[0]["needle"]
+    tris = list(dict.fromkeys(
+        ndl[i:i + 3] for i in range(len(ndl) - 2)))
+    cond = F.lit(True)
+    for t in tris:
+        cond = cond & F.contains(F.col("text"), F.lit(t))
+    cand = docs.filter(cond).withColumn("needle", F.lit(ndl))
+    verified = cand.filter(F.contains(F.col("text"), F.lit(ndl)))
     occ = F.floor(
         (F.length("text")
          - F.length(F.replace(F.col("text"), F.col("needle"), F.lit(""))))

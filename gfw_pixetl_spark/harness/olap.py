@@ -1066,19 +1066,33 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("g")
             .agg(F.count("*").alias("n_outliers"))
         )
-    med = grouped_exact_quantiles(li, "l_returnflag", "l_extendedprice", [0.5])
-    med = med.select(F.col("group").alias("g"), F.col("value").alias("m"))
-    dev = li.join(F.broadcast(med), li.l_returnflag == med.g).withColumn(
-        "adev", F.abs(F.col("l_extendedprice") - F.col("m"))
+    # ONE scan of the fact table builds the (group, value) counts; the
+    # median, the MAD median and the outlier tally all run over that
+    # ~3x smaller table with exact unit-weighted ranks (bit-identical
+    # to the former per-row selections). The counts subtree feeds three
+    # consumers, so it is lazily checkpointed — here the duplicated
+    # subtree IS a full fact scan, the case where the checkpoint's
+    # fixed cost pays for itself.
+    cnt = (
+        li.groupBy(F.col("l_returnflag").alias("g"),
+                   F.col("l_extendedprice").alias("v"))
+        .agg(F.count("*").alias("w"))
+        .localCheckpoint(eager=False)
     )
-    mad = grouped_exact_quantiles(dev, "g", "adev", [0.5]).select(
+    med = grouped_exact_quantiles(cnt, "g", "v", [0.5], weight_col="w")
+    med = med.select(F.col("group").alias("g"), F.col("value").alias("m"))
+    dev = cnt.join(F.broadcast(med), "g").withColumn(
+        "adev", F.abs(F.col("v") - F.col("m"))
+    )
+    mad = grouped_exact_quantiles(dev, "g", "adev", [0.5],
+                                  weight_col="w").select(
         F.col("group").alias("g2"), F.col("value").alias("mad")
     )
     return (
         dev.join(F.broadcast(mad), dev.g == mad.g2)
         .filter(F.col("adev") > 1.8 * F.col("mad"))
         .groupBy("g")
-        .agg(F.count("*").alias("n_outliers"))
+        .agg(F.sum("w").alias("n_outliers"))
     )
 
 

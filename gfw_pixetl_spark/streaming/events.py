@@ -9,10 +9,38 @@ aggregations (A2-A5) run incrementally.
 
 from __future__ import annotations
 
+import contextlib
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+@contextlib.contextmanager
+def stream_shuffle_partitions(spark: SparkSession):
+    """Pin ``spark.sql.shuffle.partitions`` for the duration of ONE
+    drained stream, then restore it.
+
+    Stateful streaming disables AQE, so the static shuffle-partition
+    number is verbatim the number of state-store instances each
+    micro-batch loads, snapshots and commits. The rollup state here is
+    dimension-sized (event types x hourly windows — thousands of keys,
+    not events), so 32 state stores are pure per-batch overhead:
+    measured 32 -> 8 halves every availableNow drain at sf0.1 while the
+    SCAN parallelism (file-source splits) is unaffected. On a cluster
+    you size this to state volume, not core count — hence the env knob;
+    the default stays deliberately modest rather than tracking
+    SPARK_GRAFT_CPUS, because state, unlike input, does not grow with
+    the executor count.
+    """
+    n = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def hourly_rollup_stream(
@@ -47,15 +75,16 @@ def run_hourly_rollup_once(spark: SparkSession, events_path: str) -> DataFrame:
     final table — deterministic because availableNow processes all input.
     """
     name = f"hourly_rollup_{uuid.uuid4().hex[:8]}"
-    q = (
-        hourly_rollup_stream(spark, events_path)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark):
+        q = (
+            hourly_rollup_stream(spark, events_path)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -116,15 +145,16 @@ def sessionize_stream(
 def run_sessionize_once(spark: SparkSession, events_path: str) -> DataFrame:
     """Drain the sessionizer with availableNow; deterministic final state."""
     name = f"sessionize_{uuid.uuid4().hex[:8]}"
-    q = (
-        sessionize_stream(spark, events_path)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark):
+        q = (
+            sessionize_stream(spark, events_path)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -153,15 +183,16 @@ def run_stream_dedup_once(spark: SparkSession, docs_path: str) -> DataFrame:
     set is deterministic (first-arrival races only affect WHICH duplicate
     survives, and we emit only the digest)."""
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream_exact_dedup(spark, docs_path)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark):
+        q = (
+            stream_exact_dedup(spark, docs_path)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -228,15 +259,16 @@ def run_sessionize_with_state_once(
     spark: SparkSession, events_path: str
 ) -> DataFrame:
     name = f"sessionize_state_{uuid.uuid4().hex[:8]}"
-    q = (
-        sessionize_with_state(spark, events_path)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark):
+        q = (
+            sessionize_with_state(spark, events_path)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -289,15 +321,16 @@ def run_view_purchase_join_once(
     inner interval joins emit every matched pair regardless of batch
     boundaries)."""
     name = f"ssjoin_{uuid.uuid4().hex[:8]}"
-    q = (
-        view_purchase_stream_join(spark, events_path)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark):
+        q = (
+            view_purchase_stream_join(spark, events_path)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -325,15 +358,16 @@ def sliding_rollup_stream(
 
 def run_sliding_rollup_once(spark: SparkSession, events_path: str) -> DataFrame:
     name = f"sliding_{uuid.uuid4().hex[:8]}"
-    q = (
-        sliding_rollup_stream(spark, events_path)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark):
+        q = (
+            sliding_rollup_stream(spark, events_path)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -364,15 +398,16 @@ def run_enriched_rollup_once(
     spark: SparkSession, events_path: str, dim: DataFrame
 ) -> DataFrame:
     name = f"enriched_rollup_{uuid.uuid4().hex[:8]}"
-    q = (
-        enriched_rollup_stream(spark, events_path, dim)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark):
+        q = (
+            enriched_rollup_stream(spark, events_path, dim)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -408,15 +443,16 @@ def run_stream_chunk_dedup_once(
     """Drain with availableNow: the surviving digest set (and each
     digest's length, a function of the digest's text) is deterministic."""
     name = f"chunk_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        stream_chunk_dedup(spark, docs_path)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark):
+        q = (
+            stream_chunk_dedup(spark, docs_path)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 

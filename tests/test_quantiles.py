@@ -229,3 +229,32 @@ def test_grouped_one_huge_group_spans_partitions(spark):
     assert out[("big", 0.5)] == 4999.5
     assert out[("big", 1.0)] == 9999.0
     assert out[("s7", 0.5)] == 7.0
+
+
+def test_grouped_weighted_matches_expanded(spark):
+    """(g, v, w) rows must select EXACTLY what w expanded copies of
+    (g, v) select — including interpolated ranks that land inside and
+    between weighted runs, and groups split across partitions."""
+    rng = random.Random(11)
+    rows = [
+        (rng.choice(["a", "b"]), float(rng.randint(0, 50)),
+         rng.randint(1, 7))
+        for _ in range(800)
+    ] + [("solo", 3.25, 4)]
+    wdf = spark.createDataFrame(rows, "g string, v double, w int")
+    expanded = [(g, v) for g, v, w in rows for _ in range(w)]
+    edf = spark.createDataFrame(expanded, "g string, v double")
+    ps = [0.0, 0.25, 0.5, 0.9, 1.0]
+    got_w = {
+        (r["group"], r["p"]): r["value"]
+        for r in grouped_exact_quantiles(
+            wdf, "g", "v", ps, num_partitions=5, weight_col="w"
+        ).collect()
+    }
+    got_e = {
+        (r["group"], r["p"]): r["value"]
+        for r in grouped_exact_quantiles(
+            edf, "g", "v", ps, num_partitions=5
+        ).collect()
+    }
+    assert got_w == got_e
