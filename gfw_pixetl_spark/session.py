@@ -14,6 +14,26 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_memory() -> str:
+    """Size the driver heap to the machine: in ``local[N]`` the driver
+    JVM IS every executor, so the 32 concurrent tasks' execution+storage
+    memory all come out of this one heap. A fixed small heap turns the
+    heavy join/aggregation queries GC-bound (measured ~40% slower at
+    8 g vs 24 g on a 128 GiB box). Take ~25% of physical RAM, clamped
+    to [8 g, 32 g]; on a real cluster the driver does no data work and
+    ``SPARK_DRIVER_MEMORY`` overrides this entirely.
+    """
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    total_gib = int(line.split()[1]) / (1024 * 1024)
+                    return f"{max(8, min(32, int(total_gib // 4)))}g"
+    except OSError:
+        pass
+    return "8g"
+
+
 def get_spark(
     app_name: str = "gfw_pixetl_spark",
     master: str | None = None,
@@ -55,7 +75,8 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # --- scan sizing: 128 MiB splits is the parquet sweet spot ---
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.driver.memory", os.environ.get(
+            "SPARK_DRIVER_MEMORY", _default_driver_memory()))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
