@@ -1079,13 +1079,36 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("w"))
         .localCheckpoint(eager=False)
     )
-    med = grouped_exact_quantiles(cnt, "g", "v", [0.5], weight_col="w")
-    med = med.select(F.col("group").alias("g"), F.col("value").alias("m"))
-    dev = cnt.join(F.broadcast(med), "g").withColumn(
+    # ONE bounds aggregation serves both selections: the MAD pass's
+    # deviations are bounded by [0, max(m - lo, hi - m)] and its total
+    # weight per group equals the median pass's (|v - m| is a value
+    # RELABELING of the same weighted multiset).
+    vbounds = {
+        r["g"]: (r["lo"], r["hi"], int(r["n"]))
+        for r in cnt.groupBy("g").agg(
+            F.min(F.col("v").cast("double")).alias("lo"),
+            F.max(F.col("v").cast("double")).alias("hi"),
+            F.sum("w").alias("n"),
+        ).collect()
+    }
+    med = grouped_exact_quantiles(cnt, "g", "v", [0.5], weight_col="w",
+                                  bounds=vbounds)
+    med_rows = {r["group"]: r["value"] for r in med.collect()}  # 3 rows
+    # the 3 medians inline as a literal when-chain (same doubles the
+    # former broadcast join carried — stays in whole-stage codegen)
+    m_expr = F.coalesce(*[
+        F.when(F.col("g") == F.lit(g), F.lit(m))
+        for g, m in med_rows.items()
+    ])
+    dev = cnt.withColumn("m", m_expr).withColumn(
         "adev", F.abs(F.col("v") - F.col("m"))
     )
+    abounds = {
+        g: (0.0, max(med_rows[g] - lo, hi - med_rows[g]), n)
+        for g, (lo, hi, n) in vbounds.items()
+    }
     mad = grouped_exact_quantiles(dev, "g", "adev", [0.5],
-                                  weight_col="w").select(
+                                  weight_col="w", bounds=abounds).select(
         F.col("group").alias("g2"), F.col("value").alias("mad")
     )
     return (
@@ -2039,7 +2062,7 @@ def _rfm_score_sql(col: str, bcols: list[str]) -> str:
     """,
 )
 def q299(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.quantiles import exact_quantiles
+    from ..functions.quantiles import exact_quantiles_cols
 
     orders = load(spark, sf_dir, "orders")
     horizon = orders.agg(F.max(F.to_date("o_orderdate")).alias("t_end"))
@@ -2054,9 +2077,10 @@ def q299(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.datediff("t_end", "last_d").cast("bigint").alias("rec"),
                 "freq", "mon")
     )
-    c = c.localCheckpoint()  # 3 selection passes + the scoring scan
-    bounds = {dim: exact_quantiles(c, dim, _RFM_PS)
-              for dim in ("rec", "freq", "mon")}
+    c = c.localCheckpoint()  # selection passes + the scoring scan
+    # one batched selection for all three dimensions: a single bounds
+    # aggregation + shared refinement rounds instead of 3 selections
+    bounds = exact_quantiles_cols(c, ["rec", "freq", "mon"], _RFM_PS)
 
     def score(dim: str):
         s = F.lit(1)

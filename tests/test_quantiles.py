@@ -258,3 +258,75 @@ def test_grouped_weighted_matches_expanded(spark):
         ).collect()
     }
     assert got_w == got_e
+
+
+# ---------------------------------------------------------------------------
+# Histogram-refinement internals: deep refinement (tiny buckets + tiny
+# collect threshold) must resolve the identical values as the default
+# shallow path; caller-supplied superset bounds and the batched
+# multi-column API must match the reference selections.
+# ---------------------------------------------------------------------------
+from gfw_pixetl_spark.functions import quantiles as Q
+
+
+def _grouped_dict(df, ps, **kw):
+    return {
+        (r["group"], r["p"]): r["value"]
+        for r in grouped_exact_quantiles(df, "g", "v", ps, **kw).collect()
+    }
+
+
+def test_deep_refinement_matches_shallow(spark, monkeypatch):
+    rng = random.Random(3)
+    rows = [
+        (rng.choice(["a", "b"]), float(rng.randint(0, 100000)) / 7.0)
+        for _ in range(4000)
+    ] + [("a", -5.25)] * 40  # a heavy tied value
+    df = spark.createDataFrame(rows, "g string, v double")
+    ps = [0.0, 0.3, 0.5, 0.97, 1.0]
+    base = _grouped_dict(df, ps)
+    # force many histogram rounds: 8-bucket histograms, 8-row collects
+    monkeypatch.setattr(Q, "_HIST_BUCKETS", 8)
+    monkeypatch.setattr(Q, "_COLLECT_MAX", 8)
+    assert _grouped_dict(df, ps) == base
+    # and through the weighted ('reach') path
+    wdf = spark.createDataFrame(
+        [(v, float(rng.randint(1, 5))) for _, v in rows], "v double, w double"
+    )
+    monkeypatch.setattr(Q, "_HIST_BUCKETS", 1024)
+    monkeypatch.setattr(Q, "_COLLECT_MAX", 65536)
+    want_w = weighted_quantiles(wdf, "v", "w", ps)
+    monkeypatch.setattr(Q, "_HIST_BUCKETS", 8)
+    monkeypatch.setattr(Q, "_COLLECT_MAX", 8)
+    assert weighted_quantiles(wdf, "v", "w", ps) == want_w
+
+
+def test_caller_bounds_superset_is_exact(spark):
+    rng = random.Random(9)
+    rows = [
+        (rng.choice(["x", "y"]), round(rng.uniform(10, 90), 3),
+         rng.randint(1, 4))
+        for _ in range(1500)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w int")
+    ps = [0.25, 0.5, 0.75]
+    base = _grouped_dict(df, ps, weight_col="w")
+    stats: dict = {}
+    for g, v, w in rows:
+        lo, hi, n = stats.get(g, (v, v, 0))
+        stats[g] = (min(lo, v), max(hi, v), n + w)
+    loose = {g: (lo - 100.0, hi + 55.0, n) for g, (lo, hi, n) in stats.items()}
+    assert _grouped_dict(df, ps, weight_col="w", bounds=loose) == base
+
+
+def test_exact_quantiles_cols_matches_single(spark):
+    rng = random.Random(21)
+    rows = [
+        (float(rng.randint(0, 500)), rng.uniform(-3.0, 3.0))
+        for _ in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "a double, b double")
+    ps = [0.1, 0.5, 0.9]
+    batched = Q.exact_quantiles_cols(df, ["a", "b"], ps)
+    assert batched["a"] == exact_quantiles(df, "a", ps)
+    assert batched["b"] == exact_quantiles(df, "b", ps)
