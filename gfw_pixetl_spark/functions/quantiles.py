@@ -416,6 +416,49 @@ def weighted_quantiles(
     return [picked.get((0, max(p * total_w, 0.0))) for p in ps]
 
 
+def grouped_exact_quantile_values(
+    df: DataFrame,
+    group_col: str,
+    col: str,
+    ps: Sequence[float],
+    weight_col: str | None = None,
+    bounds: dict | None = None,
+) -> dict:
+    """Driver-side twin of :func:`grouped_exact_quantiles`: the same
+    selection, returned as ``{(group, p): value}`` so callers that embed
+    the (dimension-sized) results as literals skip the DataFrame
+    round-trip. See :func:`grouped_exact_quantiles` for semantics."""
+    w_expr = (
+        F.col(weight_col).cast("long") if weight_col is not None else F.lit(1)
+    )
+    vals = df.select(
+        F.col(group_col).alias("g"),
+        F.col(col).cast("double").alias("v"),
+        w_expr.cast("long").alias("w"),
+    ).where(F.col("v").isNotNull() & F.col("g").isNotNull() & (F.col("w") > 0))
+    if bounds is None:
+        bounds = {
+            r["g"]: (r["lo"], r["hi"], int(r["n"]))
+            for r in vals.groupBy("g").agg(
+                F.min("v").alias("lo"), F.max("v").alias("hi"),
+                F.sum("w").alias("n"),
+            ).collect()  # one row per group — dimension-sized by contract
+        }
+    plan: dict = {}
+    ranks: dict = {}
+    for g in sorted(bounds, key=lambda g: (g is None, g)):
+        lo, hi, n = bounds[g]
+        rs, targets = _index_targets(ps, int(n))
+        ranks[g] = rs
+        plan[g] = (lo, hi, int(n), targets)
+    picked = _hist_select(vals, plan, "index") if plan else {}
+    return {
+        (g, float(p)): _interp(r, picked, lambda i: (g, i))
+        for g, rs in ranks.items()
+        for p, r in zip(ps, rs)
+    }
+
+
 def grouped_exact_quantiles(
     df: DataFrame,
     group_col: str,
@@ -449,36 +492,13 @@ def grouped_exact_quantiles(
     Returns a DataFrame ``[group, p, value]``.
     """
     spark = df.sparkSession
-    w_expr = (
-        F.col(weight_col).cast("long") if weight_col is not None else F.lit(1)
+    g_type = dict(
+        df.select(F.col(group_col).alias("g")).dtypes
+    )["g"]
+    values = grouped_exact_quantile_values(
+        df, group_col, col, ps, weight_col=weight_col, bounds=bounds
     )
-    vals = df.select(
-        F.col(group_col).alias("g"),
-        F.col(col).cast("double").alias("v"),
-        w_expr.cast("long").alias("w"),
-    ).where(F.col("v").isNotNull() & F.col("g").isNotNull() & (F.col("w") > 0))
-    g_type = dict(vals.dtypes)["g"]
-    if bounds is None:
-        bounds = {
-            r["g"]: (r["lo"], r["hi"], int(r["n"]))
-            for r in vals.groupBy("g").agg(
-                F.min("v").alias("lo"), F.max("v").alias("hi"),
-                F.sum("w").alias("n"),
-            ).collect()  # one row per group — dimension-sized by contract
-        }
-    plan: dict = {}
-    ranks: dict = {}
-    for g in sorted(bounds, key=lambda g: (g is None, g)):
-        lo, hi, n = bounds[g]
-        rs, targets = _index_targets(ps, int(n))
-        ranks[g] = rs
-        plan[g] = (lo, hi, int(n), targets)
-    picked = _hist_select(vals, plan, "index") if plan else {}
-
-    out = []
-    for g, rs in ranks.items():
-        for p, r in zip(ps, rs):
-            out.append((g, float(p), _interp(r, picked, lambda i: (g, i))))
+    out = [(g, p, v) for (g, p), v in values.items()]
     # single-slice parallelize: the default splits a 9-row local list
     # into defaultParallelism (32) Python tasks, each paying worker spin-up
     return spark.createDataFrame(

@@ -726,7 +726,8 @@ def bpe_train(df: DataFrame, text_col: str = "text",
 def unigram_train(df: DataFrame, text_col: str = "text",
                   n_seed: int = 40, rounds: int = 2,
                   max_word: int = 8, max_piece: int = 4,
-                  word_counts: DataFrame | None = None) -> DataFrame:
+                  word_counts: DataFrame | None = None,
+                  final_inventory: dict | None = None) -> DataFrame:
     """SentencePiece-style unigram-LM tokenizer training as distributed
     hard-EM (Viterbi E-step + count M-step) — the third major tokenizer
     family next to BPE (``bpe_train``) and WordPiece (q329).
@@ -784,14 +785,22 @@ def unigram_train(df: DataFrame, text_col: str = "text",
     subs = sub_parts[0]
     for p in sub_parts[1:]:
         subs = subs.unionByName(p)
-    freq = subs.groupBy("piece").agg(F.sum("cnt").alias("freq")) \
-        .localCheckpoint(eager=False)  # chars + top-n seed both read it
-    chars = {r["piece"]: int(r["freq"])
-             for r in freq.filter(F.length("piece") == 1).collect()}
-    multi = {r["piece"]: int(r["freq"])
-             for r in freq.filter(F.length("piece") > 1)
-             .orderBy(F.col("freq").desc(), F.col("piece").asc())
-             .limit(n_seed).collect()}  # bounded: inventory metadata
+    freq = subs.groupBy("piece").agg(F.sum("cnt").alias("freq"))
+    # ONE collect for the whole seed inventory: the alphabet arm and the
+    # top-n multi-char arm union into a single bounded job (formerly two
+    # actions over a checkpointed table)
+    seed_rows = (
+        freq.filter(F.length("piece") == 1)
+        .unionByName(
+            freq.filter(F.length("piece") > 1)
+            .orderBy(F.col("freq").desc(), F.col("piece").asc())
+            .limit(n_seed))
+        .collect()  # bounded: alphabet + n_seed rows
+    )
+    chars = {r["piece"]: int(r["freq"]) for r in seed_rows
+             if len(r["piece"]) == 1}
+    multi = {r["piece"]: int(r["freq"]) for r in seed_rows
+             if len(r["piece"]) > 1}
 
     def run_estep(inventory: dict) -> dict:
         """One Viterbi pass over the word table; returns piece counts."""
@@ -844,6 +853,10 @@ def unigram_train(df: DataFrame, text_col: str = "text",
         inv_multi = {p: counts[p] for p in inv_multi if counts.get(p, 0)}
         out_rows += [(rnd, p, c) for p, c in inv_chars.items()]
         out_rows += [(rnd, p, c) for p, c in inv_multi.items()]
+    if final_inventory is not None:
+        # expose the last round's inventory to callers (unigram_apply)
+        # without a re-collect of the result DataFrame
+        final_inventory.update({**inv_chars, **inv_multi})
     return (spark.createDataFrame(
         out_rows, "round int, piece string, cnt bigint")
         .orderBy("round", "piece"))
@@ -881,11 +894,10 @@ def unigram_apply(df: DataFrame, text_col: str = "text",
     # the final inventory: last round's chars + surviving multis —
     # sharing the word counts derived from THIS corpus explode (same
     # derivation unigram_train would build from df)
-    vocab = unigram_train(df, text_col, n_seed=n_seed, rounds=rounds,
-                          max_word=max_word, max_piece=max_piece,
-                          word_counts=word_counts)
-    final = {r["piece"]: int(r["cnt"])
-             for r in vocab.filter(F.col("round") == rounds).collect()}
+    final: dict = {}
+    unigram_train(df, text_col, n_seed=n_seed, rounds=rounds,
+                  max_word=max_word, max_piece=max_piece,
+                  word_counts=word_counts, final_inventory=final)
 
     word_tbl = word_counts.select("word")  # distinct by construction
 
@@ -895,20 +907,22 @@ def unigram_apply(df: DataFrame, text_col: str = "text",
         for pdf in batches:
             n_pieces = []
             for word in pdf["word"]:
+                # only the piece COUNT is emitted, and the string
+                # tie-break of the train kernel can never change it
+                # (tied candidates share the count by definition), so
+                # the DP drops the segmentation-string field
                 dp = [None] * (len(word) + 1)
-                dp[0] = (0, 0, "")
+                dp[0] = (0, 0)
                 for j in range(1, len(word) + 1):
                     best = None
                     for ln in range(1, min(max_piece, j) + 1):
                         prev = dp[j - ln]
                         if prev is None:
                             continue
-                        pc = word[j - ln:j]
-                        wgt = final.get(pc)
+                        wgt = final.get(word[j - ln:j])
                         if wgt is None:
                             continue
-                        cand = (prev[0] + 1, prev[1] - wgt,
-                                prev[2] + "|" + pc)
+                        cand = (prev[0] + 1, prev[1] - wgt)
                         if best is None or cand < best:
                             best = cand
                     dp[j] = best

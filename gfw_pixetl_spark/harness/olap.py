@@ -1043,7 +1043,7 @@ def q135(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
-    from ..functions.quantiles import grouped_exact_quantiles
+    from ..functions.quantiles import grouped_exact_quantile_values
 
     li = load(spark, sf_dir, "lineitem")
     if os.environ.get("SPARK_GRAFT_APPROX_QUANTILES") == "1":
@@ -1091,9 +1091,12 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("w").alias("n"),
         ).collect()
     }
-    med = grouped_exact_quantiles(cnt, "g", "v", [0.5], weight_col="w",
-                                  bounds=vbounds)
-    med_rows = {r["group"]: r["value"] for r in med.collect()}  # 3 rows
+    med_rows = {
+        g: v
+        for (g, _p), v in grouped_exact_quantile_values(
+            cnt, "g", "v", [0.5], weight_col="w", bounds=vbounds
+        ).items()
+    }
     # the 3 medians inline as a literal when-chain (same doubles the
     # former broadcast join carried — stays in whole-stage codegen)
     m_expr = F.coalesce(*[
@@ -1107,13 +1110,18 @@ def q142(spark: SparkSession, sf_dir: str) -> DataFrame:
         g: (0.0, max(med_rows[g] - lo, hi - med_rows[g]), n)
         for g, (lo, hi, n) in vbounds.items()
     }
-    mad = grouped_exact_quantiles(dev, "g", "adev", [0.5],
-                                  weight_col="w", bounds=abounds).select(
-        F.col("group").alias("g2"), F.col("value").alias("mad")
-    )
+    mad_rows = {
+        g: v
+        for (g, _p), v in grouped_exact_quantile_values(
+            dev, "g", "adev", [0.5], weight_col="w", bounds=abounds
+        ).items()
+    }
+    mad_expr = F.coalesce(*[
+        F.when(F.col("g") == F.lit(g), F.lit(m))
+        for g, m in mad_rows.items()
+    ])
     return (
-        dev.join(F.broadcast(mad), dev.g == mad.g2)
-        .filter(F.col("adev") > 1.8 * F.col("mad"))
+        dev.filter(F.col("adev") > 1.8 * mad_expr)
         .groupBy("g")
         .agg(F.sum("w").alias("n_outliers"))
     )

@@ -525,28 +525,34 @@ def q146(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q147(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    # referenced five times (count, both self-join sides, marginals) —
-    # checkpoint so the distinct runs once
-    baskets = (li.select("l_orderkey", "l_partkey").distinct()
-               .localCheckpoint(eager=False))
-    n_orders = baskets.agg(
-        F.countDistinct("l_orderkey").alias("n")
+    # ONE shuffle builds the per-order part set (<= 7 lines per order by
+    # TPC-H construction); the pair space enumerates IN-ARRAY (the q341
+    # basket-combinations shape) instead of a distinct + self-join —
+    # two full-table shuffles gone. collect_set = the former DISTINCT;
+    # sort_array makes every in-array pair (pa < pb) by construction.
+    orders_parts = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .localCheckpoint(eager=False)  # pairs + marginals + order count
     )
-    a = baskets.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa")
-    )
-    b = baskets.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb")
+    n_orders = orders_parts.agg(F.count("*").alias("n"))
+    pair_expr = F.expr(
+        "flatten(transform(ps, (x, i) -> "
+        "transform(slice(ps, i + 2, size(ps)), "
+        "y -> struct(x AS pa, y AS pb))))"
     )
     pairs = (
-        a.join(b, "k")
-        .filter(F.col("pa") < F.col("pb"))
+        orders_parts.select(F.explode(pair_expr).alias("pr"))
+        .select("pr.pa", "pr.pb")
         .groupBy("pa", "pb")
         .agg(F.count("*").alias("nab"))
         .filter(F.col("nab") >= 3)
     )
-    marg = (baskets.groupBy("l_partkey").agg(F.count("*").alias("np"))
-            .localCheckpoint(eager=False))  # joined as both ma and mb
+    marg = (
+        orders_parts.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey").agg(F.count("*").alias("np"))
+        .localCheckpoint(eager=False)  # joined as both ma and mb
+    )
     ma = marg.select(F.col("l_partkey").alias("pa"), F.col("np").alias("na"))
     mb = marg.select(F.col("l_partkey").alias("pb"), F.col("np").alias("nb"))
     return (

@@ -31,7 +31,8 @@ _NB = 64  # value-domain buckets for the distributed cumulative scan
 
 
 def _bucketed_cum(d: DataFrame, value_col: str, cnt_cols: list[str],
-                  order_tail: list[str] | None = None) -> DataFrame:
+                  order_tail: list[str] | None = None,
+                  checkpoint_input: bool = True) -> DataFrame:
     """Inclusive global cumulative sums of ``cnt_cols`` over ``d`` ordered
     by ``value_col`` ascending, without a fact-scale single-partition
     window: bucket by value range (bounds from one broadcast scalar row),
@@ -40,8 +41,13 @@ def _bucketed_cum(d: DataFrame, value_col: str, cnt_cols: list[str],
     per distinct ``value_col`` (plus optional ``order_tail`` tie-break
     columns when values repeat across rows)."""
     # d (usually a fact-scale aggregate) feeds the range scalar AND the
-    # bucketing; checkpoint so it is computed once per call
-    d = d.localCheckpoint(eager=False)
+    # bucketing; checkpoint so it is computed once per call. Callers
+    # whose d derives trivially from an already-checkpointed table pass
+    # checkpoint_input=False — there the recompute is a cheap map and
+    # the two materialization jobs cost more than they save (the O16
+    # measure-don't-assume rule).
+    if checkpoint_input:
+        d = d.localCheckpoint(eager=False)
     rng = d.agg(F.min(value_col).alias("_lo"), F.max(value_col).alias("_hi"))
     b = (
         d.crossJoin(F.broadcast(rng))
@@ -52,8 +58,9 @@ def _bucketed_cum(d: DataFrame, value_col: str, cnt_cols: list[str],
                 ((F.col(value_col) - F.col("_lo")) * _NB
                  / (F.col("_hi") - F.col("_lo") + 1)).cast("int")))
         .drop("_lo", "_hi")
-        .localCheckpoint(eager=False)  # bucket totals + per-row cumsum
     )
+    if checkpoint_input:
+        b = b.localCheckpoint(eager=False)  # bucket totals + per-row cumsum
     totals = b.groupBy("_b").agg(
         *[F.sum(c).alias(f"_t_{c}") for c in cnt_cols])
     wb = (Window.orderBy(F.col("_b").asc())
@@ -410,9 +417,22 @@ def q351(spark: SparkSession, sf_dir: str) -> DataFrame:
             (2 * (F.col("cum_k") - F.col("k")) + F.col("k") + 1)
             .alias("r2"))
 
-    rx = rank2("x").select(F.col("v").alias("x"), F.col("r2").alias("a"))
+    # x = l_quantity is a VALUE-DOMAIN-bounded axis (1..50 by TPC-H
+    # construction, however large lineitem grows — the q287/q335
+    # tiny-statistic discipline): its doubled-rank table collects once
+    # and inlines as a literal lookup, replacing a whole bucketed-cum
+    # pipeline + broadcast join. y (cents) stays distributed.
+    xr = base.groupBy("x").agg(F.count("*").alias("k")).collect()
+    xr.sort(key=lambda r: r["x"])
+    a_map, cum = {}, 0
+    for r in xr:
+        a_map[int(r["x"])] = 2 * cum + int(r["k"]) + 1
+        cum += int(r["k"])
+    a_lit = F.create_map(*[
+        F.lit(v) for kv in a_map.items() for v in kv
+    ]).cast("map<bigint,bigint>")
     ry = rank2("y").select(F.col("v").alias("y"), F.col("r2").alias("b"))
-    j = base.join(F.broadcast(rx), "x").join(ry, "y")
+    j = base.withColumn("a", F.element_at(a_lit, F.col("x"))).join(ry, "y")
     d19 = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
     s = j.agg(
         F.count("*").alias("n"),
@@ -602,7 +622,10 @@ def q357(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = pr.localCheckpoint(eager=False)
     tot = pr.agg(F.sum("rev").alias("trev"))
     d = pr.select((-F.col("rev")).alias("negrev"), "p", "rev")
-    ranked = _bucketed_cum(d, "negrev", ["rev"], order_tail=["p"])
+    # pr is already checkpointed: d/b recompute is a trivial map, so the
+    # cum scan skips its internal materializations
+    ranked = _bucketed_cum(d, "negrev", ["rev"], order_tail=["p"],
+                           checkpoint_input=False)
     cum100 = 100 * F.col("cum_rev").cast("decimal(38,0)")
     abc = (
         ranked.crossJoin(F.broadcast(tot))

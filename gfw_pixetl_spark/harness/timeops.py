@@ -1112,9 +1112,21 @@ def q287(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = np.array([r.t for r in rows], dtype=np.int64)
     x = np.array([r.x for r in rows], dtype=np.int64)
     n_days = len(rows)
-    ii, jj = np.triu_indices(n_days, 1)  # j > i => t_j > t_i
-    slopes = (x[jj] - x[ii]).astype(np.float64) \
-        / (t[jj] - t[ii]).astype(np.float64)
+    # One preallocated output filled per anchor row (j > i => t_j > t_i):
+    # the same exact int-difference doubles a triu_indices formulation
+    # produces, without materializing the ~6x larger (ii, jj, diffs)
+    # index/temp arrays — first-touch page faults on those dominated the
+    # driver cost of this query.
+    slopes = np.empty(n_days * (n_days - 1) // 2, dtype=np.float64)
+    dx = np.empty(n_days, dtype=np.float64)
+    dt = np.empty(n_days, dtype=np.float64)
+    pos = 0
+    for i in range(n_days - 1):
+        m = n_days - 1 - i
+        np.subtract(x[i + 1:], x[i], out=dx[:m], casting="unsafe")
+        np.subtract(t[i + 1:], t[i], out=dt[:m], casting="unsafe")
+        np.divide(dx[:m], dt[:m], out=slopes[pos:pos + m])
+        pos += m
     slopes.sort()
     n = slopes.shape[0]
     rank = 0.5 * (n - 1)
