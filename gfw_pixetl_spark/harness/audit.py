@@ -1081,33 +1081,27 @@ def q348(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.hashing import md5_int64
 
     ev = load(spark, sf_dir, "events").select(
-        "event_id",
         (md5_int64(F.concat(F.col("event_id").cast("string"),
                             F.lit(":ip"))) % 4294967296).alias("ip"))
-    rules = spark.createDataFrame(
-        spark.sparkContext.parallelize(_cidr_rows(), 1),
-        "name string, pfx bigint, len int")
-    # one equi-join per distinct prefix length (longest-prefix
-    # decomposition); rule table broadcasts
-    lens = sorted({l for _, _, l in _cidr_rows()})
-    hits = None
-    for ln in lens:
-        r = rules.filter(F.col("len") == ln).select(
-            F.col("pfx"), F.col("name"), F.col("len"))
-        leg = (ev.withColumn("pfx", (F.col("ip") / (1 << (32 - ln)))
-                             .cast("bigint"))
-               .join(F.broadcast(r), "pfx")
-               .select("event_id", "name", "len"))
-        hits = leg if hits is None else hits.unionByName(leg)
-    best = (hits.groupBy("event_id")
-            .agg(F.max(F.struct(F.col("len"), F.col("name")))
-                 .alias("b"))
-            .select("event_id", F.col("b.name").alias("rule"),
-                    F.col("b.len").alias("match_len")))
-    routed = (ev.join(best, "event_id", "left")
-              .select(F.coalesce("rule", F.lit("unrouted")).alias("rule"),
-                      F.coalesce("match_len", F.lit(0)).alias("match_len")))
-    return (routed.groupBy("rule", "match_len")
+    # the rule table is a fixed 9-row literal (value-domain-bounded by
+    # construction), so the longest-prefix match compiles to ONE
+    # when-chain ordered by prefix length DESC — at most one rule per
+    # length can match (prefixes at a length are distinct), so first
+    # match == max(struct(len, name)). One map-only pass + a <= 10-key
+    # map-side-combinable agg replaces the per-length join legs, the
+    # event-keyed argmax shuffle, and the corpus-sized left join.
+    match = None
+    for name, pfx, ln in sorted(_cidr_rows(), key=lambda r: -r[2]):
+        cond = (F.col("ip") / (1 << (32 - ln))).cast("bigint") == pfx
+        hit = F.struct(F.lit(name).alias("rule"),
+                       F.lit(ln).alias("match_len"))
+        match = F.when(cond, hit) if match is None else match.when(
+            cond, hit)
+    routed = ev.select(F.coalesce(
+        match, F.struct(F.lit("unrouted").alias("rule"),
+                        F.lit(0).alias("match_len"))).alias("m"))
+    return (routed.groupBy(F.col("m.rule").alias("rule"),
+                           F.col("m.match_len").alias("match_len"))
             .agg(F.count("*").cast("bigint").alias("n_events"))
             .select("rule", F.col("match_len").cast("bigint")
                     .alias("match_len"), "n_events")

@@ -1081,8 +1081,14 @@ def q392(spark: SparkSession, sf_dir: str) -> DataFrame:
         deg = (alive.select(F.col("u").alias("node"))
                .unionAll(alive.select(F.col("v").alias("node")))
                .groupBy("node").agg(F.count("*").alias("d")))
-        weak = deg.filter(F.col("d") < _KCORE_K).select("node")
-        if not weak.limit(1).count():  # bounded: 1-row probe
+        # checkpoint the weak set so the emptiness probe and BOTH
+        # broadcast builds share ONE degree aggregation per round (the
+        # probe formerly recomputed it, then each broadcast recomputed
+        # it again — the O16 rule: the duplicated subtree is a full
+        # agg over the edge set)
+        weak = (deg.filter(F.col("d") < _KCORE_K).select("node")
+                .localCheckpoint(eager=False))
+        if not weak.count():  # bounded: 1-row result per node < k
             break
         # the weak set shrinks monotonically — broadcast anti-joins
         alive = (alive
@@ -1137,8 +1143,6 @@ def _lpa_oracle() -> str:
 
 @register("q393_label_propagation", oracle=_lpa_oracle())
 def q393(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     e = _sparse_edges(spark, sf_dir)
     nbr = (e.select(F.col("u").alias("node"), F.col("v").alias("nb"))
            .unionAll(e.select(F.col("v").alias("node"),
@@ -1146,13 +1150,17 @@ def q393(spark: SparkSession, sf_dir: str) -> DataFrame:
            .localCheckpoint(eager=False))
     labels = nbr.select("node").distinct().select(
         "node", F.col("node").alias("lbl"))
-    pick = Window.partitionBy("node").orderBy(
-        F.col("c").desc(), F.col("lbl").asc())
     for _ in range(_LPA_ROUNDS):
         counts = (nbr.join(labels.withColumnRenamed("node", "nb"), "nb")
                   .groupBy("node", "lbl").agg(F.count("*").alias("c")))
-        labels = (counts.withColumn("rn", F.row_number().over(pick))
-                  .filter(F.col("rn") == 1).select("node", "lbl")
+        # plurality label = max count, tie -> smallest label: ONE
+        # hash aggregation (map-side partials, no sort) replaces the
+        # former row_number window — max(struct(c, -lbl)) picks the
+        # identical row because c and lbl are exact integers
+        labels = (counts.groupBy("node")
+                  .agg(F.max(F.struct(
+                      F.col("c"), (-F.col("lbl")).alias("nl"))).alias("t"))
+                  .select("node", (-F.col("t.nl")).alias("lbl"))
                   .localCheckpoint(eager=False))
     return labels.select(
         F.col("node").cast("bigint").alias("suppkey"),

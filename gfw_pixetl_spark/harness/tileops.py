@@ -2668,33 +2668,32 @@ def q320(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr, pc = F.col("row") + dr, F.col("col") + dc
     in_grid = ((pr >= lo) & (pr <= hi) & (pc >= lo) & (pc <= hi)
                & (F.col("flow_dir") != 0))
-    nodes = px.select(nid.alias("u")).localCheckpoint()
-    edges = (
-        px.filter(in_grid)
-        .select(nid.alias("u"), (pr * 1024 + pc).cast("bigint").alias("p"))
-        .localCheckpoint()
-    )
-    up = edges.select(F.col("u").alias("a"), F.col("p").alias("a2"))
-    pairs = edges.select(F.col("p").alias("a"))  # distance-1 visits
-    frontier = edges.select("u", F.col("p").alias("a"))
-    for _ in range(_ACC_ROUNDS - 1):
-        # the frontier feeds the visit union AND the next hop — without
-        # a per-round checkpoint round k's join chain re-executes once
-        # per later round
-        frontier = (frontier.join(up, "a")
-                    .select("u", F.col("a2").alias("a"))
-                    .localCheckpoint(eager=False))
-        pairs = pairs.unionByName(frontier.select("a"))
-    acc = pairs.groupBy(F.col("a").alias("u")).agg(
-        F.count("*").alias("acc"))
-    return (
-        nodes.join(acc, "u", "left")
-        .select(F.coalesce("acc", F.lit(0)).alias("acc"))
-        .groupBy("acc")
-        .agg(F.count("*").cast("bigint").alias("n_px"))
-        .select(F.col("acc").cast("bigint").alias("acc"), "n_px")
-        .orderBy("acc")
-    )
+    # the flow graph is BOUNDED BY CONSTRUCTION: the demo DEM is one
+    # fixed 94x94 window (<= 8,836 cells, <= 8,836 edges) at every
+    # scale factor, so the 12-round frontier closure is a tiny
+    # statistic in the q335/q287 discipline — the distributed work
+    # (raster decode + D8 direction kernel) stays on executors, the
+    # walk replays driver-side instead of paying 11 join jobs over a
+    # constant-size table. A corpus-scale DEM takes the q302
+    # pointer-doubling states instead (that path is unchanged).
+    rows = (px.select(nid.alias("u"),
+                      F.when(in_grid, (pr * 1024 + pc).cast("bigint"))
+                      .alias("p"))
+            .collect())  # bounded: <= 8,836 cells by construction
+    parent = {r.u: r.p for r in rows if r.p is not None}
+    visits: dict[int, int] = {}
+    for u in parent:
+        a, hops = parent[u], 0
+        while a is not None and hops < _ACC_ROUNDS:
+            visits[a] = visits.get(a, 0) + 1
+            a, hops = parent.get(a), hops + 1
+    hist: dict[int, int] = {}
+    for r in rows:
+        a = visits.get(r.u, 0)
+        hist[a] = hist.get(a, 0) + 1
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(sorted(hist.items()), 1),
+        "acc bigint, n_px bigint").orderBy("acc")
 
 
 # --------------------------------------------------------------------------
