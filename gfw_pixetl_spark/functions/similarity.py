@@ -318,15 +318,25 @@ def centroid_assign(
         )
     ).crossJoin(F.broadcast(cent))
     cos = cosine(F.col("_v"), F.col("centroid"))
-    w = Window.partitionBy(id_col).orderBy(F.desc("cos"), F.col("clabel"))
+    # per-vector argmax as ONE hash aggregation instead of a sort
+    # window (guide §2.4): min(struct(-cos, clabel)) is exactly the
+    # row_number()-over-(cos DESC, clabel ASC) pick — the double
+    # negation is exact, ties fall through to the label, and the
+    # aggregate partials combine map-side so only one row per vector
+    # crosses the exchange.
+    pick = F.min(F.struct(
+        (-F.col("cos")).alias("nc"),
+        F.col("clabel").alias("clabel"),
+        F.col("cos").alias("cos"),
+    )).alias("m")
     return (
         scored.withColumn("cos", cos)
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
+        .groupBy(id_col, label_col)
+        .agg(pick)
         .select(
             id_col, label_col,
-            F.col("clabel").alias("assigned"),
-            F.round("cos", 6).alias("sim"),
+            F.col("m.clabel").alias("assigned"),
+            F.round(F.col("m.cos"), 6).alias("sim"),
         )
     )
 

@@ -12,19 +12,29 @@ from __future__ import annotations
 
 
 def rc4(key: bytes, data: bytes) -> bytes:
-    """RC4 stream cipher (symmetric: encrypt == decrypt)."""
+    """RC4 stream cipher (symmetric: encrypt == decrypt).
+
+    The KSA is the dominant cost for the short inputs PDF's standard
+    security handler feeds this (16-32 bytes, ~60 calls per encrypted
+    document): the key is pre-tiled to 256 bytes so the hot loop does
+    no modulo, and locals are bound tight.
+    """
+    ks = (key * (256 // len(key) + 1))[:256]
     s = list(range(256))
     j = 0
     for i in range(256):
-        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        j = (j + s[i] + ks[i]) & 0xFF
         s[i], s[j] = s[j], s[i]
     out = bytearray(len(data))
     i = j = 0
     for n, b in enumerate(data):
         i = (i + 1) & 0xFF
-        j = (j + s[i]) & 0xFF
-        s[i], s[j] = s[j], s[i]
-        out[n] = b ^ s[(s[i] + s[j]) & 0xFF]
+        si = s[i]
+        j = (j + si) & 0xFF
+        sj = s[j]
+        s[i] = sj
+        s[j] = si
+        out[n] = b ^ s[(si + sj) & 0xFF]
     return bytes(out)
 
 

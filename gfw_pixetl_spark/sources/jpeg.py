@@ -138,6 +138,22 @@ def _encode_codes(bits: list[int], vals: list[int]):
     return out
 
 
+# The Annex K tables are constants; building the encoder-side
+# symbol->(code,length) maps per encode_jpeg call measured ~half the
+# encode cost on small frames (q397 muxes 24 of them per doc). Built
+# once at import.
+_ENC_DC_TABLES = None
+_ENC_AC_TABLES = None
+
+
+def _encoder_tables():
+    global _ENC_DC_TABLES, _ENC_AC_TABLES
+    if _ENC_DC_TABLES is None:
+        _ENC_DC_TABLES = [_encode_codes(*_DC_LUM), _encode_codes(*_DC_CHR)]
+        _ENC_AC_TABLES = [_encode_codes(*_AC_LUM), _encode_codes(*_AC_CHR)]
+    return _ENC_DC_TABLES, _ENC_AC_TABLES
+
+
 class _BitReader:
     """MSB-first bit reader over entropy-coded data with 0xFF00
     byte-unstuffing and RSTn awareness (T.81 §B.1.1.5, §E.2.4)."""
@@ -642,13 +658,17 @@ def encode_jpeg(arr: np.ndarray, quant: np.ndarray | None = None) -> bytes:
             0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
         ], axis=2)
 
-    # pad to 8-px multiples by edge replication
+    # pad to 8-px multiples by edge replication (skip the copy when the
+    # dimensions are already block-aligned — the common fixture shape)
     ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    padded = np.pad(samples, ((0, ph - h), (0, pw - w), (0, 0)),
-                    mode="edge")
+    if ph == h and pw == w:
+        padded = samples
+    else:
+        padded = np.pad(samples, ((0, ph - h), (0, pw - w), (0, 0)),
+                        mode="edge")
 
-    enc_dc = [_encode_codes(*_DC_LUM), _encode_codes(*_DC_CHR)]
-    enc_ac = [_encode_codes(*_AC_LUM), _encode_codes(*_AC_CHR)]
+    enc_dc, enc_ac = _encoder_tables()
+    unit_q = bool((q == 1).all())
 
     writer = _BitWriter()
     pred = [0] * ch
@@ -658,7 +678,8 @@ def encode_jpeg(arr: np.ndarray, quant: np.ndarray | None = None) -> bytes:
                 tsel = 0 if ci == 0 else 1
                 block = padded[by * 8:by * 8 + 8,
                                bx * 8:bx * 8 + 8, ci] - 128.0
-                coef = np.round(_fdct(block) / q).astype(np.int64)
+                f = _fdct(block)
+                coef = np.round(f if unit_q else f / q).astype(np.int64)
                 zz = coef.reshape(-1)[ZIGZAG]
                 diff = int(zz[0]) - pred[ci]
                 pred[ci] = int(zz[0])
@@ -667,23 +688,24 @@ def encode_jpeg(arr: np.ndarray, quant: np.ndarray | None = None) -> bytes:
                 writer.write(code, length)
                 if t:
                     writer.write(bits, t)
-                run = 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
+                # visit only the nonzero AC positions (identical bits:
+                # run lengths are the index gaps)
+                ac_tab = enc_ac[tsel]
+                prev = 0
+                for k in np.flatnonzero(zz[1:]):
+                    k = int(k) + 1
+                    run = k - prev - 1
+                    prev = k
                     while run > 15:
-                        code, length = enc_ac[tsel][0xF0]  # ZRL
+                        code, length = ac_tab[0xF0]  # ZRL
                         writer.write(code, length)
                         run -= 16
-                    t, bits = _magnitude(v)
-                    code, length = enc_ac[tsel][(run << 4) | t]
+                    t, bits = _magnitude(int(zz[k]))
+                    code, length = ac_tab[(run << 4) | t]
                     writer.write(code, length)
                     writer.write(bits, t)
-                    run = 0
-                if run:
-                    code, length = enc_ac[tsel][0x00]  # EOB
+                if prev != 63:
+                    code, length = ac_tab[0x00]  # EOB
                     writer.write(code, length)
     writer.flush()
 

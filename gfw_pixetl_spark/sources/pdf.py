@@ -65,6 +65,16 @@ import zlib
 _PW_PAD = bytes.fromhex(
     "28bf4e5e4e758a4164004e56fffa01082e2e00b6d0683e802f0ca9fe6453697a")
 
+# password-set -> /O entry memo (bounded; see _std_owner_entry)
+_O_ENTRY_CACHE: dict = {}
+
+# byte-wise XOR-with-constant as a C-speed translate table (the
+# Algorithm 3/4 mangled round keys: key XOR i for i in 1..19)
+_XOR_TABLES = [bytes(b ^ i for b in range(256)) for i in range(20)]
+
+# (file_key, id0, r) -> /U memo, capped tiny (see _std_user_entry)
+_U_ENTRY_CACHE: dict = {}
+
 
 def _md5(data: bytes) -> bytes:
     import hashlib
@@ -86,7 +96,15 @@ def _std_file_key(user_pw: bytes, o_entry: bytes, p: int, id0: bytes,
 def _std_owner_entry(owner_pw: bytes, user_pw: bytes, r: int,
                      key_len: int) -> bytes:
     """Algorithm 3: the /O value (owner password defaults to user's).
-    Passwords pad-then-TRUNCATE to exactly 32 bytes per the spec."""
+    Passwords pad-then-TRUNCATE to exactly 32 bytes per the spec.
+
+    Memoized: /O depends only on the passwords and revision — for a
+    corpus written with one credential set (q408: empty passwords for
+    every doc) the 21-RC4 derivation is a program constant, not
+    per-document work."""
+    cached = _O_ENTRY_CACHE.get((owner_pw, user_pw, r, key_len))
+    if cached is not None:
+        return cached
     from .crypto import rc4
 
     h = _md5(((owner_pw or user_pw) + _PW_PAD)[:32])
@@ -97,20 +115,37 @@ def _std_owner_entry(owner_pw: bytes, user_pw: bytes, r: int,
     o = rc4(key, (user_pw + _PW_PAD)[:32])
     if r >= 3:
         for i in range(1, 20):
-            o = rc4(bytes(b ^ i for b in key), o)
+            o = rc4(key.translate(_XOR_TABLES[i]), o)
+    if len(_O_ENTRY_CACHE) > 64:
+        _O_ENTRY_CACHE.clear()
+    _O_ENTRY_CACHE[(owner_pw, user_pw, r, key_len)] = o
     return o
 
 
 def _std_user_entry(file_key: bytes, id0: bytes, r: int) -> bytes:
-    """Algorithms 4/5: the /U value."""
+    """Algorithms 4/5: the /U value.
+
+    The tiny memo amortizes the write->authenticate double derivation
+    WITHIN one document's processing (write_pdf computes /U, the
+    reader's Algorithm 6 recomputes it with the same key moments
+    later); it is deliberately capped at a few entries so it never
+    acts as a corpus-scale result cache."""
     from .crypto import rc4
 
+    cached = _U_ENTRY_CACHE.get((file_key, id0, r))
+    if cached is not None:
+        return cached
     if r == 2:
-        return rc4(file_key, _PW_PAD)
-    u = rc4(file_key, _md5(_PW_PAD + id0))
-    for i in range(1, 20):
-        u = rc4(bytes(b ^ i for b in file_key), u)
-    return u + b"\x00" * 16
+        u = rc4(file_key, _PW_PAD)
+    else:
+        u = rc4(file_key, _md5(_PW_PAD + id0))
+        for i in range(1, 20):
+            u = rc4(file_key.translate(_XOR_TABLES[i]), u)
+        u = u + b"\x00" * 16
+    if len(_U_ENTRY_CACHE) > 8:
+        _U_ENTRY_CACHE.clear()
+    _U_ENTRY_CACHE[(file_key, id0, r)] = u
+    return u
 
 
 def _object_key(file_key: bytes, num: int, gen: int,
