@@ -692,11 +692,23 @@ def bpe_train(df: DataFrame, text_col: str = "text",
         .select("word", "cnt", F.split("word", "").alias("toks"))
         .localCheckpoint()
     )
-    out = []
-    for it in range(1, n_merges + 1):
+
+    # One job per round instead of three (§1.2): the argmax is a
+    # hash-aggregated min(struct(-n, p1, p2)) — identical to the
+    # (n DESC, p1, p2) sort-limit pick — and the post-merge corpus
+    # token total is DERIVED instead of re-scanned:
+    #   total = sum(cnt * len(toks)) = sum over pair rows of n
+    #           + sum(cnt)            [len = n_pairs + 1 per word]
+    # where sum(cnt) is constant across merges (the word set never
+    # changes), so round it's total comes out of round it+1's pair
+    # aggregation for free; only the LAST merge pays one extra
+    # tiny sum. Values are exact integers throughout.
+    cnt_total = vocab.agg(F.sum("cnt")).collect()[0][0] or 0
+
+    def pair_stats(v):
         n_t = F.size("toks")
         pairs = (
-            vocab.filter(n_t >= 2)
+            v.filter(n_t >= 2)
             .select(
                 "cnt",
                 F.explode(F.arrays_zip(
@@ -707,18 +719,31 @@ def bpe_train(df: DataFrame, text_col: str = "text",
             .groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
             .agg(F.sum("cnt").alias("n"))
         )
-        best = pairs.orderBy(
-            F.col("n").desc(), F.col("p1").asc(), F.col("p2").asc()
-        ).limit(1).collect()  # bounded: one argmax row per iteration
-        if not best:
+        row = pairs.agg(
+            F.min(F.struct(
+                (-F.col("n")).alias("neg_n"),
+                F.col("p1").alias("p1"), F.col("p2").alias("p2"),
+            )).alias("m"),
+            F.sum("n").alias("w"),
+        ).collect()[0]
+        return row["m"], int(row["w"] or 0)
+
+    out = []
+    pending = None  # (it, p1, p2, n) awaiting its post-merge total
+    for it in range(1, n_merges + 1):
+        m, w = pair_stats(vocab)
+        if pending is not None:
+            out.append((*pending, w + cnt_total))
+        if m is None:
+            pending = None
             break
-        b = best[0]
         vocab = vocab.withColumn(
-            "toks", _apply_merge(F.col("toks"), b.p1, b.p2)
+            "toks", _apply_merge(F.col("toks"), m["p1"], m["p2"])
         ).localCheckpoint()
-        total = vocab.agg(
-            F.sum(F.size("toks") * F.col("cnt"))).collect()[0][0]
-        out.append((it, b.p1, b.p2, int(b.n), int(total)))
+        pending = (it, m["p1"], m["p2"], int(-m["neg_n"]))
+    if pending is not None:
+        _m, w = pair_stats(vocab)
+        out.append((*pending, w + cnt_total))
     return spark.createDataFrame(
         out, "it int, p1 string, p2 string, n bigint, total_tokens bigint")
 

@@ -80,12 +80,21 @@ def _decompress(codec: str, data: bytes, out_size: int) -> bytes:
 def _unpack_lsb(data: bytes, pos: int, count: int, width: int,
                 ) -> tuple[list[int], int]:
     """Unpack ``count`` LSB-first ``width``-bit ints; consumes whole
-    bytes for groups of 8."""
-    out = []
-    acc = 0
-    nbits = 0
+    bytes for groups of 8. Vectorized via np.unpackbits (bit-exact:
+    LSB-first bit order is the parquet layout) with a scalar fallback
+    for very wide values and short buffers."""
     need_bytes = (count * width + 7) // 8
     chunk = data[pos:pos + need_bytes]
+    if width <= 56 and count and len(chunk) == need_bytes:
+        import numpy as np
+
+        bits = np.unpackbits(
+            np.frombuffer(chunk, dtype=np.uint8), bitorder="little")
+        vals = bits[:count * width].reshape(count, width).astype(np.int64)
+        weights = np.left_shift(
+            np.int64(1), np.arange(width, dtype=np.int64))
+        return (vals @ weights).tolist(), pos + need_bytes
+    out = []
     bitpos = 0
     mask = (1 << width) - 1
     for _ in range(count):
@@ -100,7 +109,6 @@ def _unpack_lsb(data: bytes, pos: int, count: int, width: int,
             byte_i += 1
         out.append(v & mask)
         bitpos += width
-    _ = acc, nbits
     return out, pos + need_bytes
 
 
@@ -192,10 +200,24 @@ def _delta_binary_packed(data: bytes, pos: int, n: int,
                 deltas = [0] * per_mini
             else:
                 deltas, pos = _unpack_lsb(data, pos, per_mini, w)
-            for d in deltas:
-                if len(out) >= total:
-                    break
-                out.append(out[-1] + min_delta + d)
+            take = min(per_mini, total - len(out))
+            if take >= 16 and w <= 56:
+                # prefix-sum the miniblock in one shot; int64 wraparound
+                # reproduces arbitrary-precision results exactly because
+                # every true value fits the column's physical type
+                import numpy as np
+
+                md = ((min_delta + (1 << 63)) & ((1 << 64) - 1)) - (1 << 63)
+                prev = ((out[-1] + (1 << 63)) & ((1 << 64) - 1)) - (1 << 63)
+                with np.errstate(over="ignore"):
+                    vals = (np.asarray(deltas[:take], dtype=np.int64)
+                            + np.int64(md)).cumsum() + np.int64(prev)
+                out.extend(vals.tolist())
+            else:
+                for d in deltas:
+                    if len(out) >= total:
+                        break
+                    out.append(out[-1] + min_delta + d)
     return out[:n], pos
 
 

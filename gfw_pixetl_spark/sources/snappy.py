@@ -71,8 +71,13 @@ def decompress(data: bytes) -> bytes:
             pos += 4
         if off == 0 or off > len(out):
             raise ValueError("snappy: copy offset out of range")
-        for _ in range(ln):  # byte-wise: overlapping copies replicate
-            out.append(out[-off])
+        if off >= ln:  # disjoint: one slice copy
+            start = len(out) - off
+            out += out[start:start + ln]
+        else:  # overlapping: tile the last `off` bytes (identical to
+            # the byte-wise replicate, without 1 append per byte)
+            seg = bytes(out[len(out) - off:])
+            out += (seg * (ln // off + 1))[:ln]
     if len(out) != total:
         raise ValueError(
             f"snappy: decoded {len(out)} bytes, header says {total}")

@@ -11,6 +11,17 @@ sys.path.insert(0, str(REPO))
 
 SF_SMOKE = "/root/testdata/sf0.001"
 
+# The suite runs on ~500-row fixtures: a local[32] session spends more
+# wall time scheduling 32-way stages than computing them (measured 1.5x
+# on the streaming/sink files). Size the TEST session to the fixtures,
+# not the bench: 8 cores unless explicitly overridden. This only
+# affects pytest — bench.py and the driver contract read
+# SPARK_GRAFT_CPUS from their own environment.
+import os  # noqa: E402
+
+os.environ["SPARK_GRAFT_CPUS"] = os.environ.get(
+    "SPARK_GRAFT_TEST_CPUS", "8")
+
 
 @pytest.fixture(scope="session")
 def spark():
