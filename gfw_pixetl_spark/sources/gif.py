@@ -239,7 +239,12 @@ def decode_gif(data: bytes) -> dict:
     loop = None
     frames = []
     gce: dict = {}
-    canvas = np.full((h, w), bg, dtype=np.uint8)
+    # Allocate the canvas lazily, at the first image descriptor: a
+    # malformed stream with garbage screen dimensions (up to
+    # 65535x65535 from 4 attacker/noise bytes) must fail at block
+    # parsing, not after a multi-GB np.full (measured 26 s on a
+    # 21-byte junk payload).
+    canvas: np.ndarray | None = None
     while True:
         if pos >= len(data):
             raise ValueError("GIF: missing trailer")
@@ -275,6 +280,8 @@ def decode_gif(data: bytes) -> dict:
             raise ValueError(
                 f"GIF: frame rect {fw}x{fh}+{left}+{top} exceeds the "
                 f"{w}x{h} logical screen")
+        if canvas is None:
+            canvas = np.full((h, w), bg, dtype=np.uint8)
         min_code = data[pos]
         pos += 1
         lzw, pos = _read_sub_blocks(data, pos)
