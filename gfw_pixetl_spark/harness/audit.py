@@ -1047,6 +1047,13 @@ def _cidr_rows() -> list[tuple[str, int, int]]:
     for name, a, b, c, d, ln in _CIDR_RULES:
         ip = (a << 24) | (b << 16) | (c << 8) | d
         out.append((name, ip >> (32 - ln), ln))
+    # The when-chain LPM equals max(struct(len, name)) ONLY while
+    # same-length prefixes are disjoint — assert the invariant so a
+    # future rule edit that overlaps within a length trips immediately
+    # instead of silently changing tie semantics (ADVICE r08).
+    assert len({(ln, pfx) for _, pfx, ln in out}) == len(out), \
+        "_CIDR_RULES: duplicate (prefix, length) — same-length rules " \
+        "must be disjoint for first-match == longest-prefix argmax"
     return out
 
 

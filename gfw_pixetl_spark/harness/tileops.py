@@ -2680,6 +2680,13 @@ def q320(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.when(in_grid, (pr * 1024 + pc).cast("bigint"))
                       .alias("p"))
             .collect())  # bounded: <= 8,836 cells by construction
+    if len(rows) > 20_000:  # fail loudly if the demo DEM ever grows:
+        # a corpus-scale raster must take the q302 pointer-doubling
+        # path, not a driver collect (ADVICE r08)
+        raise ValueError(
+            f"flow-accumulation driver replay got {len(rows)} cells; "
+            "this path is for the fixed demo window only — use the "
+            "q302 pointer-doubling formulation for corpus-scale DEMs")
     parent = {r.u: r.p for r in rows if r.p is not None}
     visits: dict[int, int] = {}
     for u in parent:
